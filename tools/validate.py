@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Dev tool only (NOT part of the Scala library): after
+  sbt "runMain graft.Verify <sfDir> <outDir>"
+this compares each <outDir>/<name> parquet against the oracle SQL in
+<outDir>/oracle_sql.json executed by DuckDB over <sfDir>/*.parquet.
+
+Compare is order-insensitive: columns sorted by name, rows sorted,
+floats rounded to 6 significant decimals before hashing.
+"""
+import sys, json, glob, os, math
+import duckdb
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v): v = "NaN"
+                else: v = f"{v:.6g}"
+            vals.append(str(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchall()
+            scols = [d[0] for d in con.description]
+            odf = con.execute(sql).fetchall()
+            ocols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if sorted(map(str.lower, scols)) != sorted(map(str.lower, ocols)):
+            print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_bad += 1; continue
+        a, b = canon(sdf, [c.lower() for c in scols]), canon(odf, [c.lower() for c in ocols])
+        if a == b:
+            print(f"OK   {name}: {len(a)} rows"); n_ok += 1
+        else:
+            n_bad += 1
+            diff_a = [x for x in a if x not in set(b)][:3]
+            diff_b = [x for x in b if x not in set(a)][:3]
+            print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}")
+            for d in diff_a: print(f"   spark-only: {d!r}")
+            for d in diff_b: print(f"  oracle-only: {d!r}")
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
