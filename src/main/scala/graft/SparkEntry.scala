@@ -20,13 +20,39 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_flagship_languages" -> (Flagship.aggrRepoLanguages _),
     "a2_explode_drops_empty" -> (Flagship.explodeDropsEmpty _),
-    "a2_explode_outer_keeps_empty" -> (Flagship.explodeOuterKeepsEmpty _)
+    "a2_explode_outer_keeps_empty" -> (Flagship.explodeOuterKeepsEmpty _),
+    "a6_literal" -> (Analytics.a6Literal _),
+    "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
+    "q3_top_orders" -> (Analytics.q3TopOrders _),
+    "q5_region_revenue" -> (Analytics.q5RegionRevenue _),
+    "w_top3_orders_per_cust" -> (Analytics.wTop3OrdersPerCust _),
+    "w_running_revenue" -> (Analytics.wRunningRevenue _),
+    "s_nation_intersect" -> (Analytics.sNationIntersect _),
+    "s_nation_except" -> (Analytics.sNationExcept _),
+    "r_rollup_orders" -> (Analytics.rRollupOrders _),
+    "j_semi_customers_with_orders" -> (Analytics.jSemiCustomersWithOrders _),
+    "e_props_extract" -> (Events.propsExtract _),
+    "e_sessionize" -> (Events.sessionize _),
+    "e_hourly_windows" -> (Events.hourlyWindows _)
   )
 
   /** DuckDB-runnable ANSI SQL per queries key (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "a_flagship_languages" -> Flagship.aggrRepoLanguagesSql,
     "a2_explode_drops_empty" -> Flagship.explodeDropsEmptySql,
-    "a2_explode_outer_keeps_empty" -> Flagship.explodeOuterKeepsEmptySql
+    "a2_explode_outer_keeps_empty" -> Flagship.explodeOuterKeepsEmptySql,
+    "a6_literal" -> Analytics.a6LiteralSql,
+    "q1_pricing_summary" -> Analytics.q1PricingSummarySql,
+    "q3_top_orders" -> Analytics.q3TopOrdersSql,
+    "q5_region_revenue" -> Analytics.q5RegionRevenueSql,
+    "w_top3_orders_per_cust" -> Analytics.wTop3OrdersPerCustSql,
+    "w_running_revenue" -> Analytics.wRunningRevenueSql,
+    "s_nation_intersect" -> Analytics.sNationIntersectSql,
+    "s_nation_except" -> Analytics.sNationExceptSql,
+    "r_rollup_orders" -> Analytics.rRollupOrdersSql,
+    "j_semi_customers_with_orders" -> Analytics.jSemiCustomersWithOrdersSql,
+    "e_props_extract" -> Events.propsExtractSql,
+    "e_sessionize" -> Events.sessionizeSql,
+    "e_hourly_windows" -> Events.hourlyWindowsSql
   )
 }

@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational battery: the operator classes the engine's macro library
+  * generates (SURVEY §2.B) plus the aggregate/join/window surface any dbt
+  * project on this engine writes in model SQL. All plans are declarative
+  * DataFrame ops → Catalyst does pushdown/pruning/join-selection; dims are
+  * explicitly broadcast where small at every SF.
+  *
+  * Float policy: every derived double aggregate is `round(x, 2|4)` on BOTH
+  * the Spark and oracle side so partial-aggregation summation order can't
+  * flip the last ulp in the hash compare.
+  */
+object Analytics {
+  import TData._
+
+  /** TPC-H Q1-shaped pricing summary: filter → pushed-down scan → two-phase
+    * hash aggregate (partial per partition, merged — no full shuffle of the
+    * fact table, only of the tiny grouped state).
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-shaped top-k: fact⨝fact shuffle join + broadcast dim filter +
+    * agg + total-order top-10 (rank on the ROUNDED measure with a unique
+    * tiebreak key so the limit cut is deterministic across engines).
+    */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3TopOrdersSql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped star join: one big fact (lineitem⨝orders, shuffle) with
+    * the whole dimension arm (customer⨝nation⨝region) broadcast — at 100 TB
+    * the fact tables shuffle on orderkey once; dims never shuffle.
+    */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = customer(s, d)
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  val q5RegionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Window top-N per group: row_number with a total order (unique tiebreak). */
+  def wTop3OrdersPerCust(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val wTop3OrdersPerCustSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Running (cumulative) aggregate: ROWS UNBOUNDED PRECEDING over a total
+    * per-partition order — the frame is deterministic so the cumulative
+    * double sum is bit-stable; rounded anyway.
+    */
+  def wRunningRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).over(w), 2)
+        .as("running_rev"))
+  }
+
+  val wRunningRevenueSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_extendedprice * (1 - l_discount)) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      |FROM lineitem""".stripMargin
+
+  /** Set ops: INTERSECT (nations present on both customer and supplier side). */
+  def sNationIntersect(s: SparkSession, d: String): DataFrame = {
+    val cn = customer(s, d).join(broadcast(nation(s, d)),
+      col("c_nationkey") === col("n_nationkey")).select(col("n_name"))
+    val sn = supplier(s, d).join(broadcast(nation(s, d)),
+      col("s_nationkey") === col("n_nationkey")).select(col("n_name"))
+    cn.intersect(sn)
+  }
+
+  val sNationIntersectSql: String =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |INTERSECT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+
+  /** Set ops: EXCEPT (customer nations with no supplier). */
+  def sNationExcept(s: SparkSession, d: String): DataFrame = {
+    val cn = customer(s, d).join(broadcast(nation(s, d)),
+      col("c_nationkey") === col("n_nationkey")).select(col("n_name"))
+    val sn = supplier(s, d).join(broadcast(nation(s, d)),
+      col("s_nationkey") === col("n_nationkey")).select(col("n_name"))
+    cn.except(sn)
+  }
+
+  val sNationExceptSql: String =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |EXCEPT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+
+  /** ROLLUP: multi-level aggregate (grand total + per-status + per-pair). */
+  def rRollupOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+
+  val rRollupOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** LEFT SEMI join (EXISTS): customers that placed at least one 'F' order. */
+  def jSemiCustomersWithOrders(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderstatus") === "F")
+    customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val jSemiCustomersWithOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  /** A6: literal projection (reference models/test_model.sql:1 `select 1 as a`). */
+  def a6Literal(s: SparkSession, d: String): DataFrame =
+    s.sql("SELECT 1 AS a")
+
+  val a6LiteralSql: String = "SELECT 1 AS a"
+}

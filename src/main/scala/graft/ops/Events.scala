@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (batch forms; the
+  * Structured Streaming variants live in graft.streaming and share the same
+  * transformation logic).
+  *
+  * Timestamp policy: the parquet `ts` is nanosecond-precision; Spark reads
+  * it at microseconds, DuckDB at nanoseconds — so every query OUTPUT
+  * canonicalizes to epoch milliseconds (`unix_millis` / `epoch_ms`), where
+  * both truncations agree.
+  */
+object Events {
+  import TData._
+
+  /** Semi-structured extraction: pull the numeric `k` out of the JSON
+    * `props` string with a shared-dialect regex (offline-safe in both
+    * engines), aggregate per event type.
+    */
+  def propsExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+        .cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  val propsExtractSql: String =
+    """SELECT event_type,
+      |  count(k) AS n_with_k,
+      |  round(avg(k), 4) AS avg_k,
+      |  round(sum(value), 2) AS sum_value
+      |FROM (SELECT event_type, value,
+      |        TRY_CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  /** Sessionization: per-user 30-minute-gap sessions via lag + cumulative
+    * flag sum — one shuffle on user_id, then two window passes over the same
+    * partitioning (Catalyst reuses the exchange). The same algorithm scales
+    * to 100 TB because state is per-user-partition, never global.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1
+        ).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("session_start_ms"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  epoch_ms(min(ts)::TIMESTAMP) AS session_start_ms,
+      |  round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts, value,
+      |      CASE WHEN prev_ts IS NULL
+      |             OR date_diff('second', prev_ts, ts) > 1800
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, event_id, ts, value,
+      |        lag(ts) OVER (PARTITION BY user_id
+      |                      ORDER BY ts ASC, event_id ASC) AS prev_ts
+      |      FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** Tumbling-window aggregate (batch form of the streaming windowed agg):
+    * 1-hour epoch-aligned windows per event type.
+    */
+  def hourlyWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val hourlyWindowsSql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS window_start_ms,
+      |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+}

@@ -21,7 +21,20 @@ object TData {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf)
+    * and floor-convert to a microsecond timestamp — the same truncation
+    * DuckDB's `ts::TIMESTAMP` applies, so oracle outputs agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer DIV — a double-typed `/ 1000` loses ulps at 1e18 nanos
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }
