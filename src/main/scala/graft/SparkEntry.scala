@@ -33,7 +33,13 @@ object SparkEntry {
     "j_semi_customers_with_orders" -> (Analytics.jSemiCustomersWithOrders _),
     "e_props_extract" -> (Events.propsExtract _),
     "e_sessionize" -> (Events.sessionize _),
-    "e_hourly_windows" -> (Events.hourlyWindows _)
+    "e_hourly_windows" -> (Events.hourlyWindows _),
+    "b21_test_unique" -> (DqQueries.b21Unique _),
+    "b22_test_not_null" -> (DqQueries.b22NotNull _),
+    "b23_test_accepted_values" -> (DqQueries.b23AcceptedValues _),
+    "b24_test_relationships" -> (DqQueries.b24Relationships _),
+    "b19_test_eval" -> (DqQueries.b19TestEval _),
+    "b36_freshness" -> (DqQueries.b36Freshness _)
   )
 
   /** DuckDB-runnable ANSI SQL per queries key (same parquet tables). */
@@ -53,6 +59,12 @@ object SparkEntry {
     "j_semi_customers_with_orders" -> Analytics.jSemiCustomersWithOrdersSql,
     "e_props_extract" -> Events.propsExtractSql,
     "e_sessionize" -> Events.sessionizeSql,
-    "e_hourly_windows" -> Events.hourlyWindowsSql
+    "e_hourly_windows" -> Events.hourlyWindowsSql,
+    "b21_test_unique" -> DqQueries.b21UniqueSql,
+    "b22_test_not_null" -> DqQueries.b22NotNullSql,
+    "b23_test_accepted_values" -> DqQueries.b23AcceptedValuesSql,
+    "b24_test_relationships" -> DqQueries.b24RelationshipsSql,
+    "b19_test_eval" -> DqQueries.b19TestEvalSql,
+    "b36_freshness" -> DqQueries.b36FreshnessSql
   )
 }

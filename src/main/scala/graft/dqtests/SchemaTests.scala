@@ -1,0 +1,81 @@
+package graft.dqtests
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic data-quality tests (SURVEY §2 B21–B25): each returns the rows
+  * that FAIL the assertion (dbt semantics — empty result = pass).
+  *
+  * References (shape of the generated SQL): manifest.json:1
+  * `default__test_unique` @201298, `default__test_not_null` @198167,
+  * `default__test_accepted_values` @202767, `default__test_relationships`
+  * @199544, `default__get_where_subquery` @146116.
+  *
+  * All are single-pass aggregates or anti-joins — at 100 TB: unique /
+  * accepted_values shuffle only the grouped key, not_null is a pushed-down
+  * filter scan, relationships broadcasts the parent key set when small.
+  */
+object SchemaTests {
+
+  /** B21 `unique`: key values appearing more than once. */
+  def unique(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNotNull)
+      .groupBy(col(column).as("unique_field"))
+      .agg(count(lit(1)).as("n_records"))
+      .filter(col("n_records") > 1)
+
+  /** B22 `not_null`: rows whose column is NULL. */
+  def notNull(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNull)
+
+  /** B23 `accepted_values`: distinct values outside the allowed set. */
+  def acceptedValues(df: DataFrame, column: String, values: Seq[String]): DataFrame =
+    df.groupBy(col(column).as("value_field"))
+      .agg(count(lit(1)).as("n_records"))
+      .filter(!col("value_field").isin(values: _*))
+
+  /** B24 `relationships`: child FK values with no matching parent PK
+    * (referential integrity, LEFT ANTI join).
+    */
+  def relationships(child: DataFrame, fk: String,
+                    parent: DataFrame, pk: String): DataFrame =
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+
+  /** B25 `get_where_subquery`: per-test row filter applied before the test. */
+  def withWhere(df: DataFrame, whereClause: Option[Column]): DataFrame =
+    whereClause.fold(df)(df.filter)
+
+  /** B19 test materialization wrapper: evaluate a test result into the
+    * engine's failures/should_warn/should_error row
+    * (`default__get_test_sql` @56739; defaults fail_calc=count(*),
+    * warn_if/error_if = `!= 0`, limit optional).
+    */
+  def evaluate(failing: DataFrame, limit: Option[Int] = None,
+               warnIf: Column => Column = _ =!= 0,
+               errorIf: Column => Column = _ =!= 0): DataFrame = {
+    val limited = limit.fold(failing)(failing.limit)
+    limited.agg(count(lit(1)).as("failures"))
+      .select(col("failures"),
+        warnIf(col("failures")).as("should_warn"),
+        errorIf(col("failures")).as("should_error"))
+  }
+
+  /** B36 `collect_freshness`: age of `max(loadedAt)` against an as-of
+    * instant, classified by warn/error thresholds (source `freshness:`
+    * config; `default__collect_freshness` @192559). `asOf` is a parameter —
+    * the engine passes `current_timestamp`; oracle-checked queries pass a
+    * pinned literal for determinism.
+    */
+  def freshness(df: DataFrame, loadedAt: String, asOf: Column,
+                warnAfterH: Int, errorAfterH: Int): DataFrame =
+    df.agg(max(col(loadedAt)).as("max_loaded_at"))
+      .select(
+        unix_millis(col("max_loaded_at")).as("max_loaded_at_ms"),
+        ((unix_millis(asOf) - unix_millis(col("max_loaded_at"))) / lit(3600000L))
+          .cast("long").as("hours_late"))
+      .withColumn("status",
+        when(col("hours_late") > errorAfterH, "error")
+          .when(col("hours_late") > warnAfterH, "warn")
+          .otherwise("pass"))
+}
