@@ -39,7 +39,18 @@ object SparkEntry {
     "b23_test_accepted_values" -> (DqQueries.b23AcceptedValues _),
     "b24_test_relationships" -> (DqQueries.b24Relationships _),
     "b19_test_eval" -> (DqQueries.b19TestEval _),
-    "b36_freshness" -> (DqQueries.b36Freshness _)
+    "b36_freshness" -> (DqQueries.b36Freshness _),
+    "b1_table_swap" -> (MatQueries.b1TableSwap _),
+    "b3_view" -> (MatQueries.b3View _),
+    "b5_delete_insert" -> (MatQueries.b5DeleteInsert _),
+    "b7_merge" -> (MatQueries.b7Merge _),
+    "b7_merge_update_subset" -> (MatQueries.b7MergeUpdateSubset _),
+    "b9_insert_overwrite" -> (MatQueries.b9InsertOverwrite _),
+    "b11_snapshot_timestamp" -> (MatQueries.b11SnapshotTimestamp _),
+    "b15_snapshot_check" -> (MatQueries.b15SnapshotCheck _),
+    "b18_seed" -> (MatQueries.b18Seed _),
+    "b20_copy" -> (MatQueries.b20Copy _),
+    "b48_append_new_columns" -> (MatQueries.b48AppendNewColumns _)
   )
 
   /** DuckDB-runnable ANSI SQL per queries key (same parquet tables). */
@@ -65,6 +76,17 @@ object SparkEntry {
     "b23_test_accepted_values" -> DqQueries.b23AcceptedValuesSql,
     "b24_test_relationships" -> DqQueries.b24RelationshipsSql,
     "b19_test_eval" -> DqQueries.b19TestEvalSql,
-    "b36_freshness" -> DqQueries.b36FreshnessSql
+    "b36_freshness" -> DqQueries.b36FreshnessSql,
+    "b1_table_swap" -> MatQueries.b1TableSwapSql,
+    "b3_view" -> MatQueries.b3ViewSql,
+    "b5_delete_insert" -> MatQueries.b5DeleteInsertSql,
+    "b7_merge" -> MatQueries.b7MergeSql,
+    "b7_merge_update_subset" -> MatQueries.b7MergeUpdateSubsetSql,
+    "b9_insert_overwrite" -> MatQueries.b9InsertOverwriteSql,
+    "b11_snapshot_timestamp" -> MatQueries.b11SnapshotTimestampSql,
+    "b15_snapshot_check" -> MatQueries.b15SnapshotCheckSql,
+    "b18_seed" -> MatQueries.b18SeedSql,
+    "b20_copy" -> MatQueries.b20CopySql,
+    "b48_append_new_columns" -> MatQueries.b48AppendNewColumnsSql
   )
 }

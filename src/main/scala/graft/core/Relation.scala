@@ -1,0 +1,65 @@
+package graft.core
+
+/** A 3-part-named warehouse relation (reference: dbt's
+  * `database.schema.identifier`, e.g. the source node `relation_name`
+  * `` `personal-39217`.`github`.`languages` `` in
+  * /root/reference/current_state/manifest.json:1). In this engine a
+  * relation is a parquet directory under the warehouse root.
+  */
+final case class Relation(database: String, schema: String, identifier: String) {
+  def pathUnder(root: String): String = s"$root/$database/$schema/$identifier"
+  def fqName: String = s"$database.$schema.$identifier"
+  /** Temp/backup suffix convention (reference `make_temp_relation` @194314). */
+  def suffixed(suffix: String): Relation = copy(identifier = identifier + suffix)
+}
+
+/** Incremental strategies (reference
+  * `dbt_bigquery_validate_get_incremental_strategy` @33792: merge |
+  * insert_overwrite; common `delete+insert` @93622).
+  */
+sealed trait IncrementalStrategy
+object IncrementalStrategy {
+  case object Merge extends IncrementalStrategy
+  case object DeleteInsert extends IncrementalStrategy
+  case object InsertOverwrite extends IncrementalStrategy
+}
+
+/** `on_schema_change` policies (reference
+  * `incremental_validate_on_schema_change` @130005).
+  */
+sealed trait OnSchemaChange
+object OnSchemaChange {
+  case object Ignore extends OnSchemaChange
+  case object Fail extends OnSchemaChange
+  case object AppendNewColumns extends OnSchemaChange
+  case object SyncAllColumns extends OnSchemaChange
+}
+
+/** Snapshot strategies (reference `snapshot_timestamp_strategy` @117832,
+  * `snapshot_check_strategy` @122973).
+  */
+sealed trait SnapshotStrategy
+object SnapshotStrategy {
+  /** Row changed iff `updatedAt` advanced past the snapshotted validity. */
+  final case class Timestamp(updatedAt: String) extends SnapshotStrategy
+  /** Row changed iff any checked column differs (NULL-safe); `cols=None`
+    * means check all non-meta columns (`check_cols='all'` @121224).
+    */
+  final case class Check(cols: Option[Seq[String]]) extends SnapshotStrategy
+}
+
+/** Per-model configuration (reference node `config` in manifest.json:1 and
+  * dbt_project.yml:34-36 `+materialized: table` default).
+  */
+final case class ModelConfig(
+    materialized: String = "table", // table | view | incremental | ephemeral
+    uniqueKey: Seq[String] = Nil,
+    incrementalStrategy: IncrementalStrategy = IncrementalStrategy.Merge,
+    mergeUpdateColumns: Seq[String] = Nil, // empty = update all columns
+    partitionBy: Option[String] = None,
+    clusterBy: Seq[String] = Nil,
+    onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
+    tags: Set[String] = Set.empty,
+    preHooks: Seq[String] = Nil,
+    postHooks: Seq[String] = Nil,
+    enabled: Boolean = true)

@@ -1,0 +1,171 @@
+package graft.materialize
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+import graft.core._
+
+/** Schema-evolution policies for incremental models (reference
+  * `check_for_schema_changes` @133295, `process_schema_changes` @137505,
+  * `sync_column_schemas` @135344, widening via
+  * `adapter.expand_target_column_types` @139412).
+  */
+object SchemaEvolution {
+
+  final case class Diff(sourceNotInTarget: Seq[StructField],
+                        targetNotInSource: Seq[StructField],
+                        common: Seq[String]) {
+    def changed: Boolean = sourceNotInTarget.nonEmpty || targetNotInSource.nonEmpty
+  }
+
+  def diff(source: StructType, target: StructType): Diff = {
+    val s = source.fields.map(f => f.name.toLowerCase -> f).toMap
+    val t = target.fields.map(f => f.name.toLowerCase -> f).toMap
+    Diff(
+      source.fields.toSeq.filterNot(f => t.contains(f.name.toLowerCase)),
+      target.fields.toSeq.filterNot(f => s.contains(f.name.toLowerCase)),
+      target.fields.toSeq.map(_.name).filter(n => s.contains(n.toLowerCase)))
+  }
+
+  /** Align `incoming` and the existing `target` data to the post-policy
+    * schema. Returns (alignedIncoming, alignedTarget, requiresTargetRewrite).
+    */
+  def apply(policy: OnSchemaChange, incoming: DataFrame, target: DataFrame)
+      : (DataFrame, DataFrame, Boolean) = {
+    val d = diff(incoming.schema, target.schema)
+    if (!d.changed) (conform(incoming, target.schema), target, false)
+    else policy match {
+      case OnSchemaChange.Ignore =>
+        // keep the target's schema; new source columns are dropped, columns
+        // missing from the source are filled with NULL
+        (conform(incoming, target.schema), target, false)
+      case OnSchemaChange.Fail =>
+        throw new IllegalStateException(
+          s"on_schema_change=fail: +${d.sourceNotInTarget.map(_.name).mkString(",")}" +
+            s" -${d.targetNotInSource.map(_.name).mkString(",")}")
+      case OnSchemaChange.AppendNewColumns =>
+        // target grows the new source columns (NULL for history); removed
+        // columns are kept
+        val merged = StructType(target.schema.fields ++ d.sourceNotInTarget)
+        (conform(incoming, merged), conform(target, merged), true)
+      case OnSchemaChange.SyncAllColumns =>
+        // target takes the source schema exactly: add new, drop removed
+        (incoming, conform(target, incoming.schema), true)
+    }
+  }
+
+  /** Project/cast a frame to `schema` (missing columns become NULL). */
+  def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.schema.fields.map(_.name.toLowerCase).toSet
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      if (have.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+}
+
+/** The engine's write-side operators (SURVEY §2.B B1–B10, B18).
+  *
+  * Every algorithm is a declarative DataFrame plan ending in one
+  * distributed write — no driver-side row loops — so the same code path
+  * holds on a multi-executor cluster: merges shuffle on the unique key,
+  * insert_overwrite rewrites only touched partitions, and small increments
+  * are broadcast into the anti-join against the big target.
+  */
+final class Materializer(wh: Warehouse) {
+  import IncrementalStrategy._
+
+  /** B1/B2 `table`: CTAS + atomic swap. */
+  def table(df: DataFrame, rel: Relation, cfg: ModelConfig = ModelConfig()): Unit =
+    wh.writeAtomic(df, rel, cfg.partitionBy.toSeq, cfg.clusterBy)
+
+  /** B3 `view`: the plan is registered, not materialized (temp view in the
+    * session catalog — a metastore would make it persistent; the manifest
+    * records the definition for recreation).
+    */
+  def view(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** B18 `seed`: CSV load with per-column type overrides
+    * (`default__create_csv_table` @68626 `column_types` config; inference
+    * otherwise mirrors `adapter.convert_type`).
+    */
+  def seed(spark: SparkSession, csvPath: String, rel: Relation,
+           columnTypes: Map[String, String] = Map.empty): DataFrame = {
+    val inferred = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .csv(csvPath)
+    val typed = columnTypes.foldLeft(inferred) { case (df, (c, t)) =>
+      df.withColumn(c, col(c).cast(t))
+    }
+    wh.writeAtomic(typed, rel)
+    wh.read(rel)
+  }
+
+  /** B4/B6 `incremental`: dispatch on state + strategy
+    * (`materialization_incremental_default` @139412).
+    */
+  def incremental(df: DataFrame, rel: Relation, cfg: ModelConfig,
+                  fullRefresh: Boolean = false): Unit = {
+    if (!wh.exists(rel) || fullRefresh) { table(df, rel, cfg); return }
+    val target = wh.read(rel)
+    val (inc, tgt, _) =
+      SchemaEvolution(cfg.onSchemaChange, df, target)
+    cfg.incrementalStrategy match {
+      case InsertOverwrite =>
+        val pcol = cfg.partitionBy.getOrElse(
+          throw new IllegalArgumentException("insert_overwrite needs partition_by"))
+        wh.overwritePartitions(inc, rel, Seq(pcol))
+        // NB: schema-evolution rewrites don't compose with in-place dynamic
+        // overwrite; policies other than Ignore force the merge-style path.
+      case Merge if cfg.uniqueKey.isEmpty =>
+        // append-only merge (`ON FALSE`, @89014)
+        wh.append(inc, rel, cfg.partitionBy.toSeq)
+      case Merge if cfg.mergeUpdateColumns.nonEmpty =>
+        wh.writeAtomic(mergeUpdateSubset(tgt, inc, cfg.uniqueKey,
+          cfg.mergeUpdateColumns), rel, cfg.partitionBy.toSeq, cfg.clusterBy)
+      case Merge | DeleteInsert =>
+        // full-row upsert: MERGE updating all columns ≡ delete+insert
+        // (`incremental_upsert` @144149): anti-join keeps unmatched target
+        // rows, the increment provides matched + new rows.
+        val keep = tgt.join(inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
+          cfg.uniqueKey, "left_anti")
+        wh.writeAtomic(keep.unionByName(inc), rel, cfg.partitionBy.toSeq,
+          cfg.clusterBy)
+    }
+  }
+
+  /** MERGE with `merge_update_columns` subset (`default__get_merge_sql`
+    * @89014 WHEN MATCHED THEN UPDATE SET <subset>): matched target rows
+    * keep their other columns — a full-outer join picking per-column.
+    */
+  private def mergeUpdateSubset(target: DataFrame, inc: DataFrame,
+                                keys: Seq[String], updateCols: Seq[String]): DataFrame = {
+    val t = target.alias("t")
+    val i = inc.alias("i")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"i.$k")).reduce(_ && _)
+    val matchedI = keys.map(k => col(s"i.$k").isNotNull).reduce(_ && _)
+    val matchedT = keys.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
+    val updSet = updateCols.map(_.toLowerCase).toSet
+    val cols = target.schema.fields.toIndexedSeq.map { f =>
+      val n = f.name
+      val pick: Column =
+        if (keys.contains(n)) coalesce(col(s"t.$n"), col(s"i.$n"))
+        else if (updSet.contains(n.toLowerCase))
+          when(matchedI, col(s"i.$n")).otherwise(col(s"t.$n"))
+        else when(matchedT, col(s"t.$n")).otherwise(col(s"i.$n"))
+      pick.as(n)
+    }
+    t.join(i, cond, "full_outer").select(cols: _*)
+  }
+
+  /** `_dbt_max_partition` (reference @34992): the max partition value of
+    * the existing target, exposed to model SQL as a precomputed literal so
+    * Catalyst can prune the source scan.
+    */
+  def maxPartition(rel: Relation, partitionCol: String): Option[Any] = {
+    if (!wh.exists(rel)) None
+    else wh.read(rel).agg(max(col(partitionCol))).collect()
+      .headOption.flatMap(r => Option(r.get(0)))
+  }
+}

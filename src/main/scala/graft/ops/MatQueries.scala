@@ -1,0 +1,291 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.materialize._
+
+/** Oracle-checked POST-STATE queries for the stateful materialization
+  * algorithms (SURVEY §2.B B1–B18): each runs a deterministic multi-run
+  * scenario into a throwaway warehouse, then returns the final table —
+  * whose contents the DuckDB oracle re-derives as a pure query over the
+  * base tables.
+  */
+object MatQueries {
+  import TData._
+
+  private def freshWarehouse(s: SparkSession): Warehouse =
+    new Warehouse(s, Files.createTempDirectory("graft_wh").toString)
+  private def rel(name: String) = Relation("wh", "main", name)
+
+  // ---------------------------------------------------------------- B1 table
+  /** B1/B2: CTAS + atomic swap; second overwrite replaces the first. */
+  def b1TableSwap(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("orders_f")
+    m.table(orders(s, d), r)                                  // v1: all rows
+    m.table(orders(s, d).filter(col("o_orderstatus") === "F"), r) // v2: swap
+    wh.read(r)
+  }
+  val b1TableSwapSql = "SELECT * FROM orders WHERE o_orderstatus = 'F'"
+
+  // ---------------------------------------------------------------- B3 view
+  /** B3: view = registered plan, queried through the session catalog. */
+  def b3View(s: SparkSession, d: String): DataFrame = {
+    val m = new Materializer(freshWarehouse(s))
+    m.view(nation(s, d).filter(col("n_regionkey") <= 2), "v_nation_low")
+    s.table("v_nation_low")
+  }
+  val b3ViewSql = "SELECT * FROM nation WHERE n_regionkey <= 2"
+
+  // ------------------------------------------------- B5/B8 delete+insert
+  /** B5: composite-key delete+insert upsert on lineitem. */
+  def b5DeleteInsert(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("lineitem_inc")
+    val cfg = ModelConfig(materialized = "incremental",
+      uniqueKey = Seq("l_orderkey", "l_linenumber"),
+      incrementalStrategy = IncrementalStrategy.DeleteInsert)
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_shipdate"))
+    m.incremental(li.filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), r, cfg)
+    val inc = li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .withColumn("l_quantity", col("l_quantity") + 5)
+    m.incremental(inc, r, cfg)
+    wh.read(r)
+  }
+  val b5DeleteInsertSql: String =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem),
+      |inc AS (SELECT l_orderkey, l_linenumber, l_quantity + 5 AS l_quantity, l_shipdate
+      |        FROM li WHERE l_shipdate >= TIMESTAMP '1997-01-01')
+      |SELECT * FROM inc
+      |UNION ALL
+      |SELECT * FROM li b
+      |WHERE b.l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND NOT EXISTS (SELECT 1 FROM inc i
+      |                  WHERE i.l_orderkey = b.l_orderkey
+      |                    AND i.l_linenumber = b.l_linenumber)""".stripMargin
+
+  // ---------------------------------------------------------- B7 merge (all)
+  /** B7: MERGE updating all columns (≡ delete+insert) on orders. */
+  def b7Merge(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("orders_inc")
+    val cfg = ModelConfig(materialized = "incremental",
+      uniqueKey = Seq("o_orderkey"),
+      incrementalStrategy = IncrementalStrategy.Merge)
+    val o = orders(s, d)
+    m.incremental(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")), r, cfg)
+    val inc = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    m.incremental(inc, r, cfg)
+    wh.read(r)
+  }
+  val b7MergeSql: String =
+    """WITH inc AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |               o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      |             FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      |SELECT * FROM inc
+      |UNION ALL
+      |SELECT * FROM orders b
+      |WHERE b.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = b.o_orderkey)""".stripMargin
+
+  // --------------------------------------- B7 merge_update_columns subset
+  /** B7 with `merge_update_columns`: matched rows update ONLY c_acctbal;
+    * the increment's changed names must NOT propagate.
+    */
+  def b7MergeUpdateSubset(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("customer_inc")
+    val cfg = ModelConfig(materialized = "incremental",
+      uniqueKey = Seq("c_custkey"),
+      incrementalStrategy = IncrementalStrategy.Merge,
+      mergeUpdateColumns = Seq("c_acctbal"))
+    val c = customer(s, d)
+    m.incremental(c, r, cfg)
+    val inc = c.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+      .withColumn("c_name", concat(col("c_name"), lit("_SHOULD_NOT_APPEAR")))
+    m.incremental(inc, r, cfg)
+    wh.read(r)
+  }
+  val b7MergeUpdateSubsetSql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer""".stripMargin
+
+  // ------------------------------------------- B9/B10 insert_overwrite
+  /** B9/B10: dynamic partition overwrite — only the partitions present in
+    * the increment (years >= 1999) are replaced; older partitions keep the
+    * original files untouched.
+    */
+  def b9InsertOverwrite(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("orders_by_year")
+    val cfg = ModelConfig(materialized = "incremental",
+      incrementalStrategy = IncrementalStrategy.InsertOverwrite,
+      partitionBy = Some("o_year"))
+    val o = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+    m.incremental(o, r, cfg)
+    val inc = o.filter(col("o_year") >= 1999)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    m.incremental(inc, r, cfg)
+    wh.read(r)
+  }
+  val b9InsertOverwriteSql: String =
+    """WITH base AS (SELECT *, year(o_orderdate) AS o_year FROM orders)
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_year >= 1999 THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate, o_orderpriority, o_year
+      |FROM base""".stripMargin
+
+  // --------------------------------------------------- B11 snapshot (ts)
+  /** B11–B14: SCD-2 with the timestamp strategy, two runs. Run 2 advances
+    * `updated_at` (+30 days) and doubles the price for keys %10==0, and
+    * brings in new 1997–98 keys.
+    */
+  def b11SnapshotTimestamp(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val snap = new Snapshotter(wh)
+    val r = rel("orders_snap")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate").as("updated_at"))
+    val cut97 = lit("1997-01-01").cast("timestamp")
+    val cut99 = lit("1999-01-01").cast("timestamp")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    snap.snapshot(o.filter(col("updated_at") < cut97), r, Seq("o_orderkey"), strat)
+    val changed = col("o_orderkey") % 10 === 0 && col("updated_at") < cut97
+    val src2 = o.filter(col("updated_at") < cut99)
+      .withColumn("o_totalprice",
+        when(changed, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+      .withColumn("updated_at",
+        when(changed, col("updated_at") + expr("INTERVAL 30 DAYS"))
+          .otherwise(col("updated_at")))
+    snap.snapshot(src2, r, Seq("o_orderkey"), strat)
+    // o_orderdate is TIMESTAMP_NTZ in the parquet; unix_millis needs LTZ —
+    // the cast is value-preserving under the UTC session timezone
+    wh.read(r).select(col("o_orderkey"), col("o_totalprice"),
+      unix_millis(col("dbt_valid_from").cast("timestamp")).as("valid_from_ms"),
+      unix_millis(col("dbt_valid_to").cast("timestamp")).as("valid_to_ms"))
+  }
+  val b11SnapshotTimestampSql: String =
+    """WITH src1 AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |              WHERE o_orderdate < TIMESTAMP '1997-01-01')
+      |SELECT o_orderkey, o_totalprice,
+      |  epoch_ms(o_orderdate::TIMESTAMP) AS valid_from_ms,
+      |  CASE WHEN o_orderkey % 10 = 0
+      |       THEN epoch_ms((o_orderdate + INTERVAL 30 DAY)::TIMESTAMP) END AS valid_to_ms
+      |FROM src1
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice * 2,
+      |  epoch_ms((o_orderdate + INTERVAL 30 DAY)::TIMESTAMP), NULL
+      |FROM src1 WHERE o_orderkey % 10 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, epoch_ms(o_orderdate::TIMESTAMP), NULL
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin
+
+  // ------------------------------------------------ B15 snapshot (check)
+  /** B15: SCD-2 with the check strategy on c_acctbal only — run 2 bumps
+    * balances for keys %7==0 and also renames keys %3==0, but the rename
+    * alone must NOT open a new version. Transaction times pinned.
+    */
+  def b15SnapshotCheck(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val snap = new Snapshotter(wh)
+    val r = rel("customer_snap")
+    val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val strat = SnapshotStrategy.Check(Some(Seq("c_acctbal")))
+    val c = customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    snap.snapshot(c, r, Seq("c_custkey"), strat, now = t1)
+    val src2 = c
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      .withColumn("c_name",
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("_x")))
+          .otherwise(col("c_name")))
+    snap.snapshot(src2, r, Seq("c_custkey"), strat, now = t2)
+    wh.read(r).select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      unix_millis(col("dbt_valid_from")).as("valid_from_ms"),
+      unix_millis(col("dbt_valid_to")).as("valid_to_ms"))
+  }
+  val b15SnapshotCheckSql: String =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |  epoch_ms(TIMESTAMP '2024-01-01 00:00:00') AS valid_from_ms,
+      |  CASE WHEN c_custkey % 7 = 0
+      |       THEN epoch_ms(TIMESTAMP '2024-02-01 00:00:00') END AS valid_to_ms
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey,
+      |  CASE WHEN c_custkey % 3 = 0 THEN c_name || '_x' ELSE c_name END,
+      |  c_acctbal + 100,
+      |  epoch_ms(TIMESTAMP '2024-02-01 00:00:00'), NULL
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
+  // ----------------------------------------------------------- B18 seed
+  /** B18: CSV seed with `column_types` overrides (id→bigint, score→double). */
+  def b18Seed(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val csv = Files.createTempFile("graft_seed", ".csv")
+    Files.writeString(csv,
+      "id,name,score\n1,alpha,1.5\n2,beta,2.25\n3,gamma,-3.75\n")
+    m.seed(s, csv.toString, rel("seed_demo"),
+      Map("id" -> "bigint", "score" -> "double"))
+  }
+  val b18SeedSql: String =
+    """SELECT * FROM (VALUES
+      |  (1::BIGINT, 'alpha', 1.5::DOUBLE),
+      |  (2::BIGINT, 'beta', 2.25::DOUBLE),
+      |  (3::BIGINT, 'gamma', -3.75::DOUBLE)) t(id, name, score)""".stripMargin
+
+  // ----------------------------------------------------------- B20 copy
+  /** B20: table copy materialization — union of input relations appended
+    * into the destination (`materialization_copy_bigquery` @45600).
+    */
+  def b20Copy(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("nation_copy")
+    val n = nation(s, d)
+    m.table(n.filter(col("n_regionkey") <= 1), r)
+    wh.append(n.filter(col("n_regionkey") > 1), r)
+    wh.read(r)
+  }
+  val b20CopySql = "SELECT * FROM nation"
+
+  // ----------------------------------- B48 schema evolution (incremental)
+  /** B48: on_schema_change=append_new_columns — the increment carries a new
+    * column; history rows get NULL for it, increment rows keep it.
+    */
+  def b48AppendNewColumns(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("region_evolve")
+    val cfg = ModelConfig(materialized = "incremental",
+      uniqueKey = Seq("r_regionkey"),
+      incrementalStrategy = IncrementalStrategy.Merge,
+      onSchemaChange = OnSchemaChange.AppendNewColumns)
+    val reg = region(s, d)
+    m.incremental(reg, r, cfg)
+    val inc = reg.filter(col("r_regionkey") >= 3)
+      .withColumn("r_comment", concat(lit("c_"), col("r_name")))
+    m.incremental(inc, r, cfg)
+    wh.read(r)
+  }
+  val b48AppendNewColumnsSql: String =
+    """SELECT r_regionkey, r_name,
+      |  CASE WHEN r_regionkey >= 3 THEN 'c_' || r_name END AS r_comment
+      |FROM region""".stripMargin
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.materialize._
+
+class MaterializeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_test_wh").toString)
+  def rel(n: String): Relation = Relation("db", "sch", n)
+
+  import scala.jdk.CollectionConverters._
+  def df(rows: Seq[(Long, String, Double)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "name", "score")
+  }
+
+  test("table: atomic swap leaves no tmp/backup and replaces contents") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t1")
+    m.table(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))), r)
+    m.table(df(Seq((3L, "c", 3.0))), r)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(!wh.exists(r.suffixed("__dbt_tmp")))
+    assert(!wh.exists(r.suffixed("__dbt_backup")))
+    assert(wh.listRelations("db", "sch").map(_.identifier) == Seq("t1"))
+  }
+
+  test("incremental merge: upsert on key, history preserved") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc1")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+    m.incremental(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))), r, cfg)
+    m.incremental(df(Seq((2L, "b2", 20.0), (3L, "c", 3.0))), r, cfg)
+    val out = wh.read(r).collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("incremental merge without unique key is append-only") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc2")
+    val cfg = ModelConfig(materialized = "incremental")
+    m.incremental(df(Seq((1L, "a", 1.0))), r, cfg)
+    m.incremental(df(Seq((1L, "a", 1.0))), r, cfg)
+    assert(wh.read(r).count() == 2)
+  }
+
+  test("full refresh rebuilds from scratch") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc3")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+    m.incremental(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))), r, cfg)
+    m.incremental(df(Seq((9L, "z", 9.0))), r, cfg, fullRefresh = true)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(9L))
+  }
+
+  test("insert_overwrite replaces only incoming partitions") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc4")
+    val cfg = ModelConfig(materialized = "incremental",
+      incrementalStrategy = IncrementalStrategy.InsertOverwrite,
+      partitionBy = Some("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
+    m.incremental(df(Seq((30L, "p2", 30.0))), r, cfg)
+    // partition column lands at the end of the read-back schema → by name
+    val out = wh.read(r).collect()
+      .map(x => (x.getAs[String]("name"), x.getAs[Long]("id"))).toSet
+    assert(out == Set(("p1", 1L), ("p2", 30L)))
+    assert(wh.listPartitions(r).toSet == Set("name=p1", "name=p2"))
+  }
+
+  test("on_schema_change=ignore drops new columns, fail throws") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc5")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+    m.incremental(df(Seq((1L, "a", 1.0))), r, cfg)
+    val wide = df(Seq((2L, "b", 2.0))).withColumn("extra", lit(7))
+    m.incremental(wide, r, cfg) // ignore: extra silently dropped
+    assert(!wh.read(r).columns.contains("extra"))
+    intercept[IllegalStateException] {
+      m.incremental(wide, r, cfg.copy(onSchemaChange = OnSchemaChange.Fail))
+    }
+  }
+
+  test("on_schema_change=sync_all_columns adopts source schema, drops removed") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc6")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      onSchemaChange = OnSchemaChange.SyncAllColumns)
+    m.incremental(df(Seq((1L, "a", 1.0))), r, cfg)
+    val reshaped = df(Seq((2L, "b", 2.0))).drop("score").withColumn("extra", lit(7))
+    m.incremental(reshaped, r, cfg)
+    val out = wh.read(r)
+    assert(out.columns.toSet == Set("id", "name", "extra"))
+    val byId = out.collect().map(x =>
+      x.getLong(0) -> Option(x.getAs[Any]("extra"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(7))
+  }
+
+  test("seed honors column_types overrides") {
+    val wh = freshWh(); val m = new Materializer(wh)
+    val csv = Files.createTempFile("seed", ".csv")
+    Files.writeString(csv, "k,v\n1,x\n2,y\n")
+    val out = m.seed(spark, csv.toString, rel("seed1"), Map("k" -> "bigint"))
+    assert(out.schema("k").dataType.typeName == "long")
+    assert(out.count() == 2)
+  }
+
+  test("truncate keeps schema, drops rows; rename moves relation") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t2")
+    m.table(df(Seq((1L, "a", 1.0))), r)
+    wh.truncate(r)
+    assert(wh.read(r).count() == 0 && wh.read(r).columns.length == 3)
+    val r2 = rel("t2_renamed")
+    wh.rename(r, r2)
+    assert(!wh.exists(r) && wh.exists(r2))
+  }
+
+  test("maxPartition exposes _dbt_max_partition literal") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t3")
+    m.table(df(Seq((1L, "a", 1.0), (5L, "b", 2.0))), r)
+    assert(m.maxPartition(r, "id").contains(5L))
+    assert(m.maxPartition(rel("absent"), "id").isEmpty)
+  }
+}

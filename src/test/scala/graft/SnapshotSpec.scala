@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.materialize._
+
+/** SCD-2 invariants (SURVEY §5): per key, exactly one current row
+  * (dbt_valid_to IS NULL) and non-overlapping validity intervals; hard
+  * deletes close the current row only when invalidate_hard_deletes is on.
+  */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_snap_wh").toString)
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def src(rows: Seq[(Long, String, Timestamp)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "payload", "updated_at")
+  }
+
+  def assertInvariants(wh: Warehouse, r: Relation): Unit = {
+    val snap = wh.read(r).cache()
+    val perKeyCurrent = snap.filter(col("dbt_valid_to").isNull)
+      .groupBy("id").count().filter(col("count") =!= 1).count()
+    assert(perKeyCurrent == 0, "exactly one current row per key")
+    val overlaps = snap.alias("a").join(snap.alias("b"),
+      col("a.id") === col("b.id") &&
+        col("a.dbt_scd_id") =!= col("b.dbt_scd_id") &&
+        col("a.dbt_valid_from") < coalesce(col("b.dbt_valid_to"), lit(ts("9999-01-01 00:00:00"))) &&
+        col("b.dbt_valid_from") < coalesce(col("a.dbt_valid_to"), lit(ts("9999-01-01 00:00:00"))))
+      .count()
+    assert(overlaps == 0, "validity intervals must not overlap")
+    snap.unpersist(); ()
+  }
+
+  test("timestamp strategy: update opens new version, unchanged rows untouched") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val r = Relation("db", "s", "snap1")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    snap.snapshot(src(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00")))), r, Seq("id"), strat)
+    snap.snapshot(src(Seq(
+      (1L, "a2", ts("2024-02-01 00:00:00")), // changed + advanced
+      (2L, "b", ts("2024-01-01 00:00:00")),  // unchanged
+      (3L, "c", ts("2024-02-01 00:00:00")))), r, Seq("id"), strat)
+    val out = wh.read(r)
+    assert(out.count() == 4) // 1 closed + 1 new for id=1, untouched id=2, new id=3
+    val id1 = out.filter(col("id") === 1).collect()
+    assert(id1.length == 2)
+    val current = id1.find(_.getAs[Timestamp]("dbt_valid_to") == null).get
+    assert(current.getAs[String]("payload") == "a2")
+    assertInvariants(wh, r)
+  }
+
+  test("timestamp strategy is idempotent on identical reruns") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val r = Relation("db", "s", "snap2")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val s1 = src(Seq((1L, "a", ts("2024-01-01 00:00:00"))))
+    snap.snapshot(s1, r, Seq("id"), strat)
+    snap.snapshot(s1, r, Seq("id"), strat)
+    snap.snapshot(s1, r, Seq("id"), strat)
+    assert(wh.read(r).count() == 1)
+    assertInvariants(wh, r)
+  }
+
+  test("check strategy: only checked columns trigger versions; NULL-safe") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val r = Relation("db", "s", "snap3")
+    val strat = SnapshotStrategy.Check(Some(Seq("payload")))
+    val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val s = spark; import s.implicits._
+    val r1 = Seq((1L, Some("a")), (2L, None: Option[String])).toDF("id", "payload")
+    val r2 = Seq((1L, None: Option[String]), (2L, None: Option[String])).toDF("id", "payload")
+    snap.snapshot(r1, r, Seq("id"), strat, now = t1)
+    snap.snapshot(r2, r, Seq("id"), strat, now = t2)
+    val out = wh.read(r)
+    // id=1: a -> NULL is a change (null-safe); id=2: NULL -> NULL is not
+    assert(out.filter(col("id") === 1).count() == 2)
+    assert(out.filter(col("id") === 2).count() == 1)
+    assertInvariants(wh, r)
+  }
+
+  test("hard deletes close the current row only when enabled") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val s1 = src(Seq((1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00"))))
+    val s2 = src(Seq((1L, "a", ts("2024-01-01 00:00:00")))) // id=2 vanished
+
+    val rOff = Relation("db", "s", "snap4_off")
+    snap.snapshot(s1, rOff, Seq("id"), strat)
+    snap.snapshot(s2, rOff, Seq("id"), strat)
+    assert(wh.read(rOff).filter(col("id") === 2 && col("dbt_valid_to").isNull)
+      .count() == 1) // default: deletion ignored, row stays current
+
+    val rOn = Relation("db", "s", "snap4_on")
+    snap.snapshot(s1, rOn, Seq("id"), strat)
+    snap.snapshot(s2, rOn, Seq("id"), strat,
+      now = lit("2024-03-01 00:00:00").cast("timestamp"),
+      invalidateHardDeletes = true)
+    val closed = wh.read(rOn).filter(col("id") === 2).collect()
+    assert(closed.length == 1 && closed.head.getAs[Timestamp]("dbt_valid_to") != null)
+    assertInvariants(wh, rOn)
+  }
+}
