@@ -50,7 +50,20 @@ object SparkEntry {
     "b15_snapshot_check" -> (MatQueries.b15SnapshotCheck _),
     "b18_seed" -> (MatQueries.b18Seed _),
     "b20_copy" -> (MatQueries.b20Copy _),
-    "b48_append_new_columns" -> (MatQueries.b48AppendNewColumns _)
+    "b48_append_new_columns" -> (MatQueries.b48AppendNewColumns _),
+    "x_dedup_exact" -> (TextOps.dedupExact _),
+    "x_dedup_ngram_jaccard" -> (TextOps.dedupNgramJaccard _),
+    "x_dedup_minhash_lsh" -> (TextOps.dedupMinhashLsh _),
+    "x_simhash" -> (TextOps.simhash _),
+    "x_simhash_pairs" -> (TextOps.simhashPairs _),
+    "x_token_count" -> (TextOps.tokenCount _),
+    "x_quality_score" -> (TextOps.qualityScore _),
+    "x_lang_id" -> (TextOps.langId _),
+    "x_fingerprint" -> (TextOps.fingerprint _),
+    "x_knn_brute" -> (Similarity.knnBrute _),
+    "x_knn_lsh_bucket" -> (Similarity.knnLshBucket _),
+    "x_embedding_near_dups" -> (Similarity.embeddingNearDups _),
+    "x_multimodal_meta" -> (Multimodal.mediaMeta _)
   )
 
   /** DuckDB-runnable ANSI SQL per queries key (same parquet tables). */
@@ -87,6 +100,19 @@ object SparkEntry {
     "b15_snapshot_check" -> MatQueries.b15SnapshotCheckSql,
     "b18_seed" -> MatQueries.b18SeedSql,
     "b20_copy" -> MatQueries.b20CopySql,
-    "b48_append_new_columns" -> MatQueries.b48AppendNewColumnsSql
+    "b48_append_new_columns" -> MatQueries.b48AppendNewColumnsSql,
+    "x_dedup_exact" -> TextOps.dedupExactSql,
+    "x_dedup_ngram_jaccard" -> TextOps.dedupNgramJaccardSql,
+    "x_dedup_minhash_lsh" -> TextOps.dedupMinhashLshSql,
+    "x_simhash" -> TextOps.simhashSql,
+    "x_simhash_pairs" -> TextOps.simhashPairsSql,
+    "x_token_count" -> TextOps.tokenCountSql,
+    "x_quality_score" -> TextOps.qualityScoreSql,
+    "x_lang_id" -> TextOps.langIdSql,
+    "x_fingerprint" -> TextOps.fingerprintSql,
+    "x_knn_brute" -> Similarity.knnBruteSql,
+    "x_knn_lsh_bucket" -> Similarity.knnLshBucketSql,
+    "x_embedding_near_dups" -> Similarity.embeddingNearDupsSql,
+    "x_multimodal_meta" -> Multimodal.mediaMetaSql
   )
 }

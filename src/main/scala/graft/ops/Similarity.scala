@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine_sim
+
+/** Similarity search over the `embeddings` table (`vec_id, embedding
+  * ARRAY<FLOAT>[64], label`).
+  *
+  * Two paths: brute-force cosine top-k (the exact baseline — a broadcast
+  * of the query set against a single scan of the corpus, O(Q·N) but one
+  * pass, no shuffle of the big side), and a sign-bucket LSH variant (the
+  * scale path — candidates come from an equi-join on a hash bucket, so
+  * the corpus side is shuffled once on bucket and never cross-joined).
+  *
+  * The scalar kernel is [[graft.functions.CosineSimilarity]], a native
+  * codegen'd Catalyst expression (single fused loop in Tungsten).
+  */
+object Similarity {
+  import TData._
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("knn_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("knn_rank") <= k)
+
+  /** Exact brute-force top-5 neighbors for every 50th vector. */
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
+    topK(scored, 5)
+  }
+
+  val knnBruteSql: String =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+      |      6) AS cos_sim
+      |  FROM q JOIN e ON e.vec_id <> q_id)
+      |SELECT q_id, neighbor_id, cos_sim, rn AS knn_rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin
+
+  /** LSH-bucketed approximate top-5: candidates share the 8-bit
+    * sign-pattern bucket of the first 8 dimensions (1 bucket join instead
+    * of a cross product). Same ranking; recall < 1 by construction — the
+    * oracle mirrors the same bucketing, so results stay deterministic.
+    */
+  def knnLshBucket(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("bucket", expr(
+      "aggregate(transform(sequence(1, 8), " +
+        "i -> IF(element_at(v, i) > 0D, shiftleft(1L, i - 1), 0L)), " +
+        "0L, (a, x) -> a + x)"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("bucket").as("q_bucket"))
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
+    topK(scored, 5)
+  }
+
+  val knnLshBucketSql: String =
+    """WITH e0 AS (SELECT vec_id,
+      |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |            FROM embeddings),
+      |e AS (SELECT vec_id, v,
+      |        list_sum(list_transform(generate_series(1, 8),
+      |          i -> CASE WHEN v[i] > 0 THEN 1 << (i - 1) ELSE 0 END))::BIGINT
+      |          AS bucket
+      |      FROM e0),
+      |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+      |      FROM e WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+      |      6) AS cos_sim
+      |  FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id)
+      |SELECT q_id, neighbor_id, cos_sim, rn AS knn_rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
+    * family): bucket join + threshold, symmetric pairs deduped by id order.
+    */
+  def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("bucket", expr(
+      "aggregate(transform(sequence(1, 8), " +
+        "i -> IF(element_at(v, i) > 0D, shiftleft(1L, i - 1), 0L)), " +
+        "0L, (a, x) -> a + x)"))
+    e.alias("a").join(e.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+        round(cosine_sim(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.99)
+  }
+
+  val embeddingNearDupsSql: String =
+    """WITH e0 AS (SELECT vec_id,
+      |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |            FROM embeddings),
+      |e AS (SELECT vec_id, v,
+      |        list_sum(list_transform(generate_series(1, 8),
+      |          i -> CASE WHEN v[i] > 0 THEN 1 << (i - 1) ELSE 0 END))::BIGINT
+      |          AS bucket
+      |      FROM e0)
+      |SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+      |  round(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+      |    6) AS cos_sim
+      |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+      |    6) >= 0.99""".stripMargin
+}

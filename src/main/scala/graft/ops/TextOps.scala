@@ -1,0 +1,396 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text operators over the `documents` table:
+  * exact + fuzzy deduplication (hash, n-gram Jaccard, MinHash+LSH,
+  * SimHash), token counting, quality scoring, language-ID, fingerprinting.
+  *
+  * Every operator is a declarative DataFrame pipeline (explode → hash →
+  * groupBy → join), so at 100 TB each stage is one shuffle keyed on
+  * doc/shingle/band — the LSH variants exist precisely so the candidate
+  * set is bucket-joined instead of O(n²).
+  *
+  * Determinism contract: all hashes derive from md5 (identical in DuckDB),
+  * modular arithmetic stays below 2^62 (DuckDB raises on BIGINT overflow,
+  * Spark wraps — so we never overflow), and every double is rounded.
+  */
+object TextOps {
+  import TData._
+
+  /** The corpus under test: documents ∪ 10% prepend-perturbed near-dups
+    * (doc_id+1000000) ∪ 5% exact dups (doc_id+2000000). The driver data has
+    * no duplicates, so dedup operators synthesize their own — identically
+    * re-derivable by the oracle.
+    */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    base
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("xx "), col("text")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+  }
+
+  val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'xx ' || text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  // ------------------------------------------------------------ exact dedup
+  /** Exact dedup: hash-groupBy on content, keep lowest doc_id. One shuffle
+    * on the text hash; at scale group on md5(text) not text to bound key
+    * width.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    s"""WITH $corpusSql
+       |SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+       |       count(*) AS n_copies
+       |FROM corpus GROUP BY md5(text)""".stripMargin
+
+  // ----------------------------------------------- shingle inverted index
+  /** (doc_id, shingle) distinct pairs, 3-word shingles. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))))"
+      )).as("shingle"))
+
+  private val shinglesSql: String =
+    """shing AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(generate_series(1, len(w) - 2),
+      |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+      |        WHERE len(w) >= 3))""".stripMargin
+
+  // ------------------------------------------------- n-gram Jaccard dedup
+  /** Fuzzy dedup, exhaustive-on-candidates: inverted-index self-join on
+    * shared shingles (never all-pairs), exact Jaccard ≥ 0.5. The shingle
+    * join is the scale path: candidate pairs ∝ shared-shingle co-occurrence,
+    * not n².
+    */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $corpusSql, $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+       |  FROM shing a JOIN shing b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc1, doc2,
+       |  round(inter::DOUBLE / (s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = doc1
+       |JOIN sizes s2 ON s2.doc_id = doc2
+       |WHERE round(inter::DOUBLE / (s1.n_sh + s2.n_sh - inter), 4) >= 0.5""".stripMargin
+
+  // --------------------------------------------------- MinHash + LSH dedup
+  /** 16 permutations, 4 bands × 4 rows. Shingles hash to a 60-bit md5
+    * prefix reduced mod p; permutation i is (a_i·h + b_i) mod p with
+    * a_i·h < 2^62 (no overflow in either engine).
+    */
+  private val P = 1000000007L
+  private val perms: Seq[(Long, Long)] =
+    (0 until 16).map(i => (37L + 41L * i, 1009L + 733L * i))
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      // CAST before %: a string operand would coerce the modulo to double
+      // and lose ulps at 2^60
+      .withColumn("h",
+        expr(s"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $P"))
+      .cache()
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    val minhashes = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bands = minhashes.select(col("doc_id"), explode(array(
+      (0 until 4).map { bnd =>
+        struct(lit(bnd).as("band_idx"),
+          md5(concat_ws("-", (0 until 4).map(j => col(s"m${bnd * 4 + j}")): _*))
+            .as("band_val"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_val"))
+    val cands = bands.alias("x").join(bands.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands.join(sh.alias("a"), col("doc1") === col("a.doc_id"))
+      .join(sh.alias("b"),
+        col("doc2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  val dedupMinhashLshSql: String = {
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS m$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { bnd =>
+      val parts = (0 until 4).map(j => s"m${bnd * 4 + j}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band_idx, md5(concat_ws('-', $parts)) AS band_val FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $corpusSql, $shinglesSql,
+       |hashes AS (
+       |  SELECT doc_id, shingle,
+       |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS h
+       |  FROM shing),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hashes GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashes GROUP BY 1),
+       |inter AS (
+       |  SELECT doc1, doc2, count(*) AS inter
+       |  FROM cands
+       |  JOIN hashes a ON a.doc_id = doc1
+       |  JOIN hashes b ON b.doc_id = doc2 AND a.shingle = b.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc1, doc2,
+       |  round(inter::DOUBLE / (s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = doc1
+       |JOIN sizes s2 ON s2.doc_id = doc2
+       |WHERE round(inter::DOUBLE / (s1.n_sh + s2.n_sh - inter), 4) >= 0.5""".stripMargin
+  }
+
+  // ------------------------------------------------------------- SimHash
+  /** 32-bit SimHash over the distinct-word set: per bit, sum ±1 weighted by
+    * the word-hash bit; the signature bit is 1 iff the sum is positive.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val words = corpus(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .withColumn("h", expr("conv(substr(md5(word), 1, 8), 16, 10)").cast("long"))
+    val sumCols = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$i")
+    }
+    val bitSums = words.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 32).map { i =>
+        when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val sums = (0 until 32)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val recombine = (0 until 32)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $corpusSql,
+       |words AS (
+       |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+       |  FROM corpus),
+       |hashes AS (
+       |  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM words),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hashes GROUP BY doc_id)
+       |SELECT doc_id, ($recombine)::BIGINT AS simhash FROM bitsums""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: bucket on the high 16 bits (the LSH step —
+    * candidates only within a bucket), then Hamming distance ≤ 6.
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(s, d).withColumn("bucket", expr("simhash DIV 65536"))
+    sh.alias("a").join(sh.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(expr("a.simhash ^ b.simhash")))
+      .filter(col("hamming") <= 6)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("hamming"))
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH sh AS ($simhashSql),
+       |bucketed AS (SELECT doc_id, simhash, simhash // 65536 AS bucket FROM sh)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
+
+  // ------------------------------------------------------- token counting
+  /** Whitespace tokens + a subword estimate (≈ len/4 per word, the BPE
+    * rule-of-thumb) — pure per-row expressions, fully codegen'd.
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr(
+      "doc_id",
+      "size(split(text, ' ')) AS n_ws_tokens",
+      "aggregate(transform(split(text, ' '), w -> (length(w) + 3) div 4), " +
+        "0L, (acc, x) -> acc + x) AS n_subword_est")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  list_sum(list_transform(string_split(text, ' '),
+      |    w -> (length(w) + 3) // 4))::BIGINT AS n_subword_est
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------- quality scoring
+  private val stopwords = Seq("the", "a", "b", "row", "data")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Quality score: type-token ratio, stopword ratio, length saturation —
+    * the standard cheap pre-filters for LLM corpus curation.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr(
+        "doc_id",
+        "split(text, ' ') AS w")
+      .selectExpr(
+        "doc_id",
+        "size(w) AS n_words",
+        "size(array_distinct(w)) AS n_distinct",
+        s"size(filter(w, x -> x IN ($stopList))) AS n_stop",
+        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x) AS total_len")
+      .selectExpr(
+        // floor-scaling, not round(): the ratios hit exact .xxx5 decimal
+        // boundaries systematically (denominators like 80/200), where
+        // Spark's HALF_UP and DuckDB's binary rounding disagree — floor on
+        // bit-identical doubles is engine-independent
+        "doc_id", "n_words",
+        "floor(n_distinct / CAST(n_words AS DOUBLE) * 10000) / 10000 AS ttr",
+        "floor(n_stop / CAST(n_words AS DOUBLE) * 10000) / 10000 AS stop_ratio",
+        "floor(total_len / CAST(n_words AS DOUBLE) * 10000) / 10000 AS avg_word_len",
+        "floor((0.4 * (n_distinct / CAST(n_words AS DOUBLE)) " +
+          "+ 0.3 * (1.0 - n_stop / CAST(n_words AS DOUBLE)) " +
+          "+ 0.3 * least(n_words / 100.0, 1.0)) * 10000) / 10000 AS quality")
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id, n_words,
+       |  floor(n_distinct / CAST(n_words AS DOUBLE) * 10000) / 10000 AS ttr,
+       |  floor(n_stop / CAST(n_words AS DOUBLE) * 10000) / 10000 AS stop_ratio,
+       |  floor(total_len / CAST(n_words AS DOUBLE) * 10000) / 10000 AS avg_word_len,
+       |  floor((0.4 * (n_distinct / CAST(n_words AS DOUBLE))
+       |    + 0.3 * (1.0 - n_stop / CAST(n_words AS DOUBLE))
+       |    + 0.3 * least(n_words / 100.0, 1.0)) * 10000) / 10000 AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    len(w) AS n_words,
+       |    len(list_distinct(w)) AS n_distinct,
+       |    len(list_filter(w, x -> x IN ($stopList))) AS n_stop,
+       |    list_sum(list_transform(w, x -> length(x)))::BIGINT AS total_len
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  // ---------------------------------------------------------- language ID
+  /** Corpus-trained language-ID: build per-language top-20 word profiles
+    * from the labeled corpus, classify each doc by profile overlap
+    * (deterministic tie-break). Train + classify is three shuffles total,
+    * profile side is broadcast-small at any corpus size.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents(s, d).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    val profile = words.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val top = profile.withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("word").asc)))
+      .filter(col("rn") <= 20).select(col("lang").as("cand_lang"), col("word"))
+    val docWords = words.select(col("doc_id"), col("word")).distinct()
+    val scores = docWords.join(broadcast(top), "word")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("matches"))
+    val best = scores.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("matches").desc, col("cand_lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("matches"))
+    best.join(documents(s, d).select(col("doc_id"), col("lang").as("true_lang")),
+      "doc_id")
+  }
+
+  val langIdSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |profile AS (SELECT lang, word, count(*) AS c FROM words GROUP BY 1, 2),
+      |top AS (
+      |  SELECT lang AS cand_lang, word FROM (
+      |    SELECT lang, word,
+      |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, word ASC) AS rn
+      |    FROM profile) WHERE rn <= 20),
+      |docwords AS (SELECT DISTINCT doc_id, word FROM words),
+      |scores AS (
+      |  SELECT doc_id, cand_lang, count(*) AS matches
+      |  FROM docwords JOIN top USING (word) GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, cand_lang AS pred_lang, matches FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY matches DESC, cand_lang ASC) AS rn
+      |    FROM scores) WHERE rn = 1)
+      |SELECT doc_id, pred_lang, matches, lang AS true_lang
+      |FROM best JOIN documents USING (doc_id)""".stripMargin
+
+  // -------------------------------------------------------- fingerprinting
+  /** Content fingerprint: md5 of the sorted distinct word set — invariant
+    * to word order and repetition (catches shuffled copies).
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+        .as("fingerprint"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |    AS fingerprint
+      |FROM documents""".stripMargin
+}
