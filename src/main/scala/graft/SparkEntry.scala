@@ -63,7 +63,9 @@ object SparkEntry {
     "x_knn_brute" -> (Similarity.knnBrute _),
     "x_knn_lsh_bucket" -> (Similarity.knnLshBucket _),
     "x_embedding_near_dups" -> (Similarity.embeddingNearDups _),
-    "x_multimodal_meta" -> (Multimodal.mediaMeta _)
+    "x_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "o_build_dag" -> (OrchestratorQueries.buildDag _),
+    "o_incremental_model" -> (OrchestratorQueries.incrementalModel _)
   )
 
   /** DuckDB-runnable ANSI SQL per queries key (same parquet tables). */
@@ -113,6 +115,8 @@ object SparkEntry {
     "x_knn_brute" -> Similarity.knnBruteSql,
     "x_knn_lsh_bucket" -> Similarity.knnLshBucketSql,
     "x_embedding_near_dups" -> Similarity.embeddingNearDupsSql,
-    "x_multimodal_meta" -> Multimodal.mediaMetaSql
+    "x_multimodal_meta" -> Multimodal.mediaMetaSql,
+    "o_build_dag" -> OrchestratorQueries.buildDagSql,
+    "o_incremental_model" -> OrchestratorQueries.incrementalModelSql
   )
 }

@@ -69,7 +69,9 @@ object SchemaTests {
     */
   def freshness(df: DataFrame, loadedAt: String, asOf: Column,
                 warnAfterH: Int, errorAfterH: Int): DataFrame =
-    df.agg(max(col(loadedAt)).as("max_loaded_at"))
+    // cast: parquet sources read as TIMESTAMP_NTZ, which unix_millis
+    // rejects; value-preserving under the UTC session timezone
+    df.agg(max(col(loadedAt).cast("timestamp")).as("max_loaded_at"))
       .select(
         unix_millis(col("max_loaded_at")).as("max_loaded_at_ms"),
         ((unix_millis(asOf) - unix_millis(col("max_loaded_at"))) / lit(3600000L))

@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.run._
+
+/** End-to-end orchestrated builds (SURVEY §3): SQL-templated models with
+  * ref/source/env_var/this resolution, DAG-ordered materialization, and
+  * the canonical `is_incremental()` guard — the full dbt-equivalent
+  * lifecycle in one oracle-checked query.
+  */
+object OrchestratorQueries {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_engine_wh").toString
+
+  /** Chained build: two sources → a VIEW model → a TABLE model over
+    * `ref()`, compiled, DAG-scheduled, materialized, then read back.
+    */
+  def buildDag(s: SparkSession, d: String): DataFrame = {
+    val project = Project(
+      name = "demo",
+      sources = Seq(
+        SourceDef("tpch", "customer", s"$d/customer.parquet"),
+        SourceDef("tpch", "nation", s"$d/nation.parquet")),
+      models = Seq(
+        ModelDef("customer_nation",
+          """{{ config(materialized='view') }}
+            |SELECT c.c_custkey, c.c_acctbal, n.n_name
+            |FROM {{ source('tpch', 'customer') }} c
+            |JOIN {{ source('tpch', 'nation') }} n
+            |  ON c.c_nationkey = n.n_nationkey""".stripMargin),
+        ModelDef("nation_balance",
+          """SELECT n_name, count(*) AS n_customers,
+            |       round(sum(c_acctbal), 2) AS total_balance
+            |FROM {{ ref('customer_nation') }}
+            |GROUP BY n_name""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    val (results, _) = engine.build()
+    require(results.forall(_.status == "success"),
+      s"build failed: ${results.filter(_.status != "success")}")
+    engine.readModel("nation_balance")
+  }
+
+  val buildDagSql: String =
+    """SELECT n_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_balance
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Incremental model lifecycle: run 1 sees only orders ≤ cutoff (env_var
+    * substitution), run 2 raises the cutoff — the `is_incremental()` block
+    * + `{{ this }}` max-key subquery appends only the delta. Final state
+    * must equal a plain full query.
+    */
+  def incrementalModel(s: SparkSession, d: String): DataFrame = {
+    val root = freshRoot()
+    val modelSql =
+      """{{ config(materialized='incremental', unique_key='o_orderkey') }}
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM {{ source('tpch', 'orders') }}
+        |WHERE o_orderkey <= {{ env_var('MAX_ID') }}
+        |{% if is_incremental() %}
+        |  AND o_orderkey > (SELECT max(o_orderkey) FROM {{ this }})
+        |{% endif %}""".stripMargin
+    val project = Project(name = "demo_incr",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("orders_slim", modelSql)))
+
+    val run1 = new Engine(s, project,
+      Target(root, env = Map("MAX_ID" -> "5000"), threads = 1))
+    require(run1.build()._1.forall(_.status == "success"))
+    val run2 = new Engine(s, project,
+      Target(root, env = Map("MAX_ID" -> "999999999"), threads = 1))
+    require(run2.build()._1.forall(_.status == "success"))
+    run2.readModel("orders_slim")
+  }
+
+  val incrementalModelSql: String =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+}

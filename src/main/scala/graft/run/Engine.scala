@@ -1,0 +1,271 @@
+package graft.run
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, current_timestamp, lit}
+import graft.compile.Compiler
+import graft.core._
+import graft.dag.Dag
+import graft.dqtests.SchemaTests
+import graft.materialize.{Materializer, Snapshotter}
+
+/** Project definition — the engine-facing mirror of the reference's
+  * dbt_project.yml + models/ + schema.yml + sources.yml surface.
+  */
+final case class SourceDef(sourceName: String, tableName: String, path: String,
+                           loadedAtField: Option[String] = None,
+                           warnAfterH: Option[Int] = None,
+                           errorAfterH: Option[Int] = None)
+
+final case class ModelDef(name: String, rawSql: String,
+                          config: ModelConfig = ModelConfig())
+
+final case class SeedDef(name: String, csvPath: String,
+                         columnTypes: Map[String, String] = Map.empty)
+
+final case class SnapshotDef(name: String, rawSql: String, keys: Seq[String],
+                             strategy: SnapshotStrategy,
+                             invalidateHardDeletes: Boolean = false)
+
+/** A declared schema test bound to a model (reference schema.yml tests). */
+final case class TestDef(name: String, modelName: String,
+                         test: DataFrame => DataFrame,
+                         severity: String = "error", // error | warn
+                         where: Option[String] = None,
+                         limit: Option[Int] = None)
+
+final case class Project(name: String,
+                         sources: Seq[SourceDef] = Nil,
+                         models: Seq[ModelDef] = Nil,
+                         seeds: Seq[SeedDef] = Nil,
+                         snapshots: Seq[SnapshotDef] = Nil,
+                         tests: Seq[TestDef] = Nil)
+
+/** Runtime target — the profiles.yml analogue (database/schema namespace,
+  * thread width, env). Per-PR namespacing (reference profiles.yml:20
+  * `dbt_ci_pr_{{ env_var('PR_NUMBER') }}`) is just a schema template
+  * resolved through the same env map.
+  */
+final case class Target(warehouseRoot: String,
+                        database: String = "analytics",
+                        schema: String = "main",
+                        threads: Int = 4,
+                        env: Map[String, String] = Map.empty) {
+  def resolvedSchema: String = {
+    // generate_schema_name_for_env equivalent: allow env-templated schemas
+    val envRe = """\{\{\s*env_var\(\s*'([^']+)'\s*\)\s*\}\}""".r
+    envRe.replaceAllIn(schema, m => env.getOrElse(m.group(1), m.group(1)))
+  }
+}
+
+/** The orchestrator (SURVEY §3): compile → DAG → materialize → test, plus
+  * manifest emission and slim-CI selection.
+  */
+final class Engine(spark: SparkSession, project: Project, target: Target) {
+
+  val warehouse = new Warehouse(spark, target.warehouseRoot)
+  private val mat = new Materializer(warehouse)
+  private val snap = new Snapshotter(warehouse)
+
+  def relationFor(model: String): Relation =
+    Relation(target.database, target.resolvedSchema, model)
+
+  private def sourcePath(s: String, t: String): String =
+    project.sources.find(x => x.sourceName == s && x.tableName == t)
+      .map(_.path)
+      .getOrElse(throw new IllegalArgumentException(s"unknown source $s.$t"))
+
+  /** Where a ref() resolves: normally this target; under --defer, models
+    * NOT selected in this run read from the deferred (prod) root when the
+    * local relation doesn't exist (SURVEY §3.2 step 3).
+    */
+  private def refText(model: String, selected: Set[String],
+                      deferRoot: Option[String]): String = {
+    val modelDef = project.models.find(_.name == model)
+    // effectiveConfig, not .config: materialized='view' may be set inline
+    if (modelDef.exists(m => effectiveConfig(m).materialized == "view"))
+      viewName(model)
+    else {
+      val local = relationFor(model)
+      val path = deferRoot match {
+        case Some(prod) if !selected.contains(model) && !warehouse.exists(local) =>
+          local.pathUnder(prod)
+        case _ => local.pathUnder(target.warehouseRoot)
+      }
+      Compiler.pathRelation(path)
+    }
+  }
+
+  private def viewName(model: String): String =
+    s"${project.name}_${target.resolvedSchema}_$model"
+
+  private def allNodes: Seq[String] =
+    project.seeds.map(_.name) ++ project.models.map(_.name) ++
+      project.snapshots.map(_.name)
+
+  private def parentsOf: Map[String, Seq[String]] = {
+    val known = allNodes.toSet
+    (project.models.map { m =>
+      val (refs, _) = Compiler.dependencies(m.rawSql)
+      m.name -> refs.filter(known.contains)
+    } ++ project.snapshots.map { s =>
+      val (refs, _) = Compiler.dependencies(s.rawSql)
+      s.name -> refs.filter(known.contains)
+    } ++ project.seeds.map(_.name -> Seq.empty[String])).toMap
+  }
+
+  private def effectiveConfig(m: ModelDef): ModelConfig =
+    Compiler.parseInlineConfig(m.rawSql, m.config)
+
+  def compileSql(m: ModelDef, selected: Set[String],
+                 deferRoot: Option[String], fullRefresh: Boolean): String = {
+    val cfg = effectiveConfig(m)
+    val self = relationFor(m.name)
+    val isIncr = cfg.materialized == "incremental" &&
+      warehouse.exists(self) && !fullRefresh // reference is_incremental @157947
+    Compiler.compile(m.rawSql, Compiler.ResolveCtx(
+      refTarget = r => refText(r, selected, deferRoot),
+      sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+      thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
+      env = target.env,
+      isIncremental = isIncr))
+  }
+
+  private def runNode(name: String, selected: Set[String],
+                      deferRoot: Option[String], fullRefresh: Boolean): Unit = {
+    project.seeds.find(_.name == name).foreach { sd =>
+      mat.seed(spark, sd.csvPath, relationFor(sd.name), sd.columnTypes); ()
+    }
+    project.models.find(_.name == name).foreach { m =>
+      val cfg = effectiveConfig(m)
+      val df = spark.sql(compileSql(m, selected, deferRoot, fullRefresh))
+      cfg.materialized match {
+        case "view" => mat.view(df, viewName(m.name))
+        case "incremental" =>
+          mat.incremental(df, relationFor(m.name), cfg, fullRefresh)
+        case "ephemeral" => () // inlined by ref() of downstream models
+        case _ => mat.table(df, relationFor(m.name), cfg)
+      }
+    }
+    project.snapshots.find(_.name == name).foreach { sn =>
+      val df = spark.sql(compileSql(
+        ModelDef(sn.name, sn.rawSql), selected, deferRoot, fullRefresh))
+      snap.snapshot(df, relationFor(sn.name), sn.keys, sn.strategy,
+        invalidateHardDeletes = sn.invalidateHardDeletes)
+    }
+  }
+
+  final case class TestResult(name: String, model: String, failures: Long,
+                              status: String) // pass | warn | error
+
+  def runTest(t: TestDef): TestResult = {
+    val base = readModel(t.modelName)
+    val filtered = t.where.fold(base)(w => base.filter(w))
+    val failing = t.limit.fold(t.test(filtered))(l => t.test(filtered).limit(l))
+    val n = failing.count()
+    val status = if (n == 0) "pass" else t.severity
+    TestResult(t.name, t.modelName, n, status)
+  }
+
+  /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests
+    * immediately after it (SURVEY §3.1 step 6).
+    */
+  def build(select: Option[Set[String]] = None,
+            deferRoot: Option[String] = None,
+            fullRefresh: Boolean = false)
+      : (Seq[Dag.NodeResult], Seq[TestResult]) = {
+    val parents = parentsOf
+    val nodes0 = allNodes
+    val nodes = select match {
+      case None => nodes0
+      case Some(sel) => nodes0.filter(sel.contains)
+    }
+    val selected = nodes.toSet
+    val testResults = new java.util.concurrent.ConcurrentLinkedQueue[TestResult]()
+    val nodeResults = Dag.run(nodes,
+      parents.view.mapValues(_.filter(selected.contains)).toMap,
+      target.threads) { n =>
+      runNode(n, selected, deferRoot, fullRefresh)
+      project.tests.filter(_.modelName == n).foreach { t =>
+        val r = runTest(t)
+        testResults.add(r)
+        if (r.status == "error")
+          throw new IllegalStateException(s"test ${t.name} failed: ${r.failures} rows")
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    (nodeResults, testResults.asScala.toSeq)
+  }
+
+  def readModel(name: String): DataFrame =
+    if (project.models.exists(m => m.name == name &&
+      effectiveConfig(m).materialized == "view")) spark.table(viewName(name))
+    else warehouse.read(relationFor(name))
+
+  /** Source freshness command (SURVEY §2 B36). */
+  def checkFreshness(): Seq[(String, String)] =
+    project.sources.filter(_.loadedAtField.isDefined).map { s =>
+      val df = spark.read.parquet(s.path)
+      val status = SchemaTests.freshness(df, s.loadedAtField.get,
+          current_timestamp(), s.warnAfterH.getOrElse(Int.MaxValue),
+          s.errorAfterH.getOrElse(Int.MaxValue))
+        .select(col("status")).collect().head.getString(0)
+      (s"${s.sourceName}.${s.tableName}", status)
+    }
+
+  // ------------------------------------------------------------- manifest
+  /** `dbt compile` (SURVEY §3.3): emit the state manifest without running. */
+  def writeManifest(path: String): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val parents = parentsOf
+    val entries = (project.models.map(m =>
+        (m.name, Compiler.checksum(m.rawSql + "|" + effectiveConfig(m).toString))) ++
+      project.seeds.map(s => (s.name,
+        Compiler.checksum(Files.readString(Paths.get(s.csvPath))))) ++
+      project.snapshots.map(s => (s.name, Compiler.checksum(s.rawSql))))
+      .map { case (n, ck) =>
+        val deps = parents.getOrElse(n, Nil).map(q).mkString("[", ",", "]")
+        s"${q(n)}: {${q("checksum")}: ${q(ck)}, ${q("deps")}: $deps}"
+      }
+    Files.writeString(Paths.get(path),
+      s"""{"project": ${q(project.name)}, "nodes": {${entries.mkString(", ")}}}""")
+    ()
+  }
+}
+
+/** Slim-CI state selection (SURVEY §3.2): diff two manifests, select
+  * modified nodes and (for `state:modified+`) their downstream closure.
+  */
+object StateSelector {
+  private val nodeRe =
+    """"([^"]+)": \{"checksum": "([^"]+)", "deps": \[([^\]]*)\]\}""".r
+
+  def parseManifest(path: String): Map[String, (String, Seq[String])] =
+    nodeRe.findAllMatchIn(Files.readString(Paths.get(path))).map { m =>
+      val deps = m.group(3).split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      m.group(1) -> ((m.group(2), deps))
+    }.toMap
+
+  /** Nodes whose checksum changed or that are new vs the previous state. */
+  def modified(currentPath: String, previousPath: String): Set[String] = {
+    val cur = parseManifest(currentPath)
+    val prev = parseManifest(previousPath)
+    cur.collect { case (n, (ck, _)) if !prev.get(n).map(_._1).contains(ck) => n }.toSet
+  }
+
+  /** `state:modified+`: include all transitive children of modified nodes. */
+  def modifiedPlus(currentPath: String, previousPath: String): Set[String] = {
+    val cur = parseManifest(currentPath)
+    val mod = modified(currentPath, previousPath)
+    val childrenOf = cur.keys.map(n =>
+      n -> cur.collect { case (c, (_, deps)) if deps.contains(n) => c }.toSeq).toMap
+    def expand(frontier: Set[String], acc: Set[String]): Set[String] =
+      if (frontier.isEmpty) acc
+      else {
+        val next = frontier.flatMap(childrenOf.getOrElse(_, Nil)) -- acc
+        expand(next, acc ++ next)
+      }
+    expand(mod, mod)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.dag.Dag
+import graft.dqtests.SchemaTests
+import graft.run._
+
+class OrchestratorSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def root(): String = Files.createTempDirectory("graft_orch").toString
+
+  val baseProject: Project = Project(
+    name = "p",
+    sources = Seq(
+      SourceDef("tpch", "nation", s"$sf/nation.parquet"),
+      SourceDef("tpch", "region", s"$sf/region.parquet")),
+    models = Seq(
+      ModelDef("nations", "SELECT n_nationkey, n_name, n_regionkey FROM {{ source('tpch','nation') }}"),
+      ModelDef("by_region",
+        """SELECT r.r_name, count(*) AS n
+          |FROM {{ ref('nations') }} n
+          |JOIN {{ source('tpch','region') }} r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)))
+
+  test("build materializes models in DAG order with tests") {
+    val p = baseProject.copy(tests = Seq(
+      TestDef("unique_nation", "nations",
+        df => SchemaTests.unique(df, "n_nationkey")),
+      TestDef("not_null_region", "by_region",
+        df => SchemaTests.notNull(df, "r_name"))))
+    val e = new Engine(spark, p, Target(root()))
+    val (nodes, tests) = e.build()
+    assert(nodes.map(_.status).forall(_ == "success"))
+    assert(tests.map(_.status).forall(_ == "pass"))
+    assert(e.readModel("by_region").count() == 5)
+  }
+
+  test("failing error-severity test fails the node and skips children") {
+    val p = baseProject.copy(tests = Seq(
+      TestDef("always_fails", "nations",
+        df => df.limit(3)))) // nonempty result = failure
+    val e = new Engine(spark, p, Target(root()))
+    val (nodes, tests) = e.build()
+    assert(nodes.find(_.name == "nations").get.status == "error")
+    assert(nodes.find(_.name == "by_region").get.status == "skipped")
+    assert(tests.head.status == "error")
+  }
+
+  test("warn-severity test failure does not block downstream") {
+    val p = baseProject.copy(tests = Seq(
+      TestDef("warn_only", "nations", df => df.limit(3), severity = "warn")))
+    val e = new Engine(spark, p, Target(root()))
+    val (nodes, tests) = e.build()
+    assert(nodes.map(_.status).forall(_ == "success"))
+    assert(tests.head.status == "warn")
+  }
+
+  test("view models resolve through the session catalog") {
+    val p = baseProject.copy(models = baseProject.models.map {
+      case m if m.name == "nations" =>
+        m.copy(rawSql = "{{ config(materialized='view') }} " + m.rawSql)
+      case m => m
+    })
+    val e = new Engine(spark, p, Target(root()))
+    val (nodes, _) = e.build()
+    assert(nodes.map(_.status).forall(_ == "success"))
+    assert(e.readModel("by_region").count() == 5)
+    // view was never written to the warehouse
+    assert(!e.warehouse.exists(e.relationFor("nations")))
+  }
+
+  test("state:modified+ selects changed node and downstream closure") {
+    val e1 = new Engine(spark, baseProject, Target(root()))
+    val m1 = Files.createTempFile("manifest1", ".json").toString
+    e1.writeManifest(m1)
+
+    val changed = baseProject.copy(models = baseProject.models.map {
+      case m if m.name == "nations" =>
+        m.copy(rawSql = m.rawSql + " WHERE n_nationkey >= 0")
+      case m => m
+    })
+    val e2 = new Engine(spark, changed, Target(root()))
+    val m2 = Files.createTempFile("manifest2", ".json").toString
+    e2.writeManifest(m2)
+
+    assert(StateSelector.modified(m2, m1) == Set("nations"))
+    assert(StateSelector.modifiedPlus(m2, m1) == Set("nations", "by_region"))
+    // unchanged project → empty selection
+    assert(StateSelector.modifiedPlus(m1, m1).isEmpty)
+  }
+
+  test("defer resolves unselected upstream refs to the prod warehouse") {
+    val prodRoot = root()
+    val prod = new Engine(spark, baseProject, Target(prodRoot))
+    assert(prod.build()._1.forall(_.status == "success"))
+
+    val ciRoot = root()
+    val ci = new Engine(spark, baseProject, Target(ciRoot))
+    // slim CI: only by_region selected; nations is NOT built in CI and must
+    // be read from prod via defer
+    val (nodes, _) = ci.build(select = Some(Set("by_region")),
+      deferRoot = Some(prodRoot))
+    assert(nodes.map(_.status).forall(_ == "success"))
+    assert(ci.readModel("by_region").count() == 5)
+    assert(!ci.warehouse.exists(ci.relationFor("nations")))
+  }
+
+  test("per-PR schema namespacing via env-templated schema") {
+    val t = Target(root(), schema = "ci_pr_{{ env_var('PR_NUMBER') }}",
+      env = Map("PR_NUMBER" -> "42"))
+    val e = new Engine(spark, baseProject, t)
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.relationFor("nations").schema == "ci_pr_42")
+    assert(e.warehouse.exists(Relation("analytics", "ci_pr_42", "nations")))
+  }
+
+  test("cycle detection raises at schedule time") {
+    intercept[IllegalStateException] {
+      Dag.topoSort(Seq("a", "b"), Map("a" -> Seq("b"), "b" -> Seq("a")))
+    }
+  }
+
+  test("seeds participate in the DAG as parents") {
+    val csv = Files.createTempFile("cities", ".csv")
+    Files.writeString(csv, "city_id,city\n1,oslo\n2,lima\n")
+    val p = Project(name = "p2",
+      seeds = Seq(SeedDef("cities", csv.toString, Map("city_id" -> "bigint"))),
+      models = Seq(ModelDef("city_count",
+        "SELECT count(*) AS n FROM {{ ref('cities') }}")))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.readModel("city_count").collect().head.getLong(0) == 2)
+  }
+
+  test("source freshness classifies against thresholds") {
+    val p = Project(name = "p3", sources = Seq(
+      SourceDef("tpch", "orders", s"$sf/orders.parquet",
+        loadedAtField = Some("o_orderdate"),
+        warnAfterH = Some(24), errorAfterH = Some(72))))
+    val e = new Engine(spark, p, Target(root()))
+    val res = e.checkFreshness()
+    assert(res == Seq(("tpch.orders", "error"))) // data ends 2001 → stale
+  }
+}
