@@ -121,6 +121,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def schemaExists(database: String, schema: String): Boolean =
     fs.exists(new Path(s"$root/$database/$schema"))
 
+  /** Catalog stats (reference `bigquery__get_catalog` @3102: per-table
+    * row counts, byte sizes, partition info from information_schema; here
+    * from parquet footers + filesystem).
+    */
+  def catalogInfo(database: String, schema: String)
+      : Seq[(Relation, Long, Long, Seq[String])] =
+    listRelations(database, schema).map { rel =>
+      val p = new Path(path(rel))
+      val summary = fs.getContentSummary(p)
+      val rows = read(rel).count()
+      (rel, rows, summary.getLength, listPartitions(rel))
+    }
+
   /** Partition directory names of a partitioned relation (reference
     * `get_partitions_metadata` @12518).
     */

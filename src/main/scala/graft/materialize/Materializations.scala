@@ -159,6 +159,16 @@ final class Materializer(wh: Warehouse) {
     t.join(i, cond, "full_outer").select(cols: _*)
   }
 
+  /** B27 int-range partitioning (reference `partition_by` @13262:
+    * `range_bucket(field, generate_array(start, end, interval))` for INT64
+    * partition columns): derive the bucket column, then partition the
+    * write by it — read-side partition pruning on the bucket is free.
+    */
+  def withRangeBucket(df: DataFrame, field: String, start: Long,
+                      interval: Long, bucketCol: String = "_bucket"): DataFrame =
+    df.withColumn(bucketCol,
+      floor((col(field) - start) / interval).cast("long"))
+
   /** `_dbt_max_partition` (reference @34992): the max partition value of
     * the existing target, exposed to model SQL as a precomputed literal so
     * Catalyst can prune the source scan.

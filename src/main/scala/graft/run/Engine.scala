@@ -32,7 +32,8 @@ final case class TestDef(name: String, modelName: String,
                          test: DataFrame => DataFrame,
                          severity: String = "error", // error | warn
                          where: Option[String] = None,
-                         limit: Option[Int] = None)
+                         limit: Option[Int] = None,
+                         storeFailures: Boolean = false)
 
 final case class Project(name: String,
                          sources: Seq[SourceDef] = Nil,
@@ -131,6 +132,23 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
       isIncremental = isIncr))
   }
 
+  /** Pre/post hooks (reference `run_hooks` @59759): arbitrary SQL around
+    * the materialization, with the same template resolution as model SQL.
+    * No transactions exist on a parquet warehouse — hooks are sequential,
+    * non-atomic (documented limitation, SURVEY §2 B44).
+    */
+  private def runHooks(hooks: Seq[String], modelName: String): Unit =
+    hooks.foreach { h =>
+      spark.sql(Compiler.compile(h, Compiler.ResolveCtx(
+        refTarget = r => Compiler.pathRelation(
+          relationFor(r).pathUnder(target.warehouseRoot)),
+        sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+        thisTarget = Compiler.pathRelation(
+          relationFor(modelName).pathUnder(target.warehouseRoot)),
+        env = target.env, isIncremental = false)))
+      ()
+    }
+
   private def runNode(name: String, selected: Set[String],
                       deferRoot: Option[String], fullRefresh: Boolean): Unit = {
     project.seeds.find(_.name == name).foreach { sd =>
@@ -138,6 +156,7 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     }
     project.models.find(_.name == name).foreach { m =>
       val cfg = effectiveConfig(m)
+      runHooks(cfg.preHooks, m.name)
       val df = spark.sql(compileSql(m, selected, deferRoot, fullRefresh))
       cfg.materialized match {
         case "view" => mat.view(df, viewName(m.name))
@@ -146,6 +165,7 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
         case "ephemeral" => () // inlined by ref() of downstream models
         case _ => mat.table(df, relationFor(m.name), cfg)
       }
+      runHooks(cfg.postHooks, m.name)
     }
     project.snapshots.find(_.name == name).foreach { sn =>
       val df = spark.sql(compileSql(
@@ -163,6 +183,8 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     val filtered = t.where.fold(base)(w => base.filter(w))
     val failing = t.limit.fold(t.test(filtered))(l => t.test(filtered).limit(l))
     val n = failing.count()
+    if (t.storeFailures && n > 0) // reference should_store_failures @67089
+      warehouse.writeAtomic(failing, relationFor(s"${t.name}__failures"))
     val status = if (n == 0) "pass" else t.severity
     TestResult(t.name, t.modelName, n, status)
   }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event-analytics operators: the same
+  * transformations as graft.ops.Events, expressed over an unbounded
+  * source with watermarked event-time state.
+  *
+  * At scale these run identically on Kafka/file streams: state is
+  * partitioned by group key in the state store, watermarks bound it, and
+  * the batch/streaming logic shares one definition (Catalyst plans both).
+  */
+object StreamingJobs {
+
+  /** The events schema as the stream sees it (ts as raw nanos — see
+    * TData.events; streaming sources get the same normalization).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream source with the nanos→micros normalization. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Streaming tumbling-window aggregate (the unbounded form of
+    * Events.hourlyWindows): watermark bounds state, late events beyond 10
+    * minutes are dropped.
+    */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful per-user running aggregate via mapGroupsWithState — the
+    * custom-state primitive (arbitrary state machine per key). Update
+    * output mode: each batch emits refreshed totals for touched users.
+    */
+  def userRunningStats(spark: SparkSession, events: DataFrame): Dataset[UserStat] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          UserStat(uid, n, math.rint(v * 100) / 100)
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to completion against a finite
+    * source via the memory sink, return the materialized result table.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -120,6 +120,15 @@ class MaterializeSpec extends AnyFunSuite {
     assert(!wh.exists(r) && wh.exists(r2))
   }
 
+  test("int-range bucket partitioning derives pruneable buckets") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("rb")
+    val src = df(Seq((5L, "a", 1.0), (1500L, "b", 2.0), (2500L, "c", 3.0)))
+    val bucketed = m.withRangeBucket(src, "id", start = 0, interval = 1000)
+    m.table(bucketed, r, ModelConfig(partitionBy = Some("_bucket")))
+    assert(wh.listPartitions(r).toSet ==
+      Set("_bucket=0", "_bucket=1", "_bucket=2"))
+  }
+
   test("maxPartition exposes _dbt_max_partition literal") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("t3")
     m.table(df(Seq((1L, "a", 1.0), (5L, "b", 2.0))), r)

@@ -143,6 +143,35 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(e.readModel("city_count").collect().head.getLong(0) == 2)
   }
 
+  test("pre/post hooks run around the materialization with {{ this }} resolved") {
+    val p = baseProject.copy(models = Seq(
+      baseProject.models.head.copy(config = ModelConfig(
+        preHooks = Seq("SELECT 1"), // statement-style no-op hook
+        postHooks = Seq("SELECT count(*) FROM {{ this }}")))))
+    val e = new Engine(spark, p, Target(root()))
+    val (nodes, _) = e.build()
+    assert(nodes.map(_.status).forall(_ == "success"))
+  }
+
+  test("store_failures persists failing rows as a warehouse relation") {
+    val p = baseProject.copy(tests = Seq(
+      TestDef("stored_fail", "nations", df => df.limit(2),
+        severity = "warn", storeFailures = true)))
+    val e = new Engine(spark, p, Target(root()))
+    e.build()
+    val stored = e.warehouse.read(e.relationFor("stored_fail__failures"))
+    assert(stored.count() == 2)
+  }
+
+  test("catalogInfo reports rows, bytes and partitions per relation") {
+    val e = new Engine(spark, baseProject, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    val cat = e.warehouse.catalogInfo("analytics", "main")
+    assert(cat.map(_._1.identifier).toSet == Set("nations", "by_region"))
+    val nations = cat.find(_._1.identifier == "nations").get
+    assert(nations._2 == 25 && nations._3 > 0 && nations._4.isEmpty)
+  }
+
   test("source freshness classifies against thresholds") {
     val p = Project(name = "p3", sources = Seq(
       SourceDef("tpch", "orders", s"$sf/orders.parquet",
