@@ -82,19 +82,13 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     */
   private def refText(model: String, selected: Set[String],
                       deferRoot: Option[String]): String = {
-    val modelDef = project.models.find(_.name == model)
-    // effectiveConfig, not .config: materialized='view' may be set inline
-    if (modelDef.exists(m => effectiveConfig(m).materialized == "view"))
-      viewName(model)
-    else {
-      val local = relationFor(model)
-      val path = deferRoot match {
-        case Some(prod) if !selected.contains(model) && !warehouse.exists(local) =>
-          local.pathUnder(prod)
-        case _ => local.pathUnder(target.warehouseRoot)
-      }
-      Compiler.pathRelation(path)
+    val local = relationFor(model)
+    val path = deferRoot match {
+      case Some(prod) if !selected.contains(model) && !warehouse.exists(local) =>
+        local.pathUnder(prod)
+      case _ => local.pathUnder(target.warehouseRoot)
     }
+    Compiler.pathRelation(path)
   }
 
   private def viewName(model: String): String =
@@ -118,18 +112,56 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
   private def effectiveConfig(m: ModelDef): ModelConfig =
     Compiler.parseInlineConfig(m.rawSql, m.config)
 
+  /** Ephemeral AND view models are logical: their refs inline as CTEs of
+    * the referencing model's compiled SQL. (Ephemeral: dbt semantics.
+    * Views: our warehouse is path-addressed parquet with no metastore, so
+    * a persistent view IS its definition — inlining gives identical
+    * semantics and works across engine invocations/slim-CI runs, where a
+    * session temp view would not.)
+    */
+  private def isInlined(name: String): Boolean =
+    project.models.exists(m => m.name == name && {
+      val mt = effectiveConfig(m).materialized
+      mt == "ephemeral" || mt == "view"
+    })
+
+  /** Transitive inlined (ephemeral/view) dependencies, leaves first. */
+  private def inlinedClosure(rawSql: String): Seq[String] = {
+    val (refs, _) = Compiler.dependencies(rawSql)
+    refs.filter(isInlined).flatMap { r =>
+      val m = project.models.find(_.name == r).get
+      inlinedClosure(m.rawSql) :+ r
+    }.distinct
+  }
+
   def compileSql(m: ModelDef, selected: Set[String],
                  deferRoot: Option[String], fullRefresh: Boolean): String = {
     val cfg = effectiveConfig(m)
     val self = relationFor(m.name)
     val isIncr = cfg.materialized == "incremental" &&
       warehouse.exists(self) && !fullRefresh // reference is_incremental @157947
-    Compiler.compile(m.rawSql, Compiler.ResolveCtx(
-      refTarget = r => refText(r, selected, deferRoot),
+    val ctx = Compiler.ResolveCtx(
+      refTarget = r =>
+        if (isInlined(r)) s"__cte__$r"
+        else refText(r, selected, deferRoot),
       sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
       thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
       env = target.env,
-      isIncremental = isIncr))
+      isIncremental = isIncr)
+    val body = Compiler.compile(m.rawSql, ctx)
+    val ephemerals = inlinedClosure(m.rawSql)
+    if (ephemerals.isEmpty) body
+    else {
+      val ctes = ephemerals.map { e =>
+        val sql = Compiler.compile(project.models.find(_.name == e).get.rawSql, ctx)
+        s"__cte__$e AS ($sql)"
+      }.mkString(", ")
+      // merge with an outer WITH if the model itself starts with one
+      val trimmed = body.trim
+      if (trimmed.toUpperCase.startsWith("WITH "))
+        s"WITH $ctes, ${trimmed.drop(5)}"
+      else s"WITH $ctes $trimmed"
+    }
   }
 
   /** Pre/post hooks (reference `run_hooks` @59759): arbitrary SQL around
@@ -220,9 +252,17 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
   }
 
   def readModel(name: String): DataFrame =
-    if (project.models.exists(m => m.name == name &&
-      effectiveConfig(m).materialized == "view")) spark.table(viewName(name))
-    else warehouse.read(relationFor(name))
+    project.models.find(m => m.name == name && {
+      val mt = effectiveConfig(m).materialized
+      mt == "view" || mt == "ephemeral"
+    }) match {
+      case Some(m) =>
+        // registered temp view if this session built it, else compile on
+        // the fly (views/ephemerals are logical — always reconstructible)
+        if (spark.catalog.tableExists(viewName(name))) spark.table(viewName(name))
+        else spark.sql(compileSql(m, Set.empty, None, fullRefresh = false))
+      case None => warehouse.read(relationFor(name))
+    }
 
   /** Source freshness command (SURVEY §2 B36). */
   def checkFreshness(): Seq[(String, String)] =

@@ -1,0 +1,130 @@
+package graft.run
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import graft.core.SnapshotStrategy
+import graft.dqtests.SchemaTests
+
+/** Loads a project from a directory — the dbt-project-on-disk UX
+  * (reference layout: dbt_project.yml + models dir (.sql files) + sources +
+  * seeds dir (.csv files); `/root/reference/dbt_project.yml:15-20` path config).
+  *
+  * Formats are deliberately line-based (no YAML parser in a zero-dep
+  * build):
+  *
+  * {{{
+  * project.conf    name=demo  database=analytics  schema=main  threads=4
+  * sources.conf    tpch customer /data/customer.parquet
+  *                 tpch orders /data/orders.parquet o_orderdate 24 72
+  * models x.sql    SQL with {{ ref/source/config/env_var/this }}
+  * seeds y.csv     header CSV (name = file stem)
+  * tests.conf      unique orders_model o_orderkey
+  *                 not_null orders_model o_custkey
+  *                 accepted_values orders_model o_orderstatus O,F,P
+  *                 relationships orders_model o_custkey customers c_custkey
+  * }}}
+  */
+object ProjectLoader {
+
+  def load(dir: String): (Project, Map[String, String]) = {
+    val root = Paths.get(dir)
+    val conf = parseConf(root.resolve("project.conf"))
+    val name = conf.getOrElse("name", root.getFileName.toString)
+
+    val sources = readLines(root.resolve("sources.conf")).map { l =>
+      val parts = l.split("\\s+")
+      SourceDef(parts(0), parts(1), parts(2),
+        if (parts.length > 3) Some(parts(3)) else None,
+        if (parts.length > 4) Some(parts(4).toInt) else None,
+        if (parts.length > 5) Some(parts(5).toInt) else None)
+    }
+
+    val models = listFiles(root.resolve("models"), ".sql").map { p =>
+      ModelDef(stem(p), Files.readString(p))
+    }
+
+    val seeds = listFiles(root.resolve("seeds"), ".csv").map { p =>
+      SeedDef(stem(p), p.toString)
+    }
+
+    val snapshots = listFiles(root.resolve("snapshots"), ".sql").map { p =>
+      val sql = Files.readString(p)
+      // snapshot config rides in the same inline config() block:
+      // {{ config(unique_key='id', strategy='timestamp', updated_at='ts') }}
+      val kv = configKv(sql)
+      val strategy = kv.get("strategy") match {
+        case Some("check") => SnapshotStrategy.Check(
+          kv.get("check_cols").map(_.split("\\|").toSeq))
+        case _ => SnapshotStrategy.Timestamp(
+          kv.getOrElse("updated_at",
+            throw new IllegalArgumentException(s"${stem(p)}: updated_at required")))
+      }
+      SnapshotDef(stem(p), sql,
+        kv.get("unique_key").map(_.split("\\|").toSeq).getOrElse(
+          throw new IllegalArgumentException(s"${stem(p)}: unique_key required")),
+        strategy,
+        invalidateHardDeletes = kv.get("invalidate_hard_deletes").contains("true"))
+    }
+
+    val tests = readLines(root.resolve("tests.conf")).zipWithIndex.map {
+      case (l, i) =>
+        val parts = l.split("\\s+")
+        val (kind, model) = (parts(0), parts(1))
+        val testName = s"${kind}_${model}_$i"
+        kind match {
+          case "unique" =>
+            TestDef(testName, model, df => SchemaTests.unique(df, parts(2)))
+          case "not_null" =>
+            TestDef(testName, model, df => SchemaTests.notNull(df, parts(2)))
+          case "accepted_values" =>
+            TestDef(testName, model, df =>
+              SchemaTests.acceptedValues(df, parts(2), parts(3).split(",").toSeq))
+          case "relationships" =>
+            // parent model is resolved lazily at run time via a closure on
+            // the engine is not available here; encode as anti-join against
+            // the parent relation path once the engine runs the test.
+            throw new IllegalArgumentException(
+              "relationships tests require the programmatic API (needs a parent DataFrame)")
+          case other =>
+            throw new IllegalArgumentException(s"unknown test kind $other")
+        }
+    }
+
+    (Project(name, sources, models, seeds, snapshots, tests), conf)
+  }
+
+  private def configKv(sql: String): Map[String, String] = {
+    val re = """\{\{\s*config\((.*?)\)\s*\}\}""".r
+    re.findFirstMatchIn(sql).map(_.group(1)).map {
+      _.split(",").iterator.map(_.trim).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim.stripPrefix("'").stripSuffix("'"))
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  private def parseConf(p: Path): Map[String, String] =
+    readLines(p).flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) => Some(k.trim -> v.trim)
+        case _ => None
+      }
+    }.toMap
+
+  private def readLines(p: Path): Seq[String] =
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p).asScala.toSeq.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  private def listFiles(dir: Path, suffix: String): Seq[Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator.asScala.toSeq
+      .filter(_.toString.endsWith(suffix)).sortBy(_.toString)
+
+  private def stem(p: Path): String = {
+    val n = p.getFileName.toString
+    n.substring(0, n.lastIndexOf('.'))
+  }
+}

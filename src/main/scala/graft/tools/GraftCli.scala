@@ -1,0 +1,104 @@
+package graft.tools
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.run.{Engine, ProjectLoader, StateSelector, Target}
+
+/** `dbt`-style CLI over a project directory (SURVEY §3 entry points):
+  *
+  * {{{
+  * runMain graft.tools.GraftCli <projectDir> <warehouseRoot> <command> [flags]
+  *   build            seeds+models+snapshots+tests in DAG order
+  *   compile          emit the state manifest (no execution)
+  *   test             only the declared tests
+  *   freshness        source freshness vs thresholds
+  * flags:
+  *   --select a,b       restrict to these nodes
+  *   --state <manifest> slim CI: select state:modified+ vs that manifest
+  *   --defer <root>     resolve unselected upstream refs to this warehouse
+  *   --full-refresh     rebuild incrementals from scratch
+  *   --manifest <path>  where compile writes the manifest
+  *   --env K=V          env_var bindings (repeatable)
+  * }}}
+  */
+object GraftCli {
+  def main(args: Array[String]): Unit = {
+    val (positional, flags) = parseArgs(args.toList)
+    require(positional.length >= 3,
+      "usage: GraftCli <projectDir> <warehouseRoot> <command> [flags]")
+    val Seq(projectDir, whRoot, command) = positional.take(3)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (project, conf) = ProjectLoader.load(projectDir)
+    val env = flags.getOrElse("env", Nil)
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val target = Target(whRoot,
+      database = conf.getOrElse("database", "analytics"),
+      schema = conf.getOrElse("schema", "main"),
+      threads = conf.getOrElse("threads", "4").toInt,
+      env = env)
+    val engine = new Engine(spark, project, target)
+
+    val select: Option[Set[String]] =
+      flags.get("state").flatMap(_.headOption).map { prev =>
+        val cur = Files.createTempFile("graft_manifest", ".json").toString
+        engine.writeManifest(cur)
+        val sel = StateSelector.modifiedPlus(cur, prev)
+        println(s"state:modified+ selected: ${sel.toSeq.sorted.mkString(", ")}")
+        sel
+      }.orElse(flags.get("select").flatMap(_.headOption)
+        .map(_.split(",").toSet))
+
+    command match {
+      case "build" =>
+        val (nodes, tests) = engine.build(select,
+          flags.get("defer").flatMap(_.headOption),
+          flags.contains("full-refresh"))
+        nodes.foreach(n => println(
+          f"${n.status.toUpperCase}%-8s ${n.name}%-32s ${n.durationMs} ms" +
+            n.error.map(e => s"  ($e)").getOrElse("")))
+        tests.foreach(t => println(f"${t.status.toUpperCase}%-8s test:${t.name}%-27s ${t.failures} failures"))
+        if (nodes.exists(_.status == "error")) sys.exit(1)
+      case "compile" =>
+        val out = flags.get("manifest").flatMap(_.headOption)
+          .getOrElse(s"$whRoot/manifest.json")
+        engine.writeManifest(out)
+        println(s"manifest written: $out")
+      case "test" =>
+        val results = project.tests.map(engine.runTest)
+        results.foreach(t => println(f"${t.status.toUpperCase}%-8s ${t.name}%-32s ${t.failures} failures"))
+        if (results.exists(_.status == "error")) sys.exit(1)
+      case "freshness" =>
+        engine.checkFreshness().foreach { case (src, st) =>
+          println(f"${st.toUpperCase}%-8s $src")
+        }
+      case other =>
+        System.err.println(s"unknown command: $other"); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def parseArgs(args: List[String])
+      : (Seq[String], Map[String, Seq[String]]) = {
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
+      .withDefaultValue(Nil)
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "--full-refresh" :: tl =>
+        flags("full-refresh") = Seq("true"); rest = tl
+      case f :: v :: tl if f.startsWith("--") =>
+        val k = f.stripPrefix("--"); flags(k) = flags(k) :+ v; rest = tl
+      case p :: tl => pos += p; rest = tl
+    }
+    (pos.toSeq, flags.toMap)
+  }
+}

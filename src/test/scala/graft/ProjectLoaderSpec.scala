@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.run.{Engine, ProjectLoader, Target}
+
+/** The on-disk demo project must load and build end-to-end — this is the
+  * repo's user-facing example (examples/demo_project) and the regression
+  * net for the directory loader + CLI path.
+  */
+class ProjectLoaderSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("demo project loads, builds, and chains view+ephemeral+incremental+snapshot") {
+    val (project, conf) = ProjectLoader.load("examples/demo_project")
+    assert(project.name == "demo_ci_spark")
+    assert(project.models.map(_.name).toSet ==
+      Set("stg_nations", "eph_regions", "nation_region", "orders_incr"))
+    assert(project.seeds.map(_.name) == Seq("priorities"))
+    assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
+    assert(project.tests.size == 3)
+
+    val engine = new Engine(spark, project,
+      Target(Files.createTempDirectory("graft_demo").toString,
+        threads = conf("threads").toInt))
+    val (nodes, tests) = engine.build()
+    assert(nodes.map(_.status).forall(_ == "success"),
+      nodes.filter(_.status != "success").toString)
+    assert(tests.map(_.status).forall(_ == "pass"))
+    // ephemeral inlined + view joined: 25 nations
+    assert(engine.readModel("nation_region").count() == 25)
+    // snapshot has one current row per order
+    import org.apache.spark.sql.functions.col
+    val snap = engine.warehouse.read(engine.relationFor("orders_snapshot"))
+    assert(snap.filter(col("dbt_valid_to").isNull).count() ==
+      engine.readModel("orders_incr").count())
+  }
+
+  test("ephemeral models never materialize to the warehouse") {
+    val (project, _) = ProjectLoader.load("examples/demo_project")
+    val engine = new Engine(spark, project,
+      Target(Files.createTempDirectory("graft_demo2").toString))
+    engine.build()
+    assert(!engine.warehouse.exists(engine.relationFor("eph_regions")))
+    assert(engine.readModel("eph_regions").count() == 5) // compiled on demand
+  }
+}
