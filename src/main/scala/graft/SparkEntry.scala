@@ -62,6 +62,8 @@ object SparkEntry {
     "x_fingerprint" -> (TextOps.fingerprint _),
     "x_knn_brute" -> (Similarity.knnBrute _),
     "x_knn_lsh_bucket" -> (Similarity.knnLshBucket _),
+    "x_knn_topk_agg" -> (Similarity.knnTopKAgg _),
+    "x_knn_ivf" -> (Similarity.knnIvf _),
     "x_embedding_near_dups" -> (Similarity.embeddingNearDups _),
     "x_multimodal_meta" -> (Multimodal.mediaMeta _),
     "o_build_dag" -> (OrchestratorQueries.buildDag _),
@@ -114,6 +116,8 @@ object SparkEntry {
     "x_fingerprint" -> TextOps.fingerprintSql,
     "x_knn_brute" -> Similarity.knnBruteSql,
     "x_knn_lsh_bucket" -> Similarity.knnLshBucketSql,
+    "x_knn_topk_agg" -> Similarity.knnBruteSql, // same contract as brute
+    "x_knn_ivf" -> Similarity.knnIvfSql,
     "x_embedding_near_dups" -> Similarity.embeddingNearDupsSql,
     "x_multimodal_meta" -> Multimodal.mediaMetaSql,
     "o_build_dag" -> OrchestratorQueries.buildDagSql,

@@ -100,6 +100,88 @@ object Similarity {
       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin
 
+  /** Brute-force KNN again, but via the typed [[graft.functions.TopKAggregator]]
+    * instead of a window sort: partial aggregation carries only k entries
+    * per group through the shuffle — the form that survives when each
+    * query has millions of candidates. Identical output contract (and
+    * oracle) as [[knnBrute]].
+    */
+  def knnTopKAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
+    val topk = new graft.functions.TopKAggregator(5).toColumn
+    scored.select(col("q_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cos_sim"), (col("pos") + 1).as("knn_rank"))
+  }
+
+  /** IVF-style ANN: a coarse quantizer (centroids = the first 8 vectors,
+    * deterministic) partitions the corpus into cells; a query probes ONLY
+    * its own cell (nprobe=1). At scale the assignment is one broadcast
+    * pass and each probe touches 1/8 of the corpus — the inverted-file
+    * trade: recall < 1, cost ∝ corpus/cells.
+    */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        round(cosine_sim(col("v"), col("cv")), 6).as("a_sim"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("a_sim").desc, col("centroid_id").asc)))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("centroid_id").as("q_cell"))
+    val scored = assigned.join(broadcast(q),
+        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
+    topK(scored, 5)
+  }
+
+  val knnIvfSql: String =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, v, centroid_id FROM (
+      |    SELECT e.vec_id, e.v, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(e.v, c.cv)
+      |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+      |          6) DESC, c.centroid_id ASC) AS arn
+      |    FROM e CROSS JOIN c) WHERE arn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv, centroid_id AS q_cell
+      |      FROM assigned WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q_id, a.vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, a.v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))),
+      |      6) AS cos_sim
+      |  FROM q JOIN assigned a
+      |    ON a.centroid_id = q.q_cell AND a.vec_id <> q.q_id)
+      |SELECT q_id, neighbor_id, cos_sim, rn AS knn_rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
     * family): bucket join + threshold, symmetric pairs deduped by id order.
     */
