@@ -30,6 +30,9 @@ object SparkEntry {
     "s_nation_intersect" -> (Analytics.sNationIntersect _),
     "s_nation_except" -> (Analytics.sNationExcept _),
     "r_rollup_orders" -> (Analytics.rRollupOrders _),
+    "r_pivot_status" -> (Analytics.rPivotStatus _),
+    "r_cube_orders" -> (Analytics.rCubeOrders _),
+    "q_percentiles" -> (Analytics.qPercentiles _),
     "j_semi_customers_with_orders" -> (Analytics.jSemiCustomersWithOrders _),
     "e_props_extract" -> (Events.propsExtract _),
     "e_sessionize" -> (Events.sessionize _),
@@ -84,6 +87,9 @@ object SparkEntry {
     "s_nation_intersect" -> Analytics.sNationIntersectSql,
     "s_nation_except" -> Analytics.sNationExceptSql,
     "r_rollup_orders" -> Analytics.rRollupOrdersSql,
+    "r_pivot_status" -> Analytics.rPivotStatusSql,
+    "r_cube_orders" -> Analytics.rCubeOrdersSql,
+    "q_percentiles" -> Analytics.qPercentilesSql,
     "j_semi_customers_with_orders" -> Analytics.jSemiCustomersWithOrdersSql,
     "e_props_extract" -> Events.propsExtractSql,
     "e_sessionize" -> Events.sessionizeSql,

@@ -200,6 +200,50 @@ object Analytics {
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
 
+  /** PIVOT: status columns from rows — Spark's relational pivot; the
+    * oracle mirrors it as conditional aggregation (what pivot compiles to).
+    */
+  def rPivotStatus(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+
+  val rPivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** CUBE: all grouping-set combinations of (status, priority). */
+  def rCubeOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val rCubeOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Exact interpolated percentiles (not approx sketches — both engines
+    * use the p·(n−1) linear-interpolation definition).
+    */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("round(percentile(o_totalprice, 0.25), 4)").as("p25"),
+        expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(o_totalprice, 0.75), 4)").as("p75"))
+
+  val qPercentilesSql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   /** A6: literal projection (reference models/test_model.sql:1 `select 1 as a`). */
   def a6Literal(s: SparkSession, d: String): DataFrame =
     s.sql("SELECT 1 AS a")

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.materialize._
+import graft.run.DateUtils
+
+/** Property tests (SURVEY §5): merge last-writer-wins/idempotence and the
+  * SCD-2 invariants hold for arbitrary generated run-pairs, not just the
+  * handcrafted fixtures. (Plain scalacheck generators with a fixed seed —
+  * the scalatest bridge artifact isn't in the offline cache.)
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshWh() =
+    new Warehouse(spark, Files.createTempDirectory("graft_prop").toString)
+
+  /** Deterministic sample stream for a Gen. */
+  private def samples[A](g: Gen[A], n: Int, seed0: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOf(for {
+      id <- Gen.choose(0L, 30L)
+      payload <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (id, payload, v))
+
+  private def dedupByKey(rows: List[(Long, String, Double)]) =
+    rows.groupBy(_._1).map(_._2.last).toList
+
+  test("property: merge result = last-writer-wins union of key spaces") {
+    val cases = samples(Gen.zip(rowsGen, rowsGen), 8, 1000L)
+    assert(cases.nonEmpty)
+    cases.foreach { case (base0, inc0) =>
+      val base = dedupByKey(base0)
+      val inc = dedupByKey(inc0)
+      if (base.nonEmpty || inc.nonEmpty) {
+        val s = spark; import s.implicits._
+        val wh = freshWh(); val m = new Materializer(wh)
+        val r = Relation("db", "s", "t")
+        val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+        if (base.nonEmpty) m.incremental(base.toDF("id", "payload", "v"), r, cfg)
+        if (inc.nonEmpty) m.incremental(inc.toDF("id", "payload", "v"), r, cfg)
+        val got = wh.read(r).collect()
+          .map(x => x.getLong(0) -> ((x.getString(1), x.getDouble(2)))).toMap
+        val want = base.map(t => t._1 -> ((t._2, t._3))).toMap ++
+          inc.map(t => t._1 -> ((t._2, t._3))).toMap
+        assert(got == want, s"base=$base inc=$inc")
+      }
+    }
+  }
+
+  test("property: merge is idempotent (re-applying the increment is a no-op)") {
+    samples(rowsGen, 8, 2000L).foreach { inc0 =>
+      val inc = dedupByKey(inc0)
+      if (inc.nonEmpty) {
+        val s = spark; import s.implicits._
+        val wh = freshWh(); val m = new Materializer(wh)
+        val r = Relation("db", "s", "t")
+        val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+        val df = inc.toDF("id", "payload", "v")
+        m.incremental(df, r, cfg)
+        val once = wh.read(r).collect().map(_.toString).sorted.toSeq
+        m.incremental(df, r, cfg)
+        val twice = wh.read(r).collect().map(_.toString).sorted.toSeq
+        assert(once == twice)
+      }
+    }
+  }
+
+  test("property: SCD-2 invariants hold over arbitrary 3-run histories") {
+    val runGen = Gen.listOf(for {
+      id <- Gen.choose(0L, 10L)
+      payload <- Gen.oneOf("a", "b", "c")
+    } yield (id, payload))
+    samples(Gen.zip(runGen, runGen, runGen), 6, 3000L).foreach {
+      case (r1, r2, r3) =>
+        val s = spark; import s.implicits._
+        val wh = freshWh(); val snap = new Snapshotter(wh)
+        val rel = Relation("db", "s", "snap")
+        val runs = Seq(r1, r2, r3).map(dedup2).zipWithIndex
+          .filter(_._1.nonEmpty)
+        if (runs.nonEmpty) {
+          runs.foreach { case (rows, i) =>
+            val t = lit(s"2024-0${i + 1}-01 00:00:00").cast("timestamp")
+            snap.snapshot(rows.toDF("id", "payload"), rel, Seq("id"),
+              SnapshotStrategy.Check(Some(Seq("payload"))), now = t)
+          }
+          val table = wh.read(rel).cache()
+          val multiCurrent = table.filter(col("dbt_valid_to").isNull)
+            .groupBy("id").count().filter(col("count") > 1).count()
+          assert(multiCurrent == 0, "≤1 current row per key")
+          val far = lit(Timestamp.valueOf("9999-01-01 00:00:00"))
+          val overlaps = table.alias("a").join(table.alias("b"),
+            col("a.id") === col("b.id") &&
+              col("a.dbt_scd_id") =!= col("b.dbt_scd_id") &&
+              col("a.dbt_valid_from") < coalesce(col("b.dbt_valid_to"), far) &&
+              col("b.dbt_valid_from") < coalesce(col("a.dbt_valid_to"), far))
+            .count()
+          assert(overlaps == 0, "non-overlapping validity intervals")
+          val lastRun = runs.last._1.toMap
+          val current = table.filter(col("dbt_valid_to").isNull).collect()
+            .map(x => x.getAs[Long]("id") -> x.getAs[String]("payload")).toMap
+          lastRun.foreach { case (k, v) =>
+            assert(current.get(k).contains(v), s"key $k: current != last run")
+          }
+          table.unpersist(); ()
+        }
+    }
+  }
+
+  private def dedup2(rows: List[(Long, String)]): List[(Long, String)] =
+    rows.groupBy(_._1).map(_._2.last).toList
+
+  test("date shard enumeration matches the range (incl. leap day)") {
+    assert(DateUtils.dateShardedTables("events_", "20240228", "20240302") ==
+      Seq("events_20240228", "events_20240229", "events_20240301", "events_20240302"))
+    assert(DateUtils.partitionRange("20240101, 20240131") == ("20240101", "20240131"))
+  }
+}
