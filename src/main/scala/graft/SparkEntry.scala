@@ -34,9 +34,11 @@ object SparkEntry {
     "r_cube_orders" -> (Analytics.rCubeOrders _),
     "q_percentiles" -> (Analytics.qPercentiles _),
     "j_semi_customers_with_orders" -> (Analytics.jSemiCustomersWithOrders _),
+    "j_salted_join" -> (Skew.saltedRevenueByStatus _),
     "e_props_extract" -> (Events.propsExtract _),
     "e_sessionize" -> (Events.sessionize _),
     "e_hourly_windows" -> (Events.hourlyWindows _),
+    "e_asof_join" -> (Events.asofJoin _),
     "b21_test_unique" -> (DqQueries.b21Unique _),
     "b22_test_not_null" -> (DqQueries.b22NotNull _),
     "b23_test_accepted_values" -> (DqQueries.b23AcceptedValues _),
@@ -91,9 +93,11 @@ object SparkEntry {
     "r_cube_orders" -> Analytics.rCubeOrdersSql,
     "q_percentiles" -> Analytics.qPercentilesSql,
     "j_semi_customers_with_orders" -> Analytics.jSemiCustomersWithOrdersSql,
+    "j_salted_join" -> Skew.saltedRevenueByStatusSql,
     "e_props_extract" -> Events.propsExtractSql,
     "e_sessionize" -> Events.sessionizeSql,
     "e_hourly_windows" -> Events.hourlyWindowsSql,
+    "e_asof_join" -> Events.asofJoinSql,
     "b21_test_unique" -> DqQueries.b21UniqueSql,
     "b22_test_not_null" -> DqQueries.b22NotNullSql,
     "b23_test_accepted_values" -> DqQueries.b23AcceptedValuesSql,

@@ -82,6 +82,41 @@ object Events {
       |      FROM events)))
       |GROUP BY user_id, session_id""".stripMargin
 
+  /** As-of join, Spark-first: "for each purchase, the value of the user's
+    * latest click at-or-before it". Instead of a custom physical operator,
+    * union both sides tagged and carry the click value forward with an
+    * `ignoreNulls` last() window — ONE shuffle on (user), linear scan per
+    * partition; the same plan an ASOF-JOIN strategy would produce. At
+    * equal timestamps the click sorts first (matches ASOF `>=`).
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc,
+        when(col("event_type") === "click", 0).otherwise(1).asc,
+        col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("p_ts_ms"), col("last_click_value"))
+  }
+
+  val asofJoinSql: String =
+    """WITH purchases AS (SELECT event_id, user_id, ts FROM events
+      |                   WHERE event_type = 'purchase'),
+      |     clicks AS (SELECT user_id, ts, value FROM events
+      |                WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, epoch_ms(p.ts::TIMESTAMP) AS p_ts_ms,
+      |       c.value AS last_click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   /** Tumbling-window aggregate (batch form of the streaming windowed agg):
     * 1-hour epoch-aligned windows per event type.
     */
