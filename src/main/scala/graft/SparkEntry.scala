@@ -65,6 +65,7 @@ object SparkEntry {
     "x_quality_score" -> (TextOps.qualityScore _),
     "x_lang_id" -> (TextOps.langId _),
     "x_fingerprint" -> (TextOps.fingerprint _),
+    "x_winnow_fingerprint" -> (TextOps.winnowFingerprint _),
     "x_knn_brute" -> (Similarity.knnBrute _),
     "x_knn_lsh_bucket" -> (Similarity.knnLshBucket _),
     "x_knn_topk_agg" -> (Similarity.knnTopKAgg _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "x_quality_score" -> TextOps.qualityScoreSql,
     "x_lang_id" -> TextOps.langIdSql,
     "x_fingerprint" -> TextOps.fingerprintSql,
+    "x_winnow_fingerprint" -> TextOps.winnowFingerprintSql,
     "x_knn_brute" -> Similarity.knnBruteSql,
     "x_knn_lsh_bucket" -> Similarity.knnLshBucketSql,
     "x_knn_topk_agg" -> Similarity.knnBruteSql, // same contract as brute

@@ -380,6 +380,54 @@ object TextOps {
       |FROM best JOIN documents USING (doc_id)""".stripMargin
 
   // -------------------------------------------------------- fingerprinting
+  /** Winnowing fingerprints (the MOSS scheme): hash every 3-word shingle
+    * positionally, take the min hash over each sliding window of 4
+    * consecutive positions, keep the distinct minima. Guarantees any
+    * shared run ≥ 6 words contributes a shared fingerprint — the standard
+    * local-similarity sketch for plagiarism/near-dup detection. One
+    * shuffle (per-doc window) + distinct; fingerprints are md5-derived so
+    * the oracle mirrors them bit-exactly.
+    */
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingled = documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
+      )).as(Seq("pos", "shingle")))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)"))
+    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    shingled
+      .withColumn("wmin", min(col("h")).over(winMin))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("n") - 4) // only full windows
+      .select(col("doc_id"), col("wmin").as("fingerprint"))
+      .distinct()
+  }
+
+  val winnowFingerprintSql: String =
+    """WITH shingled AS (
+      |  SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |winmin AS (
+      |  SELECT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |    pos,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM shingled)
+      |SELECT DISTINCT doc_id, wmin AS fingerprint
+      |FROM winmin WHERE pos <= n - 3""".stripMargin
+  // NB filters differ by one on purpose: Spark posexplode is 0-based,
+  // DuckDB generate_series is 1-based — both keep exactly the full windows.
+
   /** Content fingerprint: md5 of the sorted distinct word set — invariant
     * to word order and repetition (catches shuffled copies).
     */
