@@ -115,7 +115,14 @@ final class Materializer(wh: Warehouse) {
       case InsertOverwrite =>
         val pcol = cfg.partitionBy.getOrElse(
           throw new IllegalArgumentException("insert_overwrite needs partition_by"))
-        wh.overwritePartitions(inc, rel, Seq(pcol))
+        // reference `is_replaceable` (@48682): when the existing layout's
+        // partition spec differs from the config, an in-place dynamic
+        // overwrite would interleave two layouts — rebuild instead
+        val existingSpec = wh.listPartitions(rel)
+          .map(_.takeWhile(_ != '=')).distinct
+        if (existingSpec.nonEmpty && existingSpec != Seq(pcol))
+          table(df, rel, cfg)
+        else wh.overwritePartitions(inc, rel, Seq(pcol))
         // NB: schema-evolution rewrites don't compose with in-place dynamic
         // overwrite; policies other than Ignore force the merge-style path.
       case Merge if cfg.uniqueKey.isEmpty =>

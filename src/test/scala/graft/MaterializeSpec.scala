@@ -75,6 +75,20 @@ class MaterializeSpec extends AnyFunSuite {
     assert(wh.listPartitions(r).toSet == Set("name=p1", "name=p2"))
   }
 
+  test("insert_overwrite with a changed partition spec rebuilds the table") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc7")
+    val byName = ModelConfig(materialized = "incremental",
+      incrementalStrategy = IncrementalStrategy.InsertOverwrite,
+      partitionBy = Some("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, byName)
+    assert(wh.listPartitions(r).forall(_.startsWith("name=")))
+    // same strategy, different partition column → full rebuild, new layout
+    val byScore = byName.copy(partitionBy = Some("score"))
+    m.incremental(df(Seq((3L, "p3", 9.0))), r, byScore)
+    assert(wh.listPartitions(r).forall(_.startsWith("score=")))
+    assert(wh.read(r).collect().map(_.getAs[Long]("id")).toSet == Set(3L))
+  }
+
   test("on_schema_change=ignore drops new columns, fail throws") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc5")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
