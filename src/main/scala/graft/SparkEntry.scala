@@ -59,6 +59,7 @@ object SparkEntry {
     "x_dedup_exact" -> (TextOps.dedupExact _),
     "x_dedup_ngram_jaccard" -> (TextOps.dedupNgramJaccard _),
     "x_dedup_minhash_lsh" -> (TextOps.dedupMinhashLsh _),
+    "x_dedup_clusters" -> (TextOps.dedupClusters _),
     "x_simhash" -> (TextOps.simhash _),
     "x_simhash_pairs" -> (TextOps.simhashPairs _),
     "x_token_count" -> (TextOps.tokenCount _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "x_dedup_exact" -> TextOps.dedupExactSql,
     "x_dedup_ngram_jaccard" -> TextOps.dedupNgramJaccardSql,
     "x_dedup_minhash_lsh" -> TextOps.dedupMinhashLshSql,
+    "x_dedup_clusters" -> TextOps.dedupClustersSql,
     "x_simhash" -> TextOps.simhashSql,
     "x_simhash_pairs" -> TextOps.simhashPairsSql,
     "x_token_count" -> TextOps.tokenCountSql,

@@ -202,6 +202,52 @@ object TextOps {
        |WHERE round(inter::DOUBLE / (s1.n_sh + s2.n_sh - inter), 4) >= 0.5""".stripMargin
   }
 
+  // ----------------------------------------------- dedup cluster resolve
+  /** The final dedup stage: resolve near-dup PAIRS into CLUSTERS and pick
+    * a canonical representative (the min doc_id of the connected
+    * component). Min-label propagation over the pair graph, 3 rounds —
+    * enough for any component of diameter ≤ 3; dup components here are
+    * tiny stars (orig ↔ its planted copies). Each round is one join +
+    * groupBy on doc_id — the standard bounded-iteration connected
+    * components at scale (full transitive closure would iterate to
+    * fixpoint with the same per-round plan).
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d).select(col("doc1"), col("doc2"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+    var labels = corpus(s, d).select(col("doc_id"),
+      col("doc_id").as("label"))
+    for (_ <- 1 to 3) {
+      val nbMin = edges.join(labels, edges("doc2") === labels("doc_id"))
+        .groupBy(col("doc1")).agg(min(col("label")).as("nb_min"))
+      labels = labels.join(nbMin, labels("doc_id") === nbMin("doc1"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  val dedupClustersSql: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT l.doc_id,
+         |    least(l.label, coalesce(m.nb_min, l.label)) AS label
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT e.doc1 AS doc_id, min(l2.label) AS nb_min
+         |    FROM edges e JOIN $prev l2 ON l2.doc_id = e.doc2
+         |    GROUP BY 1) m USING (doc_id))""".stripMargin
+    s"""WITH pairs AS ($dedupNgramJaccardSql),
+       |edges AS (SELECT doc1, doc2 FROM pairs
+       |          UNION ALL SELECT doc2, doc1 FROM pairs),
+       |$corpusSql,
+       |lab0 AS (SELECT doc_id, doc_id AS label FROM corpus),
+       |${step("lab0", "lab1")},
+       |${step("lab1", "lab2")},
+       |${step("lab2", "lab3")}
+       |SELECT doc_id, label AS cluster_id FROM lab3""".stripMargin
+  }
+
   // ------------------------------------------------------------- SimHash
   /** 32-bit SimHash over the distinct-word set: per bit, sum ±1 weighted by
     * the word-hash bit; the signature bit is 1 iff the sum is positive.
