@@ -33,6 +33,7 @@ object SparkEntry {
     "r_pivot_status" -> (Analytics.rPivotStatus _),
     "r_cube_orders" -> (Analytics.rCubeOrders _),
     "q_percentiles" -> (Analytics.qPercentiles _),
+    "q_approx_distinct" -> (Analytics.qApproxDistinct _), // rows-only: HLL sketches are engine-specific
     "j_semi_customers_with_orders" -> (Analytics.jSemiCustomersWithOrders _),
     "j_salted_join" -> (Skew.saltedRevenueByStatus _),
     "e_props_extract" -> (Events.propsExtract _),

@@ -244,6 +244,18 @@ object Analytics {
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** Approximate distinct counts (HLL++): the scale fallback for A4's
+    * exact COUNT(DISTINCT) when the key space itself is huge — one pass,
+    * fixed-size sketch state, no expand. No oracle: sketch estimates are
+    * engine-specific, so the driver records a rows-only check.
+    */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+
   /** A6: literal projection (reference models/test_model.sql:1 `select 1 as a`). */
   def a6Literal(s: SparkSession, d: String): DataFrame =
     s.sql("SELECT 1 AS a")

@@ -214,8 +214,11 @@ object TextOps {
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupNgramJaccard(s, d).select(col("doc1"), col("doc2"))
+    // cache the invariant edge set: the iterative rounds must not
+    // recompute the whole shingle-join pipeline per iteration
     val edges = pairs.unionByName(
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      .cache()
     var labels = corpus(s, d).select(col("doc_id"),
       col("doc_id").as("label"))
     for (_ <- 1 to 3) {

@@ -23,6 +23,21 @@ class BucketingSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("bucketed+sorted tables join with zero exchanges") {
+    // suites share one JVM-wide session (getOrCreate): this spec's
+    // warehouse.dir config is ignored when another suite ran first, so
+    // clean both the catalog entry AND any stale managed location
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     ops.TData.lineitem(spark, sf)
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .write.mode("overwrite")
