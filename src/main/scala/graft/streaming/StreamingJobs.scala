@@ -63,6 +63,57 @@ object StreamingJobs {
       }
   }
 
+  final case class ClosedSession(user_id: Long, session_start_ms: Long,
+                                 n_events: Long, total_value: Double)
+  /** Public (encoder codegen needs constructor access) per-session state. */
+  final case class SessionState(startMs: Long, lastMs: Long,
+                                eventCount: Long, total: Double)
+
+  /** Streaming sessionization with `flatMapGroupsWithState`: sessions
+    * close (and emit, Append mode) when the event-time watermark passes
+    * the 30-minute inactivity gap — the streaming twin of
+    * Events.sessionize, with state bounded per active user.
+    */
+  def closedSessions(spark: SparkSession, events: DataFrame)
+      : Dataset[ClosedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val gapMs = 30L * 60 * 1000
+    // the watermarked `ts` column itself must reach the stateful operator
+    // (event-time timeout requires it); convert to millis in the lambda
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionState], ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows0, state: GroupState[List[SessionState]]) =>
+          val rows = rows0.map(r => (r._1, r._2.getTime, r._3))
+          // sessions: sorted open runs; close those whose gap elapsed
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3)) // (ts, value) total order
+          var sessions = state.getOption.getOrElse(Nil)
+          sorted.foreach { case (_, ts, v) =>
+            sessions match {
+              case head :: tail if ts - head.lastMs <= gapMs =>
+                sessions = SessionState(head.startMs, ts, head.eventCount + 1,
+                  head.total + v) :: tail
+              case _ =>
+                sessions = SessionState(ts, ts, 1, v) :: sessions
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = sessions.partition(s =>
+            state.hasTimedOut || wm > s.lastMs + gapMs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.head.lastMs + gapMs + 1)
+          }
+          closed.reverseIterator.map(s => ClosedSession(uid, s.startMs,
+            s.eventCount, math.rint(s.total * 100) / 100))
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a finite
     * source via the memory sink, return the materialized result table.
     */

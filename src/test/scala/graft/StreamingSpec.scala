@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -39,6 +40,47 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getDouble(3))).toSet
     assert(got == want)
+  }
+
+  test("flatMapGroupsWithState closes sessions as the watermark advances") {
+    // two files => two micro-batches (maxFilesPerTrigger=1): the second
+    // carries a far-future sentinel that advances the watermark past every
+    // real session's gap, firing all event-time timeouts
+    val dir = Files.createTempDirectory("graft_stream_fmgws")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0-events.parquet"))
+    TData.events(spark, sf).limit(1)
+      .select(col("event_id"), (unix_millis(col("ts")) + 10000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .selectExpr("event_id", "ts * 1000000 AS ts", "user_id", "event_type",
+        "value", "props") // back to raw nanos shape (long)
+      .coalesce(1).write.parquet(dir.resolve("part-1-sentinel").toString)
+    // stage the sentinel file after the events file
+    val sentinelFile = Files.list(dir.resolve("part-1-sentinel")).iterator()
+      .asScala.find(_.toString.endsWith(".parquet")).get
+    Files.move(sentinelFile, dir.resolve("part-9-sentinel.parquet"))
+
+    val src = spark.readStream.schema(StreamingJobs.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = StreamingJobs.closedSessions(spark, src)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("closed_sessions")
+      .groupBy("user_id").agg(sum("n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every real event lands in some closed session (sentinel user's own
+    // last session may stay open; exclude that user)
+    val sentinelUser = TData.events(spark, sf).limit(1)
+      .collect().head.getAs[Long]("user_id")
+    val want = TData.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    want.foreach { case (u, n) =>
+      if (u != sentinelUser) assert(got.get(u).contains(n), s"user $u")
+    }
   }
 
   test("stateful user stats equal the batch per-user aggregate") {
