@@ -34,6 +34,7 @@ object SparkEntry {
     "r_cube_orders" -> (Analytics.rCubeOrders _),
     "q_percentiles" -> (Analytics.qPercentiles _),
     "q_approx_distinct" -> (Analytics.qApproxDistinct _), // rows-only: HLL sketches are engine-specific
+    "q_exact_distinct" -> (Analytics.qExactDistinct _),
     "j_semi_customers_with_orders" -> (Analytics.jSemiCustomersWithOrders _),
     "j_salted_join" -> (Skew.saltedRevenueByStatus _),
     "e_props_extract" -> (Events.propsExtract _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "r_pivot_status" -> Analytics.rPivotStatusSql,
     "r_cube_orders" -> Analytics.rCubeOrdersSql,
     "q_percentiles" -> Analytics.qPercentilesSql,
+    "q_exact_distinct" -> Analytics.qExactDistinctSql,
     "j_semi_customers_with_orders" -> Analytics.jSemiCustomersWithOrdersSql,
     "j_salted_join" -> Skew.saltedRevenueByStatusSql,
     "e_props_extract" -> Events.propsExtractSql,

@@ -125,8 +125,12 @@ object Analytics {
       |WHERE rn <= 3""".stripMargin
 
   /** Running (cumulative) aggregate: ROWS UNBOUNDED PRECEDING over a total
-    * per-partition order — the frame is deterministic so the cumulative
-    * double sum is bit-stable; rounded anyway.
+    * per-partition order. The frame is deterministic, but HOW the frame is
+    * summed is engine-specific (Spark accumulates sequentially, DuckDB with
+    * a pairwise segment tree), so a cumulative DOUBLE sum differs in the
+    * last ulp and `round(..,2)` flips on `.xx5` ties. Fix: quantize each
+    * summand to exact integer cents first — integer window sums are
+    * order-independent and /100.0 of the same int64 is the same double.
     */
   def wRunningRevenue(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -134,16 +138,17 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d).select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).over(w), 2)
+      (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")).over(w) / 100.0)
         .as("running_rev"))
   }
 
   val wRunningRevenueSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  round(sum(l_extendedprice * (1 - l_discount)) OVER (
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
       |    PARTITION BY l_suppkey
       |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_rev
       |FROM lineitem""".stripMargin
 
   /** Set ops: INTERSECT (nations present on both customer and supplier side). */
@@ -255,6 +260,21 @@ object Analytics {
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  /** Exact COUNT(DISTINCT) companion to [[qApproxDistinct]]: the same
+    * grouping with only the deterministic column, so the driver can
+    * hash-check it against DuckDB (the HLL estimate stays rows-only;
+    * AnalyticsSpec asserts the estimate is within the sketch's rsd bound
+    * of this exact count).
+    */
+  def qExactDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  val qExactDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** A6: literal projection (reference models/test_model.sql:1 `select 1 as a`). */
   def a6Literal(s: SparkSession, d: String): DataFrame =

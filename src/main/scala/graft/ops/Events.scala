@@ -58,13 +58,19 @@ object Events {
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         unix_millis(min(col("ts"))).as("session_start_ms"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // Exact-cents quantization BEFORE the sum: IEEE double addition is
+        // non-associative, so Spark's partial-agg order vs DuckDB's scan
+        // order can flip a `.xx5` rounding tie. Summing exact integers is
+        // order-independent; /100.0 of the same int64 is the same double
+        // in both engines.
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+          .as("sum_value"))
   }
 
   val sessionizeSql: String =
     """SELECT user_id, session_id, count(*) AS n_events,
       |  epoch_ms(min(ts)::TIMESTAMP) AS session_start_ms,
-      |  round(sum(value), 2) AS sum_value
+      |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
       |FROM (
       |  SELECT user_id, ts, value,
       |    sum(new_session) OVER (PARTITION BY user_id

@@ -78,6 +78,35 @@ object TextOps {
       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
       |        WHERE len(w) >= 3))""".stripMargin
 
+  /** Document-frequency cap for the inverted-index self-join: a shingle
+    * shared by df documents contributes df² candidate pairs, so one viral
+    * shingle ("of the and"-class) makes the join quadratic on a real
+    * corpus. Dropping shingles with df > cap bounds candidate growth to
+    * cap·Σdf — the standard MinHash-era stop-shingle filter. Jaccard is
+    * then computed consistently over the capped shingle space (both the
+    * per-doc sizes and the intersections).
+    */
+  private[ops] val ShingleDfCap = 100
+
+  /** Shingles with viral (df > cap) shingles removed. The hot set is tiny
+    * by construction, so Spark broadcasts the anti-join side.
+    */
+  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  private val cappedShinglesSql: String =
+    s"""capped AS (
+       |  SELECT doc_id, shingle FROM shing
+       |  WHERE shingle NOT IN (
+       |    SELECT shingle FROM shing GROUP BY shingle
+       |    HAVING count(*) > $ShingleDfCap))""".stripMargin
+
   // ------------------------------------------------- n-gram Jaccard dedup
   /** Fuzzy dedup, exhaustive-on-candidates: inverted-index self-join on
     * shared shingles (never all-pairs), exact Jaccard ≥ 0.5. The shingle
@@ -85,7 +114,7 @@ object TextOps {
     * not n².
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = cappedShingles(s, d).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -101,11 +130,11 @@ object TextOps {
   }
 
   val dedupNgramJaccardSql: String =
-    s"""WITH $corpusSql, $shinglesSql,
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY 1),
+    s"""WITH $corpusSql, $shinglesSql, $cappedShinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-       |  FROM shing a JOIN shing b
+       |  FROM capped a JOIN capped b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc1, doc2,
@@ -125,7 +154,7 @@ object TextOps {
     (0 until 16).map(i => (37L + 41L * i, 1009L + 733L * i))
 
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = cappedShingles(s, d)
       // CAST before %: a string operand would coerce the modulo to double
       // and lose ulps at 2^60
       .withColumn("h",
@@ -171,11 +200,11 @@ object TextOps {
       val parts = (0 until 4).map(j => s"m${bnd * 4 + j}").mkString(", ")
       s"SELECT doc_id, $bnd AS band_idx, md5(concat_ws('-', $parts)) AS band_val FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $corpusSql, $shinglesSql,
+    s"""WITH $corpusSql, $shinglesSql, $cappedShinglesSql,
        |hashes AS (
        |  SELECT doc_id, shingle,
        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS h
-       |  FROM shing),
+       |  FROM capped),
        |mh AS (
        |  SELECT doc_id,
        |    $minCols
@@ -203,53 +232,70 @@ object TextOps {
   }
 
   // ----------------------------------------------- dedup cluster resolve
-  /** The final dedup stage: resolve near-dup PAIRS into CLUSTERS and pick
-    * a canonical representative (the min doc_id of the connected
-    * component). Min-label propagation over the pair graph, 3 rounds —
-    * enough for any component of diameter ≤ 3; dup components here are
-    * tiny stars (orig ↔ its planted copies). Each round is one join +
-    * groupBy on doc_id — the standard bounded-iteration connected
-    * components at scale (full transitive closure would iterate to
-    * fixpoint with the same per-round plan).
+  /** Connected components by min-label propagation, iterated to FIXPOINT:
+    * each round every node takes the min of its own label and its
+    * neighbors' labels; we stop when a round changes nothing. Correct for
+    * ANY component diameter (a fixed round count would mislabel chains
+    * longer than it). Per round: one join + groupBy on doc_id, then a
+    * `localCheckpoint` to truncate the lineage so round N's plan doesn't
+    * re-execute rounds 1..N-1 — the standard large-graph CC loop (label
+    * count halves the rounds needed vs naive propagation because min
+    * labels hop through already-relabeled neighbors).
+    *
+    * @param edges directed (doc1 → doc2) edge list; symmetrized inside
+    * @param nodes one row per doc_id
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, d).select(col("doc1"), col("doc2"))
+  def resolveClusters(edges0: DataFrame, nodes: DataFrame): DataFrame = {
+    val pairs = edges0.select(col("doc1"), col("doc2"))
     // cache the invariant edge set: the iterative rounds must not
-    // recompute the whole shingle-join pipeline per iteration
+    // recompute the whole upstream pipeline per iteration
     val edges = pairs.unionByName(
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
       .cache()
-    var labels = corpus(s, d).select(col("doc_id"),
-      col("doc_id").as("label"))
-    for (_ <- 1 to 3) {
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
       val nbMin = edges.join(labels, edges("doc2") === labels("doc_id"))
         .groupBy(col("doc1")).agg(min(col("label")).as("nb_min"))
-      labels = labels.join(nbMin, labels("doc_id") === nbMin("doc1"), "left")
+      val next = labels.join(nbMin, labels("doc_id") === nbMin("doc1"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      // convergence check: labels only ever decrease, so "no row changed"
+      // is a cheap anti-equality count on the (small) label table
+      changed = next.alias("n")
+        .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.label") =!= col("p.label")).count()
+      labels = next
     }
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
-  val dedupClustersSql: String = {
-    def step(prev: String, next: String): String =
-      s"""$next AS (
-         |  SELECT l.doc_id,
-         |    least(l.label, coalesce(m.nb_min, l.label)) AS label
-         |  FROM $prev l LEFT JOIN (
-         |    SELECT e.doc1 AS doc_id, min(l2.label) AS nb_min
-         |    FROM edges e JOIN $prev l2 ON l2.doc_id = e.doc2
-         |    GROUP BY 1) m USING (doc_id))""".stripMargin
-    s"""WITH pairs AS ($dedupNgramJaccardSql),
+  /** The final dedup stage: resolve near-dup PAIRS into CLUSTERS and pick
+    * a canonical representative (the min doc_id of the connected
+    * component) via [[resolveClusters]].
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    resolveClusters(
+      dedupNgramJaccard(s, d).select(col("doc1"), col("doc2")),
+      corpus(s, d).select(col("doc_id")))
+
+  /** Oracle: recursive-CTE reachability — every node accumulates the labels
+    * of all reachable nodes (UNION dedups, so it terminates), min = the
+    * component minimum. Exact for any diameter, like the fixpoint loop.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($dedupNgramJaccardSql),
        |edges AS (SELECT doc1, doc2 FROM pairs
        |          UNION ALL SELECT doc2, doc1 FROM pairs),
        |$corpusSql,
-       |lab0 AS (SELECT doc_id, doc_id AS label FROM corpus),
-       |${step("lab0", "lab1")},
-       |${step("lab1", "lab2")},
-       |${step("lab2", "lab3")}
-       |SELECT doc_id, label AS cluster_id FROM lab3""".stripMargin
-  }
+       |walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.doc1, w.label FROM walk w JOIN edges e ON e.doc2 = w.doc_id)
+       |SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- SimHash
   /** 32-bit SimHash over the distinct-word set: per bit, sum ±1 weighted by
@@ -291,27 +337,47 @@ object TextOps {
        |SELECT doc_id, ($recombine)::BIGINT AS simhash FROM bitsums""".stripMargin
   }
 
-  /** SimHash near-dup pairs: bucket on the high 16 bits (the LSH step —
-    * candidates only within a bucket), then Hamming distance ≤ 6.
+  /** SimHash near-dup pairs, Manku-style multi-band LSH: the 32-bit
+    * signature is cut into 4 disjoint 8-bit bands; each band is a bucket
+    * table, candidates are pairs agreeing on AT LEAST ONE band (union +
+    * dedup), verified by Hamming ≤ 6. Versus a single high-bits bucket
+    * this (a) closes the recall hole where a near-dup pair differs in a
+    * high bit (any pair with ≤ 3 differing bits is GUARANTEED caught by
+    * pigeonhole; ≤ 6-bit pairs are caught unless all 4 bands are hit) and
+    * (b) spreads hot buckets over 4 independent keyspaces. Provably a
+    * candidate superset of the old top-16-bit bucketing (equal high 16
+    * bits ⇒ bands 2 and 3 both equal).
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(s, d).withColumn("bucket", expr("simhash DIV 65536"))
-    sh.alias("a").join(sh.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(expr("a.simhash ^ b.simhash")))
-      .filter(col("hamming") <= 6)
+    val sh = simhash(s, d)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_val"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+    bands.alias("a").join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("hamming"))
+        bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct() // a pair can match in several bands
   }
 
   val simhashPairsSql: String =
     s"""WITH sh AS ($simhashSql),
-       |bucketed AS (SELECT doc_id, simhash, simhash // 65536 AS bucket FROM sh)
-       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS band_idx,
+       |    (simhash >> (b * 8)) & 255 AS band_val
+       |  FROM sh, UNNEST(generate_series(0, 3)) AS t(b))
+       |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM bucketed a JOIN bucketed b
-       |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin
 
   // ------------------------------------------------------- token counting

@@ -51,6 +51,37 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("cluster resolution converges on a planted diameter-5 chain") {
+    // 1-2-3-4-5-6 chain: a fixed 3-round propagation would leave node 6
+    // labeled > 1; the fixpoint loop must resolve the whole chain to one
+    // cluster. Second component {10,11} and isolated node 20 as controls.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("doc1", "doc2")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 20L)).toDF("doc_id")
+    val got = TextOps.resolveClusters(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(got(_) == 1L), s"chain not resolved: $got")
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L)
+  }
+
+  test("4-band simhash candidates are a superset of top-16-bit bucketing") {
+    val sh = TextOps.simhash(spark, sf).withColumn("bucket",
+      expr("simhash DIV 65536")).cache()
+    val oldPairs = sh.alias("a").join(sh.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(expr("a.simhash ^ b.simhash")) <= 6)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newPairs = TextOps.simhashPairs(spark, sf)
+      .select(col("doc1"), col("doc2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldPairs.subsetOf(newPairs),
+      s"lost ${(oldPairs -- newPairs).take(5)}")
+    sh.unpersist()
+  }
+
   test("simhash of exact copies is identical; near-dups within hamming 6") {
     val sh = TextOps.simhash(spark, sf)
     val copies = sh.alias("a").join(sh.alias("b"),
@@ -90,6 +121,19 @@ class ExtensionOpsSpec extends AnyFunSuite {
     knn.foreach { case (_, rows) =>
       val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
       assert(sims.sameElements(sims.sortBy(-(_: Double))), "ranks ordered by cos")
+    }
+  }
+
+  test("HLL approx_count_distinct is within 5×rsd of the exact count") {
+    // rsd = 0.01 requested; 5 standard deviations is a safely non-flaky
+    // bound while still proving the estimate tracks the exact count.
+    val rows = Analytics.qApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"flag ${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
 
