@@ -76,7 +76,8 @@ object SparkEntry {
     "x_embedding_near_dups" -> (Similarity.embeddingNearDups _),
     "x_multimodal_meta" -> (Multimodal.mediaMeta _),
     "o_build_dag" -> (OrchestratorQueries.buildDag _),
-    "o_incremental_model" -> (OrchestratorQueries.incrementalModel _)
+    "o_incremental_model" -> (OrchestratorQueries.incrementalModel _),
+    "o_insert_overwrite_pruned" -> (OrchestratorQueries.insertOverwritePruned _)
   )
 
   /** DuckDB-runnable ANSI SQL per queries key (same parquet tables). */
@@ -138,6 +139,7 @@ object SparkEntry {
     "x_embedding_near_dups" -> Similarity.embeddingNearDupsSql,
     "x_multimodal_meta" -> Multimodal.mediaMetaSql,
     "o_build_dag" -> OrchestratorQueries.buildDagSql,
-    "o_incremental_model" -> OrchestratorQueries.incrementalModelSql
+    "o_incremental_model" -> OrchestratorQueries.incrementalModelSql,
+    "o_insert_overwrite_pruned" -> OrchestratorQueries.insertOverwritePrunedSql
   )
 }

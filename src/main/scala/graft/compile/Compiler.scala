@@ -27,6 +27,11 @@ object Compiler {
   private val configRe: Regex = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
   private val incrBlockRe: Regex =
     """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}""".r
+  // both the jinja form and the bare scripting-variable form the reference
+  // uses in model SQL (`_dbt_max_partition` is a declared variable in
+  // BigQuery scripts, not a jinja call)
+  private val maxPartRe: Regex =
+    """\{\{\s*_dbt_max_partition\s*\}\}|\b_dbt_max_partition\b""".r
 
   /** Dependency edges of a raw model SQL (parse phase — SURVEY §3.1 step 3:
     * `parent_map` is derived from ref/source calls before any execution).
@@ -74,7 +79,13 @@ object Compiler {
       sourceTarget: (String, String) => String,
       thisTarget: String,               // the model's own relation text
       env: Map[String, String],
-      isIncremental: Boolean)
+      isIncremental: Boolean,
+      // `_dbt_max_partition` (reference bq_insert_overwrite @34992): the
+      // target's current max partition value as a pre-rendered SQL literal,
+      // substituted into the compiled text so Catalyst sees a constant and
+      // can prune the source scan. None outside incremental runs → NULL
+      // (harmless: references live inside is_incremental() blocks).
+      maxPartition: Option[String] = None)
 
   /** Render raw model SQL to executable Spark SQL (SURVEY §3.1 step 2). */
   def compile(rawSql: String, ctx: ResolveCtx): String = {
@@ -90,7 +101,27 @@ object Compiler {
         Option(m.group(2)).getOrElse(
           throw new IllegalArgumentException(s"env_var ${m.group(1)} unset, no default")))))
     sql = thisRe.replaceAllIn(sql, Regex.quoteReplacement(ctx.thisTarget))
+    sql = maxPartRe.replaceAllIn(sql,
+      Regex.quoteReplacement(ctx.maxPartition.getOrElse("NULL")))
     sql.trim
+  }
+
+  /** Render a collected scalar as a Spark SQL literal (for
+    * `_dbt_max_partition` substitution). Handles both the java.sql and
+    * java.time shapes Spark returns depending on
+    * `spark.sql.datetime.java8API.enabled` and NTZ columns.
+    */
+  def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case i: java.time.Instant =>
+      s"TIMESTAMP '${i.toString.replace("T", " ").stripSuffix("Z")}'"
+    case l: java.time.LocalDateTime =>
+      s"TIMESTAMP_NTZ '${l.toString.replace("T", " ")}'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case other => other.toString
   }
 
   /** `parquet.`/path/`` — Spark SQL's direct-path table syntax. */

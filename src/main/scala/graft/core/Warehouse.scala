@@ -123,16 +123,37 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Catalog stats (reference `bigquery__get_catalog` @3102: per-table
     * row counts, byte sizes, partition info from information_schema; here
-    * from parquet footers + filesystem).
+    * from parquet footers + filesystem). Pure metadata reads — the row
+    * count comes from each file's footer record count, so NO Spark job
+    * scans table data (the reference reads `__TABLES__` stats for the
+    * same reason: a catalog listing must not cost a full scan per table).
     */
   def catalogInfo(database: String, schema: String)
       : Seq[(Relation, Long, Long, Seq[String])] =
     listRelations(database, schema).map { rel =>
       val p = new Path(path(rel))
       val summary = fs.getContentSummary(p)
-      val rows = read(rel).count()
-      (rel, rows, summary.getLength, listPartitions(rel))
+      (rel, footerRowCount(p), summary.getLength, listPartitions(rel))
     }
+
+  /** Sum of parquet footer record counts under a directory (driver-side
+    * metadata IO only; footers are O(KB) regardless of file size).
+    */
+  private def footerRowCount(dir: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val it = fs.listFiles(dir, true)
+    var rows = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try rows += rd.getRecordCount finally rd.close()
+      }
+    }
+    rows
+  }
 
   /** Partition directory names of a partitioned relation (reference
     * `get_partitions_metadata` @12518).

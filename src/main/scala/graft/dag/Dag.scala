@@ -42,29 +42,41 @@ object Dag {
     out.toSeq
   }
 
-  /** Run `exec` for every node, `threads`-wide, parents-before-children. */
+  /** Run `exec` for every node, `threads`-wide, parents-before-children.
+    *
+    * Event-driven scheduling: a node is SUBMITTED to the pool only once all
+    * its in-graph parents finished, so workers never block waiting on
+    * upstream state. (The previous design parked every node's worker on a
+    * latch, which deadlocks by thread starvation whenever ≥ `threads`
+    * not-yet-ready nodes are picked up before their parents — e.g. any
+    * child that sorts before its parent under threads=1.)
+    */
   def run(nodes: Seq[String], parents: Map[String, Seq[String]], threads: Int)
          (exec: String => Unit): Seq[NodeResult] = {
     topoSort(nodes, parents) // validates acyclicity up front
+    val nodeSet = nodes.toSet
     val pool = Executors.newFixedThreadPool(threads)
-    val latches = nodes.map(n => n -> new CountDownLatch(
-      parents.getOrElse(n, Nil).count(nodes.contains))).toMap
     val results: concurrent.Map[String, NodeResult] =
       new ConcurrentHashMap[String, NodeResult]().asScala
     val childrenOf = nodes.map(n => n -> nodes.filter(
       c => parents.getOrElse(c, Nil).contains(n))).toMap
+    val pending = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    nodes.foreach(n => pending.put(n,
+      new java.util.concurrent.atomic.AtomicInteger(
+        parents.getOrElse(n, Nil).count(nodeSet.contains))))
     val done = new CountDownLatch(nodes.size)
 
     def finish(n: String, r: NodeResult): Unit = {
       results.put(n, r)
-      childrenOf(n).foreach(c => latches(c).countDown())
+      childrenOf(n).foreach { c =>
+        if (pending.get(c).decrementAndGet() == 0) submit(c)
+      }
       done.countDown()
     }
 
-    nodes.foreach { n =>
+    def submit(n: String): Unit = {
       pool.submit(new Runnable {
         override def run(): Unit = {
-          latches(n).await()
           val failedParent = parents.getOrElse(n, Nil)
             .exists(p => results.get(p).exists(_.status != "success"))
           if (failedParent) {
@@ -79,7 +91,10 @@ object Dag {
           }
         }
       })
+      ()
     }
+
+    nodes.filter(n => pending.get(n).get() == 0).foreach(submit)
     done.await(4, TimeUnit.HOURS)
     pool.shutdown()
     nodes.map(results(_))

@@ -38,9 +38,14 @@ object SchemaTests {
     * (referential integrity, LEFT ANTI join).
     */
   def relationships(child: DataFrame, fk: String,
-                    parent: DataFrame, pk: String): DataFrame =
+                    parent: DataFrame, pk: String): DataFrame = {
+    // alias the parent key: fk and pk often share a name (self-named keys
+    // in schema.yml), which would make the join condition ambiguous; the
+    // anti-join output carries only child columns, so the alias never leaks
+    val p = parent.select(col(pk).as("__graft_rel_pk"))
     child.filter(col(fk).isNotNull)
-      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      .join(p, col(fk) === col("__graft_rel_pk"), "left_anti")
+  }
 
   /** B25 `get_where_subquery`: per-test row filter applied before the test. */
   def withWhere(df: DataFrame, whereClause: Option[Column]): DataFrame =

@@ -109,7 +109,7 @@ final class Materializer(wh: Warehouse) {
                   fullRefresh: Boolean = false): Unit = {
     if (!wh.exists(rel) || fullRefresh) { table(df, rel, cfg); return }
     val target = wh.read(rel)
-    val (inc, tgt, _) =
+    val (inc, tgt, requiresTargetRewrite) =
       SchemaEvolution(cfg.onSchemaChange, df, target)
     cfg.incrementalStrategy match {
       case InsertOverwrite =>
@@ -122,9 +122,20 @@ final class Materializer(wh: Warehouse) {
           .map(_.takeWhile(_ != '=')).distinct
         if (existingSpec.nonEmpty && existingSpec != Seq(pcol))
           table(df, rel, cfg)
+        else if (requiresTargetRewrite) {
+          // schema evolved under append_new_columns/sync_all_columns: an
+          // in-place dynamic overwrite would leave untouched partitions on
+          // the OLD parquet schema while new partitions get the new one —
+          // a later read (mergeSchema off by default) silently drops or
+          // misorders columns. Do the partition replacement as one atomic
+          // full rewrite on the evolved schema instead: untouched
+          // partitions come from the conformed target, incoming partitions
+          // from the increment.
+          val keep = tgt.join(inc.select(col(pcol)).distinct(),
+            Seq(pcol), "left_anti")
+          wh.writeAtomic(keep.unionByName(inc), rel, Seq(pcol), cfg.clusterBy)
+        }
         else wh.overwritePartitions(inc, rel, Seq(pcol))
-        // NB: schema-evolution rewrites don't compose with in-place dynamic
-        // overwrite; policies other than Ignore force the merge-style path.
       case Merge if cfg.uniqueKey.isEmpty =>
         // append-only merge (`ON FALSE`, @89014)
         wh.append(inc, rel, cfg.partitionBy.toSeq)

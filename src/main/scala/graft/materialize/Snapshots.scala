@@ -90,10 +90,12 @@ final class Snapshotter(wh: Warehouse) {
     val closing = updateScdIds.unionByName(deleteScdIds)
 
     // B16 merge: matched current rows get dbt_valid_to set; staging rows
-    // are inserted. Full-outer-free rewrite: closing is small relative to
-    // history → broadcast left join + append of insertions.
+    // are inserted. `closing` is usually small relative to history, but an
+    // upstream backfill can touch most rows — so no forced broadcast hint:
+    // AQE broadcasts at runtime when the actual size qualifies and falls
+    // back to a shuffle join when it doesn't (a forced hint would OOM).
     val merged = snapped.alias("t")
-      .join(broadcast(closing).alias("u"),
+      .join(closing.alias("u"),
         col("t.dbt_scd_id") === col("u.dbt_scd_id"), "left")
       .select(snapped.columns.toIndexedSeq.map {
         case "dbt_valid_to" =>

@@ -79,4 +79,43 @@ object OrchestratorQueries {
 
   val incrementalModelSql: String =
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+
+  /** insert_overwrite + `_dbt_max_partition` lifecycle: run 1 loads orders
+    * ≤ 5000 partitioned by okey_k = o_orderkey div 1000; run 2 compiles
+    * `okey_k >= _dbt_max_partition` into a CONSTANT predicate (the
+    * reference's bq_insert_overwrite substitution @34992), so only
+    * partitions ≥ 5 are recomputed and dynamically replaced. Buckets 0–4
+    * survive untouched from run 1; final state must equal the plain full
+    * query — proving both the partition replacement and the literal
+    * substitution are correct. (OrchestratorSpec asserts the plan-level
+    * partition pruning on a partitioned ref.)
+    */
+  def insertOverwritePruned(s: SparkSession, d: String): DataFrame = {
+    val root = freshRoot()
+    val modelSql =
+      """{{ config(materialized='incremental', incremental_strategy='insert_overwrite', partition_by='okey_k') }}
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(o_orderkey DIV 1000 AS INT) AS okey_k
+        |FROM {{ source('tpch', 'orders') }}
+        |WHERE o_orderkey <= {{ env_var('MAX_ID') }}
+        |{% if is_incremental() %}
+        |  AND o_orderkey DIV 1000 >= _dbt_max_partition
+        |{% endif %}""".stripMargin
+    val project = Project(name = "demo_iop",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("orders_part", modelSql)))
+
+    val run1 = new Engine(s, project,
+      Target(root, env = Map("MAX_ID" -> "5000"), threads = 1))
+    require(run1.build()._1.forall(_.status == "success"))
+    val run2 = new Engine(s, project,
+      Target(root, env = Map("MAX_ID" -> "999999999"), threads = 1))
+    require(run2.build()._1.forall(_.status == "success"))
+    run2.readModel("orders_part")
+  }
+
+  val insertOverwritePrunedSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |       CAST(o_orderkey // 1000 AS INT) AS okey_k
+      |FROM orders""".stripMargin
 }

@@ -127,28 +127,41 @@ object Similarity {
         col("col._1").as("cos_sim"), (col("pos") + 1).as("knn_rank"))
   }
 
-  /** IVF-style ANN: a coarse quantizer (centroids = the first 8 vectors,
-    * deterministic) partitions the corpus into cells; a query probes ONLY
-    * its own cell (nprobe=1). At scale the assignment is one broadcast
-    * pass and each probe touches 1/8 of the corpus — the inverted-file
-    * trade: recall < 1, cost ∝ corpus/cells.
+  /** IVF-style ANN, production shape:
+    *  - coarse quantizer = √N deterministically SAMPLED centroids
+    *    (vec_id % ceil(√N) == 0 — seed-by-id, so the oracle mirrors it);
+    *    √N cells is the classical IVF sizing: probe cost ∝ N/√N = √N
+    *  - every vector is assigned to its nearest centroid (one broadcast
+    *    of the √N centroid table against a single corpus scan)
+    *  - queries probe their nprobe=2 nearest cells (recall recovery for
+    *    near-boundary queries)
+    *  - candidate scoring is a SHUFFLE join on cell id — the query side
+    *    is not broadcast, so an unbounded query batch can't OOM the
+    *    executors; each cell's candidates co-locate on one partition.
+    * Recall < 1 by construction; ExtensionOpsSpec asserts recall@5 vs
+    * the exact brute-force baseline.
     */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
-    val centroids = e.filter(col("vec_id") < 8)
+    // control-plane scalar: quantizer sizing (same role as the reference's
+    // run_query(...)[0][0] metadata fetches)
+    val n = e.count()
+    val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val centroids = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    val assigned = e.crossJoin(broadcast(centroids))
+    val ranked = e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("centroid_id"),
         round(cosine_sim(col("v"), col("cv")), 6).as("a_sim"))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("a_sim").desc, col("centroid_id").asc)))
-      .filter(col("arn") === 1)
+    val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("centroid_id"))
-    val q = assigned.filter(col("vec_id") % 50 === 0)
+    // nprobe=2: each query expands to its two closest cells
+    val q = ranked.filter(col("vec_id") % 50 === 0 && col("arn") <= 2)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("centroid_id").as("q_cell"))
-    val scored = assigned.join(broadcast(q),
+    val scored = assigned.join(q,
         col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
@@ -159,17 +172,19 @@ object Similarity {
     """WITH e AS (SELECT vec_id,
       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |           FROM embeddings),
-      |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
-      |assigned AS (
-      |  SELECT vec_id, v, centroid_id FROM (
+      |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      |      WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e) = 0),
+      |ranked AS (
+      |  SELECT vec_id, v, centroid_id, arn FROM (
       |    SELECT e.vec_id, e.v, c.centroid_id,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |        round(list_dot_product(e.v, c.cv)
       |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
       |          6) DESC, c.centroid_id ASC) AS arn
-      |    FROM e CROSS JOIN c) WHERE arn = 1),
+      |    FROM e CROSS JOIN c)),
+      |assigned AS (SELECT vec_id, v, centroid_id FROM ranked WHERE arn = 1),
       |q AS (SELECT vec_id AS q_id, v AS qv, centroid_id AS q_cell
-      |      FROM assigned WHERE vec_id % 50 = 0),
+      |      FROM ranked WHERE vec_id % 50 = 0 AND arn <= 2),
       |scored AS (
       |  SELECT q_id, a.vec_id AS neighbor_id,
       |    round(list_dot_product(qv, a.v)

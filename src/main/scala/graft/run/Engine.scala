@@ -27,13 +27,24 @@ final case class SnapshotDef(name: String, rawSql: String, keys: Seq[String],
                              strategy: SnapshotStrategy,
                              invalidateHardDeletes: Boolean = false)
 
+/** `relationships` test target (reference schema.yml
+  * `relationships: {to: ref('parent'), field: pk}` @199544): the parent is
+  * a MODEL NAME resolved at run time through `Engine.readModel`, so
+  * declarative projects (tests.conf) can express referential integrity
+  * without a DataFrame in hand.
+  */
+final case class RelationshipDef(parentModel: String, fk: String, pk: String)
+
 /** A declared schema test bound to a model (reference schema.yml tests). */
 final case class TestDef(name: String, modelName: String,
                          test: DataFrame => DataFrame,
                          severity: String = "error", // error | warn
                          where: Option[String] = None,
                          limit: Option[Int] = None,
-                         storeFailures: Boolean = false)
+                         storeFailures: Boolean = false,
+                         // when set, `test` is ignored and the failing set
+                         // is the anti-join child.fk → parent.pk
+                         relationship: Option[RelationshipDef] = None)
 
 final case class Project(name: String,
                          sources: Seq[SourceDef] = Nil,
@@ -140,6 +151,16 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     val self = relationFor(m.name)
     val isIncr = cfg.materialized == "incremental" &&
       warehouse.exists(self) && !fullRefresh // reference is_incremental @157947
+    // `_dbt_max_partition` (reference bq_insert_overwrite @34992): for an
+    // incremental run of a partitioned model, fetch the target's max
+    // partition once (control-plane scalar, = run_query(...)[0][0]) and
+    // substitute it as a LITERAL — the single most important incremental
+    // optimization at scale, because a constant predicate partition-prunes
+    // the source scan where a scalar subquery would not.
+    val maxPart: Option[String] =
+      if (isIncr) cfg.partitionBy.flatMap(pc =>
+        mat.maxPartition(self, pc).map(Compiler.sqlLiteral))
+      else None
     val ctx = Compiler.ResolveCtx(
       refTarget = r =>
         if (isInlined(r)) s"__cte__$r"
@@ -147,7 +168,8 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
       sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
       thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
       env = target.env,
-      isIncremental = isIncr)
+      isIncremental = isIncr,
+      maxPartition = maxPart)
     val body = Compiler.compile(m.rawSql, ctx)
     val ephemerals = inlinedClosure(m.rawSql)
     if (ephemerals.isEmpty) body
@@ -213,7 +235,12 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
   def runTest(t: TestDef): TestResult = {
     val base = readModel(t.modelName)
     val filtered = t.where.fold(base)(w => base.filter(w))
-    val failing = t.limit.fold(t.test(filtered))(l => t.test(filtered).limit(l))
+    val applied = t.relationship match {
+      case Some(r) =>
+        SchemaTests.relationships(filtered, r.fk, readModel(r.parentModel), r.pk)
+      case None => t.test(filtered)
+    }
+    val failing = t.limit.fold(applied)(l => applied.limit(l))
     val n = failing.count()
     if (t.storeFailures && n > 0) // reference should_store_failures @67089
       warehouse.writeAtomic(failing, relationFor(s"${t.name}__failures"))
@@ -228,8 +255,17 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
             deferRoot: Option[String] = None,
             fullRefresh: Boolean = false)
       : (Seq[Dag.NodeResult], Seq[TestResult]) = {
-    val parents = parentsOf
     val nodes0 = allNodes
+    // a relationships test makes its child node depend on the parent model
+    // (dbt attaches the test to BOTH models for exactly this ordering)
+    val known = nodes0.toSet
+    val testEdges = project.tests.flatMap(t =>
+      t.relationship.collect {
+        case r if known.contains(r.parentModel) => t.modelName -> r.parentModel
+      }).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val parents = parentsOf.map { case (n, ps) =>
+      n -> (ps ++ testEdges.getOrElse(n, Nil)).distinct
+    }
     val nodes = select match {
       case None => nodes0
       case Some(sel) => nodes0.filter(sel.contains)

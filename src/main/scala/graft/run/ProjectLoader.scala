@@ -80,11 +80,11 @@ object ProjectLoader {
             TestDef(testName, model, df =>
               SchemaTests.acceptedValues(df, parts(2), parts(3).split(",").toSeq))
           case "relationships" =>
-            // parent model is resolved lazily at run time via a closure on
-            // the engine is not available here; encode as anti-join against
-            // the parent relation path once the engine runs the test.
-            throw new IllegalArgumentException(
-              "relationships tests require the programmatic API (needs a parent DataFrame)")
+            // `relationships child_model fk parent_model pk` — the parent is
+            // a model/seed NAME, resolved at run time by Engine.readModel
+            // (reference schema.yml `relationships: {to: ref(...), field}`)
+            TestDef(testName, model, df => df,
+              relationship = Some(RelationshipDef(parts(3), parts(2), parts(4))))
           case other =>
             throw new IllegalArgumentException(s"unknown test kind $other")
         }

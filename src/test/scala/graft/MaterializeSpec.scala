@@ -149,4 +149,60 @@ class MaterializeSpec extends AnyFunSuite {
     assert(m.maxPartition(r, "id").contains(5L))
     assert(m.maxPartition(rel("absent"), "id").isEmpty)
   }
+
+  test("insert_overwrite + append_new_columns rewrites to one consistent schema") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc8")
+    val cfg = ModelConfig(materialized = "incremental",
+      incrementalStrategy = IncrementalStrategy.InsertOverwrite,
+      partitionBy = Some("name"),
+      onSchemaChange = OnSchemaChange.AppendNewColumns)
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
+    // evolved increment: new column `extra` arrives for partition p2 only
+    val evolved = Seq((30L, "p2", 30.0, "x"))
+      .toDF("id", "name", "score", "extra")
+    m.incremental(evolved, r, cfg)
+    val out = wh.read(r)
+    // the UNTOUCHED partition p1 must also expose the evolved schema (a
+    // dynamic in-place overwrite would have left it on the old parquet
+    // schema and a default read would drop `extra` or misorder columns)
+    assert(out.columns.toSet == Set("id", "name", "score", "extra"))
+    val rows = out.collect().map(x =>
+      (x.getAs[String]("name"), x.getAs[Long]("id"), x.getAs[String]("extra"))).toSet
+    assert(rows == Set(("p1", 1L, null), ("p2", 30L, "x")))
+  }
+
+  test("catalogInfo reads row counts from footers without a Spark job") {
+    val wh = freshWh(); val m = new Materializer(wh)
+    m.table(df((1L to 57L).map(i => (i, s"n$i", i.toDouble))), rel("cat1"))
+    m.table(df(Seq((1L, "a", 1.0))), rel("cat2"))
+    spark.sparkContext.setJobGroup("catalog_info_check", "catalog stats")
+    val info = wh.catalogInfo("db", "sch")
+    spark.sparkContext.clearJobGroup()
+    val byName = info.map(t => t._1.identifier -> t._2).toMap
+    assert(byName == Map("cat1" -> 57L, "cat2" -> 1L))
+    assert(info.forall(_._3 > 0L)) // byte size from filesystem
+    Thread.sleep(500) // listener bus drain
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("catalog_info_check").isEmpty,
+      "catalogInfo must not launch a Spark job (footer metadata only)")
+  }
+
+  test("cluster_by sorts rows within each written file") {
+    val wh = freshWh(); val r = rel("clus1")
+    // scrambled input: (i*37) % 101 is a permutation of 0..100
+    val rows = (0L until 101L).map(i => ((i * 37L) % 101L, s"n$i", i.toDouble))
+    wh.writeAtomic(df(rows).repartition(4), r, clusterCols = Seq("id"))
+    val files = new java.io.File(wh.path(r)).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"file ${f.getName} not sorted: ${ids.take(10)}")
+    }
+    // read-back is still complete
+    assert(wh.read(r).count() == 101)
+  }
 }

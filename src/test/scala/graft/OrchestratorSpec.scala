@@ -46,6 +46,43 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(e.readModel("by_region").count() == 5)
   }
 
+  test("_dbt_max_partition compiles to a literal that partition-prunes the scan") {
+    val r = root()
+    val p = Project(name = "pmax",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("base_part",
+          """{{ config(materialized='table', partition_by='k') }}
+            |SELECT o_orderkey, CAST(o_orderkey % 10 AS INT) AS k
+            |FROM {{ source('tpch', 'orders') }}""".stripMargin),
+        ModelDef("inc_part",
+          """{{ config(materialized='incremental', incremental_strategy='insert_overwrite', partition_by='k') }}
+            |SELECT o_orderkey, k FROM {{ ref('base_part') }}
+            |{% if is_incremental() %} WHERE k >= _dbt_max_partition {% endif %}""".stripMargin)))
+    val e1 = new Engine(spark, p, Target(r, threads = 1))
+    assert(e1.build()._1.forall(_.status == "success"))
+    assert(e1.warehouse.listPartitions(e1.relationFor("base_part")).size == 10)
+
+    val e2 = new Engine(spark, p, Target(r, threads = 1))
+    val m = p.models.find(_.name == "inc_part").get
+    val compiled = e2.compileSql(m, Set("base_part", "inc_part"), None,
+      fullRefresh = false)
+    assert(compiled.contains(">= 9"), s"literal not substituted: $compiled")
+    // plan-level proof: the constant predicate lands in the scan's
+    // PartitionFilters, so only 1 of base_part's 10 partitions is read
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = spark.sql(compiled).queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        """PartitionFilters: \[[^\]]*>= 9""".r.findFirstIn(plan).isDefined,
+        s"no partition filter in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // behavioral proof: run 2 only replaces partitions >= 9, final state intact
+    assert(e2.build()._1.forall(_.status == "success"))
+    assert(e2.readModel("inc_part").count() ==
+      e2.readModel("base_part").count())
+  }
+
   test("failing error-severity test fails the node and skips children") {
     val p = baseProject.copy(tests = Seq(
       TestDef("always_fails", "nations",

@@ -24,7 +24,8 @@ class ProjectLoaderSpec extends AnyFunSuite {
       Set("stg_nations", "eph_regions", "nation_region", "orders_incr"))
     assert(project.seeds.map(_.name) == Seq("priorities"))
     assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
-    assert(project.tests.size == 3)
+    assert(project.tests.size == 4)
+    assert(project.tests.exists(_.relationship.isDefined))
 
     val engine = new Engine(spark, project,
       Target(Files.createTempDirectory("graft_demo").toString,
@@ -40,6 +41,41 @@ class ProjectLoaderSpec extends AnyFunSuite {
     val snap = engine.warehouse.read(engine.relationFor("orders_snapshot"))
     assert(snap.filter(col("dbt_valid_to").isNull).count() ==
       engine.readModel("orders_incr").count())
+  }
+
+  test("relationships test from tests.conf: pass and fail in one build") {
+    val dir = Files.createTempDirectory("graft_rel")
+    def put(name: String, text: String): Unit = {
+      val p = dir.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("project.conf", "name=reldemo\nthreads=1")
+    put("sources.conf",
+      "tpch nation /root/testdata/sf0.001/nation.parquet\n" +
+        "tpch region /root/testdata/sf0.001/region.parquet")
+    put("models/parents.sql",
+      "SELECT r_regionkey FROM {{ source('tpch', 'region') }}")
+    put("models/child_ok.sql",
+      "SELECT n_nationkey, n_regionkey FROM {{ source('tpch', 'nation') }}")
+    put("models/child_bad.sql",
+      "SELECT n_nationkey, n_regionkey + 100 AS fk FROM {{ source('tpch', 'nation') }}")
+    // neither child ref()s parents — the ordering edge must come from the
+    // relationships declaration itself
+    put("tests.conf",
+      "relationships child_ok n_regionkey parents r_regionkey\n" +
+        "relationships child_bad fk parents r_regionkey")
+    val (project, _) = ProjectLoader.load(dir.toString)
+    val engine = new Engine(spark, project,
+      Target(Files.createTempDirectory("graft_rel_wh").toString, threads = 1))
+    val (nodes, tests) = engine.build()
+    assert(nodes.find(_.name == "parents").get.status == "success")
+    assert(nodes.find(_.name == "child_ok").get.status == "success")
+    assert(nodes.find(_.name == "child_bad").get.status == "error")
+    val byModel = tests.map(t => t.model -> t).toMap
+    assert(byModel("child_ok").status == "pass")
+    assert(byModel("child_bad").status == "error" &&
+      byModel("child_bad").failures == 25L)
   }
 
   test("ephemeral models never materialize to the warehouse") {
