@@ -108,6 +108,52 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         r.identifier.endsWith("__dbt_backup"))
   }
 
+  // ------------------------------------------------------------- views
+  /** Durable view catalog (reference `create_view_as` @84061: views are
+    * persistent catalog objects). A path-addressed warehouse has no
+    * metastore, so a view IS its compiled definition: stored as a sibling
+    * FILE `<identifier>.view.sql` (never mistaken for a table directory by
+    * [[listRelations]]), readable by ANY later session or external engine
+    * — not just the one that registered the temp view.
+    */
+  def saveViewDef(rel: Relation, compiledSql: String): Unit = {
+    val p = new Path(path(rel) + ".view.sql")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(compiledSql.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readViewDef(rel: Relation): Option[String] = {
+    val p = new Path(path(rel) + ".view.sql")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Reconstruct a durable view as a DataFrame (compiled SQL references
+    * warehouse paths, so it resolves in any session).
+    */
+  def readView(rel: Relation): Option[DataFrame] =
+    readViewDef(rel).map(spark.sql)
+
+  def dropView(rel: Relation): Unit = {
+    val p = new Path(path(rel) + ".view.sql")
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  def listViews(database: String, schema: String): Seq[Relation] = {
+    val p = new Path(s"$root/$database/$schema")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".view.sql"))
+      .map(st => Relation(database, schema,
+        st.getPath.getName.stripSuffix(".view.sql")))
+  }
+
   /** Reference `create_schema` @161298 / `drop_schema` @162682 /
     * `check_schema_exists` @188106.
     */

@@ -349,7 +349,9 @@ object TextOps {
     * bits ⇒ bands 2 and 3 both equal).
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(s, d)
+    // cache the signatures: the band self-join would otherwise recompute
+    // the full explode+32-column bit-sum aggregation for BOTH join sides
+    val sh = simhash(s, d).cache()
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"),

@@ -51,7 +51,12 @@ final case class Project(name: String,
                          models: Seq[ModelDef] = Nil,
                          seeds: Seq[SeedDef] = Nil,
                          snapshots: Seq[SnapshotDef] = Nil,
-                         tests: Seq[TestDef] = Nil)
+                         tests: Seq[TestDef] = Nil,
+                         // project-level run hooks (reference `on-run-start`
+                         // / `on-run-end` keys of dbt_project.yml, executed
+                         // through the same run_hooks surface @59759)
+                         onRunStart: Seq[String] = Nil,
+                         onRunEnd: Seq[String] = Nil)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -203,6 +208,20 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
       ()
     }
 
+  /** Project-level hooks (reference on-run-start/on-run-end): same template
+    * surface as model hooks minus `{{ this }}` (no node scope). A failing
+    * on-run-start aborts the run, mirroring the reference.
+    */
+  private def runProjectHooks(hooks: Seq[String]): Unit =
+    hooks.foreach { h =>
+      spark.sql(Compiler.compile(h, Compiler.ResolveCtx(
+        refTarget = r => Compiler.pathRelation(
+          relationFor(r).pathUnder(target.warehouseRoot)),
+        sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+        thisTarget = "", env = target.env, isIncremental = false)))
+      ()
+    }
+
   private def runNode(name: String, selected: Set[String],
                       deferRoot: Option[String], fullRefresh: Boolean): Unit = {
     project.seeds.find(_.name == name).foreach { sd =>
@@ -211,9 +230,15 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     project.models.find(_.name == name).foreach { m =>
       val cfg = effectiveConfig(m)
       runHooks(cfg.preHooks, m.name)
-      val df = spark.sql(compileSql(m, selected, deferRoot, fullRefresh))
+      val compiled = compileSql(m, selected, deferRoot, fullRefresh)
+      val df = spark.sql(compiled)
       cfg.materialized match {
-        case "view" => mat.view(df, viewName(m.name))
+        case "view" =>
+          mat.view(df, viewName(m.name))
+          // durable catalog entry: external/later sessions reconstruct the
+          // view from its compiled definition (reference views @84061 are
+          // persistent objects, not session state)
+          warehouse.saveViewDef(relationFor(m.name), compiled)
         case "incremental" =>
           mat.incremental(df, relationFor(m.name), cfg, fullRefresh)
         case "ephemeral" => () // inlined by ref() of downstream models
@@ -255,6 +280,7 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
             deferRoot: Option[String] = None,
             fullRefresh: Boolean = false)
       : (Seq[Dag.NodeResult], Seq[TestResult]) = {
+    runProjectHooks(project.onRunStart)
     val nodes0 = allNodes
     // a relationships test makes its child node depend on the parent model
     // (dbt attaches the test to BOTH models for exactly this ordering)
@@ -283,6 +309,7 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
           throw new IllegalStateException(s"test ${t.name} failed: ${r.failures} rows")
       }
     }
+    runProjectHooks(project.onRunEnd)
     import scala.jdk.CollectionConverters._
     (nodeResults, testResults.asScala.toSeq)
   }
@@ -297,7 +324,10 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
         // the fly (views/ephemerals are logical — always reconstructible)
         if (spark.catalog.tableExists(viewName(name))) spark.table(viewName(name))
         else spark.sql(compileSql(m, Set.empty, None, fullRefresh = false))
-      case None => warehouse.read(relationFor(name))
+      case None =>
+        val rel = relationFor(name)
+        if (warehouse.exists(rel)) warehouse.read(rel)
+        else warehouse.readView(rel).getOrElse(warehouse.read(rel))
     }
 
   /** Source freshness command (SURVEY §2 B36). */

@@ -90,7 +90,17 @@ object ProjectLoader {
         }
     }
 
-    (Project(name, sources, models, seeds, snapshots, tests), conf)
+    // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml
+    // on-run-start / on-run-end)
+    val hookLines = readLines(root.resolve("hooks.conf")).map { l =>
+      val Array(kind, sql) = l.split("\\s+", 2)
+      kind -> sql
+    }
+    val onRunStart = hookLines.collect { case ("start", s) => s }
+    val onRunEnd = hookLines.collect { case ("end", s) => s }
+
+    (Project(name, sources, models, seeds, snapshots, tests,
+      onRunStart, onRunEnd), conf)
   }
 
   private def configKv(sql: String): Map[String, String] = {

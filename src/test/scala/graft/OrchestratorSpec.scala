@@ -46,6 +46,50 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(e.readModel("by_region").count() == 5)
   }
 
+  test("view models persist a durable definition readable without the project") {
+    val r = root()
+    val p = baseProject.copy(models = Seq(
+      ModelDef("nations_v",
+        """{{ config(materialized='view') }}
+          |SELECT n_nationkey, n_name FROM {{ source('tpch','nation') }}""".stripMargin)))
+    val e = new Engine(spark, p, Target(r))
+    assert(e.build()._1.forall(_.status == "success"))
+    // an EXTERNAL reader: fresh Warehouse over the same root, no Project
+    val wh2 = new Warehouse(spark, r)
+    val rel = e.relationFor("nations_v")
+    assert(wh2.listViews(rel.database, rel.schema).map(_.identifier) ==
+      Seq("nations_v"))
+    assert(wh2.readView(rel).get.count() == 25)
+    // view defs are files — never mistaken for table relations
+    assert(!wh2.listRelations(rel.database, rel.schema)
+      .exists(_.identifier.contains("nations_v")))
+    wh2.dropView(rel)
+    assert(wh2.readView(rel).isEmpty)
+  }
+
+  test("on-run-start/on-run-end project hooks execute around the DAG") {
+    val p = baseProject.copy(
+      onRunStart = Seq(
+        "CREATE OR REPLACE TEMPORARY VIEW run_started AS SELECT 1 AS x"),
+      onRunEnd = Seq(
+        """CREATE OR REPLACE TEMPORARY VIEW run_ended AS
+          |SELECT count(*) AS n FROM {{ ref('nations') }}""".stripMargin))
+    spark.catalog.dropTempView("run_started")
+    spark.catalog.dropTempView("run_ended")
+    val e = new Engine(spark, p, Target(root()))
+    val (nodes, _) = e.build()
+    assert(nodes.map(_.status).forall(_ == "success"))
+    assert(spark.catalog.tableExists("run_started"))
+    // the end hook resolved {{ ref('nations') }} against the built warehouse
+    assert(spark.table("run_ended").collect().head.getLong(0) == 25L)
+  }
+
+  test("failing on-run-start hook aborts the run") {
+    val p = baseProject.copy(onRunStart = Seq("SELECT * FROM nonexistent_xyz"))
+    val e = new Engine(spark, p, Target(root()))
+    intercept[Exception] { e.build() }
+  }
+
   test("_dbt_max_partition compiles to a literal that partition-prunes the scan") {
     val r = root()
     val p = Project(name = "pmax",
