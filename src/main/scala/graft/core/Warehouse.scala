@@ -55,16 +55,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * rewrites): the plan materializes fully into the tmp dir before the
     * target is touched, so read-modify-write on one relation is safe.
     */
+  /** Shuffle rows to their partition value before a partitioned write:
+    * without it every upstream task writes a file into EVERY partition dir
+    * it touches — tasks × partitions small files, the classic partitioned-
+    * write explosion at scale. After alignment each partition value lands
+    * in one task → one file. (A pathologically huge single partition would
+    * want an extra salt column for multiple writers; that's the caller's
+    * skew decision, not the default.)
+    */
+  private def partitionAligned(df: DataFrame, partitionCols: Seq[String]): DataFrame =
+    if (partitionCols.isEmpty) df
+    else df.repartition(partitionCols.map(df.col): _*)
+
   def writeAtomic(df: DataFrame, rel: Relation,
                   partitionCols: Seq[String] = Nil,
                   clusterCols: Seq[String] = Nil): Unit = {
     val tmp = rel.suffixed("__dbt_tmp")
     val backup = rel.suffixed("__dbt_backup")
     drop(tmp)
+    val aligned = partitionAligned(df, partitionCols)
     val clustered =
       if (clusterCols.nonEmpty)
-        df.sortWithinPartitions(clusterCols.map(df.col): _*)
-      else df
+        aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
+      else aligned
     val writer = clustered.write.mode("overwrite")
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
     w2.parquet(path(tmp))
@@ -83,7 +96,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def overwritePartitions(df: DataFrame, rel: Relation,
                           partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "insert_overwrite requires partition_by")
-    df.write.mode("overwrite")
+    partitionAligned(df, partitionCols).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path(rel))
@@ -93,7 +106,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * path, reference `default__get_merge_sql` @89014 when no unique_key).
     */
   def append(df: DataFrame, rel: Relation, partitionCols: Seq[String] = Nil): Unit = {
-    val writer = df.write.mode("append")
+    val writer = partitionAligned(df, partitionCols).write.mode("append")
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
     w2.parquet(path(rel))
   }

@@ -43,6 +43,18 @@ object StreamingJobs {
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-delivered events by id with state
+    * BOUNDED by the watermark (`dropDuplicatesWithinWatermark` expires a
+    * key's dedup state once the watermark passes it — plain
+    * `dropDuplicates` on a stream would grow state forever). The standard
+    * idempotency guard in front of an at-least-once ingestion pipeline,
+    * and the streaming leg of the dedup family (content-hash variant:
+    * pass `md5(text)` as the key column upstream).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
   /** Stateful per-user running aggregate via mapGroupsWithState — the

@@ -83,6 +83,20 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops re-delivered events, state bounded by watermark") {
+    // duplicate delivery: the same events file staged twice
+    val dir = Files.createTempDirectory("graft_stream_dedup")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("delivery-1.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("delivery-2.parquet"))
+    val stream = StreamingJobs.dedupedEvents(
+      StreamingJobs.readEvents(spark, dir.toString))
+    val got = StreamingJobs.runToMemory(spark, stream, "dedup_out",
+      OutputMode.Append())
+    val want = TData.events(spark, sf).count()
+    assert(got.count() == want)
+    assert(got.select("event_id").distinct().count() == want)
+  }
+
   test("stateful user stats equal the batch per-user aggregate") {
     val stream = StreamingJobs.userRunningStats(spark,
       StreamingJobs.readEvents(spark, streamDir))
