@@ -35,21 +35,30 @@ object Flagship {
     * EMPTY array (via filtered collect_list) so comma-UNNEST semantics are
     * observable.
     */
-  def languages(spark: SparkSession, dir: String): DataFrame = {
-    val li = TData.lineitem(spark, dir)
-    val p  = TData.part(spark, dir)
-    // part is a small dim at every SF → broadcast join, no shuffle of lineitem
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(
-        collect_list(
-          when(col("l_quantity") > 10,
-            struct(col("p_type").as("name"), col("l_partkey").as("bytes")))
-        ).as("language"))
-      .select(
-        concat(lit("repo_"), col("l_orderkey")).as("repo_name"),
-        col("language"))
-  }
+  // memoize the synthesized nested table per (session, dir): three flagship
+  // queries share it, and the synthesis groupBy is their dominant cost —
+  // recomputing it per query tripled the work (a real pipeline would
+  // materialize this staging table once)
+  private val synthesized =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def languages(spark: SparkSession, dir: String): DataFrame =
+    synthesized.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val li = TData.lineitem(spark, dir)
+      val p  = TData.part(spark, dir)
+      // part is a small dim at every SF → broadcast join, no shuffle of lineitem
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          collect_list(
+            when(col("l_quantity") > 10,
+              struct(col("p_type").as("name"), col("l_partkey").as("bytes")))
+          ).as("language"))
+        .select(
+          concat(lit("repo_"), col("l_orderkey")).as("repo_name"),
+          col("language"))
+        .cache()
+    })
 
   /** A1–A7: scan → lateral explode → struct access → group-by ordinal →
     * exact count-distinct → alias. `explode` (not `explode_outer`) matches
