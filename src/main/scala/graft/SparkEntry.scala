@@ -74,6 +74,8 @@ object SparkEntry {
     "x_knn_topk_agg" -> (Similarity.knnTopKAgg _),
     "x_knn_ivf" -> (Similarity.knnIvf _),
     "x_embedding_near_dups" -> (Similarity.embeddingNearDups _),
+    "x_stratified_sample" -> (TextOps.stratifiedSample _),
+    "x_embedding_quantize" -> (Similarity.embeddingQuantize _),
     "x_multimodal_meta" -> (Multimodal.mediaMeta _),
     "o_build_dag" -> (OrchestratorQueries.buildDag _),
     "o_incremental_model" -> (OrchestratorQueries.incrementalModel _),
@@ -137,6 +139,8 @@ object SparkEntry {
     "x_knn_topk_agg" -> Similarity.knnBruteSql, // same contract as brute
     "x_knn_ivf" -> Similarity.knnIvfSql,
     "x_embedding_near_dups" -> Similarity.embeddingNearDupsSql,
+    "x_stratified_sample" -> TextOps.stratifiedSampleSql,
+    "x_embedding_quantize" -> Similarity.embeddingQuantizeSql,
     "x_multimodal_meta" -> Multimodal.mediaMetaSql,
     "o_build_dag" -> OrchestratorQueries.buildDagSql,
     "o_incremental_model" -> OrchestratorQueries.incrementalModelSql,

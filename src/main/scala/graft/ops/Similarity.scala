@@ -197,6 +197,43 @@ object Similarity {
       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin
 
+  /** Int8 quantization of the embedding column — the storage/serving
+    * format step of an embedding pipeline: per-vector max-abs scale,
+    * elements mapped to round(x/scale·127) ∈ [-127,127]. Emits the scale
+    * (needed to dequantize) and the max absolute dequantization error ×1e4
+    * (floor-scaled integer — exact cross-engine). Pure per-row higher-order
+    * functions, no shuffle, stays in whole-stage codegen.
+    */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    vecs(s, d)
+      // floor(x+0.5), not round(): same double in both engines → same
+      // integer (round() ties split between decimal-repr and binary rules)
+      .withColumn("scale", expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(floor(x / scale * 127 + 0.5D) AS INT))"))
+      .withColumn("max_err_e4", expr(
+        "CAST(floor(aggregate(transform(v, x -> " +
+          "abs(x - CAST(floor(x / scale * 127 + 0.5D) AS INT) * scale / 127)), " +
+          "CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e)) * 10000) AS BIGINT)"))
+      // string-encode the vector: the driver hash-compares scalar columns
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", col("q")).as("q_csv"), col("max_err_e4"))
+
+  val embeddingQuantizeSql: String =
+    """SELECT vec_id, scale,
+      |  array_to_string(list_transform(v,
+      |    x -> CAST(floor(x / scale * 127 + 0.5) AS INT)), ',') AS q_csv,
+      |  CAST(floor(list_max(list_transform(v,
+      |    x -> abs(x - CAST(floor(x / scale * 127 + 0.5) AS INT) * scale / 127)))
+      |    * 10000) AS BIGINT) AS max_err_e4
+      |FROM (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS scale
+      |  FROM (SELECT vec_id,
+      |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings))""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
     * family): bucket join + threshold, symmetric pairs deduped by id order.
     */

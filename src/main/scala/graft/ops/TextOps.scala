@@ -384,21 +384,52 @@ object TextOps {
 
   // ------------------------------------------------------- token counting
   /** Whitespace tokens + a subword estimate (≈ len/4 per word, the BPE
-    * rule-of-thumb) — pure per-row expressions, fully codegen'd.
+    * rule-of-thumb) + a GPT-2-style pretokenizer count (the regex piece
+    * classes of the published BPE pretokenizer: letter runs / digit runs /
+    * punctuation runs, each with optional leading space) — pure per-row
+    * expressions, fully codegen'd.
     */
   def tokenCount(s: SparkSession, d: String): DataFrame =
     documents(s, d).selectExpr(
       "doc_id",
       "size(split(text, ' ')) AS n_ws_tokens",
       "aggregate(transform(split(text, ' '), w -> (length(w) + 3) div 4), " +
-        "0L, (acc, x) -> acc + x) AS n_subword_est")
+        "0L, (acc, x) -> acc + x) AS n_subword_est",
+      s"size(regexp_extract_all(text, '$BpePretokenRe', 0)) AS n_bpe_pieces")
+
+  /** Shared-dialect (Java regex ∩ RE2) piece pattern. */
+  private val BpePretokenRe = """ ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"""
 
   val tokenCountSql: String =
-    """SELECT doc_id,
-      |  len(string_split(text, ' ')) AS n_ws_tokens,
-      |  list_sum(list_transform(string_split(text, ' '),
-      |    w -> (length(w) + 3) // 4))::BIGINT AS n_subword_est
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_ws_tokens,
+       |  list_sum(list_transform(string_split(text, ' '),
+       |    w -> (length(w) + 3) // 4))::BIGINT AS n_subword_est,
+       |  len(regexp_extract_all(text, '$BpePretokenRe', 0)) AS n_bpe_pieces
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------- sampling / corpus mixing
+  /** Deterministic stratified sampling — the corpus-mixing primitive: keep
+    * `pct`% of each language stratum, selected by a CONTENT-derived hash
+    * (md5 of doc_id), so the sample is reproducible across engines, runs,
+    * and partitionings (rand()-based sampling is none of those). One
+    * narrow scan, no shuffle: the filter is a pure per-row predicate.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .filter(
+        when(col("lang") === "en", col("h") < 50)     // downsample dominant
+          .otherwise(col("h") < 90))                  // keep most of the tail
+      .select(col("doc_id"), col("lang"), col("h").as("sample_bucket"))
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, h AS sample_bucket FROM (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+      |  FROM documents)
+      |WHERE CASE WHEN lang = 'en' THEN h < 50 ELSE h < 90 END""".stripMargin
 
   // ------------------------------------------------------- quality scoring
   private val stopwords = Seq("the", "a", "b", "row", "data")
