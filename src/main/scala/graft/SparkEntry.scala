@@ -77,6 +77,8 @@ object SparkEntry {
     "x_stratified_sample" -> (TextOps.stratifiedSample _),
     "x_embedding_quantize" -> (Similarity.embeddingQuantize _),
     "x_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "x_media_features" -> (Multimodal.mediaFeatures _),
+    "x_frame_sample" -> (Multimodal.frameSample _),
     "o_build_dag" -> (OrchestratorQueries.buildDag _),
     "o_incremental_model" -> (OrchestratorQueries.incrementalModel _),
     "o_insert_overwrite_pruned" -> (OrchestratorQueries.insertOverwritePruned _)
@@ -142,6 +144,8 @@ object SparkEntry {
     "x_stratified_sample" -> TextOps.stratifiedSampleSql,
     "x_embedding_quantize" -> Similarity.embeddingQuantizeSql,
     "x_multimodal_meta" -> Multimodal.mediaMetaSql,
+    "x_media_features" -> Multimodal.mediaFeaturesSql,
+    "x_frame_sample" -> Multimodal.frameSampleSql,
     "o_build_dag" -> OrchestratorQueries.buildDagSql,
     "o_incremental_model" -> OrchestratorQueries.incrementalModelSql,
     "o_insert_overwrite_pruned" -> OrchestratorQueries.insertOverwritePrunedSql

@@ -258,16 +258,16 @@ object TextOps {
     while (changed > 0) {
       val nbMin = edges.join(labels, edges("doc2") === labels("doc_id"))
         .groupBy(col("doc1")).agg(min(col("label")).as("nb_min"))
+      // the changed flag rides along in the SAME pass (labels only ever
+      // decrease, so changed ⇔ a neighbor's min undercut ours) — the
+      // convergence count is then a trivial scan of the checkpointed rows
       val next = labels.join(nbMin, labels("doc_id") === nbMin("doc1"), "left")
         .select(labels("doc_id"),
-          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
+          (col("nb_min").isNotNull && col("nb_min") < col("label")).as("_changed"))
         .localCheckpoint()
-      // convergence check: labels only ever decrease, so "no row changed"
-      // is a cheap anti-equality count on the (small) label table
-      changed = next.alias("n")
-        .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.label") =!= col("p.label")).count()
-      labels = next
+      changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
     }
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))

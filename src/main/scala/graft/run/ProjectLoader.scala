@@ -43,8 +43,15 @@ object ProjectLoader {
       ModelDef(stem(p), Files.readString(p))
     }
 
+    // per-seed column_types (reference seeds `column_types` config in
+    // dbt_project.yml): project.conf lines `seed_types.<seed>=col=type,...`
     val seeds = listFiles(root.resolve("seeds"), ".csv").map { p =>
-      SeedDef(stem(p), p.toString)
+      val types = conf.get(s"seed_types.${stem(p)}").map {
+        _.split(",").iterator.map(_.trim).map(_.split("=", 2)).collect {
+          case Array(c, t) => c -> t
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+      SeedDef(stem(p), p.toString, types)
     }
 
     val snapshots = listFiles(root.resolve("snapshots"), ".sql").map { p =>
@@ -68,10 +75,17 @@ object ProjectLoader {
 
     val tests = readLines(root.resolve("tests.conf")).zipWithIndex.map {
       case (l, i) =>
-        val parts = l.split("\\s+")
+        // trailing k=v tokens are test configs (reference schema.yml test
+        // config: severity / where / limit / store_failures); `where` uses
+        // `~` for spaces, e.g. where=o_orderkey~>~0
+        val tokens = l.split("\\s+")
+        val (parts, kvTokens) = tokens.partition(!_.contains("="))
+        val kv = kvTokens.map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v.replace("~", " ")
+        }.toMap
         val (kind, model) = (parts(0), parts(1))
         val testName = s"${kind}_${model}_$i"
-        kind match {
+        val base = kind match {
           case "unique" =>
             TestDef(testName, model, df => SchemaTests.unique(df, parts(2)))
           case "not_null" =>
@@ -88,6 +102,11 @@ object ProjectLoader {
           case other =>
             throw new IllegalArgumentException(s"unknown test kind $other")
         }
+        base.copy(
+          severity = kv.getOrElse("severity", base.severity),
+          where = kv.get("where").orElse(base.where),
+          limit = kv.get("limit").map(_.toInt).orElse(base.limit),
+          storeFailures = kv.get("store_failures").fold(base.storeFailures)(_ == "true"))
     }
 
     // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml

@@ -23,6 +23,7 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(project.models.map(_.name).toSet ==
       Set("stg_nations", "eph_regions", "nation_region", "orders_incr"))
     assert(project.seeds.map(_.name) == Seq("priorities"))
+    assert(project.seeds.head.columnTypes == Map("rank" -> "bigint"))
     assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
     assert(project.tests.size == 4)
     assert(project.tests.exists(_.relationship.isDefined))
@@ -76,6 +77,24 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(byModel("child_ok").status == "pass")
     assert(byModel("child_bad").status == "error" &&
       byModel("child_bad").failures == 25L)
+  }
+
+  test("tests.conf trailing k=v tokens become test config") {
+    val dir = Files.createTempDirectory("graft_tcfg")
+    Files.writeString(dir.resolve("project.conf"), "name=tcfg")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models").resolve("m.sql"), "SELECT 1 AS a")
+    Files.writeString(dir.resolve("tests.conf"),
+      "unique m a severity=warn where=a~>~0 limit=3 store_failures=true\n" +
+        "not_null m a")
+    val (project, _) = ProjectLoader.load(dir.toString)
+    val t0 = project.tests.head
+    assert(t0.severity == "warn")
+    assert(t0.where.contains("a > 0"))
+    assert(t0.limit.contains(3))
+    assert(t0.storeFailures)
+    val t1 = project.tests(1)
+    assert(t1.severity == "error" && t1.where.isEmpty && t1.limit.isEmpty)
   }
 
   test("ephemeral models never materialize to the warehouse") {
