@@ -89,16 +89,23 @@ object TextOps {
   private[ops] val ShingleDfCap = 100
 
   /** Shingles with viral (df > cap) shingles removed. The hot set is tiny
-    * by construction, so Spark broadcasts the anti-join side.
+    * by construction, so Spark broadcasts the anti-join side. Memoized +
+    * cached per (session, dir): the inverted index is the shared substrate
+    * of ngram-jaccard, MinHash-LSH, and cluster resolution — rebuilding
+    * (and separately re-caching) it per operator tripled the work.
     */
-  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val hot = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap)
-      .select(col("shingle"))
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-  }
+  private val shingleIndex =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def cappedShingles(s: SparkSession, d: String): DataFrame =
+    shingleIndex.getOrElseUpdate((System.identityHashCode(s), d), {
+      val sh = shingles(s, d)
+      val hot = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > ShingleDfCap)
+        .select(col("shingle"))
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti").cache()
+    })
 
   private val cappedShinglesSql: String =
     s"""capped AS (
@@ -114,7 +121,7 @@ object TextOps {
     * not n².
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = cappedShingles(s, d).cache()
+    val sh = cappedShingles(s, d) // memoized+cached index
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

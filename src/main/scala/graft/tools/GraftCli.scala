@@ -12,6 +12,7 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   compile          emit the state manifest (no execution)
   *   test             only the declared tests
   *   freshness        source freshness vs thresholds
+ *   catalog          tables (footer row counts, bytes, partitions) + durable views
   * flags:
   *   --select a,b       restrict to these nodes
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -79,6 +80,17 @@ object GraftCli {
       case "freshness" =>
         engine.checkFreshness().foreach { case (src, st) =>
           println(f"${st.toUpperCase}%-8s $src")
+        }
+      case "catalog" =>
+        // footer/filesystem metadata only — no table scans
+        val (db, sch) = (target.database, target.resolvedSchema)
+        engine.warehouse.catalogInfo(db, sch).foreach {
+          case (rel, rows, bytes, parts) =>
+            val pinfo = if (parts.isEmpty) "" else s"  [${parts.size} partitions]"
+            println(f"TABLE    ${rel.identifier}%-32s $rows%10d rows ${bytes}%12d bytes$pinfo")
+        }
+        engine.warehouse.listViews(db, sch).foreach { v =>
+          println(f"VIEW     ${v.identifier}%-32s (durable definition)")
         }
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
