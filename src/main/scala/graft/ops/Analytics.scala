@@ -276,6 +276,23 @@ object Analytics {
     """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube):
+    * single-pass expand + hash aggregate; grouping_id disambiguates the
+    * NULL of "not grouped on" from a NULL data value.
+    */
+  def rGroupingSets(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n_orders, grouping(o_orderstatus) AS g_status
+         |FROM parquet.`$d/orders.parquet`
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+
+  val rGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders, grouping(o_orderstatus) AS g_status
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
+
   /** A6: literal projection (reference models/test_model.sql:1 `select 1 as a`). */
   def a6Literal(s: SparkSession, d: String): DataFrame =
     s.sql("SELECT 1 AS a")

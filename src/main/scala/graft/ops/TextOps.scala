@@ -415,6 +415,44 @@ object TextOps {
        |  len(regexp_extract_all(text, '$BpePretokenRe', 0)) AS n_bpe_pieces
        |FROM documents""".stripMargin
 
+  /** Per-document top-3 keywords by a tf/df score — the keyword-extraction
+    * / topic-tagging step of a corpus pipeline. Classic tf-idf shape (term
+    * frequency × inverse document frequency) with an INTEGER score
+    * (tf·10^6 div (df+1)) instead of tf·ln(N/df): same monotonicity per
+    * term, but exact in both engines — libm log implementations differ in
+    * the last ulp, which a hash gate cannot tolerate. Two aggregations
+    * (per-doc tf, corpus df) + a broadcast-size df join + one window rank.
+    */
+  def tfidfTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "word")
+      .withColumn("score", expr("tf * 1000000L div (df + 1)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("word"), col("score"), col("rn"))
+  }
+
+  val tfidfTermsSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1)
+      |SELECT doc_id, word, score, rn FROM (
+      |  SELECT tf.doc_id, tf.word, tf.tf * 1000000 // (df.df + 1) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * 1000000 // (df.df + 1) DESC, tf.word ASC) AS rn
+      |  FROM tf JOIN df USING (word))
+      |WHERE rn <= 3""".stripMargin
+
   // ---------------------------------------------- sampling / corpus mixing
   /** Deterministic stratified sampling — the corpus-mixing primitive: keep
     * `pct`% of each language stratum, selected by a CONTENT-derived hash

@@ -262,7 +262,15 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     val filtered = t.where.fold(base)(w => base.filter(w))
     val applied = t.relationship match {
       case Some(r) =>
-        SchemaTests.relationships(filtered, r.fk, readModel(r.parentModel), r.pk)
+        // parent may be a model/seed name or a declared source
+        // (`source:<src>.<table>` — reference `to: source(...)`)
+        val parent =
+          if (r.parentModel.startsWith("source:")) {
+            val Array(sn, tn) =
+              r.parentModel.stripPrefix("source:").split("\\.", 2)
+            spark.read.parquet(sourcePath(sn, tn))
+          } else readModel(r.parentModel)
+        SchemaTests.relationships(filtered, r.fk, parent, r.pk)
       case None => t.test(filtered)
     }
     val failing = t.limit.fold(applied)(l => applied.limit(l))

@@ -65,7 +65,8 @@ class ProjectLoaderSpec extends AnyFunSuite {
     // relationships declaration itself
     put("tests.conf",
       "relationships child_ok n_regionkey parents r_regionkey\n" +
-        "relationships child_bad fk parents r_regionkey")
+        "relationships child_bad fk parents r_regionkey\n" +
+        "relationships child_ok n_regionkey source:tpch.region r_regionkey")
     val (project, _) = ProjectLoader.load(dir.toString)
     val engine = new Engine(spark, project,
       Target(Files.createTempDirectory("graft_rel_wh").toString, threads = 1))
