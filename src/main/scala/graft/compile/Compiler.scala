@@ -106,23 +106,11 @@ object Compiler {
     sql.trim
   }
 
-  /** Render a collected scalar as a Spark SQL literal (for
-    * `_dbt_max_partition` substitution). Handles both the java.sql and
-    * java.time shapes Spark returns depending on
-    * `spark.sql.datetime.java8API.enabled` and NTZ columns.
+  /** Whether raw model SQL references `_dbt_max_partition` at all — lets
+    * the engine skip the max-partition fetch job when unused.
     */
-  def sqlLiteral(v: Any): String = v match {
-    case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
-    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
-    case d: java.sql.Date => s"DATE '$d'"
-    case i: java.time.Instant =>
-      s"TIMESTAMP '${i.toString.replace("T", " ").stripSuffix("Z")}'"
-    case l: java.time.LocalDateTime =>
-      s"TIMESTAMP_NTZ '${l.toString.replace("T", " ")}'"
-    case d: java.time.LocalDate => s"DATE '$d'"
-    case other => other.toString
-  }
+  def referencesMaxPartition(rawSql: String): Boolean =
+    maxPartRe.findFirstIn(rawSql).isDefined
 
   /** `parquet.`/path/`` — Spark SQL's direct-path table syntax. */
   def pathRelation(path: String): String = s"parquet.`$path`"

@@ -196,4 +196,30 @@ final class Materializer(wh: Warehouse) {
     else wh.read(rel).agg(max(col(partitionCol))).collect()
       .headOption.flatMap(r => Option(r.get(0)))
   }
+
+  /** [[maxPartition]] rendered as a SQL literal, timezone-safely: the
+    * value is CAST to string BY SPARK (session-timezone rendering), so a
+    * `TIMESTAMP '<str>'` literal parsed by the same session round-trips
+    * exactly — driver-side `Timestamp.toString` would render in the JVM
+    * default zone and shift the boundary by the UTC offset.
+    */
+  def maxPartitionLiteral(rel: Relation, partitionCol: String): Option[String] = {
+    if (!wh.exists(rel)) return None
+    val row = wh.read(rel)
+      .agg(max(col(partitionCol)).as("m"))
+      .select(col("m").cast("string").as("s"), col("m"))
+      .collect().head
+    if (row.isNullAt(0)) None
+    else {
+      val s = row.getString(0)
+      Some(row.get(1) match {
+        case _: String => "'" + s.replace("'", "''") + "'"
+        case _: java.sql.Timestamp | _: java.time.Instant =>
+          s"TIMESTAMP '$s'"
+        case _: java.time.LocalDateTime => s"TIMESTAMP_NTZ '$s'"
+        case _: java.sql.Date | _: java.time.LocalDate => s"DATE '$s'"
+        case _ => s
+      })
+    }
+  }
 }

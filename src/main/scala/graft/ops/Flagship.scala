@@ -39,11 +39,8 @@ object Flagship {
   // queries share it, and the synthesis groupBy is their dominant cost —
   // recomputing it per query tripled the work (a real pipeline would
   // materialize this staging table once)
-  private val synthesized =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   def languages(spark: SparkSession, dir: String): DataFrame =
-    synthesized.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    SessionCache.getOrElseUpdate(spark, s"flagship_languages:$dir") {
       val li = TData.lineitem(spark, dir)
       val p  = TData.part(spark, dir)
       // part is a small dim at every SF → broadcast join, no shuffle of lineitem
@@ -58,7 +55,7 @@ object Flagship {
           concat(lit("repo_"), col("l_orderkey")).as("repo_name"),
           col("language"))
         .cache()
-    })
+    }
 
   /** A1–A7: scan → lateral explode → struct access → group-by ordinal →
     * exact count-distinct → alias. `explode` (not `explode_outer`) matches

@@ -208,8 +208,10 @@ object Similarity {
     vecs(s, d)
       // floor(x+0.5), not round(): same double in both engines → same
       // integer (round() ties split between decimal-repr and binary rules)
+      // 1e-30 floor: an all-zero vector would make scale 0 and x/scale NaN,
+      // where Spark's non-ANSI cast (0) and DuckDB's (error) diverge
       .withColumn("scale", expr(
-        "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        "greatest(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))), 1e-30D)"))
       .withColumn("q", expr(
         "transform(v, x -> CAST(floor(x / scale * 127 + 0.5D) AS INT))"))
       .withColumn("max_err_e4", expr(
@@ -229,7 +231,7 @@ object Similarity {
       |    * 10000) AS BIGINT) AS max_err_e4
       |FROM (
       |  SELECT vec_id, v,
-      |    list_max(list_transform(v, x -> abs(x))) AS scale
+      |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale
       |  FROM (SELECT vec_id,
       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |        FROM embeddings))""".stripMargin

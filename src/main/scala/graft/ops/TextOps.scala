@@ -94,18 +94,15 @@ object TextOps {
     * of ngram-jaccard, MinHash-LSH, and cluster resolution — rebuilding
     * (and separately re-caching) it per operator tripled the work.
     */
-  private val shingleIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   private def cappedShingles(s: SparkSession, d: String): DataFrame =
-    shingleIndex.getOrElseUpdate((System.identityHashCode(s), d), {
+    SessionCache.getOrElseUpdate(s, s"capped_shingles:$d") {
       val sh = shingles(s, d)
       val hot = sh.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > ShingleDfCap)
         .select(col("shingle"))
       sh.join(broadcast(hot), Seq("shingle"), "left_anti").cache()
-    })
+    }
 
   private val cappedShinglesSql: String =
     s"""capped AS (
@@ -356,9 +353,10 @@ object TextOps {
     * bits ⇒ bands 2 and 3 both equal).
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    // cache the signatures: the band self-join would otherwise recompute
-    // the full explode+32-column bit-sum aggregation for BOTH join sides
-    val sh = simhash(s, d).cache()
+    // memoize+cache the signatures: the band self-join would otherwise
+    // recompute the full explode+32-column bit-sum aggregation for BOTH
+    // join sides (and a per-call cache would pin a fresh copy per call)
+    val sh = SessionCache.getOrElseUpdate(s, s"simhash:$d")(simhash(s, d).cache())
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"),

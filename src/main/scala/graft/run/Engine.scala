@@ -157,14 +157,16 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     val isIncr = cfg.materialized == "incremental" &&
       warehouse.exists(self) && !fullRefresh // reference is_incremental @157947
     // `_dbt_max_partition` (reference bq_insert_overwrite @34992): for an
-    // incremental run of a partitioned model, fetch the target's max
-    // partition once (control-plane scalar, = run_query(...)[0][0]) and
-    // substitute it as a LITERAL — the single most important incremental
-    // optimization at scale, because a constant predicate partition-prunes
-    // the source scan where a scalar subquery would not.
+    // incremental run of a partitioned model whose SQL actually references
+    // it, fetch the target's max partition once (control-plane scalar,
+    // = run_query(...)[0][0]) and substitute it as a LITERAL — the single
+    // most important incremental optimization at scale, because a constant
+    // predicate partition-prunes the source scan where a scalar subquery
+    // would not. Gated on the reference so plain incremental compiles stay
+    // metadata-only.
     val maxPart: Option[String] =
-      if (isIncr) cfg.partitionBy.flatMap(pc =>
-        mat.maxPartition(self, pc).map(Compiler.sqlLiteral))
+      if (isIncr && Compiler.referencesMaxPartition(m.rawSql))
+        cfg.partitionBy.flatMap(pc => mat.maxPartitionLiteral(self, pc))
       else None
     val ctx = Compiler.ResolveCtx(
       refTarget = r =>
@@ -241,8 +243,11 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
           warehouse.saveViewDef(relationFor(m.name), compiled)
         case "incremental" =>
           mat.incremental(df, relationFor(m.name), cfg, fullRefresh)
+          warehouse.dropView(relationFor(m.name)) // stale if formerly a view
         case "ephemeral" => () // inlined by ref() of downstream models
-        case _ => mat.table(df, relationFor(m.name), cfg)
+        case _ =>
+          mat.table(df, relationFor(m.name), cfg)
+          warehouse.dropView(relationFor(m.name)) // stale if formerly a view
       }
       runHooks(cfg.postHooks, m.name)
     }

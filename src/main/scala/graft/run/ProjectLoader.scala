@@ -77,9 +77,13 @@ object ProjectLoader {
       case (l, i) =>
         // trailing k=v tokens are test configs (reference schema.yml test
         // config: severity / where / limit / store_failures); `where` uses
-        // `~` for spaces, e.g. where=o_orderkey~>~0
+        // `~` for spaces, e.g. where=o_orderkey~>~0. Only the KNOWN config
+        // keys are treated as config, so positional values may contain '='
+        // (e.g. accepted_values lists).
+        val configKeys = Set("severity", "where", "limit", "store_failures")
         val tokens = l.split("\\s+")
-        val (parts, kvTokens) = tokens.partition(!_.contains("="))
+        val (kvTokens, parts) = tokens.partition(t =>
+          t.contains("=") && configKeys.contains(t.takeWhile(_ != '=')))
         val kv = kvTokens.map(_.split("=", 2)).collect {
           case Array(k, v) => k -> v.replace("~", " ")
         }.toMap
@@ -112,8 +116,11 @@ object ProjectLoader {
     // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml
     // on-run-start / on-run-end)
     val hookLines = readLines(root.resolve("hooks.conf")).map { l =>
-      val Array(kind, sql) = l.split("\\s+", 2)
-      kind -> sql
+      l.split("\\s+", 2) match {
+        case Array(kind @ ("start" | "end"), sql) => kind -> sql
+        case _ => throw new IllegalArgumentException(
+          s"hooks.conf: expected 'start <sql>' or 'end <sql>', got: $l")
+      }
     }
     val onRunStart = hookLines.collect { case ("start", s) => s }
     val onRunEnd = hookLines.collect { case ("end", s) => s }

@@ -63,7 +63,12 @@ class OrchestratorSpec extends AnyFunSuite {
     // view defs are files — never mistaken for table relations
     assert(!wh2.listRelations(rel.database, rel.schema)
       .exists(_.identifier.contains("nations_v")))
-    wh2.dropView(rel)
+    // re-materializing the model as a TABLE must clear the stale view def
+    val p2 = p.copy(models = Seq(ModelDef("nations_v",
+      """SELECT n_nationkey, n_name FROM {{ source('tpch','nation') }}""")))
+    assert(new Engine(spark, p2, Target(r)).build()._1
+      .forall(_.status == "success"))
+    assert(wh2.listViews(rel.database, rel.schema).isEmpty)
     assert(wh2.readView(rel).isEmpty)
   }
 
