@@ -152,6 +152,54 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample is reproducible and respects per-stratum rates") {
+    val s1 = TextOps.stratifiedSample(spark, sf).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val s2 = TextOps.stratifiedSample(spark, sf).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2, "hash sampling must be reproducible run-to-run")
+    val byLang = TextOps.stratifiedSample(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = TData.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, n) =>
+      val rate = n.toDouble / totals(lang)
+      val want = if (lang == "en") 0.5 else 0.9
+      assert(math.abs(rate - want) < 0.2, s"$lang rate $rate, want ~$want")
+    }
+  }
+
+  test("int8 quantization dequantizes within the per-vector error bound") {
+    val rows = Similarity.embeddingQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val maxErrE4 = r.getLong(3)
+      assert(scale > 0)
+      // int8 max-abs quantization error is <= scale/254 per element
+      assert(maxErrE4 <= math.ceil(scale / 254 * 10000).toLong + 1,
+        s"vec ${r.getLong(0)}: err $maxErrE4 vs scale $scale")
+    }
+  }
+
+  test("tfidf terms: exactly <=3 per doc, deterministic rank tie-break") {
+    val terms = TextOps.tfidfTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val byDoc = terms.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { ts =>
+      val sorted = ts.sortBy(_._4)
+      // ranks are 1..n and scores non-increasing
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+  }
+
   test("sql registration of cosine_sim works") {
     VectorFunctions.register(spark)
     val r = spark.sql(
