@@ -81,6 +81,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: insert_overwrite replaces exactly the incoming partitions, idempotently") {
+    samples(Gen.zip(rowsGen, rowsGen), 6, 4000L).foreach { case (base, inc) =>
+      if (base.nonEmpty && inc.nonEmpty) {
+        val s = spark; import s.implicits._
+        val wh = freshWh(); val m = new Materializer(wh)
+        val r = Relation("db", "s", "t")
+        val cfg = ModelConfig(materialized = "incremental",
+          incrementalStrategy = IncrementalStrategy.InsertOverwrite,
+          partitionBy = Some("payload"))
+        m.incremental(base.toDF("id", "payload", "v"), r, cfg)
+        m.incremental(inc.toDF("id", "payload", "v"), r, cfg)
+        def state() = wh.read(r).collect()
+          .map(x => (x.getAs[Long]("id"), x.getAs[String]("payload"),
+            x.getAs[Double]("v"))).sorted.toSeq
+        val incParts = inc.map(_._2).toSet
+        val want = (base.filterNot(t => incParts(t._2)) ++ inc)
+          .map(t => (t._1, t._2, t._3)).sorted
+        assert(state() == want, s"base=$base inc=$inc")
+        // idempotent: re-applying the same increment changes nothing
+        m.incremental(inc.toDF("id", "payload", "v"), r, cfg)
+        assert(state() == want)
+      }
+    }
+  }
+
+  test("property: delete+insert and merge agree for full-row upserts") {
+    samples(Gen.zip(rowsGen, rowsGen), 6, 5000L).foreach { case (base0, inc0) =>
+      val base = dedupByKey(base0); val inc = dedupByKey(inc0)
+      if (base.nonEmpty && inc.nonEmpty) {
+        val s = spark; import s.implicits._
+        def runWith(strategy: IncrementalStrategy): Seq[String] = {
+          val wh = freshWh(); val m = new Materializer(wh)
+          val r = Relation("db", "s", "t")
+          val cfg = ModelConfig(materialized = "incremental",
+            uniqueKey = Seq("id"), incrementalStrategy = strategy)
+          m.incremental(base.toDF("id", "payload", "v"), r, cfg)
+          m.incremental(inc.toDF("id", "payload", "v"), r, cfg)
+          wh.read(r).collect().map(_.toString).sorted.toSeq
+        }
+        assert(runWith(IncrementalStrategy.Merge) ==
+          runWith(IncrementalStrategy.DeleteInsert))
+      }
+    }
+  }
+
   test("property: SCD-2 invariants hold over arbitrary 3-run histories") {
     val runGen = Gen.listOf(for {
       id <- Gen.choose(0L, 10L)
