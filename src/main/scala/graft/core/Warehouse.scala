@@ -10,11 +10,14 @@ import org.apache.spark.sql.types.StructType
   * parquet directory `root/database/schema/identifier`. Writes follow the
   * reference's table materialization protocol
   * (`materialization_table_default` @125935): write to `__dbt_tmp`, swap
-  * the old target to `__dbt_backup`, rename tmp into place, drop backup —
-  * the Hadoop `FileSystem.rename` used here is atomic on HDFS and POSIX
-  * filesystems, so readers never observe a half-written table (on S3-style
-  * object stores you'd swap a manifest pointer instead; the protocol is
-  * isolated in [[writeAtomic]]).
+  * the old target to `__dbt_backup`, rename tmp into place, drop backup.
+  * Each Hadoop `FileSystem.rename` is atomic on HDFS/POSIX, so readers
+  * never observe a HALF-WRITTEN table; there is, however, a brief window
+  * between the two renames where the path is absent — a concurrent reader
+  * retries, and a crash inside the window is repaired by [[writeAtomic]]'s
+  * restore-from-backup preamble on the next write. True multi-writer
+  * atomicity needs a manifest pointer (object stores) or a transactional
+  * table format; the protocol is isolated in [[writeAtomic]] for that swap.
   *
   * Scale: all data movement is executor-side `DataFrameWriter` parquet IO;
   * the driver only issues metadata renames. `partitionBy`/`clusterBy`
@@ -72,6 +75,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                   clusterCols: Seq[String] = Nil): Unit = {
     val tmp = rel.suffixed("__dbt_tmp")
     val backup = rel.suffixed("__dbt_backup")
+    // crash recovery: a previous run that died between the two swap
+    // renames leaves the data under __dbt_backup and no live target —
+    // restore it before doing anything else
+    if (!exists(rel) && exists(backup)) rename(backup, rel)
     drop(tmp)
     val aligned = partitionAligned(df, partitionCols)
     val clustered =

@@ -95,8 +95,14 @@ object Dag {
     }
 
     nodes.filter(n => pending.get(n).get() == 0).foreach(submit)
-    done.await(4, TimeUnit.HOURS)
+    val finished = done.await(4, TimeUnit.HOURS)
     pool.shutdown()
+    if (!finished) {
+      pool.shutdownNow()
+      val stuck = nodes.filterNot(results.contains)
+      throw new IllegalStateException(
+        s"DAG run timed out after 4h; unfinished nodes: ${stuck.mkString(", ")}")
+    }
     nodes.map(results(_))
   }
 }

@@ -79,7 +79,10 @@ object SchemaTests {
     df.agg(max(col(loadedAt).cast("timestamp")).as("max_loaded_at"))
       .select(
         unix_millis(col("max_loaded_at")).as("max_loaded_at_ms"),
-        ((unix_millis(asOf) - unix_millis(col("max_loaded_at"))) / lit(3600000L))
+        // floor, not cast-truncation: a fresh-ahead source (max ts after
+        // asOf) yields a negative fraction, where truncation gives 0 but
+        // the DuckDB oracle's `//` floors to -1
+        floor((unix_millis(asOf) - unix_millis(col("max_loaded_at"))) / lit(3600000L))
           .cast("long").as("hours_late"))
       .withColumn("status",
         when(col("hours_late") > errorAfterH, "error")

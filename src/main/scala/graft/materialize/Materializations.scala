@@ -116,11 +116,12 @@ final class Materializer(wh: Warehouse) {
         val pcol = cfg.partitionBy.getOrElse(
           throw new IllegalArgumentException("insert_overwrite needs partition_by"))
         // reference `is_replaceable` (@48682): when the existing layout's
-        // partition spec differs from the config, an in-place dynamic
-        // overwrite would interleave two layouts — rebuild instead
+        // partition spec differs from the config — INCLUDING a formerly
+        // unpartitioned table (flat files; a dynamic overwrite would write
+        // partition dirs next to them and corrupt reads) — rebuild instead
         val existingSpec = wh.listPartitions(rel)
           .map(_.takeWhile(_ != '=')).distinct
-        if (existingSpec.nonEmpty && existingSpec != Seq(pcol))
+        if (existingSpec != Seq(pcol))
           table(df, rel, cfg)
         else if (requiresTargetRewrite) {
           // schema evolved under append_new_columns/sync_all_columns: an
@@ -161,7 +162,11 @@ final class Materializer(wh: Warehouse) {
                                 keys: Seq[String], updateCols: Seq[String]): DataFrame = {
     val t = target.alias("t")
     val i = inc.alias("i")
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"i.$k")).reduce(_ && _)
+    // plain equality, not <=>: dbt's MERGE joins ON t.k = i.k, where NULL
+    // keys never match (a NULL-key inc row INSERTS); null-safe equality
+    // would cross-match every NULL-key row on both sides (m×n explosion)
+    // and diverge from the Merge/DeleteInsert branch's semantics
+    val cond = keys.map(k => col(s"t.$k") === col(s"i.$k")).reduce(_ && _)
     val matchedI = keys.map(k => col(s"i.$k").isNotNull).reduce(_ && _)
     val matchedT = keys.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
     val updSet = updateCols.map(_.toLowerCase).toSet

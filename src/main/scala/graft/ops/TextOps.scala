@@ -158,12 +158,16 @@ object TextOps {
     (0 until 16).map(i => (37L + 41L * i, 1009L + 733L * i))
 
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = cappedShingles(s, d)
-      // CAST before %: a string operand would coerce the modulo to double
-      // and lose ulps at 2^60
-      .withColumn("h",
-        expr(s"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $P"))
-      .cache()
+    // memoized like the shingle index — a per-call .cache() would pin a
+    // fresh copy of the hashed shingles on every invocation
+    val sh = SessionCache.getOrElseUpdate(s, s"minhash_hashes:$d") {
+      cappedShingles(s, d)
+        // CAST before %: a string operand would coerce the modulo to double
+        // and lose ulps at 2^60
+        .withColumn("h",
+          expr(s"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $P"))
+        .cache()
+    }
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"m$i")
     }

@@ -69,9 +69,15 @@ final case class Target(warehouseRoot: String,
                         threads: Int = 4,
                         env: Map[String, String] = Map.empty) {
   def resolvedSchema: String = {
-    // generate_schema_name_for_env equivalent: allow env-templated schemas
+    // generate_schema_name_for_env equivalent: allow env-templated schemas.
+    // An unset env var THROWS (matching Compiler's env_var): silently
+    // substituting the var name would send every misconfigured run's
+    // writes to one shared literal schema, defeating per-PR namespacing.
     val envRe = """\{\{\s*env_var\(\s*'([^']+)'\s*\)\s*\}\}""".r
-    envRe.replaceAllIn(schema, m => env.getOrElse(m.group(1), m.group(1)))
+    envRe.replaceAllIn(schema, m =>
+      scala.util.matching.Regex.quoteReplacement(env.getOrElse(m.group(1),
+        throw new IllegalArgumentException(
+          s"schema template references unset env var '${m.group(1)}'"))))
   }
 }
 
@@ -186,9 +192,13 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
         s"__cte__$e AS ($sql)"
       }.mkString(", ")
       // merge with an outer WITH if the model itself starts with one
+      // (any whitespace after the keyword, case-insensitive)
       val trimmed = body.trim
-      if (trimmed.toUpperCase.startsWith("WITH "))
-        s"WITH $ctes, ${trimmed.drop(5)}"
+      val startsWithWith = trimmed.length > 4 &&
+        trimmed.substring(0, 4).equalsIgnoreCase("WITH") &&
+        trimmed.charAt(4).isWhitespace
+      if (startsWithWith)
+        s"WITH $ctes, ${trimmed.substring(4).trim}"
       else s"WITH $ctes $trimmed"
     }
   }

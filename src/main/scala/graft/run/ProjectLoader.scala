@@ -130,7 +130,8 @@ object ProjectLoader {
   }
 
   private def configKv(sql: String): Map[String, String] = {
-    val re = """\{\{\s*config\((.*?)\)\s*\}\}""".r
+    // (?s): config blocks span lines (Compiler.configRe agrees)
+    val re = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
     re.findFirstMatchIn(sql).map(_.group(1)).map {
       _.split(",").iterator.map(_.trim).flatMap { kv =>
         kv.split("=", 2) match {

@@ -101,16 +101,25 @@ object StreamingJobs {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows0, state: GroupState[List[SessionState]]) =>
           val rows = rows0.map(r => (r._1, r._2.getTime, r._3))
-          // sessions: sorted open runs; close those whose gap elapsed
+          // out-of-order safe: an event attaches to EVERY open session
+          // whose [start-gap, last+gap] range covers it (merging sessions
+          // it bridges), lastMs only ever advances (a late event must not
+          // rewind the gap clock), and unmatched events open new sessions.
+          // flatMapGroupsWithState does NOT drop watermark-late rows, so
+          // cross-batch disorder within the watermark lands here.
           val sorted = rows.toSeq.sortBy(r => (r._2, r._3)) // (ts, value) total order
           var sessions = state.getOption.getOrElse(Nil)
           sorted.foreach { case (_, ts, v) =>
-            sessions match {
-              case head :: tail if ts - head.lastMs <= gapMs =>
-                sessions = SessionState(head.startMs, ts, head.eventCount + 1,
-                  head.total + v) :: tail
-              case _ =>
-                sessions = SessionState(ts, ts, 1, v) :: sessions
+            val (matching, rest) = sessions.partition(st =>
+              ts >= st.startMs - gapMs && ts <= st.lastMs + gapMs)
+            sessions = matching match {
+              case Nil => SessionState(ts, ts, 1, v) :: rest
+              case ms =>
+                val m = ms.reduce((a, b) => SessionState(
+                  math.min(a.startMs, b.startMs), math.max(a.lastMs, b.lastMs),
+                  a.eventCount + b.eventCount, a.total + b.total))
+                SessionState(math.min(m.startMs, ts), math.max(m.lastMs, ts),
+                  m.eventCount + 1, m.total + v) :: rest
             }
           }
           val wm = state.getCurrentWatermarkMs()
@@ -119,7 +128,7 @@ object StreamingJobs {
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
-            state.setTimeoutTimestamp(open.head.lastMs + gapMs + 1)
+            state.setTimeoutTimestamp(open.map(_.lastMs).max + gapMs + 1)
           }
           closed.reverseIterator.map(s => ClosedSession(uid, s.startMs,
             s.eventCount, math.rint(s.total * 100) / 100))

@@ -150,6 +150,45 @@ class MaterializeSpec extends AnyFunSuite {
     assert(m.maxPartition(rel("absent"), "id").isEmpty)
   }
 
+  test("insert_overwrite onto a formerly unpartitioned table rebuilds it") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc9")
+    // first materialized as a plain table (flat parquet files)
+    m.table(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r)
+    // then switched to insert_overwrite with partition_by: a dynamic
+    // overwrite would mix partition dirs with the flat files
+    val cfg = ModelConfig(materialized = "incremental",
+      incrementalStrategy = IncrementalStrategy.InsertOverwrite,
+      partitionBy = Some("name"))
+    m.incremental(df(Seq((30L, "p2", 30.0))), r, cfg)
+    assert(wh.listPartitions(r).toSet == Set("name=p2"))
+    val out = wh.read(r).collect()
+      .map(x => (x.getAs[String]("name"), x.getAs[Long]("id"))).toSet
+    assert(out == Set(("p2", 30L)))
+  }
+
+  test("writeAtomic restores from backup after a crash between the swap renames") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_crash")
+    m.table(df(Seq((1L, "a", 1.0))), r)
+    // simulate the crash window: target moved to backup, new data never landed
+    wh.rename(r, r.suffixed("__dbt_backup"))
+    assert(!wh.exists(r))
+    m.table(df(Seq((2L, "b", 2.0))), r)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(!wh.exists(r.suffixed("__dbt_backup")))
+  }
+
+  test("freshness floors hours_late for a fresh-ahead source") {
+    val s = spark
+    import s.implicits._
+    import graft.dqtests.SchemaTests
+    val df0 = Seq("2024-03-01 00:30:00").toDF("loaded")
+      .select(col("loaded").cast("timestamp"))
+    val row = SchemaTests.freshness(df0, "loaded",
+      lit("2024-03-01 00:00:00").cast("timestamp"), 24, 72).collect().head
+    assert(row.getAs[Long]("hours_late") == -1L) // floor(-0.5), not trunc(0)
+    assert(row.getAs[String]("status") == "pass")
+  }
+
   test("insert_overwrite + append_new_columns rewrites to one consistent schema") {
     val s = spark
     import s.implicits._

@@ -46,6 +46,24 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(e.readModel("by_region").count() == 5)
   }
 
+  test("schema template with an unset env var throws instead of leaking a literal schema") {
+    val t = Target(root(), schema = "ci_pr_{{ env_var('PR_NUMBER') }}")
+    intercept[IllegalArgumentException] { t.resolvedSchema }
+  }
+
+  test("ephemeral CTE injection merges with a WITH-newline model") {
+    val p = baseProject.copy(models = Seq(
+      ModelDef("eph_src",
+        """{{ config(materialized='ephemeral') }}
+          |SELECT n_nationkey, n_regionkey FROM {{ source('tpch','nation') }}""".stripMargin),
+      ModelDef("with_model",
+        "WITH\n  base AS (SELECT n_nationkey FROM {{ ref('eph_src') }})\n" +
+          "SELECT count(*) AS n FROM base")))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.readModel("with_model").collect().head.getLong(0) == 25L)
+  }
+
   test("view models persist a durable definition readable without the project") {
     val r = root()
     val p = baseProject.copy(models = Seq(
