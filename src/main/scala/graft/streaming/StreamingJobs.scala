@@ -122,13 +122,16 @@ object StreamingJobs {
                   m.eventCount + 1, m.total + v) :: rest
             }
           }
+          // close strictly by watermark (a timeout invocation only TRIGGERS
+          // evaluation — `hasTimedOut` must not close sessions whose gap
+          // hasn't elapsed); re-register at the EARLIEST open deadline so
+          // an older session isn't held hostage by a newer one's activity
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = sessions.partition(s =>
-            state.hasTimedOut || wm > s.lastMs + gapMs)
+          val (closed, open) = sessions.partition(s => wm > s.lastMs + gapMs)
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
-            state.setTimeoutTimestamp(open.map(_.lastMs).max + gapMs + 1)
+            state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs + 1)
           }
           closed.reverseIterator.map(s => ClosedSession(uid, s.startMs,
             s.eventCount, math.rint(s.total * 100) / 100))

@@ -83,6 +83,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionization survives cross-batch out-of-order events") {
+    // one user; batches arrive as [0min, 20min], then a LATE 12min event
+    // (inside the 10-min watermark), then 45min + a far-future sentinel.
+    // All four real events are within 30-min gaps of each other in EVENT
+    // time, so they are ONE session — a buggy implementation that rewinds
+    // lastMs to the late event (20 -> 12) would split at 45min (33 > 30).
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_stream_ooo")
+    val uid = 424242L
+    val sentinelUid = 555555L // a DIFFERENT user: a same-user sentinel would
+    // re-register uid's group timeout to the sentinel session's far future
+    def writeBatch(name: String, minutes: Seq[Long], user: Long = uid): Unit = {
+      minutes.map(m => (m, m * 60L * 1000000000L, user, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir.resolve(s"stage_$name").toString)
+      val f = Files.list(dir.resolve(s"stage_$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, dir.resolve(s"$name.parquet")); ()
+    }
+    // timeline starts at 60min: epoch-0 events sit exactly at the initial
+    // watermark and are dropped as late before the stateful operator
+    writeBatch("batch-1", Seq(60L, 80L))
+    writeBatch("batch-2", Seq(72L))          // late but inside watermark
+    writeBatch("batch-3", Seq(105L))         // would split if lastMs rewound
+    writeBatch("batch-4", Seq(100000L), sentinelUid) // advances the watermark
+
+    val src = spark.readStream.schema(StreamingJobs.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = StreamingJobs.closedSessions(spark, src)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("ooo_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val closed = spark.table("ooo_sessions")
+      .filter(col("user_id") === uid)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(closed == Seq((60L * 60000, 4L)),
+      s"want one session (start 60min, 4 events), got $closed")
+  }
+
   test("streaming dedup drops re-delivered events, state bounded by watermark") {
     // duplicate delivery: the same events file staged twice
     val dir = Files.createTempDirectory("graft_stream_dedup")
