@@ -433,7 +433,10 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val df = words.select(col("doc_id"), col("word")).distinct()
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "word")
+    // no broadcast hint: vocabulary is unbounded on a real corpus (AQE
+    // still broadcasts at runtime when the df table is actually small);
+    // the shuffle join keys on word, co-partitioned with the tf groupBy
+    tf.join(df, "word")
       .withColumn("score", expr("tf * 1000000L div (df + 1)"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))
