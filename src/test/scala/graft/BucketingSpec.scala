@@ -23,9 +23,19 @@ class BucketingSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("bucketed+sorted tables join with zero exchanges") {
-    // suites share one JVM-wide session (getOrCreate): this spec's
-    // warehouse.dir config is ignored when another suite ran first, so
-    // clean both the catalog entry AND any stale managed location
+    // suites share one JVM-wide session (getOrCreate): builder configs
+    // no-op when another suite created it first, so force the SMJ path at
+    // RUNTIME (broadcast would wrap the join in a BroadcastExchange and
+    // break the zero-Exchange assertion), restoring the ambient value
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try runBucketedJoinCase()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  private def runBucketedJoinCase(): Unit = {
+    // clean both the catalog entry AND any stale managed location (the
+    // warehouse.dir builder config is likewise ignored when shared)
     Seq("li_bucketed", "o_bucketed").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(

@@ -93,6 +93,10 @@ class ExtensionOpsSpec extends AnyFunSuite {
   }
 
   test("native cosine_sim matches a scala reference implementation") {
+    val s = spark
+    import s.implicits._
+    // collect ONCE and rebuild the DataFrame from the collected rows: two
+    // executions of an unordered limit(50) may pick different row sets
     val rows = TData.embeddings(spark, sf).limit(50)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -101,8 +105,7 @@ class ExtensionOpsSpec extends AnyFunSuite {
       for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val df = TData.embeddings(spark, sf).limit(50)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val df = rows.toSeq.toDF("vec_id", "v")
     val got = df.alias("a").crossJoin(df.alias("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id"), col("b.vec_id"),
@@ -114,14 +117,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("knn brute: rank-1 neighbor of an exact duplicate vector is itself") {
-    // self-check: every query's neighbors are sorted by similarity
-    val knn = Similarity.knnBrute(spark, sf).collect()
-      .groupBy(_.getLong(0))
-    knn.foreach { case (_, rows) =>
-      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
-      assert(sims.sameElements(sims.sortBy(-(_: Double))), "ranks ordered by cos")
+  test("knn brute rank-1 matches an independent scala reference computation") {
+    val all = TData.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    def r6(x: Double): Double = // mirror the query's round(.., 6)
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = all.filter(_._1 % 50 == 0).map { case (qid, qv) =>
+      val best = all.filter(_._1 != qid)
+        .map { case (id, v) => (id, r6(cos(qv, v))) }
+        .maxBy { case (id, c) => (c, -id) } // cos desc, id asc tiebreak
+      qid -> best._1
+    }.toMap
+    val got = Similarity.knnBrute(spark, sf)
+      .filter(col("knn_rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
   }
 
   test("IVF knn recall@5 vs brute-force baseline") {
@@ -164,8 +181,10 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val totals = TData.documents(spark, sf)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    byLang.foreach { case (lang, n) =>
-      val rate = n.toDouble / totals(lang)
+    // iterate the POPULATION strata: a stratum dropped entirely by a
+    // sampling bug must fail, not be silently skipped
+    totals.foreach { case (lang, total) =>
+      val rate = byLang.getOrElse(lang, 0L).toDouble / total
       val want = if (lang == "en") 0.5 else 0.9
       assert(math.abs(rate - want) < 0.2, s"$lang rate $rate, want ~$want")
     }

@@ -137,13 +137,14 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(compiled.contains(">= 9"), s"literal not substituted: $compiled")
     // plan-level proof: the constant predicate lands in the scan's
     // PartitionFilters, so only 1 of base_part's 10 partitions is read
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = spark.sql(compiled).queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters") &&
         """PartitionFilters: \[[^\]]*>= 9""".r.findFirstIn(plan).isDefined,
         s"no partition filter in plan:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     // behavioral proof: run 2 only replaces partitions >= 9, final state intact
     assert(e2.build()._1.forall(_.status == "success"))
     assert(e2.readModel("inc_part").count() ==

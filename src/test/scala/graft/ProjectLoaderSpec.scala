@@ -74,10 +74,14 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(nodes.find(_.name == "parents").get.status == "success")
     assert(nodes.find(_.name == "child_ok").get.status == "success")
     assert(nodes.find(_.name == "child_bad").get.status == "error")
-    val byModel = tests.map(t => t.model -> t).toMap
-    assert(byModel("child_ok").status == "pass")
-    assert(byModel("child_bad").status == "error" &&
-      byModel("child_bad").failures == 25L)
+    // child_ok has TWO relationship tests (model parent + source: parent);
+    // assert on ALL of them, not a map that keeps only the last
+    assert(tests.size == 3)
+    val okTests = tests.filter(_.model == "child_ok")
+    assert(okTests.size == 2 && okTests.forall(_.status == "pass"))
+    val bad = tests.filter(_.model == "child_bad")
+    assert(bad.size == 1 && bad.head.status == "error" &&
+      bad.head.failures == 25L)
   }
 
   test("tests.conf trailing k=v tokens become test config") {

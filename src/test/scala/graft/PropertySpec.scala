@@ -64,9 +64,11 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: merge is idempotent (re-applying the increment is a no-op)") {
+    var ran = 0
     samples(rowsGen, 8, 2000L).foreach { inc0 =>
       val inc = dedupByKey(inc0)
       if (inc.nonEmpty) {
+        ran += 1
         val s = spark; import s.implicits._
         val wh = freshWh(); val m = new Materializer(wh)
         val r = Relation("db", "s", "t")
@@ -79,11 +81,14 @@ class PropertySpec extends AnyFunSuite {
         assert(once == twice)
       }
     }
+    assert(ran > 0, "no generated case executed")
   }
 
   test("property: insert_overwrite replaces exactly the incoming partitions, idempotently") {
+    var ran = 0
     samples(Gen.zip(rowsGen, rowsGen), 6, 4000L).foreach { case (base, inc) =>
       if (base.nonEmpty && inc.nonEmpty) {
+        ran += 1
         val s = spark; import s.implicits._
         val wh = freshWh(); val m = new Materializer(wh)
         val r = Relation("db", "s", "t")
@@ -104,12 +109,15 @@ class PropertySpec extends AnyFunSuite {
         assert(state() == want)
       }
     }
+    assert(ran > 0, "no generated case executed")
   }
 
   test("property: delete+insert and merge agree for full-row upserts") {
+    var ran = 0
     samples(Gen.zip(rowsGen, rowsGen), 6, 5000L).foreach { case (base0, inc0) =>
       val base = dedupByKey(base0); val inc = dedupByKey(inc0)
       if (base.nonEmpty && inc.nonEmpty) {
+        ran += 1
         val s = spark; import s.implicits._
         def runWith(strategy: IncrementalStrategy): Seq[String] = {
           val wh = freshWh(); val m = new Materializer(wh)
@@ -124,6 +132,7 @@ class PropertySpec extends AnyFunSuite {
           runWith(IncrementalStrategy.DeleteInsert))
       }
     }
+    assert(ran > 0, "no generated case executed")
   }
 
   test("property: SCD-2 invariants hold over arbitrary 3-run histories") {
@@ -131,6 +140,7 @@ class PropertySpec extends AnyFunSuite {
       id <- Gen.choose(0L, 10L)
       payload <- Gen.oneOf("a", "b", "c")
     } yield (id, payload))
+    var ran = 0
     samples(Gen.zip(runGen, runGen, runGen), 6, 3000L).foreach {
       case (r1, r2, r3) =>
         val s = spark; import s.implicits._
@@ -139,6 +149,7 @@ class PropertySpec extends AnyFunSuite {
         val runs = Seq(r1, r2, r3).map(dedup2).zipWithIndex
           .filter(_._1.nonEmpty)
         if (runs.nonEmpty) {
+          ran += 1
           runs.foreach { case (rows, i) =>
             val t = lit(s"2024-0${i + 1}-01 00:00:00").cast("timestamp")
             snap.snapshot(rows.toDF("id", "payload"), rel, Seq("id"),
@@ -165,6 +176,7 @@ class PropertySpec extends AnyFunSuite {
           table.unpersist(); ()
         }
     }
+    assert(ran > 0, "no generated case executed")
   }
 
   private def dedup2(rows: List[(Long, String)]): List[(Long, String)] =

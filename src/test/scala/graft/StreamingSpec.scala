@@ -64,10 +64,9 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val q = StreamingJobs.closedSessions(spark, src)
-      .toDF().writeStream.outputMode("append")
-      .format("memory").queryName("closed_sessions").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamingJobs.runToMemory(spark,
+      StreamingJobs.closedSessions(spark, src).toDF(),
+      "closed_sessions", OutputMode.Append())
 
     val got = spark.table("closed_sessions")
       .groupBy("user_id").agg(sum("n_events").as("n"))
@@ -114,10 +113,9 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val q = StreamingJobs.closedSessions(spark, src)
-      .toDF().writeStream.outputMode("append")
-      .format("memory").queryName("ooo_sessions").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamingJobs.runToMemory(spark,
+      StreamingJobs.closedSessions(spark, src).toDF(),
+      "ooo_sessions", OutputMode.Append())
 
     val closed = spark.table("ooo_sessions")
       .filter(col("user_id") === uid)
@@ -141,11 +139,10 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stateful user stats equal the batch per-user aggregate") {
-    val stream = StreamingJobs.userRunningStats(spark,
-      StreamingJobs.readEvents(spark, streamDir))
-    val q = stream.toDF().writeStream.outputMode("update")
-      .format("memory").queryName("user_stats").start()
-    try q.processAllAvailable() finally q.stop()
+    StreamingJobs.runToMemory(spark,
+      StreamingJobs.userRunningStats(spark,
+        StreamingJobs.readEvents(spark, streamDir)).toDF(),
+      "user_stats", OutputMode.Update())
     // update mode: keep the LAST emitted row per user
     val got = spark.table("user_stats")
       .groupBy("user_id").agg(max("n_events").as("n_events"))
