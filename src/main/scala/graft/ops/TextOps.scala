@@ -458,6 +458,64 @@ object TextOps {
       |  FROM tf JOIN df USING (word))
       |WHERE rn <= 3""".stripMargin
 
+  /** The full corpus-curation funnel as ONE declarative plan — the
+    * end-to-end shape an LLM data pipeline actually runs:
+    *   1. quality gate (floor-scaled score ≥ 0.5, same formula as
+    *      [[qualityScore]])
+    *   2. exact dedup (keep the min doc_id per md5(text))
+    *   3. deterministic stratified sample (md5 buckets, en downsampled)
+    * Catalyst fuses 1+3 into the scan projection/filter and 2 is the only
+    * shuffle (on the 16-byte text hash) — at 100 TB the funnel costs one
+    * pass + one hash shuffle, not three jobs with intermediate tables.
+    */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_distinct", size(array_distinct(col("w"))))
+      .withColumn("n_stop", expr(s"size(filter(w, x -> x IN ($stopList)))"))
+      .withColumn("quality", expr(
+        "floor((0.4 * (n_distinct / CAST(n_words AS DOUBLE)) " +
+          "+ 0.3 * (1.0 - n_stop / CAST(n_words AS DOUBLE)) " +
+          "+ 0.3 * least(n_words / 100.0, 1.0)) * 10000) / 10000"))
+      .filter(col("quality") >= 0.5)
+    val deduped = scored
+      .withColumn("keep", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text")))
+          .orderBy(col("doc_id").asc)))
+      .filter(col("keep") === 1)
+    deduped
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .filter(when(col("lang") === "en", col("h") < 50).otherwise(col("h") < 90))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("quality"))
+  }
+
+  // lazy: `stopList` is declared further down the object — an eager val
+  // here would interpolate null into the SQL (object init order)
+  lazy val curationPipelineSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, text,
+       |    len(w) AS n_words,
+       |    floor((0.4 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+       |      + 0.3 * (1.0 - len(list_filter(w, x -> x IN ($stopList)))
+       |                      / CAST(len(w) AS DOUBLE))
+       |      + 0.3 * least(len(w) / 100.0, 1.0)) * 10000) / 10000 AS quality
+       |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+       |        FROM documents)),
+       |gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+       |deduped AS (
+       |  SELECT doc_id, lang, n_words, quality FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |      ORDER BY doc_id ASC) AS keep
+       |    FROM gated) WHERE keep = 1)
+       |SELECT doc_id, lang, n_words, quality FROM (
+       |  SELECT *,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+       |  FROM deduped)
+       |WHERE CASE WHEN lang = 'en' THEN h < 50 ELSE h < 90 END""".stripMargin
+
   // ---------------------------------------------- sampling / corpus mixing
   /** Deterministic stratified sampling — the corpus-mixing primitive: keep
     * `pct`% of each language stratum, selected by a CONTENT-derived hash
