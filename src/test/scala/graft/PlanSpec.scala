@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Plan-quality regression net: the SCALE.md claims that matter at 100 TB,
+  * asserted on the physical plans so a refactor that silently drops a
+  * broadcast hint, breaks exchange reuse, or loses scan pushdown fails CI
+  * — not just a benchmark three rounds later.
+  *
+  * AQE is disabled per-assertion (saved/restored): with it on, the
+  * pre-execution plan is a single AdaptiveSparkPlan node whose children
+  * aren't visible to collect/toString.
+  */
+class PlanSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(df: => DataFrame): String = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Shuffle exchanges only (not BroadcastExchange / ReusedExchange). */
+  private def shuffles(p: String): Int =
+    p.linesIterator.count(l => l.contains("Exchange ") &&
+      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+
+  test("q5 star join: dimension arm broadcast, no sort-merge join of dims") {
+    val p = plan(Analytics.q5RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("sessionize: ONE shuffle feeds both windows and the final aggregate") {
+    val p = plan(Events.sessionize(spark, sf))
+    assert(shuffles(p) == 1, s"want exactly 1 shuffle exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) >= 2, p)
+  }
+
+  test("winnowing: ONE shuffle for both windows and the distinct") {
+    val p = plan(TextOps.winnowFingerprint(spark, sf))
+    assert(shuffles(p) == 1, s"want exactly 1 shuffle exchange:\n$p")
+  }
+
+  test("q1 pricing summary: scan pushes the shipdate filter and prunes columns") {
+    val p = plan(Analytics.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    // column pruning: the scan schema must not include untouched columns
+    assert(!p.contains("l_comment"), s"scan reads pruned column:\n$p")
+  }
+
+  test("curation funnel: single shuffle (the dedup hash), filters fused into the scan side") {
+    val p = plan(TextOps.curationPipeline(spark, sf))
+    assert(shuffles(p) == 1, s"want exactly 1 shuffle exchange:\n$p")
+  }
+}
