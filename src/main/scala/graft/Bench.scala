@@ -25,7 +25,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The harness runs this under sbt, which prints "[success] Total
+    // time: ..." AFTER main returns — so a plain println is never the
+    // last stdout line and a last-line JSON parser sees sbt noise.
+    // A JVM shutdown hook runs at sbt-JVM exit, after that line, making
+    // the metric genuinely final; also drop it in a file as a fallback.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(json)
+      System.out.flush()
+    }))
     spark.stop()
   }
 }

@@ -57,6 +57,10 @@ final case class ModelConfig(
     incrementalStrategy: IncrementalStrategy = IncrementalStrategy.Merge,
     mergeUpdateColumns: Seq[String] = Nil, // empty = update all columns
     partitionBy: Option[String] = None,
+    // insert_overwrite static mode (reference bq_insert_overwrite @34992):
+    // a user-pinned list of partition values (string-rendered) to replace.
+    // Empty = dynamic mode (partitions discovered from the increment).
+    partitions: Seq[String] = Nil,
     clusterBy: Seq[String] = Nil,
     onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
     tags: Set[String] = Set.empty,

@@ -221,6 +221,36 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     rows
   }
 
+  /** True when the relation directory holds flat (non-partition-dir)
+    * parquet data files — i.e. it was written unpartitioned.
+    */
+  def hasFlatFiles(rel: Relation): Boolean = {
+    val p = new Path(path(rel))
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Drop the partition directories whose (URL-decoded) value is in
+    * `values` — the delete half of static insert_overwrite: listed
+    * partitions are replaced even when the increment holds no rows for
+    * them. Matches on the PARSED value (Spark URL-escapes special chars
+    * in partition dir names, e.g. `:` → `%3A`), so callers pass plain
+    * rendered values.
+    */
+  def dropPartitions(rel: Relation, partitionCol: String,
+                     values: Seq[String]): Unit = {
+    val want = values.toSet
+    listPartitions(rel).foreach { dir =>
+      val eq = dir.indexOf('=')
+      if (eq > 0 && dir.substring(0, eq) == partitionCol) {
+        val v = java.net.URLDecoder.decode(dir.substring(eq + 1), "UTF-8")
+        if (want.contains(v)) {
+          fs.delete(new Path(path(rel), dir), true); ()
+        }
+      }
+    }
+  }
+
   /** Partition directory names of a partitioned relation (reference
     * `get_partitions_metadata` @12518).
     */

@@ -118,25 +118,54 @@ final class Materializer(wh: Warehouse) {
         // reference `is_replaceable` (@48682): when the existing layout's
         // partition spec differs from the config — INCLUDING a formerly
         // unpartitioned table (flat files; a dynamic overwrite would write
-        // partition dirs next to them and corrupt reads) — rebuild instead
+        // partition dirs next to them and corrupt reads) — REFUSE. `df`
+        // was compiled with is_incremental()=true and is filtered to the
+        // increment; rebuilding from it would silently discard all
+        // history outside the incremental window. The reference only
+        // rebuilds in full_refresh_mode, where the SQL is unfiltered.
+        // (An existing-but-empty layout — no partition dirs AND no flat
+        // data files — is safe to adopt in place.)
         val existingSpec = wh.listPartitions(rel)
           .map(_.takeWhile(_ != '=')).distinct
-        if (existingSpec != Seq(pcol))
-          table(df, rel, cfg)
-        else if (requiresTargetRewrite) {
-          // schema evolved under append_new_columns/sync_all_columns: an
-          // in-place dynamic overwrite would leave untouched partitions on
-          // the OLD parquet schema while new partitions get the new one —
-          // a later read (mergeSchema off by default) silently drops or
-          // misorders columns. Do the partition replacement as one atomic
-          // full rewrite on the evolved schema instead: untouched
-          // partitions come from the conformed target, incoming partitions
-          // from the increment.
-          val keep = tgt.join(inc.select(col(pcol)).distinct(),
-            Seq(pcol), "left_anti")
-          wh.writeAtomic(keep.unionByName(inc), rel, Seq(pcol), cfg.clusterBy)
+        if (existingSpec != Seq(pcol) &&
+            (existingSpec.nonEmpty || wh.hasFlatFiles(rel)))
+          throw new IllegalStateException(
+            s"insert_overwrite into ${rel.fqName}: existing partition " +
+              s"layout [${existingSpec.mkString(",")}] does not match " +
+              s"partition_by=$pcol; rerun with full_refresh to rebuild " +
+              "from the complete (unfiltered) model")
+        else {
+          // Replacement scope: the user-pinned static list when present
+          // (reference @34992 static mode — listed partitions are deleted
+          // even when the increment holds no rows for them, and increment
+          // rows OUTSIDE the list are ignored, both via the reference's
+          // `partition_col in (<list>)` merge predicate), else the
+          // partitions discovered in the increment (dynamic mode).
+          val static = cfg.partitions.nonEmpty
+          val scoped =
+            if (static) inc.filter(col(pcol).cast("string").isin(cfg.partitions: _*))
+            else inc
+          if (requiresTargetRewrite) {
+            // schema evolved under append_new_columns/sync_all_columns: an
+            // in-place dynamic overwrite would leave untouched partitions
+            // on the OLD parquet schema while new partitions get the new
+            // one — a later read (mergeSchema off by default) silently
+            // drops or misorders columns. Do the partition replacement as
+            // one atomic full rewrite on the evolved schema instead:
+            // untouched partitions come from the conformed target,
+            // replaced partitions from the increment.
+            val keep =
+              if (static) tgt.filter(col(pcol).isNull ||
+                !col(pcol).cast("string").isin(cfg.partitions: _*))
+              else tgt.join(scoped.select(col(pcol)).distinct(),
+                Seq(pcol), "left_anti")
+            wh.writeAtomic(keep.unionByName(scoped), rel, Seq(pcol),
+              cfg.clusterBy)
+          } else if (static) {
+            wh.dropPartitions(rel, pcol, cfg.partitions)
+            wh.append(scoped, rel, Seq(pcol))
+          } else wh.overwritePartitions(scoped, rel, Seq(pcol))
         }
-        else wh.overwritePartitions(inc, rel, Seq(pcol))
       case Merge if cfg.uniqueKey.isEmpty =>
         // append-only merge (`ON FALSE`, @89014)
         wh.append(inc, rel, cfg.partitionBy.toSeq)

@@ -62,20 +62,29 @@ object Events {
         // non-associative, so Spark's partial-agg order vs DuckDB's scan
         // order can flip a `.xx5` rounding tie. Summing exact integers is
         // order-independent; /100.0 of the same int64 is the same double
-        // in both engines.
-        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+        // in both engines. floor(x+0.5) rather than round(): the same
+        // double maps to the same integer in every engine, while round()
+        // splits `.5`-repr ties between Spark's HALF_UP-on-decimal and
+        // DuckDB's binary rounding.
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
           .as("sum_value"))
   }
 
+  // session_id MUST be cast to BIGINT: DuckDB's sum(int) returns HUGEINT
+  // (int128), and a dtype-sensitive comparator renders HUGEINT as float
+  // ("1.0") vs Spark's int64 ("1") — identical values, different hash.
+  // This was the only HUGEINT output column in the whole battery and the
+  // cause of two rounds of e_sessionize hash FAILs.
   val sessionizeSql: String =
     """SELECT user_id, session_id, count(*) AS n_events,
       |  epoch_ms(min(ts)::TIMESTAMP) AS session_start_ms,
-      |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+      |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
       |FROM (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id
       |      ORDER BY ts ASC, event_id ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
       |  FROM (
       |    SELECT user_id, event_id, ts, value,
       |      CASE WHEN prev_ts IS NULL

@@ -20,9 +20,15 @@ import graft.functions.VectorFunctions.cosine_sim
 object Similarity {
   import TData._
 
+  // Memoized+cached: five similarity queries each start from the same
+  // float→double transformed corpus, and the KNN self-joins read it for
+  // both the corpus and query sides — uncached, each side recomputes the
+  // transform and re-scans the parquet.
   private def vecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    SessionCache.getOrElseUpdate(s, s"vecs:$d") {
+      embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")).cache()
+    }
 
   private def topK(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("knn_rank", row_number().over(

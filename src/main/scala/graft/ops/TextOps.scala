@@ -593,8 +593,13 @@ object TextOps {
     */
   def langId(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = documents(s, d).select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("word"))
+    // Memoized+cached: `words` feeds BOTH the profile-training branch and
+    // the docWords branch of a self-join — uncached, Spark recomputes the
+    // explode for each side (and re-reads documents 3×).
+    val words = SessionCache.getOrElseUpdate(s, s"langid_words:$d") {
+      documents(s, d).select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word")).cache()
+    }
     val profile = words.groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("c"))
     val top = profile.withColumn("rn", row_number().over(

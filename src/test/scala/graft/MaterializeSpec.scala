@@ -75,16 +75,22 @@ class MaterializeSpec extends AnyFunSuite {
     assert(wh.listPartitions(r).toSet == Set("name=p1", "name=p2"))
   }
 
-  test("insert_overwrite with a changed partition spec rebuilds the table") {
+  test("insert_overwrite with a changed partition spec demands a full refresh") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc7")
     val byName = ModelConfig(materialized = "incremental",
       incrementalStrategy = IncrementalStrategy.InsertOverwrite,
       partitionBy = Some("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, byName)
     assert(wh.listPartitions(r).forall(_.startsWith("name=")))
-    // same strategy, different partition column → full rebuild, new layout
+    // same strategy, different partition column: a normal incremental run
+    // carries FILTERED sql — rebuilding from it would lose history, so the
+    // engine refuses and the user reruns with full_refresh
     val byScore = byName.copy(partitionBy = Some("score"))
-    m.incremental(df(Seq((3L, "p3", 9.0))), r, byScore)
+    intercept[IllegalStateException] {
+      m.incremental(df(Seq((3L, "p3", 9.0))), r, byScore)
+    }
+    assert(wh.listPartitions(r).forall(_.startsWith("name="))) // untouched
+    m.incremental(df(Seq((3L, "p3", 9.0))), r, byScore, fullRefresh = true)
     assert(wh.listPartitions(r).forall(_.startsWith("score=")))
     assert(wh.read(r).collect().map(_.getAs[Long]("id")).toSet == Set(3L))
   }
@@ -150,20 +156,44 @@ class MaterializeSpec extends AnyFunSuite {
     assert(m.maxPartition(rel("absent"), "id").isEmpty)
   }
 
-  test("insert_overwrite onto a formerly unpartitioned table rebuilds it") {
+  test("insert_overwrite onto a mismatched layout refuses (no silent history loss)") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc9")
     // first materialized as a plain table (flat parquet files)
     m.table(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r)
-    // then switched to insert_overwrite with partition_by: a dynamic
-    // overwrite would mix partition dirs with the flat files
+    // then switched to insert_overwrite with partition_by: the increment
+    // is filtered SQL — rebuilding from it would silently drop (1,"p1").
+    // The engine must demand a full refresh instead.
     val cfg = ModelConfig(materialized = "incremental",
       incrementalStrategy = IncrementalStrategy.InsertOverwrite,
       partitionBy = Some("name"))
-    m.incremental(df(Seq((30L, "p2", 30.0))), r, cfg)
-    assert(wh.listPartitions(r).toSet == Set("name=p2"))
+    val ex = intercept[IllegalStateException] {
+      m.incremental(df(Seq((30L, "p2", 30.0))), r, cfg)
+    }
+    assert(ex.getMessage.contains("full_refresh"))
+    // history intact, layout untouched
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the sanctioned path: full refresh rebuilds from the (unfiltered) df
+    m.incremental(df(Seq((1L, "p1", 1.0), (30L, "p2", 30.0))), r, cfg,
+      fullRefresh = true)
+    assert(wh.listPartitions(r).toSet == Set("name=p1", "name=p2"))
+  }
+
+  test("insert_overwrite static partitions mode replaces exactly the pinned list") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc10")
+    val cfg0 = ModelConfig(materialized = "incremental",
+      incrementalStrategy = IncrementalStrategy.InsertOverwrite,
+      partitionBy = Some("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0), (3L, "p3", 3.0))),
+      r, cfg0)
+    // static list pins p2 AND p3: p2 gets the new row, p3 has no increment
+    // rows so it is DELETED; p4 is outside the list so its increment row
+    // is ignored; p1 is untouched.
+    val cfg = cfg0.copy(partitions = Seq("p2", "p3"))
+    m.incremental(df(Seq((20L, "p2", 20.0), (40L, "p4", 40.0))), r, cfg)
     val out = wh.read(r).collect()
       .map(x => (x.getAs[String]("name"), x.getAs[Long]("id"))).toSet
-    assert(out == Set(("p2", 30L)))
+    assert(out == Set(("p1", 1L), ("p2", 20L)))
+    assert(wh.listPartitions(r).toSet == Set("name=p1", "name=p2"))
   }
 
   test("writeAtomic restores from backup after a crash between the swap renames") {
