@@ -15,13 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    // Same family-grouped order + boundary releases as Bench: staging
+    // cache pins live only as long as the family that shares them.
+    val queries = SparkEntry.queries
+    var fam = ' '
+    queries.keys.toSeq.sorted.foreach { name =>
+      if (fam != ' ' && name.head != fam) graft.ops.SessionCache.releaseAll(spark)
+      fam = name.head
+      try queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    graft.ops.SessionCache.releaseAll(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

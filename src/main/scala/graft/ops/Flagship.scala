@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The reference's flagship analytic model re-expressed Spark-first.
   *
@@ -54,7 +55,7 @@ object Flagship {
         .select(
           concat(lit("repo_"), col("l_orderkey")).as("repo_name"),
           col("language"))
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** A1–A7: scan → lateral explode → struct access → group-by ordinal →

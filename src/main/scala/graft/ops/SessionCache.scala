@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[release]] / [[releaseAll]], which unpersists the plans and drops the
   * strong value chain; only then can the weak key entry go.
   */
-private[ops] object SessionCache {
+private[graft] object SessionCache {
   private val caches =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()

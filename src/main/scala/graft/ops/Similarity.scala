@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions.cosine_sim
 
 /** Similarity search over the `embeddings` table (`vec_id, embedding
@@ -27,7 +28,8 @@ object Similarity {
   private def vecs(s: SparkSession, d: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"vecs:$d") {
       embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")).cache()
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   private def topK(scored: DataFrame, k: Int): DataFrame =

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Large-scale training-data text operators over the `documents` table:
   * exact + fuzzy deduplication (hash, n-gram Jaccard, MinHash+LSH,
@@ -101,7 +102,8 @@ object TextOps {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > ShingleDfCap)
         .select(col("shingle"))
-      sh.join(broadcast(hot), Seq("shingle"), "left_anti").cache()
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   private val cappedShinglesSql: String =
@@ -117,21 +119,25 @@ object TextOps {
     * join is the scale path: candidate pairs ∝ shared-shingle co-occurrence,
     * not n².
     */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = cappedShingles(s, d) // memoized+cached index
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.alias("a").join(sh.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
-      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc1"), col("doc2"), col("jaccard"))
-  }
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    // memoized: the pair list feeds both the standalone query and
+    // dedupClusters (which iterates over it) in the same session
+    SessionCache.getOrElseUpdate(s, s"ngram_pairs:$d") {
+      val sh = cappedShingles(s, d) // memoized+cached index
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.alias("a").join(sh.alias("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2"), "doc2")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
 
   val dedupNgramJaccardSql: String =
     s"""WITH $corpusSql, $shinglesSql, $cappedShinglesSql,
@@ -166,7 +172,7 @@ object TextOps {
         // and lose ulps at 2^60
         .withColumn("h",
           expr(s"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $P"))
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"m$i")
@@ -360,7 +366,8 @@ object TextOps {
     // memoize+cache the signatures: the band self-join would otherwise
     // recompute the full explode+32-column bit-sum aggregation for BOTH
     // join sides (and a per-call cache would pin a fresh copy per call)
-    val sh = SessionCache.getOrElseUpdate(s, s"simhash:$d")(simhash(s, d).cache())
+    val sh = SessionCache.getOrElseUpdate(s, s"simhash:$d")(
+      simhash(s, d).persist(StorageLevel.MEMORY_AND_DISK_SER))
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"),
@@ -598,7 +605,8 @@ object TextOps {
     // explode for each side (and re-reads documents 3×).
     val words = SessionCache.getOrElseUpdate(s, s"langid_words:$d") {
       documents(s, d).select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("word")).cache()
+        explode(split(col("text"), " ")).as("word"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
     val profile = words.groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("c"))
