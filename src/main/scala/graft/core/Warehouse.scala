@@ -230,10 +230,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       st.isFile && st.getPath.getName.endsWith(".parquet"))
   }
 
-  /** Drop the partition directories whose (URL-decoded) value is in
+  /** Drop the partition directories whose (unescaped) value is in
     * `values` — the delete half of static insert_overwrite: listed
     * partitions are replaced even when the increment holds no rows for
-    * them. Matches on the PARSED value (Spark URL-escapes special chars
+    * them. Matches on the PARSED value (Spark %-escapes special chars
     * in partition dir names, e.g. `:` → `%3A`), so callers pass plain
     * rendered values.
     */
@@ -243,12 +243,68 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     listPartitions(rel).foreach { dir =>
       val eq = dir.indexOf('=')
       if (eq > 0 && dir.substring(0, eq) == partitionCol) {
-        val v = java.net.URLDecoder.decode(dir.substring(eq + 1), "UTF-8")
+        val v = Warehouse.unescapePathName(dir.substring(eq + 1))
         if (want.contains(v)) {
           fs.delete(new Path(path(rel), dir), true); ()
         }
       }
     }
+  }
+
+  /** Per-partition atomic replacement: materialize `df` (partitioned by
+    * `pcol`) into a tmp relation FIRST, then swap each written partition
+    * directory into the target behind a backup rename; `alsoDropValues`
+    * partitions are removed even when `df` holds no rows for them (static
+    * insert_overwrite's pinned list). Partition directories not written by
+    * `df` are never opened — their files stay byte-identical, which is the
+    * whole point at scale: a daily merge must not rewrite years of
+    * untouched history. Crash safety mirrors [[writeAtomic]]: new data is
+    * fully on disk before any target mutation, and a partition caught
+    * between its two renames is restored from `__dbt_pbackup` by the
+    * recovery preamble of the next write.
+    */
+  def replacePartitions(df: DataFrame, rel: Relation, pcol: String,
+                        alsoDropValues: Seq[String] = Nil,
+                        clusterCols: Seq[String] = Nil): Unit = {
+    val tmp = rel.suffixed("__dbt_tmp")
+    val backup = rel.suffixed("__dbt_pbackup")
+    // recovery preamble: restore any backed-up partition whose live dir
+    // vanished in a previous crash window, then clear the backup area
+    if (exists(backup)) {
+      listPartitions(backup).foreach { dir =>
+        val tgtDir = new Path(path(rel), dir)
+        if (!fs.exists(tgtDir)) { fs.rename(new Path(path(backup), dir), tgtDir); () }
+      }
+      drop(backup)
+    }
+    drop(tmp)
+    val aligned = partitionAligned(df, Seq(pcol))
+    val clustered =
+      if (clusterCols.nonEmpty)
+        aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
+      else aligned
+    clustered.write.mode("overwrite").partitionBy(pcol).parquet(path(tmp))
+    fs.mkdirs(new Path(path(backup)))
+    val written = listPartitions(tmp)
+    written.foreach { dir =>
+      val tgtDir = new Path(path(rel), dir)
+      if (fs.exists(tgtDir)) { fs.rename(tgtDir, new Path(path(backup), dir)); () }
+      fs.mkdirs(tgtDir.getParent)
+      if (!fs.rename(new Path(path(tmp), dir), tgtDir))
+        throw new IllegalStateException(
+          s"partition swap $dir -> ${rel.fqName} failed")
+    }
+    // pinned partitions with NO replacement rows: deletion is the
+    // SEMANTIC intent (the increment is already safe on disk above, so
+    // this is not the drop-then-append data-loss window). Values just
+    // swapped in must not be dropped again.
+    val writtenVals = written
+      .map(d => Warehouse.unescapePathName(d.substring(d.indexOf('=') + 1)))
+      .toSet
+    val toDrop = alsoDropValues.filterNot(writtenVals.contains)
+    if (toDrop.nonEmpty) dropPartitions(rel, pcol, toDrop)
+    drop(backup)
+    drop(tmp)
   }
 
   /** Partition directory names of a partitioned relation (reference
@@ -259,5 +315,29 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.contains("="))
+  }
+}
+
+object Warehouse {
+  /** Inverse of Spark's partition-path escaping (Hive convention,
+    * re-derived from the observed dir format): ONLY `%XX` sequences
+    * decode. `URLDecoder` is wrong here — it maps '+' to space, so a
+    * value containing a literal '+' never matches its own directory and
+    * a value "a b" would wrongly match dir "name=a+b".
+    */
+  def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

@@ -136,15 +136,13 @@ final class Materializer(wh: Warehouse) {
               "from the complete (unfiltered) model")
         else {
           // Replacement scope: the user-pinned static list when present
-          // (reference @34992 static mode — listed partitions are deleted
-          // even when the increment holds no rows for them, and increment
-          // rows OUTSIDE the list are ignored, both via the reference's
-          // `partition_col in (<list>)` merge predicate), else the
+          // (reference @34992 static mode — the `partition_col in (<list>)`
+          // predicate scopes ONLY the delete branch of the merge-ON-FALSE,
+          // so listed partitions are deleted even when the increment holds
+          // no rows for them while ALL increment rows insert: out-of-list
+          // rows APPEND to their untouched partitions), else the
           // partitions discovered in the increment (dynamic mode).
           val static = cfg.partitions.nonEmpty
-          val scoped =
-            if (static) inc.filter(col(pcol).cast("string").isin(cfg.partitions: _*))
-            else inc
           if (requiresTargetRewrite) {
             // schema evolved under append_new_columns/sync_all_columns: an
             // in-place dynamic overwrite would leave untouched partitions
@@ -157,31 +155,99 @@ final class Materializer(wh: Warehouse) {
             val keep =
               if (static) tgt.filter(col(pcol).isNull ||
                 !col(pcol).cast("string").isin(cfg.partitions: _*))
-              else tgt.join(scoped.select(col(pcol)).distinct(),
+              else tgt.join(inc.select(col(pcol)).distinct(),
                 Seq(pcol), "left_anti")
-            wh.writeAtomic(keep.unionByName(scoped), rel, Seq(pcol),
+            wh.writeAtomic(keep.unionByName(inc), rel, Seq(pcol),
               cfg.clusterBy)
           } else if (static) {
-            wh.dropPartitions(rel, pcol, cfg.partitions)
-            wh.append(scoped, rel, Seq(pcol))
-          } else wh.overwritePartitions(scoped, rel, Seq(pcol))
+            // Listed partitions are replaced by their increment rows;
+            // out-of-list increment rows append, which under a per-
+            // partition swap means their partitions' EXISTING rows must
+            // ride along into the replacement (a partition-pruned read —
+            // only out-of-list partitions touched by the increment).
+            val listed = cfg.partitions.toSet
+            val incVals = inc
+              .select(col(pcol), col(pcol).cast("string").as("s"))
+              .distinct().collect()
+              .map(r => (r.get(0), r.getString(1))).toSeq
+            val appendVals = incVals
+              .collect { case (v, s) if s != null && !listed.contains(s) => v }
+            val hasNullInc = incVals.exists(_._2 == null)
+            val keepPred = {
+              val in = if (appendVals.nonEmpty) col(pcol).isin(appendVals: _*)
+                       else lit(false)
+              if (hasNullInc) in || col(pcol).isNull else in
+            }
+            wh.replacePartitions(tgt.filter(keepPred).unionByName(inc), rel,
+              pcol, alsoDropValues = cfg.partitions,
+              clusterCols = cfg.clusterBy)
+          } else wh.overwritePartitions(inc, rel, Seq(pcol))
         }
       case Merge if cfg.uniqueKey.isEmpty =>
         // append-only merge (`ON FALSE`, @89014)
         wh.append(inc, rel, cfg.partitionBy.toSeq)
       case Merge if cfg.mergeUpdateColumns.nonEmpty =>
-        wh.writeAtomic(mergeUpdateSubset(tgt, inc, cfg.uniqueKey,
-          cfg.mergeUpdateColumns), rel, cfg.partitionBy.toSeq, cfg.clusterBy)
+        mergeScope(inc, rel, cfg, requiresTargetRewrite) match {
+          case Some((pcol, tgtScoped)) =>
+            wh.replacePartitions(mergeUpdateSubset(tgtScoped, inc,
+              cfg.uniqueKey, cfg.mergeUpdateColumns), rel, pcol,
+              clusterCols = cfg.clusterBy)
+          case None =>
+            wh.writeAtomic(mergeUpdateSubset(tgt, inc, cfg.uniqueKey,
+              cfg.mergeUpdateColumns), rel, cfg.partitionBy.toSeq, cfg.clusterBy)
+        }
       case Merge | DeleteInsert =>
         // full-row upsert: MERGE updating all columns ≡ delete+insert
         // (`incremental_upsert` @144149): anti-join keeps unmatched target
         // rows, the increment provides matched + new rows.
-        val keep = tgt.join(inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
-          cfg.uniqueKey, "left_anti")
-        wh.writeAtomic(keep.unionByName(inc), rel, cfg.partitionBy.toSeq,
-          cfg.clusterBy)
+        mergeScope(inc, rel, cfg, requiresTargetRewrite) match {
+          case Some((pcol, tgtScoped)) =>
+            val keep = tgtScoped.join(
+              inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
+              cfg.uniqueKey, "left_anti")
+            wh.replacePartitions(keep.unionByName(inc), rel, pcol,
+              clusterCols = cfg.clusterBy)
+          case None =>
+            val keep = tgt.join(
+              inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
+              cfg.uniqueKey, "left_anti")
+            wh.writeAtomic(keep.unionByName(inc), rel, cfg.partitionBy.toSeq,
+              cfg.clusterBy)
+        }
     }
   }
+
+  /** Partition scoping for the merge family: when the target is laid out
+    * partitioned on `cfg.partitionBy`, only the partitions PRESENT IN THE
+    * INCREMENT need to be read (partition-pruned scan) and rewritten (per-
+    * partition swap) — at 100 TB a daily merge must not rewrite years of
+    * untouched history. Assumes a given unique key's partition value is
+    * stable: a key that MOVES partitions leaves its old row behind in the
+    * unread partition (the same documented caveat as the reference's
+    * insert_overwrite economics and dbt's `incremental_predicates`).
+    * Returns the partition column and the scoped target read, or None when
+    * scoping doesn't apply (unpartitioned layout, or a schema evolution
+    * that requires rewriting every partition onto the new schema anyway).
+    */
+  private def mergeScope(inc: DataFrame, rel: Relation, cfg: ModelConfig,
+                         requiresTargetRewrite: Boolean)
+      : Option[(String, DataFrame)] =
+    cfg.partitionBy
+      .filter(p => !requiresTargetRewrite &&
+        wh.listPartitions(rel).map(_.takeWhile(_ != '=')).distinct == Seq(p))
+      .map { pcol =>
+        // touched partition values: a control-plane collect bounded by the
+        // number of partitions in the increment (same role as the
+        // reference's partition-pruning literals @34992)
+        val touched = inc.select(col(pcol)).distinct().collect().map(_.get(0))
+        val nonNull = touched.filter(_ != null).toSeq
+        val pred = {
+          val in = if (nonNull.nonEmpty) col(pcol).isin(nonNull: _*)
+                   else lit(false)
+          if (touched.contains(null)) in || col(pcol).isNull else in
+        }
+        (pcol, wh.read(rel).filter(pred))
+      }
 
   /** MERGE with `merge_update_columns` subset (`default__get_merge_sql`
     * @89014 WHEN MATCHED THEN UPDATE SET <subset>): matched target rows

@@ -185,15 +185,100 @@ class MaterializeSpec extends AnyFunSuite {
       partitionBy = Some("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0), (3L, "p3", 3.0))),
       r, cfg0)
-    // static list pins p2 AND p3: p2 gets the new row, p3 has no increment
-    // rows so it is DELETED; p4 is outside the list so its increment row
-    // is ignored; p1 is untouched.
+    // Reference semantics (bq_insert_overwrite @34992, merge ON FALSE:
+    // the list scopes only the DELETE branch). Static list pins p2 AND
+    // p3: p2 gets the new row, p3 has no increment rows so it is
+    // DELETED; p4 is outside the list so its increment row still
+    // INSERTS (appends to p4); p1 is untouched — byte-identical files.
+    val p1Files = partFiles(wh, r, "name=p1")
     val cfg = cfg0.copy(partitions = Seq("p2", "p3"))
     m.incremental(df(Seq((20L, "p2", 20.0), (40L, "p4", 40.0))), r, cfg)
     val out = wh.read(r).collect()
       .map(x => (x.getAs[String]("name"), x.getAs[Long]("id"))).toSet
-    assert(out == Set(("p1", 1L), ("p2", 20L)))
-    assert(wh.listPartitions(r).toSet == Set("name=p1", "name=p2"))
+    assert(out == Set(("p1", 1L), ("p2", 20L), ("p4", 40L)))
+    assert(wh.listPartitions(r).toSet == Set("name=p1", "name=p2", "name=p4"))
+    assert(partFiles(wh, r, "name=p1") == p1Files) // path+len+mtime identical
+  }
+
+  /** (path, length, mtime) of every data file under one partition dir. */
+  def partFiles(wh: Warehouse, r: Relation, dir: String): Set[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(wh.path(r), dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isFile)
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSet
+  }
+
+  test("partitioned merge rewrites only the increment's partitions") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc11")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      incrementalStrategy = IncrementalStrategy.DeleteInsert,
+      partitionBy = Some("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0), (3L, "p3", 3.0))),
+      r, cfg)
+    val p1Files = partFiles(wh, r, "name=p1")
+    val p3Files = partFiles(wh, r, "name=p3")
+    // increment touches only p2 (upsert id=2, insert id=20)
+    m.incremental(df(Seq((2L, "p2", 22.0), (20L, "p2", 20.0))), r, cfg)
+    val out = wh.read(r).collect()
+      .map(x => (x.getLong(0), x.getAs[Double]("score"))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0, 20L -> 20.0))
+    // untouched partitions keep their exact files: no full-table rewrite
+    assert(partFiles(wh, r, "name=p1") == p1Files)
+    assert(partFiles(wh, r, "name=p3") == p3Files)
+    assert(!wh.exists(r.suffixed("__dbt_tmp")))
+    assert(!wh.exists(r.suffixed("__dbt_pbackup")))
+  }
+
+  test("partitioned merge_update_columns rewrites only touched partitions") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc12")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      incrementalStrategy = IncrementalStrategy.Merge,
+      mergeUpdateColumns = Seq("score"), partitionBy = Some("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
+    val p1Files = partFiles(wh, r, "name=p1")
+    m.incremental(df(Seq((2L, "p2", 22.0))), r, cfg)
+    val out = wh.read(r).collect()
+      .map(x => (x.getLong(0), x.getAs[Double]("score"))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 22.0))
+    assert(partFiles(wh, r, "name=p1") == p1Files)
+  }
+
+  test("replacePartitions restores a partition caught in the crash window") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc13")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      incrementalStrategy = IncrementalStrategy.DeleteInsert,
+      partitionBy = Some("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
+    // simulate a crash between the two swap renames: p1 sits in the
+    // partition backup area, its live dir is gone
+    val backup = r.suffixed("__dbt_pbackup")
+    val fs = new org.apache.hadoop.fs.Path(wh.path(r))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh.path(backup)))
+    fs.rename(new org.apache.hadoop.fs.Path(wh.path(r), "name=p1"),
+      new org.apache.hadoop.fs.Path(wh.path(backup), "name=p1"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(wh.path(r), "name=p1")))
+    // the next partitioned merge's recovery preamble restores p1 first
+    m.incremental(df(Seq((2L, "p2", 22.0))), r, cfg)
+    val out = wh.read(r).collect()
+      .map(x => (x.getLong(0), x.getAs[Double]("score"))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 22.0))
+    assert(!wh.exists(backup))
+  }
+
+  test("dropPartitions matches literal '+' and does not confuse it with space") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_plus")
+    val d = Seq((1L, "a+b"), (2L, "a b"), (3L, "c")).toDF("id", "name")
+    wh.writeAtomic(d, r, Seq("name"))
+    // 'a b' must NOT match the 'a+b' dir (URLDecoder would have); 'a+b'
+    // must match its own dir
+    wh.dropPartitions(r, "name", Seq("a b"))
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    wh.dropPartitions(r, "name", Seq("a+b"))
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
   test("writeAtomic restores from backup after a crash between the swap renames") {
