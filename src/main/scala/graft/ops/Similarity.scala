@@ -25,7 +25,7 @@ object Similarity {
   // float→double transformed corpus, and the KNN self-joins read it for
   // both the corpus and query sides — uncached, each side recomputes the
   // transform and re-scans the parquet.
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame =
     SessionCache.getOrElseUpdate(s, s"vecs:$d") {
       embeddings(s, d).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -66,43 +66,70 @@ object Similarity {
       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin
 
-  /** LSH-bucketed approximate top-5: candidates share the 8-bit
-    * sign-pattern bucket of the first 8 dimensions (1 bucket join instead
-    * of a cross product). Same ranking; recall < 1 by construction — the
-    * oracle mirrors the same bucketing, so results stay deterministic.
+  /** 4 disjoint 16-dim sign bands over the 64-dim vector (multi-table
+    * sign-LSH): band b's value is the sign pattern of dims b·16+1..b·16+16
+    * — a 65,536-value keyspace PER BAND, so expected bucket occupancy is
+    * N/2^16 and the within-bucket self-join stays linear in N (the old
+    * single 8-dim bucket had 256 values: N/256 per bucket, O(N²/256)
+    * within-bucket work — quadratic at corpus scale). Candidates agree on
+    * AT LEAST ONE band, which also closes the recall hole where one early
+    * sign flip hid an otherwise-identical vector.
+    */
+  private[graft] def signBands(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"), expr(
+          "aggregate(transform(sequence(1, 16), " +
+            s"i -> IF(element_at(v, ${b * 16} + i) > 0D, shiftleft(1L, i - 1), 0L)), " +
+            "0L, (a, x) -> a + x)").as("band_val"))
+      }: _*)).as("bd"))
+      .select(col("vec_id"), col("v"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+
+  private val signBandsSql: String =
+    """bands AS (
+      |  SELECT vec_id, v, b AS band_idx,
+      |    list_sum(list_transform(generate_series(1, 16),
+      |      i -> CASE WHEN v[b * 16 + i] > 0 THEN 1 << (i - 1) ELSE 0 END))::BIGINT
+      |      AS band_val
+      |  FROM e, UNNEST(generate_series(0, 3)) AS t(b))""".stripMargin
+
+  /** LSH-banded approximate top-5: candidates share at least one of the 4
+    * 16-dim sign bands. Same ranking as brute force on the candidate set;
+    * recall < 1 by construction — the oracle mirrors the same banding, so
+    * results stay deterministic.
     */
   def knnLshBucket(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).withColumn("bucket", expr(
-      "aggregate(transform(sequence(1, 8), " +
-        "i -> IF(element_at(v, i) > 0D, shiftleft(1L, i - 1), 0L)), " +
-        "0L, (a, x) -> a + x)"))
-    val q = e.filter(col("vec_id") % 50 === 0)
+    val bands = signBands(vecs(s, d))
+    val q = bands.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("bucket").as("q_bucket"))
-    val scored = e.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        col("band_idx").as("q_band_idx"), col("band_val").as("q_band_val"))
+    val scored = bands.join(broadcast(q),
+        col("band_idx") === col("q_band_idx") &&
+          col("band_val") === col("q_band_val") &&
+          col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
+      .distinct() // a candidate can share several bands
     topK(scored, 5)
   }
 
   val knnLshBucketSql: String =
-    """WITH e0 AS (SELECT vec_id,
+    s"""WITH e0 AS (SELECT vec_id,
       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |            FROM embeddings),
-      |e AS (SELECT vec_id, v,
-      |        list_sum(list_transform(generate_series(1, 8),
-      |          i -> CASE WHEN v[i] > 0 THEN 1 << (i - 1) ELSE 0 END))::BIGINT
-      |          AS bucket
-      |      FROM e0),
-      |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
-      |      FROM e WHERE vec_id % 50 = 0),
+      |e AS (SELECT vec_id, v FROM e0),
+      |$signBandsSql,
+      |q AS (SELECT vec_id AS q_id, v AS qv, band_idx AS q_band_idx,
+      |             band_val AS q_band_val
+      |      FROM bands WHERE vec_id % 50 = 0),
       |scored AS (
-      |  SELECT q_id, e.vec_id AS neighbor_id,
+      |  SELECT DISTINCT q_id, bands.vec_id AS neighbor_id,
       |    round(list_dot_product(qv, v)
       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
       |      6) AS cos_sim
-      |  FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id)
+      |  FROM q JOIN bands ON bands.band_idx = q.q_band_idx
+      |    AND bands.band_val = q.q_band_val AND bands.vec_id <> q.q_id)
       |SELECT q_id, neighbor_id, cos_sim, rn AS knn_rank FROM (
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
@@ -245,34 +272,33 @@ object Similarity {
       |        FROM embeddings))""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
-    * family): bucket join + threshold, symmetric pairs deduped by id order.
+    * family): 4×16-dim sign-band join (see [[signBands]]) + threshold,
+    * symmetric pairs deduped by id order, multi-band hits deduped.
     */
   def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).withColumn("bucket", expr(
-      "aggregate(transform(sequence(1, 8), " +
-        "i -> IF(element_at(v, i) > 0D, shiftleft(1L, i - 1), 0L)), " +
-        "0L, (a, x) -> a + x)"))
-    e.alias("a").join(e.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val bands = signBands(vecs(s, d))
+    bands.alias("a").join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
         round(cosine_sim(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.99)
+      .distinct() // a pair can agree on several bands
   }
 
   val embeddingNearDupsSql: String =
-    """WITH e0 AS (SELECT vec_id,
+    s"""WITH e0 AS (SELECT vec_id,
       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |            FROM embeddings),
-      |e AS (SELECT vec_id, v,
-      |        list_sum(list_transform(generate_series(1, 8),
-      |          i -> CASE WHEN v[i] > 0 THEN 1 << (i - 1) ELSE 0 END))::BIGINT
-      |          AS bucket
-      |      FROM e0)
-      |SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+      |e AS (SELECT vec_id, v FROM e0),
+      |$signBandsSql
+      |SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2,
       |  round(list_dot_product(a.v, b.v)
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
       |    6) AS cos_sim
-      |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+      |  AND a.band_val = b.band_val AND a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.v, b.v)
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
       |    6) >= 0.99""".stripMargin

@@ -351,16 +351,27 @@ object TextOps {
        |SELECT doc_id, ($recombine)::BIGINT AS simhash FROM bitsums""".stripMargin
   }
 
+  /** Band width for an N-doc corpus: ceil(log2 N) bits per band keeps the
+    * expected bucket occupancy N/2^W at O(1) — THE property that makes the
+    * within-bucket self-join linear in N (a FIXED 8-bit keyspace holds
+    * N/256 docs per bucket, so the self-join is O(N²/256): quadratic at
+    * corpus scale). Clamped to [8,16] for a 32-bit signature; computed
+    * integer-exactly via bit length (floating log2 flips ceil at exact
+    * powers of two between engines). The DuckDB oracle mirrors it as
+    * `length(bin(N-1))`.
+    */
+  private[graft] def simhashBandBits(n: Long): Int =
+    math.min(16, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1)))
+
   /** SimHash near-dup pairs, Manku-style multi-band LSH: the 32-bit
-    * signature is cut into 4 disjoint 8-bit bands; each band is a bucket
-    * table, candidates are pairs agreeing on AT LEAST ONE band (union +
-    * dedup), verified by Hamming ≤ 6. Versus a single high-bits bucket
-    * this (a) closes the recall hole where a near-dup pair differs in a
-    * high bit (any pair with ≤ 3 differing bits is GUARANTEED caught by
-    * pigeonhole; ≤ 6-bit pairs are caught unless all 4 bands are hit) and
-    * (b) spreads hot buckets over 4 independent keyspaces. Provably a
-    * candidate superset of the old top-16-bit bucketing (equal high 16
-    * bits ⇒ bands 2 and 3 both equal).
+    * signature is cut into 32/W disjoint W-bit bands (W adaptive, above);
+    * each band is a bucket table, candidates are pairs agreeing on AT
+    * LEAST ONE band (union + dedup), verified by Hamming ≤ 6. Versus a
+    * single high-bits bucket this (a) closes the recall hole where a
+    * near-dup pair differs in a high bit (any pair with < 32/W differing
+    * bits is GUARANTEED caught by pigeonhole) and (b) spreads hot buckets
+    * over independent keyspaces.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // memoize+cache the signatures: the band self-join would otherwise
@@ -368,10 +379,15 @@ object TextOps {
     // join sides (and a per-call cache would pin a fresh copy per call)
     val sh = SessionCache.getOrElseUpdate(s, s"simhash:$d")(
       simhash(s, d).persist(StorageLevel.MEMORY_AND_DISK_SER))
+    // control-plane scalar over the memoized signatures: quantizer sizing,
+    // same role as the reference's run_query(...)[0][0] metadata fetches
+    val w = simhashBandBits(sh.count())
+    val nb = 32 / w
+    val mask = (1L << w) - 1
     val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until nb).map { b =>
         struct(lit(b).as("band_idx"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_val"))
+          shiftright(col("simhash"), b * w).bitwiseAND(mask).as("band_val"))
       }: _*)).as("bd"))
       .select(col("doc_id"), col("simhash"),
         col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
@@ -387,10 +403,13 @@ object TextOps {
 
   val simhashPairsSql: String =
     s"""WITH sh AS ($simhashSql),
+       |p AS (SELECT least(16, greatest(8,
+       |        length(bin(greatest(2, count(*)) - 1)))) AS w
+       |      FROM sh),
        |bands AS (
        |  SELECT doc_id, simhash, b AS band_idx,
-       |    (simhash >> (b * 8)) & 255 AS band_val
-       |  FROM sh, UNNEST(generate_series(0, 3)) AS t(b))
+       |    (simhash >> (b * w)) & ((1::BIGINT << w) - 1) AS band_val
+       |  FROM sh, p, UNNEST(generate_series(0, 32 // w - 1)) AS t(b))
        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM bands a JOIN bands b

@@ -82,6 +82,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("simhash band width grows with log2(corpus size), clamped to [8,16]") {
+    assert(TextOps.simhashBandBits(100) == 8)      // small corpus: floor
+    assert(TextOps.simhashBandBits(575) == 10)     // ceil(log2 575)
+    assert(TextOps.simhashBandBits(1L << 14) == 14)
+    assert(TextOps.simhashBandBits((1L << 14) + 1) == 15)
+    assert(TextOps.simhashBandBits(1L << 40) == 16) // 32-bit signature cap
+    // exact at powers of two (floating log2 would flip the ceil here)
+    assert(TextOps.simhashBandBits(1024) == 10)
+    assert(TextOps.simhashBandBits(1025) == 11)
+  }
+
+  test("16-dim sign bands bound max bucket occupancy to a small fraction of N") {
+    val bands = Similarity.signBands(Similarity.vecs(spark, sf))
+    val n = bands.select(col("vec_id")).distinct().count()
+    val occ = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+    val maxOcc = occ.agg(max(col("c"))).collect().head.getLong(0)
+    // the old single 8-dim bucket held N/256 expected per bucket and the
+    // planted near-dup cluster in ONE bucket; 16-dim bands must spread the
+    // corpus thin enough that no bucket concentrates a large fraction
+    assert(maxOcc.toDouble / n <= 0.15, s"max bucket occupancy $maxOcc of $n")
+    val buckets = occ.count()
+    assert(buckets > 64, s"only $buckets distinct (band, value) buckets")
+  }
+
   test("simhash of exact copies is identical; near-dups within hamming 6") {
     val sh = TextOps.simhash(spark, sf)
     val copies = sh.alias("a").join(sh.alias("b"),
