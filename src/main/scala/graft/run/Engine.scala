@@ -15,7 +15,12 @@ import graft.materialize.{Materializer, Snapshotter}
 final case class SourceDef(sourceName: String, tableName: String, path: String,
                            loadedAtField: Option[String] = None,
                            warnAfterH: Option[Int] = None,
-                           errorAfterH: Option[Int] = None)
+                           errorAfterH: Option[Int] = None,
+                           // freshness row filter (reference
+                           // `default__collect_freshness` @192559: `where
+                           // {{ filter }}` before the max(loaded_at) agg) —
+                           // judge freshness on a partition subset
+                           filter: Option[String] = None)
 
 final case class ModelDef(name: String, rawSql: String,
                           config: ModelConfig = ModelConfig())
@@ -42,9 +47,38 @@ final case class TestDef(name: String, modelName: String,
                          where: Option[String] = None,
                          limit: Option[Int] = None,
                          storeFailures: Boolean = false,
+                         // declarative thresholds on the failure count
+                         // (reference `default__get_test_sql` @56739
+                         // warn_if/error_if config, e.g. ">10"); None =
+                         // the dbt default "!=0"
+                         warnIf: Option[String] = None,
+                         errorIf: Option[String] = None,
                          // when set, `test` is ignored and the failing set
                          // is the anti-join child.fk → parent.pk
                          relationship: Option[RelationshipDef] = None)
+
+object TestDef {
+  /** Parse a `warn_if`/`error_if` threshold (`">10"`, `"<= 5"`, `"!=0"`)
+    * into a predicate on the failure count.
+    */
+  def threshold(spec: String): Long => Boolean = {
+    val re = """\s*(>=|<=|!=|=|>|<)\s*(\d+)\s*""".r
+    spec match {
+      case re(op, num) =>
+        val k = num.toLong
+        op match {
+          case ">"  => _ > k
+          case ">=" => _ >= k
+          case "<"  => _ < k
+          case "<=" => _ <= k
+          case "="  => _ == k
+          case "!=" => _ != k
+        }
+      case other => throw new IllegalArgumentException(
+        s"bad warn_if/error_if threshold: '$other' (expected e.g. '>10')")
+    }
+  }
+}
 
 final case class Project(name: String,
                          sources: Seq[SourceDef] = Nil,
@@ -251,6 +285,11 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
           // view from its compiled definition (reference views @84061 are
           // persistent objects, not session state)
           warehouse.saveViewDef(relationFor(m.name), compiled)
+          // stale if formerly a table: external readers and get_catalog
+          // must not see BOTH a parquet table and a view for one name
+          // (reference handle_existing_table @50828 drops the old relation
+          // on a materialization switch)
+          warehouse.drop(relationFor(m.name))
         case "incremental" =>
           mat.incremental(df, relationFor(m.name), cfg, fullRefresh)
           warehouse.dropView(relationFor(m.name)) // stale if formerly a view
@@ -292,7 +331,15 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     val n = failing.count()
     if (t.storeFailures && n > 0) // reference should_store_failures @67089
       warehouse.writeAtomic(failing, relationFor(s"${t.name}__failures"))
-    val status = if (n == 0) "pass" else t.severity
+    // dbt's get_test_sql semantics: severity=warn never errors; otherwise
+    // error_if is judged first, then warn_if; both default to "!=0"
+    val warnHit = TestDef.threshold(t.warnIf.getOrElse("!=0"))(n)
+    val errorHit = TestDef.threshold(t.errorIf.getOrElse("!=0"))(n)
+    val status =
+      if (t.severity == "warn") { if (warnHit) "warn" else "pass" }
+      else if (errorHit) "error"
+      else if (warnHit) "warn"
+      else "pass"
     TestResult(t.name, t.modelName, n, status)
   }
 
@@ -356,7 +403,9 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
   /** Source freshness command (SURVEY §2 B36). */
   def checkFreshness(): Seq[(String, String)] =
     project.sources.filter(_.loadedAtField.isDefined).map { s =>
-      val df = spark.read.parquet(s.path)
+      // the declared filter scopes WHICH rows are judged (reference
+      // @192559 `where {{ filter }}`) — e.g. only the live partition
+      val df = s.filter.foldLeft(spark.read.parquet(s.path))(_ filter _)
       val status = SchemaTests.freshness(df, s.loadedAtField.get,
           current_timestamp(), s.warnAfterH.getOrElse(Int.MaxValue),
           s.errorAfterH.getOrElse(Int.MaxValue))

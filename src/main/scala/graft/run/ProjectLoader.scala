@@ -32,11 +32,15 @@ object ProjectLoader {
     val name = conf.getOrElse("name", root.getFileName.toString)
 
     val sources = readLines(root.resolve("sources.conf")).map { l =>
-      val parts = l.split("\\s+")
+      // trailing optional freshness filter may contain spaces → quoted
+      // token, e.g.: tpch orders /d/orders.parquet o_orderdate 24 72
+      //              'o_orderstatus = ''O'''
+      val parts = tokenize(l)
       SourceDef(parts(0), parts(1), parts(2),
         if (parts.length > 3) Some(parts(3)) else None,
         if (parts.length > 4) Some(parts(4).toInt) else None,
-        if (parts.length > 5) Some(parts(5).toInt) else None)
+        if (parts.length > 5) Some(parts(5).toInt) else None,
+        if (parts.length > 6) Some(unquote(parts(6))) else None)
     }
 
     val models = listFiles(root.resolve("models"), ".sql").map { p =>
@@ -76,16 +80,21 @@ object ProjectLoader {
     val tests = readLines(root.resolve("tests.conf")).zipWithIndex.map {
       case (l, i) =>
         // trailing k=v tokens are test configs (reference schema.yml test
-        // config: severity / where / limit / store_failures); `where` uses
-        // `~` for spaces, e.g. where=o_orderkey~>~0. Only the KNOWN config
-        // keys are treated as config, so positional values may contain '='
-        // (e.g. accepted_values lists).
-        val configKeys = Set("severity", "where", "limit", "store_failures")
-        val tokens = l.split("\\s+")
+        // config: severity / where / limit / store_failures / warn_if /
+        // error_if). A value containing spaces is single-quoted, e.g.
+        // where='o_orderkey > 0' (quoting preserves every character —
+        // the old `~`→space shorthand corrupted predicates with a literal
+        // `~`; it remains only for UNQUOTED values, documented legacy).
+        // Only the KNOWN config keys are treated as config, so positional
+        // values may contain '=' (e.g. accepted_values lists).
+        val configKeys = Set("severity", "where", "limit", "store_failures",
+          "warn_if", "error_if")
+        val tokens = tokenize(l)
         val (kvTokens, parts) = tokens.partition(t =>
           t.contains("=") && configKeys.contains(t.takeWhile(_ != '=')))
         val kv = kvTokens.map(_.split("=", 2)).collect {
-          case Array(k, v) => k -> v.replace("~", " ")
+          case Array(k, v) if v.startsWith("'") => k -> unquote(v)
+          case Array(k, v) => k -> v.replace("~", " ") // legacy shorthand
         }.toMap
         val (kind, model) = (parts(0), parts(1))
         val testName = s"${kind}_${model}_$i"
@@ -106,11 +115,16 @@ object ProjectLoader {
           case other =>
             throw new IllegalArgumentException(s"unknown test kind $other")
         }
+        // fail fast on a malformed threshold (load time, not first run)
+        kv.get("warn_if").foreach(TestDef.threshold)
+        kv.get("error_if").foreach(TestDef.threshold)
         base.copy(
           severity = kv.getOrElse("severity", base.severity),
           where = kv.get("where").orElse(base.where),
           limit = kv.get("limit").map(_.toInt).orElse(base.limit),
-          storeFailures = kv.get("store_failures").fold(base.storeFailures)(_ == "true"))
+          storeFailures = kv.get("store_failures").fold(base.storeFailures)(_ == "true"),
+          warnIf = kv.get("warn_if").orElse(base.warnIf),
+          errorIf = kv.get("error_if").orElse(base.errorIf))
     }
 
     // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml
@@ -141,6 +155,30 @@ object ProjectLoader {
       }.toMap
     }.getOrElse(Map.empty)
   }
+
+  /** Whitespace tokenizer that keeps single-quoted spans intact (quotes
+    * included — [[unquote]] strips them). `''` inside a quoted span is an
+    * escaped literal quote, SQL-style.
+    */
+  private[run] def tokenize(l: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    l.foreach {
+      case '\'' => inQ = !inQ; sb.append('\'')
+      case c if c.isWhitespace && !inQ =>
+        if (sb.nonEmpty) { out += sb.result(); sb.clear() }
+      case c => sb.append(c)
+    }
+    if (sb.nonEmpty) out += sb.result()
+    out.result()
+  }
+
+  /** Strip one level of single quotes and unescape `''` → `'`. */
+  private[run] def unquote(v: String): String =
+    if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+      v.substring(1, v.length - 1).replace("''", "'")
+    else v
 
   private def parseConf(p: Path): Map[String, String] =
     readLines(p).flatMap { l =>

@@ -286,4 +286,67 @@ class OrchestratorSpec extends AnyFunSuite {
     val res = e.checkFreshness()
     assert(res == Seq(("tpch.orders", "error"))) // data ends 2001 → stale
   }
+
+  test("freshness filter scopes which rows are judged (changes the verdict)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_fresh").toString
+    // one live row (loaded now) and one ancient row
+    Seq(("live", java.sql.Timestamp.from(java.time.Instant.now())),
+        ("old", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("category", "loaded_at")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def src(filter: Option[String]) = Project(name = "p4", sources = Seq(
+      SourceDef("app", "events", s"$dir/events.parquet",
+        loadedAtField = Some("loaded_at"),
+        warnAfterH = Some(24), errorAfterH = Some(72), filter = filter)))
+    val e1 = new Engine(spark, src(None), Target(root()))
+    assert(e1.checkFreshness() == Seq(("app.events", "pass")))
+    // scoped to the stale slice, the same source is judged late
+    val e2 = new Engine(spark, src(Some("category = 'old'")), Target(root()))
+    assert(e2.checkFreshness() == Seq(("app.events", "error")))
+  }
+
+  test("table->view switch drops the stale parquet table") {
+    val p0 = Project(name = "p5", models = Seq(
+      ModelDef("m", "SELECT n_nationkey FROM {{ source('tpch','nation') }}",
+        ModelConfig(materialized = "table"))),
+      sources = Seq(SourceDef("tpch", "nation", s"$sf/nation.parquet")))
+    val t = Target(root())
+    val e0 = new Engine(spark, p0, t)
+    e0.build()
+    assert(e0.warehouse.exists(e0.relationFor("m"))) // parquet table on disk
+    // same identifier re-materialized as a view: the old table must go —
+    // catalog/external readers must not see BOTH
+    val p1 = p0.copy(models = Seq(
+      ModelDef("m", "SELECT n_nationkey FROM {{ source('tpch','nation') }}",
+        ModelConfig(materialized = "view"))))
+    val e1 = new Engine(spark, p1, t)
+    e1.build()
+    assert(!e1.warehouse.exists(e1.relationFor("m")))
+    assert(e1.warehouse.readViewDef(e1.relationFor("m")).isDefined)
+    assert(e1.readModel("m").count() == 25)
+  }
+
+  test("warn_if/error_if thresholds drive the test status") {
+    // nations has 25 rows; a 'unique' test on a constant column fails for
+    // all of them -> failures = 1 group row... use not_null on a column
+    // that's never null: 0 failures; and accepted_values to force failures
+    val mk = (warnIf: Option[String], errorIf: Option[String]) =>
+      baseProject.copy(tests = Seq(
+        TestDef("av", "nations", df =>
+          SchemaTests.acceptedValues(df, "n_regionkey", Seq("0", "1")),
+          warnIf = warnIf, errorIf = errorIf)))
+    // 3 region keys (2,3,4) are outside the accepted set -> failures = 3
+    val e1 = new Engine(spark, mk(Some(">0"), Some(">10")), Target(root()))
+    val (_, t1) = e1.build()
+    assert(t1.map(_.status) == Seq("warn")) // 3 > 0 warn, not > 10 error
+    val e2 = new Engine(spark, mk(Some(">0"), Some(">2")), Target(root()))
+    val (n2, t2) = e2.build() // 3 > 2 -> error fails the node
+    assert(t2.map(_.status) == Seq("error"))
+    assert(n2.find(_.name == "nations").get.status == "error")
+    val e3 = new Engine(spark, mk(Some(">5"), Some(">10")), Target(root()))
+    val (_, t3) = e3.build()
+    assert(t3.map(_.status) == Seq("pass")) // neither threshold hit
+  }
 }

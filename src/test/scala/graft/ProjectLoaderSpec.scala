@@ -102,6 +102,37 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(t1.severity == "error" && t1.where.isEmpty && t1.limit.isEmpty)
   }
 
+  test("quoted config values keep spaces, literal '~' and quotes; warn_if parses") {
+    val dir = Files.createTempDirectory("graft_quot")
+    Files.writeString(dir.resolve("project.conf"), "name=quot")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models").resolve("m.sql"), "SELECT 1 AS a")
+    Files.writeString(dir.resolve("tests.conf"),
+      // the where predicate contains a LITERAL '~' (regex match) and a
+      // quoted string with spaces — the old ~→space shorthand corrupted it
+      "unique m a where='a RLIKE ''x~y z''' warn_if='>10' error_if='>=100'\n")
+    val (project, _) = ProjectLoader.load(dir.toString)
+    val t = project.tests.head
+    assert(t.where.contains("a RLIKE 'x~y z'"))
+    assert(t.warnIf.contains(">10"))
+    assert(t.errorIf.contains(">=100"))
+    // malformed threshold fails at LOAD time
+    Files.writeString(dir.resolve("tests.conf"), "unique m a warn_if='pony'\n")
+    assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
+  }
+
+  test("sources.conf optional 7th token is a quoted freshness filter") {
+    val dir = Files.createTempDirectory("graft_srcf")
+    Files.writeString(dir.resolve("project.conf"), "name=srcf")
+    Files.writeString(dir.resolve("sources.conf"),
+      "tpch orders /root/testdata/sf0.001/orders.parquet o_orderdate 24 72" +
+        " 'o_orderstatus = ''O'''\n")
+    val (project, _) = ProjectLoader.load(dir.toString)
+    val s = project.sources.head
+    assert(s.loadedAtField.contains("o_orderdate"))
+    assert(s.filter.contains("o_orderstatus = 'O'"))
+  }
+
   test("ephemeral models never materialize to the warehouse") {
     val (project, _) = ProjectLoader.load("examples/demo_project")
     val engine = new Engine(spark, project,
