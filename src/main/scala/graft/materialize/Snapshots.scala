@@ -51,9 +51,17 @@ final class Snapshotter(wh: Warehouse) {
 
     val snapped = wh.read(rel)
     val current = snapped.filter(col("dbt_valid_to").isNull)
-    val src = source.alias("s")
-    val cur = current.alias("c")
-    val keyEq = keys.map(k => col(s"s.$k") <=> col(s"c.$k")).reduce(_ && _)
+    // presence markers, NOT key-nullability: with dbt's plain `=` key join
+    // (snapshot_staging_table @102012 joins ON dbt_unique_key =, where a
+    // NULL key matches NOTHING), a NULL-key source row must still be seen
+    // as present-in-source — it INSERTS every run (dbt's documented
+    // behavior), and a NULL-key current row counts as hard-deleted. A
+    // null-safe `<=>` here would instead cross-match every NULL-key row
+    // on both sides (m×n explosion) — same rationale as
+    // Materializer.mergeUpdateSubset.
+    val src = source.withColumn("__in_src", lit(1)).alias("s")
+    val cur = current.withColumn("__in_cur", lit(1)).alias("c")
+    val keyEq = keys.map(k => col(s"s.$k") === col(s"c.$k")).reduce(_ && _)
 
     // B14/B15 row_changed predicate
     val rowChanged: Column = strategy match {
@@ -66,8 +74,8 @@ final class Snapshotter(wh: Warehouse) {
     }
 
     val joined = src.join(cur, keyEq, "full_outer")
-    val inSrc = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
-    val inCur = keys.map(k => col(s"c.$k").isNotNull).reduce(_ && _)
+    val inSrc = col("s.__in_src").isNotNull
+    val inCur = col("c.__in_cur").isNotNull
 
     val srcCols = source.columns.toIndexedSeq
     // B13 staging: insertions (new key or changed row) + updates (close the

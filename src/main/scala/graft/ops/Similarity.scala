@@ -142,7 +142,6 @@ object Similarity {
     * oracle) as [[knnBrute]].
     */
   def knnTopKAgg(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val e = vecs(s, d)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -150,12 +149,23 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
-    val topk = new graft.functions.TopKAggregator(5).toColumn
+    topKAgg(s, scored, 5)
+  }
+
+  /** Bounded top-k per q_id via [[graft.functions.TopKAggregator]]: at most
+    * k (score, id) entries per group cross the shuffle (map-side combine),
+    * vs a `row_number` window sorting every group's FULL candidate list
+    * inside one shuffle partition. Same (score desc, id asc) order and
+    * output contract as [[topK]].
+    */
+  private def topKAgg(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKAggregator(k).toColumn
     scored.select(col("q_id"), col("neighbor_id"), col("cos_sim"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
-      .agg(topk.name("topk"))
+      .agg(agg.name("topk"))
       .toDF("q_id", "topk")
       .select(col("q_id"), posexplode(col("topk")))
       .select(col("q_id"), col("col._2").as("neighbor_id"),
@@ -177,6 +187,7 @@ object Similarity {
     * the exact brute-force baseline.
     */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = vecs(s, d)
     // control-plane scalar: quantizer sizing (same role as the reference's
     // run_query(...)[0][0] metadata fetches)
@@ -184,23 +195,35 @@ object Similarity {
     val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val centroids = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    val ranked = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("centroid_id"),
+    // nearest-2 centroids per vector via BOUNDED partial aggregation: the
+    // broadcast-scored N·√N rows reduce map-side to ≤2 (sim, centroid)
+    // entries per vector before the exchange — the row_number window form
+    // shuffled the full N·√N scored rows (vectors included) on vec_id
+    val agg = new graft.functions.TopKAggregator(2).toColumn
+    val top2 = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
         round(cosine_sim(col("v"), col("cv")), 6).as("a_sim"))
-      .withColumn("arn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("a_sim").desc, col("centroid_id").asc)))
-    val assigned = ranked.filter(col("arn") === 1)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topc"))
+      .toDF("vec_id", "topc")
+      .select(col("vec_id"), posexplode(col("topc")))
+      .select(col("vec_id"), (col("pos") + 1).as("arn"),
+        col("col._2").as("centroid_id"))
+    val assigned = top2.filter(col("arn") === 1)
+      .join(e, "vec_id") // recover the vector payload by key
       .select(col("vec_id"), col("v"), col("centroid_id"))
     // nprobe=2: each query expands to its two closest cells
-    val q = ranked.filter(col("vec_id") % 50 === 0 && col("arn") <= 2)
+    val q = top2.filter(col("vec_id") % 50 === 0 && col("arn") <= 2)
+      .join(e.filter(col("vec_id") % 50 === 0), "vec_id")
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("centroid_id").as("q_cell"))
     val scored = assigned.join(q,
         col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
-    topK(scored, 5)
+    topKAgg(s, scored, 5) // window-free end to end
   }
 
   val knnIvfSql: String =

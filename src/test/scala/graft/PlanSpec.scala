@@ -34,6 +34,15 @@ class PlanSpec extends AnyFunSuite {
     p.linesIterator.count(l => l.contains("Exchange ") &&
       !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
 
+  test("knn IVF: no Window anywhere — assignment and top-k are bounded partial aggs") {
+    // the row_number assignment form shuffled all N·√N centroid-scored
+    // rows (vector payloads included) on vec_id; the TopKAggregator form
+    // carries ≤2 entries per vector through the exchange
+    val p = plan(Similarity.knnIvf(spark, sf))
+    assert(!p.contains("Window"), s"knnIvf plan must be window-free:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q5 star join: dimension arm broadcast, no sort-merge join of dims") {
     val p = plan(Analytics.q5RegionRevenue(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -118,4 +118,26 @@ class SnapshotSpec extends AnyFunSuite {
     assert(closed.length == 1 && closed.head.getAs[Timestamp]("dbt_valid_to") != null)
     assertInvariants(wh, rOn)
   }
+
+  test("NULL-key rows follow dbt's plain-= join: they insert on every run") {
+    val s = spark
+    import s.implicits._
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val r = Relation("db", "s", "snap_nullkey")
+    def run(rows: Seq[(Option[Long], String, Timestamp)]) =
+      snap.snapshot(rows.toDF("id", "payload", "updated_at"), r, Seq("id"), strat)
+    run(Seq((Some(1L), "a", ts("2024-01-01 00:00:00")),
+      (None, "n1", ts("2024-01-01 00:00:00"))))
+    // second run carries the same NULL-key row: dbt's `=` key join never
+    // matches a NULL key, so it inserts AGAIN (documented footgun — NOT
+    // a <=> cross-match against the existing NULL-key row)
+    run(Seq((Some(1L), "a", ts("2024-01-01 00:00:00")),
+      (None, "n1", ts("2024-01-02 00:00:00"))))
+    val nullRows = wh.read(r).filter(col("id").isNull).collect()
+    assert(nullRows.length == 2, s"expected 2 inserted NULL-key versions, got ${nullRows.length}")
+    assert(nullRows.forall(_.getAs[Timestamp]("dbt_valid_to") == null))
+    // the non-NULL key stayed single-current and unchanged
+    assert(wh.read(r).filter(col("id") === 1).count() == 1)
+  }
 }
