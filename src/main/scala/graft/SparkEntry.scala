@@ -84,7 +84,10 @@ object SparkEntry {
     "x_frame_sample" -> (Multimodal.frameSample _),
     "o_build_dag" -> (OrchestratorQueries.buildDag _),
     "o_incremental_model" -> (OrchestratorQueries.incrementalModel _),
-    "o_insert_overwrite_pruned" -> (OrchestratorQueries.insertOverwritePruned _)
+    "o_insert_overwrite_pruned" -> (OrchestratorQueries.insertOverwritePruned _),
+    // streaming sessionization equivalence vs the batch twin (bounded
+    // input + watermark-advancing sentinel; see StreamingJobs)
+    "st_sessionize_equiv" -> (graft.streaming.StreamingJobs.sessionizeEquiv _)
   )
 
   /** DuckDB-runnable ANSI SQL per queries key (same parquet tables). */
@@ -111,6 +114,10 @@ object SparkEntry {
     "j_salted_join" -> Skew.saltedRevenueByStatusSql,
     "e_props_extract" -> Events.propsExtractSql,
     "e_sessionize" -> Events.sessionizeSql,
+    // same oracle as the batch sessionizer minus the per-user ordinal
+    "st_sessionize_equiv" ->
+      s"""SELECT user_id, session_start_ms, n_events, sum_value
+         |FROM (${Events.sessionizeSql})""".stripMargin,
     "e_hourly_windows" -> Events.hourlyWindowsSql,
     "e_asof_join" -> Events.asofJoinSql,
     "b21_test_unique" -> DqQueries.b21UniqueSql,

@@ -148,4 +148,42 @@ object StreamingJobs {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Oracle-gated batch↔streaming equivalence: run [[closedSessions]] over
+    * the bounded events table — staged as a file stream plus one
+    * far-future sentinel event (user −1) whose arrival advances the
+    * watermark past every real session's gap, so every real session
+    * CLOSES and emits — and project the batch sessionize schema (minus
+    * the per-user ordinal session_id, which streaming emission order
+    * cannot reproduce). Values are pre-quantized to exact integer cents
+    * (floor(v·100+0.5), exact in double), so the streaming state's sum is
+    * order-independent and the final /100.0 equals the batch/oracle
+    * cent-sum bit-for-bit.
+    */
+  def sessionizeEquiv(spark: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_stream_equiv")
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      dir.resolve("part-0-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // sentinel in the raw nanos shape the file stream expects, ~115 days
+    // after the corpus so wm = sentinel − 10 min clears every lastMs + gap
+    graft.ops.TData.events(spark, d).limit(1)
+      .select(col("event_id"),
+        ((unix_millis(col("ts")) + 10000000000L) * 1000000L).as("ts"),
+        lit(-1L).as("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(dir.resolve("stage").toString)
+    val f = Files.list(dir.resolve("stage")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(f, dir.resolve("part-9-sentinel.parquet"))
+    val src = readEvents(spark, dir.toString)
+      .withColumn("value", floor(col("value") * 100 + lit(0.5))) // exact cents
+    val name = "st_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val mem = runToMemory(spark, closedSessions(spark, src).toDF(),
+      name, OutputMode.Append())
+    mem.filter(col("user_id") =!= -1L) // the sentinel's own open session
+      .select(col("user_id"), col("session_start_ms"), col("n_events"),
+        (col("total_value") / 100.0).as("sum_value"))
+  }
 }
