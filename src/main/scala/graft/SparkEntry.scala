@@ -71,6 +71,8 @@ object SparkEntry {
     "x_lang_id" -> (TextOps.langId _),
     "x_fingerprint" -> (TextOps.fingerprint _),
     "x_winnow_fingerprint" -> (TextOps.winnowFingerprint _),
+    "x_decontaminate" -> (TextOps.decontaminate _),
+    "x_pii_redact" -> (TextOps.piiRedact _),
     "x_knn_brute" -> (Similarity.knnBrute _),
     "x_knn_lsh_bucket" -> (Similarity.knnLshBucket _),
     "x_knn_topk_agg" -> (Similarity.knnTopKAgg _),
@@ -148,6 +150,8 @@ object SparkEntry {
     "x_lang_id" -> TextOps.langIdSql,
     "x_fingerprint" -> TextOps.fingerprintSql,
     "x_winnow_fingerprint" -> TextOps.winnowFingerprintSql,
+    "x_decontaminate" -> TextOps.decontaminateSql,
+    "x_pii_redact" -> TextOps.piiRedactSql,
     "x_knn_brute" -> Similarity.knnBruteSql,
     "x_knn_lsh_bucket" -> Similarity.knnLshBucketSql,
     "x_knn_topk_agg" -> Similarity.knnBruteSql, // same contract as brute

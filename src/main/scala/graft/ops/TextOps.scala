@@ -729,4 +729,77 @@ object TextOps {
       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
       |    AS fingerprint
       |FROM documents""".stripMargin
+
+  // ------------------------------------------------- decontamination
+  /** Benchmark decontamination — the n-gram overlap scrub run before
+    * training (the published GPT-3/PaLM recipe: drop a training document
+    * when it shares any n-gram with an evaluation set). The eval set here
+    * is the deterministic doc_id % 97 slice of the corpus, standing in
+    * for a benchmark suite; output = contaminated training docs with
+    * their shared-shingle counts.
+    *
+    * Scale shape: the eval side of the join is the SMALL side by
+    * construction (a benchmark suite is thousands of docs vs a corpus of
+    * billions), so its distinct shingle set is broadcast and the corpus
+    * scan is joined map-side — one pass over the training shingles, no
+    * shuffle of the corpus, no df cap needed (a shared viral shingle is
+    * still contamination; the bound is |eval shingles|, not df²).
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_shingles"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $corpusSql, $shinglesSql,
+       |ev AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS n_eval_shingles
+       |FROM shing JOIN ev USING (shingle)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ PII redaction
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub — the redaction pass a training pipeline runs before any
+    * text leaves the curation boundary: count and replace email addresses
+    * and phone numbers with typed placeholders. The synthetic corpus has
+    * no PII, so (like [[corpus]] synthesizes its duplicates) every 7th
+    * document deterministically gains a contact footer that the oracle
+    * re-derives identically. Pure per-row regex expressions — whole-stage
+    * codegen, no shuffle, linear scan at any corpus size.
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val withPii = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567")))
+        .otherwise(col("text")).as("text"))
+    withPii.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("clean_md5"))
+  }
+
+  val piiRedactSql: String =
+    s"""WITH withpii AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN text || ' contact user' || doc_id ||
+       |           '@example.com or 555-123-4567'
+       |      ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')) AS clean_md5
+       |FROM withpii""".stripMargin
 }

@@ -117,6 +117,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
       .agg(max(col("hamming"))).collect().head.getInt(0) == 0)
   }
 
+  test("decontamination flags only training docs, never the eval slice") {
+    val out = TextOps.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    assert(out.keys.forall(_ % 97 != 0), "eval docs must not be flagged")
+    assert(out.values.forall(_ > 0))
+    // a planted EXACT duplicate of an eval doc shares all its shingles —
+    // it must be flagged (if the corpus contains one at this SF)
+    val dupOfEval = TextOps.corpus(spark, sf)
+      .filter(col("doc_id") >= 2000000 &&
+        (col("doc_id") - 2000000) % 97 === 0 && col("doc_id") % 97 =!= 0)
+      .collect().map(_.getLong(0))
+    dupOfEval.foreach(id => assert(out.contains(id), s"exact dup $id of eval doc unflagged"))
+  }
+
+  test("PII redaction counts and scrubs the synthesized contact footers") {
+    val out = TextOps.piiRedact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (id, emails, phones) =>
+      if (id % 7 == 0) assert(emails >= 1 && phones >= 1, s"doc $id not flagged")
+      else assert(emails == 0 && phones == 0, s"false positive on doc $id")
+    }
+  }
+
   test("native cosine_sim matches a scala reference implementation") {
     val s = spark
     import s.implicits._
