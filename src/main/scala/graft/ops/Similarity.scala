@@ -66,51 +66,72 @@ object Similarity {
       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin
 
-  /** 4 disjoint 16-dim sign bands over the 64-dim vector (multi-table
-    * sign-LSH): band b's value is the sign pattern of dims b·16+1..b·16+16
-    * — a 65,536-value keyspace PER BAND, so expected bucket occupancy is
-    * N/2^16 and the within-bucket self-join stays linear in N (the old
-    * single 8-dim bucket had 256 values: N/256 per bucket, O(N²/256)
-    * within-bucket work — quadratic at corpus scale). Candidates agree on
-    * AT LEAST ONE band, which also closes the recall hole where one early
-    * sign flip hid an otherwise-identical vector.
+  /** 4 disjoint W-dim sign bands over the 64-dim vector (multi-table
+    * sign-LSH) with ADAPTIVE width W = clamp(8..16, ceil(log2 N)) — the
+    * same growth law as [[TextOps.simhashBandBits]]: expected bucket
+    * occupancy N/2^W stays O(1) as the corpus grows, so the within-bucket
+    * self-join stays linear in N (a FIXED keyspace, e.g. 8-dim/256
+    * buckets, is O(N²/256) — quadratic at corpus scale), while a small
+    * corpus still fills its buckets. Band b reads dims b·W+1..b·W+W
+    * (4·W ≤ 64 always). Candidates agree on AT LEAST ONE band, which
+    * also closes the recall hole where one early sign flip hid an
+    * otherwise-identical vector.
     */
-  private[graft] def signBands(e: DataFrame): DataFrame =
+  private[graft] def signBands(e: DataFrame, w: Int): DataFrame =
     e.select(col("vec_id"), col("v"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"), expr(
-          "aggregate(transform(sequence(1, 16), " +
-            s"i -> IF(element_at(v, ${b * 16} + i) > 0D, shiftleft(1L, i - 1), 0L)), " +
+          s"aggregate(transform(sequence(1, $w), " +
+            s"i -> IF(element_at(v, ${b} * $w + i) > 0D, shiftleft(1L, i - 1), 0L)), " +
             "0L, (a, x) -> a + x)").as("band_val"))
       }: _*)).as("bd"))
       .select(col("vec_id"), col("v"),
         col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
 
+  /** Oracle mirror of the adaptive width + banding: `p.w` is the
+    * integer-exact ceil(log2 N) clamp (bit length, not floating log2).
+    */
   private val signBandsSql: String =
-    """bands AS (
+    """p AS (SELECT least(16, greatest(8,
+      |        length(bin(greatest(2, count(*)) - 1)))) AS w
+      |      FROM e),
+      |bands AS (
       |  SELECT vec_id, v, b AS band_idx,
-      |    list_sum(list_transform(generate_series(1, 16),
-      |      i -> CASE WHEN v[b * 16 + i] > 0 THEN 1 << (i - 1) ELSE 0 END))::BIGINT
+      |    list_sum(list_transform(generate_series(1, w),
+      |      i -> CASE WHEN v[b * w + i] > 0 THEN 1 << (i - 1) ELSE 0 END))::BIGINT
       |      AS band_val
-      |  FROM e, UNNEST(generate_series(0, 3)) AS t(b))""".stripMargin
+      |  FROM e, p, UNNEST(generate_series(0, 3)) AS t(b))""".stripMargin
 
-  /** LSH-banded approximate top-5: candidates share at least one of the 4
-    * 16-dim sign bands. Same ranking as brute force on the candidate set;
-    * recall < 1 by construction — the oracle mirrors the same banding, so
+  /** MULTI-PROBE LSH-banded approximate top-5: each query probes, per
+    * band, its own band value PLUS its W Hamming-1 sign flips (W+1 probe
+    * keys per band). Exact wide-band matches are rare — P(W signs agree)
+    * decays fast with angle, so single-probe wide bands have near-zero
+    * recall on anything but near-duplicates — while a one-bit sign flip
+    * is the dominant miss mode; probing the Hamming-1 ring restores
+    * recall WITHOUT shrinking the keyspace (bucket occupancy stays
+    * N/2^W per band; probe cost is a fixed ×(W+1) on the broadcast query
+    * side only). Candidates share any probed key; same ranking as brute
+    * force on the candidate set; the oracle mirrors the same probing, so
     * results stay deterministic.
     */
   def knnLshBucket(s: SparkSession, d: String): DataFrame = {
-    val bands = signBands(vecs(s, d))
+    val e = vecs(s, d)
+    val w = TextOps.simhashBandBits(e.count()) // same width law, same oracle form
+    val bands = signBands(e, w)
     val q = bands.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("band_idx").as("q_band_idx"), col("band_val").as("q_band_val"))
+        col("band_idx").as("q_band_idx"),
+        explode(expr(
+          s"transform(sequence(0, $w), j -> IF(j = 0, band_val, " +
+            "CAST(band_val AS BIGINT) ^ shiftleft(1L, j - 1)))"))
+          .as("q_band_val"))
     val scored = bands.join(broadcast(q),
         col("band_idx") === col("q_band_idx") &&
           col("band_val") === col("q_band_val") &&
           col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
-      .distinct() // a candidate can share several bands
+      .distinct() // a candidate can match several probes/bands
     topK(scored, 5)
   }
 
@@ -121,8 +142,10 @@ object Similarity {
       |e AS (SELECT vec_id, v FROM e0),
       |$signBandsSql,
       |q AS (SELECT vec_id AS q_id, v AS qv, band_idx AS q_band_idx,
-      |             band_val AS q_band_val
-      |      FROM bands WHERE vec_id % 50 = 0),
+      |        CASE WHEN j = 0 THEN band_val
+      |             ELSE xor(band_val, 1::BIGINT << (j - 1)) END AS q_band_val
+      |      FROM bands, p, UNNEST(generate_series(0, w)) AS t(j)
+      |      WHERE vec_id % 50 = 0),
       |scored AS (
       |  SELECT DISTINCT q_id, bands.vec_id AS neighbor_id,
       |    round(list_dot_product(qv, v)
@@ -295,11 +318,13 @@ object Similarity {
       |        FROM embeddings))""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
-    * family): 4×16-dim sign-band join (see [[signBands]]) + threshold,
-    * symmetric pairs deduped by id order, multi-band hits deduped.
+    * family): 4 adaptive-width sign-band joins (see [[signBands]]) +
+    * threshold, symmetric pairs deduped by id order, multi-band hits
+    * deduped.
     */
   def embeddingNearDups(s: SparkSession, d: String): DataFrame = {
-    val bands = signBands(vecs(s, d))
+    val e = vecs(s, d)
+    val bands = signBands(e, TextOps.simhashBandBits(e.count()))
     bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&

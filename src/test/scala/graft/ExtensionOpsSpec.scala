@@ -93,8 +93,9 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(TextOps.simhashBandBits(1025) == 11)
   }
 
-  test("16-dim sign bands bound max bucket occupancy to a small fraction of N") {
-    val bands = Similarity.signBands(Similarity.vecs(spark, sf))
+  test("adaptive sign bands bound max bucket occupancy to a small fraction of N") {
+    val e = Similarity.vecs(spark, sf)
+    val bands = Similarity.signBands(e, TextOps.simhashBandBits(e.count()))
     val n = bands.select(col("vec_id")).distinct().count()
     val occ = bands.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("c"))
@@ -204,6 +205,22 @@ class ExtensionOpsSpec extends AnyFunSuite {
     // true top-5 — and, sanity: IVF never returns MORE than k per query.
     assert(recall >= 0.3, s"recall@5 = $recall")
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("multi-probe LSH knn recall@5 vs brute-force baseline") {
+    val lsh = Similarity.knnLshBucket(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.knnBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = (lsh intersect brute).size.toDouble / brute.size
+    // the synthetic corpus is near-random — the WORST case for sign-LSH
+    // (a random vector's "top-5" sit at ~70°, where W-sign agreement is
+    // rare; genuinely close vectors are what LSH buckets catch, covered
+    // by the near-dup/minhash recall specs). The multi-probe ring must
+    // still recover a nonzero floor even here; single-probe wide bands
+    // returned ~0 candidates on this corpus.
+    assert(recall >= 0.15, s"recall@5 = $recall")
   }
 
   test("HLL approx_count_distinct is within 5×rsd of the exact count") {
