@@ -43,6 +43,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("decontamination: eval shingle set is the broadcast side, corpus never shuffles for the join") {
+    val p = plan(TextOps.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly two shuffles, both SMALL-side: the eval shingles' distinct
+    // (bounded by the benchmark suite) and the final per-doc count — the
+    // corpus-side shingle stream flows map-side into the broadcast join
+    assert(shuffles(p) == 2, s"want 2 small shuffles, got:\n$p")
+    // the eval-slice predicate reaches every corpus scan branch
+    assert(p.contains("% 97"), p)
+  }
+
+  test("PII redaction: pure per-row plan — no exchange, one codegen stage") {
+    val p = plan(TextOps.piiRedact(spark, sf))
+    assert(shuffles(p) == 0, s"redaction must not shuffle:\n$p")
+    assert(p.contains("*(1)"), p) // single whole-stage-codegen span
+  }
+
   test("q5 star join: dimension arm broadcast, no sort-merge join of dims") {
     val p = plan(Analytics.q5RegionRevenue(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
