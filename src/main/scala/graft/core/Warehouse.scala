@@ -269,11 +269,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val tmp = rel.suffixed("__dbt_tmp")
     val backup = rel.suffixed("__dbt_pbackup")
     // recovery preamble: restore any backed-up partition whose live dir
-    // vanished in a previous crash window, then clear the backup area
+    // vanished in a previous crash window, then clear the backup area.
+    // A failed restore must ABORT (dropping the backup would delete the
+    // only surviving copy of that partition).
     if (exists(backup)) {
       listPartitions(backup).foreach { dir =>
         val tgtDir = new Path(path(rel), dir)
-        if (!fs.exists(tgtDir)) { fs.rename(new Path(path(backup), dir), tgtDir); () }
+        if (!fs.exists(tgtDir)) {
+          fs.mkdirs(tgtDir.getParent)
+          if (!fs.rename(new Path(path(backup), dir), tgtDir))
+            throw new IllegalStateException(
+              s"partition restore $dir -> ${rel.fqName} failed; " +
+                s"backup left at ${path(backup)}")
+        }
       }
       drop(backup)
     }
@@ -288,7 +296,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val written = listPartitions(tmp)
     written.foreach { dir =>
       val tgtDir = new Path(path(rel), dir)
-      if (fs.exists(tgtDir)) { fs.rename(tgtDir, new Path(path(backup), dir)); () }
+      // the backup rename must be CHECKED: if it fails and tgtDir still
+      // exists, renaming tmp onto an existing dir would nest it inside
+      // (POSIX-fs Hadoop rename moves INTO an existing directory)
+      if (fs.exists(tgtDir) && !fs.rename(tgtDir, new Path(path(backup), dir)))
+        throw new IllegalStateException(
+          s"partition backup $dir of ${rel.fqName} failed")
       fs.mkdirs(tgtDir.getParent)
       if (!fs.rename(new Path(path(tmp), dir), tgtDir))
         throw new IllegalStateException(
