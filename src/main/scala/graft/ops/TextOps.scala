@@ -259,15 +259,23 @@ object TextOps {
     * @param edges directed (doc1 → doc2) edge list; symmetrized inside
     * @param nodes one row per doc_id
     */
-  def resolveClusters(edges0: DataFrame, nodes: DataFrame): DataFrame = {
+  def resolveClusters(edges0: DataFrame, nodes: DataFrame,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    // localCheckpoint is fast but lives in executor memory — an executor
+    // loss mid-fixpoint kills the lineage-truncated rounds. On a real
+    // cluster pass checkpointDir (HDFS/object store): rounds then survive
+    // executor failure at the cost of one write per round.
+    val sc = edges0.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val pairs = edges0.select(col("doc1"), col("doc2"))
     // cache the invariant edge set: the iterative rounds must not
     // recompute the whole upstream pipeline per iteration
     val edges = pairs.unionByName(
       pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
       .cache()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+    var labels = materialize(nodes.select(col("doc_id"), col("doc_id").as("label")))
     var changed = 1L
     while (changed > 0) {
       val nbMin = edges.join(labels, edges("doc2") === labels("doc_id"))
@@ -275,11 +283,11 @@ object TextOps {
       // the changed flag rides along in the SAME pass (labels only ever
       // decrease, so changed ⇔ a neighbor's min undercut ours) — the
       // convergence count is then a trivial scan of the checkpointed rows
-      val next = labels.join(nbMin, labels("doc_id") === nbMin("doc1"), "left")
-        .select(labels("doc_id"),
-          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
-          (col("nb_min").isNotNull && col("nb_min") < col("label")).as("_changed"))
-        .localCheckpoint()
+      val next = materialize(
+        labels.join(nbMin, labels("doc_id") === nbMin("doc1"), "left")
+          .select(labels("doc_id"),
+            least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
+            (col("nb_min").isNotNull && col("nb_min") < col("label")).as("_changed")))
       changed = next.filter(col("_changed")).count()
       labels = next.drop("_changed")
     }

@@ -66,6 +66,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got(20L) == 20L)
   }
 
+  test("cluster resolution with a reliable checkpoint dir matches localCheckpoint") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    val reliable = TextOps.resolveClusters(edges, nodes, Some(ckDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = TextOps.resolveClusters(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("4-band simhash candidates are a superset of top-16-bit bucketing") {
     val sh = TextOps.simhash(spark, sf).withColumn("bucket",
       expr("simhash DIV 65536")).cache()

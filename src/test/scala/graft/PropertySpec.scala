@@ -41,6 +41,36 @@ class PropertySpec extends AnyFunSuite {
   private def dedupByKey(rows: List[(Long, String, Double)]) =
     rows.groupBy(_._1).map(_._2.last).toList
 
+  test("property: warn_if/error_if threshold parser matches its comparator") {
+    import graft.run.TestDef
+    val cases = for {
+      op <- Gen.oneOf(">", ">=", "<", "<=", "=", "!=")
+      k <- Gen.choose(0L, 1000L)
+      n <- Gen.choose(0L, 1200L)
+      pad <- Gen.oneOf("", " ", "  ")
+    } yield (op, k, n, pad)
+    samples(cases, 300, 7L).foreach { case (op, k, n, pad) =>
+      val want = op match {
+        case ">" => n > k; case ">=" => n >= k; case "<" => n < k
+        case "<=" => n <= k; case "=" => n == k; case "!=" => n != k
+      }
+      assert(TestDef.threshold(s"$pad$op$pad$k$pad")(n) == want,
+        s"'$op$k' on $n")
+    }
+    assertThrows[IllegalArgumentException](TestDef.threshold("10"))
+    assertThrows[IllegalArgumentException](TestDef.threshold("> -1"))
+    assertThrows[IllegalArgumentException](TestDef.threshold("=> 3"))
+  }
+
+  test("property: unescapePathName decodes %XX only, never '+'") {
+    assert(Warehouse.unescapePathName("a+b") == "a+b")
+    assert(Warehouse.unescapePathName("a%20b") == "a b")
+    assert(Warehouse.unescapePathName("14%3A30") == "14:30")
+    assert(Warehouse.unescapePathName("100%") == "100%")   // dangling %
+    assert(Warehouse.unescapePathName("%zz") == "%zz")     // bad hex
+    assert(Warehouse.unescapePathName("%25%32%35") == "%25") // no double decode
+  }
+
   test("property: merge result = last-writer-wins union of key spaces") {
     val cases = samples(Gen.zip(rowsGen, rowsGen), 8, 1000L)
     assert(cases.nonEmpty)
