@@ -60,7 +60,15 @@ object TextOps {
        |FROM corpus GROUP BY md5(text)""".stripMargin
 
   // ----------------------------------------------- shingle inverted index
-  /** (doc_id, shingle) distinct pairs, 3-word shingles. */
+  /** (doc_id, shingle) distinct pairs, 3-word shingles. Deliberately NOT
+    * cached: the explode fuses into the scan under whole-stage codegen
+    * and recomputes faster than a serialized cache of the widest dataset
+    * in the suite deserializes — and per-consumer predicate pushdown
+    * (e.g. decontamination's eval-slice filters) survives only on the
+    * uncached plan. (Measured: caching here cost +15 s on the sf0.1
+    * bench.) The CAPPED index, which absorbs an aggregation and an
+    * anti-join, is what's worth pinning — see [[cappedShingles]].
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
       .withColumn("w", split(col("text"), " "))
@@ -267,8 +275,12 @@ object TextOps {
     // executor failure at the cost of one write per round.
     val sc = edges0.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
+    // LAZY checkpoints: the per-round `changed` count is the action that
+    // materializes the round — eager would run a separate materialization
+    // job first, doubling the jobs per round for identical lineage cuts
     def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val pairs = edges0.select(col("doc1"), col("doc2"))
     // cache the invariant edge set: the iterative rounds must not
     // recompute the whole upstream pipeline per iteration
