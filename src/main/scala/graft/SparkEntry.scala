@@ -73,6 +73,7 @@ object SparkEntry {
     "x_winnow_fingerprint" -> (TextOps.winnowFingerprint _),
     "x_decontaminate" -> (TextOps.decontaminate _),
     "x_pii_redact" -> (TextOps.piiRedact _),
+    "x_repetition" -> (TextOps.repetitionMetrics _),
     "x_knn_brute" -> (Similarity.knnBrute _),
     "x_knn_lsh_bucket" -> (Similarity.knnLshBucket _),
     "x_knn_topk_agg" -> (Similarity.knnTopKAgg _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "x_winnow_fingerprint" -> TextOps.winnowFingerprintSql,
     "x_decontaminate" -> TextOps.decontaminateSql,
     "x_pii_redact" -> TextOps.piiRedactSql,
+    "x_repetition" -> TextOps.repetitionMetricsSql,
     "x_knn_brute" -> Similarity.knnBruteSql,
     "x_knn_lsh_bucket" -> Similarity.knnLshBucketSql,
     "x_knn_topk_agg" -> Similarity.knnBruteSql, // same contract as brute

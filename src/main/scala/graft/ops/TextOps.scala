@@ -783,6 +783,45 @@ object TextOps {
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------- repetition metrics
+  /** Gopher-style repetition filters: the published quality rules drop
+    * documents dominated by a single token or by repeated n-grams. Emits
+    * floor-scaled integer ratios (×10⁴ — exact cross-engine where a
+    * rounded double ratio is not):
+    *  - `top_word_frac_e4`: occurrences of the most frequent word / words
+    *  - `dup_2gram_frac_e4`: 1 − distinct 2-grams / total 2-grams
+    * Pure per-row higher-order functions over the split array (docs are
+    * bounded; the per-row mode scan is O(k·distinct) inside codegen) — no
+    * shuffle, linear at any corpus size.
+    */
+  def repetitionMetrics(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"),
+        expr("CAST(floor(array_max(transform(array_distinct(w), " +
+          "x -> size(filter(w, y -> y = x)))) * 10000 / n) AS BIGINT)")
+          .as("top_word_frac_e4"),
+        expr("CAST(floor((1.0 - CAST(size(array_distinct(" +
+          "transform(sequence(1, n - 1), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))) " +
+          "AS DOUBLE) / (n - 1)) * 10000) AS BIGINT)")
+          .as("dup_2gram_frac_e4"))
+
+  val repetitionMetricsSql: String =
+    """SELECT doc_id,
+      |  CAST(floor(list_max(list_transform(list_distinct(w),
+      |    x -> len(list_filter(w, y -> y = x)))) * 10000 / n) AS BIGINT)
+      |    AS top_word_frac_e4,
+      |  CAST(floor((1.0 - len(list_distinct(list_transform(
+      |    generate_series(1, n - 1), i -> w[i] || ' ' || w[i + 1])))::DOUBLE
+      |    / (n - 1)) * 10000) AS BIGINT) AS dup_2gram_frac_e4
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w,
+      |        len(string_split(text, ' ')) AS n
+      |      FROM documents)
+      |WHERE n >= 2""".stripMargin
+
   // ------------------------------------------------------ PII redaction
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"

@@ -148,6 +148,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     dupOfEval.foreach(id => assert(out.contains(id), s"exact dup $id of eval doc unflagged"))
   }
 
+  test("repetition metrics match an independent scala reference") {
+    val docs = TData.documents(spark, sf).limit(25).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    val got = TextOps.repetitionMetrics(spark, sf)
+      .filter(col("doc_id").isin(docs.keys.toSeq: _*)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      if (w.length >= 2) {
+        val top = w.groupBy(identity).valuesIterator.map(_.length).max
+        val twoGrams = w.sliding(2).map(_.mkString(" ")).toSeq
+        val wantTop = math.floor(top * 10000.0 / w.length).toLong
+        val wantDup = math.floor(
+          (1.0 - twoGrams.distinct.size.toDouble / twoGrams.size) * 10000).toLong
+        assert(got(id) == ((wantTop, wantDup)), s"doc $id")
+      } else assert(!got.contains(id))
+    }
+  }
+
   test("PII redaction counts and scrubs the synthesized contact footers") {
     val out = TextOps.piiRedact(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
