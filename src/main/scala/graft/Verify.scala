@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter (dev iteration;
+    // the driver always runs the full set)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +21,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Same family-grouped order + boundary releases as Bench: staging
     // cache pins live only as long as the family that shares them.
-    val queries = SparkEntry.queries
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     var fam = ' '
     queries.keys.toSeq.sorted.foreach { name =>
       if (fam != ' ' && name.head != fam) graft.ops.SessionCache.releaseAll(spark)

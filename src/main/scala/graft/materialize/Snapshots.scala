@@ -11,14 +11,23 @@ import graft.core._
   *
   * Meta columns: `dbt_scd_id` (md5 surrogate of key+updated_at,
   * `snapshot_hash_arguments` @115609), `dbt_updated_at`, `dbt_valid_from`,
-  * `dbt_valid_to` (NULL = current row).
+  * `dbt_valid_to` (NULL = current row), plus the engine-internal partition
+  * column [[Snapshotter.BUCKET]].
   *
-  * Scale: each run is two shuffles — source⨝current-rows on the unique key
-  * for change detection, then the merge rewrite keyed on `dbt_scd_id`. The
-  * history table is only ever APPENDED to logically; physically we rewrite
-  * via the warehouse's atomic swap (no transactional format available).
+  * Scale: the history table is PARTITIONED by a derived bucket —
+  * `current` for open rows, `yyyy-MM` of `dbt_valid_to` for closed rows.
+  * A run reads ONLY the current partition for change detection (partition
+  * pruning; closed history never enters the join), then swaps in the new
+  * current slice plus the few month-buckets that received closures this
+  * run via [[Warehouse.replacePartitions]]. Closed buckets from earlier
+  * months are never opened — their files stay byte-identical, so a daily
+  * snapshot over years of history rewrites only the live entity set and
+  * at most a month of closures, not the whole table (the same economics
+  * as the reference's MERGE, which touches only matched rows).
   */
 final class Snapshotter(wh: Warehouse) {
+
+  import Snapshotter.{BUCKET, CURRENT}
 
   private val META = Seq("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
 
@@ -28,15 +37,39 @@ final class Snapshotter(wh: Warehouse) {
       keys.map(k => coalesce(col(k).cast("string"), lit(""))) :+
         coalesce(updatedAt.cast("string"), lit("")): _*))
 
+  /** Partition bucket of a row given its validity end: open rows live in
+    * the `current` partition, closed rows in the month of their close.
+    * Month granularity bounds the rewrite amplification of a run (≤ the
+    * closures of the touched months) while keeping the partition count
+    * low (12/year — no small-file explosion over decades of history).
+    */
+  private def bucketOf(validTo: Column): Column =
+    when(validTo.isNull, lit(CURRENT))
+      .otherwise(date_format(validTo.cast("date"), "yyyy-MM"))
+
+  /** Read a snapshot relation WITHOUT the internal bucket column — the
+    * user-visible schema is source columns + the four dbt meta columns.
+    */
+  def read(rel: Relation): DataFrame = wh.read(rel).drop(BUCKET)
+
   /** Validity/change columns for the `check` strategy need a transaction
     * time; the engine passes the wall clock, tests/oracles pin a literal.
     */
   def snapshot(source: DataFrame, rel: Relation, keys: Seq[String],
                strategy: SnapshotStrategy, now: Column = current_timestamp(),
                invalidateHardDeletes: Boolean = false): Unit = {
+    // Pin the transaction time to a literal: the run below executes more
+    // than one Spark action (bucket discovery, then the write), and a raw
+    // current_timestamp() would re-evaluate per action — closings and
+    // insertions must carry the SAME stamp, as in dbt's run-start time.
+    val nowLit: Column = {
+      val v = source.sparkSession.range(1)
+        .select(now.cast("timestamp")).head().getTimestamp(0)
+      lit(v)
+    }
     val updatedAt: Column = strategy match {
       case SnapshotStrategy.Timestamp(c) => col(c)
-      case SnapshotStrategy.Check(_) => now
+      case SnapshotStrategy.Check(_) => nowLit
     }
     if (!wh.exists(rel)) {
       // B12 build_snapshot_table: first run inserts everything as current
@@ -45,12 +78,15 @@ final class Snapshotter(wh: Warehouse) {
         .withColumn("dbt_valid_from", updatedAt)
         .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
         .withColumn("dbt_scd_id", scdId(keys, updatedAt))
-      wh.writeAtomic(first, rel)
+        .withColumn(BUCKET, lit(CURRENT))
+      wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET))
       return
     }
 
-    val snapped = wh.read(rel)
-    val current = snapped.filter(col("dbt_valid_to").isNull)
+    val all = wh.read(rel)
+    // change detection reads ONLY the current partition (pruned scan) —
+    // closed history never enters the join
+    val current = all.filter(col(BUCKET) === CURRENT).drop(BUCKET)
     // presence markers, NOT key-nullability: with dbt's plain `=` key join
     // (snapshot_staging_table @102012 joins ON dbt_unique_key =, where a
     // NULL key matches NOTHING), a NULL-key source row must still be seen
@@ -83,37 +119,65 @@ final class Snapshotter(wh: Warehouse) {
     val insertions = joined
       .filter(inSrc && (!inCur || rowChanged))
       .select(srcCols.map(c => col(s"s.$c").as(c)) ++ Seq(
-        updatedAtOver("s", strategy, now).as("dbt_updated_at"),
-        updatedAtOver("s", strategy, now).as("dbt_valid_from"),
+        updatedAtOver("s", strategy, nowLit).as("dbt_updated_at"),
+        updatedAtOver("s", strategy, nowLit).as("dbt_valid_from"),
         lit(null).cast("timestamp").as("dbt_valid_to"),
-        scdId(keys.map("s." + _), updatedAtOver("s", strategy, now)).as("dbt_scd_id")): _*)
+        scdId(keys.map("s." + _), updatedAtOver("s", strategy, nowLit)).as("dbt_scd_id")): _*)
 
     val updateScdIds = joined.filter(inSrc && inCur && rowChanged)
       .select(col("c.dbt_scd_id").as("dbt_scd_id"),
-        updatedAtOver("s", strategy, now).as("new_valid_to"))
+        updatedAtOver("s", strategy, nowLit).as("new_valid_to"))
     val deleteScdIds =
       if (!invalidateHardDeletes) updateScdIds.limit(0)
       else joined.filter(inCur && !inSrc)
-        .select(col("c.dbt_scd_id").as("dbt_scd_id"), now.as("new_valid_to"))
+        .select(col("c.dbt_scd_id").as("dbt_scd_id"), nowLit.as("new_valid_to"))
+    // small frame (scd_id + close time of this run's changes): persisted so
+    // bucket discovery and the write see ONE evaluation of the detection
+    // join, and the collect below doesn't re-run it
     val closing = updateScdIds.unionByName(deleteScdIds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // B16 merge: matched current rows get dbt_valid_to set; staging rows
-    // are inserted. `closing` is usually small relative to history, but an
-    // upstream backfill can touch most rows — so no forced broadcast hint:
-    // AQE broadcasts at runtime when the actual size qualifies and falls
-    // back to a shuffle join when it doesn't (a forced hint would OOM).
-    val merged = snapped.alias("t")
-      .join(closing.alias("u"),
-        col("t.dbt_scd_id") === col("u.dbt_scd_id"), "left")
-      .select(snapped.columns.toIndexedSeq.map {
-        case "dbt_valid_to" =>
-          when(col("t.dbt_valid_to").isNull && col("u.new_valid_to").isNotNull,
-            col("u.new_valid_to")).otherwise(col("t.dbt_valid_to")).as("dbt_valid_to")
-        case c => col(s"t.$c").as(c)
-      }: _*)
-      .unionByName(insertions.select(snapped.columns.toIndexedSeq.map(col): _*))
+    try {
+      // B16 merge, partition-scoped: current rows get dbt_valid_to set
+      // where matched (moving them to a closed bucket); staging rows are
+      // inserted as current. `closing` is usually small relative to the
+      // current slice — no forced broadcast hint: AQE broadcasts at
+      // runtime when the actual size qualifies (a forced hint would OOM
+      // on an upstream backfill that touches most rows).
+      val rewrittenCurrent = current.alias("t")
+        .join(closing.alias("u"),
+          col("t.dbt_scd_id") === col("u.dbt_scd_id"), "left")
+        .select(current.columns.toIndexedSeq.map {
+          case "dbt_valid_to" =>
+            // t.dbt_valid_to is NULL on every current row; a match closes it
+            col("u.new_valid_to").as("dbt_valid_to")
+          case c => col(s"t.$c").as(c)
+        }: _*)
+        .unionByName(insertions.select(current.columns.toIndexedSeq.map(col): _*))
+        .withColumn(BUCKET, bucketOf(col("dbt_valid_to")))
 
-    wh.writeAtomic(merged, rel)
+      // the month-buckets receiving closures this run — a control-plane
+      // scalar bounded by the distinct close months (1 for a steady daily
+      // run; a handful on a backfill)
+      val closedBuckets = closing
+        .select(bucketOf(col("new_valid_to")).as(BUCKET))
+        .distinct().collect().map(_.getString(0)).toIndexedSeq
+
+      // a replaced closed bucket must carry its EXISTING rows too (the
+      // partition swap replaces the whole directory); untouched buckets
+      // never appear in the payload and their files stay byte-identical
+      val payload =
+        if (closedBuckets.isEmpty) rewrittenCurrent
+        else rewrittenCurrent.unionByName(
+          all.filter(col(BUCKET).isin(closedBuckets: _*))
+            .select(rewrittenCurrent.columns.toIndexedSeq.map(col): _*))
+
+      // alsoDropValues pins `current`: a run that closes every row and
+      // inserts nothing must still drop the stale current partition
+      wh.replacePartitions(payload, rel, BUCKET, alsoDropValues = Seq(CURRENT))
+    } finally {
+      closing.unpersist(); ()
+    }
   }
 
   private def updatedAtOver(alias: String, strategy: SnapshotStrategy,
@@ -121,4 +185,11 @@ final class Snapshotter(wh: Warehouse) {
     case SnapshotStrategy.Timestamp(c) => col(s"$alias.$c")
     case SnapshotStrategy.Check(_) => now
   }
+}
+
+object Snapshotter {
+  /** Engine-internal partition column of snapshot relations. */
+  val BUCKET = "graft_scd_bucket"
+  /** Bucket value of open rows (`dbt_valid_to IS NULL`). */
+  val CURRENT = "current"
 }

@@ -119,6 +119,54 @@ class SnapshotSpec extends AnyFunSuite {
     assertInvariants(wh, rOn)
   }
 
+  test("closed history buckets are never rewritten by later runs") {
+    import org.apache.hadoop.fs.Path
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val r = Relation("db", "s", "snap_hist")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    snap.snapshot(src(Seq(
+      (1L, "a", ts("2024-01-10 00:00:00")),
+      (2L, "b", ts("2024-01-10 00:00:00")))), r, Seq("id"), strat)
+    // run 2 closes id=1 with valid_to in 2024-02 → bucket "2024-02"
+    snap.snapshot(src(Seq(
+      (1L, "a2", ts("2024-02-05 00:00:00")),
+      (2L, "b", ts("2024-01-10 00:00:00")))), r, Seq("id"), strat)
+    val fs = new Path(wh.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def filesOf(bucket: String): Map[String, (Long, Long)] = {
+      val dir = new Path(wh.path(r), s"${Snapshotter.BUCKET}=$bucket")
+      assert(fs.exists(dir), s"expected partition dir $dir")
+      fs.listStatus(dir).filter(_.isFile)
+        .map(st => st.getPath.toString ->
+          (st.getLen, st.getModificationTime)).toMap
+    }
+    val before = filesOf("2024-02")
+    assert(before.nonEmpty)
+    // run 3 closes id=2 with valid_to in 2024-04 → only "current" and
+    // "2024-04" may change; the 2024-02 files must be byte-identical
+    snap.snapshot(src(Seq(
+      (1L, "a2", ts("2024-02-05 00:00:00")),
+      (2L, "b2", ts("2024-04-20 00:00:00")))), r, Seq("id"), strat)
+    assert(filesOf("2024-04").nonEmpty)
+    assert(filesOf("2024-02") == before,
+      "closed 2024-02 bucket was rewritten by a run that did not touch it")
+    assert(wh.read(r).count() == 4) // 2 closed + 2 current
+    assertInvariants(wh, r)
+  }
+
+  test("a run that closes every row drops the stale current partition") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val r = Relation("db", "s", "snap_allclosed")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    snap.snapshot(src(Seq((1L, "a", ts("2024-01-10 00:00:00")))), r, Seq("id"), strat)
+    // hard-delete the only row: current partition must not survive stale
+    snap.snapshot(src(Nil), r, Seq("id"), strat,
+      now = lit("2024-03-01 00:00:00").cast("timestamp"),
+      invalidateHardDeletes = true)
+    val out = wh.read(r).collect()
+    assert(out.length == 1 && out.head.getAs[Timestamp]("dbt_valid_to") != null)
+  }
+
   test("NULL-key rows follow dbt's plain-= join: they insert on every run") {
     val s = spark
     import s.implicits._
