@@ -63,6 +63,15 @@ final case class ModelConfig(
     partitions: Seq[String] = Nil,
     clusterBy: Seq[String] = Nil,
     onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
+    // Declares that a unique key's partition value never changes between
+    // runs (the usual case: partitioned by an event date the key was born
+    // with). Lets the merge family SKIP the moved-key guard scan before
+    // taking the partition-scoped write path — the same user assertion as
+    // dbt's incremental_predicates, with the same failure mode if the
+    // promise is broken (the old row is left behind in the unread
+    // partition). Default false: the guard runs and a detected moved key
+    // falls back to the full-table merge.
+    partitionKeysStable: Boolean = false,
     tags: Set[String] = Set.empty,
     preHooks: Seq[String] = Nil,
     postHooks: Seq[String] = Nil,

@@ -221,13 +221,19 @@ final class Materializer(wh: Warehouse) {
     * partitioned on `cfg.partitionBy`, only the partitions PRESENT IN THE
     * INCREMENT need to be read (partition-pruned scan) and rewritten (per-
     * partition swap) — at 100 TB a daily merge must not rewrite years of
-    * untouched history. Assumes a given unique key's partition value is
-    * stable: a key that MOVES partitions leaves its old row behind in the
-    * unread partition (the same documented caveat as the reference's
-    * insert_overwrite economics and dbt's `incremental_predicates`).
+    * untouched history. Scoping is only sound when a given unique key's
+    * partition value is stable between runs — a key that MOVES partitions
+    * would leave its old row behind in the unread partition. Unless the
+    * model declares that stability (`cfg.partitionKeysStable`, the same
+    * user assertion as dbt's `incremental_predicates`), a moved-key GUARD
+    * runs first: a semi-join of the increment's keys against the
+    * out-of-scope partitions (key-column-pruned scan; the increment key
+    * set is small, so AQE broadcasts it). Any hit falls back to the
+    * full-table merge — correct for moved keys, just not partition-cheap.
     * Returns the partition column and the scoped target read, or None when
-    * scoping doesn't apply (unpartitioned layout, or a schema evolution
-    * that requires rewriting every partition onto the new schema anyway).
+    * scoping doesn't apply (unpartitioned layout, a schema evolution
+    * that requires rewriting every partition onto the new schema anyway,
+    * or a detected moved key).
     */
   private def mergeScope(inc: DataFrame, rel: Relation, cfg: ModelConfig,
                          requiresTargetRewrite: Boolean)
@@ -235,7 +241,7 @@ final class Materializer(wh: Warehouse) {
     cfg.partitionBy
       .filter(p => !requiresTargetRewrite &&
         wh.listPartitions(rel).map(_.takeWhile(_ != '=')).distinct == Seq(p))
-      .map { pcol =>
+      .flatMap { pcol =>
         // touched partition values: a control-plane collect bounded by the
         // number of partitions in the increment (same role as the
         // reference's partition-pruning literals @34992)
@@ -246,7 +252,19 @@ final class Materializer(wh: Warehouse) {
                    else lit(false)
           if (touched.contains(null)) in || col(pcol).isNull else in
         }
-        (pcol, wh.read(rel).filter(pred))
+        val tgt = wh.read(rel)
+        val safe = cfg.partitionKeysStable || cfg.uniqueKey.isEmpty || {
+          // `!pred` is NULL for a NULL partition value outside the touched
+          // set — coalesce keeps those rows in the out-of-scope probe.
+          // Plain-equality semi-join: NULL keys never match (they always
+          // INSERT in the merge family, so they cannot "move").
+          val outOfScope = tgt.filter(coalesce(!pred, lit(true)))
+            .select(cfg.uniqueKey.map(col): _*)
+          outOfScope.join(
+            inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
+            cfg.uniqueKey, "left_semi").isEmpty
+        }
+        if (safe) Some((pcol, tgt.filter(pred))) else None
       }
 
   /** MERGE with `merge_update_columns` subset (`default__get_merge_sql`
