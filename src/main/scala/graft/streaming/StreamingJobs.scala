@@ -90,7 +90,15 @@ object StreamingJobs {
       : Dataset[ClosedSession] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val gapMs = 30L * 60 * 1000
+    // Gap arithmetic is on SECOND-TRUNCATED epochs, exactly like the batch
+    // twin (Events.sessionize gaps on cast-to-long seconds): state keeps
+    // raw millis so emitted session starts stay ms-precise, but two events
+    // belong to one session iff their truncated seconds are within the
+    // gap. An ms-precision gap here would split a pair whose true gap is
+    // in (1800 s, 1801 s) but truncates to 1800 s — same-session in batch
+    // — making batch↔streaming equivalence corpus-lucky rather than exact.
+    val gapS = 30L * 60
+    def sec(ms: Long): Long = math.floorDiv(ms, 1000L)
     // the watermarked `ts` column itself must reach the stateful operator
     // (event-time timeout requires it); convert to millis in the lambda
     events.withWatermark("ts", "10 minutes")
@@ -111,7 +119,7 @@ object StreamingJobs {
           var sessions = state.getOption.getOrElse(Nil)
           sorted.foreach { case (_, ts, v) =>
             val (matching, rest) = sessions.partition(st =>
-              ts >= st.startMs - gapMs && ts <= st.lastMs + gapMs)
+              sec(ts) >= sec(st.startMs) - gapS && sec(ts) <= sec(st.lastMs) + gapS)
             sessions = matching match {
               case Nil => SessionState(ts, ts, 1, v) :: rest
               case ms =>
@@ -124,14 +132,18 @@ object StreamingJobs {
           }
           // close strictly by watermark (a timeout invocation only TRIGGERS
           // evaluation — `hasTimedOut` must not close sessions whose gap
-          // hasn't elapsed); re-register at the EARLIEST open deadline so
-          // an older session isn't held hostage by a newer one's activity
+          // hasn't elapsed); the close threshold is the first ms at which
+          // NO event could still truncate into the session's gap window
+          // (the last matching second, fully elapsed); re-register at the
+          // EARLIEST open deadline so an older session isn't held hostage
+          // by a newer one's activity
+          def closeAfterMs(s: SessionState): Long = (sec(s.lastMs) + gapS + 1) * 1000L
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = sessions.partition(s => wm > s.lastMs + gapMs)
+          val (closed, open) = sessions.partition(s => wm > closeAfterMs(s))
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
-            state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs + 1)
+            state.setTimeoutTimestamp(open.map(closeAfterMs).min + 1)
           }
           closed.reverseIterator.map(s => ClosedSession(uid, s.startMs,
             s.eventCount, math.rint(s.total * 100) / 100))

@@ -124,6 +124,51 @@ class StreamingSpec extends AnyFunSuite {
       s"want one session (start 60min, 4 events), got $closed")
   }
 
+  test("sessionization stopped mid-stream resumes from the checkpoint") {
+    // a session left OPEN across a stop/restart must survive in the state
+    // store: the restarted query extends it with new events and closes it
+    // with the same membership an uninterrupted run would produce
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_stream_restart")
+    val ckpt = Files.createTempDirectory("graft_stream_restart_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_stream_restart_out").toString
+    val uid = 777L
+    val sentinelUid = 888L
+    def writeBatch(name: String, minutes: Seq[Long], user: Long = uid): Unit = {
+      minutes.map(m => (m, m * 60L * 1000000000L, user, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir.resolve(s"stage_$name").toString)
+      val f = Files.list(dir.resolve(s"stage_$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, dir.resolve(s"$name.parquet")); ()
+    }
+    def runQuery(): Unit = {
+      val src = spark.readStream.schema(StreamingJobs.rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = StreamingJobs.closedSessions(spark, src).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeBatch("batch-1", Seq(60L, 70L)) // session opens: [60, 70]
+    runQuery() // first incarnation processes batch-1, then STOPS
+    // arrives only after the restart: 80 extends the surviving session,
+    // 150 opens a second one, the sentinel closes everything
+    writeBatch("batch-2", Seq(80L, 150L))
+    writeBatch("batch-3", Seq(100000L), sentinelUid)
+    runQuery() // second incarnation resumes from the checkpoint
+    val got = spark.read.parquet(outDir).filter(col("user_id") === uid)
+      .collect().map(r => (r.getAs[Long]("session_start_ms") / 60000,
+        r.getAs[Long]("n_events"))).toSet
+    // state loss at the restart would instead emit (60,2) and (80,1)
+    assert(got == Set((60L, 3L), (150L, 1L)), s"got $got")
+  }
+
   test("streaming dedup drops re-delivered events, state bounded by watermark") {
     // duplicate delivery: the same events file staged twice
     val dir = Files.createTempDirectory("graft_stream_dedup")
