@@ -70,6 +70,33 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (partitionCols.isEmpty) df
     else df.repartition(partitionCols.map(df.col): _*)
 
+  /** Recovery preamble shared by every write path: restore any partition
+    * caught between the two swap renames of a crashed [[replacePartitions]]
+    * (its data sits under `__dbt_pbackup` with no live dir), then clear
+    * the backup area. Running this from [[writeAtomic]] and the other
+    * writers too — not just the next partitioned merge — means a full
+    * refresh can't leave a stale pbackup behind that would later
+    * "restore" (resurrect) a partition the refresh legitimately dropped.
+    * A failed restore must ABORT: dropping the backup would delete the
+    * only surviving copy of that partition.
+    */
+  private def restorePartitionBackup(rel: Relation): Unit = {
+    val backup = rel.suffixed("__dbt_pbackup")
+    if (exists(backup)) {
+      listPartitions(backup).foreach { dir =>
+        val tgtDir = new Path(path(rel), dir)
+        if (!fs.exists(tgtDir)) {
+          fs.mkdirs(tgtDir.getParent)
+          if (!fs.rename(new Path(path(backup), dir), tgtDir))
+            throw new IllegalStateException(
+              s"partition restore $dir -> ${rel.fqName} failed; " +
+                s"backup left at ${path(backup)}")
+        }
+      }
+      drop(backup)
+    }
+  }
+
   def writeAtomic(df: DataFrame, rel: Relation,
                   partitionCols: Seq[String] = Nil,
                   clusterCols: Seq[String] = Nil): Unit = {
@@ -77,8 +104,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val backup = rel.suffixed("__dbt_backup")
     // crash recovery: a previous run that died between the two swap
     // renames leaves the data under __dbt_backup and no live target —
-    // restore it before doing anything else
+    // restore it before doing anything else (likewise any partition left
+    // in pbackup by a crashed partitioned merge: the df may read `rel`)
     if (!exists(rel) && exists(backup)) rename(backup, rel)
+    restorePartitionBackup(rel)
     drop(tmp)
     val aligned = partitionAligned(df, partitionCols)
     val clustered =
@@ -103,6 +132,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def overwritePartitions(df: DataFrame, rel: Relation,
                           partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "insert_overwrite requires partition_by")
+    restorePartitionBackup(rel)
     partitionAligned(df, partitionCols).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
@@ -113,6 +143,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * path, reference `default__get_merge_sql` @89014 when no unique_key).
     */
   def append(df: DataFrame, rel: Relation, partitionCols: Seq[String] = Nil): Unit = {
+    restorePartitionBackup(rel)
     val writer = partitionAligned(df, partitionCols).write.mode("append")
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
     w2.parquet(path(rel))
@@ -268,23 +299,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                         clusterCols: Seq[String] = Nil): Unit = {
     val tmp = rel.suffixed("__dbt_tmp")
     val backup = rel.suffixed("__dbt_pbackup")
-    // recovery preamble: restore any backed-up partition whose live dir
-    // vanished in a previous crash window, then clear the backup area.
-    // A failed restore must ABORT (dropping the backup would delete the
-    // only surviving copy of that partition).
-    if (exists(backup)) {
-      listPartitions(backup).foreach { dir =>
-        val tgtDir = new Path(path(rel), dir)
-        if (!fs.exists(tgtDir)) {
-          fs.mkdirs(tgtDir.getParent)
-          if (!fs.rename(new Path(path(backup), dir), tgtDir))
-            throw new IllegalStateException(
-              s"partition restore $dir -> ${rel.fqName} failed; " +
-                s"backup left at ${path(backup)}")
-        }
-      }
-      drop(backup)
-    }
+    restorePartitionBackup(rel)
     drop(tmp)
     val aligned = partitionAligned(df, Seq(pcol))
     val clustered =

@@ -302,6 +302,55 @@ class MaterializeSpec extends AnyFunSuite {
     assert(!wh.exists(backup))
   }
 
+  test("crash after swap, before backup drop: stale pbackup is discarded, not restored") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc14")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      incrementalStrategy = IncrementalStrategy.DeleteInsert,
+      partitionBy = Some("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
+    // simulate the second crash window: p1 was already swapped to NEW data
+    // (live dir present) but the backup of the OLD copy was never dropped
+    val backup = r.suffixed("__dbt_pbackup")
+    val fs = new org.apache.hadoop.fs.Path(wh.path(r))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = new org.apache.hadoop.fs.Path(wh.path(backup), "name=p1")
+    fs.mkdirs(bdir.getParent)
+    // stand-in for the old copy: any files under the backup dir
+    fs.mkdirs(bdir)
+    // next merge must DROP the stale backup (live p1 exists), never
+    // "restore" it over the newer data
+    m.incremental(df(Seq((2L, "p2", 22.0))), r, cfg)
+    assert(!wh.exists(backup))
+    val out = wh.read(r).collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Double]("score"))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 22.0))
+  }
+
+  test("full refresh repairs a crashed partition swap and clears the backup") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc15")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      incrementalStrategy = IncrementalStrategy.DeleteInsert,
+      partitionBy = Some("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
+    // crash window one: p1 moved to pbackup, live dir gone
+    val backup = r.suffixed("__dbt_pbackup")
+    val fs = new org.apache.hadoop.fs.Path(wh.path(r))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh.path(backup)))
+    fs.rename(new org.apache.hadoop.fs.Path(wh.path(r), "name=p1"),
+      new org.apache.hadoop.fs.Path(wh.path(backup), "name=p1"))
+    // a FULL REFRESH through writeAtomic (not the partitioned-merge path)
+    // must consume the pbackup: leaving it stale would let a later
+    // partitioned merge "restore" p1 — data the refresh legitimately
+    // dropped — back into the table
+    m.incremental(df(Seq((3L, "p3", 3.0))), r, cfg, fullRefresh = true)
+    assert(!wh.exists(backup))
+    assert(wh.read(r).collect().map(_.getAs[Long]("id")).toSet == Set(3L))
+    // the next partitioned merge must not resurrect the refreshed-away p1
+    m.incremental(df(Seq((4L, "p4", 4.0))), r, cfg)
+    assert(wh.read(r).collect().map(_.getAs[Long]("id")).toSet == Set(3L, 4L))
+  }
+
   test("dropPartitions matches literal '+' and does not confuse it with space") {
     val s = spark
     import s.implicits._
