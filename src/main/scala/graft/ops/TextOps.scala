@@ -469,10 +469,10 @@ object TextOps {
     * (tf·10^6 div (df+1)) instead of tf·ln(N/df): same monotonicity per
     * term, but exact in both engines — libm log implementations differ in
     * the last ulp, which a hash gate cannot tolerate. Two aggregations
-    * (per-doc tf, corpus df) + a broadcast-size df join + one window rank.
+    * (per-doc tf, corpus df) + a df join + a bounded top-3 partial agg.
     */
   def tfidfTerms(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val words = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word"))
@@ -481,14 +481,22 @@ object TextOps {
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
     // no broadcast hint: vocabulary is unbounded on a real corpus (AQE
     // still broadcasts at runtime when the df table is actually small);
-    // the shuffle join keys on word, co-partitioned with the tf groupBy
+    // the shuffle join keys on word, co-partitioned with the tf groupBy.
+    // Top-3 terms per doc via bounded partial aggregation (the window
+    // form sorted each doc's whole term list); the aggregator's output
+    // order IS the window's (score desc, word asc), so rn = position.
+    val topAgg = new graft.functions.TopStringsAggregator(3).toColumn
     tf.join(df, "word")
       .withColumn("score", expr("tf * 1000000L div (df + 1)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("word").asc)))
-      .filter(col("rn") <= 3)
-      .select(col("doc_id"), col("word"), col("score"), col("rn"))
+      .select(col("doc_id"), col("word"), col("score"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topAgg.name("topw"))
+      .toDF("doc_id", "topw")
+      .select(col("doc_id"), posexplode(col("topw")))
+      .select(col("doc_id"), col("col._2").as("word"),
+        col("col._1").as("score"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   val tfidfTermsSql: String =
@@ -638,7 +646,7 @@ object TextOps {
     * profile side is broadcast-small at any corpus size.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     // Memoized+cached: `words` feeds BOTH the profile-training branch and
     // the docWords branch of a self-join — uncached, Spark recomputes the
     // explode for each side (and re-reads documents 3×).
@@ -649,18 +657,31 @@ object TextOps {
     }
     val profile = words.groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("c"))
-    val top = profile.withColumn("rn", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("word").asc)))
-      .filter(col("rn") <= 20).select(col("lang").as("cand_lang"), col("word"))
+    // top-20 words per language via BOUNDED partial aggregation: the
+    // row_number window form sorted each language's ENTIRE vocabulary in
+    // one shuffle partition; the aggregator reduces any vocabulary to 20
+    // (count desc, word asc) entries map-side before the exchange
+    val topAgg = new graft.functions.TopStringsAggregator(20).toColumn
+    val top = profile.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topAgg.name("topw"))
+      .toDF("cand_lang", "topw")
+      .select(col("cand_lang"), explode(col("topw")).as("e"))
+      .select(col("cand_lang"), col("e._2").as("word"))
     val docWords = words.select(col("doc_id"), col("word")).distinct()
     val scores = docWords.join(broadcast(top), "word")
       .groupBy(col("doc_id"), col("cand_lang"))
       .agg(count(lit(1)).as("matches"))
-    val best = scores.withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("matches").desc, col("cand_lang").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("matches"))
+    // best language per doc: argmin of (-matches, cand_lang) — a plain
+    // hash aggregate (struct min orders lexicographically by field), no
+    // per-doc sort, no window anywhere in the operator
+    val best = scores
+      .select(col("doc_id"), struct((-col("matches")).as("neg"),
+        col("cand_lang").as("cl")).as("cand"))
+      .groupBy(col("doc_id")).agg(min(col("cand")).as("best"))
+      .select(col("doc_id"), col("best.cl").as("pred_lang"),
+        (-col("best.neg")).as("matches"))
     best.join(documents(s, d).select(col("doc_id"), col("lang").as("true_lang")),
       "doc_id")
   }

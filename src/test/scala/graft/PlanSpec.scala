@@ -43,6 +43,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("langId: no Window — profile top-20 and per-doc argmin are bounded aggs") {
+    // the window form sorted each language's ENTIRE vocabulary in one
+    // task; the TopStringsAggregator carries ≤20 entries per language
+    // through the exchange, and best-language is a struct-min hash agg
+    val p = plan(TextOps.langId(spark, sf))
+    assert(!p.contains("Window"), s"langId plan must be window-free:\n$p")
+  }
+
+  test("tfidf: no Window — per-doc top-3 terms via bounded partial agg") {
+    val p = plan(TextOps.tfidfTerms(spark, sf))
+    assert(!p.contains("Window"), s"tfidf plan must be window-free:\n$p")
+  }
+
   test("decontamination: eval shingle set is the broadcast side, corpus never shuffles for the join") {
     val p = plan(TextOps.decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
