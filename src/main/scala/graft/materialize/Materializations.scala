@@ -92,12 +92,26 @@ final class Materializer(wh: Warehouse) {
     */
   def seed(spark: SparkSession, csvPath: String, rel: Relation,
            columnTypes: Map[String, String] = Map.empty): DataFrame = {
-    val inferred = spark.read
-      .option("header", "true").option("inferSchema", "true")
-      .csv(csvPath)
-    val typed = columnTypes.foldLeft(inferred) { case (df, (c, t)) =>
-      df.withColumn(c, col(c).cast(t))
-    }
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val base = spark.read.option("header", "true")
+    // header-only read (no inferSchema): just the column names
+    val header = base.csv(csvPath).schema.fieldNames.toIndexedSeq
+    val byLower = columnTypes.map { case (k, v) => k.toLowerCase -> v }
+    val typed =
+      if (header.nonEmpty && header.forall(c => byLower.contains(c.toLowerCase))) {
+        // overrides cover every column: build the schema explicitly and
+        // read the data ONCE — inference would both cost a full extra
+        // pass and can destroy values before the cast ("007" inferred as
+        // int 7 casts to the string "7", not "007")
+        val schema = StructType(header.map(c =>
+          StructField(c, DataType.fromDDL(byLower(c.toLowerCase)))))
+        base.schema(schema).csv(csvPath)
+      } else {
+        val inferred = base.option("inferSchema", "true").csv(csvPath)
+        columnTypes.foldLeft(inferred) { case (df, (c, t)) =>
+          df.withColumn(c, col(c).cast(t))
+        }
+      }
     wh.writeAtomic(typed, rel)
     wh.read(rel)
   }

@@ -130,6 +130,20 @@ class MaterializeSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("seed fully covered by column_types reads once, no inference mistyping") {
+    val wh = freshWh(); val m = new Materializer(wh)
+    val csv = Files.createTempFile("seed_cov", ".csv")
+    // "007" is the inference tripwire: an inferSchema pass reads it as
+    // int 7, and the subsequent cast to string yields "7" — only the
+    // explicit-schema single-pass read preserves the raw value
+    Files.writeString(csv, "k,v\n007,1\n042,2\n")
+    val out = m.seed(spark, csv.toString, rel("seed_cov"),
+      Map("k" -> "string", "v" -> "bigint"))
+    assert(out.schema("k").dataType.typeName == "string")
+    assert(out.schema("v").dataType.typeName == "long")
+    assert(out.collect().map(_.getString(0)).toSet == Set("007", "042"))
+  }
+
   test("truncate keeps schema, drops rows; rename moves relation") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("t2")
     m.table(df(Seq((1L, "a", 1.0))), r)
