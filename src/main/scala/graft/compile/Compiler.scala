@@ -61,7 +61,8 @@ object Compiler {
         var cfg = base
         kvs.get("materialized").foreach(v => cfg = cfg.copy(materialized = v))
         kvs.get("unique_key").foreach(v => cfg = cfg.copy(uniqueKey = Seq(v)))
-        kvs.get("partition_by").foreach(v => cfg = cfg.copy(partitionBy = Some(v)))
+        kvs.get("partition_by").foreach(v => cfg = cfg.copy(partitionBy =
+          v.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq))
         kvs.get("incremental_strategy").foreach { v =>
           import graft.core.IncrementalStrategy._
           cfg = cfg.copy(incrementalStrategy = v match {

@@ -56,7 +56,11 @@ final case class ModelConfig(
     uniqueKey: Seq[String] = Nil,
     incrementalStrategy: IncrementalStrategy = IncrementalStrategy.Merge,
     mergeUpdateColumns: Seq[String] = Nil, // empty = update all columns
-    partitionBy: Option[String] = None,
+    // Partition column(s). The reference's partition_by is a single field
+    // (BigQuery allows one); multi-column layouts are engine hardening —
+    // the merge family scopes and swaps at leaf-dir granularity.
+    // insert_overwrite (static list, _dbt_max_partition) stays single-col.
+    partitionBy: Seq[String] = Nil,
     // insert_overwrite static mode (reference bq_insert_overwrite @34992):
     // a user-pinned list of partition values (string-rendered) to replace.
     // Empty = dynamic mode (partitions discovered from the increment).

@@ -82,19 +82,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     */
   private def restorePartitionBackup(rel: Relation): Unit = {
     val backup = rel.suffixed("__dbt_pbackup")
-    if (exists(backup)) {
-      listPartitions(backup).foreach { dir =>
-        val tgtDir = new Path(path(rel), dir)
-        if (!fs.exists(tgtDir)) {
-          fs.mkdirs(tgtDir.getParent)
-          if (!fs.rename(new Path(path(backup), dir), tgtDir))
-            throw new IllegalStateException(
-              s"partition restore $dir -> ${rel.fqName} failed; " +
-                s"backup left at ${path(backup)}")
+    if (!exists(backup)) return
+    // walk the backup tree: a backed-up partition dir (at any nesting
+    // level of a multi-column layout) whose live counterpart vanished is
+    // renamed back wholesale; if the live dir exists, recurse — a deeper
+    // sub-partition may still be missing
+    def walk(sub: String): Unit = {
+      val src = if (sub.isEmpty) new Path(path(backup)) else new Path(path(backup), sub)
+      fs.listStatus(src).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.contains("=")) {
+          val rsub = if (sub.isEmpty) st.getPath.getName
+                     else sub + "/" + st.getPath.getName
+          val tgtDir = new Path(path(rel), rsub)
+          if (!fs.exists(tgtDir)) {
+            fs.mkdirs(tgtDir.getParent)
+            if (!fs.rename(st.getPath, tgtDir))
+              throw new IllegalStateException(
+                s"partition restore $rsub -> ${rel.fqName} failed; " +
+                  s"backup left at ${path(backup)}")
+          } else walk(rsub)
         }
       }
-      drop(backup)
     }
+    walk("")
+    drop(backup)
   }
 
   def writeAtomic(df: DataFrame, rel: Relation,
@@ -294,27 +305,34 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * between its two renames is restored from `__dbt_pbackup` by the
     * recovery preamble of the next write.
     */
-  def replacePartitions(df: DataFrame, rel: Relation, pcol: String,
+  def replacePartitions(df: DataFrame, rel: Relation, pcols: Seq[String],
                         alsoDropValues: Seq[String] = Nil,
                         clusterCols: Seq[String] = Nil): Unit = {
+    require(pcols.nonEmpty, "replacePartitions requires partition columns")
+    require(alsoDropValues.isEmpty || pcols.size == 1,
+      "alsoDropValues (static insert_overwrite) is single-column")
     val tmp = rel.suffixed("__dbt_tmp")
     val backup = rel.suffixed("__dbt_pbackup")
     restorePartitionBackup(rel)
     drop(tmp)
-    val aligned = partitionAligned(df, Seq(pcol))
+    val aligned = partitionAligned(df, pcols)
     val clustered =
       if (clusterCols.nonEmpty)
         aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
       else aligned
-    clustered.write.mode("overwrite").partitionBy(pcol).parquet(path(tmp))
+    clustered.write.mode("overwrite").partitionBy(pcols: _*).parquet(path(tmp))
     fs.mkdirs(new Path(path(backup)))
-    val written = listPartitions(tmp)
+    // swap at LEAF granularity: with a multi-column layout only the
+    // deepest written dirs move, so sibling sub-partitions survive
+    val written = listPartitionPaths(tmp, pcols.length)
     written.foreach { dir =>
       val tgtDir = new Path(path(rel), dir)
       // the backup rename must be CHECKED: if it fails and tgtDir still
       // exists, renaming tmp onto an existing dir would nest it inside
       // (POSIX-fs Hadoop rename moves INTO an existing directory)
-      if (fs.exists(tgtDir) && !fs.rename(tgtDir, new Path(path(backup), dir)))
+      val bdir = new Path(path(backup), dir)
+      fs.mkdirs(bdir.getParent)
+      if (fs.exists(tgtDir) && !fs.rename(tgtDir, bdir))
         throw new IllegalStateException(
           s"partition backup $dir of ${rel.fqName} failed")
       fs.mkdirs(tgtDir.getParent)
@@ -330,7 +348,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .map(d => Warehouse.unescapePathName(d.substring(d.indexOf('=') + 1)))
       .toSet
     val toDrop = alsoDropValues.filterNot(writtenVals.contains)
-    if (toDrop.nonEmpty) dropPartitions(rel, pcol, toDrop)
+    if (toDrop.nonEmpty) dropPartitions(rel, pcols.head, toDrop)
     drop(backup)
     drop(tmp)
   }
@@ -343,6 +361,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.contains("="))
+  }
+
+  /** Relative `k=v[/k2=v2…]` paths of the partition dirs exactly `depth`
+    * levels below a relation root — the leaf dirs of a `depth`-column
+    * partitioned layout.
+    */
+  def listPartitionPaths(rel: Relation, depth: Int): Seq[String] = {
+    def go(p: Path, d: Int): Seq[String] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { st =>
+          if (d == 1) Seq(st.getPath.getName)
+          else go(st.getPath, d - 1).map(st.getPath.getName + "/" + _)
+        }
+    go(new Path(path(rel)), depth)
   }
 }
 

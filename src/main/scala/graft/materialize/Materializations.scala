@@ -77,7 +77,7 @@ final class Materializer(wh: Warehouse) {
 
   /** B1/B2 `table`: CTAS + atomic swap. */
   def table(df: DataFrame, rel: Relation, cfg: ModelConfig = ModelConfig()): Unit =
-    wh.writeAtomic(df, rel, cfg.partitionBy.toSeq, cfg.clusterBy)
+    wh.writeAtomic(df, rel, cfg.partitionBy, cfg.clusterBy)
 
   /** B3 `view`: the plan is registered, not materialized (temp view in the
     * session catalog — a metastore would make it persistent; the manifest
@@ -127,8 +127,15 @@ final class Materializer(wh: Warehouse) {
       SchemaEvolution(cfg.onSchemaChange, df, target)
     cfg.incrementalStrategy match {
       case InsertOverwrite =>
-        val pcol = cfg.partitionBy.getOrElse(
-          throw new IllegalArgumentException("insert_overwrite needs partition_by"))
+        // reference insert_overwrite is single-field (static list and
+        // _dbt_max_partition are one value); multi-col stays merge-family
+        val pcol = cfg.partitionBy match {
+          case Seq(p) => p
+          case Nil => throw new IllegalArgumentException(
+            "insert_overwrite needs partition_by")
+          case many => throw new IllegalArgumentException(
+            s"insert_overwrite supports a single partition column, got $many")
+        }
         // reference `is_replaceable` (@48682): when the existing layout's
         // partition spec differs from the config — INCLUDING a formerly
         // unpartitioned table (flat files; a dynamic overwrite would write
@@ -193,13 +200,13 @@ final class Materializer(wh: Warehouse) {
               if (hasNullInc) in || col(pcol).isNull else in
             }
             wh.replacePartitions(tgt.filter(keepPred).unionByName(inc), rel,
-              pcol, alsoDropValues = cfg.partitions,
+              Seq(pcol), alsoDropValues = cfg.partitions,
               clusterCols = cfg.clusterBy)
           } else wh.overwritePartitions(inc, rel, Seq(pcol))
         }
       case Merge if cfg.uniqueKey.isEmpty =>
         // append-only merge (`ON FALSE`, @89014)
-        wh.append(inc, rel, cfg.partitionBy.toSeq)
+        wh.append(inc, rel, cfg.partitionBy)
       case Merge if cfg.mergeUpdateColumns.nonEmpty =>
         mergeScope(inc, rel, cfg, requiresTargetRewrite) match {
           case Some((pcol, tgtScoped)) =>
@@ -208,7 +215,7 @@ final class Materializer(wh: Warehouse) {
               clusterCols = cfg.clusterBy)
           case None =>
             wh.writeAtomic(mergeUpdateSubset(tgt, inc, cfg.uniqueKey,
-              cfg.mergeUpdateColumns), rel, cfg.partitionBy.toSeq, cfg.clusterBy)
+              cfg.mergeUpdateColumns), rel, cfg.partitionBy, cfg.clusterBy)
         }
       case Merge | DeleteInsert =>
         // full-row upsert: MERGE updating all columns ≡ delete+insert
@@ -225,7 +232,7 @@ final class Materializer(wh: Warehouse) {
             val keep = tgt.join(
               inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
               cfg.uniqueKey, "left_anti")
-            wh.writeAtomic(keep.unionByName(inc), rel, cfg.partitionBy.toSeq,
+            wh.writeAtomic(keep.unionByName(inc), rel, cfg.partitionBy,
               cfg.clusterBy)
         }
     }
@@ -244,42 +251,60 @@ final class Materializer(wh: Warehouse) {
     * out-of-scope partitions (key-column-pruned scan; the increment key
     * set is small, so AQE broadcasts it). Any hit falls back to the
     * full-table merge — correct for moved keys, just not partition-cheap.
-    * Returns the partition column and the scoped target read, or None when
-    * scoping doesn't apply (unpartitioned layout, a schema evolution
-    * that requires rewriting every partition onto the new schema anyway,
-    * or a detected moved key).
+    * Returns the partition columns and the scoped target read, or None
+    * when scoping doesn't apply (unpartitioned/mismatched layout, a schema
+    * evolution that requires rewriting every partition onto the new schema
+    * anyway, or a detected moved key). Multi-column layouts scope and swap
+    * at leaf-dir granularity.
     */
   private def mergeScope(inc: DataFrame, rel: Relation, cfg: ModelConfig,
                          requiresTargetRewrite: Boolean)
-      : Option[(String, DataFrame)] =
-    cfg.partitionBy
-      .filter(p => !requiresTargetRewrite &&
-        wh.listPartitions(rel).map(_.takeWhile(_ != '=')).distinct == Seq(p))
-      .flatMap { pcol =>
-        // touched partition values: a control-plane collect bounded by the
-        // number of partitions in the increment (same role as the
-        // reference's partition-pruning literals @34992)
-        val touched = inc.select(col(pcol)).distinct().collect().map(_.get(0))
-        val nonNull = touched.filter(_ != null).toSeq
-        val pred = {
+      : Option[(Seq[String], DataFrame)] = {
+    val pcols = cfg.partitionBy
+    val layoutOk = pcols.nonEmpty && !requiresTargetRewrite &&
+      wh.listPartitions(rel).map(_.takeWhile(_ != '=')).distinct == Seq(pcols.head) && {
+        val leaves = wh.listPartitionPaths(rel, pcols.length)
+        leaves.nonEmpty && leaves.forall(
+          _.split("/").toSeq.map(_.takeWhile(_ != '=')) == pcols)
+      }
+    if (!layoutOk) None
+    else {
+      // touched partition tuples: a control-plane collect bounded by the
+      // number of partitions in the increment (same role as the
+      // reference's partition-pruning literals @34992)
+      val pred =
+        if (pcols.size == 1) {
+          val pcol = pcols.head
+          val touched = inc.select(col(pcol)).distinct().collect().map(_.get(0))
+          val nonNull = touched.filter(_ != null).toSeq
           val in = if (nonNull.nonEmpty) col(pcol).isin(nonNull: _*)
                    else lit(false)
           if (touched.contains(null)) in || col(pcol).isNull else in
+        } else {
+          // OR of per-tuple ANDs (explicit NULL handling per column);
+          // expression size is bounded by the touched partition count
+          val touched = inc.select(pcols.map(col): _*).distinct().collect()
+          touched.map { r =>
+            pcols.zipWithIndex.map { case (c, i) =>
+              if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+            }.reduce(_ && _)
+          }.reduceOption[Column](_ || _).getOrElse(lit(false))
         }
-        val tgt = wh.read(rel)
-        val safe = cfg.partitionKeysStable || cfg.uniqueKey.isEmpty || {
-          // `!pred` is NULL for a NULL partition value outside the touched
-          // set — coalesce keeps those rows in the out-of-scope probe.
-          // Plain-equality semi-join: NULL keys never match (they always
-          // INSERT in the merge family, so they cannot "move").
-          val outOfScope = tgt.filter(coalesce(!pred, lit(true)))
-            .select(cfg.uniqueKey.map(col): _*)
-          outOfScope.join(
-            inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
-            cfg.uniqueKey, "left_semi").isEmpty
-        }
-        if (safe) Some((pcol, tgt.filter(pred))) else None
+      val tgt = wh.read(rel)
+      val safe = cfg.partitionKeysStable || cfg.uniqueKey.isEmpty || {
+        // `!pred` is NULL for a NULL partition value outside the touched
+        // set — coalesce keeps those rows in the out-of-scope probe.
+        // Plain-equality semi-join: NULL keys never match (they always
+        // INSERT in the merge family, so they cannot "move").
+        val outOfScope = tgt.filter(coalesce(!pred, lit(true)))
+          .select(cfg.uniqueKey.map(col): _*)
+        outOfScope.join(
+          inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
+          cfg.uniqueKey, "left_semi").isEmpty
       }
+      if (safe) Some((pcols, tgt.filter(pred))) else None
+    }
+  }
 
   /** MERGE with `merge_update_columns` subset (`default__get_merge_sql`
     * @89014 WHEN MATCHED THEN UPDATE SET <subset>): matched target rows

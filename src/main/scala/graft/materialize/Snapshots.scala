@@ -174,7 +174,7 @@ final class Snapshotter(wh: Warehouse) {
 
       // alsoDropValues pins `current`: a run that closes every row and
       // inserts nothing must still drop the stale current partition
-      wh.replacePartitions(payload, rel, BUCKET, alsoDropValues = Seq(CURRENT))
+      wh.replacePartitions(payload, rel, Seq(BUCKET), alsoDropValues = Seq(CURRENT))
     } finally {
       closing.unpersist(); ()
     }

@@ -132,7 +132,7 @@ object MatQueries {
     val r = rel("orders_by_year")
     val cfg = ModelConfig(materialized = "incremental",
       incrementalStrategy = IncrementalStrategy.InsertOverwrite,
-      partitionBy = Some("o_year"))
+      partitionBy = Seq("o_year"))
     val o = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
     m.incremental(o, r, cfg)
     val inc = o.filter(col("o_year") >= 1999)

@@ -206,7 +206,7 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     // metadata-only.
     val maxPart: Option[String] =
       if (isIncr && Compiler.referencesMaxPartition(m.rawSql))
-        cfg.partitionBy.flatMap(pc => mat.maxPartitionLiteral(self, pc))
+        cfg.partitionBy.headOption.flatMap(pc => mat.maxPartitionLiteral(self, pc))
       else None
     val ctx = Compiler.ResolveCtx(
       refTarget = r =>

@@ -65,7 +65,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc4")
     val cfg = ModelConfig(materialized = "incremental",
       incrementalStrategy = IncrementalStrategy.InsertOverwrite,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
     m.incremental(df(Seq((30L, "p2", 30.0))), r, cfg)
     // partition column lands at the end of the read-back schema → by name
@@ -79,13 +79,13 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc7")
     val byName = ModelConfig(materialized = "incremental",
       incrementalStrategy = IncrementalStrategy.InsertOverwrite,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, byName)
     assert(wh.listPartitions(r).forall(_.startsWith("name=")))
     // same strategy, different partition column: a normal incremental run
     // carries FILTERED sql — rebuilding from it would lose history, so the
     // engine refuses and the user reruns with full_refresh
-    val byScore = byName.copy(partitionBy = Some("score"))
+    val byScore = byName.copy(partitionBy = Seq("score"))
     intercept[IllegalStateException] {
       m.incremental(df(Seq((3L, "p3", 9.0))), r, byScore)
     }
@@ -158,7 +158,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("rb")
     val src = df(Seq((5L, "a", 1.0), (1500L, "b", 2.0), (2500L, "c", 3.0)))
     val bucketed = m.withRangeBucket(src, "id", start = 0, interval = 1000)
-    m.table(bucketed, r, ModelConfig(partitionBy = Some("_bucket")))
+    m.table(bucketed, r, ModelConfig(partitionBy = Seq("_bucket")))
     assert(wh.listPartitions(r).toSet ==
       Set("_bucket=0", "_bucket=1", "_bucket=2"))
   }
@@ -179,7 +179,7 @@ class MaterializeSpec extends AnyFunSuite {
     // The engine must demand a full refresh instead.
     val cfg = ModelConfig(materialized = "incremental",
       incrementalStrategy = IncrementalStrategy.InsertOverwrite,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     val ex = intercept[IllegalStateException] {
       m.incremental(df(Seq((30L, "p2", 30.0))), r, cfg)
     }
@@ -196,7 +196,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc10")
     val cfg0 = ModelConfig(materialized = "incremental",
       incrementalStrategy = IncrementalStrategy.InsertOverwrite,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0), (3L, "p3", 3.0))),
       r, cfg0)
     // Reference semantics (bq_insert_overwrite @34992, merge ON FALSE:
@@ -227,7 +227,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc11")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
       incrementalStrategy = IncrementalStrategy.DeleteInsert,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0), (3L, "p3", 3.0))),
       r, cfg)
     val p1Files = partFiles(wh, r, "name=p1")
@@ -248,7 +248,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc12")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
       incrementalStrategy = IncrementalStrategy.Merge,
-      mergeUpdateColumns = Seq("score"), partitionBy = Some("name"))
+      mergeUpdateColumns = Seq("score"), partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
     val p1Files = partFiles(wh, r, "name=p1")
     m.incremental(df(Seq((2L, "p2", 22.0))), r, cfg)
@@ -258,11 +258,35 @@ class MaterializeSpec extends AnyFunSuite {
     assert(partFiles(wh, r, "name=p1") == p1Files)
   }
 
+  test("multi-column partitioned merge swaps only the touched leaf dirs") {
+    val s = spark; import s.implicits._
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc_mc")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      incrementalStrategy = IncrementalStrategy.DeleteInsert,
+      partitionBy = Seq("d", "h"))
+    def mdf(rows: Seq[(Long, String, Int, Double)]) =
+      rows.toDF("id", "d", "h", "score")
+    m.incremental(mdf(Seq(
+      (1L, "d1", 0, 1.0), (2L, "d1", 1, 2.0), (3L, "d2", 0, 3.0))), r, cfg)
+    val keepA = partFiles(wh, r, "d=d1/h=0")
+    val keepB = partFiles(wh, r, "d=d2/h=0")
+    // increment touches only the d1/h=1 leaf: its SIBLING d1/h=0 and the
+    // other date d2/h=0 must keep their exact files
+    m.incremental(mdf(Seq((2L, "d1", 1, 22.0), (20L, "d1", 1, 20.0))), r, cfg)
+    val out = wh.read(r).collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Double]("score"))).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0, 20L -> 20.0))
+    assert(partFiles(wh, r, "d=d1/h=0") == keepA)
+    assert(partFiles(wh, r, "d=d2/h=0") == keepB)
+    assert(!wh.exists(r.suffixed("__dbt_tmp")))
+    assert(!wh.exists(r.suffixed("__dbt_pbackup")))
+  }
+
   test("merge detects a key that moved partitions and removes its old row") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc_mv")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
       incrementalStrategy = IncrementalStrategy.DeleteInsert,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
     // id=1 MOVES from partition p1 to p2: the scoped path would only read
     // p2 and leave the stale (1, p1) row — the guard must fall back to the
@@ -279,7 +303,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc_st")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
       incrementalStrategy = IncrementalStrategy.DeleteInsert,
-      partitionBy = Some("name"), partitionKeysStable = true)
+      partitionBy = Seq("name"), partitionKeysStable = true)
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
     val p1Files = partFiles(wh, r, "name=p1")
     // same moved key as above, but the model PROMISED stability: the
@@ -297,7 +321,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc13")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
       incrementalStrategy = IncrementalStrategy.DeleteInsert,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
     // simulate a crash between the two swap renames: p1 sits in the
     // partition backup area, its live dir is gone
@@ -320,7 +344,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc14")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
       incrementalStrategy = IncrementalStrategy.DeleteInsert,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
     // simulate the second crash window: p1 was already swapped to NEW data
     // (live dir present) but the backup of the OLD copy was never dropped
@@ -344,7 +368,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc15")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
       incrementalStrategy = IncrementalStrategy.DeleteInsert,
-      partitionBy = Some("name"))
+      partitionBy = Seq("name"))
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
     // crash window one: p1 moved to pbackup, live dir gone
     val backup = r.suffixed("__dbt_pbackup")
@@ -408,7 +432,7 @@ class MaterializeSpec extends AnyFunSuite {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc8")
     val cfg = ModelConfig(materialized = "incremental",
       incrementalStrategy = IncrementalStrategy.InsertOverwrite,
-      partitionBy = Some("name"),
+      partitionBy = Seq("name"),
       onSchemaChange = OnSchemaChange.AppendNewColumns)
     m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
     // evolved increment: new column `extra` arrives for partition p2 only

@@ -124,7 +124,7 @@ class PropertySpec extends AnyFunSuite {
         val r = Relation("db", "s", "t")
         val cfg = ModelConfig(materialized = "incremental",
           incrementalStrategy = IncrementalStrategy.InsertOverwrite,
-          partitionBy = Some("payload"))
+          partitionBy = Seq("payload"))
         m.incremental(base.toDF("id", "payload", "v"), r, cfg)
         m.incremental(inc.toDF("id", "payload", "v"), r, cfg)
         def state() = wh.read(r).collect()
