@@ -64,6 +64,8 @@ object SparkEntry {
     "x_dedup_ngram_jaccard" -> (TextOps.dedupNgramJaccard _),
     "x_dedup_minhash_lsh" -> (TextOps.dedupMinhashLsh _),
     "x_dedup_clusters" -> (TextOps.dedupClusters _),
+    "x_dedup_keep_best" -> (TextOps.dedupKeepBest _),
+    "x_pack_sequences" -> ((ss, dd) => TextOps.packSequences(ss, dd)),
     "x_simhash" -> (TextOps.simhash _),
     "x_simhash_pairs" -> (TextOps.simhashPairs _),
     "x_token_count" -> (TextOps.tokenCount _),
@@ -144,6 +146,8 @@ object SparkEntry {
     "x_dedup_ngram_jaccard" -> TextOps.dedupNgramJaccardSql,
     "x_dedup_minhash_lsh" -> TextOps.dedupMinhashLshSql,
     "x_dedup_clusters" -> TextOps.dedupClustersSql,
+    "x_dedup_keep_best" -> TextOps.dedupKeepBestSql,
+    "x_pack_sequences" -> TextOps.packSequencesSql,
     "x_simhash" -> TextOps.simhashSql,
     "x_simhash_pairs" -> TextOps.simhashPairsSql,
     "x_token_count" -> TextOps.tokenCountSql,

@@ -312,9 +312,14 @@ object TextOps {
     * component) via [[resolveClusters]].
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
-    resolveClusters(
-      dedupNgramJaccard(s, d).select(col("doc1"), col("doc2")),
-      corpus(s, d).select(col("doc_id")))
+    // memoized: the labels feed both the cluster listing and the
+    // keep-best selection stage — the CC fixpoint must not run twice
+    SessionCache.getOrElseUpdate(s, s"dedup_clusters:$d") {
+      resolveClusters(
+        dedupNgramJaccard(s, d).select(col("doc1"), col("doc2")),
+        corpus(s, d).select(col("doc_id")))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
 
   /** Oracle: recursive-CTE reachability — every node accumulates the labels
     * of all reachable nodes (UNION dedups, so it terminates), min = the
@@ -882,4 +887,101 @@ object TextOps {
        |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
        |      '$PhoneRe', '<PHONE>', 'g')) AS clean_md5
        |FROM withpii""".stripMargin
+
+  // ------------------------------------------------- keep-best selection
+  /** The selection stage after cluster resolution: keep ONE canonical
+    * document per near-dup cluster — the "keep best, drop the rest"
+    * policy every curation pipeline ends dedup with. "Best" is an integer
+    * lexical-richness key ((distinct words × 10^6) div words — the TTR
+    * the quality scorer floors, kept integral so the hash gate is exact
+    * in both engines), ties broken toward the smallest doc_id. One hash
+    * aggregate over the memoized cluster labels: argmax via struct-min of
+    * (−qkey, doc_id) — no window, no per-cluster sort, so a cluster of
+    * any size reduces map-side.
+    */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val q = corpus(s, d).selectExpr("doc_id",
+      "(size(array_distinct(split(text, ' '))) * 1000000L) div size(split(text, ' ')) AS qkey")
+    dedupClusters(s, d).join(q, "doc_id")
+      .select(col("cluster_id"),
+        struct((-col("qkey")).as("neg"), col("doc_id").as("id")).as("cand"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("cand")).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        col("best.id").as("keep_doc"), (-col("best.neg")).as("qkey"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE pairs AS ($dedupNgramJaccardSql),
+       |edges AS (SELECT doc1, doc2 FROM pairs
+       |          UNION ALL SELECT doc2, doc1 FROM pairs),
+       |$corpusSql,
+       |walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.doc1, w.label FROM walk w JOIN edges e ON e.doc2 = w.doc_id),
+       |clusters AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+       |q AS (SELECT doc_id,
+       |        (len(list_distinct(string_split(text, ' '))) * 1000000)
+       |          // len(string_split(text, ' ')) AS qkey
+       |      FROM corpus),
+       |j AS (SELECT c.cluster_id, c.doc_id, q.qkey
+       |      FROM clusters c JOIN q USING (doc_id)),
+       |m AS (SELECT cluster_id, count(*) AS n_members, max(qkey) AS qkey
+       |      FROM j GROUP BY 1)
+       |SELECT m.cluster_id, m.n_members, min(j.doc_id) AS keep_doc, m.qkey
+       |FROM m JOIN j ON j.cluster_id = m.cluster_id AND j.qkey = m.qkey
+       |GROUP BY m.cluster_id, m.n_members, m.qkey""".stripMargin
+
+  // ------------------------------------------------- sequence packing
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * doc_id order and cut into fixed `budget`-token training sequences;
+    * each doc reports the chunk range it lands in. The global running sum
+    * is the scale trap here — a naive `ORDER BY doc_id` window is ONE
+    * partition sorting the whole corpus. Scale-safe shape: range-
+    * repartition on doc_id, per-partition running sums, then a
+    * control-plane prefix of the K partition subtotals joined back as
+    * broadcast offsets — the standard distributed prefix-sum, no
+    * single-partition exchange anywhere (PlanSpec-pinned).
+    */
+  def packSequences(s: SparkSession, d: String, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: partition identity must be IDENTICAL between the subtotal
+    // collect and the final plan (range boundaries are sampled per
+    // execution, and spark_partition_id is otherwise recompute-unstable)
+    val local = SessionCache.getOrElseUpdate(s, s"pack_local:$d") {
+      val toks = documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
+      toks.repartitionByRange(col("doc_id"))
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_cum", sum(col("n_tokens")).over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    // K = shuffle-partition subtotals: control-plane scalar at any corpus size
+    val totals = local.groupBy(col("_pid")).agg(max(col("_cum")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val sess = s
+    import sess.implicits._
+    val offDf = offs.toSeq.toDF("_pid", "_off")
+    local.join(broadcast(offDf), "_pid")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(_cum + _off - n_tokens) div $budget").as("start_chunk"),
+        expr(s"(_cum + _off - 1) div $budget").as("end_chunk"))
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (SELECT doc_id,
+      |             len(string_split(text, ' '))::BIGINT AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        sum(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT doc_id, n_tokens,
+      |  ((cum - n_tokens) // 256)::BIGINT AS start_chunk,
+      |  ((cum - 1) // 256)::BIGINT AS end_chunk
+      |FROM c""".stripMargin
 }

@@ -56,6 +56,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"tfidf plan must be window-free:\n$p")
   }
 
+  test("sequence packing: distributed prefix-sum, no single-partition exchange") {
+    // the naive global-cumsum window is ONE partition sorting the corpus;
+    // the packed plan must be range-partitioned with broadcast offsets
+    val p = plan(TextOps.packSequences(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"pack plan must not funnel through one partition:\n$p")
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("decontamination: eval shingle set is the broadcast side, corpus never shuffles for the join") {
     val p = plan(TextOps.decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
