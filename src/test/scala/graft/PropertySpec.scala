@@ -197,6 +197,15 @@ class PropertySpec extends AnyFunSuite {
               col("b.dbt_valid_from") < coalesce(col("a.dbt_valid_to"), far))
             .count()
           assert(overlaps == 0, "non-overlapping validity intervals")
+          // storage invariant of the bucketed layout: every row lives in
+          // the partition its dbt_valid_to derives — a drifted bucket
+          // would break the pruned current-slice read of the next run
+          val derived = when(col("dbt_valid_to").isNull,
+              lit(graft.materialize.Snapshotter.CURRENT))
+            .otherwise(date_format(col("dbt_valid_to").cast("date"), "yyyy-MM"))
+          val badBucket = table.filter(
+            !(col(graft.materialize.Snapshotter.BUCKET) <=> derived)).count()
+          assert(badBucket == 0, "bucket column consistent with dbt_valid_to")
           val lastRun = runs.last._1.toMap
           val current = table.filter(col("dbt_valid_to").isNull).collect()
             .map(x => x.getAs[Long]("id") -> x.getAs[String]("payload")).toMap
