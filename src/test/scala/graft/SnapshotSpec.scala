@@ -154,6 +154,27 @@ class SnapshotSpec extends AnyFunSuite {
     assertInvariants(wh, r)
   }
 
+  test("change detection reads a partition-pruned current slice") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val r = Relation("db", "s", "snap_prune")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    snap.snapshot(src(Seq(
+      (1L, "a", ts("2024-01-10 00:00:00")),
+      (2L, "b", ts("2024-01-10 00:00:00")))), r, Seq("id"), strat)
+    snap.snapshot(src(Seq(
+      (1L, "a2", ts("2024-02-05 00:00:00")),
+      (2L, "b", ts("2024-01-10 00:00:00")))), r, Seq("id"), strat)
+    // the exact read the next run's change detection performs: the bucket
+    // filter must reach the scan as a PartitionFilter (pruned dirs), not
+    // a post-scan predicate over the whole history
+    val plan = wh.read(r)
+      .filter(col(Snapshotter.BUCKET) === Snapshotter.CURRENT)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(Snapshotter.BUCKET),
+      s"current-slice read must partition-prune:\n$plan")
+  }
+
   test("a run that closes every row drops the stale current partition") {
     val wh = freshWh(); val snap = new Snapshotter(wh)
     val r = Relation("db", "s", "snap_allclosed")
