@@ -65,6 +65,7 @@ object SparkEntry {
     "x_dedup_minhash_lsh" -> (TextOps.dedupMinhashLsh _),
     "x_dedup_clusters" -> (TextOps.dedupClusters _),
     "x_dedup_keep_best" -> (TextOps.dedupKeepBest _),
+    "x_dedup_incremental" -> (TextOps.dedupIncremental _),
     "x_pack_sequences" -> ((ss, dd) => TextOps.packSequences(ss, dd)),
     "x_simhash" -> (TextOps.simhash _),
     "x_simhash_pairs" -> (TextOps.simhashPairs _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "x_dedup_minhash_lsh" -> TextOps.dedupMinhashLshSql,
     "x_dedup_clusters" -> TextOps.dedupClustersSql,
     "x_dedup_keep_best" -> TextOps.dedupKeepBestSql,
+    "x_dedup_incremental" -> TextOps.dedupIncrementalSql,
     "x_pack_sequences" -> TextOps.packSequencesSql,
     "x_simhash" -> TextOps.simhashSql,
     "x_simhash_pairs" -> TextOps.simhashPairsSql,

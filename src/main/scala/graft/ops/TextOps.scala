@@ -933,6 +933,59 @@ object TextOps {
        |FROM m JOIN j ON j.cluster_id = m.cluster_id AND j.qkey = m.qkey
        |GROUP BY m.cluster_id, m.n_members, m.qkey""".stripMargin
 
+  // ------------------------------------------------- incremental dedup
+  /** Ingestion-time dedup: a NEW batch is admitted against the EXISTING
+    * corpus's content fingerprints — the shape of every incremental
+    * crawl/ingest pipeline (the batch is deduped against years of corpus
+    * without rewriting or re-clustering it). Verdicts: `dup_of_base`
+    * (hash already in the corpus), `dup_in_batch` (an earlier batch doc
+    * has the same hash), `admitted`. Scale: the corpus side reduces to a
+    * DISTINCT md5 column (fixed-width key, column-pruned scan); the join
+    * shuffles on the hash — or broadcasts the batch when it is small,
+    * which is the common ingest case (AQE decides).
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val baseHashes = documents(s, d)
+      .select(md5(col("text")).as("text_md5")).distinct()
+      .withColumn("__in_base", lit(1))
+    // the synthetic corpus extras (doc_id ≥ 1000000) play the new batch,
+    // plus a re-delivered slice (every 4th near-dup again at +2000000) so
+    // the within-batch dedup path is exercised — the at-least-once
+    // delivery case every ingest pipeline sees
+    val extras = corpus(s, d).filter(col("doc_id") >= 1000000)
+    val batch = extras.unionByName(
+        extras.filter(col("doc_id") % 40 === 0 && col("doc_id") < 2000000)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val firsts = batch.groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    batch.join(baseHashes, Seq("text_md5"), "left")
+      .join(firsts, "text_md5")
+      .select(col("doc_id"), col("text_md5"),
+        when(col("__in_base").isNotNull, lit("dup_of_base"))
+          .when(col("doc_id") =!= col("first_doc"), lit("dup_in_batch"))
+          .otherwise(lit("admitted")).as("verdict"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $corpusSql,
+       |batch AS (SELECT doc_id, md5(text) AS text_md5 FROM corpus
+       |          WHERE doc_id >= 1000000
+       |          UNION ALL
+       |          SELECT doc_id + 2000000, md5(text) FROM corpus
+       |          WHERE doc_id >= 1000000 AND doc_id < 2000000
+       |            AND doc_id % 40 = 0),
+       |base AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents),
+       |firsts AS (SELECT text_md5, min(doc_id) AS first_doc
+       |           FROM batch GROUP BY 1)
+       |SELECT b.doc_id, b.text_md5,
+       |  CASE WHEN base.text_md5 IS NOT NULL THEN 'dup_of_base'
+       |       WHEN b.doc_id != f.first_doc THEN 'dup_in_batch'
+       |       ELSE 'admitted' END AS verdict
+       |FROM batch b
+       |LEFT JOIN base ON b.text_md5 = base.text_md5
+       |JOIN firsts f ON f.text_md5 = b.text_md5""".stripMargin
+
   // ------------------------------------------------- sequence packing
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * doc_id order and cut into fixed `budget`-token training sequences;
