@@ -165,6 +165,42 @@ class PropertySpec extends AnyFunSuite {
     assert(ran > 0, "no generated case executed")
   }
 
+  test("property: merge result is independent of the partition layout") {
+    // the partition-scoped fast path (with its moved-key guard) and the
+    // multi-column leaf swap must be pure optimizations: same rows as the
+    // flat full-table merge for ANY history, including keys whose payload
+    // (= partition value) changes between runs
+    var ran = 0
+    samples(Gen.zip(rowsGen, rowsGen), 6, 7000L).foreach { case (base0, inc0) =>
+      val base = dedupByKey(base0); val inc = dedupByKey(inc0)
+      if (base.nonEmpty && inc.nonEmpty) {
+        ran += 1
+        val s = spark; import s.implicits._
+        def runWith(pcols: Seq[String]): Seq[(String, String, String)] = {
+          val wh = freshWh(); val m = new Materializer(wh)
+          val r = Relation("db", "s", "t")
+          val cfg = ModelConfig(materialized = "incremental",
+            uniqueKey = Seq("id"),
+            incrementalStrategy = IncrementalStrategy.DeleteInsert,
+            partitionBy = pcols)
+          m.incremental(base.toDF("id", "payload", "v"), r, cfg)
+          m.incremental(inc.toDF("id", "payload", "v"), r, cfg)
+          // string-normalized: partition-value inference narrows id to int
+          wh.read(r).collect().map(x => (
+            String.valueOf(x.getAs[Any]("id")),
+            String.valueOf(x.getAs[Any]("payload")),
+            String.valueOf(x.getAs[Any]("v")))).sorted.toSeq
+        }
+        val flat = runWith(Nil)
+        assert(runWith(Seq("payload")) == flat,
+          s"single-col layout diverged: base=$base inc=$inc")
+        assert(runWith(Seq("payload", "id")) == flat,
+          s"multi-col layout diverged: base=$base inc=$inc")
+      }
+    }
+    assert(ran > 0, "no generated case executed")
+  }
+
   test("property: SCD-2 invariants hold over arbitrary 3-run histories") {
     val runGen = Gen.listOf(for {
       id <- Gen.choose(0L, 10L)
