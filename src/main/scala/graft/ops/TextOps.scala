@@ -933,6 +933,52 @@ object TextOps {
        |FROM m JOIN j ON j.cluster_id = m.cluster_id AND j.qkey = m.qkey
        |GROUP BY m.cluster_id, m.n_members, m.qkey""".stripMargin
 
+  // ------------------------------------------------- corpus mixing
+  /** Source-weighted corpus mixing: sample each source so the final mix
+    * approaches target proportions ∝ per-source weights without
+    * oversampling any source (rates cap at 1) — the Pile/LLaMA-style
+    * mixture step of a training-data pipeline. The limiting source sets
+    * the scale (K = min over sources of count div weight; each source
+    * takes ≈ weight·K docs). All arithmetic is integer (basis points) and
+    * the sample predicate is the deterministic md5 bucket of doc_id, so
+    * the mix is reproducible across engines, runs, and partitionings.
+    * Scale: one bounded groupBy on source + a scalar collect + a
+    * broadcast rate join + a per-row predicate — no corpus shuffle.
+    * Weights here derive from the source name as a stand-in for a config
+    * map.
+    */
+  def mixSources(s: SparkSession, d: String): DataFrame = {
+    val weighted = documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("w",
+        (regexp_replace(col("source"), "[^0-9]", "").cast("long") % 3) + 1)
+    val counts = weighted.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    // control-plane scalar: the limiting source's whole-doc multiple
+    val k = counts.select(min(expr("n div w")).as("k")).head().getLong(0)
+    val rates = counts.select(col("source"),
+      least(lit(10000L), expr(s"(w * $k * 10000) div n")).as("bp"))
+    weighted.join(broadcast(rates), "source")
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .filter(col("h") < col("bp"))
+      .select(col("doc_id"), col("source"), col("w"), col("bp"))
+  }
+
+  val mixSourcesSql: String =
+    """WITH weighted AS (
+      |  SELECT doc_id, source,
+      |    (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 3) + 1 AS w
+      |  FROM documents),
+      |counts AS (SELECT source, w, count(*) AS n FROM weighted GROUP BY 1, 2),
+      |kk AS (SELECT min(n // w)::BIGINT AS k FROM counts),
+      |rates AS (SELECT source,
+      |            least(10000, (w * kk.k * 10000) // n)::BIGINT AS bp
+      |          FROM counts, kk)
+      |SELECT w.doc_id, w.source, w.w, r.bp
+      |FROM weighted w JOIN rates r ON r.source = w.source
+      |WHERE ('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 10000 < r.bp""".stripMargin
+
   // ------------------------------------------------- incremental dedup
   /** Ingestion-time dedup: a NEW batch is admitted against the EXISTING
     * corpus's content fingerprints — the shape of every incremental
