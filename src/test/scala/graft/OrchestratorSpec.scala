@@ -113,6 +113,28 @@ class OrchestratorSpec extends AnyFunSuite {
     intercept[Exception] { e.build() }
   }
 
+  test("comma-separated partition_by compiles to a multi-column layout") {
+    val r = root()
+    val p = Project(name = "pmc",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(ModelDef("mc",
+        """{{ config(materialized='incremental', unique_key='o_orderkey', partition_by='k, j') }}
+          |SELECT o_orderkey, CAST(o_orderkey % 3 AS INT) AS k,
+          |       CAST(o_orderkey % 2 AS INT) AS j
+          |FROM {{ source('tpch', 'orders') }}""".stripMargin)))
+    val e = new Engine(spark, p, Target(r, threads = 1))
+    assert(e.build()._1.forall(_.status == "success"))
+    val rel = e.relationFor("mc")
+    assert(e.warehouse.listPartitions(rel).forall(_.startsWith("k=")))
+    assert(e.warehouse.listPartitionPaths(rel, 2).forall(
+      _.matches("k=\\d+/j=\\d+")))
+    // a second run exercises the partition-scoped merge on the nested
+    // layout end to end through the engine
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.readModel("mc").count() == e.readModel("mc")
+      .select("o_orderkey").distinct().count())
+  }
+
   test("_dbt_max_partition compiles to a literal that partition-prunes the scan") {
     val r = root()
     val p = Project(name = "pmax",
