@@ -933,6 +933,49 @@ object TextOps {
        |FROM m JOIN j ON j.cluster_id = m.cluster_id AND j.qkey = m.qkey
        |GROUP BY m.cluster_id, m.n_members, m.qkey""".stripMargin
 
+  // ------------------------------------------------- overlapping chunking
+  /** Overlapping-window document chunking: fixed `width`-token windows at
+    * `stride` intervals (tail window clipped), the splitter in front of
+    * embedding/RAG indexing and long-doc pretraining. Pure per-row
+    * higher-order functions — sequence of starts, slice, hash — fused
+    * into the scan under whole-stage codegen; the fan-out is an explode,
+    * so a corpus of any size chunks in one pass with no shuffle. Chunk
+    * identity is the md5 of the joined token slice (deterministic across
+    * engines), chunk_idx derives arithmetically from the start offset.
+    */
+  def chunkOverlap(s: SparkSession, d: String,
+                   width: Int = 32, stride: Int = 24): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      // integer-exact last start: 1 + ceil((n-width)/stride)*stride keeps
+      // every token covered; single start for docs that fit one window
+      .withColumn("start_tok", explode(expr(
+        s"sequence(1, CASE WHEN n <= $width THEN 1 " +
+          s"ELSE 1 + ((n - $width + $stride - 1) div $stride) * $stride END, $stride)")))
+      .select(col("doc_id"),
+        (((col("start_tok") - 1) / stride).cast("long")).as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(width), col("n") - col("start_tok") + 1).cast("long")
+          .as("n_chunk_tokens"),
+        expr(s"md5(concat_ws(' ', slice(w, start_tok, $width)))").as("chunk_md5"))
+
+  val chunkOverlapSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |             len(string_split(text, ' ')) AS n
+      |           FROM documents),
+      |st AS (SELECT doc_id, w, n,
+      |         unnest(generate_series(1,
+      |           CASE WHEN n <= 32 THEN 1
+      |                ELSE 1 + ((n - 32 + 23) // 24) * 24 END, 24)) AS start_tok
+      |       FROM t)
+      |SELECT doc_id,
+      |  ((start_tok - 1) // 24)::BIGINT AS chunk_idx,
+      |  start_tok::BIGINT AS start_tok,
+      |  least(32, n - start_tok + 1)::BIGINT AS n_chunk_tokens,
+      |  md5(array_to_string(list_slice(w, start_tok, least(start_tok + 31, n)), ' ')) AS chunk_md5
+      |FROM st""".stripMargin
+
   // ------------------------------------------------- corpus mixing
   /** Source-weighted corpus mixing: sample each source so the final mix
     * approaches target proportions ∝ per-source weights without

@@ -56,6 +56,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"tfidf plan must be window-free:\n$p")
   }
 
+  test("chunking: pure per-row fan-out — no exchange anywhere") {
+    val p = plan(TextOps.chunkOverlap(spark, sf))
+    assert(shuffles(p) == 0, s"chunking must not shuffle:\n$p")
+  }
+
   test("sequence packing: distributed prefix-sum, no single-partition exchange") {
     // the naive global-cumsum window is ONE partition sorting the corpus;
     // the packed plan must be range-partitioned with broadcast offsets
