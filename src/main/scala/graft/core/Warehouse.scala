@@ -263,6 +263,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     rows
   }
 
+  /** Row count of a relation (or one of its partition subtrees) from
+    * parquet footers — driver-side metadata IO, no Spark job. Sizing
+    * decisions (e.g. the snapshot sub-bucket count) read this instead of
+    * running a count() scan.
+    */
+  def footerRows(rel: Relation, subdir: String = ""): Long = {
+    val p = if (subdir.isEmpty) new Path(path(rel)) else new Path(path(rel), subdir)
+    if (!fs.exists(p)) 0L else footerRowCount(p)
+  }
+
   /** True when the relation directory holds flat (non-partition-dir)
     * parquet data files — i.e. it was written unpartitioned.
     */
@@ -307,7 +317,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     */
   def replacePartitions(df: DataFrame, rel: Relation, pcols: Seq[String],
                         alsoDropValues: Seq[String] = Nil,
-                        clusterCols: Seq[String] = Nil): Unit = {
+                        clusterCols: Seq[String] = Nil,
+                        alsoDropPaths: Seq[String] = Nil): Unit = {
     require(pcols.nonEmpty, "replacePartitions requires partition columns")
     require(alsoDropValues.isEmpty || pcols.size == 1,
       "alsoDropValues (static insert_overwrite) is single-column")
@@ -349,6 +360,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .toSet
     val toDrop = alsoDropValues.filterNot(writtenVals.contains)
     if (toDrop.nonEmpty) dropPartitions(rel, pcols.head, toDrop)
+    // leaf dirs the caller KNOWS hold no surviving rows (e.g. a snapshot
+    // sub-bucket whose every current row closed): the payload wrote
+    // nothing there, so the swap never touched them — drop explicitly,
+    // unless this run did write a replacement
+    alsoDropPaths.filterNot(written.contains).foreach { dir =>
+      val p = new Path(path(rel), dir)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
     drop(backup)
     drop(tmp)
   }

@@ -12,22 +12,28 @@ import graft.core._
   * Meta columns: `dbt_scd_id` (md5 surrogate of key+updated_at,
   * `snapshot_hash_arguments` @115609), `dbt_updated_at`, `dbt_valid_from`,
   * `dbt_valid_to` (NULL = current row), plus the engine-internal partition
-  * column [[Snapshotter.BUCKET]].
+  * columns [[Snapshotter.BUCKET]] and [[Snapshotter.SUB]].
   *
-  * Scale: the history table is PARTITIONED by a derived bucket —
-  * `current` for open rows, `yyyy-MM` of `dbt_valid_to` for closed rows.
-  * A run reads ONLY the current partition for change detection (partition
-  * pruning; closed history never enters the join), then swaps in the new
-  * current slice plus the few month-buckets that received closures this
-  * run via [[Warehouse.replacePartitions]]. Closed buckets from earlier
-  * months are never opened — their files stay byte-identical, so a daily
-  * snapshot over years of history rewrites only the live entity set and
-  * at most a month of closures, not the whole table (the same economics
-  * as the reference's MERGE, which touches only matched rows).
+  * Scale: the history table is PARTITIONED two levels deep —
+  * validity bucket (`current` for open rows, `yyyy-MM` of `dbt_valid_to`
+  * for closed ones) over a key-hash sub-bucket of `dbt_scd_id`. A run
+  * reads ONLY the pruned current partition for change detection (closed
+  * history never enters the join), then swaps in just the LEAF dirs that
+  * received changes: the current sub-buckets holding changed/inserted
+  * keys and the (month, sub) leaves receiving closures. Untouched leaves
+  * — closed months AND current sub-buckets with no delta — keep their
+  * files byte-identical, so a daily snapshot with a small delta rewrites
+  * O(delta) sub-buckets, not the whole multi-TB current slice. The
+  * sub-bucket count adapts to the current-slice size (footer-count
+  * metadata read, no scan): 1 at test scale — the layout degenerates to
+  * the plain bucket scheme — growing toward 4096 as the slice approaches
+  * billions of rows. Sub values persist with each row, so a count change
+  * between runs just lets epochs coexist; correctness never depends on
+  * the bucketing function, only on the persisted values.
   */
-final class Snapshotter(wh: Warehouse) {
+final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
 
-  import Snapshotter.{BUCKET, CURRENT}
+  import Snapshotter.{BUCKET, CURRENT, SUB}
 
   private val META = Seq("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
 
@@ -47,10 +53,24 @@ final class Snapshotter(wh: Warehouse) {
     when(validTo.isNull, lit(CURRENT))
       .otherwise(date_format(validTo.cast("date"), "yyyy-MM"))
 
-  /** Read a snapshot relation WITHOUT the internal bucket column — the
-    * user-visible schema is source columns + the four dbt meta columns.
+  /** Key-hash sub-bucket for a given epoch's bucket count. */
+  private def subOf(scdIdCol: Column, n: Int): Column =
+    pmod(xxhash64(scdIdCol), lit(n.toLong))
+
+  /** ~1M rows per sub-bucket, capped at 4096 buckets: 1 below a million
+    * current rows (single-leaf layout, zero overhead at test scale), one
+    * leaf per ~million rows beyond.
     */
-  def read(rel: Relation): DataFrame = wh.read(rel).drop(BUCKET)
+  private def adaptiveN(rows: Long): Int = {
+    val target = 1L << 20
+    math.max(1L, math.min(4096L, (rows + target - 1) / target)).toInt
+  }
+
+  /** Read a snapshot relation WITHOUT the internal partition columns —
+    * the user-visible schema is source columns + the four dbt meta
+    * columns.
+    */
+  def read(rel: Relation): DataFrame = wh.read(rel).drop(BUCKET, SUB)
 
   /** Validity/change columns for the `check` strategy need a transaction
     * time; the engine passes the wall clock, tests/oracles pin a literal.
@@ -59,7 +79,7 @@ final class Snapshotter(wh: Warehouse) {
                strategy: SnapshotStrategy, now: Column = current_timestamp(),
                invalidateHardDeletes: Boolean = false): Unit = {
     // Pin the transaction time to a literal: the run below executes more
-    // than one Spark action (bucket discovery, then the write), and a raw
+    // than one Spark action (leaf discovery, then the write), and a raw
     // current_timestamp() would re-evaluate per action — closings and
     // insertions must carry the SAME stamp, as in dbt's run-start time.
     val nowLit: Column = {
@@ -72,20 +92,30 @@ final class Snapshotter(wh: Warehouse) {
       case SnapshotStrategy.Check(_) => nowLit
     }
     if (!wh.exists(rel)) {
-      // B12 build_snapshot_table: first run inserts everything as current
+      // B12 build_snapshot_table: first run inserts everything as current.
+      // Sub-bucket count sized from the source (one count job, first run
+      // only) so a bulk initial load is spread from day one.
+      val n0 = subBuckets.getOrElse(adaptiveN(source.count()))
       val first = source
         .withColumn("dbt_updated_at", updatedAt)
         .withColumn("dbt_valid_from", updatedAt)
         .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
         .withColumn("dbt_scd_id", scdId(keys, updatedAt))
         .withColumn(BUCKET, lit(CURRENT))
-      wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET))
+        .withColumn(SUB, subOf(col("dbt_scd_id"), n0))
+      wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET, SUB))
       return
     }
 
+    // sub-bucket count for THIS run's inserts: footer-count metadata of
+    // the current partition — no scan, no job
+    val n = subBuckets.getOrElse(
+      adaptiveN(wh.footerRows(rel, s"$BUCKET=$CURRENT")))
+
     val all = wh.read(rel)
     // change detection reads ONLY the current partition (pruned scan) —
-    // closed history never enters the join
+    // closed history never enters the join. SUB rides along: it is the
+    // row's persisted leaf identity.
     val current = all.filter(col(BUCKET) === CURRENT).drop(BUCKET)
     // presence markers, NOT key-nullability: with dbt's plain `=` key join
     // (snapshot_staging_table @102012 joins ON dbt_unique_key =, where a
@@ -123,58 +153,86 @@ final class Snapshotter(wh: Warehouse) {
         updatedAtOver("s", strategy, nowLit).as("dbt_valid_from"),
         lit(null).cast("timestamp").as("dbt_valid_to"),
         scdId(keys.map("s." + _), updatedAtOver("s", strategy, nowLit)).as("dbt_scd_id")): _*)
+      .withColumn(SUB, subOf(col("dbt_scd_id"), n))
 
+    // closings carry the closed row's PERSISTED sub — its leaf identity
     val updateScdIds = joined.filter(inSrc && inCur && rowChanged)
       .select(col("c.dbt_scd_id").as("dbt_scd_id"),
-        updatedAtOver("s", strategy, nowLit).as("new_valid_to"))
+        updatedAtOver("s", strategy, nowLit).as("new_valid_to"),
+        col(s"c.$SUB").as("cur_sub"))
     val deleteScdIds =
       if (!invalidateHardDeletes) updateScdIds.limit(0)
       else joined.filter(inCur && !inSrc)
-        .select(col("c.dbt_scd_id").as("dbt_scd_id"), nowLit.as("new_valid_to"))
-    // small frame (scd_id + close time of this run's changes): persisted so
-    // bucket discovery and the write see ONE evaluation of the detection
-    // join, and the collect below doesn't re-run it
+        .select(col("c.dbt_scd_id").as("dbt_scd_id"),
+          nowLit.as("new_valid_to"), col(s"c.$SUB").as("cur_sub"))
+    // small frame (scd_id + close time + leaf of this run's changes):
+    // persisted so leaf discovery and the write see ONE evaluation of the
+    // detection join, and the collects below don't re-run it
     val closing = updateScdIds.unionByName(deleteScdIds)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // B16 merge, partition-scoped: current rows get dbt_valid_to set
-      // where matched (moving them to a closed bucket); staging rows are
-      // inserted as current. `closing` is usually small relative to the
-      // current slice — no forced broadcast hint: AQE broadcasts at
-      // runtime when the actual size qualifies (a forced hint would OOM
-      // on an upstream backfill that touches most rows).
-      val rewrittenCurrent = current.alias("t")
+      // Touched CURRENT sub-buckets: the persisted subs of closing rows,
+      // plus the recomputed subs of every source row — a superset of the
+      // insertion subs that needs NO extra pass over the detection join
+      // (for the typical delta-shaped snapshot source it is tight; for a
+      // full-source run it covers all subs, degenerating to the whole-
+      // current rewrite this layout exists to avoid).
+      // Number-safe getters: a persisted sub partition value reads back
+      // as int while computed subs are long
+      val srcSubs = source
+        .select(subOf(scdId(keys, updatedAt), n).as("sub"))
+        .distinct().collect().map(_.get(0).asInstanceOf[Number].longValue)
+      val closingSubs = closing.select(col("cur_sub"))
+        .distinct().collect().map(_.get(0).asInstanceOf[Number].longValue)
+      val touchedSubs = (srcSubs ++ closingSubs).distinct.toIndexedSeq
+
+      // B16 merge, leaf-scoped: current rows OF TOUCHED SUB-BUCKETS get
+      // dbt_valid_to set where matched (moving them to a closed leaf);
+      // staging rows insert as current. `closing` is usually small
+      // relative to the touched slice — no forced broadcast hint: AQE
+      // broadcasts at runtime when the actual size qualifies (a forced
+      // hint would OOM on an upstream backfill that touches most rows).
+      val touchedCurrent = current.filter(
+        if (touchedSubs.isEmpty) lit(false) else col(SUB).isin(touchedSubs: _*))
+      val rewrittenCurrent = touchedCurrent.alias("t")
         .join(closing.alias("u"),
           col("t.dbt_scd_id") === col("u.dbt_scd_id"), "left")
-        .select(current.columns.toIndexedSeq.map {
+        .select(touchedCurrent.columns.toIndexedSeq.map {
           case "dbt_valid_to" =>
             // t.dbt_valid_to is NULL on every current row; a match closes it
             col("u.new_valid_to").as("dbt_valid_to")
           case c => col(s"t.$c").as(c)
         }: _*)
-        .unionByName(insertions.select(current.columns.toIndexedSeq.map(col): _*))
+        .unionByName(insertions.select(touchedCurrent.columns.toIndexedSeq.map(col): _*))
         .withColumn(BUCKET, bucketOf(col("dbt_valid_to")))
 
-      // the month-buckets receiving closures this run — a control-plane
-      // scalar bounded by the distinct close months (1 for a steady daily
-      // run; a handful on a backfill)
-      val closedBuckets = closing
-        .select(bucketOf(col("new_valid_to")).as(BUCKET))
-        .distinct().collect().map(_.getString(0)).toIndexedSeq
+      // the (month, sub) leaves receiving closures this run — a control-
+      // plane collect bounded by the distinct close leaves of the delta
+      val closedLeaves = closing
+        .select(bucketOf(col("new_valid_to")).as("b"), col("cur_sub"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.get(1).asInstanceOf[Number].longValue))
+        .toIndexedSeq
 
-      // a replaced closed bucket must carry its EXISTING rows too (the
-      // partition swap replaces the whole directory); untouched buckets
-      // never appear in the payload and their files stay byte-identical
+      // a replaced closed leaf must carry its EXISTING rows too (the
+      // swap replaces the whole leaf dir); untouched leaves never appear
+      // in the payload and their files stay byte-identical
       val payload =
-        if (closedBuckets.isEmpty) rewrittenCurrent
-        else rewrittenCurrent.unionByName(
-          all.filter(col(BUCKET).isin(closedBuckets: _*))
+        if (closedLeaves.isEmpty) rewrittenCurrent
+        else {
+          val leafPred = closedLeaves.map { case (b, sb) =>
+            col(BUCKET) === b && col(SUB) === sb
+          }.reduce(_ || _)
+          rewrittenCurrent.unionByName(all.filter(leafPred)
             .select(rewrittenCurrent.columns.toIndexedSeq.map(col): _*))
+        }
 
-      // alsoDropValues pins `current`: a run that closes every row and
-      // inserts nothing must still drop the stale current partition
-      wh.replacePartitions(payload, rel, Seq(BUCKET), alsoDropValues = Seq(CURRENT))
+      // a touched current leaf whose every row closed (and gained no
+      // inserts) is written by nobody — drop it explicitly
+      val staleLeaves = touchedSubs.map(sb => s"$BUCKET=$CURRENT/$SUB=$sb")
+      wh.replacePartitions(payload, rel, Seq(BUCKET, SUB),
+        alsoDropPaths = staleLeaves)
     } finally {
       closing.unpersist(); ()
     }
@@ -188,8 +246,10 @@ final class Snapshotter(wh: Warehouse) {
 }
 
 object Snapshotter {
-  /** Engine-internal partition column of snapshot relations. */
+  /** Engine-internal validity partition column of snapshot relations. */
   val BUCKET = "graft_scd_bucket"
+  /** Engine-internal key-hash sub-bucket partition column. */
+  val SUB = "graft_scd_sub"
   /** Bucket value of open rows (`dbt_valid_to IS NULL`). */
   val CURRENT = "current"
 }

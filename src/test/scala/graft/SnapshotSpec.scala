@@ -136,9 +136,14 @@ class SnapshotSpec extends AnyFunSuite {
     def filesOf(bucket: String): Map[String, (Long, Long)] = {
       val dir = new Path(wh.path(r), s"${Snapshotter.BUCKET}=$bucket")
       assert(fs.exists(dir), s"expected partition dir $dir")
-      fs.listStatus(dir).filter(_.isFile)
-        .map(st => st.getPath.toString ->
-          (st.getLen, st.getModificationTime)).toMap
+      val it = fs.listFiles(dir, true)
+      val out = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += st.getPath.toString -> (st.getLen, st.getModificationTime)
+      }
+      out.result()
     }
     val before = filesOf("2024-02")
     assert(before.nonEmpty)
@@ -151,6 +156,49 @@ class SnapshotSpec extends AnyFunSuite {
     assert(filesOf("2024-02") == before,
       "closed 2024-02 bucket was rewritten by a run that did not touch it")
     assert(wh.read(r).count() == 4) // 2 closed + 2 current
+    assertInvariants(wh, r)
+  }
+
+  test("delta-source run rewrites only the touched current sub-buckets") {
+    import org.apache.hadoop.fs.Path
+    val wh = freshWh()
+    val snap = new Snapshotter(wh, subBuckets = Some(8))
+    val r = Relation("db", "s", "snap_sub")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    snap.snapshot(src((1L to 16L).map(i =>
+      (i, s"p$i", ts("2024-01-10 00:00:00")))), r, Seq("id"), strat)
+    val fs = new Path(wh.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def currentLeafFiles(): Map[String, (Long, Long)] = {
+      val dir = new Path(wh.path(r), s"${Snapshotter.BUCKET}=${Snapshotter.CURRENT}")
+      val it = fs.listFiles(dir, true)
+      val out = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += st.getPath.toString -> (st.getLen, st.getModificationTime)
+      }
+      out.result()
+    }
+    val before = currentLeafFiles()
+    assert(before.keys.map(_.split("/").init.last).toSet.size > 2,
+      "16 keys should spread over >2 of the 8 sub-buckets")
+    // DELTA source: only the changed row reaches the run (the shape the
+    // leaf-scoped rewrite exists for) — only the old row's sub-bucket and
+    // the new version's sub-bucket may change
+    snap.snapshot(src(Seq((1L, "p1x", ts("2024-02-05 00:00:00")))),
+      r, Seq("id"), strat)
+    val after = currentLeafFiles()
+    val changedSubs = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+      .map(_.split("/").init.last).toSet
+    assert(changedSubs.size <= 2,
+      s"delta of one key must touch ≤2 sub-buckets, touched: $changedSubs")
+    assert(before.exists { case (k, v) => after.get(k).contains(v) },
+      "at least one untouched current leaf must keep its exact files")
+    assert(wh.read(r).count() == 17) // 16 current + 1 closed version
+    val id1 = wh.read(r).filter(col("id") === 1).collect()
+    assert(id1.count(_.getAs[Timestamp]("dbt_valid_to") == null) == 1)
     assertInvariants(wh, r)
   }
 
