@@ -372,6 +372,48 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     drop(tmp)
   }
 
+  /** Small-file compaction: leaf partition dirs holding more than
+    * `maxFiles` parquet files are rewritten as one file each through the
+    * same backup-protected leaf swap the merge family uses; leaves under
+    * the threshold are never opened. Incremental merges/appends
+    * accumulate a file per run in hot leaves — at scale the periodic
+    * compaction pass is what keeps scan task counts and footer overhead
+    * bounded (the OPTIMIZE of transactional formats, expressed over
+    * plain parquet). File discovery is driver-side metadata listing; only
+    * crowded leaves cost a read+write, proportional to THEIR size alone.
+    */
+  def compactPartitions(rel: Relation, pcols: Seq[String],
+                        maxFiles: Int = 8): Seq[String] = {
+    require(pcols.nonEmpty, "compactPartitions requires partition columns")
+    val crowded = listPartitionPaths(rel, pcols.length).filter { dir =>
+      var c = 0
+      val it = fs.listFiles(new Path(path(rel), dir), false)
+      while (it.hasNext && c <= maxFiles) {
+        if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+      }
+      c > maxFiles
+    }
+    if (crowded.nonEmpty) {
+      val payload = crowded.map { dir =>
+        // leaf files carry no partition columns; reattach them from the
+        // dir name (a null partition lands in Hive's default dir)
+        val kvs = dir.split("/").toIndexedSeq.map { seg =>
+          val i = seg.indexOf('=')
+          (seg.substring(0, i), Warehouse.unescapePathName(seg.substring(i + 1)))
+        }
+        kvs.foldLeft(spark.read.parquet(path(rel) + "/" + dir)) {
+          case (df, (k, v)) =>
+            df.withColumn(k,
+              if (v == "__HIVE_DEFAULT_PARTITION__")
+                org.apache.spark.sql.functions.lit(null)
+              else org.apache.spark.sql.functions.lit(v))
+        }
+      }.reduce(_ unionByName _)
+      replacePartitions(payload, rel, pcols)
+    }
+    crowded
+  }
+
   /** Partition directory names of a partitioned relation (reference
     * `get_partitions_metadata` @12518).
     */

@@ -340,6 +340,27 @@ class MaterializeSpec extends AnyFunSuite {
     assert(!wh.exists(backup))
   }
 
+  test("compaction rewrites only crowded leaves, preserving rows and cold leaves") {
+    val wh = freshWh(); val r = rel("t_compact")
+    // four appends pile four files into each touched partition
+    (1 to 4).foreach { i =>
+      wh.append(df(Seq((i.toLong, "hot", i.toDouble))), r, Seq("name"))
+    }
+    wh.append(df(Seq((99L, "cold", 9.9))), r, Seq("name"))
+    val coldFiles = partFiles(wh, r, "name=cold")
+    assert(partFiles(wh, r, "name=hot").size == 4)
+    val rewritten = wh.compactPartitions(r, Seq("name"), maxFiles = 2)
+    assert(rewritten == Seq("name=hot"))
+    assert(partFiles(wh, r, "name=hot").size == 1)
+    assert(partFiles(wh, r, "name=cold") == coldFiles) // never opened
+    val out = wh.read(r).collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[String]("name"))).toSet
+    assert(out == Set((1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "hot"),
+      (99L, "cold")))
+    // below threshold: a second pass is a no-op
+    assert(wh.compactPartitions(r, Seq("name"), maxFiles = 2).isEmpty)
+  }
+
   test("crash after swap, before backup drop: stale pbackup is discarded, not restored") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("inc14")
     val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
