@@ -238,6 +238,22 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     }
   }
 
+  /** Retention: drop closed-history month buckets strictly OLDER than
+    * `keepFrom` (a `yyyy-MM` string; the format sorts lexicographically).
+    * The bucketed layout makes expiry a metadata-only directory drop —
+    * no scan, no rewrite, the current partition untouched. Returns the
+    * dropped bucket values.
+    */
+  def expireClosedHistory(rel: Relation, keepFrom: String): Seq[String] = {
+    require(keepFrom.matches("\\d{4}-\\d{2}"), s"keepFrom must be yyyy-MM: $keepFrom")
+    val expired = wh.listPartitions(rel)
+      .filter(_.startsWith(s"$BUCKET="))
+      .map(_.substring(BUCKET.length + 1))
+      .filter(b => b != CURRENT && b < keepFrom)
+    expired.foreach(b => wh.dropPartitions(rel, BUCKET, Seq(b)))
+    expired
+  }
+
   private def updatedAtOver(alias: String, strategy: SnapshotStrategy,
                             now: Column): Column = strategy match {
     case SnapshotStrategy.Timestamp(c) => col(s"$alias.$c")

@@ -236,6 +236,23 @@ class SnapshotSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Timestamp]("dbt_valid_to") != null)
   }
 
+  test("retention drops only closed months older than the cutoff") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val r = Relation("db", "s", "snap_ret")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    snap.snapshot(src(Seq((1L, "a", ts("2024-01-10 00:00:00")))), r, Seq("id"), strat)
+    snap.snapshot(src(Seq((1L, "a2", ts("2024-02-05 00:00:00")))), r, Seq("id"), strat)
+    snap.snapshot(src(Seq((1L, "a3", ts("2024-05-20 00:00:00")))), r, Seq("id"), strat)
+    assert(wh.read(r).count() == 3) // 2 closed (Feb, May) + 1 current
+    assert(snap.expireClosedHistory(r, "2024-03") == Seq("2024-02"))
+    val left = snap.read(r).collect()
+      .map(x => (x.getAs[String]("payload"),
+        x.getAs[Timestamp]("dbt_valid_to") == null)).toSet
+    // Feb closure gone; May closure and the current row survive
+    assert(left == Set(("a2", false), ("a3", true)))
+    assert(snap.expireClosedHistory(r, "2024-03").isEmpty) // idempotent
+  }
+
   test("NULL-key rows follow dbt's plain-= join: they insert on every run") {
     val s = spark
     import s.implicits._
