@@ -178,14 +178,20 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
       // (for the typical delta-shaped snapshot source it is tight; for a
       // full-source run it covers all subs, degenerating to the whole-
       // current rewrite this layout exists to avoid).
-      // Number-safe getters: a persisted sub partition value reads back
-      // as int while computed subs are long
+      // ONE pass over the persisted closing frame yields both the closed
+      // (month, sub) leaves and the closing subs. Number-safe getters: a
+      // persisted sub partition value reads back as int while computed
+      // subs are long.
+      val closedLeaves = closing
+        .select(bucketOf(col("new_valid_to")).as("b"), col("cur_sub"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.get(1).asInstanceOf[Number].longValue))
+        .toIndexedSeq
       val srcSubs = source
         .select(subOf(scdId(keys, updatedAt), n).as("sub"))
         .distinct().collect().map(_.get(0).asInstanceOf[Number].longValue)
-      val closingSubs = closing.select(col("cur_sub"))
-        .distinct().collect().map(_.get(0).asInstanceOf[Number].longValue)
-      val touchedSubs = (srcSubs ++ closingSubs).distinct.toIndexedSeq
+      val touchedSubs =
+        (srcSubs ++ closedLeaves.map(_._2)).distinct.toIndexedSeq
 
       // B16 merge, leaf-scoped: current rows OF TOUCHED SUB-BUCKETS get
       // dbt_valid_to set where matched (moving them to a closed leaf);
@@ -206,14 +212,6 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
         }: _*)
         .unionByName(insertions.select(touchedCurrent.columns.toIndexedSeq.map(col): _*))
         .withColumn(BUCKET, bucketOf(col("dbt_valid_to")))
-
-      // the (month, sub) leaves receiving closures this run — a control-
-      // plane collect bounded by the distinct close leaves of the delta
-      val closedLeaves = closing
-        .select(bucketOf(col("new_valid_to")).as("b"), col("cur_sub"))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.get(1).asInstanceOf[Number].longValue))
-        .toIndexedSeq
 
       // a replaced closed leaf must carry its EXISTING rows too (the
       // swap replaces the whole leaf dir); untouched leaves never appear

@@ -12,7 +12,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   compile          emit the state manifest (no execution)
   *   test             only the declared tests
   *   freshness        source freshness vs thresholds
- *   catalog          tables (footer row counts, bytes, partitions) + durable views
+  *   catalog          tables (footer row counts, bytes, partitions) + durable views
+  *   compact          coalesce crowded partition leaves (--max-files N, default 8)
   * flags:
   *   --select a,b       restrict to these nodes
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -91,6 +92,27 @@ object GraftCli {
         }
         engine.warehouse.listViews(db, sch).foreach { v =>
           println(f"VIEW     ${v.identifier}%-32s (durable definition)")
+        }
+      case "compact" =>
+        // maintenance pass: coalesce crowded partition leaves of every
+        // partitioned relation in the target schema (cold leaves and
+        // unpartitioned tables are never opened)
+        val maxFiles = flags.get("max-files").flatMap(_.headOption)
+          .map(_.toInt).getOrElse(8)
+        val (db, sch) = (target.database, target.resolvedSchema)
+        engine.warehouse.listRelations(db, sch).foreach { rel =>
+          if (engine.warehouse.listPartitions(rel).nonEmpty) {
+            // partition columns recovered from the layout itself: probe
+            // nesting depth, then read the key names off a leaf path
+            var depth = 1
+            while (engine.warehouse.listPartitionPaths(rel, depth + 1).nonEmpty)
+              depth += 1
+            val cols = engine.warehouse.listPartitionPaths(rel, depth).head
+              .split("/").toIndexedSeq.map(_.takeWhile(_ != '='))
+            val done = engine.warehouse.compactPartitions(rel, cols, maxFiles)
+            if (done.nonEmpty)
+              println(s"COMPACT  ${rel.identifier}: ${done.size} leaves rewritten")
+          }
         }
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
