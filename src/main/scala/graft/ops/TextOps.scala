@@ -933,6 +933,53 @@ object TextOps {
        |FROM m JOIN j ON j.cluster_id = m.cluster_id AND j.qkey = m.qkey
        |GROUP BY m.cluster_id, m.n_members, m.qkey""".stripMargin
 
+  // ------------------------------------------------- quality gating
+  /** Per-language quality gate: keep every document whose integer quality
+    * key reaches the language's EXACT median — the "filter the bottom
+    * half per language" curation step, computed scale-safely. The naive
+    * shape sorts each language's documents in one task; here the
+    * cumulative distribution runs over the AGGREGATED (lang, qkey) frame
+    * — distinct key values per language, orders of magnitude smaller
+    * than documents — so the window sort is bounded and the per-doc work
+    * is a broadcast threshold join. Exact, deterministic, ties included
+    * (a gate, not a sampler), integer arithmetic end to end.
+    */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = documents(s, d).selectExpr("doc_id", "lang",
+      "(size(array_distinct(split(text, ' '))) * 1000000L) div size(split(text, ' ')) AS qkey")
+    val counts = q.groupBy(col("lang"), col("qkey")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("qkey").desc)
+    // cum(qkey) = docs of this language with key >= qkey (top-down CDF)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val tot = q.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // highest threshold still covering at least half the language
+    val thr = cum.join(tot, "lang")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("lang")).agg(max(col("qkey")).as("thr"))
+    q.join(broadcast(thr), "lang")
+      .filter(col("qkey") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("qkey"), col("thr"))
+  }
+
+  val qualityGateSql: String =
+    """WITH q AS (SELECT doc_id, lang,
+      |             (len(list_distinct(string_split(text, ' '))) * 1000000)
+      |               // len(string_split(text, ' ')) AS qkey
+      |           FROM documents),
+      |counts AS (SELECT lang, qkey, count(*) AS c FROM q GROUP BY 1, 2),
+      |cum AS (SELECT lang, qkey,
+      |          sum(c) OVER (PARTITION BY lang ORDER BY qkey DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM counts),
+      |tot AS (SELECT lang, count(*) AS n FROM q GROUP BY 1),
+      |thr AS (SELECT lang, max(qkey)::BIGINT AS thr
+      |        FROM cum JOIN tot USING (lang)
+      |        WHERE cum >= (n + 1) // 2 GROUP BY lang)
+      |SELECT q.doc_id, q.lang, q.qkey, thr.thr
+      |FROM q JOIN thr ON thr.lang = q.lang
+      |WHERE q.qkey >= thr.thr""".stripMargin
+
   // ------------------------------------------------- overlapping chunking
   /** Overlapping-window document chunking: fixed `width`-token windows at
     * `stride` intervals (tail window clipped), the splitter in front of
