@@ -320,6 +320,55 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best retains the max-quality doc of each cluster") {
+    val labels = TextOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qkeys = TextOps.corpus(spark, sf).selectExpr("doc_id",
+        "(size(array_distinct(split(text, ' '))) * 1000000L) div size(split(text, ' ')) AS qkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = labels.groupBy(_._2).map { case (cid, members) =>
+      val best = members.keys.toSeq
+        .sortBy(id => (-qkeys(id), id)).head // max qkey, min doc_id tie
+      cid -> (best, members.size.toLong)
+    }
+    val got = TextOps.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("keep_doc"), r.getAs[Long]("n_members"))).toMap
+    assert(got == want)
+  }
+
+  test("chunking covers every token, chunks bounded by the window width") {
+    val n = TData.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n")).toMap
+    val chunks = TextOps.chunkOverlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("n_chunk_tokens")))
+    chunks.foreach { case (_, _, len) => assert(len >= 1 && len <= 32) }
+    // stride-24 windows of width 32 from position 1 must tile 1..n
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val covered = cs.flatMap(c => c._2 until (c._2 + c._3)).toSet
+      assert(covered == (1L to n(doc).toLong).toSet, s"doc $doc gap")
+    }
+  }
+
+  test("quality gate keeps at least half of every language, threshold tight") {
+    val q = TData.documents(spark, sf).selectExpr("doc_id", "lang",
+      "(size(array_distinct(split(text, ' '))) * 1000000L) div size(split(text, ' ')) AS qkey")
+    val totals = q.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.qualityGate(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("qkey"),
+        r.getAs[Long]("thr")))
+    kept.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size >= (totals(lang) + 1) / 2, s"$lang kept too few")
+      val thr = rows.head._3
+      assert(rows.forall(_._2 >= thr))
+      assert(rows.exists(_._2 == thr), s"$lang threshold not tight")
+    }
+    assert(kept.map(_._1).toSet == totals.keySet)
+  }
+
   test("sql registration of cosine_sim works") {
     VectorFunctions.register(spark)
     val r = spark.sql(
