@@ -171,10 +171,11 @@ object TextOps {
   private val perms: Seq[(Long, Long)] =
     (0 until 16).map(i => (37L + 41L * i, 1009L + 733L * i))
 
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // memoized like the shingle index — a per-call .cache() would pin a
-    // fresh copy of the hashed shingles on every invocation
-    val sh = SessionCache.getOrElseUpdate(s, s"minhash_hashes:$d") {
+  /** Hashed capped shingles — memoized like the shingle index itself (a
+    * per-call .cache() would pin a fresh copy on every invocation).
+    */
+  private def minhashShingles(s: SparkSession, d: String): DataFrame =
+    SessionCache.getOrElseUpdate(s, s"minhash_hashes:$d") {
       cappedShingles(s, d)
         // CAST before %: a string operand would coerce the modulo to double
         // and lose ulps at 2^60
@@ -182,24 +183,28 @@ object TextOps {
           expr(s"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $P"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
+
+  /** (doc_id, band_idx, band_val) LSH band rows: 16 permutation minima in
+    * one groupBy pass, 4 bands of 4.
+    */
+  private def minhashBands(sh: DataFrame): DataFrame = {
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"m$i")
     }
     val minhashes = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    val bands = minhashes.select(col("doc_id"), explode(array(
+    minhashes.select(col("doc_id"), explode(array(
       (0 until 4).map { bnd =>
         struct(lit(bnd).as("band_idx"),
           md5(concat_ws("-", (0 until 4).map(j => col(s"m${bnd * 4 + j}")): _*))
             .as("band_val"))
       }: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_idx"), col("bd.band_val"))
-    val cands = bands.alias("x").join(bands.alias("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-      .distinct()
-    // verify candidates with exact Jaccard on the shingle sets
+  }
+
+  /** Exact-Jaccard verification of (doc1, doc2) candidate pairs over the
+    * capped shingle space.
+    */
+  private def jaccardVerified(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands.join(sh.alias("a"), col("doc1") === col("a.doc_id"))
       .join(sh.alias("b"),
@@ -212,6 +217,43 @@ object TextOps {
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = minhashShingles(s, d)
+    val bands = minhashBands(sh)
+    val cands = bands.alias("x").join(bands.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    jaccardVerified(cands, sh)
+  }
+
+  /** Fuzzy ingestion gate: the NEW batch's near-dups against the BASE
+    * corpus — the MinHash sibling of [[dedupIncremental]] (an exact-hash
+    * gate admits trivially-mutated spam; this one bands the batch against
+    * the base). Scale shape: the band join is batch×base, never base
+    * self-paired — candidate count ∝ the batch's collisions, and at real
+    * scale the base band table is a precomputed index the daily batch
+    * probes. Verification is the same exact-Jaccard pass as the full
+    * dedup.
+    */
+  def dedupIncrementalFuzzy(s: SparkSession, d: String): DataFrame = {
+    val sh = minhashShingles(s, d)
+    val bands = minhashBands(sh)
+    // synthetic split: extras (doc_id ≥ 1000000) are the new batch
+    val batch = bands.filter(col("doc_id") >= 1000000)
+    val base = bands.filter(col("doc_id") < 1000000)
+    val cands = base.alias("x").join(batch.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    jaccardVerified(cands, sh)
+      .select(col("doc2").as("batch_doc"), col("doc1").as("near_dup_of"),
+        col("jaccard"))
   }
 
   val dedupMinhashLshSql: String = {
@@ -246,6 +288,45 @@ object TextOps {
        |  JOIN hashes b ON b.doc_id = doc2 AND a.shingle = b.shingle
        |  GROUP BY 1, 2)
        |SELECT doc1, doc2,
+       |  round(inter::DOUBLE / (s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = doc1
+       |JOIN sizes s2 ON s2.doc_id = doc2
+       |WHERE round(inter::DOUBLE / (s1.n_sh + s2.n_sh - inter), 4) >= 0.5""".stripMargin
+  }
+
+  val dedupIncrementalFuzzySql: String = {
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS m$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { bnd =>
+      val parts = (0 until 4).map(j => s"m${bnd * 4 + j}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band_idx, md5(concat_ws('-', $parts)) AS band_val FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $corpusSql, $shinglesSql, $cappedShinglesSql,
+       |hashes AS (
+       |  SELECT doc_id, shingle,
+       |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS h
+       |  FROM capped),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hashes GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  WHERE x.doc_id < 1000000 AND y.doc_id >= 1000000),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashes GROUP BY 1),
+       |inter AS (
+       |  SELECT doc1, doc2, count(*) AS inter
+       |  FROM cands
+       |  JOIN hashes a ON a.doc_id = doc1
+       |  JOIN hashes b ON b.doc_id = doc2 AND a.shingle = b.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc2 AS batch_doc, doc1 AS near_dup_of,
        |  round(inter::DOUBLE / (s1.n_sh + s2.n_sh - inter), 4) AS jaccard
        |FROM inter
        |JOIN sizes s1 ON s1.doc_id = doc1
