@@ -14,6 +14,7 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   freshness        source freshness vs thresholds
   *   catalog          tables (footer row counts, bytes, partitions) + durable views
   *   compact          coalesce crowded partition leaves (--max-files N, default 8)
+  *   expire-snapshots drop closed history months < --keep-from yyyy-MM
   * flags:
   *   --select a,b       restrict to these nodes
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -113,6 +114,20 @@ object GraftCli {
             if (done.nonEmpty)
               println(s"COMPACT  ${rel.identifier}: ${done.size} leaves rewritten")
           }
+        }
+      case "expire-snapshots" =>
+        // retention: drop closed-history months older than --keep-from
+        val keepFrom = flags.get("keep-from").flatMap(_.headOption)
+          .getOrElse {
+            System.err.println("expire-snapshots requires --keep-from yyyy-MM")
+            sys.exit(2)
+          }
+        val snapper = new graft.materialize.Snapshotter(engine.warehouse)
+        project.snapshots.foreach { sn =>
+          val dropped = snapper.expireClosedHistory(
+            engine.relationFor(sn.name), keepFrom)
+          if (dropped.nonEmpty)
+            println(s"EXPIRED  ${sn.name}: ${dropped.sorted.mkString(", ")}")
         }
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
