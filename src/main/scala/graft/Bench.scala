@@ -14,7 +14,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries
+    // optional comma-separated filter (dev iteration / per-op scaling
+    // measurements; the driver always benches the full suite)
+    val queries = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) =>
+        SparkEntry.queries.view.filterKeys(names.split(",").toSet).toMap
+      case None => SparkEntry.queries
+    }
     // Family-grouped deterministic order (a Map's iteration order is
     // hash-scattered above 4 entries): sorting groups `a*`, `b*`, …, `x*`
     // so each SessionCache staging pin lives exactly as long as the query
@@ -75,11 +81,14 @@ object Bench {
     // a last-line parser can't rely on stdout; the file is the durable
     // channel (a shutdown hook would just duplicate the metric line —
     // `run / fork := true` means it fires before sbt's epilogue anyway).
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_last.json"),
-        (json + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // filtered dev runs must not overwrite the full-suite snapshot
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_last.json"),
+          (json + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     SessionCache.releaseAll(spark)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -335,6 +335,95 @@ object Similarity {
       .distinct() // a pair can agree on several bands
   }
 
+  // ---- distributed k-means (Lloyd's) --------------------------------
+
+  private val KmK = 8     // centroid count
+  private val KmIters = 2 // fixed update rounds (deterministic, oracle-mirrored)
+
+  /** Per-row nearest-centroid expression over a k×64 LITERAL centroid
+    * table: argmax cosine with cid-ascending tiebreak, encoded as
+    * `array_min` over `(−sim, cid)` structs — pure codegen, no join, no
+    * window, no shuffle.
+    */
+  private def kmNearest(cents: Seq[(Int, Seq[Double])]) =
+    array_min(array(cents.map { case (cid, cv) =>
+      struct((-round(cosine_sim(col("v"), typedLit(cv)), 6)).as("negsim"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid").as("cluster")
+
+  /** Distributed Lloyd's k-means over the embedding corpus — the
+    * semantic-clustering primitive behind semantic dedup and domain
+    * balancing in a training-data pipeline. k=8 seeds = the 8 smallest
+    * vec_ids (cid = rank in vec_id order), T=2 update rounds, final
+    * output = (vec_id, cluster) under the converged centroids.
+    *
+    * Scale shape (the MLlib one): centroids are CONTROL-PLANE data —
+    * k·d = 512 doubles collected to the driver per round and re-embedded
+    * as literals — so the ASSIGN step is a single corpus scan with a
+    * per-row codegen expression (no join, no shuffle, whatever N is),
+    * and the UPDATE step's posexplode→groupBy(cluster, pos) partial agg
+    * puts only k·64 rows per map task on the exchange. Total cost per
+    * round at 100 TB: one scan + one k·d-row shuffle.
+    *
+    * Cross-engine determinism: centroid components snap to a 1e-6 grid
+    * (`floor(m·1e6 + 0.5)/1e6`) after every mean, so Spark's partial-agg
+    * summation order and the oracle's sequential order produce
+    * bit-identical centroid literals; similarities then round to 6dp
+    * with cid tiebreak, mirroring the oracle's `row_number` exactly.
+    */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    var cents: Seq[(Int, Seq[Double])] =
+      e.orderBy(col("vec_id")).limit(KmK).collect()
+        .toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }
+    for (_ <- 1 to KmIters) {
+      val means = e.withColumn("cluster", kmNearest(cents))
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((floor(avg(col("col")) * 1e6 + 0.5) / 1e6).as("m"))
+        .collect() // control-plane: ≤ k·64 rows
+      cents = means.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
+    }
+    e.select(col("vec_id"), kmNearest(cents))
+  }
+
+  /** Oracle: the same two Lloyd rounds as chained CTEs — seeds by
+    * vec_id order, 6dp-rounded cosine argmin via `row_number`, centroid
+    * means snapped to the same 1e-6 grid (`v[i]` is 1-based; the Spark
+    * side only uses `pos` as a sort key, so 0- vs 1-based never leaks).
+    */
+  val kmeansAssignSql: String = {
+    val cos = (v: String, c: String) =>
+      s"round(list_dot_product($v, $c) / (sqrt(list_dot_product($v, $v)) " +
+        s"* sqrt(list_dot_product($c, $c))), 6)"
+    def assign(src: String, cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+         |  FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(src: String, out: String) =
+      s"""$out AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |  SELECT cid, i, floor(avg(v[i]) * 1e6 + 0.5) / 1e6 AS m
+         |  FROM $src, UNNEST(generate_series(1, 64)) AS t(i)
+         |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+       |         v AS cv
+       |       FROM e ORDER BY vec_id LIMIT $KmK),
+       |${assign("e", "c0", "a0")},
+       |${update("a0", "c1")},
+       |${assign("e", "c1", "a1")},
+       |${update("a1", "c2")},
+       |${assign("e", "c2", "a2")}
+       |SELECT vec_id, cid AS cluster FROM a2""".stripMargin
+  }
+
   val embeddingNearDupsSql: String =
     s"""WITH e0 AS (SELECT vec_id,
       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1150,6 +1150,123 @@ object TextOps {
       |WHERE ('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        % 10000 < r.bp""".stripMargin
 
+  // --------------------------------------------- boilerplate stripping
+  /** High-document-frequency n-gram boilerplate detection (the
+    * CCNet-style shared header/footer filter): a 3-gram present in more
+    * than 10% of corpus documents is boilerplate; per doc we report how
+    * much of its distinct 3-gram mass survives (basis points, integer
+    * division — all-integer output).
+    *
+    * Scale shape: inverted-index, never all-pairs — one df aggregation
+    * keyed on the shingle and one join back. The boilerplate set is
+    * broadcast-safe by a counting argument: Σ df = |(doc,gram) pairs| =
+    * N·G (G = mean distinct grams/doc), so at most 10·G grams can have
+    * df > N/10 — bounded by document length, not corpus size.
+    */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    // control-plane scalar: corpus size for the adaptive df threshold
+    val thresh = corpus(s, d).count() / 10
+    val boiler = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > thresh)
+      .select(col("shingle"), lit(1).as("is_boiler"))
+    sh.join(broadcast(boiler), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        expr("((n_grams - n_boiler) * 10000) div n_grams").as("kept_bp"))
+  }
+
+  val boilerplateStripSql: String =
+    s"""WITH $corpusSql, $shinglesSql,
+       |nn AS (SELECT count(*) AS n FROM corpus),
+       |boiler AS (
+       |  SELECT shingle FROM (
+       |    SELECT shingle, count(*) AS df FROM shing GROUP BY 1), nn
+       |  WHERE df > n // 10)
+       |SELECT s.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_boiler,
+       |  CAST(((count(*) - sum(CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END))
+       |    * 10000) // count(*) AS BIGINT) AS kept_bp
+       |FROM shing s LEFT JOIN boiler b ON b.shingle = s.shingle
+       |GROUP BY s.doc_id""".stripMargin
+
+  // -------------------------------------------------- train/val/test split
+  /** Deterministic 80/10/10 train/val/test split keyed on a hash of the
+    * document id: reproducible across runs, shards, and engines with no
+    * RNG state — the property a 100 TB split job actually needs (any
+    * executor labels any row independently; resharding can never move a
+    * doc across splits). Pure per-row projection, zero shuffles, stays in
+    * whole-stage codegen.
+    */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"),
+        col("bucket"))
+
+  val splitAssignSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  bucket
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |          AS bucket
+      |      FROM documents)""".stripMargin
+
+  // ------------------------------------------- temperature source mixing
+  /** Temperature-weighted source mixing (α = 0.5): target share per
+    * source ∝ n_s^α — the standard multilingual/multi-source rebalancing
+    * rule (rare sources upsampled RELATIVE to proportional). Downsample
+    * only (acceptance sampling, no duplication): a target total of N/2
+    * docs is apportioned by sqrt weights, capped at rate 1 per source.
+    *
+    * Determinism: sqrt is IEEE-exact (unlike ln/exp — see the libm
+    * oracle rule), so `floor(sqrt(n)·1e6)` is the same integer in both
+    * engines; every later step is integer arithmetic and the md5-bucket
+    * acceptance test. One tiny per-source agg + a broadcast rate join —
+    * the corpus itself is never shuffled. (The 1e6/1e4 scale factors
+    * keep products under 2^62 up to ~1e12 docs; beyond that, rescale.)
+    */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("wq", expr("CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"))
+    // control-plane scalars: corpus size + sqrt-weight normalizer
+    val r0 = counts.agg(sum(col("n")), sum(col("wq"))).head()
+    val (target, wsum) = (r0.getLong(0) / 2, r0.getLong(1))
+    val rates = counts.select(col("source"),
+      expr(s"least(10000L, ($target * wq * 10000) div ($wsum * n))").as("bp"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .filter(col("h") < col("bp"))
+      .select(col("doc_id"), col("source"), col("bp"))
+  }
+
+  val mixTemperatureSql: String =
+    """WITH counts AS (
+      |  SELECT source, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS wq
+      |  FROM (SELECT source, count(*) AS n FROM documents GROUP BY 1)),
+      |tot AS (SELECT (CAST(sum(n) AS BIGINT) // 2) AS target,
+      |          CAST(sum(wq) AS BIGINT) AS wsum
+      |        FROM counts),
+      |rates AS (SELECT source,
+      |            least(10000, (target * wq * 10000) // (wsum * n))::BIGINT AS bp
+      |          FROM counts, tot)
+      |SELECT d.doc_id, d.source, r.bp
+      |FROM documents d JOIN rates r ON r.source = d.source
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 10000 < r.bp""".stripMargin
+
   // ------------------------------------------------- incremental dedup
   /** Ingestion-time dedup: a NEW batch is admitted against the EXISTING
     * corpus's content fingerprints — the shape of every incremental

@@ -369,6 +369,68 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(kept.map(_._1).toSet == totals.keySet)
   }
 
+  test("kmeans partitions the corpus deterministically into ≤k clusters") {
+    val a = Similarity.kmeansAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val n = TData.embeddings(spark, sf).count()
+    assert(a.length == n, "every vector assigned exactly once")
+    assert(a.map(_._1).distinct.length == a.length)
+    val clusters = a.map(_._2).distinct
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    assert(clusters.length >= 2, "degenerate single-cluster solution")
+    // re-running the whole fit reproduces the identical assignment
+    val b = Similarity.kmeansAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+  }
+
+  test("split assign: stable 80/10/10-ish partition of the corpus") {
+    val rows = TextOps.splitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = rows.length.toDouble
+    assert(rows.forall { case (_, sp, b) =>
+      b >= 0 && b < 100 &&
+        sp == (if (b < 80) "train" else if (b < 90) "val" else "test")
+    })
+    val frac = rows.groupBy(_._2).view.mapValues(_.length / n).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0)
+  }
+
+  test("boilerplate strip: bounds hold and the hot grams really clear df>N/10") {
+    val out = TextOps.boilerplateStrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, grams, boiler, kept) =>
+      assert(boiler >= 0 && boiler <= grams)
+      assert(kept == (grams - boiler) * 10000 / grams)
+    }
+    // independent df recomputation: flagged mass must exist iff some gram
+    // clears the threshold (small vocab => boilerplate is expected here)
+    val thresh = TextOps.corpus(spark, sf).count() / 10
+    val hot = TextOps.corpus(spark, sf)
+      .selectExpr("doc_id", "explode(array_distinct(transform(" +
+        "sequence(1, greatest(size(split(text,' ')) - 2, 0)), i -> concat_ws(' ', " +
+        "element_at(split(text,' '), i), element_at(split(text,' '), i+1), " +
+        "element_at(split(text,' '), i+2))))) AS g")
+      .groupBy("g").count().filter(col("count") > thresh).count()
+    assert((out.map(_._3).sum > 0) == (hot > 0))
+  }
+
+  test("temperature mixing flattens the source distribution (α=0.5)") {
+    val counts = TData.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bp = TextOps.mixTemperature(spark, sf).select("source", "bp")
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bp.values.forall(v => v >= 0 && v <= 10000))
+    // sqrt weighting: a rarer source never gets a LOWER acceptance rate
+    for {
+      (s1, n1) <- counts; (s2, n2) <- counts
+      if n1 < n2 && bp.contains(s1) && bp.contains(s2)
+    } assert(bp(s1) >= bp(s2),
+      s"rarer $s1 (n=$n1, bp=${bp(s1)}) below $s2 (n=$n2, bp=${bp(s2)})")
+  }
+
   test("sql registration of cosine_sim works") {
     VectorFunctions.register(spark)
     val r = spark.sql(

@@ -116,4 +116,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(TextOps.curationPipeline(spark, sf))
     assert(shuffles(p) == 1, s"want exactly 1 shuffle exchange:\n$p")
   }
+
+  test("kmeans assignment: literal centroids — no join, no window, no shuffle") {
+    // the iterations' update aggs run as separate control-plane jobs; the
+    // RETURNED assignment plan must be a pure scan+project (the shape
+    // that costs one pass at 100 TB regardless of N)
+    val p = plan(Similarity.kmeansAssign(spark, sf))
+    assert(!p.contains("Window"), s"kmeans assignment must be window-free:\n$p")
+    assert(shuffles(p) == 0, s"kmeans assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"kmeans assignment must not join:\n$p")
+  }
+
+  test("split assign: pure per-row projection — no exchange") {
+    val p = plan(TextOps.splitAssign(spark, sf))
+    assert(shuffles(p) == 0, s"split must be shuffle-free:\n$p")
+  }
+
+  test("temperature mixing: corpus side broadcast-joined, only the tiny rate agg shuffles") {
+    val p = plan(TextOps.mixTemperature(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+    assert(shuffles(p) <= 1, s"only the per-source count agg may shuffle:\n$p")
+  }
+
+  test("boilerplate strip: inverted index — df agg + per-doc agg, boiler set broadcast") {
+    val p = plan(TextOps.boilerplateStrip(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"boiler set must broadcast:\n$p")
+    assert(shuffles(p) <= 2, s"df agg + doc agg only:\n$p")
+  }
 }
