@@ -890,6 +890,87 @@ object TextOps {
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------- contamination fraction
+  /** Per-document contamination FRACTION vs the eval slice — the
+    * thresholdable refinement of [[decontaminate]]'s boolean hit list:
+    * real decontamination pipelines drop at >X% n-gram overlap, not at
+    * first contact. Same scale shape as decontaminate (eval shingle set
+    * broadcast, one corpus pass, bound is |eval shingles| not df²), plus
+    * a per-doc denominator so the output is an integer basis-point ratio.
+    * Docs with zero overlap are KEPT in the output (contam_bp = 0) — the
+    * filter threshold is the caller's policy decision.
+    */
+  def contamFrac(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct().withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        expr("(n_hits * 10000) div n_grams").as("contam_bp"))
+  }
+
+  val contamFracSql: String =
+    s"""WITH $corpusSql, $shinglesSql,
+       |ev AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 97 = 0)
+       |SELECT s.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN ev.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST((sum(CASE WHEN ev.shingle IS NULL THEN 0 ELSE 1 END) * 10000)
+       |    // count(*) AS BIGINT) AS contam_bp
+       |FROM shing s LEFT JOIN ev ON ev.shingle = s.shingle
+       |WHERE s.doc_id % 97 <> 0
+       |GROUP BY s.doc_id""".stripMargin
+
+  // ------------------------------------------------ exact-k sampling
+  /** Exactly-k-per-stratum deterministic sampling (k = 25 per source):
+    * rate-based sampling ([[stratifiedSample]]) gives binomial counts;
+    * eval-set construction wants EXACT counts. Order docs by an md5 hash
+    * (reproducible, engine-independent shuffle order) and keep each
+    * source's k lowest — via [[graft.functions.TopStringsAggregator]],
+    * so at most k entries per stratum cross the exchange (map-side
+    * combine), never a per-stratum full sort. A stratum smaller than k
+    * yields all its docs.
+    */
+  def sampleExactK(s: SparkSession, d: String, k: Int = 25): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopStringsAggregator(k).toColumn
+    documents(s, d)
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000007"))
+      .select(col("source"), col("doc_id").cast("string").as("doc_key"),
+        (-col("h")).as("score"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("top"))
+      .toDF("source", "top")
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"),
+        col("col._2").cast("bigint").as("doc_id"),
+        (-col("col._1")).as("h"),
+        (col("pos") + 1).as("sample_rank"))
+  }
+
+  /** Oracle: row_number by (h asc, doc_id-as-string asc) — the exact
+    * mirror of the aggregator's (score desc, string asc) trim order.
+    */
+  val sampleExactKSql: String =
+    """SELECT source, CAST(doc_id AS BIGINT) AS doc_id, h,
+      |  CAST(rn AS INT) AS sample_rank
+      |FROM (
+      |  SELECT source, doc_id, h,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY h ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+      |  FROM (SELECT source, doc_id,
+      |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |            % 1000000007 AS h
+      |        FROM documents))
+      |WHERE rn <= 25""".stripMargin
+
   // ------------------------------------------------- repetition metrics
   /** Gopher-style repetition filters: the published quality rules drop
     * documents dominated by a single token or by repeated n-grams. Emits
