@@ -64,10 +64,35 @@ object Bench {
     // pass begins with — the boundary cache state is steady-state warm
     // rather than freshly released.
     runPass(names.reverse, timed = false)
-    val results = runPass(names, timed = true)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Three timed passes, scored by per-query MEDIAN: single-pass numbers
+    // drifted 20%+ run-to-run on identical binaries (r5 51.1s vs r6 62.6s),
+    // which makes any "within 2x of baseline" gate meaningless. The median
+    // absorbs one bad IO/GC outlier per query; min and a noise ratio
+    // (median of per-query max/min spread) are reported alongside so a
+    // reader can judge how trustworthy this run's numbers are.
+    val passCount = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    val passes = (1 to passCount).map { i =>
+      System.err.println(s"[bench] timed pass $i/$passCount")
+      runPass(names, timed = true).toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val perQuery = names.map { n =>
+      val samples = passes.flatMap(_.get(n))
+      (n, median(samples), samples.min, samples.max)
+    }
+    val qs = perQuery.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qsMin = perQuery.map { case (k, _, mn, _) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = perQuery.map(_._2).sum
+    val totalMin = perQuery.map(_._3).sum
+    // per-query spread = max/min across passes; the reported noise field is
+    // the median spread (robust to a single pathological query)
+    val noise = median(perQuery.map { case (_, _, mn, mx) =>
+      if (mn > 0) mx / mn else 1.0 })
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
@@ -75,7 +100,9 @@ object Bench {
           .replaceAll("[\\x00-\\x1f]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""passes":$passCount,"total_min":$totalMin,"queries_min":$qsMin,""" +
+      s""""noise_spread_median":$noise,"sf":"$sfDir"$errJson}"""
     println(json)
     // sbt prints "[success] Total time: …" after the forked JVM exits, so
     // a last-line parser can't rely on stdout; the file is the durable
@@ -87,7 +114,11 @@ object Bench {
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_last.json"),
           (json + "\n").getBytes("UTF-8"))
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        // the metric line already went to stdout; losing the file copy is
+        // survivable but must not be SILENT
+        System.err.println(s"[bench] WARNING: could not write bench_last.json: $e")
+      }
     }
     SessionCache.releaseAll(spark)
     spark.stop()
