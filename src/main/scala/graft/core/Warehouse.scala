@@ -1,37 +1,89 @@
 package graft.core
 
+import java.util.UUID
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** Path-addressed parquet warehouse with atomic-swap writes.
+/** Path-addressed parquet warehouse with pluggable commit protocol.
   *
   * Replaces the reference's BigQuery dataset catalog: a relation is a
   * parquet directory `root/database/schema/identifier`. Writes follow the
   * reference's table materialization protocol
-  * (`materialization_table_default` @125935): write to `__dbt_tmp`, swap
-  * the old target to `__dbt_backup`, rename tmp into place, drop backup.
-  * Each Hadoop `FileSystem.rename` is atomic on HDFS/POSIX, so readers
-  * never observe a HALF-WRITTEN table; there is, however, a brief window
-  * between the two renames where the path is absent — a concurrent reader
-  * retries, and a crash inside the window is repaired by [[writeAtomic]]'s
-  * restore-from-backup preamble on the next write. True multi-writer
-  * atomicity needs a manifest pointer (object stores) or a transactional
-  * table format; the protocol is isolated in [[writeAtomic]] for that swap.
+  * (`materialization_table_default` @125935) under one of two commit
+  * strategies ([[CommitMode]]):
+  *
+  *  - '''Rename''' (HDFS/POSIX): write to `__dbt_tmp`, swap the old
+  *    target to `__dbt_backup`, rename tmp into place, drop backup. Each
+  *    Hadoop `FileSystem.rename` is atomic, so readers never observe a
+  *    half-written table; a crash inside the brief swap window is
+  *    repaired by the restore-from-backup preamble on the next write.
+  *  - '''Manifest''' (object stores, where rename is copy+delete): data
+  *    lands in immutable versioned directories under `_graft/`; commit is
+  *    the atomic creation of the next numbered manifest file mapping each
+  *    partition path to the version directory holding its rows. Readers
+  *    resolve the highest complete manifest — there is no rename, no
+  *    in-place mutation, and no window where the table is absent. A
+  *    partition-scoped merge commits a manifest whose untouched entries
+  *    still point at their old version directories, so a daily merge
+  *    never copies years of history.
+  *
+  * Concurrency: every mutating operation takes a per-relation lock file
+  * (atomic create-if-absent, stale-broken by age), and manifest commits
+  * are additionally compare-and-swap — a racing writer that loses the
+  * manifest-create re-reads the fresh state and reapplies, so interleaved
+  * builds serialize instead of corrupting.
   *
   * Scale: all data movement is executor-side `DataFrameWriter` parquet IO;
-  * the driver only issues metadata renames. `partitionBy`/`clusterBy`
+  * the driver only issues metadata operations. `partitionBy`/`clusterBy`
   * map to directory partitioning + `sortWithinPartitions` so downstream
   * reads get partition pruning and row-group skipping.
   */
-final class Warehouse(val spark: SparkSession, val root: String) {
+final class Warehouse(val spark: SparkSession, val root: String,
+                      val commitMode: CommitMode = CommitMode.Auto) {
 
   private def fs = new Path(root).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
+  /** Resolved commit strategy (see [[CommitMode.Auto]]). */
+  val usesManifest: Boolean = commitMode match {
+    case CommitMode.Manifest => true
+    case CommitMode.Rename => false
+    case CommitMode.Auto => sys.env.get("GRAFT_COMMIT_MODE") match {
+      case Some("manifest") => true
+      case Some("rename") => false
+      case _ =>
+        val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
+        Warehouse.ObjectStoreSchemes.contains(scheme.toLowerCase)
+    }
+  }
+
   def path(rel: Relation): String = rel.pathUnder(root)
-  def exists(rel: Relation): Boolean = fs.exists(new Path(path(rel)))
-  def read(rel: Relation): DataFrame = spark.read.parquet(path(rel))
+
+  def exists(rel: Relation): Boolean = {
+    val p = new Path(path(rel))
+    if (!fs.exists(p)) false
+    else if (!usesManifest) true
+    // a dir holding only uncommitted version dirs (crashed write) is NOT
+    // a table; a committed manifest or legacy rename-layout data is
+    else latestManifest(rel).isDefined || legacyHasData(rel)
+  }
+
+  def read(rel: Relation): DataFrame =
+    if (usesManifest) latestManifest(rel) match {
+      case Some((_, entries)) if entries.nonEmpty => readEntries(rel, entries)
+      case Some((seq, _)) =>
+        // every partition dropped: recover the schema from the newest
+        // retained manifest that still has data
+        manifestsDescending(rel).filter(_._1 < seq)
+          .flatMap { case (_, p) => parseManifest(p) }
+          .find(_.nonEmpty)
+          .map(e => readEntries(rel, e).limit(0))
+          .getOrElse(spark.read.parquet(path(rel)))
+      case None => spark.read.parquet(path(rel)) // legacy rename-layout dir
+    }
+    else spark.read.parquet(path(rel))
+
   def schemaOf(rel: Relation): StructType = read(rel).schema
 
   def drop(rel: Relation): Unit = {
@@ -39,7 +91,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
-  /** Reference `rename_relation` @183544. */
+  /** Reference `rename_relation` @183544. Manifest entries are relative
+    * to the relation dir, so a whole-dir rename moves versions intact.
+    */
   def rename(from: Relation, to: Relation): Unit = {
     fs.mkdirs(new Path(path(to)).getParent)
     if (!fs.rename(new Path(path(from)), new Path(path(to))))
@@ -52,12 +106,254 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     writeAtomic(df.limit(0), rel)
   }
 
-  /** CTAS + atomic swap (`materialization_table_default` @125935).
-    *
-    * The dataframe may READ FROM `rel` itself (incremental/snapshot
-    * rewrites): the plan materializes fully into the tmp dir before the
-    * target is touched, so read-modify-write on one relation is safe.
+  // ===================================================== manifest protocol
+
+  /** Everything the manifest protocol writes lives under this single
+    * subdirectory of the relation dir, so directory-listing metadata ops
+    * (listRelations, partition discovery fallbacks) never see it.
     */
+  private val MfDir = "_graft"
+  private val ManifestName = """m(\d{12})\.manifest""".r
+  private val VersionName = """v(\d{12})-.*""".r
+  /** Committed manifests retained for in-flight readers (and the version
+    * dirs they reference); older ones are GC'd on commit.
+    */
+  private val KeepManifests = 3
+
+  private def mfDir(rel: Relation): Path = new Path(path(rel), MfDir)
+  private def manifestPath(rel: Relation, seq: Long): Path =
+    new Path(mfDir(rel), f"m$seq%012d.manifest")
+
+  /** (seq, path) of every manifest file, newest first. */
+  private def manifestsDescending(rel: Relation): Seq[(Long, Path)] = {
+    val d = mfDir(rel)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(n) if st.isFile => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+  }
+
+  /** Parse a manifest: `graftmf1` header, `<versionDir>\t<partitionPath>`
+    * entry lines, `end <count>` trailer. The trailer makes a partially
+    * written file detectable — an incomplete manifest parses to None and
+    * the reader falls back to the previous seq, which is what makes the
+    * small-file write safe even where create+write+close is not atomic.
+    */
+  private def parseManifest(p: Path): Option[Seq[(String, String)]] =
+    try {
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+      if (lines.isEmpty || lines.head != "graftmf1") None
+      else lines.last match {
+        case s if s.startsWith("end ") =>
+          val entries = lines.slice(1, lines.length - 1).map { l =>
+            val t = l.split("\t", -1)
+            (t(0), if (t.length > 1) t(1) else "")
+          }
+          if (s.stripPrefix("end ").trim == entries.length.toString) Some(entries)
+          else None
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Committed (versionDir, partitionPath) entries of the current
+    * manifest — observability for tests and ops tooling; None for a
+    * rename-mode warehouse or a legacy/absent relation.
+    */
+  def manifestEntries(rel: Relation): Option[Seq[(String, String)]] =
+    if (usesManifest) latestManifest(rel).map(_._2) else None
+
+  /** Newest COMPLETE manifest: (seq, entries). */
+  private def latestManifest(rel: Relation): Option[(Long, Seq[(String, String)])] =
+    manifestsDescending(rel).iterator
+      .flatMap { case (seq, p) => parseManifest(p).map((seq, _)) }
+      .nextOption()
+
+  /** Atomic claim of manifest `seq`: create-if-absent (HDFS/POSIX create
+    * with overwrite=false; conditional PUT on object stores). Returns
+    * false when another writer already holds that seq.
+    */
+  private def writeManifestIfAbsent(rel: Relation, seq: Long,
+                                    entries: Seq[(String, String)]): Boolean = {
+    val p = manifestPath(rel, seq)
+    val body = ("graftmf1" +: entries.map { case (d, part) => s"$d\t$part" })
+      .mkString("", "\n", s"\nend ${entries.length}\n")
+    try {
+      val out = fs.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException if fs.exists(p) => false
+    }
+  }
+
+  /** Optimistic-concurrency commit: transform the current entry list and
+    * claim the next seq; a lost race re-reads and reapplies. `f` must be
+    * a pure function of the previous entries.
+    */
+  private def commitEntries(rel: Relation)
+                           (f: Seq[(String, String)] => Seq[(String, String)]): Unit = {
+    var attempts = 0
+    while (attempts < 50) {
+      val maxSeen = manifestsDescending(rel).headOption.map(_._1).getOrElse(0L)
+      val cur = latestManifest(rel).map(_._2).getOrElse(Nil)
+      val next = maxSeen + 1
+      if (writeManifestIfAbsent(rel, next, f(cur))) { gcVersions(rel, next); return }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"manifest commit on ${rel.fqName}: lost ${attempts} CAS races — " +
+        "pathological writer contention")
+  }
+
+  /** New immutable data dir for a write that intends to commit at about
+    * `seq` (the embedded number only drives GC ordering; the uuid keeps
+    * racing writers' dirs distinct).
+    */
+  private def newVersionDir(rel: Relation, seq: Long): Path =
+    new Path(mfDir(rel),
+      f"v$seq%012d-${UUID.randomUUID.toString.take(8)}")
+
+  /** Absolute path of one manifest entry's data. */
+  private def entryPath(rel: Relation, e: (String, String)): Path = {
+    val vdir = new Path(mfDir(rel), e._1)
+    if (e._2.isEmpty) vdir else new Path(vdir, e._2)
+  }
+
+  /** Retention GC after committing `latest`: manifests older than the
+    * retained window go, then version dirs that are (a) not referenced by
+    * any retained manifest and (b) numbered inside the expired window —
+    * the numbering guard keeps a racing writer's not-yet-committed dir
+    * (always numbered >= the current head) safe from deletion.
+    */
+  private def gcVersions(rel: Relation, latest: Long): Unit = {
+    val cutoff = latest - (KeepManifests - 1)
+    val (kept, expired) = manifestsDescending(rel).partition(_._1 >= cutoff)
+    expired.foreach { case (_, p) => fs.delete(p, false) }
+    val referenced = kept.flatMap { case (_, p) =>
+      parseManifest(p).getOrElse(Nil).map(_._1)
+    }.toSet
+    val d = mfDir(rel)
+    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+      st.getPath.getName match {
+        case VersionName(n) if st.isDirectory &&
+          n.toLong < cutoff && !referenced.contains(st.getPath.getName) =>
+          fs.delete(st.getPath, true); ()
+        case _ => ()
+      }
+    }
+  }
+
+  /** Union read of the manifest's version groups. Entries in one version
+    * dir are read together (with `basePath` so partition dir names become
+    * partition columns, exactly like a whole-dir read); groups from
+    * different versions union by name — a merge's untouched partitions
+    * thus stream straight from their original files.
+    */
+  private def readEntries(rel: Relation, entries: Seq[(String, String)]): DataFrame = {
+    val groups = entries.groupBy(_._1).toSeq.sortBy(_._1)
+    groups.map { case (dir, es) =>
+      val base = new Path(mfDir(rel), dir).toString
+      val parts = es.map(_._2)
+      if (parts.contains("")) spark.read.parquet(base)
+      else spark.read.option("basePath", base)
+        .parquet(parts.map(base + "/" + _): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Rename-layout data present at the relation root (pre-manifest table
+    * adopted read-only by a manifest-mode warehouse).
+    */
+  private def legacyHasData(rel: Relation): Boolean = {
+    val p = new Path(path(rel))
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+        (st.isDirectory && st.getPath.getName.contains("=")))
+  }
+
+  // ==================================================== per-relation lock
+
+  /** Run `body` holding the relation's writer lock: an atomic
+    * create-if-absent lock FILE next to the relation dir, stale-broken by
+    * age (`graft.lock.stale.ms`, default 30 min — a crashed writer must
+    * not wedge the warehouse forever), reentrant within a thread. The
+    * lock serializes read-modify-write cycles (merge reads the target it
+    * is about to replace); physical commit atomicity never depends on it
+    * — rename mode has the swap protocol, manifest mode the CAS.
+    */
+  def withRelationLock[T](rel: Relation)(body: => T): T = {
+    val key = path(rel)
+    val held = Warehouse.heldLocks.get()
+    if (held.contains(key)) body
+    else {
+      val token = acquireLock(key)
+      held.update(key, token)
+      try body
+      finally { held.remove(key); releaseLock(key, token) }
+    }
+  }
+
+  private def lockFile(key: String) = new Path(key + ".lock")
+
+  private def acquireLock(key: String): String = {
+    val token = UUID.randomUUID.toString
+    val timeoutMs = sys.props.getOrElse("graft.lock.timeout.ms", "120000").toLong
+    val staleMs = sys.props.getOrElse("graft.lock.stale.ms", "1800000").toLong
+    val deadline = System.currentTimeMillis + timeoutMs
+    val p = lockFile(key)
+    while (true) {
+      val claimed =
+        try {
+          fs.mkdirs(p.getParent)
+          val out = fs.create(p, false)
+          try out.write(s"$token ${System.currentTimeMillis}".getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (claimed) return token
+      // stale detection: a holder that died leaves its timestamp behind
+      val ts = try {
+        val in = fs.open(p)
+        val s =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        s.split(" ").lift(1).flatMap(_.toLongOption)
+      } catch { case _: java.io.IOException => None }
+      ts match {
+        case Some(t) if System.currentTimeMillis - t > staleMs =>
+          fs.delete(p, false); ()
+        case None if !fs.exists(p) => () // released between claim and read
+        case _ => Thread.sleep(50)
+      }
+      if (System.currentTimeMillis > deadline)
+        throw new IllegalStateException(
+          s"writer lock on $key: not acquired within ${timeoutMs}ms " +
+            s"(holder alive? stale threshold ${staleMs}ms)")
+    }
+    token // unreachable
+  }
+
+  private def releaseLock(key: String, token: String): Unit = {
+    val p = lockFile(key)
+    try {
+      val in = fs.open(p)
+      val s =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      // only delete our own lock — it may have been stale-broken and
+      // re-acquired by another writer while we were wedged
+      if (s.startsWith(token)) { fs.delete(p, false); () }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  // ========================================================== write paths
+
   /** Shuffle rows to their partition value before a partitioned write:
     * without it every upstream task writes a file into EVERY partition dir
     * it touches — tasks × partitions small files, the classic partitioned-
@@ -70,15 +366,23 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (partitionCols.isEmpty) df
     else df.repartition(partitionCols.map(df.col): _*)
 
-  /** Recovery preamble shared by every write path: restore any partition
-    * caught between the two swap renames of a crashed [[replacePartitions]]
-    * (its data sits under `__dbt_pbackup` with no live dir), then clear
-    * the backup area. Running this from [[writeAtomic]] and the other
-    * writers too — not just the next partitioned merge — means a full
-    * refresh can't leave a stale pbackup behind that would later
-    * "restore" (resurrect) a partition the refresh legitimately dropped.
-    * A failed restore must ABORT: dropping the backup would delete the
-    * only surviving copy of that partition.
+  private def clusteredWriter(df: DataFrame, partitionCols: Seq[String],
+                              clusterCols: Seq[String]): DataFrame = {
+    val aligned = partitionAligned(df, partitionCols)
+    if (clusterCols.nonEmpty)
+      aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
+    else aligned
+  }
+
+  /** Recovery preamble shared by the rename-mode write paths: restore any
+    * partition caught between the two swap renames of a crashed
+    * [[replacePartitions]] (its data sits under `__dbt_pbackup` with no
+    * live dir), then clear the backup area. Running this from
+    * [[writeAtomic]] and the other writers too — not just the next
+    * partitioned merge — means a full refresh can't leave a stale pbackup
+    * behind that would later "restore" (resurrect) a partition the
+    * refresh legitimately dropped. A failed restore must ABORT: dropping
+    * the backup would delete the only surviving copy of that partition.
     */
   private def restorePartitionBackup(rel: Relation): Unit = {
     val backup = rel.suffixed("__dbt_pbackup")
@@ -108,30 +412,49 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     drop(backup)
   }
 
+  /** CTAS + atomic swap (`materialization_table_default` @125935).
+    *
+    * The dataframe may READ FROM `rel` itself (incremental/snapshot
+    * rewrites): the plan materializes fully into the new version / tmp
+    * dir before the commit, so read-modify-write on one relation is safe.
+    */
   def writeAtomic(df: DataFrame, rel: Relation,
                   partitionCols: Seq[String] = Nil,
-                  clusterCols: Seq[String] = Nil): Unit = {
-    val tmp = rel.suffixed("__dbt_tmp")
-    val backup = rel.suffixed("__dbt_backup")
-    // crash recovery: a previous run that died between the two swap
-    // renames leaves the data under __dbt_backup and no live target —
-    // restore it before doing anything else (likewise any partition left
-    // in pbackup by a crashed partitioned merge: the df may read `rel`)
-    if (!exists(rel) && exists(backup)) rename(backup, rel)
-    restorePartitionBackup(rel)
-    drop(tmp)
-    val aligned = partitionAligned(df, partitionCols)
-    val clustered =
-      if (clusterCols.nonEmpty)
-        aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
-      else aligned
-    val writer = clustered.write.mode("overwrite")
-    val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
-    w2.parquet(path(tmp))
-    drop(backup)
-    if (exists(rel)) rename(rel, backup)
-    rename(tmp, rel)
-    drop(backup)
+                  clusterCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
+    if (usesManifest) {
+      val vdir = newVersionDir(rel,
+        manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
+      val writer = clusteredWriter(df, partitionCols, clusterCols)
+        .write.mode("overwrite")
+      val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+               else writer
+      w2.parquet(vdir.toString)
+      val parts =
+        if (partitionCols.isEmpty) Seq("")
+        else leafDirs(vdir, partitionCols.length)
+      val entries = (if (parts.isEmpty) Seq("") else parts)
+        .map(p => (vdir.getName, p))
+      commitEntries(rel)(_ => entries)
+    } else {
+      val tmp = rel.suffixed("__dbt_tmp")
+      val backup = rel.suffixed("__dbt_backup")
+      // crash recovery: a previous run that died between the two swap
+      // renames leaves the data under __dbt_backup and no live target —
+      // restore it before doing anything else (likewise any partition left
+      // in pbackup by a crashed partitioned merge: the df may read `rel`)
+      if (!exists(rel) && exists(backup)) rename(backup, rel)
+      restorePartitionBackup(rel)
+      drop(tmp)
+      val writer = clusteredWriter(df, partitionCols, clusterCols)
+        .write.mode("overwrite")
+      val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+               else writer
+      w2.parquet(path(tmp))
+      drop(backup)
+      if (exists(rel)) rename(rel, backup)
+      rename(tmp, rel)
+      drop(backup)
+    }
   }
 
   /** Partition-scoped replacement: only the partitions present in `df` are
@@ -141,24 +464,47 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * equivalent, no full-table rewrite.
     */
   def overwritePartitions(df: DataFrame, rel: Relation,
-                          partitionCols: Seq[String]): Unit = {
+                          partitionCols: Seq[String]): Unit = withRelationLock(rel) {
     require(partitionCols.nonEmpty, "insert_overwrite requires partition_by")
-    restorePartitionBackup(rel)
-    partitionAligned(df, partitionCols).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*)
-      .parquet(path(rel))
+    if (usesManifest) replacePartitionsImpl(df, rel, partitionCols, Nil, Nil, Nil)
+    else {
+      restorePartitionBackup(rel)
+      partitionAligned(df, partitionCols).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(path(rel))
+    }
   }
 
   /** Append without touching existing files (merge `ON FALSE` append-only
     * path, reference `default__get_merge_sql` @89014 when no unique_key).
+    * Manifest mode appends a new version dir and a manifest whose prior
+    * entries are untouched — a partition's rows may span several version
+    * dirs until [[compactPartitions]] consolidates them.
     */
-  def append(df: DataFrame, rel: Relation, partitionCols: Seq[String] = Nil): Unit = {
-    restorePartitionBackup(rel)
-    val writer = partitionAligned(df, partitionCols).write.mode("append")
-    val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
-    w2.parquet(path(rel))
-  }
+  def append(df: DataFrame, rel: Relation, partitionCols: Seq[String] = Nil): Unit =
+    withRelationLock(rel) {
+      if (usesManifest) {
+        val vdir = newVersionDir(rel,
+          manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
+        val writer = partitionAligned(df, partitionCols).write.mode("overwrite")
+        val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+                 else writer
+        w2.parquet(vdir.toString)
+        val parts =
+          if (partitionCols.isEmpty) Seq("")
+          else leafDirs(vdir, partitionCols.length)
+        val entries = (if (parts.isEmpty) Nil else parts)
+          .map(p => (vdir.getName, p))
+        commitEntries(rel)(prev => prev ++ entries)
+      } else {
+        restorePartitionBackup(rel)
+        val writer = partitionAligned(df, partitionCols).write.mode("append")
+        val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+                 else writer
+        w2.parquet(path(rel))
+      }
+    }
 
   /** Reference `list_relations_without_caching` @189819 over one schema. */
   def listRelations(database: String, schema: String): Seq[Relation] = {
@@ -197,10 +543,40 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** Reconstruct a durable view as a DataFrame (compiled SQL references
-    * warehouse paths, so it resolves in any session).
+    * warehouse paths, so it resolves in any session; manifest-mode paths
+    * resolve through [[resolveSql]] to the current committed version).
     */
   def readView(rel: Relation): Option[DataFrame] =
-    readViewDef(rel).map(spark.sql)
+    readViewDef(rel).map(s => spark.sql(resolveSql(s)))
+
+  /** Rewrite `parquet.`/path`` table references that point at THIS
+    * warehouse's manifest-committed relations into pointer-resolved temp
+    * views; non-warehouse paths (sources, legacy rename-layout dirs) pass
+    * through untouched. Compiled SQL stays path-addressed on disk — the
+    * stable, engine-agnostic form — and the pointer is chased at
+    * EXECUTION time, so a view compiled yesterday reads today's committed
+    * version instead of a GC'd version dir. Rename mode is the identity:
+    * the path IS the data there.
+    */
+  def resolveSql(sqlText: String): String =
+    if (!usesManifest) sqlText
+    else {
+      val re = ("parquet\\.`" +
+        java.util.regex.Pattern.quote(root) + "/([^`]+)`").r
+      re.replaceAllIn(sqlText, m => {
+        val relPath = m.group(1)
+        scala.util.matching.Regex.quoteReplacement(relPath.split("/") match {
+          case Array(db, sch, id) =>
+            val rel = Relation(db, sch, id)
+            if (latestManifest(rel).isDefined) {
+              val vn = s"graft_mf_${db}_${sch}_$id".replaceAll("[^A-Za-z0-9_]", "_")
+              read(rel).createOrReplaceTempView(vn)
+              "`" + vn + "`"
+            } else m.matched
+          case _ => m.matched
+        })
+      })
+    }
 
   def dropView(rel: Relation): Unit = {
     val p = new Path(path(rel) + ".view.sql")
@@ -235,13 +611,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * count comes from each file's footer record count, so NO Spark job
     * scans table data (the reference reads `__TABLES__` stats for the
     * same reason: a catalog listing must not cost a full scan per table).
+    * Manifest mode counts only the CURRENT version's files.
     */
   def catalogInfo(database: String, schema: String)
       : Seq[(Relation, Long, Long, Seq[String])] =
     listRelations(database, schema).map { rel =>
-      val p = new Path(path(rel))
-      val summary = fs.getContentSummary(p)
-      (rel, footerRowCount(p), summary.getLength, listPartitions(rel))
+      val bytes =
+        if (usesManifest && latestManifest(rel).isDefined)
+          latestManifest(rel).get._2.map { e =>
+            val p = entryPath(rel, e)
+            if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+          }.sum
+        else fs.getContentSummary(new Path(path(rel))).getLength
+      (rel, footerRows(rel), bytes, listPartitions(rel))
     }
 
   /** Sum of parquet footer record counts under a directory (driver-side
@@ -251,6 +633,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
+    if (!fs.exists(dir)) return 0L
     val it = fs.listFiles(dir, true)
     var rows = 0L
     while (it.hasNext) {
@@ -268,15 +651,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * decisions (e.g. the snapshot sub-bucket count) read this instead of
     * running a count() scan.
     */
-  def footerRows(rel: Relation, subdir: String = ""): Long = {
-    val p = if (subdir.isEmpty) new Path(path(rel)) else new Path(path(rel), subdir)
-    if (!fs.exists(p)) 0L else footerRowCount(p)
-  }
+  def footerRows(rel: Relation, subdir: String = ""): Long =
+    if (usesManifest) latestManifest(rel) match {
+      case Some((_, entries)) =>
+        entries.filter(e => subdir.isEmpty || e._2 == subdir ||
+            e._2.startsWith(subdir + "/"))
+          .map(e => footerRowCount(entryPath(rel, e))).sum
+      case None => footerRowCount(subPath(rel, subdir))
+    }
+    else footerRowCount(subPath(rel, subdir))
 
-  /** True when the relation directory holds flat (non-partition-dir)
-    * parquet data files — i.e. it was written unpartitioned.
+  private def subPath(rel: Relation, subdir: String): Path =
+    if (subdir.isEmpty) new Path(path(rel)) else new Path(path(rel), subdir)
+
+  /** True when the relation holds flat (non-partition-dir) parquet data —
+    * i.e. it was written unpartitioned.
     */
-  def hasFlatFiles(rel: Relation): Boolean = {
+  def hasFlatFiles(rel: Relation): Boolean =
+    if (usesManifest) latestManifest(rel) match {
+      case Some((_, entries)) => entries.exists(_._2.isEmpty)
+      case None => rawHasFlatFiles(rel)
+    }
+    else rawHasFlatFiles(rel)
+
+  private def rawHasFlatFiles(rel: Relation): Boolean = {
     val p = new Path(path(rel))
     fs.exists(p) && fs.listStatus(p).exists(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -287,109 +685,152 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * partitions are replaced even when the increment holds no rows for
     * them. Matches on the PARSED value (Spark %-escapes special chars
     * in partition dir names, e.g. `:` → `%3A`), so callers pass plain
-    * rendered values.
+    * rendered values. Manifest mode: a metadata-only commit dropping the
+    * matching entries.
     */
   def dropPartitions(rel: Relation, partitionCol: String,
-                     values: Seq[String]): Unit = {
+                     values: Seq[String]): Unit = withRelationLock(rel) {
     val want = values.toSet
-    listPartitions(rel).foreach { dir =>
-      val eq = dir.indexOf('=')
-      if (eq > 0 && dir.substring(0, eq) == partitionCol) {
-        val v = Warehouse.unescapePathName(dir.substring(eq + 1))
-        if (want.contains(v)) {
-          fs.delete(new Path(path(rel), dir), true); ()
-        }
-      }
+    def matches(dir: String): Boolean = {
+      val first = dir.takeWhile(_ != '/')
+      val eq = first.indexOf('=')
+      eq > 0 && first.substring(0, eq) == partitionCol &&
+        want.contains(Warehouse.unescapePathName(first.substring(eq + 1)))
+    }
+    if (usesManifest)
+      commitEntries(rel)(_.filterNot(e => matches(e._2)))
+    else listPartitions(rel).foreach { dir =>
+      if (matches(dir)) { fs.delete(new Path(path(rel), dir), true); () }
     }
   }
 
-  /** Per-partition atomic replacement: materialize `df` (partitioned by
-    * `pcol`) into a tmp relation FIRST, then swap each written partition
-    * directory into the target behind a backup rename; `alsoDropValues`
-    * partitions are removed even when `df` holds no rows for them (static
-    * insert_overwrite's pinned list). Partition directories not written by
-    * `df` are never opened — their files stay byte-identical, which is the
-    * whole point at scale: a daily merge must not rewrite years of
-    * untouched history. Crash safety mirrors [[writeAtomic]]: new data is
-    * fully on disk before any target mutation, and a partition caught
-    * between its two renames is restored from `__dbt_pbackup` by the
-    * recovery preamble of the next write.
+  /** Per-partition atomic replacement: only the partitions written by
+    * `df` move; `alsoDropValues` partitions are removed even when `df`
+    * holds no rows for them (static insert_overwrite's pinned list).
+    * Partition directories not written by `df` are never opened — their
+    * files stay byte-identical, which is the whole point at scale: a
+    * daily merge must not rewrite years of untouched history.
+    *
+    * Rename mode materializes into a tmp relation first, then swaps each
+    * written leaf dir behind a backup rename (crash window repaired by
+    * the next write's recovery preamble). Manifest mode writes one new
+    * version dir and commits a manifest where replaced/dropped entries
+    * are substituted and untouched entries still point at their old
+    * version dirs — the commit itself is atomic, there is no window.
     */
   def replacePartitions(df: DataFrame, rel: Relation, pcols: Seq[String],
                         alsoDropValues: Seq[String] = Nil,
                         clusterCols: Seq[String] = Nil,
-                        alsoDropPaths: Seq[String] = Nil): Unit = {
+                        alsoDropPaths: Seq[String] = Nil): Unit = withRelationLock(rel) {
     require(pcols.nonEmpty, "replacePartitions requires partition columns")
     require(alsoDropValues.isEmpty || pcols.size == 1,
       "alsoDropValues (static insert_overwrite) is single-column")
-    val tmp = rel.suffixed("__dbt_tmp")
-    val backup = rel.suffixed("__dbt_pbackup")
-    restorePartitionBackup(rel)
-    drop(tmp)
-    val aligned = partitionAligned(df, pcols)
-    val clustered =
-      if (clusterCols.nonEmpty)
-        aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
-      else aligned
-    clustered.write.mode("overwrite").partitionBy(pcols: _*).parquet(path(tmp))
-    fs.mkdirs(new Path(path(backup)))
-    // swap at LEAF granularity: with a multi-column layout only the
-    // deepest written dirs move, so sibling sub-partitions survive
-    val written = listPartitionPaths(tmp, pcols.length)
-    written.foreach { dir =>
-      val tgtDir = new Path(path(rel), dir)
-      // the backup rename must be CHECKED: if it fails and tgtDir still
-      // exists, renaming tmp onto an existing dir would nest it inside
-      // (POSIX-fs Hadoop rename moves INTO an existing directory)
-      val bdir = new Path(path(backup), dir)
-      fs.mkdirs(bdir.getParent)
-      if (fs.exists(tgtDir) && !fs.rename(tgtDir, bdir))
-        throw new IllegalStateException(
-          s"partition backup $dir of ${rel.fqName} failed")
-      fs.mkdirs(tgtDir.getParent)
-      if (!fs.rename(new Path(path(tmp), dir), tgtDir))
-        throw new IllegalStateException(
-          s"partition swap $dir -> ${rel.fqName} failed")
+    if (usesManifest)
+      replacePartitionsImpl(df, rel, pcols, alsoDropValues, clusterCols,
+        alsoDropPaths)
+    else {
+      val tmp = rel.suffixed("__dbt_tmp")
+      val backup = rel.suffixed("__dbt_pbackup")
+      restorePartitionBackup(rel)
+      drop(tmp)
+      clusteredWriter(df, pcols, clusterCols)
+        .write.mode("overwrite").partitionBy(pcols: _*).parquet(path(tmp))
+      fs.mkdirs(new Path(path(backup)))
+      // swap at LEAF granularity: with a multi-column layout only the
+      // deepest written dirs move, so sibling sub-partitions survive
+      val written = listPartitionPaths(tmp, pcols.length)
+      written.foreach { dir =>
+        val tgtDir = new Path(path(rel), dir)
+        // the backup rename must be CHECKED: if it fails and tgtDir still
+        // exists, renaming tmp onto an existing dir would nest it inside
+        // (POSIX-fs Hadoop rename moves INTO an existing directory)
+        val bdir = new Path(path(backup), dir)
+        fs.mkdirs(bdir.getParent)
+        if (fs.exists(tgtDir) && !fs.rename(tgtDir, bdir))
+          throw new IllegalStateException(
+            s"partition backup $dir of ${rel.fqName} failed")
+        fs.mkdirs(tgtDir.getParent)
+        if (!fs.rename(new Path(path(tmp), dir), tgtDir))
+          throw new IllegalStateException(
+            s"partition swap $dir -> ${rel.fqName} failed")
+      }
+      // pinned partitions with NO replacement rows: deletion is the
+      // SEMANTIC intent (the increment is already safe on disk above, so
+      // this is not the drop-then-append data-loss window). Values just
+      // swapped in must not be dropped again.
+      val writtenVals = written
+        .map(d => Warehouse.unescapePathName(d.substring(d.indexOf('=') + 1)))
+        .toSet
+      val toDrop = alsoDropValues.filterNot(writtenVals.contains)
+      if (toDrop.nonEmpty) dropPartitions(rel, pcols.head, toDrop)
+      // leaf dirs the caller KNOWS hold no surviving rows (e.g. a snapshot
+      // sub-bucket whose every current row closed): the payload wrote
+      // nothing there, so the swap never touched them — drop explicitly,
+      // unless this run did write a replacement
+      alsoDropPaths.filterNot(written.contains).foreach { dir =>
+        val p = new Path(path(rel), dir)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
+      drop(backup)
+      drop(tmp)
     }
-    // pinned partitions with NO replacement rows: deletion is the
-    // SEMANTIC intent (the increment is already safe on disk above, so
-    // this is not the drop-then-append data-loss window). Values just
-    // swapped in must not be dropped again.
+  }
+
+  /** Manifest-mode partition replacement: one version-dir write, one
+    * manifest commit. Callers hold the relation lock.
+    */
+  private def replacePartitionsImpl(df: DataFrame, rel: Relation,
+                                    pcols: Seq[String],
+                                    alsoDropValues: Seq[String],
+                                    clusterCols: Seq[String],
+                                    alsoDropPaths: Seq[String]): Unit = {
+    val vdir = newVersionDir(rel,
+      manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
+    clusteredWriter(df, pcols, clusterCols)
+      .write.mode("overwrite").partitionBy(pcols: _*).parquet(vdir.toString)
+    val written = leafDirs(vdir, pcols.length)
+    val writtenSet = written.toSet
     val writtenVals = written
       .map(d => Warehouse.unescapePathName(d.substring(d.indexOf('=') + 1)))
       .toSet
-    val toDrop = alsoDropValues.filterNot(writtenVals.contains)
-    if (toDrop.nonEmpty) dropPartitions(rel, pcols.head, toDrop)
-    // leaf dirs the caller KNOWS hold no surviving rows (e.g. a snapshot
-    // sub-bucket whose every current row closed): the payload wrote
-    // nothing there, so the swap never touched them — drop explicitly,
-    // unless this run did write a replacement
-    alsoDropPaths.filterNot(written.contains).foreach { dir =>
-      val p = new Path(path(rel), dir)
-      if (fs.exists(p)) { fs.delete(p, true); () }
+    val dropVals = alsoDropValues.filterNot(writtenVals.contains).toSet
+    val dropPathSet = alsoDropPaths.filterNot(writtenSet.contains).toSet
+    def droppedByValue(part: String): Boolean = {
+      val first = part.takeWhile(_ != '/')
+      val eq = first.indexOf('=')
+      eq > 0 && first.substring(0, eq) == pcols.head &&
+        dropVals.contains(Warehouse.unescapePathName(first.substring(eq + 1)))
     }
-    drop(backup)
-    drop(tmp)
+    commitEntries(rel) { prev =>
+      prev.filterNot { case (_, part) =>
+        writtenSet.contains(part) || dropPathSet.contains(part) ||
+          (dropVals.nonEmpty && droppedByValue(part))
+      } ++ written.map(p => (vdir.getName, p))
+    }
   }
 
-  /** Small-file compaction: leaf partition dirs holding more than
-    * `maxFiles` parquet files are rewritten as one file each through the
-    * same backup-protected leaf swap the merge family uses; leaves under
-    * the threshold are never opened. Incremental merges/appends
-    * accumulate a file per run in hot leaves — at scale the periodic
-    * compaction pass is what keeps scan task counts and footer overhead
-    * bounded (the OPTIMIZE of transactional formats, expressed over
-    * plain parquet). File discovery is driver-side metadata listing; only
-    * crowded leaves cost a read+write, proportional to THEIR size alone.
+  /** Small-file compaction: leaf partitions holding more than `maxFiles`
+    * parquet files (or, manifest mode, rows spread over multiple version
+    * dirs) are rewritten as one file each through the same protected
+    * replacement the merge family uses; leaves under the threshold are
+    * never opened. Incremental merges/appends accumulate a file (and in
+    * manifest mode a version-dir entry) per run in hot leaves — at scale
+    * the periodic compaction pass is what keeps scan task counts, footer
+    * overhead, and manifest union width bounded (the OPTIMIZE of
+    * transactional formats, expressed over plain parquet). File discovery
+    * is driver-side metadata listing; only crowded leaves cost a
+    * read+write, proportional to THEIR size alone.
     */
   def compactPartitions(rel: Relation, pcols: Seq[String],
-                        maxFiles: Int = 8): Seq[String] = {
+                        maxFiles: Int = 8): Seq[String] = withRelationLock(rel) {
     require(pcols.nonEmpty, "compactPartitions requires partition columns")
     val crowded = listPartitionPaths(rel, pcols.length).filter { dir =>
       var c = 0
-      val it = fs.listFiles(new Path(path(rel), dir), false)
-      while (it.hasNext && c <= maxFiles) {
-        if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+      physicalPartDirs(rel, dir).foreach { pd =>
+        val it = fs.listFiles(pd, false)
+        while (it.hasNext && c <= maxFiles) {
+          if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+        }
       }
       c > maxFiles
     }
@@ -401,7 +842,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           val i = seg.indexOf('=')
           (seg.substring(0, i), Warehouse.unescapePathName(seg.substring(i + 1)))
         }
-        kvs.foldLeft(spark.read.parquet(path(rel) + "/" + dir)) {
+        val raw = spark.read.parquet(
+          physicalPartDirs(rel, dir).map(_.toString): _*)
+        kvs.foldLeft(raw) {
           case (df, (k, v)) =>
             df.withColumn(k,
               if (v == "__HIVE_DEFAULT_PARTITION__")
@@ -414,21 +857,44 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     crowded
   }
 
+  /** Physical directories holding a leaf partition's rows: the single
+    * in-place dir (rename mode) or every version dir the manifest maps
+    * the leaf to (manifest mode; >1 after appends).
+    */
+  private def physicalPartDirs(rel: Relation, part: String): Seq[Path] =
+    if (usesManifest) latestManifest(rel) match {
+      case Some((_, entries)) =>
+        entries.filter(_._2 == part).map(e => entryPath(rel, e))
+      case None => Seq(new Path(path(rel), part))
+    }
+    else Seq(new Path(path(rel), part))
+
   /** Partition directory names of a partitioned relation (reference
     * `get_partitions_metadata` @12518).
     */
-  def listPartitions(rel: Relation): Seq[String] = {
-    val p = new Path(path(rel))
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.contains("="))
-  }
+  def listPartitions(rel: Relation): Seq[String] =
+    if (usesManifest && latestManifest(rel).isDefined)
+      latestManifest(rel).get._2.map(_._2.takeWhile(_ != '/'))
+        .filter(_.contains("=")).distinct.sorted
+    else {
+      val p = new Path(path(rel))
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.contains("="))
+    }
 
   /** Relative `k=v[/k2=v2…]` paths of the partition dirs exactly `depth`
     * levels below a relation root — the leaf dirs of a `depth`-column
     * partitioned layout.
     */
-  def listPartitionPaths(rel: Relation, depth: Int): Seq[String] = {
+  def listPartitionPaths(rel: Relation, depth: Int): Seq[String] =
+    if (usesManifest && latestManifest(rel).isDefined)
+      latestManifest(rel).get._2.map(_._2)
+        .filter(p => p.nonEmpty && p.split("/").length == depth)
+        .distinct.sorted
+    else leafDirs(new Path(path(rel)), depth)
+
+  private def leafDirs(rootDir: Path, depth: Int): Seq[String] = {
     def go(p: Path, d: Int): Seq[String] =
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq
@@ -437,11 +903,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           if (d == 1) Seq(st.getPath.getName)
           else go(st.getPath, d - 1).map(st.getPath.getName + "/" + _)
         }
-    go(new Path(path(rel)), depth)
+    go(rootDir, depth)
   }
 }
 
 object Warehouse {
+  /** Filesystem schemes with no atomic directory rename — [[CommitMode.Auto]]
+    * selects the manifest protocol for these.
+    */
+  val ObjectStoreSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "abfs", "abfss",
+      "cos", "cosn", "swift")
+
+  /** Relation-path → lock token held by the current thread (reentrancy:
+    * compaction calls replacePartitions under the same lock).
+    */
+  private val heldLocks: ThreadLocal[scala.collection.mutable.Map[String, String]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.Map.empty[String, String])
+
   /** Inverse of Spark's partition-path escaping (Hive convention,
     * re-derived from the observed dir format): ONLY `%XX` sequences
     * decode. `URLDecoder` is wrong here — it maps '+' to space, so a

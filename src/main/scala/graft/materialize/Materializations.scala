@@ -120,7 +120,12 @@ final class Materializer(wh: Warehouse) {
     * (`materialization_incremental_default` @139412).
     */
   def incremental(df: DataFrame, rel: Relation, cfg: ModelConfig,
-                  fullRefresh: Boolean = false): Unit = {
+                  fullRefresh: Boolean = false): Unit =
+  // the WHOLE read-modify-write cycle holds the relation's writer lock
+  // (reentrant for the inner write): locking only the final write would
+  // let two racing merges both read the same stale target and the second
+  // commit silently drop the first's rows — the classic lost update
+  wh.withRelationLock(rel) {
     if (!wh.exists(rel) || fullRefresh) { table(df, rel, cfg); return }
     val target = wh.read(rel)
     val (inc, tgt, requiresTargetRewrite) =

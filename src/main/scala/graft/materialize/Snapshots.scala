@@ -77,7 +77,11 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     */
   def snapshot(source: DataFrame, rel: Relation, keys: Seq[String],
                strategy: SnapshotStrategy, now: Column = current_timestamp(),
-               invalidateHardDeletes: Boolean = false): Unit = {
+               invalidateHardDeletes: Boolean = false): Unit =
+  // SCD-2 is read-modify-write (current rows decide closings/inserts):
+  // hold the relation's writer lock across the whole cycle, like the
+  // incremental merge family
+  wh.withRelationLock(rel) {
     // Pin the transaction time to a literal: the run below executes more
     // than one Spark action (leaf discovery, then the write), and a raw
     // current_timestamp() would re-evaluate per action — closings and

@@ -101,7 +101,8 @@ final case class Target(warehouseRoot: String,
                         database: String = "analytics",
                         schema: String = "main",
                         threads: Int = 4,
-                        env: Map[String, String] = Map.empty) {
+                        env: Map[String, String] = Map.empty,
+                        commitMode: graft.core.CommitMode = graft.core.CommitMode.Auto) {
   def resolvedSchema: String = {
     // generate_schema_name_for_env equivalent: allow env-templated schemas.
     // An unset env var THROWS (matching Compiler's env_var): silently
@@ -120,7 +121,7 @@ final case class Target(warehouseRoot: String,
   */
 final class Engine(spark: SparkSession, project: Project, target: Target) {
 
-  val warehouse = new Warehouse(spark, target.warehouseRoot)
+  val warehouse = new Warehouse(spark, target.warehouseRoot, target.commitMode)
   private val mat = new Materializer(warehouse)
   private val snap = new Snapshotter(warehouse)
 
@@ -244,13 +245,13 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     */
   private def runHooks(hooks: Seq[String], modelName: String): Unit =
     hooks.foreach { h =>
-      spark.sql(Compiler.compile(h, Compiler.ResolveCtx(
+      spark.sql(warehouse.resolveSql(Compiler.compile(h, Compiler.ResolveCtx(
         refTarget = r => Compiler.pathRelation(
           relationFor(r).pathUnder(target.warehouseRoot)),
         sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
         thisTarget = Compiler.pathRelation(
           relationFor(modelName).pathUnder(target.warehouseRoot)),
-        env = target.env, isIncremental = false)))
+        env = target.env, isIncremental = false))))
       ()
     }
 
@@ -260,11 +261,11 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     */
   private def runProjectHooks(hooks: Seq[String]): Unit =
     hooks.foreach { h =>
-      spark.sql(Compiler.compile(h, Compiler.ResolveCtx(
+      spark.sql(warehouse.resolveSql(Compiler.compile(h, Compiler.ResolveCtx(
         refTarget = r => Compiler.pathRelation(
           relationFor(r).pathUnder(target.warehouseRoot)),
         sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
-        thisTarget = "", env = target.env, isIncremental = false)))
+        thisTarget = "", env = target.env, isIncremental = false))))
       ()
     }
 
@@ -277,7 +278,7 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
       val cfg = effectiveConfig(m)
       runHooks(cfg.preHooks, m.name)
       val compiled = compileSql(m, selected, deferRoot, fullRefresh)
-      val df = spark.sql(compiled)
+      val df = spark.sql(warehouse.resolveSql(compiled))
       cfg.materialized match {
         case "view" =>
           mat.view(df, viewName(m.name))
@@ -301,8 +302,8 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
       runHooks(cfg.postHooks, m.name)
     }
     project.snapshots.find(_.name == name).foreach { sn =>
-      val df = spark.sql(compileSql(
-        ModelDef(sn.name, sn.rawSql), selected, deferRoot, fullRefresh))
+      val df = spark.sql(warehouse.resolveSql(compileSql(
+        ModelDef(sn.name, sn.rawSql), selected, deferRoot, fullRefresh)))
       snap.snapshot(df, relationFor(sn.name), sn.keys, sn.strategy,
         invalidateHardDeletes = sn.invalidateHardDeletes)
     }
@@ -393,7 +394,8 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
         // registered temp view if this session built it, else compile on
         // the fly (views/ephemerals are logical — always reconstructible)
         if (spark.catalog.tableExists(viewName(name))) spark.table(viewName(name))
-        else spark.sql(compileSql(m, Set.empty, None, fullRefresh = false))
+        else spark.sql(warehouse.resolveSql(
+          compileSql(m, Set.empty, None, fullRefresh = false)))
       case None =>
         val rel = relationFor(name)
         if (warehouse.exists(rel)) warehouse.read(rel)

@@ -1,0 +1,237 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.materialize._
+
+/** The object-store commit protocol (CommitMode.Manifest): versioned data
+  * dirs + numbered manifest files, commit = atomic create-if-absent of the
+  * next manifest. Mirrors MaterializeSpec's crash-window battery for the
+  * strategy where the crash windows are DIFFERENT: there are no renames,
+  * so the failure modes are orphan version dirs (write finished, commit
+  * never happened) and truncated manifests (commit half-written) — both
+  * must be invisible to readers and reclaimed by GC.
+  */
+class ManifestCommitSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_mf_wh").toString,
+      CommitMode.Manifest)
+  def rel(n: String): Relation = Relation("db", "sch", n)
+
+  def df(rows: Seq[(Long, String, Double)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "name", "score")
+  }
+
+  private def mfDir(wh: Warehouse, r: Relation) =
+    Paths.get(wh.path(r), "_graft")
+
+  private def listMf(wh: Warehouse, r: Relation): Seq[String] = {
+    val d = mfDir(wh, r)
+    if (!Files.exists(d)) Nil
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala().map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+  implicit private class IterOps[T](it: java.util.Iterator[T]) {
+    def asScala(): Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  test("table swap: reader sees exactly the committed version, old GC'd") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t1")
+    m.table(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))), r)
+    m.table(df(Seq((3L, "c", 3.0))), r)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(3L))
+    // no sibling tmp/backup relations ever exist under this protocol
+    assert(wh.listRelations("db", "sch").map(_.identifier) == Seq("t1"))
+    // enough commits retire the first version's dir and manifest
+    m.table(df(Seq((4L, "d", 4.0))), r)
+    m.table(df(Seq((5L, "e", 5.0))), r)
+    val names = listMf(wh, r)
+    assert(names.count(_.endsWith(".manifest")) == 3, s"retention: $names")
+    assert(names.count(_.startsWith("v")) == 3, s"GC kept: $names")
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
+  test("orphan version dir (crash before commit) is invisible and GC'd") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_orph")
+    // a writer that crashed after its data write but before its manifest:
+    // version dir present, no manifest referencing it
+    val orphan = mfDir(wh, r).resolve("v000000000001-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    assert(!wh.exists(r), "uncommitted data must not make the table exist")
+    m.table(df(Seq((1L, "a", 1.0))), r)
+    assert(wh.read(r).count() == 1)
+    // commits numbered past the retention window reclaim the orphan
+    m.table(df(Seq((2L, "b", 2.0))), r)
+    m.table(df(Seq((3L, "c", 3.0))), r)
+    m.table(df(Seq((4L, "d", 4.0))), r)
+    assert(!Files.exists(orphan), "orphan version dir must be GC'd")
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(4L))
+  }
+
+  test("truncated manifest (crash mid-commit) falls back to previous version") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_trunc")
+    m.table(df(Seq((1L, "a", 1.0))), r)
+    m.table(df(Seq((2L, "b", 2.0))), r)
+    // a half-written next manifest: header + entry but no `end` trailer
+    Files.write(mfDir(wh, r).resolve("m000000000003.manifest"),
+      "graftmf1\nv000000000003-dead\t\n".getBytes("UTF-8"))
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(2L),
+      "reader must resolve the last COMPLETE manifest")
+    // and the next commit claims seq 4, superseding the broken 3
+    m.table(df(Seq((5L, "e", 5.0))), r)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
+  test("partition-scoped merge: untouched partition files stay byte-identical") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_scope")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      partitionBy = Seq("name"), partitionKeysStable = true)
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r, cfg)
+    val e1 = wh.manifestEntries(r).get
+    val p1dir = e1.find(_._2 == "name=p1").get
+    val p1files = {
+      val d = Paths.get(wh.path(r), "_graft", p1dir._1, p1dir._2)
+      val s = Files.list(d)
+      try s.iterator().asScala()
+        .map(p => (p.toString, Files.size(p), Files.getLastModifiedTime(p)))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    m.incremental(df(Seq((20L, "p2", 20.0))), r, cfg)
+    val e2 = wh.manifestEntries(r).get
+    // p1's entry still points at the ORIGINAL version dir
+    assert(e2.find(_._2 == "name=p1").get == p1dir)
+    assert(e2.find(_._2 == "name=p2").get._1 != p1dir._1)
+    val p1after = {
+      val d = Paths.get(wh.path(r), "_graft", p1dir._1, p1dir._2)
+      val s = Files.list(d)
+      try s.iterator().asScala()
+        .map(p => (p.toString, Files.size(p), Files.getLastModifiedTime(p)))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    assert(p1after == p1files, "untouched partition data must not be rewritten")
+    val out = wh.read(r).collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[String]("name"))).toSet
+    // merge semantics: key 20 upserts into p2, key 2 (not in the
+    // increment) survives inside the REPLACED partition's new version
+    assert(out == Set((1L, "p1"), (2L, "p2"), (20L, "p2")))
+  }
+
+  test("static insert_overwrite drops pinned values, appends out-of-list rows") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_static")
+    val base = ModelConfig(materialized = "incremental",
+      incrementalStrategy = IncrementalStrategy.InsertOverwrite,
+      partitionBy = Seq("name"))
+    m.incremental(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0), (3L, "p3", 3.0))),
+      r, base)
+    // pinned list (p1,p2): p1 replaced by increment, p2 dropped (no rows),
+    // p3 untouched, p4 appends to its own (new) partition
+    m.incremental(df(Seq((10L, "p1", 10.0), (40L, "p4", 40.0))), r,
+      base.copy(partitions = Seq("p1", "p2")))
+    val out = wh.read(r).collect()
+      .map(x => (x.getAs[String]("name"), x.getAs[Long]("id"))).toSet
+    assert(out == Set(("p1", 10L), ("p3", 3L), ("p4", 40L)))
+    assert(wh.listPartitions(r).toSet == Set("name=p1", "name=p3", "name=p4"))
+  }
+
+  test("append accumulates version entries; compaction consolidates them") {
+    val wh = freshWh(); val r = rel("t_app")
+    wh.append(df(Seq((1L, "p1", 1.0))), r, Seq("name"))
+    wh.append(df(Seq((2L, "p1", 2.0))), r, Seq("name"))
+    wh.append(df(Seq((3L, "p1", 3.0))), r, Seq("name"))
+    assert(wh.manifestEntries(r).get.count(_._2 == "name=p1") == 3)
+    assert(wh.read(r).count() == 3)
+    val compacted = wh.compactPartitions(r, Seq("name"), maxFiles = 2)
+    assert(compacted == Seq("name=p1"))
+    assert(wh.manifestEntries(r).get.count(_._2 == "name=p1") == 1)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("dropPartitions is a metadata-only commit") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_dropp")
+    m.table(df(Seq((1L, "p1", 1.0), (2L, "p2", 2.0))), r,
+      ModelConfig(partitionBy = Seq("name")))
+    wh.dropPartitions(r, "name", Seq("p1"))
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(wh.listPartitions(r) == Seq("name=p2"))
+    assert(wh.footerRows(r) == 1L)
+  }
+
+  test("schema evolution (append_new_columns) rewrites through the manifest") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_evo")
+    val s = spark
+    import s.implicits._
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      onSchemaChange = OnSchemaChange.AppendNewColumns)
+    m.incremental(Seq((1L, "a")).toDF("id", "name"), r, cfg)
+    m.incremental(Seq((2L, "b", 9.0)).toDF("id", "name", "extra"), r, cfg)
+    val out = wh.read(r)
+    assert(out.columns.toSeq == Seq("id", "name", "extra"))
+    assert(out.filter(col("id") === 1L).select("extra").collect().head.isNullAt(0))
+  }
+
+  test("legacy rename-layout relation is readable by a manifest warehouse") {
+    val tmp = Files.createTempDirectory("graft_mf_legacy").toString
+    val renameWh = new Warehouse(spark, tmp, CommitMode.Rename)
+    val r = rel("t_leg")
+    renameWh.writeAtomic(df(Seq((1L, "a", 1.0))), r)
+    val mfWh = new Warehouse(spark, tmp, CommitMode.Manifest)
+    assert(mfWh.exists(r))
+    assert(mfWh.read(r).count() == 1)
+    assert(mfWh.footerRows(r) == 1L)
+  }
+
+  test("interleaved writers serialize on the relation lock — no lost update") {
+    val wh = freshWh(); val r = rel("t_race")
+    val m = new Materializer(wh)
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+    m.incremental(df(Seq((0L, "seed", 0.0))), r, cfg)
+    // two writers, each read-modify-writing disjoint keys: without the
+    // lock a racing merge reads a stale target and drops the other's rows
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        try (1 to 3).foreach { i =>
+          m.incremental(df(Seq((w * 10L + i, s"w$w", i.toDouble))), r, cfg)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writers must not fail: ${errs.toArray.toSeq}")
+    val ids = wh.read(r).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 11L, 12L, 13L, 21L, 22L, 23L),
+      "every writer's rows must survive the interleaving")
+    // the lock file is released
+    assert(!Files.exists(Paths.get(wh.path(r) + ".lock")))
+  }
+
+  test("a stale lock (dead holder) is broken, not waited on forever") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_stale")
+    val lock = Paths.get(wh.path(r) + ".lock")
+    Files.createDirectories(lock.getParent)
+    val old = System.currentTimeMillis - 2L * 3600 * 1000
+    Files.write(lock, s"dead-writer-token $old".getBytes("UTF-8"))
+    m.table(df(Seq((1L, "a", 1.0))), r) // must break the stale lock
+    assert(wh.read(r).count() == 1)
+    assert(!Files.exists(lock))
+  }
+}

@@ -371,4 +371,38 @@ class OrchestratorSpec extends AnyFunSuite {
     val (_, t3) = e3.build()
     assert(t3.map(_.status) == Seq("pass")) // neither threshold hit
   }
+
+  test("two interleaved builds on one warehouse do not corrupt it") {
+    // two engines (separate processes in real life) building the same
+    // project into the same root concurrently, on the manifest commit
+    // protocol: the per-relation writer lock serializes each
+    // materialization, and manifest readers see old-or-new but never an
+    // absent table (the rename protocol's swap window would make a reader
+    // mid-swap fail — that window is exactly what Manifest removes)
+    val r = root()
+    val tgt = Target(r, commitMode = CommitMode.Manifest)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          val e = new Engine(spark, baseProject, tgt)
+          val (nodes, _) = e.build()
+          assert(nodes.map(_.status).forall(_ == "success"),
+            nodes.map(n => s"${n.name}:${n.status}").mkString(","))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent builds must not fail: ${errs.toArray.toSeq}")
+    val e = new Engine(spark, baseProject, tgt)
+    assert(e.readModel("nations").count() == 25)
+    assert(e.readModel("by_region").count() == 5)
+    // no leftover tmp/backup relations or lock files
+    val rel0 = e.relationFor("nations")
+    val whRead = new Warehouse(spark, r, CommitMode.Manifest)
+    assert(whRead.listRelations(rel0.database, rel0.schema).map(_.identifier)
+      .forall(n => !n.contains("__dbt_")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(whRead.path(rel0) + ".lock")))
+  }
 }
