@@ -175,22 +175,50 @@ final class Warehouse(val spark: SparkSession, val root: String,
       .flatMap { case (seq, p) => parseManifest(p).map((seq, _)) }
       .nextOption()
 
-  /** Atomic claim of manifest `seq`: create-if-absent (HDFS/POSIX create
-    * with overwrite=false; conditional PUT on object stores). Returns
+  /** Atomic create-if-absent — the claim primitive under both the
+    * manifest CAS and the writer lock. Hadoop's LOCAL FileSystem
+    * implements `create(p, overwrite=false)` as check-then-create (two
+    * racing threads/processes can both pass the exists check), so the
+    * file scheme goes through `O_EXCL` (`CREATE_NEW`) instead; HDFS
+    * `create` is namenode-atomic and object stores map this to a
+    * conditional PUT. Returns false when the path already exists. The
+    * claim (file creation) is what's atomic — a reader that catches the
+    * content mid-write must tolerate it (manifests: trailer check; locks:
+    * unparsable timestamp → brief retry).
+    */
+  private def createExclusive(p: Path, body: Array[Byte]): Boolean = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(
+      Option(new Path(root).toUri.getScheme).getOrElse("file"))
+    if (scheme == "file") {
+      try {
+        val jp = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(jp.getParent)
+        java.nio.file.Files.write(jp, body,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, false)
+        try out.write(body) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** Atomic claim of manifest `seq` via [[createExclusive]]. Returns
     * false when another writer already holds that seq.
     */
   private def writeManifestIfAbsent(rel: Relation, seq: Long,
                                     entries: Seq[(String, String)]): Boolean = {
-    val p = manifestPath(rel, seq)
     val body = ("graftmf1" +: entries.map { case (d, part) => s"$d\t$part" })
       .mkString("", "\n", s"\nend ${entries.length}\n")
-    try {
-      val out = fs.create(p, false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      true
-    } catch {
-      case _: java.io.IOException if fs.exists(p) => false
-    }
+    createExclusive(manifestPath(rel, seq), body.getBytes("UTF-8"))
   }
 
   /** Optimistic-concurrency commit: transform the current entry list and
@@ -308,14 +336,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val deadline = System.currentTimeMillis + timeoutMs
     val p = lockFile(key)
     while (true) {
-      val claimed =
-        try {
-          fs.mkdirs(p.getParent)
-          val out = fs.create(p, false)
-          try out.write(s"$token ${System.currentTimeMillis}".getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      val claimed = createExclusive(p,
+        s"$token ${System.currentTimeMillis}".getBytes("UTF-8"))
       if (claimed) return token
       // stale detection: a holder that died leaves its timestamp behind
       val ts = try {

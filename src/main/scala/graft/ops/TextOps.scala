@@ -440,57 +440,95 @@ object TextOps {
   }
 
   // ----------------------------------------------- dedup cluster resolve
-  /** Connected components by min-label propagation, iterated to FIXPOINT:
-    * each round every node takes the min of its own label and its
-    * neighbors' labels; we stop when a round changes nothing. Correct for
-    * ANY component diameter (a fixed round count would mislabel chains
-    * longer than it). Per round: one join + groupBy on doc_id, then a
-    * `localCheckpoint` to truncate the lineage so round N's plan doesn't
-    * re-execute rounds 1..N-1 — the standard large-graph CC loop (label
-    * count halves the rounds needed vs naive propagation because min
-    * labels hop through already-relabeled neighbors).
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (the public two-phase MapReduce CC algorithm of Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"): each round
+    * rewires every node's high neighbors (large-star) then its low
+    * neighbors (small-star) to the neighborhood minimum, contracting any
+    * component to a star rooted at its minimum in O(log n) rounds — where
+    * plain min-label propagation needs O(diameter) rounds (a 1M-long
+    * near-dup chain at corpus scale would mean 1M Spark jobs; this does
+    * ~20). Each round is materialized (`localCheckpoint`, or a reliable
+    * `checkpoint` when `checkpointDir` is given) so round N's plan never
+    * re-executes rounds 1..N-1, and convergence is the edge set reaching
+    * the star-forest fixpoint (anti-join + count — both O(edges)).
     *
     * @param edges directed (doc1 → doc2) edge list; symmetrized inside
     * @param nodes one row per doc_id
     */
   def resolveClusters(edges0: DataFrame, nodes: DataFrame,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None): DataFrame =
+    resolveClustersCounted(edges0, nodes, checkpointDir)._1
+
+  /** [[resolveClusters]] + the number of contraction rounds it took —
+    * the round count is the scale-critical property (specs pin it).
+    */
+  private[graft] def resolveClustersCounted(edges0: DataFrame, nodes: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // localCheckpoint is fast but lives in executor memory — an executor
-    // loss mid-fixpoint kills the lineage-truncated rounds. On a real
+    // loss mid-iteration kills the lineage-truncated rounds. On a real
     // cluster pass checkpointDir (HDFS/object store): rounds then survive
     // executor failure at the cost of one write per round.
     val sc = edges0.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    // LAZY checkpoints: the per-round `changed` count is the action that
-    // materializes the round — eager would run a separate materialization
-    // job first, doubling the jobs per round for identical lineage cuts
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
-    val pairs = edges0.select(col("doc1"), col("doc2"))
-    // cache the invariant edge set: the iterative rounds must not
-    // recompute the whole upstream pipeline per iteration
-    val edges = pairs.unionByName(
-      pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-      .cache()
-    var labels = materialize(nodes.select(col("doc_id"), col("doc_id").as("label")))
-    var changed = 1L
-    while (changed > 0) {
-      val nbMin = edges.join(labels, edges("doc2") === labels("doc_id"))
-        .groupBy(col("doc1")).agg(min(col("label")).as("nb_min"))
-      // the changed flag rides along in the SAME pass (labels only ever
-      // decrease, so changed ⇔ a neighbor's min undercut ours) — the
-      // convergence count is then a trivial scan of the checkpointed rows
-      val next = materialize(
-        labels.join(nbMin, labels("doc_id") === nbMin("doc1"), "left")
-          .select(labels("doc_id"),
-            least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
-            (col("nb_min").isNotNull && col("nb_min") < col("label")).as("_changed")))
-      changed = next.filter(col("_changed")).count()
-      labels = next.drop("_changed")
+
+    // large-star: for each node u with m = min(N(u) ∪ {u}), rewire every
+    // HIGHER neighbor v > u to m. Emitted edges are (v, m) with v > m, so
+    // the output is already high→low oriented.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      sym.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
     }
-    edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // small-star: orient high→low; for each node u with m = min(N⁻(u) ∪
+    // {u}), rewire its LOWER neighbors (and u itself) to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val mins = o.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      mins.select(col("src"), col("m").as("dst"))
+        .unionByName(o.join(mins, "src")
+          .select(col("dst").as("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var e = materialize(
+      edges0.select(greatest(col("doc1"), col("doc2")).as("src"),
+          least(col("doc1"), col("doc2")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
+    var eCount = e.count()
+    var rounds = 0
+    var converged = eCount == 0L
+    while (!converged) {
+      val e2 = materialize(smallStar(largeStar(e)))
+      rounds += 1
+      val c2 = e2.count()
+      // both sides are distinct high→low sets: equal counts + empty
+      // anti-join ⇔ identical edge sets ⇔ the star-forest fixpoint
+      converged = c2 == eCount &&
+        e2.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      e = e2; eCount = c2
+    }
+    // at the fixpoint every edge is (member, root): a node's label is its
+    // root when attached, itself when isolated
+    val rootOf = e.groupBy(col("src")).agg(min(col("dst")).as("root"))
+      .withColumnRenamed("src", "doc_id")
+    val labels = nodes.select(col("doc_id"))
+      .join(rootOf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** The final dedup stage: resolve near-dup PAIRS into CLUSTERS and pick

@@ -59,11 +59,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (10L, 11L)).toDF("doc1", "doc2")
     val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 20L)).toDF("doc_id")
-    val got = TextOps.resolveClusters(edges, nodes).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, rounds) = TextOps.resolveClustersCounted(edges, nodes)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 6L).forall(got(_) == 1L), s"chain not resolved: $got")
     assert(got(10L) == 10L && got(11L) == 10L)
     assert(got(20L) == 20L)
+    // star contraction is O(log n) rounds — plain min-label propagation
+    // would need ~5 rounds (one per hop) plus a no-change round on this
+    // diameter-5 chain
+    assert(rounds <= 4, s"diameter-5 chain took $rounds contraction rounds")
+  }
+
+  test("contraction rounds grow logarithmically, not with the diameter") {
+    // a 64-node path (diameter 63): min-label propagation needs ~63
+    // rounds; large-star/small-star must land well under 2·log2(64)+2
+    import spark.implicits._
+    val n = 64L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val nodes = (1L to n).toDF("doc_id")
+    val (labels, rounds) = TextOps.resolveClustersCounted(edges, nodes)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n).forall(got(_) == 1L), "path must collapse to one cluster")
+    assert(rounds <= 14, s"64-path took $rounds rounds (diameter-bound loop?)")
   }
 
   test("cluster resolution with a reliable checkpoint dir matches localCheckpoint") {
