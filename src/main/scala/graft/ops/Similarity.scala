@@ -390,6 +390,94 @@ object Similarity {
     e.select(col("vec_id"), kmNearest(cents))
   }
 
+  /** Production k-means: parameterized k / iteration budget, k-means++
+    * initialization over a deterministic sample, and a centroid-movement
+    * convergence stop — the tunable sibling of the fixed-parameter
+    * [[kmeansAssign]] (which stays as-is for the oracle gate).
+    *
+    * Init: one corpus scan collects a hash-ordered sample of `sampleN`
+    * vectors to the driver (bounded control-plane data); k-means++ D²
+    * seeding runs over the sample with a fixed seed — at 100 TB this is
+    * the one-round k-means‖ shape: sample once, seed driver-side,
+    * instead of k sequential corpus scans. Lloyd rounds then iterate
+    * exactly like [[kmeansAssign]] — assign is a per-row codegen
+    * expression over centroid LITERALS (no join, no shuffle), update
+    * shuffles only k·d partial-agg rows — and stop as soon as the
+    * largest centroid movement (cosine distance old→new) drops under
+    * `tol`, or at `maxIters`. An empty cluster keeps its previous
+    * centroid instead of vanishing.
+    *
+    * Returns (assignments `(vec_id, cluster)`, centroids, rounds run).
+    */
+  def kmeansFit(e: DataFrame, k: Int, maxIters: Int = 20, tol: Double = 1e-4,
+                sampleN: Int = 4096, seed: Long = 42L)
+      : (DataFrame, Seq[(Int, Seq[Double])], Int) = {
+    require(k > 0, "k must be positive")
+    def cosDist(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.max(0.0, 1.0 - dot / math.sqrt(na * nb + 1e-300))
+    }
+    // deterministic sample: md5-ordered prefix — no full sort at scale
+    // beyond the top-N (Spark's orderBy+limit is a TakeOrdered partial)
+    val sample = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(math.max(sampleN, k))
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    require(sample.nonEmpty, "kmeansFit on an empty corpus")
+    // k-means++ over the sample: next seed drawn D²-proportionally
+    val rnd = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer(
+      sample(rnd.nextInt(sample.length)))
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    while (centers.length < k) {
+      var total = 0.0
+      var i = 0
+      while (i < sample.length) {
+        minD(i) = math.min(minD(i), cosDist(sample(i), centers.last))
+        total += minD(i); i += 1
+      }
+      if (total <= 0.0) centers += sample(rnd.nextInt(sample.length))
+      else {
+        val target = rnd.nextDouble() * total
+        var acc = 0.0; var pick = sample.length - 1; var j = 0
+        var found = false
+        while (j < sample.length && !found) {
+          acc += minD(j)
+          if (acc >= target) { pick = j; found = true }
+          j += 1
+        }
+        centers += sample(pick)
+      }
+    }
+    var cents: Seq[(Int, Seq[Double])] =
+      centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    var iters = 0
+    var moved = Double.MaxValue
+    while (iters < maxIters && moved > tol) {
+      val means = e.withColumn("cluster", kmNearest(cents))
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((floor(avg(col("col")) * 1e6 + 0.5) / 1e6).as("m"))
+        .collect() // control-plane: ≤ k·d rows
+      val byCid = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      val next = cents.map { case (cid, old) =>
+        (cid, byCid.getOrElse(cid, old)) // empty cluster keeps its centroid
+      }
+      moved = cents.zip(next).map { case ((_, a), (_, b)) =>
+        cosDist(a.toIndexedSeq, b.toIndexedSeq)
+      }.max
+      cents = next
+      iters += 1
+    }
+    (e.select(col("vec_id"), kmNearest(cents)), cents, iters)
+  }
+
   /** Oracle: the same two Lloyd rounds as chained CTEs — seeds by
     * vec_id order, 6dp-rounded cosine argmin via `row_number`, centroid
     * means snapped to the same 1e-6 grid (`v[i]` is 1-based; the Spark

@@ -70,6 +70,37 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rounds <= 4, s"diameter-5 chain took $rounds contraction rounds")
   }
 
+  test("k-means++ init + convergence stop beats lowest-id seeding on cluster cost") {
+    val e = Similarity.vecs(spark, sf)
+    // within-cluster cost of an assignment: mean cosine distance of each
+    // vector to its cluster's mean vector (computed from the assignment
+    // itself, so both variants are scored identically)
+    def cost(assign: Map[Long, Int]): Double = {
+      val vs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      val byC = assign.groupBy(_._2).view.mapValues(_.keys.toSeq)
+      val dists = byC.values.flatMap { members =>
+        val d = vs(members.head).length
+        val mean = (0 until d).map(i => members.map(m => vs(m)(i)).sum / members.size)
+        members.map { m =>
+          val v = vs(m)
+          val dot = (0 until d).map(i => v(i) * mean(i)).sum
+          val nv = math.sqrt(v.map(x => x * x).sum)
+          val nm = math.sqrt(mean.map(x => x * x).sum)
+          1.0 - dot / (nv * nm + 1e-300)
+        }
+      }.toSeq
+      dists.sum / dists.size
+    }
+    val (assignPP, _, iters) = Similarity.kmeansFit(e, k = 8, maxIters = 25)
+    assert(iters < 25, "the movement-based stop must fire before the cap")
+    val pp = assignPP.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val base = Similarity.kmeansAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (cPP, cBase) = (cost(pp), cost(base))
+    assert(cPP < cBase,
+      f"k-means++ cost $cPP%.6f must beat lowest-id-seed cost $cBase%.6f")
+  }
+
   test("contraction rounds grow logarithmically, not with the diameter") {
     // a 64-node path (diameter 63): min-label propagation needs ~63
     // rounds; large-star/small-star must land well under 2·log2(64)+2
