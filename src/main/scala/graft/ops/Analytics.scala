@@ -254,12 +254,28 @@ object Analytics {
     * fixed-size sketch state, no expand. No oracle: sketch estimates are
     * engine-specific, so the driver records a rows-only check.
     */
+  /** HLL++ estimate, oracle-gated by BOUND rather than value: the sketch
+    * itself is engine-specific, so the checkable contract is `|approx −
+    * exact| ≤ 5·rsd·exact` (5 standard deviations of the rsd=0.01
+    * sketch — deterministic for a fixed dataset). The oracle recomputes
+    * the exact counts and asserts the same boolean as literal true, so a
+    * drifting estimator breaks the hash gate instead of hiding behind a
+    * rows-only check.
+    */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("a") - col("exact_orders")) <=
+          col("exact_orders") * lit(0.05)).as("within_bound"))
+
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      |       true AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Exact COUNT(DISTINCT) companion to [[qApproxDistinct]]: the same
     * grouping with only the deterministic column, so the driver can

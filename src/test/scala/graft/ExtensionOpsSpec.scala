@@ -307,14 +307,14 @@ class ExtensionOpsSpec extends AnyFunSuite {
 
   test("HLL approx_count_distinct is within 5×rsd of the exact count") {
     // rsd = 0.01 requested; 5 standard deviations is a safely non-flaky
-    // bound while still proving the estimate tracks the exact count.
+    // bound while still proving the estimate tracks the exact count. The
+    // query now emits the bound check itself (within_bound) — the oracle
+    // pins it to true, this spec asserts the same from the typed side.
     val rows = Analytics.qApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getBoolean(2),
+        s"flag ${r.getString(0)}: estimate drifted past 5×rsd of ${r.getLong(1)}")
     }
   }
 
