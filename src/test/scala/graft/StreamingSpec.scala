@@ -169,6 +169,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((60L, 3L), (150L, 1L)), s"got $got")
   }
 
+  test("sessionization runs on the RocksDB state store, surviving a restart") {
+    // The scale-path state backend: HDFS-backed state keeps every key in
+    // executor heap, RocksDB spills to local disk — the difference between
+    // OOM and steady state at 10^8 active sessions. Same stop/restart
+    // scenario as the checkpoint test, but under RocksDBStateStoreProvider,
+    // proving the session state machine round-trips through RocksDB
+    // serialization and its checkpoint format recovers across incarnations.
+    val s = spark
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_stream_rocksdb")
+      val ckpt = Files.createTempDirectory("graft_stream_rocksdb_ckpt").toString
+      val outDir = Files.createTempDirectory("graft_stream_rocksdb_out").toString
+      val uid = 999L
+      val sentinelUid = 1111L
+      def writeBatch(name: String, minutes: Seq[Long], user: Long = uid): Unit = {
+        minutes.map(m => (m, m * 60L * 1000000000L, user, "click", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(dir.resolve(s"stage_$name").toString)
+        val f = Files.list(dir.resolve(s"stage_$name")).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        Files.move(f, dir.resolve(s"$name.parquet")); ()
+      }
+      def runQuery(): Unit = {
+        val src = spark.readStream.schema(StreamingJobs.rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val q = StreamingJobs.closedSessions(spark, src).toDF()
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeBatch("batch-1", Seq(60L, 70L))
+      runQuery() // first incarnation, then STOP with the session open
+      writeBatch("batch-2", Seq(80L, 150L))
+      writeBatch("batch-3", Seq(100000L), sentinelUid)
+      runQuery() // resumes the RocksDB-held state from the checkpoint
+      val got = spark.read.parquet(outDir).filter(col("user_id") === uid)
+        .collect().map(r => (r.getAs[Long]("session_start_ms") / 60000,
+          r.getAs[Long]("n_events"))).toSet
+      assert(got == Set((60L, 3L), (150L, 1L)), s"got $got")
+      // the state checkpoint must actually be RocksDB's format: zip
+      // snapshots (+ optional changelogs), not the HDFS provider's .delta
+      val stateFiles = Files.walk(Paths.get(ckpt, "state")).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
+      assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"no RocksDB artifacts under $ckpt/state: $stateFiles")
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+        s"HDFS-provider .delta files found — RocksDB provider not in effect")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming dedup drops re-delivered events, state bounded by watermark") {
     // duplicate delivery: the same events file staged twice
     val dir = Files.createTempDirectory("graft_stream_dedup")
