@@ -64,16 +64,24 @@ object Bench {
     // pass begins with — the boundary cache state is steady-state warm
     // rather than freshly released.
     runPass(names.reverse, timed = false)
-    // Three timed passes, scored by per-query MEDIAN: single-pass numbers
-    // drifted 20%+ run-to-run on identical binaries (r5 51.1s vs r6 62.6s),
-    // which makes any "within 2x of baseline" gate meaningless. The median
-    // absorbs one bad IO/GC outlier per query; min and a noise ratio
-    // (median of per-query max/min spread) are reported alongside so a
-    // reader can judge how trustworthy this run's numbers are.
-    val passCount = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    // Timed passes scored by per-query MEDIAN: single-pass numbers drifted
+    // 20%+ run-to-run on identical binaries (r5 51.1s vs r6 62.6s), which
+    // makes any "within 2x of baseline" gate meaningless. The host noise
+    // arrives in EPISODES (a VM-level stall parked one whole pass at ~9x
+    // in testing, then vanished for six), so the default is FIVE passes —
+    // a median-of-3 is corrupted by one episode spanning two passes; a
+    // median-of-5 needs three bad passes. Min and a noise ratio (median
+    // of per-query max/min spread) are reported alongside so a reader can
+    // judge how trustworthy this run's numbers are; per-pass totals go to
+    // stderr to make an episode visible after the fact.
+    val passCount = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(5)
     val passes = (1 to passCount).map { i =>
       System.err.println(s"[bench] timed pass $i/$passCount")
-      runPass(names, timed = true).toMap
+      val p = runPass(names, timed = true).toMap
+      // per-pass totals expose monotone degradation (state/GC buildup)
+      // that the median alone would mask as "noise"
+      System.err.println(f"[bench] pass $i total ${p.values.sum}%.1f s")
+      p
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
