@@ -278,13 +278,53 @@ final class Warehouse(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Union read of the manifest's version groups. Entries in one version
-    * dir are read together (with `basePath` so partition dir names become
-    * partition columns, exactly like a whole-dir read); groups from
-    * different versions union by name — a merge's untouched partitions
-    * thus stream straight from their original files.
+  /** Read of the manifest's entries as ONE scan relation
+    * ([[ManifestFileIndex]]): after N partition-scoped merges the manifest
+    * references up to N distinct version dirs, and a union-of-version-dirs
+    * read would be an N-arm `Union` of N parquet relations — plan size and
+    * Catalyst analysis cost growing with merge COUNT, a scale killer for a
+    * years-old daily-merge table. The file index hands Spark every leaf
+    * file in a single `HadoopFsRelation` with partition values parsed by
+    * Spark's own multi-basePath discovery, so partition pruning and file
+    * skipping behave exactly like a rename-layout read no matter how many
+    * versions the data straddles.
+    *
+    * Fallback (no readable parquet footer anywhere — cannot happen for
+    * data committed by this warehouse, which always writes ≥1 footer):
+    * the legacy per-version-group union.
     */
   private def readEntries(rel: Relation, entries: Seq[(String, String)]): DataFrame = {
+    // A whole-dir entry (`part == ""`) of a PARTITIONED write must be
+    // expanded to its physical leaf dirs: manifests legitimately mix
+    // whole-dir entries (full refresh) with per-partition entries (later
+    // scoped merges), and partition discovery needs uniform leaf depth.
+    def expand(dir: Path): Seq[Path] = {
+      val st = fs.listStatus(dir)
+      val parts = st.filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(dir)
+      else parts.toSeq.flatMap(s => expand(s.getPath))
+    }
+    val leaves = entries.flatMap { e =>
+      val dir = entryPath(rel, e)
+      if (!fs.exists(dir)) Nil
+      else {
+        val dirs = if (e._2.isEmpty) expand(dir) else Seq(dir)
+        dirs.map { d =>
+          (d, fs.listStatus(d).filter(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet")))
+        }
+      }
+    }
+    val basePaths = entries.map(e => new Path(mfDir(rel), e._1)).toSet
+    ManifestFileIndex.relation(spark, leaves, basePaths)
+      .getOrElse(readEntriesUnion(rel, entries))
+  }
+
+  /** Legacy union-shaped read, one parquet relation per version group —
+    * kept only as [[readEntries]]' no-footer fallback.
+    */
+  private def readEntriesUnion(rel: Relation, entries: Seq[(String, String)]): DataFrame = {
     val groups = entries.groupBy(_._1).toSeq.sortBy(_._1)
     groups.map { case (dir, es) =>
       val base = new Path(mfDir(rel), dir).toString

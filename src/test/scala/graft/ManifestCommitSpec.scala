@@ -200,6 +200,56 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(mfWh.footerRows(r) == 1L)
   }
 
+  test("manifest read is ONE scan relation, however many version dirs") {
+    // N partition-scoped merges park N partitions in N distinct version
+    // dirs; a union-shaped read would be an N-arm Union of N parquet
+    // relations — plan size growing with merge COUNT (thousands for a
+    // years-old daily-merge table). The ManifestFileIndex must present
+    // them as a single FileSourceScan.
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_onescan")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      partitionBy = Seq("name"), partitionKeysStable = true)
+    (1 to 6).foreach { i =>
+      m.incremental(df(Seq((i.toLong, s"p$i", i.toDouble))), r, cfg)
+    }
+    val entries = wh.manifestEntries(r).get
+    assert(entries.map(_._1).distinct.size >= 5,
+      s"precondition: data must straddle many version dirs, got $entries")
+    val d = wh.read(r)
+    assert(d.count() == 6)
+    assert(d.collect().map(x =>
+      (x.getAs[Long]("id"), x.getAs[String]("name"))).toSet ==
+      (1 to 6).map(i => (i.toLong, s"p$i")).toSet)
+    val exec = d.queryExecution.executedPlan
+    val scans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"want one scan node, got:\n$exec")
+    assert(!exec.toString.contains("Union"),
+      s"manifest read must not union version dirs:\n$exec")
+    // partition columns keep Spark's directory-read types (string here)
+    assert(d.schema("name").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("partition pruning prunes across version dirs in the manifest index") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_prune")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      partitionBy = Seq("name"), partitionKeysStable = true)
+    (1 to 5).foreach { i =>
+      m.incremental(df(Seq((i.toLong, s"p$i", i.toDouble))), r, cfg)
+    }
+    val pruned = wh.read(r).filter(col("name") === "p3")
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
+    // the filter must reach the scan as a PartitionFilter and cut the
+    // file set to the one in-scope partition's file(s), out of 5
+    assert(scan.metadata("PartitionFilters").contains("name"),
+      s"partition filter missing: ${scan.metadata}")
+    assert(scan.metrics("numFiles").value == 1,
+      s"pruned scan must read 1 file, read ${scan.metrics("numFiles").value}")
+  }
+
   test("interleaved writers serialize on the relation lock — no lost update") {
     val wh = freshWh(); val r = rel("t_race")
     val m = new Materializer(wh)
