@@ -1,0 +1,71 @@
+package graft.tools
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.core.{CommitMode, ModelConfig, Relation, Warehouse}
+import graft.materialize.Materializer
+
+/** Dev measurement (not library surface): how manifest-read cost scales
+  * with the number of version dirs the data straddles — the scenario a
+  * years-old daily-merge table creates. Writes N partition-scoped merges
+  * (one new version dir each), then times the committed read, which since
+  * ManifestFileIndex is a single scan relation however large N grows.
+  *
+  * Usage: runMain graft.tools.MfReadBench [nMerges]
+  */
+object MfReadBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_mfbench").toString, CommitMode.Manifest)
+    val m = new Materializer(wh)
+    val r = Relation("db", "sch", "t_daily")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      partitionBy = Seq("day"), partitionKeysStable = true)
+    val t0 = System.nanoTime()
+    (1 to n).foreach { i =>
+      m.incremental(Seq((i.toLong, f"d$i%05d", i.toDouble))
+        .toDF("id", "day", "score"), r, cfg)
+    }
+    val tw = (System.nanoTime() - t0) / 1e9
+    val versions = wh.manifestEntries(r).get.map(_._1).distinct.size
+    def time[T](body: => T): (T, Double) = {
+      val s = System.nanoTime(); val v = body
+      (v, (System.nanoTime() - s) / 1e9)
+    }
+    // planning + execution of the committed read, and a pruned read
+    val (_, warm) = time(wh.read(r).count())
+    val (cnt, full) = time(wh.read(r).count())
+    val (one, pruned) = time(
+      wh.read(r).filter($"day" === f"d${n / 2}%05d").count())
+    val scans = wh.read(r).queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size
+    // the pre-FileIndex union shape, reconstructed for contrast: one
+    // parquet relation per version group, unioned by name
+    val (_, unionRead) = time {
+      val base = new org.apache.hadoop.fs.Path(wh.path(r), "_graft")
+      wh.manifestEntries(r).get.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (dir, es) =>
+          spark.read.option("basePath", s"$base/$dir")
+            .parquet(es.map(e => s"$base/$dir/${e._2}"): _*)
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .count()
+    }
+    println(f"""{"merges":$n,"version_dirs":$versions,"rows":$cnt,""" +
+      f""""scan_nodes":$scans,"write_total_s":$tw%.1f,""" +
+      f""""read_warm_s":$warm%.2f,"read_s":$full%.2f,""" +
+      f""""pruned_rows":$one,"pruned_read_s":$pruned%.2f,""" +
+      f""""union_read_s":$unionRead%.2f}""")
+    spark.stop()
+  }
+}
