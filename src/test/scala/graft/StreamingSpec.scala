@@ -169,6 +169,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((60L, 3L), (150L, 1L)), s"got $got")
   }
 
+  test("beyond-watermark event never rewrites an already-emitted session") {
+    // Append-mode output is immutable: once the watermark passes a
+    // session's gap and the session EMITS (state removed), an event older
+    // than the watermark — even one falling INSIDE the emitted session's
+    // time range — must not rewrite that emission. With an event-time
+    // watermark defined, Spark filters beyond-watermark rows from the
+    // flatMapGroupsWithState input, so the late event is DROPPED before
+    // the state machine: emitted history stands, and no contradictory
+    // session appears. (Events late relative to the PREVIOUS batch but
+    // inside the current watermark still merge — pinned by the
+    // out-of-order test above. The watermark lags one batch — it advances
+    // only AFTER the batch carrying the far-future sentinel — so the
+    // close fires in the sentinel's FOLLOWING batch, which is why two
+    // sentinel batches precede the late event; in the sentinel's own
+    // batch the 65min event would still be on time and would merge.)
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_stream_late")
+    val uid = 31337L
+    val sentinelUid = 41414L
+    def writeBatch(name: String, minutes: Seq[Long], user: Long = uid): Unit = {
+      minutes.map(m => (m, m * 60L * 1000000000L, user, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir.resolve(s"stage_$name").toString)
+      val f = Files.list(dir.resolve(s"stage_$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, dir.resolve(s"$name.parquet")); ()
+    }
+    writeBatch("batch-1", Seq(60L, 70L))             // session [60, 70]
+    writeBatch("batch-2", Seq(100000L), sentinelUid) // wm still 60min here
+    writeBatch("batch-3", Seq(100001L), sentinelUid) // wm -> ~99990min: EMITS (60,2)
+    writeBatch("batch-4", Seq(65L)) // inside the EMITTED session's range,
+    // ~99925min beyond the watermark: filtered before the state machine
+
+    val src = spark.readStream.schema(StreamingJobs.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    StreamingJobs.runToMemory(spark,
+      StreamingJobs.closedSessions(spark, src).toDF(),
+      "late_sessions", OutputMode.Append())
+    val got = spark.table("late_sessions").filter(col("user_id") === uid)
+      .collect().map(r => (r.getAs[Long]("session_start_ms") / 60000,
+        r.getAs[Long]("n_events"))).toSeq.sorted
+    assert(got == Seq((60L, 2L)),
+      s"emitted history must stand; the beyond-watermark event is dropped: $got")
+  }
+
   test("sessionization runs on the RocksDB state store, surviving a restart") {
     // The scale-path state backend: HDFS-backed state keeps every key in
     // executor heap, RocksDB spills to local disk — the difference between
