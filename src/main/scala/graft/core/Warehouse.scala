@@ -1,7 +1,7 @@
 package graft.core
 
 import java.util.UUID
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -294,31 +294,74 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * the legacy per-version-group union.
     */
   private def readEntries(rel: Relation, entries: Seq[(String, String)]): DataFrame = {
-    // A whole-dir entry (`part == ""`) of a PARTITIONED write must be
-    // expanded to its physical leaf dirs: manifests legitimately mix
-    // whole-dir entries (full refresh) with per-partition entries (later
-    // scoped merges), and partition discovery needs uniform leaf depth.
-    def expand(dir: Path): Seq[Path] = {
-      val st = fs.listStatus(dir)
-      val parts = st.filter(s =>
-        s.isDirectory && s.getPath.getName.contains("="))
-      if (parts.isEmpty) Seq(dir)
-      else parts.toSeq.flatMap(s => expand(s.getPath))
-    }
-    val leaves = entries.flatMap { e =>
-      val dir = entryPath(rel, e)
-      if (!fs.exists(dir)) Nil
+    val leaves = listEntries(rel, entries)
+    val basePaths = entries.map(e => new Path(mfDir(rel), e._1)).toSet
+    ManifestFileIndex.relation(spark, leaves, basePaths)
+      .getOrElse(readEntriesUnion(rel, entries))
+  }
+
+  /** Per-entry leaf dirs + their parquet files. A whole-dir entry
+    * (`part == ""`) of a PARTITIONED write is expanded to its physical
+    * leaf dirs first: manifests legitimately mix whole-dir entries (full
+    * refresh) with per-partition entries (later scoped merges), and
+    * partition discovery needs uniform leaf depth.
+    *
+    * Listing is one filesystem round trip per entry, so past a threshold
+    * it runs as a Spark job (the same escape hatch as Spark's own
+    * parallel partition discovery): a driver looping 36,500 leaf listings
+    * against an object store is minutes of sequential round trips; 32
+    * executor threads make it seconds. Threshold conf
+    * `graft.manifest.parallelListThreshold` (session), default 64.
+    */
+  private def listEntries(rel: Relation,
+                          entries: Seq[(String, String)]): Seq[(Path, Array[FileStatus])] = {
+    def expandAndList(fsys: org.apache.hadoop.fs.FileSystem, dir: Path,
+                      wholeDir: Boolean): Seq[(Path, Array[FileStatus])] = {
+      def expand(d: Path): Seq[Path] = {
+        val st = fsys.listStatus(d)
+        val parts = st.filter(s =>
+          s.isDirectory && s.getPath.getName.contains("="))
+        if (parts.isEmpty) Seq(d)
+        else parts.toSeq.flatMap(s => expand(s.getPath))
+      }
+      if (!fsys.exists(dir)) Nil
       else {
-        val dirs = if (e._2.isEmpty) expand(dir) else Seq(dir)
+        val dirs = if (wholeDir) expand(dir) else Seq(dir)
         dirs.map { d =>
-          (d, fs.listStatus(d).filter(st =>
+          (d, fsys.listStatus(d).filter(st =>
             st.isFile && st.getPath.getName.endsWith(".parquet")))
         }
       }
     }
-    val basePaths = entries.map(e => new Path(mfDir(rel), e._1)).toSet
-    ManifestFileIndex.relation(spark, leaves, basePaths)
-      .getOrElse(readEntriesUnion(rel, entries))
+    val threshold = spark.conf
+      .getOption("graft.manifest.parallelListThreshold").map(_.toInt)
+      .getOrElse(64)
+    if (entries.size <= threshold)
+      entries.flatMap(e => expandAndList(fs, entryPath(rel, e), e._2.isEmpty))
+    else {
+      // FileStatus/Path are not kryo-friendly across this boundary; ship
+      // strings + (len, mtime) and rebuild driver-side
+      val work = entries.map(e => (entryPath(rel, e).toString, e._2.isEmpty))
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.SerializableWritable(
+          spark.sparkContext.hadoopConfiguration))
+      val slices = math.min(work.size, 256)
+      val listed = spark.sparkContext.parallelize(work, slices).map {
+        case (dirStr, whole) =>
+          val d = new Path(dirStr)
+          val f = d.getFileSystem(confBc.value.value)
+          expandAndList(f, d, whole).map { case (leaf, files) =>
+            (leaf.toString,
+              files.map(s => (s.getPath.toString, s.getLen,
+                s.getModificationTime)))
+          }
+      }.collect().toSeq.flatten
+      listed.map { case (leaf, files) =>
+        (new Path(leaf), files.map { case (p, len, mtime) =>
+          new FileStatus(len, false, 1, 0, mtime, new Path(p))
+        })
+      }
+    }
   }
 
   /** Legacy union-shaped read, one parquet relation per version group —

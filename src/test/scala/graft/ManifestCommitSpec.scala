@@ -250,6 +250,32 @@ class ManifestCommitSpec extends AnyFunSuite {
       s"pruned scan must read 1 file, read ${scan.metrics("numFiles").value}")
   }
 
+  test("parallel entry listing (many entries) reads identically to serial") {
+    // past the threshold, leaf listing runs as a Spark job (one driver
+    // round trip per leaf is minutes at object-store lat× 10^4 leaves);
+    // both paths must produce the same relation
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_plist")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      partitionBy = Seq("name"), partitionKeysStable = true)
+    (1 to 5).foreach { i =>
+      m.incremental(df(Seq((i.toLong, s"p$i", i.toDouble))), r, cfg)
+    }
+    val serial = wh.read(r).collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[String]("name"))).toSet
+    spark.conf.set("graft.manifest.parallelListThreshold", "2")
+    try {
+      val parallel = wh.read(r).collect()
+        .map(x => (x.getAs[Long]("id"), x.getAs[String]("name"))).toSet
+      assert(parallel == serial, "parallel listing changed the data")
+      // and pruning still works through the rebuilt FileStatuses
+      val pruned = wh.read(r).filter(col("name") === "p2")
+      assert(pruned.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
+      assert(scan.metrics("numFiles").value == 1)
+    } finally spark.conf.unset("graft.manifest.parallelListThreshold")
+  }
+
   test("interleaved writers serialize on the relation lock — no lost update") {
     val wh = freshWh(); val r = rel("t_race")
     val m = new Materializer(wh)
