@@ -440,18 +440,30 @@ object TextOps {
   }
 
   // ----------------------------------------------- dedup cluster resolve
-  /** Connected components by alternating LARGE-STAR / SMALL-STAR
-    * contraction (the public two-phase MapReduce CC algorithm of Kiveris
-    * et al., "Connected Components in MapReduce and Beyond"): each round
-    * rewires every node's high neighbors (large-star) then its low
-    * neighbors (small-star) to the neighborhood minimum, contracting any
-    * component to a star rooted at its minimum in O(log n) rounds — where
-    * plain min-label propagation needs O(diameter) rounds (a 1M-long
-    * near-dup chain at corpus scale would mean 1M Spark jobs; this does
-    * ~20). Each round is materialized (`localCheckpoint`, or a reliable
-    * `checkpoint` when `checkpointDir` is given) so round N's plan never
-    * re-executes rounds 1..N-1, and convergence is the edge set reaching
-    * the star-forest fixpoint (anti-join + count — both O(edges)).
+  /** Connected components, SIZE-ADAPTIVE:
+    *
+    *  - edge sets at or under `graft.cc.localSolveMaxEdges` (session conf,
+    *    default 250k ≈ 4 MB of longs) collect to the driver and solve by
+    *    union-find in one pass — near-dup pair sets are routinely tiny
+    *    even over huge corpora, and a dozen Spark rounds of per-job
+    *    overhead to label 200 pairs is pure waste (the same
+    *    size-picks-strategy reasoning AQE applies to joins). The bound is
+    *    HARD and control-plane sized; rounds reports 0.
+    *  - larger edge sets run alternating LARGE-STAR / SMALL-STAR
+    *    contraction (the public two-phase MapReduce CC algorithm of
+    *    Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    *    each round rewires every node's high neighbors (large-star) then
+    *    its low neighbors (small-star) to the neighborhood minimum,
+    *    contracting any component to a star rooted at its minimum in
+    *    O(log n) rounds — where plain min-label propagation needs
+    *    O(diameter) rounds (a 1M-long near-dup chain at corpus scale
+    *    would mean 1M Spark jobs; this does ~20). Each round is
+    *    materialized (`localCheckpoint`, or a reliable `checkpoint` when
+    *    `checkpointDir` is given) so round N's plan never re-executes
+    *    rounds 1..N-1, and convergence is the edge set reaching the
+    *    star-forest fixpoint (anti-join + count — both O(edges)).
+    *
+    * Both paths produce identical labels (component minimum).
     *
     * @param edges directed (doc1 → doc2) edge list; symmetrized inside
     * @param nodes one row per doc_id
@@ -508,6 +520,42 @@ object TextOps {
           least(col("doc1"), col("doc2")).as("dst"))
         .where(col("src") =!= col("dst")).distinct())
     var eCount = e.count()
+
+    val localMax = edges0.sparkSession.conf
+      .getOption("graft.cc.localSolveMaxEdges").map(_.toLong)
+      .getOrElse(250000L)
+    if (eCount > 0 && eCount <= localMax) {
+      // control-plane fast path: ≤ localMax edges is ≤ ~4 MB of longs —
+      // union-find on the driver in one pass beats a dozen distributed
+      // rounds of pure job overhead; the label join back broadcasts a
+      // bounded (≤ 2·localMax rows) map
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = parent.getOrDefault(x, x)
+        while (r != parent.getOrDefault(r, r)) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (c != r) { val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt }
+        r
+      }
+      e.collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { // union by MIN: the root IS the component minimum
+          if (a < b) parent.put(b, a) else parent.put(a, b)
+        }
+      }
+      val s = edges0.sparkSession
+      import s.implicits._
+      val labeled = parent.keySet().iterator()
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (labeled.hasNext) { val k = labeled.next(); rows += ((k, find(k))) }
+      val rootDf = rows.toSeq.toDF("doc_id", "root")
+      val labels = nodes.select(col("doc_id"))
+        .join(broadcast(rootDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      return (labels, 0)
+    }
+
     var rounds = 0
     var converged = eCount == 0L
     while (!converged) {

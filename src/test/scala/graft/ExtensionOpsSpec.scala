@@ -55,11 +55,16 @@ class ExtensionOpsSpec extends AnyFunSuite {
     // 1-2-3-4-5-6 chain: a fixed 3-round propagation would leave node 6
     // labeled > 1; the fixpoint loop must resolve the whole chain to one
     // cluster. Second component {10,11} and isolated node 20 as controls.
+    // Conf forces the DISTRIBUTED path (tiny edge sets otherwise take the
+    // driver union-find fast path, which this test is not about).
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (10L, 11L)).toDF("doc1", "doc2")
     val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 20L)).toDF("doc_id")
-    val (labels, rounds) = TextOps.resolveClustersCounted(edges, nodes)
+    spark.conf.set("graft.cc.localSolveMaxEdges", "0")
+    val (labels, rounds) =
+      try TextOps.resolveClustersCounted(edges, nodes)
+      finally spark.conf.unset("graft.cc.localSolveMaxEdges")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 6L).forall(got(_) == 1L), s"chain not resolved: $got")
     assert(got(10L) == 10L && got(11L) == 10L)
@@ -67,7 +72,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     // star contraction is O(log n) rounds — plain min-label propagation
     // would need ~5 rounds (one per hop) plus a no-change round on this
     // diameter-5 chain
-    assert(rounds <= 4, s"diameter-5 chain took $rounds contraction rounds")
+    assert(rounds >= 1 && rounds <= 4,
+      s"diameter-5 chain took $rounds contraction rounds")
+  }
+
+  test("small edge sets solve on the driver with labels identical to contraction") {
+    // the size-adaptive fast path (union-find under
+    // graft.cc.localSolveMaxEdges) must be label-equivalent to the
+    // distributed star contraction on the same input
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (30L, 31L)).toDF("doc1", "doc2")
+    val nodes = ((1L to 6L) ++ Seq(10L, 11L, 12L, 20L, 30L, 31L)).toDF("doc_id")
+    val (localLabels, localRounds) = TextOps.resolveClustersCounted(edges, nodes)
+    assert(localRounds == 0, "a 8-edge input must take the driver fast path")
+    spark.conf.set("graft.cc.localSolveMaxEdges", "0")
+    val (distLabels, distRounds) =
+      try TextOps.resolveClustersCounted(edges, nodes)
+      finally spark.conf.unset("graft.cc.localSolveMaxEdges")
+    assert(distRounds >= 1)
+    val l = localLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = distLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == d, s"fast path diverged: local=$l dist=$d")
   }
 
   test("k-means++ init + convergence stop beats lowest-id seeding on cluster cost") {
@@ -108,10 +134,14 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val n = 64L
     val edges = (1L until n).map(i => (i, i + 1)).toDF("doc1", "doc2")
     val nodes = (1L to n).toDF("doc_id")
-    val (labels, rounds) = TextOps.resolveClustersCounted(edges, nodes)
+    spark.conf.set("graft.cc.localSolveMaxEdges", "0")
+    val (labels, rounds) =
+      try TextOps.resolveClustersCounted(edges, nodes)
+      finally spark.conf.unset("graft.cc.localSolveMaxEdges")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to n).forall(got(_) == 1L), "path must collapse to one cluster")
-    assert(rounds <= 14, s"64-path took $rounds rounds (diameter-bound loop?)")
+    assert(rounds >= 1 && rounds <= 14,
+      s"64-path took $rounds rounds (diameter-bound loop?)")
   }
 
   test("cluster resolution with a reliable checkpoint dir matches localCheckpoint") {
@@ -120,10 +150,16 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
     val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
-    val reliable = TextOps.resolveClusters(edges, nodes, Some(ckDir))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val local = TextOps.resolveClusters(edges, nodes)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the distributed path — checkpointing is a no-op on the
+    // driver union-find fast path
+    spark.conf.set("graft.cc.localSolveMaxEdges", "0")
+    val (reliable, local) =
+      try (
+        TextOps.resolveClusters(edges, nodes, Some(ckDir))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        TextOps.resolveClusters(edges, nodes)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      finally spark.conf.unset("graft.cc.localSolveMaxEdges")
     assert(reliable == local)
     assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
