@@ -69,9 +69,32 @@ final class Warehouse(val spark: SparkSession, val root: String,
     else latestManifest(rel).isDefined || legacyHasData(rel)
   }
 
+  /** Committed manifest data is IMMUTABLE per sequence number, so the
+    * constructed read DataFrame (file listings + partition parsing +
+    * footer schema) is reusable until the next commit — and a single
+    * model build reads its sources and target many times (exists,
+    * schemaOf, the data itself). Keyed by relation path, valid only
+    * while the latest seq matches; [[drop]]/[[rename]] evict explicitly
+    * because a drop+recreate restarts seqs and would otherwise collide.
+    */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]
+
+  private[core] def invalidateRead(rel: Relation): Unit = {
+    readCache.remove(path(rel)); ()
+  }
+
   def read(rel: Relation): DataFrame =
     if (usesManifest) latestManifest(rel) match {
-      case Some((_, entries)) if entries.nonEmpty => readEntries(rel, entries)
+      case Some((seq, entries)) if entries.nonEmpty =>
+        val key = path(rel)
+        val hit = readCache.get(key)
+        if (hit != null && hit._1 == seq) hit._2
+        else {
+          val df = readEntries(rel, entries)
+          readCache.put(key, (seq, df))
+          df
+        }
       case Some((seq, _)) =>
         // every partition dropped: recover the schema from the newest
         // retained manifest that still has data
@@ -87,6 +110,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def schemaOf(rel: Relation): StructType = read(rel).schema
 
   def drop(rel: Relation): Unit = {
+    invalidateRead(rel)
     val p = new Path(path(rel))
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
@@ -95,6 +119,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * to the relation dir, so a whole-dir rename moves versions intact.
     */
   def rename(from: Relation, to: Relation): Unit = {
+    invalidateRead(from); invalidateRead(to)
     fs.mkdirs(new Path(path(to)).getParent)
     if (!fs.rename(new Path(path(from)), new Path(path(to))))
       throw new IllegalStateException(s"rename ${from.fqName} -> ${to.fqName} failed")

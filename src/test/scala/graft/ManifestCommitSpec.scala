@@ -264,16 +264,34 @@ class ManifestCommitSpec extends AnyFunSuite {
       .map(x => (x.getAs[Long]("id"), x.getAs[String]("name"))).toSet
     spark.conf.set("graft.manifest.parallelListThreshold", "2")
     try {
-      val parallel = wh.read(r).collect()
+      // fresh Warehouse: wh's per-seq read cache would otherwise serve
+      // the serially-constructed DataFrame and skip the parallel path
+      val wh2 = new Warehouse(spark, wh.root, CommitMode.Manifest)
+      val parallel = wh2.read(r).collect()
         .map(x => (x.getAs[Long]("id"), x.getAs[String]("name"))).toSet
       assert(parallel == serial, "parallel listing changed the data")
       // and pruning still works through the rebuilt FileStatuses
-      val pruned = wh.read(r).filter(col("name") === "p2")
+      val pruned = wh2.read(r).filter(col("name") === "p2")
       assert(pruned.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
       val scan = pruned.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
       assert(scan.metrics("numFiles").value == 1)
     } finally spark.conf.unset("graft.manifest.parallelListThreshold")
+  }
+
+  test("read cache never serves stale data across drop + recreate") {
+    // a drop restarts manifest seqs at 1, so seq-equality alone would
+    // collide with the cached pre-drop plan; drop must evict
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_cache")
+    m.table(df(Seq((1L, "a", 1.0))), r)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(1L))
+    wh.drop(r)
+    m.table(df(Seq((9L, "z", 9.0))), r)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(9L),
+      "stale cached read after drop+recreate")
+    // and ordinary commits invalidate via the seq bump
+    m.table(df(Seq((7L, "q", 7.0))), r)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(7L))
   }
 
   test("interleaved writers serialize on the relation lock — no lost update") {
