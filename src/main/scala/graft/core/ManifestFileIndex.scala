@@ -45,14 +45,27 @@ final class ManifestFileIndex(
     leaves: Seq[(Path, Array[FileStatus])],
     basePaths: Set[Path]) extends FileIndex {
 
+  /** Base paths and leaf dirs fs-qualified before any grouping: leaf
+    * dirs produced by whole-dir expansion come from `listStatus` and are
+    * scheme-qualified (`file:/…`) while basePaths built from the
+    * manifest dir are not — Hadoop `Path` equality is textual, so an
+    * unqualified mix would make the parent walk miss its base and run
+    * past the root onto null.
+    */
+  private val qualified: Set[Path] =
+    ManifestFileIndex.qualifyAll(spark, basePaths)
+
   /** Leaves with data, grouped under their version dir, ascending-dir
     * order (committed leaves always hold ≥1 file; empty dirs carry no
     * rows and would only confuse layout detection).
     */
   private val grouped: Seq[(Path, Seq[(Path, Array[FileStatus])])] =
     leaves.filter(_._2.nonEmpty)
+      .map { case (d, fls) =>
+        (ManifestFileIndex.qualifyOne(spark, d), fls)
+      }
       .groupBy { case (d, _) =>
-        Iterator.iterate(d)(_.getParent).find(basePaths.contains).getOrElse(d)
+        ManifestFileIndex.versionGroupOf(d, qualified)
       }
       .toSeq.sortBy(_._1.getName)
 
@@ -102,7 +115,7 @@ final class ManifestFileIndex(
       (unified, dirs)
     }
 
-  override def rootPaths: Seq[Path] = basePaths.toSeq
+  override def rootPaths: Seq[Path] = qualified.toSeq
 
   override def partitionSchema: StructType = partSchema
 
@@ -135,6 +148,23 @@ final class ManifestFileIndex(
 
 object ManifestFileIndex {
 
+  /** Version dir owning leaf dir `d`: walk parents until a base path
+    * matches, bounded at the root (null parent) — both sides must be
+    * [[qualifyOne]]-qualified or Path equality never fires.
+    */
+  private[core] def versionGroupOf(d: Path, basePaths: Set[Path]): Path =
+    Iterator.iterate(d)(_.getParent).takeWhile(_ != null)
+      .find(basePaths.contains).getOrElse(d)
+
+  private[core] def qualifyOne(spark: SparkSession, p: Path): Path =
+    p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
+
+  private[core] def qualifyAll(spark: SparkSession,
+                               ps: Set[Path]): Set[Path] = {
+    val conf = spark.sessionState.newHadoopConf()
+    ps.map(p => p.getFileSystem(conf).makeQualified(p))
+  }
+
   /** Build the single-relation DataFrame for a manifest's entries.
     * Returns None when no entry holds a readable parquet file (nothing to
     * infer a schema from) or when the layout defeats single-relation
@@ -152,10 +182,11 @@ object ManifestFileIndex {
                basePaths: Set[Path]): Option[DataFrame] =
     try {
       val fmt = new ParquetFileFormat()
+      val qBases = qualifyAll(spark, basePaths)
       // one non-empty sample file per version group, ascending dir order
       val samples = leaves
         .groupBy { case (d, _) =>
-          Iterator.iterate(d)(_.getParent).find(basePaths.contains).getOrElse(d)
+          versionGroupOf(qualifyOne(spark, d), qBases)
         }
         .toSeq.sortBy(_._1.getName)
         .flatMap { case (_, ls) =>

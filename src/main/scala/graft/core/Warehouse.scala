@@ -69,16 +69,26 @@ final class Warehouse(val spark: SparkSession, val root: String,
     else latestManifest(rel).isDefined || legacyHasData(rel)
   }
 
-  /** Committed manifest data is IMMUTABLE per sequence number, so the
+  /** Committed manifest data is IMMUTABLE per manifest, so the
     * constructed read DataFrame (file listings + partition parsing +
     * footer schema) is reusable until the next commit — and a single
     * model build reads its sources and target many times (exists,
     * schemaOf, the data itself). Keyed by relation path, valid only
-    * while the latest seq matches; [[drop]]/[[rename]] evict explicitly
-    * because a drop+recreate restarts seqs and would otherwise collide.
+    * while the manifest IDENTITY matches — the seq plus a digest of the
+    * entry list, not the bare seq: multi-writer operation is supported
+    * (relation lock file), and a drop+recreate by ANOTHER process
+    * restarts seqs, so an equal seq alone could alias a different
+    * committed state and serve listings of deleted version dirs. Entry
+    * lists discriminate because version-dir names embed a per-writer
+    * random UUID. [[drop]]/[[rename]] by this instance still evict
+    * explicitly (cheap, and keeps the common case exact).
     */
   private val readCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]
+
+  /** Cache identity of a committed manifest: seq + entry-list digest. */
+  private def manifestIdentity(seq: Long, entries: Seq[(String, String)]): String =
+    s"$seq#${entries.length}#${entries.hashCode}"
 
   private[core] def invalidateRead(rel: Relation): Unit = {
     readCache.remove(path(rel)); ()
@@ -88,11 +98,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
     if (usesManifest) latestManifest(rel) match {
       case Some((seq, entries)) if entries.nonEmpty =>
         val key = path(rel)
+        val id = manifestIdentity(seq, entries)
         val hit = readCache.get(key)
-        if (hit != null && hit._1 == seq) hit._2
+        if (hit != null && hit._1 == id) hit._2
         else {
           val df = readEntries(rel, entries)
-          readCache.put(key, (seq, df))
+          readCache.put(key, (id, df))
           df
         }
       case Some((seq, _)) =>
@@ -205,16 +216,27 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * implements `create(p, overwrite=false)` as check-then-create (two
     * racing threads/processes can both pass the exists check), so the
     * file scheme goes through `O_EXCL` (`CREATE_NEW`) instead; HDFS
-    * `create` is namenode-atomic and object stores map this to a
-    * conditional PUT. Returns false when the path already exists. The
-    * claim (file creation) is what's atomic — a reader that catches the
-    * content mid-write must tolerate it (manifests: trailer check; locks:
-    * unparsable timestamp → brief retry).
+    * `create` is namenode-atomic. Object stores are the treacherous
+    * case: s3a maps `create(p, false)` to check-then-PUT unless S3
+    * conditional writes (If-None-Match) are enabled — the exact
+    * non-atomicity the local branch works around — so non-local claims
+    * are CLAIM-VERIFIED: after the create succeeds, read the path back
+    * and only report the claim won when the surviving bytes are OURS
+    * (last-PUT-wins means exactly one racer's bytes survive; bodies are
+    * writer-unique — lock tokens and version-dir names embed UUIDs).
+    * Deployments should still enable the store's native precondition
+    * (S3 conditional writes, GCS `ifGenerationMatch=0`) — claim-verify
+    * converts a lost race into a clean false, but only the store-native
+    * precondition closes the read-back consistency window entirely.
+    * Returns false when the path already exists or the race was lost.
+    * The claim (file creation) is what's atomic — a reader that catches
+    * the content mid-write must tolerate it (manifests: trailer check;
+    * locks: unparsable timestamp → brief retry).
     */
-  private def createExclusive(p: Path, body: Array[Byte]): Boolean = {
+  private[graft] def createExclusive(p: Path, body: Array[Byte]): Boolean = {
     val scheme = Option(p.toUri.getScheme).getOrElse(
       Option(new Path(root).toUri.getScheme).getOrElse("file"))
-    if (scheme == "file") {
+    if (scheme == "file" && claimFsOverride.isEmpty) {
       try {
         val jp = java.nio.file.Paths.get(p.toUri.getPath)
         java.nio.file.Files.createDirectories(jp.getParent)
@@ -227,14 +249,37 @@ final class Warehouse(val spark: SparkSession, val root: String,
         case _: java.io.IOException => false
       }
     } else {
-      try {
-        fs.mkdirs(p.getParent)
-        val out = fs.create(p, false)
-        try out.write(body) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      val created =
+        try {
+          claimFs.mkdirs(p.getParent)
+          val out = claimFs.create(p, false)
+          try out.write(body) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      created && {
+        try java.util.Arrays.equals(readBytes(claimFs, p).orNull, body)
+        catch { case _: java.io.IOException => false }
+      }
     }
   }
+
+  /** FileSystem used by the claim primitive — a test seam so a spec can
+    * inject a deliberately racy (check-then-create) filesystem and prove
+    * claim-verify still converges to one winner. When set, the claim
+    * path treats the store as non-local (claim-verify active).
+    */
+  private[graft] var claimFsOverride: Option[org.apache.hadoop.fs.FileSystem] = None
+
+  private def claimFs: org.apache.hadoop.fs.FileSystem =
+    claimFsOverride.getOrElse(fs)
+
+  private def readBytes(fsys: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Option[Array[Byte]] =
+    try {
+      val in = fsys.open(p)
+      try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Atomic claim of manifest `seq` via [[createExclusive]]. Returns
     * false when another writer already holds that seq.
@@ -340,6 +385,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     */
   private def listEntries(rel: Relation,
                           entries: Seq[(String, String)]): Seq[(Path, Array[FileStatus])] = {
+    val relName = rel.fqName
     def expandAndList(fsys: org.apache.hadoop.fs.FileSystem, dir: Path,
                       wholeDir: Boolean): Seq[(Path, Array[FileStatus])] = {
       def expand(d: Path): Seq[Path] = {
@@ -349,18 +395,21 @@ final class Warehouse(val spark: SparkSession, val root: String,
         if (parts.isEmpty) Seq(d)
         else parts.toSeq.flatMap(s => expand(s.getPath))
       }
-      if (!fsys.exists(dir)) Nil
-      else {
-        val dirs = if (wholeDir) expand(dir) else Seq(dir)
-        dirs.map { d =>
-          (d, fsys.listStatus(d).filter(st =>
-            st.isFile && st.getPath.getName.endsWith(".parquet")))
-        }
+      // A committed manifest entry whose version dir is GONE is
+      // corruption (GC race, external deletion) — FAIL, never silently
+      // read the relation minus those rows. A partial committed read
+      // served as complete is strictly worse than an error.
+      if (!fsys.exists(dir))
+        throw new IllegalStateException(
+          s"manifest of $relName references missing version dir $dir — " +
+            "GC race or corrupted layout; refusing a silent partial read")
+      val dirs = if (wholeDir) expand(dir) else Seq(dir)
+      dirs.map { d =>
+        (d, fsys.listStatus(d).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")))
       }
     }
-    val threshold = spark.conf
-      .getOption("graft.manifest.parallelListThreshold").map(_.toInt)
-      .getOrElse(64)
+    val threshold = intConf("graft.manifest.parallelListThreshold", 64)
     if (entries.size <= threshold)
       entries.flatMap(e => expandAndList(fs, entryPath(rel, e), e._2.isEmpty))
     else {
@@ -370,24 +419,35 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val confBc = spark.sparkContext.broadcast(
         new org.apache.spark.SerializableWritable(
           spark.sparkContext.hadoopConfiguration))
-      val slices = math.min(work.size, 256)
-      val listed = spark.sparkContext.parallelize(work, slices).map {
-        case (dirStr, whole) =>
-          val d = new Path(dirStr)
-          val f = d.getFileSystem(confBc.value.value)
-          expandAndList(f, d, whole).map { case (leaf, files) =>
-            (leaf.toString,
-              files.map(s => (s.getPath.toString, s.getLen,
-                s.getModificationTime)))
-          }
-      }.collect().toSeq.flatten
-      listed.map { case (leaf, files) =>
-        (new Path(leaf), files.map { case (p, len, mtime) =>
-          new FileStatus(len, false, 1, 0, mtime, new Path(p))
-        })
-      }
+      try {
+        val slices = math.min(work.size, 256)
+        val listed = spark.sparkContext.parallelize(work, slices).map {
+          case (dirStr, whole) =>
+            val d = new Path(dirStr)
+            val f = d.getFileSystem(confBc.value.value)
+            expandAndList(f, d, whole).map { case (leaf, files) =>
+              (leaf.toString,
+                files.map(s => (s.getPath.toString, s.getLen,
+                  s.getModificationTime)))
+            }
+        }.collect().toSeq.flatten
+        listed.map { case (leaf, files) =>
+          (new Path(leaf), files.map { case (p, len, mtime) =>
+            new FileStatus(len, false, 1, 0, mtime, new Path(p))
+          })
+        }
+      } finally confBc.destroy() // uncached reads must not leak broadcasts
     }
   }
+
+  /** Defensive integer session-conf read: a malformed value fails with
+    * the conf NAME, not a bare NumberFormatException at read time.
+    */
+  private def intConf(name: String, default: Int): Int =
+    spark.conf.getOption(name).map { v =>
+      v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"session conf $name must be an integer, got '$v'"))
+    }.getOrElse(default)
 
   /** Legacy union-shaped read, one parquet relation per version group —
     * kept only as [[readEntries]]' no-footer fallback.
@@ -418,10 +478,15 @@ final class Warehouse(val spark: SparkSession, val root: String,
   /** Run `body` holding the relation's writer lock: an atomic
     * create-if-absent lock FILE next to the relation dir, stale-broken by
     * age (`graft.lock.stale.ms`, default 30 min — a crashed writer must
-    * not wedge the warehouse forever), reentrant within a thread. The
-    * lock serializes read-modify-write cycles (merge reads the target it
-    * is about to replace); physical commit atomicity never depends on it
-    * — rename mode has the swap protocol, manifest mode the CAS.
+    * not wedge the warehouse forever), reentrant within a thread. While
+    * held, a daemon heartbeat re-writes the holder timestamp every
+    * `stale.ms / 3`, so a LIVE writer whose data write outlives the stale
+    * threshold — routine for a 100 TB full refresh — is never broken;
+    * stale-break only ever fires on a holder whose heartbeat stopped
+    * (crashed process / dead JVM). The lock serializes read-modify-write
+    * cycles (merge reads the target it is about to replace); physical
+    * commit atomicity never depends on it — rename mode has the swap
+    * protocol, manifest mode the CAS.
     */
   def withRelationLock[T](rel: Relation)(body: => T): T = {
     val key = path(rel)
@@ -437,27 +502,111 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   private def lockFile(key: String) = new Path(key + ".lock")
 
+  /** Live heartbeat threads, keyed by lock path. */
+  private val lockHeartbeats =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]
+
+  private def lockStaleMs: Long =
+    sys.props.getOrElse("graft.lock.stale.ms", "1800000").toLong
+
+  private def readLockContent(p: Path): Option[String] =
+    readBytes(fs, p).map(new String(_, "UTF-8"))
+
+  /** Overwrite-in-place of a lock file this writer already owns (the
+    * heartbeat refresh). Plain overwrite is safe here: only the owner
+    * refreshes, and waiters tolerate a torn read as "unparsable → brief
+    * retry".
+    */
+  private def overwriteLock(p: Path, body: String): Unit = {
+    val scheme = Option(p.toUri.getScheme).getOrElse(
+      Option(new Path(root).toUri.getScheme).getOrElse("file"))
+    if (scheme == "file") {
+      java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+        body.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.WRITE)
+      ()
+    } else {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Lease heartbeat: refresh the held lock's timestamp every
+    * `stale.ms / 3` (three missed beats before anyone may break us). The
+    * thread stops itself if the lock no longer carries our token — the
+    * anomalous already-lost case; refreshing then would clobber the new
+    * holder's lock.
+    */
+  private def startLockHeartbeat(key: String, token: String,
+                                 staleMs: Long): Unit = {
+    val p = lockFile(key)
+    val interval = math.max(staleMs / 3, 10L)
+    val t = new Thread(() => {
+      try {
+        var live = true
+        while (live) {
+          Thread.sleep(interval)
+          readLockContent(p) match {
+            case Some(s) if s.startsWith(token) =>
+              try overwriteLock(p, s"$token ${System.currentTimeMillis}")
+              catch { case _: java.io.IOException => () } // retry next beat
+            case _ =>
+              System.err.println(
+                s"[graft] lock heartbeat on $key: lock no longer ours — " +
+                  "stale-broken while alive? stopping refresh")
+              live = false
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${token.take(8)}")
+    t.setDaemon(true)
+    t.start()
+    lockHeartbeats.put(key, t)
+    ()
+  }
+
   private def acquireLock(key: String): String = {
     val token = UUID.randomUUID.toString
     val timeoutMs = sys.props.getOrElse("graft.lock.timeout.ms", "120000").toLong
-    val staleMs = sys.props.getOrElse("graft.lock.stale.ms", "1800000").toLong
+    val staleMs = lockStaleMs
     val deadline = System.currentTimeMillis + timeoutMs
     val p = lockFile(key)
     while (true) {
       val claimed = createExclusive(p,
         s"$token ${System.currentTimeMillis}".getBytes("UTF-8"))
-      if (claimed) return token
-      // stale detection: a holder that died leaves its timestamp behind
-      val ts = try {
-        val in = fs.open(p)
-        val s =
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-          finally in.close()
-        s.split(" ").lift(1).flatMap(_.toLongOption)
-      } catch { case _: java.io.IOException => None }
+      if (claimed) { startLockHeartbeat(key, token, staleMs); return token }
+      // stale detection: a holder whose heartbeat stopped leaves an aging
+      // timestamp behind
+      val content = readLockContent(p)
+      val ts = content.flatMap(_.split(" ").lift(1)).flatMap(_.toLongOption)
       ts match {
         case Some(t) if System.currentTimeMillis - t > staleMs =>
-          fs.delete(p, false); ()
+          // Atomic break: RENAME the stale lock aside before deleting.
+          // A blind delete lets two waiters both observe staleness, one
+          // delete-and-claim, and the second delete the FIRST's fresh
+          // claim — two live holders. Rename can only succeed for one
+          // breaker; after parking, re-verify the parked content is the
+          // stale lock observed (not a fresh claim that slid in between
+          // read and rename) and restore it if not.
+          val parked = new Path(p.getParent,
+            p.getName + s".brk-${UUID.randomUUID.toString.take(8)}")
+          val renamed = try fs.rename(p, parked)
+                        catch { case _: java.io.IOException => false }
+          if (renamed) {
+            val parkedContent = readLockContent(parked)
+            if (parkedContent == content) { fs.delete(parked, false); () }
+            else {
+              // a fresh lock slid in: put it back; if the slot was
+              // re-claimed meanwhile this is a double fault — log loudly,
+              // the parked holder's heartbeat will notice and stop
+              if (!fs.rename(parked, p))
+                System.err.println(
+                  s"[graft] lock break race on $key: parked a fresh lock " +
+                    s"and could not restore it (left at $parked)")
+            }
+          }
         case None if !fs.exists(p) => () // released between claim and read
         case _ => Thread.sleep(50)
       }
@@ -470,15 +619,35 @@ final class Warehouse(val spark: SparkSession, val root: String,
   }
 
   private def releaseLock(key: String, token: String): Unit = {
+    // stop the lease refresh first: a beat between release-read and
+    // release-delete would resurrect the file
+    Option(lockHeartbeats.remove(key)).foreach { t =>
+      t.interrupt()
+      try t.join(2000) catch { case _: InterruptedException => () }
+    }
     val p = lockFile(key)
+    // Atomic release: rename our lock aside, verify the parked bytes are
+    // OURS, then delete. The old read-check-delete had a window where the
+    // lock could be stale-broken and re-acquired between our read and our
+    // delete — the delete then freed ANOTHER writer's lock. Rename makes
+    // the claim-to-delete exclusive: only one party can move the file.
+    val parked = new Path(p.getParent, p.getName + s".rel-${token.take(8)}")
     try {
-      val in = fs.open(p)
-      val s =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-      // only delete our own lock — it may have been stale-broken and
-      // re-acquired by another writer while we were wedged
-      if (s.startsWith(token)) { fs.delete(p, false); () }
+      if (!fs.rename(p, parked)) return // already broken and freed
+      val s = readLockContent(parked)
+      if (s.exists(_.startsWith(token))) { fs.delete(parked, false); () }
+      else {
+        // not ours — with the heartbeat this needs a double fault to
+        // reach; restore the rightful holder's lock and log loudly
+        if (!fs.rename(parked, p))
+          System.err.println(
+            s"[graft] lock release race on $key: parked another writer's " +
+              s"lock and could not restore it (left at $parked)")
+        else
+          System.err.println(
+            s"[graft] lock release on $key: lock was not ours (stale-" +
+              "broken while alive?) — restored the current holder's lock")
+      }
     } catch { case _: java.io.IOException => () }
   }
 
@@ -746,50 +915,77 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def catalogInfo(database: String, schema: String)
       : Seq[(Relation, Long, Long, Seq[String])] =
     listRelations(database, schema).map { rel =>
-      val bytes =
+      val files =
         if (usesManifest && latestManifest(rel).isDefined)
-          latestManifest(rel).get._2.map { e =>
-            val p = entryPath(rel, e)
-            if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-          }.sum
-        else fs.getContentSummary(new Path(path(rel))).getLength
-      (rel, footerRows(rel), bytes, listPartitions(rel))
+          latestManifest(rel).get._2.flatMap(e => filesUnder(entryPath(rel, e)))
+        else filesUnder(new Path(path(rel)))
+      (rel, footerRowsOf(files), files.map(_.getLen).sum, listPartitions(rel))
     }
 
-  /** Sum of parquet footer record counts under a directory (driver-side
-    * metadata IO only; footers are O(KB) regardless of file size).
+  /** Recursive file listing under a dir — driver-side metadata IO. An
+    * absent dir lists empty (stats callers tolerate an empty relation).
     */
-  private def footerRowCount(dir: Path): Long = {
+  private def filesUnder(dir: Path): Seq[FileStatus] = {
+    if (!fs.exists(dir)) Nil
+    else {
+      val it = fs.listFiles(dir, true)
+      val buf = Seq.newBuilder[FileStatus]
+      while (it.hasNext) { val st = it.next(); if (st.isFile) buf += st }
+      buf.result()
+    }
+  }
+
+  /** Sum of the parquet footer record counts of `files` (footers are
+    * O(KB) metadata regardless of file size). Below the threshold
+    * (`graft.footer.parallelThreshold`, default 64) the driver opens
+    * footers in a loop; past it the opens run as a Spark job — each open
+    * is its own metadata round trip, so a 100k-file table on an object
+    * store would cost the driver minutes of sequential round trips where
+    * executors do it in seconds (the same escape hatch as the parallel
+    * manifest listing above).
+    */
+  private def footerRowsOf(files: Seq[FileStatus]): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    val pq = files.filter(st => st.getPath.getName.endsWith(".parquet"))
     val conf = spark.sparkContext.hadoopConfiguration
-    if (!fs.exists(dir)) return 0L
-    val it = fs.listFiles(dir, true)
-    var rows = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+    if (pq.size <= intConf("graft.footer.parallelThreshold", 64))
+      pq.map { st =>
         val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-        try rows += rd.getRecordCount finally rd.close()
-      }
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.SerializableWritable(conf))
+      try {
+        val paths = pq.map(_.getPath.toString)
+        spark.sparkContext
+          .parallelize(paths, math.min(paths.size, 256))
+          .map { p =>
+            val rd = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new Path(p), confBc.value.value))
+            try rd.getRecordCount finally rd.close()
+          }
+          .fold(0L)(_ + _)
+      } finally confBc.destroy()
     }
-    rows
   }
 
   /** Row count of a relation (or one of its partition subtrees) from
-    * parquet footers — driver-side metadata IO, no Spark job. Sizing
-    * decisions (e.g. the snapshot sub-bucket count) read this instead of
-    * running a count() scan.
+    * parquet footers — metadata IO only, no data scan. Sizing decisions
+    * (e.g. the snapshot sub-bucket count) read this instead of running a
+    * count() scan.
     */
   def footerRows(rel: Relation, subdir: String = ""): Long =
     if (usesManifest) latestManifest(rel) match {
       case Some((_, entries)) =>
-        entries.filter(e => subdir.isEmpty || e._2 == subdir ||
+        footerRowsOf(entries
+          .filter(e => subdir.isEmpty || e._2 == subdir ||
             e._2.startsWith(subdir + "/"))
-          .map(e => footerRowCount(entryPath(rel, e))).sum
-      case None => footerRowCount(subPath(rel, subdir))
+          .flatMap(e => filesUnder(entryPath(rel, e))))
+      case None => footerRowsOf(filesUnder(subPath(rel, subdir)))
     }
-    else footerRowCount(subPath(rel, subdir))
+    else footerRowsOf(filesUnder(subPath(rel, subdir)))
 
   private def subPath(rel: Relation, subdir: String): Path =
     if (subdir.isEmpty) new Path(path(rel)) else new Path(path(rel), subdir)

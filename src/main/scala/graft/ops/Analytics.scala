@@ -249,12 +249,9 @@ object Analytics {
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
-  /** Approximate distinct counts (HLL++): the scale fallback for A4's
-    * exact COUNT(DISTINCT) when the key space itself is huge — one pass,
-    * fixed-size sketch state, no expand. No oracle: sketch estimates are
-    * engine-specific, so the driver records a rows-only check.
-    */
-  /** HLL++ estimate, oracle-gated by BOUND rather than value: the sketch
+  /** HLL++ estimate — the scale fallback for A4's exact COUNT(DISTINCT)
+    * when the key space itself is huge: one pass, fixed-size sketch
+    * state, no expand. Oracle-gated by BOUND rather than value: the sketch
     * itself is engine-specific, so the checkable contract is `|approx −
     * exact| ≤ 5·rsd·exact` (5 standard deviations of the rsd=0.01
     * sketch — deterministic for a fixed dataset). The oracle recomputes

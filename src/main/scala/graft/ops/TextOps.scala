@@ -341,7 +341,7 @@ object TextOps {
     */
   def dedupIncrementalFuzzy(s: SparkSession, d: String): DataFrame = {
     // synthetic split: extras (doc_id ≥ 1000000) are the new batch
-    val idx = fuzzyIndexes.computeIfAbsent(s.hashCode() + ":" + d, _ => {
+    val idx = fuzzyIndexes.computeIfAbsent(s"${s.hashCode()}:$d", _ => {
       val wh = new graft.core.Warehouse(s,
         java.nio.file.Files.createTempDirectory("graft_fuzzy_idx").toString,
         graft.core.CommitMode.Manifest)
@@ -522,7 +522,9 @@ object TextOps {
     var eCount = e.count()
 
     val localMax = edges0.sparkSession.conf
-      .getOption("graft.cc.localSolveMaxEdges").map(_.toLong)
+      .getOption("graft.cc.localSolveMaxEdges")
+      .map(v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"session conf graft.cc.localSolveMaxEdges must be an integer, got '$v'")))
       .getOrElse(250000L)
     if (eCount > 0 && eCount <= localMax) {
       // control-plane fast path: ≤ localMax edges is ≤ ~4 MB of longs —
