@@ -49,13 +49,17 @@ final class Warehouse(val spark: SparkSession, val root: String,
   val usesManifest: Boolean = commitMode match {
     case CommitMode.Manifest => true
     case CommitMode.Rename => false
-    case CommitMode.Auto => sys.env.get("GRAFT_COMMIT_MODE") match {
-      case Some("manifest") => true
-      case Some("rename") => false
-      case _ =>
-        val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
-        Warehouse.ObjectStoreSchemes.contains(scheme.toLowerCase)
-    }
+    case CommitMode.Auto =>
+      // system property first (settable in-process — the manifest-mode CI
+      // lane), then the environment, then the filesystem scheme
+      sys.props.get("graft.commit.mode")
+        .orElse(sys.env.get("GRAFT_COMMIT_MODE")) match {
+        case Some("manifest") => true
+        case Some("rename") => false
+        case _ =>
+          val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
+          Warehouse.ObjectStoreSchemes.contains(scheme.toLowerCase)
+      }
   }
 
   def path(rel: Relation): String = rel.pathUnder(root)

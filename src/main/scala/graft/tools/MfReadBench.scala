@@ -61,11 +61,23 @@ object MfReadBench {
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .count()
     }
+    // footer-stats paths: driver loop vs executor job over the same files
+    // (the job's win scales with per-open metadata latency — local FS is
+    // its floor; object-store round trips multiply the serial cost only)
+    spark.conf.set("graft.footer.parallelThreshold", Int.MaxValue.toString)
+    val (frSerial, footerSerial) = time(wh.footerRows(r))
+    spark.conf.set("graft.footer.parallelThreshold", "0")
+    val (frParallel, footerParallel) = time(wh.footerRows(r))
+    spark.conf.unset("graft.footer.parallelThreshold")
+    require(frSerial == frParallel,
+      s"footer paths disagree: $frSerial vs $frParallel")
     println(f"""{"merges":$n,"version_dirs":$versions,"rows":$cnt,""" +
       f""""scan_nodes":$scans,"write_total_s":$tw%.1f,""" +
       f""""read_warm_s":$warm%.2f,"read_s":$full%.2f,""" +
       f""""pruned_rows":$one,"pruned_read_s":$pruned%.2f,""" +
-      f""""union_read_s":$unionRead%.2f}""")
+      f""""union_read_s":$unionRead%.2f,""" +
+      f""""footer_rows":$frSerial,"footer_serial_s":$footerSerial%.2f,""" +
+      f""""footer_parallel_s":$footerParallel%.2f}""")
     spark.stop()
   }
 }

@@ -279,6 +279,31 @@ class ManifestCommitSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.manifest.parallelListThreshold")
   }
 
+  test("parallel footer stats equal the serial path (rows, bytes, partitions)") {
+    // past graft.footer.parallelThreshold the footer opens run as a Spark
+    // job (a 100k-file table costs the driver minutes of sequential
+    // metadata round trips on an object store); both paths must agree
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_fstat")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      partitionBy = Seq("name"), partitionKeysStable = true)
+    (1 to 5).foreach { i =>
+      m.incremental(df(Seq((i.toLong, s"p$i", i.toDouble))), r, cfg)
+    }
+    spark.conf.set("graft.footer.parallelThreshold", Int.MaxValue.toString)
+    val serialRows = wh.footerRows(r)
+    val serialSub = wh.footerRows(r, "name=p3")
+    val serialCat = wh.catalogInfo("db", "sch")
+    spark.conf.set("graft.footer.parallelThreshold", "0")
+    try {
+      assert(wh.footerRows(r) == serialRows, "footerRows paths disagree")
+      assert(wh.footerRows(r, "name=p3") == serialSub,
+        "subtree footerRows paths disagree")
+      assert(wh.catalogInfo("db", "sch") == serialCat,
+        "catalogInfo paths disagree")
+      assert(serialRows == 5L && serialSub == 1L)
+    } finally spark.conf.unset("graft.footer.parallelThreshold")
+  }
+
   test("read cache never serves stale data across drop + recreate") {
     // a drop restarts manifest seqs at 1, so seq-equality alone would
     // collide with the cached pre-drop plan; drop must evict
