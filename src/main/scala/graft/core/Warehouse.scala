@@ -1187,6 +1187,40 @@ final class Warehouse(val spark: SparkSession, val root: String,
     crowded
   }
 
+  /** Age-based sweep of ORPHANED version dirs: a writer that crashed
+    * after its data write but before its manifest commit leaves an
+    * uncommitted version dir that ordinary commit-time GC only reclaims
+    * once later commits age it past the retention window — on a table
+    * nobody writes again, it survives forever. This sweeps version dirs
+    * that are (a) referenced by NO manifest on disk and (b) older than
+    * `olderThanMs` by modification time. The age guard (hours/days in
+    * practice) is what makes the sweep safe against an in-flight writer
+    * mid-data-write — additionally the sweep holds the relation lock, so
+    * no lock-holding writer can be mid-commit while it runs. Returns the
+    * deleted dir names.
+    */
+  def gcOrphanVersions(rel: Relation, olderThanMs: Long): Seq[String] =
+    withRelationLock(rel) {
+      val d = mfDir(rel)
+      if (!fs.exists(d)) Nil
+      else {
+        val referenced = manifestsDescending(rel).flatMap { case (_, p) =>
+          parseManifest(p).getOrElse(Nil).map(_._1)
+        }.toSet
+        val cutoff = System.currentTimeMillis - olderThanMs
+        fs.listStatus(d).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case VersionName(_) if st.isDirectory &&
+                !referenced.contains(st.getPath.getName) &&
+                st.getModificationTime < cutoff =>
+              fs.delete(st.getPath, true)
+              Some(st.getPath.getName)
+            case _ => None
+          }
+        }.sorted
+      }
+    }
+
   /** Physical directories holding a leaf partition's rows: the single
     * in-place dir (rename mode) or every version dir the manifest maps
     * the leaf to (manifest mode; >1 after appends).

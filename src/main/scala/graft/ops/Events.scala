@@ -97,6 +97,84 @@ object Events {
       |      FROM events)))
       |GROUP BY user_id, session_id""".stripMargin
 
+  /** Skew-salted two-level sessionization — the SCALE.md mitigation for
+    * the pathological-key case (one user with 10^9 events), previously
+    * documented but not implemented. The plain [[sessionize]] sorts each
+    * user's ENTIRE history in one window partition; a mega-user makes
+    * that partition a spilling straggler. Here the per-event work is
+    * partitioned by `(user, time-chunk)` — the salt is the chunk index,
+    * so a user's events spread across `timespan / chunkSeconds`
+    * partitions — and sessions are stitched across chunk boundaries with
+    * a second, SUMMARY-LEVEL pass whose per-user row count is the chunk
+    * count (bounded by the time range, never by event volume):
+    *
+    *  1. local sessionize inside each `(user, chunk)` window;
+    *  2. per-chunk summary (first/last ts, #local sessions);
+    *  3. per-user prefix scan over summaries: a chunk whose first event
+    *     is within `gap` of the previous chunk's last event MERGES its
+    *     first local session backward; `cumBefore` = running
+    *     Σ(n_sessions − merged) numbers the global sessions;
+    *  4. join the summary back on `(user, chunk)` (skew-free: the salt
+    *     is in the join key) — global id = cumBefore + local − merged.
+    *
+    * Merge chains (a session spanning many chunks) resolve because a
+    * fully-merged single-session chunk contributes 0 new sessions to the
+    * prefix sum. Result is row-identical to [[sessionize]] — the oracle
+    * entry reuses the same SQL — while the widest window partition holds
+    * one chunk of one user, not one user's lifetime.
+    */
+  def sessionizeSalted(s: SparkSession, d: String): DataFrame =
+    sessionizeSaltedOver(events(s, d))
+
+  /** @param chunkSeconds salt granularity — large vs the gap (so few
+    *                      sessions straddle bounds) but small vs a mega
+    *                      user's history (default: 1 day against a
+    *                      30-minute gap)
+    */
+  def sessionizeSaltedOver(ev: DataFrame, chunkSeconds: Long = 86400,
+                           gapSeconds: Long = 1800): DataFrame = {
+    val tsec = col("ts").cast("long")
+    val withChunk = ev.withColumn("chunk",
+      floor(tsec / chunkSeconds).cast("long"))
+    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    // level 1: sessionize inside each (user, chunk) salt partition
+    val local = withChunk
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byChunk))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapSeconds, 1
+        ).otherwise(0))
+      .withColumn("local_sid", sum(col("new_session")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // level 2: per-chunk summaries — one row per (user, chunk), so the
+    // per-user window below scales with the TIME RANGE, not event count
+    val summary = local.groupBy(col("user_id"), col("chunk"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        max(col("local_sid")).as("n_sessions"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("chunk").asc)
+    val stitched = summary
+      .withColumn("prev_last_ts", lag(col("last_ts"), 1).over(byUser))
+      .withColumn("merged",
+        when(col("prev_last_ts").isNotNull &&
+          col("first_ts").cast("long") - col("prev_last_ts").cast("long")
+            <= gapSeconds, 1L).otherwise(0L))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_sessions") - col("merged")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("chunk"), col("cum_before"), col("merged"))
+    local
+      .join(stitched, Seq("user_id", "chunk"))
+      .withColumn("session_id",
+        col("cum_before") + col("local_sid") - col("merged"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("session_start_ms"),
+        // same exact-cents quantization as [[sessionize]] (see there)
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+          .as("sum_value"))
+  }
+
   /** As-of join, Spark-first: "for each purchase, the value of the user's
     * latest click at-or-before it". Instead of a custom physical operator,
     * union both sides tagged and carry the click value forward with an

@@ -15,6 +15,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   catalog          tables (footer row counts, bytes, partitions) + durable views
   *   compact          coalesce crowded partition leaves (--max-files N, default 8)
   *   expire-snapshots drop closed history months < --keep-from yyyy-MM
+  *   gc               sweep crashed writers' orphaned uncommitted version
+  *                    dirs (--older-than 7d / 12h / 90m; manifest mode)
   * flags:
   *   --select a,b       restrict to these nodes
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -129,10 +131,44 @@ object GraftCli {
           if (dropped.nonEmpty)
             println(s"EXPIRED  ${sn.name}: ${dropped.sorted.mkString(", ")}")
         }
+      case "gc" =>
+        // retention sweep for crashed writers: an uncommitted version dir
+        // on a table nobody writes again survives commit-time GC forever;
+        // this reclaims it by AGE (never touching dirs young enough to be
+        // an in-flight write)
+        val olderThan = flags.get("older-than").flatMap(_.headOption)
+          .getOrElse {
+            System.err.println("gc requires --older-than <N>{d|h|m}")
+            sys.exit(2)
+          }
+        val ms = parseDurationMs(olderThan)
+        val (db, sch) = (target.database, target.resolvedSchema)
+        engine.warehouse.listRelations(db, sch).foreach { rel =>
+          val dropped = engine.warehouse.gcOrphanVersions(rel, ms)
+          if (dropped.nonEmpty)
+            println(s"GC       ${rel.identifier}: ${dropped.size} orphaned " +
+              s"version dirs removed (${dropped.mkString(", ")})")
+        }
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** `7d` / `12h` / `90m` / bare minutes → milliseconds. */
+  private[tools] def parseDurationMs(s: String): Long = {
+    val (num, unit) = s.span(c => c.isDigit)
+    val n = num.toLongOption.getOrElse {
+      System.err.println(s"bad duration '$s': want <N>{d|h|m}"); sys.exit(2)
+    }
+    unit match {
+      case "d" => n * 86400000L
+      case "h" => n * 3600000L
+      case "m" | "" => n * 60000L
+      case u =>
+        System.err.println(s"bad duration unit '$u': want d, h or m")
+        sys.exit(2)
+    }
   }
 
   private def parseArgs(args: List[String])

@@ -343,6 +343,29 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(wh.path(r) + ".lock")))
   }
 
+  test("gcOrphanVersions sweeps aged uncommitted dirs, spares live ones") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_gc")
+    m.table(df(Seq((1L, "a", 1.0))), r)
+    val live = wh.manifestEntries(r).get.head._1
+    // a crashed writer's orphan: uncommitted, referenced by no manifest
+    val oldOrphan = mfDir(wh, r).resolve("v000000000009-deadbeef")
+    Files.createDirectories(oldOrphan)
+    Files.write(oldOrphan.resolve("junk.parquet"), Array[Byte](1))
+    Files.setLastModifiedTime(oldOrphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 3600_000))
+    // a YOUNG orphan — could be an in-flight writer mid-data-write
+    val youngOrphan = mfDir(wh, r).resolve("v000000000010-cafebabe")
+    Files.createDirectories(youngOrphan)
+    val swept = wh.gcOrphanVersions(r, olderThanMs = 600_000)
+    assert(swept == Seq("v000000000009-deadbeef"), s"swept: $swept")
+    assert(!Files.exists(oldOrphan), "aged orphan must be removed")
+    assert(Files.exists(youngOrphan), "young dir may be in-flight — spare it")
+    assert(Files.exists(mfDir(wh, r).resolve(live)),
+      "committed version dir must never be swept")
+    assert(wh.read(r).count() == 1)
+  }
+
   test("a stale lock (dead holder) is broken, not waited on forever") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_stale")
     val lock = Paths.get(wh.path(r) + ".lock")
