@@ -209,6 +209,58 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def manifestEntries(rel: Relation): Option[Seq[(String, String)]] =
     if (usesManifest) latestManifest(rel).map(_._2) else None
 
+  /** Time travel (manifest mode): the retained, complete commits of a
+    * relation, oldest first — each is a seq a [[readAt]] can resolve.
+    * Retention is [[KeepManifests]] deep (commit-time GC prunes beyond
+    * it), so this is a bounded undo window, not unbounded history.
+    * Rename mode keeps no history: empty.
+    */
+  def listVersions(rel: Relation): Seq[Long] =
+    if (!usesManifest) Nil
+    else manifestsDescending(rel)
+      .flatMap { case (seq, p) => parseManifest(p).map(_ => seq) }
+      .sorted
+
+  /** Read the relation AS OF committed manifest `seq` — the manifest
+    * protocol's immutable version dirs give snapshot reads for free
+    * (the same mechanism that lets in-flight readers survive a
+    * concurrent commit). Fails loudly when `seq` is not a retained,
+    * complete commit: silently substituting another version would be a
+    * correctness trap in an audit/rollback workflow.
+    */
+  def readAt(rel: Relation, seq: Long): DataFrame = {
+    require(usesManifest,
+      s"time travel needs the manifest protocol; ${rel.fqName} is " +
+        "rename-mode (no retained history)")
+    val entries = manifestsDescending(rel)
+      .collectFirst { case (s, p) if s == seq => parseManifest(p) }
+      .flatten
+      .getOrElse(throw new IllegalArgumentException(
+        s"${rel.fqName} has no retained complete manifest $seq " +
+          s"(retained: ${listVersions(rel).mkString(", ")})"))
+    if (entries.isEmpty) read(rel).limit(0)
+    else readEntries(rel, entries)
+  }
+
+  /** Roll the relation back to committed `seq`: a NEW manifest commit
+    * carrying the old commit's entries — metadata-only (no data moves),
+    * history stays linear (the bad commit remains in the retained window
+    * for audit), and commit-time GC keeps every version dir the new head
+    * references. The standard undo for a bad load under snapshot
+    * semantics.
+    */
+  def rollbackTo(rel: Relation, seq: Long): Unit = withRelationLock(rel) {
+    require(usesManifest,
+      s"rollback needs the manifest protocol; ${rel.fqName} is rename-mode")
+    val entries = manifestsDescending(rel)
+      .collectFirst { case (s, p) if s == seq => parseManifest(p) }
+      .flatten
+      .getOrElse(throw new IllegalArgumentException(
+        s"${rel.fqName} has no retained complete manifest $seq " +
+          s"(retained: ${listVersions(rel).mkString(", ")})"))
+    commitEntries(rel)(_ => entries)
+  }
+
   /** Newest COMPLETE manifest: (seq, entries). */
   private def latestManifest(rel: Relation): Option[(Long, Seq[(String, String)])] =
     manifestsDescending(rel).iterator

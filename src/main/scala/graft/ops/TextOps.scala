@@ -1496,6 +1496,50 @@ object TextOps {
       |          AS bucket
       |      FROM documents)""".stripMargin
 
+  // ------------------------------------------------ epoch shuffle
+  /** Deterministic sharded epoch shuffle — the data-loader ordering
+    * primitive for training runs: each epoch needs a DIFFERENT but
+    * REPRODUCIBLE global permutation of the corpus, with no RNG state to
+    * coordinate across workers. The permutation key is
+    * `md5(doc_id:epoch)` (new epoch → new key → new order; same epoch →
+    * identical order on any rerun or worker), the shard is the key's
+    * leading 64 bits mod `numShards` (one shard per loader worker /
+    * output file), and the within-shard position is a `row_number` over
+    * a window PARTITIONED BY shard — so the sort is per-shard, sized
+    * N/numShards, never a global single-partition ordinal. At 100 TB,
+    * `numShards` is the output-file count (10^4–10^5): each shard sorts
+    * its own slice and the whole shuffle is one hash exchange + per-
+    * partition sort. md5 keying follows the [[splitAssign]] convention
+    * (engine-exact, unlike float RNG).
+    */
+  def epochShuffle(s: SparkSession, d: String): DataFrame =
+    epochShuffleOver(documents(s, d), epoch = 7, numShards = 8)
+
+  def epochShuffleOver(docs: DataFrame, epoch: Int,
+                       numShards: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"))
+      .withColumn("shuffle_key",
+        expr(s"md5(CAST(doc_id AS STRING) || ':$epoch')"))
+      .withColumn("shard", expr(
+        s"CAST(conv(substr(shuffle_key, 1, 8), 16, 10) AS BIGINT) % $numShards"))
+    keyed.withColumn("pos_in_shard",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("shuffle_key").asc, col("doc_id").asc))
+        .cast("long"))
+  }
+
+  val epochShuffleSql: String =
+    """SELECT doc_id, shuffle_key, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard
+      |    ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT) AS pos_in_shard
+      |FROM (SELECT doc_id,
+      |        md5(CAST(doc_id AS VARCHAR) || ':7') AS shuffle_key,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT % 8
+      |          AS shard
+      |      FROM documents)""".stripMargin
+
   // ------------------------------------------- temperature source mixing
   /** Temperature-weighted source mixing (α = 0.5): target share per
     * source ∝ n_s^α — the standard multilingual/multi-source rebalancing

@@ -481,6 +481,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0)
   }
 
+  test("epoch shuffle: a reproducible permutation that changes across epochs") {
+    val docs = TData.documents(spark, sf)
+    val n = docs.count()
+    val e7 = TextOps.epochShuffleOver(docs, epoch = 7, numShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // a permutation: every doc exactly once, shard positions contiguous 1..n_s
+    assert(e7.length == n && e7.map(_._1).distinct.length == e7.length)
+    e7.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // reproducible: a rerun of the same epoch is bit-identical
+    val again = TextOps.epochShuffleOver(docs, epoch = 7, numShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(e7.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a new epoch is a genuinely different permutation (docs move shards)
+    val e8 = TextOps.epochShuffleOver(docs, epoch = 8, numShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val moved = e7.sortBy(_._1).zip(e8.sortBy(_._1))
+      .count { case ((_, s7, p7), (_, s8, p8)) => s7 != s8 || p7 != p8 }
+    assert(moved > n / 2, s"epoch change must reshuffle most docs (moved=$moved)")
+  }
+
   test("boilerplate strip: bounds hold and the hot grams really clear df>N/10") {
     val out = TextOps.boilerplateStrip(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -343,6 +343,31 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(wh.path(r) + ".lock")))
   }
 
+  test("time travel: readAt resolves retained commits, rollback is metadata-only") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_tt")
+    m.table(df(Seq((1L, "a", 1.0))), r)
+    m.table(df(Seq((2L, "b", 2.0))), r)
+    m.table(df(Seq((3L, "c", 3.0))), r)
+    val versions = wh.listVersions(r)
+    assert(versions == Seq(1L, 2L, 3L))
+    // snapshot reads: each retained commit is independently readable
+    assert(wh.readAt(r, 1L).collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(wh.readAt(r, 2L).collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(3L))
+    // an unretained / never-committed seq fails loudly
+    intercept[IllegalArgumentException](wh.readAt(r, 99L))
+    // rollback: new commit re-pointing at seq 2's data, nothing rewritten
+    wh.rollbackTo(r, 2L)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(2L),
+      "head must serve the rolled-back-to version")
+    assert(wh.listVersions(r).max == 4L, "rollback is a NEW linear commit")
+    // the bad commit (3) stays in the retained window for audit
+    assert(wh.readAt(r, 3L).collect().map(_.getLong(0)).toSet == Set(3L))
+    // and writing after a rollback proceeds normally
+    m.table(df(Seq((5L, "e", 5.0))), r)
+    assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
   test("gcOrphanVersions sweeps aged uncommitted dirs, spares live ones") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_gc")
     m.table(df(Seq((1L, "a", 1.0))), r)
