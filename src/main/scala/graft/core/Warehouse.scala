@@ -232,14 +232,42 @@ final class Warehouse(val spark: SparkSession, val root: String,
     require(usesManifest,
       s"time travel needs the manifest protocol; ${rel.fqName} is " +
         "rename-mode (no retained history)")
-    val entries = manifestsDescending(rel)
+    val entries = entriesAt(rel, seq)
+    if (entries.isEmpty) read(rel).limit(0)
+    else readEntries(rel, entries)
+  }
+
+  /** The entry list of retained committed manifest `seq`, or a loud
+    * failure — time-travel callers must never silently get another
+    * version.
+    */
+  private def entriesAt(rel: Relation, seq: Long): Seq[(String, String)] =
+    manifestsDescending(rel)
       .collectFirst { case (s, p) if s == seq => parseManifest(p) }
       .flatten
       .getOrElse(throw new IllegalArgumentException(
         s"${rel.fqName} has no retained complete manifest $seq " +
           s"(retained: ${listVersions(rel).mkString(", ")})"))
-    if (entries.isEmpty) read(rel).limit(0)
-    else readEntries(rel, entries)
+
+  /** Changelog read: the rows ADDED between retained commits `fromSeq`
+    * (exclusive) and `toSeq` (inclusive) — the entries `toSeq` references
+    * that `fromSeq` does not. For append-mode tables this is exactly the
+    * incremental delta, so a downstream consumer can checkpoint a seq and
+    * process only new data per run — at 100 TB the difference between a
+    * full rescan and reading one batch. Overwrite-style commits replace
+    * entries rather than add them; rewritten entries surface as additions
+    * (their rows are new versions), which is the honest upper bound —
+    * this method never silently drops a change.
+    */
+  def readAppendedBetween(rel: Relation, fromSeq: Long, toSeq: Long): DataFrame = {
+    require(usesManifest,
+      s"changelog reads need the manifest protocol; ${rel.fqName} is rename-mode")
+    require(fromSeq < toSeq,
+      s"readAppendedBetween wants fromSeq < toSeq, got $fromSeq >= $toSeq")
+    val before = entriesAt(rel, fromSeq).toSet
+    val added = entriesAt(rel, toSeq).filterNot(before)
+    if (added.isEmpty) read(rel).limit(0)
+    else readEntries(rel, added)
   }
 
   /** Roll the relation back to committed `seq`: a NEW manifest commit
@@ -252,12 +280,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def rollbackTo(rel: Relation, seq: Long): Unit = withRelationLock(rel) {
     require(usesManifest,
       s"rollback needs the manifest protocol; ${rel.fqName} is rename-mode")
-    val entries = manifestsDescending(rel)
-      .collectFirst { case (s, p) if s == seq => parseManifest(p) }
-      .flatten
-      .getOrElse(throw new IllegalArgumentException(
-        s"${rel.fqName} has no retained complete manifest $seq " +
-          s"(retained: ${listVersions(rel).mkString(", ")})"))
+    val entries = entriesAt(rel, seq)
     commitEntries(rel)(_ => entries)
   }
 

@@ -17,6 +17,9 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   expire-snapshots drop closed history months < --keep-from yyyy-MM
   *   gc               sweep crashed writers' orphaned uncommitted version
   *                    dirs (--older-than 7d / 12h / 90m; manifest mode)
+  *   versions         retained commit history per table (manifest mode)
+  *   rollback         re-point a table at an old commit (--table t --to N;
+  *                    metadata-only, history stays linear for audit)
   * flags:
   *   --select a,b       restrict to these nodes
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -149,6 +152,29 @@ object GraftCli {
             println(s"GC       ${rel.identifier}: ${dropped.size} orphaned " +
               s"version dirs removed (${dropped.mkString(", ")})")
         }
+      case "versions" =>
+        // retained undo window per table: what a rollback can target
+        val (db, sch) = (target.database, target.resolvedSchema)
+        engine.warehouse.listRelations(db, sch).foreach { rel =>
+          val vs = engine.warehouse.listVersions(rel)
+          if (vs.nonEmpty)
+            println(f"VERSIONS ${rel.identifier}%-32s head=${vs.max} " +
+              s"retained=${vs.mkString(", ")}")
+        }
+      case "rollback" =>
+        val tbl = flags.get("table").flatMap(_.headOption).getOrElse {
+          System.err.println("rollback requires --table <name> --to <seq>")
+          sys.exit(2)
+        }
+        val to = flags.get("to").flatMap(_.headOption)
+          .flatMap(_.toLongOption).getOrElse {
+            System.err.println("rollback requires --to <seq>")
+            sys.exit(2)
+          }
+        val rel = engine.relationFor(tbl)
+        engine.warehouse.rollbackTo(rel, to)
+        println(s"ROLLBACK ${rel.identifier}: head now serves commit $to " +
+          s"(new commit ${engine.warehouse.listVersions(rel).max})")
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }

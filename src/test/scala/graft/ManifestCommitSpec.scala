@@ -368,6 +368,29 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(wh.read(r).collect().map(_.getLong(0)).toSet == Set(5L))
   }
 
+  test("changelog read: appended-delta between two commits, checkpoint style") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_cdc")
+    m.table(df(Seq((1L, "a", 1.0))), r)                 // seq 1
+    wh.append(df(Seq((2L, "b", 2.0))), r)               // seq 2
+    wh.append(df(Seq((3L, "c", 3.0), (4L, "d", 4.0))), r) // seq 3
+    // a consumer checkpointed at 1 sees exactly the two appended batches
+    assert(wh.readAppendedBetween(r, 1L, 3L).collect().map(_.getLong(0)).toSet
+      == Set(2L, 3L, 4L))
+    assert(wh.readAppendedBetween(r, 2L, 3L).collect().map(_.getLong(0)).toSet
+      == Set(3L, 4L))
+    // no new commits since the checkpoint: empty, schema intact
+    val none = wh.readAppendedBetween(r, 2L, 3L).limit(0)
+    assert(none.schema == wh.read(r).schema)
+    // an overwrite surfaces its rewritten entries as additions (upper
+    // bound — never a silent drop)
+    m.table(df(Seq((9L, "z", 9.0))), r)                 // seq 4 replaces all
+    assert(wh.readAppendedBetween(r, 3L, 4L).collect().map(_.getLong(0)).toSet
+      == Set(9L))
+    // a checkpoint older than the retained window fails loudly
+    intercept[IllegalArgumentException](wh.readAppendedBetween(r, 0L, 4L))
+    intercept[IllegalArgumentException](wh.readAppendedBetween(r, 4L, 4L))
+  }
+
   test("gcOrphanVersions sweeps aged uncommitted dirs, spares live ones") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_gc")
     m.table(df(Seq((1L, "a", 1.0))), r)
