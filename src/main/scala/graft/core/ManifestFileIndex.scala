@@ -43,7 +43,8 @@ import org.apache.spark.sql.types.{StringType, StructType}
 final class ManifestFileIndex(
     spark: SparkSession,
     leaves: Seq[(Path, Array[FileStatus])],
-    basePaths: Set[Path]) extends FileIndex {
+    basePaths: Set[Path],
+    fileStats: FileStats.PerFile = Map.empty) extends FileIndex {
 
   /** Base paths and leaf dirs fs-qualified before any grouping: leaf
     * dirs produced by whole-dir expansion come from `listStatus` and are
@@ -120,23 +121,49 @@ final class ManifestFileIndex(
   override def partitionSchema: StructType = partSchema
 
   override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    if (partitionFilters.isEmpty || partSchema.isEmpty) partDirs
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val partPruned =
+      if (partitionFilters.isEmpty || partSchema.isEmpty) partDirs
+      else {
+        // the standard partition-pruning bind (what Spark's own
+        // PartitioningAwareFileIndex does): resolve each partition-column
+        // attribute to its ordinal in the partition-values row, evaluate
+        // the conjunction against every partition's values
+        val bound = Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partSchema.indexWhere(f =>
+                spark.sessionState.conf.resolver(f.name, a.name))
+              BoundReference(i, partSchema(i).dataType, nullable = true)
+          })
+        bound.initialize(0)
+        partDirs.filter(pd => bound.eval(pd.values))
+      }
+    // file skipping on the committed sidecar stats: a file is planned
+    // only when every data filter MAY match its recorded ranges; files
+    // without stats always survive (stats are an optimization, never a
+    // correctness input)
+    if (dataFilters.isEmpty || fileStats.isEmpty) partPruned
     else {
-      // the standard partition-pruning bind (what Spark's own
-      // PartitioningAwareFileIndex does): resolve each partition-column
-      // attribute to its ordinal in the partition-values row, evaluate
-      // the conjunction against every partition's values
-      val bound = Predicate.createInterpreted(
-        partitionFilters.reduce(And).transform {
-          case a: AttributeReference =>
-            val i = partSchema.indexWhere(f =>
-              spark.sessionState.conf.resolver(f.name, a.name))
-            BoundReference(i, partSchema(i).dataType, nullable = true)
+      val resolver = spark.sessionState.conf.resolver
+      val pruned = partPruned.map { pd =>
+        PartitionDirectory(pd.values, pd.files.filter { f =>
+          fileStats.get(f.getPath.getName).forall(cols =>
+            dataFilters.forall(df => FileStats.mayContain(cols, df, resolver)))
         })
-      bound.initialize(0)
-      partDirs.filter(pd => bound.eval(pd.values))
+      }
+      val (before, after) =
+        (partPruned.map(_.files.size).sum, pruned.map(_.files.size).sum)
+      if (after < before)
+        logSkip(s"file-stats skipping planned $after of $before files")
+      pruned
     }
+  }
+
+  // via stderr not log4j: the bench and specs watch this channel
+  private def logSkip(msg: String): Unit =
+    if (spark.conf.getOption("graft.stats.logSkips").contains("true"))
+      System.err.println(s"[graft] $msg")
 
   override def inputFiles: Array[String] =
     partDirs.flatMap(_.files.map(_.getPath.toString)).toArray
@@ -179,7 +206,8 @@ object ManifestFileIndex {
     */
   def relation(spark: SparkSession,
                leaves: Seq[(Path, Array[FileStatus])],
-               basePaths: Set[Path]): Option[DataFrame] =
+               basePaths: Set[Path],
+               fileStats: FileStats.PerFile = Map.empty): Option[DataFrame] =
     try {
       val fmt = new ParquetFileFormat()
       val qBases = qualifyAll(spark, basePaths)
@@ -194,7 +222,7 @@ object ManifestFileIndex {
         }
       fmt.inferSchema(spark, Map("mergeSchema" -> "true"), samples).map {
         dataSchema =>
-          val index = new ManifestFileIndex(spark, leaves, basePaths)
+          val index = new ManifestFileIndex(spark, leaves, basePaths, fileStats)
           val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
             None, fmt, Map.empty)(spark)
           spark.baseRelationToDataFrame(rel)

@@ -445,9 +445,71 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private def readEntries(rel: Relation, entries: Seq[(String, String)]): DataFrame = {
     val leaves = listEntries(rel, entries)
     val basePaths = entries.map(e => new Path(mfDir(rel), e._1)).toSet
-    ManifestFileIndex.relation(spark, leaves, basePaths)
+    val stats = readStats(entries.map(_._1).distinct.map(d => new Path(mfDir(rel), d)))
+    ManifestFileIndex.relation(spark, leaves, basePaths, stats)
       .getOrElse(readEntriesUnion(rel, entries))
   }
+
+  /** Merge the [[FileStats]] sidecars of the referenced version dirs for
+    * planning-time file skipping. File names embed the write job's UUID,
+    * so they are unique across version dirs and a flat merge is safe. One
+    * driver read per version dir — bounded by the retained version count,
+    * which [[compactPartitions]] keeps small — and a missing or torn
+    * sidecar contributes nothing (its files just aren't skipped).
+    * `graft.stats.enabled=false` bypasses stats on read as well as write,
+    * the kill switch for ruling skipping out of a correctness question.
+    */
+  private def readStats(vdirs: Seq[Path]): FileStats.PerFile =
+    if (spark.conf.getOption("graft.stats.enabled").contains("false")) Map.empty
+    else vdirs.foldLeft(Map.empty: FileStats.PerFile) { (acc, d) =>
+      FileStats.read(fs, d).fold(acc)(acc ++ _)
+    }
+
+  /** Read the just-written parquet footers under `vdir` and persist their
+    * per-file column ranges as the dir's `_graft_stats` sidecar (see
+    * [[FileStats]]). Runs BEFORE the manifest commit, so the sidecar is
+    * immutable alongside its data and travels through commits, time
+    * travel, and GC with the dir. Best-effort: any failure costs
+    * file-skipping on later reads, never the write itself. Past the
+    * parallel-listing threshold the footer reads run as a Spark job —
+    * the write may have produced thousands of files, and a driver loop
+    * over object-store footers is the same sequential-round-trip trap as
+    * driver-side listing. Session confs: `graft.stats.enabled` (default
+    * true), `graft.stats.maxCols` (cap on recorded columns, default 32).
+    */
+  private def writeStatsSidecar(vdir: Path): Unit =
+    if (!spark.conf.getOption("graft.stats.enabled").contains("false")) try {
+      val maxCols = intConf("graft.stats.maxCols", 32)
+      def parquets(d: Path): Seq[FileStatus] = {
+        val st = fs.listStatus(d).toSeq
+        st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ++
+          st.filter(_.isDirectory).flatMap(s => parquets(s.getPath))
+      }
+      val files = parquets(vdir)
+      val threshold = intConf("graft.manifest.parallelListThreshold", 64)
+      val stats: FileStats.PerFile =
+        if (files.size <= threshold)
+          FileStats.collect(spark.sparkContext.hadoopConfiguration, files, maxCols)
+        else {
+          val confBc = spark.sparkContext.broadcast(
+            new org.apache.spark.SerializableWritable(
+              spark.sparkContext.hadoopConfiguration))
+          try {
+            val work = files.map(f =>
+              (f.getPath.toString, f.getLen, f.getModificationTime))
+            val slices = math.min(work.size, 256)
+            spark.sparkContext.parallelize(work, slices).mapPartitions { it =>
+              val conf = confBc.value.value
+              it.map { case (p, len, mtime) =>
+                FileStats.collect(conf,
+                  Seq(new FileStatus(len, false, 1, 0, mtime, new Path(p))),
+                  maxCols)
+              }
+            }.collect().foldLeft(Map.empty: FileStats.PerFile)(_ ++ _)
+          } finally confBc.destroy()
+        }
+      FileStats.write(fs, vdir, stats)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Per-entry leaf dirs + their parquet files. A whole-dir entry
     * (`part == ""`) of a PARTITIONED write is expanded to its physical
@@ -807,6 +869,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                else writer
       w2.parquet(vdir.toString)
+      writeStatsSidecar(vdir)
       val parts =
         if (partitionCols.isEmpty) Seq("")
         else leafDirs(vdir, partitionCols.length)
@@ -869,6 +932,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
         val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                  else writer
         w2.parquet(vdir.toString)
+        writeStatsSidecar(vdir)
         val parts =
           if (partitionCols.isEmpty) Seq("")
           else leafDirs(vdir, partitionCols.length)
@@ -1193,6 +1257,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
     clusteredWriter(df, pcols, clusterCols)
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(vdir.toString)
+    writeStatsSidecar(vdir)
     val written = leafDirs(vdir, pcols.length)
     val writtenSet = written.toSet
     val writtenVals = written

@@ -71,13 +71,33 @@ object MfReadBench {
     spark.conf.unset("graft.footer.parallelThreshold")
     require(frSerial == frParallel,
       s"footer paths disagree: $frSerial vs $frParallel")
+    // file skipping from the per-version-dir stats sidecars: a point query
+    // on id (each merge's file holds exactly one id here) should PLAN only
+    // the in-range file(s), not schedule a task per file — the zone-map
+    // effect. Contrast against a stats-blind instance on the same root.
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.count()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value }.sum
+    }
+    val mid = (n / 2).toLong
+    val (skipFiles, skipRead) = time(
+      plannedFiles(wh.read(r).filter($"id" === mid)))
+    spark.conf.set("graft.stats.enabled", "false")
+    val whBlind = new Warehouse(spark, wh.root, CommitMode.Manifest)
+    val (blindFiles, blindRead) = time(
+      plannedFiles(whBlind.read(r).filter($"id" === mid)))
+    spark.conf.unset("graft.stats.enabled")
     println(f"""{"merges":$n,"version_dirs":$versions,"rows":$cnt,""" +
       f""""scan_nodes":$scans,"write_total_s":$tw%.1f,""" +
       f""""read_warm_s":$warm%.2f,"read_s":$full%.2f,""" +
       f""""pruned_rows":$one,"pruned_read_s":$pruned%.2f,""" +
       f""""union_read_s":$unionRead%.2f,""" +
       f""""footer_rows":$frSerial,"footer_serial_s":$footerSerial%.2f,""" +
-      f""""footer_parallel_s":$footerParallel%.2f}""")
+      f""""footer_parallel_s":$footerParallel%.2f,""" +
+      f""""skip_planned_files":$skipFiles,"skip_read_s":$skipRead%.2f,""" +
+      f""""blind_planned_files":$blindFiles,"blind_read_s":$blindRead%.2f}""")
     spark.stop()
   }
 }

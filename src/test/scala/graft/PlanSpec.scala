@@ -127,6 +127,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"kmeans assignment must not join:\n$p")
   }
 
+  test("epoch shuffle: one hash exchange, per-shard sort — never a global range sort") {
+    // a global orderBy(rand()) form would plan an Exchange rangepartitioning
+    // + full sort whose ordinal assignment funnels into one partition
+    val p = plan(TextOps.epochShuffleOver(
+      TData.documents(spark, sf), epoch = 7, numShards = 8))
+    assert(shuffles(p) == 1, s"epoch shuffle must cost exactly one exchange:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"per-shard sort must hash-partition, not range-sort globally:\n$p")
+  }
+
   test("split assign: pure per-row projection — no exchange") {
     val p = plan(TextOps.splitAssign(spark, sf))
     assert(shuffles(p) == 0, s"split must be shuffle-free:\n$p")
