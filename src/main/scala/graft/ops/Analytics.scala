@@ -275,10 +275,9 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Exact COUNT(DISTINCT) companion to [[qApproxDistinct]]: the same
-    * grouping with only the deterministic column, so the driver can
-    * hash-check it against DuckDB (the HLL estimate stays rows-only;
-    * AnalyticsSpec asserts the estimate is within the sketch's rsd bound
-    * of this exact count).
+    * grouping with only the deterministic column, hash-checked against
+    * DuckDB directly (the sketch query's bound check also derives from
+    * these exact counts).
     */
   def qExactDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -75,11 +75,23 @@ object MfReadBench {
     // on id (each merge's file holds exactly one id here) should PLAN only
     // the in-range file(s), not schedule a task per file — the zone-map
     // effect. Contrast against a stats-blind instance on the same root.
+    // collect() alone misses scans under AQE — descend through the
+    // adaptive root and materialized query stages explicitly
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansIn)
+    }
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
-      df.count()
-      df.queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          s.metrics("numFiles").value }.sum
+      // collect(), not count(): count() builds a SEPARATE QueryExecution,
+      // leaving this df's plan unexecuted and its metrics at zero
+      df.collect()
+      scansIn(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
     }
     val mid = (n / 2).toLong
     val (skipFiles, skipRead) = time(
