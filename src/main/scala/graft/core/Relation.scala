@@ -91,6 +91,12 @@ final case class ModelConfig(
     // Empty = dynamic mode (partitions discovered from the increment).
     partitions: Seq[String] = Nil,
     clusterBy: Seq[String] = Nil,
+    // Multi-dimensional layout (engine hardening beyond the reference's
+    // single-axis cluster_by): write files as contiguous regions of the
+    // named columns' space via a Morton curve, so FileStats sidecar
+    // ranges stay tight on EVERY listed column and a box query plans
+    // only the in-region files. Mutually exclusive with clusterBy.
+    zorderBy: Seq[String] = Nil,
     onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
     // Declares that a unique key's partition value never changes between
     // runs (the usual case: partitioned by an event date the key was born

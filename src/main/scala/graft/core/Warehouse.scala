@@ -807,11 +807,25 @@ final class Warehouse(val spark: SparkSession, val root: String,
     else df.repartition(partitionCols.map(df.col): _*)
 
   private def clusteredWriter(df: DataFrame, partitionCols: Seq[String],
-                              clusterCols: Seq[String]): DataFrame = {
-    val aligned = partitionAligned(df, partitionCols)
-    if (clusterCols.nonEmpty)
-      aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
-    else aligned
+                              clusterCols: Seq[String],
+                              zorderCols: Seq[String] = Nil): DataFrame = {
+    require(clusterCols.isEmpty || zorderCols.isEmpty,
+      "cluster_by and zorder_by are mutually exclusive layouts")
+    if (zorderCols.nonEmpty) {
+      // unpartitioned: the z-curve IS the distribution — range-shuffle on
+      // the interleaved key so each write task owns a contiguous region.
+      // partitioned: rows stay aligned to their dirs; z-sort within.
+      if (partitionCols.isEmpty)
+        ZOrder.layout(df, zorderCols,
+          intConf("graft.zorder.partitions",
+            spark.sessionState.conf.numShufflePartitions))
+      else ZOrder.sortOnly(partitionAligned(df, partitionCols), zorderCols)
+    } else {
+      val aligned = partitionAligned(df, partitionCols)
+      if (clusterCols.nonEmpty)
+        aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
+      else aligned
+    }
   }
 
   /** Recovery preamble shared by the rename-mode write paths: restore any
@@ -860,11 +874,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
     */
   def writeAtomic(df: DataFrame, rel: Relation,
                   partitionCols: Seq[String] = Nil,
-                  clusterCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
+                  clusterCols: Seq[String] = Nil,
+                  zorderCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
     if (usesManifest) {
       val vdir = newVersionDir(rel,
         manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
-      val writer = clusteredWriter(df, partitionCols, clusterCols)
+      val writer = clusteredWriter(df, partitionCols, clusterCols, zorderCols)
         .write.mode("overwrite")
       val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                else writer
@@ -886,7 +901,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       if (!exists(rel) && exists(backup)) rename(backup, rel)
       restorePartitionBackup(rel)
       drop(tmp)
-      val writer = clusteredWriter(df, partitionCols, clusterCols)
+      val writer = clusteredWriter(df, partitionCols, clusterCols, zorderCols)
         .write.mode("overwrite")
       val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                else writer

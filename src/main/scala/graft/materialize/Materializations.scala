@@ -77,7 +77,7 @@ final class Materializer(wh: Warehouse) {
 
   /** B1/B2 `table`: CTAS + atomic swap. */
   def table(df: DataFrame, rel: Relation, cfg: ModelConfig = ModelConfig()): Unit =
-    wh.writeAtomic(df, rel, cfg.partitionBy, cfg.clusterBy)
+    wh.writeAtomic(df, rel, cfg.partitionBy, cfg.clusterBy, cfg.zorderBy)
 
   /** B3 `view`: the plan is registered, not materialized (temp view in the
     * session catalog — a metastore would make it persistent; the manifest

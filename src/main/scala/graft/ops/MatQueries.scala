@@ -292,4 +292,32 @@ object MatQueries {
     """SELECT r_regionkey, r_name,
       |  CASE WHEN r_regionkey >= 3 THEN 'c_' || r_name END AS r_comment
       |FROM region""".stripMargin
+
+  // --------------------------------------------------------- zorder layout
+  /** Z-order write clustering: lineitem laid out along the Morton curve of
+    * (l_partkey, l_suppkey), then a 2-D box query over the committed
+    * table. The layout is the feature under test — FileStats ranges stay
+    * tight on BOTH dims so the box plans only in-region files (measured in
+    * ZOrderSpec) — while the oracle hash gate proves layout NEVER changes
+    * results: the same box aggregate over the raw table must match.
+    */
+  def xZorderBox(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("lineitem_z")
+    m.table(lineitem(s, d), r,
+      ModelConfig(zorderBy = Seq("l_partkey", "l_suppkey")))
+    wh.read(r)
+      .filter(col("l_partkey").between(100L, 500L) &&
+        col("l_suppkey").between(10L, 50L))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+  }
+  val xZorderBoxSql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 10 AND 50
+      |GROUP BY l_returnflag""".stripMargin
 }
