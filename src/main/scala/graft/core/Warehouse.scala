@@ -176,13 +176,17 @@ final class Warehouse(val spark: SparkSession, val root: String,
     }.sortBy(-_._1)
   }
 
-  /** Parse a manifest: `graftmf1` header, `<versionDir>\t<partitionPath>`
-    * entry lines, `end <count>` trailer. The trailer makes a partially
-    * written file detectable — an incomplete manifest parses to None and
-    * the reader falls back to the previous seq, which is what makes the
-    * small-file write safe even where create+write+close is not atomic.
+  /** Parse a manifest: `graftmf1` header, optional `!<key>\t<value>`
+    * METADATA lines (carried forward commit to commit — the streaming
+    * sink's exactly-once watermarks live here, atomic with the entry
+    * list they describe), `<versionDir>\t<partitionPath>` entry lines,
+    * `end <count>` trailer covering both kinds. The trailer makes a
+    * partially written file detectable — an incomplete manifest parses
+    * to None and the reader falls back to the previous seq, which is
+    * what makes the small-file write safe even where create+write+close
+    * is not atomic.
     */
-  private def parseManifest(p: Path): Option[Seq[(String, String)]] =
+  private def parseManifestLines(p: Path): Option[Seq[String]] =
     try {
       val in = fs.open(p)
       val text =
@@ -192,15 +196,26 @@ final class Warehouse(val spark: SparkSession, val root: String,
       if (lines.isEmpty || lines.head != "graftmf1") None
       else lines.last match {
         case s if s.startsWith("end ") =>
-          val entries = lines.slice(1, lines.length - 1).map { l =>
-            val t = l.split("\t", -1)
-            (t(0), if (t.length > 1) t(1) else "")
-          }
-          if (s.stripPrefix("end ").trim == entries.length.toString) Some(entries)
+          val mid = lines.slice(1, lines.length - 1)
+          if (s.stripPrefix("end ").trim == mid.length.toString) Some(mid)
           else None
         case _ => None
       }
     } catch { case _: java.io.IOException => None }
+
+  private def parseManifest(p: Path): Option[Seq[(String, String)]] =
+    parseManifestLines(p).map(_.filterNot(_.startsWith("!")).map { l =>
+      val t = l.split("\t", -1)
+      (t(0), if (t.length > 1) t(1) else "")
+    })
+
+  private def parseManifestMeta(p: Path): Option[Map[String, String]] =
+    parseManifestLines(p).map(_.filter(_.startsWith("!")).flatMap { l =>
+      l.stripPrefix("!").split("\t", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap)
 
   /** Committed (versionDir, partitionPath) entries of the current
     * manifest — observability for tests and ops tooling; None for a
@@ -290,6 +305,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
       .flatMap { case (seq, p) => parseManifest(p).map((seq, _)) }
       .nextOption()
 
+  /** Newest COMPLETE manifest's metadata map (empty for none). */
+  private def latestMeta(rel: Relation): Map[String, String] =
+    manifestsDescending(rel).iterator
+      .flatMap { case (_, p) => parseManifestMeta(p) }
+      .nextOption().getOrElse(Map.empty)
+
   /** Atomic create-if-absent — the claim primitive under both the
     * manifest CAS and the writer lock. Hadoop's LOCAL FileSystem
     * implements `create(p, overwrite=false)` as check-then-create (two
@@ -364,24 +385,38 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * false when another writer already holds that seq.
     */
   private def writeManifestIfAbsent(rel: Relation, seq: Long,
-                                    entries: Seq[(String, String)]): Boolean = {
-    val body = ("graftmf1" +: entries.map { case (d, part) => s"$d\t$part" })
-      .mkString("", "\n", s"\nend ${entries.length}\n")
+                                    entries: Seq[(String, String)],
+                                    meta: Map[String, String] = Map.empty): Boolean = {
+    require(meta.forall { case (k, v) =>
+      !k.contains("\n") && !v.contains("\n") && !k.contains("\t") },
+      "manifest metadata keys/values must be line-safe")
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"!$k\t$v" }
+    val entryLines = entries.map { case (d, part) => s"$d\t$part" }
+    val mid = metaLines ++ entryLines
+    val body = ("graftmf1" +: mid)
+      .mkString("", "\n", s"\nend ${mid.length}\n")
     createExclusive(manifestPath(rel, seq), body.getBytes("UTF-8"))
   }
 
   /** Optimistic-concurrency commit: transform the current entry list and
-    * claim the next seq; a lost race re-reads and reapplies. `f` must be
-    * a pure function of the previous entries.
+    * claim the next seq; a lost race re-reads and reapplies. `f` (and
+    * `metaF`, which transforms the carried-forward metadata map) must be
+    * pure functions of the previous state. Metadata is carried forward
+    * by DEFAULT: a plain data commit must never drop another writer's
+    * stream watermarks.
     */
-  private def commitEntries(rel: Relation)
+  private def commitEntries(rel: Relation,
+                            metaF: Map[String, String] => Map[String, String] =
+                              identity)
                            (f: Seq[(String, String)] => Seq[(String, String)]): Unit = {
     var attempts = 0
     while (attempts < 50) {
       val maxSeen = manifestsDescending(rel).headOption.map(_._1).getOrElse(0L)
       val cur = latestManifest(rel).map(_._2).getOrElse(Nil)
       val next = maxSeen + 1
-      if (writeManifestIfAbsent(rel, next, f(cur))) { gcVersions(rel, next); return }
+      if (writeManifestIfAbsent(rel, next, f(cur), metaF(latestMeta(rel)))) {
+        gcVersions(rel, next); return
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -960,6 +995,57 @@ final class Warehouse(val spark: SparkSession, val root: String,
         val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                  else writer
         w2.parquet(path(rel))
+      }
+    }
+
+  /** Exactly-once streaming ingestion watermark: the highest batch id of
+    * `sourceId` whose rows are COMMITTED in this relation, or None if the
+    * source has never committed. The watermark is a metadata line in the
+    * manifest itself, so it becomes visible in exactly the same CAS
+    * commit as the batch's entry list — there is no window where the
+    * data is in but the marker is not (or vice versa), which is the
+    * whole exactly-once argument. Carried forward by every other commit.
+    */
+  def streamWatermark(rel: Relation, sourceId: String): Option[Long] =
+    latestMeta(rel).get(s"stream.$sourceId").map(_.toLong)
+
+  /** Idempotent micro-batch append — the `foreachBatch` sink body for
+    * Structured Streaming ingestion into a manifest-mode table. Returns
+    * false (and writes NOTHING) when `batchId` is at or below the
+    * committed watermark: after a crash-and-restart, Spark re-delivers
+    * the last batch from the checkpoint, and this is what makes the
+    * replay a no-op instead of duplicate rows. Batch ids per source must
+    * be monotonically increasing — exactly what `foreachBatch` provides.
+    * The orphaned version dir of a writer that crashed BETWEEN data
+    * write and manifest commit is invisible to readers and swept by GC,
+    * so the replayed batch re-writes cleanly.
+    */
+  def appendStreamBatch(df: DataFrame, rel: Relation, sourceId: String,
+                        batchId: Long,
+                        partitionCols: Seq[String] = Nil): Boolean =
+    withRelationLock(rel) {
+      require(usesManifest,
+        "exactly-once stream append requires manifest commit mode " +
+          "(rename mode has no atomic data+marker commit)")
+      require(!sourceId.contains("\t") && !sourceId.contains("\n"),
+        s"stream source id must be line-safe: $sourceId")
+      if (streamWatermark(rel, sourceId).exists(_ >= batchId)) false
+      else {
+        val vdir = newVersionDir(rel,
+          manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
+        val writer = partitionAligned(df, partitionCols).write.mode("overwrite")
+        val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+                 else writer
+        w2.parquet(vdir.toString)
+        writeStatsSidecar(vdir)
+        val parts =
+          if (partitionCols.isEmpty) Seq("")
+          else leafDirs(vdir, partitionCols.length)
+        val entries = (if (parts.isEmpty) Nil else parts)
+          .map(p => (vdir.getName, p))
+        commitEntries(rel,
+          m => m + (s"stream.$sourceId" -> batchId.toString))(_ ++ entries)
+        true
       }
     }
 

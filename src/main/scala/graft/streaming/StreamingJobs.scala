@@ -161,6 +161,32 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** Exactly-once warehouse sink for `writeStream.foreachBatch`: each
+    * micro-batch appends to a manifest-mode table with its batch id
+    * committed ATOMICALLY alongside the data
+    * ([[graft.core.Warehouse.appendStreamBatch]]), so the replayed batch
+    * after a checkpoint restart is a detected no-op — the end-to-end
+    * exactly-once contract Structured Streaming itself only gives for
+    * idempotent sinks. One stream per `sourceId`; several independent
+    * streams can feed one table under distinct ids (each keeps its own
+    * watermark; the relation lock serializes their commits).
+    *
+    * Usage:
+    * {{{
+    * df.writeStream
+    *   .option("checkpointLocation", ckpt)
+    *   .foreachBatch(StreamingJobs.warehouseSink(wh, rel, "events_ingest"))
+    *   .start()
+    * }}}
+    */
+  def warehouseSink(wh: graft.core.Warehouse, rel: graft.core.Relation,
+                    sourceId: String, partitionCols: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      wh.appendStreamBatch(batch, rel, sourceId, batchId, partitionCols)
+      ()
+    }
+
   /** Oracle-gated batch↔streaming equivalence: run [[closedSessions]] over
     * the bounded events table — staged as a file stream plus one
     * far-future sentinel event (user −1) whose arrival advances the

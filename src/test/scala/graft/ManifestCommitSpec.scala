@@ -250,6 +250,52 @@ class ManifestCommitSpec extends AnyFunSuite {
       s"pruned scan must read 1 file, read ${scan.metrics("numFiles").value}")
   }
 
+  test("dynamic partition pruning reaches the manifest index at runtime") {
+    // the 100 TB star-join shape: a fact table partitioned by day joined
+    // to a filtered dim — the day set is only known at RUNTIME, so
+    // planning-time pruning can't help; Spark's DPP injects the dim's
+    // day set as a dynamicpruning IN filter into the fact scan, and
+    // ManifestFileIndex.listFiles must honor it like any partition
+    // filter. dim must be file-backed: a LocalRelation dim gets its
+    // filter constant-folded away and DPP sees no selective predicate.
+    val wh = freshWh(); val r = rel("t_dpp")
+    val s = spark; import s.implicits._
+    val facts = (1 to 1000).map(i => (i.toLong, s"d${i % 10}", i * 1.0))
+      .toDF("id", "day", "v")
+    wh.writeAtomic(facts, r, partitionCols = Seq("day"))
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("d3", "keep"), ("d4", "drop")).toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    // DPP's default mode (reuseBroadcastOnly) rides the dim's broadcast
+    // exchange; another suite in the shared session may have disabled
+    // auto-broadcast (BucketingSpec forces SMJ), so pin it here
+    val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+    val dim = spark.read.parquet(dimPath).filter($"tag" === "keep")
+    val joined = wh.read(r).join(dim, Seq("day"))
+    assert(joined.count() == 100L)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    joined.collect()
+    val factScan = scans(joined.queryExecution.executedPlan)
+      .find(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")))
+      .getOrElse(fail("no dynamicpruning filter reached the manifest scan"))
+    assert(factScan.metrics("numFiles").value == 1,
+      s"DPP must cut the fact scan to d3's file, " +
+        s"read ${factScan.metrics("numFiles").value} of 10")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+  }
+
   test("parallel entry listing (many entries) reads identically to serial") {
     // past the threshold, leaf listing runs as a Spark job (one driver
     // round trip per leaf is minutes at object-store lat× 10^4 leaves);
@@ -341,6 +387,46 @@ class ManifestCommitSpec extends AnyFunSuite {
       "every writer's rows must survive the interleaving")
     // the lock file is released
     assert(!Files.exists(Paths.get(wh.path(r) + ".lock")))
+  }
+
+  test("stream batch append is exactly-once: replays skip, watermarks survive other commits") {
+    val wh = freshWh(); val r = rel("t_stream")
+    val b0 = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val b1 = df(Seq((3L, "c", 3.0)))
+
+    assert(wh.appendStreamBatch(b0, r, "src", 0L))
+    assert(wh.streamWatermark(r, "src").contains(0L))
+    assert(wh.read(r).count() == 2)
+
+    // checkpoint replay after a crash: same batch id arrives again —
+    // detected, nothing written, no duplicate rows
+    assert(!wh.appendStreamBatch(b0, r, "src", 0L))
+    assert(wh.read(r).count() == 2)
+
+    assert(wh.appendStreamBatch(b1, r, "src", 1L))
+    assert(wh.read(r).count() == 3)
+    // a LATE replay of an already-superseded batch is also a no-op
+    assert(!wh.appendStreamBatch(b0, r, "src", 0L))
+
+    // an unrelated data commit must CARRY the watermark forward — losing
+    // it would turn the next replay into duplicates
+    wh.append(df(Seq((9L, "z", 9.0))), r)
+    assert(wh.streamWatermark(r, "src").contains(1L))
+    assert(!wh.appendStreamBatch(b1, r, "src", 1L))
+
+    // a second stream keeps an INDEPENDENT watermark on the same table
+    assert(wh.streamWatermark(r, "other").isEmpty)
+    assert(wh.appendStreamBatch(b1, r, "other", 0L))
+    assert(wh.streamWatermark(r, "other").contains(0L))
+    assert(wh.streamWatermark(r, "src").contains(1L))
+    assert(wh.read(r).count() == 5)
+
+    // rename mode has no atomic data+marker commit: refuse loudly
+    val rn = new Warehouse(spark,
+      Files.createTempDirectory("graft_rn_wh").toString, CommitMode.Rename)
+    intercept[IllegalArgumentException] {
+      rn.appendStreamBatch(b0, rel("t_rn"), "src", 0L)
+    }
   }
 
   test("time travel: readAt resolves retained commits, rollback is metadata-only") {

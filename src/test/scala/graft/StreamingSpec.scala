@@ -169,6 +169,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((60L, 3L), (150L, 1L)), s"got $got")
   }
 
+  test("foreachBatch warehouse sink ingests exactly-once across a restart") {
+    import graft.core.{CommitMode, Relation, Warehouse}
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_sink_src")
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_sink_wh").toString, CommitMode.Manifest)
+    val r = Relation("db", "sch", "t_ingest")
+    def writeFile(name: String, ids: Seq[Long]): Unit = {
+      ids.map(i => (i, i)).toDF("id", "v")
+        .coalesce(1).write.parquet(dir.resolve(s"stage_$name").toString)
+      val f = Files.list(dir.resolve(s"stage_$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, dir.resolve(s"$name.parquet")); ()
+    }
+    def runQuery(): Unit = {
+      val src = spark.readStream
+        .schema("id LONG, v LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(StreamingJobs.warehouseSink(wh, r, "ingest"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile("f1", Seq(1L, 2L, 3L))
+    writeFile("f2", Seq(4L, 5L))
+    runQuery() // two micro-batches (maxFilesPerTrigger=1): ids 0 and 1
+    assert(wh.read(r).count() == 5)
+    val wm = wh.streamWatermark(r, "ingest")
+    assert(wm.exists(_ >= 1L), s"watermark after two batches: $wm")
+
+    // crash replay: the checkpoint's last batch is re-delivered on a
+    // restart that died before committing offsets — simulate the exact
+    // foreachBatch call Spark would make; the sink must no-op it
+    val replay = spark.read.parquet(dir.resolve("f2.parquet").toString)
+    StreamingJobs.warehouseSink(wh, r, "ingest")(replay, wm.get)
+    assert(wh.read(r).count() == 5, "replayed batch must not duplicate rows")
+
+    writeFile("f3", Seq(6L))
+    runQuery() // restarted incarnation picks up only the new file
+    assert(wh.read(r).count() == 6)
+    assert(wh.read(r).select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 6L))
+  }
+
   test("beyond-watermark event never rewrites an already-emitted session") {
     // Append-mode output is immutable: once the watermark passes a
     // session's gap and the session EMITS (state removed), an event older
