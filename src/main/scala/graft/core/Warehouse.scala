@@ -975,21 +975,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
     */
   def append(df: DataFrame, rel: Relation, partitionCols: Seq[String] = Nil): Unit =
     withRelationLock(rel) {
-      if (usesManifest) {
-        val vdir = newVersionDir(rel,
-          manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
-        val writer = partitionAligned(df, partitionCols).write.mode("overwrite")
-        val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-                 else writer
-        w2.parquet(vdir.toString)
-        writeStatsSidecar(vdir)
-        val parts =
-          if (partitionCols.isEmpty) Seq("")
-          else leafDirs(vdir, partitionCols.length)
-        val entries = (if (parts.isEmpty) Nil else parts)
-          .map(p => (vdir.getName, p))
-        commitEntries(rel)(prev => prev ++ entries)
-      } else {
+      if (usesManifest) appendVersionDir(df, rel, partitionCols)
+      else {
         restorePartitionBackup(rel)
         val writer = partitionAligned(df, partitionCols).write.mode("append")
         val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
@@ -1031,20 +1018,120 @@ final class Warehouse(val spark: SparkSession, val root: String,
         s"stream source id must be line-safe: $sourceId")
       if (streamWatermark(rel, sourceId).exists(_ >= batchId)) false
       else {
+        appendVersionDir(df, rel, partitionCols,
+          m => m + (s"stream.$sourceId" -> batchId.toString))
+        true
+      }
+    }
+
+  /** Shared manifest-mode append body: write `df` into a fresh version
+    * dir, then CAS-commit its entries appended to the previous list,
+    * with `metaF` applied to the carried-forward metadata in the SAME
+    * commit. Caller holds the relation lock.
+    */
+  private def appendVersionDir(df: DataFrame, rel: Relation,
+                               partitionCols: Seq[String],
+                               metaF: Map[String, String] => Map[String, String] =
+                                 identity): Unit = {
+    val vdir = newVersionDir(rel,
+      manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
+    val writer = partitionAligned(df, partitionCols).write.mode("overwrite")
+    val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+             else writer
+    w2.parquet(vdir.toString)
+    writeStatsSidecar(vdir)
+    val parts =
+      if (partitionCols.isEmpty) Seq("")
+      else leafDirs(vdir, partitionCols.length)
+    val entries = (if (parts.isEmpty) Nil else parts)
+      .map(p => (vdir.getName, p))
+    commitEntries(rel, metaF)(_ ++ entries)
+  }
+
+  /** The source-manifest seq this consumer has fully processed INTO
+    * `rel`, or None for a consumer that has never committed. Stored as
+    * manifest metadata of the DOWNSTREAM table — the offset commits in
+    * the same CAS write as the rows derived from it (Kafka-style
+    * "offsets live with the output" exactly-once).
+    */
+  def consumerCheckpoint(rel: Relation, consumerId: String): Option[Long] =
+    latestMeta(rel).get(s"consumer.$consumerId").map(_.toLong)
+
+  /** Exactly-once incremental table-to-table pipeline step: read only
+    * the rows `src` gained since this consumer's last committed
+    * checkpoint, apply `transform`, and append the result to `dst` with
+    * the new checkpoint (src's pinned head seq) committed ATOMICALLY in
+    * the same manifest write. Returns the seq now checkpointed, or None
+    * when src has nothing new — so a scheduler can run this every few
+    * minutes and each run costs O(new data), never O(corpus): at 100 TB
+    * the difference between an incremental pipeline and a daily rescan.
+    *
+    * Crash safety is the [[appendStreamBatch]] argument: dying between
+    * the data write and the commit leaves an orphaned version dir no
+    * reader sees (GC sweeps it); the rerun re-reads the SAME delta
+    * because the checkpoint only advances with the commit. First run
+    * (no checkpoint) processes the full src snapshot at its pinned seq.
+    * `transform` must be row-local (filter/project/enrich) for
+    * append-into-dst to equal transform-of-whole-src; aggregating
+    * consumers should write to a dedicated dst and recompute group
+    * state downstream. A checkpoint older than src's retained manifest
+    * window fails loudly (readAppendedBetween) rather than silently
+    * skipping rows — size `KeepManifests` retention to cover the
+    * longest consumer outage, or full-refresh dst.
+    */
+  def processIncrement(src: Relation, dst: Relation, consumerId: String,
+                       partitionCols: Seq[String] = Nil)
+                      (transform: DataFrame => DataFrame): Option[Long] =
+    withRelationLock(dst) {
+      require(usesManifest,
+        "exactly-once incremental consumption requires manifest commit " +
+          "mode (rename mode has no atomic data+checkpoint commit)")
+      require(!consumerId.contains("\t") && !consumerId.contains("\n"),
+        s"consumer id must be line-safe: $consumerId")
+      // pin src's head ONCE: everything below reads the entries of this
+      // seq, so a concurrent src commit mid-run cannot tear the delta
+      val srcSeq = latestManifest(src).map(_._1).getOrElse(0L)
+      val from = consumerCheckpoint(dst, consumerId)
+      if (srcSeq == 0L || from.exists(_ >= srcSeq)) None
+      else {
+        val delta = from match {
+          case None    => readAt(src, srcSeq)
+          case Some(p) => readAppendedBetween(src, p, srcSeq)
+        }
+        appendVersionDir(transform(delta), dst, partitionCols,
+          m => m + (s"consumer.$consumerId" -> srcSeq.toString))
+        Some(srcSeq)
+      }
+    }
+
+  /** Small-file compaction for an UNPARTITIONED manifest table — the
+    * partitioned sibling is [[compactPartitions]]. Streaming ingestion
+    * ([[appendStreamBatch]]) and incremental consumers commit one
+    * version dir per batch; past `maxEntries` dirs this rewrites the
+    * whole table into one fresh version dir and commits it as the sole
+    * entry (metadata — watermarks, checkpoints — carried forward, so
+    * compaction can never reopen the exactly-once dedup door). Output
+    * file granularity comes from the SCAN's bin-packing: Spark packs
+    * the small inputs into ~`maxPartitionBytes` splits and each task
+    * writes one file — no extra shuffle, right-sized files at any
+    * scale. Old dirs stay until retention GC ages them out, so
+    * in-flight snapshot readers are never yanked. Returns true when a
+    * rewrite happened.
+    */
+  def compactTable(rel: Relation, maxEntries: Int = 8): Boolean =
+    withRelationLock(rel) {
+      require(usesManifest,
+        s"compactTable is manifest-mode only; ${rel.fqName} is rename-mode")
+      val cur = latestManifest(rel).map(_._2).getOrElse(Nil)
+      if (cur.map(_._1).distinct.size <= maxEntries) false
+      else {
+        require(cur.forall(_._2.isEmpty),
+          s"${rel.fqName} has partitioned entries; use compactPartitions")
         val vdir = newVersionDir(rel,
           manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
-        val writer = partitionAligned(df, partitionCols).write.mode("overwrite")
-        val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-                 else writer
-        w2.parquet(vdir.toString)
+        readEntries(rel, cur).write.mode("overwrite").parquet(vdir.toString)
         writeStatsSidecar(vdir)
-        val parts =
-          if (partitionCols.isEmpty) Seq("")
-          else leafDirs(vdir, partitionCols.length)
-        val entries = (if (parts.isEmpty) Nil else parts)
-          .map(p => (vdir.getName, p))
-        commitEntries(rel,
-          m => m + (s"stream.$sourceId" -> batchId.toString))(_ ++ entries)
+        commitEntries(rel)(_ => Seq((vdir.getName, "")))
         true
       }
     }

@@ -320,4 +320,50 @@ object MatQueries {
       |FROM lineitem
       |WHERE l_partkey BETWEEN 100 AND 500 AND l_suppkey BETWEEN 10 AND 50
       |GROUP BY l_returnflag""".stripMargin
+
+  // -------------------------------------- incremental consumer pipeline
+  /** Exactly-once table-to-table incremental pipeline
+    * (`Warehouse.processIncrement`): a source table loaded in two
+    * batches, a downstream consumer that filters/projects each delta.
+    * The consumer runs THREE times — initial full load, a replay with
+    * nothing new (must be a detected no-op, or the hash gate sees
+    * duplicate rows), and a delta run that may only read batch 2. The
+    * oracle re-derives the downstream table as one pure query over
+    * orders, which is exactly the append-consumer contract: incremental
+    * runs compose to the full-recompute result.
+    */
+  def xConsumerPipeline(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val src = rel("orders_src"); val dst = rel("orders_big")
+    val o = orders(s, d)
+    def step(): Option[Long] =
+      wh.processIncrement(src, dst, "big_orders")(
+        _.filter(col("o_totalprice") > 150000)
+          .select(col("o_orderkey"), col("o_totalprice")))
+    wh.writeAtomic(o.filter(col("o_orderkey") % 3 === 0), src)
+    step()                 // full initial load at src seq 1
+    step()                 // nothing new: exactly-once no-op
+    wh.append(o.filter(col("o_orderkey") % 3 === 1), src)
+    step()                 // delta: only batch 2's rows
+    wh.read(dst)
+  }
+  val xConsumerPipelineSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice > 150000""".stripMargin
+
+  // ------------------------------------------------ table compaction
+  /** Unpartitioned small-file compaction (`Warehouse.compactTable`):
+    * five appends leave five version dirs; compaction rewrites them as
+    * one entry. The hash gate proves the rewrite is contents-preserving
+    * — the table still reads as the union of its appends.
+    */
+  def xCompactTable(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val r = rel("nation_many")
+    val n = nation(s, d)
+    (0 to 4).foreach(k => wh.append(n.filter(col("n_nationkey") % 5 === k), r))
+    wh.compactTable(r, maxEntries = 2)
+    wh.read(r)
+  }
+  val xCompactTableSql = "SELECT * FROM nation"
 }

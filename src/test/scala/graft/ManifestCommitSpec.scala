@@ -429,6 +429,84 @@ class ManifestCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental consumer: delta-only reads, exactly-once checkpoint, loud lag failure") {
+    val wh = freshWh(); val src = rel("t_src"); val dst = rel("t_dst")
+    var lastDeltaIds: Set[Long] = Set.empty
+    def step(): Option[Long] =
+      wh.processIncrement(src, dst, "c1") { delta =>
+        lastDeltaIds = delta.collect().map(_.getLong(0)).toSet
+        delta.filter(col("score") > 0)
+      }
+
+    // consumer before the source's first commit: clean no-op
+    assert(step().isEmpty)
+
+    wh.writeAtomic(df(Seq((1L, "a", 1.0), (2L, "b", -2.0))), src)
+    assert(step().contains(1L))
+    assert(lastDeltaIds == Set(1L, 2L), "first run processes the full snapshot")
+    assert(wh.read(dst).collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(wh.consumerCheckpoint(dst, "c1").contains(1L))
+
+    // nothing new at the source: the rerun must not touch dst at all
+    val entriesBefore = wh.manifestEntries(dst)
+    assert(step().isEmpty)
+    assert(wh.manifestEntries(dst) == entriesBefore,
+      "a no-op run must not even commit a manifest")
+
+    // append a second batch: ONLY its rows may reach the transform
+    wh.append(df(Seq((3L, "c", 3.0), (4L, "d", -4.0))), src)
+    assert(step().contains(2L))
+    assert(lastDeltaIds == Set(3L, 4L), s"delta run read $lastDeltaIds")
+    assert(wh.read(dst).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+
+    // an unrelated dst commit carries the checkpoint forward
+    wh.append(df(Seq((9L, "z", 9.0))), dst)
+    assert(wh.consumerCheckpoint(dst, "c1").contains(2L))
+    assert(step().isEmpty)
+
+    // a consumer lagging past src's retained manifest window must fail
+    // LOUDLY (silently skipping unretained deltas would drop rows)
+    (1 to 4).foreach(k => wh.append(df(Seq((100L + k, "x", 1.0))), src))
+    intercept[IllegalArgumentException] { step() }
+
+    // rename mode has no atomic data+checkpoint commit: refuse
+    val rn = new Warehouse(spark,
+      Files.createTempDirectory("graft_rn_wh2").toString, CommitMode.Rename)
+    intercept[IllegalArgumentException] {
+      rn.processIncrement(rel("a"), rel("b"), "c")(identity)
+    }
+  }
+
+  test("compactTable: one entry, same rows, metadata carried, partitioned refused") {
+    val wh = freshWh(); val r = rel("t_compact")
+    (0 to 4).foreach { k =>
+      assert(wh.appendStreamBatch(df(Seq((k.toLong, s"n$k", k * 1.0))), r, "s", k.toLong))
+    }
+    assert(wh.manifestEntries(r).get.map(_._1).distinct.size == 5)
+    val before = wh.read(r).collect().map(t => (t.getLong(0), t.getString(1))).toSet
+
+    assert(wh.compactTable(r, maxEntries = 2))
+    assert(wh.manifestEntries(r).get.map(_._1).distinct.size == 1)
+    assert(wh.read(r).collect().map(t => (t.getLong(0), t.getString(1))).toSet == before)
+    // the exactly-once watermark must survive compaction — otherwise a
+    // restart after compaction would re-ingest every batch
+    assert(wh.streamWatermark(r, "s").contains(4L))
+    assert(!wh.appendStreamBatch(df(Seq((0L, "dup", 0.0))), r, "s", 4L))
+    // already compact: no rewrite
+    assert(!wh.compactTable(r, maxEntries = 2))
+
+    // partitioned entries must be routed to compactPartitions instead
+    val rp = rel("t_compact_part")
+    (0 to 2).foreach { k =>
+      wh.append(df(Seq((k.toLong, "a", 1.0), (k.toLong, "b", 2.0))), rp,
+        partitionCols = Seq("name"))
+    }
+    val err = intercept[IllegalArgumentException] {
+      wh.compactTable(rp, maxEntries = 1)
+    }
+    assert(err.getMessage.contains("compactPartitions"))
+  }
+
   test("time travel: readAt resolves retained commits, rollback is metadata-only") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_tt")
     m.table(df(Seq((1L, "a", 1.0))), r)
