@@ -1104,6 +1104,21 @@ final class Warehouse(val spark: SparkSession, val root: String,
       }
     }
 
+  /** Metadata-only commit: merge `kvs` into the carried-forward manifest
+    * metadata without touching the entry list. Used by idempotent
+    * appliers (CDC) that mark a batch AFTER its data commit: unlike
+    * [[appendStreamBatch]] (a non-idempotent append, whose marker must
+    * ride the data commit), an idempotent apply tolerates the crash
+    * window between data and marker — the replay re-applies to the same
+    * result, then re-marks.
+    */
+  def commitMeta(rel: Relation, kvs: Map[String, String]): Unit =
+    withRelationLock(rel) {
+      require(usesManifest,
+        s"manifest metadata needs manifest commit mode; ${rel.fqName} is rename-mode")
+      commitEntries(rel, m => m ++ kvs)(identity)
+    }
+
   /** Small-file compaction for an UNPARTITIONED manifest table — the
     * partitioned sibling is [[compactPartitions]]. Streaming ingestion
     * ([[appendStreamBatch]]) and incremental consumers commit one

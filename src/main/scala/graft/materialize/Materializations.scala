@@ -243,6 +243,91 @@ final class Materializer(wh: Warehouse) {
     }
   }
 
+  /** CDC apply: fold a change batch — rows carrying the full payload plus
+    * an operation column (`delete`/`d` deletes the key; anything else
+    * upserts) and a total-order column (LSN / replication sequence) —
+    * into the keyed target. Within the batch only each key's LATEST
+    * change lands (last-writer-wins by `ordCol`; ties are caller error —
+    * provide a total order), so a replication chunk containing
+    * insert→update→delete of one key folds to a single delete. This is
+    * the ingestion shape the merge family doesn't cover: MERGE/
+    * delete+insert upsert but never delete, while CDC feeds carry all
+    * three.
+    *
+    * Scale shape: one shuffle for the per-key window over the BATCH
+    * (small), then the same partition-scoped replacement as the merge
+    * family — only partitions the batch touches are read and rewritten,
+    * with the moved-key guard falling back to a full merge when a key's
+    * claimed partition disagrees with where it lives. Deletes can EMPTY
+    * a partition, which plain replacement would silently leave in place,
+    * so every touched partition value is pinned for dropping (the static
+    * insert_overwrite mechanism). Apply is IDEMPOTENT: re-applying the
+    * same batch deletes already-absent keys and overwrites rows with
+    * identical values — the property [[applyCdcStreamBatch]]'s
+    * exactly-once argument rests on. NULL-key change rows match nothing
+    * (plain-equality join semantics, as in MERGE): null-key upserts
+    * insert, null-key deletes are no-ops.
+    */
+  def applyCdc(changes: DataFrame, rel: Relation, cfg: ModelConfig,
+               opCol: String = "_op", ordCol: String = "_seq"): Unit =
+    wh.withRelationLock(rel) {
+      require(cfg.uniqueKey.nonEmpty, "applyCdc requires unique_key")
+      val keys = cfg.uniqueKey
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col(ordCol).desc)
+      val last = changes.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      val isDelete = lower(col(opCol)).isin("d", "delete")
+      val upserts = last.filter(!isDelete).drop(opCol, ordCol)
+      val payload = last.drop(opCol, ordCol)
+      if (!wh.exists(rel)) { table(upserts, rel, cfg); return }
+      val target = wh.read(rel)
+      val touchedKeys = last.select(keys.map(last(_)): _*).distinct()
+      def fullRewrite(): Unit = {
+        val keep = target.join(touchedKeys, keys, "left_anti")
+        wh.writeAtomic(keep.unionByName(upserts), rel, cfg.partitionBy,
+          cfg.clusterBy)
+      }
+      mergeScope(payload, rel, cfg, requiresTargetRewrite = false) match {
+        case Some((pcols, tgtScoped)) if pcols.size == 1 =>
+          val pcol = pcols.head
+          val touchedVals = payload.select(col(pcol).cast("string").as("s"))
+            .distinct().collect()
+            .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+          if (touchedVals.contains(null)) fullRewrite()
+          else {
+            val keep = tgtScoped.join(touchedKeys, keys, "left_anti")
+            wh.replacePartitions(keep.unionByName(upserts), rel, pcols,
+              alsoDropValues = touchedVals, clusterCols = cfg.clusterBy)
+          }
+        case _ => fullRewrite()
+      }
+    }
+
+  /** Exactly-once CDC stream sink (`writeStream.foreachBatch` body, or
+    * any at-least-once delivery with monotone batch ids): skip batches
+    * at or below the committed per-source watermark, apply the rest via
+    * [[applyCdc]], then mark the batch id as manifest metadata. The
+    * marker commits AFTER the data (unlike [[graft.core.Warehouse
+    * .appendStreamBatch]]'s atomic marker) — sound here because apply is
+    * idempotent: a crash between the two commits makes the replay
+    * re-apply to the identical result and re-mark. Returns false for a
+    * detected replay.
+    */
+  def applyCdcStreamBatch(changes: DataFrame, rel: Relation, cfg: ModelConfig,
+                          sourceId: String, batchId: Long,
+                          opCol: String = "_op", ordCol: String = "_seq"): Boolean =
+    wh.withRelationLock(rel) {
+      require(wh.usesManifest,
+        "exactly-once CDC ingestion requires manifest commit mode")
+      if (wh.streamWatermark(rel, sourceId).exists(_ >= batchId)) false
+      else {
+        applyCdc(changes, rel, cfg, opCol, ordCol)
+        wh.commitMeta(rel, Map(s"stream.$sourceId" -> batchId.toString))
+        true
+      }
+    }
+
   /** Partition scoping for the merge family: when the target is laid out
     * partitioned on `cfg.partitionBy`, only the partitions PRESENT IN THE
     * INCREMENT need to be read (partition-pruned scan) and rewritten (per-

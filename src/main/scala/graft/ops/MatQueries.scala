@@ -366,4 +366,43 @@ object MatQueries {
     wh.read(r)
   }
   val xCompactTableSql = "SELECT * FROM nation"
+
+  // ------------------------------------------------------- CDC apply
+  /** CDC fold (`Materializer.applyCdc`): one replication batch carrying
+    * deletes (keys %10==0), two competing updates of the same keys
+    * (%10==1, seqs 1 and 2 — only seq 2 may land: last-writer-wins
+    * within the batch), and inserts of new keys. The oracle re-derives
+    * the post-state as a pure query over customer.
+    */
+  def xCdcApply(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("customer_cdc")
+    val cfg = ModelConfig(materialized = "incremental",
+      uniqueKey = Seq("c_custkey"))
+    val c = customer(s, d)
+    m.table(c, r, cfg)
+    val dels = c.filter(col("c_custkey") % 10 === 0)
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(1L))
+    val upd1 = c.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_acctbal", col("c_acctbal") + 500)
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(1L))
+    val upd2 = c.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_acctbal", col("c_acctbal") + 999)
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(2L))
+    val ins = c.filter(col("c_custkey") % 10 === 2)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+      .withColumn("_op", lit("I")).withColumn("_seq", lit(1L))
+    m.applyCdc(dels.unionByName(upd1).unionByName(upd2).unionByName(ins),
+      r, cfg)
+    wh.read(r)
+  }
+  val xCdcApplySql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 999 ELSE c_acctbal END AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer WHERE c_custkey % 10 <> 0
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 10 = 2""".stripMargin
 }
