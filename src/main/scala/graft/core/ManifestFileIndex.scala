@@ -143,22 +143,67 @@ final class ManifestFileIndex(
     // only when every data filter MAY match its recorded ranges; files
     // without stats always survive (stats are an optimization, never a
     // correctness input)
-    if (dataFilters.isEmpty || fileStats.isEmpty) partPruned
+    val statsPruned =
+      if (dataFilters.isEmpty || fileStats.isEmpty) partPruned
+      else {
+        val resolver = spark.sessionState.conf.resolver
+        val pruned = partPruned.map { pd =>
+          PartitionDirectory(pd.values, pd.files.filter { f =>
+            fileStats.get(f.getPath.getName).forall(cols =>
+              dataFilters.forall(df => FileStats.mayContain(cols, df, resolver)))
+          })
+        }
+        val (before, after) =
+          (partPruned.map(_.files.size).sum, pruned.map(_.files.size).sum)
+        if (after < before)
+          logSkip(s"file-stats skipping planned $after of $before files")
+        pruned
+      }
+    bloomPrune(statsPruned, dataFilters)
+  }
+
+  /** Version-group Bloom skipping ([[BloomStats]]): a dir whose bloom
+    * PROVES the conjunction of data filters can't match drops all its
+    * files at planning time. Sidecars load lazily, only when the filter
+    * actually carries an equality shape — a pure range scan costs zero
+    * sidecar reads — and are cached for the index's lifetime (version
+    * dirs are immutable). `graft.bloom.enabled=false` is the read-side
+    * kill switch, mirroring `graft.stats.enabled`.
+    */
+  private def bloomPrune(dirs: Seq[PartitionDirectory],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    if (dataFilters.isEmpty ||
+        spark.conf.getOption("graft.bloom.enabled").contains("false"))
+      return dirs
+    val conj = dataFilters.reduce(And)
+    if (!BloomStats.hasEqualityShape(conj)) return dirs
+    val resolver = spark.sessionState.conf.resolver
+    val absent = qualified.filter(g =>
+      bloomFor(g).exists(bl => BloomStats.provesAbsent(bl, conj, resolver)))
+    if (absent.isEmpty) dirs
     else {
-      val resolver = spark.sessionState.conf.resolver
-      val pruned = partPruned.map { pd =>
+      val pruned = dirs.map { pd =>
         PartitionDirectory(pd.values, pd.files.filter { f =>
-          fileStats.get(f.getPath.getName).forall(cols =>
-            dataFilters.forall(df => FileStats.mayContain(cols, df, resolver)))
+          !absent.contains(ManifestFileIndex.versionGroupOf(
+            f.getPath.getParent, qualified))
         })
       }
-      val (before, after) =
-        (partPruned.map(_.files.size).sum, pruned.map(_.files.size).sum)
+      val (before, after) = (dirs.map(_.files.size).sum, pruned.map(_.files.size).sum)
       if (after < before)
-        logSkip(s"file-stats skipping planned $after of $before files")
+        logSkip(s"bloom skipping planned $after of $before files " +
+          s"(${absent.size} dirs proven absent)")
       pruned
     }
   }
+
+  /** Lazily loaded per-version-dir blooms; None caches a missing/torn
+    * sidecar so it is probed at most once per index.
+    */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[Path, Option[Map[String, org.apache.spark.util.sketch.BloomFilter]]]
+  private def bloomFor(g: Path): Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    bloomCache.getOrElseUpdate(g,
+      BloomStats.read(g.getFileSystem(spark.sessionState.newHadoopConf()), g))
 
   // via stderr not log4j: the bench and specs watch this channel
   private def logSkip(msg: String): Unit =

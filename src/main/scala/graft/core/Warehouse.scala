@@ -625,6 +625,37 @@ final class Warehouse(val spark: SparkSession, val root: String,
         s"session conf $name must be an integer, got '$v'"))
     }.getOrElse(default)
 
+  private def doubleConf(name: String, default: Double): Double =
+    spark.conf.getOption(name).map { v =>
+      v.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"session conf $name must be a number, got '$v'"))
+    }.getOrElse(default)
+
+  /** Opt-in point-lookup sidecar ([[BloomStats]]): when
+    * `graft.bloom.cols` names columns, one extra pass over the freshly
+    * written dir builds a per-column Bloom filter sized to the dir's
+    * rows (capped by `graft.bloom.maxItems`, fpp `graft.bloom.fpp`).
+    * Best-effort like the range sidecar: failure costs skipping, never
+    * the write. Runs BEFORE the manifest commit, so the bloom is
+    * immutable alongside its dir.
+    */
+  private def writeBloomSidecar(vdir: Path): Unit =
+    if (!spark.conf.getOption("graft.bloom.enabled").contains("false")) try {
+      val cols = spark.conf.getOption("graft.bloom.cols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      if (cols.nonEmpty) {
+        val df = spark.read.parquet(vdir.toString)
+        val rows = df.count()
+        if (rows > 0) {
+          val cap = intConf("graft.bloom.maxItems", 4000000).toLong
+          val blooms = BloomStats.build(df, cols, math.min(rows, cap),
+            doubleConf("graft.bloom.fpp", 0.05))
+          BloomStats.write(fs, vdir, blooms)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Legacy union-shaped read, one parquet relation per version group —
     * kept only as [[readEntries]]' no-footer fallback.
     */
@@ -919,7 +950,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                else writer
       w2.parquet(vdir.toString)
-      writeStatsSidecar(vdir)
+      writeStatsSidecar(vdir); writeBloomSidecar(vdir)
       val parts =
         if (partitionCols.isEmpty) Seq("")
         else leafDirs(vdir, partitionCols.length)
@@ -1039,7 +1070,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
              else writer
     w2.parquet(vdir.toString)
-    writeStatsSidecar(vdir)
+    writeStatsSidecar(vdir); writeBloomSidecar(vdir)
     val parts =
       if (partitionCols.isEmpty) Seq("")
       else leafDirs(vdir, partitionCols.length)
@@ -1145,7 +1176,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
         val vdir = newVersionDir(rel,
           manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
         readEntries(rel, cur).write.mode("overwrite").parquet(vdir.toString)
-        writeStatsSidecar(vdir)
+        writeStatsSidecar(vdir); writeBloomSidecar(vdir)
         commitEntries(rel)(_ => Seq((vdir.getName, "")))
         true
       }
@@ -1460,7 +1491,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
     clusteredWriter(df, pcols, clusterCols)
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(vdir.toString)
-    writeStatsSidecar(vdir)
+    writeStatsSidecar(vdir); writeBloomSidecar(vdir)
     val written = leafDirs(vdir, pcols.length)
     val writtenSet = written.toSet
     val writtenVals = written

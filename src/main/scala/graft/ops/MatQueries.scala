@@ -367,6 +367,30 @@ object MatQueries {
   }
   val xCompactTableSql = "SELECT * FROM nation"
 
+  // ---------------------------------------------------- bloom lookup
+  /** Point-lookup over bloom-indexed appends (`BloomStats`): orders
+    * lands in four interleaved batches (keys mod 4 — every dir spans the
+    * full key range, so min/max can never prune), then an IN-list
+    * lookup. The bloom is a layout optimization; the hash gate proves it
+    * never changes results. BloomSpec measures the planned-file
+    * reduction itself.
+    */
+  def xBloomLookup(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val r = rel("orders_bloomed")
+    s.conf.set("graft.bloom.cols", "o_orderkey")
+    try {
+      val o = orders(s, d)
+      (0 to 3).foreach(k => wh.append(o.filter(col("o_orderkey") % 4 === k), r))
+      wh.read(r)
+        .filter(col("o_orderkey").isin(1L, 7L, 33L, 5000L, 65123L))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    } finally s.conf.unset("graft.bloom.cols")
+  }
+  val xBloomLookupSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey IN (1, 7, 33, 5000, 65123)""".stripMargin
+
   // ------------------------------------------------------- CDC apply
   /** CDC fold (`Materializer.applyCdc`): one replication batch carrying
     * deletes (keys %10==0), two competing updates of the same keys

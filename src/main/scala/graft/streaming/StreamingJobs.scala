@@ -187,6 +187,22 @@ object StreamingJobs {
       ()
     }
 
+  /** Exactly-once CDC sink for `writeStream.foreachBatch`: each
+    * micro-batch of change rows (op + order columns, see
+    * [[graft.materialize.Materializer.applyCdc]]) folds into the keyed
+    * target with replay detection by batch id. The upstream is typically
+    * a replication feed landed as files/Kafka; this is the warehouse end
+    * of a streaming CDC pipeline.
+    */
+  def cdcSink(m: graft.materialize.Materializer, rel: graft.core.Relation,
+              cfg: graft.core.ModelConfig, sourceId: String,
+              opCol: String = "_op", ordCol: String = "_seq")
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      m.applyCdcStreamBatch(batch, rel, cfg, sourceId, batchId, opCol, ordCol)
+      ()
+    }
+
   /** Oracle-gated batch↔streaming equivalence: run [[closedSessions]] over
     * the bounded events table — staged as a file stream plus one
     * far-future sentinel event (user −1) whose arrival advances the

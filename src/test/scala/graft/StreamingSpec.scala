@@ -216,6 +216,59 @@ class StreamingSpec extends AnyFunSuite {
       (1L to 6L))
   }
 
+  test("streaming CDC pipeline: file-fed change batches fold exactly-once across a restart") {
+    import graft.core.{CommitMode, ModelConfig, Relation, Warehouse}
+    import graft.materialize.Materializer
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_cdc_src")
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_cdc_whs").toString, CommitMode.Manifest)
+    val m = new Materializer(wh)
+    val r = Relation("db", "sch", "t_cdc_stream")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+    def writeFile(name: String, rows: Seq[(Long, Double, String, Long)]): Unit = {
+      rows.toDF("id", "v", "_op", "_seq")
+        .coalesce(1).write.parquet(dir.resolve(s"stage_$name").toString)
+      val f = Files.list(dir.resolve(s"stage_$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, dir.resolve(s"$name.parquet")); ()
+    }
+    def runQuery(): Unit = {
+      val src = spark.readStream
+        .schema("id LONG, v DOUBLE, _op STRING, _seq LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(StreamingJobs.cdcSink(m, r, cfg, "repl"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state(): Set[(Long, Double)] =
+      wh.read(r).select($"id", $"v").as[(Long, Double)].collect().toSet
+
+    writeFile("c1", Seq((1L, 1.0, "I", 1L), (2L, 2.0, "I", 2L)))
+    writeFile("c2", Seq((2L, 2.5, "U", 3L), (3L, 3.0, "I", 4L)))
+    runQuery() // two micro-batches: insert {1,2}, then update 2 + insert 3
+    assert(state() == Set((1L, 1.0), (2L, 2.5), (3L, 3.0)))
+    val wm = wh.streamWatermark(r, "repl").get
+
+    // crash replay of the checkpoint's last batch must not re-fold
+    val replay = spark.read.parquet(dir.resolve("c2.parquet").toString)
+    StreamingJobs.cdcSink(m, r, cfg, "repl")(replay, wm)
+    assert(state() == Set((1L, 1.0), (2L, 2.5), (3L, 3.0)))
+
+    // restart picks up only the new file: delete 1, late-stale update of
+    // 2 (seq 1 < the landed seq 3) still overwrites — CDC folds WITHIN a
+    // batch; cross-batch ordering is the feed's contract (batch ids are
+    // the replication stream's order)
+    writeFile("c3", Seq((1L, 0.0, "D", 5L), (3L, 3.5, "U", 6L)))
+    runQuery()
+    assert(state() == Set((2L, 2.5), (3L, 3.5)))
+    assert(wh.streamWatermark(r, "repl").exists(_ > wm))
+  }
+
   test("beyond-watermark event never rewrites an already-emitted session") {
     // Append-mode output is immutable: once the watermark passes a
     // session's gap and the session EMITS (state removed), an event older
