@@ -645,12 +645,18 @@ final class Warehouse(val spark: SparkSession, val root: String,
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
       if (cols.nonEmpty) {
-        val df = spark.read.parquet(vdir.toString)
-        val rows = df.count()
+        // size the bloom from the just-written footers' record counts —
+        // pure metadata, no count() job over the data
+        def parquets(d: Path): Seq[FileStatus] = {
+          val st = fs.listStatus(d).toSeq
+          st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ++
+            st.filter(_.isDirectory).flatMap(s => parquets(s.getPath))
+        }
+        val rows = footerRowsOf(parquets(vdir))
         if (rows > 0) {
           val cap = intConf("graft.bloom.maxItems", 4000000).toLong
-          val blooms = BloomStats.build(df, cols, math.min(rows, cap),
-            doubleConf("graft.bloom.fpp", 0.05))
+          val blooms = BloomStats.build(spark.read.parquet(vdir.toString),
+            cols, math.min(rows, cap), doubleConf("graft.bloom.fpp", 0.05))
           BloomStats.write(fs, vdir, blooms)
         }
       }
