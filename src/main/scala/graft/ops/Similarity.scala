@@ -373,6 +373,14 @@ object Similarity {
     */
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
+    e.select(col("vec_id"), kmNearest(kmOracleCentroids(e)))
+  }
+
+  /** The fixed-parameter centroid loop of [[kmeansAssign]], shared with
+    * [[semanticDedup]] (which clusters with the SAME deterministic
+    * centroids so its oracle can re-derive them).
+    */
+  private def kmOracleCentroids(e: DataFrame): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] =
       e.orderBy(col("vec_id")).limit(KmK).collect()
         .toSeq.zipWithIndex
@@ -387,7 +395,33 @@ object Similarity {
         (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
       }.sortBy(_._1)
     }
-    e.select(col("vec_id"), kmNearest(cents))
+    cents
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * corpus, then WITHIN each cluster drop every vector that has a
+    * τ-similar neighbor with a smaller id (deterministic keep-min-id,
+    * the SQL-expressible variant of the paper's greedy representative
+    * selection). Clustering is what makes this scale: the quadratic
+    * pairwise step runs per cluster, never across the corpus — k grows
+    * with N to bound cluster size (here the fixed oracle-deterministic
+    * k=8 clustering of [[kmeansAssign]]; production would use
+    * [[kmeansFit]] with k ~ N/target_cluster_size). The self-join
+    * shuffles on cluster id; cosine is the codegen'd [[cosine_sim]].
+    * τ=0.35 is tuned to the synthetic corpus (its pairwise max is ~0.51;
+    * real near-dup corpora use 0.95+) so the drop path is exercised.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val a = e.select(col("vec_id"), col("v"),
+      kmNearest(kmOracleCentroids(e)))
+    val dropped = a.alias("x").join(a.alias("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id") &&
+          round(cosine_sim(col("x.v"), col("y.v")), 6) >= 0.35)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    a.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
   }
 
   /** Production k-means: parameterized k / iteration budget, k-means++
@@ -483,7 +517,11 @@ object Similarity {
     * means snapped to the same 1e-6 grid (`v[i]` is 1-based; the Spark
     * side only uses `pos` as a sort key, so 0- vs 1-based never leaks).
     */
-  val kmeansAssignSql: String = {
+  /** The two-round Lloyd CTE chain shared by [[kmeansAssignSql]] and
+    * [[semanticDedupSql]] — ends with `a2(vec_id, v, cid)`, the final
+    * assignment under the converged centroids.
+    */
+  private val kmeansCtes: String = {
     val cos = (v: String, c: String) =>
       s"round(list_dot_product($v, $c) / (sqrt(list_dot_product($v, $v)) " +
         s"* sqrt(list_dot_product($c, $c))), 6)"
@@ -508,9 +546,23 @@ object Similarity {
        |${update("a0", "c1")},
        |${assign("e", "c1", "a1")},
        |${update("a1", "c2")},
-       |${assign("e", "c2", "a2")}
-       |SELECT vec_id, cid AS cluster FROM a2""".stripMargin
+       |${assign("e", "c2", "a2")}""".stripMargin
   }
+
+  val kmeansAssignSql: String =
+    s"""$kmeansCtes
+       |SELECT vec_id, cid AS cluster FROM a2""".stripMargin
+
+  /** Oracle: same clusters, then keep-min-id within cluster at τ=0.35. */
+  val semanticDedupSql: String =
+    s"""$kmeansCtes,
+       |dropped AS (SELECT DISTINCT y.vec_id
+       |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.v, y.v)
+       |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+       |    6) >= 0.35)
+       |SELECT vec_id, cid AS cluster FROM a2
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
   val embeddingNearDupsSql: String =
     s"""WITH e0 AS (SELECT vec_id,
