@@ -118,7 +118,11 @@ object GraftCli {
             val done = engine.warehouse.compactPartitions(rel, cols, maxFiles)
             if (done.nonEmpty)
               println(s"COMPACT  ${rel.identifier}: ${done.size} leaves rewritten")
-          }
+          } else if (engine.warehouse.usesManifest &&
+                     engine.warehouse.compactTable(rel, maxFiles))
+            // unpartitioned manifest table whose appended/streamed version
+            // dirs exceed the threshold: rewritten as one entry
+            println(s"COMPACT  ${rel.identifier}: version dirs rewritten as one")
         }
       case "expire-snapshots" =>
         // retention: drop closed-history months older than --keep-from

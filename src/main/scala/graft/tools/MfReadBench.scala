@@ -101,6 +101,27 @@ object MfReadBench {
     val (blindFiles, blindRead) = time(
       plannedFiles(whBlind.read(r).filter($"id" === mid)))
     spark.conf.unset("graft.stats.enabled")
+    // bloom skipping: N appended dirs of INTERLEAVED ids — every dir's
+    // min/max range covers the probe, so range stats are structurally
+    // blind here and any pruning is the bloom sidecar's alone
+    val rb = Relation("db", "sch", "t_bloomed")
+    spark.conf.set("graft.bloom.cols", "id")
+    val rowsPer = 200
+    val tb0 = System.nanoTime()
+    (0 until n).foreach { i =>
+      wh.append((0 until rowsPer).map(j => (j.toLong * n + i, i.toLong))
+        .toDF("id", "src").coalesce(1), rb)
+    }
+    val tbw = (System.nanoTime() - tb0) / 1e9
+    spark.conf.unset("graft.bloom.cols")
+    val probe = (rowsPer / 2).toLong * n + (n / 2) // lives in ONE dir
+    val (bloomFiles, bloomRead) = time(
+      plannedFiles(wh.read(rb).filter($"id" === probe)))
+    spark.conf.set("graft.bloom.enabled", "false")
+    val whNb = new Warehouse(spark, wh.root, CommitMode.Manifest)
+    val (nbFiles, nbRead) = time(
+      plannedFiles(whNb.read(rb).filter($"id" === probe)))
+    spark.conf.unset("graft.bloom.enabled")
     println(f"""{"merges":$n,"version_dirs":$versions,"rows":$cnt,""" +
       f""""scan_nodes":$scans,"write_total_s":$tw%.1f,""" +
       f""""read_warm_s":$warm%.2f,"read_s":$full%.2f,""" +
@@ -109,7 +130,10 @@ object MfReadBench {
       f""""footer_rows":$frSerial,"footer_serial_s":$footerSerial%.2f,""" +
       f""""footer_parallel_s":$footerParallel%.2f,""" +
       f""""skip_planned_files":$skipFiles,"skip_read_s":$skipRead%.2f,""" +
-      f""""blind_planned_files":$blindFiles,"blind_read_s":$blindRead%.2f}""")
+      f""""blind_planned_files":$blindFiles,"blind_read_s":$blindRead%.2f,""" +
+      f""""bloom_write_total_s":$tbw%.1f,""" +
+      f""""bloom_planned_files":$bloomFiles,"bloom_read_s":$bloomRead%.2f,""" +
+      f""""nobloom_planned_files":$nbFiles,"nobloom_read_s":$nbRead%.2f}""")
     spark.stop()
   }
 }
