@@ -1378,6 +1378,95 @@ object TextOps {
       |  md5(array_to_string(list_slice(w, start_tok, least(start_tok + 31, n)), ' ')) AS chunk_md5
       |FROM st""".stripMargin
 
+  // ------------------------------------------- paragraph-level dedup
+  /** Paragraph-level dedup (the C4 three-sentence-span rule, Raffel et
+    * al. 2020, and Dolma's paragraph dedup; reference dedup surface is
+    * document-level only, this is the finer-grained sibling): every
+    * repeated SPAN keeps exactly its first occurrence corpus-wide —
+    * ordered by (doc_id, position) — and every other occurrence is cut
+    * out of its document, which otherwise survives. The synthetic corpus
+    * has no newline structure, so a "paragraph" is a fixed `win`-token
+    * non-overlapping window; the unit is a parameter of the technique,
+    * not its substance.
+    *
+    * Scale shape: the TEXT never shuffles. Windows stay as an array on
+    * the doc row; only narrow `(doc_id, idx, md5)` triples flow into the
+    * occurrence count, and the duplicated-window set (∝ boilerplate, a
+    * sliver of the corpus) joins back against those same narrow triples
+    * — AQE broadcasts it when small. Dropped positions return as tiny
+    * per-doc index lists through one `groupBy(doc_id)`, and the final
+    * join touches the full rows exactly once. At 100 TB: one hash agg on
+    * 16-byte keys, one narrow join, one array rebuild — the heavy text
+    * column rides untouched on its original partitioning while the
+    * dropped-set side broadcasts (verified: the sf plan is a LeftOuter
+    * BroadcastHashJoin with text on the streamed side). If a corpus is
+    * SO boilerplate-heavy the per-doc drop lists outgrow broadcast, AQE
+    * falls back to one doc_id-keyed shuffle — linear, never quadratic.
+    *
+    * First-occurrence order is the integer `doc_id * 100000 + idx`
+    * (docs are length-bounded, idx < 1e5 by construction), identical
+    * arithmetic in Spark and DuckDB, so "keep the first" is
+    * deterministic across engines and partitionings.
+    *
+    * Only FULL `win`-token windows are dedup candidates: the short tail
+    * of a document whose length isn't a multiple of `win` is exempt
+    * (always kept, never counted) — a 2-token span repeats across any
+    * corpus by chance, and cutting those is noise, not dedup. The same
+    * guard real pipelines apply to short paragraphs.
+    */
+  def dedupParagraph(s: SparkSession, d: String, win: Int = 12): DataFrame = {
+    val base = corpus(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("chunks", expr(
+        s"transform(sequence(0, (size(w)-1) div $win), " +
+          s"i -> array_join(slice(w, i*$win + 1, $win), ' '))"))
+      .select(col("doc_id"), col("chunks"),
+        (size(col("w")) / win).cast("int").as("n_full"))
+    val paras = base
+      .select(col("doc_id"), col("n_full"),
+        posexplode(col("chunks")).as(Seq("idx", "para")))
+      .filter(col("idx") < col("n_full")) // short tail exempt
+      .select(col("doc_id"), col("idx"),
+        (col("doc_id") * 100000L + col("idx")).as("k"), md5(col("para")).as("m"))
+    val dups = paras.groupBy("m")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("keep_k"))
+      .filter(col("n") > 1)
+    val dropped = paras.join(dups, Seq("m"))
+      .filter(col("k") =!= col("keep_k"))
+      .groupBy("doc_id").agg(collect_list(col("idx")).as("drop_idx"))
+    base.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_paras"),
+        coalesce(size(col("drop_idx")), lit(0)).cast("long").as("n_dropped"),
+        expr("array_join(filter(chunks, (x, i) -> " +
+          "drop_idx IS NULL OR NOT array_contains(drop_idx, i)), ' ')")
+          .as("clean_text"))
+  }
+
+  val dedupParagraphSql: String =
+    s"""WITH $corpusSql,
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |st AS (SELECT doc_id, w, len(w) // 12 AS n_full,
+       |         unnest(generate_series(0, (len(w)-1) // 12)) AS idx
+       |       FROM t),
+       |ch AS (SELECT doc_id, idx, n_full,
+       |         array_to_string(list_slice(w, idx*12 + 1, idx*12 + 12), ' ') AS para
+       |       FROM st),
+       |ag AS (SELECT md5(para) AS m, count(*) AS n,
+       |              min(doc_id*100000 + idx) AS keep_k
+       |       FROM ch WHERE idx < n_full GROUP BY md5(para))
+       |SELECT ch.doc_id,
+       |  count(*)::BIGINT AS n_paras,
+       |  count(CASE WHEN ch.idx < ch.n_full AND ag.n > 1
+       |              AND ch.doc_id*100000 + ch.idx <> ag.keep_k
+       |             THEN 1 END)::BIGINT AS n_dropped,
+       |  coalesce(string_agg(
+       |    CASE WHEN NOT (ch.idx < ch.n_full AND ag.n > 1
+       |                   AND ch.doc_id*100000 + ch.idx <> ag.keep_k)
+       |         THEN ch.para END, ' ' ORDER BY ch.idx), '') AS clean_text
+       |FROM ch LEFT JOIN ag ON md5(ch.para) = ag.m
+       |GROUP BY ch.doc_id""".stripMargin
+
   // ------------------------------------------------- corpus mixing
   /** Source-weighted corpus mixing: sample each source so the final mix
     * approaches target proportions ∝ per-source weights without

@@ -503,6 +503,46 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(moved > n / 2, s"epoch change must reshuffle most docs (moved=$moved)")
   }
 
+  test("paragraph dedup: first-occurrence-wins, independent recompute agrees") {
+    val out = TextOps.dedupParagraph(spark, sf)
+    val docs = TData.documents(spark, sf).select(col("doc_id"), col("text"))
+    // independent in-memory recomputation with a different formulation:
+    // raw window text + lexicographic (doc_id, idx) first-occurrence, vs
+    // the operator's md5 keys + encoded-integer min
+    val wins = TextOps.corpus(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w")).collect()
+      .flatMap { r =>
+        val id = r.getLong(0); val w = r.getSeq[String](1)
+        (0 until w.size / 12).map(i => (id, i, w.slice(i * 12, i * 12 + 12).mkString(" ")))
+      }
+    val keepers = wins.groupBy(_._3)
+      .map { case (_, occ) => occ.minBy(o => (o._1, o._2)) }.toSet
+    val expDropped = wins.filterNot(keepers.contains)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    // the corpus really contains repeated spans (planted boilerplate
+    // phrases + the exact-copy docs) — the operator has work to do here
+    assert(expDropped.nonEmpty)
+    out.select("doc_id", "n_dropped").collect().foreach { r =>
+      assert(r.getLong(1) == expDropped.getOrElse(r.getLong(0), 0L),
+        s"doc ${r.getLong(0)}")
+    }
+    // exact copies (+2000000) lose every FULL window to the original's
+    // first occurrence; only the short-tail exemption survives
+    val copies = out.filter(col("doc_id") >= 2000000)
+      .withColumn("doc_id", col("doc_id") - 2000000)
+      .join(docs, Seq("doc_id"))
+      .withColumn("toks", size(split(col("text"), " ")))
+      .withColumn("expect_clean", expr(
+        "CASE WHEN toks % 12 = 0 THEN '' " +
+          "ELSE array_join(slice(split(text, ' '), (toks div 12)*12 + 1, 12), ' ') END"))
+    assert(copies.count() > 0)
+    assert(copies.filter(col("n_dropped") =!= expr("toks div 12")).count() == 0)
+    assert(copies.filter(col("clean_text") =!= col("expect_clean")).count() == 0)
+    // docs that lost nothing reassemble byte-exact
+    assert(out.filter(col("n_dropped") === 0).join(docs, Seq("doc_id"))
+      .filter(col("clean_text") =!= col("text")).count() == 0)
+  }
+
   test("boilerplate strip: bounds hold and the hot grams really clear df>N/10") {
     val out = TextOps.boilerplateStrip(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
