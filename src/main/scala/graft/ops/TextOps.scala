@@ -291,6 +291,25 @@ object TextOps {
       wh.append(minhashBands(capped), bandRel)
     }
 
+    /** Streaming sibling of [[append]]: both index relations commit
+      * through [[graft.core.Warehouse.appendStreamBatch]]'s per-relation
+      * batch-id watermark, so a replayed micro-batch is a no-op for
+      * whichever relation already absorbed it and a deterministic
+      * recommit for the one a crash left behind (shingles/bands derive
+      * from md5 — a replay writes identical rows). See
+      * [[graft.streaming.StreamingJobs.fuzzyIngestSink]] for the
+      * ordering argument that makes the corpus-table append the
+      * authoritative first commit.
+      */
+    def appendStreamBatch(docs: DataFrame, sourceId: String,
+                          batchId: Long): Unit = {
+      val capped = hashed(shinglesOf(docs)
+        .join(broadcast(wh.read(hotRel)), Seq("shingle"), "left_anti"))
+      wh.appendStreamBatch(capped, shRel, sourceId, batchId)
+      wh.appendStreamBatch(minhashBands(capped), bandRel, sourceId, batchId)
+      ()
+    }
+
     /** Near-dups of `batchDocs` against the indexed corpus: band-probe
       * then exact-Jaccard on the hashed shingle space. Reads ONLY the
       * index relations and the batch — never the base documents.

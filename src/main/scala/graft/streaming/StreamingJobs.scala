@@ -187,6 +187,52 @@ object StreamingJobs {
       ()
     }
 
+  /** Exactly-once FUZZY-GATED ingestion sink for
+    * `writeStream.foreachBatch`: each micro-batch of documents
+    * (`doc_id`, `text`, …) is probed against a persisted MinHash band
+    * index ([[graft.ops.TextOps.FuzzyIndex]]); near-dups of already-
+    * ingested docs are rejected, survivors append to the corpus table
+    * AND into the index, so the next batch's gate sees them. The
+    * production ingestion shape at corpus scale: per batch the gate is
+    * O(batch) index probes, never a corpus scan.
+    *
+    * Exactly-once across THREE relations without a cross-relation
+    * transaction, by ordering + per-relation batch-id watermarks:
+    *
+    *  1. corpus table first — the authoritative commit. A replay that
+    *     finds it watermarked re-runs the gate against an index that may
+    *     already contain this batch (docs then match THEMSELVES and the
+    *     recomputed admit set collapses), but every append below is
+    *     watermark-skipped, so the wrong recomputation writes nothing.
+    *  2. index shingles, then bands. A crash between them heals on
+    *     replay: the gate's candidates come from the BAND relation, so a
+    *     batch whose bands aren't committed yet can't match itself, the
+    *     admit set recomputes identically (shingle/band rows derive from
+    *     md5 — deterministic), the corpus and shingle appends no-op on
+    *     their watermarks, and the band append completes the batch.
+    *
+    * Batch-INTERNAL near-dups are deliberately not gated here (two
+    * near-identical docs arriving in one batch both pass); run
+    * [[graft.ops.TextOps.dedupMinhashLsh]]-style dedup upstream or
+    * periodically over the corpus if intra-batch spam matters.
+    */
+  def fuzzyIngestSink(wh: graft.core.Warehouse,
+                      fx: graft.ops.TextOps.FuzzyIndex,
+                      rel: graft.core.Relation, sourceId: String)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val b = batch.persist()
+      try {
+        val rejected = fx.gate(b)
+          .select(col("batch_doc").as("doc_id")).distinct()
+        val admitted = b.join(rejected, Seq("doc_id"), "left_anti").persist()
+        try {
+          wh.appendStreamBatch(admitted, rel, sourceId, batchId)
+          fx.appendStreamBatch(admitted, sourceId, batchId)
+        } finally { admitted.unpersist(); () }
+      } finally { b.unpersist(); () }
+    }
+
   /** Exactly-once CDC sink for `writeStream.foreachBatch`: each
     * micro-batch of change rows (op + order columns, see
     * [[graft.materialize.Materializer.applyCdc]]) folds into the keyed

@@ -216,6 +216,72 @@ class StreamingSpec extends AnyFunSuite {
       (1L to 6L))
   }
 
+  test("fuzzy-gated ingestion: stream gated against the index, exactly-once, crash heals") {
+    import graft.core.{CommitMode, Relation, Warehouse}
+    import graft.ops.TextOps
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_fz_src")
+    val ckpt = Files.createTempDirectory("graft_fz_ckpt").toString
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_fz_wh").toString, CommitMode.Manifest)
+    val rel = Relation("db", "sch", "t_docs")
+    val shRel = Relation("idx", "mh", "docs__shingles")
+    val bandRel = Relation("idx", "mh", "docs__bands")
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val idx = new TextOps.FuzzyIndex(wh, "docs")
+    idx.build(Seq((1L, words("alpha", 40)), (2L, words("beta", 40)))
+      .toDF("doc_id", "text"))
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(dir.resolve(s"stage_$name").toString)
+      val f = Files.list(dir.resolve(s"stage_$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, dir.resolve(s"$name.parquet")); ()
+    }
+    def corpusIds: Seq[Long] =
+      wh.read(rel).select("doc_id").as[Long].collect().sorted.toSeq
+    val sink = StreamingJobs.fuzzyIngestSink(wh, idx, rel, "ingest")
+    def runQuery(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 0: near-dup of indexed doc 1 + a novel doc; batch 1: near-dup
+    // of the doc batch 0 JUST admitted (the index must have grown) + novel
+    writeFile("f1", Seq((100L, words("alpha", 40)), (101L, words("delta", 40))))
+    writeFile("f2", Seq((200L, "zz yy " + words("delta", 40)),
+      (201L, words("eps", 40))))
+    runQuery()
+    assert(corpusIds == Seq(101L, 201L),
+      s"near-dups must be rejected, novels admitted: $corpusIds")
+    // checkpoint-restart replay of the last batch: nothing changes in the
+    // corpus OR either index relation
+    val wm = wh.streamWatermark(rel, "ingest").get
+    val (shN, bdN) = (wh.read(shRel).count(), wh.read(bandRel).count())
+    sink(spark.read.parquet(dir.resolve("f2.parquet").toString), wm)
+    assert(corpusIds == Seq(101L, 201L))
+    assert(wh.read(shRel).count() == shN, "replay must not grow the shingle index")
+    assert(wh.read(bandRel).count() == bdN, "replay must not grow the band index")
+    // partial crash: corpus append committed, the process died before the
+    // index absorbed the batch; replaying the same (batch, id) heals —
+    // corpus no-ops on its watermark, the index commits
+    val b2 = Seq((300L, words("zeta", 40))).toDF("doc_id", "text")
+    wh.appendStreamBatch(b2, rel, "ingest", wm + 1)
+    sink(b2, wm + 1)
+    assert(corpusIds == Seq(101L, 201L, 300L))
+    // and the healed index gates the next batch against the crashed doc
+    sink(Seq((400L, "qq rr " + words("zeta", 40)), (401L, words("theta", 40)))
+      .toDF("doc_id", "text"), wm + 2)
+    assert(corpusIds == Seq(101L, 201L, 300L, 401L),
+      "near-dup of the healed doc must be rejected")
+  }
+
   test("streaming CDC pipeline: file-fed change batches fold exactly-once across a restart") {
     import graft.core.{CommitMode, ModelConfig, Relation, Warehouse}
     import graft.materialize.Materializer
