@@ -278,6 +278,82 @@ object Similarity {
       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
       |  FROM scored) WHERE rn <= 5""".stripMargin
 
+  /** Persisted IVF vector index — the [[graft.ops.TextOps.FuzzyIndex]]
+    * pattern for embeddings, i.e. a warehouse-native vector store:
+    *
+    *   - `<name>__centroids` — `(cid, cv)` k-means centroids, FROZEN at
+    *     build time (like the fuzzy index's stop list: a drifted corpus
+    *     re-fits via an explicit rebuild, never silently)
+    *   - `<name>__cells` — `(vec_id, v)` PARTITIONED BY cell id
+    *
+    * The cell partitioning is the scale feature: a query batch selects
+    * its `nprobe` nearest cells per query, the touched cell ids collect
+    * as a CONTROL-PLANE literal list (≤ k ints), and the candidate read
+    * is partition-PRUNED to those directories — at 100 TB a probe reads
+    * ~nprobe/k of the corpus, never all of it. Assignment and probe
+    * selection are per-row codegen over centroid literals (k·d doubles,
+    * control-plane), so neither step joins or shuffles the corpus;
+    * candidate scoring shuffles on cell id exactly like [[knnIvf]], and
+    * the query side is never broadcast (an unbounded batch can't OOM).
+    *
+    * Centroids come from [[kmeansFit]] (k-means++ init, convergence
+    * stop), so the index is spec-gated rather than oracle-gated
+    * (VectorIndexSpec: recall@5 floor vs brute force, pruning pinned on
+    * the executed plan, append visibility); [[knnIvf]] remains the
+    * deterministically-seeded oracle-checked variant.
+    */
+  final class VectorIndex(wh: graft.core.Warehouse, name: String,
+                          k: Int = 16, nprobe: Int = 2) {
+    import graft.core.Relation
+    private val centRel = Relation("idx", "ann", s"${name}__centroids")
+    private val cellRel = Relation("idx", "ann", s"${name}__cells")
+
+    /** nprobe nearest cell ids of `v` — codegen over centroid literals. */
+    private def nearestCells(cents: Seq[(Int, Seq[Double])], n: Int) =
+      transform(slice(array_sort(array(cents.map { case (cid, cv) =>
+        struct((-round(cosine_sim(col("v"), typedLit(cv)), 6)).as("negsim"),
+          lit(cid).as("cid"))
+      }: _*)), 1, n), s => s.getField("cid"))
+
+    /** One-time fit + assign: one kmeansFit pass, one partitioned write. */
+    def build(e: DataFrame): Unit = {
+      val (_, cents, _) = kmeansFit(e, k)
+      val s = e.sparkSession
+      import s.implicits._
+      wh.writeAtomic(cents.toDF("cid", "cv"), centRel)
+      wh.writeAtomic(e.withColumn("cell", kmNearest(cents)), cellRel,
+        partitionCols = Seq("cell"))
+    }
+
+    /** Frozen centroids back from the warehouse: k·d doubles. */
+    private def centroids(): Seq[(Int, Seq[Double])] =
+      wh.read(centRel).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+
+    /** Admit new vectors (frozen centroids — O(batch) assignment). */
+    def append(e: DataFrame): Unit =
+      wh.append(e.withColumn("cell", kmNearest(centroids())), cellRel,
+        Seq("cell"))
+
+    /** ANN top-k of each `(vec_id, v)` query row against the index. */
+    def query(q: DataFrame, topK: Int = 5): DataFrame = {
+      val cents = centroids()
+      val probed = q
+        .withColumn("cell", explode(nearestCells(cents, nprobe)))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+      // control-plane: distinct probed cell ids (≤ k ints) become a
+      // LITERAL isin predicate, so the candidate scan partition-prunes
+      val cids = probed.select("cell").distinct().collect().map(_.getInt(0))
+      val cand = wh.read(cellRel).filter(col("cell").isin(cids: _*))
+      val scored = cand.alias("a").join(probed.alias("p"),
+          col("a.cell") === col("p.cell") && col("a.vec_id") =!= col("p.q_id"))
+        .select(col("q_id"), col("a.vec_id").as("neighbor_id"),
+          round(cosine_sim(col("qv"), col("a.v")), 6).as("cos_sim"))
+      topKAgg(q.sparkSession, scored, topK)
+    }
+  }
+
   /** Int8 quantization of the embedding column — the storage/serving
     * format step of an embedding pipeline: per-vector max-abs scale,
     * elements mapped to round(x/scale·127) ∈ [-127,127]. Emits the scale

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{CommitMode, Relation, Warehouse}
+import graft.ops.Similarity
+
+/** The persisted IVF vector index: build fits k-means ONCE and writes the
+  * corpus cell-partitioned; queries must partition-prune to their probed
+  * cells (the executed plan is inspected), clear a recall floor against
+  * the exact brute-force top-k, and see appended vectors without a refit.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case o => o.children.flatMap(scans)
+  }
+
+  test("build once, queries prune to probed cells, recall floor, append visible") {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_vidx").toString, CommitMode.Manifest)
+    val e = Similarity.vecs(spark, sf)
+    val idx = new Similarity.VectorIndex(wh, "emb", k = 8, nprobe = 2)
+    idx.build(e)
+
+    // every vector landed in exactly one of ≤ k cells
+    val cells = wh.read(Relation("idx", "ann", "emb__cells"))
+    assert(cells.count() == e.count())
+    val nCells = cells.select("cell").distinct().count()
+    assert(nCells > 1 && nCells <= 8, s"cells: $nCells")
+
+    // recall@5 vs exact brute force on the same query sample
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val got = idx.query(q, topK = 5)
+    val gotPairs = got.select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.knnBrute(spark, sf)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gotPairs intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    assert(gotPairs.groupBy(_._1).forall(_._2.size <= 5))
+
+    // the candidate scan is partition-pruned: with nprobe=2 a SINGLE
+    // query touches ≤ 2 of the cells' partitions
+    val q1 = idx.query(e.filter(col("vec_id") === 0L), topK = 5)
+    q1.collect()
+    val cellScan = scans(q1.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "cell"))
+      .getOrElse(fail("no cell-partitioned scan in the query plan"))
+    assert(cellScan.partitionFilters.nonEmpty,
+      "probe filter must reach the scan as a partition filter")
+    val full = wh.read(Relation("idx", "ann", "emb__cells"))
+    full.collect()
+    val totalFiles = scans(full.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(cellScan.metrics("numFiles").value * 2 <= totalFiles,
+      s"pruned scan read ${cellScan.metrics("numFiles").value} of " +
+        s"$totalFiles files — not pruned")
+
+    // append: a brand-new vector near an existing one becomes findable
+    // WITHOUT a refit (centroids frozen)
+    val s2 = spark
+    import s2.implicits._
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("v")).collect().head.getSeq[Double](0)
+    val shifted = probe.map(x => x * 0.995 + 0.001)
+    idx.append(Seq((900001L, shifted)).toDF("vec_id", "v"))
+    val got2 = idx.query(e.filter(col("vec_id") === 0L), topK = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got2.contains(900001L),
+      s"appended near-copy must surface in top-5, got $got2")
+  }
+}
