@@ -1169,8 +1169,17 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * scale. Old dirs stay until retention GC ages them out, so
     * in-flight snapshot readers are never yanked. Returns true when a
     * rewrite happened.
+    *
+    * `zorderCols` re-clusters while compacting (the OPTIMIZE … ZORDER BY
+    * shape): a stream of appends arrives in TIME order, so point/range
+    * predicates on content keys plan every batch dir; the compaction is
+    * the one moment the whole table rewrites anyway, and layering the
+    * z-curve on it makes the per-file min/max + bloom sidecars selective
+    * for free. Costs one range exchange on the interleaved key (vs none
+    * plain) — the explicit trade for skippable files.
     */
-  def compactTable(rel: Relation, maxEntries: Int = 8): Boolean =
+  def compactTable(rel: Relation, maxEntries: Int = 8,
+                   zorderCols: Seq[String] = Nil): Boolean =
     withRelationLock(rel) {
       require(usesManifest,
         s"compactTable is manifest-mode only; ${rel.fqName} is rename-mode")
@@ -1181,7 +1190,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
           s"${rel.fqName} has partitioned entries; use compactPartitions")
         val vdir = newVersionDir(rel,
           manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
-        readEntries(rel, cur).write.mode("overwrite").parquet(vdir.toString)
+        clusteredWriter(readEntries(rel, cur), Nil, Nil, zorderCols)
+          .write.mode("overwrite").parquet(vdir.toString)
         writeStatsSidecar(vdir); writeBloomSidecar(vdir)
         commitEntries(rel)(_ => Seq((vdir.getName, "")))
         true

@@ -336,6 +336,20 @@ object Similarity {
       wh.append(e.withColumn("cell", kmNearest(centroids())), cellRel,
         Seq("cell"))
 
+    /** Streaming sibling of [[append]] for `writeStream.foreachBatch`:
+      * the cell append commits under the per-relation batch-id watermark
+      * ([[graft.core.Warehouse.appendStreamBatch]]), so a checkpoint-
+      * restart replay is a detected no-op — the embedding-ingestion twin
+      * of [[graft.ops.TextOps.FuzzyIndex.appendStreamBatch]], single-
+      * relation and therefore trivially atomic. Assignment is
+      * deterministic (frozen centroids), so a replayed batch recomputes
+      * identical rows.
+      */
+    def appendStreamBatch(e: DataFrame, sourceId: String,
+                          batchId: Long): Boolean =
+      wh.appendStreamBatch(e.withColumn("cell", kmNearest(centroids())),
+        cellRel, sourceId, batchId, Seq("cell"))
+
     /** ANN top-k of each `(vec_id, v)` query row against the index. */
     def query(q: DataFrame, topK: Int = 5): DataFrame = {
       val cents = centroids()

@@ -13,7 +13,9 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   test             only the declared tests
   *   freshness        source freshness vs thresholds
   *   catalog          tables (footer row counts, bytes, partitions) + durable views
-  *   compact          coalesce crowded partition leaves (--max-files N, default 8)
+  *   compact          coalesce crowded partition leaves / version dirs
+  *                    (--max-files N, default 8; --zorder c1,c2 re-clusters
+  *                    an unpartitioned table on the interleaved key)
   *   expire-snapshots drop closed history months < --keep-from yyyy-MM
   *   gc               sweep crashed writers' orphaned uncommitted version
   *                    dirs (--older-than 7d / 12h / 90m; manifest mode)
@@ -119,9 +121,12 @@ object GraftCli {
             if (done.nonEmpty)
               println(s"COMPACT  ${rel.identifier}: ${done.size} leaves rewritten")
           } else if (engine.warehouse.usesManifest &&
-                     engine.warehouse.compactTable(rel, maxFiles))
+                     engine.warehouse.compactTable(rel, maxFiles,
+                       flags.get("zorder").flatMap(_.headOption)
+                         .map(_.split(",").toIndexedSeq).getOrElse(Nil)))
             // unpartitioned manifest table whose appended/streamed version
             // dirs exceed the threshold: rewritten as one entry
+            // (--zorder c1,c2 re-clusters on the interleaved key too)
             println(s"COMPACT  ${rel.identifier}: version dirs rewritten as one")
         }
       case "expire-snapshots" =>

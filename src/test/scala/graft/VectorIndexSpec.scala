@@ -86,4 +86,23 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got2.contains(900001L),
       s"appended near-copy must surface in top-5, got $got2")
   }
+
+  test("streaming appends are exactly-once under the batch-id watermark") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_vidx_s").toString, CommitMode.Manifest)
+    val e = Similarity.vecs(spark, sf)
+    val idx = new Similarity.VectorIndex(wh, "emb", k = 4, nprobe = 2)
+    idx.build(e)
+    val n0 = wh.read(Relation("idx", "ann", "emb__cells")).count()
+    val batch = e.limit(5)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("v"))
+    assert(idx.appendStreamBatch(batch, "emb_ingest", 0L))
+    val n1 = wh.read(Relation("idx", "ann", "emb__cells")).count()
+    assert(n1 == n0 + 5)
+    // checkpoint-restart replay: detected no-op
+    assert(!idx.appendStreamBatch(batch, "emb_ingest", 0L))
+    assert(wh.read(Relation("idx", "ann", "emb__cells")).count() == n1)
+  }
 }

@@ -106,6 +106,41 @@ class ZOrderSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.zorder.partitions")
   }
 
+  test("compactTable --zorder: appends re-cluster into a skippable layout") {
+    val s = spark; import s.implicits._
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_zcompact").toString, CommitMode.Manifest)
+    val r = Relation("db", "sch", "t_stream_z")
+    // streamed appends arrive in TIME order: every batch holds the full
+    // x/y domain, so pre-compaction nothing can skip on content keys
+    spark.conf.set("graft.zorder.partitions", "16")
+    try {
+      (0 until 8).foreach { b =>
+        val batch = (for (x <- 0 until 64; y <- 0 until 64
+                          if (x * 64 + y) % 8 == b)
+          yield (x.toLong, y.toLong)).toDF("x", "y")
+          // hash-scrambled split: BOTH files span the full x/y domain, so
+          // pre-compaction min/max sidecars cannot skip either
+          .repartition(2, expr("hash(x, y)"))
+        assert(wh.appendStreamBatch(batch, r, "s", b.toLong))
+      }
+      val before = plannedFiles(wh.read(r).filter($"x" < 16L && $"y" < 16L))
+      assert(before == 16L,
+        s"time-ordered appends must plan every file, got $before")
+
+      assert(wh.compactTable(r, maxEntries = 2, zorderCols = Seq("x", "y")))
+      // one entry, identical rows, watermark survives — same contract as
+      // plain compaction
+      assert(wh.manifestEntries(r).get.map(_._1).distinct.size == 1)
+      assert(wh.read(r).count() == 64L * 64L)
+      assert(wh.streamWatermark(r, "s").contains(7L))
+      // and now the box query skips: the z-curve confined both dims
+      val after = plannedFiles(wh.read(r).filter($"x" < 16L && $"y" < 16L))
+      assert(after * 2 <= before,
+        s"z-ordered compaction must halve planned files: $after vs $before")
+    } finally spark.conf.unset("graft.zorder.partitions")
+  }
+
   test("z-order layout costs exactly one range exchange; partitioned writes z-sort in place") {
     val s = spark; import s.implicits._
     val df = (0 until 256).map(i => (i.toLong, (i * 37 % 256).toLong))
