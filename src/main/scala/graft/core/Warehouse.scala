@@ -100,7 +100,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   def read(rel: Relation): DataFrame =
     if (usesManifest) latestManifest(rel) match {
-      case Some((seq, entries)) if entries.nonEmpty =>
+      case Some((seq, entries)) if dataEntries(entries).nonEmpty =>
         val key = path(rel)
         val id = manifestIdentity(seq, entries)
         val hit = readCache.get(key)
@@ -111,12 +111,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
           df
         }
       case Some((seq, _)) =>
-        // every partition dropped: recover the schema from the newest
-        // retained manifest that still has data
+        // every data entry dropped (delete entries may remain): recover
+        // the schema from the newest retained manifest that still has data
         manifestsDescending(rel).filter(_._1 < seq)
           .flatMap { case (_, p) => parseManifest(p) }
+          .map(dataEntries)
           .find(_.nonEmpty)
-          .map(e => readEntries(rel, e).limit(0))
+          .map(e => readDataEntries(rel, e).limit(0))
           .getOrElse(spark.read.parquet(path(rel)))
       case None => spark.read.parquet(path(rel)) // legacy rename-layout dir
     }
@@ -159,6 +160,18 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * dirs they reference); older ones are GC'd on commit.
     */
   private val KeepManifests = 3
+
+  /** Partition-path marker of an equality-DELETE entry: the version dir
+    * holds key tuples to subtract (schema = key columns), not data. The
+    * marker can never collide with a real partition path (those are empty
+    * or `k=v…`) and delete dirs ride the same naming/GC/retention as data
+    * dirs. See [[deleteKeys]] for the full contract.
+    */
+  private[graft] val DeleteMarker = "!del"
+  private def isDeleteEntry(e: (String, String)): Boolean = e._2 == DeleteMarker
+  /** The data (non-delete) entries of a manifest entry list. */
+  private[graft] def dataEntries(entries: Seq[(String, String)]): Seq[(String, String)] =
+    entries.filterNot(isDeleteEntry)
 
   private def mfDir(rel: Relation): Path = new Path(path(rel), MfDir)
   private def manifestPath(rel: Relation, seq: Long): Path =
@@ -248,7 +261,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       s"time travel needs the manifest protocol; ${rel.fqName} is " +
         "rename-mode (no retained history)")
     val entries = entriesAt(rel, seq)
-    if (entries.isEmpty) read(rel).limit(0)
+    if (dataEntries(entries).isEmpty) read(rel).limit(0)
     else readEntries(rel, entries)
   }
 
@@ -281,7 +294,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
       s"readAppendedBetween wants fromSeq < toSeq, got $fromSeq >= $toSeq")
     val before = entriesAt(rel, fromSeq).toSet
     val added = entriesAt(rel, toSeq).filterNot(before)
-    if (added.isEmpty) read(rel).limit(0)
+    // a delete-only delta adds no rows (changelog reads surface ADDITIONS;
+    // deletes between the seqs affect rows outside `added`, never inside
+    // it — a delete entry orders after the data it subtracts, which is all
+    // in `before`)
+    if (dataEntries(added).isEmpty) read(rel).limit(0)
     else readEntries(rel, added)
   }
 
@@ -398,6 +415,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
     createExclusive(manifestPath(rel, seq), body.getBytes("UTF-8"))
   }
 
+  /** Semantics-preserving cleanup applied to every committed entry list:
+    * a delete entry subtracts keys only from data entries BEFORE it
+    * (position ordering, see [[readWithDeletes]]), so a delete with no
+    * earlier data entry is dead weight — typical after an overwrite or a
+    * compaction replaced all pre-delete data. Dropping it here unreferences
+    * its dir, which retention GC then ages out.
+    */
+  private def normalizeEntries(es: Seq[(String, String)]): Seq[(String, String)] = {
+    var seenData = false
+    es.filter { e =>
+      if (!isDeleteEntry(e)) { seenData = true; true } else seenData
+    }
+  }
+
   /** Optimistic-concurrency commit: transform the current entry list and
     * claim the next seq; a lost race re-reads and reapplies. `f` (and
     * `metaF`, which transforms the carried-forward metadata map) must be
@@ -414,7 +445,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val maxSeen = manifestsDescending(rel).headOption.map(_._1).getOrElse(0L)
       val cur = latestManifest(rel).map(_._2).getOrElse(Nil)
       val next = maxSeen + 1
-      if (writeManifestIfAbsent(rel, next, f(cur), metaF(latestMeta(rel)))) {
+      if (writeManifestIfAbsent(rel, next, normalizeEntries(f(cur)),
+          metaF(latestMeta(rel)))) {
         gcVersions(rel, next); return
       }
       attempts += 1
@@ -477,12 +509,62 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * data committed by this warehouse, which always writes ≥1 footer):
     * the legacy per-version-group union.
     */
-  private def readEntries(rel: Relation, entries: Seq[(String, String)]): DataFrame = {
+  private def readEntries(rel: Relation, entries: Seq[(String, String)]): DataFrame =
+    if (!entries.exists(isDeleteEntry)) readDataEntries(rel, entries)
+    else readWithDeletes(rel, entries)
+
+  private def readDataEntries(rel: Relation, entries: Seq[(String, String)]): DataFrame = {
     val leaves = listEntries(rel, entries)
     val basePaths = entries.map(e => new Path(mfDir(rel), e._1)).toSet
     val stats = readStats(entries.map(_._1).distinct.map(d => new Path(mfDir(rel), d)))
     ManifestFileIndex.relation(spark, leaves, basePaths, stats)
       .getOrElse(readEntriesUnion(rel, entries))
+  }
+
+  /** Entry-list position gives delete ordering: a delete entry subtracts
+    * matching keys from the data entries BEFORE it in the list only, so a
+    * row re-appended after its key was deleted survives — a later append's
+    * entries land after every existing delete entry. Data entries are
+    * grouped by how many deletes precede them (≤ m+1 groups for m delete
+    * commits, all sharing the data scan shape), each group anti-joined
+    * against its applicable deletes, and the groups unioned. Delete key
+    * sets are tiny next to the data — AQE picks broadcast anti-joins — and
+    * [[compactTable]]/[[compactPartitions]] materialize deletes away, so m
+    * stays small in steady state.
+    */
+  private def readWithDeletes(rel: Relation,
+                              entries: Seq[(String, String)]): DataFrame = {
+    val indexed = entries.zipWithIndex
+    val dels = indexed.filter(e => isDeleteEntry(e._1)).sortBy(_._2)
+    val datas = indexed.filterNot(e => isDeleteEntry(e._1))
+    require(datas.nonEmpty,
+      s"${rel.fqName}: manifest holds only delete entries — no data to read")
+    val delPositions = dels.map(_._2)
+    val groups = datas.groupBy { case (_, p) => delPositions.count(_ < p) }
+      .toSeq.sortBy(_._1)
+    groups.map { case (nBefore, items) =>
+      val df = readDataEntries(rel, items.map(_._1))
+      dels.drop(nBefore).foldLeft(df) { (acc, del) =>
+        antiJoinDelete(rel, acc, del._1._1)
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Subtract one delete dir's keys from `df`. The delete parquet's
+    * SCHEMA is the key column list; matching is null-safe (`<=>`), so a
+    * null key deletes null-keyed rows — the equality-delete contract.
+    * A delete column absent from the data schema is corruption (schema
+    * drift after the delete): fail loudly rather than keep everything.
+    */
+  private def antiJoinDelete(rel: Relation, df: DataFrame,
+                             delDir: String): DataFrame = {
+    val delDf = spark.read.parquet(new Path(mfDir(rel), delDir).toString)
+    val missing = delDf.columns.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"${rel.fqName}: delete entry $delDir keys ${missing.mkString(",")} " +
+        s"absent from data schema ${df.columns.mkString(",")}")
+    val cond = delDf.columns.map(k => df(k) <=> delDf(k)).reduce(_ && _)
+    df.join(delDf, cond, "left_anti")
   }
 
   /** Merge the [[FileStats]] sidecars of the referenced version dirs for
@@ -1156,6 +1238,54 @@ final class Warehouse(val spark: SparkSession, val root: String,
       commitEntries(rel, m => m ++ kvs)(identity)
     }
 
+  /** Row-level EQUALITY DELETE without rewriting a single data file — the
+    * GDPR/right-to-be-forgotten shape: deleting 0.001% of a 100 TB table
+    * must not cost a 100 TB rewrite. `keys` (distinct-ed here) is written
+    * as a small parquet version dir and committed as a `!del` entry whose
+    * schema IS the key column list; every read anti-joins it against the
+    * data entries committed BEFORE it (entry-list position, see
+    * [[readWithDeletes]]), so rows re-appended after the delete survive.
+    * Matching is null-safe (`<=>`). The delete rides the ordinary CAS
+    * commit — atomic, snapshot-isolated, time-travelable (a pre-delete
+    * seq still shows the rows) — and is physically materialized the next
+    * time [[compactTable]]/[[compactPartitions]] rewrites the data.
+    * Returns the number of distinct delete keys committed (0 = no
+    * commit). Key columns must exist in the table schema. NOTE: this is
+    * logical deletion at read level; the bytes remain on disk until a
+    * compaction rewrite + retention GC age out the old dirs — compliance
+    * deletion must run compaction + [[expireSnapshots]] afterwards.
+    */
+  def deleteKeys(rel: Relation, keys: DataFrame): Long = withRelationLock(rel) {
+    require(usesManifest,
+      s"row-level deletes need the manifest protocol; ${rel.fqName} is " +
+        "rename-mode (use a filtered rewrite instead)")
+    val schema = schemaOf(rel).fieldNames.toSet
+    val missing = keys.columns.filterNot(schema.contains)
+    require(keys.columns.nonEmpty && missing.isEmpty,
+      s"delete keys ${missing.mkString(",")} not in ${rel.fqName} schema")
+    val distinctKeys = keys.distinct()
+    val vdir = newVersionDir(rel,
+      manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
+    distinctKeys.write.mode("overwrite").parquet(vdir.toString)
+    val n = footerRowsOf(filesUnder(vdir))
+    if (n == 0L) { fs.delete(vdir, true); 0L }
+    else {
+      commitEntries(rel)(_ :+ (vdir.getName, DeleteMarker))
+      n
+    }
+  }
+
+  /** [[deleteKeys]] driven by a predicate: deletes EVERY row whose
+    * `keyCols` tuple matches any row satisfying `cond` — the predicate
+    * selects keys, and the delete is by key (so a condition on non-key
+    * columns removes all rows sharing the matched keys; for exact
+    * predicate deletion make `keyCols` the full row identity).
+    */
+  def deleteWhere(rel: Relation, cond: org.apache.spark.sql.Column,
+                  keyCols: Seq[String]): Long =
+    deleteKeys(rel,
+      read(rel).filter(cond).select(keyCols.map(org.apache.spark.sql.functions.col): _*))
+
   /** Small-file compaction for an UNPARTITIONED manifest table — the
     * partitioned sibling is [[compactPartitions]]. Streaming ingestion
     * ([[appendStreamBatch]]) and incremental consumers commit one
@@ -1184,12 +1314,17 @@ final class Warehouse(val spark: SparkSession, val root: String,
       require(usesManifest,
         s"compactTable is manifest-mode only; ${rel.fqName} is rename-mode")
       val cur = latestManifest(rel).map(_._2).getOrElse(Nil)
-      if (cur.map(_._1).distinct.size <= maxEntries) false
+      // delete entries force a rewrite regardless of dir count: compaction
+      // is also how equality deletes get physically materialized
+      if (cur.map(_._1).distinct.size <= maxEntries &&
+          !cur.exists(isDeleteEntry)) false
       else {
-        require(cur.forall(_._2.isEmpty),
+        require(dataEntries(cur).forall(_._2.isEmpty),
           s"${rel.fqName} has partitioned entries; use compactPartitions")
         val vdir = newVersionDir(rel,
           manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
+        // readEntries applies any delete entries, so the rewrite
+        // MATERIALIZES them — the sole entry below carries no deletes
         clusteredWriter(readEntries(rel, cur), Nil, Nil, zorderCols)
           .write.mode("overwrite").parquet(vdir.toString)
         writeStatsSidecar(vdir); writeBloomSidecar(vdir)
@@ -1310,7 +1445,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
     listRelations(database, schema).map { rel =>
       val files =
         if (usesManifest && latestManifest(rel).isDefined)
-          latestManifest(rel).get._2.flatMap(e => filesUnder(entryPath(rel, e)))
+          dataEntries(latestManifest(rel).get._2)
+            .flatMap(e => filesUnder(entryPath(rel, e)))
         else filesUnder(new Path(path(rel)))
       (rel, footerRowsOf(files), files.map(_.getLen).sum, listPartitions(rel))
     }
@@ -1372,7 +1508,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def footerRows(rel: Relation, subdir: String = ""): Long =
     if (usesManifest) latestManifest(rel) match {
       case Some((_, entries)) =>
-        footerRowsOf(entries
+        footerRowsOf(dataEntries(entries) // delete-key rows are not data
           .filter(e => subdir.isEmpty || e._2 == subdir ||
             e._2.startsWith(subdir + "/"))
           .flatMap(e => filesUnder(entryPath(rel, e))))
@@ -1554,27 +1690,41 @@ final class Warehouse(val spark: SparkSession, val root: String,
       }
       c > maxFiles
     }
-    if (crowded.nonEmpty) {
-      val payload = crowded.map { dir =>
-        // leaf files carry no partition columns; reattach them from the
-        // dir name (a null partition lands in Hive's default dir)
-        val kvs = dir.split("/").toIndexedSeq.map { seg =>
-          val i = seg.indexOf('=')
-          (seg.substring(0, i), Warehouse.unescapePathName(seg.substring(i + 1)))
-        }
-        val raw = spark.read.parquet(
-          physicalPartDirs(rel, dir).map(_.toString): _*)
-        kvs.foldLeft(raw) {
-          case (df, (k, v)) =>
-            df.withColumn(k,
-              if (v == "__HIVE_DEFAULT_PARTITION__")
-                org.apache.spark.sql.functions.lit(null)
-              else org.apache.spark.sql.functions.lit(v))
-        }
-      }.reduce(_ unionByName _)
+    val hasDeletes = usesManifest &&
+      latestManifest(rel).exists(_._2.exists(isDeleteEntry))
+    // delete entries force every leaf into the rewrite set: a leaf whose
+    // rows the deletes touch must not be rebuilt around them piecemeal,
+    // and rewriting all leaves is what lets normalizeEntries retire the
+    // delete entries entirely (all data ends up positioned after them)
+    val toRewrite =
+      if (hasDeletes) listPartitionPaths(rel, pcols.length) else crowded
+    if (toRewrite.nonEmpty) {
+      val payload =
+        if (hasDeletes)
+          // through the delete-aware read: a direct physical-dir read
+          // would resurrect deleted rows by re-committing them AFTER the
+          // delete entries (position semantics)
+          read(rel)
+        else toRewrite.map { dir =>
+          // leaf files carry no partition columns; reattach them from the
+          // dir name (a null partition lands in Hive's default dir)
+          val kvs = dir.split("/").toIndexedSeq.map { seg =>
+            val i = seg.indexOf('=')
+            (seg.substring(0, i), Warehouse.unescapePathName(seg.substring(i + 1)))
+          }
+          val raw = spark.read.parquet(
+            physicalPartDirs(rel, dir).map(_.toString): _*)
+          kvs.foldLeft(raw) {
+            case (df, (k, v)) =>
+              df.withColumn(k,
+                if (v == "__HIVE_DEFAULT_PARTITION__")
+                  org.apache.spark.sql.functions.lit(null)
+                else org.apache.spark.sql.functions.lit(v))
+          }
+        }.reduce(_ unionByName _)
       replacePartitions(payload, rel, pcols)
     }
-    crowded
+    toRewrite
   }
 
   /** Age-based sweep of ORPHANED version dirs: a writer that crashed
@@ -1643,7 +1793,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     */
   def listPartitionPaths(rel: Relation, depth: Int): Seq[String] =
     if (usesManifest && latestManifest(rel).isDefined)
-      latestManifest(rel).get._2.map(_._2)
+      dataEntries(latestManifest(rel).get._2).map(_._2)
         .filter(p => p.nonEmpty && p.split("/").length == depth)
         .distinct.sorted
     else leafDirs(new Path(path(rel)), depth)

@@ -429,4 +429,29 @@ object MatQueries {
       |UNION ALL
       |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 10 = 2""".stripMargin
+
+  // -------------------------------------------------- row-level deletes
+  /** Equality deletes (`Warehouse.deleteWhere`/`deleteKeys`): every
+    * urgent-priority order is deleted by key WITHOUT rewriting a data
+    * file, then a deterministic slice of the deleted keys is re-appended
+    * — position semantics must let the re-added rows survive the earlier
+    * delete. The oracle re-derives the exact post-state as a pure query.
+    */
+  def xRowDeletes(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val r = rel("orders_rowdel")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority"), col("o_totalprice"))
+    wh.writeAtomic(o, r)
+    wh.deleteWhere(r, col("o_orderpriority") === "1-URGENT", Seq("o_orderkey"))
+    wh.append(o.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderkey") % 100 === 0), r)
+    wh.read(r)
+  }
+  val xRowDeletesSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 100 = 0""".stripMargin
 }
