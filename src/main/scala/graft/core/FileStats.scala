@@ -58,21 +58,40 @@ object FileStats {
   final case class Col(t: String, hasNulls: Boolean, nullsKnown: Boolean,
                        min: Option[String], max: Option[String])
 
-  /** fileName -> column -> range. File NAMES key the map: parquet part
-    * file names embed the write job's UUID, so they are unique across
-    * version dirs and immune to path-qualification differences.
+  /** version-dir-RELATIVE file path -> column -> range. Keys must be
+    * relative to the version dir (partition subdirs included, e.g.
+    * `p=3/part-00000-<uuid>.c000.snappy.parquet`), NOT bare file names: a
+    * partitioned write reuses one `part-NNNNN-<jobUUID>` name across every
+    * leaf dir a task writes, so bare names collide WITHIN a version dir
+    * and a name-keyed merge would apply one leaf's ranges to another
+    * leaf's file — a wrong skip. Merging across version dirs
+    * ([[Warehouse]]'s `readStats`) prefixes each key with its dir name,
+    * and the scan-side lookup reconstructs the same compound key.
     */
   type PerFile = Map[String, Map[String, Col]]
 
+  /** The sidecar key of `file` inside version dir `base` — the path
+    * relative to the (qualification-normalized) base, falling back to the
+    * bare name when `file` is not under `base` (never true for files the
+    * warehouse wrote; the fallback only keeps stats advisory on a layout
+    * surprise).
+    */
+  def relKey(base: Path, file: Path): String = {
+    val b = base.toUri.getPath
+    val f = file.toUri.getPath
+    if (f.startsWith(b + "/")) f.substring(b.length + 1) else file.getName
+  }
+
   // ---------------------------------------------------------- collect
 
-  /** Read the footers of freshly written `files` and merge per-column row
-    * group stats into per-file ranges. Unsupported or stat-less columns
-    * are absent. Never throws: stats are an optimization, a footer that
-    * fails to read just yields no entry for that file.
+  /** Read the footers of freshly written `files` under version dir `base`
+    * and merge per-column row group stats into per-file ranges, keyed by
+    * [[relKey]]. Unsupported or stat-less columns are absent. Never
+    * throws: stats are an optimization, a footer that fails to read just
+    * yields no entry for that file.
     */
   def collect(conf: Configuration, files: Seq[FileStatus],
-              maxCols: Int): PerFile = {
+              maxCols: Int, base: Path): PerFile = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     files.filter(_.getPath.getName.endsWith(".parquet")).flatMap { st =>
@@ -80,7 +99,7 @@ object FileStats {
         val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
         try {
           val cols = collectFooter(rd.getFooter, maxCols)
-          if (cols.isEmpty) None else Some(st.getPath.getName -> cols)
+          if (cols.isEmpty) None else Some(relKey(base, st.getPath) -> cols)
         } finally rd.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }.toMap

@@ -149,7 +149,14 @@ final class ManifestFileIndex(
         val resolver = spark.sessionState.conf.resolver
         val pruned = partPruned.map { pd =>
           PartitionDirectory(pd.values, pd.files.filter { f =>
-            fileStats.get(f.getPath.getName).forall(cols =>
+            // compound key <versionDirName>/<dir-relative path> — the
+            // same construction as the read-side sidecar merge; a bare
+            // name would collide across the leaf dirs of one partitioned
+            // write (every leaf a task touches reuses its part-NNNNN name)
+            val group = ManifestFileIndex.versionGroupOf(
+              f.getPath.getParent, qualified)
+            val key = s"${group.getName}/${FileStats.relKey(group, f.getPath)}"
+            fileStats.get(key).forall(cols =>
               dataFilters.forall(df => FileStats.mayContain(cols, df, resolver)))
           })
         }

@@ -579,7 +579,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private def readStats(vdirs: Seq[Path]): FileStats.PerFile =
     if (spark.conf.getOption("graft.stats.enabled").contains("false")) Map.empty
     else vdirs.foldLeft(Map.empty: FileStats.PerFile) { (acc, d) =>
-      FileStats.read(fs, d).fold(acc)(acc ++ _)
+      // compound key <vdirName>/<dir-relative path>: sidecar keys are
+      // relative to their own version dir; the dir-name prefix keeps the
+      // flat merge collision-free and matches the scan-side lookup
+      FileStats.read(fs, d).fold(acc)(m =>
+        acc ++ m.map { case (k, v) => s"${d.getName}/$k" -> v })
     }
 
   /** Read the just-written parquet footers under `vdir` and persist their
@@ -606,7 +610,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val threshold = intConf("graft.manifest.parallelListThreshold", 64)
       val stats: FileStats.PerFile =
         if (files.size <= threshold)
-          FileStats.collect(spark.sparkContext.hadoopConfiguration, files, maxCols)
+          FileStats.collect(spark.sparkContext.hadoopConfiguration, files,
+            maxCols, vdir)
         else {
           val confBc = spark.sparkContext.broadcast(
             new org.apache.spark.SerializableWritable(
@@ -615,12 +620,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
             val work = files.map(f =>
               (f.getPath.toString, f.getLen, f.getModificationTime))
             val slices = math.min(work.size, 256)
+            val base = vdir.toString
             spark.sparkContext.parallelize(work, slices).mapPartitions { it =>
               val conf = confBc.value.value
               it.map { case (p, len, mtime) =>
                 FileStats.collect(conf,
                   Seq(new FileStatus(len, false, 1, 0, mtime, new Path(p))),
-                  maxCols)
+                  maxCols, new Path(base))
               }
             }.collect().foldLeft(Map.empty: FileStats.PerFile)(_ ++ _)
           } finally confBc.destroy()

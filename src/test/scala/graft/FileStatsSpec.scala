@@ -123,7 +123,8 @@ class FileStatsSpec extends AnyFunSuite {
     val files = localFs.listStatus(new Path(dir))
       .filter(_.getPath.getName.endsWith(".parquet")).toSeq
     val stats = FileStats.collect(
-      spark.sparkContext.hadoopConfiguration, files, maxCols = 2)
+      spark.sparkContext.hadoopConfiguration, files, maxCols = 2,
+      new Path(dir))
     assert(stats.size == 1)
     assert(stats.head._2.keySet == Set("a", "b"))
     val a = stats.head._2("a")
@@ -199,5 +200,30 @@ class FileStatsSpec extends AnyFunSuite {
       s"partition pruning + file skipping must plan 1 of 4 files, " +
         s"planned ${both.metrics("numFiles").value}")
     assert(wh.read(r).filter($"side" === "even" && $"id" > 1000L).count() == 50)
+  }
+
+  test("same-named files across partition leaves keep their own stats") {
+    // one task writes EVERY leaf of a partitioned write, so the same
+    // part-00000-<jobUUID> file name lands in both side=a and side=b.
+    // Their id ranges are DISJOINT: a bare-name-keyed stats map (the
+    // pre-fix format) collapses the two files into one entry and applies
+    // one leaf's range to the other — wrongly skipping it. The
+    // dir-relative compound key must keep both, with pruning still live.
+    val root = Files.createTempDirectory("graft_stats_collide").toString
+    val wh = new Warehouse(spark, root, CommitMode.Manifest)
+    val r = Relation("db", "sch", "t_collide")
+    val s = spark; import s.implicits._
+    val df = ((1L to 50L).map(i => (i, "a")) ++
+      (1001L to 1050L).map(i => (i, "b")))
+      .toDF("id", "side").coalesce(1)
+    wh.writeAtomic(df, r, partitionCols = Seq("side"))
+    // correctness: every row reachable through a data-column filter
+    assert(wh.read(r).filter($"id" >= 1001L).count() == 50)
+    assert(wh.read(r).filter($"id" <= 50L).count() == 50)
+    // and the skipping itself still fires per file
+    assert(scanOf(wh.read(r).filter($"id" >= 1001L))
+      .metrics("numFiles").value == 1)
+    assert(scanOf(wh.read(r).filter($"id" <= 50L))
+      .metrics("numFiles").value == 1)
   }
 }
