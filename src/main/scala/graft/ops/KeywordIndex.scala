@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Relation, Warehouse}
+
+/** Warehouse-native inverted text index — keyword search over a document
+  * corpus by PROBING posting-list partitions instead of scanning text.
+  * The 100 TB shape: a full-corpus `LIKE` scan is minutes of IO per
+  * lookup; the index pays one tokenize pass at build, then each query
+  * touches only the term-bucket partitions its probe terms hash to —
+  * candidate generation cost is O(rarest posting lists), verification is
+  * O(candidate docs).
+  *
+  * Layout: `<name>__postings` is `(term, doc_id)` PARTITIONED BY `tb =
+  * pmod(hash(term), buckets)`, so a probe's buckets collect driver-side
+  * into a literal `isin` and the scan partition-prunes (the same
+  * control-plane-literal pattern as [[Similarity.VectorIndex]]);
+  * `<name>__df` is the per-term document frequency, frozen at build time
+  * — it only drives probe-term ORDER (rarest first), so staleness after
+  * appends costs probe choice, never correctness.
+  *
+  * Search is conjunctive (docs containing ALL query terms): the
+  * `maxProbe` rarest terms intersect via the index; any remaining
+  * (frequent) terms are verified by re-tokenizing only the CANDIDATE
+  * docs — a broadcast-sized join against the corpus by doc_id — because
+  * reading a stop-word's full posting list would cost more than
+  * tokenizing the handful of candidates that survived the rare-term
+  * intersection.
+  *
+  * Tokenization: lowercase, split on non-alphanumeric runs — chosen to
+  * be exactly re-derivable by the DuckDB oracle (`string_split_regex`).
+  */
+final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
+  private val postRel = Relation("idx", "kw", s"${name}__postings")
+  private val dfRel = Relation("idx", "kw", s"${name}__df")
+
+  /** Distinct `(term, doc_id)` pairs of `docs(doc_id, text)`. */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+
+  private def bucketed(p: DataFrame): DataFrame =
+    p.withColumn("tb", pmod(hash(col("term")), lit(buckets)))
+
+  /** One-time corpus scan: bucket-partitioned postings + the frozen df
+    * table (tiny — one row per vocabulary term).
+    */
+  def build(docs: DataFrame): Unit = {
+    val p = postings(docs)
+    wh.writeAtomic(bucketed(p), postRel, partitionCols = Seq("tb"))
+    wh.writeAtomic(
+      p.groupBy(col("term")).agg(count(lit(1)).as("df")), dfRel)
+  }
+
+  /** Admit a batch (append-only, O(batch)): postings land in their
+    * buckets; the df table stays frozen (probe-order heuristic only).
+    */
+  def append(docs: DataFrame): Unit =
+    wh.append(bucketed(postings(docs)), postRel, Seq("tb"))
+
+  /** Streaming sibling of [[append]] under the per-relation batch-id
+    * watermark ([[Warehouse.appendStreamBatch]]): a checkpoint-restart
+    * replay is a detected no-op (postings derive deterministically from
+    * the batch text).
+    */
+  def appendStreamBatch(docs: DataFrame, sourceId: String,
+                        batchId: Long): Boolean =
+    wh.appendStreamBatch(bucketed(postings(docs)), postRel, sourceId,
+      batchId, Seq("tb"))
+
+  /** Doc ids containing ALL of `terms` (conjunctive). `docs` is the
+    * corpus the index was built over — read only to verify terms beyond
+    * the `maxProbe` rarest (never when the query is fully probed).
+    * Unknown terms (df 0 — not in the build vocabulary and absent from
+    * the frozen df table) still resolve correctly: they probe first and
+    * produce zero candidates... unless they arrived by [[append]], which
+    * is exactly why appended-term probes stay IN the index rather than
+    * being pre-filtered against the stale df table.
+    */
+  def search(docs: DataFrame, terms: Seq[String], maxProbe: Int = 2): DataFrame = {
+    require(terms.nonEmpty, "keyword search needs at least one term")
+    val want = terms.map(_.toLowerCase).distinct
+    // df-sorted probe order: rarest first. One tiny driver read (the df
+    // table is vocabulary-sized); unknown terms sort as df 0 = rarest,
+    // which is the right guess for a term the corpus barely knows.
+    val dfs = wh.read(dfRel)
+      .filter(col("term").isin(want: _*))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    val ordered = want.sortBy(t => dfs.getOrElse(t, 0L))
+    val probe = ordered.take(math.max(1, maxProbe))
+    val verify = ordered.drop(math.max(1, maxProbe))
+    // the probe buckets are a pure function of the probe terms — a
+    // control-plane literal, so the postings scan partition-prunes. The
+    // bucket of each term comes from a one-task local-relation job using
+    // the SAME pmod(hash(...)) expression as the write path: hash parity
+    // by construction, never by reimplementation.
+    val s = wh.spark
+    import s.implicits._
+    val pb = probe.toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("tb"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val cands = wh.read(postRel)
+      .filter(col("tb").isin(pb: _*) && col("term").isin(probe: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === probe.length)
+      .select(col("doc_id"))
+    if (verify.isEmpty) cands
+    else {
+      // verify frequent terms on the candidate docs only: tokenize the
+      // few survivors, not the corpus — the candidate set after a rare-
+      // term intersection is small, so AQE broadcasts it into the join
+      val candDocs = docs.join(cands, Seq("doc_id"))
+      postings(candDocs)
+        .filter(col("term").isin(verify: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("term")).as("nv"))
+        .filter(col("nv") === verify.length)
+        .select(col("doc_id"))
+    }
+  }
+}
+
+/** Oracle-checked keyword-search query + the memoized index instance
+  * (the bench's repeated passes probe one built index — the production
+  * build-once-query-forever shape, same memoization as
+  * [[TextOps.dedupIncrementalFuzzy]]).
+  */
+object KeywordQueries {
+  import TData.documents
+
+  private val indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, KeywordIndex]()
+
+  /** Conjunctive search `dup AND vector AND window` over `documents`:
+    * `dup` is the corpus's one selective term (~5% df), so the probe
+    * intersects its posting list with `vector`'s; `window` (in ~77% of
+    * docs) verifies on the candidates. The oracle re-derives the result
+    * by tokenizing every document — the index must agree exactly.
+    */
+  def xKeywordSearch(s: SparkSession, d: String): DataFrame = {
+    val idx = indexes.computeIfAbsent(s"${s.hashCode()}:$d", _ => {
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft_kw_idx").toString,
+        graft.core.CommitMode.Manifest)
+      val i = new KeywordIndex(wh, "docs")
+      i.build(documents(s, d))
+      i
+    })
+    idx.search(documents(s, d), Seq("dup", "vector", "window"))
+  }
+
+  val xKeywordSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      |  FROM documents)
+      |SELECT doc_id FROM toks
+      |WHERE term IN ('dup', 'vector', 'window')
+      |GROUP BY doc_id
+      |HAVING count(DISTINCT term) = 3""".stripMargin
+}

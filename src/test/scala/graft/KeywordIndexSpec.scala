@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.ops.KeywordIndex
+
+/** The warehouse-native inverted text index ([[graft.ops.KeywordIndex]]):
+  * probe-not-scan keyword search. Pins (1) exact agreement with the
+  * brute-force tokenize-everything answer across probe/verify splits,
+  * (2) the partition-pruning that makes the probe cheap — the postings
+  * scan plans only the probe terms' bucket partitions, (3) O(batch)
+  * appends whose new docs become searchable without a rebuild (including
+  * terms outside the frozen df vocabulary), and (4) exactly-once
+  * streaming appends under the batch-id watermark.
+  */
+class KeywordIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+
+  private def freshIdx(buckets: Int = 16): (Warehouse, KeywordIndex) = {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_kw").toString, CommitMode.Manifest)
+    val idx = new KeywordIndex(wh, "d", buckets)
+    idx.build(docs)
+    (wh, idx)
+  }
+
+  private def brute(d: DataFrame, terms: Seq[String]): Set[Long] =
+    d.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n"))
+      .filter(col("n") === terms.length)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+  private def got(df: DataFrame): Set[Long] =
+    df.collect().map(_.getAs[Long]("doc_id")).toSet
+
+  private def plannedFiles(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metrics("numFiles").value }.sum
+  }
+
+  test("search agrees with brute force: probe-only and probe+verify") {
+    val (_, idx) = freshIdx()
+    // 2 terms, maxProbe=2: fully probed, no verify pass
+    val t2 = Seq("dup", "vector")
+    assert(got(idx.search(docs, t2)) == brute(docs, t2))
+    // 3 terms: rarest two probe, the frequent one verifies on candidates
+    val t3 = Seq("dup", "vector", "window")
+    val r3 = got(idx.search(docs, t3))
+    assert(r3 == brute(docs, t3))
+    assert(r3.nonEmpty, "fixture terms must actually co-occur")
+    // single term
+    assert(got(idx.search(docs, Seq("dup"))) == brute(docs, Seq("dup")))
+    // unknown term: empty, not an error
+    assert(got(idx.search(docs, Seq("zzzznope"))).isEmpty)
+  }
+
+  test("probe scan plans only the probe terms' bucket partitions") {
+    val (wh, idx) = freshIdx(buckets = 16)
+    val total = plannedFiles(
+      wh.read(Relation("idx", "kw", "d__postings")))
+    // a 2-term probe touches at most 2 of 16 buckets
+    val probed = plannedFiles(idx.search(docs, Seq("dup", "vector")))
+    assert(probed * 4 <= total,
+      s"probe must prune buckets: planned $probed of $total files")
+  }
+
+  test("append makes new docs searchable without rebuild, new terms included") {
+    val s = spark; import s.implicits._
+    val (_, idx) = freshIdx()
+    val extra = Seq((900001L, "qqnovel dup vector window"),
+      (900002L, "qqnovel only here")).toDF("doc_id", "text")
+    idx.append(extra)
+    val all = docs.unionByName(extra)
+    // appended doc joins an existing conjunction
+    val t = Seq("dup", "vector", "window")
+    assert(got(idx.search(all, t)) == brute(all, t))
+    assert(got(idx.search(all, t)).contains(900001L))
+    // a term born in the append (absent from the frozen df table) probes
+    // fine — df 0 sorts it first, and its postings are in the index
+    assert(got(idx.search(all, Seq("qqnovel"))) == Set(900001L, 900002L))
+  }
+
+  test("streaming appends are exactly-once under the batch-id watermark") {
+    val s = spark; import s.implicits._
+    val (wh, idx) = freshIdx()
+    val postRel = Relation("idx", "kw", "d__postings")
+    val n0 = wh.read(postRel).count()
+    val batch = Seq((910001L, "dup vector stream")).toDF("doc_id", "text")
+    assert(idx.appendStreamBatch(batch, "kw_ingest", 0L))
+    val n1 = wh.read(postRel).count()
+    assert(n1 == n0 + 3)
+    // checkpoint-restart replay: detected no-op
+    assert(!idx.appendStreamBatch(batch, "kw_ingest", 0L))
+    assert(wh.read(postRel).count() == n1)
+  }
+}
