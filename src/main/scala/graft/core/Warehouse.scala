@@ -1037,20 +1037,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
                   clusterCols: Seq[String] = Nil,
                   zorderCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
     if (usesManifest) {
-      val vdir = newVersionDir(rel,
-        manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
-      val writer = clusteredWriter(df, partitionCols, clusterCols, zorderCols)
-        .write.mode("overwrite")
-      val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-               else writer
-      w2.parquet(vdir.toString)
-      writeStatsSidecar(vdir); writeBloomSidecar(vdir)
-      val parts =
-        if (partitionCols.isEmpty) Seq("")
-        else leafDirs(vdir, partitionCols.length)
-      val entries = (if (parts.isEmpty) Seq("") else parts)
-        .map(p => (vdir.getName, p))
-      commitEntries(rel)(_ => entries)
+      overwriteManifest(df, rel, partitionCols, clusterCols, zorderCols,
+        identity)
     } else {
       val tmp = rel.suffixed("__dbt_tmp")
       val backup = rel.suffixed("__dbt_backup")
@@ -1071,6 +1059,33 @@ final class Warehouse(val spark: SparkSession, val root: String,
       rename(tmp, rel)
       drop(backup)
     }
+  }
+
+  /** Manifest-mode full overwrite with a metadata transform applied in
+    * the SAME commit — the primitive behind [[writeAtomic]] (identity
+    * meta) and [[maintainAggView]] (checkpoint rides the rewrite).
+    * Caller holds the relation lock. The plan materializes fully into
+    * the new version dir before the commit, so `df` may read `rel`.
+    */
+  private def overwriteManifest(df: DataFrame, rel: Relation,
+                                partitionCols: Seq[String],
+                                clusterCols: Seq[String],
+                                zorderCols: Seq[String],
+                                metaF: Map[String, String] => Map[String, String]): Unit = {
+    val vdir = newVersionDir(rel,
+      manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
+    val writer = clusteredWriter(df, partitionCols, clusterCols, zorderCols)
+      .write.mode("overwrite")
+    val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+             else writer
+    w2.parquet(vdir.toString)
+    writeStatsSidecar(vdir); writeBloomSidecar(vdir)
+    val parts =
+      if (partitionCols.isEmpty) Seq("")
+      else leafDirs(vdir, partitionCols.length)
+    val entries = (if (parts.isEmpty) Seq("") else parts)
+      .map(p => (vdir.getName, p))
+    commitEntries(rel, metaF)(_ => entries)
   }
 
   /** Partition-scoped replacement: only the partitions present in `df` are
@@ -1224,6 +1239,86 @@ final class Warehouse(val spark: SparkSession, val root: String,
           case Some(p) => readAppendedBetween(src, p, srcSeq)
         }
         appendVersionDir(transform(delta), dst, partitionCols,
+          m => m + (s"consumer.$consumerId" -> srcSeq.toString))
+        Some(srcSeq)
+      }
+    }
+
+  /** Incrementally-maintained aggregate view — the AGGREGATING consumer
+    * [[processIncrement]] rules out (its transform must be row-local).
+    * Maintains `dst` = `src` grouped by `keyCols` with `aggs`, each run
+    * folding only the delta: partial-aggregate the new rows, merge with
+    * the current view state by key, and commit the rewritten view WITH
+    * the consumer checkpoint in the same CAS write ([[overwriteManifest]]
+    * — crash-replays re-fold the same delta onto the same view state,
+    * exactly-once without idempotency assumptions on the aggregates).
+    * Per-run cost is O(delta + view size), never O(source): at 100 TB
+    * the view (one row per key group) is orders of magnitude smaller
+    * than the corpus it summarizes, which is the whole point — reading
+    * the 1 GB view plus today's 10 GB delta instead of rescanning 100
+    * TB. `partitionCols` (⊆ keyCols) partitions large views.
+    *
+    * `aggs` are (alias, fn, col) with fn ∈ count|sum|min|max — the
+    * decomposable set whose partials merge losslessly (count folds by
+    * sum; avg = maintain sum and count, divide on read). `col = "*"`
+    * counts rows. The SOURCE must be append-only between runs (the same
+    * contract as [[readAppendedBetween]]): overwrite-rewritten rows
+    * surface as additions and would double-count — full-refresh the view
+    * after non-append maintenance on the source (min/max additionally
+    * never retract, append-only or not). Returns the newly checkpointed
+    * src seq, or None when src has nothing new.
+    */
+  def maintainAggView(src: Relation, dst: Relation, consumerId: String,
+                      keyCols: Seq[String],
+                      aggs: Seq[(String, String, String)],
+                      partitionCols: Seq[String] = Nil): Option[Long] =
+    withRelationLock(dst) {
+      require(usesManifest,
+        "exactly-once view maintenance requires manifest commit mode " +
+          "(rename mode has no atomic data+checkpoint commit)")
+      require(!consumerId.contains("\t") && !consumerId.contains("\n"),
+        s"consumer id must be line-safe: $consumerId")
+      require(keyCols.nonEmpty, "maintainAggView requires group keys")
+      require(aggs.nonEmpty, "maintainAggView requires aggregates")
+      val fns = Set("count", "sum", "min", "max")
+      aggs.foreach { case (alias, fn, _) =>
+        require(fns.contains(fn),
+          s"agg fn '$fn' (alias $alias) not decomposable; supported: $fns")
+        require(!keyCols.contains(alias), s"agg alias $alias collides with a key")
+      }
+      require(aggs.map(_._1).distinct.size == aggs.size, "duplicate agg aliases")
+      import org.apache.spark.sql.functions.{col => c, count, sum, min, max, lit}
+      val srcSeq = latestManifest(src).map(_._1).getOrElse(0L)
+      val from = consumerCheckpoint(dst, consumerId)
+      if (srcSeq == 0L || from.exists(_ >= srcSeq)) None
+      else {
+        val delta = from match {
+          case None    => readAt(src, srcSeq)
+          case Some(p) => readAppendedBetween(src, p, srcSeq)
+        }
+        val partialExprs = aggs.map {
+          case (alias, "count", "*")  => count(lit(1)).as(alias)
+          case (alias, "count", colN) => count(c(colN)).as(alias)
+          case (alias, "sum", colN)   => sum(c(colN)).as(alias)
+          case (alias, "min", colN)   => min(c(colN)).as(alias)
+          case (alias, "max", colN)   => max(c(colN)).as(alias)
+        }
+        val partial = delta.groupBy(keyCols.map(c): _*)
+          .agg(partialExprs.head, partialExprs.tail: _*)
+        // merge partials into the view state: counts FOLD BY SUM, the
+        // rest by their own fn (sum/min/max are associative-commutative)
+        val combineExprs = aggs.map {
+          case (alias, "count", _) => sum(c(alias)).as(alias)
+          case (alias, "sum", _)   => sum(c(alias)).as(alias)
+          case (alias, "min", _)   => min(c(alias)).as(alias)
+          case (alias, "max", _)   => max(c(alias)).as(alias)
+        }
+        val newView =
+          if (from.isEmpty || !exists(dst)) partial
+          else read(dst).unionByName(partial)
+            .groupBy(keyCols.map(c): _*)
+            .agg(combineExprs.head, combineExprs.tail: _*)
+        overwriteManifest(newView, dst, partitionCols, Nil, Nil,
           m => m + (s"consumer.$consumerId" -> srcSeq.toString))
         Some(srcSeq)
       }

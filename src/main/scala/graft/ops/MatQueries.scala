@@ -430,6 +430,42 @@ object MatQueries {
       |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 10 = 2""".stripMargin
 
+  // --------------------------------------------- maintained agg view
+  /** Incrementally-maintained aggregate view (`maintainAggView`): the
+    * source lands in three appends, the view folds each delta into its
+    * state (count/sum/min/max by status) with the checkpoint committed
+    * atomically, plus a nothing-new replay that must be a no-op. The
+    * oracle recomputes the same aggregate over the FINAL source — the
+    * incremental folds must be indistinguishable from one big GROUP BY.
+    * Money sums fold as integer cents: exact under any fold order, so
+    * the hash gate needs no float tolerance.
+    */
+  def xAggView(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val src = rel("orders_src"); val v = rel("orders_by_status")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+    val aggs = Seq(("n_orders", "count", "*"),
+      ("sum_cents", "sum", "price_cents"),
+      ("min_key", "min", "o_orderkey"), ("max_key", "max", "o_orderkey"))
+    def run(): Option[Long] =
+      wh.maintainAggView(src, v, "agg", Seq("o_orderstatus"), aggs)
+    wh.writeAtomic(o.filter(col("o_orderkey") % 3 === 0), src)
+    run()
+    wh.append(o.filter(col("o_orderkey") % 3 === 1), src)
+    run()
+    run() // nothing new: detected no-op, view state untouched
+    wh.append(o.filter(col("o_orderkey") % 3 === 2), src)
+    run()
+    wh.read(v)
+  }
+  val xAggViewSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   // -------------------------------------------------- row-level deletes
   /** Equality deletes (`Warehouse.deleteWhere`/`deleteKeys`): every
     * urgent-priority order is deleted by key WITHOUT rewriting a data
