@@ -22,6 +22,10 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   versions         retained commit history per table (manifest mode)
   *   rollback         re-point a table at an old commit (--table t --to N;
   *                    metadata-only, history stays linear for audit)
+  *   delete           row-level equality delete, no rewrite (--table t
+  *                    --where col=v[,col2=v2] --key-cols k1[,k2]: removes
+  *                    every row sharing the matched keys; logical until
+  *                    compact + gc age the old files out)
   * flags:
   *   --select a,b       restrict to these nodes
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -184,6 +188,28 @@ object GraftCli {
         engine.warehouse.rollbackTo(rel, to)
         println(s"ROLLBACK ${rel.identifier}: head now serves commit $to " +
           s"(new commit ${engine.warehouse.listVersions(rel).max})")
+      case "delete" =>
+        import org.apache.spark.sql.functions.{col, lit}
+        def need(flag: String): String =
+          flags.get(flag).flatMap(_.headOption).getOrElse {
+            System.err.println(
+              "delete requires --table t --where col=v[,col2=v2] " +
+                "--key-cols k1[,k2]")
+            sys.exit(2)
+          }
+        val rel = engine.relationFor(need("table"))
+        val cond = need("where").split(",").toIndexedSeq.map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => col(k) === lit(v)
+            case _ =>
+              System.err.println(s"bad --where clause '$kv': want col=value")
+              sys.exit(2)
+          }
+        }.reduce(_ && _)
+        val keyCols = need("key-cols").split(",").toIndexedSeq
+        val n = engine.warehouse.deleteWhere(rel, cond, keyCols)
+        println(s"DELETE   ${rel.identifier}: $n delete keys committed " +
+          "(logical until compact + gc rewrite the data)")
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }
