@@ -98,6 +98,20 @@ class KeywordIndexSpec extends AnyFunSuite {
     assert(got(idx.search(all, Seq("qqnovel"))) == Set(900001L, 900002L))
   }
 
+  test("row deletes compose: a deleted doc's postings vanish from search") {
+    val s = spark; import s.implicits._
+    val (wh, idx) = freshIdx()
+    val hit = got(idx.search(docs, Seq("dup"))).head
+    // forget one document: equality-delete its postings by doc_id — no
+    // rebuild, and conjunctive search stops returning it
+    assert(wh.deleteKeys(Relation("idx", "kw", "d__postings"),
+      Seq(hit).toDF("doc_id")) == 1L)
+    assert(!got(idx.search(docs, Seq("dup"))).contains(hit))
+    // other docs' results are untouched
+    assert(got(idx.search(docs, Seq("dup"))) ==
+      brute(docs, Seq("dup")) - hit)
+  }
+
   test("streaming appends are exactly-once under the batch-id watermark") {
     val s = spark; import s.implicits._
     val (wh, idx) = freshIdx()

@@ -87,6 +87,30 @@ class VectorIndexSpec extends AnyFunSuite {
       s"appended near-copy must surface in top-5, got $got2")
   }
 
+  test("row deletes compose: a deleted vector vanishes without a rebuild") {
+    val s2 = spark; import s2.implicits._
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_vidx_del").toString, CommitMode.Manifest)
+    val e = Similarity.vecs(spark, sf)
+    val idx = new Similarity.VectorIndex(wh, "emb", k = 4, nprobe = 2)
+    idx.build(e)
+    // plant an exact near-copy of vector 0, confirm it surfaces
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("v")).collect().head.getSeq[Double](0)
+    idx.append(Seq((900001L, probe.map(x => x * 0.995 + 0.001)))
+      .toDF("vec_id", "v"))
+    val q = e.filter(col("vec_id") === 0L)
+    def top5: Set[Long] = idx.query(q, topK = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top5.contains(900001L))
+    // GDPR the vector out: one equality delete on the cell relation —
+    // no refit, no rewrite, and the probe no longer returns it
+    assert(wh.deleteKeys(Relation("idx", "ann", "emb__cells"),
+      Seq(900001L).toDF("vec_id")) == 1L)
+    assert(!top5.contains(900001L),
+      "deleted vector must vanish from probes")
+  }
+
   test("streaming appends are exactly-once under the batch-id watermark") {
     val s2 = spark
     import s2.implicits._
