@@ -97,6 +97,28 @@ class AggViewSpec extends AnyFunSuite {
     }
   }
 
+  test("exactly-once chain: stream batches into src, fold into the view") {
+    val s = spark; import s.implicits._
+    val wh = freshWh(); val src = rel("s5"); val v = rel("v5")
+    // the foreachBatch sink shape: ingest under the batch-id watermark,
+    // then fold the view — each half is exactly-once on its own relation,
+    // so a crash-replay of either is a detected no-op
+    def sink(batch: Seq[(String, Long)], id: Long): Unit = {
+      wh.appendStreamBatch(batch.toDF("k", "v"), src, "ing", id)
+      wh.maintainAggView(src, v, "fold", Seq("k"), aggs)
+      ()
+    }
+    sink(Seq(("a", 1L), ("b", 2L)), 0L)
+    sink(Seq(("a", 10L)), 1L)
+    // checkpoint-restart: batch 1 redelivered — ingest skips (watermark),
+    // fold sees nothing new (checkpoint), view state unchanged
+    val before = viewRows(wh, v)
+    sink(Seq(("a", 10L)), 1L)
+    assert(viewRows(wh, v) == before)
+    assert(viewRows(wh, v) == Map("a" -> ((2L, 11L, 1L, 10L)),
+      "b" -> ((1L, 2L, 2L, 2L))))
+  }
+
   test("partitioned view maintains correctly") {
     val s = spark; import s.implicits._
     val wh = freshWh(); val src = rel("s4"); val v = rel("v4")
