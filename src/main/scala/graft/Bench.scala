@@ -50,7 +50,9 @@ object Bench {
       * warmup cap and pass-1 completeness); returns (samples, completed).
       */
     def runPass(order: Seq[String], timed: Boolean, mustComplete: Boolean,
-                capS: Double): (Seq[(String, Double)], Boolean) = {
+                capS: Double,
+                onSample: Seq[(String, Double)] => Unit = _ => ())
+        : (Seq[(String, Double)], Boolean) = {
       val out = Seq.newBuilder[(String, Double)]
       var fam = ' ' // sentinel: no query name starts with a space
       var completed = true
@@ -79,6 +81,7 @@ object Bench {
           }
         }
         out += n -> (System.nanoTime() - t0) / 1e9
+        if (timed) onSample(out.result())
       }
       // no trailing release: the last family's pins carry into the next
       // pass's first boundary (steady-state warm cache), and the final
@@ -101,10 +104,12 @@ object Bench {
     // see exactly how noisy the run was; per-pass totals go to stderr to
     // make an episode visible after the fact.
     val passCount = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(5)
-    // Scoreboard state shared with the shutdown hook: after every
-    // completed pass the current cumulative JSON line is staged here, so a
-    // harness SIGTERM mid-pass still emits the last complete scoreboard
-    // instead of discarding finished passes (the r7 failure mode).
+    // Scoreboard state shared with the shutdown hook: after every timed
+    // SAMPLE (and, with final flags, after every completed pass) the
+    // current cumulative JSON line is staged here, so a harness SIGTERM at
+    // any point past the first timed query still emits the best available
+    // scoreboard instead of discarding finished work (the r7 failure
+    // mode: 2 complete passes discarded, parsed null).
     @volatile var latestJson: Option[String] = None
     @volatile var printedNormally = false
     def emit(json: String): Unit = {
@@ -139,7 +144,11 @@ object Bench {
     }
     def scoreboard(passes: Seq[Map[String, Double]],
                    passesCompleted: Int, partialPass: Boolean): String = {
-      val perQuery = names.map { n =>
+      // A mid-pass-1 kill leaves some queries with zero samples; score the
+      // benched prefix and report coverage, so the shutdown hook always
+      // has SOMETHING parseable to emit (the r7 failure left nothing).
+      val benched = names.filter(n => passes.exists(_.contains(n)))
+      val perQuery = benched.map { n =>
         val samples = passes.flatMap(_.get(n))
         (n, median(samples), samples.min, samples.max)
       }
@@ -166,6 +175,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""bench_schema":2,"passes":$passCount,""" +
       s""""passes_completed":$passesCompleted,"partial_pass":$partialPass,""" +
+      s""""queries_benched":${benched.size},"queries_total":${names.size},""" +
       s""""budget_s":$budgetS,"scoring":"per-query min of passes",""" +
       s""""total_median":$totalMedian,"queries_median":$qsMedian,""" +
       s""""noise_spread_median":$noise,"sf":"$sfDir"$errJson}"""
@@ -189,9 +199,15 @@ object Bench {
     while (i <= passCount && !stop) {
       System.err.println(
         f"[bench] timed pass $i/$passCount (elapsed ${elapsedS}%.1f s / budget ${budgetS}%.0f s)")
-      // pass 1 must complete: every query needs at least one timed sample
+      // pass 1 must complete: every query needs at least one timed sample.
+      // Every timed sample refreshes the staged scoreboard, so a harness
+      // kill at ANY point past the first timed query still emits a
+      // parseable (partial-coverage) line via the shutdown hook.
       val (samples, completed) =
-        runPass(names, timed = true, mustComplete = i == 1, capS = budgetS)
+        runPass(names, timed = true, mustComplete = i == 1, capS = budgetS,
+          onSample = s => latestJson =
+            Some(scoreboard(passBuf.toSeq :+ s.toMap, passesCompleted,
+              partialPass = true)))
       passBuf += samples.toMap
       // per-pass totals expose monotone degradation (state/GC buildup)
       // that the median alone would mask as "noise"

@@ -21,19 +21,31 @@ object TData {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf)
-    * and floor-convert to a microsecond timestamp — the same truncation
-    * DuckDB's `ts::TIMESTAMP` applies, so oracle outputs agree.
+  /** `events.ts` arrives in whatever physical shape the driver's writer
+    * chose that round; normalize every shape to a session-timezone
+    * TIMESTAMP so downstream epoch math (`cast("long")`) is legal and
+    * agrees with DuckDB:
+    *  - INT64 TIMESTAMP(NANOS): Spark 4 refuses outright
+    *    ([PARQUET_TYPE_ILLEGAL]) — read as raw nanos (legacy conf) and
+    *    floor-convert to microseconds, the same truncation DuckDB's
+    *    `ts::TIMESTAMP` applies;
+    *  - timestamp[us] WITHOUT timezone: Spark 4 infers TIMESTAMP_NTZ
+    *    (`inferTimestampNTZ`), which cannot cast to BIGINT — cast to
+    *    TIMESTAMP, which pins the naive wall-clock to the session
+    *    timezone (UTC across this engine), exactly how DuckDB treats the
+    *    same naive value when extracting epochs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
       // integer DIV — a double-typed `/ 1000` loses ulps at 1e18 nanos
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

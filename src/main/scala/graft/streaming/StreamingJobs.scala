@@ -15,19 +15,55 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  /** The events schema as the stream sees it (ts as raw nanos — see
-    * TData.events; streaming sources get the same normalization).
+  /** The events schema as the stream sees it, parameterized on the
+    * physical shape of `ts` in the staged files (the driver's writer has
+    * shipped raw-nanos INT64, naive timestamp[us], and tz'd timestamp[us]
+    * across rounds — see TData.events for the batch-side normalization).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-stream source with the nanos→micros normalization. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** The `ts` type a batch read infers for the staged files — a
+    * readStream needs a declared schema, and declaring the wrong physical
+    * timestamp shape fails the scan, so probe once with a batch read
+    * (metadata-only: schema inference reads one footer).
+    */
+  private[graft] def probeTsType(spark: SparkSession, dir: String): DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    spark.read.parquet(dir).schema("ts").dataType
+  }
+
+  /** File-stream source normalized to a session-timezone TIMESTAMP `ts`,
+    * whatever shape the staged files carry (same contract as
+    * TData.events: raw nanos floor-divide to micros; naive micros pin to
+    * the session timezone — UTC across this engine).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+                 options: Map[String, String] = Map.empty): DataFrame = {
+    val tsType = probeTsType(spark, dir)
+    val src = spark.readStream.schema(rawSchema(tsType))
+      .options(options).parquet(dir)
+    tsType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
+  }
+
+  /** Render an epoch-millis column in the physical `ts` shape of staged
+    * files (for writing sentinel rows next to driver-shaped corpus files —
+    * the stream declares ONE schema per dir, so appended files must match).
+    */
+  private[graft] def tsInShape(tsType: DataType,
+                               ms: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = tsType match {
+    case LongType => ms * 1000000L // raw nanos
+    case TimestampNTZType => timestamp_millis(ms).cast(TimestampNTZType)
+    case _ => timestamp_millis(ms)
   }
 
   /** Streaming tumbling-window aggregate (the unbounded form of
@@ -266,11 +302,13 @@ object StreamingJobs {
     val dir = Files.createTempDirectory("graft_stream_equiv")
     Files.copy(Paths.get(s"$d/events.parquet"),
       dir.resolve("part-0-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    // sentinel in the raw nanos shape the file stream expects, ~115 days
-    // after the corpus so wm = sentinel − 10 min clears every lastMs + gap
+    // sentinel in the same physical ts shape as the staged corpus file
+    // (the stream declares ONE schema for the dir), ~115 days after the
+    // corpus so wm = sentinel − 10 min clears every lastMs + gap
+    val sentinelTs = tsInShape(probeTsType(spark, dir.toString),
+      unix_millis(col("ts")) + 10000000000L).as("ts")
     graft.ops.TData.events(spark, d).limit(1)
-      .select(col("event_id"),
-        ((unix_millis(col("ts")) + 10000000000L) * 1000000L).as("ts"),
+      .select(col("event_id"), sentinelTs,
         lit(-1L).as("user_id"), col("event_type"), col("value"), col("props"))
       .coalesce(1).write.parquet(dir.resolve("stage").toString)
     val f = Files.list(dir.resolve("stage")).iterator().asScala

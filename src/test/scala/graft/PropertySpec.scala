@@ -262,4 +262,42 @@ class PropertySpec extends AnyFunSuite {
       Seq("events_20240228", "events_20240229", "events_20240301", "events_20240302"))
     assert(DateUtils.partitionRange("20240101, 20240131") == ("20240101", "20240131"))
   }
+
+  test("events loader normalizes every driver ts shape to session-tz TIMESTAMP") {
+    // The driver's writer has shipped events.ts as INT64 TIMESTAMP(NANOS)
+    // (rounds <=7) and naive timestamp[us] / TIMESTAMP_NTZ (round 8); a
+    // future round could plausibly ship tz'd micros. All three shapes
+    // must load as a session-timezone TIMESTAMP with the same epoch
+    // seconds, or every downstream cast("long") and the DuckDB oracle
+    // epoch math silently diverge (or fail outright: NTZ cannot cast to
+    // BIGINT).
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val s = spark
+    import s.implicits._
+    val epochUs = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    def load(stage: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ts_shape")
+      stage.write.parquet(s"$dir/events.parquet")
+      graft.ops.TData.events(spark, dir.toString)
+    }
+    val base = Seq((1L, 17L, "click", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val shapes = Seq(
+      // raw nanos as INT64 (the legacy-conf long read of TIMESTAMP(NANOS))
+      base.withColumn("ts", lit(epochUs * 1000L)),
+      // naive micros -> TIMESTAMP_NTZ on read
+      base.withColumn("ts",
+        timestamp_micros(lit(epochUs)).cast(TimestampNTZType)),
+      // tz'd micros -> plain TIMESTAMP on read
+      base.withColumn("ts", timestamp_micros(lit(epochUs))))
+    shapes.foreach { stage =>
+      val got = load(stage.select("event_id", "ts", "user_id", "event_type",
+        "value", "props"))
+      assert(got.schema("ts").dataType == TimestampType,
+        s"staged ${stage.schema("ts").dataType} must load as TIMESTAMP")
+      assert(got.select(col("ts").cast("long")).head().getLong(0) ==
+        epochUs / 1000000L)
+    }
+  }
 }

@@ -49,21 +49,21 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_stream_fmgws")
     Files.copy(Paths.get(s"$sf/events.parquet"),
       dir.resolve("part-0-events.parquet"))
+    // sentinel in the same physical ts shape as the staged corpus file
     TData.events(spark, sf).limit(1)
-      .select(col("event_id"), (unix_millis(col("ts")) + 10000000000L).as("ts"),
+      .select(col("event_id"),
+        StreamingJobs.tsInShape(
+          StreamingJobs.probeTsType(spark, dir.toString),
+          unix_millis(col("ts")) + 10000000000L).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-      .selectExpr("event_id", "ts * 1000000 AS ts", "user_id", "event_type",
-        "value", "props") // back to raw nanos shape (long)
       .coalesce(1).write.parquet(dir.resolve("part-1-sentinel").toString)
     // stage the sentinel file after the events file
     val sentinelFile = Files.list(dir.resolve("part-1-sentinel")).iterator()
       .asScala.find(_.toString.endsWith(".parquet")).get
     Files.move(sentinelFile, dir.resolve("part-9-sentinel.parquet"))
 
-    val src = spark.readStream.schema(StreamingJobs.rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = StreamingJobs.readEvents(spark, dir.toString,
+      Map("maxFilesPerTrigger" -> "1"))
     StreamingJobs.runToMemory(spark,
       StreamingJobs.closedSessions(spark, src).toDF(),
       "closed_sessions", OutputMode.Append())
@@ -109,7 +109,8 @@ class StreamingSpec extends AnyFunSuite {
     writeBatch("batch-3", Seq(105L))         // would split if lastMs rewound
     writeBatch("batch-4", Seq(100000L), sentinelUid) // advances the watermark
 
-    val src = spark.readStream.schema(StreamingJobs.rawSchema)
+    val src = spark.readStream
+      .schema(StreamingJobs.rawSchema(org.apache.spark.sql.types.LongType))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -144,7 +145,8 @@ class StreamingSpec extends AnyFunSuite {
       Files.move(f, dir.resolve(s"$name.parquet")); ()
     }
     def runQuery(): Unit = {
-      val src = spark.readStream.schema(StreamingJobs.rawSchema)
+      val src = spark.readStream
+        .schema(StreamingJobs.rawSchema(org.apache.spark.sql.types.LongType))
         .option("maxFilesPerTrigger", "1")
         .parquet(dir.toString)
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -369,7 +371,8 @@ class StreamingSpec extends AnyFunSuite {
     writeBatch("batch-4", Seq(65L)) // inside the EMITTED session's range,
     // ~99925min beyond the watermark: filtered before the state machine
 
-    val src = spark.readStream.schema(StreamingJobs.rawSchema)
+    val src = spark.readStream
+      .schema(StreamingJobs.rawSchema(org.apache.spark.sql.types.LongType))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -411,7 +414,8 @@ class StreamingSpec extends AnyFunSuite {
         Files.move(f, dir.resolve(s"$name.parquet")); ()
       }
       def runQuery(): Unit = {
-        val src = spark.readStream.schema(StreamingJobs.rawSchema)
+        val src = spark.readStream
+          .schema(StreamingJobs.rawSchema(org.apache.spark.sql.types.LongType))
           .option("maxFilesPerTrigger", "1")
           .parquet(dir.toString)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
