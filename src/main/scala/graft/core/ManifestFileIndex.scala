@@ -56,6 +56,12 @@ final class ManifestFileIndex(
   private val qualified: Set[Path] =
     ManifestFileIndex.qualifyAll(spark, basePaths)
 
+  /** The qualified version dirs this index scans — the identity
+    * [[graft.plans.AggViewRewrite]] compares against a relation's current
+    * manifest state to recognize a full-table scan.
+    */
+  private[graft] def versionDirs: Set[Path] = qualified
+
   /** Leaves with data, grouped under their version dir, ascending-dir
     * order (committed leaves always hold ≥1 file; empty dirs carry no
     * rows and would only confuse layout detection).
@@ -238,7 +244,7 @@ object ManifestFileIndex {
   private[core] def qualifyOne(spark: SparkSession, p: Path): Path =
     p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
 
-  private[core] def qualifyAll(spark: SparkSession,
+  private[graft] def qualifyAll(spark: SparkSession,
                                ps: Set[Path]): Set[Path] = {
     val conf = spark.sessionState.newHadoopConf()
     ps.map(p => p.getFileSystem(conf).makeQualified(p))

@@ -322,6 +322,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
       .flatMap { case (seq, p) => parseManifest(p).map((seq, _)) }
       .nextOption()
 
+  /** (seq, qualified version dirs of the current manifest's DATA entries)
+    * — the scan identity [[graft.plans.AggViewRewrite]] matches against.
+    * Mirrors [[readDataEntries]]' basePaths construction exactly, so a
+    * full current-manifest read compares equal while a delta read
+    * ([[readAppendedBetween]]), a time-traveled read, or a post-delete
+    * grouped read (subset basePaths per group) never does — those scans
+    * must not be served from a summary view.
+    */
+  private[graft] def currentManifestState(rel: Relation): Option[(Long, Set[Path])] =
+    latestManifest(rel).map { case (seq, entries) =>
+      (seq, ManifestFileIndex.qualifyAll(spark,
+        dataEntries(entries).map(e => new Path(mfDir(rel), e._1)).toSet))
+    }
+
   /** Newest COMPLETE manifest's metadata map (empty for none). */
   private def latestMeta(rel: Relation): Map[String, String] =
     manifestsDescending(rel).iterator

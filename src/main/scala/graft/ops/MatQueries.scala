@@ -466,6 +466,62 @@ object MatQueries {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** Transparent aggregate routing over the maintained view
+    * (`graft.plans.AggViewRewrite`, the serving half of
+    * [[xAggView]]'s maintenance): the SOURCE-table aggregate — a subset
+    * regroup with a key filter, so the fold is non-trivial — must
+    * execute against the view's files, verified on the optimized plan
+    * (this entry fails loudly if the rewrite stops firing), while the
+    * DuckDB oracle recomputes the same answer from the raw table. The
+    * spec battery (AggViewRewriteSpec) covers the guard rails; this
+    * entry puts the happy path under the driver's hash gate.
+    */
+  def xMvRewrite(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val src = rel("orders_mv_src"); val v = rel("orders_mv_view")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+    val keys = Seq("o_orderstatus", "o_orderpriority")
+    val aggs = Seq(("n_orders", "count", "*"),
+      ("sum_cents", "sum", "price_cents"), ("max_key", "max", "o_orderkey"))
+    wh.writeAtomic(o.filter(col("o_orderkey") % 2 === 0), src)
+    wh.maintainAggView(src, v, "mv", keys, aggs)
+    wh.append(o.filter(col("o_orderkey") % 2 === 1), src)
+    wh.maintainAggView(src, v, "mv", keys, aggs)
+    graft.plans.AggViewRewrite.install(s)
+    graft.plans.AggViewRewrite.register(
+      graft.plans.AggViewRewrite.ViewSpec(wh, src, v, "mv", keys, aggs))
+    try {
+      val q = wh.read(src).filter(col("o_orderstatus") =!= "P")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("price_cents").as("sum_cents"),
+          max("o_orderkey").as("max_key"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.toSeq
+            case _ => Nil
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains(wh.path(v))),
+        s"agg-view rewrite did not fire: scanned $scans")
+      // materialize while the rewrite is live (the driver's write re-plans
+      // after deregistration below, which falls back to the source scan —
+      // both paths must and do agree, that's the oracle's check)
+      q.count()
+      q
+    } finally graft.plans.AggViewRewrite.deregister(wh, v)
+  }
+  val xMvRewriteSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderstatus <> 'P'
+      |GROUP BY o_orderpriority""".stripMargin
+
   // -------------------------------------------------- row-level deletes
   /** Equality deletes (`Warehouse.deleteWhere`/`deleteKeys`): every
     * urgent-priority order is deleted by key WITHOUT rewriting a data

@@ -1,0 +1,267 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, min => fmin, sum => fsum}
+
+import graft.core.{ManifestFileIndex, Relation, Warehouse}
+
+/** Transparent aggregate-routing over incrementally-maintained views —
+  * the serving half of `Warehouse.maintainAggView` (reference behavior:
+  * BigQuery materialized views, whose "smart tuning" rewrites eligible
+  * aggregates over a base table to read the materialized view; the
+  * reference project's warehouse does this for every model a user
+  * declares `materialized='materialized_view'`). A registered view makes
+  * any matching `GROUP BY` over the SOURCE table read the view instead:
+  * at 100 TB the difference between rescanning the corpus and folding a
+  * keys-sized summary.
+  *
+  * Architecture: a `Rule[LogicalPlan]` appended to
+  * `spark.experimental.extraOptimizations` (the runtime-injectable
+  * optimizer extension point — `SparkSessionExtensions` needs builder
+  * time; both run in the optimizer). The rule fires on
+  * `Aggregate → (Project/Filter)* → LogicalRelation(ManifestFileIndex)`
+  * and rewrites when ALL of:
+  *
+  *  - **scan identity**: the scan's version-dir set equals the source's
+  *    CURRENT manifest state (`Warehouse.currentManifestState`). A
+  *    maintenance delta scan (`readAppendedBetween`), a time-traveled
+  *    read, or a post-delete grouped read carries a different dir set and
+  *    is never rewritten — the first also closes the feedback loop of
+  *    rewriting the view's own maintenance fold;
+  *  - **freshness**: the view's consumer checkpoint equals the source's
+  *    latest seq — a stale view never serves (the conservative variant of
+  *    BigQuery's max_staleness; serving view + delta union is future
+  *    work);
+  *  - **coverage**: grouping keys ⊆ view keys, every filter between the
+  *    aggregate and the scan references only view keys, and every
+  *    aggregate folds losslessly from a registered partial — count(*)/
+  *    count(col) by sum (coalesced to 0 for the empty global group),
+  *    sum/min/max by themselves. DISTINCT / FILTER-clause aggregates and
+  *    post-aggregate arithmetic never match;
+  *  - **type identity**: the rewritten output's dataTypes equal the
+  *    original's exactly (rules out e.g. decimal sums, whose re-fold
+  *    widens precision).
+  *
+  * The rewritten subtree keeps the original output attribute ids via an
+  * aliasing `Project`, so the parent plan is untouched. The view scan is
+  * rebuilt per rewrite through `baseRelationToDataFrame` (fresh expr ids
+  * — a query touching the same view twice never aliases). Rewrites
+  * compose: the query-side fold over the view is itself a tiny Aggregate
+  * that AQE plans as a single-stage hash agg over the view's files.
+  */
+object AggViewRewrite {
+
+  /** A registered maintained view: `dst` = `src` grouped by `keys` with
+    * `aggs` ((alias, fn, col), fn ∈ count|sum|min|max, col "*" for row
+    * count) — the exact argument shape of `Warehouse.maintainAggView`,
+    * which is what keeps registration honest: register with the same
+    * values you maintain with.
+    */
+  final case class ViewSpec(wh: Warehouse, src: Relation, dst: Relation,
+                            consumerId: String, keys: Seq[String],
+                            aggs: Seq[(String, String, String)]) {
+    private[plans] def foldAlias(fn: String, c: String): Option[String] =
+      aggs.collectFirst { case (alias, f, cc) if f == fn && cc == c => alias }
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, ViewSpec]
+
+  def register(spec: ViewSpec): Unit = {
+    require(spec.keys.nonEmpty && spec.aggs.nonEmpty,
+      "view spec needs keys and aggs")
+    registry.put(spec.wh.path(spec.dst), spec); ()
+  }
+
+  def deregister(wh: Warehouse, dst: Relation): Unit = {
+    registry.remove(wh.path(dst)); ()
+  }
+
+  /** Idempotently append the rule to the session's user-provided
+    * optimizer batch.
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[Rewrite]))
+      spark.experimental.extraOptimizations = cur :+ new Rewrite(spark)
+  }
+
+  final class Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else plan.transformUp {
+        case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      }
+
+    /** Peel Project(attrs-only)/Filter/SubqueryAlias down to the scan,
+      * collecting filter conjuncts.
+      */
+    @annotation.tailrec
+    private def strip(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(Seq[Expression], LogicalRelation)] = p match {
+      case f: Filter => strip(f.child, conds :+ f.condition)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(pr.child, conds)
+      case s: SubqueryAlias => strip(s.child, conds)
+      case lr: LogicalRelation => Some((conds, lr))
+      case _ => None
+    }
+
+    private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+      for {
+        (conds, lr) <- strip(agg.child, Nil)
+        mfi <- lr.relation match {
+          case h: HadoopFsRelation => h.location match {
+            case m: ManifestFileIndex => Some(m)
+            case _ => None
+          }
+          case _ => None
+        }
+        spec <- registry.values.asScala.find { s =>
+          // cheap path-prefix gate first: the expensive checks read
+          // manifest metadata, and the rule runs on EVERY aggregate the
+          // session optimizes — a spec whose source can't own this scan
+          // must cost zero IO
+          mfi.versionDirs.headOption
+            .exists(_.toString.contains(s.wh.path(s.src))) &&
+          s.wh.currentManifestState(s.src).exists { case (seq, dirs) =>
+            dirs.nonEmpty && dirs == mfi.versionDirs &&
+              s.wh.consumerCheckpoint(s.dst, s.consumerId).contains(seq)
+          }
+        }
+        if conds.forall(c => c.deterministic &&
+          c.references.forall(r => spec.keys.contains(r.name)))
+        groupNames <- traverse(agg.groupingExpressions) {
+          case a: AttributeReference if spec.keys.contains(a.name) => Some(a.name)
+          case _ => None
+        }
+        folds <- traverse(agg.aggregateExpressions)(fold(spec, groupNames, _))
+        rewritten <- build(spec, conds, groupNames, folds, agg.output)
+      } yield rewritten
+
+    /** Map one output NamedExpression to its view-side Column, tagged
+      * with whether it is a grouping passthrough or an aggregate fold.
+      */
+    private def fold(spec: ViewSpec, groupNames: Seq[String],
+                     ne: NamedExpression): Option[Either[String, Column]] =
+      ne match {
+        case a: AttributeReference if groupNames.contains(a.name) =>
+          Some(Left(a.name))
+        case Alias(a: AttributeReference, _) if groupNames.contains(a.name) =>
+          Some(Left(a.name))
+        case Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case c: Count => (c.children match {
+              case Seq(Literal(_, _)) | Nil => spec.foldAlias("count", "*")
+              case Seq(a: AttributeReference) => spec.foldAlias("count", a.name)
+              case _ => None
+            }).map(al => Right(coalesce(fsum(col(al)), lit(0L))))
+            case s: Sum => s.child match {
+              case a: AttributeReference =>
+                spec.foldAlias("sum", a.name).map(al => Right(fsum(col(al))))
+              case _ => None
+            }
+            case m: Min => m.child match {
+              case a: AttributeReference =>
+                spec.foldAlias("min", a.name).map(al => Right(fmin(col(al))))
+              case _ => None
+            }
+            case m: Max => m.child match {
+              case a: AttributeReference =>
+                spec.foldAlias("max", a.name).map(al => Right(fmax(col(al))))
+              case _ => None
+            }
+            case _ => None
+          }
+        case _ => None
+      }
+
+    /** Assemble the replacement subtree: filtered view scan → regroup →
+      * reorder to the original column order → alias back to the original
+      * output ids. Bails (None) on any output dataType mismatch.
+      */
+    private def build(spec: ViewSpec, conds: Seq[Expression],
+                      groupNames: Seq[String],
+                      folds: Seq[Either[String, Column]],
+                      origOutput: Seq[Attribute]): Option[LogicalPlan] = {
+      // fresh scan of the view (fresh expr ids per rewrite site)
+      val viewLr = stripToRelation(spec.wh.read(spec.dst)
+        .queryExecution.analyzed) match {
+        case Some(l) => l
+        case None => return None
+      }
+      val viewDf = session.baseRelationToDataFrame(viewLr.relation)
+      if (!spec.keys.forall(viewDf.columns.contains) ||
+          !spec.aggs.forall(a => viewDf.columns.contains(a._1))) return None
+      val filtered = conds.zipWithIndex.foldLeft(viewDf) { case (df, (c, _)) =>
+        df.filter(remapToView(c, viewDf))
+      }
+      val tagged = folds.zipWithIndex.map {
+        case (Right(c), i) => Right(c.as(s"__graft_mv_$i"))
+        case (Left(k), _) => Left(k)
+      }
+      val aggCols = tagged.collect { case Right(c) => c }
+      val grouped =
+        if (aggCols.isEmpty)
+          // keys-only regroup (e.g. the measure-pruned inner aggregate of
+          // a COUNT-over-groupBy). NOT .distinct(): that splices a
+          // Deduplicate node into the post-ReplaceDeduplicateWithAggregate
+          // plan, which the planner refuses. A real Aggregate with a
+          // dummy measure (dropped by the reorder select below) plans
+          // directly.
+          filtered.groupBy(groupNames.distinct.map(col): _*)
+            .agg(fmax(lit(1)).as("__graft_mv_d"))
+        else
+          filtered.groupBy(groupNames.distinct.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+      val ordered = grouped.select(tagged.zipWithIndex.map {
+        case (Left(k), _) => col(k)
+        case (Right(_), i) => col(s"__graft_mv_$i")
+      }: _*)
+      val newPlan = ordered.queryExecution.analyzed
+      if (newPlan.output.size != origOutput.size ||
+          newPlan.output.zip(origOutput).exists {
+            case (n, o) => n.dataType != o.dataType
+          }) return None
+      Some(Project(origOutput.zip(newPlan.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }, newPlan))
+    }
+
+    /** Rebind a source-side predicate's attributes to the view scan by
+      * name (caller has verified every reference is a view key).
+      */
+    private def remapToView(cond: Expression, viewDf: DataFrame): Column = {
+      val byName = viewDf.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+      org.apache.spark.sql.graftshim.ColumnShim.column(cond.transform {
+        case a: AttributeReference => byName(a.name)
+      })
+    }
+
+    private def stripToRelation(p: LogicalPlan): Option[LogicalRelation] =
+      p match {
+        case lr: LogicalRelation => Some(lr)
+        case s: SubqueryAlias => stripToRelation(s.child)
+        case _ => None
+      }
+
+    private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+      val out = Seq.newBuilder[B]
+      val it = xs.iterator
+      while (it.hasNext) f(it.next()) match {
+        case Some(b) => out += b
+        case None => return None
+      }
+      Some(out.result())
+    }
+  }
+}

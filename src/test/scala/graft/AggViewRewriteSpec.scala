@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.plans.AggViewRewrite
+
+/** Transparent aggregate routing over maintained views
+  * (`AggViewRewrite`): a matching GROUP BY over the SOURCE relation must
+  * execute against the VIEW's files with identical results, and every
+  * guard (staleness, non-covered aggregates, non-key filters, delta
+  * scans) must fall back to the source scan — correctness first, the
+  * optimization only when provably safe.
+  */
+class AggViewRewriteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def freshWh(): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_mvr").toString,
+      CommitMode.Manifest)
+  def rel(n: String): Relation = Relation("db", "sch", n)
+
+  private val aggs = Seq(("n", "count", "*"), ("total", "sum", "v"),
+    ("lo", "min", "v"), ("hi", "max", "v"))
+
+  /** Paths of the files the OPTIMIZED plan scans (logical level: the
+    * executed plan hides scans inside AdaptiveSparkPlanExec, whose
+    * children don't traverse). Also forces one execution so a broken
+    * rewrite that analyzes but cannot plan still fails here.
+    */
+  private def scannedFiles(df: DataFrame): Seq[String] = {
+    df.count()
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+  }
+  private def readsOnly(df: DataFrame, wh: Warehouse, r: Relation): Boolean = {
+    val files = scannedFiles(df)
+    files.nonEmpty && files.forall(_.contains(wh.path(r)))
+  }
+
+  /** Fixture: src with two committed batches, view maintained fresh,
+    * rewrite installed + registered.
+    */
+  private def fixture(): (Warehouse, Relation, Relation) = {
+    val s = spark; import s.implicits._
+    val wh = freshWh(); val src = rel("events_c"); val v = rel("events_by_k")
+    wh.writeAtomic(Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 2L))
+      .toDF("k", "v"), src)
+    wh.append(Seq(("a", 1L), ("b", 100L)).toDF("k", "v"), src)
+    assert(wh.maintainAggView(src, v, "mv", Seq("k"), aggs).isDefined)
+    AggViewRewrite.install(spark)
+    AggViewRewrite.register(
+      AggViewRewrite.ViewSpec(wh, src, v, "mv", Seq("k"), aggs))
+    (wh, src, v)
+  }
+
+  test("matching group-by over the source executes against the view") {
+    val (wh, src, v) = fixture()
+    val q = wh.read(src).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"),
+        min("v").as("lo"), max("v").as("hi"))
+    assert(readsOnly(q, wh, v), "aggregate must scan the view, not the source")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("a", 3L, 31L, 1L, 20L), ("b", 2L, 105L, 5L, 100L),
+      ("c", 1L, 2L, 2L, 2L)))
+    AggViewRewrite.deregister(wh, v)
+  }
+
+  test("subset regroup and key filters ride the view; global agg coalesces") {
+    val (wh, src, v) = fixture()
+    // filter on a view key + a measure subset
+    val filtered = wh.read(src).filter(col("k") =!= "c")
+      .groupBy("k").agg(sum("v").as("total"))
+    assert(readsOnly(filtered, wh, v))
+    assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 31L), ("b", 105L)))
+    // global aggregate (no grouping): count folds with the empty-input 0
+    val global = wh.read(src).agg(count(lit(1)).as("n"), max("v").as("hi"))
+    assert(readsOnly(global, wh, v))
+    assert(global.collect().head.getLong(0) == 6L)
+    val none = wh.read(src).filter(col("k") === "zzz")
+      .agg(count(lit(1)).as("n"))
+    assert(readsOnly(none, wh, v))
+    assert(none.collect().head.getLong(0) == 0L,
+      "empty global count must fold to 0, not null")
+    AggViewRewrite.deregister(wh, v)
+  }
+
+  test("guards: stale view, uncovered aggregates, non-key filters fall back") {
+    val s = spark; import s.implicits._
+    val (wh, src, v) = fixture()
+    // non-covered aggregate (avg) — no registered partial
+    val avgQ = wh.read(src).groupBy("k").agg(avg("v").as("m"))
+    assert(readsOnly(avgQ, wh, src), "avg must scan the source")
+    // filter on a NON-key column: the view cannot answer
+    val measureFilter = wh.read(src).filter(col("v") > 5L)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(readsOnly(measureFilter, wh, src))
+    assert(measureFilter.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet == Set(("a", 2L), ("b", 1L)))
+    // stale: src advances past the checkpoint -> source scan + exact result
+    wh.append(Seq(("d", 50L)).toDF("k", "v"), src)
+    val stale = wh.read(src).groupBy("k").agg(count(lit(1)).as("n"))
+    assert(readsOnly(stale, wh, src), "stale view must not serve")
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 3L), ("b", 2L), ("c", 1L), ("d", 1L)))
+    // re-maintain -> fresh again, rewrite resumes with the new row folded
+    assert(wh.maintainAggView(src, v, "mv", Seq("k"), aggs).isDefined)
+    val fresh = wh.read(src).groupBy("k").agg(count(lit(1)).as("n"))
+    assert(readsOnly(fresh, wh, v))
+    assert(fresh.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 3L), ("b", 2L), ("c", 1L), ("d", 1L)))
+    AggViewRewrite.deregister(wh, v)
+  }
+
+  test("maintenance delta folds are never rewritten (no feedback loop)") {
+    val s = spark; import s.implicits._
+    val (wh, src, v) = fixture()
+    // with the rule live, further maintenance cycles must stay correct:
+    // the partial-agg over readAppendedBetween carries a SUBSET dir set
+    // and must not be served from the view it is maintaining
+    wh.append(Seq(("a", 7L), ("e", 3L)).toDF("k", "v"), src)
+    assert(wh.maintainAggView(src, v, "mv", Seq("k"), aggs).isDefined)
+    val got = wh.read(v).collect().map(r => r.getAs[String]("k") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("total")))).toMap
+    assert(got == Map("a" -> ((4L, 38L)), "b" -> ((2L, 105L)),
+      "c" -> ((1L, 2L)), "e" -> ((1L, 3L))),
+      s"view must fold the delta exactly once, got $got")
+    AggViewRewrite.deregister(wh, v)
+  }
+}
