@@ -302,6 +302,45 @@ final class Warehouse(val spark: SparkSession, val root: String,
     else readEntries(rel, added)
   }
 
+  /** The appended delta `(fromSeq, toSeq]` as a DataFrame, ONLY when the
+    * range is PROVABLY append-only from manifest history alone: every
+    * `fromSeq` entry survives at `toSeq` (an overwrite/rollback drops
+    * entries) and no `toSeq` entry is a delete. None otherwise — the
+    * caller (the agg-view rewrite's stale-serving path) must fall back
+    * to the source scan rather than risk folding a delta that replaced
+    * or subtracted rows the view already counted.
+    */
+  private[graft] def appendOnlyDelta(rel: Relation, fromSeq: Long,
+                                     toSeq: Long): Option[DataFrame] = {
+    if (!usesManifest || fromSeq >= toSeq) return None
+    if (!provablyAppendOnly(rel, fromSeq, toSeq)) None
+    else {
+      val added = entriesAt(rel, toSeq)
+        .drop(entriesAt(rel, fromSeq).size)
+      if (dataEntries(added).isEmpty) Some(read(rel).limit(0))
+      else Some(readEntries(rel, added))
+    }
+  }
+
+  /** Whether `(fromSeq, toSeq]` on `rel` is PROVABLY append-only from
+    * manifest history: the fromSeq entry list survives at toSeq as an
+    * unchanged PREFIX (overwrite, rollback, and compaction all drop,
+    * replace, or reorder entries — and delete application is
+    * position-sensitive, so order matters, not just membership), and
+    * nothing appended past it is a delete entry. A delete that happened
+    * BEFORE fromSeq stays in the prefix and disproves nothing — appended
+    * data orders after it and is untouched by it. The proof's consumers
+    * ([[appendOnlyDelta]], [[maintainAggView]]'s self-healing refresh)
+    * treat a false as "fold nothing incrementally", never as an error.
+    */
+  private def provablyAppendOnly(rel: Relation, fromSeq: Long,
+                                 toSeq: Long): Boolean = {
+    val before = entriesAt(rel, fromSeq)
+    val after = entriesAt(rel, toSeq)
+    after.size >= before.size && after.take(before.size) == before &&
+      !after.drop(before.size).exists(isDeleteEntry)
+  }
+
   /** Roll the relation back to committed `seq`: a NEW manifest commit
     * carrying the old commit's entries — metadata-only (no data moves),
     * history stays linear (the bad commit remains in the retained window
@@ -1275,12 +1314,14 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * `aggs` are (alias, fn, col) with fn ∈ count|sum|min|max — the
     * decomposable set whose partials merge losslessly (count folds by
     * sum; avg = maintain sum and count, divide on read). `col = "*"`
-    * counts rows. The SOURCE must be append-only between runs (the same
-    * contract as [[readAppendedBetween]]): overwrite-rewritten rows
-    * surface as additions and would double-count — full-refresh the view
-    * after non-append maintenance on the source (min/max additionally
-    * never retract, append-only or not). Returns the newly checkpointed
-    * src seq, or None when src has nothing new.
+    * counts rows. The incremental fold applies only when the
+    * checkpoint→head range is provably append-only from manifest
+    * history ([[provablyAppendOnly]]); after an overwrite, rollback,
+    * compaction, or delete on the source the run SELF-HEALS with a full
+    * recompute of the current snapshot (which also retracts min/max
+    * correctly) and incremental folding resumes on the next append-only
+    * run. Returns the newly checkpointed src seq, or None when src has
+    * nothing new.
     */
   def maintainAggView(src: Relation, dst: Relation, consumerId: String,
                       keyCols: Seq[String],
@@ -1306,9 +1347,19 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val from = consumerCheckpoint(dst, consumerId)
       if (srcSeq == 0L || from.exists(_ >= srcSeq)) None
       else {
+        // Self-healing refresh: the incremental fold is only sound when
+        // the checkpoint→head range PROVABLY appended (an overwrite,
+        // rollback, compaction, or delete on the source would make
+        // changed rows surface as additions and double-count — or
+        // silently under-count after deletes). When the manifest history
+        // disproves append-only-ness, rebuild the view from the current
+        // snapshot instead: O(source) once, correct always — the
+        // incremental path resumes at the next append-only run.
+        val incremental =
+          from.exists(p => provablyAppendOnly(src, p, srcSeq))
         val delta = from match {
-          case None    => readAt(src, srcSeq)
-          case Some(p) => readAppendedBetween(src, p, srcSeq)
+          case Some(p) if incremental => readAppendedBetween(src, p, srcSeq)
+          case _ => readAt(src, srcSeq)
         }
         val partialExprs = aggs.map {
           case (alias, "count", "*")  => count(lit(1)).as(alias)
@@ -1328,7 +1379,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
           case (alias, "max", _)   => max(c(alias)).as(alias)
         }
         val newView =
-          if (from.isEmpty || !exists(dst)) partial
+          if (from.isEmpty || !incremental || !exists(dst)) partial
           else read(dst).unionByName(partial)
             .groupBy(keyCols.map(c): _*)
             .agg(combineExprs.head, combineExprs.tail: _*)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, min => fmin, sum => fsum}
+import org.apache.spark.sql.functions.{coalesce, col, count => fcount, lit, max => fmax, min => fmin, sum => fsum}
 
 import graft.core.{ManifestFileIndex, Relation, Warehouse}
 
@@ -37,9 +37,14 @@ import graft.core.{ManifestFileIndex, Relation, Warehouse}
   *    is never rewritten — the first also closes the feedback loop of
   *    rewriting the view's own maintenance fold;
   *  - **freshness**: the view's consumer checkpoint equals the source's
-  *    latest seq — a stale view never serves (the conservative variant of
-  *    BigQuery's max_staleness; serving view + delta union is future
-  *    work);
+  *    latest seq — OR the checkpoint→head range is PROVABLY append-only
+  *    (`Warehouse.appendOnlyDelta`: every checkpointed entry survives,
+  *    no delete entries), in which case the stale view serves unioned
+  *    with the delta's partial aggregates — BigQuery's materialized-view
+  *    semantics: answers are always current, the view merely bounds how
+  *    much raw data the query folds. An overwrite, rollback, or delete
+  *    in the range disproves append-only-ness and the source scan
+  *    stands;
   *  - **coverage**: grouping keys ⊆ view keys, every filter between the
   *    aggregate and the scan references only view keys, and every
   *    aggregate folds losslessly from a registered partial — count(*)/
@@ -125,18 +130,7 @@ object AggViewRewrite {
           }
           case _ => None
         }
-        spec <- registry.values.asScala.find { s =>
-          // cheap path-prefix gate first: the expensive checks read
-          // manifest metadata, and the rule runs on EVERY aggregate the
-          // session optimizes — a spec whose source can't own this scan
-          // must cost zero IO
-          mfi.versionDirs.headOption
-            .exists(_.toString.contains(s.wh.path(s.src))) &&
-          s.wh.currentManifestState(s.src).exists { case (seq, dirs) =>
-            dirs.nonEmpty && dirs == mfi.versionDirs &&
-              s.wh.consumerCheckpoint(s.dst, s.consumerId).contains(seq)
-          }
-        }
+        (spec, delta) <- matchSpec(mfi)
         if conds.forall(c => c.deterministic &&
           c.references.forall(r => spec.keys.contains(r.name)))
         groupNames <- traverse(agg.groupingExpressions) {
@@ -144,8 +138,47 @@ object AggViewRewrite {
           case _ => None
         }
         folds <- traverse(agg.aggregateExpressions)(fold(spec, groupNames, _))
-        rewritten <- build(spec, conds, groupNames, folds, agg.output)
+        rewritten <- build(spec, delta, conds, groupNames, folds, agg.output)
       } yield rewritten
+
+    /** The registered view able to serve this scan, plus the source
+      * delta the fold must union in when the view is stale. Fresh view
+      * (checkpoint == source seq) serves alone; a stale view serves
+      * TOGETHER with the appended delta when `appendOnlyDelta` can PROVE
+      * the checkpoint→head range appended rows only (BigQuery's
+      * materialized-view semantics: always-correct answers, the view
+      * merely bounds how much raw data the query folds); any overwrite,
+      * rollback, or delete in the range disproves it and the source scan
+      * stands.
+      */
+    private def matchSpec(mfi: ManifestFileIndex)
+        : Option[(ViewSpec, Option[DataFrame])] = {
+      val it = registry.values.asScala.iterator
+      while (it.hasNext) {
+        val s = it.next()
+        // cheap path-prefix gate first: the expensive checks read
+        // manifest metadata, and the rule runs on EVERY aggregate the
+        // session optimizes — a spec whose source can't own this scan
+        // must cost zero IO
+        if (mfi.versionDirs.headOption
+              .exists(_.toString.contains(s.wh.path(s.src)))) {
+          s.wh.currentManifestState(s.src) match {
+            case Some((seq, dirs)) if dirs.nonEmpty && dirs == mfi.versionDirs =>
+              s.wh.consumerCheckpoint(s.dst, s.consumerId) match {
+                case Some(ckpt) if ckpt == seq => return Some((s, None))
+                case Some(ckpt) if ckpt < seq =>
+                  s.wh.appendOnlyDelta(s.src, ckpt, seq) match {
+                    case Some(d) => return Some((s, Some(d)))
+                    case None => ()
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+      }
+      None
+    }
 
     /** Map one output NamedExpression to its view-side Column, tagged
       * with whether it is a grouping passthrough or an aggregate fold.
@@ -185,11 +218,13 @@ object AggViewRewrite {
         case _ => None
       }
 
-    /** Assemble the replacement subtree: filtered view scan → regroup →
-      * reorder to the original column order → alias back to the original
-      * output ids. Bails (None) on any output dataType mismatch.
+    /** Assemble the replacement subtree: (view ∪ delta-partials when
+      * stale) → filter → regroup → reorder to the original column order
+      * → alias back to the original output ids. Bails (None) on any
+      * output dataType mismatch.
       */
-    private def build(spec: ViewSpec, conds: Seq[Expression],
+    private def build(spec: ViewSpec, delta: Option[DataFrame],
+                      conds: Seq[Expression],
                       groupNames: Seq[String],
                       folds: Seq[Either[String, Column]],
                       origOutput: Seq[Attribute]): Option[LogicalPlan] = {
@@ -199,9 +234,33 @@ object AggViewRewrite {
         case Some(l) => l
         case None => return None
       }
-      val viewDf = session.baseRelationToDataFrame(viewLr.relation)
-      if (!spec.keys.forall(viewDf.columns.contains) ||
-          !spec.aggs.forall(a => viewDf.columns.contains(a._1))) return None
+      val viewOnly = session.baseRelationToDataFrame(viewLr.relation)
+      if (!spec.keys.forall(viewOnly.columns.contains) ||
+          !spec.aggs.forall(a => viewOnly.columns.contains(a._1))) return None
+      // stale view: union in the appended delta, partial-aggregated into
+      // the view's own column shape (the same construction maintenance
+      // applies — the query-side fold then merges both indistinguishably)
+      val viewDf = delta match {
+        case None => viewOnly
+        case Some(d) =>
+          if (!spec.keys.forall(d.columns.contains) ||
+              !spec.aggs.forall(a => a._3 == "*" || d.columns.contains(a._3)))
+            return None
+          val partials = spec.aggs.map {
+            case (alias, "count", "*") => fcount(lit(1)).as(alias)
+            case (alias, "count", c) => fcount(col(c)).as(alias)
+            case (alias, "sum", c) => fsum(col(c)).as(alias)
+            case (alias, "min", c) => fmin(col(c)).as(alias)
+            case (alias, "max", c) => fmax(col(c)).as(alias)
+            case _ => return None
+          }
+          val dp = d.groupBy(spec.keys.map(col): _*)
+            .agg(partials.head, partials.tail: _*)
+            .select(viewOnly.columns.map(col).toIndexedSeq: _*)
+          if (dp.schema.map(f => (f.name, f.dataType)) !=
+              viewOnly.schema.map(f => (f.name, f.dataType))) return None
+          viewOnly.unionByName(dp)
+      }
       val filtered = conds.zipWithIndex.foldLeft(viewDf) { case (df, (c, _)) =>
         df.filter(remapToView(c, viewDf))
       }

@@ -112,18 +112,43 @@ class AggViewRewriteSpec extends AnyFunSuite {
     assert(readsOnly(measureFilter, wh, src))
     assert(measureFilter.collect().map(r => (r.getString(0), r.getLong(1)))
       .toSet == Set(("a", 2L), ("b", 1L)))
-    // stale: src advances past the checkpoint -> source scan + exact result
-    wh.append(Seq(("d", 50L)).toDF("k", "v"), src)
-    val stale = wh.read(src).groupBy("k").agg(count(lit(1)).as("n"))
-    assert(readsOnly(stale, wh, src), "stale view must not serve")
-    assert(stale.collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      == Set(("a", 3L), ("b", 2L), ("c", 1L), ("d", 1L)))
-    // re-maintain -> fresh again, rewrite resumes with the new row folded
-    assert(wh.maintainAggView(src, v, "mv", Seq("k"), aggs).isDefined)
-    val fresh = wh.read(src).groupBy("k").agg(count(lit(1)).as("n"))
-    assert(readsOnly(fresh, wh, v))
-    assert(fresh.collect().map(r => (r.getString(0), r.getLong(1))).toSet
-      == Set(("a", 3L), ("b", 2L), ("c", 1L), ("d", 1L)))
+    // an OVERWRITE invalidates append-only-ness: the view counted rows
+    // that no longer exist, so nothing can serve but the source scan
+    wh.writeAtomic(Seq(("a", 10L), ("z", 9L)).toDF("k", "v"), src)
+    val post = wh.read(src).groupBy("k").agg(count(lit(1)).as("n"))
+    assert(readsOnly(post, wh, src), "post-overwrite stale view must not serve")
+    assert(post.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 1L), ("z", 1L)))
+    AggViewRewrite.deregister(wh, v)
+  }
+
+  test("stale view serves WITH the appended delta; deletes disprove it") {
+    val s = spark; import s.implicits._
+    val (wh, src, v) = fixture()
+    // append past the checkpoint WITHOUT re-maintaining: the rewrite must
+    // still answer exactly, folding view partials with the delta only —
+    // scanning the view plus the appended version dir, never the base
+    wh.append(Seq(("a", 4L), ("d", 50L)).toDF("k", "v"), src)
+    val q = wh.read(src).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"), min("v").as("lo"))
+    val files = scannedFiles(q)
+    assert(files.exists(_.contains(wh.path(v))), "view must be scanned")
+    val srcFiles = files.filter(_.contains(wh.path(src)))
+    assert(srcFiles.nonEmpty, "the appended delta must be scanned")
+    val baseFiles = wh.read(src).inputFiles.length
+    assert(srcFiles.size < baseFiles,
+      s"delta serving must scan fewer source files than the full table " +
+        s"(${srcFiles.size} vs $baseFiles)")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet ==
+      Set(("a", 4L, 35L, 1L), ("b", 2L, 105L, 5L), ("c", 1L, 2L, 2L),
+        ("d", 1L, 50L, 50L)))
+    // a delete in the stale range disproves append-only-ness
+    wh.deleteWhere(src, col("k") === "b", Seq("k"))
+    val afterDel = wh.read(src).groupBy("k").agg(count(lit(1)).as("n"))
+    assert(readsOnly(afterDel, wh, src), "post-delete must scan the source")
+    assert(afterDel.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 4L), ("c", 1L), ("d", 1L)))
     AggViewRewrite.deregister(wh, v)
   }
 

@@ -97,6 +97,31 @@ class AggViewSpec extends AnyFunSuite {
     }
   }
 
+  test("non-append source maintenance self-heals with a full recompute") {
+    val s = spark; import s.implicits._
+    val wh = freshWh(); val src = rel("s_heal"); val v = rel("v_heal")
+    wh.writeAtomic(Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v"), src)
+    assert(wh.maintainAggView(src, v, "c", Seq("k"), aggs).isDefined)
+    // OVERWRITE the source: the old fold's rows no longer exist; a blind
+    // incremental run would surface the new snapshot as "additions" and
+    // double-count a / never retract b's min
+    wh.writeAtomic(Seq(("a", 3L), ("c", 7L)).toDF("k", "v"), src)
+    assert(wh.maintainAggView(src, v, "c", Seq("k"), aggs).isDefined)
+    assert(viewRows(wh, v) == Map("a" -> ((1L, 3L, 3L, 3L)),
+      "c" -> ((1L, 7L, 7L, 7L))),
+      "overwritten source must rebuild the view, not fold on top")
+    // deletes likewise disprove append-only-ness and rebuild
+    wh.append(Seq(("a", 100L)).toDF("k", "v"), src)
+    wh.deleteWhere(src, col("k") === "c", Seq("k"))
+    assert(wh.maintainAggView(src, v, "c", Seq("k"), aggs).isDefined)
+    assert(viewRows(wh, v) == Map("a" -> ((2L, 103L, 3L, 100L))))
+    // append-only runs resume the incremental path afterwards
+    wh.append(Seq(("d", 1L)).toDF("k", "v"), src)
+    assert(wh.maintainAggView(src, v, "c", Seq("k"), aggs).isDefined)
+    assert(viewRows(wh, v) == Map("a" -> ((2L, 103L, 3L, 100L)),
+      "d" -> ((1L, 1L, 1L, 1L))))
+  }
+
   test("exactly-once chain: stream batches into src, fold into the view") {
     val s = spark; import s.implicits._
     val wh = freshWh(); val src = rel("s5"); val v = rel("v5")
