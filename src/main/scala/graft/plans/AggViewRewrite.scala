@@ -77,6 +77,72 @@ object AggViewRewrite {
       aggs.collectFirst { case (alias, f, cc) if f == fn && cc == c => alias }
   }
 
+  /** Extract (keys, aggs) from a materialized-view DEFINITION's analyzed
+    * plan — the Engine's `materialized='materialized_view'` models
+    * declare their view as SQL, and maintenance/registration need the
+    * `maintainAggView` argument shape back. Accepts exactly the shape
+    * the maintenance and the rewrite can honor: `Aggregate` over
+    * (Project/SubqueryAlias)* over one relation, plain-column groupings,
+    * every measure an aliased count(*)/count/sum/min/max of a plain
+    * column, no filters (a WHERE would have to be re-applied to every
+    * maintenance delta AND proven implied by query filters at rewrite
+    * time — reject rather than half-support). None = not that shape;
+    * the caller decides how loudly to fail.
+    */
+  def extractSpec(df: DataFrame)
+      : Option[(Seq[String], Seq[(String, String, String)])] =
+    df.queryExecution.analyzed match {
+      case agg: Aggregate =>
+        @annotation.tailrec
+        def bottoms(p: LogicalPlan): Boolean = p match {
+          case s: SubqueryAlias => bottoms(s.child)
+          // analyzed (pre-optimizer) plans keep temp-view wrappers — the
+          // manifest-mode ref() resolution reads through one
+          case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+            bottoms(v.child)
+          case pr: Project
+              if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+            bottoms(pr.child)
+          case _: LogicalRelation => true
+          case _ => false
+        }
+        if (!bottoms(agg.child)) return None
+        val keys = agg.groupingExpressions.map {
+          case a: AttributeReference => a.name
+          case _ => return None
+        }
+        val aggs = agg.aggregateExpressions.flatMap {
+          case a: AttributeReference if keys.contains(a.name) => Nil
+          case Alias(a: AttributeReference, n)
+              if keys.contains(a.name) && a.name == n => Nil
+          case Alias(ae: AggregateExpression, name)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case c: Count => c.children match {
+                case Seq(Literal(_, _)) | Nil => Seq((name, "count", "*"))
+                case Seq(a: AttributeReference) => Seq((name, "count", a.name))
+                case _ => return None
+              }
+              case s: Sum => s.child match {
+                case a: AttributeReference => Seq((name, "sum", a.name))
+                case _ => return None
+              }
+              case m: Min => m.child match {
+                case a: AttributeReference => Seq((name, "min", a.name))
+                case _ => return None
+              }
+              case m: Max => m.child match {
+                case a: AttributeReference => Seq((name, "max", a.name))
+                case _ => return None
+              }
+              case _ => return None
+            }
+          case _ => return None
+        }
+        if (keys.isEmpty || aggs.isEmpty) None else Some((keys, aggs))
+      case _ => None
+    }
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, ViewSpec]
 

@@ -294,6 +294,35 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
         case "incremental" =>
           mat.incremental(df, relationFor(m.name), cfg, fullRefresh)
           warehouse.dropView(relationFor(m.name)) // stale if formerly a view
+        case "materialized_view" =>
+          // Reference behavior: BigQuery materialized views — a declared
+          // aggregate over ONE base table that the warehouse refreshes
+          // incrementally and serves transparently to matching queries.
+          // Here: extract the (keys, aggs) spec back out of the model's
+          // analyzed plan, fold deltas via maintainAggView (self-healing
+          // on non-append sources), and register the serving rewrite.
+          require(warehouse.usesManifest,
+            s"${m.name}: materialized_view needs the manifest commit mode " +
+              "(incremental maintenance checkpoints ride manifest metadata)")
+          if (fullRefresh) warehouse.drop(relationFor(m.name))
+          val (refs, _) = Compiler.dependencies(m.rawSql)
+          require(refs.size == 1 && !isInlined(refs.head) &&
+              project.models.exists(_.name == refs.head),
+            s"${m.name}: materialized_view must aggregate exactly one " +
+              s"ref()'d table/incremental model, got refs=$refs")
+          val srcRel = relationFor(refs.head)
+          val (keys, aggSpec) = graft.plans.AggViewRewrite.extractSpec(df)
+            .getOrElse(throw new IllegalArgumentException(
+              s"${m.name}: materialized_view must be a GROUP BY over plain " +
+                "columns with count/sum/min/max measures and no WHERE — " +
+                "declare anything else as a plain table/incremental model"))
+          warehouse.maintainAggView(srcRel, relationFor(m.name),
+            s"mv_${m.name}", keys, aggSpec, cfg.partitionBy)
+          graft.plans.AggViewRewrite.install(spark)
+          graft.plans.AggViewRewrite.register(graft.plans.AggViewRewrite.ViewSpec(
+            warehouse, srcRel, relationFor(m.name), s"mv_${m.name}",
+            keys, aggSpec))
+          warehouse.dropView(relationFor(m.name)) // stale if formerly a view
         case "ephemeral" => () // inlined by ref() of downstream models
         case _ =>
           mat.table(df, relationFor(m.name), cfg)

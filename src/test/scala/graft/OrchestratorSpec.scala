@@ -405,4 +405,77 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(whRead.path(rel0) + ".lock")))
   }
+
+  test("materialized_view model maintains incrementally and serves queries") {
+    val p = Project(
+      name = "p",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("orders_t",
+          """SELECT o_orderkey, o_orderstatus,
+            |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            |FROM {{ source('tpch','orders') }}""".stripMargin),
+        ModelDef("orders_mv",
+          """{{ config(materialized='materialized_view') }}
+            |SELECT o_orderstatus, count(*) AS n, sum(cents) AS total,
+            |  max(o_orderkey) AS max_key
+            |FROM {{ ref('orders_t') }} GROUP BY o_orderstatus""".stripMargin)))
+    val e = new Engine(spark, p, Target(root(),
+      commitMode = CommitMode.Manifest))
+    val (nodes, _) = e.build()
+    assert(nodes.map(_.status).forall(_ == "success"),
+      nodes.map(n => s"${n.name}:${n.status}:${n.error}").mkString(","))
+    val direct = e.readModel("orders_t").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total"),
+        max("o_orderkey").as("max_key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val viewRows = e.readModel("orders_mv")
+      .collect().map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[Long]("n"), r.getAs[Long]("total"),
+        r.getAs[Long]("max_key"))).toSet
+    assert(viewRows == direct)
+    // the serving path: a matching aggregate over the SOURCE model scans
+    // the view's files (transparently — the query never names the view)
+    val q = e.readModel("orders_t").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    q.count()
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+    val mvPath = e.warehouse.path(e.relationFor("orders_mv"))
+    assert(scanned.nonEmpty && scanned.forall(_.contains(mvPath)),
+      s"query over orders_t must serve from the view, scanned $scanned")
+    // append to the base table, re-run ONLY the view model: the fold is
+    // incremental (append-only range) and the result stays exact
+    val s = spark; import s.implicits._
+    e.warehouse.append(
+      Seq((9999999L, "Z", 123L)).toDF("o_orderkey", "o_orderstatus", "cents"),
+      e.relationFor("orders_t"))
+    val (nodes2, _) = e.build(select = Some(Set("orders_mv")))
+    assert(nodes2.map(_.status).forall(_ == "success"))
+    val after = e.readModel("orders_mv")
+      .filter(col("o_orderstatus") === "Z")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("total"),
+        r.getAs[Long]("max_key"))).toSeq
+    assert(after == Seq((1L, 123L, 9999999L)))
+    // a non-extractable definition fails loudly, not silently-as-table
+    val bad = p.copy(models = p.models.map {
+      case m if m.name == "orders_mv" => m.copy(rawSql =
+        """{{ config(materialized='materialized_view') }}
+          |SELECT o_orderstatus, count(*) AS n FROM {{ ref('orders_t') }}
+          |WHERE cents > 0 GROUP BY o_orderstatus""".stripMargin)
+      case m => m
+    })
+    val e2 = new Engine(spark, bad, Target(root(),
+      commitMode = CommitMode.Manifest))
+    val (nodes3, _) = e2.build()
+    assert(nodes3.find(_.name == "orders_mv").exists(_.status == "error"),
+      "a WHERE'd materialized_view must error, not half-apply")
+  }
 }
