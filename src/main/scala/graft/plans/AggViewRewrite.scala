@@ -167,7 +167,9 @@ object AggViewRewrite {
 
   final class Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
-      if (registry.isEmpty) plan
+      if (registry.isEmpty ||
+          session.conf.getOption("graft.mv.rewrite.enabled").contains("false"))
+        plan // kill switch, mirroring graft.stats/graft.bloom.enabled
       else plan.transformUp {
         case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
       }
@@ -186,64 +188,69 @@ object AggViewRewrite {
       case _ => None
     }
 
-    private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
-      for {
-        (conds, lr) <- strip(agg.child, Nil)
-        mfi <- lr.relation match {
-          case h: HadoopFsRelation => h.location match {
-            case m: ManifestFileIndex => Some(m)
+    private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+      val (conds, lr) = strip(agg.child, Nil) match {
+        case Some(x) => x
+        case None => return None
+      }
+      val mfi = lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case m: ManifestFileIndex => m
+          case _ => return None
+        }
+        case _ => return None
+      }
+      // EVERY spec able to own this scan gets a full coverage attempt —
+      // with several views registered over one source, the first-matched
+      // spec may not cover this query's keys/aggs while another does
+      matchSpecs(mfi).iterator.flatMap { case (spec, delta) =>
+        for {
+          _ <- Option.when(conds.forall(c => c.deterministic &&
+            c.references.forall(r => spec.keys.contains(r.name))))(())
+          groupNames <- traverse(agg.groupingExpressions) {
+            case a: AttributeReference if spec.keys.contains(a.name) =>
+              Some(a.name)
             case _ => None
           }
-          case _ => None
-        }
-        (spec, delta) <- matchSpec(mfi)
-        if conds.forall(c => c.deterministic &&
-          c.references.forall(r => spec.keys.contains(r.name)))
-        groupNames <- traverse(agg.groupingExpressions) {
-          case a: AttributeReference if spec.keys.contains(a.name) => Some(a.name)
-          case _ => None
-        }
-        folds <- traverse(agg.aggregateExpressions)(fold(spec, groupNames, _))
-        rewritten <- build(spec, delta, conds, groupNames, folds, agg.output)
-      } yield rewritten
+          folds <- traverse(agg.aggregateExpressions)(fold(spec, groupNames, _))
+          rewritten <- build(spec, delta, conds, groupNames, folds, agg.output)
+        } yield rewritten
+      }.nextOption()
+    }
 
-    /** The registered view able to serve this scan, plus the source
-      * delta the fold must union in when the view is stale. Fresh view
+    /** Every registered view able to serve this scan, each with the
+      * source delta its fold must union in when stale. Fresh view
       * (checkpoint == source seq) serves alone; a stale view serves
       * TOGETHER with the appended delta when `appendOnlyDelta` can PROVE
       * the checkpoint→head range appended rows only (BigQuery's
       * materialized-view semantics: always-correct answers, the view
       * merely bounds how much raw data the query folds); any overwrite,
-      * rollback, or delete in the range disproves it and the source scan
-      * stands.
+      * rollback, or delete in the range disproves it and that view is
+      * skipped. Fresh views order before stale-serving ones (a fresh
+      * view's fold touches no source data at all).
       */
-    private def matchSpec(mfi: ManifestFileIndex)
-        : Option[(ViewSpec, Option[DataFrame])] = {
-      val it = registry.values.asScala.iterator
-      while (it.hasNext) {
-        val s = it.next()
+    private def matchSpecs(mfi: ManifestFileIndex)
+        : Seq[(ViewSpec, Option[DataFrame])] = {
+      val candidates = registry.values.asScala.toSeq.filter { s =>
         // cheap path-prefix gate first: the expensive checks read
         // manifest metadata, and the rule runs on EVERY aggregate the
         // session optimizes — a spec whose source can't own this scan
         // must cost zero IO
-        if (mfi.versionDirs.headOption
-              .exists(_.toString.contains(s.wh.path(s.src)))) {
-          s.wh.currentManifestState(s.src) match {
-            case Some((seq, dirs)) if dirs.nonEmpty && dirs == mfi.versionDirs =>
-              s.wh.consumerCheckpoint(s.dst, s.consumerId) match {
-                case Some(ckpt) if ckpt == seq => return Some((s, None))
-                case Some(ckpt) if ckpt < seq =>
-                  s.wh.appendOnlyDelta(s.src, ckpt, seq) match {
-                    case Some(d) => return Some((s, Some(d)))
-                    case None => ()
-                  }
-                case _ => ()
-              }
-            case _ => ()
-          }
-        }
+        mfi.versionDirs.headOption
+          .exists(_.toString.contains(s.wh.path(s.src)))
       }
-      None
+      candidates.flatMap { s =>
+        s.wh.currentManifestState(s.src) match {
+          case Some((seq, dirs)) if dirs.nonEmpty && dirs == mfi.versionDirs =>
+            s.wh.consumerCheckpoint(s.dst, s.consumerId) match {
+              case Some(ckpt) if ckpt == seq => Seq((s, None))
+              case Some(ckpt) if ckpt < seq =>
+                s.wh.appendOnlyDelta(s.src, ckpt, seq).map(d => (s, Some(d))).toSeq
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+      }.sortBy(_._2.isDefined) // fresh first
     }
 
     /** Map one output NamedExpression to its view-side Column, tagged

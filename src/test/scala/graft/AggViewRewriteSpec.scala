@@ -152,6 +152,45 @@ class AggViewRewriteSpec extends AnyFunSuite {
     AggViewRewrite.deregister(wh, v)
   }
 
+  test("multiple views over one source: the covering one serves; kill switch") {
+    val s = spark; import s.implicits._
+    val wh = freshWh(); val src = rel("multi_src")
+    val vA = rel("v_by_k"); val vB = rel("v_by_k2")
+    wh.writeAtomic(Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("k", "k2", "v"), src)
+    val aggsA = Seq(("n", "count", "*"))
+    val aggsB = Seq(("n", "count", "*"), ("total", "sum", "v"))
+    assert(wh.maintainAggView(src, vA, "a", Seq("k"), aggsA).isDefined)
+    assert(wh.maintainAggView(src, vB, "b", Seq("k2"), aggsB).isDefined)
+    AggViewRewrite.install(spark)
+    AggViewRewrite.register(
+      AggViewRewrite.ViewSpec(wh, src, vA, "a", Seq("k"), aggsA))
+    AggViewRewrite.register(
+      AggViewRewrite.ViewSpec(wh, src, vB, "b", Seq("k2"), aggsB))
+    try {
+      // covered only by vB: a first-matched-but-uncovered vA must not
+      // abort the rewrite
+      val q = wh.read(src).groupBy("k2").agg(sum("v").as("total"))
+      assert(readsOnly(q, wh, vB), "the covering view must serve")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == Set(("x", 5L), ("y", 2L)))
+      // covered by vA alone
+      val qa = wh.read(src).groupBy("k").agg(count(lit(1)).as("n"))
+      assert(readsOnly(qa, wh, vA))
+      // kill switch: same query scans the source, same answer
+      spark.conf.set("graft.mv.rewrite.enabled", "false")
+      try {
+        val off = wh.read(src).groupBy("k2").agg(sum("v").as("total"))
+        assert(readsOnly(off, wh, src), "kill switch must disable routing")
+        assert(off.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+          == Set(("x", 5L), ("y", 2L)))
+      } finally spark.conf.unset("graft.mv.rewrite.enabled")
+    } finally {
+      AggViewRewrite.deregister(wh, vA)
+      AggViewRewrite.deregister(wh, vB)
+    }
+  }
+
   test("maintenance delta folds are never rewritten (no feedback loop)") {
     val s = spark; import s.implicits._
     val (wh, src, v) = fixture()
