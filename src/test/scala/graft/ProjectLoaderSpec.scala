@@ -21,7 +21,8 @@ class ProjectLoaderSpec extends AnyFunSuite {
     val (project, conf) = ProjectLoader.load("examples/demo_project")
     assert(project.name == "demo_ci_spark")
     assert(project.models.map(_.name).toSet ==
-      Set("stg_nations", "eph_regions", "nation_region", "orders_incr"))
+      Set("stg_nations", "eph_regions", "nation_region", "orders_incr",
+        "nations_by_region_mv"))
     assert(project.seeds.map(_.name) == Seq("priorities"))
     assert(project.seeds.head.columnTypes == Map("rank" -> "bigint"))
     assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
@@ -30,13 +31,16 @@ class ProjectLoaderSpec extends AnyFunSuite {
 
     val engine = new Engine(spark, project,
       Target(Files.createTempDirectory("graft_demo").toString,
-        threads = conf("threads").toInt))
+        threads = conf("threads").toInt,
+        commitMode = graft.core.CommitMode.Manifest))
     val (nodes, tests) = engine.build()
     assert(nodes.map(_.status).forall(_ == "success"),
       nodes.filter(_.status != "success").toString)
     assert(tests.map(_.status).forall(_ == "pass"))
     // ephemeral inlined + view joined: 25 nations
     assert(engine.readModel("nation_region").count() == 25)
+    // the materialized_view model: one row per region, maintained + served
+    assert(engine.readModel("nations_by_region_mv").count() == 5)
     // snapshot has one current row per order
     import org.apache.spark.sql.functions.col
     val snap = engine.warehouse.read(engine.relationFor("orders_snapshot"))
