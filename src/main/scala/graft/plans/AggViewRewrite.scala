@@ -119,7 +119,10 @@ object AggViewRewrite {
               if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case c: Count => c.children match {
-                case Seq(Literal(_, _)) | Nil => Seq((name, "count", "*"))
+                // a NULL literal is count(NULL) = 0, not a row count
+                case Seq(l: Literal) if l.value != null =>
+                  Seq((name, "count", "*"))
+                case Nil => Seq((name, "count", "*"))
                 case Seq(a: AttributeReference) => Seq((name, "count", a.name))
                 case _ => return None
               }
@@ -237,7 +240,7 @@ object AggViewRewrite {
         // session optimizes — a spec whose source can't own this scan
         // must cost zero IO
         mfi.versionDirs.headOption
-          .exists(_.toString.contains(s.wh.path(s.src)))
+          .exists(_.toString.contains(s.wh.path(s.src) + "/"))
       }
       candidates.flatMap { s =>
         s.wh.currentManifestState(s.src) match {
@@ -267,7 +270,10 @@ object AggViewRewrite {
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
             case c: Count => (c.children match {
-              case Seq(Literal(_, _)) | Nil => spec.foldAlias("count", "*")
+              // a NULL literal is count(NULL) = 0, not a row count
+              case Seq(l: Literal) if l.value != null =>
+                spec.foldAlias("count", "*")
+              case Nil => spec.foldAlias("count", "*")
               case Seq(a: AttributeReference) => spec.foldAlias("count", a.name)
               case _ => None
             }).map(al => Right(coalesce(fsum(col(al)), lit(0L))))
