@@ -522,6 +522,58 @@ object MatQueries {
       |FROM orders WHERE o_orderstatus <> 'P'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** The STALE serving path of the rewrite: the view is maintained over
+    * a prefix of the source, the remainder arrives as appends with NO
+    * re-maintenance, and the query must still answer exactly — the
+    * rewrite unions the view's partials with the appended delta (proven
+    * append-only from manifest history). The entry requires the plan to
+    * scan BOTH the view and only the delta's version dirs, then the
+    * DuckDB oracle recomputes the full answer from the raw table.
+    */
+  def xMvStaleServe(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val src = rel("orders_mvs_src"); val v = rel("orders_mvs_view")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+    val keys = Seq("o_orderstatus")
+    val aggs = Seq(("n_orders", "count", "*"),
+      ("sum_cents", "sum", "price_cents"), ("min_key", "min", "o_orderkey"))
+    wh.writeAtomic(o.filter(col("o_orderkey") % 3 =!= 0), src)
+    wh.maintainAggView(src, v, "mv", keys, aggs)
+    wh.append(o.filter(col("o_orderkey") % 3 === 0), src) // view now stale
+    graft.plans.AggViewRewrite.install(s)
+    graft.plans.AggViewRewrite.register(
+      graft.plans.AggViewRewrite.ViewSpec(wh, src, v, "mv", keys, aggs))
+    try {
+      val q = wh.read(src).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("price_cents").as("sum_cents"),
+          min("o_orderkey").as("min_key"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.toSeq
+            case _ => Nil
+          }
+      }.flatten
+      val srcScanned = scans.filter(_.contains(wh.path(src)))
+      require(scans.exists(_.contains(wh.path(v))),
+        s"stale serving did not scan the view: $scans")
+      require(srcScanned.nonEmpty &&
+          srcScanned.size < wh.read(src).inputFiles.length,
+        "stale serving must scan only the appended delta, " +
+          s"got ${srcScanned.size} source files")
+      q.count()
+      q
+    } finally graft.plans.AggViewRewrite.deregister(wh, v)
+  }
+  val xMvStaleServeSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(o_orderkey) AS min_key
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   // -------------------------------------------------- row-level deletes
   /** Equality deletes (`Warehouse.deleteWhere`/`deleteKeys`): every
     * urgent-priority order is deleted by key WITHOUT rewriting a data
