@@ -313,12 +313,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private[graft] def appendOnlyDelta(rel: Relation, fromSeq: Long,
                                      toSeq: Long): Option[DataFrame] = {
     if (!usesManifest || fromSeq >= toSeq) return None
-    if (!provablyAppendOnly(rel, fromSeq, toSeq)) None
-    else {
-      val added = entriesAt(rel, toSeq)
-        .drop(entriesAt(rel, fromSeq).size)
-      if (dataEntries(added).isEmpty) Some(read(rel).limit(0))
-      else Some(readEntries(rel, added))
+    // one directory listing, one parse per seq: this runs inside the
+    // optimizer rule on every candidate aggregate, so the metadata cost
+    // must stay at its floor
+    val mfs = manifestsDescending(rel)
+    def at(seq: Long): Option[Seq[(String, String)]] =
+      mfs.collectFirst { case (s, p) if s == seq => parseManifest(p) }.flatten
+    (at(fromSeq), at(toSeq)) match {
+      case (Some(before), Some(after))
+          if after.size >= before.size && after.take(before.size) == before &&
+            !after.drop(before.size).exists(isDeleteEntry) =>
+        val added = after.drop(before.size)
+        if (dataEntries(added).isEmpty) Some(read(rel).limit(0))
+        else Some(readEntries(rel, added))
+      case _ => None
     }
   }
 
@@ -1249,6 +1257,24 @@ final class Warehouse(val spark: SparkSession, val root: String,
     */
   def consumerCheckpoint(rel: Relation, consumerId: String): Option[Long] =
     latestMeta(rel).get(s"consumer.$consumerId").map(_.toLong)
+
+  /** (rel's newest committed seq, the consumer checkpoint THAT commit
+    * carries) — both parsed from the SAME manifest file, so a caller can
+    * pin a read of `rel` ([[readAt]] at the returned seq) that is
+    * guaranteed consistent with the checkpoint it based a decision on.
+    * [[AggViewRewrite]] needs exactly this: checkpoint and view data read
+    * separately race a concurrent [[maintainAggView]] commit — a view
+    * that already folded the delta must not be unioned with that delta
+    * again. None when `rel` has no complete manifest.
+    */
+  private[graft] def pinnedConsumerState(rel: Relation, consumerId: String)
+      : Option[(Long, Option[Long])] =
+    manifestsDescending(rel).iterator.flatMap { case (seq, p) =>
+      parseManifest(p).map { _ =>
+        (seq, parseManifestMeta(p).getOrElse(Map.empty)
+          .get(s"consumer.$consumerId").map(_.toLong))
+      }
+    }.nextOption()
 
   /** Exactly-once incremental table-to-table pipeline step: read only
     * the rows `src` gained since this consumer's last committed

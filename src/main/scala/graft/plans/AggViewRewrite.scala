@@ -174,7 +174,18 @@ object AggViewRewrite {
           session.conf.getOption("graft.mv.rewrite.enabled").contains("false"))
         plan // kill switch, mirroring graft.stats/graft.bloom.enabled
       else plan.transformUp {
-        case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+        case agg: Aggregate =>
+          // any rewrite-side failure (view dropped between registration
+          // and query, manifest GC'd mid-attempt, filesystem error) must
+          // degrade to the source scan — the rule's contract is that it
+          // can only ever change cost, never answers, and never outcomes
+          try tryRewrite(agg).getOrElse(agg)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"graft MV rewrite attempt failed; " +
+                s"serving the source scan: $e")
+              agg
+          }
       }
 
     /** Peel Project(attrs-only)/Filter/SubqueryAlias down to the scan,
@@ -206,7 +217,7 @@ object AggViewRewrite {
       // EVERY spec able to own this scan gets a full coverage attempt —
       // with several views registered over one source, the first-matched
       // spec may not cover this query's keys/aggs while another does
-      matchSpecs(mfi).iterator.flatMap { case (spec, delta) =>
+      matchSpecs(mfi).iterator.flatMap { case (spec, dstSeq, delta) =>
         for {
           _ <- Option.when(conds.forall(c => c.deterministic &&
             c.references.forall(r => spec.keys.contains(r.name))))(())
@@ -216,7 +227,8 @@ object AggViewRewrite {
             case _ => None
           }
           folds <- traverse(agg.aggregateExpressions)(fold(spec, groupNames, _))
-          rewritten <- build(spec, delta, conds, groupNames, folds, agg.output)
+          rewritten <- build(spec, dstSeq, delta, conds, groupNames, folds,
+            agg.output)
         } yield rewritten
       }.nextOption()
     }
@@ -233,27 +245,39 @@ object AggViewRewrite {
       * view's fold touches no source data at all).
       */
     private def matchSpecs(mfi: ManifestFileIndex)
-        : Seq[(ViewSpec, Option[DataFrame])] = {
+        : Seq[(ViewSpec, Long, Option[DataFrame])] = {
       val candidates = registry.values.asScala.toSeq.filter { s =>
         // cheap path-prefix gate first: the expensive checks read
         // manifest metadata, and the rule runs on EVERY aggregate the
         // session optimizes — a spec whose source can't own this scan
-        // must cost zero IO
+        // must cost zero IO. Normalized-path startsWith: a version dir of
+        // table `evt2` must never pass table `evt`'s gate (and vice
+        // versa), regardless of how the paths were spelled.
+        val srcPrefix = new Path(s.wh.path(s.src)).toUri.getPath + "/"
         mfi.versionDirs.headOption
-          .exists(_.toString.contains(s.wh.path(s.src) + "/"))
+          .exists(_.toUri.getPath.startsWith(srcPrefix))
       }
       candidates.flatMap { s =>
         s.wh.currentManifestState(s.src) match {
           case Some((seq, dirs)) if dirs.nonEmpty && dirs == mfi.versionDirs =>
-            s.wh.consumerCheckpoint(s.dst, s.consumerId) match {
-              case Some(ckpt) if ckpt == seq => Seq((s, None))
-              case Some(ckpt) if ckpt < seq =>
-                s.wh.appendOnlyDelta(s.src, ckpt, seq).map(d => (s, Some(d))).toSeq
+            // checkpoint and the dst seq it rides on come from ONE
+            // manifest read; build() reads the view AT that seq. A
+            // concurrent maintainAggView commit between here and the
+            // view read otherwise races: the advanced view already
+            // folded the delta we are about to union in (double-count),
+            // or folded source commits past this scan's snapshot
+            // (over-count). Pinning serves the checkpoint's own data.
+            s.wh.pinnedConsumerState(s.dst, s.consumerId) match {
+              case Some((dstSeq, Some(ckpt))) if ckpt == seq =>
+                Seq((s, dstSeq, None))
+              case Some((dstSeq, Some(ckpt))) if ckpt < seq =>
+                s.wh.appendOnlyDelta(s.src, ckpt, seq)
+                  .map(d => (s, dstSeq, Some(d))).toSeq
               case _ => Nil
             }
           case _ => Nil
         }
-      }.sortBy(_._2.isDefined) // fresh first
+      }.sortBy(_._3.isDefined) // fresh first
     }
 
     /** Map one output NamedExpression to its view-side Column, tagged
@@ -302,13 +326,14 @@ object AggViewRewrite {
       * → alias back to the original output ids. Bails (None) on any
       * output dataType mismatch.
       */
-    private def build(spec: ViewSpec, delta: Option[DataFrame],
+    private def build(spec: ViewSpec, dstSeq: Long, delta: Option[DataFrame],
                       conds: Seq[Expression],
                       groupNames: Seq[String],
                       folds: Seq[Either[String, Column]],
                       origOutput: Seq[Attribute]): Option[LogicalPlan] = {
-      // fresh scan of the view (fresh expr ids per rewrite site)
-      val viewLr = stripToRelation(spec.wh.read(spec.dst)
+      // fresh scan of the view (fresh expr ids per rewrite site), PINNED
+      // at the seq the consumer checkpoint was read from — see matchSpecs
+      val viewLr = stripToRelation(spec.wh.readAt(spec.dst, dstSeq)
         .queryExecution.analyzed) match {
         case Some(l) => l
         case None => return None

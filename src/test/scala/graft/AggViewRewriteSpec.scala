@@ -191,6 +191,35 @@ class AggViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-named sibling tables never cross-route") {
+    val s = spark; import s.implicits._
+    val wh = freshWh()
+    // `evt` vs `evt2`: the candidate gate is a path-prefix check, and a
+    // name that is a string-prefix of another must not pass the other's
+    // gate in either direction
+    val short = rel("evt"); val long = rel("evt2")
+    val vShort = rel("v_evt")
+    wh.writeAtomic(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), short)
+    wh.writeAtomic(Seq(("a", 10L), ("a", 20L), ("c", 30L)).toDF("k", "v"), long)
+    val ag = Seq(("n", "count", "*"), ("total", "sum", "v"))
+    assert(wh.maintainAggView(short, vShort, "mv", Seq("k"), ag).isDefined)
+    AggViewRewrite.install(spark)
+    AggViewRewrite.register(
+      AggViewRewrite.ViewSpec(wh, short, vShort, "mv", Seq("k"), ag))
+    try {
+      // a matching aggregate over the LONGER-named table must scan that
+      // table — `evt`'s view cannot answer for `evt2`
+      val q = wh.read(long).groupBy("k").agg(sum("v").as("total"))
+      assert(readsOnly(q, wh, long),
+        "evt2's aggregate must not be served from evt's view")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == Set(("a", 30L), ("c", 30L)))
+      // and the short-named table still routes to its own view
+      val qs = wh.read(short).groupBy("k").agg(count(lit(1)).as("n"))
+      assert(readsOnly(qs, wh, vShort))
+    } finally AggViewRewrite.deregister(wh, vShort)
+  }
+
   test("maintenance delta folds are never rewritten (no feedback loop)") {
     val s = spark; import s.implicits._
     val (wh, src, v) = fixture()
