@@ -574,6 +574,59 @@ object MatQueries {
       |  min(o_orderkey) AS min_key
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** avg + expression-key serving: the view is keyed per (status, DATE)
+    * with sum+count partials; the query asks for a MONTHLY average —
+    * avg(price) derives as sum(sum-partials)/sum(count-partials) and
+    * trunc(month) coarsens the per-date groups, both transparently. The
+    * entry requires the optimized plan to scan only the view; the DuckDB
+    * oracle recomputes from the raw table. avg stays hash-exact because
+    * price_cents sums are integers below 2^53 — every accumulation order
+    * (Spark fold, Spark fallback after deregistration, DuckDB) hits the
+    * same exact double.
+    */
+  def xMvAvg(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val src = rel("orders_mva_src"); val v = rel("orders_mva_view")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderdate"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+    val keys = Seq("o_orderstatus", "o_orderdate")
+    val aggs = Seq(("n_orders", "count", "*"),
+      ("cnt_cents", "count", "price_cents"),
+      ("sum_cents", "sum", "price_cents"))
+    wh.writeAtomic(o.filter(col("o_orderkey") % 2 === 0), src)
+    wh.maintainAggView(src, v, "mv", keys, aggs)
+    wh.append(o.filter(col("o_orderkey") % 2 === 1), src)
+    wh.maintainAggView(src, v, "mv", keys, aggs)
+    graft.plans.AggViewRewrite.install(s)
+    graft.plans.AggViewRewrite.register(
+      graft.plans.AggViewRewrite.ViewSpec(wh, src, v, "mv", keys, aggs))
+    try {
+      val q = wh.read(src)
+        .groupBy(col("o_orderstatus"),
+          trunc(col("o_orderdate"), "mm").as("month"))
+        .agg(avg("price_cents").as("avg_cents"),
+          count(lit(1)).as("n_orders"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.toSeq
+            case _ => Nil
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains(wh.path(v))),
+        s"avg/expression-key rewrite did not fire: scanned $scans")
+      q.count()
+      q
+    } finally graft.plans.AggViewRewrite.deregister(wh, v)
+  }
+  val xMvAvgSql: String =
+    """SELECT o_orderstatus, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS avg_cents,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   // -------------------------------------------------- row-level deletes
   /** Equality deletes (`Warehouse.deleteWhere`/`deleteKeys`): every
     * urgent-priority order is deleted by key WITHOUT rewriting a data

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -188,22 +188,47 @@ object AggViewRewrite {
           }
       }
 
-    /** Peel Project(attrs-only)/Filter/SubqueryAlias down to the scan,
-      * collecting filter conjuncts.
+    /** Peel Project/Filter/SubqueryAlias down to the scan, collecting
+      * filter conjuncts and a substitution that rewrites every attribute
+      * of the peeled tree's OUTPUT to an expression over the scan's
+      * output. Deterministic project aliases inline (the optimizer's
+      * PullOutGroupingExpressions moves expression groupings into
+      * exactly such a Project, and column-pruning Projects are the
+      * attrs-only special case); anything non-deterministic bails.
+      * Returned conds are already substituted.
       */
-    @annotation.tailrec
-    private def strip(p: LogicalPlan, conds: Seq[Expression])
-        : Option[(Seq[Expression], LogicalRelation)] = p match {
-      case f: Filter => strip(f.child, conds :+ f.condition)
-      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        strip(pr.child, conds)
-      case s: SubqueryAlias => strip(s.child, conds)
-      case lr: LogicalRelation => Some((conds, lr))
+    private def strip(p: LogicalPlan)
+        : Option[(Seq[Expression], LogicalRelation,
+                  Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+                      Expression])] = p match {
+      case lr: LogicalRelation => Some((Nil, lr, Map.empty))
+      case s: SubqueryAlias => strip(s.child)
+      case f: Filter => strip(f.child).map { case (conds, lr, sub) =>
+        (conds :+ applySub(f.condition, sub), lr, sub)
+      }
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        strip(pr.child).flatMap { case (conds, lr, sub) =>
+          val entries = pr.projectList.map {
+            case a: Alias => Some(a.exprId -> applySub(a.child, sub))
+            case ar: AttributeReference => Some(ar.exprId -> applySub(ar, sub))
+            case _ => None
+          }
+          if (entries.contains(None)) None
+          else Some((conds, lr, entries.flatten.toMap))
+        }
       case _ => None
     }
 
+    private def applySub(e: Expression,
+        sub: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+                 Expression]): Expression =
+      if (sub.isEmpty) e
+      else e.transform {
+        case a: AttributeReference if sub.contains(a.exprId) => sub(a.exprId)
+      }
+
     private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-      val (conds, lr) = strip(agg.child, Nil) match {
+      val (conds, lr, sub) = strip(agg.child) match {
         case Some(x) => x
         case None => return None
       }
@@ -221,13 +246,24 @@ object AggViewRewrite {
         for {
           _ <- Option.when(conds.forall(c => c.deterministic &&
             c.references.forall(r => spec.keys.contains(r.name))))(())
-          groupNames <- traverse(agg.groupingExpressions) {
-            case a: AttributeReference if spec.keys.contains(a.name) =>
-              Some(a.name)
-            case _ => None
+          // any deterministic expression over view keys groups the view:
+          // folding k-groups into f(k)-groups is a coarsening, and every
+          // supported partial (count/sum/min/max, avg via sum+count)
+          // re-merges losslessly under it — date_trunc(ts) dashboards
+          // ride the per-ts view
+          groupExprs <- traverse(agg.groupingExpressions) { ge =>
+            val e = applySub(ge, sub)
+            Option.when(e.deterministic && e.references.nonEmpty &&
+              e.references.forall(r => spec.keys.contains(r.name)))(e)
           }
-          folds <- traverse(agg.aggregateExpressions)(fold(spec, groupNames, _))
-          rewritten <- build(spec, dstSeq, delta, conds, groupNames, folds,
+          folds <- traverse(agg.aggregateExpressions) { ne =>
+            val inner = ne match {
+              case Alias(c, _) => applySub(c, sub)
+              case e => applySub(e, sub)
+            }
+            fold(spec, groupExprs, inner)
+          }
+          rewritten <- build(spec, dstSeq, delta, conds, groupExprs, folds,
             agg.output)
         } yield rewritten
       }.nextOption()
@@ -280,46 +316,63 @@ object AggViewRewrite {
       }.sortBy(_._3.isDefined) // fresh first
     }
 
-    /** Map one output NamedExpression to its view-side Column, tagged
-      * with whether it is a grouping passthrough or an aggregate fold.
+    /** Map one output NamedExpression to its view-side Column: Left(i) =
+      * passthrough of grouping expression i, Right(col) = an aggregate
+      * fold over registered partials. avg folds as
+      * sum(sum-partial)/sum(count-partial-of-the-SAME-column) — count(*)
+      * never substitutes for count(col), null runs would skew the mean;
+      * the derived Double matches Average's output type for integral and
+      * floating inputs, and build's type-identity gate rejects the rest
+      * (decimals).
       */
-    private def fold(spec: ViewSpec, groupNames: Seq[String],
-                     ne: NamedExpression): Option[Either[String, Column]] =
-      ne match {
-        case a: AttributeReference if groupNames.contains(a.name) =>
-          Some(Left(a.name))
-        case Alias(a: AttributeReference, _) if groupNames.contains(a.name) =>
-          Some(Left(a.name))
-        case Alias(ae: AggregateExpression, _)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          ae.aggregateFunction match {
-            case c: Count => (c.children match {
-              // a NULL literal is count(NULL) = 0, not a row count
-              case Seq(l: Literal) if l.value != null =>
-                spec.foldAlias("count", "*")
-              case Nil => spec.foldAlias("count", "*")
-              case Seq(a: AttributeReference) => spec.foldAlias("count", a.name)
-              case _ => None
-            }).map(al => Right(coalesce(fsum(col(al)), lit(0L))))
-            case s: Sum => s.child match {
-              case a: AttributeReference =>
-                spec.foldAlias("sum", a.name).map(al => Right(fsum(col(al))))
-              case _ => None
-            }
-            case m: Min => m.child match {
-              case a: AttributeReference =>
-                spec.foldAlias("min", a.name).map(al => Right(fmin(col(al))))
-              case _ => None
-            }
-            case m: Max => m.child match {
-              case a: AttributeReference =>
-                spec.foldAlias("max", a.name).map(al => Right(fmax(col(al))))
-              case _ => None
-            }
+    private def fold(spec: ViewSpec, groupExprs: Seq[Expression],
+                     inner: Expression): Option[Either[Int, Column]] = {
+      def gidx(e: Expression): Option[Int] =
+        groupExprs.zipWithIndex.collectFirst {
+          case (g, i) if e.semanticEquals(g) => i
+        }
+      def aggFold(ae: AggregateExpression): Option[Column] =
+        if (ae.isDistinct || ae.filter.nonEmpty) None
+        else ae.aggregateFunction match {
+          case c: Count => (c.children match {
+            // a NULL literal is count(NULL) = 0, not a row count
+            case Seq(l: Literal) if l.value != null =>
+              spec.foldAlias("count", "*")
+            case Nil => spec.foldAlias("count", "*")
+            case Seq(a: AttributeReference) => spec.foldAlias("count", a.name)
+            case _ => None
+          }).map(al => coalesce(fsum(col(al)), lit(0L)))
+          case s: Sum => s.child match {
+            case a: AttributeReference =>
+              spec.foldAlias("sum", a.name).map(al => fsum(col(al)))
             case _ => None
           }
-        case _ => None
+          case m: Min => m.child match {
+            case a: AttributeReference =>
+              spec.foldAlias("min", a.name).map(al => fmin(col(al)))
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference =>
+              spec.foldAlias("max", a.name).map(al => fmax(col(al)))
+            case _ => None
+          }
+          case av: Average => av.child match {
+            case a: AttributeReference =>
+              for {
+                sumAl <- spec.foldAlias("sum", a.name)
+                cntAl <- spec.foldAlias("count", a.name)
+              } yield fsum(col(sumAl)).cast("double") /
+                fsum(col(cntAl)).cast("double")
+            case _ => None
+          }
+          case _ => None
+        }
+      inner match {
+        case ae: AggregateExpression => aggFold(ae).map(Right(_))
+        case e => gidx(e).map(Left(_))
       }
+    }
 
     /** Assemble the replacement subtree: (view ∪ delta-partials when
       * stale) → filter → regroup → reorder to the original column order
@@ -328,8 +381,8 @@ object AggViewRewrite {
       */
     private def build(spec: ViewSpec, dstSeq: Long, delta: Option[DataFrame],
                       conds: Seq[Expression],
-                      groupNames: Seq[String],
-                      folds: Seq[Either[String, Column]],
+                      groupExprs: Seq[Expression],
+                      folds: Seq[Either[Int, Column]],
                       origOutput: Seq[Attribute]): Option[LogicalPlan] = {
       // fresh scan of the view (fresh expr ids per rewrite site), PINNED
       // at the seq the consumer checkpoint was read from — see matchSpecs
@@ -368,6 +421,22 @@ object AggViewRewrite {
       val filtered = conds.zipWithIndex.foldLeft(viewDf) { case (df, (c, _)) =>
         df.filter(remapToView(c, viewDf))
       }
+      // grouping expressions, deduplicated semantically, computed as
+      // named columns BEFORE the regroup (an expression key like
+      // date_trunc(ts) coarsens the view's per-ts groups)
+      val distinctGroups = {
+        val seen = scala.collection.mutable.ArrayBuffer.empty[Expression]
+        groupExprs.foreach { e =>
+          if (!seen.exists(_.semanticEquals(e))) seen += e
+        }
+        seen.toSeq
+      }
+      val keyIdx = groupExprs.map(e => distinctGroups.indexWhere(_.semanticEquals(e)))
+      val keyNames = distinctGroups.indices.map(i => s"__graft_mv_k$i")
+      val pre = filtered.select(
+        distinctGroups.zipWithIndex.map { case (e, i) =>
+          remapToView(e, viewDf).as(s"__graft_mv_k$i")
+        } ++ spec.aggs.map(a => col(a._1)): _*)
       val tagged = folds.zipWithIndex.map {
         case (Right(c), i) => Right(c.as(s"__graft_mv_$i"))
         case (Left(k), _) => Left(k)
@@ -381,13 +450,13 @@ object AggViewRewrite {
           // plan, which the planner refuses. A real Aggregate with a
           // dummy measure (dropped by the reorder select below) plans
           // directly.
-          filtered.groupBy(groupNames.distinct.map(col): _*)
+          pre.groupBy(keyNames.map(col): _*)
             .agg(fmax(lit(1)).as("__graft_mv_d"))
         else
-          filtered.groupBy(groupNames.distinct.map(col): _*)
+          pre.groupBy(keyNames.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
       val ordered = grouped.select(tagged.zipWithIndex.map {
-        case (Left(k), _) => col(k)
+        case (Left(gi), _) => col(s"__graft_mv_k${keyIdx(gi)}")
         case (Right(_), i) => col(s"__graft_mv_$i")
       }: _*)
       val newPlan = ordered.queryExecution.analyzed

@@ -191,6 +191,67 @@ class AggViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("avg folds from registered sum+count partials of the same column") {
+    val s = spark; import s.implicits._
+    val wh = freshWh(); val src = rel("avg_src"); val v = rel("avg_view")
+    // a group with only-null measures: avg must stay null, never 0
+    wh.writeAtomic(Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(1L)),
+      ("b", Some(5L)), ("b", Some(100L)), ("c", Some(2L)), ("d", None))
+      .toDF("k", "v"), src)
+    val ag = Seq(("cnt_v", "count", "v"), ("sum_v", "sum", "v"))
+    assert(wh.maintainAggView(src, v, "mv", Seq("k"), ag).isDefined)
+    AggViewRewrite.install(spark)
+    AggViewRewrite.register(
+      AggViewRewrite.ViewSpec(wh, src, v, "mv", Seq("k"), ag))
+    try {
+      val q = wh.read(src).groupBy("k").agg(avg("v").as("m"))
+      assert(readsOnly(q, wh, v), "avg over sum+count partials must ride the view")
+      val got = q.collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]))).toSet
+      assert(got == Set(("a", Some(31.0 / 3)), ("b", Some(52.5)),
+        ("c", Some(2.0)), ("d", None)))
+    } finally AggViewRewrite.deregister(wh, v)
+    // count(*)-only registration must NOT serve avg: null rows would skew
+    val v2 = rel("avg_view2")
+    val ag2 = Seq(("n", "count", "*"), ("sum_v", "sum", "v"))
+    assert(wh.maintainAggView(src, v2, "mv2", Seq("k"), ag2).isDefined)
+    AggViewRewrite.register(
+      AggViewRewrite.ViewSpec(wh, src, v2, "mv2", Seq("k"), ag2))
+    try {
+      val q2 = wh.read(src).groupBy("k").agg(avg("v").as("m"))
+      assert(readsOnly(q2, wh, src),
+        "count(*) never substitutes for count(col) in an avg fold")
+    } finally AggViewRewrite.deregister(wh, v2)
+  }
+
+  test("expression grouping keys coarsen the view") {
+    val s = spark; import s.implicits._
+    val wh = freshWh(); val src = rel("expr_src"); val v = rel("expr_view")
+    wh.writeAtomic(Seq(("a1", 10L), ("a2", 20L), ("b1", 5L), ("b2", 7L),
+      ("c9", 2L)).toDF("k", "v"), src)
+    val ag = Seq(("n", "count", "*"), ("total", "sum", "v"),
+      ("lo", "min", "v"))
+    assert(wh.maintainAggView(src, v, "mv", Seq("k"), ag).isDefined)
+    AggViewRewrite.install(spark)
+    AggViewRewrite.register(
+      AggViewRewrite.ViewSpec(wh, src, v, "mv", Seq("k"), ag))
+    try {
+      // substring(k,1,1) merges the per-k partials into coarser groups
+      val q = wh.read(src).groupBy(substring(col("k"), 1, 1).as("g"))
+        .agg(count(lit(1)).as("n"), sum("v").as("total"), min("v").as("lo"))
+      assert(readsOnly(q, wh, v),
+        "deterministic key-derived grouping must ride the view")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(("a", 2L, 30L, 10L), ("b", 2L, 12L, 5L),
+        ("c", 1L, 2L, 2L)))
+      // a non-deterministic key derivation must fall back
+      val nd = wh.read(src).groupBy((rand() * 0).cast("int").as("g"))
+        .agg(count(lit(1)).as("n"))
+      assert(readsOnly(nd, wh, src), "non-deterministic keys must not route")
+    } finally AggViewRewrite.deregister(wh, v)
+  }
+
   test("prefix-named sibling tables never cross-route") {
     val s = spark; import s.implicits._
     val wh = freshWh()
