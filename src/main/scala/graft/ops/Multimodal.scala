@@ -1,142 +1,247 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media as opaque `BINARY` payloads with
   * typed metadata, decoded/feature-extracted in executor-side BATCHES
   * (the Scala analogue of `mapInPandas` — `mapPartitions` over grouped
-  * iterators, so a real decoder would amortize per-batch model/codec
-  * setup).
+  * iterators, so per-batch codec setup amortizes).
   *
-  * The actual image/audio decode is STUBBED (`decodeBatch`): no media
-  * libraries exist in this environment, so the decoder derives
-  * deterministic fake dimensions from the payload bytes. The Spark-side
-  * contract — binary column, batch iterator shape, output schema,
-  * partition-preserving plan — is real and oracle-tested.
+  * The decoder is REAL: payloads are genuine PNG bytes (encoded with the
+  * JDK's `javax.imageio`, 8-bit grayscale — lossless), and every
+  * reported number comes out of `ImageIO.read` on those bytes — decoded
+  * dimensions, decoded pixel sums/histograms, decoded per-frame values —
+  * never from the generation arithmetic. The oracle can still recompute
+  * the expectations because the FIXTURES are deterministic: each
+  * document's image is painted from its own UTF-8 text bytes under a
+  * published rule (dims from text length, pixel i = byte i, zero
+  * padding), so DuckDB re-derives from `documents.text` what Spark must
+  * observe by actually decoding. A lossy or broken decode path fails the
+  * hash gate.
+  *
+  * At scale the shape is what matters: encode happens where the data
+  * lives (executors, inside the scan projection), decode runs batched in
+  * `mapPartitions` with no shuffle before it, and output rows carry only
+  * small typed columns — the 100 TB plan is scan → per-partition decode
+  * → downstream aggregation, media bytes never cross the wire.
   */
 object Multimodal {
   import TData._
 
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, content_md5: String,
-                             width: Int, height: Int, n_frames: Int)
+  /** The published fixture rule: image dims derived from text LENGTH
+    * (small on purpose — the decode cost scales with rows, not with a
+    * production frame size, and correctness is dimension-independent).
+    */
+  private def dims(len: Int): (Int, Int) =
+    ((len % 64) + 1, ((len.toLong * 7) % 48).toInt + 1)
 
-  /** STUB decoder: replace the body with a real codec (e.g. JNI to
-    * libjpeg/ffmpeg) keeping the batch signature. Deterministic fake:
-    * dimensions derive from payload length, digest from the bytes.
+  /** Encode one document's text into a real grayscale PNG: pixel i (row
+    * major) = text byte i, zero-padded past the text, truncated at the
+    * image area. 8-bit gray PNG is lossless, so a correct decoder must
+    * read the exact bytes back.
+    */
+  private def encodePng(text: Array[Byte]): Array[Byte] = {
+    val (w, h) = dims(text.length)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val v = if (i < text.length) text(i) & 0xff else 0
+      raster.setSample(i % w, i / w, 0, v)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def documentPngs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, encodePng(text.getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  final case class MediaMeta(doc_id: Long, width: Int, height: Int,
+                             n_px: Long, px_sum: Long)
+
+  /** Batched REAL decode: `ImageIO.read` per payload, dimensions and the
+    * full-pixel sum read from the decoded raster.
     */
   private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaMeta] =
-    batch.map { case (id, bytes) =>
-      val md5hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(bytes).map("%02x".format(_)).mkString
-      val n = bytes.length.toLong
-      MediaMeta(id, n, md5hex,
-        (n % 640).toInt + 1, ((n * 7) % 480).toInt + 1, (n % 16).toInt + 1)
+    batch.map { case (id, payload) =>
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MediaMeta(id, w, h, w.toLong * h, sum)
     }
 
-  /** Binary ingestion + batched metadata extraction. The oracle re-derives
-    * everything from the text the payload was encoded from (same UTF-8
-    * bytes), proving the binary round-trip is faithful.
+  /** Binary ingestion + batched metadata extraction over REAL PNG
+    * payloads. The oracle re-derives dims from the fixture rule and the
+    * pixel sum from the text bytes — only a genuine, lossless decode
+    * matches.
     */
   def mediaMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val payloads = documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    documentPngs(s, d)
       .as[(Long, Array[Byte])]
-    payloads.mapPartitions { it =>
-      it.grouped(64).flatMap(batch => decodeBatch(batch)) // batch ≈ mapInPandas
-    }.toDF()
+      .mapPartitions(_.grouped(64).flatMap(decodeBatch)) // batch ≈ mapInPandas
+      .toDF()
   }
 
   val mediaMetaSql: String =
     """SELECT doc_id,
-      |  strlen(text)::BIGINT AS n_bytes,
-      |  md5(text) AS content_md5,
-      |  (strlen(text) % 640 + 1)::INT AS width,
-      |  ((strlen(text) * 7) % 480 + 1)::INT AS height,
-      |  (strlen(text) % 16 + 1)::INT AS n_frames
+      |  (strlen(text) % 64 + 1)::INT AS width,
+      |  ((strlen(text) * 7) % 48 + 1)::INT AS height,
+      |  ((strlen(text) % 64 + 1) * ((strlen(text) * 7) % 48 + 1))::BIGINT AS n_px,
+      |  COALESCE(list_sum(list_transform(
+      |    generate_series(1, least(strlen(text),
+      |      (strlen(text) % 64 + 1) * ((strlen(text) * 7) % 48 + 1))::INT),
+      |    i -> ord(text[i]))), 0)::BIGINT AS px_sum
       |FROM documents""".stripMargin
 
   final case class MediaFeatures(doc_id: Long, rs_width: Int, rs_height: Int,
                                  feat_csv: String)
 
-  /** STUB resize + feature-extract, batched like [[decodeBatch]]: "resize"
-    * computes the 224-bounded target dims with integer aspect preservation
-    * (the arithmetic a real resizer gets told to hit); "features" are an
-    * 8-bin byte histogram standing in for a real embedding model's output
-    * vector (CSV-encoded for the scalar hash gate). Swap the body for a
-    * real codec+model keeping the batch signature.
+  /** Batched REAL decode + resize + feature-extract: `ImageIO.read`,
+    * `Graphics2D.drawImage` down to a 32-bounded thumbnail (reported
+    * dims come from the RESIZED image object), and an 8-bin histogram
+    * over the decoded original's pixels (the resized raster is
+    * interpolation-dependent, so features that must be exact read the
+    * lossless original).
     */
   private def featureBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
-    batch.map { case (id, bytes) =>
-      val n = bytes.length.toLong
-      val w = (n % 640).toInt + 1
-      val h = ((n * 7) % 480).toInt + 1
-      val rw = math.min(w, 224)
+    batch.map { case (id, payload) =>
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      val w = img.getWidth; val h = img.getHeight
+      val rw = math.min(w, 32)
       val rh = math.max(1, h * rw / w)
+      val resized = new BufferedImage(rw, rh, BufferedImage.TYPE_BYTE_GRAY)
+      val g = resized.createGraphics()
+      try g.drawImage(img, 0, 0, rw, rh, null) finally g.dispose()
+      val raster = img.getRaster
       val hist = new Array[Long](8)
-      bytes.foreach(b => hist((b & 0xff) % 8) += 1)
-      MediaFeatures(id, rw, rh, hist.mkString(","))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { hist(raster.getSample(x, y, 0) % 8) += 1; x += 1 }
+        y += 1
+      }
+      MediaFeatures(id, resized.getWidth, resized.getHeight,
+        hist.mkString(","))
     }
 
-  /** Batched resize/feature-extract over the binary column — the second
-    * stage of a media pipeline (decode → resize → embed), same
-    * `mapPartitions` batch shape as [[mediaMeta]].
-    */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    documentPngs(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(featureBatch))
       .toDF()
   }
 
-  // oracle re-derives the histogram from the characters (payload bytes ==
-  // UTF-8 of the ASCII synthetic text, so ord(char) == byte)
+  // oracle: histogram over min(len, w*h) text bytes, plus the zero
+  // padding (w*h - that) landing in bin 0
   val mediaFeaturesSql: String =
-    """SELECT doc_id,
-      |  least((strlen(text) % 640 + 1)::INT, 224) AS rs_width,
-      |  greatest(1, ((strlen(text) * 7) % 480 + 1)
-      |    * least((strlen(text) % 640 + 1)::INT, 224)
-      |    // (strlen(text) % 640 + 1))::INT AS rs_height,
+    """WITH dims AS (
+      |  SELECT doc_id, text,
+      |    (strlen(text) % 64 + 1)::INT AS w,
+      |    ((strlen(text) * 7) % 48 + 1)::INT AS h,
+      |    least(strlen(text), (strlen(text) % 64 + 1)
+      |      * ((strlen(text) * 7) % 48 + 1))::INT AS m
+      |  FROM documents)
+      |SELECT doc_id,
+      |  least(w, 32) AS rs_width,
+      |  greatest(1, h * least(w, 32) // w) AS rs_height,
       |  array_to_string(list_transform(generate_series(0, 7), b ->
       |    CAST(len(list_filter(
-      |      list_transform(generate_series(1, strlen(text)::INT),
-      |        i -> ord(text[i])),
-      |      c -> c % 8 = b)) AS VARCHAR)), ',') AS feat_csv
-      |FROM documents""".stripMargin
+      |      list_transform(generate_series(1, m), i -> ord(text[i])),
+      |      c -> c % 8 = b))
+      |      + CASE WHEN b = 0 THEN w * h - m ELSE 0 END AS VARCHAR)), ',')
+      |    AS feat_csv
+      |FROM dims""".stripMargin
 
-  final case class Frame(doc_id: Long, frame_idx: Int, frame_md5: String)
+  /** Encode one document's "video": a length-prefixed container of
+    * `(len % 16) + 1` real single-color 4×4 PNG frames, frame f painted
+    * with text byte `f mod len`. The container framing is the demuxer's
+    * contract; each frame is an independent `javax.imageio` decode.
+    */
+  private def encodeFrameContainer(text: Array[Byte]): Array[Byte] = {
+    val n = (text.length % 16) + 1
+    val frames = (0 until n).map { f =>
+      val v = if (text.length == 0) 0 else text(f % text.length) & 0xff
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < 4) {
+        var x = 0
+        while (x < 4) { raster.setSample(x, y, 0, v); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val buf = ByteBuffer.allocate(4 + frames.map(_.length + 4).sum)
+    buf.putInt(n)
+    frames.foreach { fb => buf.putInt(fb.length); buf.put(fb) }
+    buf.array()
+  }
 
-  /** STUB frame sampler: every 2nd frame index of each media's n_frames,
-    * "frame content" = md5(payload ++ ":idx"). The plumbing — per-media
-    * fan-out to frame rows inside the batch iterator, output row count ∝
-    * Σ(n_frames/2) — is exactly a real video sampler's shape.
+  final case class Frame(doc_id: Long, frame_idx: Int, px_val: Int)
+
+  /** Batched demux + per-frame REAL decode, sampling every 2nd frame:
+    * the reported value is the decoded frame's pixel (0,0). Per-media
+    * fan-out happens inside the batch iterator — output rows ∝
+    * Σ(n_frames/2), media bytes never leave the partition.
     */
   private def frameBatch(batch: Seq[(Long, Array[Byte])]): Seq[Frame] =
-    batch.flatMap { case (id, bytes) =>
-      val nFrames = (bytes.length % 16) + 1
-      (0 until nFrames by 2).map { idx =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(bytes ++ s":$idx".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        Frame(id, idx, md)
+    batch.flatMap { case (id, payload) =>
+      val buf = ByteBuffer.wrap(payload)
+      val n = buf.getInt
+      val frames = (0 until n).map { _ =>
+        val len = buf.getInt
+        val fb = new Array[Byte](len)
+        buf.get(fb)
+        fb
+      }
+      (0 until n by 2).map { idx =>
+        val img = ImageIO.read(new ByteArrayInputStream(frames(idx)))
+        Frame(id, idx, img.getRaster.getSample(0, 0, 0))
       }
     }
 
   def frameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, encodeFrameContainer(text.getBytes("UTF-8")))
+      })
       .mapPartitions(_.grouped(64).flatMap(frameBatch))
       .toDF()
   }
 
   val frameSampleSql: String =
-    """SELECT doc_id, i AS frame_idx, md5(text || ':' || i) AS frame_md5
+    """SELECT doc_id, i AS frame_idx,
+      |  ord(substr(text, (i % strlen(text)) + 1, 1))::INT AS px_val
       |FROM documents,
       |     UNNEST(generate_series(0, strlen(text) % 16, 2)) AS t(i)""".stripMargin
 }
