@@ -303,17 +303,47 @@ object Similarity {
     * deterministically-seeded oracle-checked variant.
     */
   final class VectorIndex(wh: graft.core.Warehouse, name: String,
-                          k: Int = 16, nprobe: Int = 2) {
+                          k: Int = 16, nprobe: Int = 2,
+                          maxProbe: Int = 4, probeMargin: Double = 0.05) {
     import graft.core.Relation
     private val centRel = Relation("idx", "ann", s"${name}__centroids")
     private val cellRel = Relation("idx", "ann", s"${name}__cells")
 
-    /** nprobe nearest cell ids of `v` — codegen over centroid literals. */
-    private def nearestCells(cents: Seq[(Int, Seq[Double])], n: Int) =
-      transform(slice(array_sort(array(cents.map { case (cid, cv) =>
+    /** ADAPTIVE multi-probe cell selection — the recall lever. The
+      * `nprobe` nearest cells always probe; cells beyond extend the
+      * probe set while their centroid similarity sits within
+      * `probeMargin` of the best cell's (the centroid-distance ring,
+      * the IVF analogue of [[knnLshBucket]]'s Hamming ring), capped at
+      * `maxProbe`. A query deep inside one cluster stays cheap (ring
+      * empty); a query near a Voronoi boundary — exactly where fixed
+      * small nprobe loses its true neighbors — automatically widens.
+      * Still pure per-row codegen over centroid literals, and the
+      * probe-count bound keeps the partition-pruning guarantee:
+      * a query touches ≤ maxProbe of k cells.
+      */
+    private def probeCells(cents: Seq[(Int, Seq[Double])]) = {
+      val sorted = array_sort(array(cents.map { case (cid, cv) =>
         struct((-round(cosine_sim(col("v"), typedLit(cv)), 6)).as("negsim"),
           lit(cid).as("cid"))
-      }: _*)), 1, n), s => s.getField("cid"))
+      }: _*))
+      // ring anchor: the nprobe-th cell's similarity — a cell just past
+      // the default cut with near-identical similarity is exactly the
+      // Voronoi-boundary case fixed nprobe loses neighbors to
+      val boundary = element_at(sorted, math.min(nprobe, cents.size))
+        .getField("negsim")
+      val ring = filter(slice(sorted, 1, math.max(nprobe, maxProbe)),
+        (s, i) => i < lit(nprobe) ||
+          s.getField("negsim") <= boundary + lit(probeMargin))
+      transform(ring, s => s.getField("cid"))
+    }
+
+    /** (q_id, n_cells) probed per query — observability for specs and
+      * capacity planning (the adaptive ring makes probe count
+      * per-query, not a constant).
+      */
+    private[graft] def probeCounts(q: DataFrame): DataFrame =
+      q.select(col("vec_id").as("q_id"),
+        size(probeCells(centroids())).as("n_cells"))
 
     /** One-time fit + assign: one kmeansFit pass, one partitioned write. */
     def build(e: DataFrame): Unit = {
@@ -354,7 +384,7 @@ object Similarity {
     def query(q: DataFrame, topK: Int = 5): DataFrame = {
       val cents = centroids()
       val probed = q
-        .withColumn("cell", explode(nearestCells(cents, nprobe)))
+        .withColumn("cell", explode(probeCells(cents)))
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
       // control-plane: distinct probed cell ids (≤ k ints) become a
       // LITERAL isin predicate, so the candidate scan partition-prunes

@@ -35,7 +35,8 @@ class VectorIndexSpec extends AnyFunSuite {
     val wh = new Warehouse(spark,
       Files.createTempDirectory("graft_vidx").toString, CommitMode.Manifest)
     val e = Similarity.vecs(spark, sf)
-    val idx = new Similarity.VectorIndex(wh, "emb", k = 8, nprobe = 2)
+    val idx = new Similarity.VectorIndex(wh, "emb", k = 8, nprobe = 2,
+      maxProbe = 4, probeMargin = 0.1)
     idx.build(e)
 
     // every vector landed in exactly one of ≤ k cells
@@ -53,8 +54,16 @@ class VectorIndexSpec extends AnyFunSuite {
       .select(col("q_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (gotPairs intersect brute).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall@5 = $recall")
+    assert(recall >= 0.7, s"recall@5 = $recall")
     assert(gotPairs.groupBy(_._1).forall(_._2.size <= 5))
+
+    // the multi-probe ring is ADAPTIVE: probe counts vary per query
+    // (boundary queries widen toward maxProbe, interior queries stay at
+    // nprobe) and respect the [nprobe, maxProbe] bound
+    val pc = idx.probeCounts(q).select("n_cells").collect().map(_.getInt(0))
+    assert(pc.forall(c => c >= 2 && c <= 4), s"probe counts out of bound: ${pc.toSeq}")
+    assert(pc.distinct.length > 1,
+      s"probe counts should vary across queries, got ${pc.toSeq}")
 
     // the candidate scan is partition-pruned: with nprobe=2 a SINGLE
     // query touches ≤ 2 of the cells' partitions
