@@ -1,0 +1,1 @@
+{{ count_by('nation_region', r_name, alias=n_nations) }}

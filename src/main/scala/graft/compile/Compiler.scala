@@ -113,6 +113,131 @@ object Compiler {
   def referencesMaxPartition(rawSql: String): Boolean =
     maxPartRe.findFirstIn(rawSql).isDefined
 
+  // ------------------------------------------------- user-defined macros
+
+  /** A user macro: `{% macro name(p1, p2='default') %} body {% endmacro %}`
+    * (the reference project reserves the slot — `macros/.gitkeep`, dbt
+    * macro search path `dbt_project.yml:15-20`). The supported subset is
+    * dbt's everyday shape: parameterized SQL fragments. Body params
+    * interpolate as `{{ p1 }}`; bodies may use `ref`/`source`/`env_var`
+    * and other macros (expansion runs to fixpoint BEFORE builtin
+    * resolution, so the DAG and compiled SQL see the expanded text).
+    * Not supported (use a model instead): control flow (`{% if %}`/
+    * `{% for %}`) and Python-object argument semantics — arguments are
+    * SQL text, spliced verbatim.
+    */
+  final case class MacroDef(name: String,
+                            params: Seq[(String, Option[String])],
+                            body: String)
+
+  /** Builtins a macro may never shadow (their calls resolve in
+    * [[compile]], after expansion).
+    */
+  private val ReservedMacroNames =
+    Set("ref", "source", "env_var", "config", "this", "is_incremental")
+
+  private val macroDefRe: Regex =
+    """(?s)\{%\s*macro\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*%\}(.*?)\{%\s*endmacro\s*%\}""".r
+  private val macroCallRe: Regex =
+    """\{\{\s*([A-Za-z_]\w*)\s*\((.*?)\)\s*\}\}""".r
+  private val kwArgRe: Regex = """(?s)^([A-Za-z_]\w*)\s*=(?!=)(.*)$""".r
+
+  /** Parse every macro definition in `text` (one file may define many). */
+  def parseMacros(text: String): Seq[MacroDef] =
+    macroDefRe.findAllMatchIn(text).map { m =>
+      val name = m.group(1)
+      require(!ReservedMacroNames.contains(name),
+        s"macro '$name' shadows a builtin")
+      val params = m.group(2).split(",").iterator.map(_.trim)
+        .filter(_.nonEmpty).map { p =>
+          p.split("=", 2) match {
+            case Array(n, d) =>
+              n.trim -> Some(d.trim.stripPrefix("'").stripSuffix("'"))
+            case Array(n) => n.trim -> None
+          }
+        }.toSeq
+      require(params.map(_._1).distinct.size == params.size,
+        s"macro '$name' has duplicate params")
+      MacroDef(name, params, m.group(3).trim)
+    }.toSeq
+
+  /** Split a macro call's argument text at top-level commas (parens and
+    * single-quoted spans protect).
+    */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0; var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; sb.append('\'')
+      case '(' if !inQ => depth += 1; sb.append('(')
+      case ')' if !inQ => depth -= 1; sb.append(')')
+      case ',' if !inQ && depth == 0 => out += sb.result(); sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Expand user-macro calls to their bound bodies, repeatedly (a macro
+    * may call another), bounded by `maxDepth` against recursion. Calls
+    * whose name is not a known macro pass through untouched — builtins
+    * resolve later in [[compile]].
+    */
+  def expandMacros(sql: String, macros: Map[String, MacroDef],
+                   maxDepth: Int = 10): String = {
+    if (macros.isEmpty) return sql
+    def failIfUnexpanded(s: String): String = {
+      // any surviving known-macro call means expansion cannot make
+      // progress (self-expanding macro) or ran out of rounds — both are
+      // authoring errors that must fail loudly, not reach the SQL parser
+      val leftover = macroCallRe.findAllMatchIn(s)
+        .map(_.group(1)).filter(macros.contains).toSeq
+      if (leftover.nonEmpty)
+        throw new IllegalArgumentException(
+          s"macro expansion did not terminate in $maxDepth rounds " +
+            s"(recursive macros? ${leftover.distinct.mkString(", ")})")
+      s
+    }
+    var cur = sql
+    var depth = 0
+    while (depth < maxDepth) {
+      val next = macroCallRe.replaceAllIn(cur, m =>
+        Regex.quoteReplacement(macros.get(m.group(1)) match {
+          case None => m.matched
+          case Some(mac) => expandOne(mac, splitArgs(m.group(2)))
+        }))
+      if (next == cur) return failIfUnexpanded(cur)
+      cur = next
+      depth += 1
+    }
+    failIfUnexpanded(cur)
+  }
+
+  private def expandOne(mac: MacroDef, args: Seq[String]): String = {
+    val paramNames = mac.params.map(_._1).toSet
+    val (kwArgs, positional) = args.partitionMap {
+      case kwArgRe(k, v) if paramNames.contains(k) => Left(k -> v.trim)
+      case a => Right(a)
+    }
+    val kw = kwArgs.toMap
+    require(positional.size + kw.size == args.size &&
+        positional.size <= mac.params.size,
+      s"macro '${mac.name}' called with ${args.size} args, " +
+        s"takes ${mac.params.size}")
+    var body = mac.body
+    mac.params.zipWithIndex.foreach { case ((p, dflt), i) =>
+      val value =
+        if (i < positional.size) positional(i)
+        else kw.getOrElse(p, dflt.getOrElse(
+          throw new IllegalArgumentException(
+            s"macro '${mac.name}': missing argument '$p'")))
+      body = ("""\{\{\s*""" + Regex.quote(p) + """\s*\}\}""").r
+        .replaceAllIn(body, Regex.quoteReplacement(value))
+    }
+    body
+  }
+
   /** `parquet.`/path/`` — Spark SQL's direct-path table syntax. */
   def pathRelation(path: String): String = s"parquet.`$path`"
 

@@ -90,7 +90,12 @@ final case class Project(name: String,
                          // / `on-run-end` keys of dbt_project.yml, executed
                          // through the same run_hooks surface @59759)
                          onRunStart: Seq[String] = Nil,
-                         onRunEnd: Seq[String] = Nil)
+                         onRunEnd: Seq[String] = Nil,
+                         // user-defined macros (reference slot
+                         // macros/.gitkeep, dbt macro search path
+                         // dbt_project.yml:15-20) — parameterized SQL
+                         // fragments expanded before builtin resolution
+                         macros: Map[String, Compiler.MacroDef] = Map.empty)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -119,7 +124,25 @@ final case class Target(warehouseRoot: String,
 /** The orchestrator (SURVEY §3): compile → DAG → materialize → test, plus
   * manifest emission and slim-CI selection.
   */
-final class Engine(spark: SparkSession, project: Project, target: Target) {
+final class Engine(spark: SparkSession, project0: Project, target: Target) {
+
+  /** The macro-expanded project: user macros resolve FIRST (before
+    * ref/source/env_var), so a macro body may itself `ref()` another
+    * model — the DAG, the compiled SQL, AND the state:modified checksums
+    * all see the expanded text (an edited macro therefore flags every
+    * model using it as modified, which raw-text checksums would miss).
+    */
+  val project: Project =
+    if (project0.macros.isEmpty) project0
+    else project0.copy(
+      models = project0.models.map(m =>
+        m.copy(rawSql = Compiler.expandMacros(m.rawSql, project0.macros))),
+      snapshots = project0.snapshots.map(s =>
+        s.copy(rawSql = Compiler.expandMacros(s.rawSql, project0.macros))),
+      onRunStart = project0.onRunStart
+        .map(Compiler.expandMacros(_, project0.macros)),
+      onRunEnd = project0.onRunEnd
+        .map(Compiler.expandMacros(_, project0.macros)))
 
   val warehouse = new Warehouse(spark, target.warehouseRoot, target.commitMode)
   private val mat = new Materializer(warehouse)
@@ -244,7 +267,8 @@ final class Engine(spark: SparkSession, project: Project, target: Target) {
     * non-atomic (documented limitation, SURVEY §2 B44).
     */
   private def runHooks(hooks: Seq[String], modelName: String): Unit =
-    hooks.foreach { h =>
+    hooks.foreach { h0 =>
+      val h = Compiler.expandMacros(h0, project.macros)
       spark.sql(warehouse.resolveSql(Compiler.compile(h, Compiler.ResolveCtx(
         refTarget = r => Compiler.pathRelation(
           relationFor(r).pathUnder(target.warehouseRoot)),

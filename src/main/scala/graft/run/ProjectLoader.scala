@@ -47,6 +47,16 @@ object ProjectLoader {
       ModelDef(stem(p), Files.readString(p))
     }
 
+    // macros/*.sql: {% macro name(params) %} body {% endmacro %} blocks,
+    // any number per file (dbt macro search path dbt_project.yml:15-20;
+    // the reference reserves the dir via macros/.gitkeep)
+    val macroDefs = listFiles(root.resolve("macros"), ".sql")
+      .flatMap(p => graft.compile.Compiler.parseMacros(Files.readString(p)))
+    val dupMacros = macroDefs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupMacros.isEmpty,
+      s"duplicate macro definitions: ${dupMacros.mkString(", ")}")
+    val macros = macroDefs.map(m => m.name -> m).toMap
+
     // per-seed column_types (reference seeds `column_types` config in
     // dbt_project.yml): project.conf lines `seed_types.<seed>=col=type,...`
     val seeds = listFiles(root.resolve("seeds"), ".csv").map { p =>
@@ -140,7 +150,7 @@ object ProjectLoader {
     val onRunEnd = hookLines.collect { case ("end", s) => s }
 
     (Project(name, sources, models, seeds, snapshots, tests,
-      onRunStart, onRunEnd), conf)
+      onRunStart, onRunEnd, macros), conf)
   }
 
   private def configKv(sql: String): Map[String, String] = {

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.compile.Compiler
 import graft.core._
 import graft.dag.Dag
 import graft.dqtests.SchemaTests
@@ -88,6 +89,53 @@ class OrchestratorSpec extends AnyFunSuite {
       .forall(_.status == "success"))
     assert(wh2.listViews(rel.database, rel.schema).isEmpty)
     assert(wh2.readView(rel).isEmpty)
+  }
+
+  test("user macros expand in models, carry refs into the DAG, and flag checksums") {
+    val macros = Compiler.parseMacros(
+      """{% macro keyed_count(rel, key, alias='n') %}
+        |SELECT {{ key }}, count(*) AS {{ alias }}
+        |FROM {{ ref({{ rel }}) }} GROUP BY {{ key }}
+        |{% endmacro %}
+        |{% macro nations_by(col) %}
+        |{{ keyed_count('nations', {{ col }}) }}
+        |{% endmacro %}""".stripMargin).map(m => m.name -> m).toMap
+    val p = baseProject.copy(
+      models = baseProject.models :+ ModelDef("region_counts",
+        "{{ nations_by(n_regionkey) }}"),
+      macros = macros)
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    // the ref() lived INSIDE the macro body: the DAG must still order
+    // nations before region_counts, and the result must be real
+    val got = e.readModel("region_counts").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 5L, 1 -> 5L, 2 -> 5L, 3 -> 5L, 4 -> 5L))
+    // a macro edit changes the EXPANDED checksum (state:modified sees it)
+    val macros2 = Compiler.parseMacros(
+      """{% macro keyed_count(rel, key, alias='n') %}
+        |SELECT {{ key }}, count(*) + 1 AS {{ alias }}
+        |FROM {{ ref({{ rel }}) }} GROUP BY {{ key }}
+        |{% endmacro %}
+        |{% macro nations_by(col) %}
+        |{{ keyed_count('nations', {{ col }}) }}
+        |{% endmacro %}""".stripMargin).map(m => m.name -> m).toMap
+    val e2 = new Engine(spark, p.copy(macros = macros2), Target(root()))
+    val cks1 = e.project.models.map(m => m.name -> Compiler.checksum(m.rawSql)).toMap
+    val cks2 = e2.project.models.map(m => m.name -> Compiler.checksum(m.rawSql)).toMap
+    assert(cks1("region_counts") != cks2("region_counts"))
+    assert(cks1("nations") == cks2("nations"))
+    // recursion guard: a self-calling macro fails loudly
+    val rec = Compiler.parseMacros(
+      "{% macro loop_m(x) %}{{ loop_m({{ x }}) }}{% endmacro %}")
+      .map(m => m.name -> m).toMap
+    intercept[IllegalArgumentException] {
+      Compiler.expandMacros("{{ loop_m(1) }}", rec)
+    }
+    // builtins cannot be shadowed
+    intercept[IllegalArgumentException] {
+      Compiler.parseMacros("{% macro ref(x) %}{{ x }}{% endmacro %}")
+    }
   }
 
   test("on-run-start/on-run-end project hooks execute around the DAG") {

@@ -22,7 +22,7 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(project.name == "demo_ci_spark")
     assert(project.models.map(_.name).toSet ==
       Set("stg_nations", "eph_regions", "nation_region", "orders_incr",
-        "nations_by_region_mv"))
+        "nations_by_region_mv", "region_counts"))
     assert(project.seeds.map(_.name) == Seq("priorities"))
     assert(project.seeds.head.columnTypes == Map("rank" -> "bigint"))
     assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
@@ -135,6 +135,26 @@ class ProjectLoaderSpec extends AnyFunSuite {
     val s = project.sources.head
     assert(s.loadedAtField.contains("o_orderdate"))
     assert(s.filter.contains("o_orderstatus = 'O'"))
+  }
+
+  test("macros load from macros/*.sql and expand in demo models") {
+    val (project, _) = ProjectLoader.load("examples/demo_project")
+    assert(project.macros.contains("count_by"))
+    val engine = new Engine(spark, project,
+      Target(Files.createTempDirectory("graft_demo_mac").toString))
+    engine.build()
+    val got = engine.readModel("region_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 5 && got.values.forall(_ == 5L), s"got $got")
+    // duplicate macro names across files fail at load time
+    val dir = Files.createTempDirectory("graft_dupm")
+    Files.writeString(dir.resolve("project.conf"), "name=dupm")
+    Files.createDirectories(dir.resolve("macros"))
+    Files.writeString(dir.resolve("macros").resolve("a.sql"),
+      "{% macro m1(x) %}{{ x }}{% endmacro %}")
+    Files.writeString(dir.resolve("macros").resolve("b.sql"),
+      "{% macro m1(x) %}{{ x }}{% endmacro %}")
+    assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
   }
 
   test("ephemeral models never materialize to the warehouse") {
