@@ -60,6 +60,10 @@ object Compiler {
           }.toMap
         var cfg = base
         kvs.get("materialized").foreach(v => cfg = cfg.copy(materialized = v))
+        // `|`-separated (a comma would split the kv scan above), matching
+        // check_cols' convention
+        kvs.get("tags").foreach(v => cfg = cfg.copy(tags =
+          v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toSet))
         kvs.get("unique_key").foreach(v => cfg = cfg.copy(uniqueKey = Seq(v)))
         kvs.get("partition_by").foreach(v => cfg = cfg.copy(partitionBy =
           v.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq))

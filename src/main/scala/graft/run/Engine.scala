@@ -397,6 +397,75 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     TestResult(t.name, t.modelName, n, status)
   }
 
+  // ------------------------------------------------------ node selection
+
+  /** dbt-style graph selectors (the everyday `--select` surface the
+    * reference CI composes around `state:modified` —
+    * `ci_incr_test_w_container.yml:34`):
+    *
+    *  - `name` — exact node; `stg_*` — name glob
+    *  - `tag:x` — models tagged `x` (`config(tags='a|b')`)
+    *  - `+name` / `name+` / `+name+` — ancestors / descendants / both;
+    *    `2+name`, `name+1` bound the traversal depth (dbt's `n+` form)
+    *  - space-separated terms UNION; `,`-joined atoms inside one term
+    *    INTERSECT (dbt semantics)
+    *
+    * Returns node names resolvable by [[build]]'s `select`. Selecting a
+    * node does NOT auto-include its ancestors (same as dbt: use `+name`
+    * when upstream state is not already built).
+    */
+  def selectNodes(selector: String): Set[String] = {
+    val nodes = allNodes
+    val parents = parentsOf
+    val children = nodes.map(n => n -> parents.collect {
+      case (c, ps) if ps.contains(n) => c
+    }.toSeq).toMap
+    def closure(seed: Set[String], edges: Map[String, Seq[String]],
+                depth: Int): Set[String] = {
+      var acc = Set.empty[String]
+      var frontier = seed
+      var d = 0
+      while (frontier.nonEmpty && d < depth) {
+        frontier = frontier.flatMap(n => edges.getOrElse(n, Nil)) -- acc -- seed
+        acc ++= frontier
+        d += 1
+      }
+      acc
+    }
+    def base(b: String): Set[String] =
+      if (b.startsWith("tag:")) {
+        val t = b.stripPrefix("tag:")
+        project.models.filter(m => effectiveConfig(m).tags.contains(t))
+          .map(_.name).toSet
+      } else {
+        val re = ("^" + java.util.regex.Pattern.quote(b)
+          .replace("*", "\\E.*\\Q") + "$").r
+        nodes.filter(n => re.findFirstIn(n).isDefined).toSet
+      }
+    val atomRe = """^(?:(\d*)\+)?(.+?)(?:\+(\d*))?$""".r
+    def depthOf(s: String): Int =
+      if (s == null) 0 else if (s.isEmpty) Int.MaxValue else s.toInt
+    def atom(a: String): Set[String] = a match {
+      case atomRe(anc, b, desc) =>
+        val seed = base(b)
+        seed ++
+          (if (anc != null) closure(seed, parents, depthOf(anc)) else Set.empty) ++
+          (if (desc != null) closure(seed, children, depthOf(desc)) else Set.empty)
+      case _ => base(a)
+    }
+    selector.trim.split("\\s+").filter(_.nonEmpty).map { term =>
+      term.split(",").filter(_.nonEmpty).map(atom)
+        .reduceOption(_ intersect _).getOrElse(Set.empty)
+    }.foldLeft(Set.empty[String])(_ union _)
+  }
+
+  /** [[build]] over a selector string — `dbt build --select <selector>`. */
+  def buildSelected(selector: String,
+                    deferRoot: Option[String] = None,
+                    fullRefresh: Boolean = false)
+      : (Seq[Dag.NodeResult], Seq[TestResult]) =
+    build(Some(selectNodes(selector)), deferRoot, fullRefresh)
+
   /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests
     * immediately after it (SURVEY §3.1 step 6).
     */

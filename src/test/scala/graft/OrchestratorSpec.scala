@@ -138,6 +138,44 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  test("graph selectors: tag:, name globs, +model/model+, intersection") {
+    val p = baseProject.copy(models = Seq(
+      ModelDef("stg_nations",
+        "{{ config(tags='staging|tpch') }} SELECT n_nationkey, n_name, " +
+          "n_regionkey FROM {{ source('tpch','nation') }}"),
+      ModelDef("stg_regions",
+        "{{ config(tags='staging') }} SELECT r_regionkey, r_name " +
+          "FROM {{ source('tpch','region') }}"),
+      ModelDef("mart_by_region",
+        """{{ config(tags='mart') }}
+          |SELECT r.r_name, count(*) AS n
+          |FROM {{ ref('stg_nations') }} n
+          |JOIN {{ ref('stg_regions') }} r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.selectNodes("tag:staging") == Set("stg_nations", "stg_regions"))
+    assert(e.selectNodes("stg_*") == Set("stg_nations", "stg_regions"))
+    assert(e.selectNodes("stg_nations+") == Set("stg_nations", "mart_by_region"))
+    assert(e.selectNodes("+mart_by_region") ==
+      Set("stg_nations", "stg_regions", "mart_by_region"))
+    assert(e.selectNodes("stg_nations+0") == Set("stg_nations"))
+    // intersection within a term; union across terms
+    assert(e.selectNodes("tag:staging,tag:tpch") == Set("stg_nations"))
+    assert(e.selectNodes("tag:mart stg_regions") ==
+      Set("mart_by_region", "stg_regions"))
+    // a selector-driven build runs exactly the closure, in DAG order
+    val (nodes, _) = e.buildSelected("+mart_by_region")
+    assert(nodes.map(_.name).toSet ==
+      Set("stg_nations", "stg_regions", "mart_by_region"))
+    assert(nodes.forall(_.status == "success"))
+    assert(e.readModel("mart_by_region").count() == 5)
+    // tag-subset build: only the staging pair runs
+    val e2 = new Engine(spark, p, Target(root()))
+    val (n2, _) = e2.buildSelected("tag:staging")
+    assert(n2.map(_.name).toSet == Set("stg_nations", "stg_regions"))
+    assert(n2.forall(_.status == "success"))
+  }
+
   test("on-run-start/on-run-end project hooks execute around the DAG") {
     val p = baseProject.copy(
       onRunStart = Seq(
