@@ -330,10 +330,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
               "(incremental maintenance checkpoints ride manifest metadata)")
           if (fullRefresh) warehouse.drop(relationFor(m.name))
           val (refs, _) = Compiler.dependencies(m.rawSql)
-          require(refs.size == 1 && !isInlined(refs.head) &&
-              project.models.exists(_.name == refs.head),
+          // the source must be WAREHOUSE-TABLE-backed: maintenance reads
+          // manifest seqs of the ref'd relation, and over a view-backed
+          // model it would silently no-op (no manifest → latest seq 0) and
+          // only fail later as a missing relation downstream
+          val srcMat = project.models.find(_.name == refs.headOption.orNull)
+            .map(sm => effectiveConfig(sm).materialized)
+          require(refs.size == 1 &&
+              (srcMat.contains("table") || srcMat.contains("incremental")),
             s"${m.name}: materialized_view must aggregate exactly one " +
-              s"ref()'d table/incremental model, got refs=$refs")
+              s"ref()'d table/incremental model, got refs=$refs " +
+              s"(materialized=${srcMat.getOrElse("<none>")})")
           val srcRel = relationFor(refs.head)
           val (keys, aggSpec) = graft.plans.AggViewRewrite.extractSpec(df)
             .getOrElse(throw new IllegalArgumentException(

@@ -32,7 +32,17 @@ object StreamingJobs {
     */
   private[graft] def probeTsType(spark: SparkSession, dir: String): DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(dir).schema("ts").dataType
+    // a not-yet-populated directory has no footer to probe — fall back to
+    // the raw-nanos LongType shape (the driver's original format) so a
+    // stream can START on an empty dir; the first real file must then
+    // match, which is the same single-schema-per-dir contract appended
+    // sentinel files already honor (tsInShape)
+    try spark.read.parquet(dir).schema("ts").dataType
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getCondition == "UNABLE_TO_INFER_SCHEMA" => LongType
+    }
   }
 
   /** File-stream source normalized to a session-timezone TIMESTAMP `ts`,

@@ -492,6 +492,37 @@ class OrchestratorSpec extends AnyFunSuite {
       java.nio.file.Paths.get(whRead.path(rel0) + ".lock")))
   }
 
+  test("materialized_view over a view-backed model errors at build time") {
+    val p = Project(
+      name = "p",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("orders_v",
+          """{{ config(materialized='view') }}
+            |SELECT o_orderkey, o_orderstatus
+            |FROM {{ source('tpch','orders') }}""".stripMargin),
+        ModelDef("orders_mv",
+          """{{ config(materialized='materialized_view') }}
+            |SELECT o_orderstatus, count(*) AS n
+            |FROM {{ ref('orders_v') }} GROUP BY o_orderstatus""".stripMargin)))
+    val e = new Engine(spark, p, Target(root(),
+      commitMode = CommitMode.Manifest))
+    val (nodes, _) = e.build()
+    val mv = nodes.find(_.name == "orders_mv").get
+    assert(mv.status == "error",
+      s"view-backed MV source must fail loudly, got ${mv.status}")
+    assert(mv.error.exists(_.contains("table/incremental")))
+  }
+
+  test("streaming readEvents starts on an empty directory (declared fallback schema)") {
+    val dir = Files.createTempDirectory("graft_empty_stream").toString
+    // no files yet: the probe must fall back, not throw at stream setup
+    val df = graft.streaming.StreamingJobs.readEvents(spark, dir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("materialized_view model maintains incrementally and serves queries") {
     val p = Project(
       name = "p",
