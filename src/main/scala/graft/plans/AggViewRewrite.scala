@@ -173,19 +173,26 @@ object AggViewRewrite {
       if (registry.isEmpty ||
           session.conf.getOption("graft.mv.rewrite.enabled").contains("false"))
         plan // kill switch, mirroring graft.stats/graft.bloom.enabled
-      else plan.transformUp {
-        case agg: Aggregate =>
-          // any rewrite-side failure (view dropped between registration
-          // and query, manifest GC'd mid-attempt, filesystem error) must
-          // degrade to the source scan — the rule's contract is that it
-          // can only ever change cost, never answers, and never outcomes
-          try tryRewrite(agg).getOrElse(agg)
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              logWarning(s"graft MV rewrite attempt failed; " +
-                s"serving the source scan: $e")
-              agg
-          }
+      else {
+        // per-invocation memo of manifest metadata reads: the rule sees
+        // every aggregate of the plan (and extraOptimizations can run to
+        // fixpoint), but manifest state cannot change mid-optimization in
+        // a way this rule must observe — one read per relation suffices
+        val memo = new java.util.HashMap[String, AnyRef]()
+        plan.transformUp {
+          case agg: Aggregate =>
+            // any rewrite-side failure (view dropped between registration
+            // and query, manifest GC'd mid-attempt, filesystem error) must
+            // degrade to the source scan — the rule's contract is that it
+            // can only ever change cost, never answers, and never outcomes
+            try tryRewrite(agg, memo).getOrElse(agg)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                logWarning(s"graft MV rewrite attempt failed; " +
+                  s"serving the source scan: $e")
+                agg
+            }
+        }
       }
 
     /** Peel Project/Filter/SubqueryAlias down to the scan, collecting
@@ -227,7 +234,9 @@ object AggViewRewrite {
         case a: AttributeReference if sub.contains(a.exprId) => sub(a.exprId)
       }
 
-    private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    private def tryRewrite(agg: Aggregate,
+                           memo: java.util.HashMap[String, AnyRef])
+        : Option[LogicalPlan] = {
       val (conds, lr, sub) = strip(agg.child) match {
         case Some(x) => x
         case None => return None
@@ -242,7 +251,7 @@ object AggViewRewrite {
       // EVERY spec able to own this scan gets a full coverage attempt —
       // with several views registered over one source, the first-matched
       // spec may not cover this query's keys/aggs while another does
-      matchSpecs(mfi).iterator.flatMap { case (spec, dstSeq, delta) =>
+      matchSpecs(mfi, memo).iterator.flatMap { case (spec, dstSeq, delta) =>
         for {
           _ <- Option.when(conds.forall(c => c.deterministic &&
             c.references.forall(r => spec.keys.contains(r.name))))(())
@@ -280,8 +289,11 @@ object AggViewRewrite {
       * skipped. Fresh views order before stale-serving ones (a fresh
       * view's fold touches no source data at all).
       */
-    private def matchSpecs(mfi: ManifestFileIndex)
+    private def matchSpecs(mfi: ManifestFileIndex,
+                           memo: java.util.HashMap[String, AnyRef])
         : Seq[(ViewSpec, Long, Option[DataFrame])] = {
+      def memoized[A <: AnyRef](key: String)(f: => A): A =
+        memo.computeIfAbsent(key, _ => f).asInstanceOf[A]
       val candidates = registry.values.asScala.toSeq.filter { s =>
         // cheap path-prefix gate first: the expensive checks read
         // manifest metadata, and the rule runs on EVERY aggregate the
@@ -294,7 +306,8 @@ object AggViewRewrite {
           .exists(_.toUri.getPath.startsWith(srcPrefix))
       }
       candidates.flatMap { s =>
-        s.wh.currentManifestState(s.src) match {
+        memoized(s"state:${s.wh.path(s.src)}")(
+          s.wh.currentManifestState(s.src)) match {
           case Some((seq, dirs)) if dirs.nonEmpty && dirs == mfi.versionDirs =>
             // checkpoint and the dst seq it rides on come from ONE
             // manifest read; build() reads the view AT that seq. A
@@ -303,7 +316,8 @@ object AggViewRewrite {
             // folded the delta we are about to union in (double-count),
             // or folded source commits past this scan's snapshot
             // (over-count). Pinning serves the checkpoint's own data.
-            s.wh.pinnedConsumerState(s.dst, s.consumerId) match {
+            memoized(s"pin:${s.wh.path(s.dst)}:${s.consumerId}")(
+              s.wh.pinnedConsumerState(s.dst, s.consumerId)) match {
               case Some((dstSeq, Some(ckpt))) if ckpt == seq =>
                 Seq((s, dstSeq, None))
               case Some((dstSeq, Some(ckpt))) if ckpt < seq =>
