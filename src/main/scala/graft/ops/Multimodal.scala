@@ -183,10 +183,10 @@ object Multimodal {
     * with text byte `f mod len`. The container framing is the demuxer's
     * contract; each frame is an independent `javax.imageio` decode.
     */
-  private def encodeFrameContainer(text: Array[Byte]): Array[Byte] = {
-    val n = (text.length % 16) + 1
-    val frames = (0 until n).map { f =>
-      val v = if (text.length == 0) 0 else text(f % text.length) & 0xff
+  // a single-color 4×4 frame has only 256 possible contents — memoize the
+  // encodes per JVM (fixture generation only; DECODE always runs for real)
+  private lazy val frameCache: Array[Array[Byte]] =
+    Array.tabulate(256) { v =>
       val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
       var y = 0
@@ -198,6 +198,13 @@ object Multimodal {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+
+  private def encodeFrameContainer(text: Array[Byte]): Array[Byte] = {
+    val n = (text.length % 16) + 1
+    val frames = (0 until n).map { f =>
+      val v = if (text.length == 0) 0 else text(f % text.length) & 0xff
+      frameCache(v)
     }
     val buf = ByteBuffer.allocate(4 + frames.map(_.length + 4).sum)
     buf.putInt(n)
