@@ -118,4 +118,69 @@ object OrchestratorQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice,
       |       CAST(o_orderkey // 1000 AS INT) AS okey_k
       |FROM orders""".stripMargin
+
+  /** User-defined macros end-to-end (dbt macro search path,
+    * `dbt_project.yml:15-20`; the reference reserves the slot via
+    * `macros/.gitkeep`): a parameterized SQL-fragment macro whose body
+    * `ref()`s another model — the DAG edge comes from INSIDE the macro —
+    * expanded, scheduled, materialized, read back; the DuckDB oracle
+    * recomputes the expanded SQL directly.
+    */
+  def userMacros(s: SparkSession, d: String): DataFrame = {
+    val macros = graft.compile.Compiler.parseMacros(
+      """{% macro count_by(rel, key, alias='n') %}
+        |SELECT {{ key }}, count(*) AS {{ alias }}
+        |FROM {{ ref({{ rel }}) }} GROUP BY {{ key }}
+        |{% endmacro %}""".stripMargin).map(m => m.name -> m).toMap
+    val project = Project(name = "demo_macros",
+      sources = Seq(SourceDef("tpch", "supplier", s"$d/supplier.parquet")),
+      models = Seq(
+        ModelDef("suppliers",
+          "SELECT s_suppkey, s_nationkey FROM {{ source('tpch','supplier') }}"),
+        ModelDef("suppliers_by_nation",
+          "{{ count_by('suppliers', s_nationkey, alias=n_suppliers) }}")),
+      macros = macros)
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("suppliers_by_nation")
+  }
+
+  val userMacrosSql: String =
+    """SELECT s_nationkey, count(*) AS n_suppliers
+      |FROM supplier GROUP BY s_nationkey""".stripMargin
+
+  /** Graph selectors end-to-end (`dbt build --select`): `+tag:mart`
+    * resolves the tagged mart plus its ancestor closure, builds exactly
+    * that set (an unrelated model must NOT materialize — require'd), and
+    * the mart's content hash-matches the oracle recomputing from raw.
+    */
+  def graphSelectors(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_sel",
+      sources = Seq(SourceDef("tpch", "part", s"$d/part.parquet")),
+      models = Seq(
+        ModelDef("stg_parts",
+          "{{ config(tags='staging') }} SELECT p_partkey, p_brand, " +
+            "CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents " +
+            "FROM {{ source('tpch','part') }}"),
+        ModelDef("mart_brand",
+          """{{ config(tags='mart') }}
+            |SELECT p_brand, count(*) AS n_parts,
+            |       sum(price_cents) AS total_cents
+            |FROM {{ ref('stg_parts') }} GROUP BY p_brand""".stripMargin),
+        ModelDef("unrelated", "SELECT 1 AS one")))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    val (nodes, _) = engine.buildSelected("+tag:mart")
+    require(nodes.map(_.name).toSet == Set("stg_parts", "mart_brand"),
+      s"selector must build exactly the closure, got ${nodes.map(_.name)}")
+    require(nodes.forall(_.status == "success"))
+    require(!engine.warehouse.exists(engine.relationFor("unrelated")),
+      "unselected model must not materialize")
+    engine.readModel("mart_brand")
+  }
+
+  val graphSelectorsSql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM part GROUP BY p_brand""".stripMargin
 }
