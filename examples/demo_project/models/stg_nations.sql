@@ -1,3 +1,3 @@
-{{ config(materialized='view') }}
+{{ config(materialized='view', tags='staging') }}
 SELECT n_nationkey, n_name, n_regionkey
 FROM {{ source('tpch', 'nation') }}

@@ -27,7 +27,10 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                    every row sharing the matched keys; logical until
   *                    compact + gc age the old files out)
   * flags:
-  *   --select a,b       restrict to these nodes
+  *   --select <sel>     dbt selector: names, `*` globs, tag:x,
+  *                      +model/model+ closures (optional depth 2+m/m+1);
+  *                      space-separated terms union, commas intersect;
+  *                      repeatable (repeats union)
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
   *   --defer <root>     resolve unselected upstream refs to this warehouse
   *   --full-refresh     rebuild incrementals from scratch
@@ -58,7 +61,15 @@ object GraftCli {
       database = conf.getOrElse("database", "analytics"),
       schema = conf.getOrElse("schema", "main"),
       threads = conf.getOrElse("threads", "4").toInt,
-      env = env)
+      env = env,
+      // project.conf `commit_mode=manifest|rename` (materialized_view
+      // models need manifest — their maintenance checkpoints ride
+      // manifest metadata)
+      commitMode = conf.get("commit_mode") match {
+        case Some("manifest") => graft.core.CommitMode.Manifest
+        case Some("rename") => graft.core.CommitMode.Rename
+        case _ => graft.core.CommitMode.Auto
+      })
     val engine = new Engine(spark, project, target)
 
     val select: Option[Set[String]] =
@@ -68,8 +79,15 @@ object GraftCli {
         val sel = StateSelector.modifiedPlus(cur, prev)
         println(s"state:modified+ selected: ${sel.toSeq.sorted.mkString(", ")}")
         sel
-      }.orElse(flags.get("select").flatMap(_.headOption)
-        .map(_.split(",").toSet))
+      }.orElse(flags.get("select").flatMap(_.headOption).map { sel =>
+        // full dbt selector semantics (Engine.selectNodes): names, globs,
+        // tag:, +closures; space-separated values union, commas intersect.
+        // Repeat --select or quote a space-separated value for unions.
+        val nodes = engine.selectNodes(
+          (sel +: flags.getOrElse("select", Nil).drop(1)).mkString(" "))
+        println(s"selected: ${nodes.toSeq.sorted.mkString(", ")}")
+        nodes
+      })
 
     command match {
       case "build" =>
