@@ -466,12 +466,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     }.foldLeft(Set.empty[String])(_ union _)
   }
 
-  /** [[build]] over a selector string — `dbt build --select <selector>`. */
+  /** [[build]] over a selector string — `dbt build --select <selector>
+    * [--exclude <selector>]`. Exclusion uses the same selector grammar
+    * and subtracts from the selected set (dbt semantics: exclude wins).
+    */
   def buildSelected(selector: String,
                     deferRoot: Option[String] = None,
-                    fullRefresh: Boolean = false)
+                    fullRefresh: Boolean = false,
+                    exclude: Option[String] = None)
       : (Seq[Dag.NodeResult], Seq[TestResult]) =
-    build(Some(selectNodes(selector)), deferRoot, fullRefresh)
+    build(Some(selectNodes(selector) --
+      exclude.map(selectNodes).getOrElse(Set.empty)), deferRoot, fullRefresh)
 
   /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests
     * immediately after it (SURVEY §3.1 step 6).

@@ -31,6 +31,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                      +model/model+ closures (optional depth 2+m/m+1);
   *                      space-separated terms union, commas intersect;
   *                      repeatable (repeats union)
+  *   --exclude <sel>    subtract these nodes from the selection (same
+  *                      grammar; applies to --state selection too)
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
   *   --defer <root>     resolve unselected upstream refs to this warehouse
   *   --full-refresh     rebuild incrementals from scratch
@@ -87,7 +89,17 @@ object GraftCli {
           (sel +: flags.getOrElse("select", Nil).drop(1)).mkString(" "))
         println(s"selected: ${nodes.toSeq.sorted.mkString(", ")}")
         nodes
-      })
+      }).map { nodes =>
+        // --exclude subtracts (same grammar; applies to state: selection
+        // and --select alike — dbt semantics: exclude wins)
+        flags.get("exclude").map(_.mkString(" ")) match {
+          case Some(ex) if ex.nonEmpty =>
+            val out = nodes -- engine.selectNodes(ex)
+            println(s"after --exclude: ${out.toSeq.sorted.mkString(", ")}")
+            out
+          case _ => nodes
+        }
+      }
 
     command match {
       case "build" =>

@@ -174,6 +174,12 @@ class OrchestratorSpec extends AnyFunSuite {
     val (n2, _) = e2.buildSelected("tag:staging")
     assert(n2.map(_.name).toSet == Set("stg_nations", "stg_regions"))
     assert(n2.forall(_.status == "success"))
+    // --exclude subtracts with the same grammar (exclude wins)
+    val e3 = new Engine(spark, p, Target(root()))
+    val (n3, _) = e3.buildSelected("tag:staging", exclude = Some("stg_r*"))
+    assert(n3.map(_.name).toSet == Set("stg_nations"))
+    assert(e3.selectNodes("+mart_by_region") --
+      e3.selectNodes("tag:staging") == Set("mart_by_region"))
   }
 
   test("on-run-start/on-run-end project hooks execute around the DAG") {
