@@ -257,6 +257,43 @@ class PropertySpec extends AnyFunSuite {
   private def dedup2(rows: List[(Long, String)]): List[(Long, String)] =
     rows.groupBy(_._1).map(_._2.last).toList
 
+  test("property: macro expansion binds arbitrary args exactly once, in place") {
+    import graft.compile.Compiler
+    // arg values drawn from SQL-ish fragments incl. quotes, parens,
+    // commas inside parens, regex metacharacters ($ \ etc.)
+    val argGen: Gen[String] = Gen.oneOf(
+      Gen.const("col_a"), Gen.const("'quoted literal'"),
+      Gen.const("f(x, y)"), Gen.const("a + b * 2"),
+      Gen.const("coalesce(v, 0)"), Gen.const("'it''s'"),
+      Gen.const("cast($1 AS BIGINT)"), Gen.const("path\\seg"))
+    val casesGen: Gen[(String, String, String)] = for {
+      a1 <- argGen; a2 <- argGen; a3 <- argGen
+    } yield (a1, a2, a3)
+    val macros = Compiler.parseMacros(
+      """{% macro tri(x, y, z='Z') %}
+        |A={{ x }}|B={{ y }}|C={{ z }}|B2={{ y }}
+        |{% endmacro %}""".stripMargin).map(m => m.name -> m).toMap
+    samples(casesGen, 120, 0xC0FFEE).foreach { case (a1, a2, a3) =>
+      // keyword + positional forms must bind identically
+      val pos = Compiler.expandMacros(s"{{ tri($a1, $a2, $a3) }}", macros)
+      val kw = Compiler.expandMacros(s"{{ tri($a1, z=$a3, y=$a2) }}", macros)
+      val expected = s"A=$a1|B=$a2|C=$a3|B2=$a2"
+      assert(pos == expected, s"positional: $pos")
+      assert(kw == expected, s"keyword: $kw")
+      // default fills the omitted param
+      val dflt = Compiler.expandMacros(s"{{ tri($a1, $a2) }}", macros)
+      assert(dflt == s"A=$a1|B=$a2|C=Z|B2=$a2")
+      // surrounding SQL and non-macro calls pass through untouched
+      val mixed = Compiler.expandMacros(
+        s"SELECT {{ tri($a1, $a2, $a3) }} FROM {{ ref('t') }}", macros)
+      assert(mixed == s"SELECT $expected FROM {{ ref('t') }}")
+    }
+    // missing required arg fails loudly
+    intercept[IllegalArgumentException] {
+      Compiler.expandMacros("{{ tri(only_one) }}", macros)
+    }
+  }
+
   test("date shard enumeration matches the range (incl. leap day)") {
     assert(DateUtils.dateShardedTables("events_", "20240228", "20240302") ==
       Seq("events_20240228", "events_20240229", "events_20240301", "events_20240302"))
