@@ -101,6 +101,11 @@ object GraftCli {
         }
       }
 
+    // a selector that matches nothing is almost always a typo'd name —
+    // dbt warns the same way; the build itself still runs (empty = no-op)
+    select.filter(_.isEmpty).foreach(_ => System.err.println(
+      "[graft] WARNING: selection matched no nodes"))
+
     command match {
       case "build" =>
         val (nodes, tests) = engine.build(select,
