@@ -77,20 +77,30 @@ object AggViewRewrite {
       aggs.collectFirst { case (alias, f, cc) if f == fn && cc == c => alias }
   }
 
-  /** Extract (keys, aggs) from a materialized-view DEFINITION's analyzed
-    * plan — the Engine's `materialized='materialized_view'` models
-    * declare their view as SQL, and maintenance/registration need the
-    * `maintainAggView` argument shape back. Accepts exactly the shape
-    * the maintenance and the rewrite can honor: `Aggregate` over
-    * (Project/SubqueryAlias)* over one relation, plain-column groupings,
-    * every measure an aliased count(*)/count/sum/min/max of a plain
-    * column, no filters (a WHERE would have to be re-applied to every
-    * maintenance delta AND proven implied by query filters at rewrite
-    * time — reject rather than half-support). None = not that shape;
-    * the caller decides how loudly to fail.
+  /** Extract (keys, physical aggs, declared outputs) from a
+    * materialized-view DEFINITION's analyzed plan — the Engine's
+    * `materialized='materialized_view'` models declare their view as
+    * SQL, and maintenance/registration need the `maintainAggView`
+    * argument shape back. Accepts exactly the shape the maintenance and
+    * the rewrite can honor: `Aggregate` over (Project/SubqueryAlias)*
+    * over one relation, plain-column groupings, every measure an
+    * aliased count(*)/count/sum/min/max/avg of a plain column, no
+    * filters (a WHERE would have to be re-applied to every maintenance
+    * delta AND proven implied by query filters at rewrite time — reject
+    * rather than half-support). None = not that shape; the caller
+    * decides how loudly to fail.
+    *
+    * `avg(c) AS m` DECOMPOSES: the stored table carries the mergeable
+    * partials `__m_sum`/`__m_cnt` (avg partials themselves don't merge),
+    * and the declared column comes back through the returned `outputs`
+    * projection — (alias, SQL over the physical columns), identity for
+    * everything but avg. Readers of the MODEL apply the projection;
+    * queries over the SOURCE are served by the rewrite's own avg fold,
+    * which finds the synthesized sum+count partials by (fn, col).
     */
   def extractSpec(df: DataFrame)
-      : Option[(Seq[String], Seq[(String, String, String)])] =
+      : Option[(Seq[String], Seq[(String, String, String)],
+                Seq[(String, String)])] =
     df.queryExecution.analyzed match {
       case agg: Aggregate =>
         @annotation.tailrec
@@ -111,40 +121,73 @@ object AggViewRewrite {
           case a: AttributeReference => a.name
           case _ => return None
         }
-        val aggs = agg.aggregateExpressions.flatMap {
-          case a: AttributeReference if keys.contains(a.name) => Nil
+        val aggs = Seq.newBuilder[(String, String, String)]
+        val outs = Seq.newBuilder[(String, String)]
+        agg.aggregateExpressions.foreach {
+          case a: AttributeReference if keys.contains(a.name) =>
+            outs += a.name -> s"`${a.name}`"
           case Alias(a: AttributeReference, n)
-              if keys.contains(a.name) && a.name == n => Nil
+              if keys.contains(a.name) && a.name == n =>
+            outs += n -> s"`$n`"
           case Alias(ae: AggregateExpression, name)
               if !ae.isDistinct && ae.filter.isEmpty =>
+            outs += name -> s"`$name`"
             ae.aggregateFunction match {
               case c: Count => c.children match {
                 // a NULL literal is count(NULL) = 0, not a row count
                 case Seq(l: Literal) if l.value != null =>
-                  Seq((name, "count", "*"))
-                case Nil => Seq((name, "count", "*"))
-                case Seq(a: AttributeReference) => Seq((name, "count", a.name))
+                  aggs += ((name, "count", "*"))
+                case Nil => aggs += ((name, "count", "*"))
+                case Seq(a: AttributeReference) =>
+                  aggs += ((name, "count", a.name))
                 case _ => return None
               }
               case s: Sum => s.child match {
-                case a: AttributeReference => Seq((name, "sum", a.name))
+                case a: AttributeReference => aggs += ((name, "sum", a.name))
                 case _ => return None
               }
               case m: Min => m.child match {
-                case a: AttributeReference => Seq((name, "min", a.name))
+                case a: AttributeReference => aggs += ((name, "min", a.name))
                 case _ => return None
               }
               case m: Max => m.child match {
-                case a: AttributeReference => Seq((name, "max", a.name))
+                case a: AttributeReference => aggs += ((name, "max", a.name))
+                case _ => return None
+              }
+              case av: Average => av.child match {
+                case a: AttributeReference =>
+                  aggs += ((s"__${name}_sum", "sum", a.name))
+                  aggs += ((s"__${name}_cnt", "count", a.name))
+                  // overwrite the identity output pushed above
+                  outs += name ->
+                    (s"(CAST(`__${name}_sum` AS DOUBLE) / " +
+                      s"`__${name}_cnt`) AS `$name`")
                 case _ => return None
               }
               case _ => return None
             }
           case _ => return None
         }
-        if (keys.isEmpty || aggs.isEmpty) None else Some((keys, aggs))
+        val physical = aggs.result()
+        // drop the identity placeholder for avg outputs (last-wins),
+        // preserving declared column order
+        val allOuts = outs.result()
+        val ordered = allOuts.map(_._1).distinct
+          .map(n => n -> allOuts.filter(_._1 == n).last._2)
+        if (keys.isEmpty || physical.isEmpty) None
+        else Some((keys, physical, ordered))
       case _ => None
     }
+
+  /** The `SELECT` list rebuilding a view definition's DECLARED columns
+    * from the stored physical table — identity unless the definition
+    * used avg. None when every output is an identity passthrough (the
+    * common case — callers can then read the table directly).
+    */
+  def projectionSql(outputs: Seq[(String, String)]): Option[String] = {
+    val identity = outputs.forall { case (n, e) => e == s"`$n`" }
+    if (identity) None else Some(outputs.map(_._2).mkString(", "))
+  }
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, ViewSpec]

@@ -168,8 +168,37 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         local.pathUnder(prod)
       case _ => local.pathUnder(target.warehouseRoot)
     }
-    Compiler.pathRelation(path)
+    val base = Compiler.pathRelation(path)
+    // a materialized_view whose definition decomposed (avg → sum+count
+    // partials) stores the physical partial table; refs read the
+    // DECLARED shape back through the projection subquery
+    mvProjection(model).map(p => s"(SELECT $p FROM $base)").getOrElse(base)
   }
+
+  /** The declared-shape SELECT list of a `materialized_view` model whose
+    * stored table carries decomposed partials (avg), rebuilt from the
+    * model definition. None for identity shapes, non-MV models, and when
+    * the definition cannot be analyzed yet (compile before the source
+    * exists — compile artifacts then reference the raw table, which is
+    * also the identity answer for every non-avg definition). Memoized:
+    * the projection is a pure function of the model SQL.
+    */
+  private val mvProjCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+  private def mvProjection(name: String): Option[String] =
+    mvProjCache.getOrElseUpdate(name,
+      project.models.find(mm => mm.name == name &&
+          effectiveConfig(mm).materialized == "materialized_view")
+        .flatMap { mm =>
+          scala.util.Try {
+            val df = spark.sql(warehouse.resolveSql(
+              compileSql(mm, Set.empty, None, fullRefresh = false)))
+            graft.plans.AggViewRewrite.extractSpec(df)
+              .flatMap { case (_, _, outs) =>
+                graft.plans.AggViewRewrite.projectionSql(outs)
+              }
+          }.toOption.flatten
+        })
 
   private def viewName(model: String): String =
     s"${project.name}_${target.resolvedSchema}_$model"
@@ -342,10 +371,10 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
               s"ref()'d table/incremental model, got refs=$refs " +
               s"(materialized=${srcMat.getOrElse("<none>")})")
           val srcRel = relationFor(refs.head)
-          val (keys, aggSpec) = graft.plans.AggViewRewrite.extractSpec(df)
+          val (keys, aggSpec, _) = graft.plans.AggViewRewrite.extractSpec(df)
             .getOrElse(throw new IllegalArgumentException(
               s"${m.name}: materialized_view must be a GROUP BY over plain " +
-                "columns with count/sum/min/max measures and no WHERE — " +
+                "columns with count/sum/min/max/avg measures and no WHERE — " +
                 "declare anything else as a plain table/incremental model"))
           warehouse.maintainAggView(srcRel, relationFor(m.name),
             s"mv_${m.name}", keys, aggSpec, cfg.partitionBy)
@@ -532,7 +561,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           compileSql(m, Set.empty, None, fullRefresh = false)))
       case None =>
         val rel = relationFor(name)
-        if (warehouse.exists(rel)) warehouse.read(rel)
+        if (warehouse.exists(rel)) mvProjection(name) match {
+          case Some(p) => spark.sql(warehouse.resolveSql(s"SELECT $p FROM " +
+            Compiler.pathRelation(rel.pathUnder(target.warehouseRoot))))
+          case None => warehouse.read(rel)
+        }
         else warehouse.readView(rel).getOrElse(warehouse.read(rel))
     }
 

@@ -498,6 +498,63 @@ class OrchestratorSpec extends AnyFunSuite {
       java.nio.file.Paths.get(whRead.path(rel0) + ".lock")))
   }
 
+  test("materialized_view with avg: partials stored, declared shape served") {
+    val s2 = spark
+    val p = Project(
+      name = "p",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("orders_t",
+          """SELECT o_orderkey, o_orderstatus,
+            |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            |FROM {{ source('tpch','orders') }}""".stripMargin),
+        ModelDef("orders_avg_mv",
+          """{{ config(materialized='materialized_view') }}
+            |SELECT o_orderstatus, count(*) AS n, avg(cents) AS mean_cents
+            |FROM {{ ref('orders_t') }} GROUP BY o_orderstatus""".stripMargin),
+        // a downstream model reading the MV through ref() must see the
+        // DECLARED columns, not the stored partials
+        ModelDef("mv_reader",
+          """SELECT o_orderstatus, round(mean_cents, 2) AS m2, n
+            |FROM {{ ref('orders_avg_mv') }}""".stripMargin)))
+    val e = new Engine(spark, p, Target(root(),
+      commitMode = CommitMode.Manifest))
+    val (nodes, _) = e.build()
+    assert(nodes.map(_.status).forall(_ == "success"),
+      nodes.map(n => s"${n.name}:${n.status}:${n.error}").mkString(","))
+    // readModel of the MV returns the declared shape
+    val mv = e.readModel("orders_avg_mv")
+    assert(mv.columns.toSeq == Seq("o_orderstatus", "n", "mean_cents"))
+    val expect = e.readModel("orders_t").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), avg("cents").as("mean_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = mv.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    // the downstream model materialized from the declared shape
+    val reader = e.readModel("mv_reader")
+    assert(reader.columns.toSeq == Seq("o_orderstatus", "m2", "n"))
+    val readerRows = reader.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(readerRows == expect.map(t =>
+      (t._1, math.rint(t._3 * 100) / 100, t._2)))
+    // serving: an avg query over the SOURCE scans the view's files
+    val q = e.readModel("orders_t").groupBy("o_orderstatus")
+      .agg(avg("cents").as("mean_cents"))
+    q.count()
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+    val mvPath = e.warehouse.path(e.relationFor("orders_avg_mv"))
+    assert(scanned.nonEmpty && scanned.forall(_.contains(mvPath)),
+      s"avg over the source must serve from the view partials, got $scanned")
+  }
+
   test("materialized_view over a view-backed model errors at build time") {
     val p = Project(
       name = "p",
