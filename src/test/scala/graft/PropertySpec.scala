@@ -294,6 +294,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: graph selector closures match an independent BFS on random DAGs") {
+    import graft.run.{Engine, ModelDef, Project, Target}
+    val dagGen: Gen[Seq[(Int, Seq[Int])]] = for {
+      n <- Gen.choose(3, 12)
+      edges <- Gen.sequence[Seq[Seq[Int]], Seq[Int]]((0 until n).map { i =>
+        if (i == 0) Gen.const(Seq.empty[Int])
+        else Gen.someOf(0 until i).map(_.toSeq)
+      })
+    } yield (0 until n).map(i => i -> edges(i))
+    samples(dagGen, 25, 0xDA6).foreach { dag =>
+      val models = dag.map { case (i, parents) =>
+        val refs =
+          if (parents.isEmpty) "" else
+            parents.map(p => s"{{ ref('m$p') }}").mkString(" FROM ", ", ", "")
+        ModelDef(s"m$i", s"SELECT 1 AS one$refs")
+      }
+      val e = new Engine(spark, Project(name = "sel", models = models),
+        Target(Files.createTempDirectory("graft_selp").toString))
+      val parentsOf = dag.map { case (i, ps) =>
+        s"m$i" -> ps.map(p => s"m$p").toSet
+      }.toMap
+      val childrenOf = parentsOf.keys.map(n =>
+        n -> parentsOf.collect { case (c, ps) if ps.contains(n) => c }.toSet).toMap
+      def bfs(seed: String, edges: Map[String, Set[String]],
+              depth: Int): Set[String] = {
+        var acc = Set(seed); var frontier = Set(seed); var d = 0
+        while (frontier.nonEmpty && d < depth) {
+          frontier = frontier.flatMap(edges.getOrElse(_, Set.empty)) -- acc
+          acc ++= frontier; d += 1
+        }
+        acc
+      }
+      dag.foreach { case (i, _) =>
+        val m = s"m$i"
+        assert(e.selectNodes(s"$m+") == bfs(m, childrenOf, Int.MaxValue))
+        assert(e.selectNodes(s"+$m") == bfs(m, parentsOf, Int.MaxValue))
+        assert(e.selectNodes(s"+$m+") ==
+          bfs(m, parentsOf, Int.MaxValue) ++ bfs(m, childrenOf, Int.MaxValue))
+        assert(e.selectNodes(s"$m+1") == bfs(m, childrenOf, 1))
+        assert(e.selectNodes(s"1+$m") == bfs(m, parentsOf, 1))
+        // union and intersection laws
+        assert(e.selectNodes(s"$m+ +$m") ==
+          e.selectNodes(s"$m+") ++ e.selectNodes(s"+$m"))
+        assert(e.selectNodes(s"+$m+,$m") == Set(m))
+      }
+      assert(e.selectNodes("m*") == dag.map(d => s"m${d._1}").toSet)
+    }
+  }
+
   test("date shard enumeration matches the range (incl. leap day)") {
     assert(DateUtils.dateShardedTables("events_", "20240228", "20240302") ==
       Seq("events_20240228", "events_20240229", "events_20240301", "events_20240302"))
