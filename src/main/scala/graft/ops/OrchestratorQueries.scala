@@ -183,4 +183,52 @@ object OrchestratorQueries {
       |  CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
       |    AS total_cents
       |FROM part GROUP BY p_brand""".stripMargin
+
+  /** Model-level avg materialized view, end-to-end: the MV definition
+    * declares `avg(cents)`, which the engine DECOMPOSES into stored
+    * sum+count partials; a downstream model reads the MV through
+    * `ref()` and must see the DECLARED shape (the projection rebuilds
+    * avg from the partials). Incremental: the base grows between two
+    * builds, the second build folds only the delta. The oracle
+    * recomputes the final state from the raw table — avg stays
+    * hash-exact because integer-cent sums below 2^53 make every
+    * accumulation order hit the same double.
+    */
+  def mvAvgModel(s: SparkSession, d: String): DataFrame = {
+    val root = freshRoot()
+    val project = Project(name = "demo_mv_avg",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("orders_base",
+          """{{ config(materialized='incremental', unique_key='o_orderkey') }}
+            |SELECT o_orderkey, o_orderstatus,
+            |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            |FROM {{ source('tpch','orders') }}
+            |WHERE o_orderkey <= {{ env_var('MAX_ID') }}
+            |{% if is_incremental() %}
+            |  AND o_orderkey > (SELECT max(o_orderkey) FROM {{ this }})
+            |{% endif %}""".stripMargin),
+        ModelDef("orders_avg_mv",
+          """{{ config(materialized='materialized_view') }}
+            |SELECT o_orderstatus, count(*) AS n_orders,
+            |  avg(cents) AS avg_cents
+            |FROM {{ ref('orders_base') }} GROUP BY o_orderstatus""".stripMargin),
+        ModelDef("mv_report",
+          """SELECT o_orderstatus, n_orders, round(avg_cents, 4) AS avg_r
+            |FROM {{ ref('orders_avg_mv') }}""".stripMargin)))
+    val run1 = new Engine(s, project, Target(root,
+      env = Map("MAX_ID" -> "10000"), threads = 1,
+      commitMode = graft.core.CommitMode.Manifest))
+    require(run1.build()._1.forall(_.status == "success"))
+    val run2 = new Engine(s, project, Target(root,
+      env = Map("MAX_ID" -> "999999999"), threads = 1,
+      commitMode = graft.core.CommitMode.Manifest))
+    require(run2.build()._1.forall(_.status == "success"))
+    run2.readModel("mv_report")
+  }
+
+  val mvAvgModelSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 4) AS avg_r
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 }

@@ -26,7 +26,8 @@ FAMILIES = [
         "b48_append_new_columns"]),
     ("SCD-2 snapshots", ["b11_snapshot_timestamp", "b15_snapshot_check"]),
     ("orchestrator lifecycle", ["o_build_dag", "o_incremental_model",
-        "o_insert_overwrite_pruned", "o_user_macros", "o_graph_selectors"]),
+        "o_insert_overwrite_pruned", "o_user_macros", "o_graph_selectors",
+        "o_mv_avg_model"]),
     ("row deletes / compaction / z-order / bloom", ["x_row_deletes",
         "x_compact_table", "x_zorder_box", "x_bloom_lookup"]),
     ("MV maintenance + serving", ["x_agg_view", "x_mv_rewrite",
