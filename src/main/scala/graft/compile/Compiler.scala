@@ -67,6 +67,11 @@ object Compiler {
         kvs.get("unique_key").foreach(v => cfg = cfg.copy(uniqueKey = Seq(v)))
         kvs.get("partition_by").foreach(v => cfg = cfg.copy(partitionBy =
           v.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq))
+        // `|`-separated like tags (a comma would split the kv scan);
+        // entries may be `start..end` day ranges (reference
+        // partition_range @151173)
+        kvs.get("partitions").foreach(v => cfg = cfg.copy(partitions =
+          v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq))
         kvs.get("incremental_strategy").foreach { v =>
           import graft.core.IncrementalStrategy._
           cfg = cfg.copy(incrementalStrategy = v match {

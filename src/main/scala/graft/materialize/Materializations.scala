@@ -243,6 +243,57 @@ final class Materializer(wh: Warehouse) {
     }
   }
 
+  /** B2 legacy per-date partition loop (reference
+    * `make_date_partitioned_table` @47149 + `materialization_table_bigquery`
+    * `partitions` branch @48682: the dbt-bigquery 0.x surface where a
+    * `table` model with a `partitions` date list runs ONE QUERY PER DATE —
+    * `[DBT__PARTITION_DATE]` substituted as raw text into the compiled SQL,
+    * each result written into that date's partition via the `table$date`
+    * decorator, WRITE_TRUNCATE per partition).
+    *
+    * Mapping onto the path warehouse: the decorator's ingestion-time
+    * partition becomes an engine-added DATE column (`dateCol`) the target
+    * is partitioned by. A fresh target (or one whose layout doesn't match)
+    * is created whole on the first date (the reference's
+    * `make_date_partitioned_table(should_create)`); every further date is
+    * a per-partition swap that also DROPS the date's partition when the
+    * query returns no rows (decorator truncate semantics). Untouched
+    * dates' files are never read or rewritten — at scale a 3-day backfill
+    * over years of history touches 3 leaf dirs.
+    *
+    * The loop is sequential by design, matching the reference: each date
+    * is an independent query, and per-date failure leaves earlier dates
+    * committed (the reference's partial-backfill behavior).
+    */
+  def datePartitionedTable(spark: SparkSession, compiledSql: String,
+                           rel: Relation, cfg: ModelConfig,
+                           dates: Seq[String],
+                           resolve: String => String = identity,
+                           dateCol: String = "_partition_date"): Unit = {
+    require(dates.nonEmpty,
+      s"${rel.fqName}: [DBT__PARTITION_DATE] model needs a partitions list " +
+        "(reference: config(partitions=partition_range(...)))")
+    wh.withRelationLock(rel) {
+      val existingSpec = wh.listPartitions(rel).map(_.takeWhile(_ != '=')).distinct
+      val create = !wh.exists(rel) || existingSpec != Seq(dateCol)
+      dates.zipWithIndex.foreach { case (date, i) =>
+        val sql = compiledSql.replace("[DBT__PARTITION_DATE]", date)
+        // decorator date → a proper DATE partition value (partition dirs
+        // render as yyyy-MM-dd, read back as DateType)
+        val df = spark.sql(resolve(sql))
+          .withColumn(dateCol, to_date(lit(date), "yyyyMMdd"))
+        val iso = java.time.LocalDate
+          .parse(date, java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+          .toString
+        if (i == 0 && create)
+          wh.writeAtomic(df, rel, Seq(dateCol), cfg.clusterBy)
+        else
+          wh.replacePartitions(df, rel, Seq(dateCol),
+            alsoDropValues = Seq(iso), clusterCols = cfg.clusterBy)
+      }
+    }
+  }
+
   /** CDC apply: fold a change batch — rows carrying the full payload plus
     * an operation column (`delete`/`d` deletes the key; anything else
     * upserts) and a total-order column (LSN / replication sequence) —

@@ -227,6 +227,43 @@ object OrchestratorQueries {
     run2.readModel("mv_report")
   }
 
+  /** B2 legacy per-date partition loop lifecycle (reference
+    * `materialization_table_bigquery` partitions branch @48682 +
+    * `make_date_partitioned_table` @47149, dbt-bigquery 0.x): a `table`
+    * model whose SQL references `[DBT__PARTITION_DATE]` runs one query
+    * per configured date, each landing in that date's partition. Run 1
+    * backfills 3 days under a row cap; run 2 re-runs days 2–4 (range
+    * form, uncapped) — days 2–3 are REPLACED (decorator WRITE_TRUNCATE),
+    * day 4 is new, and day 1 must survive untouched from run 1. The
+    * oracle recomputes the final per-day union from raw orders.
+    */
+  def partitionsLoop(s: SparkSession, d: String): DataFrame = {
+    val root = freshRoot()
+    val modelSql =
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM {{ source('tpch','orders') }}
+        |WHERE o_orderdate = to_date('[DBT__PARTITION_DATE]', 'yyyyMMdd')
+        |  AND o_orderkey <= {{ env_var('MAX_ID') }}""".stripMargin
+    def project(partitions: Seq[String]) = Project(name = "demo_ploop",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("orders_daily", modelSql,
+        ModelConfig(materialized = "table", partitions = partitions))))
+    val run1 = new Engine(s, project(Seq("19960101", "19960102", "19960103")),
+      Target(root, env = Map("MAX_ID" -> "30000"), threads = 1))
+    require(run1.build()._1.forall(_.status == "success"))
+    val run2 = new Engine(s, project(Seq("19960102..19960104")),
+      Target(root, env = Map("MAX_ID" -> "999999999"), threads = 1))
+    require(run2.build()._1.forall(_.status == "success"))
+    run2.readModel("orders_daily")
+  }
+
+  val partitionsLoopSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS _partition_date
+      |FROM orders
+      |WHERE (o_orderdate = DATE '1996-01-01' AND o_orderkey <= 30000)
+      |   OR (o_orderdate BETWEEN DATE '1996-01-02' AND DATE '1996-01-04')""".stripMargin
+
   val mvAvgModelSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders,
       |  round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 4) AS avg_r

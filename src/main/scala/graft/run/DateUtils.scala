@@ -27,4 +27,18 @@ object DateUtils {
     require(parts.length == 2, s"partition_range spec must be 'start,end': $spec")
     (parts(0), parts(1))
   }
+
+  /** Expand a legacy `partitions` config into its date-decorator strings
+    * (reference `partition_range` @151173 expands a `start,end` spec via
+    * `dates_in_range` before `make_date_partitioned_table` loops). Plain
+    * entries pass through; `start..end` entries expand to the inclusive
+    * day range in `yyyyMMdd` form.
+    */
+  def expandPartitionDates(partitions: Seq[String]): Seq[String] =
+    partitions.flatMap { p =>
+      p.split("\\.\\.", 2) match {
+        case Array(a, b) => datesInRange(a.trim, b.trim).map(_.format(fmt))
+        case _ => Seq(p.trim)
+      }
+    }.distinct
 }

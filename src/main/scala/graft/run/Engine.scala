@@ -331,6 +331,21 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       val cfg = effectiveConfig(m)
       runHooks(cfg.preHooks, m.name)
       val compiled = compileSql(m, selected, deferRoot, fullRefresh)
+      if (compiled.contains("[DBT__PARTITION_DATE]")) {
+        // B2 legacy per-date partition loop (reference
+        // `materialization_table_bigquery` partitions branch @48682 +
+        // `make_date_partitioned_table` @47149): one query per configured
+        // date, the placeholder substituted as raw text, each result
+        // landing in that date's partition. Only the `table`
+        // materialization supports it, as in dbt-bigquery 0.x.
+        require(cfg.materialized == "table",
+          s"${m.name}: [DBT__PARTITION_DATE] requires materialized='table' " +
+            s"(got '${cfg.materialized}')")
+        mat.datePartitionedTable(spark, compiled, relationFor(m.name), cfg,
+          DateUtils.expandPartitionDates(cfg.partitions),
+          warehouse.resolveSql)
+        warehouse.dropView(relationFor(m.name))
+      } else {
       val df = spark.sql(warehouse.resolveSql(compiled))
       cfg.materialized match {
         case "view" =>
@@ -387,6 +402,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         case _ =>
           mat.table(df, relationFor(m.name), cfg)
           warehouse.dropView(relationFor(m.name)) // stale if formerly a view
+      }
       }
       runHooks(cfg.postHooks, m.name)
     }

@@ -502,4 +502,53 @@ class MaterializeSpec extends AnyFunSuite {
     // read-back is still complete
     assert(wh.read(r).count() == 101)
   }
+
+  test("legacy partitions loop: backfill, per-date replace, truncate, untouched byte-identity") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("ploop")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "20240101"), (2L, "20240102"), (3L, "20240102"), (4L, "20240103"))
+      .toDF("id", "day").createOrReplaceTempView("ploop_src")
+    val sql = "SELECT id FROM ploop_src WHERE day = '[DBT__PARTITION_DATE]'"
+    val cfg = ModelConfig(materialized = "table")
+    val dates = graft.run.DateUtils.expandPartitionDates(Seq("20240101..20240103"))
+    assert(dates == Seq("20240101", "20240102", "20240103"))
+    m.datePartitionedTable(spark, sql, r, cfg, dates)
+    // backfill: 3 date partitions, DATE-typed partition column
+    assert(wh.listPartitions(r).toSet == Set(
+      "_partition_date=2024-01-01", "_partition_date=2024-01-02",
+      "_partition_date=2024-01-03"))
+    val read1 = wh.read(r)
+    assert(read1.schema("_partition_date").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(read1.collect().map(x => (x.getAs[Long]("id"),
+      x.getAs[java.sql.Date]("_partition_date").toString)).toSet ==
+      Set((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"),
+        (4L, "2024-01-03")))
+    // re-run days 2–3 against changed source data: day 2 is REPLACED,
+    // day 3 now yields no rows → partition dropped (decorator
+    // WRITE_TRUNCATE); day 1 is never read or rewritten
+    val d1Files = partFiles(wh, r, "_partition_date=2024-01-01")
+    Seq((20L, "20240102")).toDF("id", "day")
+      .createOrReplaceTempView("ploop_src")
+    m.datePartitionedTable(spark, sql, r, cfg, Seq("20240102", "20240103"))
+    assert(wh.read(r).collect().map(x => (x.getAs[Long]("id"),
+      x.getAs[java.sql.Date]("_partition_date").toString)).toSet ==
+      Set((1L, "2024-01-01"), (20L, "2024-01-02")))
+    assert(partFiles(wh, r, "_partition_date=2024-01-01") == d1Files)
+    // empty partitions list fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      m.datePartitionedTable(spark, sql, r, cfg, Nil)
+    }
+    assert(ex.getMessage.contains("partitions"))
+  }
+
+  test("inline config parses a partitions list (pipe-separated, range form preserved)") {
+    val cfg = graft.compile.Compiler.parseInlineConfig(
+      "{{ config(materialized='table', partitions='20240101..20240103|20240110') }} SELECT 1",
+      ModelConfig())
+    assert(cfg.partitions == Seq("20240101..20240103", "20240110"))
+    assert(graft.run.DateUtils.expandPartitionDates(cfg.partitions) ==
+      Seq("20240101", "20240102", "20240103", "20240110"))
+  }
 }
