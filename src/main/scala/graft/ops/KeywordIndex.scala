@@ -34,6 +34,8 @@ import graft.core.{Relation, Warehouse}
 final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
   private val postRel = Relation("idx", "kw", s"${name}__postings")
   private val dfRel = Relation("idx", "kw", s"${name}__df")
+  private val dlRel = Relation("idx", "kw", s"${name}__dl")
+  private val statsRel = Relation("idx", "kw", s"${name}__stats")
 
   /** Distinct `(term, doc_id)` pairs of `docs(doc_id, text)`. */
   private def postings(docs: DataFrame): DataFrame =
@@ -45,21 +47,50 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
   private def bucketed(p: DataFrame): DataFrame =
     p.withColumn("tb", pmod(hash(col("term")), lit(buckets)))
 
+  /** All (non-distinct) token occurrences of `docs` — the tf/dl basis. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Per-doc token counts of a batch (the BM25 `dl` rows). */
+  private def docLengths(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+
   /** One-time corpus scan: bucket-partitioned postings + the frozen df
-    * table (tiny — one row per vocabulary term).
+    * table (tiny — one row per vocabulary term) + per-doc lengths and the
+    * 1-row corpus stats that [[searchRanked]]'s BM25 normalization needs.
     */
   def build(docs: DataFrame): Unit = {
     val p = postings(docs)
     wh.writeAtomic(bucketed(p), postRel, partitionCols = Seq("tb"))
     wh.writeAtomic(
       p.groupBy(col("term")).agg(count(lit(1)).as("df")), dfRel)
+    val dl = docLengths(docs)
+    wh.writeAtomic(dl, dlRel)
+    wh.writeAtomic(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len")), statsRel)
   }
 
   /** Admit a batch (append-only, O(batch)): postings land in their
-    * buckets; the df table stays frozen (probe-order heuristic only).
+    * buckets; doc lengths append and the 1-row stats table is folded
+    * forward (read-modify-write of one row under the relation lock), so
+    * BM25 length normalization stays exact across appends. The df table
+    * stays frozen (probe-order + idf drift only — rebuild to refresh).
     */
-  def append(docs: DataFrame): Unit =
+  def append(docs: DataFrame): Unit = {
     wh.append(bucketed(postings(docs)), postRel, Seq("tb"))
+    val dl = docLengths(docs)
+    wh.append(dl, dlRel)
+    val s = wh.spark
+    val prev = wh.read(statsRel).collect().head
+    val add = dl.agg(count(lit(1)), sum(col("dl"))).collect().head
+    import s.implicits._
+    wh.writeAtomic(
+      Seq((prev.getAs[Long]("n_docs") + add.getLong(0),
+        prev.getAs[Long]("total_len") + add.getLong(1)))
+        .toDF("n_docs", "total_len"), statsRel)
+  }
 
   /** Streaming sibling of [[append]] under the per-relation batch-id
     * watermark ([[Warehouse.appendStreamBatch]]): a checkpoint-restart
@@ -122,6 +153,52 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
         .select(col("doc_id"))
     }
   }
+
+  /** BM25-ranked conjunctive search: [[search]]'s partition-pruned
+    * candidates, scored and cut to the `k` best `(doc_id, score)` rows
+    * (score DESC, doc_id ASC ties). Term frequencies come from
+    * re-tokenizing only the CANDIDATE docs (the verify-pass trick — a
+    * stop word's posting list is never read for its tf either); document
+    * lengths join from the stored `__dl` rows; corpus stats are the
+    * 1-row `__stats` read and df the vocabulary-row `__df` filter — all
+    * control-plane.
+    *
+    * The score is BM25 (k1=1.2, b=0.75) with Robertson's idf kept as
+    * the RAW RATIO (N−df+½)/(df+½) instead of its log — the monotone
+    * per-term transform is dropped deliberately so the score is exact
+    * cross-engine arithmetic (IEEE mul/div are correctly rounded where
+    * libm `ln` is not — the same determinism rule as
+    * [[TextOps.tfidfTerms]]), and each term's partial is floor-scaled to
+    * an integer BEFORE the per-doc sum so accumulation order can't move
+    * the result. df is as-of-build (idf drifts under appends until a
+    * rebuild; dl/stats stay exact).
+    */
+  def searchRanked(docs: DataFrame, terms: Seq[String], k: Int = 10,
+                   maxProbe: Int = 2): DataFrame = {
+    val want = terms.map(_.toLowerCase).distinct
+    val cands = search(docs, terms, maxProbe)
+    val stats = wh.read(statsRel).collect().head
+    val n = stats.getAs[Long]("n_docs")
+    val tl = stats.getAs[Long]("total_len")
+    val dfs = wh.read(dfRel).filter(col("term").isin(want: _*))
+    val candDocs = docs.join(cands, Seq("doc_id"))
+    val tf = tokens(candDocs).filter(col("term").isin(want: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // (2N − 2df + 1)/(2df + 1) ≡ (N−df+½)/(df+½); association mirrors
+    // the oracle text exactly — every double op is identical both sides
+    val idf = (lit(2.0) * lit(n.toDouble) - lit(2.0) * col("df") + lit(1.0)) /
+      (lit(2.0) * col("df") + lit(1.0))
+    val tfd = col("tf").cast("double")
+    val comp = (tfd * lit(2.2)) / (tfd + lit(1.2) *
+      (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") * lit(n.toDouble) / lit(tl.toDouble))))
+    tf.join(dfs, Seq("term"))
+      .join(wh.read(dlRel), Seq("doc_id"))
+      .withColumn("ts", floor(lit(1000000.0) * idf * comp).cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("ts")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
 
 /** Oracle-checked keyword-search query + the memoized index instance
@@ -162,4 +239,52 @@ object KeywordQueries {
       |WHERE term IN ('dup', 'vector', 'window')
       |GROUP BY doc_id
       |HAVING count(DISTINCT term) = 3""".stripMargin
+
+  /** BM25-ranked variant of the same conjunctive query: top-10
+    * candidates by the integer-scaled log-free BM25 score (see
+    * [[KeywordIndex.searchRanked]]). The oracle recomputes tf/dl/df/
+    * corpus stats by tokenizing every document and reproduces the
+    * identical floor-scaled arithmetic.
+    */
+  def xKeywordBm25(s: SparkSession, d: String): DataFrame = {
+    val idx = indexes.computeIfAbsent(s"${s.hashCode()}:$d", _ => {
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft_kw_idx").toString,
+        graft.core.CommitMode.Manifest)
+      val i = new KeywordIndex(wh, "docs")
+      i.build(documents(s, d))
+      i
+    })
+    idx.searchRanked(documents(s, d), Seq("dup", "vector", "window"))
+  }
+
+  val xKeywordBm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      |  FROM documents),
+      |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2
+      |        WHERE term IN ('dup', 'vector', 'window') GROUP BY term),
+      |cand AS (SELECT doc_id FROM toks2
+      |         WHERE term IN ('dup', 'vector', 'window')
+      |         GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+      |       WHERE term IN ('dup', 'vector', 'window')
+      |         AND doc_id IN (SELECT doc_id FROM cand)
+      |       GROUP BY doc_id, term),
+      |scored AS (
+      |  SELECT tf.doc_id, CAST(floor(1000000.0 *
+      |    ((2.0 * s.n - 2.0 * dft.df + 1.0) / (2.0 * dft.df + 1.0)) *
+      |    ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) +
+      |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) *
+      |        CAST(s.n AS DOUBLE) / CAST(s.tl AS DOUBLE)))))) AS BIGINT)
+      |    AS ts
+      |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+      |  CROSS JOIN stats s)
+      |SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 }

@@ -112,6 +112,48 @@ class KeywordIndexSpec extends AnyFunSuite {
       brute(docs, Seq("dup")) - hit)
   }
 
+  test("BM25 ranking agrees with an independent recompute; appends keep dl/stats exact") {
+    val s = spark; import s.implicits._
+    val (wh, idx) = freshIdx()
+    val terms = Seq("dup", "vector", "window")
+    // independent score recompute: Scala-side tokenize-everything BM25
+    // with the same log-free integer-scaled arithmetic
+    def bruteBm25(d: DataFrame): Seq[(Long, Long)] = {
+      val toks = d.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty).toSeq).toMap
+      val n = toks.size.toDouble
+      val tl = toks.values.map(_.size.toLong).sum.toDouble
+      val dfm = terms.map(t =>
+        t -> toks.values.count(_.contains(t)).toDouble).toMap
+      val cand = toks.filter { case (_, ts) => terms.forall(ts.contains) }
+      cand.map { case (id, ts) =>
+        val dl = ts.size.toDouble
+        id -> terms.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          val idf = (2.0 * n - 2.0 * dfm(t) + 1.0) / (2.0 * dfm(t) + 1.0)
+          val comp = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * n / tl)))
+          math.floor(1000000.0 * idf * comp).toLong
+        }.sum
+      }.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    }
+    val got = idx.searchRanked(docs, terms).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(got.nonEmpty && got == bruteBm25(docs))
+    // append: dl rows and the stats fold keep normalization exact —
+    // scores over the grown corpus change only through n/tl (df frozen),
+    // so the appended doc itself ranks (it contains all three terms)
+    val extra = Seq((920001L, "dup vector window dup vector window"))
+      .toDF("doc_id", "text")
+    idx.append(extra)
+    val all = docs.unionByName(extra)
+    val got2 = idx.searchRanked(all, terms).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(got2.contains(920001L))
+    val st = wh.read(Relation("idx", "kw", "d__stats")).collect().head
+    assert(st.getAs[Long]("n_docs") == docs.count() + 1)
+  }
+
   test("streaming appends are exactly-once under the batch-id watermark") {
     val s = spark; import s.implicits._
     val (wh, idx) = freshIdx()
