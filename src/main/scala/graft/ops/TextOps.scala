@@ -763,6 +763,66 @@ object TextOps {
        |  len(regexp_extract_all(text, '$BpePretokenRe', 0)) AS n_bpe_pieces
        |FROM documents""".stripMargin
 
+  // ----------------------------------------------- n-gram LM quality score
+  /** Corpus-self-trained bigram LM score — the count-based cousin of
+    * CCNet-style perplexity filtering (Wenzek et al. 2019: rank docs by a
+    * language model's average token probability; outliers are boilerplate
+    * / gibberish / wrong-language). Trains unigram+bigram counts on the
+    * corpus itself, then scores each doc by its MEAN scaled conditional
+    * probability: per bigram ts = (10^6·c(w1,w2)) div c(w1), per doc
+    * lm_score = Σts div (m−1). Deliberately log-free and integer-only —
+    * the exact-cross-engine rule of [[tfidfTerms]]: integer div replaces
+    * log-prob sums, accumulation order cannot move the result, and the
+    * monotone "more probable text scores higher" ranking survives.
+    *
+    * Scale shape: one corpus scan feeds both count models (map-side
+    * combinable aggs keyed on term — no driver state, vocabulary-sized
+    * results), scoring is two shuffle joins co-keyed with the counts.
+    * Docs with <2 tokens have no bigrams and drop out (no rows, not a
+    * NULL score).
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val arrs = documents(s, d).select(col("doc_id"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0).as("l"))
+    val toks = arrs.select(col("doc_id"), explode(col("l")).as("term"))
+    val bg = arrs.filter(size(col("l")) >= 2).select(col("doc_id"),
+      explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("cu"))
+    val bic = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bg.join(bic, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
+      .withColumn("ts", expr("(1000000 * cb) DIV cu"))
+      .groupBy("doc_id")
+      .agg(expr("sum(ts) DIV count(1)").as("lm_score"))
+  }
+
+  val lmScoreSql: String =
+    """WITH arrs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(l) AS term,
+      |    unnest(range(1, len(l) + 1)) AS i
+      |  FROM arrs),
+      |bg AS (
+      |  SELECT a.doc_id, a.term AS w1, b.term AS w2
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |uni AS (SELECT term, count(*) AS cu FROM toks GROUP BY term),
+      |bic AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+      |per AS (
+      |  SELECT bg.doc_id, (1000000 * bic.cb) // uni.cu AS ts
+      |  FROM bg JOIN bic USING (w1, w2) JOIN uni ON uni.term = bg.w1)
+      |SELECT doc_id,
+      |  CAST(CAST(sum(ts) AS BIGINT) // count(*) AS BIGINT) AS lm_score
+      |FROM per GROUP BY doc_id""".stripMargin
+
   /** Per-document top-3 keywords by a tf/df score — the keyword-extraction
     * / topic-tagging step of a corpus pipeline. Classic tf-idf shape (term
     * frequency × inverse document frequency) with an INTEGER score
