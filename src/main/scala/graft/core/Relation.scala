@@ -110,4 +110,17 @@ final case class ModelConfig(
     tags: Set[String] = Set.empty,
     preHooks: Seq[String] = Nil,
     postHooks: Seq[String] = Nil,
+    // Model contract (dbt 1.5 `contract: {enforced: true}` + per-column
+    // `data_type`): declared (column, DDL type) pairs the materialized
+    // schema must match exactly by name and type (order-insensitive, as
+    // dbt checks it) — a drifted model fails BEFORE writing, so
+    // downstream consumers never see a surprise schema. Empty = no
+    // contract.
+    contract: Seq[(String, String)] = Nil,
+    // not_null column constraints (dbt `constraints: [{type: not_null}]`)
+    // enforced DURING the write itself: each listed column is wrapped in
+    // a raise-on-null expression evaluated per row by the write pass —
+    // zero extra scans, violations abort the materialization atomically
+    // (the swap/commit never happens).
+    notNull: Seq[String] = Nil,
     enabled: Boolean = true)

@@ -64,6 +64,48 @@ object SchemaEvolution {
   }
 }
 
+/** Model contracts (dbt 1.5 `contract: {enforced: true}` + column
+  * `data_type` / `not_null` constraints): schema shape is validated
+  * BEFORE any write (analysis-time, zero jobs), and not_null is enforced
+  * IN the write pass itself — each constrained column is wrapped in a
+  * raise-on-null expression, so a violating row aborts the job before
+  * the atomic swap/commit lands. No extra scan either way.
+  */
+object Contracts {
+
+  /** Validate `df` against the declared contract and return the frame
+    * with not_null enforcement wrapped in. Contract comparison is by
+    * lowercase name + exact DataType, order-insensitive (dbt semantics);
+    * the error lists every missing / unexpected / mistyped column at
+    * once, like dbt's contract-failure table.
+    */
+  def enforce(df: DataFrame, contract: Seq[(String, String)],
+              notNull: Seq[String], model: String): DataFrame = {
+    if (contract.nonEmpty) {
+      val declared = contract.map { case (n, t) =>
+        n.toLowerCase -> org.apache.spark.sql.types.DataType.fromDDL(t) }.toMap
+      require(declared.size == contract.size,
+        s"$model: contract declares a column twice")
+      val actual = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      val missing = declared.keySet -- actual.keySet
+      val unexpected = actual.keySet -- declared.keySet
+      val mistyped = declared.keySet.intersect(actual.keySet)
+        .filter(c => declared(c) != actual(c))
+        .map(c => s"$c: declared ${declared(c).sql}, got ${actual(c).sql}")
+      if (missing.nonEmpty || unexpected.nonEmpty || mistyped.nonEmpty)
+        throw new IllegalStateException(
+          s"$model: contract violation — " +
+            (if (missing.nonEmpty) s"missing [${missing.toSeq.sorted.mkString(", ")}] " else "") +
+            (if (unexpected.nonEmpty) s"unexpected [${unexpected.toSeq.sorted.mkString(", ")}] " else "") +
+            (if (mistyped.nonEmpty) s"mistyped [${mistyped.toSeq.sorted.mkString("; ")}]" else ""))
+    }
+    notNull.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).isNull, raise_error(lit(
+          s"contract violation: $model.$c is null"))).otherwise(col(c)))
+    }
+  }
+}
+
 /** The engine's write-side operators (SURVEY §2.B B1–B10, B18).
   *
   * Every algorithm is a declarative DataFrame plan ending in one

@@ -346,7 +346,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           warehouse.resolveSql)
         warehouse.dropView(relationFor(m.name))
       } else {
-      val df = spark.sql(warehouse.resolveSql(compiled))
+      // model contract (dbt 1.5): schema validated at analysis time,
+      // not_null raise-on-null wrapped into the write pass itself
+      val df = graft.materialize.Contracts.enforce(
+        spark.sql(warehouse.resolveSql(compiled)),
+        cfg.contract, cfg.notNull, m.name)
       cfg.materialized match {
         case "view" =>
           mat.view(df, viewName(m.name))
@@ -457,8 +461,12 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     *
     *  - `name` — exact node; `stg_*` — name glob
     *  - `tag:x` — models tagged `x` (`config(tags='a|b')`)
+    *  - `config.materialized:v` — models materialized as `v`
+    *  - `source:src` / `source:src.table` — models reading the source
     *  - `+name` / `name+` / `+name+` — ancestors / descendants / both;
     *    `2+name`, `name+1` bound the traversal depth (dbt's `n+` form)
+    *  - `@name` — the node, its descendants, and the ancestors of all of
+    *    those (dbt's at-operator)
     *  - space-separated terms UNION; `,`-joined atoms inside one term
     *    INTERSECT (dbt semantics)
     *
@@ -489,6 +497,21 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         val t = b.stripPrefix("tag:")
         project.models.filter(m => effectiveConfig(m).tags.contains(t))
           .map(_.name).toSet
+      } else if (b.startsWith("config.materialized:")) {
+        // dbt's config-value method (everyday form:
+        // `--select config.materialized:incremental`)
+        val v = b.stripPrefix("config.materialized:")
+        project.models.filter(m => effectiveConfig(m).materialized == v)
+          .map(_.name).toSet
+      } else if (b.startsWith("source:")) {
+        // models reading the named source directly (dbt `source:src` /
+        // `source:src.table` selects via the source's children; the
+        // caller composes `+` for deeper descendants)
+        val spec = b.stripPrefix("source:")
+        project.models.filter { m =>
+          val (_, srcs) = Compiler.dependencies(m.rawSql)
+          srcs.exists { case (sn, tn) => spec == sn || spec == s"$sn.$tn" }
+        }.map(_.name).toSet
       } else {
         val re = ("^" + java.util.regex.Pattern.quote(b)
           .replace("*", "\\E.*\\Q") + "$").r
@@ -497,14 +520,23 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     val atomRe = """^(?:(\d*)\+)?(.+?)(?:\+(\d*))?$""".r
     def depthOf(s: String): Int =
       if (s == null) 0 else if (s.isEmpty) Int.MaxValue else s.toInt
-    def atom(a: String): Set[String] = a match {
-      case atomRe(anc, b, desc) =>
-        val seed = base(b)
-        seed ++
-          (if (anc != null) closure(seed, parents, depthOf(anc)) else Set.empty) ++
-          (if (desc != null) closure(seed, children, depthOf(desc)) else Set.empty)
-      case _ => base(a)
-    }
+    def atom(a: String): Set[String] =
+      if (a.startsWith("@")) {
+        // dbt's at-operator: the node, its descendants, AND the ancestors
+        // of all of those — "everything needed to build this node's
+        // downstream from scratch" (the CI shape for a changed shared
+        // model whose consumers join other upstreams)
+        val seed = base(a.stripPrefix("@"))
+        val down = seed ++ closure(seed, children, Int.MaxValue)
+        down ++ closure(down, parents, Int.MaxValue)
+      } else a match {
+        case atomRe(anc, b, desc) =>
+          val seed = base(b)
+          seed ++
+            (if (anc != null) closure(seed, parents, depthOf(anc)) else Set.empty) ++
+            (if (desc != null) closure(seed, children, depthOf(desc)) else Set.empty)
+        case _ => base(a)
+      }
     selector.trim.split("\\s+").filter(_.nonEmpty).map { term =>
       term.split(",").filter(_.nonEmpty).map(atom)
         .reduceOption(_ intersect _).getOrElse(Set.empty)
@@ -597,6 +629,65 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         .select(col("status")).collect().head.getString(0)
       (s"${s.sourceName}.${s.tableName}", status)
     }
+
+  /** `dbt run-operation <macro> --args {...}`: invoke a user macro
+    * standalone — the admin-task surface (grants, maintenance SQL,
+    * ad-hoc backfills) dbt projects drive through macros. The macro
+    * expands with the given args (values splice verbatim — quote string
+    * literals), resolves ref/source/env_var like a hook, executes, and
+    * returns the result frame (run_query-style fetchable).
+    */
+  def runOperation(name: String, args: Map[String, String] = Map.empty): DataFrame = {
+    require(project.macros.contains(name),
+      s"run-operation: unknown macro '$name' " +
+        s"(known: ${project.macros.keys.toSeq.sorted.mkString(", ")})")
+    val call = s"{{ $name(${args.map { case (k, v) => s"$k=$v" }.mkString(", ")}) }}"
+    val sql = Compiler.expandMacros(call, project.macros)
+    spark.sql(warehouse.resolveSql(Compiler.compile(sql, Compiler.ResolveCtx(
+      refTarget = r => Compiler.pathRelation(
+        relationFor(r).pathUnder(target.warehouseRoot)),
+      sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+      thisTarget = "", env = target.env, isIncremental = false))))
+  }
+
+  // --------------------------------------------------------- run artifacts
+  /** `run_results.json` analogue: one entry per node and test with its
+    * status. The artifact is what `dbt retry` keys off — write it after
+    * every [[build]] you may want to resume.
+    */
+  def writeRunResults(path: String, nodes: Seq[Dag.NodeResult],
+                      tests: Seq[TestResult]): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val entries =
+      nodes.map(n =>
+        s"""{${q("name")}: ${q(n.name)}, ${q("kind")}: ${q("node")}, ${q("status")}: ${q(n.status)}}""") ++
+      tests.map(t =>
+        s"""{${q("name")}: ${q(t.name)}, ${q("kind")}: ${q("test")}, ${q("status")}: ${q(t.status)}, ${q("model")}: ${q(t.model)}}""")
+    Files.writeString(Paths.get(path),
+      s"""{"results": [${entries.mkString(", ")}]}""")
+    ()
+  }
+
+  /** `dbt retry` selection: the nodes a recorded run errored on or
+    * skipped (successes never re-run). Because [[Dag.run]] marks a
+    * failed node's blocked children `skipped`, error+skipped IS the
+    * failure's downstream cone; a test failure throws inside its model's
+    * node, so the model re-runs — and its tests with it.
+    */
+  def retrySelection(path: String): Set[String] = {
+    val re = """\{"name": "([^"]+)", "kind": "node", "status": "([^"]+)"""".r
+    re.findAllMatchIn(Files.readString(Paths.get(path)))
+      .collect { case m if m.group(2) != "success" => m.group(1) }.toSet
+  }
+
+  /** [[build]] of a failed run's retry set. No-op (empty build) when the
+    * recorded run fully succeeded.
+    */
+  def buildRetry(runResultsPath: String,
+                 deferRoot: Option[String] = None,
+                 fullRefresh: Boolean = false)
+      : (Seq[Dag.NodeResult], Seq[TestResult]) =
+    build(Some(retrySelection(runResultsPath)), deferRoot, fullRefresh)
 
   // ------------------------------------------------------------- manifest
   /** `dbt compile` (SURVEY §3.3): emit the state manifest without running. */

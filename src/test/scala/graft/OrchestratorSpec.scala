@@ -182,6 +182,108 @@ class OrchestratorSpec extends AnyFunSuite {
       e3.selectNodes("tag:staging") == Set("mart_by_region"))
   }
 
+  test("graph selectors: config.materialized:, source:, and the @ operator") {
+    val p = baseProject.copy(models = Seq(
+      ModelDef("stg_nations",
+        "{{ config(materialized='incremental', unique_key='n_nationkey') }} " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM {{ source('tpch','nation') }}"),
+      ModelDef("stg_regions",
+        "SELECT r_regionkey, r_name FROM {{ source('tpch','region') }}"),
+      ModelDef("mart_by_region",
+        """SELECT r.r_name, count(*) AS n
+          |FROM {{ ref('stg_nations') }} n
+          |JOIN {{ ref('stg_regions') }} r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.selectNodes("config.materialized:incremental") == Set("stg_nations"))
+    assert(e.selectNodes("config.materialized:table") ==
+      Set("stg_regions", "mart_by_region"))
+    assert(e.selectNodes("source:tpch.nation") == Set("stg_nations"))
+    assert(e.selectNodes("source:tpch") == Set("stg_nations", "stg_regions"))
+    assert(e.selectNodes("source:tpch.nation+") ==
+      Set("stg_nations", "mart_by_region"))
+    // @stg_nations = itself + descendants (mart) + the mart's OTHER
+    // ancestors (stg_regions) — the build-the-downstream-from-scratch set
+    assert(e.selectNodes("@stg_nations") ==
+      Set("stg_nations", "stg_regions", "mart_by_region"))
+    assert(e.selectNodes("@mart_by_region") ==
+      Set("stg_nations", "stg_regions", "mart_by_region"))
+    assert(e.selectNodes("@stg_regions") ==
+      Set("stg_nations", "stg_regions", "mart_by_region"))
+  }
+
+  test("model contract: shape validated before write, not_null aborts the write") {
+    // conforming contract (order-insensitive, exact types) builds fine
+    val ok = baseProject.copy(models = Seq(
+      ModelDef("nations",
+        "SELECT n_nationkey, n_name FROM {{ source('tpch','nation') }}",
+        ModelConfig(contract = Seq("n_name" -> "string", "n_nationkey" -> "int"),
+          notNull = Seq("n_nationkey")))))
+    val e1 = new Engine(spark, ok, Target(root()))
+    assert(e1.build()._1.forall(_.status == "success"))
+    assert(e1.readModel("nations").count() == 25)
+    // mistyped/missing columns fail at analysis time — nothing written
+    val bad = baseProject.copy(models = Seq(
+      ModelDef("nations",
+        "SELECT n_nationkey, n_name FROM {{ source('tpch','nation') }}",
+        ModelConfig(contract = Seq("n_nationkey" -> "bigint", "n_comment" -> "string")))))
+    val e2 = new Engine(spark, bad, Target(root()))
+    val (r2, _) = e2.build()
+    assert(r2.exists(_.status == "error"))
+    assert(!e2.warehouse.exists(e2.relationFor("nations")))
+    // a not_null violation aborts the job before the atomic swap lands
+    val nn = baseProject.copy(models = Seq(
+      ModelDef("nations",
+        "SELECT n_nationkey, CASE WHEN n_nationkey = 3 THEN NULL ELSE n_name END AS n_name " +
+          "FROM {{ source('tpch','nation') }}",
+        ModelConfig(notNull = Seq("n_name")))))
+    val e3 = new Engine(spark, nn, Target(root()))
+    val (r3, _) = e3.build()
+    assert(r3.exists(_.status == "error"))
+    assert(!e3.warehouse.exists(e3.relationFor("nations")))
+  }
+
+  test("run-operation invokes a user macro standalone with args") {
+    val macros = Compiler.parseMacros(
+      """{% macro top_nations(k) %}
+        |SELECT n_name FROM {{ ref('nations') }}
+        |ORDER BY n_nationkey LIMIT {{ k }}
+        |{% endmacro %}""".stripMargin).map(m => m.name -> m).toMap
+    val p = baseProject.copy(macros = macros)
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.runOperation("top_nations", Map("k" -> "3")).count() == 3)
+    val ex = intercept[IllegalArgumentException] {
+      e.runOperation("nope")
+    }
+    assert(ex.getMessage.contains("unknown macro"))
+  }
+
+  test("run results artifact + retry: failed node and its skipped cone re-run") {
+    val broken = baseProject.copy(models = Seq(
+      ModelDef("nations",
+        "SELECT no_such_column FROM {{ source('tpch','nation') }}"),
+      ModelDef("by_region", baseProject.models(1).rawSql)))
+    val wh = root()
+    val e1 = new Engine(spark, broken, Target(wh))
+    val (n1, t1) = e1.build()
+    assert(n1.find(_.name == "nations").get.status == "error")
+    assert(n1.find(_.name == "by_region").get.status == "skipped")
+    val rr = java.nio.file.Files.createTempFile("graft_rr", ".json").toString
+    e1.writeRunResults(rr, n1, t1)
+    // the fixed project retries exactly the error+skipped cone
+    val e2 = new Engine(spark, baseProject, Target(wh))
+    assert(e2.retrySelection(rr) == Set("nations", "by_region"))
+    val (n2, _) = e2.buildRetry(rr)
+    assert(n2.map(_.name).toSet == Set("nations", "by_region"))
+    assert(n2.forall(_.status == "success"))
+    assert(e2.readModel("by_region").count() == 5)
+    // a fully green run retries nothing
+    val rr2 = java.nio.file.Files.createTempFile("graft_rr2", ".json").toString
+    e2.writeRunResults(rr2, n2, Nil)
+    assert(e2.retrySelection(rr2).isEmpty)
+  }
+
   test("on-run-start/on-run-end project hooks execute around the DAG") {
     val p = baseProject.copy(
       onRunStart = Seq(
