@@ -258,6 +258,103 @@ object KeywordQueries {
     idx.searchRanked(documents(s, d), Seq("dup", "vector", "window"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the two legs every RAG
+    * stack runs side by side: the BM25 keyword ranking (this index) and
+    * an embedding cosine ranking (query vector = doc 0's embedding; the
+    * vec_id↔doc_id identity is the synthetic corpus's convention). Each
+    * leg produces its top-20 via a distributed take-ordered (no global
+    * sort, no window); fusion is driver-side over ≤40 control-plane rows
+    * — the correct shape at any corpus size, because the legs are the
+    * distributed work and RRF only ever sees 2·k rows. Score is the
+    * classic 1/(60+rank) floor-scaled to an integer (exact cross-engine,
+    * order-free): rrf = Σ_legs 10^9 div (60 + rank).
+    */
+  def xHybridSearch(s: SparkSession, d: String): DataFrame = {
+    val idx = indexes.computeIfAbsent(s"${s.hashCode()}:$d", _ => {
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft_kw_idx").toString,
+        graft.core.CommitMode.Manifest)
+      val i = new KeywordIndex(wh, "docs")
+      i.build(documents(s, d))
+      i
+    })
+    val kwTop: Seq[Long] = idx
+      .searchRanked(documents(s, d), Seq("dup", "vector", "window"), k = 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val e = Similarity.vecs(s, d)
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val vecTop: Seq[Long] = e.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("qv"), col("v")), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    def rrf(ranked: Seq[Long]): Map[Long, Long] =
+      ranked.zipWithIndex.map { case (id, i) =>
+        id -> 1000000000L / (60L + i + 1L) }.toMap
+    val fused = (rrf(kwTop).toSeq ++ rrf(vecTop).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (id, sc) => (-sc, id) }.take(10)
+    import s.implicits._
+    fused.toDF("doc_id", "rrf")
+  }
+
+  val xHybridSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      |  FROM documents),
+      |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2
+      |        WHERE term IN ('dup', 'vector', 'window') GROUP BY term),
+      |cand AS (SELECT doc_id FROM toks2
+      |         WHERE term IN ('dup', 'vector', 'window')
+      |         GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2
+      |       WHERE term IN ('dup', 'vector', 'window')
+      |         AND doc_id IN (SELECT doc_id FROM cand)
+      |       GROUP BY doc_id, term),
+      |scored AS (
+      |  SELECT tf.doc_id, CAST(floor(1000000.0 *
+      |    ((2.0 * s.n - 2.0 * dft.df + 1.0) / (2.0 * dft.df + 1.0)) *
+      |    ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) +
+      |      1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) *
+      |        CAST(s.n AS DOUBLE) / CAST(s.tl AS DOUBLE)))))) AS BIGINT)
+      |    AS ts
+      |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+      |  CROSS JOIN stats s),
+      |kw20 AS (
+      |  SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
+      |  FROM scored GROUP BY doc_id
+      |  ORDER BY score DESC, doc_id LIMIT 20),
+      |kw AS (SELECT doc_id,
+      |         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |       FROM kw20),
+      |e AS (SELECT vec_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |vscored AS (
+      |  SELECT vec_id AS doc_id,
+      |    round(list_dot_product(qv, v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+      |      6) AS cos
+      |  FROM e CROSS JOIN q),
+      |v20 AS (SELECT doc_id, cos FROM vscored
+      |        ORDER BY cos DESC, doc_id LIMIT 20),
+      |vec AS (SELECT doc_id,
+      |          row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+      |        FROM v20),
+      |fused AS (
+      |  SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+      |    CAST(coalesce(1000000000 // (60 + kw.r), 0)
+      |       + coalesce(1000000000 // (60 + vec.r), 0) AS BIGINT) AS rrf
+      |  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+      |SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val xKeywordBm25Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,
