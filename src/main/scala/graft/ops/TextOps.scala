@@ -763,6 +763,76 @@ object TextOps {
        |  len(regexp_extract_all(text, '$BpePretokenRe', 0)) AS n_bpe_pieces
        |FROM documents""".stripMargin
 
+  // --------------------------------------------------------- BPE training
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016, the GPT-2
+    * recipe shape): ONE corpus pass builds the word-frequency table, and
+    * every merge round after that works on the VOCABULARY — unique words
+    * as symbol arrays weighted by frequency — which is orders of
+    * magnitude smaller than the corpus and the reason BPE training
+    * parallelizes at 100 TB at all. Per round: adjacent-pair counts via
+    * a weighted explode + map-side-combinable sum (vocab-sized shuffle),
+    * the winning pair by a distributed take-ordered 1 (count DESC, then
+    * lexicographic — deterministic tie-break, no RNG), then the merge
+    * applied to every word with a greedy left-to-right `aggregate` fold
+    * (non-overlapping, Column lambdas — no SQL-injection surface, fully
+    * codegen'd). `localCheckpoint` cuts the per-round lineage so round
+    * N's plan doesn't nest N folds.
+    *
+    * Returns the ordered merge table (step, left, right, pair_count) —
+    * the tokenizer artifact. Iterative argmax-per-round is not
+    * single-SQL-expressible, so the gate is BpeSpec's independent
+    * reference implementation (the FuzzyIndex/VectorIndex precedent),
+    * with a rows-level queries entry.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wordFreq = docs
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var vocab = wordFreq.select(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top.head.getAs[String]("l"),
+          top.head.getAs[String]("r"), top.head.getAs[Long]("c"))
+        merges += ((step, l, r, c))
+        // greedy non-overlapping left-to-right merge of (l, r) → l+r:
+        // after emitting the merged token the fold's tail is l+r ≠ l
+        // (BPE's standard overlap rule falls out of the accumulator)
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        vocab = vocab.withColumn("syms", merged).localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  /** 30 merges over `documents` — the queries-entry wrapper. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeTrain(documents(s, d), 30)
+
   // ----------------------------------------------- n-gram LM quality score
   /** Corpus-self-trained bigram LM score — the count-based cousin of
     * CCNet-style perplexity filtering (Wenzek et al. 2019: rank docs by a
