@@ -462,6 +462,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     *  - `name` — exact node; `stg_*` — name glob
     *  - `tag:x` — models tagged `x` (`config(tags='a|b')`)
     *  - `config.materialized:v` — models materialized as `v`
+    *  - `resource_type:model|seed|snapshot` — nodes by kind
     *  - `source:src` / `source:src.table` — models reading the source
     *  - `+name` / `name+` / `+name+` — ancestors / descendants / both;
     *    `2+name`, `name+1` bound the traversal depth (dbt's `n+` form)
@@ -503,6 +504,14 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         val v = b.stripPrefix("config.materialized:")
         project.models.filter(m => effectiveConfig(m).materialized == v)
           .map(_.name).toSet
+      } else if (b.startsWith("resource_type:")) {
+        b.stripPrefix("resource_type:") match {
+          case "model" => project.models.map(_.name).toSet
+          case "seed" => project.seeds.map(_.name).toSet
+          case "snapshot" => project.snapshots.map(_.name).toSet
+          case other => throw new IllegalArgumentException(
+            s"resource_type selector: unknown type '$other'")
+        }
       } else if (b.startsWith("source:")) {
         // models reading the named source directly (dbt `source:src` /
         // `source:src.table` selects via the source's children; the
@@ -688,6 +697,34 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
                  fullRefresh: Boolean = false)
       : (Seq[Dag.NodeResult], Seq[TestResult]) =
     build(Some(retrySelection(runResultsPath)), deferRoot, fullRefresh)
+
+  /** `dbt docs generate` artifact: the catalog.json analogue — one entry
+    * per materialized relation in the target schema with row count, byte
+    * size, partition layout, and column schema, plus every durable view
+    * with its compiled definition. Stats come from parquet FOOTERS via
+    * [[Warehouse.catalogInfo]] (never a table scan — docs generation on
+    * a 100 TB warehouse stays a metadata pass) and columns from the
+    * parquet schema.
+    */
+  def writeCatalog(path: String): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val tables = warehouse.catalogInfo(target.database, target.resolvedSchema)
+      .map { case (rel, rows, bytes, parts) =>
+        val cols = warehouse.schemaOf(rel).fields.map(f =>
+          s"{${q("name")}: ${q(f.name)}, ${q("type")}: ${q(f.dataType.sql)}}")
+        s"{${q("name")}: ${q(rel.identifier)}, ${q("kind")}: ${q("table")}, " +
+          s"${q("rows")}: $rows, ${q("bytes")}: $bytes, " +
+          s"${q("partitions")}: [${parts.map(q).mkString(", ")}], " +
+          s"${q("columns")}: [${cols.mkString(", ")}]}"
+      }
+    val views = warehouse.listViews(target.database, target.resolvedSchema)
+      .flatMap(rel => warehouse.readViewDef(rel).map(defn =>
+        s"{${q("name")}: ${q(rel.identifier)}, ${q("kind")}: ${q("view")}, " +
+          s"${q("definition")}: ${q(defn)}}"))
+    Files.writeString(Paths.get(path),
+      s"""{"schema": ${q(target.resolvedSchema)}, "relations": [${(tables ++ views).mkString(", ")}]}""")
+    ()
+  }
 
   // ------------------------------------------------------------- manifest
   /** `dbt compile` (SURVEY §3.3): emit the state manifest without running. */

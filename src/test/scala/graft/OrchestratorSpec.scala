@@ -243,6 +243,40 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(!e3.warehouse.exists(e3.relationFor("nations")))
   }
 
+  test("docs generate: catalog artifact lists tables with footer stats and views with defs") {
+    val p = baseProject.copy(models = baseProject.models :+
+      ModelDef("nations_v",
+        "{{ config(materialized='view') }} SELECT n_name FROM {{ ref('nations') }}"))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    val out = java.nio.file.Files.createTempFile("graft_cat", ".json").toString
+    e.writeCatalog(out)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    // tables carry rows/bytes/columns; the view carries its definition
+    assert(json.contains("\"name\": \"nations\""))
+    assert(json.contains("\"rows\": 25"))
+    assert(json.contains("\"name\": \"n_nationkey\""))
+    assert(json.contains("\"name\": \"nations_v\""))
+    assert(json.contains("\"kind\": \"view\""))
+    assert(json.contains("\"definition\""))
+    // it parses as JSON (the artifact contract)
+    assert(json.trim.startsWith("{") && json.trim.endsWith("}"))
+  }
+
+  test("resource_type selector splits nodes by kind") {
+    val seedCsv = java.nio.file.Files.createTempFile("graft_seed", ".csv")
+    java.nio.file.Files.writeString(seedCsv, "k,v\n1,a\n")
+    val p = baseProject.copy(seeds = Seq(SeedDef("s1", seedCsv.toString)))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.selectNodes("resource_type:model") == Set("nations", "by_region"))
+    assert(e.selectNodes("resource_type:seed") == Set("s1"))
+    assert(e.selectNodes("resource_type:snapshot").isEmpty)
+    intercept[IllegalArgumentException] {
+      e.selectNodes("resource_type:exposure")
+    }
+    ()
+  }
+
   test("run-operation invokes a user macro standalone with args") {
     val macros = Compiler.parseMacros(
       """{% macro top_nations(k) %}
