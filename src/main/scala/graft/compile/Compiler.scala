@@ -23,6 +23,11 @@ object Compiler {
   private val refRe: Regex = """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""".r
   private val sourceRe: Regex = """\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
   private val envVarRe: Regex = """\{\{\s*env_var\(\s*'([^']+)'(?:\s*,\s*'([^']*)')?\s*\)\s*\}\}""".r
+  // project variables (dbt `{{ var('name', default) }}`, sourced from
+  // dbt_project.yml `vars:` + the `--vars` CLI override): value splices
+  // verbatim like dbt's rendering; a quoted default renders unquoted
+  private val varRe: Regex =
+    """\{\{\s*var\(\s*'([^']+)'(?:\s*,\s*('[^']*'|[^)]*?))?\s*\)\s*\}\}""".r
   private val thisRe: Regex = """\{\{\s*this\s*\}\}""".r
   private val configRe: Regex = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
   private val incrBlockRe: Regex =
@@ -90,6 +95,9 @@ object Compiler {
       thisTarget: String,               // the model's own relation text
       env: Map[String, String],
       isIncremental: Boolean,
+      // project vars (dbt_project.yml `vars:` merged under any --vars
+      // override); an unset var with no default throws like env_var
+      vars: Map[String, String] = Map.empty,
       // `_dbt_max_partition` (reference bq_insert_overwrite @34992): the
       // target's current max partition value as a pre-rendered SQL literal,
       // substituted into the compiled text so Catalyst sees a constant and
@@ -110,6 +118,14 @@ object Compiler {
       Regex.quoteReplacement(ctx.env.getOrElse(m.group(1),
         Option(m.group(2)).getOrElse(
           throw new IllegalArgumentException(s"env_var ${m.group(1)} unset, no default")))))
+    sql = varRe.replaceAllIn(sql, m =>
+      Regex.quoteReplacement(ctx.vars.getOrElse(m.group(1), {
+        val d = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+        d.map(v => if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+            v.substring(1, v.length - 1) else v)
+          .getOrElse(throw new IllegalArgumentException(
+            s"var '${m.group(1)}' unset, no default"))
+      })))
     sql = thisRe.replaceAllIn(sql, Regex.quoteReplacement(ctx.thisTarget))
     sql = maxPartRe.replaceAllIn(sql,
       Regex.quoteReplacement(ctx.maxPartition.getOrElse("NULL")))
@@ -143,7 +159,7 @@ object Compiler {
     * [[compile]], after expansion).
     */
   private val ReservedMacroNames =
-    Set("ref", "source", "env_var", "config", "this", "is_incremental")
+    Set("ref", "source", "env_var", "var", "config", "this", "is_incremental")
 
   private val macroDefRe: Regex =
     """(?s)\{%\s*macro\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*%\}(.*?)\{%\s*endmacro\s*%\}""".r

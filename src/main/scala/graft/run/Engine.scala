@@ -95,7 +95,11 @@ final case class Project(name: String,
                          // macros/.gitkeep, dbt macro search path
                          // dbt_project.yml:15-20) — parameterized SQL
                          // fragments expanded before builtin resolution
-                         macros: Map[String, Compiler.MacroDef] = Map.empty)
+                         macros: Map[String, Compiler.MacroDef] = Map.empty,
+                         // project variables (dbt_project.yml `vars:`) —
+                         // `{{ var('name', default) }}` in model SQL;
+                         // Target.vars (the --vars CLI analogue) overrides
+                         vars: Map[String, String] = Map.empty)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -107,6 +111,8 @@ final case class Target(warehouseRoot: String,
                         schema: String = "main",
                         threads: Int = 4,
                         env: Map[String, String] = Map.empty,
+                        // run-level var overrides (`dbt build --vars ...`)
+                        vars: Map[String, String] = Map.empty,
                         commitMode: graft.core.CommitMode = graft.core.CommitMode.Auto) {
   def resolvedSchema: String = {
     // generate_schema_name_for_env equivalent: allow env-templated schemas.
@@ -147,6 +153,9 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
   val warehouse = new Warehouse(spark, target.warehouseRoot, target.commitMode)
   private val mat = new Materializer(warehouse)
   private val snap = new Snapshotter(warehouse)
+
+  /** dbt var precedence: `--vars` (Target) overrides dbt_project.yml. */
+  private val mergedVars: Map[String, String] = project.vars ++ target.vars
 
   def relationFor(model: String): Relation =
     Relation(target.database, target.resolvedSchema, model)
@@ -269,6 +278,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
       env = target.env,
       isIncremental = isIncr,
+      vars = mergedVars,
       maxPartition = maxPart)
     val body = Compiler.compile(m.rawSql, ctx)
     val ephemerals = inlinedClosure(m.rawSql)
@@ -304,7 +314,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
         thisTarget = Compiler.pathRelation(
           relationFor(modelName).pathUnder(target.warehouseRoot)),
-        env = target.env, isIncremental = false))))
+        env = target.env, isIncremental = false,
+        vars = mergedVars))))
       ()
     }
 
@@ -318,7 +329,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         refTarget = r => Compiler.pathRelation(
           relationFor(r).pathUnder(target.warehouseRoot)),
         sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
-        thisTarget = "", env = target.env, isIncremental = false))))
+        thisTarget = "", env = target.env, isIncremental = false,
+        vars = mergedVars))))
       ()
     }
 

@@ -277,6 +277,30 @@ class OrchestratorSpec extends AnyFunSuite {
     ()
   }
 
+  test("project vars resolve with defaults and --vars override") {
+    val p = baseProject.copy(
+      vars = Map("max_key" -> "10"),
+      models = Seq(ModelDef("nations",
+        "SELECT n_nationkey, n_name, '{{ var('tier', 'dev') }}' AS tier " +
+          "FROM {{ source('tpch','nation') }} " +
+          "WHERE n_nationkey <= {{ var('max_key') }}")))
+    // project-level var + quoted default
+    val e1 = new Engine(spark, p, Target(root()))
+    assert(e1.build()._1.forall(_.status == "success"))
+    val r1 = e1.readModel("nations").collect()
+    assert(r1.length == 11 && r1.forall(_.getAs[String]("tier") == "dev"))
+    // --vars override wins over dbt_project.yml
+    val e2 = new Engine(spark, p,
+      Target(root(), vars = Map("max_key" -> "3", "tier" -> "prod")))
+    assert(e2.build()._1.forall(_.status == "success"))
+    val r2 = e2.readModel("nations").collect()
+    assert(r2.length == 4 && r2.forall(_.getAs[String]("tier") == "prod"))
+    // unset var with no default fails loudly
+    val bad = p.copy(vars = Map.empty)
+    val e3 = new Engine(spark, bad, Target(root()))
+    assert(e3.build()._1.exists(_.status == "error"))
+  }
+
   test("run-operation invokes a user macro standalone with args") {
     val macros = Compiler.parseMacros(
       """{% macro top_nations(k) %}
