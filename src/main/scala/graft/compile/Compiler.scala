@@ -77,6 +77,10 @@ object Compiler {
         // partition_range @151173)
         kvs.get("partitions").foreach(v => cfg = cfg.copy(partitions =
           v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq))
+        // `|`-separated predicates (commas would split the kv scan)
+        kvs.get("incremental_predicates").foreach(v =>
+          cfg = cfg.copy(incrementalPredicates =
+            v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq))
         kvs.get("incremental_strategy").foreach { v =>
           import graft.core.IncrementalStrategy._
           cfg = cfg.copy(incrementalStrategy = v match {

@@ -107,6 +107,15 @@ final case class ModelConfig(
     // partition). Default false: the guard runs and a detected moved key
     // falls back to the full-table merge.
     partitionKeysStable: Boolean = false,
+    // dbt `incremental_predicates`: SQL predicates over TARGET columns
+    // (optionally `DBT_INTERNAL_DEST.`-prefixed, dbt's alias) ANDed into
+    // the merge family's anti-join condition — target rows outside the
+    // predicate window are never probed for a key match, bounding the
+    // join the way dbt's merge predicates bound the warehouse MERGE.
+    // Same user assertion + footgun as dbt: an increment that touches a
+    // key OUTSIDE the window duplicates it (the old row survives
+    // unmatched). Rows where a predicate is NULL count as out-of-window.
+    incrementalPredicates: Seq[String] = Nil,
     tags: Set[String] = Set.empty,
     preHooks: Seq[String] = Nil,
     postHooks: Seq[String] = Nil,

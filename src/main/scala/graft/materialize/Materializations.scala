@@ -270,18 +270,37 @@ final class Materializer(wh: Warehouse) {
         // rows, the increment provides matched + new rows.
         mergeScope(inc, rel, cfg, requiresTargetRewrite) match {
           case Some((pcol, tgtScoped)) =>
-            val keep = tgtScoped.join(
-              inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
-              cfg.uniqueKey, "left_anti")
+            val keep = antiKeep(tgtScoped, inc, cfg)
             wh.replacePartitions(keep.unionByName(inc), rel, pcol,
               clusterCols = cfg.clusterBy)
           case None =>
-            val keep = tgt.join(
-              inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct(),
-              cfg.uniqueKey, "left_anti")
+            val keep = antiKeep(tgt, inc, cfg)
             wh.writeAtomic(keep.unionByName(inc), rel, cfg.partitionBy,
               cfg.clusterBy)
         }
+    }
+  }
+
+  /** The merge family's keep side: target rows with no increment match.
+    * `incremental_predicates` (dbt's merge predicates) AND into the join
+    * condition, so out-of-window target rows are never probed — they
+    * keep unconditionally. A NULL predicate is out-of-window (no match,
+    * row kept), matching SQL join semantics.
+    */
+  private def antiKeep(tgt: DataFrame, inc: DataFrame,
+                       cfg: ModelConfig): DataFrame = {
+    val incKeys = inc.select(cfg.uniqueKey.map(inc(_)): _*).distinct()
+    if (cfg.incrementalPredicates.isEmpty)
+      tgt.join(incKeys, cfg.uniqueKey, "left_anti")
+    else {
+      val t = tgt.alias("t")
+      val i = incKeys.alias("i")
+      val cond = cfg.uniqueKey.map(k => col(s"t.$k") === col(s"i.$k"))
+        .reduce(_ && _) &&
+        cfg.incrementalPredicates
+          .map(p => expr(p.replace("DBT_INTERNAL_DEST.", "t.")))
+          .reduce(_ && _)
+      t.join(i, cond, "left_anti")
     }
   }
 

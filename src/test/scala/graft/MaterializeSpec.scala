@@ -503,6 +503,23 @@ class MaterializeSpec extends AnyFunSuite {
     assert(wh.read(r).count() == 101)
   }
 
+  test("incremental_predicates bound the merge probe to the declared window") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("incp")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      incrementalStrategy = IncrementalStrategy.DeleteInsert,
+      incrementalPredicates = Seq("DBT_INTERNAL_DEST.score >= 10"))
+    m.incremental(df(Seq((1L, "old", 1.0), (2L, "old", 20.0))), r,
+      cfg.copy(incrementalPredicates = Nil))
+    // id=2 is in-window (score 20 ≥ 10): upserts. id=1 is OUT of the
+    // declared window (score 1): never probed, old row survives — and
+    // the increment row for it still inserts, which is exactly dbt's
+    // documented duplicate-on-broken-promise semantics.
+    m.incremental(df(Seq((1L, "new", 100.0), (2L, "new", 200.0))), r, cfg)
+    val out = wh.read(r).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq.sorted
+    assert(out == Seq((1L, "new"), (1L, "old"), (2L, "new")))
+  }
+
   test("legacy partitions loop: backfill, per-date replace, truncate, untouched byte-identity") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("ploop")
     val s = spark
