@@ -306,6 +306,56 @@ object StreamingJobs {
     * order-independent and the final /100.0 equals the batch/oracle
     * cent-sum bit-for-bit.
     */
+  /** Watermarked stream-stream INNER join — the attribution shape: each
+    * purchase matches the same user's clicks from the preceding 10
+    * minutes. Both sides carry event-time watermarks and the join
+    * condition carries the time-range bound, which is what lets Spark
+    * EVICT state on both sides (click state older than wm−10min,
+    * purchase state at wm) — without the range bound a stream-stream
+    * join buffers forever, the canonical unbounded-state mistake. Inner
+    * matches emit as soon as both rows have arrived (no watermark wait);
+    * the watermark only bounds memory — so at 100 TB/day the state held
+    * is 10 minutes of clicks per key, not the day.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"))
+  }
+
+  /** Oracle-gated equivalence: [[clickAttribution]] over a REAL file
+    * stream of the bounded events corpus must equal the plain batch
+    * range join the DuckDB oracle runs.
+    */
+  def streamJoinEquiv(spark: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_stream_join")
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      dir.resolve("part-0-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val src = readEvents(spark, dir.toString)
+    val name = "st_attrib_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    runToMemory(spark, clickAttribution(src), name, OutputMode.Append())
+  }
+
+  val streamJoinEquivSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin
+
   def sessionizeEquiv(spark: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._

@@ -125,6 +125,41 @@ class StreamingSpec extends AnyFunSuite {
       s"want one session (start 60min, 4 events), got $closed")
   }
 
+  test("stream-stream join matches across micro-batches; out-of-window never joins") {
+    // click arrives in batch 1, its purchase in batch 2 (8 min later —
+    // in-window): the join's buffered click state must carry across the
+    // batch boundary. A second purchase at +20 min is OUTSIDE the 10-min
+    // range bound and must never pair despite matching the key.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_stream_ssj")
+    val uid = 77L
+    def writeBatch(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      rows.map { case (id, min, typ) =>
+        (id, min * 60L * 1000000000L, uid, typ, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir.resolve(s"stage_$name").toString)
+      val f = Files.list(dir.resolve(s"stage_$name")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, dir.resolve(s"$name.parquet")); ()
+    }
+    writeBatch("batch-1", Seq((1L, 60L, "click")))
+    writeBatch("batch-2", Seq((2L, 68L, "purchase"),  // in-window, cross-batch
+                              (3L, 80L, "purchase"))) // out-of-window
+    val src = spark.readStream
+      .schema(StreamingJobs.rawSchema(org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    StreamingJobs.runToMemory(spark,
+      StreamingJobs.clickAttribution(src), "ssj_pairs", OutputMode.Append())
+    val pairs = spark.table("ssj_pairs")
+      .collect().map(r => (r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"want exactly the in-window cross-batch pair, got $pairs")
+  }
+
   test("sessionization stopped mid-stream resumes from the checkpoint") {
     // a session left OPEN across a stop/restart must survive in the state
     // store: the restarted query extends it with new events and closes it
