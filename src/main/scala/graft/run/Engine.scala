@@ -28,6 +28,15 @@ final case class ModelDef(name: String, rawSql: String,
 final case class SeedDef(name: String, csvPath: String,
                          columnTypes: Map[String, String] = Map.empty)
 
+/** dbt exposure — a declared DOWNSTREAM consumer (dashboard, notebook,
+  * ML job) that depends on models but is never built. Gives the graph
+  * its sinks: `exposure:name` selects the exposure's declared parents
+  * (so `+exposure:name` is "everything this dashboard needs"), and the
+  * manifest records the dependency for impact analysis.
+  */
+final case class ExposureDef(name: String, dependsOn: Seq[String],
+                             owner: String = "", url: String = "")
+
 final case class SnapshotDef(name: String, rawSql: String, keys: Seq[String],
                              strategy: SnapshotStrategy,
                              invalidateHardDeletes: Boolean = false)
@@ -99,7 +108,9 @@ final case class Project(name: String,
                          // project variables (dbt_project.yml `vars:`) —
                          // `{{ var('name', default) }}` in model SQL;
                          // Target.vars (the --vars CLI analogue) overrides
-                         vars: Map[String, String] = Map.empty)
+                         vars: Map[String, String] = Map.empty,
+                         // declared downstream consumers (dbt exposures)
+                         exposures: Seq[ExposureDef] = Nil)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -475,6 +486,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     *  - `tag:x` — models tagged `x` (`config(tags='a|b')`)
     *  - `config.materialized:v` — models materialized as `v`
     *  - `resource_type:model|seed|snapshot` — nodes by kind
+    *  - `exposure:name` — the exposure's declared parents (compose
+    *    `+exposure:name` for the dashboard's full upstream)
     *  - `source:src` / `source:src.table` — models reading the source
     *  - `+name` / `name+` / `+name+` — ancestors / descendants / both;
     *    `2+name`, `name+1` bound the traversal depth (dbt's `n+` form)
@@ -516,6 +529,15 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         val v = b.stripPrefix("config.materialized:")
         project.models.filter(m => effectiveConfig(m).materialized == v)
           .map(_.name).toSet
+      } else if (b.startsWith("exposure:")) {
+        // an exposure is a sink, never built: its selection resolves to
+        // the declared parents, so `+exposure:dash` = everything the
+        // dashboard needs
+        val n = b.stripPrefix("exposure:")
+        project.exposures.find(_.name == n)
+          .map(_.dependsOn.filter(allNodes.toSet).toSet)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown exposure '$n'"))
       } else if (b.startsWith("resource_type:")) {
         b.stripPrefix("resource_type:") match {
           case "model" => project.models.map(_.name).toSet
@@ -752,8 +774,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         val deps = parents.getOrElse(n, Nil).map(q).mkString("[", ",", "]")
         s"${q(n)}: {${q("checksum")}: ${q(ck)}, ${q("deps")}: $deps}"
       }
+    val exposures = project.exposures.map { e =>
+      val deps = e.dependsOn.map(q).mkString("[", ",", "]")
+      s"${q(e.name)}: {${q("deps")}: $deps, ${q("owner")}: ${q(e.owner)}, ${q("url")}: ${q(e.url)}}"
+    }
     Files.writeString(Paths.get(path),
-      s"""{"project": ${q(project.name)}, "nodes": {${entries.mkString(", ")}}}""")
+      s"""{"project": ${q(project.name)}, "nodes": {${entries.mkString(", ")}}, """ +
+        s""""exposures": {${exposures.mkString(", ")}}}""")
     ()
   }
 }

@@ -277,6 +277,28 @@ class OrchestratorSpec extends AnyFunSuite {
     ()
   }
 
+  test("exposures: selectable sinks, recorded in the manifest, never built") {
+    val p = baseProject.copy(exposures = Seq(
+      ExposureDef("weekly_dash", Seq("by_region"), owner = "analytics",
+        url = "https://dash.example/weekly")))
+    val e = new Engine(spark, p, Target(root()))
+    // +exposure:dash = the dashboard's full upstream
+    assert(e.selectNodes("exposure:weekly_dash") == Set("by_region"))
+    assert(e.selectNodes("+exposure:weekly_dash") ==
+      Set("nations", "by_region"))
+    intercept[IllegalArgumentException] { e.selectNodes("exposure:nope") }
+    val (nodes, _) = e.buildSelected("+exposure:weekly_dash")
+    assert(nodes.map(_.name).toSet == Set("nations", "by_region"))
+    assert(nodes.forall(_.status == "success"))
+    // manifest records the exposure with deps; state selection is
+    // untouched by the extra section
+    val mf = java.nio.file.Files.createTempFile("graft_mf", ".json").toString
+    e.writeManifest(mf)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(mf))
+    assert(json.contains("\"weekly_dash\"") && json.contains("dash.example"))
+    assert(StateSelector.modified(mf, mf).isEmpty)
+  }
+
   test("project vars resolve with defaults and --vars override") {
     val p = baseProject.copy(
       vars = Map("max_key" -> "10"),
