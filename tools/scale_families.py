@@ -27,13 +27,14 @@ FAMILIES = [
     ("SCD-2 snapshots", ["b11_snapshot_timestamp", "b15_snapshot_check"]),
     ("orchestrator lifecycle", ["o_build_dag", "o_incremental_model",
         "o_insert_overwrite_pruned", "o_user_macros", "o_graph_selectors",
-        "o_mv_avg_model"]),
+        "o_mv_avg_model", "b2_partitions_loop"]),
     ("row deletes / compaction / z-order / bloom", ["x_row_deletes",
         "x_compact_table", "x_zorder_box", "x_bloom_lookup"]),
     ("MV maintenance + serving", ["x_agg_view", "x_mv_rewrite",
         "x_mv_stale_serve", "x_mv_avg", "x_cdc_apply",
         "x_consumer_pipeline"]),
-    ("keyword search", ["x_keyword_search"]),
+    ("keyword search + retrieval", ["x_keyword_search",
+        "x_keyword_bm25", "x_hybrid_search"]),
     ("banded dedup", ["x_dedup_exact", "x_dedup_paragraph",
         "x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_simhash",
         "x_simhash_pairs",
@@ -50,10 +51,12 @@ FAMILIES = [
         "x_tfidf_terms", "x_mix_sources", "x_mix_temperature",
         "x_stratified_sample", "x_split_assign", "x_epoch_shuffle",
         "x_chunk_overlap", "x_pack_sequences", "x_embedding_quantize",
-        "x_curation_pipeline", "x_sample_exact_k"]),
+        "x_curation_pipeline", "x_sample_exact_k", "x_lm_score"]),
     ("multimodal", ["x_multimodal_meta", "x_media_features",
         "x_frame_sample"]),
-    ("streaming equivalence", ["st_sessionize_equiv"]),
+    ("streaming equivalence", ["st_sessionize_equiv",
+        "st_stream_join_equiv"]),
+    ("BPE training", ["x_bpe_merges"]),
 ]
 
 
