@@ -81,6 +81,18 @@ object Compiler {
         kvs.get("incremental_predicates").foreach(v =>
           cfg = cfg.copy(incrementalPredicates =
             v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq))
+        // model contract: `contract='col1:int|col2:string'` (dbt 1.5
+        // columns+data_type) and `not_null='col1|col2'` constraints
+        kvs.get("contract").foreach(v => cfg = cfg.copy(contract =
+          v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).map { c =>
+            c.split(":", 2) match {
+              case Array(n, t) => n.trim -> t.trim
+              case _ => throw new IllegalArgumentException(
+                s"contract entry '$c' must be 'column:type'")
+            }
+          }.toIndexedSeq))
+        kvs.get("not_null").foreach(v => cfg = cfg.copy(notNull =
+          v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq))
         kvs.get("incremental_strategy").foreach { v =>
           import graft.core.IncrementalStrategy._
           cfg = cfg.copy(incrementalStrategy = v match {

@@ -741,7 +741,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * parquet schema.
     */
   def writeCatalog(path: String): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON escape incl. control chars — view DEFINITIONS are
+    // multi-line compiled SQL, which the simple quote-escape corrupts
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val tables = warehouse.catalogInfo(target.database, target.resolvedSchema)
       .map { case (rel, rows, bytes, parts) =>
         val cols = warehouse.schemaOf(rel).fields.map(f =>

@@ -137,6 +137,22 @@ object ProjectLoader {
           errorIf = kv.get("error_if").orElse(base.errorIf))
     }
 
+    // project vars (dbt_project.yml `vars:`): project.conf lines
+    // `var.<name>=<value>`; `--vars` CLI overrides land in Target.vars
+    val vars = conf.collect {
+      case (k, v) if k.startsWith("var.") => k.stripPrefix("var.") -> v
+    }
+
+    // exposures.conf: `name dep1,dep2 [owner] [url]` per line (dbt
+    // exposures — declared downstream consumers, never built)
+    val exposures = readLines(root.resolve("exposures.conf")).map { l =>
+      val parts = tokenize(l)
+      ExposureDef(parts(0),
+        parts(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq,
+        owner = if (parts.length > 2) unquote(parts(2)) else "",
+        url = if (parts.length > 3) unquote(parts(3)) else "")
+    }
+
     // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml
     // on-run-start / on-run-end)
     val hookLines = readLines(root.resolve("hooks.conf")).map { l =>
@@ -150,7 +166,7 @@ object ProjectLoader {
     val onRunEnd = hookLines.collect { case ("end", s) => s }
 
     (Project(name, sources, models, seeds, snapshots, tests,
-      onRunStart, onRunEnd, macros), conf)
+      onRunStart, onRunEnd, macros, vars, exposures), conf)
   }
 
   private def configKv(sql: String): Map[String, String] = {

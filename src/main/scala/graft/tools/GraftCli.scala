@@ -9,6 +9,13 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   * {{{
   * runMain graft.tools.GraftCli <projectDir> <warehouseRoot> <command> [flags]
   *   build            seeds+models+snapshots+tests in DAG order
+  *                    (--run-results p writes the run_results artifact)
+  *   retry            re-run a recorded run's error+skipped cone
+  *                    (--run-results p, written by a prior build)
+  *   run-operation    invoke a user macro standalone: run-operation <name>
+  *                    [--args k=v ...]
+  *   docs             write the catalog.json artifact (--out p; footer
+  *                    stats + view definitions, no table scans)
   *   compile          emit the state manifest (no execution)
   *   test             only the declared tests
   *   freshness        source freshness vs thresholds
@@ -38,6 +45,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   --full-refresh     rebuild incrementals from scratch
   *   --manifest <path>  where compile writes the manifest
   *   --env K=V          env_var bindings (repeatable)
+  *   --vars K=V         var() overrides (repeatable; wins over
+  *                      project.conf `var.<name>=` lines)
   * }}}
   */
 object GraftCli {
@@ -59,11 +68,14 @@ object GraftCli {
     val (project, conf) = ProjectLoader.load(projectDir)
     val env = flags.getOrElse("env", Nil)
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val cliVars = flags.getOrElse("vars", Nil)
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     val target = Target(whRoot,
       database = conf.getOrElse("database", "analytics"),
       schema = conf.getOrElse("schema", "main"),
       threads = conf.getOrElse("threads", "4").toInt,
       env = env,
+      vars = cliVars,
       // project.conf `commit_mode=manifest|rename` (materialized_view
       // models need manifest — their maintenance checkpoints ride
       // manifest metadata)
@@ -106,16 +118,54 @@ object GraftCli {
     select.filter(_.isEmpty).foreach(_ => System.err.println(
       "[graft] WARNING: selection matched no nodes"))
 
+    def report(nodes: Seq[graft.dag.Dag.NodeResult],
+               tests: Seq[engine.TestResult]): Unit = {
+      nodes.foreach(n => println(
+        f"${n.status.toUpperCase}%-8s ${n.name}%-32s ${n.durationMs} ms" +
+          n.error.map(e => s"  ($e)").getOrElse("")))
+      tests.foreach(t => println(
+        f"${t.status.toUpperCase}%-8s test:${t.name}%-27s ${t.failures} failures"))
+      // run_results.json analogue (feeds `retry`)
+      flags.get("run-results").flatMap(_.headOption).foreach { p =>
+        engine.writeRunResults(p, nodes, tests)
+        println(s"run results written: $p")
+      }
+      if (nodes.exists(_.status == "error")) sys.exit(1)
+    }
+
     command match {
       case "build" =>
         val (nodes, tests) = engine.build(select,
           flags.get("defer").flatMap(_.headOption),
           flags.contains("full-refresh"))
-        nodes.foreach(n => println(
-          f"${n.status.toUpperCase}%-8s ${n.name}%-32s ${n.durationMs} ms" +
-            n.error.map(e => s"  ($e)").getOrElse("")))
-        tests.foreach(t => println(f"${t.status.toUpperCase}%-8s test:${t.name}%-27s ${t.failures} failures"))
-        if (nodes.exists(_.status == "error")) sys.exit(1)
+        report(nodes, tests)
+      case "retry" =>
+        // `dbt retry`: re-run a recorded run's error+skipped cone
+        val rr = flags.get("run-results").flatMap(_.headOption).getOrElse {
+          System.err.println("retry requires --run-results <path>")
+          sys.exit(2)
+        }
+        val sel = engine.retrySelection(rr)
+        println(s"retrying: ${sel.toSeq.sorted.mkString(", ")}")
+        val (nodes, tests) = engine.build(Some(sel),
+          flags.get("defer").flatMap(_.headOption),
+          flags.contains("full-refresh"))
+        report(nodes, tests)
+      case "run-operation" =>
+        // `dbt run-operation <macro> --args k=v` (repeatable)
+        val mac = positional.lift(3).getOrElse {
+          System.err.println("run-operation requires a macro name")
+          sys.exit(2)
+        }
+        val macArgs = flags.getOrElse("args", Nil)
+          .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        engine.runOperation(mac, macArgs).show(50, truncate = false)
+      case "docs" =>
+        // `dbt docs generate`: the catalog artifact (footer stats only)
+        val out = flags.get("out").flatMap(_.headOption)
+          .getOrElse(s"$whRoot/catalog.json")
+        engine.writeCatalog(out)
+        println(s"catalog written: $out")
       case "compile" =>
         val out = flags.get("manifest").flatMap(_.headOption)
           .getOrElse(s"$whRoot/manifest.json")

@@ -246,7 +246,9 @@ class OrchestratorSpec extends AnyFunSuite {
   test("docs generate: catalog artifact lists tables with footer stats and views with defs") {
     val p = baseProject.copy(models = baseProject.models :+
       ModelDef("nations_v",
-        "{{ config(materialized='view') }} SELECT n_name FROM {{ ref('nations') }}"))
+        """{{ config(materialized='view') }}
+          |SELECT n_name
+          |FROM {{ ref('nations') }}""".stripMargin))
     val e = new Engine(spark, p, Target(root()))
     assert(e.build()._1.forall(_.status == "success"))
     val out = java.nio.file.Files.createTempFile("graft_cat", ".json").toString
@@ -259,7 +261,10 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(json.contains("\"name\": \"nations_v\""))
     assert(json.contains("\"kind\": \"view\""))
     assert(json.contains("\"definition\""))
-    // it parses as JSON (the artifact contract)
+    // single-line artifact: a raw (unescaped) newline from a multi-line
+    // view definition would corrupt the JSON — the escaper must catch it
+    assert(!json.trim.contains('\n'))
+    assert(json.contains("\\n"), "the multi-line view def must appear escaped")
     assert(json.trim.startsWith("{") && json.trim.endsWith("}"))
   }
 

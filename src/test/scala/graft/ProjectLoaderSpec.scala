@@ -28,6 +28,12 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
     assert(project.tests.size == 4)
     assert(project.tests.exists(_.relationship.isDefined))
+    // project.conf `var.` lines become project vars (used by stg_nations)
+    assert(project.vars == Map("min_key" -> "0"))
+    // exposures.conf: declared consumer with deps/owner/url
+    assert(project.exposures.map(_.name) == Seq("region_dashboard"))
+    assert(project.exposures.head.dependsOn == Seq("region_counts"))
+    assert(project.exposures.head.url == "https://dash.example/regions")
 
     val engine = new Engine(spark, project,
       Target(Files.createTempDirectory("graft_demo").toString,
