@@ -51,10 +51,15 @@ object Dag {
     * not-yet-ready nodes are picked up before their parents — e.g. any
     * child that sorts before its parent under threads=1.)
     */
-  def run(nodes: Seq[String], parents: Map[String, Seq[String]], threads: Int)
+  def run(nodes: Seq[String], parents: Map[String, Seq[String]], threads: Int,
+          failFast: Boolean = false)
          (exec: String => Unit): Seq[NodeResult] = {
     topoSort(nodes, parents) // validates acyclicity up front
     val nodeSet = nodes.toSet
+    // dbt --fail-fast: after the first error, no NEW node starts (rows
+    // already in flight finish); everything not yet started reports
+    // skipped. Without the flag, only the failure's descendants skip.
+    @volatile var aborted = false
     val pool = Executors.newFixedThreadPool(threads)
     val results: concurrent.Map[String, NodeResult] =
       new ConcurrentHashMap[String, NodeResult]().asScala
@@ -81,13 +86,17 @@ object Dag {
             .exists(p => results.get(p).exists(_.status != "success"))
           if (failedParent) {
             finish(n, NodeResult(n, "skipped", 0, Some("upstream failed")))
+          } else if (failFast && aborted) {
+            finish(n, NodeResult(n, "skipped", 0, Some("fail-fast")))
           } else {
             val t0 = System.nanoTime()
             try { exec(n); finish(n, NodeResult(n, "success",
               (System.nanoTime() - t0) / 1000000, None)) }
-            catch { case e: Throwable => finish(n, NodeResult(n, "error",
-              (System.nanoTime() - t0) / 1000000,
-              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))) }
+            catch { case e: Throwable =>
+              aborted = true
+              finish(n, NodeResult(n, "error",
+                (System.nanoTime() - t0) / 1000000,
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)))) }
           }
         }
       })

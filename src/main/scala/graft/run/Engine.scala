@@ -603,7 +603,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     */
   def build(select: Option[Set[String]] = None,
             deferRoot: Option[String] = None,
-            fullRefresh: Boolean = false)
+            fullRefresh: Boolean = false,
+            failFast: Boolean = false)
       : (Seq[Dag.NodeResult], Seq[TestResult]) = {
     runProjectHooks(project.onRunStart)
     val nodes0 = allNodes
@@ -625,7 +626,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     val testResults = new java.util.concurrent.ConcurrentLinkedQueue[TestResult]()
     val nodeResults = Dag.run(nodes,
       parents.view.mapValues(_.filter(selected.contains)).toMap,
-      target.threads) { n =>
+      target.threads, failFast) { n =>
       runNode(n, selected, deferRoot, fullRefresh)
       project.tests.filter(_.modelName == n).foreach { t =>
         val r = runTest(t)

@@ -43,6 +43,7 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
   *   --defer <root>     resolve unselected upstream refs to this warehouse
   *   --full-refresh     rebuild incrementals from scratch
+  *   --fail-fast        stop scheduling new nodes after the first error
   *   --manifest <path>  where compile writes the manifest
   *   --env K=V          env_var bindings (repeatable)
   *   --vars K=V         var() overrides (repeatable; wins over
@@ -137,7 +138,8 @@ object GraftCli {
       case "build" =>
         val (nodes, tests) = engine.build(select,
           flags.get("defer").flatMap(_.headOption),
-          flags.contains("full-refresh"))
+          flags.contains("full-refresh"),
+          failFast = flags.contains("fail-fast"))
         report(nodes, tests)
       case "retry" =>
         // `dbt retry`: re-run a recorded run's error+skipped cone
@@ -326,6 +328,8 @@ object GraftCli {
     while (rest.nonEmpty) rest match {
       case "--full-refresh" :: tl =>
         flags("full-refresh") = Seq("true"); rest = tl
+      case "--fail-fast" :: tl =>
+        flags("fail-fast") = Seq("true"); rest = tl
       case f :: v :: tl if f.startsWith("--") =>
         val k = f.stripPrefix("--"); flags(k) = flags(k) :+ v; rest = tl
       case p :: tl => pos += p; rest = tl

@@ -282,6 +282,23 @@ class OrchestratorSpec extends AnyFunSuite {
     ()
   }
 
+  test("fail-fast stops scheduling after the first error; default keeps independent branches") {
+    // two INDEPENDENT models; the failing one sorts first under threads=1
+    val p = baseProject.copy(models = Seq(
+      ModelDef("a_broken", "SELECT no_such FROM {{ source('tpch','nation') }}"),
+      ModelDef("z_fine", "SELECT n_name FROM {{ source('tpch','nation') }}")))
+    val e1 = new Engine(spark, p, Target(root(), threads = 1))
+    val (r1, _) = e1.build(failFast = true)
+    assert(r1.find(_.name == "a_broken").get.status == "error")
+    assert(r1.find(_.name == "z_fine").get.status == "skipped")
+    assert(r1.find(_.name == "z_fine").get.error.contains("fail-fast"))
+    // default: the independent branch still runs
+    val e2 = new Engine(spark, p, Target(root(), threads = 1))
+    val (r2, _) = e2.build()
+    assert(r2.find(_.name == "a_broken").get.status == "error")
+    assert(r2.find(_.name == "z_fine").get.status == "success")
+  }
+
   test("exposures: selectable sinks, recorded in the manifest, never built") {
     val p = baseProject.copy(exposures = Seq(
       ExposureDef("weekly_dash", Seq("by_region"), owner = "analytics",

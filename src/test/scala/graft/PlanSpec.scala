@@ -56,6 +56,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"tfidf plan must be window-free:\n$p")
   }
 
+  test("lm score: no Window; count models are keyed shuffles, never a broadcast of the corpus") {
+    val p = plan(graft.ops.TextOps.lmScore(spark, sf))
+    assert(!p.contains("Window"), s"lmScore plan must be window-free:\n$p")
+    // bigram explode + uni/bi count aggs + 2 joins + final doc agg — the
+    // shuffle count is bounded (key-partitioned aggs reuse exchanges
+    // where co-keyed); a regression to per-doc windows or a global sort
+    // would blow this bound
+    assert(shuffles(p) <= 7, s"lmScore shuffle count grew:\n$p")
+  }
+
+  test("bpe encode: one shuffle-free scan — the merge chain is pure per-row expressions") {
+    val p = plan(graft.ops.TextOps.bpeEncode(
+      graft.ops.TData.documents(spark, sf),
+      Seq(("t", "h"), ("th", "e"), ("i", "n"))))
+    assert(shuffles(p) == 0, s"bpeEncode must not exchange:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("chunking: pure per-row fan-out — no exchange anywhere") {
     val p = plan(TextOps.chunkOverlap(spark, sf))
     assert(shuffles(p) == 0, s"chunking must not shuffle:\n$p")
