@@ -83,13 +83,19 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
     val dl = docLengths(docs)
     wh.append(dl, dlRel)
     val s = wh.spark
-    val prev = wh.read(statsRel).collect().head
     val add = dl.agg(count(lit(1)), sum(col("dl"))).collect().head
-    import s.implicits._
-    wh.writeAtomic(
-      Seq((prev.getAs[Long]("n_docs") + add.getLong(0),
-        prev.getAs[Long]("total_len") + add.getLong(1)))
-        .toDF("n_docs", "total_len"), statsRel)
+    // the stats fold is a read-modify-write: hold the relation lock
+    // across BOTH sides so two concurrent appends can't lose an update
+    // (each batch's delta is computed outside the lock — only the tiny
+    // 1-row fold serializes)
+    wh.withRelationLock(statsRel) {
+      val prev = wh.read(statsRel).collect().head
+      import s.implicits._
+      wh.writeAtomic(
+        Seq((prev.getAs[Long]("n_docs") + add.getLong(0),
+          prev.getAs[Long]("total_len") + add.getLong(1)))
+          .toDF("n_docs", "total_len"), statsRel)
+    }
   }
 
   /** Streaming sibling of [[append]] under the per-relation batch-id

@@ -437,6 +437,54 @@ object Similarity {
       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |        FROM embeddings))""".stripMargin
 
+  /** Hash-sign random projection (the Achlioptas/JL sparse-sign family):
+    * int8-quantize each embedding (same max-abs rule as
+    * [[embeddingQuantize]]) and project 64 → 16 dims through a {−1,+1}
+    * sign matrix DERIVED from integer hashing — no stored matrix, no
+    * floats in the projection, so the sketch is integer-exact in any
+    * engine and accumulation-order-free. The sketch feeds coarse
+    * filtering/banding at a quarter the width (and 1/16 the bits after
+    * the int8 step); JL distance preservation holds in expectation with
+    * the output dim as the fidelity knob. Pure per-row HOFs — one
+    * shuffle-free scan at any corpus size.
+    */
+  def embeddingRp(s: SparkSession, d: String): DataFrame = {
+    val outDims = 16
+    vecs(s, d)
+      .withColumn("scale", expr(
+        "greatest(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))), 1e-30D)"))
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(floor(x / scale * 127 + 0.5D) AS INT))"))
+      .withColumn("sketch", expr(
+        s"""transform(sequence(0, ${outDims - 1}), j ->
+           |  aggregate(
+           |    zip_with(q, sequence(0, size(q) - 1), (qi, i) ->
+           |      CAST(qi AS BIGINT) * (CASE WHEN
+           |        shiftright((CAST(i AS BIGINT) * 73856093) ^
+           |                   (CAST(j AS BIGINT) * 19349663), 7) % 2 = 0
+           |        THEN 1 ELSE -1 END)),
+           |    CAST(0 AS BIGINT), (a, x) -> a + x))""".stripMargin))
+      .select(col("vec_id"), concat_ws(",", col("sketch")).as("sketch_csv"))
+  }
+
+  val embeddingRpSql: String =
+    """SELECT vec_id, array_to_string(
+      |  list_transform(range(0, 16), j ->
+      |    list_sum(list_transform(range(0, len(q)), i ->
+      |      q[i + 1] * (CASE WHEN
+      |        (xor(i * 73856093, j * 19349663) >> 7) % 2 = 0
+      |        THEN 1 ELSE -1 END)))),
+      |  ',') AS sketch_csv
+      |FROM (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) AS q
+      |  FROM (
+      |    SELECT vec_id, v,
+      |      greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale
+      |    FROM (SELECT vec_id,
+      |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |          FROM embeddings)))""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
     * family): 4 adaptive-width sign-band joins (see [[signBands]]) +
     * threshold, symmetric pairs deduped by id order, multi-band hits
