@@ -1075,6 +1075,82 @@ object TextOps {
   private val stopwords = Seq("the", "a", "b", "row", "data")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The full Gopher quality-rule battery (Rae et al. 2021 §A1.1 — the
+    * document filters production corpora actually ship): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, bullet- and
+    * ellipsis-line fractions, alphabetic-word fraction, minimum stopword
+    * hits, plus the conjunctive pass flag. Every rule evaluates in
+    * INTEGER arithmetic (`10·bullets < 9·lines` instead of a 0.9 float
+    * threshold), so verdicts are exact in any engine with zero rounding
+    * policy. Pure per-row expressions — one shuffle-free scan.
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    documents(s, d).selectExpr(
+        "doc_id",
+        "split(text, ' ') AS w",
+        "split(text, '\n') AS ln",
+        "length(text) - length(replace(text, '#', '')) " +
+          "+ CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbol_hits")
+      .selectExpr(
+        "doc_id", "symbol_hits",
+        "CAST(size(w) AS BIGINT) AS n_words",
+        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x) AS total_len",
+        "CAST(size(ln) AS BIGINT) AS n_lines",
+        "CAST(size(filter(ln, l -> startswith(ltrim(l), '-') OR " +
+          "startswith(ltrim(l), '*'))) AS BIGINT) AS bullet_lines",
+        "CAST(size(filter(ln, l -> endswith(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines",
+        "CAST(size(filter(w, x -> x RLIKE '[A-Za-z]')) AS BIGINT) AS alpha_words",
+        s"CAST(size(filter(w, x -> x IN ($stopList))) AS BIGINT) AS stop_hits")
+      .selectExpr(
+        "doc_id",
+        "n_words BETWEEN 50 AND 100000 AS words_ok",
+        "3 * n_words <= total_len AND total_len <= 10 * n_words AS mwl_ok",
+        "symbol_hits * 10 <= n_words AS symbol_ok",
+        "bullet_lines * 10 < 9 * n_lines AS bullet_ok",
+        "ellipsis_lines * 10 < 3 * n_lines AS ellipsis_ok",
+        "alpha_words * 10 >= 8 * n_words AS alpha_ok",
+        "stop_hits >= 2 AS stop_ok",
+        "(n_words BETWEEN 50 AND 100000) AND " +
+          "(3 * n_words <= total_len AND total_len <= 10 * n_words) AND " +
+          "symbol_hits * 10 <= n_words AND bullet_lines * 10 < 9 * n_lines AND " +
+          "ellipsis_lines * 10 < 3 * n_lines AND alpha_words * 10 >= 8 * n_words AND " +
+          "stop_hits >= 2 AS gopher_pass")
+
+  val gopherRulesSql: String =
+    s"""SELECT doc_id,
+       |  n_words BETWEEN 50 AND 100000 AS words_ok,
+       |  3 * n_words <= total_len AND total_len <= 10 * n_words AS mwl_ok,
+       |  symbol_hits * 10 <= n_words AS symbol_ok,
+       |  bullet_lines * 10 < 9 * n_lines AS bullet_ok,
+       |  ellipsis_lines * 10 < 3 * n_lines AS ellipsis_ok,
+       |  alpha_words * 10 >= 8 * n_words AS alpha_ok,
+       |  stop_hits >= 2 AS stop_ok,
+       |  (n_words BETWEEN 50 AND 100000) AND
+       |    (3 * n_words <= total_len AND total_len <= 10 * n_words) AND
+       |    symbol_hits * 10 <= n_words AND bullet_lines * 10 < 9 * n_lines AND
+       |    ellipsis_lines * 10 < 3 * n_lines AND alpha_words * 10 >= 8 * n_words AND
+       |    stop_hits >= 2 AS gopher_pass
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_len,
+       |    CAST(len(ln) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-') OR
+       |      starts_with(ltrim(l), '*'))) AS BIGINT) AS bullet_lines,
+       |    CAST(len(list_filter(ln, l -> suffix(rtrim(l), '...'))) AS BIGINT)
+       |      AS ellipsis_lines,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+       |      AS alpha_words,
+       |    CAST(len(list_filter(w, x -> x IN ($stopList))) AS BIGINT) AS stop_hits,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+       |      AS symbol_hits
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      string_split(text, ' ') AS w,
+       |      string_split(text, chr(10)) AS ln
+       |    FROM documents))""".stripMargin
+
   /** Quality score: type-token ratio, stopword ratio, length saturation —
     * the standard cheap pre-filters for LLM corpus curation.
     */
