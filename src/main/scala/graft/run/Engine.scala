@@ -674,6 +674,53 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       (s"${s.sourceName}.${s.tableName}", status)
     }
 
+  final case class UnitTestResult(name: String, model: String,
+                                  passed: Boolean,
+                                  missing: Seq[String],
+                                  unexpected: Seq[String])
+
+  /** dbt 1.8 unit tests: run ONE model's SQL against MOCK inputs and
+    * compare to expected rows — logic testing with zero warehouse
+    * access, the modern dbt surface for testing a model's SQL before any
+    * data exists. `given` maps each of the model's direct dependencies
+    * (`"model_name"` for ref(), `"source:src.table"` for source()) to a
+    * mock frame; every direct dependency must be mocked (an unmocked ref
+    * fails loudly rather than silently reading production). Comparison
+    * is order-insensitive multiset equality over the EXPECT frame's
+    * columns (dbt semantics: expected rows pin only the columns they
+    * declare); the result carries up to 5 missing/unexpected rows for
+    * the failure message.
+    */
+  def runUnitTest(name: String, modelName: String,
+                  given: Map[String, DataFrame],
+                  expect: DataFrame): UnitTestResult = {
+    val m = project.models.find(_.name == modelName).getOrElse(
+      throw new IllegalArgumentException(s"unit test '$name': unknown model '$modelName'"))
+    val safe = s"${name}_$modelName".replaceAll("[^A-Za-z0-9_]", "_")
+    val views = given.zipWithIndex.map { case ((k, df), i) =>
+      val vn = s"__graft_unit_${safe}_$i"
+      df.createOrReplaceTempView(vn)
+      k -> s"`$vn`"
+    }.toMap
+    val ctx = Compiler.ResolveCtx(
+      refTarget = r => views.getOrElse(r, throw new IllegalArgumentException(
+        s"unit test '$name': no mock for ref('$r')")),
+      sourceTarget = (sn, tn) => views.getOrElse(s"source:$sn.$tn",
+        throw new IllegalArgumentException(
+          s"unit test '$name': no mock for source('$sn', '$tn')")),
+      thisTarget = "", env = target.env, isIncremental = false,
+      vars = mergedVars)
+    val out = spark.sql(Compiler.compile(m.rawSql, ctx))
+    val cols = expect.columns.toIndexedSeq
+    def canon(df: DataFrame): Seq[String] =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("\u0001")).toSeq.sorted
+    val got = canon(out)
+    val want = canon(expect)
+    UnitTestResult(name, modelName, got == want,
+      missing = want.diff(got).take(5), unexpected = got.diff(want).take(5))
+  }
+
   /** `dbt run-operation <macro> --args {...}`: invoke a user macro
     * standalone — the admin-task surface (grants, maintenance SQL,
     * ad-hoc backfills) dbt projects drive through macros. The macro

@@ -282,6 +282,43 @@ class OrchestratorSpec extends AnyFunSuite {
     ()
   }
 
+  test("unit tests: mock inputs, no warehouse access, column-scoped expect") {
+    val s = spark
+    import s.implicits._
+    // the model joins a ref and a source — BOTH mocked; the warehouse
+    // root is empty and no source path even exists, proving isolation
+    val p = Project(name = "ut",
+      sources = Seq(SourceDef("ext", "regions", "/nonexistent/regions.parquet")),
+      models = Seq(
+        ModelDef("stg", "SELECT 1 AS x"),
+        ModelDef("joined",
+          """SELECT a.id, b.r_name, a.amount * 2 AS doubled
+            |FROM {{ ref('stg') }} a
+            |JOIN {{ source('ext','regions') }} b ON a.rk = b.rk""".stripMargin)))
+    val e = new Engine(spark, p, Target(root()))
+    val mockStg = Seq((1L, 0L, 10L), (2L, 1L, 20L)).toDF("id", "rk", "amount")
+    val mockRegions = Seq((0L, "EU"), (1L, "US")).toDF("rk", "r_name")
+    val expect = Seq((1L, "EU", 20L), (2L, "US", 40L))
+      .toDF("id", "r_name", "doubled")
+    val r = e.runUnitTest("ut_joined", "joined",
+      Map("stg" -> mockStg, "source:ext.regions" -> mockRegions), expect)
+    assert(r.passed, s"missing=${r.missing} unexpected=${r.unexpected}")
+    // expect pins only ITS columns: dropping one still passes
+    assert(e.runUnitTest("ut_subset", "joined",
+      Map("stg" -> mockStg, "source:ext.regions" -> mockRegions),
+      expect.select("id", "doubled")).passed)
+    // a wrong expectation fails with named diff rows
+    val bad = e.runUnitTest("ut_bad", "joined",
+      Map("stg" -> mockStg, "source:ext.regions" -> mockRegions),
+      Seq((1L, "EU", 999L)).toDF("id", "r_name", "doubled"))
+    assert(!bad.passed && bad.missing.nonEmpty && bad.unexpected.nonEmpty)
+    // an unmocked dependency fails loudly instead of reading production
+    val ex = intercept[IllegalArgumentException] {
+      e.runUnitTest("ut_nomock", "joined", Map("stg" -> mockStg), expect)
+    }
+    assert(ex.getMessage.contains("no mock"))
+  }
+
   test("fail-fast stops scheduling after the first error; default keeps independent branches") {
     // two INDEPENDENT models; the failing one sorts first under threads=1
     val p = baseProject.copy(models = Seq(
