@@ -93,6 +93,12 @@ object Compiler {
           }.toIndexedSeq))
         kvs.get("not_null").foreach(v => cfg = cfg.copy(notNull =
           v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq))
+        kvs.get("group").foreach(v => cfg = cfg.copy(group = v))
+        kvs.get("access").foreach { v =>
+          require(Set("private", "protected", "public").contains(v),
+            s"access must be private|protected|public, got '$v'")
+          cfg = cfg.copy(access = v)
+        }
         kvs.get("incremental_strategy").foreach { v =>
           import graft.core.IncrementalStrategy._
           cfg = cfg.copy(incrementalStrategy = v match {

@@ -117,6 +117,13 @@ final case class ModelConfig(
     // unmatched). Rows where a predicate is NULL count as out-of-window.
     incrementalPredicates: Seq[String] = Nil,
     tags: Set[String] = Set.empty,
+    // model governance (dbt 1.6 groups + access): a `private` model may
+    // only be ref()'d by models in the SAME group — the boundary that
+    // lets a platform team refactor internals without breaking unknown
+    // consumers. `protected` (the dbt default) and `public` are both
+    // freely referenceable within a single project.
+    group: String = "",
+    access: String = "protected", // private | protected | public
     preHooks: Seq[String] = Nil,
     postHooks: Seq[String] = Nil,
     // Model contract (dbt 1.5 `contract: {enforced: true}` + per-column

@@ -601,11 +601,29 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
   /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests
     * immediately after it (SURVEY §3.1 step 6).
     */
+  /** dbt 1.6 model governance: a `private` model may only be ref()'d
+    * from its own group — validated UP FRONT like dbt's parse phase, so
+    * a boundary violation fails before any node runs.
+    */
+  private def validateAccess(): Unit = {
+    val cfgOf = project.models.map(m => m.name -> effectiveConfig(m)).toMap
+    project.models.foreach { m =>
+      val (refs, _) = Compiler.dependencies(m.rawSql)
+      refs.foreach(r => cfgOf.get(r).foreach { rc =>
+        if (rc.access == "private" && rc.group != cfgOf(m.name).group)
+          throw new IllegalArgumentException(
+            s"model '${m.name}' (group '${cfgOf(m.name).group}') cannot " +
+              s"ref private model '$r' (group '${rc.group}')")
+      })
+    }
+  }
+
   def build(select: Option[Set[String]] = None,
             deferRoot: Option[String] = None,
             fullRefresh: Boolean = false,
             failFast: Boolean = false)
       : (Seq[Dag.NodeResult], Seq[TestResult]) = {
+    validateAccess()
     runProjectHooks(project.onRunStart)
     val nodes0 = allNodes
     // a relationships test makes its child node depend on the parent model

@@ -282,6 +282,31 @@ class OrchestratorSpec extends AnyFunSuite {
     ()
   }
 
+  test("model groups + access: private refs outside the group fail at parse time") {
+    def models(access: String, consumerGroup: String) = Seq(
+      ModelDef("core_int",
+        s"{{ config(group='core', access='$access') }} " +
+          "SELECT n_nationkey FROM {{ source('tpch','nation') }}"),
+      ModelDef("consumer",
+        s"{{ config(group='$consumerGroup') }} " +
+          "SELECT * FROM {{ ref('core_int') }}"))
+    // private + cross-group: fails before ANY node runs
+    val e1 = new Engine(spark,
+      baseProject.copy(models = models("private", "marts")), Target(root()))
+    val ex = intercept[IllegalArgumentException] { e1.build() }
+    assert(ex.getMessage.contains("private"))
+    assert(!e1.warehouse.exists(e1.relationFor("core_int")),
+      "violation must fail the parse phase, not mid-build")
+    // private + same group: fine
+    val e2 = new Engine(spark,
+      baseProject.copy(models = models("private", "core")), Target(root()))
+    assert(e2.build()._1.forall(_.status == "success"))
+    // protected (the default) + cross-group: fine within one project
+    val e3 = new Engine(spark,
+      baseProject.copy(models = models("protected", "marts")), Target(root()))
+    assert(e3.build()._1.forall(_.status == "success"))
+  }
+
   test("unit tests: mock inputs, no warehouse access, column-scoped expect") {
     val s = spark
     import s.implicits._
