@@ -274,6 +274,39 @@ object Analytics {
       |       true AS within_bound
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Approximate percentiles (Greenwald-Khanna sketch) — the scale
+    * fallback for [[qPercentiles]] when per-group exact percentile state
+    * is too wide: one pass, bounded sketch state, mergeable partials.
+    * Same bound-gated oracle pattern as [[qApproxDistinct]]: the sketch
+    * value is engine-specific, so the checkable contract is that each
+    * approximate quantile lies within the value range of exact quantiles
+    * ±10 RANKS' worth of spread — here simplified to the robust bound
+    * `p25_exact ≤ approx_p50 ≤ p75_exact` plus |approx_p50 − p50_exact|
+    * ≤ 5% of the IQR-padded spread. The oracle recomputes the exact
+    * percentiles and pins the booleans at literal true.
+    */
+  def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+        expr("percentile(o_totalprice, 0.25)").as("e25"),
+        expr("percentile(o_totalprice, 0.5)").as("e50"),
+        expr("percentile(o_totalprice, 0.75)").as("e75"))
+      .select(col("o_orderstatus"),
+        round(col("e50"), 4).as("p50_exact"),
+        (col("a50") >= col("e25") && col("a50") <= col("e75"))
+          .as("within_iqr"),
+        (abs(col("a50") - col("e50")) <=
+          (col("e75") - col("e25")) * lit(0.05) + lit(1.0))
+          .as("within_bound"))
+
+  val qApproxPercentilesSql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+      |  true AS within_iqr, true AS within_bound
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   /** Exact COUNT(DISTINCT) companion to [[qApproxDistinct]]: the same
     * grouping with only the deterministic column, hash-checked against
     * DuckDB directly (the sketch query's bound check also derives from

@@ -16,6 +16,7 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                    [--args k=v ...]
   *   docs             write the catalog.json artifact (--out p; footer
   *                    stats + view definitions, no table scans)
+  *   list             print (selected) nodes with kind/materialization/tags
   *   compile          emit the state manifest (no execution)
   *   test             only the declared tests
   *   freshness        source freshness vs thresholds
@@ -162,6 +163,24 @@ object GraftCli {
         val macArgs = flags.getOrElse("args", Nil)
           .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
         engine.runOperation(mac, macArgs).show(50, truncate = false)
+      case "list" =>
+        // `dbt list`: print the (selected) nodes with kind + config —
+        // the selector debugging tool
+        val sel = select.getOrElse(
+          (project.seeds.map(_.name) ++ project.models.map(_.name) ++
+            project.snapshots.map(_.name)).toSet)
+        project.seeds.filter(s => sel(s.name)).foreach(s =>
+          println(f"seed     ${s.name}"))
+        project.models.filter(m => sel(m.name)).foreach { m =>
+          val cfg = graft.compile.Compiler.parseInlineConfig(m.rawSql, m.config)
+          val tags = if (cfg.tags.isEmpty) ""
+                     else cfg.tags.toSeq.sorted.mkString(" [", ",", "]")
+          println(f"model    ${m.name}%-32s ${cfg.materialized}$tags")
+        }
+        project.snapshots.filter(s => sel(s.name)).foreach(s =>
+          println(f"snapshot ${s.name}"))
+        project.exposures.foreach(e =>
+          println(f"exposure ${e.name}%-32s -> ${e.dependsOn.mkString(", ")}"))
       case "docs" =>
         // `dbt docs generate`: the catalog artifact (footer stats only)
         val out = flags.get("out").flatMap(_.headOption)

@@ -74,6 +74,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("gopher rules + rp sketch: pure per-row plans — no exchange") {
+    val g = plan(graft.ops.TextOps.gopherRules(spark, sf))
+    assert(shuffles(g) == 0 && !g.contains("Join"), g)
+    val r = plan(graft.ops.Similarity.embeddingRp(spark, sf))
+    assert(shuffles(r) == 0 && !r.contains("Join"), r)
+  }
+
   test("chunking: pure per-row fan-out — no exchange anywhere") {
     val p = plan(TextOps.chunkOverlap(spark, sf))
     assert(shuffles(p) == 0, s"chunking must not shuffle:\n$p")
