@@ -47,6 +47,31 @@ object SchemaTests {
       .join(p, col(fk) === col("__graft_rel_pk"), "left_anti")
   }
 
+  /** dbt-utils `accepted_range`: rows whose column falls outside
+    * [minV, maxV] (either bound optional; NULLs never fail — pair with
+    * not_null). The everyday numeric sanity test dbt projects layer on
+    * top of the core four.
+    */
+  def acceptedRange(df: DataFrame, column: String,
+                    minV: Option[Double], maxV: Option[Double]): DataFrame = {
+    require(minV.isDefined || maxV.isDefined, "accepted_range needs a bound")
+    val c = col(column)
+    val breaches = Seq(
+      minV.map(v => c < lit(v)),
+      maxV.map(v => c > lit(v))).flatten.reduce(_ || _)
+    df.filter(c.isNotNull && breaches)
+  }
+
+  /** dbt-utils `unique_combination_of_columns`: multi-column key tuples
+    * appearing more than once (the composite-key sibling of B21; rows
+    * with any NULL key column are exempt, matching B21's convention).
+    */
+  def uniqueCombination(df: DataFrame, columns: Seq[String]): DataFrame =
+    df.filter(columns.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(columns.map(col): _*)
+      .agg(count(lit(1)).as("n_records"))
+      .filter(col("n_records") > 1)
+
   /** B25 `get_where_subquery`: per-test row filter applied before the test. */
   def withWhere(df: DataFrame, whereClause: Option[Column]): DataFrame =
     whereClause.fold(df)(df.filter)

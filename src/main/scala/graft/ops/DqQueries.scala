@@ -20,6 +20,31 @@ object DqQueries {
       |WHERE o_custkey IS NOT NULL
       |GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
+  /** dbt-utils accepted_range: orders whose total price falls outside a
+    * plausibility window — the everyday numeric sanity test.
+    */
+  def bTestAcceptedRange(s: SparkSession, d: String): DataFrame =
+    SchemaTests.acceptedRange(orders(s, d), "o_totalprice",
+      Some(1000.0), Some(400000.0))
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val bTestAcceptedRangeSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice IS NOT NULL
+      |  AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)""".stripMargin
+
+  /** dbt-utils unique_combination_of_columns: composite-key duplicates
+    * over (custkey, orderdate) — multi-order days per customer.
+    */
+  def bTestUniqueCombination(s: SparkSession, d: String): DataFrame =
+    SchemaTests.uniqueCombination(orders(s, d),
+      Seq("o_custkey", "o_orderdate"))
+
+  val bTestUniqueCombinationSql: String =
+    """SELECT o_custkey, o_orderdate, count(*) AS n_records FROM orders
+      |WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin
+
   /** B22: not_null over a derived nullable column (testdata has no raw
     * NULLs) — fails for every 'O'-status order.
     */

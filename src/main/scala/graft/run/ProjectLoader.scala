@@ -116,6 +116,16 @@ object ProjectLoader {
           case "accepted_values" =>
             TestDef(testName, model, df =>
               SchemaTests.acceptedValues(df, parts(2), parts(3).split(",").toSeq))
+          case "accepted_range" =>
+            // accepted_range <model> <col> <min|null> [<max|null>]
+            TestDef(testName, model, df => SchemaTests.acceptedRange(df,
+              parts(2),
+              parts.lift(3).filter(_ != "null").map(_.toDouble),
+              parts.lift(4).filter(_ != "null").map(_.toDouble)))
+          case "unique_combination" =>
+            // unique_combination <model> <col1,col2,...>
+            TestDef(testName, model, df => SchemaTests.uniqueCombination(df,
+              parts(2).split(",").toIndexedSeq))
           case "relationships" =>
             // `relationships child_model fk parent_model pk` — the parent is
             // a model/seed NAME, resolved at run time by Engine.readModel
