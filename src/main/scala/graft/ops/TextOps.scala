@@ -864,6 +864,81 @@ object TextOps {
         (a, x) => a + x.cast("long")).as("n_bpe_tokens"))
   }
 
+  /** Per-source corpus health report — the dataset-card numbers every
+    * training-data pipeline publishes, composed from the battery in one
+    * pass over the corpus plus the exact-dup agg: docs, whitespace
+    * tokens, mean doc length (floor-scaled), Gopher pass rate (integer
+    * counts), and exact-duplicate rate (docs sharing an md5 with an
+    * earlier doc). Two shuffles total (the md5 dup agg + the per-source
+    * fold); everything else rides the scan.
+    */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val gopher = gopherRules(s, d).select(col("doc_id"),
+      col("gopher_pass").cast("int").cast("long").as("gp"))
+    val dupOf = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("keep"),
+        count(lit(1)).as("n"))
+      .select(col("keep"), (col("n") - 1).as("extra"))
+    val perDoc = docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .join(gopher, Seq("doc_id"))
+      .join(dupOf.withColumnRenamed("keep", "doc_id"), Seq("doc_id"), "left")
+    perDoc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        expr("sum(chars) DIV count(1)").as("mean_chars"),
+        sum(col("gp")).as("n_gopher_pass"),
+        coalesce(sum(col("extra")), lit(0L)).as("n_exact_dups"))
+      .orderBy(col("source"))
+  }
+
+  // lazy: `stopList` is declared further down the object — an eager val
+  // here would capture null at object init
+  lazy val corpusReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CASE WHEN
+      |    (n_words BETWEEN 50 AND 100000) AND
+      |    (3 * n_words <= total_len AND total_len <= 10 * n_words) AND
+      |    symbol_hits * 10 <= n_words AND bullet_lines * 10 < 9 * n_lines AND
+      |    ellipsis_lines * 10 < 3 * n_lines AND alpha_words * 10 >= 8 * n_words AND
+      |    stop_hits >= 2 THEN 1 ELSE 0 END AS gp
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(w) AS BIGINT) AS n_words,
+      |      CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_len,
+      |      CAST(len(ln) AS BIGINT) AS n_lines,
+      |      CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-') OR
+      |        starts_with(ltrim(l), '*'))) AS BIGINT) AS bullet_lines,
+      |      CAST(len(list_filter(ln, l -> suffix(rtrim(l), '...'))) AS BIGINT)
+      |        AS ellipsis_lines,
+      |      CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+      |        AS alpha_words,
+      |      CAST(len(list_filter(w, x -> x IN (__STOPLIST__))) AS BIGINT) AS stop_hits,
+      |      CAST(length(text) - length(replace(text, '#', ''))
+      |        + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+      |        AS symbol_hits
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS w,
+      |            string_split(text, chr(10)) AS ln
+      |          FROM documents))),
+      |dup AS (
+      |  SELECT min(doc_id) AS doc_id, count(*) - 1 AS extra
+      |  FROM (SELECT doc_id, md5(text) AS h FROM documents)
+      |  GROUP BY h)
+      |SELECT d.source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(sum(length(d.text)) AS BIGINT) // count(*) AS BIGINT)
+      |    AS mean_chars,
+      |  CAST(sum(g.gp) AS BIGINT) AS n_gopher_pass,
+      |  CAST(coalesce(sum(dup.extra), 0) AS BIGINT) AS n_exact_dups
+      |FROM documents d
+      |JOIN g USING (doc_id)
+      |LEFT JOIN dup USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source"""
+      .stripMargin.replace("__STOPLIST__", stopList)
+
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
