@@ -104,9 +104,19 @@ object Compiler {
           cfg = cfg.copy(incrementalStrategy = v match {
             case "insert_overwrite" => InsertOverwrite
             case "delete+insert" => DeleteInsert
+            case "microbatch" => Microbatch
             case _ => Merge
           })
         }
+        // dbt 1.9 microbatch knobs
+        kvs.get("event_time").foreach(v => cfg = cfg.copy(eventTime = v))
+        kvs.get("batch_size").foreach { v =>
+          require(Set("hour", "day", "month", "year").contains(v),
+            s"batch_size must be hour|day|month|year, got '$v'")
+          cfg = cfg.copy(batchSize = v)
+        }
+        kvs.get("lookback").foreach(v => cfg = cfg.copy(lookback = v.toInt))
+        kvs.get("begin").foreach(v => cfg = cfg.copy(begin = v))
         cfg
     }
   }

@@ -47,6 +47,9 @@ object IncrementalStrategy {
   case object Merge extends IncrementalStrategy
   case object DeleteInsert extends IncrementalStrategy
   case object InsertOverwrite extends IncrementalStrategy
+  // dbt 1.9 `microbatch`: the model is processed as independent
+  // event-time batches, each insert_overwriting its own period slice.
+  case object Microbatch extends IncrementalStrategy
 }
 
 /** `on_schema_change` policies (reference
@@ -116,6 +119,18 @@ final case class ModelConfig(
     // key OUTSIDE the window duplicates it (the old row survives
     // unmatched). Rows where a predicate is NULL count as out-of-window.
     incrementalPredicates: Seq[String] = Nil,
+    // dbt 1.9 microbatch knobs (incremental_strategy='microbatch'):
+    // `event_time` names the model-output timestamp/date column that
+    // assigns each row to a batch; `batch_size` is the period
+    // granularity (hour|day|month|year); `lookback` is how many periods
+    // before the current one an incremental run reprocesses; `begin` is
+    // the left edge of the initial build. The engine derives a visible
+    // `event_batch` partition column (the period label) — the physical
+    // time-partitioning dbt gets implicitly from BigQuery.
+    eventTime: String = "",
+    batchSize: String = "day",
+    lookback: Int = 1,
+    begin: String = "",
     tags: Set[String] = Set.empty,
     // model governance (dbt 1.6 groups + access): a `private` model may
     // only be ref()'d by models in the SAME group — the boundary that

@@ -168,11 +168,14 @@ final class Materializer(wh: Warehouse) {
   // let two racing merges both read the same stale target and the second
   // commit silently drop the first's rows — the classic lost update
   wh.withRelationLock(rel) {
+    if (cfg.incrementalStrategy == Microbatch) {
+      microbatch(df, rel, cfg, fullRefresh); return
+    }
     if (!wh.exists(rel) || fullRefresh) { table(df, rel, cfg); return }
     val target = wh.read(rel)
     val (inc, tgt, requiresTargetRewrite) =
       SchemaEvolution(cfg.onSchemaChange, df, target)
-    cfg.incrementalStrategy match {
+    (cfg.incrementalStrategy: @unchecked) match { // Microbatch returned above
       case InsertOverwrite =>
         // reference insert_overwrite is single-field (static list and
         // _dbt_max_partition are one value); multi-col stays merge-family
@@ -279,6 +282,112 @@ final class Materializer(wh: Warehouse) {
               cfg.clusterBy)
         }
     }
+  }
+
+  /** dbt 1.9 `microbatch` incremental strategy: the model is processed as
+    * INDEPENDENT event-time batches — hour/day/month/year periods — each
+    * one filtered out of the model and insert_overwritten into its own
+    * period slice of the target (partitioned by the derived `event_batch`
+    * label column, the physical time-partitioning dbt gets implicitly
+    * from BigQuery's `partition_by` on the event_time column).
+    *
+    *  - initial build (missing target or --full-refresh): every period
+    *    from `begin` through the current one;
+    *  - incremental run: the current period plus `lookback` periods
+    *    before it (late-arriving data window), clamped at `begin`;
+    *  - a batch that fails does NOT abort the rest — remaining batches
+    *    still run and commit, the error surfaces at the end naming the
+    *    failed periods (dbt's per-batch retryability: rerun reprocesses
+    *    only the failed window);
+    *  - an empty batch CLEARS its period (`alsoDropValues`): the period
+    *    now provably holds no rows.
+    *
+    * dbt filters each upstream ref that declares an event_time; here the
+    * batch window is one filter on the model OUTPUT's event_time column
+    * and Catalyst pushes it down through the model's projections/joins to
+    * the source scans — same pruning, no template machinery. At scale
+    * each batch is a partition-scoped write: source scan pruned to the
+    * period, target write touching exactly one partition; disjoint
+    * periods would also admit concurrent batch writes (dbt 1.9
+    * `concurrent_batches`) — kept sequential here so a shared-manifest
+    * CAS conflict can never force a batch retry mid-run.
+    *
+    * "Now" is pinned via the `graft.microbatch.now` session conf
+    * (`yyyy-MM-dd[ HH:mm:ss]`) when present — deterministic runs/tests —
+    * else wall clock.
+    */
+  private def microbatch(df: DataFrame, rel: Relation, cfg: ModelConfig,
+                         fullRefresh: Boolean): Unit = {
+    import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+    require(cfg.eventTime.nonEmpty, "microbatch needs event_time")
+    require(cfg.begin.nonEmpty, "microbatch needs begin")
+    require(cfg.lookback >= 0, "microbatch lookback must be >= 0")
+    require(cfg.partitionBy.isEmpty,
+      "microbatch derives its own event_batch partition column; " +
+        s"partition_by=${cfg.partitionBy.mkString(",")} conflicts")
+
+    def parseDt(s: String): LocalDateTime =
+      if (s.length == 10) LocalDate.parse(s).atStartOfDay()
+      else LocalDateTime.parse(s.replace(' ', 'T'))
+    def trunc(t: LocalDateTime): LocalDateTime = cfg.batchSize match {
+      case "hour" => t.withMinute(0).withSecond(0).withNano(0)
+      case "day" => t.toLocalDate.atStartOfDay()
+      case "month" => t.toLocalDate.withDayOfMonth(1).atStartOfDay()
+      case "year" => t.toLocalDate.withDayOfYear(1).atStartOfDay()
+    }
+    def next(t: LocalDateTime): LocalDateTime = cfg.batchSize match {
+      case "hour" => t.plusHours(1)
+      case "day" => t.plusDays(1)
+      case "month" => t.plusMonths(1)
+      case "year" => t.plusYears(1)
+    }
+    // the partition label is the PERIOD START as a date string — it
+    // round-trips through partition-column type inference as a real DATE
+    // for day/month/year (BigQuery time-partitioning's column shape);
+    // hour keeps a dash form that stays a string
+    def label(t: LocalDateTime): String = cfg.batchSize match {
+      case "hour" => f"${t.toLocalDate}%s-${t.getHour}%02d"
+      case _ => t.toLocalDate.toString
+    }
+
+    val now = wh.spark.conf.getOption("graft.microbatch.now")
+      .map(parseDt)
+      .getOrElse(Instant.ofEpochMilli(System.currentTimeMillis())
+        .atZone(ZoneOffset.UTC).toLocalDateTime)
+    val beginP = trunc(parseDt(cfg.begin))
+    val initial = !wh.exists(rel) || fullRefresh
+    if (initial && wh.exists(rel)) wh.drop(rel)
+    var start = if (initial) beginP
+      else (0 until cfg.lookback).foldLeft(trunc(now))((t, _) =>
+        trunc(t.minusNanos(1))) // step back one full period at a time
+    if (start.isBefore(beginP)) start = beginP
+
+    val periods = Iterator.iterate(start)(next)
+      .takeWhile(p => !p.isAfter(now)).toSeq
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    periods.foreach { p =>
+      val lbl = label(p)
+      val lo = lit(p.format(fmt)).cast("timestamp")
+      val hi = lit(next(p).format(fmt)).cast("timestamp")
+      val et = col(cfg.eventTime).cast("timestamp")
+      val slice = df.filter(et >= lo && et < hi)
+        .withColumn("event_batch", lit(lbl))
+      try {
+        if (!wh.exists(rel)) wh.writeAtomic(slice, rel, Seq("event_batch"))
+        else wh.replacePartitions(slice, rel, Seq("event_batch"),
+          alsoDropValues = Seq(lbl))
+      } catch {
+        case e: Exception =>
+          failed += lbl -> Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
+    }
+    if (failed.nonEmpty) throw new IllegalStateException(
+      s"microbatch ${rel.fqName}: ${failed.size} of ${periods.size} batches " +
+        s"failed [${failed.map(_._1).mkString(", ")}]; successful batches " +
+        s"are committed — rerun reprocesses the failed periods. First " +
+        s"error (${failed.head._1}): ${failed.head._2}")
   }
 
   /** The merge family's keep side: target rows with no increment match.

@@ -119,6 +119,39 @@ object OrchestratorQueries {
       |       CAST(o_orderkey // 1000 AS INT) AS okey_k
       |FROM orders""".stripMargin
 
+  /** dbt 1.9 microbatch lifecycle: the model declares
+    * `incremental_strategy='microbatch'` with a yearly event_time batch;
+    * run 1 (initial) builds every 1995–2001 period as an independent
+    * insert_overwrite into its own `event_batch` partition; run 2
+    * (incremental, same pinned "now") reprocesses only the current period
+    * plus `lookback=1` before it — idempotent over static data. Final
+    * state must equal the plain full query with the derived period-start
+    * partition column.
+    */
+  def microbatchModel(s: SparkSession, d: String): DataFrame = {
+    val root = freshRoot()
+    val modelSql =
+      """{{ config(materialized='incremental', incremental_strategy='microbatch', event_time='o_orderdate', batch_size='year', lookback=1, begin='1995-01-01') }}
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM {{ source('tpch', 'orders') }}""".stripMargin
+    val project = Project(name = "demo_microbatch",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("orders_batched", modelSql)))
+    s.conf.set("graft.microbatch.now", "2001-12-31")
+    try {
+      val run1 = new Engine(s, project, Target(root, threads = 1))
+      require(run1.build()._1.forall(_.status == "success"))
+      val run2 = new Engine(s, project, Target(root, threads = 1))
+      require(run2.build()._1.forall(_.status == "success"))
+      run2.readModel("orders_batched")
+    } finally s.conf.unset("graft.microbatch.now")
+  }
+
+  val microbatchModelSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+      |       date_trunc('year', o_orderdate)::DATE AS event_batch
+      |FROM orders""".stripMargin
+
   /** User-defined macros end-to-end (dbt macro search path,
     * `dbt_project.yml:15-20`; the reference reserves the slot via
     * `macros/.gitkeep`): a parameterized SQL-fragment macro whose body
