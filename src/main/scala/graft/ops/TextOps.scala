@@ -1065,6 +1065,48 @@ object TextOps {
       |  FROM tf JOIN df USING (word))
       |WHERE rn <= 3""".stripMargin
 
+  /** Exact frequent terms under a bounded-memory plan: which words occur
+    * in more than 1/(m+1) of all token positions (m = 63 → the >1.5625%
+    * hitters — stopword-class terms)?
+    *
+    * Two passes, neither shuffling the vocabulary:
+    *  1. a mergeable Misra-Gries sketch ([[graft.functions.HeavyHittersAggregator]])
+    *     reduces every partition to ≤ m counters before the (single-row)
+    *     exchange; its survivors are a PROVEN superset of every
+    *     above-threshold term, and it also carries exact N;
+    *  2. an exact recount of only the ≤ m candidate terms — the candidate
+    *     list is a literal isin pushed into the scan — keeps those with
+    *     count·(m+1) > N.
+    * The naive `GROUP BY word HAVING` shuffles the whole term universe to
+    * answer a question about a handful of terms; here the exchange
+    * carries ≤ m entries however large the corpus. The DuckDB oracle IS
+    * the naive plan — proving sketch + recount exactly reproduce it.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = 63
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val (cands, total) = words.as[String]
+      .select(new graft.functions.HeavyHittersAggregator(m).toColumn)
+      .head() // one control-plane row: ≤ m candidates + exact N
+    val candTerms = cands.map(_._1)
+    if (candTerms.isEmpty) // degenerate: nothing can pass the threshold
+      return words.select(col("word"), lit(0L).as("cnt")).limit(0)
+    words.filter(col("word").isin(candTerms: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (m + 1) > lit(total))
+  }
+
+  val heavyHittersSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |tot AS (SELECT count(*) AS n FROM words)
+      |SELECT word, count(*) AS cnt
+      |FROM words CROSS JOIN tot
+      |GROUP BY word, n
+      |HAVING count(*) * 64 > n""".stripMargin
+
   /** The full corpus-curation funnel as ONE declarative plan — the
     * end-to-end shape an LLM data pipeline actually runs:
     *   1. quality gate (floor-scaled score ≥ 0.5, same formula as
