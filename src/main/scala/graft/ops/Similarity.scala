@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -181,10 +181,11 @@ object Similarity {
     * inside one shuffle partition. Same (score desc, id asc) order and
     * output contract as [[topK]].
     */
-  private def topKAgg(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+  private def topKAgg(s: SparkSession, scored: DataFrame, k: Int,
+                      scoreCol: String = "cos_sim"): DataFrame = {
     import s.implicits._
     val agg = new graft.functions.TopKAggregator(k).toColumn
-    scored.select(col("q_id"), col("neighbor_id"), col("cos_sim"))
+    scored.select(col("q_id"), col("neighbor_id"), col(scoreCol))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
@@ -192,7 +193,7 @@ object Similarity {
       .toDF("q_id", "topk")
       .select(col("q_id"), posexplode(col("topk")))
       .select(col("q_id"), col("col._2").as("neighbor_id"),
-        col("col._1").as("cos_sim"), (col("pos") + 1).as("knn_rank"))
+        col("col._1").as(scoreCol), (col("pos") + 1).as("knn_rank"))
   }
 
   /** IVF-style ANN, production shape:
@@ -405,6 +406,152 @@ object Similarity {
     * (floor-scaled integer — exact cross-engine). Pure per-row higher-order
     * functions, no shuffle, stays in whole-stage codegen.
     */
+  // ---------------------------------------------- product quantization
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids per
+    * subspace. A vector's code is 8 four-bit ids — 4 bytes against 256
+    * bytes of float32, the classic 64× shrink that lets a 100 TB
+    * embedding corpus's codes live in memory.
+    */
+  private val PqS = 8
+  private val PqSub = 8
+  private val PqK = 16
+
+  /** Train per-subspace codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) on a bounded DETERMINISTIC
+    * sample — md5-ordered prefix like [[kmeansFit]], ≤1024 vectors. PQ
+    * codebooks are sample-trained in every production ANN system (the
+    * k·S·sub codebook is control-plane data; corpus size only affects the
+    * encode scan); driver-side Lloyd on ≤1024×8-dim points is exact
+    * enough and keeps the training cost O(1) in N. Vectors are unit-
+    * normalized first so subspace L2 distance ranks like cosine.
+    */
+  private[graft] def pqTrain(e: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val sample = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(1024).select(col("v")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](0).toIndexedSeq
+        val n = math.sqrt(v.map(x => x * x).sum + 1e-300)
+        v.map(_ / n)
+      }.toIndexedSeq
+    require(sample.nonEmpty, "pqTrain on an empty corpus")
+    (0 until PqS).map { s0 =>
+      lloydSmall(sample.map(_.slice(s0 * PqSub, (s0 + 1) * PqSub)), PqK, 8)
+    }
+  }
+
+  /** Deterministic driver-side Lloyd for tiny inputs: seeds = first k
+    * DISTINCT points in the (already md5-shuffled) sample order, L2
+    * assignment with lowest-id tiebreak, means snapped to a 1e-9 grid,
+    * empty clusters keep their centroid.
+    */
+  private def lloydSmall(xs: IndexedSeq[IndexedSeq[Double]], k: Int,
+                         iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    def l2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cents = xs.distinct.take(k)
+    if (cents.isEmpty) return IndexedSeq.empty
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](xs.head.length))
+      val ns = new Array[Long](cents.length)
+      xs.foreach { x =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val dd = l2(x, cents(c)); if (dd < bd) { bd = dd; best = c }; c += 1
+        }
+        ns(best) += 1
+        var i = 0
+        while (i < x.length) { sums(best)(i) += x(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (ns(c) == 0) old
+        else old.indices.map(i =>
+          math.floor(sums(c)(i) / ns(c) * 1e9 + 0.5) / 1e9)
+      }
+    }
+    cents
+  }
+
+  /** Unit-normalized vector column (PQ codes quantize directions). */
+  private val pqNorm: Column = expr(
+    "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, y) -> a + y * y) + 1e-300))")
+
+  /** Per-row PQ encode: for each subspace, argmin-L2 over its 16 literal
+    * centroids — the codebook is control-plane data embedded in the plan
+    * (like [[kmNearest]]), so encoding is ONE codegen'd corpus scan, no
+    * join, no shuffle.
+    */
+  private def pqCodeCol(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column = {
+    val vn = pqNorm
+    def l2sq(sub: Column, cent: IndexedSeq[Double]): Column =
+      aggregate(
+        zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)
+    array((0 until PqS).map { s0 =>
+      val sub = slice(vn, s0 * PqSub + 1, PqSub)
+      array_min(array(books(s0).zipWithIndex.map { case (cv, cid) =>
+        struct(round(l2sq(sub, cv), 9).as("d"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup tables: tbl[s][c] = dot(q_sub_s, centroid_c) —
+    * computed once per QUERY row (literal centroids again), so scoring a
+    * corpus code is 8 array lookups + adds instead of 64 multiplies.
+    */
+  private def pqAdcTables(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
+    array((0 until PqS).map { s0 =>
+      val sub = slice(col("qv"), s0 * PqSub + 1, PqSub)
+      array(books(s0).map { cv =>
+        aggregate(zip_with(sub, typedLit(cv), (x, y) => x * y),
+          lit(0.0), (acc, z) => acc + z)
+      }: _*)
+    }: _*)
+
+  /** PQ ANN with exact re-rank — the production memory-bound shape:
+    *  1. encode the corpus to 8-nibble codes (one scan, codegen);
+    *  2. ADC-score every (query, code) pair — the cross join moves 4-byte
+    *     codes, not 256-byte vectors, and each pair costs 8 lookups;
+    *  3. keep a top-`shortlist` ADC shortlist per query via the bounded
+    *     [[graft.functions.TopKAggregator]];
+    *  4. exact-cosine re-rank ONLY the shortlist (a ≤ shortlist-per-query
+    *     join back to the float vectors) → top-5.
+    * Approximate by construction (the true neighbor can miss the ADC
+    * shortlist): rows-level driver check; PqSpec pins recall@5 against
+    * [[knnBrute]] plus the determinism and code-size contracts.
+    */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val books = pqTrain(e)
+    val codes = e.select(col("vec_id"), pqCodeCol(books).as("code"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("tbl", pqAdcTables(books))
+      .select(col("q_id"), col("tbl"))
+    val adc = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(aggregate(
+          zip_with(col("code"), col("tbl"),
+            (c, t) => element_at(t, c.cast("int") + 1)),
+          lit(0.0), (acc, z) => acc + z), 6).as("adc_score"))
+    val shortlist = topKAgg(s, adc, 50, "adc_score")
+      .select(col("q_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist only
+    val qv = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
+    topKAgg(s, exact, 5)
+  }
+
   def embeddingQuantize(s: SparkSession, d: String): DataFrame =
     vecs(s, d)
       // floor(x+0.5), not round(): same double in both engines → same
