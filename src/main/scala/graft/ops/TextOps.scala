@@ -1016,6 +1016,99 @@ object TextOps {
       |  CAST(CAST(sum(ts) AS BIGINT) // count(*) AS BIGINT) AS lm_score
       |FROM per GROUP BY doc_id""".stripMargin
 
+  // -------------------------------------- DSIR importance resampling
+  /** DSIR-shape data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how target-like its HASHED N-GRAM feature distribution is, where the
+    * target here is the corpus's English slice (`lang = 'en'`) — the
+    * "select data that looks like my target domain" curation step.
+    *
+    *  - features: lowercase-alnum bigrams hashed into B = 4096 md5
+    *    buckets (DSIR's hashed n-gram feature space);
+    *  - per-bucket importance rate r_b = (10^6·(cp_b+1)) div (cq_b+1)
+    *    with add-one smoothing (cp = target bucket count, cq = raw) —
+    *    the RAW scaled ratio, not its log, and the per-doc score the
+    *    MEAN rate over the doc's features instead of the log-product:
+    *    the same linearization [[lmScore]] and [[tfidfTerms]] use, so
+    *    every number is integer-exact cross-engine while "more
+    *    target-like scores higher" survives;
+    *  - `selected` = score ≥ the corpus-mean rate
+    *    (Σ_b cq_b·r_b) div Nq — the feature-weighted average of the very
+    *    rates the scores are built from, so "more target-like than the
+    *    corpus average" is exact by construction (the resampling
+    *    acceptance rule with a deterministic threshold in place of
+    *    Gumbel noise).
+    *
+    * Scale shape: bucket counts aggregate to ≤ B = 4096 rows (map-side
+    * combine; the rate table broadcasts), the only per-doc shuffle is
+    * the final doc_id mean. Docs with < 2 tokens have no features and
+    * drop out, as in [[lmScore]]. Rate numerators stay under 10^6·Np —
+    * inside Long up to ~10^12 target tokens.
+    */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val B = 4096
+    val arrs = documents(s, d).select(col("doc_id"), col("lang"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0).as("l"))
+    val feats = arrs.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bgr"))
+      .withColumn("b", expr(
+        s"CAST(conv(substr(md5(bgr), 1, 8), 16, 10) AS BIGINT) % $B"))
+      .select(col("doc_id"), col("lang"), col("b"))
+    val cq = feats.groupBy(col("b")).agg(count(lit(1)).as("cq"))
+    val cp = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("cp"))
+    val rates = cq.join(cp, Seq("b"), "left_outer")
+      .select(col("b"),
+        expr("(1000000 * (coalesce(cp, 0) + 1)) DIV (cq + 1)").as("r"))
+    // corpus-mean rate: r ≤ 10^6 (target ⊆ raw ⇒ cp ≤ cq), so the
+    // weighted sum stays inside Long up to ~10^12 raw features
+    val threshold = rates.join(cq, "b")
+      .agg(expr("sum(cq * r) DIV sum(cq)").as("thr"))
+    feats.join(rates, "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        expr("sum(r) DIV count(1)").as("dsir_score"))
+      .crossJoin(threshold)
+      .select(col("doc_id"), col("n_feats"), col("dsir_score"),
+        (col("dsir_score") >= col("thr")).as("selected"))
+  }
+
+  val dsirSelectSql: String =
+    """WITH arrs AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, lang, unnest(l) AS term,
+      |    unnest(range(1, len(l) + 1)) AS i
+      |  FROM arrs),
+      |feats AS (
+      |  SELECT a.doc_id, a.lang,
+      |    ('0x' || substr(md5(a.term || ' ' || b.term), 1, 8))::BIGINT % 4096 AS b
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |cq AS (SELECT b, count(*) AS cq FROM feats GROUP BY b),
+      |cp AS (SELECT b, count(*) AS cp FROM feats WHERE lang = 'en' GROUP BY b),
+      |rates AS (
+      |  SELECT cq.b, (1000000 * (coalesce(cp.cp, 0) + 1)) // (cq.cq + 1) AS r
+      |  FROM cq LEFT JOIN cp USING (b)),
+      |tot AS (
+      |  SELECT CAST(CAST(sum(cq.cq * r) AS BIGINT) // sum(cq.cq) AS BIGINT)
+      |    AS thr
+      |  FROM rates JOIN cq USING (b)),
+      |per AS (
+      |  SELECT f.doc_id, count(*) AS n_feats,
+      |    CAST(CAST(sum(r) AS BIGINT) // count(*) AS BIGINT) AS dsir_score
+      |  FROM feats f JOIN rates USING (b) GROUP BY f.doc_id)
+      |SELECT doc_id, n_feats, dsir_score,
+      |  dsir_score >= thr AS selected
+      |FROM per CROSS JOIN tot""".stripMargin
+
   /** Per-document top-3 keywords by a tf/df score — the keyword-extraction
     * / topic-tagging step of a corpus pipeline. Classic tf-idf shape (term
     * frequency × inverse document frequency) with an INTEGER score

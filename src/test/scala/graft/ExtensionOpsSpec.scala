@@ -20,6 +20,22 @@ class ExtensionOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("DSIR selection concentrates on the target (English) slice") {
+    val sel = TextOps.dsirSelect(spark, "/root/testdata/sf0.01")
+      .join(TData.documents(spark, "/root/testdata/sf0.01")
+        .select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = sel.groupBy(col("lang"))
+      .agg(count(when(col("selected"), 1)).as("sel"), count(lit(1)).as("tot"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (enSel, enTot) = byLang("en")
+    // the target slice is mostly kept...
+    assert(enSel.toDouble / enTot >= 0.8, s"en recall ${enSel}/$enTot")
+    // ...and every non-target language is mostly rejected
+    byLang.filter(_._1 != "en").foreach { case (l, (s, t)) =>
+      assert(s.toDouble / t <= 0.5, s"$l leaked $s/$t")
+    }
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val dups = TextOps.dedupExact(spark, sf).filter(col("n_copies") > 1)
     val planted = TData.documents(spark, sf)
