@@ -363,6 +363,43 @@ final class Warehouse(val spark: SparkSession, val root: String,
     commitEntries(rel)(_ => entries)
   }
 
+  /** Zero-copy clone (`dbt clone` / Delta shallow clone): commit a
+    * manifest on `dst` whose entries POINT AT the source's current
+    * version dirs — absolute paths, which [[listEntries]]' `new
+    * Path(parent, child)` resolution already honors — so the clone costs
+    * one manifest write whatever the table size. The CI shape this
+    * serves: clone prod's relations into a PR schema, then build only
+    * the modified models on top.
+    *
+    * Clone semantics after the fact:
+    *  - the clone is PINNED at the source's clone-time state — later
+    *    source commits never leak in (their entries aren't referenced);
+    *  - writes to the clone land as local version dirs next to the
+    *    absolute pointers; overwrites replace the pointers entirely;
+    *  - the clone's GC only scans its own directory, so it can never
+    *    collect source data — but dropping the SOURCE (or its retention
+    *    GC retiring the referenced dirs after [[KeepManifests]] further
+    *    commits) breaks the clone's reads, exactly the documented
+    *    `VACUUM`-breaks-shallow-clones caveat Delta has. Re-clone or
+    *    deep-copy (`writeAtomic(read)`) to outlive the source.
+    *
+    * Rename-mode warehouses (either side) have no manifest to point
+    * through — falls back to a deep copy, still atomic.
+    */
+  def cloneFrom(srcWh: Warehouse, src: Relation, dst: Relation): Unit =
+    withRelationLock(dst) {
+      require(srcWh.exists(src), s"clone source ${src.fqName} does not exist")
+      if (usesManifest && srcWh.usesManifest &&
+          srcWh.latestManifest(src).isDefined) {
+        val entries = srcWh.latestManifest(src).get._2
+        val absolute = entries.map { case (v, p) =>
+          (new Path(srcWh.mfDir(src), v).toString, p)
+        }
+        commitEntries(dst)(_ => absolute)
+        invalidateRead(dst)
+      } else writeAtomic(srcWh.read(src), dst)
+    }
+
   /** Newest COMPLETE manifest: (seq, entries). */
   private def latestManifest(rel: Relation): Option[(Long, Seq[(String, String)])] =
     manifestsDescending(rel).iterator

@@ -260,6 +260,69 @@ object OrchestratorQueries {
     run2.readModel("mv_report")
   }
 
+  /** dbt 1.6 `clone` lifecycle: prod builds a table + a view model; a PR
+    * target CLONES both from the prod root (zero-copy manifest pointer
+    * for the table, definition re-creation for the view), then builds
+    * ONLY a changed downstream model on top of the clones. Prod then
+    * moves on (an overwrite) — the clone must stay pinned at clone-time
+    * state. The oracle recomputes the downstream result from raw orders
+    * at the CLONE-TIME cutoff, proving both the clone's content and its
+    * isolation from later prod writes.
+    */
+  def cloneModel(s: SparkSession, d: String): DataFrame = {
+    val prodRoot = freshRoot(); val prRoot = freshRoot()
+    def project(extra: Seq[ModelDef]) = Project(name = "demo_clone",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("orders_base",
+          """{{ config(materialized='table') }}
+            |SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM {{ source('tpch', 'orders') }}
+            |WHERE o_orderkey <= {{ env_var('MAX_ID') }}""".stripMargin),
+        ModelDef("orders_view",
+          """{{ config(materialized='view') }}
+            |SELECT o_custkey, count(*) AS n_orders
+            |FROM {{ ref('orders_base') }} GROUP BY o_custkey""".stripMargin)
+      ) ++ extra)
+    val mf = graft.core.CommitMode.Manifest
+    // prod @ cutoff 5000
+    val prod = new Engine(s, project(Nil), Target(prodRoot,
+      env = Map("MAX_ID" -> "5000"), threads = 1, commitMode = mf))
+    require(prod.build()._1.forall(_.status == "success"))
+    // PR target clones, then builds only the new downstream model
+    val downstream = ModelDef("heavy_custs",
+      """SELECT v.o_custkey, v.n_orders,
+        |       round(sum(b.o_totalprice), 2) AS spend
+        |FROM {{ ref('orders_view') }} v
+        |JOIN {{ ref('orders_base') }} b ON b.o_custkey = v.o_custkey
+        |WHERE v.n_orders >= 3
+        |GROUP BY v.o_custkey, v.n_orders""".stripMargin)
+    val pr = new Engine(s, project(Seq(downstream)), Target(prRoot,
+      env = Map("MAX_ID" -> "0"), threads = 1, commitMode = mf))
+    val outcomes = pr.cloneFromState("orders_base orders_view", prodRoot).toMap
+    require(outcomes == Map("orders_base" -> "cloned",
+      "orders_view" -> "cloned_view"), s"clone outcomes: $outcomes")
+    // prod moves on AFTER the clone — must not leak into the PR target
+    // (MAX_ID=0 would also poison the result if the PR rebuilt the base)
+    val prod2 = new Engine(s, project(Nil), Target(prodRoot,
+      env = Map("MAX_ID" -> "99"), threads = 1, commitMode = mf))
+    require(prod2.build()._1.forall(_.status == "success"))
+    require(pr.buildSelected("heavy_custs")._1
+      .forall(_.status == "success"))
+    pr.readModel("heavy_custs")
+  }
+
+  val cloneModelSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey <= 5000),
+      |v AS (SELECT o_custkey, count(*) AS n_orders FROM base GROUP BY 1)
+      |SELECT v.o_custkey, v.n_orders,
+      |       round(sum(b.o_totalprice), 2) AS spend
+      |FROM v JOIN base b ON b.o_custkey = v.o_custkey
+      |WHERE v.n_orders >= 3
+      |GROUP BY v.o_custkey, v.n_orders""".stripMargin
+
   /** B2 legacy per-date partition loop lifecycle (reference
     * `materialization_table_bigquery` partitions branch @48682 +
     * `make_date_partitioned_table` @47149, dbt-bigquery 0.x): a `table`

@@ -598,6 +598,40 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     build(Some(selectNodes(selector) --
       exclude.map(selectNodes).getOrElse(Set.empty)), deferRoot, fullRefresh)
 
+  /** dbt 1.6 `dbt clone --state <fromRoot>`: materialize the selected
+    * nodes into THIS target as clones of their relations under
+    * `fromRoot` (the prod/state warehouse root). Table-backed nodes
+    * zero-copy via [[Warehouse.cloneFrom]] (one manifest write pointing
+    * at prod's version dirs — the CI shape: clone prod into a PR schema,
+    * then build only modified models on top with --defer); view models
+    * re-create from their durable compiled definition, dbt's "views
+    * clone as views". Returns (node, outcome) per selected node:
+    * `cloned`, `cloned_view`, or `missing` (no prod relation — dbt
+    * skips those too).
+    */
+  def cloneFromState(selector: String, fromRoot: String): Seq[(String, String)] = {
+    // the state root is a sibling deployment of this project — same
+    // commit-mode resolution as this target (zero-copy needs both sides
+    // on the manifest protocol; mixed modes degrade to a deep copy)
+    val srcWh = new graft.core.Warehouse(spark, fromRoot, target.commitMode)
+    val buildable = (project.models.map(_.name) ++ project.seeds.map(_.name) ++
+      project.snapshots.map(_.name)).toSet
+    selectNodes(selector).intersect(buildable).toSeq.sorted.map { n =>
+      val rel = relationFor(n)
+      srcWh.readViewDef(rel) match {
+        case Some(defSql) =>
+          warehouse.saveViewDef(rel, defSql)
+          warehouse.drop(rel) // a stale table must not shadow the view
+          (n, "cloned_view")
+        case None if srcWh.exists(rel) =>
+          warehouse.cloneFrom(srcWh, rel, rel)
+          warehouse.dropView(rel) // a stale view must not shadow the table
+          (n, "cloned")
+        case None => (n, "missing")
+      }
+    }
+  }
+
   /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests
     * immediately after it (SURVEY §3.1 step 6).
     */

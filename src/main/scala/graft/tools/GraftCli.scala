@@ -14,6 +14,9 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                    (--run-results p, written by a prior build)
   *   run-operation    invoke a user macro standalone: run-operation <name>
   *                    [--args k=v ...]
+  *   clone            zero-copy the selected nodes' relations from
+  *                    another warehouse root into this target
+  *                    (--from-root <root>; dbt clone --state)
   *   docs             write the catalog.json artifact (--out p; footer
   *                    stats + view definitions, no table scans)
   *   list             print (selected) nodes with kind/materialization/tags
@@ -154,6 +157,17 @@ object GraftCli {
           flags.get("defer").flatMap(_.headOption),
           flags.contains("full-refresh"))
         report(nodes, tests)
+      case "clone" =>
+        // `dbt clone --state <root>`: zero-copy the selected nodes'
+        // relations from another warehouse root into this target
+        val from = flags.get("from-root").flatMap(_.headOption).getOrElse {
+          System.err.println("clone requires --from-root <warehouse root>")
+          sys.exit(2)
+        }
+        val sel = flags.get("select").map(_.mkString(" ")).getOrElse("*")
+        engine.cloneFromState(sel, from).foreach { case (n, st) =>
+          println(s"$n: $st")
+        }
       case "run-operation" =>
         // `dbt run-operation <macro> --args k=v` (repeatable)
         val mac = positional.lift(3).getOrElse {
