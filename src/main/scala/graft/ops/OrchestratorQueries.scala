@@ -323,6 +323,40 @@ object OrchestratorQueries {
       |WHERE v.n_orders >= 3
       |GROUP BY v.o_custkey, v.n_orders""".stripMargin
 
+  /** dbt semantic-layer metrics: the project declares `revenue` ONCE
+    * (sum of o_totalprice over orders, time = o_orderdate, allowed
+    * dimension = o_orderstatus, filtered to non-cancelled); consumers
+    * ask `queryMetric("revenue", grain, dims)` and get the governed
+    * aggregate — the oracle hand-writes the SQL the layer generates.
+    */
+  def metricQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round}
+    val root = freshRoot()
+    val project = Project(name = "demo_metrics",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("orders_base",
+        """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+          |FROM {{ source('tpch', 'orders') }}""".stripMargin)),
+      metrics = Seq(MetricDef("revenue", "orders_base", "sum",
+        "o_totalprice", "o_orderdate", dims = Seq("o_orderstatus"),
+        filter = Some("o_orderstatus <> 'X'"))))
+    val engine = new Engine(s, project, Target(root, threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.queryMetric("revenue", grain = "month",
+      dims = Seq("o_orderstatus"),
+      start = Some("1996-01-01"), end = Some("2001-01-01"))
+      .withColumn("revenue", round(col("revenue"), 2))
+  }
+
+  val metricQuerySql: String =
+    """SELECT date_trunc('month', o_orderdate::TIMESTAMP)::TIMESTAMP AS metric_time,
+      |       o_orderstatus, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |WHERE o_orderstatus <> 'X'
+      |  AND o_orderdate::TIMESTAMP >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate::TIMESTAMP < TIMESTAMP '2001-01-01'
+      |GROUP BY 1, 2""".stripMargin
+
   /** B2 legacy per-date partition loop lifecycle (reference
     * `materialization_table_bigquery` partitions branch @48682 +
     * `make_date_partitioned_table` @47149, dbt-bigquery 0.x): a `table`

@@ -37,6 +37,21 @@ final case class SeedDef(name: String, csvPath: String,
 final case class ExposureDef(name: String, dependsOn: Seq[String],
                              owner: String = "", url: String = "")
 
+/** A declared metric (the dbt metrics / semantic-layer shape: a named
+  * aggregation over one model with a time dimension and allowed group-by
+  * dimensions — `calculation_method`, `expression`, `timestamp`,
+  * `dimensions`, `filters` of dbt's metric schema). Consumers ask for
+  * (metric, grain, dims) and get governed SQL instead of hand-writing
+  * the aggregate — the "define revenue once" layer.
+  */
+final case class MetricDef(name: String, model: String,
+                           calculation: String, // count | count_distinct |
+                                                // sum | average | min | max
+                           expression: String,
+                           timeDim: String,
+                           dims: Seq[String] = Nil,
+                           filter: Option[String] = None)
+
 final case class SnapshotDef(name: String, rawSql: String, keys: Seq[String],
                              strategy: SnapshotStrategy,
                              invalidateHardDeletes: Boolean = false)
@@ -110,7 +125,9 @@ final case class Project(name: String,
                          // Target.vars (the --vars CLI analogue) overrides
                          vars: Map[String, String] = Map.empty,
                          // declared downstream consumers (dbt exposures)
-                         exposures: Seq[ExposureDef] = Nil)
+                         exposures: Seq[ExposureDef] = Nil,
+                         // declared metrics (dbt semantic layer)
+                         metrics: Seq[MetricDef] = Nil)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -630,6 +647,49 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         case None => (n, "missing")
       }
     }
+  }
+
+  /** Query a declared metric (the dbt semantic-layer ask: "revenue by
+    * month by status" without hand-writing the aggregate). Validates the
+    * request against the metric's declaration — an undeclared dimension
+    * or grain fails loudly, which is the governance point — then emits
+    * one grouped aggregate over the model:
+    * `date_trunc(grain, timeDim) AS metric_time, dims…, CALC(expr) AS
+    * <name>`. Time bounds land as pushed-down filters. Works over any
+    * materialization (views compile on the fly via [[readModel]]).
+    */
+  def queryMetric(name: String, grain: String = "month",
+                  dims: Seq[String] = Nil,
+                  start: Option[String] = None,
+                  end: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = project.metrics.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown metric '$name' " +
+        s"(declared: ${project.metrics.map(_.name).mkString(", ")})"))
+    require(Set("day", "week", "month", "quarter", "year").contains(grain),
+      s"metric grain must be day|week|month|quarter|year, got '$grain'")
+    val undeclared = dims.filterNot(m.dims.contains)
+    require(undeclared.isEmpty,
+      s"metric '$name' does not declare dimension(s) " +
+        s"${undeclared.mkString(", ")} (declared: ${m.dims.mkString(", ")})")
+    val base0 = readModel(m.model)
+    val base1 = m.filter.fold(base0)(f => base0.filter(expr(f)))
+    val t = col(m.timeDim).cast("timestamp")
+    val base2 = start.fold(base1)(v =>
+      base1.filter(t >= lit(v).cast("timestamp")))
+    val base = end.fold(base2)(v => base2.filter(t < lit(v).cast("timestamp")))
+    val calcCol = m.calculation match {
+      case "count" => count(expr(m.expression))
+      case "count_distinct" => countDistinct(expr(m.expression))
+      case "sum" => sum(expr(m.expression))
+      case "average" => avg(expr(m.expression))
+      case "min" => min(expr(m.expression))
+      case "max" => max(expr(m.expression))
+      case other => throw new IllegalArgumentException(
+        s"metric '$name': unsupported calculation '$other'")
+    }
+    base.groupBy(date_trunc(grain, t).as("metric_time") +: dims.map(col): _*)
+      .agg(calcCol.as(m.name))
   }
 
   /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests

@@ -163,6 +163,21 @@ object ProjectLoader {
         url = if (parts.length > 3) unquote(parts(3)) else "")
     }
 
+    // metrics.conf: `name model calculation expr time_dim [dim1,dim2]
+    // [where='...']` per line (the dbt metric schema's
+    // calculation_method / expression / timestamp / dimensions / filters)
+    val metrics = readLines(root.resolve("metrics.conf")).map { l =>
+      val parts = tokenize(l)
+      require(parts.length >= 5,
+        s"metrics.conf: need name model calculation expr time_dim, got: $l")
+      val whereKv = parts.drop(5).find(_.startsWith("where="))
+        .map(t => unquote(t.stripPrefix("where=")))
+      val dims = parts.drop(5).filterNot(_.startsWith("where="))
+        .headOption.map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      MetricDef(parts(0), parts(1), parts(2), unquote(parts(3)), parts(4),
+        dims, whereKv)
+    }
+
     // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml
     // on-run-start / on-run-end)
     val hookLines = readLines(root.resolve("hooks.conf")).map { l =>
@@ -176,7 +191,7 @@ object ProjectLoader {
     val onRunEnd = hookLines.collect { case ("end", s) => s }
 
     (Project(name, sources, models, seeds, snapshots, tests,
-      onRunStart, onRunEnd, macros, vars, exposures), conf)
+      onRunStart, onRunEnd, macros, vars, exposures, metrics), conf)
   }
 
   private def configKv(sql: String): Map[String, String] = {

@@ -17,6 +17,9 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   clone            zero-copy the selected nodes' relations from
   *                    another warehouse root into this target
   *                    (--from-root <root>; dbt clone --state)
+  *   metric           query a declared metric (semantic layer):
+  *                    --name revenue [--grain month] [--dims d1,d2]
+  *                    [--start ts] [--end ts]
   *   docs             write the catalog.json artifact (--out p; footer
   *                    stats + view definitions, no table scans)
   *   list             print (selected) nodes with kind/materialization/tags
@@ -168,6 +171,20 @@ object GraftCli {
         engine.cloneFromState(sel, from).foreach { case (n, st) =>
           println(s"$n: $st")
         }
+      case "metric" =>
+        // semantic layer: metric --name revenue [--grain month]
+        // [--dims d1,d2] [--start ts] [--end ts]
+        val mname = flags.get("name").flatMap(_.headOption).getOrElse {
+          System.err.println("metric requires --name <metric>")
+          sys.exit(2)
+        }
+        engine.queryMetric(mname,
+          flags.get("grain").flatMap(_.headOption).getOrElse("month"),
+          flags.get("dims").flatMap(_.headOption)
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+          flags.get("start").flatMap(_.headOption),
+          flags.get("end").flatMap(_.headOption))
+          .orderBy("metric_time").show(100, truncate = false)
       case "run-operation" =>
         // `dbt run-operation <macro> --args k=v` (repeatable)
         val mac = positional.lift(3).getOrElse {

@@ -924,4 +924,34 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(nodes3.find(_.name == "orders_mv").exists(_.status == "error"),
       "a WHERE'd materialized_view must error, not half-apply")
   }
+
+  test("metrics: governed aggregate; undeclared dim/grain/metric fail loudly") {
+    val p = baseProject.copy(metrics = Seq(
+      MetricDef("nation_count", "nations", "count", "1", "n_nationkey",
+        dims = Seq("n_regionkey"))))
+    val e = new Engine(spark, p, Target(root()))
+    require(e.build()._1.forall(_.status == "success"))
+    // n_nationkey isn't a real timestamp — cast semantics still group;
+    // what we pin here is the GOVERNANCE surface, so use a real check:
+    val byRegion = e.queryMetric("nation_count", grain = "year",
+      dims = Seq("n_regionkey"))
+    assert(byRegion.columns.toSeq ==
+      Seq("metric_time", "n_regionkey", "nation_count"))
+    assert(byRegion.agg(org.apache.spark.sql.functions.sum("nation_count"))
+      .head().getLong(0) == 25L)
+    intercept[IllegalArgumentException](
+      e.queryMetric("nation_count", dims = Seq("n_name"))) // undeclared dim
+    intercept[IllegalArgumentException](
+      e.queryMetric("nation_count", grain = "fortnight"))
+    intercept[IllegalArgumentException](e.queryMetric("revenue"))
+  }
+
+  test("metrics.conf loads through ProjectLoader (demo project)") {
+    val (p, _) = ProjectLoader.load("examples/demo_project")
+    val names = p.metrics.map(_.name).toSet
+    assert(names == Set("revenue", "order_count", "big_revenue"))
+    val big = p.metrics.find(_.name == "big_revenue").get
+    assert(big.filter.contains("o_totalprice > 100000"))
+    assert(big.calculation == "sum" && big.timeDim == "o_orderdate")
+  }
 }
