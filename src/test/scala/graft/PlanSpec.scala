@@ -178,4 +178,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"boiler set must broadcast:\n$p")
     assert(shuffles(p) <= 2, s"df agg + doc agg only:\n$p")
   }
+
+  test("DSIR: rate table broadcast (≤4096 buckets), no Window, corpus shuffles only for the per-doc mean") {
+    val p = plan(TextOps.dsirSelect(spark, sf))
+    assert(!p.contains("Window"), s"dsir plan must be window-free:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"bucket rates (≤4096 rows) must broadcast into the feature stream:\n$p")
+  }
+
+  test("heavy hitters sketch pass: partial object agg, single-row exchange") {
+    import spark.implicits._
+    val words = TData.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("word"))
+      .as[String]
+    val p = plan(words.select(
+      new graft.functions.HeavyHittersAggregator(63).toColumn.name("hh")).toDF)
+    // the sketch must partial-aggregate (ObjectHashAggregate partial →
+    // merge), so each map task ships ≤ m counters, never its token stream
+    assert(p.contains("ObjectHashAggregate"), s"sketch must partial-agg:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("dbt-utils sequential_values: anti-join shape, no global Window") {
+    val p = plan(graft.dqtests.SchemaTests.sequentialValues(
+      TData.orders(spark, sf), "o_custkey"))
+    assert(!p.contains("Window"),
+      s"gap detection must not be a global lag window:\n$p")
+  }
+
+  test("mutually_exclusive_ranges: window is PARTITIONED (never a global sort)") {
+    val p = plan(DqQueries.bTestMutuallyExclusiveRanges(spark, sf))
+    // a Window with an empty partition spec plans Exchange SinglePartition
+    assert(!p.contains("SinglePartition"),
+      s"range-overlap window must be per-partition:\n$p")
+  }
+
+  test("PQ ADC: corpus side joins CODES (no vector payload) against a broadcast query table") {
+    val p = plan(Similarity.knnPq(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query/table side must broadcast:\n$p")
+    assert(!p.contains("Window"), s"top-k must be the bounded aggregator:\n$p")
+  }
 }
