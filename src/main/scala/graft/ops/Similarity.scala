@@ -476,41 +476,62 @@ object Similarity {
     cents
   }
 
-  /** Unit-normalized vector column (PQ codes quantize directions). */
-  private val pqNorm: Column = expr(
-    "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, y) -> a + y * y) + 1e-300))")
-
-  /** Per-row PQ encode: for each subspace, argmin-L2 over its 16 literal
-    * centroids — the codebook is control-plane data embedded in the plan
-    * (like [[kmNearest]]), so encoding is ONE codegen'd corpus scan, no
-    * join, no shuffle.
+  /** Per-row PQ encode: normalize, then per subspace argmin-L2 over the
+    * 16 captured centroids (ties → lowest cid). A closed-over Scala
+    * kernel, NOT a composed higher-order-function tree: the expression
+    * form (128 aggregate/zip_with/slice subtrees sharing an inline
+    * normalize) evaluated interpreted at ~28 ms/row — the one shape
+    * where a deterministic scalar UDF beats the declarative encoding by
+    * orders of magnitude. One scan, no join, no shuffle either way.
     */
   private def pqCodeCol(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column = {
-    val vn = pqNorm
-    def l2sq(sub: Column, cent: IndexedSeq[Double]): Column =
-      aggregate(
-        zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, z) => acc + z)
-    array((0 until PqS).map { s0 =>
-      val sub = slice(vn, s0 * PqSub + 1, PqSub)
-      array_min(array(books(s0).zipWithIndex.map { case (cv, cid) =>
-        struct(round(l2sq(sub, cv), 9).as("d"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    }: _*)
+    val bb: Array[Array[Array[Double]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    val enc = udf { (v: Seq[Double]) =>
+      var nsq = 1e-300; var i = 0
+      while (i < v.length) { nsq += v(i) * v(i); i += 1 }
+      val inv = 1.0 / math.sqrt(nsq)
+      val out = new Array[Int](PqS)
+      var s0 = 0
+      while (s0 < PqS) {
+        val cents = bb(s0)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val cv = cents(c); var dist = 0.0; var j = 0
+          while (j < PqSub) {
+            val diff = v(s0 * PqSub + j) * inv - cv(j); dist += diff * diff
+            j += 1
+          }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        out(s0) = best; s0 += 1
+      }
+      out.toSeq
+    }
+    enc(col("v"))
   }
 
-  /** Per-query ADC lookup tables: tbl[s][c] = dot(q_sub_s, centroid_c) —
-    * computed once per QUERY row (literal centroids again), so scoring a
-    * corpus code is 8 array lookups + adds instead of 64 multiplies.
+  /** Per-query ADC lookup tables: tbl[s][c] = dot(q_sub_s, centroid_c),
+    * computed DRIVER-SIDE from the (bounded) query batch — Q·S·K small
+    * dot products, control-plane like the codebooks themselves. Keeping
+    * this out of the Catalyst plan matters: an in-plan table expression
+    * gets substituted into the post-join projection by CollapseProject
+    * and re-evaluated PER PAIR (measured 57× slower at sf0.1).
     */
-  private def pqAdcTables(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
-    array((0 until PqS).map { s0 =>
-      val sub = slice(col("qv"), s0 * PqSub + 1, PqSub)
-      array(books(s0).map { cv =>
-        aggregate(zip_with(sub, typedLit(cv), (x, y) => x * y),
-          lit(0.0), (acc, z) => acc + z)
-      }: _*)
-    }: _*)
+  private def pqAdcTableRows(qs: Array[(Long, IndexedSeq[Double])],
+                             books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+      : Seq[(Long, Seq[Seq[Double]])] =
+    qs.toSeq.map { case (qid, qv) =>
+      (qid, (0 until PqS).map { s0 =>
+        val sub = qv.slice(s0 * PqSub, (s0 + 1) * PqSub)
+        books(s0).map { cv =>
+          var dot = 0.0; var i = 0
+          while (i < PqSub) { dot += sub(i) * cv(i); i += 1 }
+          dot
+        }.toSeq
+      })
+    }
 
   /** PQ ANN with exact re-rank — the production memory-bound shape:
     *  1. encode the corpus to 8-nibble codes (one scan, codegen);
@@ -525,13 +546,25 @@ object Similarity {
     * [[knnBrute]] plus the determinism and code-size contracts.
     */
   def knnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = vecs(s, d)
-    val books = pqTrain(e)
-    val codes = e.select(col("vec_id"), pqCodeCol(books).as("code"))
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("tbl", pqAdcTables(books))
-      .select(col("q_id"), col("tbl"))
+    val books = pqBookCache.computeIfAbsent(s"${s.hashCode()}:$d",
+      _ => pqTrain(e))
+    // the codes table is PERSISTED (like [[vecs]]): the encode expression
+    // must evaluate once per corpus row — left lazy, CollapseProject
+    // substitutes it into the post-join projection and re-encodes per
+    // PAIR (measured 57× slower). Persisting the 9-byte-per-vector code
+    // table is also the operational PQ story: codes live in memory.
+    val codes = SessionCache.getOrElseUpdate(s, s"pqcodes:$d") {
+      e.select(col("vec_id"), pqCodeCol(books).as("code"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    // bounded query batch → driver-side ADC tables (control-plane)
+    val qvecs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    val q = s.createDataset(pqAdcTableRows(qvecs, books))
+      .toDF("q_id", "tbl")
     val adc = codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -551,6 +584,10 @@ object Similarity {
         round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
     topKAgg(s, exact, 5)
   }
+
+  private val pqBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
 
   def embeddingQuantize(s: SparkSession, d: String): DataFrame =
     vecs(s, d)

@@ -141,6 +141,13 @@ final case class Target(warehouseRoot: String,
                         env: Map[String, String] = Map.empty,
                         // run-level var overrides (`dbt build --vars ...`)
                         vars: Map[String, String] = Map.empty,
+                        // dbt 1.8 `--empty`: every ref()/source() compiles
+                        // wrapped in a zero-row subquery — a schema-only
+                        // dry run that exercises the full compile +
+                        // materialize path without reading source data
+                        // (point it at a scratch schema; like dbt, the
+                        // empty build REPLACES what it writes)
+                        empty: Boolean = false,
                         commitMode: graft.core.CommitMode = graft.core.CommitMode.Auto) {
   def resolvedSchema: String = {
     // generate_schema_name_for_env equivalent: allow env-templated schemas.
@@ -298,11 +305,16 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       if (isIncr && Compiler.referencesMaxPartition(m.rawSql))
         cfg.partitionBy.headOption.flatMap(pc => mat.maxPartitionLiteral(self, pc))
       else None
+    // --empty (dbt 1.8): wrap every NON-INLINED ref and every source in a
+    // zero-row subquery; inlined CTEs get empty inputs transitively
+    val emptyWrap: String => String =
+      if (target.empty) rel => s"(SELECT * FROM $rel WHERE 1 = 0)"
+      else identity
     val ctx = Compiler.ResolveCtx(
       refTarget = r =>
         if (isInlined(r)) s"__cte__$r"
-        else refText(r, selected, deferRoot),
-      sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+        else emptyWrap(refText(r, selected, deferRoot)),
+      sourceTarget = (s, t) => emptyWrap(Compiler.pathRelation(sourcePath(s, t))),
       thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
       env = target.env,
       isIncremental = isIncr,
@@ -690,6 +702,23 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     }
     base.groupBy(date_trunc(grain, t).as("metric_time") +: dims.map(col): _*)
       .agg(calcCol.as(m.name))
+  }
+
+  /** `dbt show --inline`: run an ad-hoc templated query against the built
+    * warehouse — full macro/ref/source/var resolution, no node scope
+    * (`{{ this }}` unavailable, is_incremental() false). The REPL surface
+    * for a project: preview a model (`SELECT * FROM {{ ref('m') }}`),
+    * poke a source, exercise a macro.
+    */
+  def renderInline(sqlTemplate: String): DataFrame = {
+    val expanded = Compiler.expandMacros(sqlTemplate, project.macros)
+    spark.sql(warehouse.resolveSql(Compiler.compile(expanded,
+      Compiler.ResolveCtx(
+        refTarget = r => Compiler.pathRelation(
+          relationFor(r).pathUnder(target.warehouseRoot)),
+        sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+        thisTarget = "", env = target.env, isIncremental = false,
+        vars = mergedVars))))
   }
 
   /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests

@@ -20,6 +20,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   metric           query a declared metric (semantic layer):
   *                    --name revenue [--grain month] [--dims d1,d2]
   *                    [--start ts] [--end ts]
+  *   show             preview a model or inline templated SQL
+  *                    (--select m | --inline 'SELECT ...'; --limit N)
   *   docs             write the catalog.json artifact (--out p; footer
   *                    stats + view definitions, no table scans)
   *   list             print (selected) nodes with kind/materialization/tags
@@ -51,6 +53,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   --defer <root>     resolve unselected upstream refs to this warehouse
   *   --full-refresh     rebuild incrementals from scratch
   *   --fail-fast        stop scheduling new nodes after the first error
+  *   --empty            dbt 1.8 schema-only dry run: refs/sources compile
+  *                      to zero-row subqueries (use a scratch schema)
   *   --manifest <path>  where compile writes the manifest
   *   --env K=V          env_var bindings (repeatable)
   *   --vars K=V         var() overrides (repeatable; wins over
@@ -84,6 +88,7 @@ object GraftCli {
       threads = conf.getOrElse("threads", "4").toInt,
       env = env,
       vars = cliVars,
+      empty = flags.contains("empty"),
       // project.conf `commit_mode=manifest|rename` (materialized_view
       // models need manifest — their maintenance checkpoints ride
       // manifest metadata)
@@ -171,6 +176,21 @@ object GraftCli {
         engine.cloneFromState(sel, from).foreach { case (n, st) =>
           println(s"$n: $st")
         }
+      case "show" =>
+        // `dbt show`: preview a model (--select m) or an inline templated
+        // query (--inline 'SELECT ... {{ ref(...) }}'), --limit N rows
+        val limit = flags.get("limit").flatMap(_.headOption)
+          .map(_.toInt).getOrElse(5)
+        val df = flags.get("inline").flatMap(_.headOption) match {
+          case Some(sql) => engine.renderInline(sql)
+          case None =>
+            val m = flags.get("select").flatMap(_.headOption).getOrElse {
+              System.err.println("show requires --select <model> or --inline <sql>")
+              sys.exit(2)
+            }
+            engine.readModel(m)
+        }
+        df.show(limit, truncate = false)
       case "metric" =>
         // semantic layer: metric --name revenue [--grain month]
         // [--dims d1,d2] [--start ts] [--end ts]
@@ -380,6 +400,8 @@ object GraftCli {
         flags("full-refresh") = Seq("true"); rest = tl
       case "--fail-fast" :: tl =>
         flags("fail-fast") = Seq("true"); rest = tl
+      case "--empty" :: tl =>
+        flags("empty") = Seq("true"); rest = tl
       case f :: v :: tl if f.startsWith("--") =>
         val k = f.stripPrefix("--"); flags(k) = flags(k) :+ v; rest = tl
       case p :: tl => pos += p; rest = tl

@@ -946,6 +946,32 @@ class OrchestratorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](e.queryMetric("revenue"))
   }
 
+  test("--empty builds the full schema with zero rows; a real build overwrites it") {
+    val r = root()
+    val dry = new Engine(spark, baseProject, Target(r, empty = true))
+    require(dry.build()._1.forall(_.status == "success"))
+    val built = dry.readModel("by_region")
+    assert(built.columns.toSeq == Seq("r_name", "n")) // schema materialized
+    assert(built.count() == 0) // ...from zero source rows
+    assert(dry.readModel("nations").count() == 0)
+    // the same warehouse then takes a real build
+    val real = new Engine(spark, baseProject, Target(r))
+    require(real.build()._1.forall(_.status == "success"))
+    assert(real.readModel("by_region").count() == 5)
+  }
+
+  test("renderInline: dbt show over refs, sources, and macros") {
+    val r = root()
+    val e = new Engine(spark, baseProject, Target(r))
+    require(e.build()._1.forall(_.status == "success"))
+    val viaRef = e.renderInline(
+      "SELECT count(*) AS c FROM {{ ref('nations') }}")
+    assert(viaRef.head().getLong(0) == 25L)
+    val viaSource = e.renderInline(
+      "SELECT count(*) AS c FROM {{ source('tpch', 'region') }}")
+    assert(viaSource.head().getLong(0) == 5L)
+  }
+
   test("metrics.conf loads through ProjectLoader (demo project)") {
     val (p, _) = ProjectLoader.load("examples/demo_project")
     val names = p.metrics.map(_.name).toSet
