@@ -21,6 +21,10 @@ import graft.core.{ModelConfig, Relation}
 object Compiler {
 
   private val refRe: Regex = """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""".r
+  // dbt mesh two-arg form: {{ ref('other_project', 'model') }} — disjoint
+  // from refRe (the single-arg pattern requires ')' right after the arg)
+  private val refXRe: Regex =
+    """\{\{\s*ref\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
   private val sourceRe: Regex = """\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
   private val envVarRe: Regex = """\{\{\s*env_var\(\s*'([^']+)'(?:\s*,\s*'([^']*)')?\s*\)\s*\}\}""".r
   // project variables (dbt `{{ var('name', default) }}`, sourced from
@@ -124,6 +128,12 @@ object Compiler {
   final case class ResolveCtx(
       refTarget: String => String,      // model name → SQL relation text
       sourceTarget: (String, String) => String,
+      // dbt mesh: (project, model) → SQL relation text; default throws —
+      // a cross-project ref without a registered dependency is a config
+      // error, never a silent local resolution
+      crossRefTarget: (String, String) => String = (p, m) =>
+        throw new IllegalArgumentException(
+          s"cross-project ref('$p', '$m') has no registered dependency"),
       thisTarget: String,               // the model's own relation text
       env: Map[String, String],
       isIncremental: Boolean,
@@ -142,6 +152,8 @@ object Compiler {
     var sql = configRe.replaceAllIn(rawSql, "")
     sql = incrBlockRe.replaceAllIn(sql,
       m => if (ctx.isIncremental) Regex.quoteReplacement(m.group(1)) else " ")
+    sql = refXRe.replaceAllIn(sql,
+      m => Regex.quoteReplacement(ctx.crossRefTarget(m.group(1), m.group(2))))
     sql = refRe.replaceAllIn(sql,
       m => Regex.quoteReplacement(ctx.refTarget(m.group(1))))
     sql = sourceRe.replaceAllIn(sql,

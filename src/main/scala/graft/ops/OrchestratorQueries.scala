@@ -357,6 +357,51 @@ object OrchestratorQueries {
       |  AND o_orderdate::TIMESTAMP < TIMESTAMP '2001-01-01'
       |GROUP BY 1, 2""".stripMargin
 
+  /** dbt mesh cross-project refs: a PLATFORM project builds and deploys
+    * `orders_curated` on its own root/schedule; a CONSUMER project
+    * registers it as a dependency and builds on `ref('platform',
+    * 'orders_curated')` — read-only, no shared project, no shared DAG.
+    * The consumer runs AFTER the platform moved its cutoff, proving the
+    * consumer reads the upstream's CURRENT deployment (unlike clone's
+    * pinning). Manifest commit mode on the upstream exercises the
+    * cross-warehouse temp-view resolution path.
+    */
+  def crossProjectRef(s: SparkSession, d: String): DataFrame = {
+    val platRoot = freshRoot(); val consRoot = freshRoot()
+    val mf = graft.core.CommitMode.Manifest
+    val platform = Project(name = "platform",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("orders_curated",
+        """{{ config(access='public') }}
+          |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          |FROM {{ source('tpch', 'orders') }}
+          |WHERE o_orderkey <= {{ env_var('MAX_ID') }}""".stripMargin)))
+    // deploy @ 5000, then move on to 8000 — the consumer must see 8000
+    require(new Engine(s, platform, Target(platRoot,
+      env = Map("MAX_ID" -> "5000"), threads = 1, commitMode = mf))
+      .build()._1.forall(_.status == "success"))
+    require(new Engine(s, platform, Target(platRoot,
+      env = Map("MAX_ID" -> "8000"), threads = 1, commitMode = mf))
+      .build()._1.forall(_.status == "success"))
+    val consumer = Project(name = "consumer",
+      models = Seq(ModelDef("status_spend",
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS spend
+          |FROM {{ ref('platform', 'orders_curated') }}
+          |GROUP BY o_orderstatus""".stripMargin)),
+      dependencies = Seq(DependencyDef("platform", platRoot)))
+    val cons = new Engine(s, consumer, Target(consRoot, threads = 1,
+      commitMode = mf))
+    require(cons.build()._1.forall(_.status == "success"))
+    cons.readModel("status_spend")
+  }
+
+  val crossProjectRefSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS spend
+      |FROM orders WHERE o_orderkey <= 8000
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** B2 legacy per-date partition loop lifecycle (reference
     * `materialization_table_bigquery` partitions branch @48682 +
     * `make_date_partitioned_table` @47149, dbt-bigquery 0.x): a `table`

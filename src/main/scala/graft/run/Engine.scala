@@ -37,6 +37,16 @@ final case class SeedDef(name: String, csvPath: String,
 final case class ExposureDef(name: String, dependsOn: Seq[String],
                              owner: String = "", url: String = "")
 
+/** A registered upstream project deployment (dbt mesh `dependencies.yml`
+  * + deployment coordinates): two-arg `ref('<name>', 'model')` calls
+  * resolve READ-ONLY into this project's warehouse. Cross-project refs
+  * are how a platform team publishes curated models other teams build
+  * on without sharing a project or a schedule.
+  */
+final case class DependencyDef(name: String, warehouseRoot: String,
+                               database: String = "analytics",
+                               schema: String = "main")
+
 /** A declared metric (the dbt metrics / semantic-layer shape: a named
   * aggregation over one model with a time dimension and allowed group-by
   * dimensions — `calculation_method`, `expression`, `timestamp`,
@@ -127,7 +137,9 @@ final case class Project(name: String,
                          // declared downstream consumers (dbt exposures)
                          exposures: Seq[ExposureDef] = Nil,
                          // declared metrics (dbt semantic layer)
-                         metrics: Seq[MetricDef] = Nil)
+                         metrics: Seq[MetricDef] = Nil,
+                         // upstream project deployments (dbt mesh)
+                         dependencies: Seq[DependencyDef] = Nil)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -217,6 +229,31 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     // partials) stores the physical partial table; refs read the
     // DECLARED shape back through the projection subquery
     mvProjection(model).map(p => s"(SELECT $p FROM $base)").getOrElse(base)
+  }
+
+  /** Cross-project ref resolution (dbt mesh): read the upstream
+    * deployment's relation. A manifest-mode upstream is registered as a
+    * temp view through its OWN warehouse (this engine's `resolveSql`
+    * only rewrites its own root); rename-mode upstreams read as direct
+    * parquet paths. Always read-only — a cross-project ref never adds a
+    * build edge here, exactly like dbt (the upstream runs on its own
+    * schedule).
+    */
+  private val depWarehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, Warehouse]()
+  private def crossRefText(proj: String, model: String): String = {
+    val dep = project.dependencies.find(_.name == proj).getOrElse(
+      throw new IllegalArgumentException(
+        s"cross-project ref('$proj', '$model'): no dependency named " +
+          s"'$proj' (registered: ${project.dependencies.map(_.name).mkString(", ")})"))
+    val rel = Relation(dep.database, dep.schema, model)
+    val w = depWarehouses.computeIfAbsent(dep.warehouseRoot,
+      r => new Warehouse(spark, r, target.commitMode))
+    if (w.usesManifest && w.exists(rel)) {
+      val vn = s"graft_dep_${proj}_$model".replaceAll("[^A-Za-z0-9_]", "_")
+      w.read(rel).createOrReplaceTempView(vn)
+      "`" + vn + "`"
+    } else Compiler.pathRelation(rel.pathUnder(dep.warehouseRoot))
   }
 
   /** The declared-shape SELECT list of a `materialized_view` model whose
@@ -315,6 +352,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         if (isInlined(r)) s"__cte__$r"
         else emptyWrap(refText(r, selected, deferRoot)),
       sourceTarget = (s, t) => emptyWrap(Compiler.pathRelation(sourcePath(s, t))),
+      crossRefTarget = (p, mm) => emptyWrap(crossRefText(p, mm)),
       thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
       env = target.env,
       isIncremental = isIncr,
@@ -717,6 +755,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         refTarget = r => Compiler.pathRelation(
           relationFor(r).pathUnder(target.warehouseRoot)),
         sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+        crossRefTarget = crossRefText,
         thisTarget = "", env = target.env, isIncremental = false,
         vars = mergedVars))))
   }

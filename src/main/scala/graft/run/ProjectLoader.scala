@@ -163,6 +163,18 @@ object ProjectLoader {
         url = if (parts.length > 3) unquote(parts(3)) else "")
     }
 
+    // dependencies.conf: `name warehouse_root [database] [schema]` per
+    // line (dbt mesh dependencies.yml + deployment coordinates) — the
+    // upstream projects two-arg ref('name', 'model') calls resolve into
+    val dependencies = readLines(root.resolve("dependencies.conf")).map { l =>
+      val parts = tokenize(l)
+      require(parts.length >= 2,
+        s"dependencies.conf: need name warehouse_root, got: $l")
+      DependencyDef(parts(0), parts(1),
+        if (parts.length > 2) parts(2) else "analytics",
+        if (parts.length > 3) parts(3) else "main")
+    }
+
     // metrics.conf: `name model calculation expr time_dim [dim1,dim2]
     // [where='...']` per line (the dbt metric schema's
     // calculation_method / expression / timestamp / dimensions / filters)
@@ -191,7 +203,8 @@ object ProjectLoader {
     val onRunEnd = hookLines.collect { case ("end", s) => s }
 
     (Project(name, sources, models, seeds, snapshots, tests,
-      onRunStart, onRunEnd, macros, vars, exposures, metrics), conf)
+      onRunStart, onRunEnd, macros, vars, exposures, metrics,
+      dependencies), conf)
   }
 
   private def configKv(sql: String): Map[String, String] = {

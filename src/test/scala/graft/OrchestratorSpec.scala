@@ -972,6 +972,28 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(viaSource.head().getLong(0) == 5L)
   }
 
+  test("cross-project ref: unregistered dependency fails loudly; rename-mode upstream reads by path") {
+    val upRoot = root()
+    val up = Project(name = "up",
+      sources = Seq(SourceDef("tpch", "nation", s"$sf/nation.parquet")),
+      models = Seq(ModelDef("base",
+        "SELECT n_nationkey, n_regionkey FROM {{ source('tpch','nation') }}")))
+    require(new Engine(spark, up, Target(upRoot)).build()._1
+      .forall(_.status == "success"))
+    val down = Project(name = "down",
+      models = Seq(ModelDef("agg",
+        """SELECT n_regionkey, count(*) AS n
+          |FROM {{ ref('up', 'base') }} GROUP BY n_regionkey""".stripMargin)),
+      dependencies = Seq(DependencyDef("up", upRoot)))
+    val e = new Engine(spark, down, Target(root()))
+    require(e.build()._1.forall(_.status == "success"))
+    assert(e.readModel("agg").count() == 5)
+    // no dependency registered → loud config error at compile
+    val bad = down.copy(dependencies = Nil)
+    val (nodes, _) = new Engine(spark, bad, Target(root())).build()
+    assert(nodes.exists(n => n.name == "agg" && n.status == "error"))
+  }
+
   test("metrics.conf loads through ProjectLoader (demo project)") {
     val (p, _) = ProjectLoader.load("examples/demo_project")
     val names = p.metrics.map(_.name).toSet
