@@ -1109,6 +1109,57 @@ object TextOps {
       |  dsir_score >= thr AS selected
       |FROM per CROSS JOIN tot""".stripMargin
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2019): split each
+    * LANGUAGE's documents into LM-score terciles — head = the most
+    * model-probable third (CCNet's lowest-perplexity slice, the part
+    * kept for pretraining), tail = the least. Thresholds are EXACT
+    * per-language terciles computed the [[qualityGate]] way: a
+    * cumulative over the aggregated (lang, score) frame — the window
+    * runs over distinct score VALUES per language (bounded: scores are
+    * integers ≤ 10^6), never over documents. Ties share a bucket
+    * (threshold on score, not rank), so the split is deterministic and
+    * engine-order-free.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withLang = lmScore(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    val counts = withLang.groupBy(col("lang"), col("lm_score"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("lm_score"))
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val tot = withLang.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val th = cum.join(tot, "lang")
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("lm_score"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("lm_score"))).as("t2"))
+    withLang.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") <= col("t1"), "tail")
+          .when(col("lm_score") <= col("t2"), "middle")
+          .otherwise("head").as("bucket"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH scores AS (SELECT * FROM ($lmScoreSql)),
+      |wl AS (SELECT s.doc_id, d.lang, s.lm_score
+      |       FROM scores s JOIN documents d USING (doc_id)),
+      |counts AS (SELECT lang, lm_score, count(*) AS c FROM wl GROUP BY 1, 2),
+      |cum AS (SELECT lang, lm_score,
+      |          sum(c) OVER (PARTITION BY lang ORDER BY lm_score
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM counts),
+      |tot AS (SELECT lang, count(*) AS n FROM wl GROUP BY 1),
+      |th AS (SELECT lang,
+      |         min(CASE WHEN cum * 3 >= n THEN lm_score END)::BIGINT AS t1,
+      |         min(CASE WHEN cum * 3 >= n * 2 THEN lm_score END)::BIGINT AS t2
+      |       FROM cum JOIN tot USING (lang) GROUP BY lang)
+      |SELECT doc_id, lang, lm_score,
+      |  CASE WHEN lm_score <= t1 THEN 'tail'
+      |       WHEN lm_score <= t2 THEN 'middle'
+      |       ELSE 'head' END AS bucket
+      |FROM wl JOIN th USING (lang)""".stripMargin
+
   /** Per-document top-3 keywords by a tf/df score — the keyword-extraction
     * / topic-tagging step of a corpus pipeline. Classic tf-idf shape (term
     * frequency × inverse document frequency) with an INTEGER score

@@ -356,6 +356,34 @@ object StreamingJobs {
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin
 
+  /** Streaming exact-dedup equivalence: the corpus file is staged TWICE
+    * (at-least-once redelivery — the scenario [[dedupedEvents]] exists
+    * for), streamed through `dropDuplicatesWithinWatermark(event_id)`,
+    * and the surviving set must equal ONE copy per event — the DuckDB
+    * oracle is simply the original table. Real micro-batch execution
+    * against a file source, not a simulation.
+    */
+  def dedupEquiv(spark: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_dedup_equiv")
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      dir.resolve("part-0-events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      dir.resolve("part-1-redelivery.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val src = readEvents(spark, dir.toString)
+    val name = "st_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val mem = runToMemory(spark, dedupedEvents(src),
+      name, OutputMode.Append())
+    mem.select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+      col("user_id"), col("event_type"), col("value"))
+  }
+
+  val dedupEquivSql: String =
+    """SELECT event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+      |       user_id, event_type, value
+      |FROM events""".stripMargin
+
   def sessionizeEquiv(spark: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._

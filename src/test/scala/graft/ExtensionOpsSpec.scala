@@ -36,6 +36,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CCNet buckets: per-language thirds (up to score ties), exhaustive and exclusive") {
+    val b = TextOps.ccnetBuckets(spark, "/root/testdata/sf0.01")
+    val byLang = b.groupBy(col("lang"), col("bucket")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = byLang.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val h = byLang.getOrElse((l, "head"), 0L)
+      val m = byLang.getOrElse((l, "middle"), 0L)
+      val t = byLang.getOrElse((l, "tail"), 0L)
+      val n = h + m + t
+      assert(n > 0)
+      // threshold-on-score semantics: each bucket within ±35% of a third
+      Seq(h, m, t).foreach(c =>
+        assert(math.abs(c - n / 3.0) <= n * 0.35, s"$l: h=$h m=$m t=$t"))
+    }
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val dups = TextOps.dedupExact(spark, sf).filter(col("n_copies") > 1)
     val planted = TData.documents(spark, sf)
