@@ -2263,6 +2263,51 @@ object TextOps {
        |LEFT JOIN base ON b.text_md5 = base.text_md5
        |JOIN firsts f ON f.text_md5 = b.text_md5""".stripMargin
 
+  /** Bloom-gated ingestion dedup — [[dedupIncremental]] with an
+    * approximate-membership pre-filter in front of the exact probe. The
+    * base corpus's md5 set folds into ONE Bloom filter (no false
+    * negatives), broadcast to the batch scan; rows the filter rejects
+    * are DEFINITELY new and admit without touching the base index at
+    * all, so the exact anti-join probes only true duplicates plus the
+    * ~fpp sliver of false positives. At 100 TB: a 10-bits-per-key bloom
+    * over 10^9 base hashes is ~1.2 GB of broadcast state replacing a
+    * corpus-sized shuffle join for the definite-new majority of every
+    * batch. The gate is TRANSPARENT — false positives get exact-checked,
+    * so the output is row-identical to [[dedupIncremental]] and shares
+    * its oracle verbatim (the `e_sessionize_salted` pattern).
+    */
+  def dedupIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    val baseHashes = documents(s, d)
+      .select(md5(col("text")).as("text_md5")).distinct()
+      .withColumn("__in_base", lit(1))
+    val nBase = baseHashes.count() // sizing pass (persisted in production)
+    val bf = baseHashes.stat.bloomFilter("text_md5", math.max(nBase, 1L), 0.03)
+    val bc = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+
+    val extras = corpus(s, d).filter(col("doc_id") >= 1000000)
+    val batch = extras.unionByName(
+        extras.filter(col("doc_id") % 40 === 0 && col("doc_id") < 2000000)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .withColumn("__maybe", mightContain(col("text_md5")))
+    // only maybe-dups probe the base; definite-new rows never join
+    val probed = batch.filter(col("__maybe"))
+      .join(baseHashes, Seq("text_md5"), "left")
+    val definiteNew = batch.filter(!col("__maybe"))
+      .withColumn("__in_base", lit(null).cast("int"))
+    val firsts = batch.groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    probed.select(col("doc_id"), col("text_md5"), col("__in_base"))
+      .unionByName(definiteNew.select(col("doc_id"), col("text_md5"),
+        col("__in_base")))
+      .join(firsts, "text_md5")
+      .select(col("doc_id"), col("text_md5"),
+        when(col("__in_base").isNotNull, lit("dup_of_base"))
+          .when(col("doc_id") =!= col("first_doc"), lit("dup_in_batch"))
+          .otherwise(lit("admitted")).as("verdict"))
+  }
+
   // ------------------------------------------------- sequence packing
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * doc_id order and cut into fixed `budget`-token training sequences;

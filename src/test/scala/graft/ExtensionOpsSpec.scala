@@ -53,6 +53,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom gate: row-identical to the exact gate, and it actually prunes") {
+    val exact = TextOps.dedupIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val bloom = TextOps.dedupIncrementalBloom(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(bloom == exact) // transparency: fp's exact-checked, no fn's
+    // the gate must reject most of the (mostly-new) batch outright —
+    // otherwise it's not saving the probe
+    val base = TData.documents(spark, sf)
+      .select(md5(col("text")).as("h")).distinct()
+    val bf = base.stat.bloomFilter("h", math.max(base.count(), 1L), 0.03)
+    val batchHashes = TextOps.dedupIncremental(spark, sf)
+      .select(col("text_md5")).collect().map(_.getString(0))
+    val rejected = batchHashes.count(h => !bf.mightContainString(h))
+    assert(rejected > batchHashes.length / 2,
+      s"bloom rejected only $rejected of ${batchHashes.length}")
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val dups = TextOps.dedupExact(spark, sf).filter(col("n_copies") > 1)
     val planted = TData.documents(spark, sf)
