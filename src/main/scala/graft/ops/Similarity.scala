@@ -213,28 +213,7 @@ object Similarity {
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
-    // control-plane scalar: quantizer sizing (same role as the reference's
-    // run_query(...)[0][0] metadata fetches)
-    val n = e.count()
-    val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    val centroids = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    // nearest-2 centroids per vector via BOUNDED partial aggregation: the
-    // broadcast-scored N·√N rows reduce map-side to ≤2 (sim, centroid)
-    // entries per vector before the exchange — the row_number window form
-    // shuffled the full N·√N scored rows (vectors included) on vec_id
-    val agg = new graft.functions.TopKAggregator(2).toColumn
-    val top2 = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("centroid_id"),
-        round(cosine_sim(col("v"), col("cv")), 6).as("a_sim"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(agg.name("topc"))
-      .toDF("vec_id", "topc")
-      .select(col("vec_id"), posexplode(col("topc")))
-      .select(col("vec_id"), (col("pos") + 1).as("arn"),
-        col("col._2").as("centroid_id"))
+    val top2 = ivfTop2(s, e)
     val assigned = top2.filter(col("arn") === 1)
       .join(e, "vec_id") // recover the vector payload by key
       .select(col("vec_id"), col("v"), col("centroid_id"))
@@ -248,6 +227,88 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
     topKAgg(s, scored, 5) // window-free end to end
+  }
+
+  /** The IVF coarse assignment shared by [[knnIvf]] and [[knnIvfPq]]:
+    * √N deterministically sampled centroids; each vector's nearest-2
+    * cells via BOUNDED partial aggregation — the broadcast-scored N·√N
+    * rows reduce map-side to ≤2 (sim, centroid) entries per vector
+    * before the exchange (the row_number window form shuffled the full
+    * N·√N scored rows, vectors included). Returns (vec_id, arn ∈ {1,2},
+    * centroid_id).
+    */
+  private def ivfTop2(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    // control-plane scalar: quantizer sizing (same role as the reference's
+    // run_query(...)[0][0] metadata fetches)
+    val n = e.count()
+    val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val centroids = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val agg = new graft.functions.TopKAggregator(2).toColumn
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosine_sim(col("v"), col("cv")), 6).as("a_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topc"))
+      .toDF("vec_id", "topc")
+      .select(col("vec_id"), posexplode(col("topc")))
+      .select(col("vec_id"), (col("pos") + 1).as("arn"),
+        col("col._2").as("centroid_id"))
+  }
+
+  /** IVF-PQ — the production memory-AND-compute shape (faiss IndexIVFPQ):
+    * the coarse quantizer restricts each query's candidates to its
+    * nprobe=2 cells (≈ 2/√N of the corpus), and WITHIN the cells
+    * candidates are scored in the compressed domain (8 ADC lookups per
+    * pair over 4-byte codes). Flat-PQ ([[knnPq]]) fixes the memory story
+    * but still scans all N codes per query — compressed BRUTE force,
+    * O(Q·N) like [[knnBrute]] (measured 35× at the 10× pair); IVF-PQ is
+    * its scale sibling the way [[knnIvf]] is brute's. ADC shortlist
+    * (top-20 per query) exact-cosine re-ranks to top-5.
+    */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val books = pqBookCache.computeIfAbsent(s"${s.hashCode()}:$d",
+      _ => pqTrain(e))
+    val codes = SessionCache.getOrElseUpdate(s, s"pqcodes:$d") {
+      e.select(col("vec_id"), pqCodeCol(books).as("code"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    val top2 = ivfTop2(s, e)
+    // corpus: one cell per vector, payload = the 8-nibble code
+    val corpusCells = top2.filter(col("arn") === 1)
+      .join(codes, "vec_id")
+      .select(col("vec_id"), col("code"), col("centroid_id"))
+    // queries: nprobe=2 cells + a driver-built ADC table each
+    val qvecs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    val qTbl = s.createDataset(pqAdcTableRows(qvecs, books))
+      .toDF("q_id", "tbl")
+    val qCells = top2.filter(col("vec_id") % 50 === 0 && col("arn") <= 2)
+      .select(col("vec_id").as("q_id"), col("centroid_id").as("q_cell"))
+      .join(broadcast(qTbl), "q_id")
+    val adc = corpusCells.join(qCells,
+        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(aggregate(
+          zip_with(col("code"), col("tbl"),
+            (c, t) => element_at(t, c.cast("int") + 1)),
+          lit(0.0), (acc, z) => acc + z), 6).as("adc_score"))
+    val shortlist = topKAgg(s, adc, 20, "adc_score")
+      .select(col("q_id"), col("neighbor_id"))
+    val qv = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
+    topKAgg(s, exact, 5)
   }
 
   val knnIvfSql: String =

@@ -35,6 +35,21 @@ class PqSpec extends AnyFunSuite {
     assert(pq1 == pq2) // sample, codebooks, ADC, re-rank all deterministic
   }
 
+  test("IVF-PQ: recall@5 vs brute; deterministic") {
+    import spark.implicits._
+    val brute = Similarity.knnBrute(spark, d)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val a = Similarity.knnIvfPq(spark, d)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (a intersect brute).size.toDouble / brute.size
+    // compounded approximation (IVF cell misses × PQ shortlist misses):
+    // the floor mirrors knnIvf's own bound-setting philosophy
+    assert(recall >= 0.3, s"IVF-PQ recall@5 = $recall")
+    val b = Similarity.knnIvfPq(spark, d)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("codes are 8 nibbles: values in [0,16), 64x smaller than float32") {
     import spark.implicits._
     val e = Similarity.vecs(spark, d)

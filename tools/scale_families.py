@@ -12,7 +12,7 @@ FAMILIES = [
         "a2_explode_outer_keeps_empty", "a6_literal", "q1_pricing_summary",
         "q_exact_distinct", "q_approx_distinct", "q_percentiles",
         "r_pivot_status", "r_cube_orders", "r_grouping_sets", "r_rollup_orders",
-        "s_nation_except", "s_nation_intersect"]),
+        "s_nation_except", "s_nation_intersect", "q_approx_percentiles"]),
     ("relational join", ["q3_top_orders", "q5_region_revenue",
         "j_semi_customers_with_orders", "j_salted_join"]),
     ("window / sessionize", ["w_top3_orders_per_cust", "w_running_revenue", "e_sessionize",
@@ -24,10 +24,17 @@ FAMILIES = [
         "b22_test_not_null", "b23_test_accepted_values",
         "b24_test_relationships", "b36_freshness",
         "b48_append_new_columns"]),
+    ("dbt-utils tests", ["b_test_accepted_range", "b_test_unique_combination",
+        "b_test_expression_is_true", "b_test_not_accepted_values",
+        "b_test_equal_rowcount", "b_test_fewer_rows_than",
+        "b_test_not_null_proportion", "b_test_sequential_values",
+        "b_test_mutually_exclusive_ranges", "b_test_recency",
+        "b_test_cardinality_equality"]),
     ("SCD-2 snapshots", ["b11_snapshot_timestamp", "b15_snapshot_check"]),
     ("orchestrator lifecycle", ["o_build_dag", "o_incremental_model",
         "o_insert_overwrite_pruned", "o_user_macros", "o_graph_selectors",
-        "o_mv_avg_model", "b2_partitions_loop"]),
+        "o_mv_avg_model", "b2_partitions_loop", "o_microbatch", "o_clone",
+        "o_metric_query", "o_cross_project_ref"]),
     ("row deletes / compaction / z-order / bloom", ["x_row_deletes",
         "x_compact_table", "x_zorder_box", "x_bloom_lookup"]),
     ("MV maintenance + serving", ["x_agg_view", "x_mv_rewrite",
@@ -39,11 +46,13 @@ FAMILIES = [
         "x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_simhash",
         "x_simhash_pairs",
         "x_dedup_incremental", "x_dedup_incremental_fuzzy",
+        "x_dedup_bloom_gate",
         "x_winnow_fingerprint", "x_fingerprint"]),
     ("CC dedup clusters", ["x_dedup_clusters", "x_dedup_keep_best"]),
-    ("ANN exact baselines", ["x_knn_brute", "x_knn_topk_agg"]),
+    ("ANN exact baselines (incl. compressed-brute flat PQ)",
+        ["x_knn_brute", "x_knn_topk_agg", "x_knn_pq"]),
     ("ANN scale path", ["x_knn_ivf", "x_knn_lsh_bucket",
-        "x_embedding_near_dups", "x_semantic_dedup"]),
+        "x_embedding_near_dups", "x_semantic_dedup", "x_knn_ivf_pq"]),
     ("k-means", ["x_kmeans"]),
     ("text per-row + curation", ["x_token_count", "x_quality_score",
         "x_quality_gate", "x_lang_id", "x_pii_redact", "x_repetition",
@@ -51,12 +60,16 @@ FAMILIES = [
         "x_tfidf_terms", "x_mix_sources", "x_mix_temperature",
         "x_stratified_sample", "x_split_assign", "x_epoch_shuffle",
         "x_chunk_overlap", "x_pack_sequences", "x_embedding_quantize",
-        "x_curation_pipeline", "x_sample_exact_k", "x_lm_score"]),
+        "x_curation_pipeline", "x_sample_exact_k", "x_lm_score",
+        "x_gopher_rules", "x_corpus_report", "x_embedding_rp",
+        "x_bpe_encode"]),
     ("multimodal", ["x_multimodal_meta", "x_media_features",
         "x_frame_sample"]),
     ("streaming equivalence", ["st_sessionize_equiv",
-        "st_stream_join_equiv"]),
+        "st_stream_join_equiv", "st_dedup_equiv"]),
     ("BPE training", ["x_bpe_merges"]),
+    ("sketch + targeted selection", ["x_heavy_hitters", "x_dsir_select",
+        "x_ccnet_buckets"]),
 ]
 
 
