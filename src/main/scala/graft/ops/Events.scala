@@ -226,4 +226,38 @@ object Events {
       |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
+
+  /** Mergeable HLL sketch table (Apache DataSketches via Spark's
+    * `hll_sketch_agg`/`hll_union_agg`): one compact sketch per DAY of
+    * distinct users — the persisted daily-build partial — then monthly
+    * distinct-user counts answered by UNIONING the daily sketches,
+    * never rescanning raw events. This is the warehouse pattern BigQuery
+    * (HLL_COUNT.merge) and Snowflake ship for incremental
+    * COUNT(DISTINCT): daily state is KB-sized and mergeable across any
+    * ad-hoc grouping (weeks, months, campaign windows) at metadata cost.
+    * Sketch bytes are engine-specific, so the oracle contract is the
+    * [[Analytics.qApproxDistinct]] bound gate: exact counts + the 5%
+    * bound boolean (lgConfigK=12 → rsd ≈ 1.6%).
+    */
+  def hllSketchUnion(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      col("ts").cast("date").as("day"),
+      date_format(col("ts"), "yyyy-MM").as("month"))
+    val daily = ev.groupBy(col("month"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val monthly = daily.groupBy(col("month"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    monthly.join(exact, "month")
+      .select(col("month"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_bound"))
+  }
+
+  val hllSketchUnionSql: String =
+    """SELECT strftime(ts::TIMESTAMP, '%Y-%m') AS month,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       true AS within_bound
+      |FROM events GROUP BY 1""".stripMargin
 }

@@ -1069,7 +1069,11 @@ object TextOps {
     // weighted sum stays inside Long up to ~10^12 raw features
     val threshold = rates.join(cq, "b")
       .agg(expr("sum(cq * r) DIV sum(cq)").as("thr"))
-    feats.join(rates, "b")
+    // explicit broadcast: the rate table is ≤ B rows BY CONSTRUCTION
+    // (bucket-keyed), so the hint is a structural fact, not a size guess
+    // — without it the static planner (no stats on an agg output) falls
+    // back to a sort-merge join of the corpus-sized feature stream
+    feats.join(broadcast(rates), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
         expr("sum(r) DIV count(1)").as("dsir_score"))
