@@ -356,7 +356,24 @@ final class Materializer(wh: Warehouse) {
         .atZone(ZoneOffset.UTC).toLocalDateTime)
     val beginP = trunc(parseDt(cfg.begin))
     val initial = !wh.exists(rel) || fullRefresh
-    if (initial && wh.exists(rel)) wh.drop(rel)
+
+    // Schema drift guard: replacePartitions writes period slices with
+    // the INCOMING schema while untouched periods keep the old one —
+    // mixed parquet schemas across partitions, which later reads
+    // resolve arbitrarily. Refuse any drifted incremental run loudly
+    // (whatever on_schema_change says — ignore must not corrupt);
+    // --full-refresh rebuilds every period on the new schema.
+    if (!initial) {
+      val incoming = df.schema.fieldNames.toSet
+      val existing = wh.read(rel).schema.fieldNames.toSet - "event_batch"
+      if (incoming != existing) throw new IllegalStateException(
+        s"microbatch ${rel.fqName}: model schema drifted " +
+          s"(added: ${(incoming -- existing).mkString(",")}; removed: " +
+          s"${(existing -- incoming).mkString(",")}); a per-period " +
+          "replacement would leave mixed schemas across partitions — " +
+          "rerun with --full-refresh to rebuild every period")
+    }
+
     var start = if (initial) beginP
       else (0 until cfg.lookback).foldLeft(trunc(now))((t, _) =>
         trunc(t.minusNanos(1))) // step back one full period at a time
@@ -366,6 +383,15 @@ final class Materializer(wh: Warehouse) {
       .takeWhile(p => !p.isAfter(now)).toSeq
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
+    // Initial builds that REPLACE an existing table (--full-refresh)
+    // accumulate into a temp relation and swap at the end: dropping the
+    // target up front would let a first-batch failure destroy committed
+    // data the error message promises is safe. A failed full refresh
+    // discards only the temp; the original stays live.
+    val tmp = rel.suffixed("__mb_tmp")
+    val writeRel = if (initial && wh.exists(rel)) tmp else rel
+    if (writeRel == tmp) wh.drop(tmp)
+
     val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     periods.foreach { p =>
       val lbl = label(p)
@@ -375,19 +401,38 @@ final class Materializer(wh: Warehouse) {
       val slice = df.filter(et >= lo && et < hi)
         .withColumn("event_batch", lit(lbl))
       try {
-        if (!wh.exists(rel)) wh.writeAtomic(slice, rel, Seq("event_batch"))
-        else wh.replacePartitions(slice, rel, Seq("event_batch"),
+        if (!wh.exists(writeRel))
+          wh.writeAtomic(slice, writeRel, Seq("event_batch"))
+        else wh.replacePartitions(slice, writeRel, Seq("event_batch"),
           alsoDropValues = Seq(lbl))
       } catch {
         case e: Exception =>
           failed += lbl -> Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
-    if (failed.nonEmpty) throw new IllegalStateException(
-      s"microbatch ${rel.fqName}: ${failed.size} of ${periods.size} batches " +
-        s"failed [${failed.map(_._1).mkString(", ")}]; successful batches " +
-        s"are committed — rerun reprocesses the failed periods. First " +
-        s"error (${failed.head._1}): ${failed.head._2}")
+    if (failed.nonEmpty) {
+      if (writeRel == tmp) wh.drop(tmp) // original never touched
+      throw new IllegalStateException(
+        s"microbatch ${rel.fqName}: ${failed.size} of ${periods.size} " +
+          s"batches failed [${failed.map(_._1).mkString(", ")}]; " +
+          (if (writeRel == tmp)
+            "the full refresh was discarded — the previous table is intact. "
+          else
+            "successful batches are committed — rerun reprocesses the " +
+              "failed periods. ") +
+          s"First error (${failed.head._1}): ${failed.head._2}")
+    }
+    if (writeRel == tmp) {
+      if (!wh.exists(tmp)) wh.drop(rel) // every period empty → empty table
+      else {
+        // atomic adoption: backup-rename dance, same as writeAtomic's
+        val backup = rel.suffixed("__mb_backup")
+        wh.drop(backup)
+        wh.rename(rel, backup)
+        wh.rename(tmp, rel)
+        wh.drop(backup)
+      }
+    }
   }
 
   /** The merge family's keep side: target rows with no increment match.

@@ -148,9 +148,13 @@ object OrchestratorQueries {
   }
 
   val microbatchModelSql: String =
+    // the begin clamp is explicit even though today's fixture starts at
+    // 1995-01-01 anyway: rows before `begin` are processed by NO batch,
+    // and the oracle must encode that contract, not rely on the fixture
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
       |       date_trunc('year', o_orderdate)::DATE AS event_batch
-      |FROM orders""".stripMargin
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01'""".stripMargin
 
   /** User-defined macros end-to-end (dbt macro search path,
     * `dbt_project.yml:15-20`; the reference reserves the slot via
@@ -389,7 +393,10 @@ object OrchestratorQueries {
           |       round(sum(o_totalprice), 2) AS spend
           |FROM {{ ref('platform', 'orders_curated') }}
           |GROUP BY o_orderstatus""".stripMargin)),
-      dependencies = Seq(DependencyDef("platform", platRoot)))
+      // the dependency declares the UPSTREAM's commit mode — its own
+      // deployment coordinate, not inherited from the consumer
+      dependencies = Seq(DependencyDef("platform", platRoot,
+        commitMode = mf)))
     val cons = new Engine(s, consumer, Target(consRoot, threads = 1,
       commitMode = mf))
     require(cons.build()._1.forall(_.status == "success"))

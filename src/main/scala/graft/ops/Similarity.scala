@@ -272,8 +272,7 @@ object Similarity {
   def knnIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
-    val books = pqBookCache.computeIfAbsent(s"${s.hashCode()}:$d",
-      _ => pqTrain(e))
+    val books = pqBooksFor(s, d, e)
     val codes = SessionCache.getOrElseUpdate(s, s"pqcodes:$d") {
       e.select(col("vec_id"), pqCodeCol(books).as("code"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -609,8 +608,7 @@ object Similarity {
   def knnPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
-    val books = pqBookCache.computeIfAbsent(s"${s.hashCode()}:$d",
-      _ => pqTrain(e))
+    val books = pqBooksFor(s, d, e)
     // the codes table is PERSISTED (like [[vecs]]): the encode expression
     // must evaluate once per corpus row — left lazy, CollapseProject
     // substitutes it into the post-join projection and re-encodes per
@@ -646,9 +644,24 @@ object Similarity {
     topKAgg(s, exact, 5)
   }
 
+  /** Codebooks memoized per LIVE session (WeakHashMap on the session,
+    * like SessionCache) — a bare hashCode-keyed map could alias a
+    * stopped session's entry to a new one and serve stale codebooks
+    * against fresh codes.
+    */
   private val pqBookCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]]()
+  private def pqBooksFor(s: SparkSession, d: String, e: DataFrame) =
+    pqBookCache.synchronized {
+      var m = pqBookCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        pqBookCache.put(s, m)
+      }
+      m
+    }.getOrElseUpdate(d, pqTrain(e))
 
   def embeddingQuantize(s: SparkSession, d: String): DataFrame =
     vecs(s, d)

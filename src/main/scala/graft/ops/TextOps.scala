@@ -1047,18 +1047,24 @@ object TextOps {
     */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     val B = 4096
-    val arrs = documents(s, d).select(col("doc_id"), col("lang"),
-      filter(split(lower(col("text")), "[^a-z0-9]+"),
-        t => length(t) > 0).as("l"))
-    val feats = arrs.filter(size(col("l")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(zip_with(
-          slice(col("l"), lit(1), size(col("l")) - 1),
-          slice(col("l"), lit(2), size(col("l")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bgr"))
-      .withColumn("b", expr(
-        s"CAST(conv(substr(md5(bgr), 1, 8), 16, 10) AS BIGINT) % $B"))
-      .select(col("doc_id"), col("lang"), col("b"))
+    // PERSISTED: the exploded feature stream feeds four consumers (cq,
+    // cp, the threshold fold, the per-doc mean) — uncached, each one
+    // re-tokenizes and re-hashes the whole corpus
+    val feats = SessionCache.getOrElseUpdate(s, s"dsirfeats:$d") {
+      val arrs = documents(s, d).select(col("doc_id"), col("lang"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 0).as("l"))
+      arrs.filter(size(col("l")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(zip_with(
+            slice(col("l"), lit(1), size(col("l")) - 1),
+            slice(col("l"), lit(2), size(col("l")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bgr"))
+        .withColumn("b", expr(
+          s"CAST(conv(substr(md5(bgr), 1, 8), 16, 10) AS BIGINT) % $B"))
+        .select(col("doc_id"), col("lang"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
     val cq = feats.groupBy(col("b")).agg(count(lit(1)).as("cq"))
     val cp = feats.filter(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).as("cp"))
@@ -1132,7 +1138,9 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("lang")).orderBy(col("lm_score"))
     val cum = counts.withColumn("cum", sum(col("c")).over(w))
-    val tot = withLang.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // per-language totals from the ALREADY-AGGREGATED counts frame — a
+    // separate count over withLang would re-run the whole lmScore scan
+    val tot = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
     val th = cum.join(tot, "lang")
       .groupBy(col("lang"))
       .agg(min(when(col("cum") * 3 >= col("n"), col("lm_score"))).as("t1"),
@@ -1153,7 +1161,7 @@ object TextOps {
       |          sum(c) OVER (PARTITION BY lang ORDER BY lm_score
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |        FROM counts),
-      |tot AS (SELECT lang, count(*) AS n FROM wl GROUP BY 1),
+      |tot AS (SELECT lang, sum(c)::BIGINT AS n FROM counts GROUP BY 1),
       |th AS (SELECT lang,
       |         min(CASE WHEN cum * 3 >= n THEN lm_score END)::BIGINT AS t1,
       |         min(CASE WHEN cum * 3 >= n * 2 THEN lm_score END)::BIGINT AS t2

@@ -45,7 +45,16 @@ final case class ExposureDef(name: String, dependsOn: Seq[String],
   */
 final case class DependencyDef(name: String, warehouseRoot: String,
                                database: String = "analytics",
-                               schema: String = "main")
+                               schema: String = "main",
+                               // the UPSTREAM deployment's commit mode —
+                               // its own coordinate, NOT inherited from
+                               // the consumer: a manifest-deployed
+                               // upstream read through a rename-mode
+                               // lens would miss the manifest entirely.
+                               // Auto resolves by sys-prop/env/scheme,
+                               // the same rules the upstream itself used.
+                               commitMode: graft.core.CommitMode =
+                                 graft.core.CommitMode.Auto)
 
 /** A declared metric (the dbt metrics / semantic-layer shape: a named
   * aggregation over one model with a time dimension and allowed group-by
@@ -248,9 +257,14 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           s"'$proj' (registered: ${project.dependencies.map(_.name).mkString(", ")})"))
     val rel = Relation(dep.database, dep.schema, model)
     val w = depWarehouses.computeIfAbsent(dep.warehouseRoot,
-      r => new Warehouse(spark, r, target.commitMode))
+      r => new Warehouse(spark, r, dep.commitMode))
     if (w.usesManifest && w.exists(rel)) {
-      val vn = s"graft_dep_${proj}_$model".replaceAll("[^A-Za-z0-9_]", "_")
+      // the md5 component disambiguates sanitization collisions
+      // ('team-a'/'x' vs 'team'/'a_x' both flatten to team_a_x)
+      val raw = s"$proj $model"
+      val vn = (s"graft_dep_${proj}_$model".replaceAll("[^A-Za-z0-9_]", "_") +
+        "_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString)
       w.read(rel).createOrReplaceTempView(vn)
       "`" + vn + "`"
     } else Compiler.pathRelation(rel.pathUnder(dep.warehouseRoot))
@@ -676,11 +690,15 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * `cloned`, `cloned_view`, or `missing` (no prod relation — dbt
     * skips those too).
     */
-  def cloneFromState(selector: String, fromRoot: String): Seq[(String, String)] = {
-    // the state root is a sibling deployment of this project — same
-    // commit-mode resolution as this target (zero-copy needs both sides
-    // on the manifest protocol; mixed modes degrade to a deep copy)
-    val srcWh = new graft.core.Warehouse(spark, fromRoot, target.commitMode)
+  def cloneFromState(selector: String, fromRoot: String,
+                     fromCommitMode: Option[graft.core.CommitMode] = None)
+      : Seq[(String, String)] = {
+    // the state root is a sibling deployment of this project — default
+    // to this target's commit-mode resolution, overridable when the
+    // prod deployment's mode differs (zero-copy needs both sides on the
+    // manifest protocol; mixed modes degrade to a deep copy)
+    val srcWh = new graft.core.Warehouse(spark, fromRoot,
+      fromCommitMode.getOrElse(target.commitMode))
     val buildable = (project.models.map(_.name) ++ project.seeds.map(_.name) ++
       project.snapshots.map(_.name)).toSet
     selectNodes(selector).intersect(buildable).toSeq.sorted.map { n =>
@@ -744,16 +762,26 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
 
   /** `dbt show --inline`: run an ad-hoc templated query against the built
     * warehouse — full macro/ref/source/var resolution, no node scope
-    * (`{{ this }}` unavailable, is_incremental() false). The REPL surface
+    * (`{{ this }}` REJECTED loudly, is_incremental() false). View and
+    * ephemeral refs inline as parenthesized subqueries of their compiled
+    * definitions — they have no data path to point at. The REPL surface
     * for a project: preview a model (`SELECT * FROM {{ ref('m') }}`),
     * poke a source, exercise a macro.
     */
   def renderInline(sqlTemplate: String): DataFrame = {
+    require(!sqlTemplate.contains("{{ this }}") &&
+      !"""\{\{\s*this\s*\}\}""".r.findFirstIn(sqlTemplate).isDefined,
+      "inline queries have no node scope: {{ this }} is unavailable")
     val expanded = Compiler.expandMacros(sqlTemplate, project.macros)
     spark.sql(warehouse.resolveSql(Compiler.compile(expanded,
       Compiler.ResolveCtx(
-        refTarget = r => Compiler.pathRelation(
-          relationFor(r).pathUnder(target.warehouseRoot)),
+        refTarget = r =>
+          if (isInlined(r)) {
+            val m = project.models.find(_.name == r).getOrElse(
+              throw new IllegalArgumentException(s"unknown model '$r'"))
+            "(" + compileSql(m, Set.empty, None, fullRefresh = false) + ")"
+          } else Compiler.pathRelation(
+            relationFor(r).pathUnder(target.warehouseRoot)),
         sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
         crossRefTarget = crossRefText,
         thisTarget = "", env = target.env, isIncremental = false,

@@ -117,6 +117,49 @@ class MicrobatchSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.microbatch.now")
   }
 
+  test("schema drift is refused on incremental runs (no mixed-schema partitions)") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val rel = Relation("wh", "main", "t")
+    spark.conf.set("graft.microbatch.now", "2024-01-02")
+    try {
+      mat.incremental(rows("2024-01-01" -> 1), rel, cfg)
+      val widened = rows("2024-01-01" -> 1)
+        .withColumn("extra", lit("x"))
+      val e = intercept[IllegalStateException] {
+        mat.incremental(widened, rel, cfg)
+      }
+      assert(e.getMessage.contains("schema drifted"))
+      assert(e.getMessage.contains("full-refresh"))
+      // --full-refresh takes the new schema cleanly
+      mat.incremental(widened, rel, cfg, fullRefresh = true)
+      assert(wh.read(rel).columns.contains("extra"))
+    } finally spark.conf.unset("graft.microbatch.now")
+  }
+
+  test("a failed full refresh leaves the previous table intact") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val rel = Relation("wh", "main", "t")
+    spark.conf.set("graft.microbatch.now", "2024-01-02")
+    try {
+      mat.incremental(rows("2024-01-01" -> 1, "2024-01-02" -> 2), rel, cfg)
+      // rebuild whose EVERY batch fails (corrupt source, partitioned so
+      // pruning can't save any period)
+      val src = Files.createTempDirectory("graft_mb_src2").toString
+      rows("2024-01-01" -> 9, "2024-01-02" -> 9)
+        .write.mode("overwrite").partitionBy("day").parquet(src)
+      new java.io.File(src).listFiles().filter(_.getName.startsWith("day="))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.write(f.toPath, "garbage".getBytes))
+      val poisoned = spark.read.schema("v LONG, day DATE").parquet(src)
+      val e = intercept[IllegalStateException] {
+        mat.incremental(poisoned, rel, cfg, fullRefresh = true)
+      }
+      assert(e.getMessage.contains("previous table is intact"))
+      // the original data survives untouched
+      assert(state(wh, rel) == Set(("2024-01-01", 1L), ("2024-01-02", 2L)))
+    } finally spark.conf.unset("graft.microbatch.now")
+  }
+
   test("hour and month period arithmetic") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val rel = Relation("wh", "main", "hourly")

@@ -970,6 +970,21 @@ class OrchestratorSpec extends AnyFunSuite {
     val viaSource = e.renderInline(
       "SELECT count(*) AS c FROM {{ source('tpch', 'region') }}")
     assert(viaSource.head().getLong(0) == 5L)
+    // a VIEW model has no data path — its ref must inline the compiled
+    // definition as a subquery
+    val withView = baseProject.copy(models = baseProject.models :+
+      ModelDef("nations_view",
+        """{{ config(materialized='view') }}
+          |SELECT n_nationkey FROM {{ ref('nations') }}
+          |WHERE n_nationkey < 7""".stripMargin))
+    val e2 = new Engine(spark, withView, Target(root()))
+    require(e2.build()._1.forall(_.status == "success"))
+    val viaView = e2.renderInline(
+      "SELECT count(*) AS c FROM {{ ref('nations_view') }}")
+    assert(viaView.head().getLong(0) == 7L)
+    // {{ this }} has no meaning without a node scope — rejected loudly
+    intercept[IllegalArgumentException](
+      e2.renderInline("SELECT * FROM {{ this }}"))
   }
 
   test("cross-project ref: unregistered dependency fails loudly; rename-mode upstream reads by path") {
