@@ -316,6 +316,50 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
   private def effectiveConfig(m: ModelDef): ModelConfig =
     Compiler.parseInlineConfig(m.rawSql, m.config)
 
+  /** Graphviz DOT of the project lineage (sources → seeds/models/
+    * snapshots → exposures), optionally restricted to a selected node
+    * set — `dbt docs`' lineage graph as a pipeable artifact
+    * (`dot -Tsvg`). Node shape encodes kind; edges point data-flow
+    * downstream.
+    */
+  def lineageDot(selected: Option[Set[String]] = None): String = {
+    val keep: String => Boolean = selected.fold((_: String) => true)(s => s)
+    def q(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    val sb = new StringBuilder("digraph lineage {\n  rankdir=LR;\n")
+    project.seeds.filter(s => keep(s.name)).foreach(s =>
+      sb ++= s"  ${q(s.name)} [shape=folder];\n")
+    project.models.filter(m => keep(m.name)).foreach { m =>
+      val mat = effectiveConfig(m).materialized
+      val shape = if (mat == "view" || mat == "ephemeral") "ellipse" else "box"
+      sb ++= s"  ${q(m.name)} [shape=$shape, label=${q(s"${m.name}\\n$mat")}];\n"
+    }
+    project.snapshots.filter(s => keep(s.name)).foreach(s =>
+      sb ++= s"  ${q(s.name)} [shape=box3d];\n")
+    val srcNodes = scala.collection.mutable.LinkedHashSet.empty[String]
+    (project.models.map(m => m.name -> m.rawSql) ++
+      project.snapshots.map(s => s.name -> s.rawSql)).foreach {
+      case (n, sql) if keep(n) =>
+        val (refs, srcs) = Compiler.dependencies(sql)
+        refs.filter(keep).foreach(r => sb ++= s"  ${q(r)} -> ${q(n)};\n")
+        srcs.foreach { case (sn, tn) =>
+          val id = s"source:$sn.$tn"
+          srcNodes += id
+          sb ++= s"  ${q(id)} -> ${q(n)};\n"
+        }
+      case _ => ()
+    }
+    srcNodes.foreach(id => sb ++= s"  ${q(id)} [shape=cylinder];\n")
+    project.exposures.foreach { e =>
+      val deps = e.dependsOn.filter(keep)
+      if (deps.nonEmpty) {
+        sb ++= s"  ${q("exposure:" + e.name)} [shape=note];\n"
+        deps.foreach(d => sb ++= s"  ${q(d)} -> ${q("exposure:" + e.name)};\n")
+      }
+    }
+    sb ++= "}\n"
+    sb.toString
+  }
+
   /** Ephemeral AND view models are logical: their refs inline as CTEs of
     * the referencing model's compiled SQL. (Ephemeral: dbt semantics.
     * Views: our warehouse is path-addressed parquet with no metastore, so

@@ -172,7 +172,15 @@ object ProjectLoader {
         s"dependencies.conf: need name warehouse_root, got: $l")
       DependencyDef(parts(0), parts(1),
         if (parts.length > 2) parts(2) else "analytics",
-        if (parts.length > 3) parts(3) else "main")
+        if (parts.length > 3) parts(3) else "main",
+        // 5th token: the UPSTREAM deployment's commit mode
+        parts.lift(4) match {
+          case Some("manifest") => graft.core.CommitMode.Manifest
+          case Some("rename") => graft.core.CommitMode.Rename
+          case Some(other) => throw new IllegalArgumentException(
+            s"dependencies.conf: commit mode must be manifest|rename, got '$other'")
+          case None => graft.core.CommitMode.Auto
+        })
     }
 
     // metrics.conf: `name model calculation expr time_dim [dim1,dim2]

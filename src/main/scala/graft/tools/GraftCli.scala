@@ -25,6 +25,7 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   docs             write the catalog.json artifact (--out p; footer
   *                    stats + view definitions, no table scans)
   *   list             print (selected) nodes with kind/materialization/tags
+  *   lineage          Graphviz DOT of the (selected) lineage graph
   *   compile          emit the state manifest (no execution)
   *   test             only the declared tests
   *   freshness        source freshness vs thresholds
@@ -214,6 +215,10 @@ object GraftCli {
         val macArgs = flags.getOrElse("args", Nil)
           .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
         engine.runOperation(mac, macArgs).show(50, truncate = false)
+      case "lineage" =>
+        // Graphviz DOT of the (selected) project lineage — pipe to
+        // `dot -Tsvg` for dbt-docs' graph without a web server
+        print(engine.lineageDot(select))
       case "list" =>
         // `dbt list`: print the (selected) nodes with kind + config —
         // the selector debugging tool

@@ -1009,6 +1009,20 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.name == "agg" && n.status == "error"))
   }
 
+  test("lineage DOT: kinds, edges, sources, exposures; selection restricts") {
+    val p = baseProject.copy(exposures = Seq(
+      ExposureDef("dash", Seq("by_region"))))
+    val e = new Engine(spark, p, Target(root()))
+    val dot = e.lineageDot()
+    assert(dot.contains("\"nations\" -> \"by_region\""))
+    assert(dot.contains("\"source:tpch.nation\" -> \"nations\""))
+    assert(dot.contains("\"by_region\" -> \"exposure:dash\""))
+    assert(dot.contains("[shape=cylinder]")) // sources
+    val restricted = e.lineageDot(Some(Set("nations")))
+    assert(!restricted.contains("by_region"))
+    assert(restricted.contains("\"source:tpch.nation\" -> \"nations\""))
+  }
+
   test("metrics.conf loads through ProjectLoader (demo project)") {
     val (p, _) = ProjectLoader.load("examples/demo_project")
     val names = p.metrics.map(_.name).toSet
