@@ -1631,6 +1631,82 @@ object TextOps {
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------- span-level excision
+  /** Span-level decontamination — the surgical sibling of
+    * [[decontaminate]]'s doc-level flag (the Lee et al. / PaLM cleanup
+    * practice: REMOVE the overlapping span, keep the document). Corpus
+    * docs chunk into aligned 12-token windows (the [[dedupParagraph]]
+    * segmentation, short tail exempt); the eval slice contributes md5s
+    * of ALL its stride-1 12-token windows, so a corpus chunk is excised
+    * if its exact token run appears ANYWHERE in eval text — alignment on
+    * the eval side cannot hide a leak (the 'xx '-prefixed near-dup
+    * fixture is caught from its second chunk on, where aligned-only
+    * matching would see nothing). Scale shape: the stride-1 blowup is
+    * EVAL-side only (eval sets are MBs where the corpus is TBs) and the
+    * window-hash set broadcasts; the corpus pays one aligned chunking
+    * pass — text never shuffles, only per-doc drop lists move.
+    */
+  def decontaminateSpans(s: SparkSession, d: String, win: Int = 12): DataFrame = {
+    val all = corpus(s, d)
+    val evalWin = all.filter(col("doc_id") % 97 === 0)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= win)
+      .select(explode(expr(
+        s"transform(sequence(0, size(w) - $win), " +
+          s"i -> md5(array_join(slice(w, i + 1, $win), ' ')))")).as("m"))
+      .distinct()
+    val base = all.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("chunks", expr(
+        s"transform(sequence(0, (size(w)-1) div $win), " +
+          s"i -> array_join(slice(w, i*$win + 1, $win), ' '))"))
+      .select(col("doc_id"), col("chunks"),
+        (size(col("w")) / win).cast("int").as("n_full"))
+    val hits = base
+      .select(col("doc_id"), col("n_full"),
+        posexplode(col("chunks")).as(Seq("idx", "para")))
+      .filter(col("idx") < col("n_full"))
+      .select(col("doc_id"), col("idx"), md5(col("para")).as("m"))
+      .join(broadcast(evalWin), "m")
+      .groupBy("doc_id").agg(collect_list(col("idx")).as("drop_idx"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_paras"),
+        coalesce(size(col("drop_idx")), lit(0)).cast("long").as("n_excised"),
+        expr("array_join(filter(chunks, (x, i) -> " +
+          "drop_idx IS NULL OR NOT array_contains(drop_idx, i)), ' ')")
+          .as("clean_text"))
+  }
+
+  val decontaminateSpansSql: String =
+    s"""WITH $corpusSql,
+       |ev AS (
+       |  SELECT DISTINCT md5(array_to_string(
+       |           list_slice(w, i + 1, i + 12), ' ')) AS m
+       |  FROM (SELECT string_split(text, ' ') AS w FROM corpus
+       |        WHERE doc_id % 97 = 0),
+       |       UNNEST(generate_series(0, len(w) - 12)) AS t(i)
+       |  WHERE len(w) >= 12),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+       |      WHERE doc_id % 97 <> 0),
+       |st AS (SELECT doc_id, w, len(w) // 12 AS n_full,
+       |         unnest(generate_series(0, (len(w)-1) // 12)) AS idx
+       |       FROM t),
+       |ch AS (SELECT doc_id, idx, n_full,
+       |         array_to_string(list_slice(w, idx*12 + 1, idx*12 + 12), ' ')
+       |           AS para
+       |       FROM st),
+       |hit AS (SELECT doc_id, idx FROM ch JOIN ev ON md5(ch.para) = ev.m
+       |        WHERE idx < n_full)
+       |SELECT ch.doc_id,
+       |  count(*)::BIGINT AS n_paras,
+       |  count(hit.idx)::BIGINT AS n_excised,
+       |  coalesce(string_agg(
+       |    CASE WHEN hit.idx IS NULL THEN ch.para END, ' '
+       |    ORDER BY ch.idx), '') AS clean_text
+       |FROM ch LEFT JOIN hit ON ch.doc_id = hit.doc_id AND ch.idx = hit.idx
+       |GROUP BY ch.doc_id""".stripMargin
+
   // --------------------------------------------- contamination fraction
   /** Per-document contamination FRACTION vs the eval slice — the
     * thresholdable refinement of [[decontaminate]]'s boolean hit list:

@@ -71,6 +71,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"bloom rejected only $rejected of ${batchHashes.length}")
   }
 
+  test("span decontamination: exact eval copies fully excised; unaligned overlap caught") {
+    val out = TextOps.decontaminateSpans(spark, "/root/testdata/sf0.01")
+      .filter(col("doc_id").isin(1000000L, 2000000L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 2000000 is an EXACT copy of eval doc 0: every full chunk gone
+    val (paras2m, exc2m) = out(2000000L)
+    assert(exc2m == paras2m - 1, s"exact eval copy kept full chunks: $out")
+    // doc 1000000 is the 'xx '-prefixed copy: its chunks are UNALIGNED
+    // with eval doc 0, yet the stride-1 eval window set still catches
+    // every chunk past the first (aligned-only matching would catch 0)
+    val (_, exc1m) = out(1000000L)
+    assert(exc1m >= 1, s"unaligned overlap missed: $out")
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val dups = TextOps.dedupExact(spark, sf).filter(col("n_copies") > 1)
     val planted = TData.documents(spark, sf)
