@@ -570,7 +570,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
                               status: String) // pass | warn | error
 
   def runTest(t: TestDef): TestResult = {
-    val base = readModel(t.modelName)
+    // dbt tests bind to models OR declared sources (schema.yml tests
+    // under a source table): `source:<src>.<table>` reads the raw source
+    val base =
+      if (t.modelName.startsWith("source:")) {
+        val Array(sn, tn) = t.modelName.stripPrefix("source:").split("\\.", 2)
+        spark.read.parquet(sourcePath(sn, tn))
+      } else readModel(t.modelName)
     val filtered = t.where.fold(base)(w => base.filter(w))
     val applied = t.relationship match {
       case Some(r) =>
@@ -876,6 +882,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     }
     val selected = nodes.toSet
     val testResults = new java.util.concurrent.ConcurrentLinkedQueue[TestResult]()
+    // source tests run FIRST — sources precede every node in dbt's DAG,
+    // and a broken source should stop the run before any model builds
+    // on it (the on-run-start abort semantics)
+    project.tests.filter(_.modelName.startsWith("source:")).foreach { t =>
+      val r = runTest(t)
+      testResults.add(r)
+      if (r.status == "error")
+        throw new IllegalStateException(
+          s"source test ${t.name} failed: ${r.failures} rows — " +
+            "aborting before any model builds on the broken source")
+    }
     val nodeResults = Dag.run(nodes,
       parents.view.mapValues(_.filter(selected.contains)).toMap,
       target.threads, failFast) { n =>

@@ -1009,6 +1009,25 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(nodes.exists(n => n.name == "agg" && n.status == "error"))
   }
 
+  test("tests on sources: run before any node; an error aborts the build") {
+    val ok = baseProject.copy(tests = Seq(
+      TestDef("src_nn", "source:tpch.nation",
+        df => SchemaTests.notNull(df, "n_nationkey"))))
+    val e = new Engine(spark, ok, Target(root()))
+    val (nodes, tests) = e.build()
+    assert(nodes.forall(_.status == "success"))
+    assert(tests.exists(t => t.name == "src_nn" && t.status == "pass"))
+
+    val broken = baseProject.copy(tests = Seq(
+      TestDef("src_vals", "source:tpch.region",
+        df => SchemaTests.acceptedValues(df, "r_name", Seq("NOWHERE")))))
+    val e2 = new Engine(spark, broken, Target(root()))
+    val ex = intercept[IllegalStateException](e2.build())
+    assert(ex.getMessage.contains("source test"))
+    // nothing was built on the broken source
+    assert(!e2.warehouse.exists(e2.relationFor("by_region")))
+  }
+
   test("lineage DOT: kinds, edges, sources, exposures; selection restricts") {
     val p = baseProject.copy(exposures = Seq(
       ExposureDef("dash", Seq("by_region"))))

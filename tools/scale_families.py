@@ -46,7 +46,7 @@ FAMILIES = [
         "x_dedup_ngram_jaccard", "x_dedup_minhash_lsh", "x_simhash",
         "x_simhash_pairs",
         "x_dedup_incremental", "x_dedup_incremental_fuzzy",
-        "x_dedup_bloom_gate",
+        "x_dedup_bloom_gate", "x_decontam_spans",
         "x_winnow_fingerprint", "x_fingerprint"]),
     ("CC dedup clusters", ["x_dedup_clusters", "x_dedup_keep_best"]),
     ("ANN exact baselines (incl. compressed-brute flat PQ)",
@@ -69,7 +69,7 @@ FAMILIES = [
         "st_stream_join_equiv", "st_dedup_equiv"]),
     ("BPE training", ["x_bpe_merges"]),
     ("sketch + targeted selection", ["x_heavy_hitters", "x_dsir_select",
-        "x_ccnet_buckets"]),
+        "x_ccnet_buckets", "e_hll_sketch_union"]),
 ]
 
 
