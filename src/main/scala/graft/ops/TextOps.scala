@@ -2298,6 +2298,56 @@ object TextOps {
       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        % 10000 < r.bp""".stripMargin
 
+  // ------------------------------------------------- epoch repetition
+  /** Per-source epoch repetition — the pretraining mixture-table shape
+    * (LLaMA's "epochs" column: curated sources repeat 2–3×, bulk web
+    * <1×). Each source carries a FRACTIONAL epoch factor in basis points
+    * (here derived from the source name as the config stand-in, 0.6–3.0
+    * epochs); a document emits floor(f) full copies plus one more when
+    * its deterministic md5 bucket falls under the fractional remainder —
+    * so a 2.5-epoch source repeats every doc twice and HALF its docs (a
+    * reproducible, partition-stable half) a third time. Output carries
+    * the epoch ordinal, the key a data loader shuffles by ([[epochShuffle]]
+    * composes downstream). Scale: a broadcast rate join + per-row
+    * `explode(sequence)` fan-out — the corpus shuffles nowhere, and the
+    * fan-out is the OUTPUT size, the irreducible cost of repetition.
+    */
+  def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val rates = docs.select(col("source")).distinct()
+      .withColumn("epoch_bp", expr(
+        "(CAST(regexp_replace(source, '[^0-9]', '') AS BIGINT) % 5 + 1) * 6000"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .withColumn("n_copies",
+        expr("epoch_bp DIV 10000 + IF(h < epoch_bp % 10000, 1, 0)"))
+      // filter BEFORE the fan-out: Spark's sequence(0, -1) DESCENDS
+      // ([0,-1]) rather than being empty, so zero-copy docs must never
+      // reach the explode
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("epoch_bp"),
+        // BIGINT sequence so the epoch ordinal types match the oracle's
+        // generate_series
+        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("epoch"))
+  }
+
+  val mixEpochsSql: String =
+    """WITH rates AS (
+      |  SELECT source,
+      |    (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 + 1)
+      |      * 6000 AS epoch_bp
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |wd AS (
+      |  SELECT d.doc_id, d.source, r.epoch_bp,
+      |    epoch_bp // 10000 + CASE WHEN
+      |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 10000 < epoch_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN rates r USING (source))
+      |SELECT doc_id, source, epoch_bp, unnest(generate_series(0, n_copies - 1))
+      |  AS epoch
+      |FROM wd WHERE n_copies > 0""".stripMargin
+
   // ------------------------------------------------- incremental dedup
   /** Ingestion-time dedup: a NEW batch is admitted against the EXISTING
     * corpus's content fingerprints — the shape of every incremental
