@@ -57,7 +57,7 @@ FAMILIES = [
     ("text per-row + curation", ["x_token_count", "x_quality_score",
         "x_quality_gate", "x_lang_id", "x_pii_redact", "x_repetition",
         "x_boilerplate_strip", "x_contam_frac", "x_decontaminate",
-        "x_tfidf_terms", "x_mix_sources", "x_mix_temperature",
+        "x_tfidf_terms", "x_mix_sources", "x_mix_temperature", "x_mix_epochs",
         "x_stratified_sample", "x_split_assign", "x_epoch_shuffle",
         "x_chunk_overlap", "x_pack_sequences", "x_embedding_quantize",
         "x_curation_pipeline", "x_sample_exact_k", "x_lm_score",
