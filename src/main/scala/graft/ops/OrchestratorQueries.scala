@@ -409,6 +409,45 @@ object OrchestratorQueries {
       |FROM orders WHERE o_orderkey <= 8000
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** Multi-format sources: the same nation/region data staged as JSON
+    * lines and headered CSV, declared with `format=`/`options=` source
+    * coordinates, joined by a model — the external-table axis (dbt
+    * external sources' file_format). The oracle recomputes the join over
+    * the original parquet, proving the format readers are
+    * value-faithful. Parquet sources keep the direct path relation;
+    * these register reader-backed temp views.
+    */
+  def sourceFormats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stage = Files.createTempDirectory("graft_srcfmt").toString
+    s.read.parquet(s"$d/nation.parquet")
+      .coalesce(1).write.mode("overwrite").json(s"$stage/nation_json")
+    s.read.parquet(s"$d/region.parquet")
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$stage/region_csv")
+    val project = Project(name = "demo_fmt",
+      sources = Seq(
+        SourceDef("ext", "nation", s"$stage/nation_json", format = "json"),
+        SourceDef("ext", "region", s"$stage/region_csv", format = "csv",
+          options = Map("header" -> "true", "inferSchema" -> "true"))),
+      models = Seq(ModelDef("nations_fmt",
+        """SELECT r.r_name, count(*) AS n_nations,
+          |       CAST(max(n.n_nationkey) AS BIGINT) AS max_key
+          |FROM {{ source('ext', 'nation') }} n
+          |JOIN {{ source('ext', 'region') }} r
+          |  ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)))
+    val e = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(e.build()._1.forall(_.status == "success"))
+    e.readModel("nations_fmt")
+  }
+
+  val sourceFormatsSql: String =
+    """SELECT r.r_name, count(*) AS n_nations,
+      |       CAST(max(n.n_nationkey) AS BIGINT) AS max_key
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name""".stripMargin
+
   /** B2 legacy per-date partition loop lifecycle (reference
     * `materialization_table_bigquery` partitions branch @48682 +
     * `make_date_partitioned_table` @47149, dbt-bigquery 0.x): a `table`

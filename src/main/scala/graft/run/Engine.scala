@@ -20,7 +20,17 @@ final case class SourceDef(sourceName: String, tableName: String, path: String,
                            // `default__collect_freshness` @192559: `where
                            // {{ filter }}` before the max(loaded_at) agg) —
                            // judge freshness on a partition subset
-                           filter: Option[String] = None)
+                           filter: Option[String] = None,
+                           // source file format (dbt external-table
+                           // `external.file_format`): parquet | csv |
+                           // json | orc | text — parquet compiles to the
+                           // direct `parquet.`path`` relation (scan
+                           // pushdown intact); other formats register a
+                           // reader-backed temp view
+                           format: String = "parquet",
+                           // reader options (csv header/delimiter, json
+                           // multiLine, …)
+                           options: Map[String, String] = Map.empty)
 
 final case class ModelDef(name: String, rawSql: String,
                           config: ModelConfig = ModelConfig())
@@ -216,10 +226,32 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
   def relationFor(model: String): Relation =
     Relation(target.database, target.resolvedSchema, model)
 
-  private def sourcePath(s: String, t: String): String =
+  private def sourceDef(s: String, t: String): SourceDef =
     project.sources.find(x => x.sourceName == s && x.tableName == t)
-      .map(_.path)
       .getOrElse(throw new IllegalArgumentException(s"unknown source $s.$t"))
+
+  private def sourcePath(s: String, t: String): String = sourceDef(s, t).path
+
+  /** Read a declared source with its format + reader options. */
+  private def readSource(sd: SourceDef): DataFrame =
+    spark.read.format(sd.format).options(sd.options).load(sd.path)
+
+  /** SQL relation text for a source: parquet-without-options compiles to
+    * the direct path relation (filter/column pushdown reaches the scan);
+    * other formats / optioned readers register a reader-backed temp
+    * view (pushdown still applies through the view — it is the same
+    * DataSource scan node).
+    */
+  private def sourceText(s: String, t: String): String = {
+    val sd = sourceDef(s, t)
+    if (sd.format == "parquet" && sd.options.isEmpty)
+      Compiler.pathRelation(sd.path)
+    else {
+      val vn = s"graft_src_${s}_$t".replaceAll("[^A-Za-z0-9_]", "_")
+      readSource(sd).createOrReplaceTempView(vn)
+      "`" + vn + "`"
+    }
+  }
 
   /** Where a ref() resolves: normally this target; under --defer, models
     * NOT selected in this run read from the deferred (prod) root when the
@@ -409,7 +441,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       refTarget = r =>
         if (isInlined(r)) s"__cte__$r"
         else emptyWrap(refText(r, selected, deferRoot)),
-      sourceTarget = (s, t) => emptyWrap(Compiler.pathRelation(sourcePath(s, t))),
+      sourceTarget = (s, t) => emptyWrap(sourceText(s, t)),
       crossRefTarget = (p, mm) => emptyWrap(crossRefText(p, mm)),
       thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
       env = target.env,
@@ -447,7 +479,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       spark.sql(warehouse.resolveSql(Compiler.compile(h, Compiler.ResolveCtx(
         refTarget = r => Compiler.pathRelation(
           relationFor(r).pathUnder(target.warehouseRoot)),
-        sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+        sourceTarget = (s, t) => sourceText(s, t),
         thisTarget = Compiler.pathRelation(
           relationFor(modelName).pathUnder(target.warehouseRoot)),
         env = target.env, isIncremental = false,
@@ -464,7 +496,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       spark.sql(warehouse.resolveSql(Compiler.compile(h, Compiler.ResolveCtx(
         refTarget = r => Compiler.pathRelation(
           relationFor(r).pathUnder(target.warehouseRoot)),
-        sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+        sourceTarget = (s, t) => sourceText(s, t),
         thisTarget = "", env = target.env, isIncremental = false,
         vars = mergedVars))))
       ()
@@ -575,7 +607,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     val base =
       if (t.modelName.startsWith("source:")) {
         val Array(sn, tn) = t.modelName.stripPrefix("source:").split("\\.", 2)
-        spark.read.parquet(sourcePath(sn, tn))
+        readSource(sourceDef(sn, tn))
       } else readModel(t.modelName)
     val filtered = t.where.fold(base)(w => base.filter(w))
     val applied = t.relationship match {
@@ -586,7 +618,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           if (r.parentModel.startsWith("source:")) {
             val Array(sn, tn) =
               r.parentModel.stripPrefix("source:").split("\\.", 2)
-            spark.read.parquet(sourcePath(sn, tn))
+            readSource(sourceDef(sn, tn))
           } else readModel(r.parentModel)
         SchemaTests.relationships(filtered, r.fk, parent, r.pk)
       case None => t.test(filtered)
@@ -832,7 +864,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             "(" + compileSql(m, Set.empty, None, fullRefresh = false) + ")"
           } else Compiler.pathRelation(
             relationFor(r).pathUnder(target.warehouseRoot)),
-        sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+        sourceTarget = (s, t) => sourceText(s, t),
         crossRefTarget = crossRefText,
         thisTarget = "", env = target.env, isIncremental = false,
         vars = mergedVars))))
@@ -935,7 +967,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     project.sources.filter(_.loadedAtField.isDefined).map { s =>
       // the declared filter scopes WHICH rows are judged (reference
       // @192559 `where {{ filter }}`) — e.g. only the live partition
-      val df = s.filter.foldLeft(spark.read.parquet(s.path))(_ filter _)
+      val df = s.filter.foldLeft(readSource(s))(_ filter _)
       val status = SchemaTests.freshness(df, s.loadedAtField.get,
           current_timestamp(), s.warnAfterH.getOrElse(Int.MaxValue),
           s.errorAfterH.getOrElse(Int.MaxValue))
@@ -1006,7 +1038,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     spark.sql(warehouse.resolveSql(Compiler.compile(sql, Compiler.ResolveCtx(
       refTarget = r => Compiler.pathRelation(
         relationFor(r).pathUnder(target.warehouseRoot)),
-      sourceTarget = (s, t) => Compiler.pathRelation(sourcePath(s, t)),
+      sourceTarget = (s, t) => sourceText(s, t),
       thisTarget = "", env = target.env, isIncremental = false))))
   }
 

@@ -35,12 +35,23 @@ object ProjectLoader {
       // trailing optional freshness filter may contain spaces → quoted
       // token, e.g.: tpch orders /d/orders.parquet o_orderdate 24 72
       //              'o_orderstatus = ''O'''
-      val parts = tokenize(l)
+      // format=json / options=header:true,delimiter:; tokens may appear
+      // anywhere after the path (non-parquet external sources)
+      val raw = tokenize(l)
+      val fmt = raw.find(_.startsWith("format="))
+        .map(_.stripPrefix("format=")).getOrElse("parquet")
+      val opts = raw.find(_.startsWith("options="))
+        .map(_.stripPrefix("options=").split(",").iterator
+          .map(_.split(":", 2)).collect { case Array(k, v) => k -> v }
+          .toMap).getOrElse(Map.empty[String, String])
+      val parts = raw.filterNot(t =>
+        t.startsWith("format=") || t.startsWith("options="))
       SourceDef(parts(0), parts(1), parts(2),
         if (parts.length > 3) Some(parts(3)) else None,
         if (parts.length > 4) Some(parts(4).toInt) else None,
         if (parts.length > 5) Some(parts(5).toInt) else None,
-        if (parts.length > 6) Some(unquote(parts(6))) else None)
+        if (parts.length > 6) Some(unquote(parts(6))) else None,
+        format = fmt, options = opts)
     }
 
     val models = listFiles(root.resolve("models"), ".sql").map { p =>

@@ -143,6 +143,23 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(s.filter.contains("o_orderstatus = 'O'"))
   }
 
+  test("sources.conf format= and options= tokens declare non-parquet sources") {
+    val dir = Files.createTempDirectory("graft_srcfmt")
+    Files.writeString(dir.resolve("project.conf"), "name=srcfmt")
+    Files.writeString(dir.resolve("sources.conf"),
+      "ext events /data/events_json format=json\n" +
+        "ext lookup /data/lookup_csv format=csv " +
+        "options=header:true,delimiter:; ts 24 72\n")
+    val (project, _) = ProjectLoader.load(dir.toString)
+    val j = project.sources.find(_.tableName == "events").get
+    assert(j.format == "json" && j.options.isEmpty)
+    val c = project.sources.find(_.tableName == "lookup").get
+    assert(c.format == "csv")
+    assert(c.options == Map("header" -> "true", "delimiter" -> ";"))
+    // positional tokens still land after the k=v extraction
+    assert(c.loadedAtField.contains("ts") && c.warnAfterH.contains(24))
+  }
+
   test("macros load from macros/*.sql and expand in demo models") {
     val (project, _) = ProjectLoader.load("examples/demo_project")
     assert(project.macros.contains("count_by"))
