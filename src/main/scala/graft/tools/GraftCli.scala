@@ -22,6 +22,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                    [--start ts] [--end ts]
   *   show             preview a model or inline templated SQL
   *                    (--select m | --inline 'SELECT ...'; --limit N)
+  *   export           write a built model in another format
+  *                    (--select m --out path [--format csv|json|parquet])
   *   docs             write the catalog.json artifact (--out p; footer
   *                    stats + view definitions, no table scans)
   *   list             print (selected) nodes with kind/materialization/tags
@@ -192,6 +194,21 @@ object GraftCli {
             engine.readModel(m)
         }
         df.show(limit, truncate = false)
+      case "export" =>
+        // write a built model out in another format — the sink side of
+        // the multi-format source axis (csv exports carry a header)
+        val m = flags.get("select").flatMap(_.headOption).getOrElse {
+          System.err.println("export requires --select <model>")
+          sys.exit(2)
+        }
+        val out = flags.get("out").flatMap(_.headOption).getOrElse {
+          System.err.println("export requires --out <path>")
+          sys.exit(2)
+        }
+        val fmt = flags.get("format").flatMap(_.headOption).getOrElse("csv")
+        val w = engine.readModel(m).write.mode("overwrite").format(fmt)
+        (if (fmt == "csv") w.option("header", "true") else w).save(out)
+        println(s"exported $m -> $out ($fmt)")
       case "metric" =>
         // semantic layer: metric --name revenue [--grain month]
         // [--dims d1,d2] [--start ts] [--end ts]

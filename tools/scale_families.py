@@ -34,7 +34,7 @@ FAMILIES = [
     ("orchestrator lifecycle", ["o_build_dag", "o_incremental_model",
         "o_insert_overwrite_pruned", "o_user_macros", "o_graph_selectors",
         "o_mv_avg_model", "b2_partitions_loop", "o_microbatch", "o_clone",
-        "o_metric_query", "o_cross_project_ref"]),
+        "o_metric_query", "o_cross_project_ref", "o_source_formats"]),
     ("row deletes / compaction / z-order / bloom", ["x_row_deletes",
         "x_compact_table", "x_zorder_box", "x_bloom_lookup"]),
     ("MV maintenance + serving", ["x_agg_view", "x_mv_rewrite",
