@@ -1707,6 +1707,71 @@ object TextOps {
        |FROM ch LEFT JOIN hit ON ch.doc_id = hit.doc_id AND ch.idx = hit.idx
        |GROUP BY ch.doc_id""".stripMargin
 
+  /** The pretraining-export capstone: span decontamination → length gate
+    * → exact dedup on the CLEANED text → per-source epoch repetition,
+    * fused into ONE Catalyst plan — the order real pipelines use (dedup
+    * after cleaning, so two docs differing only in excised eval spans
+    * collapse; repetition last, so copies never re-pay upstream stages).
+    * Catalyst pipelines the whole chain: the decon chunking, gate, and
+    * hash projection run scan-side; document TEXT never crosses an
+    * exchange — what shuffles is the decon hit list (md5 chunk keys per
+    * doc), the dedup hash, and the source-lookup key; the epoch fan-out
+    * is a broadcast rate join + per-row explode on the surviving slice.
+    */
+  def pretrainingPipeline(s: SparkSession, d: String): DataFrame = {
+    val clean = decontaminateSpans(s, d)
+      .filter(size(split(col("clean_text"), " ")) >= 30)
+    val kept = clean
+      .withColumn("m", md5(col("clean_text")))
+      .withColumn("src_id", col("doc_id") % 1000000L)
+    val firsts = kept.groupBy(col("m")).agg(min(col("doc_id")).as("keep_id"))
+    val deduped = kept.join(firsts, "m")
+      .filter(col("doc_id") === col("keep_id"))
+      .join(documents(s, d).select(col("doc_id").as("src_id"),
+        col("source")), "src_id")
+    val rates = deduped.select(col("source")).distinct()
+      .withColumn("epoch_bp", expr(
+        "(CAST(regexp_replace(source, '[^0-9]', '') AS BIGINT) % 5 + 1) * 6000"))
+    deduped.join(broadcast(rates), "source")
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .withColumn("n_copies",
+        expr("epoch_bp DIV 10000 + IF(h < epoch_bp % 10000, 1, 0)"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        size(split(col("clean_text"), " ")).cast("long").as("n_words"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("epoch"))
+  }
+
+  val pretrainingPipelineSql: String =
+    s"""WITH clean AS (
+       |  SELECT * FROM ($decontaminateSpansSql)
+       |  WHERE len(string_split(clean_text, ' ')) >= 30),
+       |kept AS (
+       |  SELECT doc_id, clean_text, md5(clean_text) AS m,
+       |         doc_id % 1000000 AS src_id
+       |  FROM clean),
+       |firsts AS (SELECT m, min(doc_id) AS keep_id FROM kept GROUP BY m),
+       |deduped AS (
+       |  SELECT k.doc_id, k.clean_text, d.source
+       |  FROM kept k JOIN firsts f ON k.m = f.m AND k.doc_id = f.keep_id
+       |  JOIN documents d ON d.doc_id = k.src_id),
+       |rates AS (
+       |  SELECT source,
+       |    (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 + 1)
+       |      * 6000 AS epoch_bp
+       |  FROM (SELECT DISTINCT source FROM deduped)),
+       |wd AS (
+       |  SELECT dd.doc_id, dd.source,
+       |    CAST(len(string_split(dd.clean_text, ' ')) AS BIGINT) AS n_words,
+       |    epoch_bp // 10000 + CASE WHEN
+       |      ('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 10000 < epoch_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM deduped dd JOIN rates r USING (source))
+       |SELECT doc_id, source, n_words,
+       |  unnest(generate_series(0, n_copies - 1)) AS epoch
+       |FROM wd WHERE n_copies > 0""".stripMargin
+
   // --------------------------------------------- contamination fraction
   /** Per-document contamination FRACTION vs the eval slice — the
     * thresholdable refinement of [[decontaminate]]'s boolean hit list:

@@ -60,7 +60,7 @@ FAMILIES = [
         "x_tfidf_terms", "x_mix_sources", "x_mix_temperature", "x_mix_epochs",
         "x_stratified_sample", "x_split_assign", "x_epoch_shuffle",
         "x_chunk_overlap", "x_pack_sequences", "x_embedding_quantize",
-        "x_curation_pipeline", "x_sample_exact_k", "x_lm_score",
+        "x_curation_pipeline", "x_pretraining_pipeline", "x_sample_exact_k", "x_lm_score",
         "x_gopher_rules", "x_corpus_report", "x_embedding_rp",
         "x_bpe_encode"]),
     ("multimodal", ["x_multimodal_meta", "x_media_features",
