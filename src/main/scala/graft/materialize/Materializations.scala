@@ -355,7 +355,11 @@ final class Materializer(wh: Warehouse) {
       .getOrElse(Instant.ofEpochMilli(System.currentTimeMillis())
         .atZone(ZoneOffset.UTC).toLocalDateTime)
     val beginP = trunc(parseDt(cfg.begin))
-    val initial = !wh.exists(rel) || fullRefresh
+    // an EMPTY SHELL (flat zero-row table from an all-empty refresh) has
+    // no period partitions — treat it as initial so the next run rebuilds
+    // from begin instead of replacePartitions-ing over a flat layout
+    val initial = !wh.exists(rel) || fullRefresh ||
+      wh.listPartitions(rel).isEmpty
 
     // Schema drift guard: replacePartitions writes period slices with
     // the INCOMING schema while untouched periods keep the old one —
@@ -374,13 +378,23 @@ final class Materializer(wh: Warehouse) {
           "rerun with --full-refresh to rebuild every period")
     }
 
-    var start = if (initial) beginP
+    // dbt's --event-time-start/--event-time-end: an explicit backfill
+    // window (the recovery path for a failed period OLDER than the
+    // lookback — a plain rerun only revisits lookback periods)
+    val backStart = wh.spark.conf.getOption("graft.microbatch.start")
+      .map(v => trunc(parseDt(v)))
+    val backEnd = wh.spark.conf.getOption("graft.microbatch.end")
+      .map(v => trunc(parseDt(v)))
+    var start = backStart.getOrElse {
+      if (initial) beginP
       else (0 until cfg.lookback).foldLeft(trunc(now))((t, _) =>
         trunc(t.minusNanos(1))) // step back one full period at a time
+    }
     if (start.isBefore(beginP)) start = beginP
+    val endP = backEnd.filter(e => e.isBefore(now)).getOrElse(now)
 
     val periods = Iterator.iterate(start)(next)
-      .takeWhile(p => !p.isAfter(now)).toSeq
+      .takeWhile(p => !p.isAfter(endP)).toSeq
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
     // Initial builds that REPLACE an existing table (--full-refresh)
@@ -401,9 +415,13 @@ final class Materializer(wh: Warehouse) {
       val slice = df.filter(et >= lo && et < hi)
         .withColumn("event_batch", lit(lbl))
       try {
-        if (!wh.exists(writeRel))
-          wh.writeAtomic(slice, writeRel, Seq("event_batch"))
-        else wh.replacePartitions(slice, writeRel, Seq("event_batch"),
+        if (!wh.exists(writeRel)) {
+          // first materializing batch: an EMPTY partitioned write leaves
+          // an unreadable shell (no footer) — stay not-created until a
+          // batch actually has rows (isEmpty = a cheap head(1) probe)
+          if (!slice.isEmpty)
+            wh.writeAtomic(slice, writeRel, Seq("event_batch"))
+        } else wh.replacePartitions(slice, writeRel, Seq("event_batch"),
           alsoDropValues = Seq(lbl))
       } catch {
         case e: Exception =>
@@ -412,18 +430,31 @@ final class Materializer(wh: Warehouse) {
     }
     if (failed.nonEmpty) {
       if (writeRel == tmp) wh.drop(tmp) // original never touched
+      val rerunHint =
+        if (writeRel == tmp)
+          "the full refresh was discarded — the previous table is intact; " +
+            "rerun with --full-refresh. "
+        else {
+          // a plain rerun only revisits lookback periods — failed periods
+          // OLDER than that need the explicit backfill window
+          val (first, last) = (failed.head._1, failed.last._1)
+          "successful batches are committed; reprocess the failed window " +
+            s"with graft.microbatch.start=$first graft.microbatch.end=$last " +
+            "(a plain rerun only revisits the lookback periods). "
+        }
       throw new IllegalStateException(
         s"microbatch ${rel.fqName}: ${failed.size} of ${periods.size} " +
-          s"batches failed [${failed.map(_._1).mkString(", ")}]; " +
-          (if (writeRel == tmp)
-            "the full refresh was discarded — the previous table is intact. "
-          else
-            "successful batches are committed — rerun reprocesses the " +
-              "failed periods. ") +
+          s"batches failed [${failed.map(_._1).mkString(", ")}]; " + rerunHint +
           s"First error (${failed.head._1}): ${failed.head._2}")
     }
+    // every period empty → a readable EMPTY table with the model schema
+    // (unpartitioned shell; the next run's initial-detection rebuilds
+    // over it), consistent across the refresh and fresh-target paths
+    def emptyShell(): Unit =
+      wh.writeAtomic(df.limit(0)
+        .withColumn("event_batch", lit(null).cast("string")), rel)
     if (writeRel == tmp) {
-      if (!wh.exists(tmp)) wh.drop(rel) // every period empty → empty table
+      if (!wh.exists(tmp)) { wh.drop(rel); emptyShell() }
       else {
         // atomic adoption: backup-rename dance, same as writeAtomic's
         val backup = rel.suffixed("__mb_backup")
@@ -432,7 +463,7 @@ final class Materializer(wh: Warehouse) {
         wh.rename(tmp, rel)
         wh.drop(backup)
       }
-    }
+    } else if (!wh.exists(rel)) emptyShell()
   }
 
   /** The merge family's keep side: target rows with no increment match.

@@ -1729,18 +1729,10 @@ object TextOps {
       .filter(col("doc_id") === col("keep_id"))
       .join(documents(s, d).select(col("doc_id").as("src_id"),
         col("source")), "src_id")
-    val rates = deduped.select(col("source")).distinct()
-      .withColumn("epoch_bp", expr(
-        "(CAST(regexp_replace(source, '[^0-9]', '') AS BIGINT) % 5 + 1) * 6000"))
-    deduped.join(broadcast(rates), "source")
-      .withColumn("h", expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
-      .withColumn("n_copies",
-        expr("epoch_bp DIV 10000 + IF(h < epoch_bp % 10000, 1, 0)"))
-      .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("source"),
-        size(split(col("clean_text"), " ")).cast("long").as("n_words"),
-        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("epoch"))
+        size(split(col("clean_text"), " ")).cast("long").as("n_words"))
+    epochFanOut(deduped)
+      .select(col("doc_id"), col("source"), col("n_words"), col("epoch"))
   }
 
   val pretrainingPipelineSql: String =
@@ -1753,21 +1745,11 @@ object TextOps {
        |  FROM clean),
        |firsts AS (SELECT m, min(doc_id) AS keep_id FROM kept GROUP BY m),
        |deduped AS (
-       |  SELECT k.doc_id, k.clean_text, d.source
+       |  SELECT k.doc_id, d.source,
+       |    CAST(len(string_split(k.clean_text, ' ')) AS BIGINT) AS n_words
        |  FROM kept k JOIN firsts f ON k.m = f.m AND k.doc_id = f.keep_id
        |  JOIN documents d ON d.doc_id = k.src_id),
-       |rates AS (
-       |  SELECT source,
-       |    (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 + 1)
-       |      * 6000 AS epoch_bp
-       |  FROM (SELECT DISTINCT source FROM deduped)),
-       |wd AS (
-       |  SELECT dd.doc_id, dd.source,
-       |    CAST(len(string_split(dd.clean_text, ' ')) AS BIGINT) AS n_words,
-       |    epoch_bp // 10000 + CASE WHEN
-       |      ('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8))::BIGINT
-       |        % 10000 < epoch_bp % 10000 THEN 1 ELSE 0 END AS n_copies
-       |  FROM deduped dd JOIN rates r USING (source))
+       |${epochFanOutSql("deduped", "d.n_words,")}
        |SELECT doc_id, source, n_words,
        |  unnest(generate_series(0, n_copies - 1)) AS epoch
        |FROM wd WHERE n_copies > 0""".stripMargin
@@ -2377,38 +2359,51 @@ object TextOps {
     * `explode(sequence)` fan-out — the corpus shuffles nowhere, and the
     * fan-out is the OUTPUT size, the irreducible cost of repetition.
     */
-  def mixEpochs(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("source"))
-    val rates = docs.select(col("source")).distinct()
+  /** The per-source epoch fan-out shared by [[mixEpochs]] and
+    * [[pretrainingPipeline]]: derive each source's fractional epoch
+    * factor, emit `epoch` ordinals per doc. Input needs (doc_id, source)
+    * plus whatever payload columns should ride along. Filtering BEFORE
+    * the explode matters: Spark's sequence(0, -1) DESCENDS ([0, -1])
+    * rather than being empty, so zero-copy docs must never reach it.
+    * BIGINT sequence so the ordinal types match generate_series.
+    */
+  private def epochFanOut(df: DataFrame): DataFrame = {
+    val rates = df.select(col("source")).distinct()
       .withColumn("epoch_bp", expr(
         "(CAST(regexp_replace(source, '[^0-9]', '') AS BIGINT) % 5 + 1) * 6000"))
-    docs.join(broadcast(rates), "source")
+    df.join(broadcast(rates), "source")
       .withColumn("h", expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
       .withColumn("n_copies",
         expr("epoch_bp DIV 10000 + IF(h < epoch_bp % 10000, 1, 0)"))
-      // filter BEFORE the fan-out: Spark's sequence(0, -1) DESCENDS
-      // ([0,-1]) rather than being empty, so zero-copy docs must never
-      // reach the explode
       .filter(col("n_copies") > 0)
-      .select(col("doc_id"), col("source"), col("epoch_bp"),
-        // BIGINT sequence so the epoch ordinal types match the oracle's
-        // generate_series
-        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("epoch"))
+      .withColumn("epoch",
+        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")))
   }
 
+  /** Oracle twin of [[epochFanOut]]: rates + per-doc copy counts over
+    * `srcRel`, with `payloadCols` riding into the `wd` frame (each ends
+    * with a trailing comma).
+    */
+  private def epochFanOutSql(srcRel: String, payloadCols: String): String =
+    s"""rates AS (
+       |  SELECT source,
+       |    (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 + 1)
+       |      * 6000 AS epoch_bp
+       |  FROM (SELECT DISTINCT source FROM $srcRel)),
+       |wd AS (
+       |  SELECT d.doc_id, d.source, $payloadCols
+       |    epoch_bp // 10000 + CASE WHEN
+       |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 10000 < epoch_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM $srcRel d JOIN rates r USING (source))""".stripMargin
+
+  def mixEpochs(s: SparkSession, d: String): DataFrame =
+    epochFanOut(documents(s, d).select(col("doc_id"), col("source")))
+      .select(col("doc_id"), col("source"), col("epoch_bp"), col("epoch"))
+
   val mixEpochsSql: String =
-    """WITH rates AS (
-      |  SELECT source,
-      |    (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 5 + 1)
-      |      * 6000 AS epoch_bp
-      |  FROM (SELECT DISTINCT source FROM documents)),
-      |wd AS (
-      |  SELECT d.doc_id, d.source, r.epoch_bp,
-      |    epoch_bp // 10000 + CASE WHEN
-      |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-      |        % 10000 < epoch_bp % 10000 THEN 1 ELSE 0 END AS n_copies
-      |  FROM documents d JOIN rates r USING (source))
+    s"""WITH ${epochFanOutSql("documents", "r.epoch_bp,")}
       |SELECT doc_id, source, epoch_bp, unnest(generate_series(0, n_copies - 1))
       |  AS epoch
       |FROM wd WHERE n_copies > 0""".stripMargin

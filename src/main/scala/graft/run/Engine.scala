@@ -247,11 +247,21 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     if (sd.format == "parquet" && sd.options.isEmpty)
       Compiler.pathRelation(sd.path)
     else {
-      val vn = s"graft_src_${s}_$t".replaceAll("[^A-Za-z0-9_]", "_")
+      val vn = safeViewName("graft_src", s, t)
       readSource(sd).createOrReplaceTempView(vn)
       "`" + vn + "`"
     }
   }
+
+  /** Collision-proof temp-view name: sanitization alone can collapse
+    * distinct (a, b) pairs ('team-a'/'x' and 'team'/'a_x' both flatten
+    * to team_a_x) — the md5 suffix over the raw pair disambiguates.
+    */
+  private def safeViewName(prefix: String, a: String, b: String): String =
+    s"${prefix}_${a}_$b".replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a $b".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
 
   /** Where a ref() resolves: normally this target; under --defer, models
     * NOT selected in this run read from the deferred (prod) root when the
@@ -290,16 +300,20 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     val rel = Relation(dep.database, dep.schema, model)
     val w = depWarehouses.computeIfAbsent(dep.warehouseRoot,
       r => new Warehouse(spark, r, dep.commitMode))
-    if (w.usesManifest && w.exists(rel)) {
-      // the md5 component disambiguates sanitization collisions
-      // ('team-a'/'x' vs 'team'/'a_x' both flatten to team_a_x)
-      val raw = s"$proj $model"
-      val vn = (s"graft_dep_${proj}_$model".replaceAll("[^A-Za-z0-9_]", "_") +
-        "_" + java.security.MessageDigest.getInstance("MD5")
-          .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString)
-      w.read(rel).createOrReplaceTempView(vn)
-      "`" + vn + "`"
-    } else Compiler.pathRelation(rel.pathUnder(dep.warehouseRoot))
+    // a view-deployed upstream has no table dir — resolve its durable
+    // compiled definition through the UPSTREAM's own warehouse (pointer
+    // chasing included), same mechanism readModel uses locally
+    w.readView(rel) match {
+      case Some(df) =>
+        val vn = safeViewName("graft_dep", proj, model)
+        df.createOrReplaceTempView(vn)
+        "`" + vn + "`"
+      case None if w.usesManifest && w.exists(rel) =>
+        val vn = safeViewName("graft_dep", proj, model)
+        w.read(rel).createOrReplaceTempView(vn)
+        "`" + vn + "`"
+      case None => Compiler.pathRelation(rel.pathUnder(dep.warehouseRoot))
+    }
   }
 
   /** The declared-shape SELECT list of a `materialized_view` model whose
@@ -914,28 +928,54 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     }
     val selected = nodes.toSet
     val testResults = new java.util.concurrent.ConcurrentLinkedQueue[TestResult]()
-    // source tests run FIRST — sources precede every node in dbt's DAG,
-    // and a broken source should stop the run before any model builds
-    // on it (the on-run-start abort semantics)
-    project.tests.filter(_.modelName.startsWith("source:")).foreach { t =>
-      val r = runTest(t)
-      testResults.add(r)
-      if (r.status == "error")
-        throw new IllegalStateException(
-          s"source test ${t.name} failed: ${r.failures} rows — " +
-            "aborting before any model builds on the broken source")
-    }
-    val nodeResults = Dag.run(nodes,
-      parents.view.mapValues(_.filter(selected.contains)).toMap,
+    // Source tests run FIRST — sources precede every node in dbt's DAG.
+    // A failing error-severity source test does NOT abort the run: it
+    // records like any test failure and SKIPS the broken source's
+    // downstream cone within the selection, so unrelated branches still
+    // build, on-run-end hooks still fire, and run-results (which retry
+    // needs) still get written — dbt's failure semantics, not a crash.
+    val brokenSources = project.tests
+      .filter(_.modelName.startsWith("source:")).flatMap { t =>
+        val r = runTest(t)
+        testResults.add(r)
+        if (r.status == "error") {
+          val Array(sn, tn) = t.modelName.stripPrefix("source:").split("\\.", 2)
+          Some((sn, tn))
+        } else None
+      }.toSet
+    val skippedBySource: Set[String] =
+      if (brokenSources.isEmpty) Set.empty
+      else {
+        val direct = project.models.filter { m =>
+          Compiler.dependencies(m.rawSql)._2.exists(brokenSources.contains)
+        }.map(_.name).toSet
+        // transitive children via the parent map
+        var cone = direct
+        var grew = true
+        while (grew) {
+          val more = parents.collect {
+            case (n, ps) if !cone.contains(n) && ps.exists(cone.contains) => n
+          }.toSet
+          grew = more.nonEmpty
+          cone ++= more
+        }
+        cone.intersect(selected)
+      }
+    val runnable = nodes.filterNot(skippedBySource.contains)
+    val nodeResults = Dag.run(runnable,
+      parents.view.mapValues(_.filter(n =>
+        selected.contains(n) && !skippedBySource.contains(n))).toMap,
       target.threads, failFast) { n =>
-      runNode(n, selected, deferRoot, fullRefresh)
+      runNode(n, selected -- skippedBySource, deferRoot, fullRefresh)
       project.tests.filter(_.modelName == n).foreach { t =>
         val r = runTest(t)
         testResults.add(r)
         if (r.status == "error")
           throw new IllegalStateException(s"test ${t.name} failed: ${r.failures} rows")
       }
-    }
+    } ++ skippedBySource.toSeq.sorted.map(n =>
+      Dag.NodeResult(n, "skipped", 0L,
+        Some("upstream source failed its test")))
     runProjectHooks(project.onRunEnd)
     import scala.jdk.CollectionConverters._
     (nodeResults, testResults.asScala.toSeq)

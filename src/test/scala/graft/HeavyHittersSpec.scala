@@ -29,8 +29,7 @@ class HeavyHittersSpec extends AnyFunSuite {
     val heavies = Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
       Seq.fill(200)("gamma")
     val noise = (0 until 5000).map(i => s"noise_$i")
-    val stream = scala.util.Random.shuffle(
-      new scala.util.Random(42).shuffle(heavies ++ noise))
+    val stream = new scala.util.Random(42).shuffle(heavies ++ noise)
     val m = 15
     for (parts <- Seq(1, 4, 13)) {
       val (cands, n) = sketch(stream, m, parts)

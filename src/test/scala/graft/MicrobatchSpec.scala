@@ -160,6 +160,50 @@ class MicrobatchSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.microbatch.now")
   }
 
+  test("explicit backfill window reprocesses periods older than the lookback") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val rel = Relation("wh", "main", "t")
+    spark.conf.set("graft.microbatch.now", "2024-01-10")
+    try {
+      mat.incremental(rows("2024-01-02" -> 2, "2024-01-10" -> 10), rel, cfg)
+      // day-02 data changes, far outside lookback=1 from 01-10: a plain
+      // incremental run must NOT touch it...
+      mat.incremental(rows("2024-01-02" -> 99, "2024-01-10" -> 10), rel, cfg)
+      assert(state(wh, rel) == Set(("2024-01-02", 2L), ("2024-01-10", 10L)))
+      // ...the declared backfill window does (and leaves 01-10 alone)
+      spark.conf.set("graft.microbatch.start", "2024-01-02")
+      spark.conf.set("graft.microbatch.end", "2024-01-02")
+      mat.incremental(rows("2024-01-02" -> 99, "2024-01-10" -> 77), rel, cfg)
+      assert(state(wh, rel) == Set(("2024-01-02", 99L), ("2024-01-10", 10L)))
+    } finally {
+      spark.conf.unset("graft.microbatch.now")
+      spark.conf.unset("graft.microbatch.start")
+      spark.conf.unset("graft.microbatch.end")
+    }
+  }
+
+  test("an all-empty refresh leaves a readable empty table; data later rebuilds from begin") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val rel = Relation("wh", "main", "t")
+    spark.conf.set("graft.microbatch.now", "2024-01-02")
+    try {
+      mat.incremental(rows("2024-01-01" -> 1), rel, cfg)
+      // the source goes empty; full refresh → empty table, NOT a drop
+      mat.incremental(rows("2024-01-01" -> 1).limit(0), rel, cfg,
+        fullRefresh = true)
+      assert(wh.exists(rel))
+      assert(wh.read(rel).count() == 0)
+      assert(wh.read(rel).columns.contains("day")) // schema survives
+      // data returns: the shell (no period partitions) rebuilds from begin
+      mat.incremental(rows("2024-01-01" -> 5, "2024-01-02" -> 6), rel, cfg)
+      assert(state(wh, rel) == Set(("2024-01-01", 5L), ("2024-01-02", 6L)))
+      // a FRESH target whose build is all-empty also leaves a shell
+      val rel2 = Relation("wh", "main", "t2")
+      mat.incremental(rows("2024-01-01" -> 1).limit(0), rel2, cfg)
+      assert(wh.exists(rel2) && wh.read(rel2).count() == 0)
+    } finally spark.conf.unset("graft.microbatch.now")
+  }
+
   test("hour and month period arithmetic") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val rel = Relation("wh", "main", "hourly")

@@ -1018,13 +1018,22 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(nodes.forall(_.status == "success"))
     assert(tests.exists(t => t.name == "src_nn" && t.status == "pass"))
 
-    val broken = baseProject.copy(tests = Seq(
-      TestDef("src_vals", "source:tpch.region",
+    // a failing error-severity source test SKIPS the source's downstream
+    // cone but does not crash the run: unrelated branches build,
+    // results record, hooks fire (dbt's failure semantics)
+    val broken = baseProject.copy(
+      models = baseProject.models :+ ModelDef("unrelated",
+        "SELECT 1 AS one"),
+      tests = Seq(TestDef("src_vals", "source:tpch.region",
         df => SchemaTests.acceptedValues(df, "r_name", Seq("NOWHERE")))))
     val e2 = new Engine(spark, broken, Target(root()))
-    val ex = intercept[IllegalStateException](e2.build())
-    assert(ex.getMessage.contains("source test"))
-    // nothing was built on the broken source
+    val (nodes2, tests2) = e2.build()
+    assert(tests2.exists(t => t.name == "src_vals" && t.status == "error"))
+    // nations reads tpch.nation (healthy) → builds; by_region joins
+    // tpch.region directly (broken) → skipped
+    assert(nodes2.exists(n => n.name == "nations" && n.status == "success"))
+    assert(nodes2.exists(n => n.name == "by_region" && n.status == "skipped"))
+    assert(nodes2.exists(n => n.name == "unrelated" && n.status == "success"))
     assert(!e2.warehouse.exists(e2.relationFor("by_region")))
   }
 
