@@ -227,6 +227,54 @@ object Events {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** KEYLESS interval join, bucketed: count events inside each of the 10
+    * busiest hours' ±30-minute-extended windows. Without an equi key a
+    * range join plans as a nested-loop (every event × every window —
+    * O(N·W), the classic Spark interval-join trap); instead each window
+    * EXPLODES into the hour buckets it spans (≤3 here) and events join
+    * their single hour bucket — an equi-join on bucket with the range
+    * predicate as a post-filter. An event lives in exactly one bucket,
+    * so no dedup pass is needed. At 100 TB: shuffle keyed on
+    * (bucket) — or broadcast of the window table when it is small, as
+    * here — never a cartesian; bucket granularity trades fan-out
+    * (windows × buckets spanned) against filter selectivity exactly like
+    * any spatial grid join. PlanSpec pins the no-nested-loop shape.
+    */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+    // windows: the 10 busiest hours, extended ±30 min (overlapping,
+    // keyless); deterministic tiebreak on the hour
+    val windows = ev
+      .groupBy(floor(col("ms") / 3600000L).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hr").asc).limit(10)
+      .select((col("hr") * 3600000L - 1800000L).as("w_lo"),
+        (col("hr") * 3600000L + 5400000L).as("w_hi"))
+    val wBuckets = windows.select(col("w_lo"), col("w_hi"),
+      explode(expr(
+        "sequence(CAST(floor(w_lo / 3600000) AS BIGINT), " +
+          "CAST(floor((w_hi - 1) / 3600000) AS BIGINT))")).as("bucket"))
+    val evBuckets = ev.withColumn("bucket",
+      floor(col("ms") / 3600000L).cast("bigint"))
+    evBuckets.join(wBuckets, "bucket")
+      .filter(col("ms") >= col("w_lo") && col("ms") < col("w_hi"))
+      .groupBy(col("w_lo"), col("w_hi"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val intervalJoinSql: String =
+    """WITH ev AS (SELECT event_id, epoch_ms(ts::TIMESTAMP) AS ms FROM events),
+      |busy AS (
+      |  SELECT hr FROM (
+      |    SELECT ms // 3600000 AS hr, count(*) AS n FROM ev GROUP BY 1)
+      |  ORDER BY n DESC, hr ASC LIMIT 10),
+      |w AS (SELECT hr * 3600000 - 1800000 AS w_lo,
+      |             hr * 3600000 + 5400000 AS w_hi FROM busy)
+      |SELECT w_lo, w_hi, count(*) AS n_events
+      |FROM w JOIN ev ON ev.ms >= w.w_lo AND ev.ms < w.w_hi
+      |GROUP BY 1, 2""".stripMargin
+
   /** Mergeable HLL sketch table (Apache DataSketches via Spark's
     * `hll_sketch_agg`/`hll_union_agg`): one compact sketch per DAY of
     * distinct users — the persisted daily-build partial — then monthly

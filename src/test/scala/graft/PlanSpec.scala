@@ -215,6 +215,14 @@ class PlanSpec extends AnyFunSuite {
       s"range-overlap window must be per-partition:\n$p")
   }
 
+  test("interval join: bucketed equi shape — never a nested loop / cartesian") {
+    val p = plan(Events.intervalJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"keyless range join must bucket, not cross:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the join must be an equi-join on the bucket key:\n$p")
+  }
+
   test("PQ ADC: corpus side joins CODES (no vector payload) against a broadcast query table") {
     val p = plan(Similarity.knnPq(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -14,7 +14,7 @@ FAMILIES = [
         "r_pivot_status", "r_cube_orders", "r_grouping_sets", "r_rollup_orders",
         "s_nation_except", "s_nation_intersect", "q_approx_percentiles"]),
     ("relational join", ["q3_top_orders", "q5_region_revenue",
-        "j_semi_customers_with_orders", "j_salted_join"]),
+        "j_semi_customers_with_orders", "j_salted_join", "e_interval_join"]),
     ("window / sessionize", ["w_top3_orders_per_cust", "w_running_revenue", "e_sessionize",
         "e_sessionize_salted", "e_asof_join", "e_hourly_windows",
         "e_props_extract"]),
