@@ -294,6 +294,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: sequential_values' anti-join gaps match a lag-based reference") {
+    import spark.implicits._
+    val setsGen: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.choose(0L, 40L))
+    samples(setsGen, 30, 1100L).foreach { vals =>
+      val df = vals.toDF("v")
+      val gaps = graft.dqtests.SchemaTests.sequentialValues(df, "v")
+        .as[Long].collect().toSet
+      // independent reference: sort distinct, lag-compare
+      val sorted = vals.distinct.sorted
+      val expected = sorted.zip(sorted.drop(1))
+        .collect { case (a, b) if b != a + 1 => a }.toSet
+      assert(gaps == expected, s"vals=$vals")
+    }
+  }
+
+  test("property: Misra-Gries survival guarantee over random zipf streams and layouts") {
+    import spark.implicits._
+    val streamGen: Gen[List[String]] = Gen.listOfN(600, Gen.frequency(
+      (8, Gen.const("hot")), (4, Gen.const("warm")),
+      (2, Gen.oneOf("a", "b", "c")),
+      (3, Gen.choose(0, 400).map(i => s"cold_$i"))))
+    samples(streamGen, 8, 2200L).zipWithIndex.foreach { case (stream, i) =>
+      val m = 9
+      val parts = 1 + (i % 5)
+      val (cands, n) = spark.createDataset(stream).repartition(parts)
+        .select(new graft.functions.HeavyHittersAggregator(m).toColumn)
+        .head()
+      assert(n == stream.size)
+      val counts = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val survivors = cands.map(_._1).toSet
+      counts.foreach { case (w, c) =>
+        if (c.toLong * (m + 1) > n) // above threshold ⇒ MUST survive
+          assert(survivors.contains(w),
+            s"parts=$parts lost $w (count $c of $n)")
+      }
+      // counters never overestimate
+      cands.foreach { case (w, est) =>
+        assert(est <= counts.getOrElse(w, 0).toLong, s"$w overcounted")
+      }
+    }
+  }
+
   test("property: graph selector closures match an independent BFS on random DAGs") {
     import graft.run.{Engine, ModelDef, Project, Target}
     val dagGen: Gen[Seq[(Int, Seq[Int])]] = for {
