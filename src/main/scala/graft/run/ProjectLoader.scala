@@ -143,6 +143,34 @@ object ProjectLoader {
             // (reference schema.yml `relationships: {to: ref(...), field}`)
             TestDef(testName, model, df => df,
               relationship = Some(RelationshipDef(parts(3), parts(2), parts(4))))
+          // -------- the rest of the dbt-utils battery, declaratively
+          case "expression_is_true" =>
+            // expression_is_true <model> '<boolean sql expr>'
+            TestDef(testName, model, df => SchemaTests.expressionIsTrue(df,
+              org.apache.spark.sql.functions.expr(unquote(parts(2)))))
+          case "not_accepted_values" =>
+            TestDef(testName, model, df =>
+              SchemaTests.notAcceptedValues(df, parts(2), parts(3).split(",").toSeq))
+          case "not_null_proportion" =>
+            // not_null_proportion <model> <col> <at_least_bp> [<at_most_bp>]
+            TestDef(testName, model, df => SchemaTests.notNullProportion(df,
+              parts(2), parts(3).toInt,
+              parts.lift(4).map(_.toInt).getOrElse(10000)))
+          case "at_least_one" =>
+            TestDef(testName, model, df => SchemaTests.atLeastOne(df, parts(2)))
+          case "not_constant" =>
+            TestDef(testName, model, df => SchemaTests.notConstant(df, parts(2)))
+          case "sequential_values" =>
+            // sequential_values <model> <col> [<interval>]
+            TestDef(testName, model, df => SchemaTests.sequentialValues(df,
+              parts(2), parts.lift(3).map(_.toLong).getOrElse(1L)))
+          case "mutually_exclusive_ranges" =>
+            // mutually_exclusive_ranges <model> <lower> <upper>
+            //   <part1,part2> <tie1,tie2>
+            TestDef(testName, model, df =>
+              SchemaTests.mutuallyExclusiveRanges(df, parts(2), parts(3),
+                parts(4).split(",").toIndexedSeq,
+                parts.lift(5).map(_.split(",").toIndexedSeq).getOrElse(Nil)))
           case other =>
             throw new IllegalArgumentException(s"unknown test kind $other")
         }

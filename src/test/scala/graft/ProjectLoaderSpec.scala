@@ -26,7 +26,7 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(project.seeds.map(_.name) == Seq("priorities"))
     assert(project.seeds.head.columnTypes == Map("rank" -> "bigint"))
     assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
-    assert(project.tests.size == 6)
+    assert(project.tests.size == 12)
     assert(project.tests.exists(_.relationship.isDefined))
     // project.conf `var.` lines become project vars (used by stg_nations)
     assert(project.vars == Map("min_key" -> "0"))
