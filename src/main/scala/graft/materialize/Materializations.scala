@@ -385,6 +385,13 @@ final class Materializer(wh: Warehouse) {
       .map(v => trunc(parseDt(v)))
     val backEnd = wh.spark.conf.getOption("graft.microbatch.end")
       .map(v => trunc(parseDt(v)))
+    // an initial/full-refresh build and a targeted backfill are mutually
+    // exclusive recovery paths: honoring the window here would swap a
+    // table holding ONLY the window over the full history
+    require(backStart.isEmpty && backEnd.isEmpty || !initial,
+      s"microbatch ${rel.fqName}: graft.microbatch.start/end cannot " +
+        "combine with an initial or --full-refresh build (the refresh " +
+        "would keep only the window); unset the window or drop the flag")
     var start = backStart.getOrElse {
       if (initial) beginP
       else (0 until cfg.lookback).foldLeft(trunc(now))((t, _) =>
@@ -395,6 +402,13 @@ final class Materializer(wh: Warehouse) {
 
     val periods = Iterator.iterate(start)(next)
       .takeWhile(p => !p.isAfter(endP)).toSeq
+    // an explicit window that selects no periods is a typo (inverted
+    // bounds, window after now) — succeeding silently would read as
+    // "the failed period was reprocessed" when nothing ran
+    require(periods.nonEmpty || (backStart.isEmpty && backEnd.isEmpty),
+      s"microbatch ${rel.fqName}: the explicit window " +
+        s"[${backStart.getOrElse(beginP)}, ${backEnd.getOrElse(now)}] " +
+        "selects no periods — check the bounds")
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
     // Initial builds that REPLACE an existing table (--full-refresh)
@@ -406,7 +420,8 @@ final class Materializer(wh: Warehouse) {
     val writeRel = if (initial && wh.exists(rel)) tmp else rel
     if (writeRel == tmp) wh.drop(tmp)
 
-    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val failed =
+      scala.collection.mutable.ListBuffer.empty[(String, LocalDateTime, String)]
     periods.foreach { p =>
       val lbl = label(p)
       val lo = lit(p.format(fmt)).cast("timestamp")
@@ -425,7 +440,8 @@ final class Materializer(wh: Warehouse) {
           alsoDropValues = Seq(lbl))
       } catch {
         case e: Exception =>
-          failed += lbl -> Option(e.getMessage).getOrElse(e.getClass.getName)
+          failed += ((lbl, p,
+            Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
     if (failed.nonEmpty) {
@@ -436,16 +452,20 @@ final class Materializer(wh: Warehouse) {
             "rerun with --full-refresh. "
         else {
           // a plain rerun only revisits lookback periods — failed periods
-          // OLDER than that need the explicit backfill window
-          val (first, last) = (failed.head._1, failed.last._1)
+          // OLDER than that need the explicit backfill window; the hint
+          // prints parseDt-compatible PERIOD STARTS, not partition labels
+          // (hour labels like 2024-01-10-05 don't parse back)
+          val first = failed.head._2.format(fmt)
+          val last = failed.last._2.format(fmt)
           "successful batches are committed; reprocess the failed window " +
-            s"with graft.microbatch.start=$first graft.microbatch.end=$last " +
+            s"with graft.microbatch.start='$first' " +
+            s"graft.microbatch.end='$last' " +
             "(a plain rerun only revisits the lookback periods). "
         }
       throw new IllegalStateException(
         s"microbatch ${rel.fqName}: ${failed.size} of ${periods.size} " +
           s"batches failed [${failed.map(_._1).mkString(", ")}]; " + rerunHint +
-          s"First error (${failed.head._1}): ${failed.head._2}")
+          s"First error (${failed.head._1}): ${failed.head._3}")
     }
     // every period empty → a readable EMPTY table with the model schema
     // (unpartitioned shell; the next run's initial-detection rebuilds

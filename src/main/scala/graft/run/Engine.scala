@@ -728,10 +728,14 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         // `source:src.table` selects via the source's children; the
         // caller composes `+` for deeper descendants)
         val spec = b.stripPrefix("source:")
-        project.models.filter { m =>
-          val (_, srcs) = Compiler.dependencies(m.rawSql)
-          srcs.exists { case (sn, tn) => spec == sn || spec == s"$sn.$tn" }
-        }.map(_.name).toSet
+        // snapshots read sources too — their rawSql carries the same
+        // source() calls the dependency extractor understands
+        (project.models.map(m => m.name -> m.rawSql) ++
+          project.snapshots.map(sn => sn.name -> sn.rawSql))
+          .filter { case (_, sql) =>
+            val (_, srcs) = Compiler.dependencies(sql)
+            srcs.exists { case (sn, tn) => spec == sn || spec == s"$sn.$tn" }
+          }.map(_._1).toSet
       } else {
         val re = ("^" + java.util.regex.Pattern.quote(b)
           .replace("*", "\\E.*\\Q") + "$").r
@@ -943,24 +947,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           Some((sn, tn))
         } else None
       }.toSet
+    // the skip cone is exactly the `source:x.y+` selector: direct
+    // readers (models AND snapshots) plus their descendant closure —
+    // one graph machinery, not a second hand-rolled copy
     val skippedBySource: Set[String] =
-      if (brokenSources.isEmpty) Set.empty
-      else {
-        val direct = project.models.filter { m =>
-          Compiler.dependencies(m.rawSql)._2.exists(brokenSources.contains)
-        }.map(_.name).toSet
-        // transitive children via the parent map
-        var cone = direct
-        var grew = true
-        while (grew) {
-          val more = parents.collect {
-            case (n, ps) if !cone.contains(n) && ps.exists(cone.contains) => n
-          }.toSet
-          grew = more.nonEmpty
-          cone ++= more
-        }
-        cone.intersect(selected)
-      }
+      brokenSources.flatMap { case (sn, tn) =>
+        selectNodes(s"source:$sn.$tn+")
+      }.intersect(selected)
     val runnable = nodes.filterNot(skippedBySource.contains)
     val nodeResults = Dag.run(runnable,
       parents.view.mapValues(_.filter(n =>
@@ -976,6 +969,12 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     } ++ skippedBySource.toSeq.sorted.map(n =>
       Dag.NodeResult(n, "skipped", 0L,
         Some("upstream source failed its test")))
+    // tests attached to source-skipped nodes record as skipped — dbt's
+    // run_results semantics; a retry pass must see them as pending work,
+    // not absent
+    skippedBySource.toSeq.sorted.foreach(n =>
+      project.tests.filter(_.modelName == n).foreach(t =>
+        testResults.add(TestResult(t.name, n, 0L, "skipped"))))
     runProjectHooks(project.onRunEnd)
     import scala.jdk.CollectionConverters._
     (nodeResults, testResults.asScala.toSeq)

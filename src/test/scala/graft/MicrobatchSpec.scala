@@ -175,6 +175,19 @@ class MicrobatchSpec extends AnyFunSuite {
       spark.conf.set("graft.microbatch.end", "2024-01-02")
       mat.incremental(rows("2024-01-02" -> 99, "2024-01-10" -> 77), rel, cfg)
       assert(state(wh, rel) == Set(("2024-01-02", 99L), ("2024-01-10", 10L)))
+      // the window cannot combine with a full refresh (it would swap a
+      // window-only table over the history)
+      val e1 = intercept[IllegalArgumentException] {
+        mat.incremental(rows("2024-01-02" -> 1), rel, cfg, fullRefresh = true)
+      }
+      assert(e1.getMessage.contains("cannot"))
+      // an inverted window is a typo, not a silent no-op
+      spark.conf.set("graft.microbatch.start", "2024-01-09")
+      spark.conf.set("graft.microbatch.end", "2024-01-03")
+      val e2 = intercept[IllegalArgumentException] {
+        mat.incremental(rows("2024-01-02" -> 1), rel, cfg)
+      }
+      assert(e2.getMessage.contains("selects no periods"))
     } finally {
       spark.conf.unset("graft.microbatch.now")
       spark.conf.unset("graft.microbatch.start")
