@@ -322,6 +322,11 @@ final class Materializer(wh: Warehouse) {
     require(cfg.eventTime.nonEmpty, "microbatch needs event_time")
     require(cfg.begin.nonEmpty, "microbatch needs begin")
     require(cfg.lookback >= 0, "microbatch lookback must be >= 0")
+    // the inline-config parse path validates this too, but a
+    // programmatically built ModelConfig must fail here with a clear
+    // message, not a MatchError from trunc()/next() below
+    require(Set("hour", "day", "month", "year").contains(cfg.batchSize),
+      s"microbatch batch_size must be hour|day|month|year, got '${cfg.batchSize}'")
     require(cfg.partitionBy.isEmpty,
       "microbatch derives its own event_batch partition column; " +
         s"partition_by=${cfg.partitionBy.mkString(",")} conflicts")

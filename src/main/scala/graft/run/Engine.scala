@@ -938,8 +938,15 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     // downstream cone within the selection, so unrelated branches still
     // build, on-run-end hooks still fire, and run-results (which retry
     // needs) still get written — dbt's failure semantics, not a crash.
+    // dbt's selected-tests semantics: under an explicit selection, only
+    // source tests whose source feeds the selected subtree run — a build
+    // of an unrelated branch must not scan (or record results for) every
+    // declared source. A full build (select = None) still runs them all.
     val brokenSources = project.tests
-      .filter(_.modelName.startsWith("source:")).flatMap { t =>
+      .filter(_.modelName.startsWith("source:"))
+      .filter(t => select.isEmpty ||
+        selectNodes(t.modelName + "+").exists(selected.contains))
+      .flatMap { t =>
         val r = runTest(t)
         testResults.add(r)
         if (r.status == "error") {
