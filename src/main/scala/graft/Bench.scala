@@ -51,7 +51,8 @@ object Bench {
       */
     def runPass(order: Seq[String], timed: Boolean, mustComplete: Boolean,
                 capS: Double,
-                onSample: Seq[(String, Double)] => Unit = _ => ())
+                onSample: Seq[(String, Double)] => Unit = _ => (),
+                onStaging: Seq[(String, Double)] => Unit = _ => ())
         : (Seq[(String, Double)], Boolean) = {
       val out = Seq.newBuilder[(String, Double)]
       var fam = ' ' // sentinel: no query name starts with a space
@@ -80,7 +81,16 @@ object Bench {
             System.err.println(s"[bench] FAILED $n: $e")
           }
         }
-        out += n -> (System.nanoTime() - t0) / 1e9
+        val rawS = (System.nanoTime() - t0) / 1e9
+        // shared-staging attribution: SessionCache materializes pins
+        // eagerly and logs their build time; the consuming query's sample
+        // is reported NET of that one-time cost and the staging lines are
+        // scored separately — so a query's cross-round ratio reflects the
+        // query, not whichever entry happened to build the family's
+        // shared index first (the round-9 x_tfidf_terms misread)
+        val staged = ops.SessionCache.drainStaging(spark)
+        if (timed) onStaging(staged)
+        out += n -> math.max(0.0, rawS - staged.map(_._2).sum)
         if (timed) onSample(out.result())
       }
       // no trailing release: the last family's pins carry into the next
@@ -143,6 +153,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def scoreboard(passes: Seq[Map[String, Double]],
+                   stagingPasses: Seq[Map[String, Double]],
                    passesCompleted: Int, partialPass: Boolean): String = {
       // A mid-pass-1 kill leaves some queries with zero samples; score the
       // benched prefix and report coverage, so the shutdown hook always
@@ -157,8 +168,21 @@ object Bench {
         .mkString("{", ",", "}")
       val qsMedian = perQuery.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
         .mkString("{", ",", "}")
-      val total = perQuery.map(_._3).sum
-      val totalMedian = perQuery.map(_._2).sum
+      // staging pins scored like queries: per-key min across the passes
+      // that (re)built them — a pass whose family kept a warm pin from
+      // the previous pass simply contributes no sample for that key
+      val stagedKeys = stagingPasses.flatMap(_.keys).distinct.sorted
+      val stagingPer = stagedKeys.map { k =>
+        (k, stagingPasses.flatMap(_.get(k)).min)
+      }
+      val stagingTotal = stagingPer.map(_._2).sum
+      val stagingJson = stagingPer.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      // headline total still counts staging ONCE (the work is real and
+      // cross-round totals must stay comparable) — it is just no longer
+      // hidden inside an arbitrary first-consumer query
+      val total = perQuery.map(_._3).sum + stagingTotal
+      val totalMedian = perQuery.map(_._2).sum + stagingTotal
       // per-query spread = max/min across passes; the reported noise field
       // is the median spread (robust to a single pathological query)
       val noise = median(perQuery.map { case (_, _, mn, mx) =>
@@ -173,10 +197,12 @@ object Bench {
       // (schema 1, rounds 1-6) to min-of-passes — snapshots with
       // different schemas must not be compared metric-to-metric
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""bench_schema":2,"passes":$passCount,""" +
+      s""""bench_schema":3,"passes":$passCount,""" +
+      s""""staging":$stagingJson,"staging_total":$stagingTotal,""" +
       s""""passes_completed":$passesCompleted,"partial_pass":$partialPass,""" +
       s""""queries_benched":${benched.size},"queries_total":${names.size},""" +
-      s""""budget_s":$budgetS,"scoring":"per-query min of passes",""" +
+      s""""budget_s":$budgetS,""" +
+      s""""scoring":"per-query min of passes, net of shared staging",""" +
       s""""total_median":$totalMedian,"queries_median":$qsMedian,""" +
       s""""noise_spread_median":$noise,"sf":"$sfDir"$errJson}"""
     }
@@ -192,6 +218,7 @@ object Bench {
     runPass(names.reverse, timed = false, mustComplete = false,
       capS = budgetS * 0.25)
     val passBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    val stagingBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     var passesCompleted = 0
     var partialPass = false
     var i = 1
@@ -203,18 +230,25 @@ object Bench {
       // Every timed sample refreshes the staged scoreboard, so a harness
       // kill at ANY point past the first timed query still emits a
       // parseable (partial-coverage) line via the shutdown hook.
+      val stagingPass =
+        scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val (samples, completed) =
         runPass(names, timed = true, mustComplete = i == 1, capS = budgetS,
           onSample = s => latestJson =
-            Some(scoreboard(passBuf.toSeq :+ s.toMap, passesCompleted,
-              partialPass = true)))
+            Some(scoreboard(passBuf.toSeq :+ s.toMap,
+              stagingBuf.toSeq :+ stagingPass.toMap, passesCompleted,
+              partialPass = true)),
+          onStaging = st => st.foreach { case (k, v) =>
+            stagingPass(k) = stagingPass.getOrElse(k, 0.0) + v })
       passBuf += samples.toMap
+      stagingBuf += stagingPass.toMap
       // per-pass totals expose monotone degradation (state/GC buildup)
       // that the median alone would mask as "noise"
       System.err.println(f"[bench] pass $i total ${samples.map(_._2).sum}%.1f s" +
         (if (completed) "" else " (partial)"))
       if (completed) passesCompleted += 1 else { partialPass = true; stop = true }
-      latestJson = Some(scoreboard(passBuf.toSeq, passesCompleted, partialPass))
+      latestJson = Some(scoreboard(passBuf.toSeq, stagingBuf.toSeq,
+        passesCompleted, partialPass))
       if (elapsedS > budgetS) {
         System.err.println(
           f"[bench] budget spent (${elapsedS}%.1f s) after pass $i — stopping")
@@ -222,7 +256,8 @@ object Bench {
       }
       i += 1
     }
-    val json = scoreboard(passBuf.toSeq, passesCompleted, partialPass)
+    val json = scoreboard(passBuf.toSeq, stagingBuf.toSeq,
+      passesCompleted, partialPass)
     printedNormally = true
     emit(json)
     Runtime.getRuntime.removeShutdownHook(hook)

@@ -152,6 +152,7 @@ object Compiler {
     var sql = configRe.replaceAllIn(rawSql, "")
     sql = incrBlockRe.replaceAllIn(sql,
       m => if (ctx.isIncremental) Regex.quoteReplacement(m.group(1)) else " ")
+    sql = expandControlFlow(sql)
     sql = refXRe.replaceAllIn(sql,
       m => Regex.quoteReplacement(ctx.crossRefTarget(m.group(1), m.group(2))))
     sql = refRe.replaceAllIn(sql,
@@ -182,6 +183,128 @@ object Compiler {
   def referencesMaxPartition(rawSql: String): Boolean =
     maxPartRe.findFirstIn(rawSql).isDefined
 
+  // ------------------------------------------- Jinja control-flow subset
+
+  // `{% set name = <literal> %}` — literal list, quoted string, or number
+  // (dbt-utils' everyday shape; NOT general Python expressions)
+  private val setRe: Regex =
+    """\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*(\[[^\]]*\]|'[^']*'|[-\d.]+)\s*-?%\}""".r
+  // innermost `{% for x in <list-literal-or-set-name> %} … {% endfor %}`:
+  // the tempered body ((?!{% for).)*? cannot contain a nested for-open,
+  // so fixpoint iteration expands loops inside-out
+  private val forRe: Regex =
+    ("""(?s)\{%-?\s*for\s+([A-Za-z_]\w*)\s+in\s+(\[[^\]]*\]|[A-Za-z_]\w*)""" +
+      """\s*-?%\}((?:(?!\{%-?\s*for\s).)*?)\{%-?\s*endfor\s*-?%\}""").r
+  // `{% if cond %}a{% else %}b{% endif %}` with no nested if in either arm
+  private val jifRe: Regex =
+    ("""(?s)\{%-?\s*if\s+((?:(?!%\}).)*?)\s*-?%\}((?:(?!\{%-?\s*if\s).)*?)""" +
+      """(?:\{%-?\s*else\s*-?%\}((?:(?!\{%-?\s*if\s).)*?))?""" +
+      """\{%-?\s*endif\s*-?%\}""").r
+
+  private def parseListLiteral(s: String): Seq[String] =
+    s.stripPrefix("[").stripSuffix("]").split(",").iterator.map(_.trim)
+      .filter(_.nonEmpty).map(stripQuotes).toSeq
+
+  private def stripQuotes(v: String): String =
+    if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+      v.substring(1, v.length - 1)
+    else v
+
+  /** Evaluate the decidable condition subset: `true`/`false`, `not c`,
+    * `a == b` / `a != b` over literal tokens (quoted strings compare by
+    * content). None = not decidable here → the block passes through
+    * untouched (e.g. `is_incremental()`, which [[compile]] resolves
+    * separately).
+    */
+  private def evalCond(c0: String): Option[Boolean] = {
+    val c = c0.trim
+    if (c == "true") Some(true)
+    else if (c == "false") Some(false)
+    else if (c.startsWith("not ")) evalCond(c.stripPrefix("not ")).map(!_)
+    else {
+      def tok(s: String) = stripQuotes(s.trim)
+      val eq = c.split("==", 2)
+      val ne = c.split("!=", 2)
+      if (eq.length == 2 && !c.contains("!=")) Some(tok(eq(0)) == tok(eq(1)))
+      else if (ne.length == 2) Some(tok(ne(0)) != tok(ne(1)))
+      else None
+    }
+  }
+
+  private def evalIfs(s: String): String =
+    jifRe.replaceAllIn(s, m => Regex.quoteReplacement {
+      evalCond(m.group(1)) match {
+        case Some(true) => m.group(2)
+        case Some(false) => Option(m.group(3)).getOrElse("")
+        case None => m.matched
+      }
+    })
+
+  /** Expand the Jinja control-flow subset dbt-utils macros lean on
+    * (`pivot`/`star`-style loop-generated column lists — the reference's
+    * own macro library is full Jinja, e.g. `default__load_csv_rows`,
+    * manifest.json:1 @76100 `{% for %}`): `{% set name = <literal> %}`
+    * bindings, `{% for x in [..] %}` / `{% for x in bound_list %}` with
+    * `loop.index`/`loop.first`/`loop.last`, and the decidable `{% if %}`
+    * subset those loops need (`{% if not loop.last %},{% endif %}`).
+    * Runs textually, inside-out to fixpoint, AFTER `is_incremental()`
+    * block resolution and BEFORE builtin/ref resolution — compiled SQL
+    * (and therefore state:modified checksums downstream of raw text)
+    * sees the fully expanded form. Loops over query results or Python
+    * objects remain out of scope: a surviving `{% for %}`/`{% endfor %}`
+    * after expansion fails loudly below rather than reaching the SQL
+    * parser.
+    */
+  def expandControlFlow(sql0: String, maxDepth: Int = 10): String = {
+    if (!sql0.contains("{%")) return sql0
+    val binds = scala.collection.mutable.Map.empty[String, String]
+    var sql = setRe.replaceAllIn(sql0, m => {
+      binds(m.group(1)) = m.group(2); ""
+    })
+    var depth = 0
+    var changed = true
+    while (changed && depth < maxDepth) {
+      val afterFor = forRe.replaceAllIn(sql, m => {
+        val (v, listTxt, body) = (m.group(1), m.group(2), m.group(3))
+        val items =
+          if (listTxt.startsWith("[")) parseListLiteral(listTxt)
+          else parseListLiteral(binds.getOrElse(listTxt,
+            throw new IllegalArgumentException(
+              s"for-loop iterates '$listTxt', which is not a list literal " +
+                "or a {% set %}-bound list (query-result loops are " +
+                "unsupported — use a model)")))
+        val n = items.size
+        val varRe = ("""\{\{\s*""" + Regex.quote(v) + """\s*\}\}""").r
+        // loop.* resolve both as interpolations ({{ loop.index }}) and
+        // as bare condition tokens ({% if not loop.last %})
+        def loopVal(which: String, value: String, b: String): String =
+          ("""\{\{\s*loop\.""" + which + """\s*\}\}""").r
+            .replaceAllIn(b, value).replace("loop." + which, value)
+        Regex.quoteReplacement(items.zipWithIndex.map { case (it, i) =>
+          var b = varRe.replaceAllIn(body, Regex.quoteReplacement(it))
+          b = loopVal("index", (i + 1).toString, b)
+          b = loopVal("first", if (i == 0) "true" else "false", b)
+          b = loopVal("last", if (i == n - 1) "true" else "false", b)
+          evalIfs(b)
+        }.mkString)
+      })
+      // scalar {% set %} bindings interpolate like jinja variables
+      val next = binds.foldLeft(evalIfs(afterFor)) { case (acc, (k, raw)) =>
+        if (raw.startsWith("[")) acc
+        else ("""\{\{\s*""" + Regex.quote(k) + """\s*\}\}""").r
+          .replaceAllIn(acc, Regex.quoteReplacement(stripQuotes(raw)))
+      }
+      changed = next != sql
+      sql = next
+      depth += 1
+    }
+    if (sql.contains("{% for") || sql.contains("{% endfor") ||
+        sql.contains("{%- for"))
+      throw new IllegalArgumentException(
+        s"control-flow expansion did not terminate in $maxDepth rounds")
+    sql
+  }
+
   // ------------------------------------------------- user-defined macros
 
   /** A user macro: `{% macro name(p1, p2='default') %} body {% endmacro %}`
@@ -191,9 +314,12 @@ object Compiler {
     * interpolate as `{{ p1 }}`; bodies may use `ref`/`source`/`env_var`
     * and other macros (expansion runs to fixpoint BEFORE builtin
     * resolution, so the DAG and compiled SQL see the expanded text).
-    * Not supported (use a model instead): control flow (`{% if %}`/
-    * `{% for %}`) and Python-object argument semantics — arguments are
-    * SQL text, spliced verbatim.
+    * Bodies may also use the [[expandControlFlow]] subset (`{% set %}`
+    * literals, `{% for %}` over literal lists, decidable `{% if %}`) —
+    * it expands during [[compile]], after macro substitution. Not
+    * supported (use a model instead): loops over query results and
+    * Python-object argument semantics — arguments are SQL text, spliced
+    * verbatim.
     */
   final case class MacroDef(name: String,
                             params: Seq[(String, Option[String])],

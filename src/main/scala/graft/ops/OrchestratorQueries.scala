@@ -186,6 +186,41 @@ object OrchestratorQueries {
     """SELECT s_nationkey, count(*) AS n_suppliers
       |FROM supplier GROUP BY s_nationkey""".stripMargin
 
+  /** Jinja control flow end-to-end (the dbt-utils `pivot` idiom): a
+    * model whose column list is loop-generated — a `{% set %}` literal
+    * list, `{% for %}` with `{{ st }}` interpolation, and
+    * `{% if not loop.last %},{% endif %}` comma control — compiled by
+    * [[graft.compile.Compiler.expandControlFlow]], built by the engine,
+    * and hash-matched against the oracle's hand-expanded pivot.
+    */
+  def jinjaLoops(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_loops",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("order_status_pivot",
+          """{% set statuses = ['O', 'F', 'P'] %}
+            |SELECT o_custkey,
+            |  {% for st in statuses %}
+            |  sum(CASE WHEN o_orderstatus = '{{ st }}' THEN 1 ELSE 0 END)
+            |    AS n_status_{{ st }}{% if not loop.last %},{% endif %}
+            |  {% endfor %}
+            |FROM {{ source('tpch','orders') }}
+            |GROUP BY o_custkey""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("order_status_pivot")
+  }
+
+  val jinjaLoopsSql: String =
+    """SELECT o_custkey,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_status_O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_status_F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_status_P
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   /** Graph selectors end-to-end (`dbt build --select`): `+tag:mart`
     * resolves the tagged mart plus its ancestor closure, builds exactly
     * that set (an unrelated model must NOT materialize — require'd), and

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Per-session memoization of cached staging DataFrames (shared shingle
   * index, synthesized flagship table, simhash signatures, langId words,
@@ -13,17 +14,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hosts that retire a session (or finish a query family) call
   * [[release]] / [[releaseAll]], which unpersists the plans and drops the
   * strong value chain; only then can the weak key entry go.
+  *
+  * Attribution note: a lazily-persisted pin charges its one-time
+  * materialization cost to whichever CONSUMER happens to run first — in a
+  * benchmark that makes the first query of a family unreadable across
+  * runs (the round-9 `x_tfidf_terms` 1.08 s → 3.99 s "regression" was the
+  * shingle staging moving between entries as the suite grew). So
+  * persisted pins are materialized EAGERLY here, at creation, and the
+  * elapsed build time is recorded in a per-session log that
+  * [[drainStaging]] hands to the host: `graft.Bench` subtracts it from
+  * the consuming query's sample and reports staging as its own line.
+  * Non-persisted pins (plan-only memos) stay lazy — counting them would
+  * compute a plan nobody caches.
   */
 private[graft] object SessionCache {
   private val caches =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
+  private val stagingLog =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.ArrayBuffer[(String, Double)]]()
+
   def getOrElseUpdate(s: SparkSession, key: String)
                      (build: => DataFrame): DataFrame = {
     val m = mapFor(s)
-    m.getOrElseUpdate(key, build)
+    m.get(key) match {
+      case Some(df) => df
+      case None => m.getOrElseUpdate(key, {
+        val t0 = System.nanoTime()
+        val df = build
+        if (df.storageLevel != StorageLevel.NONE) df.count()
+        record(s, key, (System.nanoTime() - t0) / 1e9)
+        df
+      })
+    }
   }
+
+  private def record(s: SparkSession, key: String, sec: Double): Unit =
+    stagingLog.synchronized {
+      var b = stagingLog.get(s)
+      if (b == null) {
+        b = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        stagingLog.put(s, b)
+      }
+      b += ((key, sec))
+    }
+
+  /** Return-and-clear the (pin key, build seconds) entries materialized
+    * since the last drain — the bench's staging-attribution feed.
+    */
+  def drainStaging(s: SparkSession): Seq[(String, Double)] =
+    stagingLog.synchronized {
+      val b = stagingLog.get(s)
+      if (b == null) Seq.empty
+      else { val out = b.toSeq; b.clear(); out }
+    }
 
   private def mapFor(s: SparkSession) = caches.synchronized {
     var c = caches.get(s)

@@ -47,6 +47,14 @@ final case class SeedDef(name: String, csvPath: String,
 final case class ExposureDef(name: String, dependsOn: Seq[String],
                              owner: String = "", url: String = "")
 
+/** A named selector (dbt `selectors.yml`): a saved composition of the
+  * [[Engine.selectNodes]] grammar under a project-level name, so CI jobs
+  * say `--selector nightly` instead of repeating the expression. The
+  * exclude half applies after include — dbt's `exclude:` semantics.
+  */
+final case class SelectorDef(name: String, include: String,
+                             exclude: String = "")
+
 /** A registered upstream project deployment (dbt mesh `dependencies.yml`
   * + deployment coordinates): two-arg `ref('<name>', 'model')` calls
   * resolve READ-ONLY into this project's warehouse. Cross-project refs
@@ -158,7 +166,9 @@ final case class Project(name: String,
                          // declared metrics (dbt semantic layer)
                          metrics: Seq[MetricDef] = Nil,
                          // upstream project deployments (dbt mesh)
-                         dependencies: Seq[DependencyDef] = Nil)
+                         dependencies: Seq[DependencyDef] = Nil,
+                         // named selector compositions (dbt selectors.yml)
+                         selectors: Seq[SelectorDef] = Nil)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -677,6 +687,19 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * node does NOT auto-include its ancestors (same as dbt: use `+name`
     * when upstream state is not already built).
     */
+  /** Resolve a project-level named selector (`--selector` / dbt
+    * selectors.yml) through the same grammar as [[selectNodes]]; the
+    * exclude half subtracts after include resolves.
+    */
+  def selectByName(name: String): Set[String] = {
+    val sel = project.selectors.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no selector named '$name' (have: " +
+          s"${project.selectors.map(_.name).mkString(", ")})"))
+    val inc = selectNodes(sel.include)
+    if (sel.exclude.trim.isEmpty) inc else inc -- selectNodes(sel.exclude)
+  }
+
   def selectNodes(selector: String): Set[String] = {
     val nodes = allNodes
     val parents = parentsOf

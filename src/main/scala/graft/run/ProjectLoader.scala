@@ -237,6 +237,20 @@ object ProjectLoader {
         dims, whereKv)
     }
 
+    // selectors.conf: `name '<include>' ['<exclude>']` per line (dbt
+    // selectors.yml — saved compositions of the full selector grammar;
+    // quote expressions containing spaces)
+    val selectors = readLines(root.resolve("selectors.conf")).map { l =>
+      val parts = tokenize(l)
+      require(parts.length >= 2,
+        s"selectors.conf: need name '<include>' ['<exclude>'], got: $l")
+      SelectorDef(parts(0), unquote(parts(1)),
+        if (parts.length > 2) unquote(parts(2)) else "")
+    }
+    val dupSel = selectors.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupSel.isEmpty,
+      s"duplicate selector names: ${dupSel.mkString(", ")}")
+
     // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml
     // on-run-start / on-run-end)
     val hookLines = readLines(root.resolve("hooks.conf")).map { l =>
@@ -251,7 +265,7 @@ object ProjectLoader {
 
     (Project(name, sources, models, seeds, snapshots, tests,
       onRunStart, onRunEnd, macros, vars, exposures, metrics,
-      dependencies), conf)
+      dependencies, selectors), conf)
   }
 
   private def configKv(sql: String): Map[String, String] = {

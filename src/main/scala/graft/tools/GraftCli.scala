@@ -50,6 +50,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                      +model/model+ closures (optional depth 2+m/m+1);
   *                      space-separated terms union, commas intersect;
   *                      repeatable (repeats union)
+  *   --selector <name>  run a NAMED selector from selectors.conf (dbt
+  *                      selectors.yml); mutually exclusive with --select
   *   --exclude <sel>    subtract these nodes from the selection (same
   *                      grammar; applies to --state selection too)
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -109,7 +111,14 @@ object GraftCli {
         val sel = StateSelector.modifiedPlus(cur, prev)
         println(s"state:modified+ selected: ${sel.toSeq.sorted.mkString(", ")}")
         sel
-      }.orElse(flags.get("select").flatMap(_.headOption).map { sel =>
+      }.orElse(flags.get("selector").flatMap(_.headOption).map { name =>
+        // dbt errors on --select + --selector together; same here
+        require(!flags.contains("select"),
+          "--select and --selector are mutually exclusive")
+        val nodes = engine.selectByName(name)
+        println(s"selector '$name': ${nodes.toSeq.sorted.mkString(", ")}")
+        nodes
+      }).orElse(flags.get("select").flatMap(_.headOption).map { sel =>
         // full dbt selector semantics (Engine.selectNodes): names, globs,
         // tag:, +closures; space-separated values union, commas intersect.
         // Repeat --select or quote a space-separated value for unions.

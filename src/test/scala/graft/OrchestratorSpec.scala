@@ -138,6 +138,71 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  test("jinja control flow: set + for + loop.last compile a pivot; checksum is state-sensitive") {
+    val pivotSql =
+      """{% set keys = ['0', '1', '2'] %}
+        |SELECT n_name,
+        |  {% for k in keys %}
+        |  CASE WHEN n_regionkey = {{ k }} THEN 1 ELSE 0 END
+        |    AS in_region_{{ k }}{% if not loop.last %},{% endif %}
+        |  {% endfor %}
+        |FROM {{ source('tpch','nation') }}""".stripMargin
+    val p = baseProject.copy(models = baseProject.models :+
+      ModelDef("nation_pivot", pivotSql))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    val df = e.readModel("nation_pivot")
+    assert(df.columns.toSeq ==
+      Seq("n_name", "in_region_0", "in_region_1", "in_region_2"))
+    assert(df.count() == 25)
+    assert(df.agg(sum(col("in_region_1"))).head.getLong(0) == 5L)
+    // editing the set-literal list changes the raw checksum, so
+    // state:modified sees a loop-generated column-list change
+    val p2 = p.copy(models = p.models.map {
+      case m if m.name == "nation_pivot" =>
+        m.copy(rawSql = m.rawSql.replace("'2'", "'3'"))
+      case m => m
+    })
+    val e2 = new Engine(spark, p2, Target(root()))
+    val m1 = Files.createTempFile("manifest_cf1", ".json").toString
+    val m2 = Files.createTempFile("manifest_cf2", ".json").toString
+    e.writeManifest(m1); e2.writeManifest(m2)
+    assert(StateSelector.modified(m2, m1) == Set("nation_pivot"))
+    // expansion subset unit checks
+    assert(Compiler.expandControlFlow(
+      "{% set sep = ', ' %}{% for x in ['a','b'] %}{{ x }}{% if not loop.last %}{{ sep }}{% endif %}{% endfor %}")
+      == "a, b")
+    assert(Compiler.expandControlFlow(
+      "{% for i in [1, 2] %}[{% for j in ['x','y'] %}{{ i }}{{ j }} {% endfor %}]{% endfor %}")
+      == "[1x 1y ][2x 2y ]")
+    assert(Compiler.expandControlFlow(
+      "{% for x in ['a'] %}{{ x }}{{ loop.index }}{% endfor %}") == "a1")
+    assert(Compiler.expandControlFlow(
+      "{% if 'a' == 'b' %}yes{% else %}no{% endif %}") == "no")
+    // is_incremental stays untouched for compile() to resolve
+    val keep = "{% if is_incremental() %}WHERE x > 1{% endif %}"
+    assert(Compiler.expandControlFlow(keep) == keep)
+    // loops over anything but a literal/bound list fail loudly
+    intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow("{% for r in run_query_results %}{{ r }}{% endfor %}")
+    }
+  }
+
+  test("named selectors: saved composition resolves and builds exactly its closure") {
+    val p = baseProject.copy(
+      models = baseProject.models :+ ModelDef("unrelated", "SELECT 1 AS one"),
+      selectors = Seq(SelectorDef("core", "+by_region"),
+        SelectorDef("core_no_nations", "+by_region", "nations")))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.selectByName("core") == Set("nations", "by_region"))
+    assert(e.selectByName("core_no_nations") == Set("by_region"))
+    val (nodes, _) = e.build(select = Some(e.selectByName("core")))
+    assert(nodes.map(_.name).toSet == Set("nations", "by_region"))
+    assert(nodes.forall(_.status == "success"))
+    assert(!e.warehouse.exists(e.relationFor("unrelated")))
+    intercept[IllegalArgumentException] { e.selectByName("missing") }
+  }
+
   test("graph selectors: tag:, name globs, +model/model+, intersection") {
     val p = baseProject.copy(models = Seq(
       ModelDef("stg_nations",

@@ -22,7 +22,11 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(project.name == "demo_ci_spark")
     assert(project.models.map(_.name).toSet ==
       Set("stg_nations", "eph_regions", "nation_region", "orders_incr",
-        "nations_by_region_mv", "region_counts"))
+        "nations_by_region_mv", "region_counts", "region_pivot"))
+    // selectors.conf: named compositions of the selector grammar
+    assert(project.selectors.map(_.name) == Seq("mart_closure", "non_staging"))
+    assert(project.selectors.head.include == "+tag:mart")
+    assert(project.selectors(1).exclude == "tag:staging")
     assert(project.seeds.map(_.name) == Seq("priorities"))
     assert(project.seeds.head.columnTypes == Map("rank" -> "bigint"))
     assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
@@ -47,6 +51,16 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(engine.readModel("nation_region").count() == 25)
     // the materialized_view model: one row per region, maintained + served
     assert(engine.readModel("nations_by_region_mv").count() == 5)
+    // the loop-generated pivot model ({% set %}/{% for %}/loop.last)
+    val pivot = engine.readModel("region_pivot")
+    assert(pivot.columns.toSeq ==
+      Seq("n_nationkey", "in_AFRICA", "in_AMERICA", "in_ASIA"))
+    assert(pivot.count() == 25)
+    // named selectors resolve through the engine's grammar
+    assert(engine.selectByName("mart_closure") ==
+      Set("region_pivot", "nation_region", "stg_nations", "eph_regions"))
+    assert(!engine.selectByName("non_staging").contains("stg_nations"))
+    intercept[IllegalArgumentException] { engine.selectByName("nope") }
     // snapshot has one current row per order
     import org.apache.spark.sql.functions.col
     val snap = engine.warehouse.read(engine.relationFor("orders_snapshot"))
