@@ -1805,19 +1805,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def replacePartitions(df: DataFrame, rel: Relation, pcols: Seq[String],
                         alsoDropValues: Seq[String] = Nil,
                         clusterCols: Seq[String] = Nil,
-                        alsoDropPaths: Seq[String] = Nil): Unit = withRelationLock(rel) {
+                        alsoDropPaths: Seq[String] = Nil,
+                        zorderCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
     require(pcols.nonEmpty, "replacePartitions requires partition columns")
     require(alsoDropValues.isEmpty || pcols.size == 1,
       "alsoDropValues (static insert_overwrite) is single-column")
     if (usesManifest)
       replacePartitionsImpl(df, rel, pcols, alsoDropValues, clusterCols,
-        alsoDropPaths)
+        alsoDropPaths, zorderCols)
     else {
       val tmp = rel.suffixed("__dbt_tmp")
       val backup = rel.suffixed("__dbt_pbackup")
       restorePartitionBackup(rel)
       drop(tmp)
-      clusteredWriter(df, pcols, clusterCols)
+      clusteredWriter(df, pcols, clusterCols, zorderCols)
         .write.mode("overwrite").partitionBy(pcols: _*).parquet(path(tmp))
       fs.mkdirs(new Path(path(backup)))
       // swap at LEAF granularity: with a multi-column layout only the
@@ -1867,10 +1868,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
                                     pcols: Seq[String],
                                     alsoDropValues: Seq[String],
                                     clusterCols: Seq[String],
-                                    alsoDropPaths: Seq[String]): Unit = {
+                                    alsoDropPaths: Seq[String],
+                                    zorderCols: Seq[String] = Nil): Unit = {
     val vdir = newVersionDir(rel,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
-    clusteredWriter(df, pcols, clusterCols)
+    clusteredWriter(df, pcols, clusterCols, zorderCols)
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(vdir.toString)
     writeStatsSidecar(vdir); writeBloomSidecar(vdir)
     val written = leafDirs(vdir, pcols.length)

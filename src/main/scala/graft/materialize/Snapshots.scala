@@ -72,6 +72,32 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     */
   def read(rel: Relation): DataFrame = wh.read(rel).drop(BUCKET, SUB)
 
+  /** In-leaf layout for point lookups: an as-of-key probe over years of
+    * closed history otherwise opens every (month, sub) leaf — SUB hashes
+    * the scd_id, so it spreads a key's versions but gives a KEY probe no
+    * pruning. Single-key snapshots sort leaves by (key, dbt_valid_from)
+    * (tight per-file min/max on the lookup column via the range
+    * sidecar); multi-column keys z-order over the keys so a probe on
+    * either column alone stays selective. Returns (clusterCols,
+    * zorderCols) for the writer.
+    */
+  private def historyLayout(keys: Seq[String]): (Seq[String], Seq[String]) =
+    if (keys.size == 1) (keys :+ "dbt_valid_from", Nil) else (Nil, keys)
+
+  /** Bloom sidecars on the key columns ride every snapshot write (the
+    * `graft.bloom.cols` machinery): ManifestFileIndex then skips each
+    * leaf whose bloom proves the probed key absent — the complement of
+    * the in-leaf sort, for keys that DON'T sort near the probe. A
+    * caller-set `graft.bloom.cols` wins (their warehouse, their knobs).
+    */
+  private def withKeyBloom[T](keys: Seq[String])(body: => T): T = {
+    val conf = wh.spark.conf
+    val prev = conf.getOption("graft.bloom.cols")
+    if (prev.isEmpty) conf.set("graft.bloom.cols", keys.mkString(","))
+    try body
+    finally { if (prev.isEmpty) conf.unset("graft.bloom.cols") }
+  }
+
   /** Validity/change columns for the `check` strategy need a transaction
     * time; the engine passes the wall clock, tests/oracles pin a literal.
     */
@@ -107,7 +133,11 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
         .withColumn("dbt_scd_id", scdId(keys, updatedAt))
         .withColumn(BUCKET, lit(CURRENT))
         .withColumn(SUB, subOf(col("dbt_scd_id"), n0))
-      wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET, SUB))
+      val (cc0, zc0) = historyLayout(keys)
+      withKeyBloom(keys) {
+        wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET, SUB),
+          clusterCols = cc0, zorderCols = zc0)
+      }
       return
     }
 
@@ -233,8 +263,11 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
       // a touched current leaf whose every row closed (and gained no
       // inserts) is written by nobody — drop it explicitly
       val staleLeaves = touchedSubs.map(sb => s"$BUCKET=$CURRENT/$SUB=$sb")
-      wh.replacePartitions(payload, rel, Seq(BUCKET, SUB),
-        alsoDropPaths = staleLeaves)
+      val (cc, zc) = historyLayout(keys)
+      withKeyBloom(keys) {
+        wh.replacePartitions(payload, rel, Seq(BUCKET, SUB),
+          alsoDropPaths = staleLeaves, clusterCols = cc, zorderCols = zc)
+      }
     } finally {
       closing.unpersist(); ()
     }

@@ -16,9 +16,9 @@ import graft.core.{Relation, Warehouse}
   * pmod(hash(term), buckets)`, so a probe's buckets collect driver-side
   * into a literal `isin` and the scan partition-prunes (the same
   * control-plane-literal pattern as [[Similarity.VectorIndex]]);
-  * `<name>__df` is the per-term document frequency, frozen at build time
-  * — it only drives probe-term ORDER (rarest first), so staleness after
-  * appends costs probe choice, never correctness.
+  * `<name>__df` is the per-term document frequency, folded forward on
+  * every [[append]] (vocabulary-sized outer-join rewrite) — probe order
+  * AND BM25 idf stay exact without a rebuild.
   *
   * Search is conjunctive (docs containing ALL query terms): the
   * `maxProbe` rarest terms intersect via the index; any remaining
@@ -57,8 +57,8 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
   private def docLengths(docs: DataFrame): DataFrame =
     tokens(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
 
-  /** One-time corpus scan: bucket-partitioned postings + the frozen df
-    * table (tiny — one row per vocabulary term) + per-doc lengths and the
+  /** One-time corpus scan: bucket-partitioned postings + the df table
+    * (tiny — one row per vocabulary term) + per-doc lengths and the
     * 1-row corpus stats that [[searchRanked]]'s BM25 normalization needs.
     */
   def build(docs: DataFrame): Unit = {
@@ -72,30 +72,49 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
       sum(col("dl")).as("total_len")), statsRel)
   }
 
-  /** Admit a batch (append-only, O(batch)): postings land in their
-    * buckets; doc lengths append and the 1-row stats table is folded
-    * forward (read-modify-write of one row under the relation lock), so
-    * BM25 length normalization stays exact across appends. The df table
-    * stays frozen (probe-order + idf drift only — rebuild to refresh).
+  /** Admit a batch (append-only, O(batch) + O(vocabulary)): postings
+    * land in their buckets; doc lengths append; the 1-row stats table
+    * AND the vocabulary-sized df table fold forward under their relation
+    * locks, so BM25 idf and length normalization both stay exact across
+    * appends — a post-append index ranks identically to a fresh rebuild
+    * (KeywordIndexSpec pins this). The df fold is a full-outer join of
+    * the batch's per-term deltas into the stored rows — vocabulary-sized
+    * work, negligible next to the batch tokenize, and the same
+    * read-modify-write-under-lock discipline as the stats row. Batch
+    * doc_ids are assumed NEW (re-appending an existing doc would double
+    * its postings and dl rows too — the index is append-only by
+    * contract; dedup upstream).
     */
   def append(docs: DataFrame): Unit = {
-    wh.append(bucketed(postings(docs)), postRel, Seq("tb"))
-    val dl = docLengths(docs)
-    wh.append(dl, dlRel)
     val s = wh.spark
-    val add = dl.agg(count(lit(1)), sum(col("dl"))).collect().head
-    // the stats fold is a read-modify-write: hold the relation lock
-    // across BOTH sides so two concurrent appends can't lose an update
-    // (each batch's delta is computed outside the lock — only the tiny
-    // 1-row fold serializes)
-    wh.withRelationLock(statsRel) {
-      val prev = wh.read(statsRel).collect().head
-      import s.implicits._
-      wh.writeAtomic(
-        Seq((prev.getAs[Long]("n_docs") + add.getLong(0),
-          prev.getAs[Long]("total_len") + add.getLong(1)))
-          .toDF("n_docs", "total_len"), statsRel)
-    }
+    val p = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      wh.append(bucketed(p), postRel, Seq("tb"))
+      val delta = p.groupBy(col("term")).agg(count(lit(1)).as("df_add"))
+      wh.withRelationLock(dfRel) {
+        val merged = wh.read(dfRel).join(delta, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0L)) +
+              coalesce(col("df_add"), lit(0L))).as("df"))
+        wh.writeAtomic(merged, dfRel)
+      }
+      val dl = docLengths(docs)
+      wh.append(dl, dlRel)
+      val add = dl.agg(count(lit(1)), sum(col("dl"))).collect().head
+      // the stats fold is a read-modify-write: hold the relation lock
+      // across BOTH sides so two concurrent appends can't lose an update
+      // (each batch's delta is computed outside the lock — only the tiny
+      // 1-row fold serializes)
+      wh.withRelationLock(statsRel) {
+        val prev = wh.read(statsRel).collect().head
+        import s.implicits._
+        wh.writeAtomic(
+          Seq((prev.getAs[Long]("n_docs") + add.getLong(0),
+            prev.getAs[Long]("total_len") + add.getLong(1)))
+            .toDF("n_docs", "total_len"), statsRel)
+      }
+    } finally { p.unpersist(); () }
   }
 
   /** Streaming sibling of [[append]] under the per-relation batch-id
@@ -111,11 +130,10 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
   /** Doc ids containing ALL of `terms` (conjunctive). `docs` is the
     * corpus the index was built over — read only to verify terms beyond
     * the `maxProbe` rarest (never when the query is fully probed).
-    * Unknown terms (df 0 — not in the build vocabulary and absent from
-    * the frozen df table) still resolve correctly: they probe first and
-    * produce zero candidates... unless they arrived by [[append]], which
-    * is exactly why appended-term probes stay IN the index rather than
-    * being pre-filtered against the stale df table.
+    * Terms outside the vocabulary (df 0 — never seen by [[build]] or
+    * [[append]]) still resolve correctly: they probe first and produce
+    * zero candidates; probes are never pre-filtered against the df
+    * table, it only orders them.
     */
   def search(docs: DataFrame, terms: Seq[String], maxProbe: Int = 2): DataFrame = {
     require(terms.nonEmpty, "keyword search needs at least one term")
@@ -176,8 +194,8 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
     * libm `ln` is not — the same determinism rule as
     * [[TextOps.tfidfTerms]]), and each term's partial is floor-scaled to
     * an integer BEFORE the per-doc sum so accumulation order can't move
-    * the result. df is as-of-build (idf drifts under appends until a
-    * rebuild; dl/stats stay exact).
+    * the result. df, dl and the corpus stats all fold forward on
+    * [[append]], so the score is exact however the corpus arrived.
     */
   def searchRanked(docs: DataFrame, terms: Seq[String], k: Int = 10,
                    maxProbe: Int = 2): DataFrame = {

@@ -12,9 +12,10 @@ import graft.ops.KeywordIndex
   * brute-force tokenize-everything answer across probe/verify splits,
   * (2) the partition-pruning that makes the probe cheap — the postings
   * scan plans only the probe terms' bucket partitions, (3) O(batch)
-  * appends whose new docs become searchable without a rebuild (including
-  * terms outside the frozen df vocabulary), and (4) exactly-once
-  * streaming appends under the batch-id watermark.
+  * appends whose new docs become searchable without a rebuild — with
+  * df/dl/stats all folding forward so post-append BM25 equals a fresh
+  * rebuild's — and (4) exactly-once streaming appends under the
+  * batch-id watermark.
   */
 class KeywordIndexSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -140,18 +141,28 @@ class KeywordIndexSpec extends AnyFunSuite {
     val got = idx.searchRanked(docs, terms).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
     assert(got.nonEmpty && got == bruteBm25(docs))
-    // append: dl rows and the stats fold keep normalization exact —
-    // scores over the grown corpus change only through n/tl (df frozen),
-    // so the appended doc itself ranks (it contains all three terms)
+    // append: postings, dl, stats AND df all fold forward — the grown
+    // index must rank IDENTICALLY to the independent recompute over the
+    // grown corpus (idf exactness without a rebuild)
     val extra = Seq((920001L, "dup vector window dup vector window"))
       .toDF("doc_id", "text")
     idx.append(extra)
     val all = docs.unionByName(extra)
     val got2 = idx.searchRanked(all, terms).collect()
-      .map(_.getAs[Long]("doc_id"))
-    assert(got2.contains(920001L))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(got2.map(_._1).contains(920001L))
+    assert(got2 == bruteBm25(all))
     val st = wh.read(Relation("idx", "kw", "d__stats")).collect().head
     assert(st.getAs[Long]("n_docs") == docs.count() + 1)
+    // the folded df table is row-identical to a fresh rebuild's
+    val whF = new Warehouse(spark,
+      Files.createTempDirectory("graft_kw_fresh").toString,
+      CommitMode.Manifest)
+    val freshI = new KeywordIndex(whF, "d")
+    freshI.build(all)
+    def dfRows(w: Warehouse) = w.read(Relation("idx", "kw", "d__df"))
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"))).toSet
+    assert(dfRows(wh) == dfRows(whF))
   }
 
   test("streaming appends are exactly-once under the batch-id watermark") {

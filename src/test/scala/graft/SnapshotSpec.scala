@@ -236,6 +236,40 @@ class SnapshotSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Timestamp]("dbt_valid_to") != null)
   }
 
+  test("as-of-key point lookup plans a fraction of the history files (layout + key sidecars)") {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_snap_pt").toString, CommitMode.Manifest)
+    val snap = new Snapshotter(wh, subBuckets = Some(4))
+    val r = Relation("db", "s", "snap_pt")
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    def rows(ks: Range, month: Int, tag: String) =
+      src(ks.map(k => (k.toLong, s"$tag$k",
+        ts(f"2024-$month%02d-01 00:00:00"))))
+    snap.snapshot(rows(1 to 200, 1, "a"), r, Seq("id"), strat)
+    // delta-shaped runs: disjoint key bands close into different months —
+    // the snapshot write sorts leaves by (id, dbt_valid_from) and ships
+    // key-column sidecars, so a point probe must skip the closure files
+    // whose key ranges/blooms prove the key absent
+    snap.snapshot(rows(1 to 50, 2, "b"), r, Seq("id"), strat)
+    snap.snapshot(rows(51 to 100, 3, "c"), r, Seq("id"), strat)
+    snap.snapshot(rows(101 to 150, 4, "d"), r, Seq("id"), strat)
+    assertInvariants(wh, r)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value }.sum
+    }
+    val all = plannedFiles(snap.read(r))
+    val probe = plannedFiles(snap.read(r).filter(col("id") === 120L))
+    assert(probe < all, s"probe planned $probe of $all files — no skipping")
+    assert(probe * 2 <= all, s"probe planned $probe of $all files")
+    // the pruned probe still returns the key's full history
+    val hist = snap.read(r).filter(col("id") === 120L).collect()
+    assert(hist.length == 2)
+    assert(hist.count(_.getAs[Timestamp]("dbt_valid_to") == null) == 1)
+  }
+
   test("retention drops only closed months older than the cutoff") {
     val wh = freshWh(); val snap = new Snapshotter(wh)
     val r = Relation("db", "s", "snap_ret")
