@@ -346,6 +346,10 @@ object Similarity {
     *     build time (like the fuzzy index's stop list: a drifted corpus
     *     re-fits via an explicit rebuild, never silently)
     *   - `<name>__cells` — `(vec_id, v)` PARTITIONED BY cell id
+    *   - `<name>__books` — `(s, c, cv)` PQ codebooks (control-plane)
+    *   - `<name>__codes` — `(vec_id, code, cell)` 4-byte PQ codes,
+    *     cell-partitioned in lockstep with the floats — [[queryPq]]'s
+    *     memory-resident probe set ([[query]] re-ranks from the floats)
     *
     * The cell partitioning is the scale feature: a query batch selects
     * its `nprobe` nearest cells per query, the touched cell ids collect
@@ -369,6 +373,13 @@ object Similarity {
     import graft.core.Relation
     private val centRel = Relation("idx", "ann", s"${name}__centroids")
     private val cellRel = Relation("idx", "ann", s"${name}__cells")
+    // PQ side (Jégou codes): 4-byte codes against 256-byte float rows —
+    // the 64× shrink that keeps a 100 TB corpus's probe working set
+    // memory-resident. Codes live cell-partitioned like the floats so
+    // the ADC probe keeps the same partition-pruned scan; the float
+    // relation stays the exact re-rank (and compatibility) path.
+    private val bookRel = Relation("idx", "ann", s"${name}__books")
+    private val codeRel = Relation("idx", "ann", s"${name}__codes")
 
     /** ADAPTIVE multi-probe cell selection — the recall lever. The
       * `nprobe` nearest cells always probe; cells beyond extend the
@@ -406,13 +417,23 @@ object Similarity {
       q.select(col("vec_id").as("q_id"),
         size(probeCells(centroids())).as("n_cells"))
 
-    /** One-time fit + assign: one kmeansFit pass, one partitioned write. */
+    /** One-time fit + assign: one kmeansFit pass, partitioned float and
+      * code writes, plus the control-plane codebook rows ([[pqTrain]] —
+      * sample-trained like every production PQ index).
+      */
     def build(e: DataFrame): Unit = {
       val (_, cents, _) = kmeansFit(e, k)
       val s = e.sparkSession
       import s.implicits._
       wh.writeAtomic(cents.toDF("cid", "cv"), centRel)
-      wh.writeAtomic(e.withColumn("cell", kmNearest(cents)), cellRel,
+      val assigned = e.withColumn("cell", kmNearest(cents))
+      wh.writeAtomic(assigned, cellRel, partitionCols = Seq("cell"))
+      val books = pqTrain(e)
+      wh.writeAtomic(books.zipWithIndex.flatMap { case (bc, s0) =>
+        bc.zipWithIndex.map { case (cv, c) => (s0, c, cv) }
+      }.toDF("s", "c", "cv"), bookRel)
+      wh.writeAtomic(assigned.select(col("vec_id"),
+        pqCodeCol(books).as("code"), col("cell")), codeRel,
         partitionCols = Seq("cell"))
     }
 
@@ -422,10 +443,28 @@ object Similarity {
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq
 
-    /** Admit new vectors (frozen centroids — O(batch) assignment). */
-    def append(e: DataFrame): Unit =
-      wh.append(e.withColumn("cell", kmNearest(centroids())), cellRel,
-        Seq("cell"))
+    /** Frozen PQ codebooks back from the warehouse: S·K·sub doubles —
+      * control-plane, like the centroids.
+      */
+    private def booksStored(): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      wh.read(bookRel).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+        .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
+
+    /** Admit new vectors (frozen centroids/codebooks — O(batch)
+      * assignment and encode; codes stay in lockstep with the floats).
+      * An index built before the codes relation existed keeps working
+      * float-only.
+      */
+    def append(e: DataFrame): Unit = {
+      val assigned = e.withColumn("cell", kmNearest(centroids()))
+      wh.append(assigned, cellRel, Seq("cell"))
+      if (wh.exists(bookRel))
+        wh.append(assigned.select(col("vec_id"),
+          pqCodeCol(booksStored()).as("code"), col("cell")), codeRel,
+          Seq("cell"))
+    }
 
     /** Streaming sibling of [[append]] for `writeStream.foreachBatch`:
       * the cell append commits under the per-relation batch-id watermark
@@ -437,9 +476,19 @@ object Similarity {
       * identical rows.
       */
     def appendStreamBatch(e: DataFrame, sourceId: String,
-                          batchId: Long): Boolean =
-      wh.appendStreamBatch(e.withColumn("cell", kmNearest(centroids())),
-        cellRel, sourceId, batchId, Seq("cell"))
+                          batchId: Long): Boolean = {
+      val assigned = e.withColumn("cell", kmNearest(centroids()))
+      // codes first, floats second, each under its OWN per-relation
+      // batch-id watermark: a crash between the two appends replays the
+      // batch, each side independently detects done/pending, and both
+      // converge — encode and assignment are deterministic (frozen
+      // artifacts), so the replayed rows are identical
+      if (wh.exists(bookRel))
+        wh.appendStreamBatch(assigned.select(col("vec_id"),
+          pqCodeCol(booksStored()).as("code"), col("cell")), codeRel,
+          sourceId, batchId, Seq("cell"))
+      wh.appendStreamBatch(assigned, cellRel, sourceId, batchId, Seq("cell"))
+    }
 
     /** ANN top-k of each `(vec_id, v)` query row against the index. */
     def query(q: DataFrame, topK: Int = 5): DataFrame = {
@@ -456,6 +505,51 @@ object Similarity {
         .select(col("q_id"), col("a.vec_id").as("neighbor_id"),
           round(cosine_sim(col("qv"), col("a.v")), 6).as("cos_sim"))
       topKAgg(q.sparkSession, scored, topK)
+    }
+
+    /** ANN top-k through the PERSISTED CODES (faiss IndexIVFPQ serving
+      * shape): the same adaptive multi-probe cell selection, but the
+      * candidate scan reads the cell-pruned 4-byte codes — at 100 TB the
+      * probe working set is 64× smaller than [[query]]'s float scan and
+      * stays memory-resident — ADC-scores them against driver-built
+      * per-query lookup tables, keeps a top-`shortlist` per query, and
+      * exact-cosine re-ranks ONLY the shortlist from the float relation
+      * (pruned to the same probed cells). Unlike [[query]], the query
+      * batch must be BOUNDED: the ADC tables are per-query control-plane
+      * data built on the driver (Q·S·K doubles) — the serving-path
+      * contract, not a limitation (an unbounded query stream batches).
+      */
+    def queryPq(q: DataFrame, topK: Int = 5, shortlist: Int = 50): DataFrame = {
+      val s = q.sparkSession
+      import s.implicits._
+      val cents = centroids()
+      val books = booksStored()
+      val qRows = q.select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      val qTbl = s.createDataset(pqAdcTableRows(qRows, books))
+        .toDF("q_id", "tbl")
+      val probed = q.withColumn("cell", explode(probeCells(cents)))
+        .select(col("vec_id").as("q_id"), col("cell"))
+        .join(broadcast(qTbl), "q_id")
+      val cids = probed.select("cell").distinct().collect().map(_.getInt(0))
+      val codes = wh.read(codeRel).filter(col("cell").isin(cids: _*))
+      val adc = codes.alias("a").join(probed.alias("p"),
+          col("a.cell") === col("p.cell") && col("a.vec_id") =!= col("p.q_id"))
+        .select(col("q_id"), col("a.vec_id").as("neighbor_id"),
+          round(aggregate(
+            zip_with(col("a.code"), col("p.tbl"),
+              (c, t) => element_at(t, c.cast("int") + 1)),
+            lit(0.0), (acc, z) => acc + z), 6).as("adc_score"))
+      val short = topKAgg(s, adc, shortlist, "adc_score")
+        .select(col("q_id"), col("neighbor_id"))
+      val qv = q.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cand = wh.read(cellRel).filter(col("cell").isin(cids: _*))
+        .select(col("vec_id").as("neighbor_id"), col("v"))
+      val exact = short.join(cand, "neighbor_id")
+        .join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("neighbor_id"),
+          round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
+      topKAgg(s, exact, topK)
     }
   }
 

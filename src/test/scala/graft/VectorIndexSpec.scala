@@ -96,6 +96,57 @@ class VectorIndexSpec extends AnyFunSuite {
       s"appended near-copy must surface in top-5, got $got2")
   }
 
+  test("PQ codes path: recall floor, cell-pruned codes scan, appends keep codes in lockstep") {
+    val s2 = spark; import s2.implicits._
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_vidx_pq").toString, CommitMode.Manifest)
+    val e = Similarity.vecs(spark, sf)
+    val idx = new Similarity.VectorIndex(wh, "emb", k = 8, nprobe = 2,
+      maxProbe = 4, probeMargin = 0.1)
+    idx.build(e)
+    val codeRel = Relation("idx", "ann", "emb__codes")
+    // codes in lockstep with the floats: one 8-nibble code per vector
+    assert(wh.read(codeRel).count() == e.count())
+    assert(wh.read(codeRel).select("code").head.getSeq[Int](0).size == 8)
+
+    // recall@5 of the ADC+rerank path vs the float path's ground truth:
+    // same probed cells, so this isolates what the 64x compression loses
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = idx.query(q, topK = 5).select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPq = idx.queryPq(q, topK = 5).select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (viaPq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall@5 vs float path = $recall")
+
+    // the CODES scan partition-prunes exactly like the float scan
+    val q1 = idx.queryPq(e.filter(col("vec_id") === 0L), topK = 5)
+    q1.collect()
+    val codeScan = scans(q1.queryExecution.executedPlan)
+      .find(s => s.output.exists(_.name == "code"))
+      .getOrElse(fail("no code scan in the PQ query plan"))
+    assert(codeScan.partitionFilters.nonEmpty,
+      "probe filter must reach the codes scan as a partition filter")
+    val fullCodes = wh.read(codeRel)
+    fullCodes.collect()
+    val totalCodeFiles = scans(fullCodes.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(codeScan.metrics("numFiles").value * 2 <= totalCodeFiles,
+      s"codes scan read ${codeScan.metrics("numFiles").value} of " +
+        s"$totalCodeFiles files — not pruned")
+
+    // append keeps codes in lockstep: the near-copy surfaces via PQ too
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("v")).collect().head.getSeq[Double](0)
+    idx.append(Seq((910001L, probe.map(x => x * 0.995 + 0.001)))
+      .toDF("vec_id", "v"))
+    assert(wh.read(codeRel).filter(col("vec_id") === 910001L).count() == 1)
+    val got2 = idx.queryPq(e.filter(col("vec_id") === 0L), topK = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got2.contains(910001L),
+      s"appended near-copy must surface in PQ top-5, got $got2")
+  }
+
   test("row deletes compose: a deleted vector vanishes without a rebuild") {
     val s2 = spark; import s2.implicits._
     val wh = new Warehouse(spark,
@@ -131,11 +182,16 @@ class VectorIndexSpec extends AnyFunSuite {
     val n0 = wh.read(Relation("idx", "ann", "emb__cells")).count()
     val batch = e.limit(5)
       .select((col("vec_id") + 800000L).as("vec_id"), col("v"))
+    val c0 = wh.read(Relation("idx", "ann", "emb__codes")).count()
     assert(idx.appendStreamBatch(batch, "emb_ingest", 0L))
     val n1 = wh.read(Relation("idx", "ann", "emb__cells")).count()
     assert(n1 == n0 + 5)
-    // checkpoint-restart replay: detected no-op
+    // the codes relation rode the same batch under its own watermark
+    val c1 = wh.read(Relation("idx", "ann", "emb__codes")).count()
+    assert(c1 == c0 + 5)
+    // checkpoint-restart replay: detected no-op on BOTH relations
     assert(!idx.appendStreamBatch(batch, "emb_ingest", 0L))
     assert(wh.read(Relation("idx", "ann", "emb__cells")).count() == n1)
+    assert(wh.read(Relation("idx", "ann", "emb__codes")).count() == c1)
   }
 }
