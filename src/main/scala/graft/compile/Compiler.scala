@@ -210,11 +210,28 @@ object Compiler {
       v.substring(1, v.length - 1)
     else v
 
+  /** A token that IS a value: quoted string (content), number, or
+    * boolean. A bare identifier is NOT one — it is an unresolved
+    * variable, and deciding a comparison on its NAME would silently
+    * pick the wrong branch (loop/set variables substitute into
+    * conditions as quoted literals before evaluation, see
+    * [[substVarInConds]]).
+    */
+  private def litTok(s0: String): Option[String] = {
+    val s = s0.trim
+    if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+      Some(s.substring(1, s.length - 1))
+    else if (s.matches("-?\\d+(\\.\\d+)?") || s == "true" || s == "false")
+      Some(s)
+    else None
+  }
+
   /** Evaluate the decidable condition subset: `true`/`false`, `not c`,
-    * `a == b` / `a != b` over literal tokens (quoted strings compare by
+    * `a == b` / `a != b` over LITERAL tokens (quoted strings compare by
     * content). None = not decidable here → the block passes through
     * untouched (e.g. `is_incremental()`, which [[compile]] resolves
-    * separately).
+    * separately, or a comparison on an unresolved variable — left for
+    * the SQL parser to reject loudly rather than mis-decided).
     */
   private def evalCond(c0: String): Option[Boolean] = {
     val c = c0.trim
@@ -222,13 +239,31 @@ object Compiler {
     else if (c == "false") Some(false)
     else if (c.startsWith("not ")) evalCond(c.stripPrefix("not ")).map(!_)
     else {
-      def tok(s: String) = stripQuotes(s.trim)
       val eq = c.split("==", 2)
       val ne = c.split("!=", 2)
-      if (eq.length == 2 && !c.contains("!=")) Some(tok(eq(0)) == tok(eq(1)))
-      else if (ne.length == 2) Some(tok(ne(0)) != tok(ne(1)))
+      if (eq.length == 2 && !c.contains("!="))
+        for (a <- litTok(eq(0)); b <- litTok(eq(1))) yield a == b
+      else if (ne.length == 2)
+        for (a <- litTok(ne(0)); b <- litTok(ne(1))) yield a != b
       else None
     }
+  }
+
+  private val ifHeadRe: Regex =
+    """\{%-?\s*if\s+((?:(?!%\}).)*?)\s*-?%\}""".r
+
+  /** Substitute a variable into `{% if %}` CONDITIONS as a quoted
+    * literal (jinja conditions use bare names — `{% if st == 'O' %}` —
+    * where interpolation sites use `{{ st }}`). Word-boundary match, so
+    * only condition text rewrites; SQL body text is untouched.
+    */
+  private def substVarInConds(name: String, value: String,
+                              s: String): String = {
+    val bare = ("""\b""" + Regex.quote(name) + """\b""").r
+    val quoted = "'" + value.replace("'", "''") + "'"
+    ifHeadRe.replaceAllIn(s, m => Regex.quoteReplacement(
+      "{% if " + bare.replaceAllIn(m.group(1),
+        Regex.quoteReplacement(quoted)) + " %}"))
   }
 
   private def evalIfs(s: String): String =
@@ -282,18 +317,24 @@ object Compiler {
             .replaceAllIn(b, value).replace("loop." + which, value)
         Regex.quoteReplacement(items.zipWithIndex.map { case (it, i) =>
           var b = varRe.replaceAllIn(body, Regex.quoteReplacement(it))
+          b = substVarInConds(v, it, b) // bare `{% if st == 'O' %}` form
           b = loopVal("index", (i + 1).toString, b)
           b = loopVal("first", if (i == 0) "true" else "false", b)
           b = loopVal("last", if (i == n - 1) "true" else "false", b)
           evalIfs(b)
         }.mkString)
       })
-      // scalar {% set %} bindings interpolate like jinja variables
-      val next = binds.foldLeft(evalIfs(afterFor)) { case (acc, (k, raw)) =>
-        if (raw.startsWith("[")) acc
-        else ("""\{\{\s*""" + Regex.quote(k) + """\s*\}\}""").r
-          .replaceAllIn(acc, Regex.quoteReplacement(stripQuotes(raw)))
+      // scalar {% set %} bindings: into if-conditions as quoted
+      // literals first, then interpolation sites
+      var mid = afterFor
+      binds.foreach { case (k, raw) =>
+        if (!raw.startsWith("[")) {
+          mid = substVarInConds(k, stripQuotes(raw), mid)
+          mid = ("""\{\{\s*""" + Regex.quote(k) + """\s*\}\}""").r
+            .replaceAllIn(mid, Regex.quoteReplacement(stripQuotes(raw)))
+        }
       }
+      val next = evalIfs(mid)
       changed = next != sql
       sql = next
       depth += 1

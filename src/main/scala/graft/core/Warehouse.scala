@@ -825,11 +825,15 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * the write. Runs BEFORE the manifest commit, so the bloom is
     * immutable alongside its dir.
     */
-  private def writeBloomSidecar(vdir: Path): Unit =
+  private def writeBloomSidecar(vdir: Path,
+                                extraCols: Seq[String] = Nil): Unit =
     if (!spark.conf.getOption("graft.bloom.enabled").contains("false")) try {
-      val cols = spark.conf.getOption("graft.bloom.cols")
+      // extraCols = per-write request (e.g. snapshot key columns) — an
+      // explicit parameter, not a session-conf toggle, so concurrent
+      // writes of other relations on the same session are unaffected
+      val cols = (spark.conf.getOption("graft.bloom.cols")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
+        .getOrElse(Nil) ++ extraCols).distinct
       if (cols.nonEmpty) {
         // size the bloom from the just-written footers' record counts —
         // pure metadata, no count() job over the data
@@ -1133,10 +1137,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def writeAtomic(df: DataFrame, rel: Relation,
                   partitionCols: Seq[String] = Nil,
                   clusterCols: Seq[String] = Nil,
-                  zorderCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
+                  zorderCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
     if (usesManifest) {
       overwriteManifest(df, rel, partitionCols, clusterCols, zorderCols,
-        identity)
+        identity, bloomCols)
     } else {
       val tmp = rel.suffixed("__dbt_tmp")
       val backup = rel.suffixed("__dbt_backup")
@@ -1169,7 +1174,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
                                 partitionCols: Seq[String],
                                 clusterCols: Seq[String],
                                 zorderCols: Seq[String],
-                                metaF: Map[String, String] => Map[String, String]): Unit = {
+                                metaF: Map[String, String] => Map[String, String],
+                                bloomCols: Seq[String] = Nil): Unit = {
     val vdir = newVersionDir(rel,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
     val writer = clusteredWriter(df, partitionCols, clusterCols, zorderCols)
@@ -1177,7 +1183,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
              else writer
     w2.parquet(vdir.toString)
-    writeStatsSidecar(vdir); writeBloomSidecar(vdir)
+    writeStatsSidecar(vdir); writeBloomSidecar(vdir, bloomCols)
     val parts =
       if (partitionCols.isEmpty) Seq("")
       else leafDirs(vdir, partitionCols.length)
@@ -1587,6 +1593,42 @@ final class Warehouse(val spark: SparkSession, val root: String,
     try out.write(compiledSql.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The relation's CURRENT committed state as external-reader slices:
+    * `Right(Seq((dir, partitionKVs)))` — plain parquet dirs whose union
+    * (with the partition values re-attached, since an entry dir sits
+    * BELOW its partition path) IS the table as graft reads it. Rename
+    * mode: the single live table dir. Manifest mode: the current
+    * manifest's data entries — replaced partitions and multi-version
+    * appends resolve exactly like [[read]]. `Left(reason)` when no path
+    * union can represent the state: pending row-delete entries mask
+    * rows positionally, so external readers must go through graft until
+    * a [[compactPartitions]] pass retires them. Feeds
+    * [[graft.run.Engine.catalogDdl]] — the point-in-time export for
+    * engines outside this library.
+    */
+  def externalSlices(rel: Relation)
+      : Either[String, Seq[(String, Seq[(String, String)])]] =
+    if (!usesManifest) Right(Seq((path(rel), Nil)))
+    else latestManifest(rel) match {
+      case None => Left(s"${rel.fqName}: no committed manifest")
+      case Some((_, entries)) if entries.exists(isDeleteEntry) =>
+        Left(s"${rel.fqName}: pending row-delete entries — compact first")
+      case Some((_, entries)) =>
+        Right(dataEntries(entries).map { case (v, part) =>
+          val dir =
+            if (part.isEmpty) new Path(mfDir(rel), v)
+            else new Path(new Path(mfDir(rel), v), part)
+          val kvs =
+            if (part.isEmpty) Seq.empty[(String, String)]
+            else part.split("/").toSeq.map { seg =>
+              val i = seg.indexOf('=')
+              (seg.substring(0, i),
+                Warehouse.unescapePathName(seg.substring(i + 1)))
+            }
+          (dir.toString, kvs)
+        })
+    }
+
   def readViewDef(rel: Relation): Option[String] = {
     val p = new Path(path(rel) + ".view.sql")
     if (!fs.exists(p)) None
@@ -1806,13 +1848,14 @@ final class Warehouse(val spark: SparkSession, val root: String,
                         alsoDropValues: Seq[String] = Nil,
                         clusterCols: Seq[String] = Nil,
                         alsoDropPaths: Seq[String] = Nil,
-                        zorderCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
+                        zorderCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
     require(pcols.nonEmpty, "replacePartitions requires partition columns")
     require(alsoDropValues.isEmpty || pcols.size == 1,
       "alsoDropValues (static insert_overwrite) is single-column")
     if (usesManifest)
       replacePartitionsImpl(df, rel, pcols, alsoDropValues, clusterCols,
-        alsoDropPaths, zorderCols)
+        alsoDropPaths, zorderCols, bloomCols)
     else {
       val tmp = rel.suffixed("__dbt_tmp")
       val backup = rel.suffixed("__dbt_pbackup")
@@ -1869,12 +1912,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
                                     alsoDropValues: Seq[String],
                                     clusterCols: Seq[String],
                                     alsoDropPaths: Seq[String],
-                                    zorderCols: Seq[String] = Nil): Unit = {
+                                    zorderCols: Seq[String] = Nil,
+                                    bloomCols: Seq[String] = Nil): Unit = {
     val vdir = newVersionDir(rel,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
     clusteredWriter(df, pcols, clusterCols, zorderCols)
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(vdir.toString)
-    writeStatsSidecar(vdir); writeBloomSidecar(vdir)
+    writeStatsSidecar(vdir); writeBloomSidecar(vdir, bloomCols)
     val written = leafDirs(vdir, pcols.length)
     val writtenSet = written.toSet
     val writtenVals = written

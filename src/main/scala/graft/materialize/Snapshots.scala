@@ -77,26 +77,31 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     * the scd_id, so it spreads a key's versions but gives a KEY probe no
     * pruning. Single-key snapshots sort leaves by (key, dbt_valid_from)
     * (tight per-file min/max on the lookup column via the range
-    * sidecar); multi-column keys z-order over the keys so a probe on
-    * either column alone stays selective. Returns (clusterCols,
-    * zorderCols) for the writer.
+    * sidecar); multi-column NUMERIC/temporal keys z-order over the keys
+    * so a probe on either column alone stays selective; multi-column
+    * keys with any string column fall back to the lexicographic cluster
+    * sort (ZOrder quantizes only ordered-numeric dimensions — a string
+    * key still gets per-file min/max on the sort prefix plus its bloom
+    * sidecar). Returns (clusterCols, zorderCols) for the writer.
     */
-  private def historyLayout(keys: Seq[String]): (Seq[String], Seq[String]) =
-    if (keys.size == 1) (keys :+ "dbt_valid_from", Nil) else (Nil, keys)
-
-  /** Bloom sidecars on the key columns ride every snapshot write (the
-    * `graft.bloom.cols` machinery): ManifestFileIndex then skips each
-    * leaf whose bloom proves the probed key absent — the complement of
-    * the in-leaf sort, for keys that DON'T sort near the probe. A
-    * caller-set `graft.bloom.cols` wins (their warehouse, their knobs).
-    */
-  private def withKeyBloom[T](keys: Seq[String])(body: => T): T = {
-    val conf = wh.spark.conf
-    val prev = conf.getOption("graft.bloom.cols")
-    if (prev.isEmpty) conf.set("graft.bloom.cols", keys.mkString(","))
-    try body
-    finally { if (prev.isEmpty) conf.unset("graft.bloom.cols") }
+  private def historyLayout(df: DataFrame,
+                            keys: Seq[String]): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
+    val zorderable = keys.forall(k => df.schema(k).dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    if (keys.size >= 2 && zorderable) (Nil, keys)
+    else (keys :+ "dbt_valid_from", Nil)
   }
+
+  // Bloom sidecars on the key columns ride every snapshot write (the
+  // explicit `bloomCols` writer parameter — NOT the session conf, which
+  // would leak onto concurrent node writes of other relations):
+  // ManifestFileIndex then skips each leaf whose bloom proves the probed
+  // key absent — the complement of the in-leaf sort, for keys that
+  // DON'T sort near the probe. Session-conf `graft.bloom.cols` still
+  // composes (the sidecar unions both sources).
 
   /** Validity/change columns for the `check` strategy need a transaction
     * time; the engine passes the wall clock, tests/oracles pin a literal.
@@ -133,11 +138,9 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
         .withColumn("dbt_scd_id", scdId(keys, updatedAt))
         .withColumn(BUCKET, lit(CURRENT))
         .withColumn(SUB, subOf(col("dbt_scd_id"), n0))
-      val (cc0, zc0) = historyLayout(keys)
-      withKeyBloom(keys) {
-        wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET, SUB),
-          clusterCols = cc0, zorderCols = zc0)
-      }
+      val (cc0, zc0) = historyLayout(first, keys)
+      wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET, SUB),
+        clusterCols = cc0, zorderCols = zc0, bloomCols = keys)
       return
     }
 
@@ -263,11 +266,10 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
       // a touched current leaf whose every row closed (and gained no
       // inserts) is written by nobody — drop it explicitly
       val staleLeaves = touchedSubs.map(sb => s"$BUCKET=$CURRENT/$SUB=$sb")
-      val (cc, zc) = historyLayout(keys)
-      withKeyBloom(keys) {
-        wh.replacePartitions(payload, rel, Seq(BUCKET, SUB),
-          alsoDropPaths = staleLeaves, clusterCols = cc, zorderCols = zc)
-      }
+      val (cc, zc) = historyLayout(payload, keys)
+      wh.replacePartitions(payload, rel, Seq(BUCKET, SUB),
+        alsoDropPaths = staleLeaves, clusterCols = cc, zorderCols = zc,
+        bloomCols = keys)
     } finally {
       closing.unpersist(); ()
     }

@@ -1150,6 +1150,89 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       : (Seq[Dag.NodeResult], Seq[TestResult]) =
     build(Some(retrySelection(runResultsPath)), deferRoot, fullRefresh)
 
+  /** Point-in-time DDL for EXTERNAL engines/sessions — closes the
+    * path-addressed warehouse's discoverability gap: `CREATE OR REPLACE
+    * VIEW` statements (ANSI-ish Spark SQL) over the CURRENT committed
+    * state, so any Spark session (or an engine with parquet path
+    * tables) registers the warehouse without knowing graft's layout.
+    * Rename-mode tables are single live dirs; manifest-mode tables
+    * expand to their committed (version, partition) slices with
+    * partition values re-attached as literals CAST to the reader
+    * schema's types — replaced partitions and multi-version appends
+    * read exactly like graft's own reader. Durable view models re-emit
+    * their compiled SQL with intra-warehouse path references rewritten
+    * to the exported names (a raw `.view.sql` over a manifest table
+    * root would read every version). Returns (statements, skipped):
+    * not exportable — reported, never silent — are relations with
+    * pending row-delete entries (positional masks; compact retires
+    * them) and materialized_view models (their stored shape is internal
+    * partials). This is an EXPORT, not a live pointer: re-run after
+    * builds.
+    */
+  def catalogDdl(): (Seq[String], Seq[String]) = {
+    val stmts = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+    def ident(n: String): String = "`" + n.replace("`", "") + "`"
+    def sliceSql(rel: Relation): Option[String] =
+      warehouse.externalSlices(rel) match {
+        case Left(reason) => skipped += reason; None
+        case Right(slices) =>
+          val types: Map[String, String] =
+            warehouse.read(rel).schema.fields
+              .map(f => f.name -> f.dataType.sql).toMap
+          Some(slices.map { case (dir, kvs) =>
+            val lits = kvs.map { case (k, v) =>
+              if (v == "__HIVE_DEFAULT_PARTITION__")
+                s"CAST(NULL AS ${types.getOrElse(k, "STRING")}) AS ${ident(k)}"
+              else
+                s"CAST('${v.replace("'", "''")}' AS " +
+                  s"${types.getOrElse(k, "STRING")}) AS ${ident(k)}"
+            }
+            val sel = ("*" +: lits).mkString(", ")
+            s"SELECT $sel FROM parquet.`$dir`"
+          }.mkString("\nUNION ALL\n"))
+      }
+    // tables first: the view pass below rewrites path references to them
+    val tableNames = Seq.newBuilder[(String, String)] // (table path, ident)
+    val nodes =
+      project.seeds.map(_.name -> "seed") ++
+        project.snapshots.map(_.name -> "snapshot") ++
+        project.models.map(m => m.name -> effectiveConfig(m).materialized)
+    nodes.foreach { case (name, kind) =>
+      val rel = relationFor(name)
+      kind match {
+        case "ephemeral" => () // inlined, nothing on disk by design
+        case "materialized_view" =>
+          skipped += s"${rel.fqName}: materialized_view stores internal " +
+            "partials — read through graft"
+        case "view" =>
+          () // handled after tables (needs the rewrite table)
+        case _ if !warehouse.exists(rel) =>
+          skipped += s"${rel.fqName}: not built"
+        case _ =>
+          sliceSql(rel).foreach { body =>
+            tableNames += ((warehouse.path(rel), ident(name)))
+            stmts += s"CREATE OR REPLACE VIEW ${ident(name)} AS\n$body"
+          }
+      }
+    }
+    val rewrites = tableNames.result()
+    project.models.foreach { m =>
+      if (effectiveConfig(m).materialized == "view") {
+        val rel = relationFor(m.name)
+        warehouse.readViewDef(rel) match {
+          case None => skipped += s"${rel.fqName}: no durable view definition"
+          case Some(defSql) =>
+            val rewritten = rewrites.foldLeft(defSql) { case (acc, (p, id)) =>
+              acc.replace(s"parquet.`$p`", id)
+            }
+            stmts += s"CREATE OR REPLACE VIEW ${ident(m.name)} AS\n$rewritten"
+        }
+      }
+    }
+    (stmts.result(), skipped.result())
+  }
+
   /** `dbt docs generate` artifact: the catalog.json analogue — one entry
     * per materialized relation in the target schema with row count, byte
     * size, partition layout, and column schema, plus every durable view

@@ -28,6 +28,9 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                    stats + view definitions, no table scans)
   *   list             print (selected) nodes with kind/materialization/tags
   *   lineage          Graphviz DOT of the (selected) lineage graph
+  *   ddl              print CREATE VIEW DDL registering the warehouse's
+  *                    current committed state in an EXTERNAL engine/session
+  *                    (point-in-time export; skips report to stderr)
   *   compile          emit the state manifest (no execution)
   *   test             only the declared tests
   *   freshness        source freshness vs thresholds
@@ -263,6 +266,12 @@ object GraftCli {
           println(f"snapshot ${s.name}"))
         project.exposures.foreach(e =>
           println(f"exposure ${e.name}%-32s -> ${e.dependsOn.mkString(", ")}"))
+      case "ddl" =>
+        // external-engine registration: point-in-time CREATE VIEW DDL
+        // over the current committed state (skips go to stderr, loudly)
+        val (stmts, skipped) = engine.catalogDdl()
+        stmts.foreach(s => println(s + ";\n"))
+        skipped.foreach(r => System.err.println(s"[graft] ddl skipped: $r"))
       case "docs" =>
         // `dbt docs generate`: the catalog artifact (footer stats only)
         val out = flags.get("out").flatMap(_.headOption)

@@ -179,6 +179,17 @@ class OrchestratorSpec extends AnyFunSuite {
       "{% for x in ['a'] %}{{ x }}{{ loop.index }}{% endfor %}") == "a1")
     assert(Compiler.expandControlFlow(
       "{% if 'a' == 'b' %}yes{% else %}no{% endif %}") == "no")
+    // bare jinja-style variables in conditions substitute as literals
+    assert(Compiler.expandControlFlow(
+      "{% for st in ['O','F'] %}{% if st == 'O' %}A{% else %}B{% endif %}{% endfor %}")
+      == "AB")
+    assert(Compiler.expandControlFlow(
+      "{% set flag = 'a' %}{% if flag == 'a' %}yes{% else %}no{% endif %}")
+      == "yes")
+    // a comparison on an UNRESOLVED variable must never be decided —
+    // the block survives for the SQL parser to reject loudly
+    val undecided = "{% if mystery == 'a' %}yes{% endif %}"
+    assert(Compiler.expandControlFlow(undecided).contains("mystery"))
     // is_incremental stays untouched for compile() to resolve
     val keep = "{% if is_incremental() %}WHERE x > 1{% endif %}"
     assert(Compiler.expandControlFlow(keep) == keep)
@@ -186,6 +197,49 @@ class OrchestratorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Compiler.expandControlFlow("{% for r in run_query_results %}{{ r }}{% endfor %}")
     }
+  }
+
+  test("catalog DDL registers the committed state for an external reader") {
+    val p = Project(name = "ddl_demo",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("ddl_orders_part",
+          "{{ config(partition_by='o_orderstatus') }} " +
+            "SELECT o_orderkey, o_custkey, o_orderstatus " +
+            "FROM {{ source('tpch','orders') }}"),
+        // append-only incremental: two builds = two committed version
+        // dirs, the interesting manifest-union case
+        ModelDef("ddl_incr",
+          "{{ config(materialized='incremental') }} " +
+            "SELECT o_orderkey, o_totalprice FROM {{ source('tpch','orders') }}"),
+        ModelDef("ddl_top",
+          "{{ config(materialized='view') }} " +
+            "SELECT o_orderstatus, count(*) AS n " +
+            "FROM {{ ref('ddl_orders_part') }} GROUP BY o_orderstatus")))
+    val e = new Engine(spark, p,
+      Target(root(), commitMode = graft.core.CommitMode.Manifest))
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.build()._1.forall(_.status == "success"))
+    val (stmts, skipped) = e.catalogDdl()
+    assert(skipped.isEmpty, skipped.toString)
+    assert(stmts.size == 3)
+    // the view's DDL must reference the exported table name, not a raw
+    // warehouse path (a path over the manifest root reads every version)
+    val topDdl = stmts.find(_.contains("`ddl_top`")).get
+    assert(topDdl.contains("`ddl_orders_part`") && !topDdl.contains("parquet."))
+    try {
+      stmts.foreach(spark.sql(_))
+      for (m <- Seq("ddl_orders_part", "ddl_incr", "ddl_top")) {
+        val a = e.readModel(m)
+        val b = spark.table(m)
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"external read of $m diverges from graft's")
+      }
+      // both append versions visible externally (doubled rows)
+      assert(spark.table("ddl_incr").count() ==
+        2 * spark.read.parquet(s"$sf/orders.parquet").count())
+    } finally Seq("ddl_orders_part", "ddl_incr", "ddl_top")
+      .foreach(n => spark.sql(s"DROP VIEW IF EXISTS `$n`"))
   }
 
   test("named selectors: saved composition resolves and builds exactly its closure") {

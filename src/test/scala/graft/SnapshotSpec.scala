@@ -270,6 +270,40 @@ class SnapshotSpec extends AnyFunSuite {
     assert(hist.count(_.getAs[Timestamp]("dbt_valid_to") == null) == 1)
   }
 
+  test("multi-column keys: string keys cluster-sort, numeric keys z-order — both write") {
+    val s = spark; import s.implicits._
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    // string key pair: ZOrder can't quantize strings — the layout must
+    // fall back to the lexicographic cluster sort, not crash the write
+    val whS = new Warehouse(spark,
+      Files.createTempDirectory("graft_snap_mk").toString, CommitMode.Manifest)
+    val snapS = new Snapshotter(whS)
+    val rs = Relation("db", "s", "snap_strkeys")
+    def srcS(tag: String, t: String) =
+      Seq(("us", "a", tag, ts(t)), ("eu", "b", tag, ts(t)))
+        .toDF("region", "code", "payload", "updated_at")
+    snapS.snapshot(srcS("v1", "2024-01-01 00:00:00"), rs,
+      Seq("region", "code"), strat)
+    snapS.snapshot(srcS("v2", "2024-02-01 00:00:00"), rs,
+      Seq("region", "code"), strat)
+    val outS = whS.read(rs)
+    assert(outS.count() == 4)
+    assert(outS.filter(col("dbt_valid_to").isNull).count() == 2)
+    // numeric key pair: the z-order path
+    val whN = new Warehouse(spark,
+      Files.createTempDirectory("graft_snap_mkn").toString, CommitMode.Manifest)
+    val snapN = new Snapshotter(whN)
+    val rn = Relation("db", "s", "snap_numkeys")
+    def srcN(tag: String, t: String) =
+      (1L to 20L).map(i => (i, i % 3, tag, ts(t)))
+        .toDF("k1", "k2", "payload", "updated_at")
+    snapN.snapshot(srcN("v1", "2024-01-01 00:00:00"), rn, Seq("k1", "k2"), strat)
+    snapN.snapshot(srcN("v2", "2024-02-01 00:00:00"), rn, Seq("k1", "k2"), strat)
+    val outN = whN.read(rn)
+    assert(outN.count() == 40)
+    assert(outN.filter(col("dbt_valid_to").isNull).count() == 20)
+  }
+
   test("retention drops only closed months older than the cutoff") {
     val wh = freshWh(); val snap = new Snapshotter(wh)
     val r = Relation("db", "s", "snap_ret")
