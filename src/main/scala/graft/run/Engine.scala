@@ -168,7 +168,10 @@ final case class Project(name: String,
                          // upstream project deployments (dbt mesh)
                          dependencies: Seq[DependencyDef] = Nil,
                          // named selector compositions (dbt selectors.yml)
-                         selectors: Seq[SelectorDef] = Nil)
+                         selectors: Seq[SelectorDef] = Nil,
+                         // analysis files (compiled, never materialized;
+                         // ModelDef reused for its name+rawSql shape)
+                         analyses: Seq[ModelDef] = Nil)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -891,12 +894,16 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * for a project: preview a model (`SELECT * FROM {{ ref('m') }}`),
     * poke a source, exercise a macro.
     */
-  def renderInline(sqlTemplate: String): DataFrame = {
+  /** Compiled text of a node-less SQL template (inline queries, analysis
+    * files): macros expanded, refs/sources/env/vars resolved — dbt's
+    * `target/compiled` artifact shape; nothing executes.
+    */
+  def compileInline(sqlTemplate: String): String = {
     require(!sqlTemplate.contains("{{ this }}") &&
       !"""\{\{\s*this\s*\}\}""".r.findFirstIn(sqlTemplate).isDefined,
       "inline queries have no node scope: {{ this }} is unavailable")
     val expanded = Compiler.expandMacros(sqlTemplate, project.macros)
-    spark.sql(warehouse.resolveSql(Compiler.compile(expanded,
+    Compiler.compile(expanded,
       Compiler.ResolveCtx(
         refTarget = r =>
           if (isInlined(r)) {
@@ -908,8 +915,18 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         sourceTarget = (s, t) => sourceText(s, t),
         crossRefTarget = crossRefText,
         thisTarget = "", env = target.env, isIncremental = false,
-        vars = mergedVars))))
+        vars = mergedVars))
   }
+
+  def renderInline(sqlTemplate: String): DataFrame =
+    spark.sql(warehouse.resolveSql(compileInline(sqlTemplate)))
+
+  /** dbt `analysis` nodes (the reference reserves the dir —
+    * `analysis/.gitkeep`, `analysis-paths` in dbt_project.yml:15-20):
+    * project-compiled SQL that never materializes; the compiled text IS
+    * the artifact (`dbt compile` emits it). */
+  def compiledAnalyses: Map[String, String] =
+    project.analyses.map(a => a.name -> compileInline(a.rawSql)).toMap
 
   /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests
     * immediately after it (SURVEY §3.1 step 6).

@@ -58,6 +58,14 @@ object ProjectLoader {
       ModelDef(stem(p), Files.readString(p))
     }
 
+    // analyses: compiled-only SQL (reference `analysis/.gitkeep` slot;
+    // dbt accepts both dir spellings across versions)
+    val analyses =
+      (listFiles(root.resolve("analyses"), ".sql") ++
+        listFiles(root.resolve("analysis"), ".sql")).map { p =>
+        ModelDef(stem(p), Files.readString(p))
+      }
+
     // macros/*.sql: {% macro name(params) %} body {% endmacro %} blocks,
     // any number per file (dbt macro search path dbt_project.yml:15-20;
     // the reference reserves the dir via macros/.gitkeep)
@@ -265,7 +273,7 @@ object ProjectLoader {
 
     (Project(name, sources, models, seeds, snapshots, tests,
       onRunStart, onRunEnd, macros, vars, exposures, metrics,
-      dependencies, selectors), conf)
+      dependencies, selectors, analyses), conf)
   }
 
   private def configKv(sql: String): Map[String, String] = {

@@ -55,6 +55,9 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                      repeatable (repeats union)
   *   --selector <name>  run a NAMED selector from selectors.conf (dbt
   *                      selectors.yml); mutually exclusive with --select
+  *   --target <name>    profiles.yml-style target: project.conf
+  *                      `target.<name>.<key>=` lines override flat keys
+  *                      (database/schema/threads); default from `target=`
   *   --exclude <sel>    subtract these nodes from the selection (same
   *                      grammar; applies to --state selection too)
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -90,10 +93,16 @@ object GraftCli {
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     val cliVars = flags.getOrElse("vars", Nil)
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    // profiles.yml-style named targets (the reference declares TWO —
+    // `ci` and `ci-with-pr`, test_profiles/profiles.yml:2,16):
+    // `target.<name>.<key>=` lines override the flat keys; the active
+    // target is --target or project.conf `target=`
+    val tc = resolveTargetConf(conf,
+      flags.get("target").flatMap(_.headOption))
     val target = Target(whRoot,
-      database = conf.getOrElse("database", "analytics"),
-      schema = conf.getOrElse("schema", "main"),
-      threads = conf.getOrElse("threads", "4").toInt,
+      database = tc("database").getOrElse("analytics"),
+      schema = tc("schema").getOrElse("main"),
+      threads = tc("threads").getOrElse("4").toInt,
       env = env,
       vars = cliVars,
       empty = flags.contains("empty"),
@@ -283,6 +292,17 @@ object GraftCli {
           .getOrElse(s"$whRoot/manifest.json")
         engine.writeManifest(out)
         println(s"manifest written: $out")
+        // analyses compile alongside the manifest (dbt's target/compiled)
+        val analyses = engine.compiledAnalyses
+        if (analyses.nonEmpty) {
+          val dir = flags.get("analyses-out").flatMap(_.headOption)
+            .getOrElse(s"$whRoot/compiled_analyses")
+          Files.createDirectories(java.nio.file.Paths.get(dir))
+          analyses.foreach { case (n, sql) =>
+            Files.writeString(java.nio.file.Paths.get(dir, s"$n.sql"), sql)
+          }
+          println(s"compiled ${analyses.size} analyses -> $dir")
+        }
       case "test" =>
         val results = project.tests.map(engine.runTest)
         results.foreach(t => println(f"${t.status.toUpperCase}%-8s ${t.name}%-32s ${t.failures} failures"))
@@ -427,6 +447,25 @@ object GraftCli {
         System.err.println(s"bad duration unit '$u': want d, h or m")
         sys.exit(2)
     }
+  }
+
+  /** profiles.yml-style target resolution: a `target.<name>.<key>=`
+    * line overrides the flat `<key>=` line when `<name>` is the active
+    * target (--target flag, else project.conf `target=`, else none —
+    * flat keys only). An explicitly requested target with no
+    * `target.<name>.*` keys fails loudly (dbt's unknown-target error);
+    * the project-conf default is allowed to be keyless (flat keys ARE
+    * its profile).
+    */
+  private[graft] def resolveTargetConf(conf: Map[String, String],
+                                       requested: Option[String])
+      : String => Option[String] = {
+    requested.foreach { t =>
+      require(conf.keys.exists(_.startsWith(s"target.$t.")),
+        s"unknown target '$t' (no target.$t.* keys in project.conf)")
+    }
+    val name = requested.orElse(conf.get("target"))
+    k => name.flatMap(t => conf.get(s"target.$t.$k")).orElse(conf.get(k))
   }
 
   private def parseArgs(args: List[String])

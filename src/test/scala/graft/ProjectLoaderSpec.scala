@@ -27,6 +27,18 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(project.selectors.map(_.name) == Seq("mart_closure", "non_staging"))
     assert(project.selectors.head.include == "+tag:mart")
     assert(project.selectors(1).exclude == "tag:staging")
+    // analyses load but are NOT models (never scheduled/materialized)
+    assert(project.analyses.map(_.name) == Seq("region_share"))
+    // profiles.yml-style named targets resolve with override precedence
+    val tc = graft.tools.GraftCli.resolveTargetConf(conf, Some("ci_pr"))
+    assert(tc("threads").contains("2"))
+    assert(tc("schema").contains("pr_{{ env_var('PR_NUMBER') }}"))
+    assert(tc("database").contains("analytics")) // flat-key fallthrough
+    val tcFlat = graft.tools.GraftCli.resolveTargetConf(conf, None)
+    assert(tcFlat("schema").contains("main"))
+    intercept[IllegalArgumentException] {
+      graft.tools.GraftCli.resolveTargetConf(conf, Some("nope"))
+    }
     assert(project.seeds.map(_.name) == Seq("priorities"))
     assert(project.seeds.head.columnTypes == Map("rank" -> "bigint"))
     assert(project.snapshots.map(_.name) == Seq("orders_snapshot"))
@@ -56,6 +68,12 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(pivot.columns.toSeq ==
       Seq("n_nationkey", "in_AFRICA", "in_AMERICA", "in_ASIA"))
     assert(pivot.count() == 25)
+    // analyses: compiled (refs/vars resolved, no jinja left), never
+    // materialized, and the compiled query actually runs
+    val compiledA = engine.compiledAnalyses("region_share")
+    assert(!compiledA.contains("{{") && !compiledA.contains("ref("))
+    assert(!engine.warehouse.exists(engine.relationFor("region_share")))
+    assert(engine.renderInline(project.analyses.head.rawSql).count() == 5)
     // named selectors resolve through the engine's grammar
     assert(engine.selectByName("mart_closure") ==
       Set("region_pivot", "nation_region", "stg_nations", "eph_regions"))
