@@ -813,6 +813,17 @@ object Similarity {
     s"""SELECT q_id, neighbor_id AS exact_top1, true AS recall_ok
        |FROM ($knnIvfSql) WHERE knn_rank = 1""".stripMargin
 
+  // A queries-entry recall gate for the persisted VectorIndex was tried
+  // and withdrawn (round 10): on THIS synthetic corpus the embeddings
+  // are near-unstructured, so coarse-quantizer recall ≈ the fraction of
+  // the corpus probed — a fixed recall-vs-brute floor cannot hold across
+  // scale factors without probing most cells, which would falsify the
+  // index's pruning story. The index stays SPEC-gated at its calibrated
+  // scale (VectorIndexSpec: float and PQ floors, pruning, appends);
+  // the oracle-gated IVF contracts live in x_knn_ivf (exact plan-mirror
+  // SQL) and x_knn_ivf_pq (ADC loss isolated within the SAME cells,
+  // scale-independent).
+
   /** Codebooks memoized per LIVE session (WeakHashMap on the session,
     * like SessionCache) — a bare hashCode-keyed map could alias a
     * stopped session's entry to a new one and serve stale codebooks
