@@ -58,6 +58,7 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   --target <name>    profiles.yml-style target: project.conf
   *                      `target.<name>.<key>=` lines override flat keys
   *                      (database/schema/threads); default from `target=`
+  *   --threads <n>      node-pool width override (wins over target/conf)
   *   --exclude <sel>    subtract these nodes from the selection (same
   *                      grammar; applies to --state selection too)
   *   --state <manifest> slim CI: select state:modified+ vs that manifest
@@ -102,7 +103,9 @@ object GraftCli {
     val target = Target(whRoot,
       database = tc("database").getOrElse("analytics"),
       schema = tc("schema").getOrElse("main"),
-      threads = tc("threads").getOrElse("4").toInt,
+      // --threads wins over target/flat conf (dbt's global flag)
+      threads = flags.get("threads").flatMap(_.headOption)
+        .orElse(tc("threads")).getOrElse("4").toInt,
       env = env,
       vars = cliVars,
       empty = flags.contains("empty"),
