@@ -813,6 +813,126 @@ object Similarity {
     s"""SELECT q_id, neighbor_id AS exact_top1, true AS recall_ok
        |FROM ($knnIvfSql) WHERE knn_rank = 1""".stripMargin
 
+  /** kNN label-consistency eval — the standard embedding-quality probe
+    * over a labeled corpus (kNN classification accuracy): each sampled
+    * query predicts the majority label of its 5 exact nearest neighbors
+    * (ties broken low-label — deterministic), compared to its own
+    * label. Fully SQL-expressible, so the oracle re-derives prediction
+    * AND verdict exactly. Shares the staged brute top-5 with the PQ
+    * gates; the vote/verdict joins touch only Q·5 rows — at 100 TB the
+    * eval's cost IS the neighbor search, which the production path
+    * serves from the cell-pruned index.
+    */
+  def knnLabelEval(s: SparkSession, d: String): DataFrame = {
+    val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = bruteTop5(s, d)
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("n"))
+    val pred = votes.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("n").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"))
+    pred.join(lbl.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
+
+  val knnLabelEvalSql: String =
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+      |      6) AS cos_sim
+      |  FROM q JOIN e ON e.vec_id <> q_id),
+      |top5 AS (SELECT q_id, neighbor_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 5),
+      |votes AS (
+      |  SELECT t.q_id, l.label, count(*) AS n
+      |  FROM top5 t JOIN embeddings l ON l.vec_id = t.neighbor_id
+      |  GROUP BY 1, 2),
+      |pred AS (SELECT q_id, label AS pred_label FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY n DESC, label ASC) AS rn FROM votes) WHERE rn = 1)
+      |SELECT p.q_id, t.label AS true_label, p.pred_label,
+      |  t.label = p.pred_label AS correct
+      |FROM pred p JOIN embeddings t ON t.vec_id = p.q_id""".stripMargin
+
+  /** Per-label embedding cohesion report — the dataset-card number for a
+    * labeled embedding corpus (how tightly each class clusters): per
+    * label, the mean cosine of its members to the label centroid,
+    * integer-exact cross-engine. The exactness trick: raw floats
+    * quantize to 2^20 fixed-point integers BEFORE the cross-row
+    * aggregation, so the centroid sums are order-independent integer
+    * adds (a naive double avg differs between engines in the last ulp);
+    * the centroid itself is one exact integer-to-double division, and
+    * every remaining sum is a per-row ORDERED array fold (zip_with /
+    * aggregate — same order both engines). Per-member scores floor-scale
+    * to ints before the per-label mean (sum DIV n), the
+    * [[graft.ops.TextOps.lmScore]] rule. Scale shape: one scan to the
+    * k·d integer sums (map-side combinable), centroids broadcast as
+    * control-plane arrays, one scoring scan, one k-row agg.
+    */
+  def labelCohesion(s: SparkSession, d: String): DataFrame = {
+    val SCALE = 1048576L // 2^20
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val qsum = e.select(col("label"), posexplode(
+        expr(s"transform(v, x -> CAST(floor(x * $SCALE) AS BIGINT))")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("si"), count(lit(1)).as("n"))
+    val cent = qsum.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("si").cast("double") /
+          (col("n") * SCALE).cast("double")).as("c")))).as("ps"))
+      .select(col("label"), expr("transform(ps, p -> p.c)").as("cent"))
+    val dot = aggregate(zip_with(col("v"), col("cent"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val nv = aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (acc, x) => acc + x)
+    val nc = aggregate(transform(col("cent"), x => x * x),
+      lit(0.0), (acc, x) => acc + x)
+    e.join(broadcast(cent), "label")
+      .select(col("label"),
+        floor(lit(1e6) * round(dot / (sqrt(nv) * sqrt(nc)), 6))
+          .cast("long").as("ts"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(ts) DIV count(1)").as("mean_cos_e6"))
+  }
+
+  val labelCohesionSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |p AS (SELECT label, generate_subscripts(v, 1) AS pos,
+      |        unnest(list_transform(v,
+      |          x -> CAST(floor(x * 1048576) AS BIGINT))) AS xq
+      |      FROM e),
+      |qs AS (SELECT label, pos, sum(xq) AS si, count(*) AS n
+      |       FROM p GROUP BY 1, 2),
+      |cent AS (SELECT label,
+      |           list(CAST(si AS DOUBLE) / (n * 1048576) ORDER BY pos)
+      |             AS cent
+      |         FROM qs GROUP BY label),
+      |sc AS (SELECT e.label,
+      |         CAST(floor(1000000 * round(
+      |           list_dot_product(e.v, c.cent) /
+      |           (sqrt(list_dot_product(e.v, e.v)) *
+      |            sqrt(list_dot_product(c.cent, c.cent))), 6)) AS BIGINT)
+      |           AS ts
+      |       FROM e JOIN cent c USING (label))
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(ts) // count(*) AS BIGINT) AS mean_cos_e6
+      |FROM sc GROUP BY label""".stripMargin
+
   // A queries-entry recall gate for the persisted VectorIndex was tried
   // and withdrawn (round 10): on THIS synthetic corpus the embeddings
   // are near-unstructured, so coarse-quantizer recall ≈ the fraction of
