@@ -307,7 +307,12 @@ object GraftCli {
           println(s"compiled ${analyses.size} analyses -> $dir")
         }
       case "test" =>
-        val results = project.tests.map(engine.runTest)
+        // dbt test --select: only tests attached to selected nodes run
+        // (source tests run on a full invocation, not under a model
+        // selection — the build() source-test scoping rule)
+        val toRun = project.tests.filter(t =>
+          select.forall(sel => sel.contains(t.modelName)))
+        val results = toRun.map(engine.runTest)
         results.foreach(t => println(f"${t.status.toUpperCase}%-8s ${t.name}%-32s ${t.failures} failures"))
         if (results.exists(_.status == "error")) sys.exit(1)
       case "freshness" =>
