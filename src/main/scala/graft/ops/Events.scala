@@ -308,4 +308,90 @@ object Events {
       |       count(DISTINCT user_id) AS exact_users,
       |       true AS within_bound
       |FROM events GROUP BY 1""".stripMargin
+
+  /** Ordered conversion funnel (signup → view → click → purchase): each
+    * step's timestamp is the user's EARLIEST qualifying event strictly
+    * after the previous step — the standard product-analytics funnel,
+    * not a mere per-type distinct count. Shape: one filtered per-user
+    * min-agg per step plus a co-keyed join back (all four shuffles hash
+    * on user_id — on a cluster one repartition co-locates the chain);
+    * no windows, no event ordering beyond per-user minima, so the plan
+    * is skew-safe (a hot user is one group). Emits the classic
+    * step/n_users report rows.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    def step(prev: DataFrame, prevTs: String, tpe: String,
+             outTs: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val u1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val u2 = step(u1, "t1", "view", "t2")
+    val u3 = step(u2, "t2", "click", "t3")
+    val u4 = step(u3, "t3", "purchase", "t4")
+    val rows = Seq(("signup", u1), ("view", u2), ("click", u3),
+      ("purchase", u4))
+    rows.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  val funnelSql: String =
+    """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN u1 USING (user_id)
+      |       WHERE e.event_type = 'view' AND e.ts > u1.t1
+      |       GROUP BY e.user_id),
+      |u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |       JOIN u2 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > u2.t2
+      |       GROUP BY e.user_id),
+      |u4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+      |       JOIN u3 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > u3.t3
+      |       GROUP BY e.user_id)
+      |SELECT 1 AS step, 'signup' AS step_name,
+      |       CAST(count(*) AS BIGINT) AS n_users FROM u1
+      |UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM u2
+      |UNION ALL SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM u3
+      |UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM u4"""
+      .stripMargin
+
+  /** Weekly cohort retention: users grouped by first-activity week
+    * (integer week index since 2024-01-01 — deliberately NOT an engine
+    * week-truncation, so the bucketing is identical integer arithmetic
+    * everywhere), counted distinct in each subsequent week offset. Two
+    * user-keyed aggs and one co-keyed join — window-free, skew-safe, the
+    * engagement matrix every growth dashboard draws.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') DIV 7" +
+        " AS BIGINT)").as("week"))
+    val firstWeek = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(datediff('day', DATE '2024-01-01', ts::DATE) // 7
+      |      AS BIGINT) AS week
+      |  FROM events),
+      |fw AS (SELECT user_id, min(week) AS cohort_week
+      |       FROM ev GROUP BY user_id)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM ev JOIN fw USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
 }
