@@ -1193,6 +1193,10 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     def sliceSql(rel: Relation): Option[String] =
       warehouse.externalSlices(rel) match {
         case Left(reason) => skipped += reason; None
+        case Right(slices) if slices.isEmpty =>
+          // an all-empty refresh leaves a committed manifest with zero
+          // data entries — no dir union can express "empty with schema"
+          skipped += s"${rel.fqName}: no committed data entries"; None
         case Right(slices) =>
           val types: Map[String, String] =
             warehouse.read(rel).schema.fields
