@@ -343,4 +343,88 @@ object Analytics {
     s.sql("SELECT 1 AS a")
 
   val a6LiteralSql: String = "SELECT 1 AS a"
+
+  // -------------------------- correlated-subquery shapes (TPC-H Q4/13/17)
+  // Deliberately written as SQL TEXT through spark.sql (path relations),
+  // not hand-decorrelated DataFrame joins: the operator under test is
+  // Catalyst's subquery decorrelation (RewriteCorrelatedScalarSubquery /
+  // RewritePredicateSubquery), the one relational surface the suite
+  // didn't exercise. Column set adapted to the generated schema (no
+  // l_commitdate/o_comment); semantics are the classic shapes.
+
+  /** Q4 shape: correlated EXISTS — orders in one quarter with at least
+    * one line shipped >30 days after the order date, counted by
+    * priority. Catalyst rewrites the EXISTS into a left-semi join.
+    */
+  def q4LateOrders(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM parquet.`$d/orders.parquet` o
+         |WHERE o.o_orderdate >= DATE '1996-01-01'
+         |  AND o.o_orderdate < DATE '1996-04-01'
+         |  AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         |GROUP BY o_orderpriority""".stripMargin)
+
+  val q4LateOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= DATE '1996-01-01'
+      |  AND o.o_orderdate < DATE '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Q13 shape: customer order-count distribution through a left outer
+    * join with a join-side predicate — exercises null-preserving
+    * count(col) over unmatched rows (customers with zero orders land in
+    * the c_count=0 bucket, not dropped).
+    */
+  def q13Custdist(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT c_count, count(*) AS custdist FROM (
+         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+         |  FROM parquet.`$d/customer.parquet` c
+         |  LEFT JOIN parquet.`$d/orders.parquet` o
+         |    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+         |  GROUP BY c.c_custkey)
+         |GROUP BY c_count""".stripMargin)
+
+  val q13CustdistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** Q17 shape: correlated SCALAR subquery — revenue (exact cents) of
+    * lines whose quantity is under 20% of their part's average quantity.
+    * Quantities are small integers, so the per-part avg is exact in
+    * double and the 0.2·avg threshold is bit-identical cross-engine;
+    * revenue sums as integer cents (the w_running_revenue rule).
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+         |    AS BIGINT) AS small_qty_cents,
+         |  count(*) AS n_lines
+         |FROM parquet.`$d/lineitem.parquet` l
+         |WHERE l.l_quantity < (
+         |  SELECT 0.2 * avg(l2.l_quantity)
+         |  FROM parquet.`$d/lineitem.parquet` l2
+         |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+
+  val q17SmallQtySql: String =
+    """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS small_qty_cents,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |WHERE l.l_quantity < (
+      |  SELECT 0.2 * avg(l2.l_quantity)
+      |  FROM lineitem l2
+      |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 }
