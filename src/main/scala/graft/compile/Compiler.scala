@@ -34,8 +34,11 @@ object Compiler {
     """\{\{\s*var\(\s*'([^']+)'(?:\s*,\s*('[^']*'|[^)]*?))?\s*\)\s*\}\}""".r
   private val thisRe: Regex = """\{\{\s*this\s*\}\}""".r
   private val configRe: Regex = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
+  // accepts jinja whitespace-control dashes and an optional {% else %}
+  // arm (dbt supports both around the canonical incremental guard)
   private val incrBlockRe: Regex =
-    """(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}""".r
+    ("""(?s)\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)""" +
+      """(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}""").r
   // both the jinja form and the bare scripting-variable form the reference
   // uses in model SQL (`_dbt_max_partition` is a declared variable in
   // BigQuery scripts, not a jinja call)
@@ -150,8 +153,9 @@ object Compiler {
   /** Render raw model SQL to executable Spark SQL (SURVEY §3.1 step 2). */
   def compile(rawSql: String, ctx: ResolveCtx): String = {
     var sql = configRe.replaceAllIn(rawSql, "")
-    sql = incrBlockRe.replaceAllIn(sql,
-      m => if (ctx.isIncremental) Regex.quoteReplacement(m.group(1)) else " ")
+    sql = incrBlockRe.replaceAllIn(sql, m =>
+      if (ctx.isIncremental) Regex.quoteReplacement(m.group(1))
+      else Regex.quoteReplacement(Option(m.group(2)).getOrElse(" ")))
     sql = expandControlFlow(sql)
     sql = refXRe.replaceAllIn(sql,
       m => Regex.quoteReplacement(ctx.crossRefTarget(m.group(1), m.group(2))))

@@ -193,6 +193,14 @@ class OrchestratorSpec extends AnyFunSuite {
     // is_incremental stays untouched for compile() to resolve
     val keep = "{% if is_incremental() %}WHERE x > 1{% endif %}"
     assert(Compiler.expandControlFlow(keep) == keep)
+    // the incremental guard accepts whitespace-control dashes and an
+    // else arm (both dbt-legal) through compile()
+    def comp(sql: String, incr: Boolean) = Compiler.compile(sql,
+      Compiler.ResolveCtx(refTarget = identity, sourceTarget = (_, _) => "",
+        thisTarget = "t", env = Map.empty, isIncremental = incr))
+    val guarded = "SELECT 1 {%- if is_incremental() -%} A {%- else -%} B {%- endif -%}"
+    assert(comp(guarded, incr = true).endsWith("A"))
+    assert(comp(guarded, incr = false).endsWith("B"))
     // loops over anything but a literal/bound list fail loudly
     intercept[IllegalArgumentException] {
       Compiler.expandControlFlow("{% for r in run_query_results %}{{ r }}{% endfor %}")
