@@ -28,6 +28,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                    stats + view definitions, no table scans)
   *   list             print (selected) nodes with kind/materialization/tags
   *   lineage          Graphviz DOT of the (selected) lineage graph
+  *   debug            resolved config + source-path/warehouse checks
+  *                    (dbt debug; exit 1 on any failed check)
   *   ddl              print CREATE VIEW DDL registering the warehouse's
   *                    current committed state in an EXTERNAL engine/session
   *                    (point-in-time export; skips report to stderr)
@@ -278,6 +280,33 @@ object GraftCli {
           println(f"snapshot ${s.name}"))
         project.exposures.foreach(e =>
           println(f"exposure ${e.name}%-32s -> ${e.dependsOn.mkString(", ")}"))
+      case "debug" =>
+        // `dbt debug`: resolved config + connectivity-style checks
+        // (source paths readable, warehouse root writable, project
+        // parse already succeeded by reaching here). Exit 1 on any FAIL.
+        println(s"project:   ${project.name} ($projectDir)")
+        println(s"warehouse: $whRoot (commit_mode=${target.commitMode})")
+        println(s"target:    database=${target.database} " +
+          s"schema=${target.resolvedSchema} threads=${target.threads}")
+        println(s"nodes:     ${project.models.size} models, " +
+          s"${project.seeds.size} seeds, ${project.snapshots.size} " +
+          s"snapshots, ${project.tests.size} tests, " +
+          s"${project.analyses.size} analyses")
+        var bad = 0
+        project.sources.foreach { sd =>
+          val ok = try {
+            new java.io.File(sd.path).exists() ||
+              sd.path.contains("://") // remote URIs: existence is a read
+          } catch { case _: Throwable => false }
+          if (!ok) bad += 1
+          println(f"  ${if (ok) "OK  " else "FAIL"} source " +
+            s"${sd.sourceName}.${sd.tableName} -> ${sd.path}")
+        }
+        val whOk = try {
+          Files.createDirectories(java.nio.file.Paths.get(whRoot)); true
+        } catch { case _: Throwable => bad += 1; false }
+        println(s"  ${if (whOk) "OK  " else "FAIL"} warehouse root writable")
+        if (bad > 0) { System.err.println(s"[graft] debug: $bad check(s) failed"); sys.exit(1) }
       case "ddl" =>
         // external-engine registration: point-in-time CREATE VIEW DDL
         // over the current committed state (skips go to stderr, loudly)
