@@ -15,6 +15,10 @@ FAMILIES = [
         "s_nation_except", "s_nation_intersect", "q_approx_percentiles"]),
     ("relational join", ["q3_top_orders", "q5_region_revenue",
         "j_semi_customers_with_orders", "j_salted_join", "e_interval_join"]),
+    ("correlated subqueries (decorrelation)", ["q4_late_orders",
+        "q13_custdist", "q17_small_qty"]),
+    ("event analytics (funnel/cohort)", ["e_funnel",
+        "e_cohort_retention"]),
     ("window / sessionize", ["w_top3_orders_per_cust", "w_running_revenue", "e_sessionize",
         "e_sessionize_salted", "e_asof_join", "e_hourly_windows",
         "e_props_extract"]),
@@ -34,7 +38,8 @@ FAMILIES = [
     ("orchestrator lifecycle", ["o_build_dag", "o_incremental_model",
         "o_insert_overwrite_pruned", "o_user_macros", "o_graph_selectors",
         "o_mv_avg_model", "b2_partitions_loop", "o_microbatch", "o_clone",
-        "o_metric_query", "o_cross_project_ref", "o_source_formats"]),
+        "o_metric_query", "o_cross_project_ref", "o_source_formats",
+        "o_jinja_loops"]),
     ("row deletes / compaction / z-order / bloom", ["x_row_deletes",
         "x_compact_table", "x_zorder_box", "x_bloom_lookup"]),
     ("MV maintenance + serving", ["x_agg_view", "x_mv_rewrite",
@@ -54,6 +59,7 @@ FAMILIES = [
     ("ANN scale path", ["x_knn_ivf", "x_knn_lsh_bucket",
         "x_embedding_near_dups", "x_semantic_dedup", "x_knn_ivf_pq"]),
     ("k-means", ["x_kmeans"]),
+    ("labeled-embedding evals", ["x_knn_label_eval", "x_label_cohesion"]),
     ("text per-row + curation", ["x_token_count", "x_quality_score",
         "x_quality_gate", "x_lang_id", "x_pii_redact", "x_repetition",
         "x_boilerplate_strip", "x_contam_frac", "x_decontaminate",
