@@ -294,6 +294,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: control-flow expansion matches a reference interpreter on arbitrary loops") {
+    import graft.compile.Compiler
+    val tokGen: Gen[String] = Gen.oneOf("alpha", "b2", "col_x", "Z9", "n")
+    val caseGen: Gen[(List[String], String)] = for {
+      items <- Gen.nonEmptyListOf(tokGen).map(_.take(6))
+      sep <- Gen.oneOf(", ", " | ", "+")
+    } yield (items, sep)
+    samples(caseGen, 150, 0xBEEF).foreach { case (items, sep) =>
+      val list = items.map(i => s"'$i'").mkString("[", ", ", "]")
+      // loop.last comma control — the pivot idiom
+      val got = Compiler.expandControlFlow(
+        s"{% for x in $list %}{{ x }}{% if not loop.last %}$sep{% endif %}{% endfor %}")
+      assert(got == items.mkString(sep), s"items=$items sep='$sep' got='$got'")
+      // loop.index enumerates 1..n
+      val idx = Compiler.expandControlFlow(
+        s"{% for x in $list %}{{ loop.index }}:{{ x }};{% endfor %}")
+      assert(idx == items.zipWithIndex
+        .map { case (it, i) => s"${i + 1}:$it;" }.mkString)
+      // set-bound list behaves identically to the literal
+      val viaSet = Compiler.expandControlFlow(
+        s"{% set xs = $list %}{% for x in xs %}{{ x }}.{% endfor %}")
+      assert(viaSet == items.map(_ + ".").mkString)
+      // bare-variable condition selects exactly the matching items
+      val first = items.head
+      val filtered = Compiler.expandControlFlow(
+        s"{% for x in $list %}{% if x == '$first' %}{{ x }} {% endif %}{% endfor %}")
+      assert(filtered == items.filter(_ == first).map(_ + " ").mkString)
+    }
+  }
+
   test("property: sequential_values' anti-join gaps match a lag-based reference") {
     import spark.implicits._
     val setsGen: Gen[List[Long]] =
