@@ -193,26 +193,133 @@ object Compiler {
   // (dbt-utils' everyday shape; NOT general Python expressions)
   private val setRe: Regex =
     """\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*(\[[^\]]*\]|'[^']*'|[-\d.]+)\s*-?%\}""".r
-  // innermost `{% for x in <list-literal-or-set-name> %} … {% endfor %}`:
+  // innermost `{% for x in <list-literal|range(..)|set-name> %} … {% endfor %}`:
   // the tempered body ((?!{% for).)*? cannot contain a nested for-open,
   // so fixpoint iteration expands loops inside-out
   private val forRe: Regex =
-    ("""(?s)\{%-?\s*for\s+([A-Za-z_]\w*)\s+in\s+(\[[^\]]*\]|[A-Za-z_]\w*)""" +
+    ("""(?s)\{%-?\s*for\s+([A-Za-z_]\w*)\s+in\s+""" +
+      """(\[[^\]]*\]|range\(\s*\d+\s*(?:,\s*\d+\s*)?\)|[A-Za-z_]\w*)""" +
       """\s*-?%\}((?:(?!\{%-?\s*for\s).)*?)\{%-?\s*endfor\s*-?%\}""").r
+  // Python/Jinja range: range(n) = 0..n-1, range(a, b) = a..b-1
+  private val rangeRe: Regex = """range\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
   // `{% if cond %}a{% else %}b{% endif %}` with no nested if in either arm
   private val jifRe: Regex =
     ("""(?s)\{%-?\s*if\s+((?:(?!%\}).)*?)\s*-?%\}((?:(?!\{%-?\s*if\s).)*?)""" +
       """(?:\{%-?\s*else\s*-?%\}((?:(?!\{%-?\s*if\s).)*?))?""" +
       """\{%-?\s*endif\s*-?%\}""").r
 
-  private def parseListLiteral(s: String): Seq[String] =
-    s.stripPrefix("[").stripSuffix("]").split(",").iterator.map(_.trim)
-      .filter(_.nonEmpty).map(stripQuotes).toSeq
+  /** Items of a `[...]` literal, split at commas OUTSIDE single quotes —
+    * `['a,b', 'c']` is two items, the first containing a comma (a bare
+    * split corrupted it into three).
+    */
+  private def parseListLiteral(s: String): Seq[String] = {
+    val inner = s.trim.stripPrefix("[").stripSuffix("]")
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    inner.foreach {
+      case '\'' => inQ = !inQ; sb.append('\'')
+      case ',' if !inQ => out += sb.result(); sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.result()
+    out.result().map(_.trim).filter(_.nonEmpty).map(stripQuotes)
+  }
 
   private def stripQuotes(v: String): String =
     if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
       v.substring(1, v.length - 1)
     else v
+
+  // ------------------------------------------------- Jinja filter subset
+
+  // one `| name` or `| name(args)` link; args may hold quoted commas
+  private val filterChainPat =
+    """(?:\s*\|\s*[A-Za-z_]\w*(?:\((?:'[^']*'|[^()'])*\))?)"""
+  private val filterRe: Regex =
+    """\|\s*([A-Za-z_]\w*)(?:\(((?:'[^']*'|[^()'])*)\))?""".r
+
+  private def parseFilters(chain: String): Seq[(String, Seq[String])] =
+    filterRe.findAllMatchIn(chain).map(m =>
+      (m.group(1), Option(m.group(2)).map(splitArgs).getOrElse(Nil))).toSeq
+
+  /** Apply a parsed filter chain to a value. The value may be a LIST
+    * (a `[...]` set binding) — then the chain must reduce it to a scalar
+    * (`join`/`first`/`last`/`length`) before any string filter runs.
+    * Unknown filters fail loudly (the subset's stance: never mis-render).
+    */
+  private def applyFilterSeq(value0: String,
+                             filters: Seq[(String, Seq[String])]): String = {
+    var value = value0
+    var list: Option[Seq[String]] =
+      if (value0.trim.startsWith("[")) Some(parseListLiteral(value0)) else None
+    filters.foreach { case (f, args) =>
+      (f, list) match {
+        case ("join", Some(xs)) =>
+          value = xs.mkString(args.headOption.map(stripQuotes).getOrElse(""))
+          list = None
+        case ("first", Some(xs)) => value = xs.head; list = None
+        case ("last", Some(xs)) => value = xs.last; list = None
+        case ("length", lo) =>
+          value = lo.map(_.size).getOrElse(value.length).toString; list = None
+        // value is DEFINED on this path → Jinja's default is the identity
+        case ("default", _) => ()
+        case ("lower", None) => value = value.toLowerCase
+        case ("upper", None) => value = value.toUpperCase
+        case ("trim", None) => value = value.trim
+        case (other, Some(_)) => throw new IllegalArgumentException(
+          s"filter '$other' cannot apply to a list — reduce it first " +
+            "with | join/first/last/length")
+        case (other, None) => throw new IllegalArgumentException(
+          s"unsupported Jinja filter '$other' (supported: lower, upper, " +
+            "trim, join, first, last, length, default)")
+      }
+    }
+    if (list.isDefined)
+      throw new IllegalArgumentException(
+        "a list value must be reduced by its filter chain " +
+          "(e.g. | join(', ')) — it cannot render directly")
+    value
+  }
+
+  /** Replace every `{{ name [| filters] }}` site with `value` run
+    * through that site's filter chain. A LIST value (a `[...]` binding)
+    * renders only through a reducing filter; a bare `{{ name }}` site
+    * for a list fails loudly rather than splicing Python-repr text.
+    */
+  private def substInterp(name: String, value: String, text: String): String = {
+    val re = ("""\{\{\s*""" + Regex.quote(name) +
+      "(" + filterChainPat + """*)\s*\}\}""").r
+    re.replaceAllIn(text, m => Regex.quoteReplacement {
+      val chain = Option(m.group(1)).getOrElse("")
+      if (chain.trim.isEmpty) {
+        if (value.trim.startsWith("["))
+          throw new IllegalArgumentException(
+            s"'$name' is a list — interpolate it with a reducing filter " +
+              s"(e.g. {{ $name | join(', ') }})")
+        value
+      } else applyFilterSeq(value, parseFilters(chain))
+    })
+  }
+
+  // `{{ name | … | default('v') | … }}` where `name` was never bound:
+  // Jinja's undefined|default — the default argument becomes the value
+  // and the REST of the chain applies. Filters before the default are
+  // skipped (they'd error on undefined in Jinja too).
+  private val unboundDefaultRe: Regex =
+    ("""\{\{\s*([A-Za-z_]\w*)(""" + filterChainPat + """+)\s*\}\}""").r
+
+  private def resolveUnboundDefaults(sql: String): String =
+    unboundDefaultRe.replaceAllIn(sql, m => {
+      val fs = parseFilters(m.group(2))
+      val di = fs.indexWhere(_._1 == "default")
+      if (di < 0) m.matched // not a default site — leave for the SQL parser
+      else Regex.quoteReplacement(applyFilterSeq(
+        stripQuotes(fs(di)._2.headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"default filter on '${m.group(1)}' needs an argument"))),
+        fs.drop(di + 1)))
+    })
 
   /** A token that IS a value: quoted string (content), number, or
     * boolean. A bare identifier is NOT one — it is an unresolved
@@ -295,7 +402,10 @@ object Compiler {
     * parser.
     */
   def expandControlFlow(sql0: String, maxDepth: Int = 10): String = {
-    if (!sql0.contains("{%")) return sql0
+    if (!sql0.contains("{%"))
+      // still resolve `{{ name | default('v') }}` sites — they need no
+      // {% %} block to be meaningful
+      return if (sql0.contains("{{")) resolveUnboundDefaults(sql0) else sql0
     val binds = scala.collection.mutable.Map.empty[String, String]
     var sql = setRe.replaceAllIn(sql0, m => {
       binds(m.group(1)) = m.group(2); ""
@@ -305,22 +415,25 @@ object Compiler {
     while (changed && depth < maxDepth) {
       val afterFor = forRe.replaceAllIn(sql, m => {
         val (v, listTxt, body) = (m.group(1), m.group(2), m.group(3))
-        val items =
-          if (listTxt.startsWith("[")) parseListLiteral(listTxt)
-          else parseListLiteral(binds.getOrElse(listTxt,
+        val items = listTxt match {
+          case rangeRe(a, b) => // Python semantics: end-exclusive
+            val (lo, hi) = if (b == null) (0, a.toInt) else (a.toInt, b.toInt)
+            (lo until hi).map(_.toString)
+          case l if l.startsWith("[") => parseListLiteral(l)
+          case name => parseListLiteral(binds.getOrElse(name,
             throw new IllegalArgumentException(
-              s"for-loop iterates '$listTxt', which is not a list literal " +
-                "or a {% set %}-bound list (query-result loops are " +
-                "unsupported — use a model)")))
+              s"for-loop iterates '$name', which is not a list literal, " +
+                "range(), or a {% set %}-bound list (query-result loops " +
+                "are unsupported — use a model)")))
+        }
         val n = items.size
-        val varRe = ("""\{\{\s*""" + Regex.quote(v) + """\s*\}\}""").r
         // loop.* resolve both as interpolations ({{ loop.index }}) and
         // as bare condition tokens ({% if not loop.last %})
         def loopVal(which: String, value: String, b: String): String =
           ("""\{\{\s*loop\.""" + which + """\s*\}\}""").r
             .replaceAllIn(b, value).replace("loop." + which, value)
         Regex.quoteReplacement(items.zipWithIndex.map { case (it, i) =>
-          var b = varRe.replaceAllIn(body, Regex.quoteReplacement(it))
+          var b = substInterp(v, it, body) // {{ x }} and {{ x | lower }}
           b = substVarInConds(v, it, b) // bare `{% if st == 'O' %}` form
           b = loopVal("index", (i + 1).toString, b)
           b = loopVal("first", if (i == 0) "true" else "false", b)
@@ -328,14 +441,17 @@ object Compiler {
           evalIfs(b)
         }.mkString)
       })
-      // scalar {% set %} bindings: into if-conditions as quoted
-      // literals first, then interpolation sites
+      // {% set %} bindings: scalars into if-conditions as quoted literals
+      // first, then interpolation sites; LIST bindings render only
+      // through a reducing filter site ({{ xs | join(', ') }})
       var mid = afterFor
       binds.foreach { case (k, raw) =>
         if (!raw.startsWith("[")) {
           mid = substVarInConds(k, stripQuotes(raw), mid)
-          mid = ("""\{\{\s*""" + Regex.quote(k) + """\s*\}\}""").r
-            .replaceAllIn(mid, Regex.quoteReplacement(stripQuotes(raw)))
+          mid = substInterp(k, stripQuotes(raw), mid)
+        } else if (("""\{\{\s*""" + Regex.quote(k) + "\\b").r
+            .findFirstIn(mid).isDefined) {
+          mid = substInterp(k, raw, mid)
         }
       }
       val next = evalIfs(mid)
@@ -347,7 +463,7 @@ object Compiler {
         sql.contains("{%- for"))
       throw new IllegalArgumentException(
         s"control-flow expansion did not terminate in $maxDepth rounds")
-    sql
+    resolveUnboundDefaults(sql)
   }
 
   // ------------------------------------------------- user-defined macros
@@ -378,8 +494,9 @@ object Compiler {
 
   private val macroDefRe: Regex =
     """(?s)\{%\s*macro\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*%\}(.*?)\{%\s*endmacro\s*%\}""".r
+  // call names may be package-qualified: {{ dbt_utils.star(...) }}
   private val macroCallRe: Regex =
-    """\{\{\s*([A-Za-z_]\w*)\s*\((.*?)\)\s*\}\}""".r
+    """\{\{\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\((.*?)\)\s*\}\}""".r
   private val kwArgRe: Regex = """(?s)^([A-Za-z_]\w*)\s*=(?!=)(.*)$""".r
 
   /** Parse every macro definition in `text` (one file may define many). */
@@ -427,12 +544,30 @@ object Compiler {
   def expandMacros(sql: String, macros: Map[String, MacroDef],
                    maxDepth: Int = 10): String = {
     if (macros.isEmpty) return sql
+    // bare names that exist ONLY under package namespaces, and in more
+    // than one of them: calling one bare is ambiguous (the loader binds
+    // a bare alias only for unambiguous package macros — dbt resolution
+    // order, project over package)
+    lazy val ambiguousBare: Map[String, Seq[String]] =
+      macros.keys.filter(_.contains('.')).toSeq
+        .groupBy(_.split("\\.", 2)(1))
+        .collect { case (bare, pkgs) if !macros.contains(bare) && pkgs.size > 1 =>
+          bare -> pkgs.map(_.split("\\.", 2)(0)).sorted
+        }
     def failIfUnexpanded(s: String): String = {
+      val calls = macroCallRe.findAllMatchIn(s).map(_.group(1)).toSeq
+      // a bare call to a multiply-packaged macro can never expand — name
+      // the candidate namespaces instead of leaking jinja to the parser
+      calls.find(ambiguousBare.contains).foreach { n =>
+        throw new IllegalArgumentException(
+          s"macro '$n' is ambiguous — defined by packages " +
+            s"${ambiguousBare(n).mkString(", ")}; qualify the call as " +
+            s"'{{ <package>.$n(...) }}'")
+      }
       // any surviving known-macro call means expansion cannot make
       // progress (self-expanding macro) or ran out of rounds — both are
       // authoring errors that must fail loudly, not reach the SQL parser
-      val leftover = macroCallRe.findAllMatchIn(s)
-        .map(_.group(1)).filter(macros.contains).toSeq
+      val leftover = calls.filter(macros.contains)
       if (leftover.nonEmpty)
         throw new IllegalArgumentException(
           s"macro expansion did not terminate in $maxDepth rounds " +
@@ -472,8 +607,10 @@ object Compiler {
         else kw.getOrElse(p, dflt.getOrElse(
           throw new IllegalArgumentException(
             s"macro '${mac.name}': missing argument '$p'")))
-      body = ("""\{\{\s*""" + Regex.quote(p) + """\s*\}\}""").r
-        .replaceAllIn(body, Regex.quoteReplacement(value))
+      // params interpolate with optional filter chains — the reference's
+      // own macros lean on them ({{ data_type | lower }},
+      // manifest.json:1 @13262 bq partition_by)
+      body = substInterp(p, value, body)
     }
     body
   }

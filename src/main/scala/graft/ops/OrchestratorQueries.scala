@@ -221,6 +221,78 @@ object OrchestratorQueries {
       |    AS BIGINT) AS n_status_P
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** Package imports end-to-end (dbt packages.yml / `dbt deps`): an
+    * on-disk project whose `packages/sizing/macros` .sql files load under
+    * the `sizing` namespace via [[graft.run.ProjectLoader]]. The model
+    * calls one package macro BARE (unambiguous) and one NAMESPACED
+    * (`{{ sizing.label(...) }}`), and the package body itself uses a
+    * Jinja param filter (`{{ prefix | upper }}`) — the reference's own
+    * macro surface ships as exactly such packages (manifest.json:1
+    * `$.macros` prefixes `macro.dbt.` / `macro.dbt_bigquery.`).
+    */
+  def packageMacros(s: SparkSession, d: String): DataFrame = {
+    val proj = Files.createTempDirectory("graft_pkg_proj")
+    Files.writeString(proj.resolve("project.conf"), "name=pkg_demo\n")
+    Files.writeString(proj.resolve("sources.conf"),
+      s"tpch part $d/part.parquet\n")
+    Files.createDirectories(proj.resolve("models"))
+    Files.writeString(proj.resolve("models").resolve("part_buckets.sql"),
+      """SELECT p_partkey,
+        |  {{ bucket(p_size, 10) }} AS size_bucket,
+        |  {{ sizing.label(p_brand) }} AS brand_label
+        |FROM {{ source('tpch', 'part') }}""".stripMargin)
+    val macrosDir = proj.resolve("packages").resolve("sizing").resolve("macros")
+    Files.createDirectories(macrosDir)
+    Files.writeString(macrosDir.resolve("sizing.sql"),
+      """{% macro bucket(col, width=10) %}CAST(floor({{ col }} / {{ width }}) AS BIGINT){% endmacro %}
+        |{% macro label(col, prefix='brand') %}concat('{{ prefix | upper }}', ':', {{ col }}){% endmacro %}
+        |""".stripMargin)
+    val (project, _) = ProjectLoader.load(proj.toString)
+    require(project.macros.contains("sizing.bucket") &&
+        project.macros.contains("bucket"),
+      s"package macros must bind namespaced + bare: ${project.macros.keys}")
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("part_buckets")
+  }
+
+  val packageMacrosSql: String =
+    """SELECT p_partkey,
+      |  CAST(floor(p_size / 10) AS BIGINT) AS size_bucket,
+      |  concat('BRAND', ':', p_brand) AS brand_label
+      |FROM part""".stripMargin
+
+  /** The Jinja filter subset end-to-end: `| join` over a set-bound list
+    * (with a QUOTED-COMMA item — the parse must not split it), `| lower`
+    * on a scalar binding, `range(n)` loops, `| length`, and
+    * `| default(...)` on an unbound name — each landing in a compiled
+    * column the oracle hand-expands.
+    */
+  def jinjaFilters(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_filters",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("filtered",
+          """{% set keys = ['o_orderkey', 'o_custkey'] %}
+            |{% set status_col = 'O_ORDERSTATUS' %}
+            |{% set pair = ['a,b', 'c'] %}
+            |SELECT {{ keys | join(', ') }},
+            |  {{ status_col | lower }} AS status,
+            |  {% for i in range(2) %}o_totalprice * {{ i }} AS p{{ i }}, {% endfor %}
+            |  {{ pair | length }} AS pair_len,
+            |  '{{ missing_knob | default('fallback') | upper }}' AS tag
+            |FROM {{ source('tpch', 'orders') }}""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("filtered")
+  }
+
+  val jinjaFiltersSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+      |  o_totalprice * 0 AS p0, o_totalprice * 1 AS p1,
+      |  2 AS pair_len, 'FALLBACK' AS tag
+      |FROM orders""".stripMargin
+
   /** Graph selectors end-to-end (`dbt build --select`): `+tag:mart`
     * resolves the tagged mart plus its ancestor closure, builds exactly
     * that set (an unrelated model must NOT materialize — require'd), and

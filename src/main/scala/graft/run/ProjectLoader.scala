@@ -74,7 +74,60 @@ object ProjectLoader {
     val dupMacros = macroDefs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupMacros.isEmpty,
       s"duplicate macro definitions: ${dupMacros.mkString(", ")}")
-    val macros = macroDefs.map(m => m.name -> m).toMap
+
+    // Package imports (dbt packages.yml / `dbt deps`; the reference's own
+    // 184-macro surface ships as exactly such packages —
+    // manifest.json:1 $.macros key prefixes `macro.dbt.` /
+    // `macro.dbt_bigquery.`). packages.conf lines: `<name> [<dir>]`
+    // (dir defaults to packages/<name>); with no packages.conf, every
+    // subdirectory of packages/ loads as a package. Each package
+    // contributes `<dir>/macros/*.sql`. Resolution order is dbt's:
+    // project macro > package macro; a package macro is callable bare
+    // when exactly one package defines that name, and always as
+    // `{{ <package>.<macro>(...) }}` (Compiler.macroCallRe). A bare call
+    // to a name two packages define fails loudly in expandMacros with
+    // the candidate namespaces.
+    val pkgDirs: Seq[(String, Path)] = {
+      val declared = readLines(root.resolve("packages.conf")).map { l =>
+        val parts = tokenize(l)
+        val name = parts(0)
+        require(name.matches("[A-Za-z_]\\w*"),
+          s"packages.conf: package name '$name' must be an identifier")
+        val dir = if (parts.length > 1) {
+          val p = Paths.get(unquote(parts(1)))
+          if (p.isAbsolute) p else root.resolve(p)
+        } else root.resolve("packages").resolve(name)
+        require(Files.isDirectory(dir),
+          s"packages.conf: package '$name' directory not found: $dir")
+        name -> dir
+      }
+      if (declared.nonEmpty) declared
+      else if (Files.isDirectory(root.resolve("packages")))
+        Files.list(root.resolve("packages")).iterator.asScala.toSeq
+          .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
+          .map(p => p.getFileName.toString -> p)
+      else Nil
+    }
+    val dupPkg = pkgDirs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dupPkg.isEmpty, s"duplicate package names: ${dupPkg.mkString(", ")}")
+    val pkgMacroDefs: Seq[(String, graft.compile.Compiler.MacroDef)] =
+      pkgDirs.flatMap { case (pkg, dir) =>
+        val defs = listFiles(dir.resolve("macros"), ".sql")
+          .flatMap(p => graft.compile.Compiler.parseMacros(Files.readString(p)))
+        val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+        require(dups.isEmpty,
+          s"package '$pkg': duplicate macro definitions: ${dups.mkString(", ")}")
+        defs.map(pkg -> _)
+      }
+    val projectNames = macroDefs.map(_.name).toSet
+    // bare alias only when exactly one package defines the name AND the
+    // project does not (project shadows package, like dbt)
+    val bareFromPkgs = pkgMacroDefs.groupBy(_._2.name).collect {
+      case (n, Seq((_, d))) if !projectNames.contains(n) => n -> d
+    }
+    val macros = bareFromPkgs ++
+      pkgMacroDefs.map { case (p, d) => s"$p.${d.name}" -> d }.toMap ++
+      macroDefs.map(m => m.name -> m).toMap
 
     // per-seed column_types (reference seeds `column_types` config in
     // dbt_project.yml): project.conf lines `seed_types.<seed>=col=type,...`

@@ -22,7 +22,11 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(project.name == "demo_ci_spark")
     assert(project.models.map(_.name).toSet ==
       Set("stg_nations", "eph_regions", "nation_region", "orders_incr",
-        "nations_by_region_mv", "region_counts", "region_pivot"))
+        "nations_by_region_mv", "region_counts", "region_pivot",
+        "order_cents"))
+    // package macros (packages/demo_utils): namespaced + bare aliases
+    assert(project.macros.contains("demo_utils.cents"))
+    assert(project.macros.contains("cents"))
     // selectors.conf: named compositions of the selector grammar
     assert(project.selectors.map(_.name) == Seq("mart_closure", "non_staging"))
     assert(project.selectors.head.include == "+tag:mart")
@@ -68,6 +72,11 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(pivot.columns.toSeq ==
       Seq("n_nationkey", "in_AFRICA", "in_AMERICA", "in_ASIA"))
     assert(pivot.count() == 25)
+    // the package-macro model (bare + namespaced calls, param filter)
+    val cents = engine.readModel("order_cents")
+    assert(cents.columns.toSeq ==
+      Seq("o_orderkey", "price_cents", "priority_str"))
+    assert(cents.schema("priority_str").dataType.typeName == "string")
     // analyses: compiled (refs/vars resolved, no jinja left), never
     // materialized, and the compiled query actually runs
     val compiledA = engine.compiledAnalyses("region_share")
@@ -76,7 +85,8 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(engine.renderInline(project.analyses.head.rawSql).count() == 5)
     // named selectors resolve through the engine's grammar
     assert(engine.selectByName("mart_closure") ==
-      Set("region_pivot", "nation_region", "stg_nations", "eph_regions"))
+      Set("region_pivot", "nation_region", "stg_nations", "eph_regions",
+        "order_cents"))
     assert(!engine.selectByName("non_staging").contains("stg_nations"))
     intercept[IllegalArgumentException] { engine.selectByName("nope") }
     // snapshot has one current row per order
@@ -209,6 +219,53 @@ class ProjectLoaderSpec extends AnyFunSuite {
       "{% macro m1(x) %}{{ x }}{% endmacro %}")
     Files.writeString(dir.resolve("macros").resolve("b.sql"),
       "{% macro m1(x) %}{{ x }}{% endmacro %}")
+    assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
+  }
+
+  test("package imports: namespacing, bare aliases, shadowing, ambiguity") {
+    val dir = Files.createTempDirectory("graft_pkgs")
+    def put(name: String, text: String): Unit = {
+      val p = dir.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("project.conf", "name=pkgs")
+    put("models/m.sql",
+      "SELECT {{ pa.tag() }} AS a, {{ only_a() }} AS b, {{ shadowed() }} AS c")
+    put("macros/local.sql", "{% macro shadowed() %}'project'{% endmacro %}")
+    put("packages/pa/macros/x.sql",
+      "{% macro tag() %}'pa'{% endmacro %}\n" +
+        "{% macro only_a() %}'onlyA'{% endmacro %}\n" +
+        "{% macro shadowed() %}'pkg_a'{% endmacro %}\n" +
+        "{% macro both() %}'a'{% endmacro %}")
+    put("packages/pb/macros/y.sql", "{% macro both() %}'b'{% endmacro %}")
+    val (project, _) = ProjectLoader.load(dir.toString)
+    // namespaced keys always present
+    assert(Seq("pa.tag", "pa.only_a", "pa.shadowed", "pa.both", "pb.both")
+      .forall(project.macros.contains))
+    // bare alias only when unambiguous AND not shadowed by the project
+    assert(project.macros.contains("only_a"))
+    assert(!project.macros.contains("both"))
+    assert(project.macros("shadowed").body == "'project'")
+    // an ambiguous bare call fails naming the candidate namespaces
+    val err = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.expandMacros("SELECT {{ both() }}", project.macros)
+    }
+    assert(err.getMessage.contains("pa") && err.getMessage.contains("pb"),
+      err.getMessage)
+    // namespaced calls of the SAME bare name disambiguate fine
+    assert(graft.compile.Compiler.expandMacros(
+      "{{ pa.both() }}|{{ pb.both() }}", project.macros) == "'a'|'b'")
+    // end-to-end: bare, namespaced, and shadowed calls all compile+build
+    val engine = new Engine(spark, project,
+      Target(Files.createTempDirectory("graft_pkgs_wh").toString, threads = 1))
+    val (nodes, _) = engine.build()
+    assert(nodes.forall(_.status == "success"), nodes.toString)
+    val row = engine.readModel("m").collect().head
+    assert(row.getString(0) == "pa" && row.getString(1) == "onlyA" &&
+      row.getString(2) == "project")
+    // a declared package whose directory is missing fails at LOAD time
+    put("packages.conf", "ghost\n")
     assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
   }
 

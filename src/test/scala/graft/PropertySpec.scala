@@ -324,6 +324,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: Jinja filter subset matches a reference interpreter") {
+    import graft.compile.Compiler
+    // items include MiXeD case, padding, and QUOTED COMMAS — the list
+    // parse must split only at commas outside quotes
+    val itemGen: Gen[String] = Gen.oneOf(
+      "Alpha", "b2", "Col_X", "z9", "MiXeD", "a,b", "x, y", " pad ")
+    val caseGen: Gen[(List[String], String, Int)] = for {
+      items <- Gen.nonEmptyListOf(itemGen).map(_.take(5))
+      sep <- Gen.oneOf(", ", "|", " + ")
+      n <- Gen.choose(0, 4)
+    } yield (items, sep, n)
+    samples(caseGen, 120, 0xF117E4L).foreach { case (items, sep, n) =>
+      val list = items.map(i => s"'$i'").mkString("[", ", ", "]")
+      // join over a set-bound list (quoted commas stay inside items)
+      val joined = Compiler.expandControlFlow(
+        s"{% set xs = $list %}{{ xs | join('$sep') }}")
+      assert(joined == items.mkString(sep), s"items=$items sep='$sep'")
+      // per-item filters inside a loop
+      val lowered = Compiler.expandControlFlow(
+        s"{% for x in $list %}{{ x | lower }};{% endfor %}")
+      assert(lowered == items.map(i => i.toLowerCase + ";").mkString)
+      val trimmed = Compiler.expandControlFlow(
+        s"{% for x in $list %}{{ x | trim | upper }};{% endfor %}")
+      assert(trimmed == items.map(i => i.trim.toUpperCase + ";").mkString)
+      // length / first / last reduce the list
+      assert(Compiler.expandControlFlow(
+        s"{% set xs = $list %}{{ xs | length }}") == items.size.toString)
+      assert(Compiler.expandControlFlow(
+        s"{% set xs = $list %}{{ xs | first }}/{{ xs | last }}") ==
+        s"${items.head}/${items.last}")
+      // range(n) enumerates 0..n-1; range(a, b) is end-exclusive
+      assert(Compiler.expandControlFlow(
+        s"{% for i in range($n) %}{{ i }},{% endfor %}") ==
+        (0 until n).map(i => s"$i,").mkString)
+      assert(Compiler.expandControlFlow(
+        s"{% for i in range(2, ${2 + n}) %}{{ i }}.{% endfor %}") ==
+        (2 until 2 + n).map(i => s"$i.").mkString)
+      // default: unbound takes the default (rest of chain applies);
+      // bound ignores it
+      assert(Compiler.expandControlFlow(
+        s"{{ nope | default('${items.head}') | trim }}") == items.head.trim)
+      assert(Compiler.expandControlFlow(
+        s"{% set v = 'Bound' %}{{ v | default('zz') | lower }}") == "bound")
+    }
+    // fail-loud cases: unknown filter, bare list interpolation
+    intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow("{% set v = 'x' %}{{ v | pony }}")
+    }
+    intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow("{% set xs = ['a'] %}SELECT {{ xs }}")
+    }
+  }
+
   test("property: sequential_values' anti-join gaps match a lag-based reference") {
     import spark.implicits._
     val setsGen: Gen[List[Long]] =
