@@ -152,6 +152,20 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // HOST-FACTOR CALIBRATION: every round since r8 carried a prose
+    // host-speed caveat; this makes it data. Three code-frozen probe
+    // queries with per-query-min anchors recorded from the committed
+    // calm-window round-10 snapshot (bench_last.json @ a57e890, sf0.1,
+    // 32 cpus). host_factor = median over probes of (this run's
+    // per-query min / anchor): ~1.0 on a calm host, >1 when the
+    // hypervisor is stealing cycles. Cross-round ratios should divide by
+    // it before being read as engine regressions. Probes whose CODE
+    // changes must be re-anchored (they are chosen as frozen shapes:
+    // a lateral flatten, a partitioned overwrite, a winnowing scan).
+    val hostAnchors: Map[String, Double] = Map(
+      "a2_explode_drops_empty" -> 0.560451409,
+      "b9_insert_overwrite" -> 1.014076683,
+      "x_winnow_fingerprint" -> 1.012613146)
     def scoreboard(passes: Seq[Map[String, Double]],
                    stagingPasses: Seq[Map[String, Double]],
                    passesCompleted: Int, partialPass: Boolean): String = {
@@ -187,6 +201,21 @@ object Bench {
       // is the median spread (robust to a single pathological query)
       val noise = median(perQuery.map { case (_, _, mn, mx) =>
         if (mn > 0) mx / mn else 1.0 })
+      // host factor from whichever probes have samples so far (all three
+      // once pass 1 completes); null until the first probe lands
+      // anchors were recorded at sf0.1/32cpu — a probe against another
+      // scale factor would report data volume, not host speed
+      val probeRatios =
+        if (!sfDir.contains("sf0.1")) Seq.empty
+        else hostAnchors.toSeq.sorted.flatMap { case (k, anchor) =>
+          perQuery.find(_._1 == k).map { case (_, _, mn, _) => (k, mn, anchor) }
+        }
+      val hostFactor =
+        if (probeRatios.isEmpty) "null"
+        else median(probeRatios.map { case (_, mn, a) => mn / a }).toString
+      val hostProbeJson = probeRatios.map { case (k, mn, a) =>
+        "\"" + k + "\":{\"s\":" + mn + ",\"anchor\":" + a + "}"
+      }.mkString("{", ",", "}")
       val errJson =
         if (errors.isEmpty) ""
         else errors.map { case (k, v) =>
@@ -203,6 +232,8 @@ object Bench {
       s""""queries_benched":${benched.size},"queries_total":${names.size},""" +
       s""""budget_s":$budgetS,""" +
       s""""scoring":"per-query min of passes, net of shared staging",""" +
+      s""""host_factor":$hostFactor,"host_probe":$hostProbeJson,""" +
+      s""""host_anchor_ref":"bench_last.json@a57e890 (r10 calm window)",""" +
       s""""total_median":$totalMedian,"queries_median":$qsMedian,""" +
       s""""noise_spread_median":$noise,"sf":"$sfDir"$errJson}"""
     }
