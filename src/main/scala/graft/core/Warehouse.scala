@@ -2,7 +2,8 @@ package graft.core
 
 import java.util.UUID
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.when
 import org.apache.spark.sql.types.StructType
 
 /** Path-addressed parquet warehouse with pluggable commit protocol.
@@ -124,6 +125,33 @@ final class Warehouse(val spark: SparkSession, val root: String,
     else spark.read.parquet(path(rel))
 
   def schemaOf(rel: Relation): StructType = read(rel).schema
+
+  /** The per-version-dir bloom filters covering `colName` across the
+    * relation's CURRENT data entries — `Some(filters)` only when EVERY
+    * contributing version dir carries a bloom for the column (an
+    * absence proof over a partial set proves nothing), `Some(Nil)` for
+    * an empty table, `None` otherwise (rename mode, pre-bloom writes).
+    * A value absent from every filter is PROVABLY not stored; a hit is
+    * only a candidate (delete entries and bloom fpp both
+    * over-approximate) — verify candidates with an exact probe. Used by
+    * append-only ingestion guards (e.g. KeywordIndex's doc_id guard) to
+    * test a batch against a corpus-sized relation in O(batch).
+    */
+  def bloomsFor(rel: Relation, colName: String)
+      : Option[Seq[org.apache.spark.util.sketch.BloomFilter]] =
+    if (!usesManifest) None
+    else latestManifest(rel).flatMap { case (_, entries) =>
+      val data = dataEntries(entries)
+      if (data.isEmpty) Some(Nil)
+      else {
+        val perVdir = data.map(_._1).distinct
+          .map(d => BloomStats.read(fs, new Path(mfDir(rel), d))
+            .flatMap(_.collectFirst {
+              case (c, b) if c.equalsIgnoreCase(colName) => b
+            }))
+        if (perVdir.forall(_.isDefined)) Some(perVdir.flatten) else None
+      }
+    }
 
   def drop(rel: Relation): Unit = {
     invalidateRead(rel)
@@ -1070,7 +1098,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   private def clusteredWriter(df: DataFrame, partitionCols: Seq[String],
                               clusterCols: Seq[String],
-                              zorderCols: Seq[String] = Nil): DataFrame = {
+                              zorderCols: Seq[String] = Nil,
+                              layoutWhen: Option[Column] = None): DataFrame = {
     require(clusterCols.isEmpty || zorderCols.isEmpty,
       "cluster_by and zorder_by are mutually exclusive layouts")
     if (zorderCols.nonEmpty) {
@@ -1081,12 +1110,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
         ZOrder.layout(df, zorderCols,
           intConf("graft.zorder.partitions",
             spark.sessionState.conf.numShufflePartitions))
-      else ZOrder.sortOnly(partitionAligned(df, partitionCols), zorderCols)
+      else ZOrder.sortOnly(partitionAligned(df, partitionCols), zorderCols,
+        layoutWhen)
     } else {
       val aligned = partitionAligned(df, partitionCols)
-      if (clusterCols.nonEmpty)
-        aligned.sortWithinPartitions(clusterCols.map(aligned.col): _*)
-      else aligned
+      if (clusterCols.nonEmpty) {
+        // scoped layout: rows outside `layoutWhen` take NULL sort keys —
+        // they skip the comparison work and keep arrival order, while
+        // in-scope rows (per dir, thanks to the alignment) sort exactly
+        // as in the unconditional path
+        val keys = clusterCols.map(aligned.col)
+        val sortCols = layoutWhen
+          .map(p => keys.map(k => when(p, k))).getOrElse(keys)
+        aligned.sortWithinPartitions(sortCols: _*)
+      } else aligned
     }
   }
 
@@ -1217,9 +1254,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * entries are untouched — a partition's rows may span several version
     * dirs until [[compactPartitions]] consolidates them.
     */
-  def append(df: DataFrame, rel: Relation, partitionCols: Seq[String] = Nil): Unit =
+  def append(df: DataFrame, rel: Relation, partitionCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Unit =
     withRelationLock(rel) {
-      if (usesManifest) appendVersionDir(df, rel, partitionCols)
+      if (usesManifest) appendVersionDir(df, rel, partitionCols,
+        bloomCols = bloomCols)
       else {
         restorePartitionBackup(rel)
         val writer = partitionAligned(df, partitionCols).write.mode("append")
@@ -1276,14 +1315,15 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private def appendVersionDir(df: DataFrame, rel: Relation,
                                partitionCols: Seq[String],
                                metaF: Map[String, String] => Map[String, String] =
-                                 identity): Unit = {
+                                 identity,
+                               bloomCols: Seq[String] = Nil): Unit = {
     val vdir = newVersionDir(rel,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
     val writer = partitionAligned(df, partitionCols).write.mode("overwrite")
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
              else writer
     w2.parquet(vdir.toString)
-    writeStatsSidecar(vdir); writeBloomSidecar(vdir)
+    writeStatsSidecar(vdir); writeBloomSidecar(vdir, bloomCols)
     val parts =
       if (partitionCols.isEmpty) Seq("")
       else leafDirs(vdir, partitionCols.length)
@@ -1849,19 +1889,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
                         clusterCols: Seq[String] = Nil,
                         alsoDropPaths: Seq[String] = Nil,
                         zorderCols: Seq[String] = Nil,
-                        bloomCols: Seq[String] = Nil): Unit = withRelationLock(rel) {
+                        bloomCols: Seq[String] = Nil,
+                        layoutWhen: Option[Column] = None): Unit = withRelationLock(rel) {
     require(pcols.nonEmpty, "replacePartitions requires partition columns")
     require(alsoDropValues.isEmpty || pcols.size == 1,
       "alsoDropValues (static insert_overwrite) is single-column")
     if (usesManifest)
       replacePartitionsImpl(df, rel, pcols, alsoDropValues, clusterCols,
-        alsoDropPaths, zorderCols, bloomCols)
+        alsoDropPaths, zorderCols, bloomCols, layoutWhen)
     else {
       val tmp = rel.suffixed("__dbt_tmp")
       val backup = rel.suffixed("__dbt_pbackup")
       restorePartitionBackup(rel)
       drop(tmp)
-      clusteredWriter(df, pcols, clusterCols, zorderCols)
+      clusteredWriter(df, pcols, clusterCols, zorderCols, layoutWhen)
         .write.mode("overwrite").partitionBy(pcols: _*).parquet(path(tmp))
       fs.mkdirs(new Path(path(backup)))
       // swap at LEAF granularity: with a multi-column layout only the
@@ -1913,10 +1954,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
                                     clusterCols: Seq[String],
                                     alsoDropPaths: Seq[String],
                                     zorderCols: Seq[String] = Nil,
-                                    bloomCols: Seq[String] = Nil): Unit = {
+                                    bloomCols: Seq[String] = Nil,
+                                    layoutWhen: Option[Column] = None): Unit = {
     val vdir = newVersionDir(rel,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
-    clusteredWriter(df, pcols, clusterCols, zorderCols)
+    clusteredWriter(df, pcols, clusterCols, zorderCols, layoutWhen)
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(vdir.toString)
     writeStatsSidecar(vdir); writeBloomSidecar(vdir, bloomCols)
     val written = leafDirs(vdir, pcols.length)

@@ -107,10 +107,16 @@ object ZOrder {
     * already aligned to their partition dirs, so only the within-dir
     * order changes (row-group-level skipping inside each partition).
     */
-  def sortOnly(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val dims = dimsWithBounds(df, cols)
+  def sortOnly(df: DataFrame, cols: Seq[String],
+               onlyWhen: Option[Column] = None): DataFrame = {
+    // scoped layout (`onlyWhen`): bounds quantize over the rows that GET
+    // the curve; excluded rows take a NULL key and group at the low end
+    // untouched — the snapshot writer uses this to z-order closed history
+    // while the hot current slice skips the layout work entirely
+    val dims = dimsWithBounds(onlyWhen.map(df.filter).getOrElse(df), cols)
     val zc = "__graft_zvalue"
-    df.withColumn(zc, zvalue(dims, bitsFor(cols.size)))
+    val zv = zvalue(dims, bitsFor(cols.size))
+    df.withColumn(zc, onlyWhen.map(p => when(p, zv)).getOrElse(zv))
       .sortWithinPartitions(zc)
       .drop(zc)
   }

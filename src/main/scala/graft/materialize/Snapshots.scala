@@ -83,6 +83,13 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     * sort (ZOrder quantizes only ordered-numeric dimensions — a string
     * key still gets per-file min/max on the sort prefix plus its bloom
     * sidecar). Returns (clusterCols, zorderCols) for the writer.
+    *
+    * The layout applies to CLOSED rows only (the writer's `layoutWhen`):
+    * a (month, sub) leaf is written once when its rows close — closures
+    * always stamp the run's month — and never rewritten after, so the
+    * sort is paid once per row lifetime. The hot CURRENT slice, which
+    * every run rewrites, skips the sort and keeps only bloom sidecars
+    * (what point probes use to skip current files).
     */
   private def historyLayout(df: DataFrame,
                             keys: Seq[String]): (Seq[String], Seq[String]) = {
@@ -138,16 +145,19 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
         .withColumn("dbt_scd_id", scdId(keys, updatedAt))
         .withColumn(BUCKET, lit(CURRENT))
         .withColumn(SUB, subOf(col("dbt_scd_id"), n0))
-      val (cc0, zc0) = historyLayout(first, keys)
+      // every first-run row is CURRENT → the cheap layout path (bloom
+      // sidecars only, no sort): the point-lookup layout is for CLOSED
+      // history, applied once when rows close (see the layoutWhen write
+      // below) — sorting the hot slice would be redone on every rewrite
       wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET, SUB),
-        clusterCols = cc0, zorderCols = zc0, bloomCols = keys)
+        bloomCols = keys)
       return
     }
 
     // sub-bucket count for THIS run's inserts: footer-count metadata of
     // the current partition — no scan, no job
-    val n = subBuckets.getOrElse(
-      adaptiveN(wh.footerRows(rel, s"$BUCKET=$CURRENT")))
+    val curRows = wh.footerRows(rel, s"$BUCKET=$CURRENT")
+    val n = subBuckets.getOrElse(adaptiveN(curRows))
 
     val all = wh.read(rel)
     // change detection reads ONLY the current partition (pruned scan) —
@@ -181,54 +191,79 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     val inCur = col("c.__in_cur").isNotNull
 
     val srcCols = source.columns.toIndexedSeq
-    // B13 staging: insertions (new key or changed row) + updates (close the
-    // old version) + optional deletes
-    val insertions = joined
-      .filter(inSrc && (!inCur || rowChanged))
+    // B13 staging in ONE frame: every row the run acts on (insert /
+    // close / hard-delete) with its decision flags, so insertions and
+    // closings are filters of it rather than separate re-derivations
+    // from the full-outer join.
+    //
+    // Size-adaptive materialization (same pattern as the CC resolver's
+    // union-find switch): below the threshold the current⟗source join is
+    // a broadcast-hash pipeline — recomputing it per consumer is cheaper
+    // than a cache round-trip, so staging stays LAZY; above it the join
+    // is a genuine two-sided shuffle that must execute ONCE, so the
+    // O(delta) staging frame persists and the leaf discovery + payload
+    // write all read the cache. Both paths compute identical frames.
+    val isInsert = inSrc && (!inCur || rowChanged)
+    val isClose = inSrc && inCur && rowChanged
+    val isDelete =
+      if (invalidateHardDeletes) inCur && !inSrc else lit(false)
+    val persistStaging = curRows >= source.sparkSession.conf
+      .getOption("graft.snapshot.stagingPersistMinRows")
+      .map(_.toLong).getOrElse(8L << 20)
+    val staging0 = joined
+      .filter(isInsert || isClose || isDelete)
       .select(srcCols.map(c => col(s"s.$c").as(c)) ++ Seq(
-        updatedAtOver("s", strategy, nowLit).as("dbt_updated_at"),
-        updatedAtOver("s", strategy, nowLit).as("dbt_valid_from"),
+        isInsert.as("__is_insert"), isClose.as("__is_close"),
+        isDelete.as("__is_delete"),
+        col("c.dbt_scd_id").as("__cur_scd_id"),
+        col(s"c.$SUB").as("__cur_sub")): _*)
+    val staging =
+      if (persistStaging)
+        staging0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else staging0
+
+    // source columns are plain names now — updatedAt (strategy column /
+    // pinned now) applies directly
+    val insertions = staging.filter(col("__is_insert"))
+      .select(srcCols.map(col) ++ Seq(
+        updatedAt.as("dbt_updated_at"),
+        updatedAt.as("dbt_valid_from"),
         lit(null).cast("timestamp").as("dbt_valid_to"),
-        scdId(keys.map("s." + _), updatedAtOver("s", strategy, nowLit)).as("dbt_scd_id")): _*)
+        scdId(keys, updatedAt).as("dbt_scd_id")): _*)
       .withColumn(SUB, subOf(col("dbt_scd_id"), n))
 
-    // closings carry the closed row's PERSISTED sub — its leaf identity
-    val updateScdIds = joined.filter(inSrc && inCur && rowChanged)
-      .select(col("c.dbt_scd_id").as("dbt_scd_id"),
-        updatedAtOver("s", strategy, nowLit).as("new_valid_to"),
-        col(s"c.$SUB").as("cur_sub"))
-    val deleteScdIds =
-      if (!invalidateHardDeletes) updateScdIds.limit(0)
-      else joined.filter(inCur && !inSrc)
-        .select(col("c.dbt_scd_id").as("dbt_scd_id"),
-          nowLit.as("new_valid_to"), col(s"c.$SUB").as("cur_sub"))
-    // small frame (scd_id + close time + leaf of this run's changes):
-    // persisted so leaf discovery and the write see ONE evaluation of the
-    // detection join, and the collects below don't re-run it
-    val closing = updateScdIds.unionByName(deleteScdIds)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // closings carry the closed row's PERSISTED sub — its leaf identity;
+    // a changed row closes at the source's update time, a hard delete at
+    // the pinned transaction time
+    val closing = staging.filter(col("__is_close") || col("__is_delete"))
+      .select(col("__cur_scd_id").as("dbt_scd_id"),
+        when(col("__is_close"), updatedAt).otherwise(nowLit).as("new_valid_to"),
+        col("__cur_sub").as("cur_sub"))
 
     try {
-      // Touched CURRENT sub-buckets: the persisted subs of closing rows,
-      // plus the recomputed subs of every source row — a superset of the
-      // insertion subs that needs NO extra pass over the detection join
-      // (for the typical delta-shaped snapshot source it is tight; for a
-      // full-source run it covers all subs, degenerating to the whole-
-      // current rewrite this layout exists to avoid).
-      // ONE pass over the persisted closing frame yields both the closed
-      // (month, sub) leaves and the closing subs. Number-safe getters: a
+      // Leaf discovery, ONE job: the closed (month, sub) leaves and the
+      // touched CURRENT sub-buckets both come from a single distinct
+      // over the staging frame. Touched subs are EXACT — the persisted
+      // subs of closing rows plus the computed subs of insertion rows
+      // (an earlier version re-scanned the whole SOURCE for a superset;
+      // deriving from staging drops that pass and shrinks the rewrite to
+      // leaves the delta actually touches). Number-safe getters: a
       // persisted sub partition value reads back as int while computed
       // subs are long.
-      val closedLeaves = closing
-        .select(bucketOf(col("new_valid_to")).as("b"), col("cur_sub"))
+      val closeLike = col("__is_close") || col("__is_delete")
+      val discovery = staging.select(
+          when(closeLike, bucketOf(
+            when(col("__is_close"), updatedAt).otherwise(nowLit))).as("closed_b"),
+          when(closeLike, col("__cur_sub")).as("closed_sub"),
+          when(col("__is_insert"), subOf(scdId(keys, updatedAt), n)).as("ins_sub"))
         .distinct().collect()
+      val closedLeaves = discovery.filter(!_.isNullAt(0))
         .map(r => (r.getString(0), r.get(1).asInstanceOf[Number].longValue))
-        .toIndexedSeq
-      val srcSubs = source
-        .select(subOf(scdId(keys, updatedAt), n).as("sub"))
-        .distinct().collect().map(_.get(0).asInstanceOf[Number].longValue)
+        .distinct.toIndexedSeq
+      val insertSubs = discovery.filter(!_.isNullAt(2))
+        .map(_.get(2).asInstanceOf[Number].longValue).distinct
       val touchedSubs =
-        (srcSubs ++ closedLeaves.map(_._2)).distinct.toIndexedSeq
+        (insertSubs ++ closedLeaves.map(_._2)).distinct.toIndexedSeq
 
       // B16 merge, leaf-scoped: current rows OF TOUCHED SUB-BUCKETS get
       // dbt_valid_to set where matched (moving them to a closed leaf);
@@ -267,11 +302,18 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
       // inserts) is written by nobody — drop it explicitly
       val staleLeaves = touchedSubs.map(sb => s"$BUCKET=$CURRENT/$SUB=$sb")
       val (cc, zc) = historyLayout(payload, keys)
+      // layout ONLY the closed rows: a (month, sub) leaf is written once
+      // when its rows close and never rewritten after (closures always
+      // stamp the run's month), so the sort+z-order is paid once per row
+      // lifetime; the hot CURRENT slice — rewritten on every run — takes
+      // the cheap path (bloom sidecars only, which is what point probes
+      // use to skip current files)
       wh.replacePartitions(payload, rel, Seq(BUCKET, SUB),
         alsoDropPaths = staleLeaves, clusterCols = cc, zorderCols = zc,
-        bloomCols = keys)
+        bloomCols = keys,
+        layoutWhen = Some(col(BUCKET) =!= lit(CURRENT)))
     } finally {
-      closing.unpersist(); ()
+      if (persistStaging) { staging.unpersist(); () }
     }
   }
 
@@ -291,11 +333,6 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     expired
   }
 
-  private def updatedAtOver(alias: String, strategy: SnapshotStrategy,
-                            now: Column): Column = strategy match {
-    case SnapshotStrategy.Timestamp(c) => col(s"$alias.$c")
-    case SnapshotStrategy.Check(_) => now
-  }
 }
 
 object Snapshotter {
