@@ -1279,6 +1279,35 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def streamWatermark(rel: Relation, sourceId: String): Option[Long] =
     latestMeta(rel).get(s"stream.$sourceId").map(_.toLong)
 
+  /** All committed stream watermarks of a relation (sourceId → batchId). */
+  def streamWatermarks(rel: Relation): Map[String, Long] =
+    latestMeta(rel).collect {
+      case (k, v) if k.startsWith("stream.") =>
+        k.stripPrefix("stream.") -> v.toLong
+    }
+
+  /** Fold stream watermarks into `rel`'s manifest in one metadata-only
+    * commit, max-merged with any already present. Used when a
+    * generation swap re-homes a streamed relation (VectorIndex.refit):
+    * the successor relation must inherit the predecessor's replay
+    * watermarks, or a checkpoint restart after the swap would replay its
+    * last batch as new rows. Call AFTER the successor's first data
+    * write (a metadata-only manifest on an empty relation has no schema
+    * to recover).
+    */
+  def carryStreamWatermarks(rel: Relation, marks: Map[String, Long]): Unit =
+    withRelationLock(rel) {
+      require(usesManifest,
+        "stream watermarks need the manifest protocol")
+      if (marks.nonEmpty)
+        commitEntries(rel, m => marks.foldLeft(m) { case (acc, (s, b)) =>
+          val key = s"stream.$s"
+          val merged = math.max(b,
+            acc.get(key).map(_.toLong).getOrElse(Long.MinValue))
+          acc + (key -> merged.toString)
+        })(identity)
+    }
+
   /** Idempotent micro-batch append — the `foreachBatch` sink body for
     * Structured Streaming ingestion into a manifest-mode table. Returns
     * false (and writes NOTHING) when `batchId` is at or below the

@@ -67,7 +67,8 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
     wh.writeAtomic(
       p.groupBy(col("term")).agg(count(lit(1)).as("df")), dfRel)
     val dl = docLengths(docs)
-    wh.writeAtomic(dl, dlRel)
+    // doc_id blooms feed the append id-guard's O(batch) probe
+    wh.writeAtomic(dl, dlRel, bloomCols = Seq("doc_id"))
     wh.writeAtomic(dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len")), statsRel)
   }
@@ -81,12 +82,14 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
     * the batch's per-term deltas into the stored rows — vocabulary-sized
     * work, negligible next to the batch tokenize, and the same
     * read-modify-write-under-lock discipline as the stats row. Batch
-    * doc_ids are assumed NEW (re-appending an existing doc would double
-    * its postings and dl rows too — the index is append-only by
-    * contract; dedup upstream).
+    * doc_ids must be NEW — the index is append-only by contract, and a
+    * re-appended doc would silently double its postings, dl and df rows
+    * — so [[requireNewDocIds]] REJECTS a batch whose ids are already
+    * indexed, loudly, before anything lands.
     */
   def append(docs: DataFrame): Unit = {
     val s = wh.spark
+    requireNewDocIds(docs)
     val p = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
@@ -100,7 +103,7 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
         wh.writeAtomic(merged, dfRel)
       }
       val dl = docLengths(docs)
-      wh.append(dl, dlRel)
+      wh.append(dl, dlRel, bloomCols = Seq("doc_id"))
       val add = dl.agg(count(lit(1)), sum(col("dl"))).collect().head
       // the stats fold is a read-modify-write: hold the relation lock
       // across BOTH sides so two concurrent appends can't lose an update
@@ -115,6 +118,54 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
             .toDF("n_docs", "total_len"), statsRel)
       }
     } finally { p.unpersist(); () }
+  }
+
+  /** The append id-guard: probe the batch's doc_ids against the dl
+    * relation's bloom sidecars — O(batch) bloom tests against broadcast
+    * filters, NO corpus scan — and exact-verify the (rare,
+    * fpp-bounded) candidates with a literal `isin` probe the sidecars
+    * themselves prune down to the files that could hold them. When any
+    * dl version dir lacks a bloom (rename-mode warehouse, pre-guard
+    * index), fall back to an exact semi-join probe: correctness of the
+    * guard never depends on the sidecars, only its cost does.
+    */
+  private def requireNewDocIds(docs: DataFrame): Unit = {
+    if (!wh.exists(dlRel)) return // nothing indexed yet
+    import org.apache.spark.sql.types._
+    val ids = docs.select(col("doc_id"))
+    val confirmed: Array[Any] = wh.bloomsFor(dlRel, "doc_id") match {
+      case Some(blooms) if blooms.isEmpty => Array.empty // empty index
+      case Some(blooms) =>
+        val bc = wh.spark.sparkContext.broadcast(blooms.toArray)
+        val isString =
+          ids.schema.head.dataType == StringType
+        // bounded candidate pull: 64 ids is plenty to prove the batch
+        // bad (the error message shows a few) while bounding the driver
+        // transfer if a caller re-appends a whole corpus
+        val candidates = ids.rdd.mapPartitions { it =>
+          val bs = bc.value
+          it.flatMap { r =>
+            if (r.isNullAt(0)) None
+            else {
+              val hit =
+                if (isString) { val v = r.getString(0); bs.exists(_.mightContainString(v)) }
+                else { val v = r.get(0).asInstanceOf[Number].longValue; bs.exists(_.mightContainLong(v)) }
+              if (hit) Some(r.get(0)) else None
+            }
+          }
+        }.take(64)
+        if (candidates.isEmpty) Array.empty
+        else wh.read(dlRel)
+          .filter(col("doc_id").isin(candidates.toIndexedSeq: _*))
+          .select(col("doc_id")).limit(5).collect().map(_.get(0))
+      case None =>
+        wh.read(dlRel).join(ids, Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).limit(5).collect().map(_.get(0))
+    }
+    require(confirmed.isEmpty,
+      s"KeywordIndex '$name' is append-only: batch contains doc_ids " +
+        s"already indexed (${confirmed.mkString(", ")}, ...) — dedup " +
+        "upstream or rebuild")
   }
 
   /** Streaming sibling of [[append]] under the per-relation batch-id

@@ -99,6 +99,40 @@ class KeywordIndexSpec extends AnyFunSuite {
     assert(got(idx.search(all, Seq("qqnovel"))) == Set(900001L, 900002L))
   }
 
+  test("append id-guard: a re-appended doc_id raises; the probe is O(batch)") {
+    val s = spark; import s.implicits._
+    val (wh, idx) = freshIdx()
+    // fresh batch admits fine (and leaves a dl bloom behind)
+    idx.append(Seq((910001L, "guard fresh one")).toDF("doc_id", "text"))
+    // re-appending an already-indexed id (from the build OR a prior
+    // append) must fail LOUDLY, naming the id — not double-count
+    val someBuilt = docs.select("doc_id").head().getLong(0)
+    val err = intercept[IllegalArgumentException] {
+      idx.append(Seq((someBuilt, "smuggled again")).toDF("doc_id", "text"))
+    }
+    assert(err.getMessage.contains("append-only") &&
+      err.getMessage.contains(someBuilt.toString), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      idx.append(Seq((910001L, "appended twice")).toDF("doc_id", "text"))
+    }
+    assert(err2.getMessage.contains("910001"))
+    // the rejected batches left NOTHING behind: stats + dl unchanged
+    val stats = wh.read(Relation("idx", "kw", "d__stats")).collect().head
+    val dlCount = wh.read(Relation("idx", "kw", "d__dl")).count()
+    assert(stats.getAs[Long]("n_docs") == dlCount)
+    assert(wh.read(Relation("idx", "kw", "d__dl"))
+      .filter(col("doc_id") === someBuilt).count() == 1)
+    // O(batch) pin: every dl version dir carries a doc_id bloom, so the
+    // guard's clean-batch path does bloom tests + NO dl file reads —
+    // assert the sidecars are complete (the cheap path's precondition)
+    assert(wh.bloomsFor(Relation("idx", "kw", "d__dl"), "doc_id")
+      .exists(_.nonEmpty), "dl blooms must cover every version dir")
+    // a clean batch still admits after the rejections
+    idx.append(Seq((910002L, "guard fresh two")).toDF("doc_id", "text"))
+    assert(wh.read(Relation("idx", "kw", "d__dl"))
+      .filter(col("doc_id") === 910002L).count() == 1)
+  }
+
   test("row deletes compose: a deleted doc's postings vanish from search") {
     val s = spark; import s.implicits._
     val (wh, idx) = freshIdx()
