@@ -371,15 +371,35 @@ object Similarity {
                           k: Int = 16, nprobe: Int = 2,
                           maxProbe: Int = 4, probeMargin: Double = 0.05) {
     import graft.core.Relation
-    private val centRel = Relation("idx", "ann", s"${name}__centroids")
-    private val cellRel = Relation("idx", "ann", s"${name}__cells")
+    // Generation indirection for refit(): generation g's artifacts live
+    // beside generation g+1's while the rebuild runs, and a 1-row meta
+    // pointer flips atomically — readers in flight keep their bound
+    // generation, new operations resolve the pointer once at entry.
+    // Generation 0 keeps the historic un-suffixed names, so an index
+    // built before refit existed reads (and appends) unchanged.
+    private val metaRel = Relation("idx", "ann", s"${name}__meta")
+    private def suffixed(part: String, g: Long): Relation =
+      Relation("idx", "ann",
+        if (g == 0L) s"${name}__$part" else s"${name}__g${g}__$part")
+    private def centRel(g: Long): Relation = suffixed("centroids", g)
+    private def cellRel(g: Long): Relation = suffixed("cells", g)
     // PQ side (Jégou codes): 4-byte codes against 256-byte float rows —
     // the 64× shrink that keeps a 100 TB corpus's probe working set
     // memory-resident. Codes live cell-partitioned like the floats so
     // the ADC probe keeps the same partition-pruned scan; the float
     // relation stays the exact re-rank (and compatibility) path.
-    private val bookRel = Relation("idx", "ann", s"${name}__books")
-    private val codeRel = Relation("idx", "ann", s"${name}__codes")
+    private def bookRel(g: Long): Relation = suffixed("books", g)
+    private def codeRel(g: Long): Relation = suffixed("codes", g)
+    // per-generation drift ledger: (kind, n, sum_dist) with kind ∈
+    // {baseline, all} — see [[drift]]
+    private def driftRel(g: Long): Relation = suffixed("drift", g)
+
+    /** The live generation — 0 until the first [[refit]]. One tiny read
+      * per public operation; the flip in [[refit]] is the only writer.
+      */
+    private[graft] def currentGen(): Long =
+      if (!wh.exists(metaRel)) 0L
+      else wh.read(metaRel).collect().head.getLong(0)
 
     /** ADAPTIVE multi-probe cell selection — the recall lever. The
       * `nprobe` nearest cells always probe; cells beyond extend the
@@ -415,39 +435,52 @@ object Similarity {
       */
     private[graft] def probeCounts(q: DataFrame): DataFrame =
       q.select(col("vec_id").as("q_id"),
-        size(probeCells(centroids())).as("n_cells"))
+        size(probeCells(centroids(currentGen()))).as("n_cells"))
 
     /** One-time fit + assign: one kmeansFit pass, partitioned float and
       * code writes, plus the control-plane codebook rows ([[pqTrain]] —
       * sample-trained like every production PQ index).
       */
-    def build(e: DataFrame): Unit = {
+    def build(e: DataFrame): Unit = fitInto(currentGen(), e)
+
+    /** Fit + assign + encode the corpus `e` into generation `g`'s
+      * relations, and seed that generation's drift ledger (baseline =
+      * the post-fit mean centroid distance — the recall-calibrated
+      * anchor [[drift]] compares appends against).
+      */
+    private def fitInto(g: Long, e: DataFrame): Unit = {
       val (_, cents, _) = kmeansFit(e, k)
       val s = e.sparkSession
       import s.implicits._
-      wh.writeAtomic(cents.toDF("cid", "cv"), centRel)
+      wh.writeAtomic(cents.toDF("cid", "cv"), centRel(g))
       val assigned = e.withColumn("cell", kmNearest(cents))
-      wh.writeAtomic(assigned, cellRel, partitionCols = Seq("cell"))
+      wh.writeAtomic(assigned, cellRel(g), partitionCols = Seq("cell"))
       val books = pqTrain(e)
       wh.writeAtomic(books.zipWithIndex.flatMap { case (bc, s0) =>
         bc.zipWithIndex.map { case (cv, c) => (s0, c, cv) }
-      }.toDF("s", "c", "cv"), bookRel)
+      }.toDF("s", "c", "cv"), bookRel(g))
       wh.writeAtomic(assigned.select(col("vec_id"),
-        pqCodeCol(books).as("code"), col("cell")), codeRel,
+        pqCodeCol(books).as("code"), col("cell")), codeRel(g),
         partitionCols = Seq("cell"))
+      val base = e.agg(count(lit(1)).as("n"),
+        sum(lit(1.0) - kmNearestSim(cents)).as("sum_dist")).collect().head
+      wh.writeAtomic(Seq(
+        ("baseline", base.getLong(0), base.getDouble(1)),
+        ("all", base.getLong(0), base.getDouble(1)))
+        .toDF("kind", "n", "sum_dist"), driftRel(g))
     }
 
     /** Frozen centroids back from the warehouse: k·d doubles. */
-    private def centroids(): Seq[(Int, Seq[Double])] =
-      wh.read(centRel).collect()
+    private def centroids(g: Long): Seq[(Int, Seq[Double])] =
+      wh.read(centRel(g)).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq
 
     /** Frozen PQ codebooks back from the warehouse: S·K·sub doubles —
       * control-plane, like the centroids.
       */
-    private def booksStored(): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
-      wh.read(bookRel).collect()
+    private def booksStored(g: Long): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      wh.read(bookRel(g)).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
         .groupBy(_._1).toIndexedSeq.sortBy(_._1)
         .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
@@ -455,15 +488,56 @@ object Similarity {
     /** Admit new vectors (frozen centroids/codebooks — O(batch)
       * assignment and encode; codes stay in lockstep with the floats).
       * An index built before the codes relation existed keeps working
-      * float-only.
+      * float-only. The generation is re-checked under the cell lock:
+      * a [[refit]] flip between resolution and write would strand the
+      * batch in a retired generation, so the append retries against the
+      * new one instead. The batch's centroid distances fold into the
+      * drift ledger — the signal [[drift]] reads.
       */
     def append(e: DataFrame): Unit = {
-      val assigned = e.withColumn("cell", kmNearest(centroids()))
-      wh.append(assigned, cellRel, Seq("cell"))
-      if (wh.exists(bookRel))
+      var admitted = false
+      var attempts = 0
+      while (!admitted) {
+        val g = currentGen()
+        wh.withRelationLock(cellRel(g)) {
+          if (currentGen() == g) {
+            appendInto(g, e)
+            admitted = true
+          }
+        }
+        attempts += 1
+        require(admitted || attempts < 3,
+          "VectorIndex.append: generation flipped twice mid-append")
+      }
+    }
+
+    /** Assign + encode + drift-fold one batch into generation `g`.
+      * Caller holds `cellRel(g)`'s lock (or is [[refit]] replaying the
+      * delta into a generation nobody else can see yet).
+      */
+    private def appendInto(g: Long, e: DataFrame): Unit = {
+      val cents = centroids(g)
+      val assigned = e.withColumn("cell", kmNearest(cents))
+      wh.append(assigned, cellRel(g), Seq("cell"))
+      if (wh.exists(bookRel(g)))
         wh.append(assigned.select(col("vec_id"),
-          pqCodeCol(booksStored()).as("code"), col("cell")), codeRel,
+          pqCodeCol(booksStored(g)).as("code"), col("cell")), codeRel(g),
           Seq("cell"))
+      if (wh.exists(driftRel(g))) {
+        val add = e.agg(count(lit(1)).as("n"),
+          sum(lit(1.0) - kmNearestSim(cents)).as("sum_dist")).collect().head
+        val s = e.sparkSession
+        import s.implicits._
+        wh.withRelationLock(driftRel(g)) {
+          val rows = wh.read(driftRel(g)).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          wh.writeAtomic(rows.map {
+            case ("all", n0, d0) =>
+              ("all", n0 + add.getLong(0), d0 + add.getDouble(1))
+            case other => other
+          }.toIndexedSeq.toDF("kind", "n", "sum_dist"), driftRel(g))
+        }
+      }
     }
 
     /** Streaming sibling of [[append]] for `writeStream.foreachBatch`:
@@ -477,29 +551,41 @@ object Similarity {
       */
     def appendStreamBatch(e: DataFrame, sourceId: String,
                           batchId: Long): Boolean = {
-      val assigned = e.withColumn("cell", kmNearest(centroids()))
-      // codes first, floats second, each under its OWN per-relation
-      // batch-id watermark: a crash between the two appends replays the
-      // batch, each side independently detects done/pending, and both
-      // converge — encode and assignment are deterministic (frozen
-      // artifacts), so the replayed rows are identical
-      if (wh.exists(bookRel))
-        wh.appendStreamBatch(assigned.select(col("vec_id"),
-          pqCodeCol(booksStored()).as("code"), col("cell")), codeRel,
-          sourceId, batchId, Seq("cell"))
-      wh.appendStreamBatch(assigned, cellRel, sourceId, batchId, Seq("cell"))
+      val g = currentGen()
+      wh.withRelationLock(cellRel(g)) {
+        // same flip-race guard as [[append]]; a refit mid-batch retries
+        // against the successor generation (which inherited this
+        // source's watermark in the swap, so a replayed batch is still
+        // a detected no-op there)
+        if (currentGen() != g) appendStreamBatch(e, sourceId, batchId)
+        else {
+          val assigned = e.withColumn("cell", kmNearest(centroids(g)))
+          // codes first, floats second, each under its OWN per-relation
+          // batch-id watermark: a crash between the two appends replays
+          // the batch, each side independently detects done/pending, and
+          // both converge — encode and assignment are deterministic
+          // (frozen artifacts), so the replayed rows are identical
+          if (wh.exists(bookRel(g)))
+            wh.appendStreamBatch(assigned.select(col("vec_id"),
+              pqCodeCol(booksStored(g)).as("code"), col("cell")), codeRel(g),
+              sourceId, batchId, Seq("cell"))
+          wh.appendStreamBatch(assigned, cellRel(g), sourceId, batchId,
+            Seq("cell"))
+        }
+      }
     }
 
     /** ANN top-k of each `(vec_id, v)` query row against the index. */
     def query(q: DataFrame, topK: Int = 5): DataFrame = {
-      val cents = centroids()
+      val g = currentGen()
+      val cents = centroids(g)
       val probed = q
         .withColumn("cell", explode(probeCells(cents)))
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
       // control-plane: distinct probed cell ids (≤ k ints) become a
       // LITERAL isin predicate, so the candidate scan partition-prunes
       val cids = probed.select("cell").distinct().collect().map(_.getInt(0))
-      val cand = wh.read(cellRel).filter(col("cell").isin(cids: _*))
+      val cand = wh.read(cellRel(g)).filter(col("cell").isin(cids: _*))
       val scored = cand.alias("a").join(probed.alias("p"),
           col("a.cell") === col("p.cell") && col("a.vec_id") =!= col("p.q_id"))
         .select(col("q_id"), col("a.vec_id").as("neighbor_id"),
@@ -522,8 +608,9 @@ object Similarity {
     def queryPq(q: DataFrame, topK: Int = 5, shortlist: Int = 50): DataFrame = {
       val s = q.sparkSession
       import s.implicits._
-      val cents = centroids()
-      val books = booksStored()
+      val g = currentGen()
+      val cents = centroids(g)
+      val books = booksStored(g)
       val qRows = q.select(col("vec_id"), col("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       val qTbl = s.createDataset(pqAdcTableRows(qRows, books))
@@ -532,7 +619,7 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("cell"))
         .join(broadcast(qTbl), "q_id")
       val cids = probed.select("cell").distinct().collect().map(_.getInt(0))
-      val codes = wh.read(codeRel).filter(col("cell").isin(cids: _*))
+      val codes = wh.read(codeRel(g)).filter(col("cell").isin(cids: _*))
       val adc = codes.alias("a").join(probed.alias("p"),
           col("a.cell") === col("p.cell") && col("a.vec_id") =!= col("p.q_id"))
         .select(col("q_id"), col("a.vec_id").as("neighbor_id"),
@@ -543,13 +630,93 @@ object Similarity {
       val short = topKAgg(s, adc, shortlist, "adc_score")
         .select(col("q_id"), col("neighbor_id"))
       val qv = q.select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val cand = wh.read(cellRel).filter(col("cell").isin(cids: _*))
+      val cand = wh.read(cellRel(g)).filter(col("cell").isin(cids: _*))
         .select(col("vec_id").as("neighbor_id"), col("v"))
       val exact = short.join(cand, "neighbor_id")
         .join(broadcast(qv), "q_id")
         .select(col("q_id"), col("neighbor_id"),
           round(cosine_sim(col("qv"), col("v")), 6).as("cos_sim"))
       topKAgg(s, exact, topK)
+    }
+
+    /** The refit signal. Appends encode against FROZEN centroids and
+      * codebooks, so as the appended distribution drifts the corpus sits
+      * farther from its assigned centroids and recall decays — the
+      * withdrawn recall gate of round 10 measured exactly this
+      * sensitivity. `ratio` compares the CURRENT mean centroid distance
+      * (baseline corpus + every appended batch, folded forward on
+      * append — no corpus scan here) against the post-fit baseline:
+      * ~1.0 = centroids still represent the corpus; sustained growth =
+      * schedule a [[refit]]. The threshold is the operator's (it depends
+      * on the embedding geometry); the STAT is the index's job.
+      */
+    final case class DriftStats(baselineMeanDist: Double,
+                                currentMeanDist: Double, nVectors: Long) {
+      def ratio: Double =
+        if (baselineMeanDist > 0) currentMeanDist / baselineMeanDist else 1.0
+    }
+
+    def drift(): DriftStats = {
+      val g = currentGen()
+      require(wh.exists(driftRel(g)),
+        s"VectorIndex '$name': no drift ledger (index predates drift " +
+          "tracking) — refit() to establish one")
+      val rows = wh.read(driftRel(g)).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val (bn, bs) = rows("baseline")
+      val (an, as_) = rows("all")
+      DriftStats(if (bn > 0) bs / bn else 0.0, if (an > 0) as_ / an else 0.0, an)
+    }
+
+    /** Maintenance re-fit: re-cluster, re-train the codebooks, and
+      * re-encode the WHOLE stored corpus into a fresh generation, then
+      * flip the meta pointer — the heavy phase runs with NO lock held
+      * (the index stays fully readable and appendable throughout), and
+      * the swap is one atomic 1-row write. Appends racing the rebuild
+      * are not lost: the corpus snapshot is pinned to a manifest seq,
+      * and the flip — under the old generation's cell lock, which every
+      * append re-checks the generation beneath — replays whatever landed
+      * after the snapshot into the new generation first. Stream-append
+      * watermarks carry over in the same window, so a checkpoint-restart
+      * replay stays a no-op across the swap. The PREVIOUS generation's
+      * relations are retired on the NEXT refit (in-flight readers of the
+      * old generation keep their files until then). Delta replay rides
+      * the manifest seq — in rename mode refit still swaps atomically
+      * but must not race concurrent appends.
+      *
+      * `onBeforeFlip` is a TEST SEAM: it runs after the heavy phase,
+      * before the flip lock — where a racing append would land — so the
+      * replay path is deterministically exercisable.
+      */
+    def refit(onBeforeFlip: () => Unit = () => ()): Unit = {
+      val g = currentGen()
+      val g1 = g + 1
+      // pin the snapshot: manifest seq now; delta replayed at flip time
+      val seq0 = wh.currentManifestState(cellRel(g)).map(_._1).getOrElse(0L)
+      val snap =
+        (if (seq0 > 0) wh.readAt(cellRel(g), seq0) else wh.read(cellRel(g)))
+          .select(col("vec_id"), col("v"))
+      // heavy phase — no lock: fit/assign/encode into generation g+1
+      fitInto(g1, snap)
+      onBeforeFlip()
+      // flip phase: block gen-g appends, replay the post-snapshot delta,
+      // carry stream watermarks, flip the pointer
+      wh.withRelationLock(cellRel(g)) {
+        val seq1 = wh.currentManifestState(cellRel(g)).map(_._1).getOrElse(0L)
+        if (seq1 > seq0)
+          appendInto(g1,
+            wh.readAppendedBetween(cellRel(g), seq0, seq1)
+              .select(col("vec_id"), col("v")))
+        val marks = wh.streamWatermarks(cellRel(g))
+        if (marks.nonEmpty) wh.carryStreamWatermarks(cellRel(g1), marks)
+        val s = snap.sparkSession
+        import s.implicits._
+        wh.writeAtomic(Seq(g1).toDF("gen"), metaRel)
+      }
+      // retire generation g-1 (nobody can still resolve it; generation g
+      // stays on disk for readers bound before the flip)
+      if (g >= 1) Seq(centRel(g - 1), cellRel(g - 1), bookRel(g - 1),
+        codeRel(g - 1), driftRel(g - 1)).foreach(wh.drop)
     }
   }
 
@@ -1076,6 +1243,17 @@ object Similarity {
       struct((-round(cosine_sim(col("v"), typedLit(cv)), 6)).as("negsim"),
         lit(cid).as("cid"))
     }: _*)).getField("cid").as("cluster")
+
+  /** The NEAREST centroid's cosine similarity for each row — the
+    * companion of [[kmNearest]] (same literal-centroid codegen, no
+    * join): `1 - kmNearestSim` is the assigned-centroid distance the
+    * VectorIndex drift ledger accumulates.
+    */
+  private def kmNearestSim(cents: Seq[(Int, Seq[Double])]): Column =
+    -array_min(array(cents.map { case (cid, cv) =>
+      struct((-round(cosine_sim(col("v"), typedLit(cv)), 6)).as("negsim"),
+        lit(cid).as("cid"))
+    }: _*)).getField("negsim")
 
   /** Distributed Lloyd's k-means over the embedding corpus — the
     * semantic-clustering primitive behind semantic dedup and domain

@@ -171,6 +171,97 @@ class VectorIndexSpec extends AnyFunSuite {
       "deleted vector must vanish from probes")
   }
 
+  test("drift ledger tracks appends; refit restores recall, replays racers, carries watermarks") {
+    val s2 = spark; import s2.implicits._
+    import graft.functions.VectorFunctions.cosine_sim
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_vidx_r").toString, CommitMode.Manifest)
+    val e = Similarity.vecs(spark, sf)
+    // wider probe ring than the build-only test: this corpus DOUBLES
+    // mid-test (drifted twins), and probe width is the operator's recall
+    // lever as cell density grows
+    val idx = new Similarity.VectorIndex(wh, "emb", k = 8, nprobe = 3,
+      maxProbe = 6, probeMargin = 0.15)
+    idx.build(e)
+    val d0 = idx.drift()
+    assert(d0.ratio == 1.0 && d0.nVectors == e.count(), d0.toString)
+
+    // a maximally-drifted batch (negated vectors sit across the sphere
+    // from every frozen centroid): the folded ledger must move
+    val drifted = e.select((col("vec_id") + 700000L).as("vec_id"),
+      transform(col("v"), x => x * -1).as("v"))
+    idx.append(drifted)
+    val d1 = idx.drift()
+    // the synthetic embeddings are near-unstructured (the round-10
+    // recall-gate finding), so even negated vectors find a weakly-close
+    // centroid — the separation is real but bounded; kmeansFit is
+    // deterministic, so the measured 1.053 ratio is stable
+    assert(d1.currentMeanDist > d0.currentMeanDist && d1.ratio > 1.02,
+      s"drift must register the shifted appends: $d1")
+
+    // stream batch 0 lands pre-refit; its watermark must survive the swap
+    val streamed = e.limit(3)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("v"))
+    assert(idx.appendStreamBatch(streamed, "ingest", 0L))
+
+    // refit, with a RACING append injected between the heavy phase and
+    // the flip — exactly where an untracked batch would be lost
+    val racerVec = e.filter(col("vec_id") === 0L)
+      .select(col("v")).collect().head.getSeq[Double](0)
+    val racer = Seq((990001L, racerVec.map(x => x * 0.99 + 0.002)))
+      .toDF("vec_id", "v")
+    idx.refit(onBeforeFlip = () => idx.append(racer))
+    assert(idx.currentGen() == 1L)
+
+    // nothing lost: full corpus + drifted + streamed + racer
+    val cells1 = wh.read(Relation("idx", "ann", "emb__g1__cells"))
+    assert(cells1.count() == e.count() * 2 + 3 + 1)
+    // the racer (replayed from the delta) is findable post-swap
+    val got = idx.query(e.filter(col("vec_id") === 0L), topK = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.contains(990001L), s"replayed racer must surface, got $got")
+    // the carried watermark makes a checkpoint-restart replay a no-op
+    assert(!idx.appendStreamBatch(streamed, "ingest", 0L))
+    assert(cells1.count() == e.count() * 2 + 3 + 1)
+
+    // the new baseline covers the whole (drifted-included) corpus: the
+    // ledger re-anchors at ~1
+    val d2 = idx.drift()
+    assert(d2.ratio < 1.05, s"post-refit drift must re-anchor: $d2")
+
+    // post-refit recall floor vs an in-test brute force over EVERYTHING
+    // the index now holds (original + drifted + streamed dups + racer)
+    val union = e.unionByName(drifted).unionByName(streamed)
+      .unionByName(racer)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val brute = q.alias("q").join(union.alias("c"),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine_sim(col("q.v"), col("c.v")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = idx.query(q, topK = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gotPairs intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"post-refit recall@5 = $recall")
+
+    // the NEXT stream batch admits into the new generation
+    assert(idx.appendStreamBatch(streamed
+      .select((col("vec_id") + 10000L).as("vec_id"), col("v")), "ingest", 1L))
+
+    // a second refit retires generation 1's predecessor (gen 0 names)
+    idx.refit()
+    assert(idx.currentGen() == 2L)
+    assert(!wh.exists(Relation("idx", "ann", "emb__cells")),
+      "the pre-previous generation must be retired")
+    assert(wh.exists(Relation("idx", "ann", "emb__g2__cells")))
+  }
+
   test("streaming appends are exactly-once under the batch-id watermark") {
     val s2 = spark
     import s2.implicits._
