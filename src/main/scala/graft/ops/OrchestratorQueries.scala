@@ -293,6 +293,90 @@ object OrchestratorQueries {
       |  2 AS pair_len, 'FALLBACK' AS tag
       |FROM orders""".stripMargin
 
+  /** External-engine DDL export, ROUND-TRIPPED through the oracle: the
+    * engine builds a table + view project into a rename-mode warehouse
+    * at a DETERMINISTIC (sf-suffixed) root, exports `catalogDdl()`, and
+    * then (a) executes the exported Spark-dialect statements VERBATIM
+    * via `spark.sql` and returns the view's rows, while (b) rewriting
+    * the export to DuckDB dialect (`parquet.`dir`` →
+    * `read_parquet('dir/...')`, CREATE VIEW chain → a CTE chain) and
+    * asserting it equals the pinned template whose sf0.01 instantiation
+    * IS this entry's oracle SQL. The driver's DuckDB thus parses and
+    * executes the exported definitions against the engine's own storage
+    * — the proof the export is consumable outside Spark, hash-gated. A
+    * drifted export fails the in-entry assert loudly instead of
+    * silently pinning a stale oracle.
+    */
+  def ddlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val sfName = new java.io.File(d).getName
+    val root = s"/tmp/graft_ddl_rt_wh_$sfName"
+    // wipe: the oracle reads THESE files after the entry runs
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val project = Project(name = "ddl_rt",
+      sources = Seq(SourceDef("tpch", "nation", s"$d/nation.parquet")),
+      models = Seq(
+        ModelDef("nr_counts",
+          "SELECT n_regionkey, count(*) AS n_nations " +
+            "FROM {{ source('tpch', 'nation') }} GROUP BY n_regionkey"),
+        ModelDef("nr_view",
+          "{{ config(materialized='view') }} " +
+            "SELECT n_regionkey, n_nations FROM {{ ref('nr_counts') }} " +
+            "WHERE n_nations > 0")))
+    val engine = new Engine(s, project,
+      Target(root, threads = 1, commitMode = graft.core.CommitMode.Rename))
+    require(engine.build()._1.forall(_.status == "success"))
+    val (stmts, skipped) = engine.catalogDdl()
+    require(skipped.isEmpty, s"nothing may be skipped here: $skipped")
+    // (a) the Spark side consumes its own export verbatim
+    stmts.foreach(s.sql(_))
+    // (b) the DuckDB rewrite must match the pinned template exactly
+    val duck = ddlExportToDuck(stmts)
+    val expected = ddlRoundtripTemplate.replace("{ROOT}", root)
+    require(duck == expected,
+      s"DDL export drifted from the pinned round-trip form:\n$duck\n--- expected:\n$expected")
+    s.sql("SELECT n_regionkey, n_nations FROM `nr_view`")
+  }
+
+  /** Mechanical Spark→DuckDB dialect rewrite of a `catalogDdl()` export:
+    * the CREATE VIEW chain becomes one WITH chain (DuckDB executes a
+    * single query), `parquet.`dir`` becomes `read_parquet` over the
+    * dir's files, backtick identifiers drop (the export's names are
+    * identifier-safe), whitespace normalizes.
+    */
+  private def ddlExportToDuck(stmts: Seq[String]): String = {
+    val viewRe = "(?s)CREATE OR REPLACE VIEW `([^`]+)` AS\\s*(.*)".r
+    val pathRe = "parquet\\.`([^`]+)`".r
+    val ctes = stmts.map {
+      case viewRe(name, body0) =>
+        var body = pathRe.replaceAllIn(body0, m =>
+          scala.util.matching.Regex.quoteReplacement(
+            s"read_parquet('${m.group(1)}/*.parquet')"))
+        body = body.replace("`", "").replaceAll("\\s+", " ").trim
+        s"$name AS ($body)"
+      case other => throw new IllegalArgumentException(
+        s"unexpected export statement shape: $other")
+    }
+    s"WITH ${ctes.mkString(", ")} SELECT n_regionkey, n_nations FROM nr_view"
+  }
+
+  private val ddlRoundtripTemplate: String =
+    "WITH nr_counts AS (SELECT * FROM " +
+      "read_parquet('{ROOT}/analytics/main/nr_counts/*.parquet')), " +
+      "nr_view AS (SELECT n_regionkey, n_nations FROM nr_counts " +
+      "WHERE n_nations > 0) " +
+      "SELECT n_regionkey, n_nations FROM nr_view"
+
+  /** The oracle IS the rewritten export (sf0.01 = the driver's verify
+    * scale): DuckDB parses the exported view chain and reads the
+    * engine's own table files.
+    */
+  val ddlRoundtripSql: String =
+    ddlRoundtripTemplate.replace("{ROOT}", "/tmp/graft_ddl_rt_wh_sf0.01")
+
   /** Graph selectors end-to-end (`dbt build --select`): `+tag:mart`
     * resolves the tagged mart plus its ancestor closure, builds exactly
     * that set (an unrelated model must NOT materialize — require'd), and
