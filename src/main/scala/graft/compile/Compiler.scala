@@ -100,6 +100,8 @@ object Compiler {
           }.toIndexedSeq))
         kvs.get("not_null").foreach(v => cfg = cfg.copy(notNull =
           v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq))
+        kvs.get("persist_docs").foreach(v =>
+          cfg = cfg.copy(persistDocs = v == "true"))
         kvs.get("group").foreach(v => cfg = cfg.copy(group = v))
         kvs.get("access").foreach { v =>
           require(Set("private", "protected", "public").contains(v),
@@ -379,6 +381,13 @@ object Compiler {
 
   private def evalIfs(s: String): String =
     jifRe.replaceAllIn(s, m => Regex.quoteReplacement {
+      // an {% elif %} arm would land INSIDE a matched group and render
+      // half-expanded — outside the subset, so refuse it whole rather
+      // than leak jinja into the SQL (chain {% else %}{% if %} instead)
+      if (m.matched.contains("{% elif") || m.matched.contains("{%- elif"))
+        throw new IllegalArgumentException(
+          "{% elif %} is outside the Jinja subset — nest " +
+            "{% else %}{% if ... %} blocks instead")
       evalCond(m.group(1)) match {
         case Some(true) => m.group(2)
         case Some(false) => Option(m.group(3)).getOrElse("")

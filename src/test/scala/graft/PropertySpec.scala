@@ -368,12 +368,15 @@ class PropertySpec extends AnyFunSuite {
       assert(Compiler.expandControlFlow(
         s"{% set v = 'Bound' %}{{ v | default('zz') | lower }}") == "bound")
     }
-    // fail-loud cases: unknown filter, bare list interpolation
+    // fail-loud cases: unknown filter, bare list interpolation, elif
     intercept[IllegalArgumentException] {
       Compiler.expandControlFlow("{% set v = 'x' %}{{ v | pony }}")
     }
     intercept[IllegalArgumentException] {
       Compiler.expandControlFlow("{% set xs = ['a'] %}SELECT {{ xs }}")
+    }
+    intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow("{% if true %}a{% elif false %}b{% endif %}")
     }
   }
 
