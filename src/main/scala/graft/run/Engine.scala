@@ -171,7 +171,13 @@ final case class Project(name: String,
                          selectors: Seq[SelectorDef] = Nil,
                          // analysis files (compiled, never materialized;
                          // ModelDef reused for its name+rawSql shape)
-                         analyses: Seq[ModelDef] = Nil)
+                         analyses: Seq[ModelDef] = Nil,
+                         // dbt description docs (schema.yml `description:`
+                         // analogue, descriptions.conf): key `model` or
+                         // `model.column` -> text; always surfaced in the
+                         // docs catalog, and emitted as DDL COMMENTs for
+                         // models with config persist_docs='true' (B37)
+                         descriptions: Map[String, String] = Map.empty)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -1213,6 +1219,16 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             s"SELECT $sel FROM parquet.`$dir`"
           }.mkString("\nUNION ALL\n"))
       }
+    // B37 persist_docs: a model configured persist_docs='true' carries
+    // its descriptions.conf relation description as a COMMENT clause
+    // (column comments stay in the docs catalog — the export's column
+    // order is the slice files', which a column list must not re-pin)
+    val persist: Map[String, Boolean] =
+      project.models.map(m => m.name -> effectiveConfig(m).persistDocs).toMap
+    def commentClause(name: String): String =
+      if (!persist.getOrElse(name, false)) ""
+      else project.descriptions.get(name)
+        .map(d => s" COMMENT '${d.replace("'", "''")}'").getOrElse("")
     // tables first: the view pass below rewrites path references to them
     val tableNames = Seq.newBuilder[(String, String)] // (table path, ident)
     val nodes =
@@ -1233,7 +1249,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         case _ =>
           sliceSql(rel).foreach { body =>
             tableNames += ((warehouse.path(rel), ident(name)))
-            stmts += s"CREATE OR REPLACE VIEW ${ident(name)} AS\n$body"
+            stmts += s"CREATE OR REPLACE VIEW ${ident(name)}" +
+              s"${commentClause(name)} AS\n$body"
           }
       }
     }
@@ -1247,7 +1264,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             val rewritten = rewrites.foldLeft(defSql) { case (acc, (p, id)) =>
               acc.replace(s"parquet.`$p`", id)
             }
-            stmts += s"CREATE OR REPLACE VIEW ${ident(m.name)} AS\n$rewritten"
+            stmts += s"CREATE OR REPLACE VIEW ${ident(m.name)}" +
+              s"${commentClause(m.name)} AS\n$rewritten"
         }
       }
     }
@@ -1274,19 +1292,24 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    def desc(key: String): String =
+      project.descriptions.get(key)
+        .map(d => s", ${q("description")}: ${q(d)}").getOrElse("")
     val tables = warehouse.catalogInfo(target.database, target.resolvedSchema)
       .map { case (rel, rows, bytes, parts) =>
         val cols = warehouse.schemaOf(rel).fields.map(f =>
-          s"{${q("name")}: ${q(f.name)}, ${q("type")}: ${q(f.dataType.sql)}}")
+          s"{${q("name")}: ${q(f.name)}, ${q("type")}: ${q(f.dataType.sql)}" +
+            s"${desc(s"${rel.identifier}.${f.name}")}}")
         s"{${q("name")}: ${q(rel.identifier)}, ${q("kind")}: ${q("table")}, " +
           s"${q("rows")}: $rows, ${q("bytes")}: $bytes, " +
           s"${q("partitions")}: [${parts.map(q).mkString(", ")}], " +
-          s"${q("columns")}: [${cols.mkString(", ")}]}"
+          s"${q("columns")}: [${cols.mkString(", ")}]" +
+          s"${desc(rel.identifier)}}"
       }
     val views = warehouse.listViews(target.database, target.resolvedSchema)
       .flatMap(rel => warehouse.readViewDef(rel).map(defn =>
         s"{${q("name")}: ${q(rel.identifier)}, ${q("kind")}: ${q("view")}, " +
-          s"${q("definition")}: ${q(defn)}}"))
+          s"${q("definition")}: ${q(defn)}${desc(rel.identifier)}}"))
     Files.writeString(Paths.get(path),
       s"""{"schema": ${q(target.resolvedSchema)}, "relations": [${(tables ++ views).mkString(", ")}]}""")
     ()

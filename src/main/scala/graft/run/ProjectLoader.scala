@@ -312,6 +312,15 @@ object ProjectLoader {
     require(dupSel.isEmpty,
       s"duplicate selector names: ${dupSel.mkString(", ")}")
 
+    // descriptions.conf: `<model> '<text>'` or `<model>.<column> '<text>'`
+    // per line (dbt schema.yml `description:` analogue — B37 docs)
+    val descriptions = readLines(root.resolve("descriptions.conf")).map { l =>
+      val parts = tokenize(l)
+      require(parts.length >= 2,
+        s"descriptions.conf: need <model>[.<column>] '<text>', got: $l")
+      parts(0) -> unquote(parts.drop(1).mkString(" "))
+    }.toMap
+
     // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml
     // on-run-start / on-run-end)
     val hookLines = readLines(root.resolve("hooks.conf")).map { l =>
@@ -326,7 +335,7 @@ object ProjectLoader {
 
     (Project(name, sources, models, seeds, snapshots, tests,
       onRunStart, onRunEnd, macros, vars, exposures, metrics,
-      dependencies, selectors, analyses), conf)
+      dependencies, selectors, analyses, descriptions), conf)
   }
 
   private def configKv(sql: String): Map[String, String] = {

@@ -221,9 +221,13 @@ class OrchestratorSpec extends AnyFunSuite {
           "{{ config(materialized='incremental') }} " +
             "SELECT o_orderkey, o_totalprice FROM {{ source('tpch','orders') }}"),
         ModelDef("ddl_top",
-          "{{ config(materialized='view') }} " +
+          "{{ config(materialized='view', persist_docs='true') }} " +
             "SELECT o_orderstatus, count(*) AS n " +
-            "FROM {{ ref('ddl_orders_part') }} GROUP BY o_orderstatus")))
+            "FROM {{ ref('ddl_orders_part') }} GROUP BY o_orderstatus")),
+      descriptions = Map(
+        "ddl_top" -> "Orders per status",
+        // described but NOT persist_docs'd: must stay catalog-only
+        "ddl_incr" -> "Append-only increments"))
     val e = new Engine(spark, p,
       Target(root(), commitMode = graft.core.CommitMode.Manifest))
     assert(e.build()._1.forall(_.status == "success"))
@@ -235,6 +239,10 @@ class OrchestratorSpec extends AnyFunSuite {
     // warehouse path (a path over the manifest root reads every version)
     val topDdl = stmts.find(_.contains("`ddl_top`")).get
     assert(topDdl.contains("`ddl_orders_part`") && !topDdl.contains("parquet."))
+    // B37 persist_docs: the configured model's description rides the DDL
+    // as a COMMENT; the merely-described one stays catalog-only
+    assert(topDdl.contains("COMMENT 'Orders per status'"), topDdl)
+    assert(!stmts.find(_.contains("`ddl_incr`")).get.contains("COMMENT"))
     try {
       stmts.foreach(spark.sql(_))
       for (m <- Seq("ddl_orders_part", "ddl_incr", "ddl_top")) {
@@ -375,7 +383,9 @@ class OrchestratorSpec extends AnyFunSuite {
       ModelDef("nations_v",
         """{{ config(materialized='view') }}
           |SELECT n_name
-          |FROM {{ ref('nations') }}""".stripMargin))
+          |FROM {{ ref('nations') }}""".stripMargin),
+      descriptions = Map("nations" -> "Nation dim",
+        "nations.n_name" -> "Nation name", "nations_v" -> "Names only"))
     val e = new Engine(spark, p, Target(root()))
     assert(e.build()._1.forall(_.status == "success"))
     val out = java.nio.file.Files.createTempFile("graft_cat", ".json").toString
@@ -388,6 +398,10 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(json.contains("\"name\": \"nations_v\""))
     assert(json.contains("\"kind\": \"view\""))
     assert(json.contains("\"definition\""))
+    // descriptions.conf docs surface at relation AND column level
+    assert(json.contains("\"description\": \"Nation dim\""))
+    assert(json.contains("\"description\": \"Nation name\""))
+    assert(json.contains("\"description\": \"Names only\""))
     // single-line artifact: a raw (unescaped) newline from a multi-line
     // view definition would corrupt the JSON — the escaper must catch it
     assert(!json.trim.contains('\n'))

@@ -27,6 +27,9 @@ class ProjectLoaderSpec extends AnyFunSuite {
     // package macros (packages/demo_utils): namespaced + bare aliases
     assert(project.macros.contains("demo_utils.cents"))
     assert(project.macros.contains("cents"))
+    // descriptions.conf docs at relation + column grain
+    assert(project.descriptions("nation_region.r_name").nonEmpty)
+    assert(project.descriptions("region_counts").nonEmpty)
     // selectors.conf: named compositions of the selector grammar
     assert(project.selectors.map(_.name) == Seq("mart_closure", "non_staging"))
     assert(project.selectors.head.include == "+tag:mart")
