@@ -45,15 +45,58 @@ object Compiler {
   private val maxPartRe: Regex =
     """\{\{\s*_dbt_max_partition\s*\}\}|\b_dbt_max_partition\b""".r
 
+  // dbt-utils `get_column_values` — the introspective set binding behind
+  // dynamic pivots: `{% set xs = get_column_values(ref('m'), 'col') %}`
+  // (or `source('a','b')`; optional third arg caps the row count). The
+  // ENGINE resolves it at compile time against the built relation via
+  // [[resolveColumnValues]]; the statement then becomes a plain literal
+  // `{% set %}` the control-flow subset expands. Inside `{% %}` the ref
+  // is BARE (jinja call position), not `{{ ref(...) }}`.
+  private[graft] val getColValsRe: Regex =
+    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*get_column_values\(\s*""" +
+      """(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)\s*,\s*'([^']+)'""" +
+      """(?:\s*,\s*(\d+))?\s*\)\s*-?%\}""").r
+
   /** Dependency edges of a raw model SQL (parse phase — SURVEY §3.1 step 3:
     * `parent_map` is derived from ref/source calls before any execution).
+    * Includes the refs/sources inside `get_column_values` bindings: an
+    * introspected relation must be BUILT before this model compiles, so
+    * it is a real DAG edge even when the body never selects from it.
     */
   def dependencies(rawSql: String): (Seq[String], Seq[(String, String)]) = {
-    val refs = refRe.findAllMatchIn(rawSql).map(_.group(1)).toSeq.distinct
-    val sources = sourceRe.findAllMatchIn(rawSql)
-      .map(m => (m.group(1), m.group(2))).toSeq.distinct
+    val intro = getColValsRe.findAllMatchIn(rawSql).toSeq
+    val refs = (refRe.findAllMatchIn(rawSql).map(_.group(1)).toSeq ++
+      intro.collect { case m if m.group(2) == "ref" => m.group(3) }).distinct
+    val sources = (sourceRe.findAllMatchIn(rawSql)
+      .map(m => (m.group(1), m.group(2))).toSeq ++
+      intro.collect { case m if m.group(2) == "source" =>
+        (m.group(3), m.group(4))
+      }).distinct
     (refs, sources)
   }
+
+  /** Replace every `get_column_values` set binding with a literal list
+    * binding, using `fetch(kind, name, table, column, maxRecords)` to
+    * pull the DISTINCT SORTED non-null values (engine-side: a
+    * control-plane query over the already-built relation — the dbt
+    * introspection contract; values land as quoted items, so templates
+    * write `'{{ v }}'` for strings and `{{ v }}` bare for numerics,
+    * same as any loop variable). A value containing a quote fails
+    * loudly rather than splicing a mis-quoted literal.
+    */
+  def resolveColumnValues(sql: String,
+      fetch: (String, String, Option[String], String, Int) => Seq[String])
+      : String =
+    getColValsRe.replaceAllIn(sql, m => {
+      val vals = fetch(m.group(2), m.group(3), Option(m.group(4)),
+        m.group(5), Option(m.group(6)).map(_.toInt).getOrElse(500))
+      vals.find(_.contains("'")).foreach(v =>
+        throw new IllegalArgumentException(
+          s"get_column_values: value containing a quote unsupported: $v"))
+      Regex.quoteReplacement(
+        s"{% set ${m.group(1)} = [" +
+          vals.map(v => s"'$v'").mkString(", ") + "] %}")
+    })
 
   /** Inline `config(key=value, …)` overrides (reference `config()` context
     * fn; values are literal strings/idents/numbers — the subset dbt models

@@ -293,6 +293,47 @@ object OrchestratorQueries {
       |  2 AS pair_len, 'FALLBACK' AS tag
       |FROM orders""".stripMargin
 
+  /** dbt-utils `get_column_values` end-to-end — the dynamic-pivot idiom
+    * (dbt's canonical introspection pattern): a model's column list is
+    * generated from the DISTINCT values of an upstream's column, fetched
+    * by the ENGINE at compile time (control-plane probe over the built
+    * relation, a real DAG edge), bound as a literal list, and expanded by
+    * the loop subset. The oracle hand-expands the three order statuses.
+    */
+  def dynamicPivot(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_dynpivot",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("stg_orders",
+          "SELECT o_orderkey, o_custkey, o_orderstatus " +
+            "FROM {{ source('tpch', 'orders') }}"),
+        ModelDef("status_pivot",
+          """{% set statuses = get_column_values(ref('stg_orders'), 'o_orderstatus') %}
+            |SELECT o_custkey,
+            |  {% for st in statuses %}
+            |  CAST(sum(CASE WHEN o_orderstatus = '{{ st }}' THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_{{ st }}{% if not loop.last %},{% endif %}
+            |  {% endfor %}
+            |FROM {{ ref('stg_orders') }}
+            |GROUP BY o_custkey""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    val out = engine.readModel("status_pivot")
+    require(out.columns.toSeq == Seq("o_custkey", "n_F", "n_O", "n_P"),
+      s"introspected pivot columns drifted: ${out.columns.toSeq}")
+    out
+  }
+
+  val dynamicPivotSql: String =
+    """SELECT o_custkey,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_P
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   /** External-engine DDL export, ROUND-TRIPPED through the oracle: the
     * engine builds a table + view project into a rename-mode warehouse
     * at a DETERMINISTIC (sf-suffixed) root, exports `catalogDdl()`, and

@@ -481,12 +481,35 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       isIncremental = isIncr,
       vars = mergedVars,
       maxPartition = maxPart)
-    val body = Compiler.compile(m.rawSql, ctx)
+    // dbt-utils get_column_values: resolve introspective set bindings
+    // against the BUILT upstream (a DAG edge guarantees it exists; the
+    // probe is one control-plane distinct over a single column, bounded
+    // by max_records) — the values become a literal {% set %} list the
+    // control-flow subset expands. Same relation resolution as the
+    // body's refs, so --defer and non-parquet sources behave identically.
+    def resolveIntrospection(sql: String): String =
+      Compiler.resolveColumnValues(sql, (kind, a, b, column, maxN) => {
+        val relText = kind match {
+          case "ref" =>
+            require(!isInlined(a),
+              s"get_column_values over ephemeral '$a' is unsupported — " +
+                "materialize it")
+            refText(a, selected, deferRoot)
+          case _ => sourceText(a, b.getOrElse(throw new IllegalArgumentException(
+            s"get_column_values: source('$a') needs a table name")))
+        }
+        spark.sql(warehouse.resolveSql(
+          s"SELECT DISTINCT `$column` AS v FROM $relText " +
+            s"WHERE `$column` IS NOT NULL ORDER BY v LIMIT $maxN"))
+          .collect().map(r => String.valueOf(r.get(0))).toIndexedSeq
+      })
+    val body = Compiler.compile(resolveIntrospection(m.rawSql), ctx)
     val ephemerals = inlinedClosure(m.rawSql)
     if (ephemerals.isEmpty) body
     else {
       val ctes = ephemerals.map { e =>
-        val sql = Compiler.compile(project.models.find(_.name == e).get.rawSql, ctx)
+        val sql = Compiler.compile(resolveIntrospection(
+          project.models.find(_.name == e).get.rawSql), ctx)
         s"__cte__$e AS ($sql)"
       }.mkString(", ")
       // merge with an outer WITH if the model itself starts with one

@@ -207,6 +207,36 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  test("get_column_values: introspection is a real DAG edge; values bind sorted/distinct") {
+    // the downstream model's ONLY upstream link is the introspective
+    // binding (the body never selects from it) — the loader must still
+    // schedule the probed relation first
+    val p = Project(name = "introspect",
+      sources = Seq(SourceDef("tpch", "nation", s"$sf/nation.parquet")),
+      models = Seq(
+        ModelDef("keys_src",
+          "SELECT n_regionkey FROM {{ source('tpch','nation') }} " +
+            "WHERE n_regionkey < 3"),
+        ModelDef("key_list",
+          "{% set ks = get_column_values(ref('keys_src'), 'n_regionkey') %}" +
+            "SELECT '{{ ks | join(',') }}' AS keys, {{ ks | length }} AS n")))
+    val (refs, _) = graft.compile.Compiler.dependencies(
+      p.models(1).rawSql)
+    assert(refs == Seq("keys_src"), s"introspection edge missing: $refs")
+    val e = new Engine(spark, p, Target(root()))
+    val (nodes, _) = e.build()
+    assert(nodes.forall(_.status == "success"), nodes.toString)
+    val row = e.readModel("key_list").collect().head
+    assert(row.getString(0) == "0,1,2" && row.getInt(1) == 3, row.toString)
+    // max_records caps the binding
+    val p2 = p.copy(models = p.models.updated(1, ModelDef("key_list",
+      "{% set ks = get_column_values(ref('keys_src'), 'n_regionkey', 2) %}" +
+        "SELECT {{ ks | length }} AS n")))
+    val e2 = new Engine(spark, p2, Target(root()))
+    assert(e2.build()._1.forall(_.status == "success"))
+    assert(e2.readModel("key_list").collect().head.getInt(0) == 2)
+  }
+
   test("catalog DDL registers the committed state for an external reader") {
     val p = Project(name = "ddl_demo",
       sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
