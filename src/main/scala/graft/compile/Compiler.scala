@@ -33,6 +33,10 @@ object Compiler {
   private val varRe: Regex =
     """\{\{\s*var\(\s*'([^']+)'(?:\s*,\s*('[^']*'|[^)]*?))?\s*\)\s*\}\}""".r
   private val thisRe: Regex = """\{\{\s*this\s*\}\}""".r
+  // dbt `{{ target.name/schema/database }}` — deployment coordinates in
+  // model SQL (env-switching audit columns, schema-qualified literals)
+  private val targetRe: Regex =
+    """\{\{\s*target\.([A-Za-z_]\w*)\s*\}\}""".r
   private val configRe: Regex = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
   // accepts jinja whitespace-control dashes and an optional {% else %}
   // arm (dbt supports both around the canonical incremental guard)
@@ -64,16 +68,51 @@ object Compiler {
     * it is a real DAG edge even when the body never selects from it.
     */
   def dependencies(rawSql: String): (Seq[String], Seq[(String, String)]) = {
-    val intro = getColValsRe.findAllMatchIn(rawSql).toSeq
+    val intro = getColValsRe.findAllMatchIn(rawSql).toSeq.map(m =>
+      (m.group(2), m.group(3), Option(m.group(4)))) ++
+      starRe.findAllMatchIn(rawSql).toSeq.map(m =>
+        (m.group(1), m.group(2), Option(m.group(3))))
     val refs = (refRe.findAllMatchIn(rawSql).map(_.group(1)).toSeq ++
-      intro.collect { case m if m.group(2) == "ref" => m.group(3) }).distinct
+      intro.collect { case ("ref", n, _) => n }).distinct
     val sources = (sourceRe.findAllMatchIn(rawSql)
       .map(m => (m.group(1), m.group(2))).toSeq ++
-      intro.collect { case m if m.group(2) == "source" =>
-        (m.group(3), m.group(4))
-      }).distinct
+      intro.collect { case ("source", a, Some(b)) => (a, b) }).distinct
     (refs, sources)
   }
+
+  // dbt-utils `star`: splice an upstream's column list (minus an
+  // optional except list) — {{ star(ref('m')) }} or
+  // {{ star(ref('m'), except=['a', 'b']) }}. Resolved by the ENGINE
+  // from the built relation's parquet schema (metadata-only, no scan);
+  // a real DAG edge like get_column_values.
+  private[graft] val starRe: Regex =
+    ("""\{\{\s*star\(\s*(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""" +
+      """(?:\s*,\s*except\s*=\s*(\[[^\]]*\]))?\s*\)\s*\}\}""").r
+
+  /** Replace every `star(...)` site with the backquoted column list of
+    * the referenced relation, minus the (case-insensitive) except list;
+    * `fetch(kind, name, table)` returns the schema's column names in
+    * order. An except column that doesn't exist fails loudly (dbt-utils
+    * silently ignores it — a typo'd except then leaks the column, the
+    * exact silent wrongness this engine refuses).
+    */
+  def resolveStar(sql: String,
+      fetch: (String, String, Option[String]) => Seq[String]): String =
+    starRe.replaceAllIn(sql, m => {
+      val cols = fetch(m.group(1), m.group(2), Option(m.group(3)))
+      val except = Option(m.group(4)).map(parseListLiteral).getOrElse(Nil)
+      val missing = except.filterNot(e =>
+        cols.exists(_.equalsIgnoreCase(e)))
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"star(except=...): columns not in the relation: " +
+            missing.mkString(", "))
+      val kept = cols.filterNot(c => except.exists(_.equalsIgnoreCase(c)))
+      if (kept.isEmpty)
+        throw new IllegalArgumentException(
+          "star(): except list removes every column")
+      Regex.quoteReplacement(kept.map(c => s"`$c`").mkString(", "))
+    })
 
   /** Replace every `get_column_values` set binding with a literal list
     * binding, using `fetch(kind, name, table, column, maxRecords)` to
@@ -188,6 +227,10 @@ object Compiler {
       // project vars (dbt_project.yml `vars:` merged under any --vars
       // override); an unset var with no default throws like env_var
       vars: Map[String, String] = Map.empty,
+      // dbt `target` object values for {{ target.<key> }} sites —
+      // typically name/schema/database; an unreferenced key is free, a
+      // referenced-but-absent one throws (like env_var)
+      targetVals: Map[String, String] = Map.empty,
       // `_dbt_max_partition` (reference bq_insert_overwrite @34992): the
       // target's current max partition value as a pre-rendered SQL literal,
       // substituted into the compiled text so Catalyst sees a constant and
@@ -221,6 +264,11 @@ object Compiler {
             s"var '${m.group(1)}' unset, no default"))
       })))
     sql = thisRe.replaceAllIn(sql, Regex.quoteReplacement(ctx.thisTarget))
+    sql = targetRe.replaceAllIn(sql, m =>
+      Regex.quoteReplacement(ctx.targetVals.getOrElse(m.group(1),
+        throw new IllegalArgumentException(
+          s"target.${m.group(1)} is not defined " +
+            s"(available: ${ctx.targetVals.keys.toSeq.sorted.mkString(", ")})"))))
     sql = maxPartRe.replaceAllIn(sql,
       Regex.quoteReplacement(ctx.maxPartition.getOrElse("NULL")))
     sql.trim
@@ -393,6 +441,10 @@ object Compiler {
     val c = c0.trim
     if (c == "true") Some(true)
     else if (c == "false") Some(false)
+    // dbt's `execute` flag: true while compiling the executable graph
+    // (the parse-phase false branch has no analogue here — expansion IS
+    // the execute phase), so `{% if execute %}` guards resolve open
+    else if (c == "execute") Some(true)
     else if (c.startsWith("not ")) evalCond(c.stripPrefix("not ")).map(!_)
     else {
       val eq = c.split("==", 2)

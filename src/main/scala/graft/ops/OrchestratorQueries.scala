@@ -334,6 +334,38 @@ object OrchestratorQueries {
       |    AS BIGINT) AS n_P
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** dbt-utils `star` + dbt's `execute` flag + `{{ target.schema }}` in
+    * one compiled model: the column list splices from the upstream's
+    * parquet schema minus the except list (metadata-only probe, a real
+    * DAG edge), the `{% if execute %}` guard resolves open (compile IS
+    * the execute phase), and the target coordinate lands as a literal.
+    */
+  def starSelect(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_star",
+      sources = Seq(SourceDef("tpch", "customer", s"$d/customer.parquet")),
+      models = Seq(
+        ModelDef("stg_cust",
+          "SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+            "FROM {{ source('tpch', 'customer') }}"),
+        ModelDef("cust_slim",
+          """{% if execute %}
+            |SELECT {{ star(ref('stg_cust'), except=['c_mktsegment']) }},
+            |  '{{ target.schema }}' AS target_schema
+            |FROM {{ ref('stg_cust') }}
+            |{% endif %}""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    val out = engine.readModel("cust_slim")
+    require(out.columns.toSeq ==
+      Seq("c_custkey", "c_name", "c_acctbal", "target_schema"),
+      s"star columns drifted: ${out.columns.toSeq}")
+    out
+  }
+
+  val starSelectSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, 'main' AS target_schema
+      |FROM customer""".stripMargin
+
   /** External-engine DDL export, ROUND-TRIPPED through the oracle: the
     * engine builds a table + view project into a rename-mode warehouse
     * at a DETERMINISTIC (sf-suffixed) root, exports `catalogDdl()`, and

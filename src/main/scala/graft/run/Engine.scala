@@ -187,6 +187,10 @@ final case class Project(name: String,
 final case class Target(warehouseRoot: String,
                         database: String = "analytics",
                         schema: String = "main",
+                        // the profile target's NAME ({{ target.name }} —
+                        // dbt's env switch); GraftCli sets it from
+                        // --target, embedded uses keep the default
+                        name: String = "default",
                         threads: Int = 4,
                         env: Map[String, String] = Map.empty,
                         // run-level var overrides (`dbt build --vars ...`)
@@ -480,6 +484,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       env = target.env,
       isIncremental = isIncr,
       vars = mergedVars,
+      targetVals = Map("name" -> target.name,
+        "database" -> target.database, "schema" -> target.resolvedSchema),
       maxPartition = maxPart)
     // dbt-utils get_column_values: resolve introspective set bindings
     // against the BUILT upstream (a DAG edge guarantees it exists; the
@@ -487,22 +493,28 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     // by max_records) — the values become a literal {% set %} list the
     // control-flow subset expands. Same relation resolution as the
     // body's refs, so --defer and non-parquet sources behave identically.
-    def resolveIntrospection(sql: String): String =
-      Compiler.resolveColumnValues(sql, (kind, a, b, column, maxN) => {
-        val relText = kind match {
-          case "ref" =>
-            require(!isInlined(a),
-              s"get_column_values over ephemeral '$a' is unsupported — " +
-                "materialize it")
-            refText(a, selected, deferRoot)
-          case _ => sourceText(a, b.getOrElse(throw new IllegalArgumentException(
-            s"get_column_values: source('$a') needs a table name")))
-        }
+    def introRelText(kind: String, a: String, b: Option[String],
+                     what: String): String = kind match {
+      case "ref" =>
+        require(!isInlined(a),
+          s"$what over ephemeral '$a' is unsupported — materialize it")
+        refText(a, selected, deferRoot)
+      case _ => sourceText(a, b.getOrElse(throw new IllegalArgumentException(
+        s"$what: source('$a') needs a table name")))
+    }
+    def resolveIntrospection(sql0: String): String = {
+      val sql = Compiler.resolveColumnValues(sql0, (kind, a, b, column, maxN) =>
         spark.sql(warehouse.resolveSql(
-          s"SELECT DISTINCT `$column` AS v FROM $relText " +
+          s"SELECT DISTINCT `$column` AS v " +
+            s"FROM ${introRelText(kind, a, b, "get_column_values")} " +
             s"WHERE `$column` IS NOT NULL ORDER BY v LIMIT $maxN"))
-          .collect().map(r => String.valueOf(r.get(0))).toIndexedSeq
-      })
+          .collect().map(r => String.valueOf(r.get(0))).toIndexedSeq)
+      // star(): schema only — resolveSql + limit 0 keeps it metadata-only
+      Compiler.resolveStar(sql, (kind, a, b) =>
+        spark.sql(warehouse.resolveSql(
+          s"SELECT * FROM ${introRelText(kind, a, b, "star")} LIMIT 0"))
+          .schema.fields.map(_.name).toIndexedSeq)
+    }
     val body = Compiler.compile(resolveIntrospection(m.rawSql), ctx)
     val ephemerals = inlinedClosure(m.rawSql)
     if (ephemerals.isEmpty) body

@@ -428,7 +428,7 @@ object StreamingJobs {
     val name = "st_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val mem = runToMemory(spark, closedSessions(spark, src).toDF(),
-      name, OutputMode.Append())
+      name, OutputMode.Append(), replayKey = Some("replay_stream_sessionize"))
     mem.filter(col("user_id") =!= -1L) // the sentinel's own open session
       .select(col("user_id"), col("session_start_ms"), col("n_events"),
         (col("total_value") / 100.0).as("sum_value"))

@@ -105,6 +105,9 @@ object GraftCli {
     val target = Target(whRoot,
       database = tc("database").getOrElse("analytics"),
       schema = tc("schema").getOrElse("main"),
+      // {{ target.name }}: the active target's name (dbt's env switch)
+      name = flags.get("target").flatMap(_.headOption)
+        .orElse(conf.get("target")).getOrElse("default"),
       // --threads wins over target/flat conf (dbt's global flag)
       threads = flags.get("threads").flatMap(_.headOption)
         .orElse(tc("threads")).getOrElse("4").toInt,

@@ -235,6 +235,23 @@ class OrchestratorSpec extends AnyFunSuite {
     val e2 = new Engine(spark, p2, Target(root()))
     assert(e2.build()._1.forall(_.status == "success"))
     assert(e2.readModel("key_list").collect().head.getInt(0) == 2)
+
+    // star(): a typo'd except column fails LOUDLY (dbt-utils would
+    // silently leak the column) — surfaced as the node erroring
+    val p3 = p.copy(models = p.models.updated(1, ModelDef("key_list",
+      "SELECT {{ star(ref('keys_src'), except=['n_regiomkey']) }} " +
+        "FROM {{ ref('keys_src') }}")))
+    val e3 = new Engine(spark, p3, Target(root()))
+    val (nodes3, _) = e3.build()
+    assert(nodes3.find(_.name == "key_list").exists(_.status == "error"))
+    // star over a source splices the full schema
+    val p4 = p.copy(models = p.models.updated(1, ModelDef("key_list",
+      "SELECT {{ star(source('tpch', 'nation'), except=['n_name']) }} " +
+        "FROM {{ source('tpch', 'nation') }}")))
+    val e4 = new Engine(spark, p4, Target(root()))
+    assert(e4.build()._1.forall(_.status == "success"))
+    assert(e4.readModel("key_list").columns.toSeq ==
+      Seq("n_nationkey", "n_regionkey"))
   }
 
   test("catalog DDL registers the committed state for an external reader") {
