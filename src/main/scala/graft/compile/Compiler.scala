@@ -137,6 +137,63 @@ object Compiler {
           vals.map(v => s"'$v'").mkString(", ") + "] %}")
     })
 
+  // ------------------------------------------ builtin dbt-utils macros
+  // The everyday dbt-utils/dbt-core surface that renders PURE SQL text
+  // (no engine data needed), resolved during [[compile]] — AFTER user
+  // macro expansion at project load, so a project defining its own
+  // macro of the same name wins (dbt resolution order). `dbt_utils.`
+  // prefixes are accepted and optional.
+
+  // generate_surrogate_key(['a', 'b']): md5 over '-'-joined stringified
+  // columns with dbt-utils' null placeholder — byte-identical to the
+  // reference implementation's output (manifest.json macro surface)
+  private val surrogateKeyRe: Regex =
+    ("""\{\{\s*(?:dbt_utils\.)?generate_surrogate_key\(\s*""" +
+      """(\[[^\]]*\])\s*\)\s*\}\}""").r
+
+  // date_spine('day', "'2020-01-01'", "'2020-02-01'"): one row per
+  // period from start inclusive to end EXCLUSIVE, column date_<part> —
+  // the canonical double-quoted-args call shape from the dbt-utils docs
+  private val dateSpineRe: Regex =
+    ("""\{\{\s*(?:dbt_utils\.)?date_spine\(\s*'(\w+)'\s*,\s*""" +
+      """"([^"]+)"\s*,\s*"([^"]+)"\s*\)\s*\}\}""").r
+
+  // safe_cast(expr, type) → TRY_CAST (identical semantics in Spark and
+  // DuckDB: NULL on a failed runtime conversion)
+  private val safeCastRe: Regex =
+    """\{\{\s*(?:dbt_utils\.)?safe_cast\(\s*(.+?)\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
+
+  private def expandBuiltinSqlMacros(sql0: String): String = {
+    var sql = surrogateKeyRe.replaceAllIn(sql0, m => {
+      val cols = parseListLiteral(m.group(1))
+      require(cols.nonEmpty, "generate_surrogate_key needs at least one column")
+      Regex.quoteReplacement("md5(concat_ws('-', " + cols.map(c =>
+        s"coalesce(cast($c as string), '_dbt_utils_surrogate_key_null_')")
+        .mkString(", ") + "))")
+    })
+    sql = dateSpineRe.replaceAllIn(sql, m => {
+      val part = m.group(1).toLowerCase
+      require(Set("day", "week", "month", "year").contains(part),
+        s"date_spine: unsupported datepart '$part'")
+      Regex.quoteReplacement(
+        s"SELECT explode(sequence(CAST(${m.group(2)} AS DATE), " +
+          s"CAST(${m.group(3)} AS DATE) - INTERVAL '1' $part, " +
+          s"INTERVAL '1' $part)) AS date_$part")
+    })
+    safeCastRe.replaceAllIn(sql, m => Regex.quoteReplacement(
+      s"TRY_CAST(${stripQuotesIfIdentQuoted(m.group(1))} AS ${m.group(2)})"))
+  }
+
+  // dbt callers pass safe_cast's expr either bare or as a jinja string
+  // ("col" / 'col'); strip ONE level of quotes only when the whole arg
+  // is "-quoted (a '-quoted arg is a SQL string literal, kept verbatim)
+  private def stripQuotesIfIdentQuoted(s0: String): String = {
+    val s = s0.trim
+    if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+      s.substring(1, s.length - 1)
+    else s
+  }
+
   /** Inline `config(key=value, …)` overrides (reference `config()` context
     * fn; values are literal strings/idents/numbers — the subset dbt models
     * use in-file).
@@ -245,6 +302,8 @@ object Compiler {
       if (ctx.isIncremental) Regex.quoteReplacement(m.group(1))
       else Regex.quoteReplacement(Option(m.group(2)).getOrElse(" ")))
     sql = expandControlFlow(sql)
+    // after control flow, so loop-generated builtin calls resolve too
+    sql = expandBuiltinSqlMacros(sql)
     sql = refXRe.replaceAllIn(sql,
       m => Regex.quoteReplacement(ctx.crossRefTarget(m.group(1), m.group(2))))
     sql = refRe.replaceAllIn(sql,
@@ -301,18 +360,21 @@ object Compiler {
       """(?:\{%-?\s*else\s*-?%\}((?:(?!\{%-?\s*if\s).)*?))?""" +
       """\{%-?\s*endif\s*-?%\}""").r
 
-  /** Items of a `[...]` literal, split at commas OUTSIDE single quotes —
+  /** Items of a `[...]` literal, split at commas OUTSIDE quotes —
     * `['a,b', 'c']` is two items, the first containing a comma (a bare
-    * split corrupted it into three).
+    * split corrupted it into three). Jinja accepts either quote style
+    * (`['a']` ≡ `["a"]`), so both protect the split and both strip.
     */
   private def parseListLiteral(s: String): Seq[String] = {
     val inner = s.trim.stripPrefix("[").stripSuffix("]")
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
-    var inQ = false
+    var q: Char = 0 // current quote char, 0 = outside quotes
     inner.foreach {
-      case '\'' => inQ = !inQ; sb.append('\'')
-      case ',' if !inQ => out += sb.result(); sb.clear()
+      case c @ ('\'' | '"') =>
+        if (q == 0) q = c else if (q == c) q = 0
+        sb.append(c)
+      case ',' if q == 0 => out += sb.result(); sb.clear()
       case c => sb.append(c)
     }
     out += sb.result()
@@ -320,7 +382,9 @@ object Compiler {
   }
 
   private def stripQuotes(v: String): String =
-    if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+    if (v.length >= 2 &&
+        ((v.startsWith("'") && v.endsWith("'")) ||
+          (v.startsWith("\"") && v.endsWith("\""))))
       v.substring(1, v.length - 1)
     else v
 

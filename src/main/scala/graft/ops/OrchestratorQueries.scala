@@ -334,6 +334,44 @@ object OrchestratorQueries {
       |    AS BIGINT) AS n_P
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** The builtin dbt-utils SQL macros in one model: `date_spine` (one
+    * row per day, end-exclusive), `generate_surrogate_key` (md5 over
+    * '-'-joined stringified columns with the dbt-utils null
+    * placeholder — byte-compared against DuckDB recomputing the same
+    * hash), and `safe_cast` (TRY_CAST on both engines).
+    */
+  def utilsMacros(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_utils_macros",
+      models = Seq(
+        ModelDef("spine",
+          """WITH days AS ({{ date_spine('day', "'1995-01-05'", "'1995-01-15'") }}),
+            |tagged AS (SELECT date_day, 'tag' AS sk_tag FROM days)
+            |SELECT date_day,
+            |  {{ generate_surrogate_key(['date_day']) }} AS sk,
+            |  {{ dbt_utils.generate_surrogate_key(["date_day", "sk_tag"]) }} AS sk2,
+            |  {{ safe_cast("'not_a_number'", 'int') }} AS bad_int,
+            |  {{ safe_cast('10', 'int') }} AS ok_int
+            |FROM tagged""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("spine")
+  }
+
+  val utilsMacrosSql: String =
+    """WITH days AS (
+      |  SELECT unnest(generate_series(DATE '1995-01-05', DATE '1995-01-14',
+      |    INTERVAL 1 DAY))::DATE AS date_day)
+      |SELECT date_day,
+      |  md5(concat_ws('-', coalesce(cast(date_day AS varchar),
+      |    '_dbt_utils_surrogate_key_null_'))) AS sk,
+      |  md5(concat_ws('-', coalesce(cast(date_day AS varchar),
+      |    '_dbt_utils_surrogate_key_null_'),
+      |    coalesce(cast('tag' AS varchar),
+      |    '_dbt_utils_surrogate_key_null_'))) AS sk2,
+      |  TRY_CAST('not_a_number' AS INT) AS bad_int,
+      |  TRY_CAST(10 AS INT) AS ok_int
+      |FROM days""".stripMargin
+
   /** dbt-utils `star` + dbt's `execute` flag + `{{ target.schema }}` in
     * one compiled model: the column list splices from the upstream's
     * parquet schema minus the except list (metadata-only probe, a real
