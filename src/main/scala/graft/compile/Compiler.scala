@@ -163,6 +163,20 @@ object Compiler {
   private val safeCastRe: Regex =
     """\{\{\s*(?:dbt_utils\.)?safe_cast\(\s*(.+?)\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
 
+  // dbt-core cross-db date macros, the Spark-adapter renderings:
+  // dateadd → timestampadd (any standard unit); datediff ONLY for 'day'
+  // (day-boundary counting matches Spark's datediff; other units differ
+  // per adapter in dbt itself, so they fail loudly rather than render a
+  // maybe-wrong count); last_day for 'month' → last_day()
+  private val dateaddRe: Regex =
+    """\{\{\s*(?:dbt_utils\.)?dateadd\(\s*'(\w+)'\s*,\s*([^,]+?)\s*,\s*(.+?)\s*\)\s*\}\}""".r
+  private val datediffRe: Regex =
+    """\{\{\s*(?:dbt_utils\.)?datediff\(\s*'(\w+)'\s*,\s*([^,]+?)\s*,\s*(.+?)\s*\)\s*\}\}""".r
+  private val lastDayRe: Regex =
+    """\{\{\s*(?:dbt_utils\.)?last_day\(\s*(.+?)\s*,\s*'(\w+)'\s*\)\s*\}\}""".r
+  private val DateParts =
+    Set("year", "quarter", "month", "week", "day", "hour", "minute", "second")
+
   private def expandBuiltinSqlMacros(sql0: String): String = {
     var sql = surrogateKeyRe.replaceAllIn(sql0, m => {
       val cols = parseListLiteral(m.group(1))
@@ -180,19 +194,34 @@ object Compiler {
           s"CAST(${m.group(3)} AS DATE) - INTERVAL '1' $part, " +
           s"INTERVAL '1' $part)) AS date_$part")
     })
-    safeCastRe.replaceAllIn(sql, m => Regex.quoteReplacement(
-      s"TRY_CAST(${stripQuotesIfIdentQuoted(m.group(1))} AS ${m.group(2)})"))
+    sql = safeCastRe.replaceAllIn(sql, m => Regex.quoteReplacement(
+      s"TRY_CAST(${stripOneJinjaQuote(m.group(1))} AS ${m.group(2)})"))
+    sql = dateaddRe.replaceAllIn(sql, m => {
+      val part = m.group(1).toLowerCase
+      require(DateParts.contains(part), s"dateadd: unknown datepart '$part'")
+      Regex.quoteReplacement(s"timestampadd(${part.toUpperCase}, " +
+        s"${m.group(2)}, ${stripOneJinjaQuote(m.group(3))})")
+    })
+    sql = datediffRe.replaceAllIn(sql, m => {
+      require(m.group(1).equalsIgnoreCase("day"),
+        s"datediff: only 'day' renders here (Spark's day-boundary count " +
+          s"matches dbt's); '${m.group(1)}' differs per adapter — write " +
+          "the Spark expression directly")
+      Regex.quoteReplacement(s"datediff(${stripOneJinjaQuote(m.group(3))}, " +
+        s"${stripOneJinjaQuote(m.group(2))})")
+    })
+    lastDayRe.replaceAllIn(sql, m => {
+      require(m.group(2).equalsIgnoreCase("month"),
+        s"last_day: only 'month' supported, got '${m.group(2)}'")
+      Regex.quoteReplacement(
+        s"last_day(${stripOneJinjaQuote(m.group(1))})")
+    })
   }
 
-  // dbt callers pass safe_cast's expr either bare or as a jinja string
-  // ("col" / 'col'); strip ONE level of quotes only when the whole arg
-  // is "-quoted (a '-quoted arg is a SQL string literal, kept verbatim)
-  private def stripQuotesIfIdentQuoted(s0: String): String = {
-    val s = s0.trim
-    if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
-      s.substring(1, s.length - 1)
-    else s
-  }
+  // dbt macro args are JINJA strings spliced verbatim — 'col' and "col"
+  // both mean the bare text `col`; a SQL string literal is double-
+  // wrapped ("'lit'"). Strip exactly one level of either quote style.
+  private def stripOneJinjaQuote(s0: String): String = stripQuotes(s0.trim)
 
   /** Inline `config(key=value, …)` overrides (reference `config()` context
     * fn; values are literal strings/idents/numbers — the subset dbt models

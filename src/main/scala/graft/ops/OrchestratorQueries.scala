@@ -350,7 +350,11 @@ object OrchestratorQueries {
             |  {{ generate_surrogate_key(['date_day']) }} AS sk,
             |  {{ dbt_utils.generate_surrogate_key(["date_day", "sk_tag"]) }} AS sk2,
             |  {{ safe_cast("'not_a_number'", 'int') }} AS bad_int,
-            |  {{ safe_cast('10', 'int') }} AS ok_int
+            |  {{ safe_cast('10', 'int') }} AS ok_int,
+            |  CAST({{ dateadd('day', 3, 'date_day') }} AS DATE) AS plus3,
+            |  CAST({{ datediff('day', 'date_day', "DATE'1995-02-01'") }}
+            |    AS BIGINT) AS days_left,
+            |  {{ last_day('date_day', 'month') }} AS month_end
             |FROM tagged""".stripMargin)))
     val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
     require(engine.build()._1.forall(_.status == "success"))
@@ -369,7 +373,10 @@ object OrchestratorQueries {
       |    coalesce(cast('tag' AS varchar),
       |    '_dbt_utils_surrogate_key_null_'))) AS sk2,
       |  TRY_CAST('not_a_number' AS INT) AS bad_int,
-      |  TRY_CAST(10 AS INT) AS ok_int
+      |  TRY_CAST(10 AS INT) AS ok_int,
+      |  CAST(date_day + INTERVAL 3 DAY AS DATE) AS plus3,
+      |  date_diff('day', date_day, DATE '1995-02-01') AS days_left,
+      |  last_day(date_day) AS month_end
       |FROM days""".stripMargin
 
   /** dbt-utils `star` + dbt's `execute` flag + `{{ target.schema }}` in
