@@ -71,7 +71,10 @@ object Compiler {
     val intro = getColValsRe.findAllMatchIn(rawSql).toSeq.map(m =>
       (m.group(2), m.group(3), Option(m.group(4)))) ++
       starRe.findAllMatchIn(rawSql).toSeq.map(m =>
-        (m.group(1), m.group(2), Option(m.group(3))))
+        (m.group(1), m.group(2), Option(m.group(3)))) ++
+      unionRelationsRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
+        relCallRe.findAllMatchIn(m.group(1)).toSeq.map(r =>
+          (r.group(1), r.group(2), Option(r.group(3)))))
     val refs = (refRe.findAllMatchIn(rawSql).map(_.group(1)).toSeq ++
       intro.collect { case ("ref", n, _) => n }).distinct
     val sources = (sourceRe.findAllMatchIn(rawSql)
@@ -112,6 +115,61 @@ object Compiler {
         throw new IllegalArgumentException(
           "star(): except list removes every column")
       Regex.quoteReplacement(kept.map(c => s"`$c`").mkString(", "))
+    })
+
+  // dbt-utils `union_relations`: UNION ALL over refs/sources with
+  // missing columns NULL-filled to the union schema (the sharded /
+  // heterogeneous-sources idiom) — {{ union_relations([ref('a'),
+  // ref('b'), source('s','t')]) }}. Engine-resolved from parquet schema
+  // metadata; every listed relation is a DAG edge.
+  private[graft] val unionRelationsRe: Regex =
+    """\{\{\s*(?:dbt_utils\.)?union_relations\(\s*(\[[^\]]*\])\s*\)\s*\}\}""".r
+
+  private[graft] val relCallRe: Regex =
+    """(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""".r
+
+  /** Replace every `union_relations([...])` site with the UNION ALL of
+    * its relations projected to the union schema — columns ordered by
+    * first appearance, a missing column NULL-filled with the type it
+    * has where present, plus dbt-utils' `_dbt_source_relation` lineage
+    * column. `fetch(kind, name, table)` returns (relation SQL text,
+    * schema as (column, DDL type) pairs).
+    */
+  def resolveUnionRelations(sql: String,
+      fetch: (String, String, Option[String]) => (String, Seq[(String, String)]))
+      : String =
+    unionRelationsRe.replaceAllIn(sql, m => {
+      val rels = relCallRe.findAllMatchIn(m.group(1)).toSeq
+        .map(r => (r.group(1), r.group(2), Option(r.group(3))))
+      require(rels.size >= 2,
+        "union_relations needs at least two ref()/source() entries")
+      val fetched = rels.map { case (k, a, b) =>
+        val (text, schema) = fetch(k, a, b)
+        (if (b.isDefined) s"$k('$a', '${b.get}')" else s"$k('$a')", text, schema)
+      }
+      // union schema: first-appearance order; type from the first
+      // relation that has the column (a cross-relation type CONFLICT
+      // fails loudly — silently casting is how shards corrupt)
+      val unionCols = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      fetched.foreach { case (label, _, schema) =>
+        schema.foreach { case (c, t) =>
+          unionCols.get(c) match {
+            case None => unionCols(c) = t
+            case Some(t0) if t0 != t => throw new IllegalArgumentException(
+              s"union_relations: column '$c' is $t0 upstream but $t in " +
+                s"$label — align the shards or cast in a staging model")
+            case _ => ()
+          }
+        }
+      }
+      Regex.quoteReplacement(fetched.map { case (label, text, schema) =>
+        val have = schema.map(_._1).toSet
+        val proj = unionCols.toSeq.map { case (c, t) =>
+          if (have.contains(c)) s"`$c`"
+          else s"CAST(NULL AS $t) AS `$c`"
+        } :+ s"'${label.replace("'", "''")}' AS `_dbt_source_relation`"
+        s"SELECT ${proj.mkString(", ")} FROM $text"
+      }.mkString("\nUNION ALL\n"))
     })
 
   /** Replace every `get_column_values` set binding with a literal list

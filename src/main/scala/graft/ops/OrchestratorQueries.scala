@@ -379,6 +379,44 @@ object OrchestratorQueries {
       |  last_day(date_day) AS month_end
       |FROM days""".stripMargin
 
+  /** dbt-utils `union_relations` end-to-end: two shard models with
+    * DIFFERENT schemas union into one relation — missing columns
+    * NULL-filled with their upstream types, `_dbt_source_relation`
+    * lineage attached — all from parquet schema metadata at compile
+    * time, with both shards as DAG edges.
+    */
+  def unionRelations(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_union",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("shard_a",
+          "SELECT o_orderkey, o_custkey, o_totalprice " +
+            "FROM {{ source('tpch', 'orders') }} WHERE o_orderkey % 2 = 0"),
+        ModelDef("shard_b",
+          "SELECT o_orderkey, o_orderstatus " +
+            "FROM {{ source('tpch', 'orders') }} WHERE o_orderkey % 2 = 1"),
+        ModelDef("all_shards",
+          "SELECT * FROM " +
+            "({{ union_relations([ref('shard_a'), ref('shard_b')]) }})")))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    val out = engine.readModel("all_shards")
+    require(out.columns.toSeq == Seq("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderstatus", "_dbt_source_relation"),
+      s"union schema drifted: ${out.columns.toSeq}")
+    out
+  }
+
+  val unionRelationsSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(NULL AS VARCHAR) AS o_orderstatus,
+      |  'ref(''shard_a'')' AS _dbt_source_relation
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+      |  o_orderstatus, 'ref(''shard_b'')'
+      |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin
+
   /** dbt-utils `star` + dbt's `execute` flag + `{{ target.schema }}` in
     * one compiled model: the column list splices from the upstream's
     * parquet schema minus the except list (metadata-only probe, a real

@@ -509,11 +509,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             s"FROM ${introRelText(kind, a, b, "get_column_values")} " +
             s"WHERE `$column` IS NOT NULL ORDER BY v LIMIT $maxN"))
           .collect().map(r => String.valueOf(r.get(0))).toIndexedSeq)
-      // star(): schema only — resolveSql + limit 0 keeps it metadata-only
-      Compiler.resolveStar(sql, (kind, a, b) =>
+      // star()/union_relations(): schema only — resolveSql + limit 0
+      // keeps both metadata-only
+      def schemaOf(kind: String, a: String, b: Option[String], what: String) =
         spark.sql(warehouse.resolveSql(
-          s"SELECT * FROM ${introRelText(kind, a, b, "star")} LIMIT 0"))
-          .schema.fields.map(_.name).toIndexedSeq)
+          s"SELECT * FROM ${introRelText(kind, a, b, what)} LIMIT 0")).schema
+      val sql2 = Compiler.resolveStar(sql, (kind, a, b) =>
+        schemaOf(kind, a, b, "star").fields.map(_.name).toIndexedSeq)
+      Compiler.resolveUnionRelations(sql2, (kind, a, b) =>
+        (introRelText(kind, a, b, "union_relations"),
+          schemaOf(kind, a, b, "union_relations").fields
+            .map(f => f.name -> f.dataType.sql).toIndexedSeq))
     }
     val body = Compiler.compile(resolveIntrospection(m.rawSql), ctx)
     val ephemerals = inlinedClosure(m.rawSql)

@@ -39,7 +39,7 @@ FAMILIES = [
         "o_insert_overwrite_pruned", "o_user_macros", "o_graph_selectors",
         "o_mv_avg_model", "b2_partitions_loop", "o_microbatch", "o_clone",
         "o_metric_query", "o_cross_project_ref", "o_source_formats",
-        "o_jinja_loops", "o_jinja_filters", "o_package_macros", "o_dynamic_pivot", "o_star_select", "o_utils_macros",
+        "o_jinja_loops", "o_jinja_filters", "o_package_macros", "o_dynamic_pivot", "o_star_select", "o_utils_macros", "o_union_relations",
         "o_ddl_roundtrip"]),
     ("row deletes / compaction / z-order / bloom", ["x_row_deletes",
         "x_compact_table", "x_zorder_box", "x_bloom_lookup"]),
