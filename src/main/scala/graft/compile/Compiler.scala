@@ -57,7 +57,7 @@ object Compiler {
   // `{% set %}` the control-flow subset expands. Inside `{% %}` the ref
   // is BARE (jinja call position), not `{{ ref(...) }}`.
   private[graft] val getColValsRe: Regex =
-    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*get_column_values\(\s*""" +
+    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*(?:dbt_utils\.)?get_column_values\(\s*""" +
       """(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)\s*,\s*'([^']+)'""" +
       """(?:\s*,\s*(\d+))?\s*\)\s*-?%\}""").r
 
@@ -74,6 +74,12 @@ object Compiler {
         (m.group(1), m.group(2), Option(m.group(3)))) ++
       unionRelationsRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
         relCallRe.findAllMatchIn(m.group(1)).toSeq.map(r =>
+          (r.group(1), r.group(2), Option(r.group(3))))) ++
+      // run_query probes: both the `~ ref('m') ~` concat pieces and
+      // `{{ ref('m') }}` sites inside the quoted SQL — the probed
+      // relation must be BUILT before this model compiles
+      runQueryRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
+        relCallRe.findAllMatchIn(m.group(2)).toSeq.map(r =>
           (r.group(1), r.group(2), Option(r.group(3)))))
     val refs = (refRe.findAllMatchIn(rawSql).map(_.group(1)).toSeq ++
       intro.collect { case ("ref", n, _) => n }).distinct
@@ -87,9 +93,12 @@ object Compiler {
   // optional except list) — {{ star(ref('m')) }} or
   // {{ star(ref('m'), except=['a', 'b']) }}. Resolved by the ENGINE
   // from the built relation's parquet schema (metadata-only, no scan);
-  // a real DAG edge like get_column_values.
+  // a real DAG edge like get_column_values. The canonical `dbt_utils.`
+  // prefix is accepted like every other dbt-utils builtin — without it
+  // a ported `{{ dbt_utils.star(...) }}` would leak raw Jinja to the
+  // SQL parser as a cryptic parse error.
   private[graft] val starRe: Regex =
-    ("""\{\{\s*star\(\s*(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""" +
+    ("""\{\{\s*(?:dbt_utils\.)?star\(\s*(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""" +
       """(?:\s*,\s*except\s*=\s*(\[[^\]]*\]))?\s*\)\s*\}\}""").r
 
   /** Replace every `star(...)` site with the backquoted column list of
@@ -174,12 +183,14 @@ object Compiler {
 
   /** Replace every `get_column_values` set binding with a literal list
     * binding, using `fetch(kind, name, table, column, maxRecords)` to
-    * pull the DISTINCT SORTED non-null values (engine-side: a
-    * control-plane query over the already-built relation — the dbt
-    * introspection contract; values land as quoted items, so templates
-    * write `'{{ v }}'` for strings and `{{ v }}` bare for numerics,
-    * same as any loop variable). A value containing a quote fails
-    * loudly rather than splicing a mis-quoted literal.
+    * pull the distinct non-null values in dbt-utils' default order —
+    * count(*) DESC, with the value itself as a deterministic tie-break
+    * (engine-side: a control-plane query over the already-built
+    * relation — the dbt introspection contract; values land as quoted
+    * items in the SET literal, so templates write `'{{ v }}'` for SQL
+    * strings and `{{ v }}` bare for numerics, same as any loop
+    * variable). A value containing a quote fails loudly rather than
+    * splicing a mis-quoted literal.
     */
   def resolveColumnValues(sql: String,
       fetch: (String, String, Option[String], String, Int) => Seq[String])
@@ -194,6 +205,130 @@ object Compiler {
         s"{% set ${m.group(1)} = [" +
           vals.map(v => s"'$v'").mkString(", ") + "] %}")
     })
+
+  // -------------------------------------------------- run_query results
+
+  /** A bounded compile-time query result — dbt's `run_query` agate
+    * table. `columns` are the result's column names; `rows` hold the
+    * stringified values ([[String.valueOf]], so NULL renders as the text
+    * `null` like any loop variable would). The ENGINE executes the query
+    * (a control-plane probe, row-capped, fail-loud beyond) and the
+    * control-flow subset consumes the binding: `{% for r in rs %}` row
+    * iteration with `{{ r[0] }}` / `{{ r['col'] }}` / `{{ r.col }}`
+    * accessors, `{% for v in rs.columns[0].values() %}` column
+    * iteration, and `{{ rs.columns[0].values() | join(', ') }}`
+    * reduction sites.
+    */
+  final case class QueryResult(columns: Seq[String], rows: Seq[Seq[String]])
+
+  // `{% set rs = run_query(<expr>) %}` — 12 of the reference's 184
+  // macros call run_query; the general introspective-compile idiom
+  // behind get_column_values-style dynamic SQL. The argument expression
+  // is quoted SQL, optionally `~`-concatenated with bare ref()/source()
+  // calls (dbt's canonical `run_query("select ... from " ~ ref('m'))`).
+  private[graft] val runQueryRe: Regex =
+    """(?s)\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*run_query\((.*?)\)\s*-?%\}""".r
+
+  /** Split at `~` outside quotes (Jinja string concatenation). */
+  private def splitTilde(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var q: Char = 0
+    s.foreach {
+      case c @ ('\'' | '"') =>
+        if (q == 0) q = c else if (q == c) q = 0
+        sb.append(c)
+      case '~' if q == 0 => out += sb.result(); sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Assemble a run_query argument expression into plain SQL:
+    * quoted pieces splice verbatim (both quote styles), bare
+    * `ref()`/`source()` pieces — and `{{ ref/source }}` sites embedded
+    * INSIDE quoted pieces — resolve through `rel(kind, name, table)`.
+    * Anything else fails loudly (Python expressions are out of scope).
+    */
+  private[graft] def assembleRunQueryArg(arg: String,
+      rel: (String, String, Option[String]) => String): String =
+    splitTilde(arg).map {
+      case p if p.startsWith("'") || p.startsWith("\"") =>
+        val text = stripQuotes(p)
+        val t1 = refRe.replaceAllIn(text,
+          m => Regex.quoteReplacement(rel("ref", m.group(1), None)))
+        sourceRe.replaceAllIn(t1, m =>
+          Regex.quoteReplacement(rel("source", m.group(1), Some(m.group(2)))))
+      case relCallRe(kind, a, b) => rel(kind, a, Option(b))
+      case other => throw new IllegalArgumentException(
+        s"run_query: unsupported expression piece '$other' — use quoted " +
+          "SQL, optionally ~-concatenated with ref()/source() calls")
+    }.mkString
+
+  /** Strip every `{% set x = run_query(...) %}` statement, executing
+    * each via `exec` (the ENGINE's bounded probe) after assembling its
+    * argument with `rel`. Returns the cleaned SQL plus the name→result
+    * bindings [[expandControlFlow]] consumes.
+    */
+  def resolveRunQueries(sql: String,
+      rel: (String, String, Option[String]) => String,
+      exec: String => QueryResult): (String, Map[String, QueryResult]) = {
+    val tables = scala.collection.mutable.Map.empty[String, QueryResult]
+    val out = runQueryRe.replaceAllIn(sql, m => {
+      tables(m.group(1)) = exec(assembleRunQueryArg(m.group(2), rel))
+      ""
+    })
+    (out, tables.toMap)
+  }
+
+  /** Resolve a `name.columns[i].values()` accessor against the bound
+    * run_query results.
+    */
+  private def tableColumn(accessor: String,
+      tables: Map[String, QueryResult]): Seq[String] = accessor match {
+    case colValuesRe(tn, ci) =>
+      val t = tables.getOrElse(tn, throw new IllegalArgumentException(
+        s"'$tn' is not a run_query binding (bound: " +
+          s"${tables.keys.toSeq.sorted.mkString(", ")})"))
+      val i = ci.toInt
+      require(i < t.columns.size,
+        s"$accessor: result has ${t.columns.size} columns")
+      t.rows.map(_(i))
+    case other => throw new IllegalArgumentException(
+      s"unsupported column accessor '$other'")
+  }
+
+  /** Substitute one result row into a loop body: `{{ r[0] }}`,
+    * `{{ r['col'] }}` and `{{ r.col }}` accessor sites (each with
+    * optional filter chains). Unknown columns / out-of-range indexes
+    * fail loudly.
+    */
+  private def substRowAccessors(v: String, cols: Seq[String],
+      row: Seq[String], body0: String): String = {
+    def applyChain(value: String, chain: String): String =
+      if (chain == null || chain.trim.isEmpty) value
+      else applyFilterSeq(value, parseFilters(chain))
+    val idxRe = ("""\{\{\s*""" + Regex.quote(v) +
+      """\[(\d+)\]\s*(""" + filterChainPat + """*)\s*\}\}""").r
+    var b = idxRe.replaceAllIn(body0, m => {
+      val i = m.group(1).toInt
+      require(i < row.size,
+        s"row accessor $v[$i] out of range (${cols.size} columns)")
+      Regex.quoteReplacement(applyChain(row(i), m.group(2)))
+    })
+    val nameRe = ("""\{\{\s*""" + Regex.quote(v) +
+      """(?:\['([^']+)'\]|\.([A-Za-z_]\w*))\s*(""" +
+      filterChainPat + """*)\s*\}\}""").r
+    b = nameRe.replaceAllIn(b, m => {
+      val cn = Option(m.group(1)).getOrElse(m.group(2))
+      val i = cols.indexWhere(_.equalsIgnoreCase(cn))
+      require(i >= 0,
+        s"row has no column '$cn' (columns: ${cols.mkString(", ")})")
+      Regex.quoteReplacement(applyChain(row(i), m.group(3)))
+    })
+    b
+  }
 
   // ------------------------------------------ builtin dbt-utils macros
   // The everyday dbt-utils/dbt-core surface that renders PURE SQL text
@@ -222,10 +357,9 @@ object Compiler {
     """\{\{\s*(?:dbt_utils\.)?safe_cast\(\s*(.+?)\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
 
   // dbt-core cross-db date macros, the Spark-adapter renderings:
-  // dateadd → timestampadd (any standard unit); datediff ONLY for 'day'
-  // (day-boundary counting matches Spark's datediff; other units differ
-  // per adapter in dbt itself, so they fail loudly rather than render a
-  // maybe-wrong count); last_day for 'month' → last_day()
+  // dateadd → timestampadd (any standard unit); datediff for every
+  // standard unit with dbt's BOUNDARY-COUNT semantics (see the rendering
+  // below); last_day for 'month' → last_day()
   private val dateaddRe: Regex =
     """\{\{\s*(?:dbt_utils\.)?dateadd\(\s*'(\w+)'\s*,\s*([^,]+?)\s*,\s*(.+?)\s*\)\s*\}\}""".r
   private val datediffRe: Regex =
@@ -247,10 +381,17 @@ object Compiler {
       val part = m.group(1).toLowerCase
       require(Set("day", "week", "month", "year").contains(part),
         s"date_spine: unsupported datepart '$part'")
+      // over-generate with an INCLUSIVE sequence end, then filter
+      // `< end` — dbt-utils emits every period strictly before end, and
+      // generating to `end - 1 part` drops the final period whenever the
+      // end date is not start + k*part aligned (a misaligned month spine
+      // '2020-01-15'..'2020-03-01' must yield 01-15 AND 02-15)
       Regex.quoteReplacement(
-        s"SELECT explode(sequence(CAST(${m.group(2)} AS DATE), " +
-          s"CAST(${m.group(3)} AS DATE) - INTERVAL '1' $part, " +
-          s"INTERVAL '1' $part)) AS date_$part")
+        s"SELECT date_$part FROM (SELECT " +
+          s"explode(sequence(CAST(${m.group(2)} AS DATE), " +
+          s"CAST(${m.group(3)} AS DATE), " +
+          s"INTERVAL '1' $part)) AS date_$part) " +
+          s"WHERE date_$part < CAST(${m.group(3)} AS DATE)")
     })
     sql = safeCastRe.replaceAllIn(sql, m => Regex.quoteReplacement(
       s"TRY_CAST(${stripOneJinjaQuote(m.group(1))} AS ${m.group(2)})"))
@@ -261,12 +402,35 @@ object Compiler {
         s"${m.group(2)}, ${stripOneJinjaQuote(m.group(3))})")
     })
     sql = datediffRe.replaceAllIn(sql, m => {
-      require(m.group(1).equalsIgnoreCase("day"),
-        s"datediff: only 'day' renders here (Spark's day-boundary count " +
-          s"matches dbt's); '${m.group(1)}' differs per adapter — write " +
-          "the Spark expression directly")
-      Regex.quoteReplacement(s"datediff(${stripOneJinjaQuote(m.group(3))}, " +
-        s"${stripOneJinjaQuote(m.group(2))})")
+      // dbt's datediff contract is a BOUNDARY COUNT, not interval
+      // truncation: datediff('month', Jan-31, Feb-01) = 1 because one
+      // month boundary is crossed (Snowflake/BigQuery/DuckDB agree).
+      // Each unit renders as a calendar-part difference, never a
+      // divided day-span — a truncation would undercount every pair
+      // that straddles a boundary by less than the unit.
+      val a = stripOneJinjaQuote(m.group(2))
+      val b = stripOneJinjaQuote(m.group(3))
+      val rendered = m.group(1).toLowerCase match {
+        case "day" => s"datediff($b, $a)"
+        case "month" => s"((year($b) - year($a)) * 12 + (month($b) - month($a)))"
+        case "quarter" => s"((year($b) - year($a)) * 4 + (quarter($b) - quarter($a)))"
+        case "year" => s"(year($b) - year($a))"
+        // weeks partition at ISO Monday (Spark date_trunc('week') and
+        // DuckDB's week boundary agree); week-aligned day diff / 7 is exact
+        case "week" =>
+          s"CAST(datediff(date_trunc('week', $b), date_trunc('week', $a)) / 7 AS INT)"
+        case "hour" =>
+          s"CAST((unix_timestamp(date_trunc('hour', $b)) - " +
+            s"unix_timestamp(date_trunc('hour', $a))) / 3600 AS BIGINT)"
+        case "minute" =>
+          s"CAST((unix_timestamp(date_trunc('minute', $b)) - " +
+            s"unix_timestamp(date_trunc('minute', $a))) / 60 AS BIGINT)"
+        case "second" =>
+          s"(unix_timestamp($b) - unix_timestamp($a))"
+        case other => throw new IllegalArgumentException(
+          s"datediff: unknown datepart '$other'")
+      }
+      Regex.quoteReplacement(rendered)
     })
     lastDayRe.replaceAllIn(sql, m => {
       require(m.group(2).equalsIgnoreCase("month"),
@@ -380,7 +544,10 @@ object Compiler {
       // substituted into the compiled text so Catalyst sees a constant and
       // can prune the source scan. None outside incremental runs → NULL
       // (harmless: references live inside is_incremental() blocks).
-      maxPartition: Option[String] = None)
+      maxPartition: Option[String] = None,
+      // run_query bindings, pre-executed by the ENGINE
+      // ([[resolveRunQueries]]) — consumed by the control-flow subset
+      queryResults: Map[String, QueryResult] = Map.empty)
 
   /** Render raw model SQL to executable Spark SQL (SURVEY §3.1 step 2). */
   def compile(rawSql: String, ctx: ResolveCtx): String = {
@@ -388,7 +555,7 @@ object Compiler {
     sql = incrBlockRe.replaceAllIn(sql, m =>
       if (ctx.isIncremental) Regex.quoteReplacement(m.group(1))
       else Regex.quoteReplacement(Option(m.group(2)).getOrElse(" ")))
-    sql = expandControlFlow(sql)
+    sql = expandControlFlow(sql, tables = ctx.queryResults)
     // after control flow, so loop-generated builtin calls resolve too
     sql = expandBuiltinSqlMacros(sql)
     sql = refXRe.replaceAllIn(sql,
@@ -432,13 +599,20 @@ object Compiler {
   // (dbt-utils' everyday shape; NOT general Python expressions)
   private val setRe: Regex =
     """\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*(\[[^\]]*\]|'[^']*'|[-\d.]+)\s*-?%\}""".r
-  // innermost `{% for x in <list-literal|range(..)|set-name> %} … {% endfor %}`:
-  // the tempered body ((?!{% for).)*? cannot contain a nested for-open,
-  // so fixpoint iteration expands loops inside-out
+  // innermost `{% for x in <list-literal|range(..)|set-name|rows|
+  // result.columns[i].values()> %} … {% endfor %}`: the tempered body
+  // ((?!{% for).)*? cannot contain a nested for-open, so fixpoint
+  // iteration expands loops inside-out
   private val forRe: Regex =
     ("""(?s)\{%-?\s*for\s+([A-Za-z_]\w*)\s+in\s+""" +
-      """(\[[^\]]*\]|range\(\s*\d+\s*(?:,\s*\d+\s*)?\)|[A-Za-z_]\w*)""" +
+      """(\[[^\]]*\]|range\(\s*\d+\s*(?:,\s*\d+\s*)?\)|""" +
+      """[A-Za-z_]\w*(?:\.columns\[\d+\]\.values\(\))?)""" +
       """\s*-?%\}((?:(?!\{%-?\s*for\s).)*?)\{%-?\s*endfor\s*-?%\}""").r
+  // `rs.columns[0].values()` — the agate-table column accessor of dbt's
+  // run_query results, usable as a loop iterable or (with a reducing
+  // filter) an interpolation
+  private val colValuesRe: Regex =
+    """([A-Za-z_]\w*)\.columns\[(\d+)\]\.values\(\)""".r
   // Python/Jinja range: range(n) = 0..n-1, range(a, b) = a..b-1
   private val rangeRe: Regex = """range\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
   // `{% if cond %}a{% else %}b{% endif %}` with no nested if in either arm
@@ -611,6 +785,53 @@ object Compiler {
   private val ifHeadRe: Regex =
     """\{%-?\s*if\s+((?:(?!%\}).)*?)\s*-?%\}""".r
 
+  // one if/elif/else/endif tag, with its raw head text as group 2
+  private val ifTagRe: Regex =
+    """\{%-?\s*(if|elif|else|endif)((?:(?!%\}).)*?)-?%\}""".r
+
+  /** Rewrite `{% elif %}` chains into nested `{% else %}{% if %}` blocks
+    * — semantically identical in Jinja, and the nested form is what the
+    * innermost-if fixpoint of [[evalIfs]] already evaluates. 9 of the
+    * reference's 184 macros use elif, including `partition_by` itself
+    * (manifest.json:1 @13262), so a loud refusal made every ported
+    * elif-bearing macro fail to compile. The rewrite is a single
+    * token-stream walk: each elif opens one extra nested if whose endif
+    * is emitted at the chain's own endif; undecidable conditions keep
+    * the fail-loud stance downstream (an unresolved nested if leaves
+    * Jinja text the SQL parser rejects loudly).
+    */
+  private[graft] def rewriteElifChains(sql: String): String = {
+    if (!sql.contains("elif")) return sql
+    val out = new StringBuilder
+    var last = 0
+    // per-open-if count of elifs seen (= extra endifs owed at its endif)
+    val stack = scala.collection.mutable.Stack.empty[Int]
+    ifTagRe.findAllMatchIn(sql).foreach { m =>
+      out.append(sql.substring(last, m.start))
+      m.group(1) match {
+        case "if" =>
+          stack.push(0)
+          out.append(m.matched)
+        case "elif" =>
+          require(stack.nonEmpty, "{% elif %} outside an {% if %} block")
+          stack.push(stack.pop() + 1)
+          out.append("{% else %}{% if").append(m.group(2)).append("%}")
+        case "else" =>
+          out.append(m.matched)
+        case "endif" =>
+          require(stack.nonEmpty, "{% endif %} without an open {% if %}")
+          val owed = stack.pop()
+          out.append(m.matched)
+          (0 until owed).foreach(_ => out.append("{% endif %}"))
+      }
+      last = m.end
+    }
+    out.append(sql.substring(last))
+    require(stack.isEmpty,
+      "unbalanced {% if %}/{% endif %} around an {% elif %} chain")
+    out.result()
+  }
+
   /** Substitute a variable into `{% if %}` CONDITIONS as a quoted
     * literal (jinja conditions use bare names — `{% if st == 'O' %}` —
     * where interpolation sites use `{{ st }}`). Word-boundary match, so
@@ -656,13 +877,33 @@ object Compiler {
     * after expansion fails loudly below rather than reaching the SQL
     * parser.
     */
-  def expandControlFlow(sql0: String, maxDepth: Int = 10): String = {
-    if (!sql0.contains("{%"))
+  def expandControlFlow(sql0: String, maxDepth: Int = 10,
+      tables: Map[String, QueryResult] = Map.empty): String = {
+    // `{{ rs.columns[0].values() | join(', ') }}` interpolation sites:
+    // the column renders as a list binding would — only through a
+    // reducing filter chain. Runs before the no-{%-block early return:
+    // a reduction site needs no {% %} block to be meaningful.
+    var pre = sql0
+    if (tables.nonEmpty && pre.contains(".columns[")) {
+      val interpCols = ("""\{\{\s*([A-Za-z_]\w*\.columns\[\d+\]\.values\(\))""" +
+        "(" + filterChainPat + """*)\s*\}\}""").r
+      pre = interpCols.replaceAllIn(pre, m => {
+        val xs = tableColumn(m.group(1), tables)
+        xs.find(_.contains("'")).foreach(x =>
+          throw new IllegalArgumentException(
+            s"run_query column value containing a quote cannot " +
+              s"interpolate: $x"))
+        Regex.quoteReplacement(applyFilterSeq(
+          xs.map(x => s"'$x'").mkString("[", ", ", "]"),
+          parseFilters(Option(m.group(2)).getOrElse(""))))
+      })
+    }
+    if (!pre.contains("{%"))
       // still resolve `{{ name | default('v') }}` sites — they need no
       // {% %} block to be meaningful
-      return if (sql0.contains("{{")) resolveUnboundDefaults(sql0) else sql0
+      return if (pre.contains("{{")) resolveUnboundDefaults(pre) else pre
     val binds = scala.collection.mutable.Map.empty[String, String]
-    var sql = setRe.replaceAllIn(sql0, m => {
+    var sql = setRe.replaceAllIn(rewriteElifChains(pre), m => {
       binds(m.group(1)) = m.group(2); ""
     })
     var depth = 0
@@ -670,31 +911,45 @@ object Compiler {
     while (changed && depth < maxDepth) {
       val afterFor = forRe.replaceAllIn(sql, m => {
         val (v, listTxt, body) = (m.group(1), m.group(2), m.group(3))
-        val items = listTxt match {
-          case rangeRe(a, b) => // Python semantics: end-exclusive
-            val (lo, hi) = if (b == null) (0, a.toInt) else (a.toInt, b.toInt)
-            (lo until hi).map(_.toString)
-          case l if l.startsWith("[") => parseListLiteral(l)
-          case name => parseListLiteral(binds.getOrElse(name,
-            throw new IllegalArgumentException(
-              s"for-loop iterates '$name', which is not a list literal, " +
-                "range(), or a {% set %}-bound list (query-result loops " +
-                "are unsupported — use a model)")))
-        }
-        val n = items.size
+        val n0 = tables.get(listTxt).map(_.rows.size)
         // loop.* resolve both as interpolations ({{ loop.index }}) and
         // as bare condition tokens ({% if not loop.last %})
         def loopVal(which: String, value: String, b: String): String =
           ("""\{\{\s*loop\.""" + which + """\s*\}\}""").r
             .replaceAllIn(b, value).replace("loop." + which, value)
-        Regex.quoteReplacement(items.zipWithIndex.map { case (it, i) =>
-          var b = substInterp(v, it, body) // {{ x }} and {{ x | lower }}
-          b = substVarInConds(v, it, b) // bare `{% if st == 'O' %}` form
-          b = loopVal("index", (i + 1).toString, b)
-          b = loopVal("first", if (i == 0) "true" else "false", b)
-          b = loopVal("last", if (i == n - 1) "true" else "false", b)
-          evalIfs(b)
-        }.mkString)
+        def renderScalar(items: Seq[String]): String = {
+          val n = items.size
+          items.zipWithIndex.map { case (it, i) =>
+            var b = substInterp(v, it, body) // {{ x }} and {{ x | lower }}
+            b = substVarInConds(v, it, b) // bare `{% if st == 'O' %}` form
+            b = loopVal("index", (i + 1).toString, b)
+            b = loopVal("first", if (i == 0) "true" else "false", b)
+            b = loopVal("last", if (i == n - 1) "true" else "false", b)
+            evalIfs(b)
+          }.mkString
+        }
+        Regex.quoteReplacement(listTxt match {
+          case name if n0.isDefined => // {% for r in rs %} — ROW iteration
+            val t = tables(name)
+            val n = t.rows.size
+            t.rows.zipWithIndex.map { case (row, i) =>
+              var b = substRowAccessors(v, t.columns, row, body)
+              b = loopVal("index", (i + 1).toString, b)
+              b = loopVal("first", if (i == 0) "true" else "false", b)
+              b = loopVal("last", if (i == n - 1) "true" else "false", b)
+              evalIfs(b)
+            }.mkString
+          case c if c.contains(".columns[") => // column-values iteration
+            renderScalar(tableColumn(c, tables))
+          case rangeRe(a, b) => // Python semantics: end-exclusive
+            val (lo, hi) = if (b == null) (0, a.toInt) else (a.toInt, b.toInt)
+            renderScalar((lo until hi).map(_.toString))
+          case l if l.startsWith("[") => renderScalar(parseListLiteral(l))
+          case name => renderScalar(parseListLiteral(binds.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"for-loop iterates '$name', which is not a list literal, " +
+                "range(), a {% set %}-bound list, or a run_query result"))))
+        })
       })
       // {% set %} bindings: scalars into if-conditions as quoted literals
       // first, then interpolation sites; LIST bindings render only
@@ -749,6 +1004,37 @@ object Compiler {
 
   private val macroDefRe: Regex =
     """(?s)\{%\s*macro\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*%\}(.*?)\{%\s*endmacro\s*%\}""".r
+
+  // `{{ adapter.dispatch('name'[, 'pkg'])(args) }}` — dbt's
+  // adapter-specific macro resolution; 51 of the reference's 184 macros
+  // route through it (the `default__`/`bigquery__` prefix convention).
+  // The kwarg spelling `macro_namespace='pkg'` is accepted too.
+  private val dispatchRe: Regex =
+    ("""(?s)\{\{\s*adapter\.dispatch\(\s*'([^']+)'(?:\s*,\s*""" +
+      """(?:macro_namespace\s*=\s*)?'([^']+)')?\s*\)\s*\((.*?)\)\s*\}\}""").r
+
+  /** Resolve every `adapter.dispatch` site to a direct macro call by
+    * dbt's search order — for each adapter prefix (`spark__` first,
+    * then `default__`): the root project's namespace, then the named
+    * package's. A dispatch with no implementation anywhere fails loudly
+    * with the names it looked for, never leaking Jinja to the SQL
+    * parser. The resolved `{{ <impl>(args) }}` call then expands like
+    * any direct macro call in the same round.
+    */
+  private def resolveDispatch(sql: String,
+      macros: Map[String, MacroDef]): String =
+    dispatchRe.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      val pkg = Option(m.group(2))
+      val candidates =
+        (Seq(s"spark__$name") ++ pkg.map(p => s"$p.spark__$name") ++
+          Seq(s"default__$name") ++ pkg.map(p => s"$p.default__$name"))
+      val resolved = candidates.find(macros.contains).getOrElse(
+        throw new IllegalArgumentException(
+          s"adapter.dispatch('$name'${pkg.fold("")(p => s", '$p'")}): no " +
+            s"implementation found — looked for ${candidates.mkString(", ")}"))
+      Regex.quoteReplacement(s"{{ $resolved(${m.group(3)}) }}")
+    })
   // call names may be package-qualified: {{ dbt_utils.star(...) }}
   private val macroCallRe: Regex =
     """\{\{\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\((.*?)\)\s*\}\}""".r
@@ -798,7 +1084,11 @@ object Compiler {
     */
   def expandMacros(sql: String, macros: Map[String, MacroDef],
                    maxDepth: Int = 10): String = {
-    if (macros.isEmpty) return sql
+    // with no macros loaded, a dispatch site still fails loudly inside
+    // resolveDispatch (it can never resolve) instead of leaking Jinja
+    if (macros.isEmpty)
+      return if (sql.contains("adapter.dispatch")) resolveDispatch(sql, macros)
+      else sql
     // bare names that exist ONLY under package namespaces, and in more
     // than one of them: calling one bare is ambiguous (the loader binds
     // a bare alias only for unambiguous package macros — dbt resolution
@@ -832,7 +1122,11 @@ object Compiler {
     var cur = sql
     var depth = 0
     while (depth < maxDepth) {
-      val next = macroCallRe.replaceAllIn(cur, m =>
+      // dispatch resolves each round so dispatch sites INSIDE expanded
+      // macro bodies (the dbt norm: a public macro dispatching its impl)
+      // resolve on the following round
+      val dispatched = resolveDispatch(cur, macros)
+      val next = macroCallRe.replaceAllIn(dispatched, m =>
         Regex.quoteReplacement(macros.get(m.group(1)) match {
           case None => m.matched
           case Some(mac) => expandOne(mac, splitArgs(m.group(2)))

@@ -319,7 +319,10 @@ object OrchestratorQueries {
     val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
     require(engine.build()._1.forall(_.status == "success"))
     val out = engine.readModel("status_pivot")
-    require(out.columns.toSeq == Seq("o_custkey", "n_F", "n_O", "n_P"),
+    // column ORDER is dbt-utils' default count(*) DESC (value-asc
+    // tie-break), which depends on the data — assert the set; the
+    // driver's hash compare sorts columns by name anyway
+    require(out.columns.toSet == Set("o_custkey", "n_F", "n_O", "n_P"),
       s"introspected pivot columns drifted: ${out.columns.toSeq}")
     out
   }
@@ -378,6 +381,121 @@ object OrchestratorQueries {
       |  date_diff('day', date_day, DATE '1995-02-01') AS days_left,
       |  last_day(date_day) AS month_end
       |FROM days""".stripMargin
+
+  /** `{% elif %}` chains end-to-end (9 of the reference's 184 macros use
+    * elif, including `partition_by` itself — manifest.json:1 @13262): a
+    * loop-driven 3-arm chain picks a different literal per loop value,
+    * exercising the nested-if rewrite inside the engine's full compile
+    * path; the oracle hand-expands each arm.
+    */
+  def elifChain(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_elif",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("status_tags",
+          """SELECT o_orderkey,
+            |  {% for st in ['O', 'F', 'P'] %}
+            |  {% if st == 'O' %}'open'{% elif st == 'F' %}'done'
+            |  {% elif st == 'P' %}'partial'{% else %}'unknown'{% endif %}
+            |    AS tag_{{ st }}{% if not loop.last %},{% endif %}
+            |  {% endfor %}
+            |FROM {{ source('tpch', 'orders') }}""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("status_tags")
+  }
+
+  val elifChainSql: String =
+    """SELECT o_orderkey, 'open' AS tag_O, 'done' AS tag_F,
+      |  'partial' AS tag_P
+      |FROM orders""".stripMargin
+
+  /** `adapter.dispatch` end-to-end (51 of the reference's 184 macros
+    * route through it): an on-disk package ships `money` dispatching to
+    * its own `spark__money`/`default__money` pair — the spark impl must
+    * win — plus a `default__tagit` with NO spark impl, reached through
+    * a model-level dispatch call — the default fallback. This is the
+    * mechanism that lets the package-import surface swallow real dbt
+    * packages (dbt-utils ships exactly this default__/adapter__ shape).
+    */
+  def adapterDispatch(s: SparkSession, d: String): DataFrame = {
+    val proj = Files.createTempDirectory("graft_dispatch_proj")
+    Files.writeString(proj.resolve("project.conf"), "name=dispatch_demo\n")
+    Files.writeString(proj.resolve("sources.conf"),
+      s"tpch orders $d/orders.parquet\n")
+    Files.createDirectories(proj.resolve("models"))
+    Files.writeString(proj.resolve("models").resolve("priced.sql"),
+      """SELECT o_orderkey,
+        |  {{ fmt.money(o_totalprice) }} AS price_2dp,
+        |  {{ adapter.dispatch('tagit', 'fmt')(o_orderstatus) }} AS status_uc
+        |FROM {{ source('tpch', 'orders') }}""".stripMargin)
+    val macrosDir = proj.resolve("packages").resolve("fmt").resolve("macros")
+    Files.createDirectories(macrosDir)
+    Files.writeString(macrosDir.resolve("fmt.sql"),
+      """{% macro money(c) %}{{ adapter.dispatch('money', 'fmt')({{ c }}) }}{% endmacro %}
+        |{% macro spark__money(c) %}round({{ c }} * 1.0, 2){% endmacro %}
+        |{% macro default__money(c) %}cast({{ c }} as decimal(18,2)){% endmacro %}
+        |{% macro default__tagit(s) %}upper({{ s }}){% endmacro %}
+        |""".stripMargin)
+    val (project, _) = ProjectLoader.load(proj.toString)
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("priced")
+  }
+
+  val adapterDispatchSql: String =
+    """SELECT o_orderkey, round(o_totalprice * 1.0, 2) AS price_2dp,
+      |  upper(o_orderstatus) AS status_uc
+      |FROM orders""".stripMargin
+
+  /** `run_query` loop bindings end-to-end (12 reference macros call
+    * run_query; the general introspective-compile idiom beyond
+    * get_column_values): a multi-column probe — assembled with the
+    * canonical `'sql ' ~ ref('m') ~ ' more'` concatenation — binds an
+    * agate-style result consumed three ways: `{% for r in rs %}` ROW
+    * iteration with `{{ r.st }}`/`{{ r['st'] }}` accessors generating
+    * pivot columns, a `columns[0].values() | join` reduction landing as
+    * a literal, and `| length` arity. The probe's ref is a real DAG
+    * edge. The oracle hand-expands the three order statuses.
+    */
+  def runQueryLoop(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_runquery",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("stg_rq_orders",
+          "SELECT o_orderkey, o_custkey, o_orderstatus " +
+            "FROM {{ source('tpch', 'orders') }}"),
+        ModelDef("status_matrix",
+          """{% set rs = run_query('SELECT o_orderstatus AS st, count(*) AS n FROM ' ~ ref('stg_rq_orders') ~ ' GROUP BY 1 ORDER BY 1') %}
+            |SELECT o_custkey,
+            |  {% for r in rs %}
+            |  CAST(sum(CASE WHEN o_orderstatus = '{{ r.st }}' THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_{{ r['st'] }},
+            |  {% endfor %}
+            |  '{{ rs.columns[0].values() | join('-') }}' AS all_statuses,
+            |  {{ rs.columns[0].values() | length }} AS n_statuses
+            |FROM {{ ref('stg_rq_orders') }}
+            |GROUP BY o_custkey""".stripMargin)))
+    // the probe's ref must be a DAG edge even though the loop body also
+    // refs it (the binding alone must schedule the upstream)
+    val (refs, _) = graft.compile.Compiler.dependencies(
+      project.models(1).rawSql)
+    require(refs.contains("stg_rq_orders"), s"run_query edge missing: $refs")
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("status_matrix")
+  }
+
+  val runQueryLoopSql: String =
+    """SELECT o_custkey,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_P,
+      |  'F-O-P' AS all_statuses, 3 AS n_statuses
+      |FROM orders GROUP BY o_custkey""".stripMargin
 
   /** dbt-utils `union_relations` end-to-end: two shard models with
     * DIFFERENT schemas union into one relation — missing columns

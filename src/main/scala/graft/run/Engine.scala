@@ -502,12 +502,35 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       case _ => sourceText(a, b.getOrElse(throw new IllegalArgumentException(
         s"$what: source('$a') needs a table name")))
     }
-    def resolveIntrospection(sql0: String): String = {
-      val sql = Compiler.resolveColumnValues(sql0, (kind, a, b, column, maxN) =>
+    // run_query (dbt's general introspective probe): execute the
+    // assembled SQL against the warehouse with a hard row cap — the
+    // result is compile-time control-plane data spliced into SQL text,
+    // so anything large belongs in a model, not a probe. Fails loudly
+    // at cap+1 rather than silently truncating.
+    def execRunQuery(q: String): Compiler.QueryResult = {
+      val cap = 500
+      val df = spark.sql(warehouse.resolveSql(q))
+      val rows = df.limit(cap + 1).collect()
+      require(rows.length <= cap,
+        s"run_query returned more than $cap rows — introspective compile " +
+          "probes must be control-plane-sized; use a model")
+      Compiler.QueryResult(df.columns.toIndexedSeq,
+        rows.toIndexedSeq.map(r =>
+          (0 until r.length).map(i => String.valueOf(r.get(i)))))
+    }
+    def resolveIntrospection(sql0: String)
+        : (String, Map[String, Compiler.QueryResult]) = {
+      val (sqlRq, tables) = Compiler.resolveRunQueries(sql0,
+        (kind, a, b) => introRelText(kind, a, b, "run_query"), execRunQuery)
+      val sql = Compiler.resolveColumnValues(sqlRq, (kind, a, b, column, maxN) =>
+        // dbt-utils parity: default order is count(*) DESC (the pivot
+        // columns land most-frequent-first); the value itself is the
+        // deterministic tie-break dbt-utils lacks
         spark.sql(warehouse.resolveSql(
-          s"SELECT DISTINCT `$column` AS v " +
+          s"SELECT `$column` AS v " +
             s"FROM ${introRelText(kind, a, b, "get_column_values")} " +
-            s"WHERE `$column` IS NOT NULL ORDER BY v LIMIT $maxN"))
+            s"WHERE `$column` IS NOT NULL GROUP BY `$column` " +
+            s"ORDER BY count(*) DESC, v ASC LIMIT $maxN"))
           .collect().map(r => String.valueOf(r.get(0))).toIndexedSeq)
       // star()/union_relations(): schema only — resolveSql + limit 0
       // keeps both metadata-only
@@ -516,18 +539,20 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           s"SELECT * FROM ${introRelText(kind, a, b, what)} LIMIT 0")).schema
       val sql2 = Compiler.resolveStar(sql, (kind, a, b) =>
         schemaOf(kind, a, b, "star").fields.map(_.name).toIndexedSeq)
-      Compiler.resolveUnionRelations(sql2, (kind, a, b) =>
+      (Compiler.resolveUnionRelations(sql2, (kind, a, b) =>
         (introRelText(kind, a, b, "union_relations"),
           schemaOf(kind, a, b, "union_relations").fields
-            .map(f => f.name -> f.dataType.sql).toIndexedSeq))
+            .map(f => f.name -> f.dataType.sql).toIndexedSeq)), tables)
     }
-    val body = Compiler.compile(resolveIntrospection(m.rawSql), ctx)
+    val (resolved, tables) = resolveIntrospection(m.rawSql)
+    val body = Compiler.compile(resolved, ctx.copy(queryResults = tables))
     val ephemerals = inlinedClosure(m.rawSql)
     if (ephemerals.isEmpty) body
     else {
       val ctes = ephemerals.map { e =>
-        val sql = Compiler.compile(resolveIntrospection(
-          project.models.find(_.name == e).get.rawSql), ctx)
+        val (eResolved, eTables) = resolveIntrospection(
+          project.models.find(_.name == e).get.rawSql)
+        val sql = Compiler.compile(eResolved, ctx.copy(queryResults = eTables))
         s"__cte__$e AS ($sql)"
       }.mkString(", ")
       // merge with an outer WITH if the model itself starts with one

@@ -1,0 +1,301 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.compile.Compiler
+
+/** Round-12 Jinja surface: `{% elif %}` chains (9 reference macros use
+  * them, incl. partition_by — manifest.json:1 @13262),
+  * `adapter.dispatch` (51 reference macros), `run_query` set bindings
+  * (12 reference macros), and the dbt boundary-count `datediff` units.
+  */
+class JinjaCompilerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ctx(incr: Boolean = false,
+      tables: Map[String, Compiler.QueryResult] = Map.empty) =
+    Compiler.ResolveCtx(refTarget = identity, sourceTarget = (_, t) => t,
+      thisTarget = "t", env = Map.empty, isIncremental = incr,
+      queryResults = tables)
+
+  // ------------------------------------------------------------- elif
+
+  test("elif: 3-arm chain picks each arm like the Jinja interpreter") {
+    def chain(v: String) =
+      s"{% set x = '$v' %}{% if x == 'a' %}A{% elif x == 'b' %}B" +
+        "{% elif x == 'c' %}C{% else %}D{% endif %}"
+    assert(Compiler.expandControlFlow(chain("a")) == "A")
+    assert(Compiler.expandControlFlow(chain("b")) == "B")
+    assert(Compiler.expandControlFlow(chain("c")) == "C")
+    assert(Compiler.expandControlFlow(chain("z")) == "D")
+  }
+
+  test("elif: chain without else yields empty on no match") {
+    val t = "{% set x = 'q' %}{% if x == 'a' %}A{% elif x == 'b' %}B{% endif %}"
+    assert(Compiler.expandControlFlow(t) == "")
+  }
+
+  test("elif: loop variables drive the chain (the partition_by shape)") {
+    val t = "{% for dt in ['date', 'timestamp', 'int64'] %}" +
+      "{% if dt == 'date' %}D{% elif dt == 'timestamp' %}T" +
+      "{% else %}I{% endif %}{% endfor %}"
+    assert(Compiler.expandControlFlow(t) == "DTI")
+  }
+
+  test("elif: nested if inside an arm keeps its own endif") {
+    val t = "{% set x = 'b' %}{% set y = '1' %}" +
+      "{% if x == 'a' %}A{% elif x == 'b' %}" +
+      "{% if y == '1' %}B1{% else %}B2{% endif %}" +
+      "{% else %}C{% endif %}"
+    assert(Compiler.expandControlFlow(t) == "B1")
+  }
+
+  test("elif: whitespace-control dashes accepted") {
+    val t = "{% set x = 'b' %}{%- if x == 'a' -%}A{%- elif x == 'b' -%}B{%- endif -%}"
+    assert(Compiler.expandControlFlow(t) == "B")
+  }
+
+  test("elif: undecidable condition keeps the fail-loud stance") {
+    // the rewrite produces a nested if on an unresolved name; it must
+    // survive expansion (for the SQL parser to reject), never mis-decide
+    val t = "{% if mystery == 'a' %}A{% elif mystery == 'b' %}B{% endif %}"
+    val out = Compiler.expandControlFlow(t)
+    assert(out.contains("mystery"))
+  }
+
+  test("elif: dangling elif fails loudly") {
+    intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow("{% elif x == 'a' %}A{% endif %}")
+    }
+  }
+
+  // -------------------------------------------------- adapter.dispatch
+
+  private def macros(defs: String, pkg: Option[String] = None) =
+    Compiler.parseMacros(defs).map(m =>
+      (pkg.fold(m.name)(p => s"$p.${m.name}")) -> m).toMap
+
+  test("dispatch: spark__ impl wins over default__") {
+    val ms = macros(
+      """{% macro spark__money(c) %}round({{ c }}, 2){% endmacro %}
+        |{% macro default__money(c) %}cast({{ c }} as decimal){% endmacro %}
+        |""".stripMargin)
+    assert(Compiler.expandMacros(
+      "SELECT {{ adapter.dispatch('money')(amt) }}", ms)
+      == "SELECT round(amt, 2)")
+  }
+
+  test("dispatch: falls back to default__ when no spark__ exists") {
+    val ms = macros(
+      "{% macro default__money(c) %}cast({{ c }} as decimal){% endmacro %}")
+    assert(Compiler.expandMacros(
+      "SELECT {{ adapter.dispatch('money')(amt) }}", ms)
+      == "SELECT cast(amt as decimal)")
+  }
+
+  test("dispatch: macro_namespace searches the package, project wins") {
+    val pkgMs = macros(
+      """{% macro spark__trim2(c) %}pkg_spark({{ c }}){% endmacro %}
+        |{% macro default__trim2(c) %}pkg_default({{ c }}){% endmacro %}
+        |""".stripMargin, pkg = Some("utils"))
+    // project-level spark__ shadows the package's (dbt search order)
+    val projMs = macros(
+      "{% macro spark__trim2(c) %}proj_spark({{ c }}){% endmacro %}")
+    assert(Compiler.expandMacros(
+      "{{ adapter.dispatch('trim2', 'utils')(x) }}", pkgMs ++ projMs)
+      == "proj_spark(x)")
+    // package-only resolution through the namespace arg
+    assert(Compiler.expandMacros(
+      "{{ adapter.dispatch('trim2', 'utils')(x) }}", pkgMs)
+      == "pkg_spark(x)")
+    // kwarg spelling
+    assert(Compiler.expandMacros(
+      "{{ adapter.dispatch('trim2', macro_namespace='utils')(x) }}", pkgMs)
+      == "pkg_spark(x)")
+  }
+
+  test("dispatch: missing implementation fails loudly with candidates") {
+    val ms = macros("{% macro unrelated() %}1{% endmacro %}")
+    val e = intercept[IllegalArgumentException] {
+      Compiler.expandMacros("{{ adapter.dispatch('nope')(x) }}", ms)
+    }
+    assert(e.getMessage.contains("spark__nope") &&
+      e.getMessage.contains("default__nope"))
+    // ...even with zero macros loaded
+    intercept[IllegalArgumentException] {
+      Compiler.expandMacros("{{ adapter.dispatch('nope')(x) }}", Map.empty)
+    }
+  }
+
+  test("dispatch: a dispatching macro body resolves on the next round") {
+    val ms = macros(
+      """{% macro money(c) %}{{ adapter.dispatch('money')({{ c }}) }}{% endmacro %}
+        |{% macro spark__money(c) %}round({{ c }}, 2){% endmacro %}
+        |""".stripMargin)
+    assert(Compiler.expandMacros("SELECT {{ money(amt) }}", ms)
+      == "SELECT round(amt, 2)")
+  }
+
+  // ------------------------------------------------------- run_query
+
+  test("run_query: assembleRunQueryArg splices quotes and rel calls") {
+    val rel = (k: String, a: String, b: Option[String]) =>
+      s"<$k:$a${b.fold("")(t => s".$t")}>"
+    assert(Compiler.assembleRunQueryArg(
+      "'select * from ' ~ ref('m') ~ ' where x = 1'", rel)
+      == "select * from <ref:m> where x = 1")
+    assert(Compiler.assembleRunQueryArg(
+      "\"select {{ ref('m') }} and {{ source('a', 'b') }}\"", rel)
+      == "select <ref:m> and <source:a.b>")
+    intercept[IllegalArgumentException] {
+      Compiler.assembleRunQueryArg("some_python_expr()", rel)
+    }
+  }
+
+  test("run_query: row iteration with index/name/dot accessors") {
+    val t = Map("rs" -> Compiler.QueryResult(Seq("st", "n"),
+      Seq(Seq("O", "3"), Seq("F", "5"))))
+    assert(Compiler.expandControlFlow(
+      "{% for r in rs %}[{{ r[0] }}:{{ r['n'] }}:{{ r.st | lower }}]{% endfor %}",
+      tables = t) == "[O:3:o][F:5:f]")
+    // loop.* still applies to row loops
+    assert(Compiler.expandControlFlow(
+      "{% for r in rs %}{{ r.st }}{% if not loop.last %},{% endif %}{% endfor %}",
+      tables = t) == "O,F")
+    // unknown column fails loudly
+    intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow(
+        "{% for r in rs %}{{ r.nope }}{% endfor %}", tables = t)
+    }
+  }
+
+  test("run_query: columns[i].values() iteration and reduction") {
+    val t = Map("rs" -> Compiler.QueryResult(Seq("st", "n"),
+      Seq(Seq("O", "3"), Seq("F", "5"))))
+    assert(Compiler.expandControlFlow(
+      "{% for v in rs.columns[0].values() %}{{ v }};{% endfor %}",
+      tables = t) == "O;F;")
+    assert(Compiler.expandControlFlow(
+      "{{ rs.columns[1].values() | join(' + ') }}", tables = t) == "3 + 5")
+    intercept[IllegalArgumentException] { // out-of-range column
+      Compiler.expandControlFlow(
+        "{% for v in rs.columns[7].values() %}{{ v }}{% endfor %}", tables = t)
+    }
+  }
+
+  test("run_query: resolveRunQueries strips statements and binds results") {
+    val rel = (k: String, a: String, b: Option[String]) => s"tbl_$a"
+    val (sql, tables) = Compiler.resolveRunQueries(
+      "{% set rs = run_query('select x from ' ~ ref('m')) %}SELECT 1",
+      rel, q => { assert(q == "select x from tbl_m")
+        Compiler.QueryResult(Seq("x"), Seq(Seq("7"))) })
+    assert(sql == "SELECT 1" && tables("rs").rows == Seq(Seq("7")))
+  }
+
+  test("run_query: compile() consumes ctx.queryResults end-to-end") {
+    val t = Map("rs" -> Compiler.QueryResult(Seq("v"), Seq(Seq("1"), Seq("2"))))
+    val out = Compiler.compile(
+      "SELECT {% for r in rs %}c{{ r.v }}{% if not loop.last %}, {% endif %}{% endfor %} FROM x",
+      ctx(tables = t))
+    assert(out == "SELECT c1, c2 FROM x")
+  }
+
+  // ------------------------------------------------- datediff units
+
+  /** Boundary-count reference implementation on java.time. */
+  private def boundaryDiff(unit: String, a: java.time.LocalDate,
+      b: java.time.LocalDate): Long = unit match {
+    case "day" => java.time.temporal.ChronoUnit.DAYS.between(a, b)
+    case "month" =>
+      (b.getYear - a.getYear) * 12L + (b.getMonthValue - a.getMonthValue)
+    case "quarter" =>
+      (b.getYear - a.getYear) * 4L +
+        ((b.getMonthValue - 1) / 3 - (a.getMonthValue - 1) / 3)
+    case "year" => (b.getYear - a.getYear).toLong
+    case "week" => // ISO-Monday week starts crossed
+      java.time.temporal.ChronoUnit.DAYS.between(
+        a.`with`(java.time.DayOfWeek.MONDAY),
+        b.`with`(java.time.DayOfWeek.MONDAY)) / 7
+  }
+
+  test("datediff: boundary-count semantics across month ends, leap day, year straddle") {
+    import java.time.LocalDate
+    val cases = Seq(
+      // one day apart but a month boundary crossed → month diff 1
+      ("2020-01-31", "2020-02-01"),
+      // a full month minus a day, NO boundary crossed → month diff 0
+      ("2020-01-01", "2020-01-31"),
+      ("2020-02-28", "2020-02-29"), // leap day
+      ("2020-02-29", "2021-02-28"), // leap day across a year
+      ("2019-12-31", "2020-01-01"), // year straddle: every unit crosses
+      ("1999-11-15", "2003-02-03"),
+      ("2020-06-10", "2020-06-10"), // identical → all zero
+      ("2020-03-31", "2020-06-30"))
+    val units = Seq("day", "month", "quarter", "year", "week")
+    cases.foreach { case (a, b) =>
+      units.foreach { u =>
+        val rendered = Compiler.compile(
+          s"SELECT {{ datediff('$u', \"DATE'$a'\", \"DATE'$b'\") }} AS d",
+          ctx())
+        val got = spark.sql(rendered).collect().head.get(0).toString.toLong
+        val want = boundaryDiff(u, LocalDate.parse(a), LocalDate.parse(b))
+        assert(got == want, s"datediff('$u', $a, $b): got $got want $want")
+      }
+    }
+  }
+
+  test("datediff: sub-day units count truncated boundaries") {
+    val rendered = Compiler.compile(
+      "SELECT {{ datediff('hour', \"TIMESTAMP'2020-01-01 10:59:59'\", " +
+        "\"TIMESTAMP'2020-01-01 11:00:00'\") }} AS h, " +
+        "{{ datediff('minute', \"TIMESTAMP'2020-01-01 10:00:59'\", " +
+        "\"TIMESTAMP'2020-01-01 10:01:00'\") }} AS m, " +
+        "{{ datediff('second', \"TIMESTAMP'2020-01-01 10:00:00'\", " +
+        "\"TIMESTAMP'2020-01-01 10:00:05'\") }} AS s", ctx())
+    val r = spark.sql(rendered).collect().head
+    assert(r.get(0).toString.toLong == 1L) // 10:59:59→11:00:00 crosses one hour boundary
+    assert(r.get(1).toString.toLong == 1L)
+    assert(r.get(2).toString.toLong == 5L)
+  }
+
+  // ------------------------------------------------- date_spine fix
+
+  test("date_spine: misaligned non-day spine emits every period strictly before end") {
+    // dbt-utils contract: start + k*part for every value < end
+    val rendered = Compiler.compile(
+      """{{ date_spine('month', "'2020-01-15'", "'2020-03-01'") }}""", ctx())
+    val got = spark.sql(rendered).collect().map(_.get(0).toString).sorted
+    assert(got.toSeq == Seq("2020-01-15", "2020-02-15"), got.mkString(","))
+    // aligned day spine unchanged: end-exclusive
+    val days = Compiler.compile(
+      """{{ date_spine('day', "'2020-01-01'", "'2020-01-04'") }}""", ctx())
+    assert(spark.sql(days).count() == 3)
+    // degenerate: start == end → empty spine
+    val empty = Compiler.compile(
+      """{{ date_spine('day', "'2020-01-01'", "'2020-01-01'") }}""", ctx())
+    assert(spark.sql(empty).count() == 0)
+  }
+
+  // --------------------------------------- dbt_utils.-prefixed builtins
+
+  test("dbt_utils. prefix accepted on star and get_column_values") {
+    // star: regex must capture through the prefix (engine resolves)
+    val m = Compiler.starRe.findFirstMatchIn(
+      "SELECT {{ dbt_utils.star(ref('m'), except=['a']) }} FROM x")
+    assert(m.exists(_.group(2) == "m"))
+    val g = Compiler.getColValsRe.findFirstMatchIn(
+      "{% set xs = dbt_utils.get_column_values(ref('m'), 'c', 5) %}")
+    assert(g.exists(x => x.group(3) == "m" && x.group(5) == "c"))
+    // and dependencies() sees the prefixed forms as DAG edges
+    val (refs, _) = Compiler.dependencies(
+      "{% set xs = dbt_utils.get_column_values(ref('up'), 'c') %} " +
+        "SELECT {{ dbt_utils.star(ref('up2')) }} FROM {{ ref('up2') }}")
+    assert(refs.toSet == Set("up", "up2"))
+  }
+}
