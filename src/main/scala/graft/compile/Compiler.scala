@@ -229,17 +229,32 @@ object Compiler {
   private[graft] val runQueryRe: Regex =
     """(?s)\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*run_query\((.*?)\)\s*-?%\}""".r
 
-  /** Split at `~` outside quotes (Jinja string concatenation). */
+  /** Split at `~` outside quotes (Jinja string concatenation). A
+    * doubled quote inside a quoted span is the SQL-level escape
+    * (`'select ''a~b'' from t'`) — it stays INSIDE the string rather
+    * than flipping the quote state, so a later `~` still splits and a
+    * `~` between the doubled quotes never does.
+    */
   private def splitTilde(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var q: Char = 0
-    s.foreach {
-      case c @ ('\'' | '"') =>
-        if (q == 0) q = c else if (q == c) q = 0
-        sb.append(c)
-      case '~' if q == 0 => out += sb.result(); sb.clear()
-      case c => sb.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' | '"' =>
+          if (q == 0) q = c
+          else if (q == c) {
+            if (i + 1 < s.length && s.charAt(i + 1) == c) {
+              sb.append(c); i += 1 // escaped quote: consume both, stay in
+            } else q = 0
+          }
+          sb.append(c)
+        case '~' if q == 0 => out += sb.result(); sb.clear()
+        case _ => sb.append(c)
+      }
+      i += 1
     }
     out += sb.result()
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -247,9 +262,12 @@ object Compiler {
 
   /** Assemble a run_query argument expression into plain SQL:
     * quoted pieces splice verbatim (both quote styles), bare
-    * `ref()`/`source()` pieces — and `{{ ref/source }}` sites embedded
-    * INSIDE quoted pieces — resolve through `rel(kind, name, table)`.
+    * `ref()`/`source()`/`this` pieces — and `{{ ref/source/this }}`
+    * sites embedded INSIDE quoted pieces — resolve through
+    * `rel(kind, name, table)` (`this` passes kind="this", name="").
     * Anything else fails loudly (Python expressions are out of scope).
+    * `this` covers dbt's canonical incremental probe,
+    * `run_query('select max(ts) from ' ~ this)`.
     */
   private[graft] def assembleRunQueryArg(arg: String,
       rel: (String, String, Option[String]) => String): String =
@@ -258,12 +276,15 @@ object Compiler {
         val text = stripQuotes(p)
         val t1 = refRe.replaceAllIn(text,
           m => Regex.quoteReplacement(rel("ref", m.group(1), None)))
-        sourceRe.replaceAllIn(t1, m =>
+        val t2 = sourceRe.replaceAllIn(t1, m =>
           Regex.quoteReplacement(rel("source", m.group(1), Some(m.group(2)))))
+        thisRe.replaceAllIn(t2,
+          Regex.quoteReplacement(rel("this", "", None)))
+      case "this" => rel("this", "", None)
       case relCallRe(kind, a, b) => rel(kind, a, Option(b))
       case other => throw new IllegalArgumentException(
         s"run_query: unsupported expression piece '$other' — use quoted " +
-          "SQL, optionally ~-concatenated with ref()/source() calls")
+          "SQL, optionally ~-concatenated with ref()/source()/this")
     }.mkString
 
   /** Strip every `{% set x = run_query(...) %}` statement, executing
@@ -314,7 +335,7 @@ object Compiler {
     var b = idxRe.replaceAllIn(body0, m => {
       val i = m.group(1).toInt
       require(i < row.size,
-        s"row accessor $v[$i] out of range (${cols.size} columns)")
+        s"row accessor $v[$i] out of range (${row.size} columns)")
       Regex.quoteReplacement(applyChain(row(i), m.group(2)))
     })
     val nameRe = ("""\{\{\s*""" + Regex.quote(v) +
@@ -322,6 +343,9 @@ object Compiler {
       filterChainPat + """*)\s*\}\}""").r
     b = nameRe.replaceAllIn(b, m => {
       val cn = Option(m.group(1)).getOrElse(m.group(2))
+      // deliberately case-INsensitive, unlike dbt's agate rows: Spark
+      // lowercases unquoted result aliases, so `{{ r.ST }}` against a
+      // probe `SELECT x AS ST` would otherwise never match
       val i = cols.indexWhere(_.equalsIgnoreCase(cn))
       require(i >= 0,
         s"row has no column '$cn' (columns: ${cols.mkString(", ")})")
@@ -363,7 +387,7 @@ object Compiler {
   private val dateaddRe: Regex =
     """\{\{\s*(?:dbt_utils\.)?dateadd\(\s*'(\w+)'\s*,\s*([^,]+?)\s*,\s*(.+?)\s*\)\s*\}\}""".r
   private val datediffRe: Regex =
-    """\{\{\s*(?:dbt_utils\.)?datediff\(\s*'(\w+)'\s*,\s*([^,]+?)\s*,\s*(.+?)\s*\)\s*\}\}""".r
+    """\{\{\s*(?:dbt_utils\.)?datediff\(\s*(.+?)\s*\)\s*\}\}""".r
   private val lastDayRe: Regex =
     """\{\{\s*(?:dbt_utils\.)?last_day\(\s*(.+?)\s*,\s*'(\w+)'\s*\)\s*\}\}""".r
   private val DateParts =
@@ -408,9 +432,32 @@ object Compiler {
       // Each unit renders as a calendar-part difference, never a
       // divided day-span — a truncation would undercount every pair
       // that straddles a boundary by less than the unit.
-      val a = stripOneJinjaQuote(m.group(2))
-      val b = stripOneJinjaQuote(m.group(3))
-      val rendered = m.group(1).toLowerCase match {
+      // dbt-core's signature puts the datepart LAST —
+      // datediff(first_date, second_date, datepart); the
+      // datepart-FIRST spelling (Snowflake/this repo pre-r13) is also
+      // accepted. The datepart is recognized as the quoted unit
+      // literal at either end.
+      val args = splitArgs(m.group(1))
+      require(args.length == 3,
+        s"datediff: expected 3 arguments, got ${args.length} in (${m.group(1)})")
+      def partOf(s: String): Option[String] = {
+        val t = s.trim
+        val quoted = (t.startsWith("'") && t.endsWith("'")) ||
+          (t.startsWith("\"") && t.endsWith("\""))
+        Option.when(quoted && DateParts.contains(stripQuotes(t).toLowerCase))(
+          stripQuotes(t).toLowerCase)
+      }
+      val (part, a, b) = partOf(args(2)) match {
+        case Some(p) =>
+          (p, stripOneJinjaQuote(args(0)), stripOneJinjaQuote(args(1)))
+        case None => partOf(args(0)) match {
+          case Some(p) =>
+            (p, stripOneJinjaQuote(args(1)), stripOneJinjaQuote(args(2)))
+          case None => throw new IllegalArgumentException(
+            s"datediff: no datepart literal at either end of (${m.group(1)})")
+        }
+      }
+      val rendered = part match {
         case "day" => s"datediff($b, $a)"
         case "month" => s"((year($b) - year($a)) * 12 + (month($b) - month($a)))"
         case "quarter" => s"((year($b) - year($a)) * 4 + (quarter($b) - quarter($a)))"
@@ -549,12 +596,23 @@ object Compiler {
       // ([[resolveRunQueries]]) — consumed by the control-flow subset
       queryResults: Map[String, QueryResult] = Map.empty)
 
+  /** Resolve `{% if is_incremental() %}…{% else %}…{% endif %}` blocks
+    * to the taken branch. Public (also) so the ENGINE can decide these
+    * branches BEFORE executing run_query probes — dbt's Jinja is lazy:
+    * a probe inside a non-taken branch never runs (e.g. the canonical
+    * `select max(ts) from {{ this }}` guard on a full-refresh build,
+    * where `this` does not exist yet). Idempotent: [[compile]] re-applies
+    * it and finds nothing.
+    */
+  def resolveIncrementalBlocks(sql: String, isIncremental: Boolean): String =
+    incrBlockRe.replaceAllIn(sql, m =>
+      if (isIncremental) Regex.quoteReplacement(m.group(1))
+      else Regex.quoteReplacement(Option(m.group(2)).getOrElse(" ")))
+
   /** Render raw model SQL to executable Spark SQL (SURVEY §3.1 step 2). */
   def compile(rawSql: String, ctx: ResolveCtx): String = {
     var sql = configRe.replaceAllIn(rawSql, "")
-    sql = incrBlockRe.replaceAllIn(sql, m =>
-      if (ctx.isIncremental) Regex.quoteReplacement(m.group(1))
-      else Regex.quoteReplacement(Option(m.group(2)).getOrElse(" ")))
+    sql = resolveIncrementalBlocks(sql, ctx.isIncremental)
     sql = expandControlFlow(sql, tables = ctx.queryResults)
     // after control flow, so loop-generated builtin calls resolve too
     sql = expandBuiltinSqlMacros(sql)

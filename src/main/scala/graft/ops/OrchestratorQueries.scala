@@ -357,6 +357,8 @@ object OrchestratorQueries {
             |  CAST({{ dateadd('day', 3, 'date_day') }} AS DATE) AS plus3,
             |  CAST({{ datediff('day', 'date_day', "DATE'1995-02-01'") }}
             |    AS BIGINT) AS days_left,
+            |  CAST({{ datediff('date_day', "DATE'1995-02-01'", 'day') }}
+            |    AS BIGINT) AS days_left_dbt_order,
             |  {{ last_day('date_day', 'month') }} AS month_end
             |FROM tagged""".stripMargin)))
     val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
@@ -379,6 +381,7 @@ object OrchestratorQueries {
       |  TRY_CAST(10 AS INT) AS ok_int,
       |  CAST(date_day + INTERVAL 3 DAY AS DATE) AS plus3,
       |  date_diff('day', date_day, DATE '1995-02-01') AS days_left,
+      |  date_diff('day', date_day, DATE '1995-02-01') AS days_left_dbt_order,
       |  last_day(date_day) AS month_end
       |FROM days""".stripMargin
 

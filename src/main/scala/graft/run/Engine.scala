@@ -499,6 +499,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         require(!isInlined(a),
           s"$what over ephemeral '$a' is unsupported — materialize it")
         refText(a, selected, deferRoot)
+      case "this" => ctx.thisTarget // run_query('… from ' ~ this) probes
       case _ => sourceText(a, b.getOrElse(throw new IllegalArgumentException(
         s"$what: source('$a') needs a table name")))
     }
@@ -520,7 +521,12 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     }
     def resolveIntrospection(sql0: String)
         : (String, Map[String, Compiler.QueryResult]) = {
-      val (sqlRq, tables) = Compiler.resolveRunQueries(sql0,
+      // decide is_incremental() branches BEFORE probing: Jinja is lazy,
+      // so a run_query inside a non-taken branch must never execute —
+      // the canonical `max(ts) from {{ this }}` guard would otherwise
+      // fail on every full-refresh build against a not-yet-built target
+      val sqlIncr = Compiler.resolveIncrementalBlocks(sql0, ctx.isIncremental)
+      val (sqlRq, tables) = Compiler.resolveRunQueries(sqlIncr,
         (kind, a, b) => introRelText(kind, a, b, "run_query"), execRunQuery)
       val sql = Compiler.resolveColumnValues(sqlRq, (kind, a, b, column, maxN) =>
         // dbt-utils parity: default order is count(*) DESC (the pivot

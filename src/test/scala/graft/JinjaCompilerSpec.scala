@@ -158,6 +158,29 @@ class JinjaCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("run_query: `this` resolves bare, jinja-site, and ~-concatenated") {
+    val rel = (k: String, a: String, b: Option[String]) =>
+      s"<$k:$a${b.fold("")(t => s".$t")}>"
+    // the canonical incremental probe idiom
+    assert(Compiler.assembleRunQueryArg(
+      "'select max(ts) from ' ~ this", rel)
+      == "select max(ts) from <this:>")
+    assert(Compiler.assembleRunQueryArg(
+      "'select max(ts) from {{ this }} where ts is not null'", rel)
+      == "select max(ts) from <this:> where ts is not null")
+    assert(Compiler.assembleRunQueryArg(
+      "'select * from ' ~ this ~ ' limit 1'", rel)
+      == "select * from <this:> limit 1")
+  }
+
+  test("run_query: SQL-escaped doubled quotes stay inside the string") {
+    val rel = (k: String, a: String, b: Option[String]) => s"<$k:$a>"
+    // the '' flips nothing: the ~ inside stays literal, the ~ after splits
+    assert(Compiler.assembleRunQueryArg(
+      "'select ''a~b'' as x from ' ~ ref('m')", rel)
+      == "select ''a~b'' as x from <ref:m>")
+  }
+
   test("run_query: row iteration with index/name/dot accessors") {
     val t = Map("rs" -> Compiler.QueryResult(Seq("st", "n"),
       Seq(Seq("O", "3"), Seq("F", "5"))))
@@ -248,6 +271,26 @@ class JinjaCompilerSpec extends AnyFunSuite {
         assert(got == want, s"datediff('$u', $a, $b): got $got want $want")
       }
     }
+  }
+
+  test("datediff: dbt datepart-LAST argument order renders identically") {
+    // dbt-core's cross-db signature is datediff(first_date, second_date,
+    // datepart) — a ported model's call must render the same SQL as the
+    // datepart-first spelling
+    val units = Seq("day", "month", "quarter", "year", "week",
+      "hour", "minute", "second")
+    units.foreach { u =>
+      val legacy = Compiler.compile(
+        s"SELECT {{ datediff('$u', a, b) }} AS d FROM t", ctx())
+      val ported = Compiler.compile(
+        s"SELECT {{ datediff(a, b, '$u') }} AS d FROM t", ctx())
+      assert(ported == legacy, s"order mismatch for unit '$u'")
+    }
+    // value check through Spark on the ported order
+    val rendered = Compiler.compile(
+      "SELECT {{ datediff(\"DATE'2020-01-31'\", \"DATE'2020-02-01'\", 'month') }} AS d",
+      ctx())
+    assert(spark.sql(rendered).collect().head.get(0).toString.toLong == 1L)
   }
 
   test("datediff: sub-day units count truncated boundaries") {

@@ -1148,6 +1148,79 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(real.readModel("by_region").count() == 5)
   }
 
+  test("run_query inside is_incremental is lazy: skipped on full build, probes `this` on the incremental run") {
+    val r = root()
+    // the canonical dbt incremental idiom: probe the TARGET's own max
+    // key — on the first (full) build `this` does not exist, so the
+    // probe must be dead code; on the incremental run it must execute
+    val p = Project(name = "plazy",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(ModelDef("inc_probe",
+        """{{ config(materialized='incremental') }}
+          |SELECT o_orderkey, o_totalprice
+          |FROM {{ source('tpch', 'orders') }}
+          |{% if is_incremental() %}
+          |{% set mx = run_query('SELECT max(o_orderkey) AS m FROM ' ~ this) %}
+          |WHERE o_orderkey > {{ mx.columns[0].values() | join('') }}
+          |{% endif %}""".stripMargin)))
+    val e1 = new Engine(spark, p, Target(r, threads = 1))
+    assert(e1.build()._1.forall(_.status == "success"),
+      "full build must not execute the guarded probe")
+    val full = e1.readModel("inc_probe").count()
+    assert(full > 0)
+    // incremental run: probe fires against the built target; the max-key
+    // predicate appends zero new rows
+    val e2 = new Engine(spark, p, Target(r, threads = 1))
+    assert(e2.build()._1.forall(_.status == "success"))
+    assert(e2.readModel("inc_probe").count() == full)
+    // the compiled incremental SQL carries the probed literal
+    val compiled = e2.compileSql(p.models.head, Set("inc_probe"), None,
+      fullRefresh = false)
+    assert(compiled.contains("WHERE o_orderkey >"), compiled)
+  }
+
+  test("--empty dry run of a run_query-bearing model probes the empty-built upstream") {
+    // dbt 1.8 --empty: refs/sources are zero-row wrapped but
+    // introspective queries still execute — against upstreams that were
+    // themselves built empty, so the probe sees zero rows and the
+    // loop-generated columns vanish (valid SQL by construction here)
+    val p = Project(name = "pempty",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("stg_e", "SELECT o_custkey, o_orderstatus " +
+          "FROM {{ source('tpch', 'orders') }}"),
+        ModelDef("matrix_e",
+          """{% set rs = run_query('SELECT DISTINCT o_orderstatus AS st FROM ' ~ ref('stg_e')) %}
+            |SELECT o_custkey
+            |{% for r in rs %}, sum(CASE WHEN o_orderstatus = '{{ r.st }}' THEN 1 END) AS n_{{ r.st }}
+            |{% endfor %}
+            |FROM {{ ref('stg_e') }} GROUP BY o_custkey""".stripMargin)))
+    val dry = new Engine(spark, p, Target(root(), empty = true, threads = 1))
+    assert(dry.build()._1.forall(_.status == "success"))
+    val built = dry.readModel("matrix_e")
+    assert(built.columns.toSeq == Seq("o_custkey")) // zero probe rows → no pivot cols
+    assert(built.count() == 0)
+  }
+
+  test("compile verb renders a manifest for a run_query project without executing probes") {
+    val p = Project(name = "pcompile",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("stg_c", "SELECT o_orderkey, o_orderstatus " +
+          "FROM {{ source('tpch', 'orders') }}"),
+        ModelDef("probe_c",
+          """{% set rs = run_query('SELECT DISTINCT o_orderstatus AS st FROM ' ~ ref('stg_c')) %}
+            |SELECT {% for r in rs %}'{{ r.st }}' AS c{{ loop.index }}{% if not loop.last %}, {% endif %}{% endfor %}
+            |FROM {{ ref('stg_c') }}""".stripMargin)))
+    // NOTHING is built: dbt's parse/compile phase must not run the probe
+    val e = new Engine(spark, p, Target(root(), threads = 1))
+    val manifest = Files.createTempFile("graft_manifest", ".json").toString
+    e.writeManifest(manifest)
+    val text = Files.readString(java.nio.file.Paths.get(manifest))
+    assert(text.contains("\"probe_c\"") && text.contains("stg_c"),
+      s"probe model or its run_query DAG edge missing from manifest: $text")
+  }
+
   test("renderInline: dbt show over refs, sources, and macros") {
     val r = root()
     val e = new Engine(spark, baseProject, Target(r))

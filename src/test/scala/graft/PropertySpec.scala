@@ -368,15 +368,18 @@ class PropertySpec extends AnyFunSuite {
       assert(Compiler.expandControlFlow(
         s"{% set v = 'Bound' %}{{ v | default('zz') | lower }}") == "bound")
     }
-    // fail-loud cases: unknown filter, bare list interpolation, elif
+    // fail-loud cases: unknown filter, bare list interpolation
     intercept[IllegalArgumentException] {
       Compiler.expandControlFlow("{% set v = 'x' %}{{ v | pony }}")
     }
     intercept[IllegalArgumentException] {
       Compiler.expandControlFlow("{% set xs = ['a'] %}SELECT {{ xs }}")
     }
+    // elif chains render (round 12); a dangling elif still fails loudly
+    assert(Compiler.expandControlFlow(
+      "{% if true %}a{% elif false %}b{% endif %}") == "a")
     intercept[IllegalArgumentException] {
-      Compiler.expandControlFlow("{% if true %}a{% elif false %}b{% endif %}")
+      Compiler.expandControlFlow("{% elif true %}a{% endif %}")
     }
   }
 
