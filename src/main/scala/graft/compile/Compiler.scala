@@ -79,7 +79,7 @@ object Compiler {
       // `{{ ref('m') }}` sites inside the quoted SQL — the probed
       // relation must be BUILT before this model compiles
       runQueryRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
-        relCallRe.findAllMatchIn(m.group(2)).toSeq.map(r =>
+        relCallRe.findAllMatchIn(m.group(3)).toSeq.map(r =>
           (r.group(1), r.group(2), Option(r.group(3)))))
     val refs = (refRe.findAllMatchIn(rawSql).map(_.group(1)).toSeq ++
       intro.collect { case ("ref", n, _) => n }).distinct
@@ -219,15 +219,22 @@ object Compiler {
     * iteration, and `{{ rs.columns[0].values() | join(', ') }}`
     * reduction sites.
     */
-  final case class QueryResult(columns: Seq[String], rows: Seq[Seq[String]])
+  final case class QueryResult(columns: Seq[String], rows: Seq[Seq[String]],
+      // a get_query_results_as_dict binding: accessed by COLUMN
+      // (`d['col']` / `d.col` → that column's value list), never by row
+      dict: Boolean = false)
 
   // `{% set rs = run_query(<expr>) %}` — 12 of the reference's 184
   // macros call run_query; the general introspective-compile idiom
   // behind get_column_values-style dynamic SQL. The argument expression
   // is quoted SQL, optionally `~`-concatenated with bare ref()/source()
   // calls (dbt's canonical `run_query("select ... from " ~ ref('m'))`).
+  // dbt-utils' get_query_results_as_dict shares the execution path but
+  // binds a column-keyed dict instead of agate rows.
   private[graft] val runQueryRe: Regex =
-    """(?s)\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*run_query\((.*?)\)\s*-?%\}""".r
+    ("""(?s)\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*""" +
+      """(?:dbt_utils\.)?(run_query|get_query_results_as_dict)""" +
+      """\((.*?)\)\s*-?%\}""").r
 
   /** Split at `~` outside quotes (Jinja string concatenation). A
     * doubled quote inside a quoted span is the SQL-level escape
@@ -297,11 +304,29 @@ object Compiler {
       exec: String => QueryResult): (String, Map[String, QueryResult]) = {
     val tables = scala.collection.mutable.Map.empty[String, QueryResult]
     val out = runQueryRe.replaceAllIn(sql, m => {
-      tables(m.group(1)) = exec(assembleRunQueryArg(m.group(2), rel))
+      tables(m.group(1)) = exec(assembleRunQueryArg(m.group(3), rel))
+        .copy(dict = m.group(2) == "get_query_results_as_dict")
       ""
     })
     (out, tables.toMap)
   }
+
+  /** A dict binding's column as a value list; fails loudly on an
+    * unknown column (case-insensitive lookup, like row accessors).
+    */
+  private def dictColumn(name: String, col: String,
+      tables: Map[String, QueryResult]): Seq[String] = {
+    val t = tables(name)
+    val i = t.columns.indexWhere(_.equalsIgnoreCase(col))
+    require(i >= 0, s"get_query_results_as_dict binding '$name' has no " +
+      s"column '$col' (columns: ${t.columns.mkString(", ")})")
+    t.rows.map(_(i))
+  }
+
+  // `d['col']` / `d.col` — the column accessor of a
+  // get_query_results_as_dict binding (loop iterable or reduction site)
+  private val dictColRe: Regex =
+    """([A-Za-z_]\w*)(?:\['([^']+)'\]|\.([A-Za-z_]\w*))""".r
 
   /** Resolve a `name.columns[i].values()` accessor against the bound
     * run_query results.
@@ -664,7 +689,7 @@ object Compiler {
   private val forRe: Regex =
     ("""(?s)\{%-?\s*for\s+([A-Za-z_]\w*)\s+in\s+""" +
       """(\[[^\]]*\]|range\(\s*\d+\s*(?:,\s*\d+\s*)?\)|""" +
-      """[A-Za-z_]\w*(?:\.columns\[\d+\]\.values\(\))?)""" +
+      """[A-Za-z_]\w*(?:\.columns\[\d+\]\.values\(\)|\['[^']+'\]|\.[A-Za-z_]\w*)?)""" +
       """\s*-?%\}((?:(?!\{%-?\s*for\s).)*?)\{%-?\s*endfor\s*-?%\}""").r
   // `rs.columns[0].values()` — the agate-table column accessor of dbt's
   // run_query results, usable as a loop iterable or (with a reducing
@@ -942,6 +967,26 @@ object Compiler {
     // reducing filter chain. Runs before the no-{%-block early return:
     // a reduction site needs no {% %} block to be meaningful.
     var pre = sql0
+    // `{{ d['col'] | join(', ') }}` reduction sites on dict bindings —
+    // same contract as the .columns[i].values() sites below
+    if (tables.exists(_._2.dict)) {
+      val dictInterp = ("""\{\{\s*([A-Za-z_]\w*)(?:\['([^']+)'\]|""" +
+        """\.([A-Za-z_]\w*))\s*(""" + filterChainPat + """*)\s*\}\}""").r
+      pre = dictInterp.replaceAllIn(pre, m =>
+        tables.get(m.group(1)).filter(_.dict) match {
+          case Some(_) =>
+            val xs = dictColumn(m.group(1),
+              Option(m.group(2)).getOrElse(m.group(3)), tables)
+            xs.find(_.contains("'")).foreach(x =>
+              throw new IllegalArgumentException(
+                s"dict column value containing a quote cannot " +
+                  s"interpolate: $x"))
+            Regex.quoteReplacement(applyFilterSeq(
+              xs.map(x => s"'$x'").mkString("[", ", ", "]"),
+              parseFilters(Option(m.group(4)).getOrElse(""))))
+          case None => Regex.quoteReplacement(m.matched)
+        })
+    }
     if (tables.nonEmpty && pre.contains(".columns[")) {
       val interpCols = ("""\{\{\s*([A-Za-z_]\w*\.columns\[\d+\]\.values\(\))""" +
         "(" + filterChainPat + """*)\s*\}\}""").r
@@ -989,6 +1034,9 @@ object Compiler {
         Regex.quoteReplacement(listTxt match {
           case name if n0.isDefined => // {% for r in rs %} — ROW iteration
             val t = tables(name)
+            require(!t.dict, s"'$name' is a get_query_results_as_dict " +
+              s"binding — iterate a column: $name['${t.columns.headOption
+                .getOrElse("col")}']")
             val n = t.rows.size
             t.rows.zipWithIndex.map { case (row, i) =>
               var b = substRowAccessors(v, t.columns, row, body)
@@ -999,6 +1047,10 @@ object Compiler {
             }.mkString
           case c if c.contains(".columns[") => // column-values iteration
             renderScalar(tableColumn(c, tables))
+          case dictColRe(name, colQ, colDot)
+              if tables.get(name).exists(_.dict) => // dict column iteration
+            renderScalar(dictColumn(name,
+              Option(colQ).getOrElse(colDot), tables))
           case rangeRe(a, b) => // Python semantics: end-exclusive
             val (lo, hi) = if (b == null) (0, a.toInt) else (a.toInt, b.toInt)
             renderScalar((lo until hi).map(_.toString))
@@ -1116,6 +1168,29 @@ object Compiler {
         s"macro '$name' has duplicate params")
       MacroDef(name, params, m.group(3).trim)
     }.toSeq
+
+  // dbt docs blocks (`{% docs name %}…{% enddocs %}` in project .md
+  // files) and their `{{ doc('name') }}` reference sites in
+  // descriptions — the markdown-authored documentation surface behind
+  // persist_docs (reference: dbt schema.yml description + docs blocks)
+  private val docsBlockRe: Regex =
+    """(?s)\{%-?\s*docs\s+([A-Za-z_]\w*)\s*-?%\}(.*?)\{%-?\s*enddocs\s*-?%\}""".r
+  private val docRefRe: Regex =
+    """\{\{\s*doc\(\s*'([^']+)'\s*\)\s*\}\}""".r
+
+  /** Parse every `{% docs %}` block out of a markdown file's text. */
+  def parseDocsBlocks(text: String): Seq[(String, String)] =
+    docsBlockRe.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).trim).toSeq
+
+  /** Substitute `{{ doc('name') }}` sites in a description against the
+    * project's docs blocks; an unknown name fails loudly (dbt parse-time
+    * behavior). Text without doc() sites passes through verbatim.
+    */
+  def resolveDocRefs(text: String, docs: Map[String, String]): String =
+    docRefRe.replaceAllIn(text, m => Regex.quoteReplacement(
+      docs.getOrElse(m.group(1), throw new IllegalArgumentException(
+        s"doc('${m.group(1)}') has no {% docs %} block (defined: " +
+          s"${docs.keys.toSeq.sorted.mkString(", ")})"))))
 
   /** Split a macro call's argument text at top-level commas (parens and
     * single-quoted spans protect).

@@ -89,33 +89,41 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
     */
   def append(docs: DataFrame): Unit = {
     val s = wh.spark
-    requireNewDocIds(docs)
     val p = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      wh.append(bucketed(p), postRel, Seq("tb"))
-      val delta = p.groupBy(col("term")).agg(count(lit(1)).as("df_add"))
-      wh.withRelationLock(dfRel) {
-        val merged = wh.read(dfRel).join(delta, Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("df"), lit(0L)) +
-              coalesce(col("df_add"), lit(0L))).as("df"))
-        wh.writeAtomic(merged, dfRel)
-      }
-      val dl = docLengths(docs)
-      wh.append(dl, dlRel, bloomCols = Seq("doc_id"))
-      val add = dl.agg(count(lit(1)), sum(col("dl"))).collect().head
-      // the stats fold is a read-modify-write: hold the relation lock
-      // across BOTH sides so two concurrent appends can't lose an update
-      // (each batch's delta is computed outside the lock — only the tiny
-      // 1-row fold serializes)
-      wh.withRelationLock(statsRel) {
-        val prev = wh.read(statsRel).collect().head
-        import s.implicits._
-        wh.writeAtomic(
-          Seq((prev.getAs[Long]("n_docs") + add.getLong(0),
-            prev.getAs[Long]("total_len") + add.getLong(1)))
-            .toDF("n_docs", "total_len"), statsRel)
+      p.count() // materialize the heavy tokenize pass OUTSIDE the lock
+      // guard + writes serialize on the dl relation's lock: two racing
+      // appends of the same NEW doc_id would otherwise BOTH pass the
+      // guard (neither sees the other's rows yet) and double-index it —
+      // the second appender re-probes only after the first's dl rows
+      // (and their bloom sidecars) have committed. The lock is
+      // reentrant, so the nested wh.append(dlRel) is fine.
+      wh.withRelationLock(dlRel) {
+        requireNewDocIds(docs)
+        wh.append(bucketed(p), postRel, Seq("tb"))
+        val delta = p.groupBy(col("term")).agg(count(lit(1)).as("df_add"))
+        wh.withRelationLock(dfRel) {
+          val merged = wh.read(dfRel).join(delta, Seq("term"), "full_outer")
+            .select(col("term"),
+              (coalesce(col("df"), lit(0L)) +
+                coalesce(col("df_add"), lit(0L))).as("df"))
+          wh.writeAtomic(merged, dfRel)
+        }
+        val dl = docLengths(docs)
+        wh.append(dl, dlRel, bloomCols = Seq("doc_id"))
+        val add = dl.agg(count(lit(1)), sum(col("dl"))).collect().head
+        // the stats fold is a read-modify-write: hold the relation lock
+        // across BOTH sides so two concurrent appends can't lose an
+        // update (the tiny 1-row fold serializes)
+        wh.withRelationLock(statsRel) {
+          val prev = wh.read(statsRel).collect().head
+          import s.implicits._
+          wh.writeAtomic(
+            Seq((prev.getAs[Long]("n_docs") + add.getLong(0),
+              prev.getAs[Long]("total_len") + add.getLong(1)))
+              .toDF("n_docs", "total_len"), statsRel)
+        }
       }
     } finally { p.unpersist(); () }
   }
@@ -130,9 +138,18 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
     * guard never depends on the sidecars, only its cost does.
     */
   private def requireNewDocIds(docs: DataFrame): Unit = {
-    if (!wh.exists(dlRel)) return // nothing indexed yet
     import org.apache.spark.sql.types._
     val ids = docs.select(col("doc_id"))
+    // intra-batch duplicates would double-index just like a re-append —
+    // the index-vs-batch probe below can't see them, so check the batch
+    // against itself first (one bounded agg over the batch)
+    val dupIn = ids.filter(col("doc_id").isNotNull)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(5).collect().map(_.get(0))
+    require(dupIn.isEmpty,
+      s"KeywordIndex '$name': batch contains duplicate doc_ids " +
+        s"(${dupIn.mkString(", ")}, ...) — dedup the batch first")
+    if (!wh.exists(dlRel)) return // nothing indexed yet
     val confirmed: Array[Any] = wh.bloomsFor(dlRel, "doc_id") match {
       case Some(blooms) if blooms.isEmpty => Array.empty // empty index
       case Some(blooms) =>

@@ -470,13 +470,15 @@ object OrchestratorQueries {
             "FROM {{ source('tpch', 'orders') }}"),
         ModelDef("status_matrix",
           """{% set rs = run_query('SELECT o_orderstatus AS st, count(*) AS n FROM ' ~ ref('stg_rq_orders') ~ ' GROUP BY 1 ORDER BY 1') %}
+            |{% set dd = get_query_results_as_dict('SELECT o_orderstatus AS st FROM ' ~ ref('stg_rq_orders') ~ ' GROUP BY 1 ORDER BY 1') %}
             |SELECT o_custkey,
             |  {% for r in rs %}
             |  CAST(sum(CASE WHEN o_orderstatus = '{{ r.st }}' THEN 1 ELSE 0 END)
             |    AS BIGINT) AS n_{{ r['st'] }},
             |  {% endfor %}
             |  '{{ rs.columns[0].values() | join('-') }}' AS all_statuses,
-            |  {{ rs.columns[0].values() | length }} AS n_statuses
+            |  {{ rs.columns[0].values() | length }} AS n_statuses,
+            |  '{{ dd['st'] | join('|') }}' AS statuses_dict
             |FROM {{ ref('stg_rq_orders') }}
             |GROUP BY o_custkey""".stripMargin)))
     // the probe's ref must be a DAG edge even though the loop body also
@@ -497,7 +499,8 @@ object OrchestratorQueries {
       |    AS BIGINT) AS n_O,
       |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_P,
-      |  'F-O-P' AS all_statuses, 3 AS n_statuses
+      |  'F-O-P' AS all_statuses, 3 AS n_statuses,
+      |  'F|O|P' AS statuses_dict
       |FROM orders GROUP BY o_custkey""".stripMargin
 
   /** dbt-utils `union_relations` end-to-end: two shard models with

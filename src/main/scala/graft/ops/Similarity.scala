@@ -369,7 +369,13 @@ object Similarity {
     */
   final class VectorIndex(wh: graft.core.Warehouse, name: String,
                           k: Int = 16, nprobe: Int = 2,
-                          maxProbe: Int = 4, probeMargin: Double = 0.05) {
+                          maxProbe: Int = 4, probeMargin: Double = 0.05,
+                          // how long a RETIRED generation's files stay on
+                          // disk after the flip that made it unreachable
+                          // to new readers — the drain window for a long
+                          // query bound to it mid-scan. 0 = immediate
+                          // (the pre-grace contract).
+                          retireGraceMs: Long = 0L) {
     import graft.core.Relation
     // Generation indirection for refit(): generation g's artifacts live
     // beside generation g+1's while the rebuild runs, and a 1-row meta
@@ -396,10 +402,26 @@ object Similarity {
 
     /** The live generation — 0 until the first [[refit]]. One tiny read
       * per public operation; the flip in [[refit]] is the only writer.
+      * The meta relation is a small flip LEDGER — (gen, flipped_at_ms)
+      * per flip, newest = live — so [[gc]] can measure how long ago each
+      * retired generation stopped taking new readers. A legacy 1-column
+      * meta (pre-ledger index) still resolves (flip times read as 0 =
+      * arbitrarily old).
       */
     private[graft] def currentGen(): Long =
       if (!wh.exists(metaRel)) 0L
-      else wh.read(metaRel).collect().head.getLong(0)
+      else wh.read(metaRel).agg(org.apache.spark.sql.functions.max("gen"))
+        .collect().head.getLong(0)
+
+    /** gen → flip-in time (ms); empty before the first refit. */
+    private def genLedger(): Map[Long, Long] =
+      if (!wh.exists(metaRel)) Map.empty
+      else {
+        val df = wh.read(metaRel)
+        if (df.columns.contains("flipped_at"))
+          df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        else df.collect().map(r => r.getLong(0) -> 0L).toMap
+      }
 
     /** ADAPTIVE multi-probe cell selection — the recall lever. The
       * `nprobe` nearest cells always probe; cells beyond extend the
@@ -711,12 +733,41 @@ object Similarity {
         if (marks.nonEmpty) wh.carryStreamWatermarks(cellRel(g1), marks)
         val s = snap.sparkSession
         import s.implicits._
-        wh.writeAtomic(Seq(g1).toDF("gen"), metaRel)
+        val ledger = (genLedger() + (g1 -> System.currentTimeMillis()))
+          .toSeq.sortBy(_._1).takeRight(8)
+        wh.writeAtomic(ledger.toDF("gen", "flipped_at"), metaRel)
       }
-      // retire generation g-1 (nobody can still resolve it; generation g
-      // stays on disk for readers bound before the flip)
-      if (g >= 1) Seq(centRel(g - 1), cellRel(g - 1), bookRel(g - 1),
-        codeRel(g - 1), driftRel(g - 1)).foreach(wh.drop)
+      // retire unreachable generations whose drain grace lapsed
+      // (generation g itself always stays — readers bound before the
+      // flip keep their files until the NEXT refit retires it)
+      gc()
+      ()
+    }
+
+    /** Drop retired generations' relations once their drain grace has
+      * lapsed. Generation x stops taking NEW readers when x+1 flips in;
+      * a query bound to x just before that flip may still be mid-scan,
+      * so x's files drop only `retireGraceMs` after x+1's flip — the
+      * immediate drop could fail such an in-flight long query. The
+      * previous generation (current−1) is never dropped here, matching
+      * the refit contract. Idempotent; `graft maintain` and every
+      * [[refit]] call it, so a generation whose grace hadn't lapsed at
+      * its refit is reaped on the next pass. Returns dropped gen ids.
+      */
+    def gc(nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+      val ledger = genLedger()
+      val cur = currentGen()
+      val dropped = Seq.newBuilder[Long]
+      (0L until math.max(cur - 1, 0L)).foreach { x =>
+        val flipAway = ledger.getOrElse(x + 1, 0L)
+        val rels = Seq(centRel(x), cellRel(x), bookRel(x),
+          codeRel(x), driftRel(x))
+        if (nowMs - flipAway >= retireGraceMs && rels.exists(wh.exists)) {
+          rels.foreach(wh.drop)
+          dropped += x
+        }
+      }
+      dropped.result()
     }
   }
 

@@ -101,7 +101,38 @@ object ProjectLoader {
           s"packages.conf: package '$name' directory not found: $dir")
         name -> dir
       }
-      if (declared.nonEmpty) declared
+      // dbt-native packages.yml alongside packages.conf: `- local:`
+      // entries load from their directory (package name = directory
+      // basename, sanitized to an identifier); `- package:` (hub) and
+      // `- git:` entries refuse loudly — this environment has zero
+      // egress, and silently skipping a declared dependency would
+      // surface later as a confusing unknown-macro failure.
+      // Precedence: a name declared in BOTH files takes packages.conf's
+      // directory (the project-local format wins over the dbt port).
+      val fromYml: Seq[(String, Path)] = {
+        val ymlPath = root.resolve("packages.yml")
+        if (!Files.exists(ymlPath)) Nil
+        else {
+          val entryRe = """^-\s*(local|package|git|hub|tarball)\s*:\s*(.+?)\s*$""".r
+          readLines(ymlPath).flatMap {
+            case entryRe("local", dir0) =>
+              val p0 = Paths.get(unquote(dir0))
+              val dir = if (p0.isAbsolute) p0 else root.resolve(p0)
+              require(Files.isDirectory(dir),
+                s"packages.yml: local package directory not found: $dir")
+              val name = dir.getFileName.toString.replaceAll("\\W", "_")
+              Some(name -> dir)
+            case entryRe(kind, what) => throw new IllegalArgumentException(
+              s"packages.yml: '$kind: $what' needs network access to " +
+                "fetch — vendor it into packages/ and declare it with " +
+                "'local:' (or packages.conf)")
+            case _ => None // top-level `packages:` key, version/rev lines
+          }
+        }
+      }
+      val merged = declared ++
+        fromYml.filterNot(y => declared.exists(_._1 == y._1))
+      if (merged.nonEmpty) merged
       else if (Files.isDirectory(root.resolve("packages")))
         Files.list(root.resolve("packages")).iterator.asScala.toSeq
           .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
@@ -312,13 +343,31 @@ object ProjectLoader {
     require(dupSel.isEmpty,
       s"duplicate selector names: ${dupSel.mkString(", ")}")
 
+    // dbt docs blocks: `{% docs name %}…{% enddocs %}` in any .md under
+    // models/ or docs/ (dbt's docs-paths default is the model paths);
+    // referenced from descriptions via `{{ doc('name') }}`
+    val docsBlocks: Map[String, String] = {
+      val all = (listFiles(root.resolve("models"), ".md") ++
+        listFiles(root.resolve("docs"), ".md"))
+        .flatMap(p => graft.compile.Compiler.parseDocsBlocks(
+          Files.readString(p)))
+      val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+      require(dups.isEmpty,
+        s"duplicate {% docs %} block names: ${dups.mkString(", ")}")
+      all.toMap
+    }
+
     // descriptions.conf: `<model> '<text>'` or `<model>.<column> '<text>'`
-    // per line (dbt schema.yml `description:` analogue — B37 docs)
+    // per line (dbt schema.yml `description:` analogue — B37 docs).
+    // `{{ doc('name') }}` sites resolve against the docs blocks at load
+    // time, so downstream consumers (catalog, persist_docs COMMENT) see
+    // plain text.
     val descriptions = readLines(root.resolve("descriptions.conf")).map { l =>
       val parts = tokenize(l)
       require(parts.length >= 2,
         s"descriptions.conf: need <model>[.<column>] '<text>', got: $l")
-      parts(0) -> unquote(parts.drop(1).mkString(" "))
+      parts(0) -> graft.compile.Compiler.resolveDocRefs(
+        unquote(parts.drop(1).mkString(" ")), docsBlocks)
     }.toMap
 
     // hooks.conf: `start <sql>` / `end <sql>` per line (dbt_project.yml

@@ -43,6 +43,11 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   expire-snapshots drop closed history months < --keep-from yyyy-MM
   *   gc               sweep crashed writers' orphaned uncommitted version
   *                    dirs (--older-than 7d / 12h / 90m; manifest mode)
+  *   maintain         vector-index upkeep: read each index's drift
+  *                    ledger, refit past --drift-threshold (default 1.2),
+  *                    reap retired generations (--grace <N>{d|h|m} delays
+  *                    file drops for in-flight readers; --dry-run reports
+  *                    without acting)
   *   versions         retained commit history per table (manifest mode)
   *   rollback         re-point a table at an old commit (--table t --to N;
   *                    metadata-only, history stays linear for audit)
@@ -422,6 +427,15 @@ object GraftCli {
             println(s"GC       ${rel.identifier}: ${dropped.size} orphaned " +
               s"version dirs removed (${dropped.mkString(", ")})")
         }
+      case "maintain" =>
+        val threshold = flags.get("drift-threshold").flatMap(_.headOption)
+          .flatMap(_.toDoubleOption).getOrElse(1.2)
+        val grace = flags.get("grace").flatMap(_.headOption)
+          .map(parseDurationMs).getOrElse(0L)
+        val only = flags.get("index").flatMap(_.headOption)
+        maintain(engine.warehouse, threshold, grace,
+          dry = flags.contains("dry-run"), only = only)
+          .foreach(println)
       case "versions" =>
         // retained undo window per table: what a rollback can target
         val (db, sch) = (target.database, target.resolvedSchema)
@@ -471,6 +485,62 @@ object GraftCli {
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }
     spark.stop()
+  }
+
+  /** Drift-driven VectorIndex upkeep (the operational loop around
+    * `Similarity.VectorIndex.drift/refit/gc`): appends encode against
+    * frozen centroids, so recall decays as the appended distribution
+    * drifts; past `threshold` a refit re-anchors it, below it retired
+    * generations whose `graceMs` drain window lapsed are reaped. `k` is
+    * derived from the live generation's centroid count, so maintain
+    * never changes an index's geometry. Returns the report lines (the
+    * CLI prints them; specs assert on them).
+    */
+  private[graft] def maintain(wh: graft.core.Warehouse, threshold: Double,
+      graceMs: Long, dry: Boolean, only: Option[String]): Seq[String] = {
+    import graft.core.Relation
+    val names = wh.listRelations("idx", "ann").map(_.identifier)
+      .filter(_.endsWith("__centroids"))
+      .map(_.stripSuffix("__centroids").replaceAll("__g\\d+$", ""))
+      .distinct.sorted
+    val selected = only match {
+      case Some(one) =>
+        require(names.contains(one), s"maintain: no vector index '$one' " +
+          s"(found: ${names.mkString(", ")})")
+        Seq(one)
+      case None => names
+    }
+    if (selected.isEmpty) return Seq("MAINTAIN no vector indexes found")
+    selected.map { n =>
+      val probe = new graft.ops.Similarity.VectorIndex(wh, n)
+      val g = probe.currentGen()
+      val centRel = Relation("idx", "ann",
+        if (g == 0L) s"${n}__centroids" else s"${n}__g${g}__centroids")
+      val k = wh.read(centRel).count().toInt
+      val idx = new graft.ops.Similarity.VectorIndex(wh, n, k = k,
+        retireGraceMs = graceMs)
+      scala.util.Try(idx.drift()) match {
+        case scala.util.Failure(e) =>
+          s"MAINTAIN $n: skipped (${e.getMessage})"
+        case scala.util.Success(d) =>
+          if (d.ratio >= threshold) {
+            if (dry)
+              f"MAINTAIN $n: drift ${d.ratio}%.3f >= $threshold%.2f — " +
+                s"would refit (gen $g, dry run)"
+            else {
+              idx.refit()
+              f"MAINTAIN $n: drift ${d.ratio}%.3f >= $threshold%.2f — " +
+                s"refit gen $g -> ${g + 1}"
+            }
+          } else {
+            val reaped = if (dry) Nil else idx.gc()
+            f"MAINTAIN $n: drift ${d.ratio}%.3f < $threshold%.2f — ok" +
+              (if (reaped.nonEmpty)
+                s" (reaped generations ${reaped.mkString(", ")})"
+              else "")
+          }
+      }
+    }
   }
 
   /** `7d` / `12h` / `90m` / bare minutes → milliseconds. */

@@ -212,6 +212,44 @@ class JinjaCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("get_query_results_as_dict: column access iterates and reduces") {
+    val t = Map("d" -> Compiler.QueryResult(Seq("pm", "n"),
+      Seq(Seq("card", "3"), Seq("cash", "5")), dict = true))
+    assert(Compiler.expandControlFlow(
+      "{% for pm in d['pm'] %}[{{ pm }}]{% endfor %}", tables = t)
+      == "[card][cash]")
+    assert(Compiler.expandControlFlow(
+      "{% for pm in d.pm %}{{ pm }};{% endfor %}", tables = t)
+      == "card;cash;")
+    assert(Compiler.expandControlFlow(
+      "{{ d['n'] | join(' + ') }}", tables = t) == "3 + 5")
+    // a dict binding is not row-iterable (dbt: iterating a dict gives
+    // keys, never agate rows) — fail loudly pointing at column access
+    val e = intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow(
+        "{% for r in d %}{{ r.pm }}{% endfor %}", tables = t)
+    }
+    assert(e.getMessage.contains("d['pm']"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow(
+        "{% for x in d['nope'] %}{{ x }}{% endfor %}", tables = t)
+    }
+  }
+
+  test("get_query_results_as_dict: resolveRunQueries binds dict-style") {
+    val rel = (k: String, a: String, b: Option[String]) => s"tbl_$a"
+    val (sql, tables) = Compiler.resolveRunQueries(
+      "{% set d = dbt_utils.get_query_results_as_dict('select pm from ' ~ ref('m')) %}SELECT 1",
+      rel, q => { assert(q == "select pm from tbl_m")
+        Compiler.QueryResult(Seq("pm"), Seq(Seq("card"))) })
+    assert(sql == "SELECT 1" && tables("d").dict)
+    // run_query bindings stay row-style
+    val (_, t2) = Compiler.resolveRunQueries(
+      "{% set rs = run_query('select 1') %}x", rel,
+      _ => Compiler.QueryResult(Seq("c"), Seq(Seq("1"))))
+    assert(!t2("rs").dict)
+  }
+
   test("run_query: resolveRunQueries strips statements and binds results") {
     val rel = (k: String, a: String, b: Option[String]) => s"tbl_$a"
     val (sql, tables) = Compiler.resolveRunQueries(

@@ -133,6 +133,52 @@ class KeywordIndexSpec extends AnyFunSuite {
       .filter(col("doc_id") === 910002L).count() == 1)
   }
 
+  test("append id-guard: intra-batch duplicates rejected; racing same-id appends admit exactly one") {
+    val s = spark; import s.implicits._
+    val (wh, idx) = freshIdx()
+    // a batch whose OWN rows repeat a doc_id would double-index it just
+    // like a re-append — rejected before anything lands
+    val err = intercept[IllegalArgumentException] {
+      idx.append(Seq((920001L, "dup one"), (920001L, "dup two"))
+        .toDF("doc_id", "text"))
+    }
+    assert(err.getMessage.contains("duplicate") &&
+      err.getMessage.contains("920001"), err.getMessage)
+    assert(wh.read(Relation("idx", "kw", "d__dl"))
+      .filter(col("doc_id") === 920001L).count() == 0)
+    // two threads appending the SAME new id: the guard+write critical
+    // section serializes on the dl lock, so exactly one admits and the
+    // loser fails with the append-only error (pre-fix, both could pass
+    // the guard before either's rows landed)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    (1 to 2).foreach { i =>
+      pool.execute { () =>
+        start.await()
+        try {
+          idx.append(Seq((930001L, s"racer $i content"))
+            .toDF("doc_id", "text"))
+          outcomes.add(true)
+        } catch { case _: IllegalArgumentException => outcomes.add(false) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val oks = { import scala.jdk.CollectionConverters._
+      outcomes.asScala.toSeq }
+    assert(oks.count(identity) == 1 && oks.size == 2,
+      s"exactly one racer must admit: $oks")
+    assert(wh.read(Relation("idx", "kw", "d__dl"))
+      .filter(col("doc_id") === 930001L).count() == 1)
+    // stats stayed consistent with dl under the race
+    val stats = wh.read(Relation("idx", "kw", "d__stats")).collect().head
+    assert(stats.getAs[Long]("n_docs") ==
+      wh.read(Relation("idx", "kw", "d__dl")).count())
+  }
+
   test("row deletes compose: a deleted doc's postings vanish from search") {
     val s = spark; import s.implicits._
     val (wh, idx) = freshIdx()

@@ -1148,6 +1148,31 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(real.readModel("by_region").count() == 5)
   }
 
+  test("docs block lands as the exported-DDL COMMENT via doc()") {
+    val proj = Files.createTempDirectory("graft_docs_ddl")
+    def put(name: String, text: String): Unit = {
+      val p = proj.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("project.conf", "name=docs_ddl")
+    put("sources.conf", s"tpch nation $sf/nation.parquet")
+    put("models/doc_nations.sql",
+      "{{ config(persist_docs='true') }} " +
+        "SELECT n_nationkey, n_name FROM {{ source('tpch','nation') }}")
+    put("models/doc_nations.md",
+      "{% docs nations_doc %}All 25 TPC-H nations{% enddocs %}")
+    put("descriptions.conf", "doc_nations '{{ doc(''nations_doc'') }}'\n")
+    val (p, _) = ProjectLoader.load(proj.toString)
+    val e = new Engine(spark, p,
+      Target(root(), commitMode = graft.core.CommitMode.Manifest, threads = 1))
+    assert(e.build()._1.forall(_.status == "success"))
+    val (stmts, skipped) = e.catalogDdl()
+    assert(skipped.isEmpty, skipped.toString)
+    val ddl = stmts.find(_.contains("`doc_nations`")).get
+    assert(ddl.contains("COMMENT 'All 25 TPC-H nations'"), ddl)
+  }
+
   test("run_query inside is_incremental is lazy: skipped on full build, probes `this` on the incremental run") {
     val r = root()
     // the canonical dbt incremental idiom: probe the TARGET's own max

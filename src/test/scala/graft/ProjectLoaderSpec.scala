@@ -272,6 +272,77 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
   }
 
+  test("packages.yml: local entries load, network entries refuse, conf wins on a name clash") {
+    val dir = Files.createTempDirectory("graft_pkgyml")
+    def put(name: String, text: String): Unit = {
+      val p = dir.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("project.conf", "name=pkgyml")
+    put("models/m.sql", "SELECT {{ vendored.tag() }} AS a, {{ fmt_yml.hi() }} AS b")
+    // a vendored dbt-style package declared the dbt-native way
+    put("vendor/vendored/macros/v.sql", "{% macro tag() %}'yml'{% endmacro %}")
+    put("pkgs/fmt_conf/macros/f.sql", "{% macro hi() %}'conf'{% endmacro %}")
+    put("pkgs/fmt_yml/macros/f.sql", "{% macro hi() %}'yml'{% endmacro %}")
+    put("packages.yml",
+      """packages:
+        |  - local: vendor/vendored
+        |  - local: pkgs/fmt_yml
+        |""".stripMargin)
+    // precedence: declare the SAME package name (fmt_yml) in both files,
+    // pointing packages.conf at a different directory
+    put("packages.conf", "fmt_yml 'pkgs/fmt_conf'\n")
+    val (project, _) = ProjectLoader.load(dir.toString)
+    assert(project.macros.contains("vendored.tag"))
+    // name clash: packages.conf's directory wins for fmt_yml
+    assert(project.macros("fmt_yml.hi").body == "'conf'")
+    // a hub/git entry fails loudly instead of silently skipping
+    put("packages.yml",
+      """packages:
+        |  - package: dbt-labs/dbt_utils
+        |    version: 1.1.1
+        |""".stripMargin)
+    val err = intercept[IllegalArgumentException](ProjectLoader.load(dir.toString))
+    assert(err.getMessage.contains("local:"), err.getMessage)
+    put("packages.yml",
+      "packages:\n  - git: https://example.com/repo.git\n    revision: main\n")
+    assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
+    // a local entry pointing nowhere fails at load time
+    put("packages.yml", "packages:\n  - local: nope/missing\n")
+    assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
+  }
+
+  test("docs blocks: {% docs %} markdown feeds doc() description sites") {
+    val dir = Files.createTempDirectory("graft_docs")
+    def put(name: String, text: String): Unit = {
+      val p = dir.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("project.conf", "name=docsdemo")
+    put("models/m.sql", "SELECT 1 AS one")
+    put("models/overview.md",
+      """{% docs m_doc %}
+        |One row, one column. **markdown** allowed.
+        |{% enddocs %}
+        |
+        |{% docs other %}unused{% enddocs %}
+        |""".stripMargin)
+    put("descriptions.conf", "m '{{ doc(''m_doc'') }}'\n")
+    val (project, _) = ProjectLoader.load(dir.toString)
+    assert(project.descriptions("m")
+      == "One row, one column. **markdown** allowed.")
+    // unknown doc name fails at load time
+    put("descriptions.conf", "m '{{ doc(''nope'') }}'\n")
+    val err = intercept[IllegalArgumentException](ProjectLoader.load(dir.toString))
+    assert(err.getMessage.contains("m_doc"), err.getMessage) // lists defined
+    // duplicate docs block names fail at load time
+    put("descriptions.conf", "m 'plain'\n")
+    put("docs/dup.md", "{% docs m_doc %}again{% enddocs %}")
+    assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
+  }
+
   test("ephemeral models never materialize to the warehouse") {
     val (project, _) = ProjectLoader.load("examples/demo_project")
     val engine = new Engine(spark, project,

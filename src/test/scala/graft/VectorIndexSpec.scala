@@ -262,6 +262,61 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(wh.exists(Relation("idx", "ann", "emb__g2__cells")))
   }
 
+  test("maintain: drift-thresholded refit; retired generations reap only after the grace window") {
+    val s2 = spark; import s2.implicits._
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_vidx_m").toString, CommitMode.Manifest)
+    val e = Similarity.vecs(spark, sf)
+    val idx = new Similarity.VectorIndex(wh, "mnt", k = 8, nprobe = 3,
+      maxProbe = 6, probeMargin = 0.15)
+    idx.build(e)
+    // fresh index sits at ratio 1.0: below threshold → no refit
+    val r0 = graft.tools.GraftCli.maintain(wh, threshold = 1.02,
+      graceMs = 0L, dry = false, only = None)
+    assert(r0.size == 1 && r0.head.contains("ok"), r0.toString)
+    assert(idx.currentGen() == 0L)
+    // drift past the threshold (negated twins — the drift-test pattern)
+    idx.append(e.select((col("vec_id") + 700000L).as("vec_id"),
+      transform(col("v"), x => x * -1).as("v")))
+    assert(idx.drift().ratio > 1.02)
+    // dry run reports the decision but must not act
+    val rd = graft.tools.GraftCli.maintain(wh, 1.02, 0L, dry = true,
+      only = Some("mnt"))
+    assert(rd.head.contains("would refit"), rd.toString)
+    assert(idx.currentGen() == 0L)
+    val r1 = graft.tools.GraftCli.maintain(wh, 1.02, 0L, dry = false, None)
+    assert(r1.head.contains("refit gen 0 -> 1"), r1.toString)
+    assert(idx.currentGen() == 1L)
+    // the refit re-anchored the ledger: the next pass is a no-op
+    val r2 = graft.tools.GraftCli.maintain(wh, 1.02, 0L, dry = false, None)
+    assert(r2.head.contains("ok"), r2.toString)
+    assert(idx.currentGen() == 1L)
+
+    // force a second refit under a LONG grace (threshold 0 refits
+    // unconditionally): generation 0 — unreachable since the g1 flip —
+    // must SURVIVE the refit, the drain window for a reader bound to it
+    val r3 = graft.tools.GraftCli.maintain(wh, threshold = 0.0,
+      graceMs = 3600000L, dry = false, only = Some("mnt"))
+    assert(r3.head.contains("refit gen 1 -> 2"), r3.toString)
+    assert(wh.exists(Relation("idx", "ann", "mnt__cells")),
+      "gen 0 must outlive the flip while its grace window is open")
+    // unknown index name fails loudly
+    intercept[IllegalArgumentException] {
+      graft.tools.GraftCli.maintain(wh, 1.2, 0L, dry = false, Some("nope"))
+    }
+    // once the grace lapses, gc reaps it (clock injected)
+    val graced = new Similarity.VectorIndex(wh, "mnt", k = 8,
+      retireGraceMs = 3600000L)
+    assert(graced.gc(nowMs = System.currentTimeMillis()).isEmpty,
+      "grace still open — nothing to reap")
+    val reaped = graced.gc(nowMs = System.currentTimeMillis() + 7200000L)
+    assert(reaped == Seq(0L), reaped.toString)
+    assert(!wh.exists(Relation("idx", "ann", "mnt__cells")))
+    // gen 1 (current−1) is never reaped; gen 2 is live
+    assert(wh.exists(Relation("idx", "ann", "mnt__g1__cells")))
+    assert(wh.exists(Relation("idx", "ann", "mnt__g2__cells")))
+  }
+
   test("streaming appends are exactly-once under the batch-id watermark") {
     val s2 = spark
     import s2.implicits._
