@@ -639,6 +639,9 @@ object Compiler {
     var sql = configRe.replaceAllIn(rawSql, "")
     sql = resolveIncrementalBlocks(sql, ctx.isIncremental)
     sql = expandControlFlow(sql, tables = ctx.queryResults)
+    // statement calls AFTER control flow: a raise/log/do inside a
+    // non-taken branch must never fire (Jinja is lazy)
+    sql = resolveStatementCalls(sql)
     // after control flow, so loop-generated builtin calls resolve too
     sql = expandBuiltinSqlMacros(sql)
     sql = refXRe.replaceAllIn(sql,
@@ -668,6 +671,68 @@ object Compiler {
     sql = maxPartRe.replaceAllIn(sql,
       Regex.quoteReplacement(ctx.maxPartition.getOrElse("NULL")))
     sql.trim
+  }
+
+  // dbt statement-call surface (counts from the reference manifest's
+  // macro bodies): `return(…)` 90×, `{% do … %}` 79×,
+  // `exceptions.raise_compiler_error` 12×, `log(…)` 12×. One balanced
+  // argument span: bare chars, quoted strings, or one paren nesting
+  // level (`return(round(c, 2))`) — deeper nesting passes through for
+  // the SQL parser to reject loudly.
+  private val argSpan = """((?:[^()']|'[^']*'|\([^()]*\))*)"""
+  private val returnRe: Regex =
+    ("""\{\{\s*return\(\s*""" + argSpan + """\s*\)\s*\}\}|""" +
+      """\{%-?\s*do\s+return\(\s*""" + argSpan + """\s*\)\s*-?%\}""").r
+  private val logRe: Regex =
+    ("""\{\{\s*log\(\s*""" + argSpan + """\s*\)\s*\}\}|""" +
+      """\{%-?\s*do\s+log\(\s*""" + argSpan + """\s*\)\s*-?%\}""").r
+  private val raiseRe: Regex =
+    ("""\{\{\s*exceptions\.raise_compiler_error\(\s*""" + argSpan +
+      """\s*\)\s*\}\}|\{%-?\s*do\s+exceptions\.raise_compiler_error\(\s*""" +
+      argSpan + """\s*\)\s*-?%\}""").r
+  private val doStmtRe: Regex =
+    """(?s)\{%-?\s*do\s+(.*?)\s*-?%\}""".r
+
+  /** Resolve dbt's statement-call surface after control flow has picked
+    * branches (Jinja is lazy — a raise inside a dead branch never
+    * fires): `exceptions.raise_compiler_error('msg')` throws with the
+    * message; `log('msg'[, info=true])` renders empty (the message goes
+    * to stderr — the engine has no dbt logger); `return(expr)` splices
+    * its argument — macros here are textual, so returning a quoted
+    * string yields its content and returning an expression yields its
+    * SQL text; any OTHER `{% do %}` fails loudly (Python side effects
+    * like list.append are out of scope by design).
+    */
+  private[graft] def resolveStatementCalls(sql0: String): String = {
+    var sql = sql0
+    if (sql.contains("raise_compiler_error"))
+      raiseRe.findFirstMatchIn(sql).foreach { m =>
+        val arg = Option(m.group(1)).getOrElse(m.group(2))
+        throw new IllegalArgumentException(
+          s"compiler error (exceptions.raise_compiler_error): " +
+            stripQuotes(arg.trim))
+      }
+    if (sql.contains("log("))
+      sql = logRe.replaceAllIn(sql, m => {
+        val arg = Option(m.group(1)).getOrElse(m.group(2)).trim
+        // first positional arg is the message; ignore info=/dbt kwargs
+        val msg = splitArgs(arg).headOption.map(a => stripQuotes(a.trim))
+          .getOrElse("")
+        System.err.println(s"[graft:log] $msg")
+        ""
+      })
+    if (sql.contains("return("))
+      sql = returnRe.replaceAllIn(sql, m => {
+        val arg = Option(m.group(1)).getOrElse(m.group(2)).trim
+        Regex.quoteReplacement(stripQuotes(arg))
+      })
+    doStmtRe.findFirstMatchIn(sql).foreach { m =>
+      throw new IllegalArgumentException(
+        s"unsupported {% do ${m.group(1).take(60)} %} — only do " +
+          "return(...)/log(...)/exceptions.raise_compiler_error(...) " +
+          "resolve (Python side effects are out of scope)")
+    }
+    sql
   }
 
   /** Whether raw model SQL references `_dbt_max_partition` at all — lets

@@ -503,6 +503,37 @@ object OrchestratorQueries {
       |  'F|O|P' AS statuses_dict
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** The statement-call surface end-to-end (reference macro bodies use
+    * `return` 90×, `{% do %}` 79×, `log` 12×,
+    * `raise_compiler_error` 12×): a package macro whose body builds its
+    * SQL through `{{ return(...) }}`, a `{% do log(...) %}` that must
+    * strip, an `{% if execute %}` guard (resolves open — expansion IS
+    * the execute phase), and a raise_compiler_error kept dead inside a
+    * non-taken branch.
+    */
+  def statementCalls(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_stmt",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      macros = Map("money2" -> graft.compile.Compiler.parseMacros(
+        "{% macro money2(c) %}{{ return(round({{ c }} * 1.0, 2)) }}{% endmacro %}").head),
+      models = Seq(
+        ModelDef("stmt_model",
+          """{% do log('compiling stmt_model', info=true) %}
+            |SELECT o_orderkey,
+            |  {{ money2(o_totalprice) }} AS price_2dp,
+            |  {% if execute %}'ran'{% else %}'parsed'{% endif %} AS phase
+            |  {% if false %}{{ exceptions.raise_compiler_error('dead branch') }}{% endif %}
+            |FROM {{ source('tpch', 'orders') }}""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("stmt_model")
+  }
+
+  val statementCallsSql: String =
+    """SELECT o_orderkey, round(o_totalprice * 1.0, 2) AS price_2dp,
+      |  'ran' AS phase
+      |FROM orders""".stripMargin
+
   /** dbt-utils `union_relations` end-to-end: two shard models with
     * DIFFERENT schemas union into one relation — missing columns
     * NULL-filled with their upstream types, `_dbt_source_relation`

@@ -267,6 +267,47 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(out == "SELECT c1, c2 FROM x")
   }
 
+  // ------------------------------------------- statement-call surface
+
+  test("statement calls: return splices, log strips, raise throws, do fails loudly") {
+    // return(expr): macros are textual here, so a quoted string returns
+    // its content and an expression returns its SQL text
+    assert(Compiler.compile("SELECT {{ return(round(c, 2)) }} FROM t", ctx())
+      == "SELECT round(c, 2) FROM t")
+    assert(Compiler.compile("SELECT {{ return('lit') }} FROM t", ctx())
+      == "SELECT lit FROM t")
+    assert(Compiler.compile("SELECT {% do return(x + 1) %} FROM t", ctx())
+      == "SELECT x + 1 FROM t")
+    // log renders empty in both call forms, kwargs ignored
+    assert(Compiler.compile(
+      "SELECT 1{{ log('hello') }}{% do log('world', info=true) %}", ctx())
+      == "SELECT 1")
+    // raise_compiler_error throws with the message
+    val e = intercept[IllegalArgumentException] {
+      Compiler.compile(
+        "{{ exceptions.raise_compiler_error('bad model config') }}", ctx())
+    }
+    assert(e.getMessage.contains("bad model config"), e.getMessage)
+    // ...but NOT from a non-taken branch (Jinja laziness)
+    assert(Compiler.compile(
+      "{% if false %}{{ exceptions.raise_compiler_error('dead') }}{% endif %}SELECT 1",
+      ctx()) == "SELECT 1")
+    // any other {% do %} is out of scope — loudly
+    val e2 = intercept[IllegalArgumentException] {
+      Compiler.compile("{% do my_list.append(1) %}SELECT 1", ctx())
+    }
+    assert(e2.getMessage.contains("my_list.append"), e2.getMessage)
+  }
+
+  test("statement calls: return through a user macro end-to-end") {
+    val ms = macros(
+      """{% macro money(c) %}{{ return(round({{ c }} * 1.0, 2)) }}{% endmacro %}
+        |""".stripMargin)
+    val out = Compiler.compile(
+      Compiler.expandMacros("SELECT {{ money(amt) }} AS m FROM t", ms), ctx())
+    assert(out == "SELECT round(amt * 1.0, 2) AS m FROM t", out)
+  }
+
   // ------------------------------------------------- datediff units
 
   /** Boundary-count reference implementation on java.time. */
