@@ -418,8 +418,18 @@ object Compiler {
   private val DateParts =
     Set("year", "quarter", "month", "week", "day", "hour", "minute", "second")
 
+  // BigQuery comma-UNNEST → Spark LATERAL VIEW explode (the reference's
+  // flagship model shape, models/aggr_repo_languages.sql:4 —
+  // `FROM src, unnest(language) as lang`). Both dialects DROP rows whose
+  // array is empty or NULL (SURVEY §2.A A2), and `alias.field` struct
+  // access carries over unchanged, so the rewrite is semantics-preserving.
+  private val unnestRe: Regex =
+    """(?i),\s*unnest\(\s*([^()]+?)\s*\)\s+(?:as\s+)?([A-Za-z_]\w*)""".r
+
   private def expandBuiltinSqlMacros(sql0: String): String = {
-    var sql = surrogateKeyRe.replaceAllIn(sql0, m => {
+    var sql = unnestRe.replaceAllIn(sql0, m => Regex.quoteReplacement(
+      s" LATERAL VIEW explode(${m.group(1)}) ${m.group(2)}_t AS ${m.group(2)}"))
+    sql = surrogateKeyRe.replaceAllIn(sql, m => {
       val cols = parseListLiteral(m.group(1))
       require(cols.nonEmpty, "generate_surrogate_key needs at least one column")
       Regex.quoteReplacement("md5(concat_ws('-', " + cols.map(c =>
@@ -532,6 +542,17 @@ object Compiler {
               case _ => None
             }
           }.toMap
+        applyConfigKv(kvs, base)
+    }
+  }
+
+  /** Apply a parsed config key/value map onto a base [[ModelConfig]] —
+    * shared by [[parseInlineConfig]] and the dbt-native project loader
+    * (dbt_project.yml `+materialized:` trees, schema.yml `config:`
+    * blocks), so every config source obeys identical key semantics.
+    */
+  def applyConfigKv(kvs: Map[String, String],
+                    base: ModelConfig): ModelConfig = {
         var cfg = base
         kvs.get("materialized").foreach(v => cfg = cfg.copy(materialized = v))
         // `|`-separated (a comma would split the kv scan above), matching
@@ -589,7 +610,6 @@ object Compiler {
         kvs.get("lookback").foreach(v => cfg = cfg.copy(lookback = v.toInt))
         kvs.get("begin").foreach(v => cfg = cfg.copy(begin = v))
         cfg
-    }
   }
 
   final case class ResolveCtx(
@@ -774,7 +794,7 @@ object Compiler {
     * split corrupted it into three). Jinja accepts either quote style
     * (`['a']` ≡ `["a"]`), so both protect the split and both strip.
     */
-  private def parseListLiteral(s: String): Seq[String] = {
+  private[graft] def parseListLiteral(s: String): Seq[String] = {
     val inner = s.trim.stripPrefix("[").stripSuffix("]")
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
@@ -1257,23 +1277,44 @@ object Compiler {
         s"doc('${m.group(1)}') has no {% docs %} block (defined: " +
           s"${docs.keys.toSeq.sorted.mkString(", ")})"))))
 
-  /** Split a macro call's argument text at top-level commas (parens and
-    * single-quoted spans protect).
+  /** Split a macro call's argument text at top-level commas (parens,
+    * brackets, and single-quoted spans protect — a list argument like
+    * `check_cols=['a','b']` stays one piece).
     */
-  private def splitArgs(s: String): Seq[String] = {
+  private[graft] def splitArgs(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var depth = 0; var inQ = false
     s.foreach {
       case '\'' => inQ = !inQ; sb.append('\'')
-      case '(' if !inQ => depth += 1; sb.append('(')
-      case ')' if !inQ => depth -= 1; sb.append(')')
+      case c @ ('(' | '[') if !inQ => depth += 1; sb.append(c)
+      case c @ (')' | ']') if !inQ => depth -= 1; sb.append(c)
       case ',' if !inQ && depth == 0 => out += sb.result(); sb.clear()
       case c => sb.append(c)
     }
     out += sb.result()
     out.result().map(_.trim).filter(_.nonEmpty)
   }
+
+  /** Parse a `{% snapshot %}` block's `{{ config(...) }}` into a kv map
+    * with list values flattened `|`-separated (`check_cols=['a','b']` →
+    * `"a|b"`) — the dbt-native spelling of the snapshot config the
+    * `.conf` loader takes as `a|b` directly.
+    */
+  def parseSnapshotConfig(rawSql: String): Map[String, String] =
+    configRe.findFirstMatchIn(rawSql).map(_.group(1)).map { body =>
+      splitArgs(body).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v0) =>
+            val v = v0.trim
+            val rendered =
+              if (v.startsWith("[")) parseListLiteral(v).mkString("|")
+              else stripQuotes(v)
+            Some(k.trim -> rendered)
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Expand user-macro calls to their bound bodies, repeatedly (a macro
     * may call another), bounded by `maxDepth` against recursion. Calls

@@ -534,6 +534,65 @@ object OrchestratorQueries {
       |  'ran' AS phase
       |FROM orders""".stripMargin
 
+  /** dbt-NATIVE project ingestion end-to-end (the reference repo's own
+    * layout — dbt_project.yml:1, models/sources.yml:1): an on-disk
+    * project with dbt_project.yml (+materialized config tree, vars),
+    * version-2 sources.yml (`meta: external_location` — the public
+    * dbt-duckdb convention) and schema.yml (per-model config override)
+    * loads through DbtProjectLoader and builds: the staging model
+    * materializes as a table (schema.yml wins), the mart as a view
+    * (tree default), refs inline across them.
+    */
+  def dbtNativeProject(s: SparkSession, d: String): DataFrame = {
+    val proj = Files.createTempDirectory("graft_dbt_native")
+    def put(name: String, text: String): Unit = {
+      val p = proj.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("dbt_project.yml",
+      """name: 'native_demo'
+        |config-version: 2
+        |vars:
+        |  min_price: '100.0'
+        |models:
+        |  native_demo:
+        |    +materialized: view
+        |""".stripMargin)
+    put("models/staging/stg_big_orders.sql",
+      """{{ config(materialized='table') }}
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM {{ source('tpch', 'orders') }}
+        |WHERE o_totalprice >= {{ var('min_price') }}""".stripMargin)
+    put("models/marts/status_revenue.sql",
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM {{ ref('stg_big_orders') }}
+        |GROUP BY o_orderstatus""".stripMargin)
+    put("models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: orders
+         |        meta:
+         |          external_location: $d/orders.parquet
+         |""".stripMargin)
+    val (project, _) = ProjectLoader.load(proj.toString)
+    require(project.models.find(_.name == "status_revenue")
+      .exists(_.config.materialized == "view"), "tree default must apply")
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("status_revenue")
+  }
+
+  val dbtNativeProjectSql: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders WHERE o_totalprice >= 100.0
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** dbt-utils `union_relations` end-to-end: two shard models with
     * DIFFERENT schemas union into one relation — missing columns
     * NULL-filled with their upstream types, `_dbt_source_relation`

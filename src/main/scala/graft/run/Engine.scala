@@ -116,7 +116,12 @@ final case class TestDef(name: String, modelName: String,
                          errorIf: Option[String] = None,
                          // when set, `test` is ignored and the failing set
                          // is the anti-join child.fk → parent.pk
-                         relationship: Option[RelationshipDef] = None)
+                         relationship: Option[RelationshipDef] = None,
+                         // dbt SINGULAR test (tests/*.sql): templated SQL
+                         // whose result set IS the failing rows. When set,
+                         // `test`/`relationship` are ignored; `modelName`
+                         // is the first ref (for DAG ordering only).
+                         sql: Option[String] = None)
 
 object TestDef {
   /** Parse a `warn_if`/`error_if` threshold (`">10"`, `"<= 5"`, `"!=0"`)
@@ -707,6 +712,12 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
                               status: String) // pass | warn | error
 
   def runTest(t: TestDef): TestResult = {
+    // dbt SINGULAR test: the compiled SQL's result set IS the failure set
+    t.sql.foreach { q =>
+      val df0 = renderInline(q)
+      val df = t.where.fold(df0)(w => df0.filter(w))
+      return finishTest(t, df)
+    }
     // dbt tests bind to models OR declared sources (schema.yml tests
     // under a source table): `source:<src>.<table>` reads the raw source
     val base =
@@ -728,12 +739,19 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         SchemaTests.relationships(filtered, r.fk, parent, r.pk)
       case None => t.test(filtered)
     }
+    finishTest(t, applied)
+  }
+
+  /** Shared tail of test evaluation: limit, store_failures, and dbt's
+    * get_test_sql severity/threshold semantics (severity=warn never
+    * errors; error_if judged first, then warn_if; both default "!=0").
+    */
+  private def finishTest(t: TestDef,
+                         applied: DataFrame): TestResult = {
     val failing = t.limit.fold(applied)(l => applied.limit(l))
     val n = failing.count()
     if (t.storeFailures && n > 0) // reference should_store_failures @67089
       warehouse.writeAtomic(failing, relationFor(s"${t.name}__failures"))
-    // dbt's get_test_sql semantics: severity=warn never errors; otherwise
-    // error_if is judged first, then warn_if; both default to "!=0"
     val warnHit = TestDef.threshold(t.warnIf.getOrElse("!=0"))(n)
     val errorHit = TestDef.threshold(t.errorIf.getOrElse("!=0"))(n)
     val status =

@@ -28,6 +28,11 @@ object ProjectLoader {
 
   def load(dir: String): (Project, Map[String, String]) = {
     val root = Paths.get(dir)
+    // a dbt-NATIVE project (dbt_project.yml at the root — the reference
+    // repo's own layout) loads through the yml ingestion path
+    if (Files.exists(root.resolve("dbt_project.yml")) &&
+        !Files.exists(root.resolve("project.conf")))
+      return DbtProjectLoader.load(dir)
     val conf = parseConf(root.resolve("project.conf"))
     val name = conf.getOrElse("name", root.getFileName.toString)
 
@@ -87,77 +92,7 @@ object ProjectLoader {
     // `{{ <package>.<macro>(...) }}` (Compiler.macroCallRe). A bare call
     // to a name two packages define fails loudly in expandMacros with
     // the candidate namespaces.
-    val pkgDirs: Seq[(String, Path)] = {
-      val declared = readLines(root.resolve("packages.conf")).map { l =>
-        val parts = tokenize(l)
-        val name = parts(0)
-        require(name.matches("[A-Za-z_]\\w*"),
-          s"packages.conf: package name '$name' must be an identifier")
-        val dir = if (parts.length > 1) {
-          val p = Paths.get(unquote(parts(1)))
-          if (p.isAbsolute) p else root.resolve(p)
-        } else root.resolve("packages").resolve(name)
-        require(Files.isDirectory(dir),
-          s"packages.conf: package '$name' directory not found: $dir")
-        name -> dir
-      }
-      // dbt-native packages.yml alongside packages.conf: `- local:`
-      // entries load from their directory (package name = directory
-      // basename, sanitized to an identifier); `- package:` (hub) and
-      // `- git:` entries refuse loudly — this environment has zero
-      // egress, and silently skipping a declared dependency would
-      // surface later as a confusing unknown-macro failure.
-      // Precedence: a name declared in BOTH files takes packages.conf's
-      // directory (the project-local format wins over the dbt port).
-      val fromYml: Seq[(String, Path)] = {
-        val ymlPath = root.resolve("packages.yml")
-        if (!Files.exists(ymlPath)) Nil
-        else {
-          val entryRe = """^-\s*(local|package|git|hub|tarball)\s*:\s*(.+?)\s*$""".r
-          readLines(ymlPath).flatMap {
-            case entryRe("local", dir0) =>
-              val p0 = Paths.get(unquote(dir0))
-              val dir = if (p0.isAbsolute) p0 else root.resolve(p0)
-              require(Files.isDirectory(dir),
-                s"packages.yml: local package directory not found: $dir")
-              val name = dir.getFileName.toString.replaceAll("\\W", "_")
-              Some(name -> dir)
-            case entryRe(kind, what) => throw new IllegalArgumentException(
-              s"packages.yml: '$kind: $what' needs network access to " +
-                "fetch — vendor it into packages/ and declare it with " +
-                "'local:' (or packages.conf)")
-            case _ => None // top-level `packages:` key, version/rev lines
-          }
-        }
-      }
-      val merged = declared ++
-        fromYml.filterNot(y => declared.exists(_._1 == y._1))
-      if (merged.nonEmpty) merged
-      else if (Files.isDirectory(root.resolve("packages")))
-        Files.list(root.resolve("packages")).iterator.asScala.toSeq
-          .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
-          .map(p => p.getFileName.toString -> p)
-      else Nil
-    }
-    val dupPkg = pkgDirs.groupBy(_._1).filter(_._2.size > 1).keys
-    require(dupPkg.isEmpty, s"duplicate package names: ${dupPkg.mkString(", ")}")
-    val pkgMacroDefs: Seq[(String, graft.compile.Compiler.MacroDef)] =
-      pkgDirs.flatMap { case (pkg, dir) =>
-        val defs = listFiles(dir.resolve("macros"), ".sql")
-          .flatMap(p => graft.compile.Compiler.parseMacros(Files.readString(p)))
-        val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
-        require(dups.isEmpty,
-          s"package '$pkg': duplicate macro definitions: ${dups.mkString(", ")}")
-        defs.map(pkg -> _)
-      }
-    val projectNames = macroDefs.map(_.name).toSet
-    // bare alias only when exactly one package defines the name AND the
-    // project does not (project shadows package, like dbt)
-    val bareFromPkgs = pkgMacroDefs.groupBy(_._2.name).collect {
-      case (n, Seq((_, d))) if !projectNames.contains(n) => n -> d
-    }
-    val macros = bareFromPkgs ++
-      pkgMacroDefs.map { case (p, d) => s"$p.${d.name}" -> d }.toMap ++
+    val macros = packageMacros(root, macroDefs.map(_.name).toSet) ++
       macroDefs.map(m => m.name -> m).toMap
 
     // per-seed column_types (reference seeds `column_types` config in
@@ -385,6 +320,86 @@ object ProjectLoader {
     (Project(name, sources, models, seeds, snapshots, tests,
       onRunStart, onRunEnd, macros, vars, exposures, metrics,
       dependencies, selectors, analyses, descriptions), conf)
+  }
+
+  /** Package-macro loading, shared with [[DbtProjectLoader]].
+    * Declarations: packages.conf lines `<name> [<dir>]` (dir defaults to
+    * packages/<name>); dbt-native packages.yml `- local:` entries load
+    * from their directory (package name = directory basename, sanitized
+    * to an identifier) while `- package:` (hub) / `- git:` entries
+    * refuse loudly — this environment has zero egress, and silently
+    * skipping a declared dependency would surface later as a confusing
+    * unknown-macro failure. A name declared in BOTH files takes
+    * packages.conf's directory. With neither file, every subdirectory of
+    * packages/ autoloads. Resolution order is dbt's: project macro >
+    * package macro; a package macro is callable bare when exactly one
+    * package defines that name AND the project does not, and always as
+    * `{{ <package>.<macro>(...) }}`.
+    */
+  private[run] def packageMacros(root: Path, projectNames: Set[String])
+      : Map[String, graft.compile.Compiler.MacroDef] = {
+    val pkgDirs: Seq[(String, Path)] = {
+      val declared = readLines(root.resolve("packages.conf")).map { l =>
+        val parts = tokenize(l)
+        val name = parts(0)
+        require(name.matches("[A-Za-z_]\\w*"),
+          s"packages.conf: package name '$name' must be an identifier")
+        val dir = if (parts.length > 1) {
+          val p = Paths.get(unquote(parts(1)))
+          if (p.isAbsolute) p else root.resolve(p)
+        } else root.resolve("packages").resolve(name)
+        require(Files.isDirectory(dir),
+          s"packages.conf: package '$name' directory not found: $dir")
+        name -> dir
+      }
+      val fromYml: Seq[(String, Path)] = {
+        val ymlPath = root.resolve("packages.yml")
+        if (!Files.exists(ymlPath)) Nil
+        else {
+          val entryRe = """^-\s*(local|package|git|hub|tarball)\s*:\s*(.+?)\s*$""".r
+          readLines(ymlPath).flatMap {
+            case entryRe("local", dir0) =>
+              val p0 = Paths.get(unquote(dir0))
+              val dir = if (p0.isAbsolute) p0 else root.resolve(p0)
+              require(Files.isDirectory(dir),
+                s"packages.yml: local package directory not found: $dir")
+              val name = dir.getFileName.toString.replaceAll("\\W", "_")
+              Some(name -> dir)
+            case entryRe(kind, what) => throw new IllegalArgumentException(
+              s"packages.yml: '$kind: $what' needs network access to " +
+                "fetch — vendor it into packages/ and declare it with " +
+                "'local:' (or packages.conf)")
+            case _ => None // top-level `packages:` key, version/rev lines
+          }
+        }
+      }
+      val merged = declared ++
+        fromYml.filterNot(y => declared.exists(_._1 == y._1))
+      if (merged.nonEmpty) merged
+      else if (Files.isDirectory(root.resolve("packages")))
+        Files.list(root.resolve("packages")).iterator.asScala.toSeq
+          .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
+          .map(p => p.getFileName.toString -> p)
+      else Nil
+    }
+    val dupPkg = pkgDirs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dupPkg.isEmpty, s"duplicate package names: ${dupPkg.mkString(", ")}")
+    val pkgMacroDefs: Seq[(String, graft.compile.Compiler.MacroDef)] =
+      pkgDirs.flatMap { case (pkg, dir) =>
+        val defs = listFiles(dir.resolve("macros"), ".sql")
+          .flatMap(p => graft.compile.Compiler.parseMacros(Files.readString(p)))
+        val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+        require(dups.isEmpty,
+          s"package '$pkg': duplicate macro definitions: ${dups.mkString(", ")}")
+        defs.map(pkg -> _)
+      }
+    // bare alias only when exactly one package defines the name AND the
+    // project does not (project shadows package, like dbt)
+    val bareFromPkgs = pkgMacroDefs.groupBy(_._2.name).collect {
+      case (n, Seq((_, d))) if !projectNames.contains(n) => n -> d
+    }
+    bareFromPkgs ++
+      pkgMacroDefs.map { case (p, d) => s"$p.${d.name}" -> d }.toMap
   }
 
   private def configKv(sql: String): Map[String, String] = {

@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.run.{Engine, ProjectLoader, Target}
+
+/** dbt-NATIVE project ingestion ([[graft.run.DbtProjectLoader]]): a
+  * directory with dbt_project.yml loads and BUILDS — including the
+  * reference repo's own checkout, whose flagship model runs verbatim
+  * against a parquet twin of its BigQuery source.
+  */
+class DbtProjectSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def put(dir: java.nio.file.Path, name: String, text: String): Unit = {
+    val p = dir.resolve(name)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, text); ()
+  }
+
+  test("the reference checkout parses: name, models, sources, config tree") {
+    val (p, conf) = ProjectLoader.load("/root/reference")
+    assert(p.name == "demo_ci" && conf.get("profile").contains("demo_ci"))
+    assert(p.models.map(_.name).toSet ==
+      Set("aggr_repo_languages", "test_model"))
+    // the dbt_project.yml tree (`models: demo_ci: +materialized: table`)
+    // lands on every model
+    assert(p.models.forall(_.config.materialized == "table"))
+    val Seq(src) = p.sources
+    assert(src.sourceName == "src_github" && src.tableName == "languages")
+    // the jinja database survives verbatim (env-dependent, resolved never
+    // — the BigQuery coordinates aren't readable here anyway)
+    assert(src.path.contains("{{ env_var('DBT_CI_BIGQUERY_PROJECT_ID') }}"))
+  }
+
+  test("the reference flagship model BUILDS verbatim against a parquet source twin") {
+    // the BigQuery `github_repos.languages` twin (FIXTURES.md §B shape)
+    val langs = graft.ops.Flagship.languages(spark, sf)
+    val twin = Files.createTempDirectory("graft_langs")
+    langs.write.mode("overwrite").parquet(s"$twin/languages.parquet")
+    // a copy of the reference project with ONE addition: the public
+    // dbt-duckdb `meta: external_location` convention pointing the
+    // source at the twin (the model and dbt_project.yml are byte-copies)
+    val proj = Files.createTempDirectory("graft_refproj")
+    put(proj, "dbt_project.yml",
+      Files.readString(java.nio.file.Paths.get("/root/reference/dbt_project.yml")))
+    put(proj, "models/aggr_repo_languages.sql",
+      Files.readString(java.nio.file.Paths.get(
+        "/root/reference/models/aggr_repo_languages.sql")))
+    put(proj, "models/sources.yml",
+      s"""version: 2
+         |
+         |sources:
+         |  - name: src_github
+         |    schema: github
+         |    tables:
+         |      - name: languages
+         |        meta:
+         |          external_location: $twin/languages.parquet
+         |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    val e = new Engine(spark, p, Target(
+      Files.createTempDirectory("graft_refwh").toString, threads = 1))
+    assert(e.build()._1.forall(_.status == "success"))
+    val got = e.readModel("aggr_repo_languages").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = langs
+      .select(col("repo_name"), explode(col("language")).as("lang"))
+      .groupBy(col("lang.name")).agg(countDistinct("repo_name").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("full dbt-native surface: config tree, schema tests, snapshots, singular tests, seeds, hooks, exposures, docs") {
+    val proj = Files.createTempDirectory("graft_dbtfull")
+    put(proj, "dbt_project.yml",
+      """name: 'full_demo'
+        |config-version: 2
+        |vars:
+        |  status_open: O
+        |on-run-start:
+        |  - "SELECT 1"
+        |models:
+        |  full_demo:
+        |    +materialized: table
+        |    marts:
+        |      +materialized: view
+        |seeds:
+        |  full_demo:
+        |    ratings:
+        |      +column_types: {score: int}
+        |""".stripMargin)
+    put(proj, "models/staging/stg_orders.sql",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM {{ source('tpch', 'orders') }}
+        |WHERE o_orderstatus != '{{ var('status_open') }}' OR 1 = 1""".stripMargin)
+    put(proj, "models/marts/order_stats.sql",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM {{ ref('stg_orders') }} GROUP BY o_orderstatus""".stripMargin)
+    put(proj, "models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: orders
+         |        meta:
+         |          external_location: $sf/orders.parquet
+         |        loaded_at_field: o_orderdate
+         |        freshness:
+         |          warn_after: {count: 24, period: hour}
+         |          error_after: {count: 3, period: day}
+         |""".stripMargin)
+    put(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: stg_orders
+        |    description: "{{ doc('stg_doc') }}"
+        |    config:
+        |      materialized: table
+        |    columns:
+        |      - name: o_orderkey
+        |        description: PK
+        |        tests:
+        |          - unique
+        |          - not_null
+        |      - name: o_orderstatus
+        |        tests:
+        |          - accepted_values:
+        |              values: ['O', 'F', 'P']
+        |              severity: warn
+        |  - name: order_stats
+        |    columns:
+        |      - name: o_orderstatus
+        |        tests:
+        |          - relationships:
+        |              to: ref('stg_orders')
+        |              field: o_orderstatus
+        |exposures:
+        |  - name: weekly_dash
+        |    depends_on:
+        |      - ref('order_stats')
+        |    owner:
+        |      name: data-team
+        |    url: https://example.com/dash
+        |""".stripMargin)
+    put(proj, "models/docs.md",
+      "{% docs stg_doc %}Staged orders{% enddocs %}")
+    put(proj, "seeds/ratings.csv", "o_orderstatus,score\nO,1\nF,2\nP,3\n")
+    put(proj, "snapshots/orders_snap.sql",
+      """{% snapshot orders_snap %}
+        |{{ config(unique_key='o_orderkey', strategy='timestamp', updated_at='o_orderdate') }}
+        |SELECT o_orderkey, o_orderstatus, o_orderdate
+        |FROM {{ source('tpch', 'orders') }}
+        |{% endsnapshot %}
+        |""".stripMargin)
+    put(proj, "tests/no_negative_totals.sql",
+      """SELECT * FROM {{ ref('stg_orders') }} WHERE o_totalprice < 0""".stripMargin)
+    put(proj, "macros/fmt.sql",
+      "{% macro two_dp(c) %}round({{ c }}, 2){% endmacro %}")
+    put(proj, "analysis/top_status.sql",
+      "SELECT o_orderstatus FROM {{ ref('order_stats') }} ORDER BY n DESC")
+
+    val (p, _) = ProjectLoader.load(proj.toString)
+    assert(p.name == "full_demo")
+    // config precedence: tree says marts=view, staging inherits table;
+    // schema.yml config (table) wins for stg_orders regardless
+    assert(p.models.find(_.name == "order_stats").get
+      .config.materialized == "view")
+    assert(p.models.find(_.name == "stg_orders").get
+      .config.materialized == "table")
+    assert(p.vars("status_open") == "O" && p.onRunStart == Seq("SELECT 1"))
+    // sources with freshness hours and the external location
+    val Seq(src) = p.sources
+    assert(src.path == s"$sf/orders.parquet" &&
+      src.warnAfterH.contains(24) && src.errorAfterH.contains(72) &&
+      src.loadedAtField.contains("o_orderdate"))
+    // docs block resolved into the description
+    assert(p.descriptions("stg_orders") == "Staged orders")
+    assert(p.descriptions("stg_orders.o_orderkey") == "PK")
+    // declared tests: 3 schema + 1 relationship + 1 singular
+    assert(p.tests.size == 5, p.tests.map(_.name).toString)
+    assert(p.tests.exists(t => t.name == "accepted_values_stg_orders_o_orderstatus"
+      && t.severity == "warn"))
+    val singular = p.tests.find(_.name == "no_negative_totals").get
+    assert(singular.sql.isDefined && singular.modelName == "stg_orders")
+    // seeds with tree column_types; snapshots from the block; the rest
+    assert(p.seeds == Seq(graft.run.SeedDef(
+      "ratings", s"$proj/seeds/ratings.csv", Map("score" -> "int"))))
+    assert(p.snapshots.map(_.name) == Seq("orders_snap"))
+    assert(p.snapshots.head.keys == Seq("o_orderkey"))
+    assert(p.exposures.map(_.name) == Seq("weekly_dash") &&
+      p.exposures.head.dependsOn == Seq("order_stats"))
+    assert(p.macros.contains("two_dp") && p.analyses.map(_.name) == Seq("top_status"))
+
+    // ...and the whole thing BUILDS: models, snapshot, tests green
+    val e = new Engine(spark, p, Target(
+      Files.createTempDirectory("graft_dbtfull_wh").toString, threads = 2))
+    val (nodes, tests) = e.build()
+    assert(nodes.forall(_.status == "success"), nodes.toString)
+    assert(tests.forall(t => t.status == "pass" || t.status == "warn"),
+      tests.toString)
+    assert(tests.exists(_.name == "no_negative_totals"))
+    assert(e.readModel("order_stats").count() == 3)
+    assert(e.readModel("ratings").schema("score").dataType.typeName == "integer")
+  }
+
+  test("dbt-native failures are loud: missing name, unknown test kind, ref-less singular") {
+    val proj = Files.createTempDirectory("graft_dbtbad")
+    put(proj, "dbt_project.yml", "version: '1.0'\n")
+    val e1 = intercept[IllegalArgumentException](ProjectLoader.load(proj.toString))
+    assert(e1.getMessage.contains("'name' is required"))
+    put(proj, "dbt_project.yml", "name: bad_demo\n")
+    put(proj, "models/m.sql", "SELECT 1 AS one")
+    put(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: m
+        |    columns:
+        |      - name: one
+        |        tests:
+        |          - made_up_test
+        |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](ProjectLoader.load(proj.toString))
+    assert(e2.getMessage.contains("made_up_test"), e2.getMessage)
+    put(proj, "models/schema.yml", "version: 2\n")
+    put(proj, "tests/orphan.sql", "SELECT 1 AS bad WHERE 1 = 0")
+    val e3 = intercept[IllegalArgumentException](ProjectLoader.load(proj.toString))
+    assert(e3.getMessage.contains("orphan"), e3.getMessage)
+  }
+}

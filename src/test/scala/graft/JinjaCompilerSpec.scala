@@ -267,6 +267,32 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(out == "SELECT c1, c2 FROM x")
   }
 
+  // ------------------------------------------------------ comma-UNNEST
+
+  test("comma-UNNEST rewrites to LATERAL VIEW explode — the reference flagship SQL verbatim") {
+    // byte-for-byte the reference model (models/aggr_repo_languages.sql)
+    val raw =
+      """SELECT
+        |    lang.name
+        |    , count(distinct repo_name) as repositories_number
+        |FROM {{ source('src_github', 'languages') }}
+        |, unnest(language) as lang
+        |group by 1""".stripMargin
+    val langs = graft.ops.Flagship.languages(spark, "/root/testdata/sf0.001")
+    langs.createOrReplaceTempView("languages")
+    val rendered = Compiler.compile(raw, ctx())
+    assert(rendered.toUpperCase.contains("LATERAL VIEW EXPLODE"), rendered)
+    val got = spark.sql(rendered).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent DataFrame-side recompute (the A2 flagship shape)
+    import org.apache.spark.sql.functions._
+    val want = langs
+      .select(col("repo_name"), explode(col("language")).as("lang"))
+      .groupBy(col("lang.name")).agg(countDistinct("repo_name").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty, s"got ${got.size} want ${want.size}")
+  }
+
   // ------------------------------------------- statement-call surface
 
   test("statement calls: return splices, log strips, raise throws, do fails loudly") {
