@@ -362,6 +362,26 @@ object DbtProjectLoader {
     val analyses = analysisDirs.flatMap(listRec(_, ".sql"))
       .map(p => ModelDef(stem(p), Files.readString(p)))
 
+    // selectors.yml: named selector compositions. The scalar
+    // `definition:` form maps onto the engine's selector grammar
+    // directly; the structured method/value tree is out of scope and
+    // refuses loudly.
+    val selectors = {
+      val f = root.resolve("selectors.yml")
+      if (!Files.exists(f)) Nil
+      else MiniYaml.parse(Files.readString(f)).arr("selectors").collect {
+        case s: Obj =>
+          val n = s.scalar("name").getOrElse(throw new
+              IllegalArgumentException("selectors.yml: entry needs a name"))
+          val defn = s.scalar("definition").filter(_.nonEmpty)
+            .getOrElse(throw new IllegalArgumentException(
+              s"selectors.yml: selector '$n' needs a scalar definition " +
+                "string (the structured method/value form is unsupported)"))
+          SelectorDef(n, defn,
+            exclude = s.scalar("exclude").getOrElse(""))
+      }
+    }
+
     // docs blocks land in descriptions via doc() — same as the .conf path
     val docsBlocks = (modelDirs.flatMap(d => listRec(d, ".md")) ++
       Option(root.resolve("docs")).filter(Files.isDirectory(_)).toSeq
@@ -376,6 +396,7 @@ object DbtProjectLoader {
       onRunStart = hookList("on-run-start"),
       onRunEnd = hookList("on-run-end"),
       macros = macros, vars = vars, exposures = exposures,
+      selectors = selectors,
       analyses = analyses, descriptions = resolvedDescriptions),
       Map("name" -> name) ++ py.scalar("profile").map("profile" -> _))
   }

@@ -62,9 +62,12 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *                      repeatable (repeats union)
   *   --selector <name>  run a NAMED selector from selectors.conf (dbt
   *                      selectors.yml); mutually exclusive with --select
-  *   --target <name>    profiles.yml-style target: project.conf
-  *                      `target.<name>.<key>=` lines override flat keys
-  *                      (database/schema/threads); default from `target=`
+  *   --target <name>    named target from project.conf
+  *                      `target.<name>.<key>=` lines OR a dbt-native
+  *                      profiles.yml (database/schema/threads); default
+  *                      from `target=`
+  *   --profiles-dir <d> where to look for profiles.yml first (dbt's
+  *                      --profiles-dir; falls back to the project dir)
   *   --threads <n>      node-pool width override (wins over target/conf)
   *   --exclude <sel>    subtract these nodes from the selection (same
   *                      grammar; applies to --state selection too)
@@ -96,15 +99,19 @@ object GraftCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (project, conf) = ProjectLoader.load(projectDir)
+    val (project, conf0) = ProjectLoader.load(projectDir)
     val env = flags.getOrElse("env", Nil)
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     val cliVars = flags.getOrElse("vars", Nil)
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    // profiles.yml-style named targets (the reference declares TWO —
-    // `ci` and `ci-with-pr`, test_profiles/profiles.yml:2,16):
-    // `target.<name>.<key>=` lines override the flat keys; the active
-    // target is --target or project.conf `target=`
+    // named targets from either surface: project.conf `target.<n>.<k>=`
+    // lines, or a dbt-native profiles.yml (--profiles-dir <dir>, then
+    // the project dir; the reference declares TWO targets — `ci` and
+    // `ci-with-pr`, test_profiles/profiles.yml:2,16). The active target
+    // is --target, else project.conf/profiles.yml `target=`.
+    val conf = profilesConf(projectDir,
+      flags.get("profiles-dir").flatMap(_.headOption),
+      conf0.get("profile")) ++ conf0
     val tc = resolveTargetConf(conf,
       flags.get("target").flatMap(_.headOption))
     val target = Target(whRoot,
@@ -567,6 +574,56 @@ object GraftCli {
     * the project-conf default is allowed to be keyless (flat keys ARE
     * its profile).
     */
+  /** dbt-native `profiles.yml` ingestion (the reference ships
+    * `test_profiles/profiles.yml:1` with targets `ci` and `ci-with-pr`):
+    * the selected profile's `outputs` become the same
+    * `target.<name>.<key>` entries project.conf would carry, so
+    * [[resolveTargetConf]] works unchanged. Key mapping:
+    * `dataset`/`schema` → schema (jinja like
+    * `dbt_ci_pr_{{ env_var('PR_NUMBER') }}` stays templated —
+    * `Target.resolvedSchema` resolves it against the run env),
+    * `project`/`database` → database, `threads` → threads; the
+    * profile's `target:` key is the default target name. Searched in
+    * `--profiles-dir`, then the project dir. project.conf entries win
+    * over profiles.yml on a key clash (the engine-native format is the
+    * override surface).
+    */
+  private[graft] def profilesConf(projectDir: String,
+      profilesDir: Option[String],
+      profileName: Option[String]): Map[String, String] = {
+    import java.nio.file.{Files, Paths}
+    import graft.run.MiniYaml
+    import graft.run.MiniYaml.Obj
+    val file = (profilesDir.toSeq :+ projectDir)
+      .map(d => Paths.get(d, "profiles.yml")).find(Files.exists(_))
+    file.fold(Map.empty[String, String]) { f =>
+      val y = MiniYaml.parse(Files.readString(f))
+      val profiles = y.entries.collect { case (n, o: Obj) => n -> o }
+      val prof = profileName.flatMap(n => profiles.find(_._1 == n)) match {
+        case Some(p) => Some(p._2)
+        case None if profileName.isEmpty && profiles.size == 1 =>
+          Some(profiles.head._2)
+        case None if profileName.isDefined => throw new
+            IllegalArgumentException(s"profiles.yml at $f has no profile " +
+              s"'${profileName.get}' (found: ${profiles.map(_._1).mkString(", ")})")
+        case None => None
+      }
+      prof.fold(Map.empty[String, String]) { p =>
+        val outs = p.obj("outputs").map(_.entries).getOrElse(Nil)
+        val entries = outs.collect { case (out, o: Obj) =>
+          Seq(
+            o.scalar("schema").orElse(o.scalar("dataset"))
+              .map(v => s"target.$out.schema" -> v),
+            o.scalar("database").orElse(o.scalar("project"))
+              .map(v => s"target.$out.database" -> v),
+            o.scalar("threads").map(v => s"target.$out.threads" -> v)
+          ).flatten
+        }.flatten.toMap
+        entries ++ p.scalar("target").map("target" -> _)
+      }
+    }
+  }
+
   private[graft] def resolveTargetConf(conf: Map[String, String],
                                        requested: Option[String])
       : String => Option[String] = {

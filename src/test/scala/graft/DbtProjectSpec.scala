@@ -199,6 +199,14 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(p.exposures.map(_.name) == Seq("weekly_dash") &&
       p.exposures.head.dependsOn == Seq("order_stats"))
     assert(p.macros.contains("two_dp") && p.analyses.map(_.name) == Seq("top_status"))
+    // selectors.yml (scalar-definition form)
+    put(proj, "selectors.yml",
+      """selectors:
+        |  - name: staging_only
+        |    definition: "stg_orders"
+        |""".stripMargin)
+    val (p2, _) = ProjectLoader.load(proj.toString)
+    assert(p2.selectors == Seq(graft.run.SelectorDef("staging_only", "stg_orders")))
 
     // ...and the whole thing BUILDS: models, snapshot, tests green
     val e = new Engine(spark, p, Target(
@@ -210,6 +218,34 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(tests.exists(_.name == "no_negative_totals"))
     assert(e.readModel("order_stats").count() == 3)
     assert(e.readModel("ratings").schema("score").dataType.typeName == "integer")
+  }
+
+  test("profiles.yml: the reference's own targets resolve through the CLI surface") {
+    import graft.tools.GraftCli
+    // verbatim reference file at test_profiles/profiles.yml
+    val pc = GraftCli.profilesConf("/root/reference",
+      Some("/root/reference/test_profiles"), Some("demo_ci"))
+    assert(pc("target") == "ci")
+    assert(pc("target.ci.schema") == "dbt_ci" && pc("target.ci.threads") == "4")
+    // the PR-namespaced target keeps its env template for resolvedSchema
+    assert(pc("target.ci-with-pr.schema")
+      == "dbt_ci_pr_{{ env_var('PR_NUMBER') }}")
+    // resolveTargetConf over the merged map: default target, then --target
+    val tc = GraftCli.resolveTargetConf(pc, None)
+    assert(tc("schema").contains("dbt_ci"))
+    val tc2 = GraftCli.resolveTargetConf(pc, Some("ci-with-pr"))
+    assert(tc2("schema").exists(_.startsWith("dbt_ci_pr_")))
+    // and the PR schema template errors without the env var, resolves with it
+    val t = Target("/tmp/x", schema = tc2("schema").get,
+      env = Map("PR_NUMBER" -> "77"))
+    assert(t.resolvedSchema == "dbt_ci_pr_77")
+    // unknown profile fails loudly
+    intercept[IllegalArgumentException] {
+      GraftCli.profilesConf("/root/reference",
+        Some("/root/reference/test_profiles"), Some("nope"))
+    }
+    // absent file is simply empty (CLI falls back to conf defaults)
+    assert(GraftCli.profilesConf("/tmp", None, Some("x")).isEmpty)
   }
 
   test("dbt-native failures are loud: missing name, unknown test kind, ref-less singular") {
