@@ -112,6 +112,11 @@ object Compiler {
       fetch: (String, String, Option[String]) => Seq[String]): String =
     starRe.replaceAllIn(sql, m => {
       val cols = fetch(m.group(1), m.group(2), Option(m.group(3)))
+      // parse-phase sentinel: dbt-utils' star returns the literal '*'
+      // when execute is false (no warehouse to introspect) — the
+      // compile-artifact path passes Seq("*") to ask for exactly that
+      if (cols == Seq("*")) Regex.quoteReplacement("*")
+      else {
       val except = Option(m.group(4)).map(parseListLiteral).getOrElse(Nil)
       val missing = except.filterNot(e =>
         cols.exists(_.equalsIgnoreCase(e)))
@@ -124,6 +129,7 @@ object Compiler {
         throw new IllegalArgumentException(
           "star(): except list removes every column")
       Regex.quoteReplacement(kept.map(c => s"`$c`").mkString(", "))
+      }
     })
 
   // dbt-utils `union_relations`: UNION ALL over refs/sources with
@@ -654,6 +660,54 @@ object Compiler {
       if (isIncremental) Regex.quoteReplacement(m.group(1))
       else Regex.quoteReplacement(Option(m.group(2)).getOrElse(" ")))
 
+  /** Resolve `{% if execute %}…{% else %}…{% endif %}` blocks for a
+    * given phase — dbt renders twice: parse (execute=false, `run_query`
+    * returns none) and execute (true). Build-mode rendering keeps the
+    * blocks (evalCond resolves the bare flag open); the compile-artifact
+    * path calls this with `execute = false` BEFORE run_query probe
+    * scanning, so a guarded probe is dead text and a not-yet-built
+    * upstream is never queried — dbt's lazy-Jinja contract (reference
+    * `statement` @21499 no-ops when `execute` is falsy). A BALANCED
+    * walk, not a non-greedy regex: the guarded body routinely contains
+    * its own `{% if %}`/`{% endif %}` pairs (the probe-loop idiom), so
+    * the matching endif must be found by depth, not by first occurrence.
+    */
+  def resolveExecuteBlocks(sql: String, execute: Boolean): String = {
+    if (execute) return sql
+    var s = sql
+    var again = true
+    while (again) {
+      again = false
+      val tags = ifTagRe.findAllMatchIn(s).toVector
+      tags.find(t => t.group(1) == "if" && t.group(2).trim == "execute")
+        .foreach { head =>
+          var depth = 0
+          var elsePos: Option[(Int, Int)] = None // (start, end) of else tag
+          var endTag: Option[Regex.Match] = None
+          tags.dropWhile(_.start <= head.start).foreach { t =>
+            if (endTag.isEmpty) t.group(1) match {
+              case "if" => depth += 1
+              case "endif" if depth == 0 => endTag = Some(t)
+              case "endif" => depth -= 1
+              case "else" if depth == 0 => elsePos = Some((t.start, t.end))
+              case "elif" if depth == 0 =>
+                throw new IllegalArgumentException(
+                  "{% elif %} directly on an {% if execute %} block is " +
+                    "unsupported — nest the condition inside an arm")
+              case _ => ()
+            }
+          }
+          val end = endTag.getOrElse(throw new IllegalArgumentException(
+            "unbalanced {% if execute %}: no matching {% endif %}"))
+          val kept = elsePos.map { case (_, e) => s.substring(e, end.start) }
+            .getOrElse(" ")
+          s = s.substring(0, head.start) + kept + s.substring(end.end)
+          again = true
+        }
+    }
+    s
+  }
+
   /** Render raw model SQL to executable Spark SQL (SURVEY §3.1 step 2). */
   def compile(rawSql: String, ctx: ResolveCtx): String = {
     var sql = configRe.replaceAllIn(rawSql, "")
@@ -767,6 +821,15 @@ object Compiler {
   // (dbt-utils' everyday shape; NOT general Python expressions)
   private val setRe: Regex =
     """\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*(\[[^\]]*\]|'[^']*'|[-\d.]+)\s*-?%\}""".r
+  // BLOCK-form set: `{% set name %}…{% endset %}` captures the body as a
+  // text binding (dbt's multi-line SQL-fragment idiom). Non-greedy to the
+  // FIRST endset; a nested block-form open inside the body is refused
+  // loudly below (Jinja allows it, this subset does not).
+  private val setBlockRe: Regex =
+    ("""(?s)\{%-?\s*set\s+([A-Za-z_]\w*)\s*-?%\}(.*?)""" +
+      """\{%-?\s*endset\s*-?%\}""").r
+  private val setBlockOpenRe: Regex =
+    """\{%-?\s*set\s+[A-Za-z_]\w*\s*-?%\}""".r
   // innermost `{% for x in <list-literal|range(..)|set-name|rows|
   // result.columns[i].values()> %} … {% endfor %}`: the tempered body
   // ((?!{% for).)*? cannot contain a nested for-open, so fixpoint
@@ -1090,6 +1153,27 @@ object Compiler {
       // still resolve `{{ name | default('v') }}` sites — they need no
       // {% %} block to be meaningful
       return if (pre.contains("{{")) resolveUnboundDefaults(pre) else pre
+    // block-form set FIRST: `{% set frag %}…{% endset %}` captures text
+    // and splices at its `{{ frag }}` sites BEFORE the elif rewrite and
+    // loop expansion, so control flow INSIDE a captured fragment is
+    // processed exactly as if written in place (textual capture — this
+    // subset's equivalent of Jinja's render-at-capture, since every
+    // later pass runs over the spliced result)
+    if (pre.contains("endset")) {
+      val blockBinds = Seq.newBuilder[(String, String)]
+      pre = setBlockRe.replaceAllIn(pre, m => {
+        val (name, body) = (m.group(1), m.group(2))
+        if (setBlockOpenRe.findFirstIn(body).isDefined)
+          throw new IllegalArgumentException(
+            s"nested {% set %}…{% endset %} blocks are unsupported " +
+              s"(binding '$name')")
+        blockBinds += name -> body
+        ""
+      })
+      blockBinds.result().foreach { case (k, body) =>
+        pre = substInterp(k, body, pre)
+      }
+    }
     val binds = scala.collection.mutable.Map.empty[String, String]
     var sql = setRe.replaceAllIn(rewriteElifChains(pre), m => {
       binds(m.group(1)) = m.group(2); ""

@@ -457,7 +457,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
   }
 
   def compileSql(m: ModelDef, selected: Set[String],
-                 deferRoot: Option[String], fullRefresh: Boolean): String = {
+                 deferRoot: Option[String], fullRefresh: Boolean,
+                 executeMode: Boolean = true): String = {
     val cfg = effectiveConfig(m)
     val self = relationFor(m.name)
     val isIncr = cfg.materialized == "incremental" &&
@@ -514,6 +515,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     // so anything large belongs in a model, not a probe. Fails loudly
     // at cap+1 rather than silently truncating.
     def execRunQuery(q: String): Compiler.QueryResult = {
+      // parse-phase rendering (dbt's execute=false): run_query returns
+      // the none-analogue — an empty result — and NEVER touches the
+      // warehouse, so compiling a probe-bearing model does not require
+      // its upstream to exist. Guarded probes ({% if execute %}) are
+      // already dead text by this point (resolveExecuteBlocks).
+      if (!executeMode)
+        return Compiler.QueryResult(IndexedSeq.empty, IndexedSeq.empty)
       val cap = 500
       val df = spark.sql(warehouse.resolveSql(q))
       val rows = df.limit(cap + 1).collect()
@@ -529,15 +537,22 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       // decide is_incremental() branches BEFORE probing: Jinja is lazy,
       // so a run_query inside a non-taken branch must never execute —
       // the canonical `max(ts) from {{ this }}` guard would otherwise
-      // fail on every full-refresh build against a not-yet-built target
-      val sqlIncr = Compiler.resolveIncrementalBlocks(sql0, ctx.isIncremental)
+      // fail on every full-refresh build against a not-yet-built target.
+      // In parse-phase (compile-artifact) mode the {% if execute %}
+      // guards close FIRST for the same reason.
+      val sqlIncr = Compiler.resolveIncrementalBlocks(
+        Compiler.resolveExecuteBlocks(sql0, executeMode), ctx.isIncremental)
       val (sqlRq, tables) = Compiler.resolveRunQueries(sqlIncr,
         (kind, a, b) => introRelText(kind, a, b, "run_query"), execRunQuery)
       val sql = Compiler.resolveColumnValues(sqlRq, (kind, a, b, column, maxN) =>
         // dbt-utils parity: default order is count(*) DESC (the pivot
         // columns land most-frequent-first); the value itself is the
-        // deterministic tie-break dbt-utils lacks
-        spark.sql(warehouse.resolveSql(
+        // deterministic tie-break dbt-utils lacks. Parse-phase
+        // (compile-artifact) rendering returns the empty default —
+        // dbt-utils' own `if not execute` arm — without touching the
+        // warehouse.
+        if (!executeMode) IndexedSeq.empty
+        else spark.sql(warehouse.resolveSql(
           s"SELECT `$column` AS v " +
             s"FROM ${introRelText(kind, a, b, "get_column_values")} " +
             s"WHERE `$column` IS NOT NULL GROUP BY `$column` " +
@@ -549,7 +564,9 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         spark.sql(warehouse.resolveSql(
           s"SELECT * FROM ${introRelText(kind, a, b, what)} LIMIT 0")).schema
       val sql2 = Compiler.resolveStar(sql, (kind, a, b) =>
-        schemaOf(kind, a, b, "star").fields.map(_.name).toIndexedSeq)
+        // parse phase: dbt-utils star returns the literal '*'
+        if (!executeMode) IndexedSeq("*")
+        else schemaOf(kind, a, b, "star").fields.map(_.name).toIndexedSeq)
       (Compiler.resolveUnionRelations(sql2, (kind, a, b) =>
         (introRelText(kind, a, b, "union_relations"),
           schemaOf(kind, a, b, "union_relations").fields
@@ -1023,6 +1040,21 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * the artifact (`dbt compile` emits it). */
   def compiledAnalyses: Map[String, String] =
     project.analyses.map(a => a.name -> compileInline(a.rawSql)).toMap
+
+  /** `dbt compile`'s target/compiled model artifacts, rendered in dbt's
+    * PARSE phase (`execute = false`): `{% if execute %}` guards close,
+    * `run_query` probes return the none-analogue without touching the
+    * warehouse, dbt-utils `star` renders `*` and `get_column_values`
+    * its empty default — so a probe-bearing model compiles against a
+    * not-yet-built warehouse instead of hard-failing (reference
+    * `statement` @21499 no-ops when execute is falsy; `dbt compile` is
+    * what slim CI runs against a fresh master checkout BEFORE anything
+    * is built — `ci_incr_test_checkout_master_no_container.yml:40`).
+    */
+  def compiledModels: Map[String, String] =
+    project.models.map(m =>
+      m.name -> compileSql(m, selected = project.models.map(_.name).toSet,
+        deferRoot = None, fullRefresh = false, executeMode = false)).toMap
 
   /** `dbt build`: seeds+models+snapshots in DAG order, each model's tests
     * immediately after it (SURVEY §3.1 step 6).

@@ -339,6 +339,18 @@ object GraftCli {
           .getOrElse(s"$whRoot/manifest.json")
         engine.writeManifest(out)
         println(s"manifest written: $out")
+        // dbt's target/compiled: every model rendered in parse-phase
+        // mode (execute=false), so run_query/star/get_column_values
+        // probes never require a built warehouse — this is the slim-CI
+        // "compile master before anything is built" path
+        val sqlDir = flags.get("sql-out").flatMap(_.headOption)
+          .getOrElse(s"$whRoot/compiled_models")
+        Files.createDirectories(java.nio.file.Paths.get(sqlDir))
+        val compiled = engine.compiledModels
+        compiled.foreach { case (n, sql) =>
+          Files.writeString(java.nio.file.Paths.get(sqlDir, s"$n.sql"), sql)
+        }
+        println(s"compiled ${compiled.size} models -> $sqlDir")
         // analyses compile alongside the manifest (dbt's target/compiled)
         val analyses = engine.compiledAnalyses
         if (analyses.nonEmpty) {

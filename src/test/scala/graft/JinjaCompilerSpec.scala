@@ -446,4 +446,52 @@ class JinjaCompilerSpec extends AnyFunSuite {
         "SELECT {{ dbt_utils.star(ref('up2')) }} FROM {{ ref('up2') }}")
     assert(refs.toSet == Set("up", "up2"))
   }
+
+  // --------------------------------------------- block-form {% set %}
+
+  test("endset: block captures text and splices at interpolation sites") {
+    val t = "{% set frag %}o_orderkey, o_orderstatus{% endset %}" +
+      "SELECT {{ frag }} FROM orders"
+    assert(Compiler.expandControlFlow(t).trim ==
+      "SELECT o_orderkey, o_orderstatus FROM orders")
+  }
+
+  test("endset: captured fragment's refs and control flow process in place") {
+    // the dbt idiom: capture a reusable SQL fragment containing jinja,
+    // splice it twice — refs resolve and loops expand AFTER splicing,
+    // exactly as if written inline
+    val t = """{% set cols %}{% for c in ['a', 'b'] %}{{ c }}{% if not loop.last %}, {% endif %}{% endfor %}{% endset %}
+              |SELECT {{ cols }} FROM {{ ref('m1') }}
+              |UNION ALL SELECT {{ cols }} FROM {{ ref('m2') }}""".stripMargin
+    val got = Compiler.compile(t, ctx()).replaceAll("\\s+", " ")
+    assert(got == "SELECT a, b FROM m1 UNION ALL SELECT a, b FROM m2", got)
+  }
+
+  test("endset: whitespace-control dashes and multi-line bodies") {
+    val t = "{%- set w -%}\nWHERE x > 0\n{%- endset -%}" +
+      "SELECT * FROM t {{ w }}"
+    val got = Compiler.expandControlFlow(t)
+    assert(got.contains("WHERE x > 0"), got)
+  }
+
+  test("endset: two independent blocks bind separately") {
+    val t = "{% set a %}AA{% endset %}{% set b %}BB{% endset %}" +
+      "{{ a }}-{{ b }}-{{ a }}"
+    assert(Compiler.expandControlFlow(t) == "AA-BB-AA")
+  }
+
+  test("endset: nested block-form set fails loudly") {
+    val t = "{% set outer %}{% set inner %}x{% endset %}{% endset %}{{ outer }}"
+    val e = intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow(t)
+    }
+    assert(e.getMessage.contains("nested"), e.getMessage)
+  }
+
+  test("endset: scalar {% set x = ... %} inside a captured body still binds") {
+    val t = "{% set frag %}{% set n = '3' %}LIMIT {{ n }}{% endset %}" +
+      "SELECT * FROM t {{ frag }}"
+    assert(Compiler.expandControlFlow(t).replaceAll("\\s+", " ").trim ==
+      "SELECT * FROM t LIMIT 3")
+  }
 }

@@ -1246,6 +1246,44 @@ class OrchestratorSpec extends AnyFunSuite {
       s"probe model or its run_query DAG edge missing from manifest: $text")
   }
 
+  test("compiledModels render in parse-phase mode: execute guards close, probes never run") {
+    // dbt's compile artifact (target/compiled): execute=false — the
+    // canonical `{% if execute %}` guard resolves to its else-arm, an
+    // unguarded run_query returns the none-analogue (zero rows), and
+    // star() renders '*' — all WITHOUT a built warehouse (slim CI
+    // compiles master before anything exists)
+    val p = Project(name = "pparse",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("stg_p", "SELECT o_orderkey, o_orderstatus " +
+          "FROM {{ source('tpch', 'orders') }}"),
+        ModelDef("guarded_p",
+          """{% if execute %}
+            |{% set rs = run_query('SELECT DISTINCT o_orderstatus AS st FROM ' ~ ref('stg_p')) %}
+            |SELECT {% for r in rs %}'{{ r.st }}' AS c{{ loop.index }}{% if not loop.last %}, {% endif %}{% endfor %}
+            |FROM {{ ref('stg_p') }}
+            |{% else %}
+            |SELECT 'parse' AS phase FROM {{ ref('stg_p') }}
+            |{% endif %}""".stripMargin),
+        ModelDef("star_p",
+          "SELECT {{ dbt_utils.star(ref('stg_p')) }} FROM {{ ref('stg_p') }}"),
+        ModelDef("loop_p",
+          """{% set rs = run_query('SELECT DISTINCT o_orderstatus AS st FROM ' ~ ref('stg_p')) %}
+            |SELECT o_orderkey{% for r in rs %}, '{{ r.st }}' AS c{{ loop.index }}{% endfor %}
+            |FROM {{ ref('stg_p') }}""".stripMargin)))
+    // NOTHING built — parse-phase rendering must not touch the warehouse
+    val e = new Engine(spark, p, Target(root(), threads = 1))
+    val compiled = e.compiledModels
+    assert(compiled("guarded_p").contains("'parse' AS phase"),
+      compiled("guarded_p")) // execute-guard took the else arm
+    assert(!compiled("guarded_p").contains("run_query"))
+    assert(compiled("star_p").trim.startsWith("SELECT *"),
+      compiled("star_p")) // dbt-utils parse-phase star → literal '*'
+    // unguarded probe: none-analogue → loop renders zero iterations
+    assert(compiled("loop_p").contains("SELECT o_orderkey"))
+    assert(!compiled("loop_p").contains("c1"), compiled("loop_p"))
+  }
+
   test("renderInline: dbt show over refs, sources, and macros") {
     val r = root()
     val e = new Engine(spark, baseProject, Target(r))
