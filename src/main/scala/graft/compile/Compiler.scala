@@ -541,16 +541,36 @@ object Compiler {
     configRe.findFirstMatchIn(rawSql).map(_.group(1)) match {
       case None => base
       case Some(body) =>
-        val kvs = body.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        // splitArgs, not a bare comma split: hook SQL and list values
+        // carry commas inside quotes/brackets (pre_hook='insert into
+        // a values (1, 2)') that a naive split corrupts
+        val kvs = splitArgs(body).iterator
           .flatMap { kv =>
             kv.split("=", 2) match {
-              case Array(k, v) => Some(k.trim -> v.trim.stripPrefix("'").stripSuffix("'"))
+              case Array(k0, v0) =>
+                val (k, v) = (k0.trim, v0.trim)
+                // hook values may be a list of SQL statements — encode
+                // multi-valued entries with the \u001f unit separator
+                // (applyConfigKv's hook convention; `|` and `,` both
+                // occur in real SQL, \u001f cannot)
+                if (hookKeys.contains(k) && v.startsWith("["))
+                  Some(k -> parseListLiteral(v).map(stripQuotes)
+                    .mkString(HookSep))
+                else Some(k -> v.stripPrefix("'").stripSuffix("'"))
               case _ => None
             }
           }.toMap
         applyConfigKv(kvs, base)
     }
   }
+
+  // dbt accepts both spellings in config()/yml (`pre_hook` in-file,
+  // `pre-hook` in dbt_project.yml trees)
+  private[graft] val hookKeys =
+    Set("pre_hook", "post_hook", "pre-hook", "post-hook")
+  // multi-hook separator inside a config kv value: \u001f can never
+  // appear in SQL text, unlike `|` (concat) or `,`
+  private[graft] val HookSep = "\u001f"
 
   /** Apply a parsed config key/value map onto a base [[ModelConfig]] —
     * shared by [[parseInlineConfig]] and the dbt-native project loader
@@ -606,6 +626,16 @@ object Compiler {
             case _ => Merge
           })
         }
+        // model-level hooks (dbt pre_hook/post_hook; the dash spellings
+        // are dbt_project.yml's). Multi-hook values arrive HookSep-joined
+        // (HookSep) — both loaders encode lists that way because hook
+        // SQL can contain any printable separator
+        def hooks(keys: String*): Option[Seq[String]] =
+          keys.iterator.flatMap(kvs.get).nextOption().map(
+            _.split(HookSep).iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+        hooks("pre_hook", "pre-hook").foreach(v => cfg = cfg.copy(preHooks = v))
+        hooks("post_hook", "post-hook").foreach(v =>
+          cfg = cfg.copy(postHooks = v))
         // dbt 1.9 microbatch knobs
         kvs.get("event_time").foreach(v => cfg = cfg.copy(eventTime = v))
         kvs.get("batch_size").foreach { v =>
@@ -706,6 +736,125 @@ object Compiler {
         }
     }
     s
+  }
+
+  // --------------------------------- relation-existence introspection
+  // dbt's `load_relation(ref('x'))` / `adapter.get_relation(...)` — 121
+  // sites across the reference manifest's macro bodies; the everyday
+  // existence guard is `{% if load_relation(this) is not none %}`.
+  // Supported subset: the relation argument is `this`, `ref()`,
+  // `source()`, or the kwargs form (`identifier='name'` with optional
+  // database=/schema= — the engine's warehouse is a single namespace);
+  // the bound value is consumed by `is [not] none` tests or `{{ rel }}`
+  // interpolation. Holding the relation OBJECT (`.schema`, `.include()`)
+  // is out of scope and fails loudly downstream.
+  private val relExistCondRe: Regex =
+    ("""(?:load_relation|adapter\.get_relation)\(\s*""" +
+      """(this|ref\('[^']+'\)|source\('[^']+'\s*,\s*'[^']+'\)|""" +
+      """[^()]*identifier[^()]*)\s*\)\s+is\s+(not\s+)?none""").r
+  private val getRelSetRe: Regex =
+    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*""" +
+      """(?:adapter\.get_relation|load_relation)\(([^)]*)\)\s*-?%\}""").r
+  private val identifierKwRe: Regex =
+    """identifier\s*=\s*'([^']+)'""".r
+
+  /** True iff the text has any load_relation / adapter.get_relation
+    * site (Engine uses this to skip the resolution pass wholesale).
+    */
+  def hasRelationLookups(sql: String): Boolean =
+    sql.contains("load_relation") || sql.contains("adapter.get_relation")
+
+  // `{% set cols = adapter.get_columns_in_relation(ref('m')) %}` — 23
+  // sites in the reference manifest's macros; the column-introspection
+  // loop idiom (`{% for c in cols %}{{ c.name }}…`). Binds a
+  // QueryResult with columns (name, dtype) so the existing row-iteration
+  // machinery serves `c.name` / `c.dtype` / `c['name']` accessors.
+  private val getColsInRelRe: Regex =
+    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*""" +
+      """adapter\.get_columns_in_relation\(\s*""" +
+      """(this|ref\('[^']+'\)|source\('[^']+'\s*,\s*'[^']+'\))""" +
+      """\s*\)\s*-?%\}""").r
+
+  /** Strip every `{% set x = adapter.get_columns_in_relation(...) %}`
+    * statement, binding the relation's (column name, DDL type) pairs as
+    * a QueryResult the control-flow subset iterates. `fetch` is the
+    * ENGINE's schema lookup (parse phase passes one returning empty —
+    * dbt's get_columns_in_relation returns [] when execute is false).
+    */
+  def resolveGetColumns(sql: String,
+      fetch: (String, String, Option[String]) => Seq[(String, String)])
+      : (String, Map[String, QueryResult]) = {
+    val binds = scala.collection.mutable.Map.empty[String, QueryResult]
+    val out = getColsInRelRe.replaceAllIn(sql, m => {
+      val (k, a, b) = m.group(2) match {
+        case "this" => ("this", "", None)
+        case relCallRe(kind, x, y) => (kind, x, Option(y))
+      }
+      binds(m.group(1)) = QueryResult(IndexedSeq("name", "dtype"),
+        fetch(k, a, b).toIndexedSeq.map(c => IndexedSeq(c._1, c._2)))
+      ""
+    })
+    (out, binds.toMap)
+  }
+
+  /** Resolve relation-existence introspection BEFORE control flow:
+    * `lookup(kind, name, table)` returns the relation's SQL text if it
+    * exists in the warehouse, None otherwise (kind is `this` | `ref` |
+    * `source`; dbt's parse phase passes a lookup that is always None).
+    * Both the direct condition form and the `{% set rel = ... %}`
+    * binding resolve; `is [not] none` tests on a binding become literal
+    * true/false and `{{ rel }}` sites splice the relation text.
+    */
+  def resolveRelationLookups(sql0: String,
+      lookup: (String, String, Option[String]) => Option[String]): String = {
+    def parseArg(arg0: String): (String, String, Option[String]) = {
+      val arg = arg0.trim
+      arg match {
+        case "this" => ("this", "", None)
+        case relCallRe(kind, a, b) => (kind, a, Option(b))
+        case kw if kw.contains("identifier") =>
+          val id = identifierKwRe.findFirstMatchIn(kw).map(_.group(1))
+            .getOrElse(throw new IllegalArgumentException(
+              s"get_relation kwargs without a quoted identifier: $arg"))
+          ("ref", id, None)
+        case other => throw new IllegalArgumentException(
+          s"load_relation/get_relation: unsupported argument '$other' — " +
+            "use this, ref(), source(), or identifier='name' kwargs")
+      }
+    }
+    // direct condition form first (no binding involved)
+    var sql = relExistCondRe.replaceAllIn(sql0, m => {
+      val (k, a, b) = parseArg(m.group(1))
+      val defined = lookup(k, a, b).isDefined
+      val wantNot = m.group(2) != null // `is not none`
+      if (defined == wantNot) "true" else "false"
+    })
+    // {% set rel = adapter.get_relation(...) %} bindings
+    val binds = Seq.newBuilder[(String, Option[String])]
+    sql = getRelSetRe.replaceAllIn(sql, m => {
+      val (k, a, b) = parseArg(m.group(2))
+      binds += m.group(1) -> lookup(k, a, b)
+      ""
+    })
+    binds.result().foreach { case (name, rel) =>
+      val condRe =
+        ("""\b""" + Regex.quote(name) + """\b\s+is\s+(not\s+)?none""").r
+      sql = condRe.replaceAllIn(sql, m => {
+        val wantNot = m.group(1) != null
+        if (rel.isDefined == wantNot) "true" else "false"
+      })
+      // splice only when the relation exists: a `{{ rel }}` inside a
+      // `{% if rel is not none %}` arm that just resolved false is DEAD
+      // text evalIfs prunes later — throwing here would misfire on it.
+      // A none-relation site that survives to a LIVE branch reaches the
+      // SQL parser as literal jinja and fails loudly there.
+      rel.foreach { text =>
+        val interpRe =
+          ("""\{\{\s*""" + Regex.quote(name) + """\s*\}\}""").r
+        sql = interpRe.replaceAllIn(sql, Regex.quoteReplacement(text))
+      }
+    }
+    sql
   }
 
   /** Render raw model SQL to executable Spark SQL (SURVEY §3.1 step 2). */
@@ -993,24 +1142,111 @@ object Compiler {
     * separately, or a comparison on an unresolved variable — left for
     * the SQL parser to reject loudly rather than mis-decided).
     */
+  /** Split a condition at top-level occurrences of a word operator
+    * (` and ` / ` or `), respecting quotes, brackets, and parens —
+    * `x == 'a and b'` must not split. Returns Nil when the operator
+    * never occurs at top level.
+    */
+  private def splitBoolOp(c: String, op: String): Seq[String] = {
+    val needle = s" $op "
+    val cuts = Seq.newBuilder[Int]
+    var depth = 0; var q: Char = 0; var i = 0
+    while (i < c.length) {
+      val ch = c.charAt(i)
+      if (q != 0) { if (ch == q) q = 0 }
+      else ch match {
+        case '\'' | '"' => q = ch
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ' ' if depth == 0 && c.regionMatches(i, needle, 0,
+            needle.length) => cuts += i
+        case _ => ()
+      }
+      i += 1
+    }
+    val at = cuts.result()
+    if (at.isEmpty) Nil
+    else {
+      val bounds = (-needle.length +: at) :+ c.length
+      bounds.sliding(2).map { case Seq(a, b) =>
+        c.substring(a + needle.length, b)
+      }.toSeq
+    }
+  }
+
   private def evalCond(c0: String): Option[Boolean] = {
     val c = c0.trim
-    if (c == "true") Some(true)
-    else if (c == "false") Some(false)
-    // dbt's `execute` flag: true while compiling the executable graph
-    // (the parse-phase false branch has no analogue here — expansion IS
-    // the execute phase), so `{% if execute %}` guards resolve open
-    else if (c == "execute") Some(true)
-    else if (c.startsWith("not ")) evalCond(c.stripPrefix("not ")).map(!_)
-    else {
-      val eq = c.split("==", 2)
-      val ne = c.split("!=", 2)
-      if (eq.length == 2 && !c.contains("!="))
-        for (a <- litTok(eq(0)); b <- litTok(eq(1))) yield a == b
-      else if (ne.length == 2)
-        for (a <- litTok(ne(0)); b <- litTok(ne(1))) yield a != b
+    // Jinja precedence: `or` binds loosest, then `and`, then `not`,
+    // then comparisons. Short-circuit three-valued: one decided-true
+    // arm decides an `or` even if a sibling is undecidable (and dually
+    // for `and`) — matching lazy Jinja, and deciding strictly more
+    // conditions than all-or-nothing evaluation would.
+    val orArms = splitBoolOp(c, "or")
+    if (orArms.nonEmpty) {
+      val vs = orArms.map(evalCond)
+      if (vs.exists(_.contains(true))) Some(true)
+      else if (vs.forall(_.contains(false))) Some(false)
       else None
+    } else {
+      val andArms = splitBoolOp(c, "and")
+      if (andArms.nonEmpty) {
+        val vs = andArms.map(evalCond)
+        if (vs.exists(_.contains(false))) Some(false)
+        else if (vs.forall(_.contains(true))) Some(true)
+        else None
+      }
+      // outer parens strip only when they wrap the WHOLE condition —
+      // `(a) == (b)` has a balanced-break inside and must not strip
+      else if (c.startsWith("(") && c.endsWith(")") &&
+          balancedParens(c.substring(1, c.length - 1)))
+        evalCond(c.substring(1, c.length - 1))
+      else if (c == "true") Some(true)
+      else if (c == "false") Some(false)
+      // dbt's `execute` flag: true while compiling the executable graph
+      // (the parse-phase false branch has no analogue here — expansion
+      // IS the execute phase), so `{% if execute %}` guards resolve open
+      else if (c == "execute") Some(true)
+      else if (c.startsWith("not ")) evalCond(c.stripPrefix("not ")).map(!_)
+      else {
+        val eq = c.split("==", 2)
+        val ne = c.split("!=", 2)
+        val inArms = splitInOp(c)
+        if (eq.length == 2 && !c.contains("!=") && !c.contains(" in "))
+          for (a <- litTok(eq(0)); b <- litTok(eq(1))) yield a == b
+        else if (ne.length == 2 && !c.contains(" in "))
+          for (a <- litTok(ne(0)); b <- litTok(ne(1))) yield a != b
+        else inArms match {
+          // `x [not] in ['a', 'b']` — Jinja membership over a literal list
+          case Some((lhs, neg, list)) =>
+            litTok(lhs).map { v =>
+              val members = parseListLiteral(list).map(stripQuotes)
+              members.contains(v) != neg
+            }
+          case None => None
+        }
+      }
     }
+  }
+
+  /** `lhs [not] in [list-literal]` → (lhs, negated, list text). */
+  private def splitInOp(c: String): Option[(String, Boolean, String)] = {
+    val m = """^(.*?)\s+(not\s+)?in\s+(\[[^\]]*\])$""".r
+    m.findFirstMatchIn(c.trim).map(x =>
+      (x.group(1), x.group(2) != null, x.group(3)))
+  }
+
+  private def balancedParens(s: String): Boolean = {
+    var depth = 0; var q: Char = 0
+    s.foreach { ch =>
+      if (q != 0) { if (ch == q) q = 0 }
+      else ch match {
+        case '\'' | '"' => q = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth < 0) return false
+        case _ => ()
+      }
+    }
+    depth == 0
   }
 
   private val ifHeadRe: Regex =

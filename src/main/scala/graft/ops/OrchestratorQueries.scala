@@ -534,6 +534,90 @@ object OrchestratorQueries {
       |  'ran' AS phase
       |FROM orders""".stripMargin
 
+  /** load_relation existence-guard lifecycle (reference `load_relation`
+    * / `adapter.get_relation` — manifest.json:1 macro surface, 121
+    * sites): run 1 finds no relation and takes the else arm; run 2 sees
+    * the built relation and takes the exists arm, overwriting with the
+    * rebuild projection. Final state ≡ the exists-arm query alone,
+    * which the oracle re-derives directly — proving the guard actually
+    * flipped between runs.
+    */
+  def loadRelationGuard(s: SparkSession, d: String): DataFrame = {
+    val root = freshRoot()
+    val modelSql =
+      """{% if load_relation(this) is not none %}
+        |SELECT n_nationkey, upper(n_name) AS n_name, 'rebuild' AS phase
+        |FROM {{ source('tpch', 'nation') }}
+        |{% else %}
+        |SELECT n_nationkey, n_name, 'first' AS phase
+        |FROM {{ source('tpch', 'nation') }}
+        |{% endif %}""".stripMargin
+    val project = Project(name = "demo_loadrel",
+      sources = Seq(SourceDef("tpch", "nation", s"$d/nation.parquet")),
+      models = Seq(ModelDef("nations_guarded", modelSql)))
+    val run1 = new Engine(s, project, Target(root, threads = 1))
+    require(run1.build()._1.forall(_.status == "success"))
+    val run2 = new Engine(s, project, Target(root, threads = 1))
+    require(run2.build()._1.forall(_.status == "success"))
+    run2.readModel("nations_guarded")
+  }
+
+  val loadRelationGuardSql: String =
+    "SELECT n_nationkey, upper(n_name) AS n_name, 'rebuild' AS phase " +
+      "FROM nation"
+
+  /** Model-level pre/post hooks parsed from the model's own inline
+    * config() block (reference `run_hooks` @59759; dbt pre_hook/
+    * post_hook): a comma-bearing quoted pre_hook and a LIST-valued
+    * post_hook — one entry probing `{{ this }}` — fire around the
+    * materialization. A mis-parsed hook (the naive comma split) or an
+    * unresolved `{{ this }}` fails the node, so the oracle-matched
+    * output proves the full parse→compile→execute path.
+    */
+  def modelHooks(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """{{ config(pre_hook='SELECT 1, 2',
+        |          post_hook=['SELECT 1', 'SELECT count(*) FROM {{ this }}']) }}
+        |SELECT n_regionkey, count(*) AS nations
+        |FROM {{ source('tpch', 'nation') }}
+        |GROUP BY n_regionkey""".stripMargin
+    val project = Project(name = "demo_hooks",
+      sources = Seq(SourceDef("tpch", "nation", s"$d/nation.parquet")),
+      models = Seq(ModelDef("region_counts", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("region_counts")
+  }
+
+  val modelHooksSql: String =
+    "SELECT n_regionkey, count(*) AS nations FROM nation GROUP BY n_regionkey"
+
+  /** adapter.get_columns_in_relation end-to-end (23 sites in the
+    * reference manifest's macros): a downstream model enumerates its
+    * upstream's columns at compile time and emits one aliased
+    * projection per column — the schema-driven codegen idiom. The
+    * oracle re-states the expansion statically, so a wrong column set,
+    * order, or alias hash-mismatches.
+    */
+  def getColumnsLoop(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_getcols",
+      sources = Seq(SourceDef("tpch", "nation", s"$d/nation.parquet")),
+      models = Seq(
+        ModelDef("stg_nat",
+          "SELECT n_nationkey, n_name FROM {{ source('tpch', 'nation') }}"),
+        ModelDef("nat_wide",
+          """{% set cols = adapter.get_columns_in_relation(ref('stg_nat')) %}
+            |SELECT {% for c in cols %}{{ c.name }} AS {{ c.name }}_{{ c.dtype }}{% if not loop.last %}, {% endif %}{% endfor %}
+            |FROM {{ ref('stg_nat') }}""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("nat_wide")
+  }
+
+  val getColumnsLoopSql: String =
+    "SELECT n_nationkey AS n_nationkey_int, n_name AS n_name_string " +
+      "FROM nation"
+
   /** dbt-NATIVE project ingestion end-to-end (the reference repo's own
     * layout — dbt_project.yml:1, models/sources.yml:1): an on-disk
     * project with dbt_project.yml (+materialized config tree, vars),

@@ -6,7 +6,7 @@ import scala.util.matching.Regex
 import graft.compile.Compiler
 import graft.core.{ModelConfig, SnapshotStrategy}
 import graft.dqtests.SchemaTests
-import MiniYaml.{Obj, Scalar}
+import MiniYaml.{Arr, Obj, Scalar}
 
 /** dbt-NATIVE project ingestion: a directory with `dbt_project.yml` at
   * its root (the reference repo's own layout —
@@ -87,6 +87,13 @@ object DbtProjectLoader {
     // ------------------------- models + the dbt_project.yml config tree
     def plusKv(o: Obj): Map[String, String] = o.entries.collect {
       case (k, Scalar(v)) if k.startsWith("+") => k.drop(1) -> v
+      // hook configs may be yml LISTS of SQL statements — encode them
+      // HookSep-joined, the multi-hook convention applyConfigKv decodes
+      // (`|`/`,` occur in real SQL,  cannot)
+      case (k, Arr(items)) if k.startsWith("+") &&
+          Compiler.hookKeys.contains(k.drop(1)) =>
+        k.drop(1) -> items.collect { case Scalar(v) => v }
+          .mkString(Compiler.HookSep)
       // flow-mapping configs (e.g. +column_types: {id: bigint}) handled
       // by the dedicated seeds walk; scalar configs only here
     }.toMap
@@ -251,6 +258,10 @@ object DbtProjectLoader {
             .foreach(d => descriptions += mName -> d)
           m.obj("config").foreach(c => ymlCfg += mName -> c.entries.collect {
             case (k, Scalar(v)) => k -> v
+            // hook lists, HookSep-joined (see plusKv)
+            case (k, Arr(items)) if Compiler.hookKeys.contains(k) =>
+              k -> items.collect { case Scalar(v) => v }
+                .mkString(Compiler.HookSep)
           }.toMap)
           m.arr("columns").zipWithIndex.foreach {
             case (c: Obj, i) =>

@@ -542,8 +542,46 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       // guards close FIRST for the same reason.
       val sqlIncr = Compiler.resolveIncrementalBlocks(
         Compiler.resolveExecuteBlocks(sql0, executeMode), ctx.isIncremental)
-      val (sqlRq, tables) = Compiler.resolveRunQueries(sqlIncr,
+      // relation-existence introspection (load_relation /
+      // adapter.get_relation + `is [not] none`) resolves BEFORE probes
+      // for the same laziness reason — the canonical existence guard
+      // wraps a probe of the maybe-missing relation. Parse phase
+      // returns None for everything, exactly dbt's contract.
+      val sqlRel =
+        if (!Compiler.hasRelationLookups(sqlIncr)) sqlIncr
+        else Compiler.resolveRelationLookups(sqlIncr, (kind, a, b) =>
+          if (!executeMode) None
+          else kind match {
+            case "this" =>
+              val r = relationFor(m.name)
+              if (warehouse.exists(r)) Some(Compiler.pathRelation(
+                r.pathUnder(target.warehouseRoot))) else None
+            case "ref" =>
+              val r = relationFor(a)
+              if (warehouse.exists(r)) Some(Compiler.pathRelation(
+                r.pathUnder(target.warehouseRoot))) else None
+            case "source" =>
+              val sd = project.sources.find(x =>
+                x.sourceName == a && x.tableName == b.getOrElse(""))
+              sd.filter(d => java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(d.path)))
+                .map(_ => sourceText(a, b.get))
+            case other => throw new IllegalArgumentException(
+              s"relation lookup kind '$other' unsupported")
+          })
+      val (sqlRq0, tables0) = Compiler.resolveRunQueries(sqlRel,
         (kind, a, b) => introRelText(kind, a, b, "run_query"), execRunQuery)
+      // adapter.get_columns_in_relation bindings ride the same
+      // QueryResult machinery (rows = (name, dtype) per column);
+      // parse phase binds [] — dbt's execute=false contract
+      val (sqlRq, colTables) = Compiler.resolveGetColumns(sqlRq0,
+        (kind, a, b) =>
+          if (!executeMode) Nil
+          else spark.sql(warehouse.resolveSql(
+            s"SELECT * FROM ${introRelText(kind, a, b,
+              "get_columns_in_relation")} LIMIT 0")).schema.fields
+            .map(f => f.name -> f.dataType.sql.toLowerCase).toSeq)
+      val tables = tables0 ++ colTables
       val sql = Compiler.resolveColumnValues(sqlRq, (kind, a, b, column, maxN) =>
         // dbt-utils parity: default order is count(*) DESC (the pivot
         // columns land most-frequent-first); the value itself is the

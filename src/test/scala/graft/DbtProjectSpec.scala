@@ -271,4 +271,55 @@ class DbtProjectSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](ProjectLoader.load(proj.toString))
     assert(e3.getMessage.contains("orphan"), e3.getMessage)
   }
+
+  test("model hooks load from the +pre-hook tree, schema.yml config, and inline config()") {
+    val proj = Files.createTempDirectory("graft_hooks")
+    put(proj, "dbt_project.yml",
+      """name: hookdemo
+        |version: '1'
+        |models:
+        |  hookdemo:
+        |    +post-hook:
+        |      - 'SELECT 1'
+        |      - 'SELECT count(*), 1 FROM {{ this }}'
+        |""".stripMargin)
+    put(proj, "models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |""".stripMargin)
+    // tree hook (list) + schema.yml scalar hook + inline pre_hook
+    put(proj, "models/a.sql",
+      "{{ config(pre_hook='SELECT 1, 2') }}\n" +
+        "SELECT n_nationkey FROM {{ source('tpch', 'nation') }}")
+    put(proj, "models/b.sql",
+      "SELECT n_name FROM {{ source('tpch', 'nation') }}")
+    put(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: b
+        |    config:
+        |      pre_hook: 'SELECT 42'
+        |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    val a = p.models.find(_.name == "a").get
+    val b = p.models.find(_.name == "b").get
+    // tree-level post-hooks land on every model in the project subtree
+    assert(a.config.postHooks ==
+      Seq("SELECT 1", "SELECT count(*), 1 FROM {{ this }}"))
+    assert(b.config.postHooks == a.config.postHooks)
+    assert(b.config.preHooks == Seq("SELECT 42"))
+    // the inline config() refines at Engine.effectiveConfig time
+    val eff = graft.compile.Compiler.parseInlineConfig(a.rawSql, a.config)
+    assert(eff.preHooks == Seq("SELECT 1, 2"))
+    assert(eff.postHooks == a.config.postHooks) // inline didn't touch them
+    // and the project BUILDS with all hooks firing
+    val e = new Engine(spark, p, Target(
+      Files.createTempDirectory("graft_hooks_wh").toString))
+    assert(e.build()._1.map(_.status).forall(_ == "success"))
+  }
 }

@@ -447,6 +447,135 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(refs.toSet == Set("up", "up2"))
   }
 
+  // -------------------------------- load_relation / adapter.get_relation
+
+  test("load_relation: direct `is [not] none` conditions resolve to literals") {
+    val lookup: (String, String, Option[String]) => Option[String] = {
+      case ("ref", "built", None) => Some("wh.built")
+      case _ => None
+    }
+    val t = "{% if load_relation(ref('built')) is not none %}A{% else %}B{% endif %}" +
+      "{% if load_relation(ref('missing')) is none %}C{% endif %}" +
+      "{% if adapter.get_relation(database=target.database, schema='s', identifier='missing') is not none %}D{% else %}E{% endif %}"
+    val resolved = Compiler.resolveRelationLookups(t, lookup)
+    assert(Compiler.expandControlFlow(resolved) == "ACE", resolved)
+  }
+
+  test("get_relation: set binding drives conditions and splices relation text") {
+    val lookup: (String, String, Option[String]) => Option[String] = {
+      case ("ref", "built", None) => Some("parquet.`/wh/built`")
+      case _ => None
+    }
+    val t = "{% set rel = adapter.get_relation(identifier='built') %}" +
+      "{% if rel is not none %}SELECT * FROM {{ rel }}{% else %}SELECT 1{% endif %}"
+    val got = Compiler.expandControlFlow(Compiler.resolveRelationLookups(t, lookup))
+    assert(got == "SELECT * FROM parquet.`/wh/built`", got)
+    // the none case takes the else arm; the dead {{ rel }} site prunes
+    val lookupNone: (String, String, Option[String]) => Option[String] =
+      (_, _, _) => None
+    val got2 = Compiler.expandControlFlow(Compiler.resolveRelationLookups(t, lookupNone))
+    assert(got2 == "SELECT 1", got2)
+  }
+
+  test("load_relation: this and source forms parse; unsupported arg fails loudly") {
+    var seen: Option[(String, String, Option[String])] = None
+    val spy: (String, String, Option[String]) => Option[String] =
+      (k, a, b) => { seen = Some((k, a, b)); None }
+    Compiler.resolveRelationLookups(
+      "{% if load_relation(this) is none %}A{% endif %}", spy)
+    assert(seen.contains(("this", "", None)))
+    Compiler.resolveRelationLookups(
+      "{% if load_relation(source('s', 't')) is none %}A{% endif %}", spy)
+    assert(seen.contains(("source", "s", Some("t"))))
+    intercept[IllegalArgumentException] {
+      Compiler.resolveRelationLookups(
+        "{% set r = adapter.get_relation(some_python_expr) %} r is none", spy)
+    }
+  }
+
+  // ------------------------------------ compound condition evaluation
+
+  test("conditions: and/or with Jinja precedence (or loosest) and parens") {
+    def e(cond: String): String = Compiler.expandControlFlow(
+      s"{% if $cond %}Y{% else %}N{% endif %}")
+    assert(e("'a' == 'a' and 'b' == 'b'") == "Y")
+    assert(e("'a' == 'a' and 'b' == 'c'") == "N")
+    assert(e("'a' == 'x' or 'b' == 'b'") == "Y")
+    // precedence: a or (b and c), not (a or b) and c
+    assert(e("'1' == '1' or '2' == '2' and '3' == '4'") == "Y")
+    assert(e("('1' == '1' or '2' == '2') and '3' == '4'") == "N")
+    assert(e("not ('a' == 'b')") == "Y")
+    // a quoted ' and ' never splits
+    assert(e("'x and y' == 'x and y'") == "Y")
+  }
+
+  test("conditions: short-circuit decides around undecidable arms, fail-loud otherwise") {
+    def e(cond: String): String = Compiler.expandControlFlow(
+      s"{% if $cond %}Y{% else %}N{% endif %}")
+    // a decided-true arm decides the or even with an undecidable sibling
+    assert(e("'a' == 'a' or some_python_thing()") == "Y")
+    assert(e("some_python_thing() and 'a' == 'b'") == "N")
+    // undecidable overall → block passes through for the loud downstream
+    val t = "{% if mystery() or other() %}Y{% endif %}"
+    assert(Compiler.expandControlFlow(t) == t)
+  }
+
+  test("conditions: membership `in` / `not in` over literal lists") {
+    def e(cond: String): String = Compiler.expandControlFlow(
+      s"{% if $cond %}Y{% else %}N{% endif %}")
+    assert(e("'b' in ['a', 'b', 'c']") == "Y")
+    assert(e("'z' in ['a', 'b']") == "N")
+    assert(e("'z' not in ['a', 'b']") == "Y")
+    // loop-variable membership — the everyday macro shape
+    val t = "{% for s in ['O', 'F', 'X'] %}" +
+      "{% if s in ['O', 'F'] %}{{ s }}{% endif %}{% endfor %}"
+    assert(Compiler.expandControlFlow(t) == "OF")
+  }
+
+  // -------------------------------- adapter.get_columns_in_relation
+
+  test("get_columns_in_relation: binds (name, dtype) rows the loop machinery iterates") {
+    val fetch: (String, String, Option[String]) => Seq[(String, String)] = {
+      case ("ref", "m", None) => Seq("id" -> "bigint", "name" -> "string")
+      case x => fail(s"unexpected fetch $x")
+    }
+    val t = "{% set cols = adapter.get_columns_in_relation(ref('m')) %}" +
+      "SELECT {% for c in cols %}{{ c.name }} /* {{ c.dtype }} */" +
+      "{% if not loop.last %}, {% endif %}{% endfor %} FROM m"
+    val (stripped, tables) = Compiler.resolveGetColumns(t, fetch)
+    val got = Compiler.expandControlFlow(stripped, tables = tables)
+    assert(got == "SELECT id /* bigint */, name /* string */ FROM m", got)
+  }
+
+  test("get_columns_in_relation: empty binding (parse phase) renders zero iterations") {
+    val t = "{% set cols = adapter.get_columns_in_relation(this) %}" +
+      "SELECT 1{% for c in cols %}, {{ c.name }}{% endfor %}"
+    val (stripped, tables) =
+      Compiler.resolveGetColumns(t, (_, _, _) => Nil)
+    assert(Compiler.expandControlFlow(stripped, tables = tables) == "SELECT 1")
+  }
+
+  // ------------------------------------------ model hook config parsing
+
+  test("config(): pre_hook/post_hook parse — quoted commas survive, lists bind in order") {
+    val sql = "{{ config(materialized='table', " +
+      "pre_hook='insert into audit values (1, 2)', " +
+      "post_hook=['select 1', 'select 2, 3']) }}\nSELECT 1"
+    val cfg = Compiler.parseInlineConfig(sql, graft.core.ModelConfig())
+    assert(cfg.materialized == "table")
+    assert(cfg.preHooks == Seq("insert into audit values (1, 2)"))
+    assert(cfg.postHooks == Seq("select 1", "select 2, 3"))
+  }
+
+  test("config(): non-hook keys still parse through the splitArgs path") {
+    val sql = "{{ config(materialized='incremental', unique_key='id', " +
+      "partition_by='d', incremental_predicates='ts > 1') }}\nSELECT 1"
+    val cfg = Compiler.parseInlineConfig(sql, graft.core.ModelConfig())
+    assert(cfg.materialized == "incremental")
+    assert(cfg.uniqueKey == Seq("id") && cfg.partitionBy == Seq("d"))
+    assert(cfg.incrementalPredicates == Seq("ts > 1"))
+  }
+
   // --------------------------------------------- block-form {% set %}
 
   test("endset: block captures text and splices at interpolation sites") {

@@ -826,6 +826,50 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(nodes.map(_.status).forall(_ == "success"))
   }
 
+  test("hooks parsed from the inline config() block execute — and a failing hook fails the node") {
+    // comma-bearing quoted hook + list-valued post_hook, straight from
+    // the model file's own {{ config() }} (the dbt spelling)
+    val ok = baseProject.copy(models = Seq(ModelDef("nations",
+      "{{ config(pre_hook='SELECT 1, 2', " +
+        "post_hook=['SELECT 1', 'SELECT count(*) FROM {{ this }}']) }}\n" +
+        "SELECT n_nationkey, n_name FROM {{ source('tpch', 'nation') }}")))
+    val e1 = new Engine(spark, ok, Target(root()))
+    assert(e1.build()._1.map(_.status).forall(_ == "success"))
+    // a post_hook against a missing relation PROVES hooks execute: the
+    // node fails even though the model SQL itself is fine
+    val bad = baseProject.copy(models = Seq(ModelDef("nations",
+      "{{ config(post_hook='SELECT * FROM nonexistent_audit_xyz') }}\n" +
+        "SELECT n_nationkey FROM {{ source('tpch', 'nation') }}")))
+    val e2 = new Engine(spark, bad, Target(root()))
+    val (nodes, _) = e2.build()
+    assert(nodes.exists(n => n.name == "nations" && n.status == "error"),
+      nodes.map(n => s"${n.name}:${n.status}").mkString(", "))
+  }
+
+  test("load_relation(this) guard: else-arm on first build, exists-arm on rebuild, none in parse phase") {
+    val p = baseProject.copy(models = Seq(ModelDef("guard",
+      """{% if load_relation(this) is not none %}
+        |SELECT 'rebuild' AS phase, n_nationkey FROM {{ source('tpch', 'nation') }}
+        |{% else %}
+        |SELECT 'first' AS phase, n_nationkey FROM {{ source('tpch', 'nation') }}
+        |{% endif %}""".stripMargin)))
+    val r = root()
+    val e = new Engine(spark, p, Target(r))
+    // parse-phase artifact: load_relation is None regardless of state
+    assert(e.compiledModels("guard").contains("'first'"))
+    assert(e.build()._1.map(_.status).forall(_ == "success"))
+    assert(e.readModel("guard").select("phase").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("first"))
+    // relation now exists → the guard flips
+    val e2 = new Engine(spark, p, Target(r))
+    assert(e2.build()._1.map(_.status).forall(_ == "success"))
+    assert(e2.readModel("guard").select("phase").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("rebuild"))
+    // but the compile ARTIFACT stays parse-phase (dbt renders target/
+    // compiled with execute=false even when the relation exists)
+    assert(e2.compiledModels("guard").contains("'first'"))
+  }
+
   test("store_failures persists failing rows as a warehouse relation") {
     val p = baseProject.copy(tests = Seq(
       TestDef("stored_fail", "nations", df => df.limit(2),
