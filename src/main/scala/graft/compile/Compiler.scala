@@ -33,6 +33,16 @@ object Compiler {
   private val varRe: Regex =
     """\{\{\s*var\(\s*'([^']+)'(?:\s*,\s*('[^']*'|[^)]*?))?\s*\)\s*\}\}""".r
   private val thisRe: Regex = """\{\{\s*this\s*\}\}""".r
+  // `{{ this.database/schema/identifier }}` (+ dbt's name/table
+  // aliases) — relation-coordinate accessors; the GRANT-in-post_hook
+  // and audit-column idioms qualify identifiers piecewise instead of
+  // splicing the whole relation text
+  private val thisAttrRe: Regex =
+    """\{\{\s*this\.(database|schema|identifier|name|table)\s*\}\}""".r
+  // `{{ adapter.quote('col') }}` — engine-dialect identifier quoting
+  // (Spark SQL backticks)
+  private val adapterQuoteRe: Regex =
+    """\{\{\s*adapter\.quote\(\s*'([^']+)'\s*\)\s*\}\}""".r
   // dbt `{{ target.name/schema/database }}` — deployment coordinates in
   // model SQL (env-switching audit columns, schema-qualified literals)
   private val targetRe: Regex =
@@ -658,6 +668,10 @@ object Compiler {
         throw new IllegalArgumentException(
           s"cross-project ref('$p', '$m') has no registered dependency"),
       thisTarget: String,               // the model's own relation text
+      // `this.database/schema/identifier` coordinate values (dbt's
+      // Relation attributes; name/table alias identifier). Empty map →
+      // any this.<attr> site fails loudly naming the context.
+      thisVals: Map[String, String] = Map.empty,
       env: Map[String, String],
       isIncremental: Boolean,
       // project vars (dbt_project.yml `vars:` merged under any --vars
@@ -885,6 +899,18 @@ object Compiler {
           .getOrElse(throw new IllegalArgumentException(
             s"var '${m.group(1)}' unset, no default"))
       })))
+    sql = thisAttrRe.replaceAllIn(sql, m => {
+      val key = m.group(1) match {
+        case "name" | "table" => "identifier" // dbt aliases
+        case k => k
+      }
+      Regex.quoteReplacement(ctx.thisVals.getOrElse(key,
+        throw new IllegalArgumentException(
+          s"this.${m.group(1)} has no value in this context " +
+            s"(available: ${ctx.thisVals.keys.toSeq.sorted.mkString(", ")})")))
+    })
+    sql = adapterQuoteRe.replaceAllIn(sql,
+      m => Regex.quoteReplacement("`" + m.group(1) + "`"))
     sql = thisRe.replaceAllIn(sql, Regex.quoteReplacement(ctx.thisTarget))
     sql = targetRe.replaceAllIn(sql, m =>
       Regex.quoteReplacement(ctx.targetVals.getOrElse(m.group(1),
@@ -987,6 +1013,10 @@ object Compiler {
     ("""(?s)\{%-?\s*for\s+([A-Za-z_]\w*)\s+in\s+""" +
       """(\[[^\]]*\]|range\(\s*\d+\s*(?:,\s*\d+\s*)?\)|""" +
       """[A-Za-z_]\w*(?:\.columns\[\d+\]\.values\(\)|\['[^']+'\]|\.[A-Za-z_]\w*)?)""" +
+      // optional Jinja loop filter: {% for x in xs if <cond> %} — the
+      // filtered sequence is what loop.index/first/last see (Jinja
+      // numbers survivors, not the raw iterable)
+      """(?:\s+if\s+((?:(?!-?%\}).)*?))?""" +
       """\s*-?%\}((?:(?!\{%-?\s*for\s).)*?)\{%-?\s*endfor\s*-?%\}""").r
   // `rs.columns[0].values()` — the agate-table column accessor of dbt's
   // run_query results, usable as a loop iterable or (with a reducing
@@ -1418,14 +1448,27 @@ object Compiler {
     var changed = true
     while (changed && depth < maxDepth) {
       val afterFor = forRe.replaceAllIn(sql, m => {
-        val (v, listTxt, body) = (m.group(1), m.group(2), m.group(3))
+        val (v, listTxt, body) = (m.group(1), m.group(2), m.group(4))
+        val filt = Option(m.group(3)).map(_.trim).filter(_.nonEmpty)
         val n0 = tables.get(listTxt).map(_.rows.size)
         // loop.* resolve both as interpolations ({{ loop.index }}) and
         // as bare condition tokens ({% if not loop.last %})
         def loopVal(which: String, value: String, b: String): String =
           ("""\{\{\s*loop\.""" + which + """\s*\}\}""").r
             .replaceAllIn(b, value).replace("loop." + which, value)
-        def renderScalar(items: Seq[String]): String = {
+        // loop filter over a SCALAR item: the bare variable substitutes
+        // as a quoted literal, then the condition must decide — a
+        // filter this subset cannot evaluate fails loudly rather than
+        // silently keeping everything
+        def keepScalar(it: String): Boolean = filt.forall { f =>
+          val quoted = "'" + it.replace("'", "''") + "'"
+          val cond = ("""\b""" + Regex.quote(v) + """\b""").r
+            .replaceAllIn(f, Regex.quoteReplacement(quoted))
+          evalCond(cond).getOrElse(throw new IllegalArgumentException(
+            s"for-loop filter '$f' is undecidable for item '$it'"))
+        }
+        def renderScalar(items0: Seq[String]): String = {
+          val items = items0.filter(keepScalar) // Jinja: filter THEN number
           val n = items.size
           items.zipWithIndex.map { case (it, i) =>
             var b = substInterp(v, it, body) // {{ x }} and {{ x | lower }}
@@ -1442,8 +1485,26 @@ object Compiler {
             require(!t.dict, s"'$name' is a get_query_results_as_dict " +
               s"binding — iterate a column: $name['${t.columns.headOption
                 .getOrElse("col")}']")
-            val n = t.rows.size
-            t.rows.zipWithIndex.map { case (row, i) =>
+            // row-loop filter: bare `r.col` / `r['col']` accessors in
+            // the condition substitute as quoted literals, then decide
+            val rows = t.rows.filter { row =>
+              filt.forall { f =>
+                val accRe = ("""\b""" + Regex.quote(v) +
+                  """(?:\.([A-Za-z_]\w*)|\['([^']+)'\])""").r
+                val cond = accRe.replaceAllIn(f, am => {
+                  val cn = Option(am.group(1)).getOrElse(am.group(2))
+                  val ci = t.columns.indexWhere(_.equalsIgnoreCase(cn))
+                  require(ci >= 0, s"row has no column '$cn' " +
+                    s"(columns: ${t.columns.mkString(", ")})")
+                  Regex.quoteReplacement(
+                    "'" + row(ci).replace("'", "''") + "'")
+                })
+                evalCond(cond).getOrElse(throw new IllegalArgumentException(
+                  s"for-loop filter '$f' is undecidable"))
+              }
+            }
+            val n = rows.size
+            rows.zipWithIndex.map { case (row, i) =>
               var b = substRowAccessors(v, t.columns, row, body)
               b = loopVal("index", (i + 1).toString, b)
               b = loopVal("first", if (i == 0) "true" else "false", b)
@@ -1604,12 +1665,14 @@ object Compiler {
   private[graft] def splitArgs(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
-    var depth = 0; var inQ = false
+    var depth = 0; var q: Char = 0 // current quote char, 0 = outside
     s.foreach {
-      case '\'' => inQ = !inQ; sb.append('\'')
-      case c @ ('(' | '[') if !inQ => depth += 1; sb.append(c)
-      case c @ (')' | ']') if !inQ => depth -= 1; sb.append(c)
-      case ',' if !inQ && depth == 0 => out += sb.result(); sb.clear()
+      case c @ ('\'' | '"') =>
+        if (q == 0) q = c else if (q == c) q = 0
+        sb.append(c)
+      case c @ ('(' | '[') if q == 0 => depth += 1; sb.append(c)
+      case c @ (')' | ']') if q == 0 => depth -= 1; sb.append(c)
+      case ',' if q == 0 && depth == 0 => out += sb.result(); sb.clear()
       case c => sb.append(c)
     }
     out += sb.result()

@@ -577,7 +577,8 @@ object OrchestratorQueries {
   def modelHooks(s: SparkSession, d: String): DataFrame = {
     val modelSql =
       """{{ config(pre_hook='SELECT 1, 2',
-        |          post_hook=['SELECT 1', 'SELECT count(*) FROM {{ this }}']) }}
+        |          post_hook=['SELECT count(*) FROM {{ this }}',
+        |                     "SELECT '{{ this.schema }}.{{ this.name }}'"]) }}
         |SELECT n_regionkey, count(*) AS nations
         |FROM {{ source('tpch', 'nation') }}
         |GROUP BY n_regionkey""".stripMargin
@@ -617,6 +618,33 @@ object OrchestratorQueries {
   val getColumnsLoopSql: String =
     "SELECT n_nationkey AS n_nationkey_int, n_name AS n_name_string " +
       "FROM nation"
+
+  /** Jinja loop filter (`{% for x in xs if cond %}`) end-to-end: the
+    * filtered pivot idiom — flag columns generated for every status
+    * EXCEPT the filtered one, with `loop`-free membership and `!=`
+    * conditions deciding at compile time. The oracle restates the
+    * surviving expansion; a filter that silently kept or dropped the
+    * wrong item changes the schema and hash-fails.
+    */
+  def loopFilter(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """{% set statuses = ['O', 'F', 'P'] %}
+        |SELECT o_orderkey{% for st in statuses if st != 'P' %},
+        |  CASE WHEN o_orderstatus = '{{ st }}' THEN 1 ELSE 0 END AS is_{{ st | lower }}{% endfor %}
+        |FROM {{ source('tpch', 'orders') }}""".stripMargin
+    val project = Project(name = "demo_loopfilt",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("order_flags", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("order_flags")
+  }
+
+  val loopFilterSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_o,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
+      |FROM orders""".stripMargin
 
   /** dbt-NATIVE project ingestion end-to-end (the reference repo's own
     * layout — dbt_project.yml:1, models/sources.yml:1): an on-disk

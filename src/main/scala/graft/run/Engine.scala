@@ -487,6 +487,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       sourceTarget = (s, t) => emptyWrap(sourceText(s, t)),
       crossRefTarget = (p, mm) => emptyWrap(crossRefText(p, mm)),
       thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
+      thisVals = Map("database" -> self.database,
+        "schema" -> self.schema, "identifier" -> self.identifier),
       env = target.env,
       isIncremental = isIncr,
       vars = mergedVars,
@@ -647,6 +649,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         sourceTarget = (s, t) => sourceText(s, t),
         thisTarget = Compiler.pathRelation(
           relationFor(modelName).pathUnder(target.warehouseRoot)),
+        thisVals = {
+          val r = relationFor(modelName)
+          Map("database" -> r.database, "schema" -> r.schema,
+            "identifier" -> r.identifier)
+        },
         env = target.env, isIncremental = false,
         vars = mergedVars))))
       ()

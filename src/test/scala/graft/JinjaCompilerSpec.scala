@@ -493,6 +493,53 @@ class JinjaCompilerSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------ loop filters
+
+  test("loop filter: {% for x in xs if cond %} numbers the survivors") {
+    val t = "{% for s in ['O', 'F', 'P'] if s != 'F' %}" +
+      "{{ s }}{{ loop.index }}{% if not loop.last %},{% endif %}{% endfor %}"
+    // F filtered out BEFORE numbering: O is 1, P is 2 (and last)
+    assert(Compiler.expandControlFlow(t) == "O1,P2")
+  }
+
+  test("loop filter: membership and compound conditions filter rows of a run_query binding") {
+    val rs = Compiler.QueryResult(IndexedSeq("st", "n"),
+      IndexedSeq(IndexedSeq("O", "10"), IndexedSeq("F", "3"),
+        IndexedSeq("P", "7")))
+    val t = "{% for r in rs if r.st in ['O', 'P'] and r.n != '7' %}" +
+      "{{ r.st }}:{{ r.n }}{% endfor %}"
+    assert(Compiler.expandControlFlow(t, tables = Map("rs" -> rs)) == "O:10")
+  }
+
+  test("loop filter: undecidable filter fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Compiler.expandControlFlow(
+        "{% for s in ['a'] if mystery(s) %}{{ s }}{% endfor %}")
+    }
+    assert(e.getMessage.contains("undecidable"), e.getMessage)
+  }
+
+  // ------------------------- this.* accessors and adapter.quote
+
+  test("this.schema/this.name resolve coordinates; adapter.quote backticks") {
+    val c = Compiler.ResolveCtx(refTarget = identity,
+      sourceTarget = (_, t) => t, thisTarget = "parquet.`/wh/a/m/x`",
+      thisVals = Map("database" -> "a", "schema" -> "m",
+        "identifier" -> "x"),
+      env = Map.empty, isIncremental = false)
+    val got = Compiler.compile(
+      "SELECT '{{ this.database }}.{{ this.schema }}.{{ this.name }}' AS fq, " +
+        "{{ adapter.quote('from') }} FROM {{ this }}", c)
+    assert(got == "SELECT 'a.m.x' AS fq, `from` FROM parquet.`/wh/a/m/x`",
+      got)
+    // an attr with no value in context fails loudly, naming what exists
+    val bare = c.copy(thisVals = Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      Compiler.compile("SELECT {{ this.schema }}", bare)
+    }
+    assert(e.getMessage.contains("this.schema"), e.getMessage)
+  }
+
   // ------------------------------------ compound condition evaluation
 
   test("conditions: and/or with Jinja precedence (or loosest) and parens") {
