@@ -1622,18 +1622,76 @@ object Compiler {
       val name = m.group(1)
       require(!ReservedMacroNames.contains(name),
         s"macro '$name' shadows a builtin")
-      val params = m.group(2).split(",").iterator.map(_.trim)
-        .filter(_.nonEmpty).map { p =>
-          p.split("=", 2) match {
-            case Array(n, d) =>
-              n.trim -> Some(d.trim.stripPrefix("'").stripSuffix("'"))
-            case Array(n) => n.trim -> None
-          }
-        }.toSeq
-      require(params.map(_._1).distinct.size == params.size,
-        s"macro '$name' has duplicate params")
+      MacroDef(name, parseParams(name, m.group(2)), m.group(3).trim)
+    }.toSeq
+
+  /** Parse a macro/test signature's parameter list (`p1, p2='default'`). */
+  private def parseParams(owner: String,
+                          s: String): Seq[(String, Option[String])] = {
+    val params = s.split(",").iterator.map(_.trim)
+      .filter(_.nonEmpty).map { p =>
+        p.split("=", 2) match {
+          case Array(n, d) =>
+            n.trim -> Some(d.trim.stripPrefix("'").stripSuffix("'"))
+          case Array(n) => n.trim -> None
+        }
+      }.toSeq
+    require(params.map(_._1).distinct.size == params.size,
+      s"'$owner' has duplicate params")
+    params
+  }
+
+  // dbt GENERIC ("schema") test definitions: `{% test name(model,
+  // column_name, ...) %} body {% endtest %}` — dbt-core sugar for a
+  // macro named `test_<name>` whose rendered result set is the FAILING
+  // rows. Referenced from schema.yml `tests:` entries by bare name or
+  // with kwargs (`- my_test: {k: v}`); dbt binds `model` to the tested
+  // relation and `column_name` for column-scoped uses.
+  private val testBlockRe: Regex =
+    """(?s)\{%-?\s*test\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endtest\s*-?%\}""".r
+
+  /** Parse every generic-test block in `text` (macro-dir `.sql` files
+    * mix `{% macro %}` and `{% test %}` blocks freely, as in dbt).
+    */
+  def parseGenericTests(text: String): Seq[MacroDef] =
+    testBlockRe.findAllMatchIn(text).map { m =>
+      val name = m.group(1)
+      val params = parseParams(s"test $name", m.group(2))
+      require(params.headOption.exists(_._1 == "model"),
+        s"generic test '$name': first parameter must be 'model'")
       MacroDef(name, params, m.group(3).trim)
     }.toSeq
+
+  /** Render a generic test invocation to templated SQL: every declared
+    * param binds from `bindings` (or its signature default) — `model`
+    * arrives as the owner's `{{ ref(...) }}`/`{{ source(...) }}` text so
+    * the downstream compile resolves it like any model SQL. `{{ p }}`
+    * sites interpolate (with filter chains); a LIST-valued binding
+    * additionally substitutes at `{% for x in p %}` iterable sites so
+    * loop-shaped tests expand. Unknown binding names fail loudly (dbt's
+    * parse-time kwargs check).
+    */
+  def renderGenericTest(mac: MacroDef,
+                        bindings: Map[String, String]): String = {
+    val declared = mac.params.map(_._1).toSet
+    val unknown = bindings.keySet -- declared
+    require(unknown.isEmpty,
+      s"test '${mac.name}': unknown argument(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} — takes " +
+        mac.params.map(_._1).mkString(", "))
+    var body = mac.body
+    mac.params.foreach { case (p, dflt) =>
+      val v = bindings.getOrElse(p, dflt.getOrElse(
+        throw new IllegalArgumentException(
+          s"test '${mac.name}': missing argument '$p'")))
+      if (v.trim.startsWith("["))
+        body = ("""(\{%-?\s*for\s+\w+\s+in\s+)""" + Regex.quote(p) +
+          """\b""").r.replaceAllIn(body,
+            mm => Regex.quoteReplacement(mm.group(1) + v))
+      body = substInterp(p, v, body)
+    }
+    body
+  }
 
   // dbt docs blocks (`{% docs name %}…{% enddocs %}` in project .md
   // files) and their `{{ doc('name') }}` reference sites in

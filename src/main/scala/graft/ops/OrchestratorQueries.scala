@@ -646,6 +646,69 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** Custom GENERIC test (`{% test %}` block) end-to-end through the
+    * dbt-native loader: a macro-dir test definition with a defaulted
+    * parameter, bound to a column in schema.yml with a kwarg override +
+    * store_failures — the stored failure relation is the
+    * oracle-comparable result set. Covers dbt's test-block sugar
+    * (reference-era dbt `{% test %}` = `{% macro test_<name> %}`),
+    * kwarg binding, severity config separation, and the singular-test
+    * evaluation path.
+    */
+  def genericTest(s: SparkSession, d: String): DataFrame = {
+    val proj = Files.createTempDirectory("graft_generic_test")
+    def put(name: String, text: String): Unit = {
+      val p = proj.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("dbt_project.yml", "name: 'demo_gentest'\nconfig-version: 2\n")
+    put("macros/assertions.sql",
+      """{% test value_at_least(model, column_name, floor=0) %}
+        |SELECT o_orderkey, {{ column_name }} AS offending_value
+        |FROM {{ model }}
+        |WHERE {{ column_name }} < {{ floor }}
+        |{% endtest %}""".stripMargin)
+    put("models/stg_orders.sql",
+      "SELECT o_orderkey, o_totalprice FROM {{ source('tpch', 'orders') }}")
+    put("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: stg_orders
+        |    columns:
+        |      - name: o_totalprice
+        |        tests:
+        |          - value_at_least:
+        |              floor: 5000
+        |              severity: warn
+        |              store_failures: true
+        |""".stripMargin)
+    put("models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: orders
+         |        meta:
+         |          external_location: $d/orders.parquet
+         |""".stripMargin)
+    val (project, _) = ProjectLoader.load(proj.toString)
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    val (nodes, testResults) = engine.build()
+    require(nodes.forall(_.status == "success"),
+      s"build failed: ${nodes.filterNot(_.status == "success")}")
+    val tr = testResults.find(_.name.startsWith("value_at_least"))
+      .getOrElse(throw new IllegalStateException(
+        s"generic test did not run (ran: ${testResults.map(_.name)})"))
+    require(tr.status == "warn" && tr.failures > 0,
+      s"expected a warn with failures, got $tr")
+    engine.readModel(s"${tr.name}__failures")
+  }
+
+  val genericTestSql: String =
+    """SELECT o_orderkey, o_totalprice AS offending_value
+      |FROM orders WHERE o_totalprice < 5000""".stripMargin
+
   /** dbt-NATIVE project ingestion end-to-end (the reference repo's own
     * layout — dbt_project.yml:1, models/sources.yml:1): an on-disk
     * project with dbt_project.yml (+materialized config tree, vars),

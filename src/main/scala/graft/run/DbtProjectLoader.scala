@@ -38,6 +38,10 @@ import MiniYaml.{Arr, Obj, Scalar}
   *     `invalidate_hard_deletes`).
   *   - test-dir `.sql` SINGULAR tests: the compiled result set is the
   *     failure set; the first `ref()` anchors DAG ordering.
+  *   - macro-dir `{% test %}` blocks (GENERIC tests): schema.yml
+  *     `tests:` entries naming them bind `model`/`column_name` + kwargs
+  *     and evaluate through the singular-test path (failing rows),
+  *     model-level or column-level.
   *   - analysis-dir and macro-dir `.sql` files, `packages.yml` — same
   *     semantics as the `.conf` loader.
   */
@@ -178,6 +182,32 @@ object DbtProjectLoader {
         }
     }.flatten
 
+    // ------------------------------------- macros, packages, analyses
+    // (loaded before the yml walk: schema.yml tests may reference
+    // macro-dir generic-test blocks)
+    val macroFiles = macroDirs.flatMap(d => listRec(d, ".sql"))
+      .map(Files.readString(_))
+    val macroDefs = macroFiles.flatMap(Compiler.parseMacros)
+    val dupMacros = macroDefs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupMacros.isEmpty,
+      s"duplicate macro definitions: ${dupMacros.mkString(", ")}")
+    val pkgMacros = ProjectLoader.packageMacros(root,
+      macroDefs.map(_.name).toSet)
+    val macros = pkgMacros ++ macroDefs.map(m => m.name -> m).toMap
+
+    // generic ({% test %}) definitions — looked up by schema.yml test
+    // entries whose name is not a builtin
+    val genericTests: Map[String, Compiler.MacroDef] = {
+      val defs = macroFiles.flatMap(Compiler.parseGenericTests)
+      val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+      require(dups.isEmpty,
+        s"duplicate generic test definitions: ${dups.mkString(", ")}")
+      defs.map(t => t.name -> t).toMap
+    }
+
+    val analyses = analysisDirs.flatMap(listRec(_, ".sql"))
+      .map(p => ModelDef(stem(p), Files.readString(p)))
+
     // models: descriptions, config, column tests
     val descriptions = Map.newBuilder[String, String]
     val ymlCfg = Map.newBuilder[String, Map[String, String]]
@@ -203,30 +233,58 @@ object DbtProjectLoader {
     }
     val refRe: Regex = """ref\(\s*'([^']+)'\s*\)""".r
     val srcRe: Regex = """source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)""".r
+    // a generic ({% test %}) use: `model` binds the owner's relation
+    // call, `column_name` the column (column-scoped uses only); every
+    // other non-config key is a macro kwarg — numeric scalars splice
+    // bare, strings as the YAML text (dbt renders str kwargs unquoted
+    // too; test bodies quote where a literal is meant), lists as Jinja
+    // list literals so `{% for %}` bodies expand
+    def genericTestDef(mac: Compiler.MacroDef, owner: String, col: String,
+                       kwargs: Map[String, String]): TestDef = {
+      val modelJinja =
+        if (owner.startsWith("source:")) {
+          val Array(sn, tn) = owner.stripPrefix("source:").split("\\.", 2)
+          s"{{ source('$sn', '$tn') }}"
+        } else s"{{ ref('$owner') }}"
+      val bindings = Map("model" -> modelJinja) ++
+        (if (col.nonEmpty) Map("column_name" -> col) else Map.empty) ++
+        kwargs
+      TestDef(Seq(mac.name, owner, col).filter(_.nonEmpty).mkString("_"),
+        owner, df => df,
+        sql = Some(Compiler.renderGenericTest(mac, bindings)))
+    }
     def columnTests(owner: String, col: String, items: Seq[MiniYaml.Node],
                     idx: Int): Unit = items.zipWithIndex.foreach {
       case (Scalar("unique"), i) =>
+        require(col.nonEmpty, s"test 'unique' on $owner needs a column")
         tests += TestDef(s"unique_${owner}_$col", owner,
           df => SchemaTests.unique(df, col))
       case (Scalar("not_null"), i) =>
+        require(col.nonEmpty, s"test 'not_null' on $owner needs a column")
         tests += TestDef(s"not_null_${owner}_$col", owner,
           df => SchemaTests.notNull(df, col))
+      case (Scalar(gt), _) if genericTests.contains(gt) =>
+        tests += genericTestDef(genericTests(gt), owner, col, Map.empty)
       case (o: Obj, i) if o.entries.nonEmpty =>
         val (kind, body0) = o.entries.head
         val body = body0 match { case b: Obj => b; case _ => Obj(Nil) }
+        def needsCol(): Unit = require(col.nonEmpty,
+          s"test '$kind' on $owner needs a column")
         val base = kind match {
-          case "unique" => TestDef(s"unique_${owner}_$col", owner,
-            df => SchemaTests.unique(df, col))
-          case "not_null" => TestDef(s"not_null_${owner}_$col", owner,
-            df => SchemaTests.notNull(df, col))
-          case "accepted_values" =>
+          case "unique" => needsCol()
+            TestDef(s"unique_${owner}_$col", owner,
+              df => SchemaTests.unique(df, col))
+          case "not_null" => needsCol()
+            TestDef(s"not_null_${owner}_$col", owner,
+              df => SchemaTests.notNull(df, col))
+          case "accepted_values" => needsCol()
             val values = body.get("values").map(MiniYaml.scalars)
               .getOrElse(Nil)
             require(values.nonEmpty,
               s"accepted_values on $owner.$col needs values")
             TestDef(s"accepted_values_${owner}_$col", owner,
               df => SchemaTests.acceptedValues(df, col, values))
-          case "relationships" =>
+          case "relationships" => needsCol()
             val to = body.scalar("to").getOrElse(throw new
                 IllegalArgumentException(
                   s"relationships on $owner.$col needs to:"))
@@ -242,8 +300,21 @@ object DbtProjectLoader {
             }
             TestDef(s"relationships_${owner}_$col", owner, df => df,
               relationship = Some(RelationshipDef(parent, col, field)))
+          case other if genericTests.contains(other) =>
+            def ylit(v: String): String =
+              if (v.matches("""-?\d+(\.\d+)?""") || v == "true" || v == "false") v
+              else "'" + v.replace("'", "''") + "'"
+            val kwargs = body.entries.collect {
+              case (k, Scalar(v))
+                  if !testConfigKeys.contains(k) && k != "config" => k -> v
+              case (k, Arr(vs)) if !testConfigKeys.contains(k) =>
+                k -> vs.collect { case Scalar(v) => ylit(v) }
+                  .mkString("[", ", ", "]")
+            }.toMap
+            genericTestDef(genericTests(other), owner, col, kwargs)
           case other => throw new IllegalArgumentException(
-            s"unsupported schema test '$other' on $owner.$col")
+            s"unsupported schema test '$other' on $owner.$col — not a " +
+              s"builtin and no {% test $other %} block in the macro paths")
         }
         tests += withCfg(base, testCfg(body))
       case (other, _) => throw new IllegalArgumentException(
@@ -263,6 +334,9 @@ object DbtProjectLoader {
               k -> items.collect { case Scalar(v) => v }
                 .mkString(Compiler.HookSep)
           }.toMap)
+          // model-LEVEL tests (no column binding — generic tests and
+          // table-shaped builtins; column-shaped builtins refuse loudly)
+          columnTests(mName, "", m.arr("tests") ++ m.arr("data_tests"), -1)
           m.arr("columns").zipWithIndex.foreach {
             case (c: Obj, i) =>
               val cName = c.scalar("name").getOrElse(throw new
@@ -282,6 +356,8 @@ object DbtProjectLoader {
           src.arr("tables").foreach {
             case tbl: Obj =>
               val owner = s"source:$sName.${tbl.scalar("name").getOrElse("")}"
+              columnTests(owner, "",
+                tbl.arr("tests") ++ tbl.arr("data_tests"), -1)
               tbl.arr("columns").foreach {
                 case c: Obj => columnTests(owner,
                   c.scalar("name").getOrElse(""),
@@ -359,19 +435,6 @@ object DbtProjectLoader {
             "nothing to test"))
       TestDef(stem(p), anchor, df => df, sql = Some(sql))
     }
-
-    // ------------------------------------- macros, packages, analyses
-    val macroDefs = macroDirs.flatMap(d => listRec(d, ".sql"))
-      .flatMap(p => Compiler.parseMacros(Files.readString(p)))
-    val dupMacros = macroDefs.groupBy(_.name).filter(_._2.size > 1).keys
-    require(dupMacros.isEmpty,
-      s"duplicate macro definitions: ${dupMacros.mkString(", ")}")
-    val pkgMacros = ProjectLoader.packageMacros(root,
-      macroDefs.map(_.name).toSet)
-    val macros = pkgMacros ++ macroDefs.map(m => m.name -> m).toMap
-
-    val analyses = analysisDirs.flatMap(listRec(_, ".sql"))
-      .map(p => ModelDef(stem(p), Files.readString(p)))
 
     // selectors.yml: named selector compositions. The scalar
     // `definition:` form maps onto the engine's selector grammar

@@ -248,6 +248,59 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(GraftCli.profilesConf("/tmp", None, Some("x")).isEmpty)
   }
 
+  test("generic {% test %} blocks bind at column AND model level with kwargs") {
+    val proj = Files.createTempDirectory("graft_gentest_spec")
+    put(proj, "dbt_project.yml", "name: gentest_demo\n")
+    put(proj, "macros/asserts.sql",
+      """{% test at_most(model, column_name, ceiling) %}
+        |SELECT * FROM {{ model }} WHERE {{ column_name }} > {{ ceiling }}
+        |{% endtest %}
+        |{% test row_count_under(model, max_rows=1000000) %}
+        |SELECT count(*) AS n FROM {{ model }} HAVING count(*) >= {{ max_rows }}
+        |{% endtest %}""".stripMargin)
+    put(proj, "models/m.sql",
+      "SELECT * FROM (VALUES (1), (2), (9)) AS t(v)")
+    put(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: m
+        |    tests:
+        |      - row_count_under:
+        |          max_rows: 3
+        |          severity: warn
+        |    columns:
+        |      - name: v
+        |        tests:
+        |          - at_most:
+        |              ceiling: 5
+        |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    assert(p.tests.map(_.name).toSet ==
+      Set("row_count_under_m", "at_most_m_v"))
+    // both render through the singular-test path: templated SQL present
+    assert(p.tests.forall(_.sql.nonEmpty))
+    val e = new Engine(spark, p, Target(
+      Files.createTempDirectory("graft_gentest_wh").toString, threads = 1))
+    val (nodes, trs) = e.build()
+    // dbt build semantics: the failing error-severity test marks its
+    // node error; the warn-severity one does not
+    assert(nodes.map(n => n.name -> n.status) == Seq("m" -> "error"),
+      nodes.toString)
+    val byName = trs.map(t => t.name -> t).toMap
+    // 3 rows >= max_rows 3 → 1 failing row, severity warn
+    assert(byName("row_count_under_m").status == "warn" &&
+      byName("row_count_under_m").failures == 1, byName.toString)
+    // v=9 > ceiling 5 → 1 failure at default error severity
+    assert(byName("at_most_m_v").status == "error" &&
+      byName("at_most_m_v").failures == 1, byName.toString)
+    // a column-shaped builtin at model level refuses loudly
+    put(proj, "models/schema.yml",
+      "version: 2\nmodels:\n  - name: m\n    tests:\n      - unique\n")
+    val err = intercept[IllegalArgumentException](
+      ProjectLoader.load(proj.toString))
+    assert(err.getMessage.contains("needs a column"), err.getMessage)
+  }
+
   test("dbt-native failures are loud: missing name, unknown test kind, ref-less singular") {
     val proj = Files.createTempDirectory("graft_dbtbad")
     put(proj, "dbt_project.yml", "version: '1.0'\n")

@@ -540,6 +540,62 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // ------------------------------------------------ generic test blocks
+
+  test("generic tests: parse + render with defaults, kwargs, and filter chains") {
+    val defs = Compiler.parseGenericTests(
+      """{% macro unrelated(x) %}{{ x }}{% endmacro %}
+        |{% test not_below(model, column_name, floor=0) %}
+        |SELECT * FROM {{ model }}
+        |WHERE {{ column_name }} < {{ floor }}
+        |{% endtest %}""".stripMargin)
+    assert(defs.map(_.name) == Seq("not_below"))
+    val mac = defs.head
+    // kwarg overrides the default; model text splices verbatim
+    val got = Compiler.renderGenericTest(mac, Map(
+      "model" -> "{{ ref('orders') }}", "column_name" -> "amount",
+      "floor" -> "100"))
+    assert(got ==
+      "SELECT * FROM {{ ref('orders') }}\nWHERE amount < 100", got)
+    // default applies when the kwarg is absent
+    val dflt = Compiler.renderGenericTest(mac, Map(
+      "model" -> "{{ ref('orders') }}", "column_name" -> "amount"))
+    assert(dflt.endsWith("WHERE amount < 0"), dflt)
+  }
+
+  test("generic tests: list kwargs iterate in for-loops and reduce through join") {
+    val Seq(mac) = Compiler.parseGenericTests(
+      """{% test none_of(model, column_name, values) %}
+        |SELECT * FROM {{ model }} WHERE {{ column_name }} IN (
+        |{{ values | join(', ') }})
+        |{%- for v in values %} -- bans {{ v }}{% endfor %}
+        |{% endtest %}""".stripMargin)
+    val got = Compiler.expandControlFlow(Compiler.renderGenericTest(mac, Map(
+      "model" -> "{{ ref('m') }}", "column_name" -> "status",
+      "values" -> "['X', 'Y']")))
+    // Jinja's join renders the raw strings (Python str join) — the
+    // canonical dbt idiom wraps the site in its own quotes
+    assert(got.contains("status IN (\nX, Y)"), got)
+    assert(got.contains("-- bans X -- bans Y"), got)
+  }
+
+  test("generic tests: unknown kwarg, missing arg, and a non-model first param fail loudly") {
+    val Seq(mac) = Compiler.parseGenericTests(
+      "{% test t(model, threshold) %}SELECT {{ threshold }}{% endtest %}")
+    val e1 = intercept[IllegalArgumentException](
+      Compiler.renderGenericTest(mac, Map("model" -> "x", "oops" -> "1")))
+    assert(e1.getMessage.contains("unknown argument") &&
+      e1.getMessage.contains("oops"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Compiler.renderGenericTest(mac, Map("model" -> "x")))
+    assert(e2.getMessage.contains("missing argument 'threshold'"),
+      e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](Compiler.parseGenericTests(
+      "{% test bad(column_name) %}SELECT 1{% endtest %}"))
+    assert(e3.getMessage.contains("first parameter must be 'model'"),
+      e3.getMessage)
+  }
+
   // ------------------------------------ compound condition evaluation
 
   test("conditions: and/or with Jinja precedence (or loosest) and parens") {
