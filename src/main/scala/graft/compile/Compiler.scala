@@ -283,6 +283,21 @@ object Compiler {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Resolve `{{ ref/source/this }}` sites inside raw SQL text through
+    * `rel(kind, name, table)` (`this` passes kind="this", name="").
+    */
+  private def resolveRelSites(text: String,
+      rel: (String, String, Option[String]) => String): String = {
+    val t1 = refRe.replaceAllIn(text,
+      m => Regex.quoteReplacement(rel("ref", m.group(1), None)))
+    val t2 = sourceRe.replaceAllIn(t1, m =>
+      Regex.quoteReplacement(rel("source", m.group(1), Some(m.group(2)))))
+    // Match-function overload: rel("this") must only fire when a
+    // `{{ this }}` site EXISTS (a this-less statement in a context with
+    // no this would otherwise fail spuriously)
+    thisRe.replaceAllIn(t2, _ => Regex.quoteReplacement(rel("this", "", None)))
+  }
+
   /** Assemble a run_query argument expression into plain SQL:
     * quoted pieces splice verbatim (both quote styles), bare
     * `ref()`/`source()`/`this` pieces — and `{{ ref/source/this }}`
@@ -296,19 +311,93 @@ object Compiler {
       rel: (String, String, Option[String]) => String): String =
     splitTilde(arg).map {
       case p if p.startsWith("'") || p.startsWith("\"") =>
-        val text = stripQuotes(p)
-        val t1 = refRe.replaceAllIn(text,
-          m => Regex.quoteReplacement(rel("ref", m.group(1), None)))
-        val t2 = sourceRe.replaceAllIn(t1, m =>
-          Regex.quoteReplacement(rel("source", m.group(1), Some(m.group(2)))))
-        thisRe.replaceAllIn(t2,
-          Regex.quoteReplacement(rel("this", "", None)))
+        resolveRelSites(stripQuotes(p), rel)
       case "this" => rel("this", "", None)
       case relCallRe(kind, a, b) => rel(kind, a, Option(b))
       case other => throw new IllegalArgumentException(
         s"run_query: unsupported expression piece '$other' — use quoted " +
           "SQL, optionally ~-concatenated with ref()/source()/this")
     }.mkString
+
+  // dbt `statement` call blocks + `load_result` — the long-form spelling
+  // of run_query (in dbt-core, run_query IS statement + load_result
+  // sugar; reference `statement` @21499). The block body is raw
+  // templated SQL; `fetch_result=true` stores the bounded result for
+  // later load_result sites. A fetchless statement still executes (DDL/
+  // DML side effects) but binds nothing.
+  private val statementBlockRe: Regex =
+    ("""(?s)\{%-?\s*call\s+statement\(\s*'([^']+)'""" +
+      """((?:\s*,\s*[A-Za-z_]\w*\s*=\s*[A-Za-z]\w*)*)\s*\)\s*-?%\}""" +
+      """(.*?)\{%-?\s*endcall\s*-?%\}""").r
+  private val loadResultCellRe: Regex =
+    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*load_result\(\s*'([^']+)'\s*\)""" +
+      """\s*\[\s*'data'\s*\]\s*\[(\d+)\]\s*\[(\d+)\]\s*-?%\}""").r
+  private val loadResultTableRe: Regex =
+    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*load_result\(\s*'([^']+)'\s*\)""" +
+      """(?:\s*\.\s*table|\s*\[\s*'table'\s*\])?\s*-?%\}""").r
+  private val loadResultInlineRe: Regex =
+    ("""\{\{\s*load_result\(\s*'([^']+)'\s*\)""" +
+      """\s*\[\s*'data'\s*\]\s*\[(\d+)\]\s*\[(\d+)\]\s*\}\}""").r
+
+  /** Execute every `{% call statement('n'[, fetch_result=true]) %}…{%
+    * endcall %}` block via `exec` (relation sites resolved through
+    * `rel`) and resolve the `load_result('n')` accessor sites:
+    * `{% set x = load_result('n') %}` (or `.table`) binds the result as
+    * a row table for the control-flow subset; `['data'][i][j]` — as a
+    * set RHS or an interpolation — splices the cell. Any other
+    * load_result spelling, or a load of a name never fetched, fails
+    * loudly. Returns the cleaned SQL plus the table bindings.
+    */
+  private[graft] def resolveStatements(sql: String,
+      rel: (String, String, Option[String]) => String,
+      exec: String => QueryResult): (String, Map[String, QueryResult]) = {
+    if (!sql.contains("statement(") && !sql.contains("load_result("))
+      return (sql, Map.empty)
+    val results = scala.collection.mutable.Map.empty[String, QueryResult]
+    var out = statementBlockRe.replaceAllIn(sql, m => {
+      val (name, opts, body) = (m.group(1), m.group(2), m.group(3))
+      val fetch = """fetch_result\s*=\s*([A-Za-z]\w*)""".r
+        .findFirstMatchIn(opts).exists(_.group(1).equalsIgnoreCase("true"))
+      val r = exec(resolveRelSites(body.trim, rel))
+      if (fetch) results(name) = r
+      ""
+    })
+    def lookup(n: String): QueryResult = results.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"load_result('$n'): no statement('$n', fetch_result=true) ran " +
+          s"before this site (fetched: " +
+          s"${results.keys.toSeq.sorted.mkString(", ")})"))
+    def cell(n: String, i: Int, j: Int): String = {
+      val t = lookup(n)
+      require(i < t.rows.size && j < t.columns.size,
+        s"load_result('$n')['data'][$i][$j] out of range " +
+          s"(${t.rows.size} rows x ${t.columns.size} columns)")
+      t.rows(i)(j)
+    }
+    out = loadResultCellRe.replaceAllIn(out, m => {
+      val v = cell(m.group(2), m.group(3).toInt, m.group(4).toInt)
+      Regex.quoteReplacement(
+        if (v.matches("""-?\d+(\.\d+)?""")) s"{% set ${m.group(1)} = $v %}"
+        else {
+          require(!v.contains("'"), s"load_result cell containing a " +
+            s"quote cannot splice into a set literal: $v")
+          s"{% set ${m.group(1)} = '$v' %}"
+        })
+    })
+    out = loadResultInlineRe.replaceAllIn(out, m => Regex.quoteReplacement(
+      cell(m.group(1), m.group(2).toInt, m.group(3).toInt)))
+    val bound = scala.collection.mutable.Map.empty[String, QueryResult]
+    out = loadResultTableRe.replaceAllIn(out, m => {
+      bound(m.group(1)) = lookup(m.group(2)); ""
+    })
+    if (out.contains("load_result("))
+      throw new IllegalArgumentException(
+        "load_result: unsupported accessor spelling — use " +
+          "{% set x = load_result('n') %} (row table), " +
+          "{% set x = load_result('n')['data'][i][j] %}, or " +
+          "{{ load_result('n')['data'][i][j] }}")
+    (out, bound.toMap)
+  }
 
   /** Strip every `{% set x = run_query(...) %}` statement, executing
     * each via `exec` (the ENGINE's bounded probe) after assembling its
@@ -318,13 +407,16 @@ object Compiler {
   def resolveRunQueries(sql: String,
       rel: (String, String, Option[String]) => String,
       exec: String => QueryResult): (String, Map[String, QueryResult]) = {
+    // statement/load_result (run_query's long form) rides the same
+    // probe executor, so every call site gains both spellings
+    val (sql1, stmtTables) = resolveStatements(sql, rel, exec)
     val tables = scala.collection.mutable.Map.empty[String, QueryResult]
-    val out = runQueryRe.replaceAllIn(sql, m => {
+    val out = runQueryRe.replaceAllIn(sql1, m => {
       tables(m.group(1)) = exec(assembleRunQueryArg(m.group(3), rel))
         .copy(dict = m.group(2) == "get_query_results_as_dict")
       ""
     })
-    (out, tables.toMap)
+    (out, stmtTables ++ tables.toMap)
   }
 
   /** A dict binding's column as a value list; fails loudly on an

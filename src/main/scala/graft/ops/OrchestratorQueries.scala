@@ -646,6 +646,49 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** dbt `statement`/`load_result` end-to-end — the LONG-form spelling
+    * of run_query (reference `statement` @21499; run_query is its
+    * sugar): two `{% call statement(..., fetch_result=true) %}` probes,
+    * one consumed as a row table driving a dynamic pivot loop, one
+    * through the `['data'][0][0]` cell accessor both as a set RHS and
+    * inline. The oracle restates the expansion; a mis-bound result
+    * changes the schema and hash-fails.
+    */
+  def statementResults(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """{% call statement('statuses', fetch_result=true) %}
+        |  SELECT DISTINCT o_orderstatus AS st
+        |  FROM {{ source('tpch', 'orders') }} ORDER BY st
+        |{% endcall %}
+        |{% call statement('total', fetch_result=true) %}
+        |  SELECT count(*) AS n FROM {{ source('tpch', 'orders') }}
+        |{% endcall %}
+        |{% set sts = load_result('statuses') %}
+        |{% set total_n = load_result('total')['data'][0][0] %}
+        |SELECT o_orderkey,
+        |  CAST({{ total_n }} AS BIGINT) AS total_orders,
+        |  CAST({{ load_result('total')['data'][0][0] }} AS BIGINT) AS total_again
+        |  {%- for r in sts %},
+        |  CASE WHEN o_orderstatus = '{{ r.st }}' THEN 1 ELSE 0 END AS is_{{ r.st | lower }}
+        |  {%- endfor %}
+        |FROM {{ source('tpch', 'orders') }}""".stripMargin
+    val project = Project(name = "demo_stmt",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("order_stmt_pivot", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("order_stmt_pivot")
+  }
+
+  val statementResultsSql: String =
+    """SELECT o_orderkey,
+      |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS total_orders,
+      |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS total_again,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f,
+      |  CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_o,
+      |  CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS is_p
+      |FROM orders""".stripMargin
+
   /** Custom GENERIC test (`{% test %}` block) end-to-end through the
     * dbt-native loader: a macro-dir test definition with a defaulted
     * parameter, bound to a column in schema.yml with a kwarg override +

@@ -540,6 +540,54 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // --------------------------------------- statement / load_result
+
+  private def fakeExec(results: Map[String, Compiler.QueryResult])(
+      q: String): Compiler.QueryResult =
+    results.getOrElse(q.trim, Compiler.QueryResult(
+      IndexedSeq("x"), IndexedSeq(IndexedSeq(q.trim))))
+
+  test("statement blocks execute with rel resolution; load_result binds tables and cells") {
+    val sql =
+      """{% call statement('probe', fetch_result=true) %}
+        |  SELECT a FROM {{ ref('m') }}
+        |{% endcall %}
+        |{% set rows = load_result('probe') %}
+        |{% set first = load_result('probe')['data'][0][0] %}
+        |SELECT '{{ first }}' AS f, {{ load_result('probe')['data'][1][0] }} AS g
+        |{% for r in rows %}, '{{ r.a }}'{% endfor %}""".stripMargin
+    val probed = Seq.newBuilder[String]
+    val (out, tables) = Compiler.resolveRunQueries(sql,
+      (kind, n, _) => { assert(kind == "ref" && n == "m"); "REL_M" },
+      q => { probed += q
+        Compiler.QueryResult(IndexedSeq("a"),
+          IndexedSeq(IndexedSeq("u"), IndexedSeq("7"))) })
+    assert(probed.result() == Seq("SELECT a FROM REL_M"))
+    assert(tables("rows").rows.size == 2)
+    val rendered = Compiler.expandControlFlow(out, tables = tables)
+    assert(rendered.contains("'u' AS f") && rendered.contains("7 AS g"),
+      rendered)
+    assert(rendered.contains(", 'u'") && rendered.contains(", '7'"), rendered)
+  }
+
+  test("statement: fetchless blocks execute but bind nothing; bad load_result is loud") {
+    var n = 0
+    val (out, tables) = Compiler.resolveRunQueries(
+      "{% call statement('fire') %}DELETE FROM t{% endcall %}SELECT 1",
+      (_, _, _) => "X", _ => { n += 1
+        Compiler.QueryResult(IndexedSeq.empty, IndexedSeq.empty) })
+    assert(n == 1 && tables.isEmpty && out.trim == "SELECT 1")
+    val e1 = intercept[IllegalArgumentException](Compiler.resolveRunQueries(
+      "{% set x = load_result('never') %}", (_, _, _) => "X",
+      _ => Compiler.QueryResult(IndexedSeq.empty, IndexedSeq.empty)))
+    assert(e1.getMessage.contains("no statement('never'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Compiler.resolveRunQueries(
+      "{% call statement('p', fetch_result=true) %}q{% endcall %}" +
+        "{{ load_result('p').status }}", (_, _, _) => "X",
+      _ => Compiler.QueryResult(IndexedSeq("c"), IndexedSeq(IndexedSeq("v")))))
+    assert(e2.getMessage.contains("unsupported accessor"), e2.getMessage)
+  }
+
   // ------------------------------------------------ generic test blocks
 
   test("generic tests: parse + render with defaults, kwargs, and filter chains") {
