@@ -646,6 +646,66 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** Model VERSIONS (dbt 1.5 `versions:`/`latest_version`) end-to-end:
+    * a versioned model with two on-disk versions (one via
+    * `defined_in:`), a consumer pinning v1 and another taking the
+    * unpinned latest — both resolutions land as real DAG nodes, and the
+    * result joins the pinned and latest outputs so either resolution
+    * going wrong changes the hash.
+    */
+  def modelVersions(s: SparkSession, d: String): DataFrame = {
+    val proj = Files.createTempDirectory("graft_model_versions")
+    def put(name: String, text: String): Unit = {
+      val p = proj.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("dbt_project.yml", "name: 'demo_versions'\nconfig-version: 2\n")
+    put("models/status_rev_v1.sql",
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n
+        |FROM {{ source('tpch', 'orders') }} GROUP BY o_orderstatus""".stripMargin)
+    // v2 lives in a defined_in: file and adds a column
+    put("models/status_rev_next.sql",
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM {{ source('tpch', 'orders') }} GROUP BY o_orderstatus""".stripMargin)
+    put("models/report.sql",
+      """SELECT cur.st, cur.n, cur.revenue, CAST(old.n AS BIGINT) AS n_v1
+        |FROM {{ ref('status_rev') }} cur
+        |JOIN {{ ref('status_rev', v=1) }} old ON cur.st = old.st""".stripMargin)
+    put("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: status_rev
+        |    latest_version: 2
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |        defined_in: status_rev_next
+        |""".stripMargin)
+    put("models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: orders
+         |        meta:
+         |          external_location: $d/orders.parquet
+         |""".stripMargin)
+    val (project, _) = ProjectLoader.load(proj.toString)
+    require(project.models.map(_.name).toSet ==
+      Set("status_rev_v1", "status_rev_v2", "report"),
+      s"version nodes drifted: ${project.models.map(_.name)}")
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("report")
+  }
+
+  val modelVersionsSql: String =
+    """WITH s AS (SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS revenue FROM orders GROUP BY 1)
+      |SELECT st, n, revenue, n AS n_v1 FROM s""".stripMargin
+
   /** dbt `statement`/`load_result` end-to-end — the LONG-form spelling
     * of run_query (reference `statement` @21499; run_query is its
     * sugar): two `{% call statement(..., fetch_result=true) %}` probes,

@@ -38,6 +38,10 @@ import MiniYaml.{Arr, Obj, Scalar}
   *     `invalidate_hard_deletes`).
   *   - test-dir `.sql` SINGULAR tests: the compiled result set is the
   *     failure set; the first `ref()` anchors DAG ordering.
+  *   - model `versions:` + `latest_version` (dbt 1.5): each version is
+  *     its own node `<base>_v<N>` (from `<base>_v<N>.sql` or
+  *     `defined_in:`); yml config/tests/descriptions apply per version;
+  *     `ref('base')` resolves to the latest, `ref('base', v=N)` pins.
   *   - macro-dir `{% test %}` blocks (GENERIC tests): schema.yml
   *     `tests:` entries naming them bind `model`/`column_name` + kwargs
   *     and evaluate through the singular-test path (failing rows),
@@ -320,32 +324,65 @@ object DbtProjectLoader {
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported test entry on $owner.$col: $other")
     }
+    // model VERSIONS (dbt 1.5 `versions:` + `latest_version`): each
+    // version is its own graph node named `<base>_v<N>` (dbt's default
+    // identifier), sourced from `<base>_v<N>.sql` or the entry's
+    // `defined_in:` file; yml config/descriptions/tests apply to EVERY
+    // version; unpinned `ref('base')` resolves to the latest version,
+    // `ref('base', v=N)` pins (both rewritten textually at load time so
+    // the DAG, compiled SQL, and state checksums all see real nodes)
+    val versionedB =
+      Map.newBuilder[String, (Int, Seq[(Int, String)])]
     ymlDocs.foreach { y =>
       y.arr("models").foreach {
         case m: Obj =>
           val mName = m.scalar("name").getOrElse(throw new
               IllegalArgumentException("model doc entry needs a name"))
-          m.scalar("description").filter(_.nonEmpty)
-            .foreach(d => descriptions += mName -> d)
-          m.obj("config").foreach(c => ymlCfg += mName -> c.entries.collect {
-            case (k, Scalar(v)) => k -> v
-            // hook lists, HookSep-joined (see plusKv)
-            case (k, Arr(items)) if Compiler.hookKeys.contains(k) =>
-              k -> items.collect { case Scalar(v) => v }
-                .mkString(Compiler.HookSep)
-          }.toMap)
-          // model-LEVEL tests (no column binding — generic tests and
-          // table-shaped builtins; column-shaped builtins refuse loudly)
-          columnTests(mName, "", m.arr("tests") ++ m.arr("data_tests"), -1)
-          m.arr("columns").zipWithIndex.foreach {
-            case (c: Obj, i) =>
-              val cName = c.scalar("name").getOrElse(throw new
-                  IllegalArgumentException(s"$mName: column needs a name"))
-              c.scalar("description").filter(_.nonEmpty)
-                .foreach(d => descriptions += s"$mName.$cName" -> d)
-              columnTests(mName, cName, c.arr("tests") ++
-                c.arr("data_tests"), i)
-            case _ => ()
+          val versions = m.arr("versions").collect { case vo: Obj =>
+            val v = vo.scalar("v").flatMap(_.toIntOption).getOrElse(
+              throw new IllegalArgumentException(
+                s"model '$mName': versions entries need integer v:"))
+            (v, vo.scalar("defined_in").getOrElse(s"${mName}_v$v"))
+          }
+          require(versions.map(_._1).distinct.size == versions.size,
+            s"model '$mName': duplicate version numbers")
+          if (versions.nonEmpty) {
+            val latest = m.scalar("latest_version").flatMap(_.toIntOption)
+              .getOrElse(versions.map(_._1).max)
+            require(versions.exists(_._1 == latest),
+              s"model '$mName': latest_version $latest is not among " +
+                s"versions ${versions.map(_._1).sorted.mkString(", ")}")
+            versionedB += mName -> (latest, versions)
+          }
+          val owners =
+            if (versions.isEmpty) Seq(mName)
+            else versions.map { case (v, _) => s"${mName}_v$v" }
+          owners.foreach { owner =>
+            m.scalar("description").filter(_.nonEmpty)
+              .foreach(d => descriptions += owner -> d)
+            m.obj("config").foreach(c =>
+              ymlCfg += owner -> c.entries.collect {
+                case (k, Scalar(v)) => k -> v
+                // hook lists, HookSep-joined (see plusKv)
+                case (k, Arr(items)) if Compiler.hookKeys.contains(k) =>
+                  k -> items.collect { case Scalar(v) => v }
+                    .mkString(Compiler.HookSep)
+              }.toMap)
+            // model-LEVEL tests (no column binding — generic tests and
+            // table-shaped builtins; column-shaped builtins refuse
+            // loudly)
+            columnTests(owner, "",
+              m.arr("tests") ++ m.arr("data_tests"), -1)
+            m.arr("columns").zipWithIndex.foreach {
+              case (c: Obj, i) =>
+                val cName = c.scalar("name").getOrElse(throw new
+                    IllegalArgumentException(s"$mName: column needs a name"))
+                c.scalar("description").filter(_.nonEmpty)
+                  .foreach(d => descriptions += s"$owner.$cName" -> d)
+                columnTests(owner, cName, c.arr("tests") ++
+                  c.arr("data_tests"), i)
+              case _ => ()
+            }
           }
         case _ => ()
       }
@@ -370,12 +407,51 @@ object DbtProjectLoader {
       }
     }
     val ymlCfgMap = ymlCfg.result()
+    val versioned = versionedB.result()
+    // version-file stem → graph node name (`defined_in:` files rename)
+    val fileRename: Map[String, String] = versioned.flatMap {
+      case (base, (_, vs)) =>
+        vs.map { case (v, fstem) => fstem -> s"${base}_v$v" }
+    }
+    fileRename.foreach { case (fstem, node) =>
+      require(modelFiles.exists(f => stem(f._2) == fstem),
+        s"versioned model '$node': no model file '$fstem.sql'")
+    }
+    val braceRefRe: Regex = """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""".r
+    val verRefRe: Regex =
+      ("""\{\{\s*ref\(\s*'([^']+)'\s*,\s*(?:v|version)\s*=\s*(\d+)""" +
+        """\s*\)\s*\}\}""").r
+    def rewriteVersionedRefs(sql: String): String = {
+      val s1 = verRefRe.replaceAllIn(sql, m => {
+        val (base, v) = (m.group(1), m.group(2).toInt)
+        val (_, vs) = versioned.getOrElse(base,
+          throw new IllegalArgumentException(
+            s"ref('$base', v=$v): '$base' declares no versions"))
+        require(vs.exists(_._1 == v),
+          s"ref('$base', v=$v): no such version (have " +
+            s"${vs.map(_._1).sorted.mkString(", ")})")
+        Regex.quoteReplacement(s"{{ ref('${base}_v$v') }}")
+      })
+      if (versioned.isEmpty) s1
+      else braceRefRe.replaceAllIn(s1, m => Regex.quoteReplacement(
+        versioned.get(m.group(1)) match {
+          case Some((latest, _)) => s"{{ ref('${m.group(1)}_v$latest') }}"
+          case None => m.matched
+        }))
+    }
+    def latestOf(name: String): String =
+      versioned.get(name).fold(name) { case (l, _) => s"${name}_v$l" }
 
     val models = modelFiles.map { case (_, p) =>
-      val kv = treeCfg(stem(p)) ++ ymlCfgMap.getOrElse(stem(p), Map.empty)
-      ModelDef(stem(p), Files.readString(p),
+      val nm = fileRename.getOrElse(stem(p), stem(p))
+      val kv = treeCfg(stem(p)) ++ ymlCfgMap.getOrElse(nm, Map.empty)
+      ModelDef(nm, rewriteVersionedRefs(Files.readString(p)),
         Compiler.applyConfigKv(kv, ModelConfig()))
     }
+    require(models.map(_.name).distinct.size == models.size,
+      "versioned rename collides with an existing model name: " +
+        models.map(_.name).groupBy(identity).filter(_._2.size > 1)
+          .keys.mkString(", "))
 
     // exposures: name, depends_on [ref('m')], owner {name,email}, url
     val exposures = ymlDocs.flatMap(_.arr("exposures")).collect {
@@ -383,7 +459,8 @@ object DbtProjectLoader {
         val deps = e.arr("depends_on").collect { case Scalar(v) =>
           v.trim match { case refRe(m) => m; case other => other }
         }
-        ExposureDef(e.scalar("name").getOrElse("exposure"), deps,
+        ExposureDef(e.scalar("name").getOrElse("exposure"),
+          deps.map(latestOf),
           owner = e.obj("owner").flatMap(o =>
             o.scalar("name").orElse(o.scalar("email"))).getOrElse(""),
           url = e.scalar("url").getOrElse(""))
@@ -414,7 +491,7 @@ object DbtProjectLoader {
             throw new IllegalArgumentException(
               s"snapshot $snapName: updated_at required")))
         }
-        SnapshotDef(snapName, body,
+        SnapshotDef(snapName, rewriteVersionedRefs(body),
           kv.get("unique_key").map(_.split("\\|").toSeq).getOrElse(
             throw new IllegalArgumentException(
               s"snapshot $snapName: unique_key required")),
@@ -426,7 +503,7 @@ object DbtProjectLoader {
 
     // ------------------------------------------------- singular tests
     val singular = testDirs.flatMap(listRec(_, ".sql")).map { p =>
-      val sql = Files.readString(p)
+      val sql = rewriteVersionedRefs(Files.readString(p))
       val (refs, srcs) = Compiler.dependencies(sql)
       val anchor = refs.headOption.orElse(
         srcs.headOption.map { case (s, t) => s"source:$s.$t" })
@@ -465,13 +542,24 @@ object DbtProjectLoader {
       k -> Compiler.resolveDocRefs(v, docsBlocks)
     }
 
+    // versioned-base references outside model SQL resolve to the latest
+    // version: relationship test parents (`to: ref('base')`) and
+    // generic/singular test templated SQL
+    val allTests = (tests.result() ++ singular).map { t0 =>
+      val t1 = t0.relationship.fold(t0)(r => t0.copy(relationship =
+        Some(r.copy(parentModel = latestOf(r.parentModel)))))
+      t1.sql.fold(t1)(q => t1.copy(sql = Some(rewriteVersionedRefs(q))))
+    }
+
     (Project(name, sources, models, seeds, snapshots,
-      tests.result() ++ singular,
+      allTests,
       onRunStart = hookList("on-run-start"),
       onRunEnd = hookList("on-run-end"),
       macros = macros, vars = vars, exposures = exposures,
       selectors = selectors,
-      analyses = analyses, descriptions = resolvedDescriptions),
+      analyses = analyses.map(a =>
+        a.copy(rawSql = rewriteVersionedRefs(a.rawSql))),
+      descriptions = resolvedDescriptions),
       Map("name" -> name) ++ py.scalar("profile").map("profile" -> _))
   }
 }

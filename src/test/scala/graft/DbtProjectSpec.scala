@@ -301,6 +301,68 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(err.getMessage.contains("needs a column"), err.getMessage)
   }
 
+  test("model versions: per-version nodes, config/tests fan-out, pinned + latest refs") {
+    val proj = Files.createTempDirectory("graft_versions_spec")
+    put(proj, "dbt_project.yml", "name: vdemo\n")
+    put(proj, "models/m_v1.sql", "SELECT 1 AS a")
+    put(proj, "models/m_v2.sql", "SELECT 1 AS a, 2 AS b")
+    put(proj, "models/use_latest.sql", "SELECT * FROM {{ ref('m') }}")
+    put(proj, "models/use_pinned.sql",
+      "SELECT * FROM {{ ref('m', version=1) }}")
+    put(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: m
+        |    config:
+        |      materialized: view
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |    columns:
+        |      - name: a
+        |        tests: [not_null]
+        |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    assert(p.models.map(_.name).toSet ==
+      Set("m_v1", "m_v2", "use_latest", "use_pinned"))
+    // yml config + column tests fan out to EVERY version
+    assert(p.models.filter(_.name.startsWith("m_v"))
+      .forall(_.config.materialized == "view"))
+    assert(p.tests.map(_.name).toSet ==
+      Set("not_null_m_v1_a", "not_null_m_v2_a"))
+    // unpinned ref rewrote to the latest (default = max v), pinned to v1
+    assert(p.models.find(_.name == "use_latest")
+      .exists(_.rawSql.contains("ref('m_v2')")))
+    assert(p.models.find(_.name == "use_pinned")
+      .exists(_.rawSql.contains("ref('m_v1')")))
+    val e = new Engine(spark, p, Target(
+      Files.createTempDirectory("graft_versions_wh").toString, threads = 1))
+    val (nodes, trs) = e.build()
+    assert(nodes.forall(_.status == "success"), nodes.toString)
+    assert(trs.size == 2 && trs.forall(_.status == "pass"))
+    assert(e.readModel("use_latest").columns.toSeq == Seq("a", "b"))
+    assert(e.readModel("use_pinned").columns.toSeq == Seq("a"))
+    // loud failures: a pin to a missing version, a bad latest_version
+    put(proj, "models/use_pinned.sql",
+      "SELECT * FROM {{ ref('m', v=9) }}")
+    val e1 = intercept[IllegalArgumentException](
+      ProjectLoader.load(proj.toString))
+    assert(e1.getMessage.contains("no such version"), e1.getMessage)
+    put(proj, "models/use_pinned.sql", "SELECT 1 AS a")
+    put(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: m
+        |    latest_version: 7
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](
+      ProjectLoader.load(proj.toString))
+    assert(e2.getMessage.contains("latest_version 7"), e2.getMessage)
+  }
+
   test("dbt-native failures are loud: missing name, unknown test kind, ref-less singular") {
     val proj = Files.createTempDirectory("graft_dbtbad")
     put(proj, "dbt_project.yml", "version: '1.0'\n")
