@@ -1435,6 +1435,149 @@ object Compiler {
         Regex.quoteReplacement(quoted)) + " %}"))
   }
 
+  // Jinja `{% for %}…{% else %}{% endfor %}`: the else arm renders when
+  // the (filtered) sequence is EMPTY. The else must sit at the for's own
+  // level — one inside a nested {% if %} belongs to the if, so the split
+  // point is the first else with balanced if/endif counts before it.
+  private def splitForElse(body: String): (String, Option[String]) = {
+    val elseRe = """\{%-?\s*else\s*-?%\}""".r
+    val ifOpenRe = """\{%-?\s*if\s""".r
+    val ifCloseRe = """\{%-?\s*endif\s*-?%\}""".r
+    elseRe.findAllMatchIn(body).find { m =>
+      val pre = body.substring(0, m.start)
+      ifOpenRe.findAllIn(pre).size == ifCloseRe.findAllIn(pre).size
+    } match {
+      case Some(m) =>
+        (body.substring(0, m.start), Some(body.substring(m.end)))
+      case None => (body, None)
+    }
+  }
+
+  // ------------------------------------------------------- namespace()
+  // Jinja's loop-carried mutable state: `{% set ns = namespace(k=v) %}`
+  // declarations, `{% set ns.k = <expr> %}` updates, `{{ ns.k }}` reads,
+  // and `{% if %}`s over ns values — the counter/found-flag idiom of
+  // ported dbt macros. Resolved SEQUENTIALLY after loop expansion (the
+  // unrolled body is straight-line text, so document order IS execution
+  // order). Expr subset: literal | ns.k | ns.k +/- int | ns.k ~ 'str'
+  // (either operand order); anything else fails loudly.
+  private val nsDeclRe: Regex =
+    """\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*namespace\(([^)]*)\)\s*-?%\}""".r
+
+  private[graft] def resolveNamespaces(sql0: String): String = {
+    val state = scala.collection.mutable.Map.empty[(String, String), String]
+    var sql = nsDeclRe.replaceAllIn(sql0, m => {
+      val ns = m.group(1)
+      splitArgs(m.group(2)).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => state((ns, k.trim)) = v.trim
+          case _ => throw new IllegalArgumentException(
+            s"namespace($kv): entries must be k=<literal>")
+        }
+      }
+      ""
+    })
+    if (state.isEmpty) {
+      // a dotted set with no declaration in scope must not leak jinja
+      require(!"""\{%-?\s*set\s+[A-Za-z_]\w*\.""".r.findFirstIn(sql).isDefined,
+        "{% set x.y = ... %} requires a {% set x = namespace(...) %} " +
+          "declaration in the same scope")
+      return sql
+    }
+    val nsAlt = state.keys.map(_._1).toSet.toSeq.sorted
+      .map(Regex.quote).mkString("(", "|", ")")
+    val setNsRe = ("""\{%-?\s*set\s+""" + nsAlt +
+      """\.([A-Za-z_]\w*)\s*=\s*((?:(?!-?%\}).)*?)\s*-?%\}""").r
+    val readRe = ("""\{\{\s*""" + nsAlt +
+      """\.([A-Za-z_]\w*)\s*\}\}""").r
+    val nsIfRe = ("""(?s)\{%-?\s*if\s+((?:(?!-?%\}).)*?""" + nsAlt +
+      """\.(?:(?!-?%\}).)*?)\s*-?%\}((?:(?!\{%-?\s*if\s).)*?)""" +
+      """(?:\{%-?\s*else\s*-?%\}((?:(?!\{%-?\s*if\s).)*?))?""" +
+      """\{%-?\s*endif\s*-?%\}""").r
+    def get(ns: String, k: String): String = state.getOrElse((ns, k),
+      throw new IllegalArgumentException(
+        s"$ns.$k read before assignment (keys: " +
+          s"${state.keys.collect { case (n, kk) if n == ns => kk }
+            .toSeq.sorted.mkString(", ")})"))
+    val numRe = """-?\d+(?:\.\d+)?""".r
+    def isNum(s: String) = numRe.pattern.matcher(s).matches()
+    def term(t0: String): String = t0.trim match {
+      case t if t.startsWith("'") => t
+      case t if isNum(t) || t == "true" || t == "false" => t
+      case t => t.split("\\.", 2) match {
+        case Array(n, k) if state.contains((n, k)) => get(n, k)
+        case _ => throw new IllegalArgumentException(
+          s"namespace update: unsupported term '$t0' — use a literal " +
+            "or <ns>.<key>")
+      }
+    }
+    def eval(rhs: String): String = {
+      // first operand must END with a word char/quote so a bare
+      // negative literal (`-5`) falls through to the single-term case
+      val binRe = """(?s)^(.*?[\w'])\s*([+\-~])\s*('[^']*'|[\w.]+)$""".r
+      rhs.trim match {
+        case binRe(a, op, b) if op == "~" =>
+          "'" + stripQuotes(term(a)) + stripQuotes(term(b)) + "'"
+        case binRe(a, op, b) =>
+          val (x, y) = (term(a), term(b))
+          require(isNum(x) && isNum(y),
+            s"namespace arithmetic needs numeric operands, got '$x' $op '$y'")
+          val r = if (op == "+") BigDecimal(x) + BigDecimal(y)
+            else BigDecimal(x) - BigDecimal(y)
+          r.bigDecimal.stripTrailingZeros.toPlainString
+        case single => term(single)
+      }
+    }
+    // sequential walk: apply the EARLIEST of (update | read | ns-if),
+    // splice, continue — ifs decide against the state at their position
+    // and their chosen arm re-enters the stream for nested handling
+    val out = new StringBuilder
+    var rest = sql
+    var guard = 0
+    while (rest.nonEmpty && guard < 100000) {
+      guard += 1
+      val cands = Seq(
+        setNsRe.findFirstMatchIn(rest).map(m => (m, "set")),
+        readRe.findFirstMatchIn(rest).map(m => (m, "read")),
+        nsIfRe.findFirstMatchIn(rest).map(m => (m, "if"))
+      ).flatten
+      if (cands.isEmpty) { out.append(rest); rest = "" }
+      else {
+        val (m, kind) = cands.minBy(_._1.start)
+        out.append(rest.substring(0, m.start))
+        val tail = rest.substring(m.end)
+        kind match {
+          case "set" =>
+            state((m.group(1), m.group(2))) = eval(m.group(3))
+            rest = tail
+          case "read" =>
+            out.append(stripQuotes(get(m.group(1), m.group(2))))
+            rest = tail
+          case "if" =>
+            // substitute current ns values (strings stay quoted) into
+            // the condition, then it must decide
+            val cond = ("""\b""" + nsAlt + """\.([A-Za-z_]\w*)\b""").r
+              .replaceAllIn(m.group(1),
+                cm => Regex.quoteReplacement(get(cm.group(1), cm.group(2))))
+            val arm = evalCond(cond) match {
+              case Some(true) => m.group(3)
+              case Some(false) => Option(m.group(4)).getOrElse("")
+              case None => throw new IllegalArgumentException(
+                s"namespace condition '${m.group(1)}' is undecidable " +
+                  s"after substitution: '$cond'")
+            }
+            rest = arm + tail
+        }
+      }
+    }
+    require(rest.isEmpty, "namespace resolution did not terminate")
+    val resolved = out.result()
+    require(!("""\{%-?\s*set\s+""" + nsAlt + """\.""").r
+      .findFirstIn(resolved).isDefined,
+      "unresolved namespace update survived resolution")
+    resolved
+  }
+
   private def evalIfs(s: String): String =
     jifRe.replaceAllIn(s, m => Regex.quoteReplacement {
       // an {% elif %} arm would land INSIDE a matched group and render
@@ -1540,7 +1683,10 @@ object Compiler {
     var changed = true
     while (changed && depth < maxDepth) {
       val afterFor = forRe.replaceAllIn(sql, m => {
-        val (v, listTxt, body) = (m.group(1), m.group(2), m.group(4))
+        val (v, listTxt, body0) = (m.group(1), m.group(2), m.group(4))
+        // for…else: the else arm renders when the sequence is empty
+        val (body, elseArm) = splitForElse(body0)
+        def renderEmpty(): String = elseArm.fold("")(evalIfs)
         val filt = Option(m.group(3)).map(_.trim).filter(_.nonEmpty)
         val n0 = tables.get(listTxt).map(_.rows.size)
         // loop.* resolve both as interpolations ({{ loop.index }}) and
@@ -1562,9 +1708,23 @@ object Compiler {
         def renderScalar(items0: Seq[String]): String = {
           val items = items0.filter(keepScalar) // Jinja: filter THEN number
           val n = items.size
+          if (n == 0) return renderEmpty() // Jinja for…else
+          // bare loop var inside `{% set %}` statements (the namespace
+          // accumulator idiom `{% set ns.x = ns.x + item %}`): numbers
+          // splice bare, strings quoted
+          val setStmtRe = """\{%-?\s*set\s+(?:(?!-?%\}).)*?-?%\}""".r
+          def substVarInSets(it: String, b: String): String = {
+            if (!b.contains("{% set") && !b.contains("{%- set")) return b
+            val lit = if (it.matches("""-?\d+(\.\d+)?""")) it
+              else "'" + it.replace("'", "''") + "'"
+            setStmtRe.replaceAllIn(b, sm => Regex.quoteReplacement(
+              ("""\b""" + Regex.quote(v) + """\b""").r
+                .replaceAllIn(sm.matched, Regex.quoteReplacement(lit))))
+          }
           items.zipWithIndex.map { case (it, i) =>
             var b = substInterp(v, it, body) // {{ x }} and {{ x | lower }}
             b = substVarInConds(v, it, b) // bare `{% if st == 'O' %}` form
+            b = substVarInSets(it, b)
             b = loopVal("index", (i + 1).toString, b)
             b = loopVal("first", if (i == 0) "true" else "false", b)
             b = loopVal("last", if (i == n - 1) "true" else "false", b)
@@ -1596,7 +1756,8 @@ object Compiler {
               }
             }
             val n = rows.size
-            rows.zipWithIndex.map { case (row, i) =>
+            if (n == 0) renderEmpty() // Jinja for…else
+            else rows.zipWithIndex.map { case (row, i) =>
               var b = substRowAccessors(v, t.columns, row, body)
               b = loopVal("index", (i + 1).toString, b)
               b = loopVal("first", if (i == 0) "true" else "false", b)
@@ -1641,6 +1802,12 @@ object Compiler {
         sql.contains("{%- for"))
       throw new IllegalArgumentException(
         s"control-flow expansion did not terminate in $maxDepth rounds")
+    // namespace() state resolves AFTER loop unrolling (document order of
+    // the straight-line text IS execution order) and BEFORE
+    // unbound-default resolution (ns reads would look unbound)
+    if (sql.contains("namespace(") ||
+        """\{%-?\s*set\s+[A-Za-z_]\w*\.""".r.findFirstIn(sql).isDefined)
+      sql = resolveNamespaces(sql)
     resolveUnboundDefaults(sql)
   }
 

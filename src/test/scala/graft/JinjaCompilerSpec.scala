@@ -540,6 +540,65 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // ----------------------------------------------- for…else
+
+  test("for-else: else arm renders only for an empty (filtered) sequence") {
+    assert(Compiler.expandControlFlow(
+      "{% for x in [] %}{{ x }}{% else %}NONE{% endfor %}") == "NONE")
+    assert(Compiler.expandControlFlow(
+      "{% for x in ['a'] %}{{ x }}{% else %}NONE{% endfor %}") == "a")
+    // a filter that empties the sequence takes the else arm
+    assert(Compiler.expandControlFlow(
+      "{% for x in ['a'] if x == 'b' %}{{ x }}{% else %}NONE{% endfor %}")
+      == "NONE")
+    // an else INSIDE a nested if belongs to the if, not the for
+    assert(Compiler.expandControlFlow(
+      "{% for x in ['a', 'b'] %}{% if x == 'a' %}A{% else %}B{% endif %}{% endfor %}")
+      == "AB")
+    // empty run_query row binding takes the else arm too
+    val rs = Compiler.QueryResult(IndexedSeq("c"), IndexedSeq.empty)
+    assert(Compiler.expandControlFlow(
+      "{% for r in rs %}{{ r.c }}{% else %}EMPTY{% endfor %}",
+      tables = Map("rs" -> rs)) == "EMPTY")
+  }
+
+  // ----------------------------------------------- namespace()
+
+  test("namespace: counters, flags, and concat accumulate through loops") {
+    val t =
+      """{% set ns = namespace(total=0, seen='', found=false) %}
+        |{% for x in [3, 5, 9] %}
+        |{% set ns.total = ns.total + x %}
+        |{% set ns.seen = ns.seen ~ 'i' %}
+        |{% if x == 5 %}{% set ns.found = true %}{% endif %}
+        |{% endfor %}
+        |total={{ ns.total }} seen={{ ns.seen }}
+        |{% if ns.found %}FOUND{% else %}MISSING{% endif %}""".stripMargin
+    val got = Compiler.expandControlFlow(t).trim.replaceAll("\\s+", " ")
+    assert(got == "total=17 seen=iii FOUND", got)
+  }
+
+  test("namespace: conditions read state at their position; loud failures") {
+    val t = "{% set ns = namespace(n=0) %}" +
+      "{% if ns.n == 0 %}ZERO{% endif %}" +
+      "{% set ns.n = ns.n + 1 %}" +
+      "{% if ns.n == 0 %}ZERO{% else %}ONE{% endif %}{{ ns.n }}"
+    assert(Compiler.expandControlFlow(t) == "ZEROONE1")
+    // read of an unassigned key is loud
+    val e1 = intercept[IllegalArgumentException](Compiler.expandControlFlow(
+      "{% set ns = namespace(a=1) %}{{ ns.b }}"))
+    assert(e1.getMessage.contains("ns.b read before assignment"),
+      e1.getMessage)
+    // a dotted set with no namespace declaration is loud
+    val e2 = intercept[IllegalArgumentException](Compiler.expandControlFlow(
+      "{% set foo.bar = 1 %}"))
+    assert(e2.getMessage.contains("namespace"), e2.getMessage)
+    // non-numeric arithmetic is loud
+    val e3 = intercept[IllegalArgumentException](Compiler.expandControlFlow(
+      "{% set ns = namespace(a='x') %}{% set ns.a = ns.a + 1 %}"))
+    assert(e3.getMessage.contains("numeric operands"), e3.getMessage)
+  }
+
   // --------------------------------------- statement / load_result
 
   private def fakeExec(results: Map[String, Compiler.QueryResult])(
