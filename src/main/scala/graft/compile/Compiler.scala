@@ -77,10 +77,15 @@ object Compiler {
     * introspected relation must be BUILT before this model compiles, so
     * it is a real DAG edge even when the body never selects from it.
     */
-  def dependencies(rawSql: String): (Seq[String], Seq[(String, String)]) = {
+  def dependencies(rawSql0: String): (Seq[String], Seq[(String, String)]) = {
+    // nested util calls (pivot-over-get_column_values) scan in their
+    // set-binding normal form — same rewrite the compile path applies
+    val rawSql = normalizeUtilCalls(rawSql0)
     val intro = getColValsRe.findAllMatchIn(rawSql).toSeq.map(m =>
       (m.group(2), m.group(3), Option(m.group(4)))) ++
       starRe.findAllMatchIn(rawSql).toSeq.map(m =>
+        (m.group(1), m.group(2), Option(m.group(3)))) ++
+      unpivotRe.findAllMatchIn(rawSql).toSeq.map(m =>
         (m.group(1), m.group(2), Option(m.group(3)))) ++
       unionRelationsRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
         relCallRe.findAllMatchIn(m.group(1)).toSeq.map(r =>
@@ -149,6 +154,152 @@ object Compiler {
   // metadata; every listed relation is a DAG edge.
   private[graft] val unionRelationsRe: Regex =
     """\{\{\s*(?:dbt_utils\.)?union_relations\(\s*(\[[^\]]*\])\s*\)\s*\}\}""".r
+
+  // dbt-utils `pivot`: one aggregated CASE column per value —
+  // `sum(case when col = 'v' then 1 else 0 end) as v`. Values come from
+  // a literal list, a {% set %}-bound list, or (via
+  // [[normalizeUtilCalls]]) a nested get_column_values call. Expanded
+  // at the control-flow stage where set bindings are known.
+  private val pivotRe: Regex =
+    """(?s)\{\{\s*(?:dbt_utils\.)?pivot\(\s*((?:(?!\}\}).)*?)\s*\)\s*\}\}""".r
+
+  // `{{ pivot('c', get_column_values(ref('m'), 'c')[, kwargs]) }}` —
+  // the nested dbt-utils idiom. Normalized into the set-binding form
+  // (`{% set __pivot_vals_N = get_column_values(...) %}`) so the
+  // existing introspection machinery (and its DAG edge) handles the
+  // probe; the pivot site then references the bound list.
+  private val nestedPivotValsRe: Regex =
+    ("""(?s)\{\{\s*((?:dbt_utils\.)?pivot)\(\s*('[^']+')\s*,\s*""" +
+      """((?:dbt_utils\.)?get_column_values\((?:[^()]|\([^()]*\))*\))""" +
+      """((?:\s*,\s*(?:(?!\}\}).)*?)?)\s*\)\s*\}\}""").r
+
+  /** Rewrite nested util-call compositions into their set-binding
+    * normal forms (currently: get_column_values nested in pivot). Run
+    * before dependency scanning AND before introspection so both see
+    * the canonical spelling.
+    */
+  def normalizeUtilCalls(sql: String): String = {
+    if (!sql.contains("pivot(")) return sql
+    var i = 0
+    nestedPivotValsRe.replaceAllIn(sql, m => {
+      i += 1
+      val nm = s"__pivot_vals_$i"
+      Regex.quoteReplacement(
+        s"{% set $nm = ${m.group(3)} %}" +
+          s"{{ ${m.group(1)}(${m.group(2)}, $nm${m.group(4)}) }}")
+    })
+  }
+
+  private def expandPivot(sql: String,
+      binds: scala.collection.Map[String, String]): String =
+    pivotRe.replaceAllIn(sql, m => {
+      val args = splitArgs(m.group(1))
+      require(args.size >= 2, "pivot(column, values, ...) needs at least " +
+        s"2 arguments, got ${args.size} in (${m.group(1)})")
+      require(args(0).startsWith("'") || args(0).startsWith("\""),
+        s"pivot: column must be a quoted string, got '${args(0)}'")
+      val column = stripQuotes(args(0))
+      val valuesTxt = args(1).trim
+      val values =
+        if (valuesTxt.startsWith("[")) parseListLiteral(valuesTxt)
+        else parseListLiteral(binds.getOrElse(valuesTxt,
+          throw new IllegalArgumentException(
+            s"pivot: values '$valuesTxt' is neither a list literal nor " +
+              "a {% set %}-bound list")))
+      require(values.nonEmpty, "pivot: empty values list")
+      val kw = args.drop(2).map(a => a.split("=", 2) match {
+        case Array(k, v) => k.trim -> v.trim
+        case _ => throw new IllegalArgumentException(
+          s"pivot: expected kwarg, got '$a'")
+      }).toMap
+      val known = Set("alias", "agg", "cmp", "prefix", "suffix",
+        "then_value", "else_value", "quote_identifiers", "distinct")
+      val unknown = kw.keySet -- known
+      require(unknown.isEmpty,
+        s"pivot: unknown kwargs ${unknown.toSeq.sorted.mkString(", ")}")
+      def flag(k: String, d: Boolean) =
+        kw.get(k).fold(d)(_.equalsIgnoreCase("true"))
+      val alias = flag("alias", d = true)
+      val quote = flag("quote_identifiers", d = true)
+      val distinct = flag("distinct", d = false)
+      val agg = stripQuotes(kw.getOrElse("agg", "'sum'"))
+      val cmp = stripQuotes(kw.getOrElse("cmp", "'='"))
+      val prefix = stripQuotes(kw.getOrElse("prefix", "''"))
+      val suffix = stripQuotes(kw.getOrElse("suffix", "''"))
+      val thenV = kw.getOrElse("then_value", "1")
+      val elseV = kw.getOrElse("else_value", "0")
+      val colRef = if (quote) s"`$column`" else column
+      Regex.quoteReplacement(values.map { v =>
+        val lit = "'" + v.replace("'", "''") + "'"
+        val aliasTxt =
+          if (!alias) ""
+          else if (quote) s" AS `$prefix$v$suffix`"
+          else s" AS $prefix$v$suffix"
+        s"$agg(${if (distinct) "distinct " else ""}case when $colRef " +
+          s"$cmp $lit then $thenV else $elseV end)$aliasTxt"
+      }.mkString(", "))
+    })
+
+  // dbt-utils `unpivot`: melt a relation's columns into (field_name,
+  // value) rows via UNION ALL — one SELECT per melted column, `exclude`
+  // columns carried through as-is, `remove` columns dropped. Schema
+  // comes from the engine's metadata-only fetch (a real DAG edge, like
+  // star/union_relations). `cast_to` defaults to dbt-utils' 'varchar',
+  // rendered as Spark's `string`.
+  private[graft] val unpivotRe: Regex =
+    ("""(?s)\{\{\s*(?:dbt_utils\.)?unpivot\(\s*(ref|source)\(\s*'([^']+)'""" +
+      """(?:\s*,\s*'([^']+)')?\s*\)""" +
+      """((?:\s*,\s*(?:(?!\}\}).)*?)?)\s*\)\s*\}\}""").r
+
+  /** Replace every `unpivot(...)` site with its UNION ALL expansion;
+    * `fetch(kind, name, table)` returns (relation SQL text, schema).
+    */
+  def resolveUnpivot(sql: String,
+      fetch: (String, String, Option[String]) => (String, Seq[(String, String)]))
+      : String =
+    unpivotRe.replaceAllIn(sql, m => {
+      val kw = splitArgs(m.group(4)).filter(_.nonEmpty)
+        .map(a => a.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case _ => throw new IllegalArgumentException(
+            s"unpivot: expected kwarg, got '$a'")
+        }).toMap
+      val known = Set("cast_to", "exclude", "remove", "field_name",
+        "value_name", "quote_identifiers")
+      val unknown = kw.keySet -- known
+      require(unknown.isEmpty,
+        s"unpivot: unknown kwargs ${unknown.toSeq.sorted.mkString(", ")}")
+      val (relText, schema) = fetch(m.group(1), m.group(2),
+        Option(m.group(3)))
+      val castTo0 = stripQuotes(kw.getOrElse("cast_to", "'varchar'"))
+      val castTo =
+        if (castTo0.equalsIgnoreCase("varchar")) "string" else castTo0
+      val excl = kw.get("exclude").map(parseListLiteral).getOrElse(Nil)
+      val remove = kw.get("remove").map(parseListLiteral).getOrElse(Nil)
+      val names = schema.map(_._1.toLowerCase).toSet
+      (excl ++ remove).foreach(c => require(names.contains(c.toLowerCase),
+        s"unpivot: column '$c' not in ${m.group(2)}'s schema " +
+          s"(${schema.map(_._1).mkString(", ")})"))
+      val exclL = excl.map(_.toLowerCase).toSet
+      val removeL = remove.map(_.toLowerCase).toSet
+      val fieldName = stripQuotes(kw.getOrElse("field_name", "'field_name'"))
+      val valueName = stripQuotes(kw.getOrElse("value_name", "'value'"))
+      val quote = kw.get("quote_identifiers")
+        .fold(true)(_.equalsIgnoreCase("true"))
+      def q(n: String) = if (quote) s"`$n`" else n
+      val kept = schema.map(_._1)
+        .filter(c => exclL.contains(c.toLowerCase))
+      val melted = schema.map(_._1).filterNot(c =>
+        exclL.contains(c.toLowerCase) || removeL.contains(c.toLowerCase))
+      require(melted.nonEmpty, "unpivot: no columns left to unpivot " +
+        "after exclude/remove")
+      Regex.quoteReplacement(melted.map { cn =>
+        val sel = kept.map(q) ++ Seq(
+          s"'$cn' AS ${q(fieldName)}",
+          s"CAST(${q(cn)} AS $castTo) AS ${q(valueName)}")
+        s"SELECT ${sel.mkString(", ")} FROM $relText"
+      }.mkString("\nUNION ALL\n"))
+    })
 
   private[graft] val relCallRe: Regex =
     """(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""".r
@@ -1650,6 +1801,9 @@ object Compiler {
           parseFilters(Option(m.group(2)).getOrElse(""))))
       })
     }
+    // pivot over a LITERAL list needs no {% %} block either
+    if (pre.contains("pivot(") && !pre.contains("{%"))
+      pre = expandPivot(pre, Map.empty)
     if (!pre.contains("{%"))
       // still resolve `{{ name | default('v') }}` sites — they need no
       // {% %} block to be meaningful
@@ -1780,10 +1934,12 @@ object Compiler {
                 "range(), a {% set %}-bound list, or a run_query result"))))
         })
       })
+      // dbt-utils pivot sites consume {% set %}-bound lists directly
+      var mid = afterFor
+      if (mid.contains("pivot(")) mid = expandPivot(mid, binds)
       // {% set %} bindings: scalars into if-conditions as quoted literals
       // first, then interpolation sites; LIST bindings render only
       // through a reducing filter site ({{ xs | join(', ') }})
-      var mid = afterFor
       binds.foreach { case (k, raw) =>
         if (!raw.startsWith("[")) {
           mid = substVarInConds(k, stripQuotes(raw), mid)

@@ -646,6 +646,64 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** dbt-utils `pivot` with a NESTED `get_column_values` (the canonical
+    * dynamic-pivot one-liner): the nested call normalizes into the
+    * set-binding form (probe = DAG edge), the pivot expands one
+    * sum-CASE column per discovered value with a prefix. Column ORDER
+    * is probe-dependent (count DESC) but the driver compares by sorted
+    * column name, so the oracle just restates the three columns.
+    */
+  def pivotMacro(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """SELECT o_orderpriority,
+        |  {{ dbt_utils.pivot('o_orderstatus',
+        |       dbt_utils.get_column_values(source('tpch', 'orders'), 'o_orderstatus'),
+        |       prefix='is_') }}
+        |FROM {{ source('tpch', 'orders') }}
+        |GROUP BY o_orderpriority""".stripMargin
+    val project = Project(name = "demo_pivot_macro",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("status_pivot", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("status_pivot")
+  }
+
+  val pivotMacroSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "is_F",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "is_O",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "is_P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** dbt-utils `unpivot` end-to-end: melt nation's non-key columns into
+    * (col, val) rows — `exclude` carries the key through, `remove`
+    * drops the comment, the schema comes from the metadata-only fetch
+    * (a real DAG edge).
+    */
+  def unpivotMacro(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """{{ dbt_utils.unpivot(source('tpch', 'customer'),
+        |     exclude=['c_custkey'], remove=['c_acctbal'],
+        |     field_name='col', value_name='val') }}""".stripMargin
+    val project = Project(name = "demo_unpivot",
+      sources = Seq(SourceDef("tpch", "customer", s"$d/customer.parquet")),
+      models = Seq(ModelDef("customer_melt", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    val (nodes, _) = engine.build()
+    require(nodes.forall(_.status == "success"), nodes.toString)
+    engine.readModel("customer_melt")
+  }
+
+  val unpivotMacroSql: String =
+    """SELECT c_custkey, 'c_name' AS col,
+      |  CAST(c_name AS VARCHAR) AS val FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'c_mktsegment', c_mktsegment FROM customer""".stripMargin
+
   /** Model VERSIONS (dbt 1.5 `versions:`/`latest_version`) end-to-end:
     * a versioned model with two on-disk versions (one via
     * `defined_in:`), a consumer pinning v1 and another taking the

@@ -543,7 +543,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       // In parse-phase (compile-artifact) mode the {% if execute %}
       // guards close FIRST for the same reason.
       val sqlIncr = Compiler.resolveIncrementalBlocks(
-        Compiler.resolveExecuteBlocks(sql0, executeMode), ctx.isIncremental)
+        Compiler.resolveExecuteBlocks(Compiler.normalizeUtilCalls(sql0),
+          executeMode), ctx.isIncremental)
       // relation-existence introspection (load_relation /
       // adapter.get_relation + `is [not] none`) resolves BEFORE probes
       // for the same laziness reason — the canonical existence guard
@@ -607,9 +608,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         // parse phase: dbt-utils star returns the literal '*'
         if (!executeMode) IndexedSeq("*")
         else schemaOf(kind, a, b, "star").fields.map(_.name).toIndexedSeq)
-      (Compiler.resolveUnionRelations(sql2, (kind, a, b) =>
+      val sql3 = Compiler.resolveUnionRelations(sql2, (kind, a, b) =>
         (introRelText(kind, a, b, "union_relations"),
           schemaOf(kind, a, b, "union_relations").fields
+            .map(f => f.name -> f.dataType.sql).toIndexedSeq))
+      (Compiler.resolveUnpivot(sql3, (kind, a, b) =>
+        (introRelText(kind, a, b, "unpivot"),
+          schemaOf(kind, a, b, "unpivot").fields
             .map(f => f.name -> f.dataType.sql).toIndexedSeq)), tables)
     }
     val (resolved, tables) = resolveIntrospection(m.rawSql)

@@ -540,6 +540,58 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // ----------------------------------------------- pivot / unpivot
+
+  test("pivot: literal and bound value lists with kwargs; loud on unknowns") {
+    val got = Compiler.expandControlFlow(
+      "SELECT g, {{ dbt_utils.pivot('st', ['O', 'F'], prefix='n_', " +
+        "agg='max', cmp='!=', then_value=9, else_value=-1, " +
+        "quote_identifiers=false) }} FROM t GROUP BY g")
+    assert(got.contains(
+      "max(case when st != 'O' then 9 else -1 end) AS n_O, " +
+        "max(case when st != 'F' then 9 else -1 end) AS n_F"), got)
+    val bound = Compiler.expandControlFlow(
+      "{% set vals = ['a'] %}SELECT {{ pivot('c', vals) }} FROM t")
+    assert(bound.contains(
+      "sum(case when `c` = 'a' then 1 else 0 end) AS `a`"), bound)
+    val e = intercept[IllegalArgumentException](Compiler.expandControlFlow(
+      "{{ pivot('c', ['a'], wat=1) }}"))
+    assert(e.getMessage.contains("unknown kwargs wat"), e.getMessage)
+  }
+
+  test("pivot: nested get_column_values normalizes to the set-binding form") {
+    val norm = Compiler.normalizeUtilCalls(
+      "SELECT {{ dbt_utils.pivot('st', " +
+        "dbt_utils.get_column_values(ref('m'), 'st'), prefix='p_') }} FROM t")
+    assert(norm.contains(
+      "{% set __pivot_vals_1 = dbt_utils.get_column_values(ref('m'), 'st') %}"),
+      norm)
+    assert(norm.contains("{{ dbt_utils.pivot('st', __pivot_vals_1, prefix='p_') }}"),
+      norm)
+    // and the normalized form carries the DAG edge
+    val (refs, _) = Compiler.dependencies(
+      "SELECT {{ pivot('st', get_column_values(ref('m'), 'st')) }} FROM t")
+    assert(refs == Seq("m"), refs.toString)
+  }
+
+  test("unpivot: melt with exclude/remove, schema from fetch; loud on bad columns") {
+    val schema = Seq("id" -> "bigint", "a" -> "string",
+      "b" -> "int", "junk" -> "string")
+    val got = Compiler.resolveUnpivot(
+      "{{ dbt_utils.unpivot(ref('m'), exclude=['id'], remove=['junk'], " +
+        "field_name='col', value_name='val') }}",
+      (k, n, _) => { assert(k == "ref" && n == "m"); ("REL_M", schema) })
+    assert(got ==
+      """SELECT `id`, 'a' AS `col`, CAST(`a` AS string) AS `val` FROM REL_M
+        |UNION ALL
+        |SELECT `id`, 'b' AS `col`, CAST(`b` AS string) AS `val` FROM REL_M""".stripMargin,
+      got)
+    val e = intercept[IllegalArgumentException](Compiler.resolveUnpivot(
+      "{{ unpivot(ref('m'), exclude=['nope']) }}",
+      (_, _, _) => ("R", schema)))
+    assert(e.getMessage.contains("'nope' not in"), e.getMessage)
+  }
+
   // ----------------------------------------------- for…else
 
   test("for-else: else arm renders only for an empty (filtered) sequence") {
