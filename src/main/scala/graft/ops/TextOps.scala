@@ -1820,6 +1820,89 @@ object TextOps {
        |FROM ch LEFT JOIN hit ON ch.doc_id = hit.doc_id AND ch.idx = hit.idx
        |GROUP BY ch.doc_id""".stripMargin
 
+  // ------------------------------------ cross-document substring dedup
+  /** Cross-document EXACT-SUBSTRING self-dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr pass, re-expressed relationally): every stride-1
+    * `win`-token window in the corpus hashes once; a window text that
+    * occurs ≥2 times ANYWHERE (across documents OR repeated within one)
+    * keeps only its first occurrence — minimal (doc_id, pos) — and every
+    * other occurrence's token range is excised from its document.
+    * Alignment-free by construction: the corpus fixture's 'xx '-prefixed
+    * near-duplicates match at shifted positions and lose their whole
+    * duplicated run, which paragraph/chunk-aligned dedup cannot see.
+    *
+    * Scale shape (the suffix-array replacement argument): the paper
+    * builds one giant suffix array; here the equivalent O(total-tokens)
+    * work is a scan-local window hash per position — document TEXT never
+    * crosses an exchange. What shuffles is (doc_id, pos, md5) triples:
+    * one hash exchange for the occurrence count + keeper (partial
+    * aggregation applies), a co-partitioned join back on the same key
+    * (AQE reuses the exchange layout), and one doc_id-keyed agg of the
+    * surviving excision POSITIONS — a row per duplicated window
+    * occurrence, ≪ corpus when dup rates are the usual few percent. The
+    * rebuild is a per-row higher-order filter over the already-local
+    * token array. Windows are md5'd whole (not rolling) so the oracle is
+    * integer-exact cross-engine; the per-window slice cost is the same
+    * O(n·win) both sides.
+    */
+  def exactSubstrDedup(s: SparkSession, d: String,
+                       win: Int = 12): DataFrame = {
+    val t = corpus(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val wins = t.filter(size(col("w")) >= win)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $win), i -> struct(i AS pos, " +
+          s"md5(array_join(slice(w, i + 1, $win), ' ')) AS m))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.m").as("m"))
+    // keeper = first occurrence corpus-wide, encoded as one orderable
+    // key (doc_id < 1e7, pos < 1e9 here — loud overflow is impossible
+    // at these synthetic ranges; production would use a struct min)
+    val rep = wins.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("doc_id") * lit(1000000000L) + col("pos")).as("keeper"))
+      .filter(col("n_occ") >= 2)
+    val drops = wins.join(rep, "m")
+      .filter(col("doc_id") * lit(1000000000L) + col("pos") =!= col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("drop_pos"))
+    t.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr(s"filter(w, (x, i) -> drop_pos IS NULL OR " +
+          s"NOT exists(drop_pos, p -> i >= p AND i < p + $win))").as("k"),
+        col("w"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("k"))).cast("long").as("n_removed"),
+        array_join(col("k"), " ").as("clean_text"))
+  }
+
+  val exactSubstrDedupSql: String =
+    s"""WITH $corpusSql,
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |win AS (SELECT doc_id, i AS pos,
+       |          md5(array_to_string(list_slice(w, i + 1, i + 12), ' ')) AS m
+       |        FROM t, UNNEST(generate_series(0, len(w) - 12)) AS s(i)
+       |        WHERE len(w) >= 12),
+       |rep AS (SELECT m, min(doc_id * 1000000000 + pos) AS keeper
+       |        FROM win GROUP BY m HAVING count(*) >= 2),
+       |exc AS (SELECT w.doc_id, w.pos FROM win w JOIN rep USING (m)
+       |        WHERE w.doc_id * 1000000000 + w.pos <> rep.keeper),
+       |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+       |        FROM exc, UNNEST(generate_series(0, 11)) AS g(j)),
+       |tok AS (SELECT doc_id, gs.i AS idx, w[gs.i + 1] AS tk
+       |        FROM t, UNNEST(generate_series(0, len(w) - 1)) AS gs(i)),
+       |kept AS (SELECT tok.doc_id, tok.idx, tok.tk
+       |         FROM tok LEFT JOIN cov
+       |           ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+       |         WHERE cov.idx IS NULL),
+       |ka AS (SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tk, ' ' ORDER BY idx) AS txt
+       |       FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+       |  (len(t.w) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+       |  coalesce(ka.txt, '') AS clean_text
+       |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin
+
   /** The pretraining-export capstone: span decontamination → length gate
     * → exact dedup on the CLEANED text → per-source epoch repetition,
     * fused into ONE Catalyst plan — the order real pipelines use (dedup

@@ -85,6 +85,44 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(exc1m >= 1, s"unaligned overlap missed: $out")
   }
 
+  test("exact-substring dedup: exact copies gutted, prefixed copies gutted UNALIGNED, originals keep") {
+    val out = TextOps.exactSubstrDedup(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val planted = TData.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 0).select(col("doc_id")).collect()
+      .map(_.getLong(0)).filter(id => out(id)._1 >= 12)
+    // an exact copy (+2000000) shares every window with its original:
+    // all its windowed tokens excise (the < 12-token tail survives)
+    planted.foreach { id =>
+      val (n, rm) = out(id + 2000000)
+      assert(rm >= n - 11 && rm <= n,
+        s"exact copy $id kept duplicated tokens: n=$n removed=$rm")
+      // the original precedes its copy, so it can only lose runs shared
+      // with LOWER-id docs (the corpus plants cross-doc phrases) — never
+      // more than the copy loses
+      assert(out(id)._2 <= rm, s"keeper $id lost more than its copy")
+    }
+    // most base-corpus windows are unique: some original keeps all text
+    val base = out.filter { case (id, _) => id < 1000000L }
+    assert(base.values.exists(_._2 == 0L), "every base doc was excised")
+    assert(base.values.map(_._2).sum < base.values.map(_._1).sum,
+      "base corpus fully excised — keeper selection is broken")
+    // the 'xx '-prefixed copies (+1000000) match at SHIFTED positions:
+    // everything past the prefix excises even though no aligned chunk
+    // would match
+    val prefixed = TData.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id")).collect()
+      .map(_.getLong(0)).filter(id => out(id)._1 >= 12)
+    prefixed.foreach { id =>
+      val (n, rm) = out(id + 1000000)
+      assert(rm >= n - 13, // 'xx' + the <win tail can survive
+        s"prefixed copy $id under-excised: n=$n removed=$rm")
+    }
+    // docs shorter than one window are untouched
+    out.values.filter(_._1 < 12).foreach { case (_, rm) => assert(rm == 0) }
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val dups = TextOps.dedupExact(spark, sf).filter(col("n_copies") > 1)
     val planted = TData.documents(spark, sf)
