@@ -685,9 +685,84 @@ object Compiler {
   private val unnestRe: Regex =
     """(?i),\s*unnest\(\s*([^()]+?)\s*\)\s+(?:as\s+)?([A-Za-z_]\w*)""".r
 
+  // dbt cross-database macros + dbt-utils conveniences: pure textual
+  // Spark-dialect renderings (the reference manifest defines each as an
+  // adapter-dispatched macro; the engine renders the spark__ form
+  // directly). Only `{{ … }}` sites match — plain SQL date_trunc()/
+  // length()/replace() pass through untouched.
+  private val crossDbRe: Regex =
+    ("""(?s)\{\{\s*(?:dbt\.|dbt_utils\.)?(type_string|type_timestamp|""" +
+      """type_int|type_bigint|type_float|type_numeric|type_boolean|""" +
+      """string_literal|escape_single_quotes|replace|length|position|""" +
+      """right|left|split_part|bool_or|any_value|cast_bool_to_text|""" +
+      """date_trunc|current_timestamp|group_by|hash|safe_add|""" +
+      """safe_subtract|safe_divide)\(((?:(?!\}\}).)*?)\)\s*\}\}""").r
+
+  private def expandCrossDbMacros(sql0: String): String =
+    crossDbRe.replaceAllIn(sql0, m => {
+      val name = m.group(1)
+      val args = splitArgs(m.group(2))
+      // dbt's cross-db macros take their SQL arguments as Jinja STRINGS
+      // and splice the contents raw (`dbt.length("o_name")` renders
+      // `length(o_name)`; a literal needs its own inner quotes,
+      // `dbt.replace("c", "'.'", "'_'")`) — so every expression arg
+      // sheds exactly one quote layer
+      def a(i: Int) = stripOneJinjaQuote(args(i))
+      def nargs(n: Int): Unit = require(args.length == n,
+        s"$name: expected $n argument(s), got ${args.length} " +
+          s"in (${m.group(2)})")
+      Regex.quoteReplacement(name match {
+        case "type_string" => "string"
+        case "type_timestamp" => "timestamp"
+        case "type_int" => "int"
+        case "type_bigint" => "bigint"
+        case "type_float" => "float"
+        case "type_numeric" => "decimal(28, 6)"
+        case "type_boolean" => "boolean"
+        case "current_timestamp" => "current_timestamp()"
+        case "string_literal" => nargs(1); s"'${a(0)}'"
+        // returns the ESCAPED TEXT, not a quoted literal (dbt parity)
+        case "escape_single_quotes" =>
+          nargs(1); a(0).replace("'", "''")
+        case "replace" => nargs(3)
+          s"replace(${a(0)}, ${a(1)}, ${a(2)})"
+        case "length" => nargs(1); s"length(${a(0)})"
+        // dbt order: position(substring_text, string_text)
+        case "position" => nargs(2); s"position(${a(0)}, ${a(1)})"
+        case "right" => nargs(2); s"right(${a(0)}, ${a(1)})"
+        case "left" => nargs(2); s"left(${a(0)}, ${a(1)})"
+        case "split_part" => nargs(3)
+          s"split_part(${a(0)}, ${a(1)}, ${a(2)})"
+        case "bool_or" => nargs(1); s"bool_or(${a(0)})"
+        case "any_value" => nargs(1); s"any_value(${a(0)})"
+        case "cast_bool_to_text" => nargs(1); s"cast(${a(0)} as string)"
+        // the datepart re-quotes (dbt body: date_trunc('{{ part }}', …))
+        case "date_trunc" => nargs(2); s"date_trunc('${a(0)}', ${a(1)})"
+        case "group_by" => nargs(1)
+          val n = a(0).toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"group_by: needs an integer, got '${a(0)}'"))
+          require(n >= 1, s"group_by($n): needs n >= 1")
+          "group by " + (1 to n).mkString(", ")
+        case "hash" => nargs(1); s"md5(cast(${a(0)} as string))"
+        case "safe_add" | "safe_subtract" =>
+          val fields =
+            if (args.length == 1 && args(0).trim.startsWith("["))
+              parseListLiteral(args(0))
+            else args.indices.map(a) // legacy variadic spelling
+          require(fields.size >= 2,
+            s"$name: needs at least two fields, got $fields")
+          val op = if (name == "safe_add") " + " else " - "
+          fields.map(f => s"coalesce($f, 0)").mkString(op)
+        case "safe_divide" => nargs(2)
+          s"(${a(0)}) / nullif(${a(1)}, 0)"
+      })
+    })
+
   private def expandBuiltinSqlMacros(sql0: String): String = {
     var sql = unnestRe.replaceAllIn(sql0, m => Regex.quoteReplacement(
       s" LATERAL VIEW explode(${m.group(1)}) ${m.group(2)}_t AS ${m.group(2)}"))
+    sql = expandCrossDbMacros(sql)
     sql = surrogateKeyRe.replaceAllIn(sql, m => {
       val cols = parseListLiteral(m.group(1))
       require(cols.nonEmpty, "generate_surrogate_key needs at least one column")

@@ -646,6 +646,46 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** dbt cross-database macro pack end-to-end: type casts, hash,
+    * length, split_part, safe_divide, safe_add, replace, left, and
+    * escape_single_quotes rendered in Spark dialect from their
+    * `{{ dbt. }}`/`{{ dbt_utils. }}` spellings — the everyday surface a
+    * ported model's SELECT list uses.
+    */
+  def crossDbMacros(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS {{ dbt.type_string() }}) AS key_str,
+        |  {{ dbt_utils.hash('o_orderstatus') }} AS status_hash,
+        |  CAST({{ dbt.length('o_orderpriority') }} AS BIGINT) AS prio_len,
+        |  {{ dbt.split_part('o_orderpriority', "'-'", '1') }} AS prio_code,
+        |  round({{ dbt_utils.safe_divide('o_totalprice', '(o_orderkey % 2)') }}, 2) AS odd_price,
+        |  {{ dbt_utils.safe_add(['o_orderkey', 'o_custkey']) }} AS key_sum,
+        |  {{ dbt.replace('o_orderstatus', "'O'", "'OPEN'") }} AS status_repl,
+        |  {{ dbt.left('o_orderpriority', '1') }} AS prio_digit,
+        |  '{{ dbt.escape_single_quotes("it's") }}' AS quoted
+        |FROM {{ source('tpch', 'orders') }}""".stripMargin
+    val project = Project(name = "demo_crossdb",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("order_exprs", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("order_exprs")
+  }
+
+  val crossDbMacrosSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  md5(CAST(o_orderstatus AS VARCHAR)) AS status_hash,
+      |  length(o_orderpriority)::BIGINT AS prio_len,
+      |  split_part(o_orderpriority, '-', 1) AS prio_code,
+      |  round(o_totalprice / nullif(o_orderkey % 2, 0), 2) AS odd_price,
+      |  o_orderkey + o_custkey AS key_sum,
+      |  replace(o_orderstatus, 'O', 'OPEN') AS status_repl,
+      |  left(o_orderpriority, 1) AS prio_digit,
+      |  'it''s' AS quoted
+      |FROM orders""".stripMargin
+
   /** dbt-utils `pivot` with a NESTED `get_column_values` (the canonical
     * dynamic-pivot one-liner): the nested call normalizes into the
     * set-binding form (probe = DAG edge), the pivot expands one

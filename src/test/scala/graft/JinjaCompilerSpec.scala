@@ -540,6 +540,41 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // ------------------------------------------- cross-database macros
+
+  test("cross-db macros render Spark dialect; plain SQL names pass through") {
+    val ctx = Compiler.ResolveCtx(refTarget = identity,
+      sourceTarget = (_, t) => t, thisTarget = "T",
+      env = Map.empty, isIncremental = false)
+    val got = Compiler.compile(
+      "SELECT CAST(a AS {{ dbt.type_numeric() }}), " +
+        "{{ dbt_utils.group_by(3) }}, " +
+        "{{ dbt.position(\"'x'\", 'col') }}, " +
+        "{{ date_trunc('month', 'ts') }}, " +
+        "{{ dbt.string_literal(abc) }}, " +
+        "{{ dbt_utils.safe_subtract(['a', 'b', 'c']) }}, " +
+        "{{ dbt.bool_or('f') }}, {{ dbt.any_value('g') }}, " +
+        "{{ dbt.cast_bool_to_text('b') }}, {{ dbt.right('s', 2) }}, " +
+        "{{ dbt.current_timestamp() }}, " +
+        "date_trunc('day', plain) AS untouched", ctx)
+    assert(got.contains("CAST(a AS decimal(28, 6))"), got)
+    assert(got.contains("group by 1, 2, 3"), got)
+    // dbt splices string args raw: a literal carries its own quotes
+    assert(got.contains("position('x', col)"), got)
+    assert(got.contains("date_trunc('month', ts)"), got)
+    assert(got.contains("'abc'"), got)
+    assert(got.contains(
+      "coalesce(a, 0) - coalesce(b, 0) - coalesce(c, 0)"), got)
+    assert(got.contains("bool_or(f)") && got.contains("any_value(g)"), got)
+    assert(got.contains("cast(b as string)"), got)
+    assert(got.contains("right(s, 2)"), got)
+    assert(got.contains("current_timestamp()"), got)
+    assert(got.contains("date_trunc('day', plain) AS untouched"), got)
+    val e = intercept[IllegalArgumentException](Compiler.compile(
+      "{{ dbt.length('a', 'b') }}", ctx))
+    assert(e.getMessage.contains("length: expected 1"), e.getMessage)
+  }
+
   // ----------------------------------------------- pivot / unpivot
 
   test("pivot: literal and bound value lists with kwargs; loud on unknowns") {
