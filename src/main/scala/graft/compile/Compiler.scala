@@ -87,6 +87,8 @@ object Compiler {
         (m.group(1), m.group(2), Option(m.group(3)))) ++
       unpivotRe.findAllMatchIn(rawSql).toSeq.map(m =>
         (m.group(1), m.group(2), Option(m.group(3)))) ++
+      deduplicateRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
+        Option(m.group(2)).map(n => (m.group(1), n, Option(m.group(3))))) ++
       unionRelationsRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
         relCallRe.findAllMatchIn(m.group(1)).toSeq.map(r =>
           (r.group(1), r.group(2), Option(r.group(3))))) ++
@@ -759,10 +761,35 @@ object Compiler {
       })
     })
 
+  // dbt-utils `deduplicate(relation, partition_by=…, order_by=…)`:
+  // keep the first row per partition under the ordering. Renders the
+  // row_number subquery with Spark's `* EXCEPT` star (QUALIFY is not in
+  // OSS Spark); the relation re-emits as its `{{ ref/source/this }}`
+  // site, which the compile pass then resolves like any other.
+  private[graft] val deduplicateRe: Regex =
+    ("""(?s)\{\{\s*(?:dbt_utils\.)?deduplicate\(\s*""" +
+      """(ref|source|this)(?:\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\))?""" +
+      """\s*,\s*partition_by\s*=\s*('[^']*'|"[^"]*")""" +
+      """\s*,\s*order_by\s*=\s*('[^']*'|"[^"]*")\s*\)\s*\}\}""").r
+
   private def expandBuiltinSqlMacros(sql0: String): String = {
     var sql = unnestRe.replaceAllIn(sql0, m => Regex.quoteReplacement(
       s" LATERAL VIEW explode(${m.group(1)}) ${m.group(2)}_t AS ${m.group(2)}"))
     sql = expandCrossDbMacros(sql)
+    sql = deduplicateRe.replaceAllIn(sql, m => {
+      val relTxt = m.group(1) match {
+        case "this" => "{{ this }}"
+        case k => Option(m.group(3)) match {
+          case Some(t) => s"{{ $k('${m.group(2)}', '$t') }}"
+          case None => s"{{ $k('${m.group(2)}') }}"
+        }
+      }
+      Regex.quoteReplacement(
+        s"(SELECT * EXCEPT(_graft_rn) FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY ${stripQuotes(m.group(4))} " +
+          s"ORDER BY ${stripQuotes(m.group(5))}) AS _graft_rn " +
+          s"FROM $relTxt) WHERE _graft_rn = 1)")
+    })
     sql = surrogateKeyRe.replaceAllIn(sql, m => {
       val cols = parseListLiteral(m.group(1))
       require(cols.nonEmpty, "generate_surrogate_key needs at least one column")
@@ -1007,7 +1034,13 @@ object Compiler {
       maxPartition: Option[String] = None,
       // run_query bindings, pre-executed by the ENGINE
       // ([[resolveRunQueries]]) — consumed by the control-flow subset
-      queryResults: Map[String, QueryResult] = Map.empty)
+      queryResults: Map[String, QueryResult] = Map.empty,
+      // dbt run context: one UUID per engine invocation and the run's
+      // start instant ({{ invocation_id }}, {{ run_started_at }} +
+      // .strftime subset) — the audit-column idiom. None → a reference
+      // fails loudly naming the missing context.
+      invocationId: Option[String] = None,
+      runStartedAt: Option[java.time.Instant] = None)
 
   /** Resolve `{% if is_incremental() %}…{% else %}…{% endif %}` blocks
     * to the taken branch. Public (also) so the ENGINE can decide these
@@ -1237,7 +1270,55 @@ object Compiler {
             s"(available: ${ctx.targetVals.keys.toSeq.sorted.mkString(", ")})"))))
     sql = maxPartRe.replaceAllIn(sql,
       Regex.quoteReplacement(ctx.maxPartition.getOrElse("NULL")))
+    sql = invocationIdRe.replaceAllIn(sql, _ => Regex.quoteReplacement(
+      ctx.invocationId.getOrElse(throw new IllegalArgumentException(
+        "invocation_id is unavailable in this context"))))
+    sql = runStartedAtRe.replaceAllIn(sql, m => {
+      val inst = ctx.runStartedAt.getOrElse(throw new IllegalArgumentException(
+        "run_started_at is unavailable in this context"))
+      Regex.quoteReplacement(Option(m.group(1)) match {
+        case Some(fmt) => strftime(inst, fmt)
+        // bare render: dbt's str(datetime) shape at seconds precision
+        case None => strftime(inst, "%Y-%m-%d %H:%M:%S") + "+00:00"
+      })
+    })
     sql.trim
+  }
+
+  // dbt run-context variables: {{ invocation_id }} (one UUID per
+  // engine invocation) and {{ run_started_at }} with the everyday
+  // strftime subset — the audit-column idiom of ported models
+  private val invocationIdRe: Regex = """\{\{\s*invocation_id\s*\}\}""".r
+  private val runStartedAtRe: Regex =
+    ("""\{\{\s*run_started_at""" +
+      """(?:\.strftime\(\s*['"]([^'"]+)['"]\s*\))?\s*\}\}""").r
+
+  /** Python-strftime subset over a UTC instant: %Y %m %d %H %M %S %%;
+    * any other directive fails loudly.
+    */
+  private[graft] def strftime(i: java.time.Instant, fmt: String): String = {
+    val z = i.atZone(java.time.ZoneOffset.UTC)
+    val out = new StringBuilder
+    var idx = 0
+    while (idx < fmt.length) {
+      val c = fmt.charAt(idx)
+      if (c == '%' && idx + 1 < fmt.length) {
+        fmt.charAt(idx + 1) match {
+          case 'Y' => out.append(f"${z.getYear}%04d")
+          case 'm' => out.append(f"${z.getMonthValue}%02d")
+          case 'd' => out.append(f"${z.getDayOfMonth}%02d")
+          case 'H' => out.append(f"${z.getHour}%02d")
+          case 'M' => out.append(f"${z.getMinute}%02d")
+          case 'S' => out.append(f"${z.getSecond}%02d")
+          case '%' => out.append('%')
+          case other => throw new IllegalArgumentException(
+            s"run_started_at.strftime: unsupported directive '%$other' " +
+              "(supported: %Y %m %d %H %M %S)")
+        }
+        idx += 2
+      } else { out.append(c); idx += 1 }
+    }
+    out.result()
   }
 
   // dbt statement-call surface (counts from the reference manifest's

@@ -646,6 +646,31 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** dbt-utils `deduplicate` end-to-end: keep each customer's latest
+    * order (date DESC, key DESC tiebreak) via the row_number subquery
+    * rendering — the relation resolves through its re-emitted source
+    * site, and Spark's `* EXCEPT` drops the helper column.
+    */
+  def deduplicateMacro(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """SELECT o_custkey, o_orderkey, o_orderdate
+        |FROM {{ dbt_utils.deduplicate(source('tpch', 'orders'),
+        |     partition_by='o_custkey',
+        |     order_by='o_orderdate DESC, o_orderkey DESC') }}""".stripMargin
+    val project = Project(name = "demo_dedup_macro",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("latest_orders", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("latest_orders")
+  }
+
+  val deduplicateMacroSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1""".stripMargin
+
   /** dbt cross-database macro pack end-to-end: type casts, hash,
     * length, split_part, safe_divide, safe_add, replace, left, and
     * escape_single_quotes rendered in Spark dialect from their

@@ -226,6 +226,11 @@ final case class Target(warehouseRoot: String,
   */
 final class Engine(spark: SparkSession, project0: Project, target: Target) {
 
+  // dbt run context: one id + start instant per engine invocation
+  // ({{ invocation_id }} / {{ run_started_at }} — the audit columns)
+  val invocationId: String = java.util.UUID.randomUUID().toString
+  val runStartedAt: java.time.Instant = java.time.Instant.now()
+
   /** The macro-expanded project: user macros resolve FIRST (before
     * ref/source/env_var), so a macro body may itself `ref()` another
     * model — the DAG, the compiled SQL, AND the state:modified checksums
@@ -494,7 +499,9 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       vars = mergedVars,
       targetVals = Map("name" -> target.name,
         "database" -> target.database, "schema" -> target.resolvedSchema),
-      maxPartition = maxPart)
+      maxPartition = maxPart,
+      invocationId = Some(invocationId),
+      runStartedAt = Some(runStartedAt))
     // dbt-utils get_column_values: resolve introspective set bindings
     // against the BUILT upstream (a DAG edge guarantees it exists; the
     // probe is one control-plane distinct over a single column, bounded
@@ -1078,7 +1085,9 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         sourceTarget = (s, t) => sourceText(s, t),
         crossRefTarget = crossRefText,
         thisTarget = "", env = target.env, isIncremental = false,
-        vars = mergedVars))
+        vars = mergedVars,
+        invocationId = Some(invocationId),
+        runStartedAt = Some(runStartedAt)))
   }
 
   def renderInline(sqlTemplate: String): DataFrame =

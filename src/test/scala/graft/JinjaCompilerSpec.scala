@@ -540,6 +540,53 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // ------------------------------- run context + deduplicate
+
+  test("invocation_id / run_started_at render from context; loud when absent") {
+    val inst = java.time.Instant.parse("2026-03-05T07:08:09Z")
+    val ctx = Compiler.ResolveCtx(refTarget = identity,
+      sourceTarget = (_, t) => t, thisTarget = "T",
+      env = Map.empty, isIncremental = false,
+      invocationId = Some("uuid-123"), runStartedAt = Some(inst))
+    val got = Compiler.compile(
+      "SELECT '{{ invocation_id }}' AS inv, " +
+        "'{{ run_started_at }}' AS at, " +
+        "'{{ run_started_at.strftime(\"%Y%m%d\") }}' AS ymd, " +
+        "'{{ run_started_at.strftime(\"%H:%M:%S\") }}' AS hms", ctx)
+    assert(got.contains("'uuid-123' AS inv"), got)
+    assert(got.contains("'2026-03-05 07:08:09+00:00' AS at"), got)
+    assert(got.contains("'20260305' AS ymd"), got)
+    assert(got.contains("'07:08:09' AS hms"), got)
+    val bare = ctx.copy(invocationId = None, runStartedAt = None)
+    val e1 = intercept[IllegalArgumentException](
+      Compiler.compile("SELECT {{ invocation_id }}", bare))
+    assert(e1.getMessage.contains("invocation_id"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Compiler.compile(
+      "SELECT {{ run_started_at.strftime('%Q') }}", ctx))
+    assert(e2.getMessage.contains("unsupported directive '%Q'"),
+      e2.getMessage)
+  }
+
+  test("deduplicate renders the row_number subquery over the relation site") {
+    val ctx = Compiler.ResolveCtx(
+      refTarget = r => s"REL_$r", sourceTarget = (a, b) => s"SRC_${a}_$b",
+      thisTarget = "THIS_T", env = Map.empty, isIncremental = false)
+    val got = Compiler.compile(
+      "SELECT * FROM {{ dbt_utils.deduplicate(ref('m'), " +
+        "partition_by='user_id', order_by='ts DESC') }}", ctx)
+    assert(got ==
+      "SELECT * FROM (SELECT * EXCEPT(_graft_rn) FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) " +
+        "AS _graft_rn FROM REL_m) WHERE _graft_rn = 1)", got)
+    // this-relation spelling + the DAG edge of the ref form
+    val gotThis = Compiler.compile(
+      "{{ deduplicate(this, partition_by='k', order_by='v') }}", ctx)
+    assert(gotThis.contains("FROM THIS_T"), gotThis)
+    val (refs, _) = Compiler.dependencies(
+      "{{ dbt_utils.deduplicate(ref('up'), partition_by='k', order_by='v') }}")
+    assert(refs == Seq("up"), refs.toString)
+  }
+
   // ------------------------------------------- cross-database macros
 
   test("cross-db macros render Spark dialect; plain SQL names pass through") {

@@ -1355,6 +1355,26 @@ class OrchestratorSpec extends AnyFunSuite {
       e2.renderInline("SELECT * FROM {{ this }}"))
   }
 
+  test("invocation_id and run_started_at: one value per invocation, shared across models") {
+    val proj = baseProject.copy(models = Seq(
+      ModelDef("audit_a",
+        "SELECT '{{ invocation_id }}' AS inv, " +
+          "'{{ run_started_at.strftime(\"%Y-%m-%d\") }}' AS d"),
+      ModelDef("audit_b", "SELECT '{{ invocation_id }}' AS inv")))
+    val e = new Engine(spark, proj, Target(root()))
+    require(e.build()._1.forall(_.status == "success"))
+    val a = e.readModel("audit_a").head()
+    val b = e.readModel("audit_b").head()
+    // both models see the SAME invocation id, and it is the engine's
+    assert(a.getString(0) == e.invocationId && b.getString(0) == e.invocationId)
+    assert(a.getString(0).matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(a.getString(1) == Compiler.strftime(e.runStartedAt, "%Y-%m-%d"))
+    // a SECOND engine is a new invocation
+    val e2 = new Engine(spark, proj, Target(root()))
+    assert(e2.invocationId != e.invocationId)
+  }
+
   test("cross-project ref: unregistered dependency fails loudly; rename-mode upstream reads by path") {
     val upRoot = root()
     val up = Project(name = "up",
