@@ -79,8 +79,9 @@ object Compiler {
     */
   def dependencies(rawSql0: String): (Seq[String], Seq[(String, String)]) = {
     // nested util calls (pivot-over-get_column_values) scan in their
-    // set-binding normal form — same rewrite the compile path applies
-    val rawSql = normalizeUtilCalls(rawSql0)
+    // set-binding normal form — same rewrite the compile path applies;
+    // refs inside comments/raw blocks are NOT dependencies
+    val rawSql = normalizeUtilCalls(protectRawAndStripComments(rawSql0))
     val intro = getColValsRe.findAllMatchIn(rawSql).toSeq.map(m =>
       (m.group(2), m.group(3), Option(m.group(4)))) ++
       starRe.findAllMatchIn(rawSql).toSeq.map(m =>
@@ -1224,7 +1225,8 @@ object Compiler {
 
   /** Render raw model SQL to executable Spark SQL (SURVEY §3.1 step 2). */
   def compile(rawSql: String, ctx: ResolveCtx): String = {
-    var sql = configRe.replaceAllIn(rawSql, "")
+    var sql = configRe.replaceAllIn(
+      protectRawAndStripComments(rawSql), "")
     sql = resolveIncrementalBlocks(sql, ctx.isIncremental)
     sql = expandControlFlow(sql, tables = ctx.queryResults)
     // statement calls AFTER control flow: a raise/log/do inside a
@@ -1282,8 +1284,34 @@ object Compiler {
         case None => strftime(inst, "%Y-%m-%d %H:%M:%S") + "+00:00"
       })
     })
-    sql.trim
+    restoreRaw(sql).trim
   }
+
+  // Jinja comments (`{# … #}`) strip at parse, and `{% raw %}…{%
+  // endraw %}` bodies pass through VERBATIM — protected from every
+  // rewrite pass as a self-contained hex token (stateless: the token
+  // IS the payload), decoded as [[compile]]'s last step. A ref() inside
+  // a comment or raw block is therefore never a dependency — dbt
+  // parity.
+  private val rawBlockRe: Regex =
+    """(?s)\{%-?\s*raw\s*-?%\}(.*?)\{%-?\s*endraw\s*-?%\}""".r
+  private val commentRe: Regex = """(?s)\{#.*?#\}""".r
+  private val rawTokenRe: Regex = """__GRAFT_RAW_([0-9a-f]*)__""".r
+
+  private[graft] def protectRawAndStripComments(sql: String): String = {
+    val s1 =
+      if (!sql.contains("raw")) sql
+      else rawBlockRe.replaceAllIn(sql, m => Regex.quoteReplacement(
+        "__GRAFT_RAW_" + m.group(1).getBytes("UTF-8")
+          .map("%02x".format(_)).mkString + "__"))
+    if (s1.contains("{#")) commentRe.replaceAllIn(s1, "") else s1
+  }
+
+  private def restoreRaw(sql: String): String =
+    if (!sql.contains("__GRAFT_RAW_")) sql
+    else rawTokenRe.replaceAllIn(sql, m => Regex.quoteReplacement(
+      new String(m.group(1).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")))
 
   // dbt run-context variables: {{ invocation_id }} (one UUID per
   // engine invocation) and {{ run_started_at }} with the everyday
@@ -2333,8 +2361,11 @@ object Compiler {
     * whose name is not a known macro pass through untouched — builtins
     * resolve later in [[compile]].
     */
-  def expandMacros(sql: String, macros: Map[String, MacroDef],
+  def expandMacros(sql0: String, macros: Map[String, MacroDef],
                    maxDepth: Int = 10): String = {
+    // raw bodies must survive macro expansion verbatim, and a macro
+    // call inside a comment must not expand (dbt parse semantics)
+    val sql = protectRawAndStripComments(sql0)
     // with no macros loaded, a dispatch site still fails loudly inside
     // resolveDispatch (it can never resolve) instead of leaking Jinja
     if (macros.isEmpty)

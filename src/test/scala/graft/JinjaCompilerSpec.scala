@@ -540,6 +540,47 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // ------------------------------- comments + raw blocks
+
+  test("{# comments #} strip everywhere; commented-out refs are not dependencies") {
+    val ctx = Compiler.ResolveCtx(refTarget = r => s"REL_$r",
+      sourceTarget = (_, t) => t, thisTarget = "T",
+      env = Map.empty, isIncremental = false)
+    val got = Compiler.compile(
+      "SELECT a {# the {{ ref('old') }} days\nare over #} FROM {{ ref('m') }}",
+      ctx)
+    assert(got == "SELECT a  FROM REL_m", got)
+    val (refs, srcs) = Compiler.dependencies(
+      "SELECT 1 FROM {{ ref('live') }} {# {{ ref('dead') }} " +
+        "{{ source('s', 't') }} #}")
+    assert(refs == Seq("live") && srcs.isEmpty, s"$refs $srcs")
+    // a macro call inside a comment never expands
+    val macros = Map("boom" -> Compiler.MacroDef("boom", Nil,
+      "{{ undefined_thing() }}"))
+    assert(Compiler.expandMacros("A {# {{ boom() }} #} B", macros)
+      .trim == "A  B")
+  }
+
+  test("{% raw %} bodies pass through VERBATIM past every rewrite pass") {
+    val ctx = Compiler.ResolveCtx(refTarget = r => s"REL_$r",
+      sourceTarget = (_, t) => t, thisTarget = "T",
+      env = Map.empty, isIncremental = false)
+    val got = Compiler.compile(
+      "SELECT '{% raw %}{{ ref(\"not_a_ref\") }} {% if x %}{% endraw %}' " +
+        "AS template, b FROM {{ ref('m') }}", ctx)
+    assert(got == "SELECT '{{ ref(\"not_a_ref\") }} {% if x %}' " +
+      "AS template, b FROM REL_m", got)
+    // raw contents are not dependencies and survive macro expansion
+    val (refs, _) = Compiler.dependencies(
+      "{% raw %}{{ ref('ghost') }}{% endraw %} {{ ref('real') }}")
+    assert(refs == Seq("real"), refs.toString)
+    val macros = Map("m" -> Compiler.MacroDef("m", Nil, "EXPANDED"))
+    val viaMacros = Compiler.expandMacros(
+      "{% raw %}{{ m() }}{% endraw %} {{ m() }}", macros)
+    assert(viaMacros.contains("EXPANDED") &&
+      viaMacros.contains("__GRAFT_RAW_"), viaMacros)
+  }
+
   // ------------------------------- run context + deduplicate
 
   test("invocation_id / run_started_at render from context; loud when absent") {
