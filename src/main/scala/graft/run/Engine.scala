@@ -767,9 +767,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             keys, aggSpec))
           warehouse.dropView(relationFor(m.name)) // stale if formerly a view
         case "ephemeral" => () // inlined by ref() of downstream models
-        case _ =>
+        case "table" =>
           mat.table(df, relationFor(m.name), cfg)
           warehouse.dropView(relationFor(m.name)) // stale if formerly a view
+        // a custom {% materialization %} would dispatch here in dbt;
+        // the engine's materializations are native — refuse loudly
+        // instead of silently building a table
+        case other => throw new IllegalArgumentException(
+          s"model '${m.name}': unknown materialization '$other' — " +
+            "supported: table, view, incremental, materialized_view, " +
+            "ephemeral (custom {% materialization %} blocks are not " +
+            "part of this engine; use a native materialization)")
       }
       }
       runHooks(cfg.postHooks, m.name)

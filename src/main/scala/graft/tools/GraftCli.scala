@@ -80,7 +80,8 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   --manifest <path>  where compile writes the manifest
   *   --env K=V          env_var bindings (repeatable)
   *   --vars K=V         var() overrides (repeatable; wins over
-  *                      project.conf `var.<name>=` lines)
+  *                      project.conf `var.<name>=` lines); also accepts
+  *                      dbt's dict spelling --vars '{key: value, k: v}'
   * }}}
   */
 object GraftCli {
@@ -102,8 +103,33 @@ object GraftCli {
     val (project, conf0) = ProjectLoader.load(projectDir)
     val env = flags.getOrElse("env", Nil)
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    val cliVars = flags.getOrElse("vars", Nil)
-      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    // --vars accepts both the repeated k=v spelling and dbt's YAML
+    // flow-dict spelling: --vars '{key: value, other: 2}'
+    val cliVars = flags.getOrElse("vars", Nil).flatMap { v0 =>
+      val v = v0.trim
+      def unq(s: String) = {
+        val t = s.trim
+        if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+            (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+          t.substring(1, t.length - 1)
+        else t
+      }
+      if (v.startsWith("{")) {
+        require(v.endsWith("}"), s"--vars dict '$v' is unterminated")
+        v.substring(1, v.length - 1).split(",").iterator
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split(":", 2) match {
+              case Array(k, value) => unq(k) -> unq(value)
+              case _ => throw new IllegalArgumentException(
+                s"--vars dict entry '$kv' must be 'key: value'")
+            }
+          }.toSeq
+      } else v.split("=", 2) match {
+        case Array(k, value) => Seq(k -> value)
+        case _ => throw new IllegalArgumentException(
+          s"--vars '$v' must be k=v or a '{key: value}' dict")
+      }
+    }.toMap
     // named targets from either surface: project.conf `target.<n>.<k>=`
     // lines, or a dbt-native profiles.yml (--profiles-dir <dir>, then
     // the project dir; the reference declares TWO targets — `ci` and

@@ -107,6 +107,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("% 97"), p)
   }
 
+  test("substr dedup: text never in an exchange — only hash triples and positions shuffle") {
+    val p = plan(TextOps.exactSubstrDedup(spark, sf))
+    // one hash-key agg exchange, the join back reusing its layout, the
+    // doc-keyed drop-list agg, and the final doc join — all SMALL rows;
+    // no cartesian/nested-loop anywhere
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(shuffles(p) <= 6, s"unexpected exchange count:\n$p")
+    // no Exchange carries the token array or document text: hashpartitioning
+    // keys are only the window hash m and doc_id
+    val exchangeKeys = p.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exchangeKeys.contains("text"), exchangeKeys)
+  }
+
   test("PII redaction: pure per-row plan — no exchange, one codegen stage") {
     val p = plan(TextOps.piiRedact(spark, sf))
     assert(shuffles(p) == 0, s"redaction must not shuffle:\n$p")
