@@ -2049,15 +2049,30 @@ object Compiler {
           if (n == 0) return renderEmpty() // Jinja for…else
           // bare loop var inside `{% set %}` statements (the namespace
           // accumulator idiom `{% set ns.x = ns.x + item %}`): numbers
-          // splice bare, strings quoted
+          // splice bare, strings quoted. Occurrences INSIDE quoted
+          // literals never substitute — `ns.s ~ 'w'` with a loop var
+          // named w must keep its literal
           val setStmtRe = """\{%-?\s*set\s+(?:(?!-?%\}).)*?-?%\}""".r
           def substVarInSets(it: String, b: String): String = {
             if (!b.contains("{% set") && !b.contains("{%- set")) return b
             val lit = if (it.matches("""-?\d+(\.\d+)?""")) it
               else "'" + it.replace("'", "''") + "'"
-            setStmtRe.replaceAllIn(b, sm => Regex.quoteReplacement(
-              ("""\b""" + Regex.quote(v) + """\b""").r
-                .replaceAllIn(sm.matched, Regex.quoteReplacement(lit))))
+            val tokenRe = ("""\b""" + Regex.quote(v) + """\b""").r
+            val quotedRe = """'[^']*'""".r
+            setStmtRe.replaceAllIn(b, sm => Regex.quoteReplacement {
+              val s = sm.matched
+              val out = new StringBuilder
+              var last = 0
+              for (qm <- quotedRe.findAllMatchIn(s)) {
+                out.append(tokenRe.replaceAllIn(s.substring(last, qm.start),
+                  Regex.quoteReplacement(lit)))
+                out.append(qm.matched)
+                last = qm.end
+              }
+              out.append(tokenRe.replaceAllIn(s.substring(last),
+                Regex.quoteReplacement(lit)))
+              out.result()
+            })
           }
           items.zipWithIndex.map { case (it, i) =>
             var b = substInterp(v, it, body) // {{ x }} and {{ x | lower }}

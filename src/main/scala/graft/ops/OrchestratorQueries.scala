@@ -646,6 +646,36 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** Jinja `namespace()` + `for…else` end-to-end: a loop-carried
+    * accumulator (with a loop filter) computes the WHERE threshold and
+    * a column literal, and an emptied loop takes its else arm — all
+    * decided at compile time, restated literally by the oracle.
+    */
+  def namespaceModel(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """{% set ns = namespace(total=0, picked='') %}
+        |{% for w in [100, 250, 75, 9] if w != 9 %}
+        |{% set ns.total = ns.total + w %}
+        |{% set ns.picked = ns.picked ~ 'w' %}
+        |{% endfor %}
+        |SELECT o_orderkey, o_totalprice,
+        |  {% for x in [] %}{{ x }} AS never,{% else %}'{{ ns.picked }}' AS picked,{% endfor %}
+        |  CAST({{ ns.total }} AS BIGINT) AS cutoff
+        |FROM {{ source('tpch', 'orders') }}
+        |WHERE o_totalprice > {{ ns.total }}""".stripMargin
+    val project = Project(name = "demo_namespace",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("threshold_orders", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("threshold_orders")
+  }
+
+  val namespaceModelSql: String =
+    """SELECT o_orderkey, o_totalprice, 'www' AS picked,
+      |  CAST(425 AS BIGINT) AS cutoff
+      |FROM orders WHERE o_totalprice > 425""".stripMargin
+
   /** dbt-utils `deduplicate` end-to-end: keep each customer's latest
     * order (date DESC, key DESC tiebreak) via the row_number subquery
     * rendering — the relation resolves through its re-emitted source

@@ -753,6 +753,12 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(got == "total=17 seen=iii FOUND", got)
   }
 
+  test("namespace: a quoted literal matching the loop var name is never clobbered") {
+    val t = "{% set ns = namespace(s='') %}" +
+      "{% for w in [1, 2] %}{% set ns.s = ns.s ~ 'w' %}{% endfor %}{{ ns.s }}"
+    assert(Compiler.expandControlFlow(t) == "ww")
+  }
+
   test("namespace: conditions read state at their position; loud failures") {
     val t = "{% set ns = namespace(n=0) %}" +
       "{% if ns.n == 0 %}ZERO{% endif %}" +
