@@ -50,9 +50,6 @@ object Compiler {
   private val configRe: Regex = """(?s)\{\{\s*config\((.*?)\)\s*\}\}""".r
   // accepts jinja whitespace-control dashes and an optional {% else %}
   // arm (dbt supports both around the canonical incremental guard)
-  private val incrBlockRe: Regex =
-    ("""(?s)\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)""" +
-      """(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}""").r
   // both the jinja form and the bare scripting-variable form the reference
   // uses in model SQL (`_dbt_max_partition` is a declared variable in
   // BigQuery scripts, not a jinja call)
@@ -209,7 +206,9 @@ object Compiler {
           throw new IllegalArgumentException(
             s"pivot: values '$valuesTxt' is neither a list literal nor " +
               "a {% set %}-bound list")))
-      require(values.nonEmpty, "pivot: empty values list")
+      // an empty list renders NOTHING — dbt's pivot does the same;
+      // the parse-phase artifact of the nested get_column_values idiom
+      // hits this (probes return [] with execute=false)
       val kw = args.drop(2).map(a => a.split("=", 2) match {
         case Array(k, v) => k.trim -> v.trim
         case _ => throw new IllegalArgumentException(
@@ -274,6 +273,10 @@ object Compiler {
         s"unpivot: unknown kwargs ${unknown.toSeq.sorted.mkString(", ")}")
       val (relText, schema) = fetch(m.group(1), m.group(2),
         Option(m.group(3)))
+      // parse phase: no schema to melt — star placeholder, never run
+      if (schema.isEmpty)
+        Regex.quoteReplacement(s"SELECT * FROM $relText")
+      else {
       val castTo0 = stripQuotes(kw.getOrElse("cast_to", "'varchar'"))
       val castTo =
         if (castTo0.equalsIgnoreCase("varchar")) "string" else castTo0
@@ -302,6 +305,7 @@ object Compiler {
           s"CAST(${q(cn)} AS $castTo) AS ${q(valueName)}")
         s"SELECT ${sel.mkString(", ")} FROM $relText"
       }.mkString("\nUNION ALL\n"))
+      }
     })
 
   private[graft] val relCallRe: Regex =
@@ -341,13 +345,21 @@ object Compiler {
           }
         }
       }
+      // parse phase (fetch returns no schema): render a star-shaped
+      // placeholder — the artifact text is never executed, and dbt's
+      // own parse render of union_relations sees no columns either
       Regex.quoteReplacement(fetched.map { case (label, text, schema) =>
-        val have = schema.map(_._1).toSet
-        val proj = unionCols.toSeq.map { case (c, t) =>
-          if (have.contains(c)) s"`$c`"
-          else s"CAST(NULL AS $t) AS `$c`"
-        } :+ s"'${label.replace("'", "''")}' AS `_dbt_source_relation`"
-        s"SELECT ${proj.mkString(", ")} FROM $text"
+        val proj =
+          if (unionCols.isEmpty) Seq("*")
+          else schema.map(_._1).toSet match {
+            case have => unionCols.toSeq.map { case (c, t) =>
+              if (have.contains(c)) s"`$c`"
+              else s"CAST(NULL AS $t) AS `$c`"
+            }
+          }
+        val full = proj :+
+          s"'${label.replace("'", "''")}' AS `_dbt_source_relation`"
+        s"SELECT ${full.mkString(", ")} FROM $text"
       }.mkString("\nUNION ALL\n"))
     })
 
@@ -1052,9 +1064,97 @@ object Compiler {
     * it and finds nothing.
     */
   def resolveIncrementalBlocks(sql: String, isIncremental: Boolean): String =
-    incrBlockRe.replaceAllIn(sql, m =>
-      if (isIncremental) Regex.quoteReplacement(m.group(1))
-      else Regex.quoteReplacement(Option(m.group(2)).getOrElse(" ")))
+    if (!sql.contains("is_incremental")) sql
+    else resolveGuardBlocks(sql, _ == "is_incremental()",
+      keepThen = isIncremental, what = "{% if is_incremental() %}")
+
+  /** Balanced-depth resolution of every `{% if <head> %}…[{% else %}…]
+    * {% endif %}` block whose head condition `matches` — the taken arm
+    * replaces the whole block. The body routinely contains its own
+    * if/endif pairs, so the matching endif is found by DEPTH, never by
+    * first occurrence (a non-greedy regex would split a nested body at
+    * the wrong endif and corrupt both arms).
+    */
+  private def resolveGuardBlocks(sql: String, matches: String => Boolean,
+      keepThen: Boolean, what: String): String =
+    resolveGuardBlocksBy(sql,
+      c => if (matches(c)) Some(keepThen) else None, what,
+      skipElifBlocks = false)
+
+  private def resolveGuardBlocksBy(sql: String,
+      decide: String => Option[Boolean], what: String,
+      skipElifBlocks: Boolean): String = {
+    var s = sql
+    var again = true
+    while (again) {
+      again = false
+      val tags = ifTagRe.findAllMatchIn(s).toVector
+      // the first decidable if-head whose block is processable (a
+      // depth-0 elif makes the block a chain — refused or left for the
+      // elif rewrite, per skipElifBlocks)
+      tags.iterator
+        .filter(t => t.group(1) == "if" && decide(t.group(2).trim).isDefined)
+        .map { head =>
+          var depth = 0
+          var elsePos: Option[(Int, Int)] = None // (start, end) of else tag
+          var elifChain = false
+          var endTag: Option[Regex.Match] = None
+          tags.dropWhile(_.start <= head.start).foreach { t =>
+            if (endTag.isEmpty) t.group(1) match {
+              case "if" => depth += 1
+              case "endif" if depth == 0 => endTag = Some(t)
+              case "endif" => depth -= 1
+              case "else" if depth == 0 => elsePos = Some((t.start, t.end))
+              case "elif" if depth == 0 =>
+                if (skipElifBlocks) elifChain = true
+                else throw new IllegalArgumentException(
+                  s"{% elif %} directly on an $what block is " +
+                    "unsupported — nest the condition inside an arm")
+              case _ => ()
+            }
+          }
+          (head, elsePos, elifChain, endTag)
+        }
+        .find(!_._3)
+        .foreach { case (head, elsePos, _, endTag) =>
+          val end = endTag.getOrElse(throw new IllegalArgumentException(
+            s"unbalanced $what: no matching {% endif %}"))
+          val kept =
+            if (decide(head.group(2).trim).contains(true))
+              elsePos.map { case (st, _) => s.substring(head.end, st) }
+                .getOrElse(s.substring(head.end, end.start))
+            else elsePos.map { case (_, e) => s.substring(e, end.start) }
+              .getOrElse(" ")
+          s = s.substring(0, head.start) + kept + s.substring(end.end)
+          again = true
+        }
+    }
+    s
+  }
+
+  /** Decide statically-decidable generic `{% if %}` blocks — scalar
+    * `{% set %}` literals substituted into conditions for DECISION only
+    * (the set statements stay in place for the later control-flow
+    * pass). The ENGINE runs this BEFORE executing statement/run_query
+    * probes: Jinja is lazy, so a probe (or DML statement) inside a
+    * branch pruned by a set-literal condition must never execute.
+    * Undecidable conditions, elif chains, and loop-variable conditions
+    * stay for [[expandControlFlow]].
+    */
+  def resolveStaticIfBlocks(sql0: String): String = {
+    if (!sql0.contains("{%")) return sql0
+    val binds = setRe.findAllMatchIn(sql0)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    def decide(cond0: String): Option[Boolean] = {
+      var cond = cond0
+      binds.foreach { case (k, v) =>
+        cond = ("""\b""" + Regex.quote(k) + """\b""").r
+          .replaceAllIn(cond, Regex.quoteReplacement(v))
+      }
+      evalCond(cond)
+    }
+    resolveGuardBlocksBy(sql0, decide, "{% if %}", skipElifBlocks = true)
+  }
 
   /** Resolve `{% if execute %}…{% else %}…{% endif %}` blocks for a
     * given phase — dbt renders twice: parse (execute=false, `run_query`
@@ -1068,41 +1168,10 @@ object Compiler {
     * its own `{% if %}`/`{% endif %}` pairs (the probe-loop idiom), so
     * the matching endif must be found by depth, not by first occurrence.
     */
-  def resolveExecuteBlocks(sql: String, execute: Boolean): String = {
-    if (execute) return sql
-    var s = sql
-    var again = true
-    while (again) {
-      again = false
-      val tags = ifTagRe.findAllMatchIn(s).toVector
-      tags.find(t => t.group(1) == "if" && t.group(2).trim == "execute")
-        .foreach { head =>
-          var depth = 0
-          var elsePos: Option[(Int, Int)] = None // (start, end) of else tag
-          var endTag: Option[Regex.Match] = None
-          tags.dropWhile(_.start <= head.start).foreach { t =>
-            if (endTag.isEmpty) t.group(1) match {
-              case "if" => depth += 1
-              case "endif" if depth == 0 => endTag = Some(t)
-              case "endif" => depth -= 1
-              case "else" if depth == 0 => elsePos = Some((t.start, t.end))
-              case "elif" if depth == 0 =>
-                throw new IllegalArgumentException(
-                  "{% elif %} directly on an {% if execute %} block is " +
-                    "unsupported — nest the condition inside an arm")
-              case _ => ()
-            }
-          }
-          val end = endTag.getOrElse(throw new IllegalArgumentException(
-            "unbalanced {% if execute %}: no matching {% endif %}"))
-          val kept = elsePos.map { case (_, e) => s.substring(e, end.start) }
-            .getOrElse(" ")
-          s = s.substring(0, head.start) + kept + s.substring(end.end)
-          again = true
-        }
-    }
-    s
-  }
+  def resolveExecuteBlocks(sql: String, execute: Boolean): String =
+    if (execute) sql
+    else resolveGuardBlocks(sql, _ == "execute",
+      keepThen = false, what = "{% if execute %}")
 
   // --------------------------------- relation-existence introspection
   // dbt's `load_relation(ref('x'))` / `adapter.get_relation(...)` — 121
@@ -1118,9 +1187,13 @@ object Compiler {
     ("""(?:load_relation|adapter\.get_relation)\(\s*""" +
       """(this|ref\('[^']+'\)|source\('[^']+'\s*,\s*'[^']+'\)|""" +
       """[^()]*identifier[^()]*)\s*\)\s+is\s+(not\s+)?none""").r
+  // the argument may itself contain one paren nesting level —
+  // load_relation(ref('m')) / get_relation(source('a', 'b')) — so the
+  // group admits balanced inner parens, not just paren-free text
   private val getRelSetRe: Regex =
     ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*""" +
-      """(?:adapter\.get_relation|load_relation)\(([^)]*)\)\s*-?%\}""").r
+      """(?:adapter\.get_relation|load_relation)""" +
+      """\(((?:[^()]|\([^()]*\))*)\)\s*-?%\}""").r
   private val identifierKwRe: Regex =
     """identifier\s*=\s*'([^']+)'""".r
 

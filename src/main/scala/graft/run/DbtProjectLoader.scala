@@ -257,19 +257,19 @@ object DbtProjectLoader {
         owner, df => df,
         sql = Some(Compiler.renderGenericTest(mac, bindings)))
     }
-    def columnTests(owner: String, col: String, items: Seq[MiniYaml.Node],
-                    idx: Int): Unit = items.zipWithIndex.foreach {
-      case (Scalar("unique"), i) =>
+    def columnTests(owner: String, col: String,
+                    items: Seq[MiniYaml.Node]): Unit = items.foreach {
+      case Scalar("unique") =>
         require(col.nonEmpty, s"test 'unique' on $owner needs a column")
         tests += TestDef(s"unique_${owner}_$col", owner,
           df => SchemaTests.unique(df, col))
-      case (Scalar("not_null"), i) =>
+      case Scalar("not_null") =>
         require(col.nonEmpty, s"test 'not_null' on $owner needs a column")
         tests += TestDef(s"not_null_${owner}_$col", owner,
           df => SchemaTests.notNull(df, col))
-      case (Scalar(gt), _) if genericTests.contains(gt) =>
+      case Scalar(gt) if genericTests.contains(gt) =>
         tests += genericTestDef(genericTests(gt), owner, col, Map.empty)
-      case (o: Obj, i) if o.entries.nonEmpty =>
+      case o: Obj if o.entries.nonEmpty =>
         val (kind, body0) = o.entries.head
         val body = body0 match { case b: Obj => b; case _ => Obj(Nil) }
         def needsCol(): Unit = require(col.nonEmpty,
@@ -321,7 +321,7 @@ object DbtProjectLoader {
               s"builtin and no {% test $other %} block in the macro paths")
         }
         tests += withCfg(base, testCfg(body))
-      case (other, _) => throw new IllegalArgumentException(
+      case other => throw new IllegalArgumentException(
         s"unsupported test entry on $owner.$col: $other")
     }
     // model VERSIONS (dbt 1.5 `versions:` + `latest_version`): each
@@ -372,15 +372,15 @@ object DbtProjectLoader {
             // table-shaped builtins; column-shaped builtins refuse
             // loudly)
             columnTests(owner, "",
-              m.arr("tests") ++ m.arr("data_tests"), -1)
-            m.arr("columns").zipWithIndex.foreach {
-              case (c: Obj, i) =>
+              m.arr("tests") ++ m.arr("data_tests"))
+            m.arr("columns").foreach {
+              case c: Obj =>
                 val cName = c.scalar("name").getOrElse(throw new
                     IllegalArgumentException(s"$mName: column needs a name"))
                 c.scalar("description").filter(_.nonEmpty)
                   .foreach(d => descriptions += s"$owner.$cName" -> d)
-                columnTests(owner, cName, c.arr("tests") ++
-                  c.arr("data_tests"), i)
+                columnTests(owner, cName,
+                  c.arr("tests") ++ c.arr("data_tests"))
               case _ => ()
             }
           }
@@ -394,11 +394,11 @@ object DbtProjectLoader {
             case tbl: Obj =>
               val owner = s"source:$sName.${tbl.scalar("name").getOrElse("")}"
               columnTests(owner, "",
-                tbl.arr("tests") ++ tbl.arr("data_tests"), -1)
+                tbl.arr("tests") ++ tbl.arr("data_tests"))
               tbl.arr("columns").foreach {
                 case c: Obj => columnTests(owner,
                   c.scalar("name").getOrElse(""),
-                  c.arr("tests") ++ c.arr("data_tests"), 0)
+                  c.arr("tests") ++ c.arr("data_tests"))
                 case _ => ()
               }
             case _ => ()

@@ -549,9 +549,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       // fail on every full-refresh build against a not-yet-built target.
       // In parse-phase (compile-artifact) mode the {% if execute %}
       // guards close FIRST for the same reason.
-      val sqlIncr = Compiler.resolveIncrementalBlocks(
-        Compiler.resolveExecuteBlocks(Compiler.normalizeUtilCalls(sql0),
-          executeMode), ctx.isIncremental)
+      // statically-decidable generic {% if %} branches prune BEFORE any
+      // probe executes — a statement/run_query (or DML) inside a dead
+      // set-literal branch must never run (lazy Jinja)
+      val sqlIncr = Compiler.resolveStaticIfBlocks(
+        Compiler.resolveIncrementalBlocks(
+          Compiler.resolveExecuteBlocks(Compiler.normalizeUtilCalls(sql0),
+            executeMode), ctx.isIncremental))
       // relation-existence introspection (load_relation /
       // adapter.get_relation + `is [not] none`) resolves BEFORE probes
       // for the same laziness reason — the canonical existence guard
@@ -615,13 +619,18 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         // parse phase: dbt-utils star returns the literal '*'
         if (!executeMode) IndexedSeq("*")
         else schemaOf(kind, a, b, "star").fields.map(_.name).toIndexedSeq)
+      // parse phase: schema fetches return EMPTY without touching the
+      // warehouse — the resolvers render star placeholders, so a
+      // compile against an unbuilt upstream never queries it
       val sql3 = Compiler.resolveUnionRelations(sql2, (kind, a, b) =>
         (introRelText(kind, a, b, "union_relations"),
-          schemaOf(kind, a, b, "union_relations").fields
+          if (!executeMode) Nil
+          else schemaOf(kind, a, b, "union_relations").fields
             .map(f => f.name -> f.dataType.sql).toIndexedSeq))
       (Compiler.resolveUnpivot(sql3, (kind, a, b) =>
         (introRelText(kind, a, b, "unpivot"),
-          schemaOf(kind, a, b, "unpivot").fields
+          if (!executeMode) Nil
+          else schemaOf(kind, a, b, "unpivot").fields
             .map(f => f.name -> f.dataType.sql).toIndexedSeq)), tables)
     }
     val (resolved, tables) = resolveIntrospection(m.rawSql)

@@ -204,15 +204,26 @@ object MiniYaml {
         i = next
       } else keyValue(rest, l.lineNo) match {
         case Some((k, v)) =>
-          // mapping item: first field on the dash line, the rest under it
-          // at the item's field indent (dash column + 2)
-          val fieldIndent = indent + 2
+          // mapping item: first field on the dash line, the rest under
+          // it at the FIRST field's actual column (usually dash + 2,
+          // but any number of spaces after the dash is valid yaml)
+          val fieldIndent =
+            indent + 1 + l.text.drop(1).takeWhile(_ == ' ').length
           val head: (String, Node) =
             if (v.nonEmpty) k -> parseValue(v, l.lineNo)
             else if (i + 1 < lines.length &&
                 lines(i + 1).indent > fieldIndent) {
               val (child, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
               i = next - 1 // consumed; adjusted below
+              k -> child
+            } else if (i + 1 < lines.length &&
+                lines(i + 1).indent == fieldIndent &&
+                (lines(i + 1).text.startsWith("- ") ||
+                  lines(i + 1).text == "-")) {
+              // `key:` with its sequence items AT the field indent —
+              // valid yaml, same shape parseMap accepts at map level
+              val (child, next) = parseSeq(lines, i + 1, fieldIndent)
+              i = next - 1
               k -> child
             } else k -> Scalar("")
           var entries = Seq(head)

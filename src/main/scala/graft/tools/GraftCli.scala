@@ -116,14 +116,15 @@ object GraftCli {
       }
       if (v.startsWith("{")) {
         require(v.endsWith("}"), s"--vars dict '$v' is unterminated")
-        v.substring(1, v.length - 1).split(",").iterator
-          .map(_.trim).filter(_.nonEmpty).map { kv =>
+        // quote-protected comma split: a quoted value may contain commas
+        graft.compile.Compiler.splitArgs(v.substring(1, v.length - 1))
+          .map { kv =>
             kv.split(":", 2) match {
               case Array(k, value) => unq(k) -> unq(value)
               case _ => throw new IllegalArgumentException(
                 s"--vars dict entry '$kv' must be 'key: value'")
             }
-          }.toSeq
+          }
       } else v.split("=", 2) match {
         case Array(k, value) => Seq(k -> value)
         case _ => throw new IllegalArgumentException(
@@ -636,7 +637,12 @@ object GraftCli {
       .map(d => Paths.get(d, "profiles.yml")).find(Files.exists(_))
     file.fold(Map.empty[String, String]) { f =>
       val y = MiniYaml.parse(Files.readString(f))
-      val profiles = y.entries.collect { case (n, o: Obj) => n -> o }
+      // only mappings WITH an outputs: block are profiles — dbt's
+      // top-level `config:` (and any other metadata mapping) must not
+      // shadow the single real profile in the no-name auto-selection
+      val profiles = y.entries.collect {
+        case (n, o: Obj) if o.obj("outputs").isDefined => n -> o
+      }
       val prof = profileName.flatMap(n => profiles.find(_._1 == n)) match {
         case Some(p) => Some(p._2)
         case None if profileName.isEmpty && profiles.size == 1 =>

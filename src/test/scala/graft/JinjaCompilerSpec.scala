@@ -540,6 +540,51 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // --------------------------- static-if pruning + nested guards
+
+  test("static ifs decide via set literals; undecidable and elif chains stay") {
+    val got = Compiler.resolveStaticIfBlocks(
+      "{% set env = 'dev' %}" +
+        "{% if env == 'prod' %}DEAD{% else %}LIVE{% endif %}" +
+        "{% if mystery %}STAY{% endif %}" +
+        "{% if env == 'x' %}a{% elif env == 'dev' %}b{% endif %}")
+    assert(got.contains("LIVE") && !got.contains("DEAD"), got)
+    // the set binding itself stays for the later control-flow pass
+    assert(got.contains("{% set env = 'dev' %}"), got)
+    assert(got.contains("{% if mystery %}STAY{% endif %}"), got)
+    // elif chains are left whole for the elif rewrite
+    assert(got.contains("elif"), got)
+  }
+
+  test("statements inside a dead set-literal branch never execute (lazy Jinja)") {
+    val sql = Compiler.resolveStaticIfBlocks(
+      "{% set env = 'dev' %}{% if env == 'prod' %}" +
+        "{% call statement('purge') %}DELETE FROM t{% endcall %}" +
+        "{% endif %}SELECT 1")
+    var n = 0
+    val (out, _) = Compiler.resolveRunQueries(sql, (_, _, _) => "X",
+      _ => { n += 1; Compiler.QueryResult(IndexedSeq.empty, IndexedSeq.empty) })
+    assert(n == 0, s"dead-branch statement executed: $out")
+  }
+
+  test("is_incremental blocks with NESTED ifs split at the balanced endif") {
+    val t = "{% if is_incremental() %}WHERE ts > x " +
+      "{% if keep %}AND y{% endif %} AND z{% endif %}TAIL"
+    val incr = Compiler.resolveIncrementalBlocks(t, isIncremental = true)
+    assert(incr == "WHERE ts > x {% if keep %}AND y{% endif %} AND zTAIL",
+      incr)
+    val full = Compiler.resolveIncrementalBlocks(t, isIncremental = false)
+    assert(full == " TAIL", full)
+  }
+
+  test("load_relation set form accepts ref()/source() arguments") {
+    val got = Compiler.expandControlFlow(Compiler.resolveRelationLookups(
+      "{% set rel = load_relation(ref('m')) %}" +
+        "{% if rel is not none %}HAVE{% else %}MISS{% endif %}",
+      (k, a, _) => { assert(k == "ref" && a == "m"); Some("REL_M") }))
+    assert(got.trim == "HAVE", got)
+  }
+
   // ------------------------------- comments + raw blocks
 
   test("{# comments #} strip everywhere; commented-out refs are not dependencies") {
