@@ -2717,6 +2717,78 @@ object TextOps {
           .otherwise(lit("admitted")).as("verdict"))
   }
 
+  // --------------------------------------- token-budget source mixing
+  /** Mixture-spec sampling by TOKEN budget (how real pretraining mixes
+    * are specified — "X billion tokens of source S", not row rates):
+    * each source keeps documents in deterministic md5(doc_id) order
+    * while the exclusive running token count is under its budget (the
+    * last kept doc may overshoot — standard cut semantics). Budgets here
+    * derive proportionally (`bps` basis points of each source's total)
+    * so the same integer arithmetic runs at any scale factor; a
+    * production mix passes absolute budgets the same way.
+    *
+    * Scale shape: the per-source running sum is the trap — a naive
+    * `PARTITION BY source ORDER BY okey` window makes ONE task per
+    * source sort that source's entire slice. Same cure as
+    * [[packSequences]]: range-repartition on (source, okey),
+    * per-partition running sums, then a control-plane prefix of the
+    * K·|sources| (partition, source) subtotals joined back as broadcast
+    * offsets — no single-partition exchange, and document text never
+    * enters the plan at all (only (doc_id, source, n_tokens, okey)
+    * rows flow).
+    */
+  def mixTokenBudget(s: SparkSession, d: String, bps: Int = 4000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: partition identity must be IDENTICAL between the subtotal
+    // collect and the final plan (see packSequences)
+    val local = SessionCache.getOrElseUpdate(s, s"mixbudget_local:$d") {
+      val toks = documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("okey"))
+      val w = Window.partitionBy(col("_pid"), col("source"))
+        .orderBy(col("okey"))
+      toks.repartitionByRange(col("source"), col("okey"))
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_cum", sum(col("n_tokens")).over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    val budgets = local.groupBy(col("source"))
+      .agg((sum(col("n_tokens")) * bps / 10000).cast("long").as("budget"))
+    // (partition, source) subtotals: control-plane at any corpus size
+    val totals = local.groupBy(col("_pid"), col("source"))
+      .agg(max(col("_cum")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._2, x._1))
+    val offs = totals.groupBy(_._2).toSeq.flatMap { case (src, xs) =>
+      var acc = 0L
+      xs.sortBy(_._1).map { case (pid, _, t) =>
+        val o = acc; acc += t; (pid, src, o)
+      }
+    }
+    val sess = s
+    import sess.implicits._
+    val offDf = offs.toDF("_pid", "source", "_off")
+    local.join(broadcast(offDf), Seq("_pid", "source"))
+      .join(broadcast(budgets), "source")
+      .filter(col("_cum") + col("_off") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  val mixTokenBudgetSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |             len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |             md5(doc_id::VARCHAR) AS okey
+      |           FROM documents),
+      |b AS (SELECT source, (sum(n_tokens) * 4000 // 10000)::BIGINT AS budget
+      |      FROM t GROUP BY source),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY okey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT c.doc_id, c.source, c.n_tokens
+      |FROM c JOIN b USING (source)
+      |WHERE cum - n_tokens < budget""".stripMargin
+
   // ------------------------------------------------- sequence packing
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * doc_id order and cut into fixed `budget`-token training sequences;

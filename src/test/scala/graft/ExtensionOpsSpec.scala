@@ -123,6 +123,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     out.values.filter(_._1 < 12).foreach { case (_, rm) => assert(rm == 0) }
   }
 
+  test("token-budget mix: kept tokens land in [budget, budget + last doc); deterministic") {
+    val out = TextOps.mixTokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totals = TData.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySrc = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    totals.foreach { case (src, t) =>
+      val budget = t * 4000 / 10000
+      val kept = keptBySrc.getOrElse(src, 0L)
+      // exclusive-prefix cut: meets the budget, overshoots by < one doc
+      assert(kept >= budget, s"$src under budget: $kept < $budget")
+      val maxDoc = out.filter(_._2 == src).map(_._3).max
+      assert(kept < budget + maxDoc, s"$src overshot: $kept vs $budget")
+    }
+    // rerun is bit-identical (md5 order, no RNG)
+    val again = TextOps.mixTokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val dups = TextOps.dedupExact(spark, sf).filter(col("n_copies") > 1)
     val planted = TData.documents(spark, sf)

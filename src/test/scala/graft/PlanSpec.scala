@@ -107,6 +107,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("% 97"), p)
   }
 
+  test("token-budget mix: distributed prefix-sum, no single-partition exchange") {
+    val p = plan(TextOps.mixTokenBudget(spark, sf))
+    assert(!p.contains("SinglePartition"), s"single-partition exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // offsets + budgets joins
+  }
+
   test("substr dedup: text never in an exchange — only hash triples and positions shuffle") {
     val p = plan(TextOps.exactSubstrDedup(spark, sf))
     // one hash-key agg exchange, the join back reusing its layout, the
