@@ -515,8 +515,67 @@ object DbtProjectLoader {
 
     // selectors.yml: named selector compositions. The scalar
     // `definition:` form maps onto the engine's selector grammar
-    // directly; the structured method/value tree is out of scope and
-    // refuses loudly.
+    // directly; the STRUCTURED method/value tree translates to the same
+    // grammar: top-level `union:` terms join by space, `intersection:`
+    // of leaves joins by comma, leaf `method`/`value` (+ parents/
+    // children[_depth]) renders the +N prefixes/suffixes, and
+    // `exclude:` components collect into the selector's exclude half.
+    // Deeper nesting (a union inside an intersection) has no flat
+    // grammar equivalent and refuses loudly.
+    def selectorLeaf(o: Obj, selName: String): String = {
+      val value = o.scalar("value").getOrElse(
+        throw new IllegalArgumentException(
+          s"selectors.yml: '$selName' leaf needs value:"))
+      val core = o.scalar("method").getOrElse("fqn") match {
+        case "fqn" => value
+        case "tag" => s"tag:$value"
+        case "config.materialized" => s"config.materialized:$value"
+        case "exposure" => s"exposure:$value"
+        case "source" => s"source:$value"
+        case other => throw new IllegalArgumentException(
+          s"selectors.yml: '$selName' uses unsupported method '$other' " +
+            "(supported: fqn, tag, config.materialized, exposure, source)")
+      }
+      val pfx =
+        if (o.scalar("parents").contains("true"))
+          o.scalar("parents_depth").getOrElse("") + "+"
+        else ""
+      val sfx =
+        if (o.scalar("children").contains("true"))
+          "+" + o.scalar("children_depth").getOrElse("")
+        else ""
+      pfx + core + sfx
+    }
+    // returns (include terms, exclude terms)
+    def selectorNode(n: MiniYaml.Node,
+                     selName: String): (Seq[String], Seq[String]) = n match {
+      case Scalar(v) => (Seq(v), Nil)
+      case o: Obj if o.get("union").isDefined =>
+        val parts = o.arr("union").map(selectorNode(_, selName))
+        (parts.flatMap(_._1), parts.flatMap(_._2))
+      case o: Obj if o.get("intersection").isDefined =>
+        val leaves = o.arr("intersection").map {
+          case l: Obj if l.scalar("value").isDefined => selectorLeaf(l, selName)
+          case Scalar(v) => v
+          case _ => throw new IllegalArgumentException(
+            s"selectors.yml: '$selName' intersection components must be " +
+              "method/value leaves (nested unions have no flat equivalent)")
+        }
+        (Seq(leaves.mkString(",")), Nil)
+      case o: Obj if o.get("exclude").isDefined =>
+        val ex = o.arr("exclude").map {
+          case l: Obj => selectorLeaf(l, selName)
+          case Scalar(v) => v
+          case _ => throw new IllegalArgumentException(
+            s"selectors.yml: '$selName' exclude components must be leaves")
+        }
+        (Nil, ex)
+      case o: Obj if o.scalar("value").isDefined =>
+        (Seq(selectorLeaf(o, selName)), Nil)
+      case other => throw new IllegalArgumentException(
+        s"selectors.yml: '$selName' has an unsupported definition node: " +
+          other)
+    }
     val selectors = {
       val f = root.resolve("selectors.yml")
       if (!Files.exists(f)) Nil
@@ -524,12 +583,19 @@ object DbtProjectLoader {
         case s: Obj =>
           val n = s.scalar("name").getOrElse(throw new
               IllegalArgumentException("selectors.yml: entry needs a name"))
-          val defn = s.scalar("definition").filter(_.nonEmpty)
-            .getOrElse(throw new IllegalArgumentException(
-              s"selectors.yml: selector '$n' needs a scalar definition " +
-                "string (the structured method/value form is unsupported)"))
-          SelectorDef(n, defn,
-            exclude = s.scalar("exclude").getOrElse(""))
+          s.scalar("definition").filter(_.nonEmpty) match {
+            case Some(defn) =>
+              SelectorDef(n, defn, exclude = s.scalar("exclude").getOrElse(""))
+            case None =>
+              val tree = s.get("definition").getOrElse(
+                throw new IllegalArgumentException(
+                  s"selectors.yml: selector '$n' needs a definition"))
+              val (inc, exc) = selectorNode(tree, n)
+              require(inc.nonEmpty,
+                s"selectors.yml: selector '$n' selects nothing")
+              SelectorDef(n, inc.mkString(" "),
+                exclude = (exc ++ s.scalar("exclude").toSeq).mkString(" "))
+          }
       }
     }
 

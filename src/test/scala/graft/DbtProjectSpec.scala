@@ -363,6 +363,56 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("latest_version 7"), e2.getMessage)
   }
 
+  test("selectors.yml structured form translates to the selector grammar") {
+    val proj = Files.createTempDirectory("graft_selspec")
+    put(proj, "dbt_project.yml", "name: seldemo\n")
+    put(proj, "models/a.sql", "SELECT 1 AS x")
+    put(proj, "models/b.sql", "SELECT * FROM {{ ref('a') }}")
+    put(proj, "models/c.sql",
+      "{{ config(tags=['daily']) }}SELECT * FROM {{ ref('b') }}")
+    put(proj, "selectors.yml",
+      """selectors:
+        |  - name: nightly
+        |    definition:
+        |      union:
+        |        - method: fqn
+        |          value: a
+        |          children: true
+        |        - intersection:
+        |            - method: tag
+        |              value: daily
+        |            - method: fqn
+        |              value: c
+        |        - exclude:
+        |            - method: fqn
+        |              value: b
+        |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    val sel = p.selectors.find(_.name == "nightly").getOrElse(
+      throw new IllegalStateException("selector missing"))
+    assert(sel.include == "a+ tag:daily,c", sel.toString)
+    assert(sel.exclude == "b", sel.toString)
+    val e = new Engine(spark, p, Target(
+      Files.createTempDirectory("graft_selspec_wh").toString, threads = 1))
+    // a+ = {a,b,c}; intersect-term adds c; exclude removes b
+    assert(e.selectNodes(sel.include) -- e.selectNodes(sel.exclude) ==
+      Set("a", "c"))
+    // a union nested inside an intersection refuses loudly
+    put(proj, "selectors.yml",
+      """selectors:
+        |  - name: bad
+        |    definition:
+        |      intersection:
+        |        - union:
+        |            - method: fqn
+        |              value: a
+        |""".stripMargin)
+    val err = intercept[IllegalArgumentException](
+      ProjectLoader.load(proj.toString))
+    assert(err.getMessage.contains("intersection components"),
+      err.getMessage)
+  }
+
   test("dbt-native failures are loud: missing name, unknown test kind, ref-less singular") {
     val proj = Files.createTempDirectory("graft_dbtbad")
     put(proj, "dbt_project.yml", "version: '1.0'\n")
