@@ -330,38 +330,91 @@ object Compiler {
         val (text, schema) = fetch(k, a, b)
         (if (b.isDefined) s"$k('$a', '${b.get}')" else s"$k('$a')", text, schema)
       }
-      // union schema: first-appearance order; type from the first
-      // relation that has the column (a cross-relation type CONFLICT
-      // fails loudly — silently casting is how shards corrupt)
-      val unionCols = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      fetched.foreach { case (label, _, schema) =>
-        schema.foreach { case (c, t) =>
-          unionCols.get(c) match {
-            case None => unionCols(c) = t
-            case Some(t0) if t0 != t => throw new IllegalArgumentException(
-              s"union_relations: column '$c' is $t0 upstream but $t in " +
-                s"$label — align the shards or cast in a staging model")
-            case _ => ()
-          }
+      Regex.quoteReplacement(renderUnion(fetched))
+    })
+
+  /** The UNION ALL body over (label, relation text, schema) triples —
+    * union schema in first-appearance order; type from the first
+    * relation that has the column (a cross-relation type CONFLICT fails
+    * loudly — silently casting is how shards corrupt); missing columns
+    * NULL-filled; dbt-utils' `_dbt_source_relation` lineage column
+    * appended. A fetch with NO schemas (parse phase) renders a
+    * star-shaped placeholder — the artifact text is never executed.
+    */
+  private def renderUnion(
+      fetched: Seq[(String, String, Seq[(String, String)])]): String = {
+    val unionCols = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    fetched.foreach { case (label, _, schema) =>
+      schema.foreach { case (c, t) =>
+        unionCols.get(c) match {
+          case None => unionCols(c) = t
+          case Some(t0) if t0 != t => throw new IllegalArgumentException(
+            s"union_relations: column '$c' is $t0 upstream but $t in " +
+              s"$label — align the shards or cast in a staging model")
+          case _ => ()
         }
       }
-      // parse phase (fetch returns no schema): render a star-shaped
-      // placeholder — the artifact text is never executed, and dbt's
-      // own parse render of union_relations sees no columns either
-      Regex.quoteReplacement(fetched.map { case (label, text, schema) =>
-        val proj =
-          if (unionCols.isEmpty) Seq("*")
-          else schema.map(_._1).toSet match {
-            case have => unionCols.toSeq.map { case (c, t) =>
-              if (have.contains(c)) s"`$c`"
-              else s"CAST(NULL AS $t) AS `$c`"
-            }
+    }
+    fetched.map { case (label, text, schema) =>
+      val proj =
+        if (unionCols.isEmpty) Seq("*")
+        else {
+          val have = schema.map(_._1).toSet
+          unionCols.toSeq.map { case (c, t) =>
+            if (have.contains(c)) s"`$c`"
+            else s"CAST(NULL AS $t) AS `$c`"
           }
-        val full = proj :+
-          s"'${label.replace("'", "''")}' AS `_dbt_source_relation`"
-        s"SELECT ${full.mkString(", ")} FROM $text"
-      }.mkString("\nUNION ALL\n"))
+        }
+      val full = proj :+
+        s"'${label.replace("'", "''")}' AS `_dbt_source_relation`"
+      s"SELECT ${full.mkString(", ")} FROM $text"
+    }.mkString("\nUNION ALL\n")
+  }
+
+  // dbt-utils `get_relations_by_pattern(schema_pattern, table_pattern
+  // [, exclude])`: bind the WAREHOUSE relations matching the SQL LIKE
+  // patterns, consumed by `union_relations(relations=<binding>)` — the
+  // sharded-table idiom. Like dbt, the patterns match what EXISTS at
+  // compile time (a prior run or an earlier DAG stage must have built
+  // the shards — no static edge is derivable from a pattern; dbt has
+  // the same hazard). Execute-mode empty matches fail loudly in the
+  // engine's fetch; a parse-phase empty list renders a zero-row
+  // placeholder.
+  private[graft] val getRelsByPatternRe: Regex =
+    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*""" +
+      """(?:dbt_utils\.)?get_relations_by_pattern\(\s*'([^']*)'\s*,""" +
+      """\s*'([^']*)'(?:\s*,\s*'([^']*)')?\s*\)\s*-?%\}""").r
+  private val unionRelsBoundRe: Regex =
+    ("""\{\{\s*(?:dbt_utils\.)?union_relations\(\s*""" +
+      """(?:relations\s*=\s*)?([A-Za-z_]\w*)\s*\)\s*\}\}""").r
+
+  /** Resolve pattern bindings and their bound union_relations sites;
+    * `list(schemaPat, tablePat, excludePat)` returns (label, relation
+    * text, schema) triples for the matching relations.
+    */
+  def resolveRelationsByPattern(sql: String,
+      list: (String, String, Option[String]) =>
+        Seq[(String, String, Seq[(String, String)])]): String = {
+    if (!sql.contains("get_relations_by_pattern")) return sql
+    val binds = scala.collection.mutable.Map
+      .empty[String, Seq[(String, String, Seq[(String, String)])]]
+    var out = getRelsByPatternRe.replaceAllIn(sql, m => {
+      binds(m.group(1)) = list(m.group(2), m.group(3), Option(m.group(4)))
+      ""
     })
+    out = unionRelsBoundRe.replaceAllIn(out, m =>
+      binds.get(m.group(1)) match {
+        case None => Regex.quoteReplacement(m.matched) // literal-list form
+        case Some(Nil) => // parse phase: never-executed placeholder
+          Regex.quoteReplacement(
+            "SELECT '' AS `_dbt_source_relation` WHERE 1 = 0")
+        case Some(rels) => Regex.quoteReplacement(renderUnion(rels))
+      })
+    require(!out.contains("get_relations_by_pattern"),
+      "get_relations_by_pattern: only the {% set x = ... %} binding " +
+        "form is supported")
+    out
+  }
 
   /** Replace every `get_column_values` set binding with a literal list
     * binding, using `fetch(kind, name, table, column, maxRecords)` to

@@ -1637,6 +1637,16 @@ final class Warehouse(val spark: SparkSession, val root: String,
       }
     }
 
+  /** Schema directories under one database (get_relations_by_pattern's
+    * schema_pattern scan surface).
+    */
+  def listSchemas(database: String): Seq[String] = {
+    val p = new Path(s"$root/$database")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
   /** Reference `list_relations_without_caching` @189819 over one schema. */
   def listRelations(database: String, schema: String): Seq[Relation] = {
     val p = new Path(s"$root/$database/$schema")

@@ -646,6 +646,45 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** dbt-utils `get_relations_by_pattern` + `union_relations(relations=
+    * rels)` end-to-end — the sharded-table idiom: two shard models
+    * built FIRST (patterns match what exists, like dbt), then a second
+    * build stage unions everything matching `shard\_%` with the lineage
+    * column; one shard lacks a column, exercising the NULL-fill.
+    */
+  def relationsByPattern(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_relpattern",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("shard_even",
+          "SELECT o_orderkey, o_custkey, o_totalprice " +
+            "FROM {{ source('tpch', 'orders') }} WHERE o_orderkey % 2 = 0"),
+        ModelDef("shard_odd",
+          "SELECT o_orderkey, o_custkey " +
+            "FROM {{ source('tpch', 'orders') }} WHERE o_orderkey % 2 = 1"),
+        ModelDef("all_shards",
+          """{% set rels = dbt_utils.get_relations_by_pattern('%', 'shard_%') %}
+            |SELECT * FROM ({{ dbt_utils.union_relations(relations=rels) }})""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 2))
+    require(engine.buildSelected("shard_even shard_odd")._1
+      .forall(_.status == "success"))
+    require(engine.buildSelected("all_shards")._1
+      .forall(_.status == "success"))
+    val out = engine.readModel("all_shards")
+    require(out.columns.contains("_dbt_source_relation"),
+      s"lineage column missing: ${out.columns.toSeq}")
+    out
+  }
+
+  val relationsByPatternSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'analytics.main.shard_even' AS _dbt_source_relation
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE),
+      |  'analytics.main.shard_odd'
+      |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin
+
   /** Jinja `namespace()` + `for…else` end-to-end: a loop-carried
     * accumulator (with a loop filter) computes the WHERE threshold and
     * a column literal, and an emptied loop takes its else arm — all

@@ -619,10 +619,44 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         // parse phase: dbt-utils star returns the literal '*'
         if (!executeMode) IndexedSeq("*")
         else schemaOf(kind, a, b, "star").fields.map(_.name).toIndexedSeq)
+      // get_relations_by_pattern: SQL LIKE patterns over the warehouse's
+      // existing relations in the target database (schemas enumerated,
+      // then identifiers; exclude subtracts). Execute-mode empty matches
+      // fail loudly; parse phase binds [] → placeholder rendering.
+      val sql2b = Compiler.resolveRelationsByPattern(sql2, (sp, tp, ex) =>
+        if (!executeMode) Nil
+        else {
+          def likeRe(p: String) = ("^(?i)" + p.flatMap {
+            case '%' => ".*"
+            case '_' => "."
+            case c => java.util.regex.Pattern.quote(c.toString)
+          } + "$").r
+          val (sRe, tRe) = (likeRe(sp), likeRe(tp))
+          val exRe = ex.filter(_.nonEmpty).map(likeRe)
+          val rels = warehouse.listSchemas(target.database)
+            .filter(sc => sRe.pattern.matcher(sc).matches())
+            .flatMap(sc => warehouse.listRelations(target.database, sc))
+            .filter(r => tRe.pattern.matcher(r.identifier).matches())
+            .filterNot(r => exRe.exists(_.pattern.matcher(r.identifier)
+              .matches()))
+            .sortBy(_.fqName)
+          require(rels.nonEmpty, s"get_relations_by_pattern('$sp', " +
+            s"'$tp'${ex.fold("")(e => s", '$e'")}): no relations match " +
+            s"in database '${target.database}' — the shards must be " +
+            "built before the model that unions them")
+          rels.map { r =>
+            val text = Compiler.pathRelation(
+              r.pathUnder(target.warehouseRoot))
+            (r.fqName, text,
+              spark.sql(warehouse.resolveSql(
+                s"SELECT * FROM $text LIMIT 0")).schema.fields
+                .map(f => f.name -> f.dataType.sql).toIndexedSeq)
+          }
+        })
       // parse phase: schema fetches return EMPTY without touching the
       // warehouse — the resolvers render star placeholders, so a
       // compile against an unbuilt upstream never queries it
-      val sql3 = Compiler.resolveUnionRelations(sql2, (kind, a, b) =>
+      val sql3 = Compiler.resolveUnionRelations(sql2b, (kind, a, b) =>
         (introRelText(kind, a, b, "union_relations"),
           if (!executeMode) Nil
           else schemaOf(kind, a, b, "union_relations").fields
