@@ -87,6 +87,8 @@ object Compiler {
         (m.group(1), m.group(2), Option(m.group(3)))) ++
       deduplicateRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
         Option(m.group(2)).map(n => (m.group(1), n, Option(m.group(3))))) ++
+      getFilteredColsRe.findAllMatchIn(rawSql).toSeq.map(m =>
+        (m.group(2), m.group(3), Option(m.group(4)))) ++
       unionRelationsRe.findAllMatchIn(rawSql).toSeq.flatMap(m =>
         relCallRe.findAllMatchIn(m.group(1)).toSeq.map(r =>
           (r.group(1), r.group(2), Option(r.group(3))))) ++
@@ -114,7 +116,35 @@ object Compiler {
   // SQL parser as a cryptic parse error.
   private[graft] val starRe: Regex =
     ("""\{\{\s*(?:dbt_utils\.)?star\(\s*(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""" +
-      """(?:\s*,\s*except\s*=\s*(\[[^\]]*\]))?\s*\)\s*\}\}""").r
+      """((?:\s*,\s*(?:(?!\}\}).)*?)?)\s*\)\s*\}\}""").r
+
+  // dbt-utils `get_filtered_columns_in_relation(from, except=[])` — the
+  // column-name list binding behind write-it-yourself star loops
+  // (`{% for col in cols %}`). Engine-resolved like get_column_values;
+  // the relation is a DAG edge.
+  private[graft] val getFilteredColsRe: Regex =
+    ("""\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*""" +
+      """(?:dbt_utils\.)?get_filtered_columns_in_relation\(\s*""" +
+      """(?:from\s*=\s*)?(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""" +
+      """(?:\s*,\s*(?:except\s*=\s*)?(\[[^\]]*\]))?\s*\)\s*-?%\}""").r
+
+  /** Replace every get_filtered_columns_in_relation binding with a
+    * literal `{% set %}` list of the relation's column names minus the
+    * except list; parse phase (empty fetch) binds `[]`.
+    */
+  def resolveFilteredColumns(sql: String,
+      fetch: (String, String, Option[String]) => Seq[String]): String =
+    getFilteredColsRe.replaceAllIn(sql, m => {
+      val cols = fetch(m.group(2), m.group(3), Option(m.group(4)))
+      val except = Option(m.group(5)).map(parseListLiteral).getOrElse(Nil)
+      val missing = except.filterNot(e => cols.exists(_.equalsIgnoreCase(e)))
+      require(cols.isEmpty || missing.isEmpty,
+        s"get_filtered_columns_in_relation: except columns not in the " +
+          s"relation: ${missing.mkString(", ")}")
+      val kept = cols.filterNot(c => except.exists(_.equalsIgnoreCase(c)))
+      Regex.quoteReplacement(s"{% set ${m.group(1)} = [" +
+        kept.map(c => s"'$c'").mkString(", ") + "] %}")
+    })
 
   /** Replace every `star(...)` site with the backquoted column list of
     * the referenced relation, minus the (case-insensitive) except list;
@@ -127,12 +157,22 @@ object Compiler {
       fetch: (String, String, Option[String]) => Seq[String]): String =
     starRe.replaceAllIn(sql, m => {
       val cols = fetch(m.group(1), m.group(2), Option(m.group(3)))
+      val kw = splitArgs(Option(m.group(4)).getOrElse(""))
+        .filter(_.nonEmpty).map(a => a.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case _ => throw new IllegalArgumentException(
+            s"star: expected kwarg, got '$a'")
+        }).toMap
+      val unknownKw = kw.keySet --
+        Set("except", "relation_alias", "prefix", "suffix")
+      require(unknownKw.isEmpty,
+        s"star: unknown kwargs ${unknownKw.toSeq.sorted.mkString(", ")}")
       // parse-phase sentinel: dbt-utils' star returns the literal '*'
       // when execute is false (no warehouse to introspect) — the
       // compile-artifact path passes Seq("*") to ask for exactly that
       if (cols == Seq("*")) Regex.quoteReplacement("*")
       else {
-      val except = Option(m.group(4)).map(parseListLiteral).getOrElse(Nil)
+      val except = kw.get("except").map(parseListLiteral).getOrElse(Nil)
       val missing = except.filterNot(e =>
         cols.exists(_.equalsIgnoreCase(e)))
       if (missing.nonEmpty)
@@ -143,7 +183,16 @@ object Compiler {
       if (kept.isEmpty)
         throw new IllegalArgumentException(
           "star(): except list removes every column")
-      Regex.quoteReplacement(kept.map(c => s"`$c`").mkString(", "))
+      // dbt-utils kwargs: relation_alias qualifies, prefix/suffix alias
+      val alias = kw.get("relation_alias").map(stripQuotes)
+        .filterNot(v => v.isEmpty || v.equalsIgnoreCase("false"))
+      val prefix = kw.get("prefix").map(stripQuotes).getOrElse("")
+      val suffix = kw.get("suffix").map(stripQuotes).getOrElse("")
+      Regex.quoteReplacement(kept.map { c =>
+        val src = alias.fold(s"`$c`")(a => s"$a.`$c`")
+        if (prefix.nonEmpty || suffix.nonEmpty) s"$src AS `$prefix$c$suffix`"
+        else src
+      }.mkString(", "))
       }
     })
 

@@ -619,11 +619,15 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         // parse phase: dbt-utils star returns the literal '*'
         if (!executeMode) IndexedSeq("*")
         else schemaOf(kind, a, b, "star").fields.map(_.name).toIndexedSeq)
+      val sql2f = Compiler.resolveFilteredColumns(sql2, (kind, a, b) =>
+        if (!executeMode) Nil // parse phase binds []
+        else schemaOf(kind, a, b, "get_filtered_columns_in_relation")
+          .fields.map(_.name).toIndexedSeq)
       // get_relations_by_pattern: SQL LIKE patterns over the warehouse's
       // existing relations in the target database (schemas enumerated,
       // then identifiers; exclude subtracts). Execute-mode empty matches
       // fail loudly; parse phase binds [] → placeholder rendering.
-      val sql2b = Compiler.resolveRelationsByPattern(sql2, (sp, tp, ex) =>
+      val sql2b = Compiler.resolveRelationsByPattern(sql2f, (sp, tp, ex) =>
         if (!executeMode) Nil
         else {
           def likeRe(p: String) = ("^(?i)" + p.flatMap {

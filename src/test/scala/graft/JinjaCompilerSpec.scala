@@ -540,6 +540,40 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("this.schema"), e.getMessage)
   }
 
+  // ------------------------- star kwargs + filtered columns
+
+  test("star: relation_alias/prefix/suffix kwargs; unknown kwarg loud") {
+    val cols = Seq("id", "name", "ts")
+    val got = Compiler.resolveStar(
+      "{{ star(ref('m'), except=['ts'], relation_alias='t', " +
+        "prefix='src_', suffix='_raw') }}",
+      (_, _, _) => cols)
+    assert(got == "t.`id` AS `src_id_raw`, t.`name` AS `src_name_raw`", got)
+    val plain = Compiler.resolveStar("{{ star(ref('m')) }}", (_, _, _) => cols)
+    assert(plain == "`id`, `name`, `ts`", plain)
+    val e = intercept[IllegalArgumentException](Compiler.resolveStar(
+      "{{ star(ref('m'), wat=1) }}", (_, _, _) => cols))
+    assert(e.getMessage.contains("unknown kwargs wat"), e.getMessage)
+  }
+
+  test("get_filtered_columns_in_relation binds a loopable column list; DAG edge") {
+    val sql = "{% set cols = dbt_utils.get_filtered_columns_in_relation(" +
+      "ref('m'), ['secret']) %}" +
+      "SELECT {% for c in cols %}max({{ c }}) AS max_{{ c }}" +
+      "{% if not loop.last %}, {% endif %}{% endfor %} FROM t"
+    val resolved = Compiler.resolveFilteredColumns(sql,
+      (k, n, _) => { assert(k == "ref" && n == "m")
+        Seq("a", "secret", "b") })
+    val got = Compiler.expandControlFlow(resolved)
+    assert(got == "SELECT max(a) AS max_a, max(b) AS max_b FROM t", got)
+    val (refs, _) = Compiler.dependencies(sql)
+    assert(refs == Seq("m"), refs.toString)
+    // parse phase: empty fetch binds [] (a for over it renders nothing)
+    val parsePhase = Compiler.expandControlFlow(
+      Compiler.resolveFilteredColumns(sql, (_, _, _) => Nil))
+    assert(parsePhase.trim == "SELECT  FROM t", parsePhase)
+  }
+
   // --------------------------- static-if pruning + nested guards
 
   test("static ifs decide via set literals; undecidable and elif chains stay") {
