@@ -115,7 +115,7 @@ object Compiler {
   // a ported `{{ dbt_utils.star(...) }}` would leak raw Jinja to the
   // SQL parser as a cryptic parse error.
   private[graft] val starRe: Regex =
-    ("""\{\{\s*(?:dbt_utils\.)?star\(\s*(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""" +
+    ("""(?s)\{\{\s*(?:dbt_utils\.)?star\(\s*(ref|source)\(\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)""" +
       """((?:\s*,\s*(?:(?!\}\}).)*?)?)\s*\)\s*\}\}""").r
 
   // dbt-utils `get_filtered_columns_in_relation(from, except=[])` — the
@@ -202,7 +202,8 @@ object Compiler {
   // ref('b'), source('s','t')]) }}. Engine-resolved from parquet schema
   // metadata; every listed relation is a DAG edge.
   private[graft] val unionRelationsRe: Regex =
-    """\{\{\s*(?:dbt_utils\.)?union_relations\(\s*(\[[^\]]*\])\s*\)\s*\}\}""".r
+    ("""(?s)\{\{\s*(?:dbt_utils\.)?union_relations\(\s*""" +
+      """(?:relations\s*=\s*)?(\[[^\]]*\])\s*\)\s*\}\}""").r
 
   // dbt-utils `pivot`: one aggregated CASE column per value —
   // `sum(case when col = 'v' then 1 else 0 end) as v`. Values come from

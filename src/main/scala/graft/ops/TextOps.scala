@@ -2752,8 +2752,13 @@ object TextOps {
         .withColumn("_cum", sum(col("n_tokens")).over(w))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
+    // integer `div`, not float '/': at mixture-scale token counts the
+    // double-rounded quotient can differ by 1 from the oracle's exact
+    // `// 10000` and flip the boundary document (same reason
+    // packSequences uses div)
     val budgets = local.groupBy(col("source"))
-      .agg((sum(col("n_tokens")) * bps / 10000).cast("long").as("budget"))
+      .agg(expr(s"CAST((sum(n_tokens) * $bps) div 10000 AS BIGINT)")
+        .as("budget"))
     // (partition, source) subtotals: control-plane at any corpus size
     val totals = local.groupBy(col("_pid"), col("source"))
       .agg(max(col("_cum")).as("t"))

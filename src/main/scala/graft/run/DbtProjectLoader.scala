@@ -523,6 +523,22 @@ object DbtProjectLoader {
     // Deeper nesting (a union inside an intersection) has no flat
     // grammar equivalent and refuses loudly.
     def selectorLeaf(o: Obj, selName: String): String = {
+      // every key must be understood — dbt flags like childrens_parents
+      // (the @ operator) have no grammar equivalent, and silently
+      // dropping one narrows the selection dbt would make
+      val known = Set("method", "value", "parents", "children",
+        "parents_depth", "children_depth")
+      val unknown = o.entries.map(_._1).filterNot(known.contains)
+      require(unknown.isEmpty,
+        s"selectors.yml: '$selName' leaf has unsupported key(s) " +
+          s"${unknown.mkString(", ")} (supported: ${known.toSeq.sorted
+            .mkString(", ")})")
+      Seq("parents", "children").foreach { side =>
+        require(o.scalar(s"${side}_depth").isEmpty ||
+          o.scalar(side).contains("true"),
+          s"selectors.yml: '$selName' sets ${side}_depth without " +
+            s"$side: true")
+      }
       val value = o.scalar("value").getOrElse(
         throw new IllegalArgumentException(
           s"selectors.yml: '$selName' leaf needs value:"))
@@ -549,7 +565,10 @@ object DbtProjectLoader {
     // returns (include terms, exclude terms)
     def selectorNode(n: MiniYaml.Node,
                      selName: String): (Seq[String], Seq[String]) = n match {
-      case Scalar(v) => (Seq(v), Nil)
+      case Scalar(v) =>
+        require(v.trim.nonEmpty,
+          s"selectors.yml: selector '$selName' has an empty definition")
+        (Seq(v), Nil)
       case o: Obj if o.get("union").isDefined =>
         val parts = o.arr("union").map(selectorNode(_, selName))
         (parts.flatMap(_._1), parts.flatMap(_._2))

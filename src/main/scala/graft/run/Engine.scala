@@ -630,24 +630,54 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       val sql2b = Compiler.resolveRelationsByPattern(sql2f, (sp, tp, ex) =>
         if (!executeMode) Nil
         else {
-          def likeRe(p: String) = ("^(?i)" + p.flatMap {
-            case '%' => ".*"
-            case '_' => "."
-            case c => java.util.regex.Pattern.quote(c.toString)
-          } + "$").r
+          // SQL LIKE → regex, WITH backslash escapes (`shard\_%` means a
+          // literal underscore — the standard dbt spelling)
+          def likeRe(p: String) = {
+            val sb = new StringBuilder("^(?i)")
+            var i = 0
+            while (i < p.length) {
+              p.charAt(i) match {
+                case '\\' if i + 1 < p.length =>
+                  sb.append(java.util.regex.Pattern
+                    .quote(p.charAt(i + 1).toString)); i += 1
+                case '%' => sb.append(".*")
+                case '_' => sb.append(".")
+                case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+              }
+              i += 1
+            }
+            (sb.append("$")).result().r
+          }
           val (sRe, tRe) = (likeRe(sp), likeRe(tp))
           val exRe = ex.filter(_.nonEmpty).map(likeRe)
+          def excluded(ident: String) =
+            exRe.exists(_.pattern.matcher(ident).matches())
           val rels = warehouse.listSchemas(target.database)
             .filter(sc => sRe.pattern.matcher(sc).matches())
             .flatMap(sc => warehouse.listRelations(target.database, sc))
             .filter(r => tRe.pattern.matcher(r.identifier).matches())
-            .filterNot(r => exRe.exists(_.pattern.matcher(r.identifier)
-              .matches()))
+            .filterNot(r => excluded(r.identifier))
             .sortBy(_.fqName)
           require(rels.nonEmpty, s"get_relations_by_pattern('$sp', " +
             s"'$tp'${ex.fold("")(e => s", '$e'")}): no relations match " +
             s"in database '${target.database}' — the shards must be " +
             "built before the model that unions them")
+          // a PARTIAL match is silent wrong data: every PROJECT model
+          // whose relation matches the pattern must already exist (a
+          // pattern carries no static DAG edge, so a same-build race
+          // could otherwise union half the shards and succeed)
+          val missingShards = project.models.map(pm => relationFor(pm.name))
+            .filterNot(_ == relationFor(m.name)) // not the model compiling
+            .filter(r => r.database == target.database &&
+              sRe.pattern.matcher(r.schema).matches() &&
+              tRe.pattern.matcher(r.identifier).matches() &&
+              !excluded(r.identifier))
+            .filterNot(r => rels.contains(r))
+          require(missingShards.isEmpty,
+            s"get_relations_by_pattern('$sp', '$tp'): project models " +
+              s"${missingShards.map(_.identifier).mkString(", ")} match " +
+              "the pattern but are not built yet — build the shards in " +
+              "an earlier stage (patterns carry no DAG edge)")
           rels.map { r =>
             val text = Compiler.pathRelation(
               r.pathUnder(target.warehouseRoot))
