@@ -448,6 +448,11 @@ object DbtProjectLoader {
       ModelDef(nm, rewriteVersionedRefs(Files.readString(p)),
         Compiler.applyConfigKv(kv, ModelConfig()))
     }
+    // model name -> project-relative source path (the `path:` selector)
+    val modelPaths: Map[String, String] = modelFiles.map { case (_, p) =>
+      fileRename.getOrElse(stem(p), stem(p)) ->
+        root.relativize(p).toString
+    }.toMap
     require(models.map(_.name).distinct.size == models.size,
       "versioned rename collides with an existing model name: " +
         models.map(_.name).groupBy(identity).filter(_._2.size > 1)
@@ -523,11 +528,10 @@ object DbtProjectLoader {
     // Deeper nesting (a union inside an intersection) has no flat
     // grammar equivalent and refuses loudly.
     def selectorLeaf(o: Obj, selName: String): String = {
-      // every key must be understood — dbt flags like childrens_parents
-      // (the @ operator) have no grammar equivalent, and silently
-      // dropping one narrows the selection dbt would make
+      // every key must be understood — silently dropping a flag narrows
+      // the selection dbt would make
       val known = Set("method", "value", "parents", "children",
-        "parents_depth", "children_depth")
+        "parents_depth", "children_depth", "childrens_parents")
       val unknown = o.entries.map(_._1).filterNot(known.contains)
       require(unknown.isEmpty,
         s"selectors.yml: '$selName' leaf has unsupported key(s) " +
@@ -545,22 +549,34 @@ object DbtProjectLoader {
       val core = o.scalar("method").getOrElse("fqn") match {
         case "fqn" => value
         case "tag" => s"tag:$value"
+        case "path" => s"path:$value"
         case "config.materialized" => s"config.materialized:$value"
         case "exposure" => s"exposure:$value"
         case "source" => s"source:$value"
         case other => throw new IllegalArgumentException(
           s"selectors.yml: '$selName' uses unsupported method '$other' " +
-            "(supported: fqn, tag, config.materialized, exposure, source)")
+            "(supported: fqn, tag, path, config.materialized, exposure, " +
+            "source)")
       }
-      val pfx =
-        if (o.scalar("parents").contains("true"))
-          o.scalar("parents_depth").getOrElse("") + "+"
-        else ""
-      val sfx =
-        if (o.scalar("children").contains("true"))
-          "+" + o.scalar("children_depth").getOrElse("")
-        else ""
-      pfx + core + sfx
+      // childrens_parents is dbt's @ operator (descendants + ALL their
+      // ancestors) — it subsumes parents/children and takes no depth
+      if (o.scalar("childrens_parents").contains("true")) {
+        require(Seq("parents", "children", "parents_depth",
+          "children_depth").forall(o.scalar(_).isEmpty),
+          s"selectors.yml: '$selName' combines childrens_parents with " +
+            "parents/children flags — @ already includes both")
+        s"@$core"
+      } else {
+        val pfx =
+          if (o.scalar("parents").contains("true"))
+            o.scalar("parents_depth").getOrElse("") + "+"
+          else ""
+        val sfx =
+          if (o.scalar("children").contains("true"))
+            "+" + o.scalar("children_depth").getOrElse("")
+          else ""
+        pfx + core + sfx
+      }
     }
     // returns (include terms, exclude terms)
     def selectorNode(n: MiniYaml.Node,
@@ -644,7 +660,8 @@ object DbtProjectLoader {
       selectors = selectors,
       analyses = analyses.map(a =>
         a.copy(rawSql = rewriteVersionedRefs(a.rawSql))),
-      descriptions = resolvedDescriptions),
+      descriptions = resolvedDescriptions,
+      modelPaths = modelPaths),
       Map("name" -> name) ++ py.scalar("profile").map("profile" -> _))
   }
 }

@@ -182,7 +182,11 @@ final case class Project(name: String,
                          // `model.column` -> text; always surfaced in the
                          // docs catalog, and emitted as DDL COMMENTs for
                          // models with config persist_docs='true' (B37)
-                         descriptions: Map[String, String] = Map.empty)
+                         descriptions: Map[String, String] = Map.empty,
+                         // model name -> project-relative source path
+                         // (dbt's `path:` selector method; empty for
+                         // embedded projects built from inline SQL)
+                         modelPaths: Map[String, String] = Map.empty)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -929,6 +933,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     *
     *  - `name` — exact node; `stg_*` — name glob
     *  - `tag:x` — models tagged `x` (`config(tags='a|b')`)
+    *  - `path:models/staging` — models by project-relative source path
+    *    prefix (dbt-native projects; a trailing slash-star is tolerated)
     *  - `config.materialized:v` — models materialized as `v`
     *  - `resource_type:model|seed|snapshot` — nodes by kind
     *  - `exposure:name` — the exposure's declared parents (compose
@@ -981,6 +987,14 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         val t = b.stripPrefix("tag:")
         project.models.filter(m => effectiveConfig(m).tags.contains(t))
           .map(_.name).toSet
+      } else if (b.startsWith("path:")) {
+        // dbt's path method: project-relative source-path PREFIX (a
+        // trailing glob is tolerated — `path:models/staging/*` ≡ the
+        // directory prefix). Embedded projects carry no paths → empty.
+        val p = b.stripPrefix("path:").stripSuffix("*").stripSuffix("/")
+        project.modelPaths.collect {
+          case (n, mp) if mp == p || mp.startsWith(p + "/") => n
+        }.toSet
       } else if (b.startsWith("config.materialized:")) {
         // dbt's config-value method (everyday form:
         // `--select config.materialized:incremental`)

@@ -397,6 +397,27 @@ class DbtProjectSpec extends AnyFunSuite {
     // a+ = {a,b,c}; intersect-term adds c; exclude removes b
     assert(e.selectNodes(sel.include) -- e.selectNodes(sel.exclude) ==
       Set("a", "c"))
+    // path: method selects by project-relative source path prefix, and
+    // childrens_parents renders dbt's @ operator
+    put(proj, "models/staging/stg_x.sql", "SELECT 2 AS y")
+    put(proj, "selectors.yml",
+      """selectors:
+        |  - name: staged
+        |    definition:
+        |      union:
+        |        - method: path
+        |          value: models/staging
+        |        - method: fqn
+        |          value: b
+        |          childrens_parents: true
+        |""".stripMargin)
+    val (p2, _) = ProjectLoader.load(proj.toString)
+    val sel2 = p2.selectors.find(_.name == "staged").get
+    assert(sel2.include == "path:models/staging @b", sel2.toString)
+    val e2 = new Engine(spark, p2, Target(
+      Files.createTempDirectory("graft_selspec_wh2").toString, threads = 1))
+    // path → stg_x; @b → b + descendant c + their ancestors (a)
+    assert(e2.selectNodes(sel2.include) == Set("stg_x", "a", "b", "c"))
     // a union nested inside an intersection refuses loudly
     put(proj, "selectors.yml",
       """selectors:
