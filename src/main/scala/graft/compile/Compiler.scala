@@ -1975,6 +1975,21 @@ object Compiler {
   private val nsDeclRe: Regex =
     """\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*namespace\(([^)]*)\)\s*-?%\}""".r
 
+  // `{% do xs.append(<expr>) %}` — Jinja's OTHER loop-carried
+  // accumulator (dbt macros build column lists this way). Resolved by
+  // the same sequential post-unroll pass: the list declaration
+  // `{% set xs = [...] %}` stays in the text (excluded from static
+  // binding), appends evaluate in document order (literals and `~`
+  // concats of literals), and the accumulated list renders ONLY through
+  // reducing filter sites (`{{ xs | join(', ') }}`, `| length`,
+  // `| first/last`). A later `{% for %}` over an appended list is out
+  // of scope: loops expand before this pass, so it survives and fails
+  // the did-not-terminate check loudly.
+  private[graft] val doAppendRe: Regex =
+    """\{%-?\s*do\s+([A-Za-z_]\w*)\.append\(\s*((?:(?!-?%\}).)*?)\s*\)\s*-?%\}""".r
+  private val listDeclRe: Regex =
+    """\{%-?\s*set\s+([A-Za-z_]\w*)\s*=\s*(\[[^\]]*\])\s*-?%\}""".r
+
   private[graft] def resolveNamespaces(sql0: String): String = {
     val state = scala.collection.mutable.Map.empty[(String, String), String]
     var sql = nsDeclRe.replaceAllIn(sql0, m => {
@@ -1988,14 +2003,16 @@ object Compiler {
       }
       ""
     })
-    if (state.isEmpty) {
+    val listNames: Set[String] =
+      doAppendRe.findAllMatchIn(sql).map(_.group(1)).toSet
+    if (state.isEmpty && listNames.isEmpty) {
       // a dotted set with no declaration in scope must not leak jinja
       require(!"""\{%-?\s*set\s+[A-Za-z_]\w*\.""".r.findFirstIn(sql).isDefined,
         "{% set x.y = ... %} requires a {% set x = namespace(...) %} " +
           "declaration in the same scope")
       return sql
     }
-    val nsAlt = state.keys.map(_._1).toSet.toSeq.sorted
+    val nsAlt = (state.keys.map(_._1).toSet + "__graft_none__").toSeq.sorted
       .map(Regex.quote).mkString("(", "|", ")")
     val setNsRe = ("""\{%-?\s*set\s+""" + nsAlt +
       """\.([A-Za-z_]\w*)\s*=\s*((?:(?!-?%\}).)*?)\s*-?%\}""").r
@@ -2039,9 +2056,37 @@ object Compiler {
         case single => term(single)
       }
     }
-    // sequential walk: apply the EARLIEST of (update | read | ns-if),
-    // splice, continue — ifs decide against the state at their position
-    // and their chosen arm re-enters the stream for nested handling
+    // ------- list accumulators ({% do xs.append(...) %}) — same pass
+    val lists = scala.collection.mutable.Map.empty[String, Vector[String]]
+    val listAlt = (listNames + "__graft_none__").toSeq.sorted
+      .map(Regex.quote).mkString("(", "|", ")")
+    val listDeclHereRe = ("""\{%-?\s*set\s+""" + listAlt +
+      """\s*=\s*(\[[^\]]*\])\s*-?%\}""").r
+    val listReadRe = ("""\{\{\s*""" + listAlt +
+      """\s*(""" + filterChainPat + """+)\s*\}\}""").r
+    def concatEval(arg: String): String = splitTilde(arg).map { p =>
+      val t = p.trim
+      if (t.startsWith("'") || t.startsWith("\"")) stripQuotes(t)
+      else if (isNum(t) || t == "true" || t == "false") t
+      else t.split("\\.", 2) match {
+        case Array(n, k) if state.contains((n, k)) => stripQuotes(get(n, k))
+        case _ => throw new IllegalArgumentException(
+          s"append: unsupported piece '$p' — use quoted literals, " +
+            "numbers, or <ns>.<key>, ~-concatenated")
+      }
+    }.mkString
+    def listLiteral(name: String): String = {
+      val xs = lists.getOrElse(name, throw new IllegalArgumentException(
+        s"'$name' read before its {% set $name = [...] %} declaration"))
+      xs.find(_.contains("'")).foreach(x =>
+        throw new IllegalArgumentException(
+          s"appended value containing a quote cannot render: $x"))
+      xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    }
+    // sequential walk: apply the EARLIEST of (ns update | ns read |
+    // ns-if | list decl | append | list read), splice, continue — ifs
+    // decide against the state at their position and their chosen arm
+    // re-enters the stream for nested handling
     val out = new StringBuilder
     var rest = sql
     var guard = 0
@@ -2051,7 +2096,11 @@ object Compiler {
         setNsRe.findFirstMatchIn(rest).map(m => (m, "set")),
         readRe.findFirstMatchIn(rest).map(m => (m, "read")),
         nsIfRe.findFirstMatchIn(rest).map(m => (m, "if"))
-      ).flatten
+      ).flatten ++ (if (listNames.isEmpty) Nil else Seq(
+        listDeclHereRe.findFirstMatchIn(rest).map(m => (m, "ldecl")),
+        doAppendRe.findFirstMatchIn(rest).map(m => (m, "append")),
+        listReadRe.findFirstMatchIn(rest).map(m => (m, "lread"))
+      ).flatten)
       if (cands.isEmpty) { out.append(rest); rest = "" }
       else {
         val (m, kind) = cands.minBy(_._1.start)
@@ -2063,6 +2112,21 @@ object Compiler {
             rest = tail
           case "read" =>
             out.append(stripQuotes(get(m.group(1), m.group(2))))
+            rest = tail
+          case "ldecl" =>
+            lists(m.group(1)) = parseListLiteral(m.group(2)).toVector
+            rest = tail
+          case "append" =>
+            val name = m.group(1)
+            lists(name) = lists.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"{% do $name.append(...) %} before its " +
+                  s"{% set $name = [...] %} declaration")) :+
+              concatEval(m.group(2))
+            rest = tail
+          case "lread" =>
+            out.append(applyFilterSeq(listLiteral(m.group(1)),
+              parseFilters(m.group(2))))
             rest = tail
           case "if" =>
             // substitute current ns values (strings stay quoted) into
@@ -2086,6 +2150,14 @@ object Compiler {
     require(!("""\{%-?\s*set\s+""" + nsAlt + """\.""").r
       .findFirstIn(resolved).isDefined,
       "unresolved namespace update survived resolution")
+    require(!resolved.contains(".append("),
+      "unresolved {% do .append() %} survived resolution")
+    listNames.find(n =>
+      ("""\{\{\s*""" + Regex.quote(n) + """\s*\}\}""").r
+        .findFirstIn(resolved).isDefined).foreach(n =>
+      throw new IllegalArgumentException(
+        s"'$n' is an appended list — interpolate it with a reducing " +
+          s"filter (e.g. {{ $n | join(', ') }})"))
     resolved
   }
 
@@ -2189,10 +2261,17 @@ object Compiler {
         pre = substInterp(k, body, pre)
       }
     }
+    // a list that is APPENDED to is sequential state, not a static
+    // binding: its declaration stays in place for the post-unroll
+    // scripted pass, and it never substitutes eagerly (the initial
+    // value would be wrong at sites after an append)
+    val appended: Set[String] =
+      if (!pre.contains(".append(")) Set.empty
+      else doAppendRe.findAllMatchIn(pre).map(_.group(1)).toSet
     val binds = scala.collection.mutable.Map.empty[String, String]
-    var sql = setRe.replaceAllIn(rewriteElifChains(pre), m => {
-      binds(m.group(1)) = m.group(2); ""
-    })
+    var sql = setRe.replaceAllIn(rewriteElifChains(pre), m =>
+      if (appended.contains(m.group(1))) Regex.quoteReplacement(m.matched)
+      else { binds(m.group(1)) = m.group(2); "" })
     var depth = 0
     var changed = true
     while (changed && depth < maxDepth) {
@@ -2223,14 +2302,14 @@ object Compiler {
           val items = items0.filter(keepScalar) // Jinja: filter THEN number
           val n = items.size
           if (n == 0) return renderEmpty() // Jinja for…else
-          // bare loop var inside `{% set %}` statements (the namespace
-          // accumulator idiom `{% set ns.x = ns.x + item %}`): numbers
-          // splice bare, strings quoted. Occurrences INSIDE quoted
-          // literals never substitute — `ns.s ~ 'w'` with a loop var
-          // named w must keep its literal
-          val setStmtRe = """\{%-?\s*set\s+(?:(?!-?%\}).)*?-?%\}""".r
+          // bare loop var inside `{% set %}`/`{% do %}` statements (the
+          // accumulator idioms `{% set ns.x = ns.x + item %}` and
+          // `{% do xs.append(item) %}`): numbers splice bare, strings
+          // quoted. Occurrences INSIDE quoted literals never substitute
+          // — `ns.s ~ 'w'` with a loop var named w must keep its literal
+          val setStmtRe = """\{%-?\s*(?:set|do)\s+(?:(?!-?%\}).)*?-?%\}""".r
           def substVarInSets(it: String, b: String): String = {
-            if (!b.contains("{% set") && !b.contains("{%- set")) return b
+            if (!b.contains("{%")) return b
             val lit = if (it.matches("""-?\d+(\.\d+)?""")) it
               else "'" + it.replace("'", "''") + "'"
             val tokenRe = ("""\b""" + Regex.quote(v) + """\b""").r
@@ -2336,7 +2415,7 @@ object Compiler {
     // namespace() state resolves AFTER loop unrolling (document order of
     // the straight-line text IS execution order) and BEFORE
     // unbound-default resolution (ns reads would look unbound)
-    if (sql.contains("namespace(") ||
+    if (sql.contains("namespace(") || sql.contains(".append(") ||
         """\{%-?\s*set\s+[A-Za-z_]\w*\.""".r.findFirstIn(sql).isDefined)
       sql = resolveNamespaces(sql)
     resolveUnboundDefaults(sql)

@@ -646,6 +646,33 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** Jinja `{% do list.append() %}` end-to-end: the column-list-builder
+    * idiom of ported dbt macros — a loop appends rendered SELECT
+    * expressions, the reducing join splices them.
+    */
+  def doAppendModel(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """{% set cols = [] %}
+        |{% for c in ['o_orderkey', 'o_custkey'] %}
+        |{% do cols.append('CAST(' ~ c ~ ' AS BIGINT) AS big_' ~ c) %}
+        |{% endfor %}
+        |SELECT {{ cols | join(', ') }}, count(*) AS n
+        |FROM {{ source('tpch', 'orders') }}
+        |{{ dbt_utils.group_by(2) }}""".stripMargin
+    val project = Project(name = "demo_append",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("append_cols", modelSql)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("append_cols")
+  }
+
+  val doAppendModelSql: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS big_o_orderkey,
+      |  CAST(o_custkey AS BIGINT) AS big_o_custkey,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   /** dbt-utils `get_relations_by_pattern` + `union_relations(relations=
     * rels)` end-to-end — the sharded-table idiom: two shard models
     * built FIRST (patterns match what exists, like dbt), then a second

@@ -832,6 +832,43 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(got == "total=17 seen=iii FOUND", got)
   }
 
+  test("do-append: lists accumulate through loops and render via reducing filters") {
+    val t =
+      """{% set parts = [] %}
+        |{% for c in ['a', 'b', 'c'] if c != 'b' %}
+        |{% do parts.append(c ~ ' AS x_' ~ c) %}
+        |{% endfor %}
+        |SELECT {{ parts | join(', ') }} ({{ parts | length }} cols)""".stripMargin
+    val got = Compiler.expandControlFlow(t).trim.replaceAll("\\s+", " ")
+    assert(got == "SELECT a AS x_a, c AS x_c (2 cols)", got)
+    // declaration with seed items; first/last reducers
+    val seeded = Compiler.expandControlFlow(
+      "{% set xs = ['z'] %}{% do xs.append('q') %}" +
+        "{{ xs | first }}/{{ xs | last }}")
+    assert(seeded == "z/q", seeded)
+    // append before the declaration is loud
+    val e1 = intercept[IllegalArgumentException](Compiler.expandControlFlow(
+      "{% do nope.append('x') %}"))
+    assert(e1.getMessage.contains("before its"), e1.getMessage)
+    // bare interpolation of an appended list is loud
+    val e2 = intercept[IllegalArgumentException](Compiler.expandControlFlow(
+      "{% set xs = [] %}{% do xs.append('a') %}{{ xs }}"))
+    assert(e2.getMessage.contains("reducing"), e2.getMessage)
+    // a later for over an appended list fails the termination check
+    val e3 = intercept[IllegalArgumentException](Compiler.expandControlFlow(
+      "{% set xs = [] %}{% do xs.append('a') %}" +
+        "{% for x in xs %}{{ x }}{% endfor %}"))
+    assert(e3.getMessage.contains("did not terminate") ||
+      e3.getMessage.contains("not a list literal"), e3.getMessage)
+  }
+
+  test("do-append: namespace values may append; loop filter composes") {
+    val t = "{% set ns = namespace(sfx='_x') %}{% set cols = [] %}" +
+      "{% for c in ['id', 'ts'] %}{% do cols.append(c ~ ns.sfx) %}{% endfor %}" +
+      "{{ cols | join('|') }}"
+    assert(Compiler.expandControlFlow(t) == "id_x|ts_x")
+  }
+
   test("namespace: a quoted literal matching the loop var name is never clobbered") {
     val t = "{% set ns = namespace(s='') %}" +
       "{% for w in [1, 2] %}{% set ns.s = ns.s ~ 'w' %}{% endfor %}{{ ns.s }}"
