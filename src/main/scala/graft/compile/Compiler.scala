@@ -1235,21 +1235,73 @@ object Compiler {
     s
   }
 
+  // bare `var('n'[, default])` / `env_var('N'[, default])` calls INSIDE
+  // `{% %}` statements (set RHS, if conditions, for filters) — the
+  // braces forms resolve later in [[compile]]; these statement-position
+  // calls must become literals BEFORE control-flow expansion or they
+  // leak. Values splice like Jinja: numbers/bools/lists bare, strings
+  // quoted (a value containing a quote fails loudly).
+  private val bareVarCallRe: Regex =
+    """\b(env_var|var)\(\s*'([^']+)'(?:\s*,\s*('[^']*'|[^()]*?))?\s*\)""".r
+  private val stmtSpanRe: Regex = """\{%-?(?:(?!-?%\}).)*?-?%\}""".r
+
+  private def varLiteral(raw: String, what: String): String = {
+    if (raw.matches("""-?\d+(\.\d+)?""") || raw == "true" ||
+        raw == "false" || raw.startsWith("[")) raw
+    else {
+      require(!raw.contains("'"),
+        s"$what value containing a quote cannot splice into a " +
+          s"statement: $raw")
+      s"'$raw'"
+    }
+  }
+
+  private def substVarCallsInStmt(stmt: String, vars: Map[String, String],
+      env: Map[String, String]): String =
+    // the call shape (`var('` + quoted name) cannot match plain text
+    // inside an unrelated quoted literal, so a direct scan is safe
+    bareVarCallRe.replaceAllIn(stmt, m => {
+      val (kind, name) = (m.group(1), m.group(2))
+      val pool = if (kind == "env_var") env else vars
+      val v = pool.get(name).orElse(
+        Option(m.group(3)).map(_.trim).filter(_.nonEmpty).map(stripQuotes))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$kind '$name' unset, no default"))
+      Regex.quoteReplacement(varLiteral(v, kind))
+    })
+
+  /** Resolve bare var()/env_var() calls inside `{% %}` statements to
+    * literals (the `{% set x = var('n') %}` / `{% if var('flag') %}`
+    * idioms). Runs in [[compile]] before control-flow expansion.
+    */
+  private[graft] def resolveStatementVars(sql: String,
+      vars: Map[String, String], env: Map[String, String]): String =
+    if (!sql.contains("var(")) sql
+    else stmtSpanRe.replaceAllIn(sql, m =>
+      if (!m.matched.contains("var(")) Regex.quoteReplacement(m.matched)
+      else Regex.quoteReplacement(substVarCallsInStmt(m.matched, vars, env)))
+
   /** Decide statically-decidable generic `{% if %}` blocks — scalar
-    * `{% set %}` literals substituted into conditions for DECISION only
-    * (the set statements stay in place for the later control-flow
-    * pass). The ENGINE runs this BEFORE executing statement/run_query
-    * probes: Jinja is lazy, so a probe (or DML statement) inside a
-    * branch pruned by a set-literal condition must never execute.
+    * `{% set %}` literals (and var()/env_var() calls, when `vars`/`env`
+    * are provided) substituted into conditions for DECISION only (the
+    * set statements stay in place for the later control-flow pass). The
+    * ENGINE runs this BEFORE executing statement/run_query probes:
+    * Jinja is lazy, so a probe (or DML statement) inside a branch
+    * pruned by a set-literal or var condition must never execute.
     * Undecidable conditions, elif chains, and loop-variable conditions
     * stay for [[expandControlFlow]].
     */
-  def resolveStaticIfBlocks(sql0: String): String = {
+  def resolveStaticIfBlocks(sql0: String,
+      vars: Map[String, String] = Map.empty,
+      env: Map[String, String] = Map.empty): String = {
     if (!sql0.contains("{%")) return sql0
     val binds = setRe.findAllMatchIn(sql0)
       .map(m => m.group(1) -> m.group(2)).toMap
     def decide(cond0: String): Option[Boolean] = {
       var cond = cond0
+      if (cond.contains("var("))
+        cond = try substVarCallsInStmt(cond, vars, env)
+          catch { case _: IllegalArgumentException => return None }
       binds.foreach { case (k, v) =>
         cond = ("""\b""" + Regex.quote(k) + """\b""").r
           .replaceAllIn(cond, Regex.quoteReplacement(v))
@@ -1404,6 +1456,9 @@ object Compiler {
     var sql = configRe.replaceAllIn(
       protectRawAndStripComments(rawSql), "")
     sql = resolveIncrementalBlocks(sql, ctx.isIncremental)
+    // statement-position var()/env_var() calls become literals BEFORE
+    // control flow ({% set x = var('n') %}, {% if var('flag') %})
+    sql = resolveStatementVars(sql, ctx.vars, ctx.env)
     sql = expandControlFlow(sql, tables = ctx.queryResults)
     // statement calls AFTER control flow: a raise/log/do inside a
     // non-taken branch must never fire (Jinja is lazy)

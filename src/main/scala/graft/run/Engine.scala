@@ -559,7 +559,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       val sqlIncr = Compiler.resolveStaticIfBlocks(
         Compiler.resolveIncrementalBlocks(
           Compiler.resolveExecuteBlocks(Compiler.normalizeUtilCalls(sql0),
-            executeMode), ctx.isIncremental))
+            executeMode), ctx.isIncremental),
+        vars = mergedVars, env = target.env)
       // relation-existence introspection (load_relation /
       // adapter.get_relation + `is [not] none`) resolves BEFORE probes
       // for the same laziness reason — the canonical existence guard

@@ -574,6 +574,43 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(parsePhase.trim == "SELECT  FROM t", parsePhase)
   }
 
+  // ------------------------- statement-position var()/env_var()
+
+  test("var()/env_var() resolve in set RHS, if conditions, and for iterables") {
+    val ctx = Compiler.ResolveCtx(refTarget = identity,
+      sourceTarget = (_, t) => t, thisTarget = "T",
+      env = Map("REGION" -> "eu"), isIncremental = false,
+      vars = Map("min_price" -> "100", "flag" -> "yes",
+        "cols" -> "['a', 'b']"))
+    val got = Compiler.compile(
+      "{% set t = var('min_price') %}" +
+        "{% if var('flag') == 'yes' %}LIVE{% else %}DEAD{% endif %} " +
+        "{% if env_var('REGION') == 'us' %}US{% else %}EU{% endif %} " +
+        "{% for c in var('cols') %}{{ c }}{% endfor %} " +
+        "WHERE p > {{ t }}", ctx)
+    assert(got == "LIVE EU ab WHERE p > 100", got)
+    // defaults apply; a quoted literal containing 'var(' is untouched
+    val dflt = Compiler.compile(
+      "{% set x = var('missing', 'fallback') %}" +
+        "{% set q = 'var(nope)' %}{{ x }}/{{ q }}", ctx)
+    assert(dflt == "fallback/var(nope)", dflt)
+    val e = intercept[IllegalArgumentException](Compiler.compile(
+      "{% set x = var('missing') %}", ctx))
+    assert(e.getMessage.contains("var 'missing' unset"), e.getMessage)
+  }
+
+  test("static ifs decide var() conditions before probes execute") {
+    val sql = Compiler.resolveStaticIfBlocks(
+      "{% if var('mode') == 'full' %}" +
+        "{% call statement('x') %}DELETE FROM t{% endcall %}{% endif %}OK",
+      vars = Map("mode" -> "incr"))
+    assert(!sql.contains("statement"), sql)
+    // an unset var leaves the block for the later (loud) compile pass
+    val kept = Compiler.resolveStaticIfBlocks(
+      "{% if var('mode') == 'full' %}X{% endif %}OK")
+    assert(kept.contains("{% if"), kept)
+  }
+
   // --------------------------- static-if pruning + nested guards
 
   test("static ifs decide via set literals; undecidable and elif chains stay") {
