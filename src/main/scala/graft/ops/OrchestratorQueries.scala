@@ -646,6 +646,47 @@ object OrchestratorQueries {
       |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
       |FROM orders""".stripMargin
 
+  /** Statement-position var() control flow end-to-end: a var-guarded
+    * branch picks the aggregation, a set-from-var threshold lands in
+    * the WHERE, and a list-valued var drives the loop — with the CLI
+    * override winning over the project default (dbt --vars precedence).
+    */
+  def varControl(s: SparkSession, d: String): DataFrame = {
+    val modelSql =
+      """{% set floor = var('floor') %}
+        |{% if var('mode', 'simple') == 'detailed' %}
+        |SELECT o_orderstatus,
+        |  {% for p in var('percentiles') %}
+        |  round(percentile(o_totalprice, {{ p }}), 4) AS p{{ loop.index }},
+        |  {% endfor %}
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM {{ source('tpch', 'orders') }}
+        |WHERE o_totalprice > {{ floor }}
+        |GROUP BY o_orderstatus
+        |{% else %}
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM {{ source('tpch', 'orders') }} GROUP BY o_orderstatus
+        |{% endif %}""".stripMargin
+    val project = Project(name = "demo_varctl",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("status_stats", modelSql)),
+      vars = Map("mode" -> "simple", "floor" -> "0",
+        "percentiles" -> "['0.5', '0.9']"))
+    // CLI --vars override wins over the project default (dbt precedence)
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1,
+      vars = Map("mode" -> "detailed", "floor" -> "1000")))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("status_stats")
+  }
+
+  val varControlSql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p1,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p2,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders WHERE o_totalprice > 1000
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** Jinja `{% do list.append() %}` end-to-end: the column-list-builder
     * idiom of ported dbt macros — a loop appends rendered SELECT
     * expressions, the reducing join splices them.
