@@ -619,7 +619,11 @@ object Compiler {
     */
   private[graft] def resolveStatements(sql: String,
       rel: (String, String, Option[String]) => String,
-      exec: String => QueryResult): (String, Map[String, QueryResult]) = {
+      exec: String => QueryResult,
+      // materialization mode: fetchless statement blocks are ACTIONS
+      // (DDL/DML the engine executes in document order later), not
+      // probes — leave them in place untouched
+      deferFetchless: Boolean = false): (String, Map[String, QueryResult]) = {
     if (!sql.contains("statement(") && !sql.contains("load_result("))
       return (sql, Map.empty)
     val results = scala.collection.mutable.Map.empty[String, QueryResult]
@@ -627,9 +631,12 @@ object Compiler {
       val (name, opts, body) = (m.group(1), m.group(2), m.group(3))
       val fetch = """fetch_result\s*=\s*([A-Za-z]\w*)""".r
         .findFirstMatchIn(opts).exists(_.group(1).equalsIgnoreCase("true"))
-      val r = exec(resolveRelSites(body.trim, rel))
-      if (fetch) results(name) = r
-      ""
+      if (!fetch && deferFetchless) Regex.quoteReplacement(m.matched)
+      else {
+        val r = exec(resolveRelSites(body.trim, rel))
+        if (fetch) results(name) = r
+        ""
+      }
     })
     def lookup(n: String): QueryResult = results.getOrElse(n,
       throw new IllegalArgumentException(
@@ -675,10 +682,11 @@ object Compiler {
     */
   def resolveRunQueries(sql: String,
       rel: (String, String, Option[String]) => String,
-      exec: String => QueryResult): (String, Map[String, QueryResult]) = {
+      exec: String => QueryResult,
+      deferFetchless: Boolean = false): (String, Map[String, QueryResult]) = {
     // statement/load_result (run_query's long form) rides the same
     // probe executor, so every call site gains both spellings
-    val (sql1, stmtTables) = resolveStatements(sql, rel, exec)
+    val (sql1, stmtTables) = resolveStatements(sql, rel, exec, deferFetchless)
     val tables = scala.collection.mutable.Map.empty[String, QueryResult]
     val out = runQueryRe.replaceAllIn(sql1, m => {
       tables(m.group(1)) = exec(assembleRunQueryArg(m.group(3), rel))
@@ -1008,32 +1016,8 @@ object Compiler {
     * fn; values are literal strings/idents/numbers — the subset dbt models
     * use in-file).
     */
-  def parseInlineConfig(rawSql: String, base: ModelConfig): ModelConfig = {
-    configRe.findFirstMatchIn(rawSql).map(_.group(1)) match {
-      case None => base
-      case Some(body) =>
-        // splitArgs, not a bare comma split: hook SQL and list values
-        // carry commas inside quotes/brackets (pre_hook='insert into
-        // a values (1, 2)') that a naive split corrupts
-        val kvs = splitArgs(body).iterator
-          .flatMap { kv =>
-            kv.split("=", 2) match {
-              case Array(k0, v0) =>
-                val (k, v) = (k0.trim, v0.trim)
-                // hook values may be a list of SQL statements — encode
-                // multi-valued entries with the \u001f unit separator
-                // (applyConfigKv's hook convention; `|` and `,` both
-                // occur in real SQL, \u001f cannot)
-                if (hookKeys.contains(k) && v.startsWith("["))
-                  Some(k -> parseListLiteral(v).map(stripQuotes)
-                    .mkString(HookSep))
-                else Some(k -> v.stripPrefix("'").stripSuffix("'"))
-              case _ => None
-            }
-          }.toMap
-        applyConfigKv(kvs, base)
-    }
-  }
+  def parseInlineConfig(rawSql: String, base: ModelConfig): ModelConfig =
+    applyConfigKv(inlineConfigKvs(rawSql), base)
 
   // dbt accepts both spellings in config()/yml (`pre_hook` in-file,
   // `pre-hook` in dbt_project.yml trees)
@@ -1181,11 +1165,15 @@ object Compiler {
   private def resolveGuardBlocks(sql: String, matches: String => Boolean,
       keepThen: Boolean, what: String): String =
     resolveGuardBlocksBy(sql,
-      c => if (matches(c)) Some(keepThen) else None, what,
+      (c, _, _) => if (matches(c)) Some(keepThen) else None, what,
       skipElifBlocks = false)
 
+  // decide receives (condition, if-head start offset, current document)
+  // so position-sensitive deciders ({% set %} substitution) can refuse
+  // bindings that do not textually precede the condition — Jinja is
+  // sequential, a later set has no value at the if.
   private def resolveGuardBlocksBy(sql: String,
-      decide: String => Option[Boolean], what: String,
+      decide: (String, Int, String) => Option[Boolean], what: String,
       skipElifBlocks: Boolean): String = {
     var s = sql
     var again = true
@@ -1196,7 +1184,8 @@ object Compiler {
       // depth-0 elif makes the block a chain — refused or left for the
       // elif rewrite, per skipElifBlocks)
       tags.iterator
-        .filter(t => t.group(1) == "if" && decide(t.group(2).trim).isDefined)
+        .filter(t => t.group(1) == "if" &&
+          decide(t.group(2).trim, t.start, s).isDefined)
         .map { head =>
           var depth = 0
           var elsePos: Option[(Int, Int)] = None // (start, end) of else tag
@@ -1223,7 +1212,7 @@ object Compiler {
           val end = endTag.getOrElse(throw new IllegalArgumentException(
             s"unbalanced $what: no matching {% endif %}"))
           val kept =
-            if (decide(head.group(2).trim).contains(true))
+            if (decide(head.group(2).trim, head.start, s).contains(true))
               elsePos.map { case (st, _) => s.substring(head.end, st) }
                 .getOrElse(s.substring(head.end, end.start))
             else elsePos.map { case (_, e) => s.substring(e, end.start) }
@@ -1243,7 +1232,10 @@ object Compiler {
   // quoted (a value containing a quote fails loudly).
   private val bareVarCallRe: Regex =
     """\b(env_var|var)\(\s*'([^']+)'(?:\s*,\s*('[^']*'|[^()]*?))?\s*\)""".r
-  private val stmtSpanRe: Regex = """\{%-?(?:(?!-?%\}).)*?-?%\}""".r
+  // (?s): a {% %} statement routinely spans lines (multi-line set RHS,
+  // wrapped if conditions) — without DOTALL those spans never match and
+  // their var() calls leak to the SQL parser as cryptic failures
+  private val stmtSpanRe: Regex = """(?s)\{%-?(?:(?!-?%\}).)*?-?%\}""".r
 
   private def varLiteral(raw: String, what: String): String = {
     if (raw.matches("""-?\d+(\.\d+)?""") || raw == "true" ||
@@ -1295,17 +1287,37 @@ object Compiler {
       vars: Map[String, String] = Map.empty,
       env: Map[String, String] = Map.empty): String = {
     if (!sql0.contains("{%")) return sql0
-    val binds = setRe.findAllMatchIn(sql0)
-      .map(m => m.group(1) -> m.group(2)).toMap
-    def decide(cond0: String): Option[Boolean] = {
+    def decide(cond0: String, ifStart: Int, doc: String): Option[Boolean] = {
       var cond = cond0
       if (cond.contains("var("))
         cond = try substVarCallsInStmt(cond, vars, env)
           catch { case _: IllegalArgumentException => return None }
-      binds.foreach { case (k, v) =>
-        cond = ("""\b""" + Regex.quote(k) + """\b""").r
-          .replaceAllIn(cond, Regex.quoteReplacement(v))
-      }
+      // Jinja is sequential and branch-lazy: a binding participates in
+      // the decision only when its set statement (a) textually precedes
+      // the if and (b) sits at if-nesting depth 0 — a set inside an
+      // untaken branch would not exist at the if. A name bound more
+      // than once in the document is refused outright (which binding is
+      // live depends on control flow this static pass cannot see):
+      // leaving it unsubstituted makes evalCond return None, deferring
+      // the block to the full control-flow expansion.
+      val setMs = setRe.findAllMatchIn(doc).toVector
+      val dups = setMs.groupBy(_.group(1)).collect {
+        case (n, ms) if ms.size > 1 => n }.toSet
+      val ifTags = ifTagRe.findAllMatchIn(doc).toVector
+      def depthAt(pos: Int): Int =
+        ifTags.takeWhile(_.start < pos).foldLeft(0) { (d, t) =>
+          t.group(1) match {
+            case "if" => d + 1
+            case "endif" => math.max(0, d - 1)
+            case _ => d
+          }
+        }
+      setMs.filter(m => !dups(m.group(1)) && m.end <= ifStart &&
+          depthAt(m.start) == 0)
+        .foreach { m =>
+          cond = ("""\b""" + Regex.quote(m.group(1)) + """\b""").r
+            .replaceAllIn(cond, Regex.quoteReplacement(m.group(2)))
+        }
       evalCond(cond)
     }
     resolveGuardBlocksBy(sql0, decide, "{% if %}", skipElifBlocks = true)
@@ -2616,6 +2628,162 @@ object Compiler {
     }
     body
   }
+
+  // ---------------------------------- custom {% materialization %} blocks
+
+  /** A user-defined materialization (`{% materialization name, default %}`
+    * or `, adapter='spark'` — the dbt extension surface; the reference
+    * manifest itself carries 7 such macros as data, e.g.
+    * `materialization_table_bigquery` @125935). The body is Jinja whose
+    * side effects are `{% call statement(...) %}` blocks; the engine
+    * renders it with the model's compiled SELECT bound at `{{ sql }}`
+    * and executes the statements in document order through the
+    * warehouse (see Engine.runCustomMaterialization).
+    */
+  final case class MaterializationDef(name: String, adapter: String,
+                                      body: String)
+
+  private val materializationRe: Regex =
+    ("""(?s)\{%-?\s*materialization\s+([A-Za-z_]\w*)\s*""" +
+      """(?:,\s*(?:adapter\s*=\s*'([^']+)'|default))?\s*-?%\}""" +
+      """(.*?)\{%-?\s*endmaterialization\s*-?%\}""").r
+
+  /** Parse every `{% materialization %}` block in a macro-dir file. */
+  def parseMaterializations(text: String): Seq[MaterializationDef] =
+    materializationRe.findAllMatchIn(text).map { m =>
+      MaterializationDef(m.group(1),
+        Option(m.group(2)).getOrElse("default"), m.group(3).trim)
+    }.toSeq
+
+  /** dbt adapter resolution over parsed materializations: an
+    * adapter-specific block ('spark') wins over 'default'; any other
+    * adapter is skipped (a bigquery-only materialization is invisible
+    * here, exactly as it is to dbt-core on another adapter).
+    */
+  def selectMaterializations(
+      defs: Seq[MaterializationDef]): Map[String, String] =
+    defs.filter(d => d.adapter == "default" || d.adapter == "spark")
+      .groupBy(_.name).map { case (n, ds) =>
+        n -> ds.sortBy(d => if (d.adapter == "spark") 0 else 1).head.body
+      }
+
+  // `config.get('key'[, default])` / `config.require('key')` — the
+  // materialization-body config surface (models use {{ config(...) }} to
+  // SET; materializations read it back). `default=` kwarg accepted.
+  private val configCallRe: Regex =
+    ("""\bconfig\.(get|require)\(\s*'([^']+)'""" +
+      """(?:\s*,\s*(?:default\s*=\s*)?('[^']*'|"[^"]*"|[^(),]+))?\s*\)""").r
+
+  /** Resolve config.get/require sites against the model's raw config
+    * kvs. Interpolation sites (`{{ config.get('k') }}`) splice the bare
+    * value; statement positions (`{% set p = config.get('k', 'd') %}`)
+    * splice a Jinja literal (strings quoted, numbers/bools/lists bare).
+    * A missing key: require throws; get with a default takes it; get
+    * without one becomes `none` (decidable by `is none` tests).
+    */
+  private[graft] def resolveConfigCalls(sql0: String,
+      kv: Map[String, String]): String = {
+    if (!sql0.contains("config.")) return sql0
+    def value(kind: String, name: String, dflt: Option[String]): String =
+      kv.get(name).orElse(dflt.map(stripQuotes)).getOrElse {
+        if (kind == "require") throw new IllegalArgumentException(
+          s"config.require('$name'): key not set on the model (set: " +
+            s"${kv.keys.toSeq.sorted.mkString(", ")})")
+        else "none"
+      }
+    // statement positions first ({% set %} RHS, if conditions) — the
+    // value must be a Jinja literal there
+    var s = stmtSpanRe.replaceAllIn(sql0, span =>
+      if (!span.matched.contains("config.")) Regex.quoteReplacement(span.matched)
+      else Regex.quoteReplacement(configCallRe.replaceAllIn(span.matched, m => {
+        val v = value(m.group(1), m.group(2), Option(m.group(3)).map(_.trim))
+        Regex.quoteReplacement(
+          if (v == "none") "none" else varLiteral(v, s"config.${m.group(1)}"))
+      })))
+    // interpolation sites splice bare text
+    val interpRe = ("""\{\{\s*""" + configCallRe.pattern.pattern +
+      """\s*\}\}""").r
+    s = interpRe.replaceAllIn(s, m => {
+      val v = value(m.group(1), m.group(2), Option(m.group(3)).map(_.trim))
+      require(v != "none", s"config.get('${m.group(2)}') interpolated " +
+        "with no value and no default")
+      Regex.quoteReplacement(v)
+    })
+    s
+  }
+
+  // materialization-protocol sites the engine serves NATIVELY: hooks run
+  // around the materialization (run_hooks strips), and the return value
+  // is tracked by the engine (return strips; statement-call return()
+  // splicing must not fire on a dict literal)
+  private val runHooksSiteRe: Regex =
+    """\{\{\s*run_hooks\([^)]*\)\s*\}\}|\{%-?\s*do\s+run_hooks\([^)]*\)\s*-?%\}""".r
+  private val matReturnRe: Regex =
+    ("""\{\{\s*return\(\s*((?:[^()']|'[^']*'|\([^()]*\))*)\s*\)\s*\}\}|""" +
+      """\{%-?\s*do\s+return\(\s*((?:[^()']|'[^']*'|\([^()]*\))*)\s*\)\s*-?%\}""").r
+  private val sqlSiteRe: Regex = """\{\{\s*sql\s*\}\}""".r
+
+  /** Prepare a custom materialization body for the model-SQL compile
+    * pipeline: bind `{{ sql }}` to the model's compiled SELECT, resolve
+    * config.get/require against the model's config kvs, decide
+    * should_full_refresh(), and strip the protocol sites the engine
+    * serves natively (run_hooks, the return value). The result compiles
+    * through the SAME introspection machinery as model SQL (with
+    * fetchless statements deferred), then the engine executes the
+    * surviving `{% call statement %}` blocks in document order.
+    */
+  def prepareMaterializationBody(body0: String, compiledSelect: String,
+      configKv: Map[String, String], fullRefresh: Boolean): String = {
+    var b = protectRawAndStripComments(body0)
+    b = runHooksSiteRe.replaceAllIn(b, "")
+    b = matReturnRe.replaceAllIn(b, "")
+    // adapter.commit(): every engine statement commits through the
+    // warehouse's own atomic machinery — the site is a no-op here
+    b = ("""\{\{\s*adapter\.commit\(\s*\)\s*\}\}|""" +
+      """\{%-?\s*do\s+adapter\.commit\(\s*\)\s*-?%\}""").r
+      .replaceAllIn(b, "")
+    b = b.replace("should_full_refresh()", fullRefresh.toString)
+    b = resolveConfigCalls(b, configKv)
+    sqlSiteRe.replaceAllIn(b, Regex.quoteReplacement(compiledSelect))
+  }
+
+  /** Split a rendered materialization into its ordered statement actions.
+    * Returns (statements, leftover) — the leftover is everything outside
+    * the statement blocks, which the ENGINE requires to be whitespace
+    * (anything else is unsupported materialization surface and must fail
+    * loudly, not be silently dropped).
+    */
+  def extractStatementBlocks(sql: String): (Seq[(String, String)], String) = {
+    val stmts = Seq.newBuilder[(String, String)]
+    val leftover = statementBlockRe.replaceAllIn(sql, m => {
+      stmts += (m.group(1) -> m.group(3).trim)
+      ""
+    })
+    (stmts.result(), leftover)
+  }
+
+  /** The raw key/value pairs of an inline `{{ config(...) }}` call —
+    * the lookup surface behind a custom materialization's
+    * config.get/require (applyConfigKv consumes the KNOWN keys; custom
+    * materializations read arbitrary ones, e.g. insert_by_period's
+    * `period`/`timestamp_field`).
+    */
+  def inlineConfigKvs(rawSql: String): Map[String, String] =
+    configRe.findFirstMatchIn(rawSql).map(_.group(1)) match {
+      case None => Map.empty
+      case Some(body) =>
+        splitArgs(body).iterator.flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k0, v0) =>
+              val (k, v) = (k0.trim, v0.trim)
+              if (hookKeys.contains(k) && v.startsWith("["))
+                Some(k -> parseListLiteral(v).map(stripQuotes)
+                  .mkString(HookSep))
+              else Some(k -> stripQuotes(v))
+            case _ => None
+          }
+        }.toMap
+    }
 
   // dbt docs blocks (`{% docs name %}…{% enddocs %}` in project .md
   // files) and their `{{ doc('name') }}` reference sites in

@@ -1588,4 +1588,56 @@ object OrchestratorQueries {
     """SELECT o_orderstatus, count(*) AS n_orders,
       |  round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 4) AS avg_r
       |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Custom `{% materialization %}` end-to-end (dbt's extension protocol;
+    * the reference manifest carries 7 materialization macros as data,
+    * e.g. `materialization_table_bigquery` @125935, and packages ship
+    * custom ones like insert_by_period): a user-defined
+    * `insert_by_period` block reads the period list from
+    * `config.require`, creates the empty target once, then loops a
+    * `{% call statement %}` INSERT per period — each statement executing
+    * through the warehouse's atomic machinery in document order. Built
+    * TWICE to prove the create-or-replace init is idempotent.
+    */
+  def customMaterialization(s: SparkSession, d: String): DataFrame = {
+    val root = freshRoot()
+    val matBlock =
+      """{% materialization insert_by_period, default %}
+        |  {{ run_hooks(pre_hooks) }}
+        |  {% set periods = config.require('period_list') %}
+        |  {% call statement('init') %}
+        |    create or replace table {{ this }} as
+        |    select * from ({{ sql }}) where 1 = 0
+        |  {% endcall %}
+        |  {% for y in periods %}
+        |    {% call statement('period') %}
+        |      insert into {{ this }}
+        |      select * from ({{ sql }}) where year(o_orderdate) = {{ y }}
+        |    {% endcall %}
+        |  {% endfor %}
+        |  {{ run_hooks(post_hooks) }}
+        |  {{ return({'relations': [this]}) }}
+        |{% endmaterialization %}""".stripMargin
+    val modelSql =
+      """{{ config(materialized='insert_by_period', period_list=['1995', '1996', '1997']) }}
+        |SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM {{ source('tpch','orders') }}
+        |WHERE o_orderkey <= 20000""".stripMargin
+    val project = Project(name = "demo_custom_mat",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(ModelDef("orders_by_period", modelSql)),
+      materializations = graft.compile.Compiler.selectMaterializations(
+        graft.compile.Compiler.parseMaterializations(matBlock)))
+    val run1 = new Engine(s, project, Target(root, threads = 1))
+    require(run1.build()._1.forall(_.status == "success"))
+    val run2 = new Engine(s, project, Target(root, threads = 1))
+    require(run2.build()._1.forall(_.status == "success"))
+    run2.readModel("orders_by_period")
+  }
+
+  val customMaterializationSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderdate
+      |FROM orders
+      |WHERE o_orderkey <= 20000
+      |  AND year(o_orderdate) IN (1995, 1996, 1997)""".stripMargin
 }

@@ -199,6 +199,11 @@ object DbtProjectLoader {
       macroDefs.map(_.name).toSet)
     val macros = pkgMacros ++ macroDefs.map(m => m.name -> m).toMap
 
+    // custom {% materialization %} blocks live in the same macro dirs
+    // (dbt's extension surface); adapter resolution spark-over-default
+    val materializations = Compiler.selectMaterializations(
+      macroFiles.flatMap(Compiler.parseMaterializations))
+
     // generic ({% test %}) definitions — looked up by schema.yml test
     // entries whose name is not a builtin
     val genericTests: Map[String, Compiler.MacroDef] = {
@@ -661,7 +666,8 @@ object DbtProjectLoader {
       analyses = analyses.map(a =>
         a.copy(rawSql = rewriteVersionedRefs(a.rawSql))),
       descriptions = resolvedDescriptions,
-      modelPaths = modelPaths),
+      modelPaths = modelPaths,
+      materializations = materializations),
       Map("name" -> name) ++ py.scalar("profile").map("profile" -> _))
   }
 }

@@ -186,7 +186,13 @@ final case class Project(name: String,
                          // model name -> project-relative source path
                          // (dbt's `path:` selector method; empty for
                          // embedded projects built from inline SQL)
-                         modelPaths: Map[String, String] = Map.empty)
+                         modelPaths: Map[String, String] = Map.empty,
+                         // custom {% materialization name, default %}
+                         // blocks from macro dirs (name -> body, adapter
+                         // already resolved spark-over-default): a model
+                         // whose `materialized:` names one dispatches to
+                         // Engine.runCustomMaterialization
+                         materializations: Map[String, String] = Map.empty)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -467,7 +473,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
 
   def compileSql(m: ModelDef, selected: Set[String],
                  deferRoot: Option[String], fullRefresh: Boolean,
-                 executeMode: Boolean = true): String = {
+                 executeMode: Boolean = true,
+                 // materialization-body mode: fetchless {% call
+                 // statement %} blocks are deferred ACTIONS the caller
+                 // executes in document order, not probes
+                 deferFetchless: Boolean = false): String = {
     val cfg = effectiveConfig(m)
     val self = relationFor(m.name)
     val isIncr = cfg.materialized == "incremental" &&
@@ -545,8 +555,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         rows.toIndexedSeq.map(r =>
           (0 until r.length).map(i => String.valueOf(r.get(i)))))
     }
-    def resolveIntrospection(sql0: String)
+    def resolveIntrospection(sql0raw: String)
         : (String, Map[String, Compiler.QueryResult]) = {
+      // comments strip and raw bodies tokenize FIRST: a statement/
+      // run_query inside a {# comment #} must never execute and a
+      // {% raw %} body must survive every probe pass verbatim. When the
+      // project has macros this already happened in expandMacros
+      // (idempotent — protected text has no raw blocks or comments left
+      // to match); when it has none, the project-level expansion is
+      // skipped and this is the only protection point. compile()'s
+      // restoreRaw decodes the tokens at the end.
+      val sql0 = Compiler.protectRawAndStripComments(sql0raw)
       // decide is_incremental() branches BEFORE probing: Jinja is lazy,
       // so a run_query inside a non-taken branch must never execute —
       // the canonical `max(ts) from {{ this }}` guard would otherwise
@@ -589,7 +608,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
               s"relation lookup kind '$other' unsupported")
           })
       val (sqlRq0, tables0) = Compiler.resolveRunQueries(sqlRel,
-        (kind, a, b) => introRelText(kind, a, b, "run_query"), execRunQuery)
+        (kind, a, b) => introRelText(kind, a, b, "run_query"), execRunQuery,
+        deferFetchless)
       // adapter.get_columns_in_relation bindings ride the same
       // QueryResult machinery (rows = (name, dtype) per column);
       // parse phase binds [] — dbt's execute=false contract
@@ -852,14 +872,20 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         case "table" =>
           mat.table(df, relationFor(m.name), cfg)
           warehouse.dropView(relationFor(m.name)) // stale if formerly a view
-        // a custom {% materialization %} would dispatch here in dbt;
-        // the engine's materializations are native — refuse loudly
-        // instead of silently building a table
+        // a model whose materialized: names a user {% materialization %}
+        // block dispatches to the custom protocol (dbt's extension
+        // surface — the reference manifest carries 7 materialization
+        // macros as data, e.g. @125935); an unknown name with NO block
+        // still refuses loudly instead of silently building a table
+        case other if project.materializations.contains(other) =>
+          runCustomMaterialization(m, other, compiled, cfg,
+            selected, deferRoot, fullRefresh)
+          warehouse.dropView(relationFor(m.name)) // stale if formerly a view
         case other => throw new IllegalArgumentException(
           s"model '${m.name}': unknown materialization '$other' — " +
             "supported: table, view, incremental, materialized_view, " +
-            "ephemeral (custom {% materialization %} blocks are not " +
-            "part of this engine; use a native materialization)")
+            "ephemeral, or a {% materialization $other, default %} block " +
+            "in the project's macro dirs (none is defined)")
       }
       }
       runHooks(cfg.postHooks, m.name)
@@ -869,6 +895,141 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         ModelDef(sn.name, sn.rawSql), selected, deferRoot, fullRefresh)))
       snap.snapshot(df, relationFor(sn.name), sn.keys, sn.strategy,
         invalidateHardDeletes = sn.invalidateHardDeletes)
+    }
+  }
+
+  /** Execute a custom `{% materialization %}` block (dbt's extension
+    * protocol; reference manifest materialization macros @125935 ff.).
+    * The body renders through the SAME pipeline as model SQL — comments/
+    * raw protection, static-if + incremental decisions, run_query /
+    * statement(fetch_result=true) probes, control-flow expansion,
+    * ref/source/this/config resolution — with `{{ sql }}` bound to the
+    * model's compiled SELECT and config.get/require resolved against the
+    * model's raw config kvs. Fetchless `{% call statement %}` blocks are
+    * NOT probes: they survive rendering (duplicated per loop iteration
+    * by control-flow expansion — the insert_by_period shape) and execute
+    * here in document order through the warehouse's atomic machinery.
+    * Hooks and the return value are served natively by runNode, so
+    * run_hooks()/return() sites strip during preparation. is_incremental()
+    * is FALSE inside custom materializations (dbt checks
+    * materialized == 'incremental'); bodies use load_relation(this)
+    * existence guards instead, which resolve through the normal
+    * introspection path.
+    */
+  private def runCustomMaterialization(m: ModelDef, matName: String,
+      compiledSelect: String, cfg: ModelConfig, selected: Set[String],
+      deferRoot: Option[String], fullRefresh: Boolean): Unit = {
+    val body = project.materializations(matName)
+    val kvs = Compiler.inlineConfigKvs(m.rawSql)
+    val prepped = Compiler.prepareMaterializationBody(
+      body, compiledSelect, kvs, fullRefresh)
+    val rendered = compileSql(ModelDef(m.name, prepped), selected,
+      deferRoot, fullRefresh, deferFetchless = true)
+    val (stmts, leftover) = Compiler.extractStatementBlocks(rendered)
+    val residue = leftover.replace(";", " ").trim
+    require(residue.isEmpty,
+      s"materialization '$matName' (model '${m.name}') rendered text " +
+        "outside {% call statement %} blocks — unsupported protocol " +
+        s"surface: ${residue.linesIterator.map(_.trim)
+          .filter(_.nonEmpty).take(3).mkString(" | ")}")
+    require(stmts.nonEmpty,
+      s"materialization '$matName' (model '${m.name}') rendered zero " +
+        "statements — nothing would be built")
+    stmts.foreach { case (stmtName, sql) =>
+      execMaterializationStatement(m.name, cfg, matName, stmtName, sql)
+    }
+    require(warehouse.exists(relationFor(m.name)),
+      s"materialization '$matName' (model '${m.name}') completed without " +
+        s"creating ${relationFor(m.name).fqName} — a materialization " +
+        "must build its own relation")
+  }
+
+  // `parquet.`<root>/db/schema/identifier`` — a compiled relation site
+  // pointing INSIDE this engine's warehouse, recoverable as a Relation
+  // so statement DDL routes through the warehouse's atomic machinery
+  private lazy val warehouseRelRe =
+    ("""^parquet\.`""" + java.util.regex.Pattern.quote(target.warehouseRoot) +
+      """/([^`/]+)/([^`/]+)/([^`/]+)`$""").r
+
+  private def relFromSqlText(text: String): Option[Relation] =
+    text.trim match {
+      case warehouseRelRe(d, s, i) => Some(Relation(d, s, i))
+      case _ => None
+    }
+
+  private val matCreateRe =
+    ("""(?is)^create\s+(or\s+replace\s+)?table\s+(if\s+not\s+exists\s+)?""" +
+      """(parquet\.`[^`]+`)\s+as\s+(.*)$""").r
+  private val matInsertRe =
+    """(?is)^insert\s+into\s+(?:table\s+)?(parquet\.`[^`]+`)\s+((?:select|with)\b.*)$""".r
+  private val matDeleteRe =
+    """(?is)^delete\s+from\s+(parquet\.`[^`]+`)\s+where\s+(.*)$""".r
+  private val matDropRe =
+    """(?is)^drop\s+table\s+(if\s+exists\s+)?(parquet\.`[^`]+`)$""".r
+  private val matTruncateRe =
+    """(?is)^truncate\s+table\s+(parquet\.`[^`]+`)$""".r
+
+  /** One materialization statement. DDL/DML shapes over warehouse
+    * relations route through the Warehouse API — create-as-select is the
+    * same atomic swap as the native table materialization (layout opts
+    * from the model config), insert-into is a manifest append, delete is
+    * an exact anti-filter rewrite (SQL semantics: NULL predicate keeps
+    * the row), drop/truncate are metadata ops. Anything else executes
+    * verbatim via spark.sql — SELECT-shaped side-effect-free statements
+    * are legal no-ops, unknown DDL fails with Spark's own error plus
+    * this context.
+    */
+  private def execMaterializationStatement(modelName: String,
+      cfg: ModelConfig, matName: String, stmtName: String,
+      sql0: String): Unit = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    def relOf(text: String): Relation = relFromSqlText(text).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialization '$matName' statement('$stmtName'): target " +
+          s"$text is not a relation of this warehouse — statements may " +
+          "only write {{ this }} or warehouse relations"))
+    def frame(select: String): DataFrame =
+      spark.sql(warehouse.resolveSql(select))
+    sql match {
+      case matCreateRe(orReplace, ifNotExists, relText, select) =>
+        val rel = relOf(relText)
+        val exists = warehouse.exists(rel)
+        if (exists && ifNotExists != null && orReplace == null) ()
+        else {
+          require(!exists || orReplace != null,
+            s"materialization '$matName' statement('$stmtName'): " +
+              s"${rel.fqName} already exists (use CREATE OR REPLACE " +
+              "or IF NOT EXISTS)")
+          warehouse.writeAtomic(frame(select), rel,
+            partitionCols = cfg.partitionBy, clusterCols = cfg.clusterBy,
+            zorderCols = cfg.zorderBy)
+        }
+      case matInsertRe(relText, select) =>
+        warehouse.append(frame(select), relOf(relText),
+          partitionCols = cfg.partitionBy)
+      case matDeleteRe(relText, pred) =>
+        val rel = relOf(relText)
+        val keep = org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(pred),
+            org.apache.spark.sql.functions.lit(false)))
+        warehouse.writeAtomic(warehouse.read(rel).filter(keep), rel,
+          partitionCols = cfg.partitionBy, clusterCols = cfg.clusterBy,
+          zorderCols = cfg.zorderBy)
+      case matDropRe(ifExists, relText) =>
+        val rel = relOf(relText)
+        require(ifExists != null || warehouse.exists(rel),
+          s"materialization '$matName' statement('$stmtName'): " +
+            s"DROP TABLE ${rel.fqName}: relation does not exist")
+        warehouse.drop(rel)
+      case matTruncateRe(relText) =>
+        warehouse.truncate(relOf(relText))
+      case other =>
+        try { spark.sql(warehouse.resolveSql(other)).collect(); () }
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"materialization '$matName' statement('$stmtName') failed " +
+            s"(model '$modelName'): ${e.getMessage}", e)
+        }
     }
   }
 

@@ -74,11 +74,17 @@ object ProjectLoader {
     // macros/*.sql: {% macro name(params) %} body {% endmacro %} blocks,
     // any number per file (dbt macro search path dbt_project.yml:15-20;
     // the reference reserves the dir via macros/.gitkeep)
-    val macroDefs = listFiles(root.resolve("macros"), ".sql")
-      .flatMap(p => graft.compile.Compiler.parseMacros(Files.readString(p)))
+    val macroFileTexts = listFiles(root.resolve("macros"), ".sql")
+      .map(Files.readString(_))
+    val macroDefs = macroFileTexts
+      .flatMap(graft.compile.Compiler.parseMacros)
     val dupMacros = macroDefs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupMacros.isEmpty,
       s"duplicate macro definitions: ${dupMacros.mkString(", ")}")
+    // custom {% materialization %} blocks live in the same macro dirs
+    // (dbt's extension surface); adapter resolution spark-over-default
+    val materializations = graft.compile.Compiler.selectMaterializations(
+      macroFileTexts.flatMap(graft.compile.Compiler.parseMaterializations))
 
     // Package imports (dbt packages.yml / `dbt deps`; the reference's own
     // 184-macro surface ships as exactly such packages —
@@ -319,7 +325,8 @@ object ProjectLoader {
 
     (Project(name, sources, models, seeds, snapshots, tests,
       onRunStart, onRunEnd, macros, vars, exposures, metrics,
-      dependencies, selectors, analyses, descriptions), conf)
+      dependencies, selectors, analyses, descriptions,
+      materializations = materializations), conf)
   }
 
   /** Package-macro loading, shared with [[DbtProjectLoader]].

@@ -627,6 +627,45 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(got.contains("elif"), got)
   }
 
+  test("static ifs only use set bindings that precede the if at top level") {
+    // a set AFTER the if has no value at the if (Jinja is sequential) —
+    // undecidable, the block stays for the full control-flow pass
+    val after = Compiler.resolveStaticIfBlocks(
+      "{% if env == 'prod' %}DEAD{% endif %}{% set env = 'prod' %}OK")
+    assert(after.contains("{% if"), after)
+    // a name bound more than once is refused outright — which binding is
+    // live depends on control flow this static pass cannot see
+    val dup = Compiler.resolveStaticIfBlocks(
+      "{% set env = 'dev' %}{% set env = 'prod' %}" +
+        "{% if env == 'prod' %}X{% endif %}")
+    assert(dup.contains("{% if"), dup)
+    // a set INSIDE an undecided branch (depth > 0) does not decide a
+    // sibling if — the value may not exist at that point
+    val nested = Compiler.resolveStaticIfBlocks(
+      "{% if mystery %}{% set flag = 'on' %}{% endif %}" +
+        "{% if flag == 'on' %}STAY{% endif %}")
+    assert(nested.contains("{% if flag"), nested)
+  }
+
+  test("multi-line {% %} statements resolve bare var() calls (DOTALL)") {
+    val ctx = Compiler.ResolveCtx(refTarget = (s: String) => s,
+      sourceTarget = (_, t) => t, thisTarget = "T", env = Map.empty,
+      isIncremental = false, vars = Map("mode" -> "full"))
+    val got = Compiler.compile(
+      "{% if var('mode')\n    == 'full' %}LIVE{% else %}DEAD{% endif %}", ctx)
+    assert(got == "LIVE", got)
+  }
+
+  test("double-quoted inline config scalars strip their quotes") {
+    val cfg = Compiler.parseInlineConfig(
+      "{{ config(materialized=\"table\", " +
+        "pre_hook=\"INSERT INTO audit VALUES (1, 2)\") }} SELECT 1",
+      graft.core.ModelConfig())
+    assert(cfg.materialized == "table", cfg.materialized)
+    assert(cfg.preHooks == Seq("INSERT INTO audit VALUES (1, 2)"),
+      cfg.preHooks.toString)
+  }
+
   test("statements inside a dead set-literal branch never execute (lazy Jinja)") {
     val sql = Compiler.resolveStaticIfBlocks(
       "{% set env = 'dev' %}{% if env == 'prod' %}" +

@@ -91,6 +91,29 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(wh2.readView(rel).isEmpty)
   }
 
+  test("no-macro projects: commented statements never execute, raw survives probes") {
+    // a project with ZERO macros skips the expandMacros pass whose first
+    // step normally protects raw blocks and strips comments — the
+    // introspection probe scan must protect on its own, or commented-out
+    // DML executes against the warehouse
+    val p = baseProject.copy(models = Seq(
+      ModelDef("nations",
+        "SELECT n_nationkey FROM {{ source('tpch','nation') }}"),
+      ModelDef("probe_safe",
+        "{# {% call statement('purge') %}DROP TABLE nations{% endcall %} #}\n" +
+          "SELECT count(*) AS n, '{% raw %}{{ keep }}{% endraw %}' AS s " +
+          "FROM {{ ref('nations') }}")))
+    assert(p.macros.isEmpty)
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    val row = e.readModel("probe_safe").collect().head
+    assert(row.getLong(0) == 25L)
+    // the raw body reaches the engine verbatim, untouched by probe passes
+    assert(row.getString(1) == "{{ keep }}", row.getString(1))
+    // the commented-out DROP never ran
+    assert(e.readModel("nations").count() == 25)
+  }
+
   test("user macros expand in models, carry refs into the DAG, and flag checksums") {
     val macros = Compiler.parseMacros(
       """{% macro keyed_count(rel, key, alias='n') %}
