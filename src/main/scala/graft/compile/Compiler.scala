@@ -702,10 +702,27 @@ object Compiler {
   private def dictColumn(name: String, col: String,
       tables: Map[String, QueryResult]): Seq[String] = {
     val t = tables(name)
-    val i = t.columns.indexWhere(_.equalsIgnoreCase(col))
-    require(i >= 0, s"get_query_results_as_dict binding '$name' has no " +
-      s"column '$col' (columns: ${t.columns.mkString(", ")})")
+    val i = ciColumnIndex(t.columns, col,
+      s"get_query_results_as_dict binding '$name'")
     t.rows.map(_(i))
+  }
+
+  /** Case-insensitive column lookup for row/dict accessors (Spark
+    * lowercases unquoted result aliases, so a case-sensitive match would
+    * miss `{{ r.ST }}` against `SELECT x AS ST`) — but a result with TWO
+    * case-distinct columns matching the accessor is ambiguous and fails
+    * loudly rather than silently binding whichever came first.
+    */
+  private def ciColumnIndex(cols: Seq[String], cn: String,
+      what: String): Int = {
+    val hits = cols.zipWithIndex.filter(_._1.equalsIgnoreCase(cn))
+    require(hits.size <= 1,
+      s"$what: column accessor '$cn' is ambiguous — matches " +
+        s"${hits.map(_._1).mkString(", ")} (case-insensitive); rename " +
+        "the probe's aliases apart")
+    require(hits.nonEmpty,
+      s"$what has no column '$cn' (columns: ${cols.mkString(", ")})")
+    hits.head._2
   }
 
   // `d['col']` / `d.col` — the column accessor of a
@@ -755,10 +772,9 @@ object Compiler {
       val cn = Option(m.group(1)).getOrElse(m.group(2))
       // deliberately case-INsensitive, unlike dbt's agate rows: Spark
       // lowercases unquoted result aliases, so `{{ r.ST }}` against a
-      // probe `SELECT x AS ST` would otherwise never match
-      val i = cols.indexWhere(_.equalsIgnoreCase(cn))
-      require(i >= 0,
-        s"row has no column '$cn' (columns: ${cols.mkString(", ")})")
+      // probe `SELECT x AS ST` would otherwise never match; ambiguity
+      // (two case-distinct matches) fails loudly in ciColumnIndex
+      val i = ciColumnIndex(cols, cn, "row")
       Regex.quoteReplacement(applyChain(row(i), m.group(3)))
     })
     b
@@ -2420,9 +2436,7 @@ object Compiler {
                   """(?:\.([A-Za-z_]\w*)|\['([^']+)'\])""").r
                 val cond = accRe.replaceAllIn(f, am => {
                   val cn = Option(am.group(1)).getOrElse(am.group(2))
-                  val ci = t.columns.indexWhere(_.equalsIgnoreCase(cn))
-                  require(ci >= 0, s"row has no column '$cn' " +
-                    s"(columns: ${t.columns.mkString(", ")})")
+                  val ci = ciColumnIndex(t.columns, cn, "row-loop filter")
                   Regex.quoteReplacement(
                     "'" + row(ci).replace("'", "''") + "'")
                 })

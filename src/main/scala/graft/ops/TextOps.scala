@@ -1854,15 +1854,16 @@ object TextOps {
         s"transform(sequence(0, size(w) - $win), i -> struct(i AS pos, " +
           s"md5(array_join(slice(w, i + 1, $win), ' ')) AS m))")).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.m").as("m"))
-    // keeper = first occurrence corpus-wide, encoded as one orderable
-    // key (doc_id < 1e7, pos < 1e9 here — loud overflow is impossible
-    // at these synthetic ranges; production would use a struct min)
+    // keeper = first occurrence corpus-wide as a lexicographic struct
+    // min — range-safe at any doc_id/pos (the oracle's encoded
+    // doc_id*1e9+pos key agrees wherever pos < 1e9, which the fixture
+    // satisfies; the struct needs no such bound)
     val rep = wins.groupBy(col("m"))
       .agg(count(lit(1)).as("n_occ"),
-        min(col("doc_id") * lit(1000000000L) + col("pos")).as("keeper"))
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
       .filter(col("n_occ") >= 2)
     val drops = wins.join(rep, "m")
-      .filter(col("doc_id") * lit(1000000000L) + col("pos") =!= col("keeper"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("keeper"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("pos")).as("drop_pos"))
     t.join(drops, Seq("doc_id"), "left")

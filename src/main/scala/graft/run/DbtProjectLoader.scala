@@ -222,7 +222,7 @@ object DbtProjectLoader {
     val ymlCfg = Map.newBuilder[String, Map[String, String]]
     val tests = Seq.newBuilder[TestDef]
     val testConfigKeys = Set("severity", "where", "limit", "store_failures",
-      "warn_if", "error_if")
+      "store_failures_as", "warn_if", "error_if")
     def testCfg(o: Obj): Map[String, String] = o.entries.collect {
       case (k, Scalar(v)) if testConfigKeys.contains(k) => k -> v
     }.toMap ++ o.obj("config").map(_.entries.collect {
@@ -237,6 +237,8 @@ object DbtProjectLoader {
         limit = kv.get("limit").flatMap(_.toIntOption).orElse(base.limit),
         storeFailures =
           kv.get("store_failures").fold(base.storeFailures)(_ == "true"),
+        storeFailuresAs =
+          kv.get("store_failures_as").orElse(base.storeFailuresAs),
         warnIf = kv.get("warn_if").orElse(base.warnIf),
         errorIf = kv.get("error_if").orElse(base.errorIf))
     }
@@ -476,6 +478,56 @@ object DbtProjectLoader {
           url = e.scalar("url").getOrElse(""))
     }
 
+    // -------------------------------------------- unit tests (dbt 1.8)
+    // `unit_tests:` yml: given mocked inputs -> expect rows per model.
+    // Input spellings `ref('x')` / `source('a','b')` normalize to the
+    // Engine.runUnitTest keys (`x` / `source:a.b`).
+    def rowMaps(o: Obj, key: String, what: String): Seq[Map[String, String]] = {
+      def items(n: MiniYaml.Node): Seq[Map[String, String]] = n match {
+        case Arr(xs) => xs.map {
+          case r: Obj => r.entries.collect {
+            case (k, Scalar(v)) => k -> v
+          }.toMap
+          case other => throw new IllegalArgumentException(
+            s"$what: rows entries must be mappings, got $other")
+        }
+        case Scalar("") => Nil
+        case other => throw new IllegalArgumentException(
+          s"$what: expected a rows list, got $other")
+      }
+      o.get(key) match {
+        // `expect:` nests its list under `rows:`; `given` entries carry
+        // `rows:` directly — accept both shapes
+        case Some(inner: Obj) => inner.get("rows").map(items).getOrElse(Nil)
+        case Some(node) => items(node)
+        case None => Nil
+      }
+    }
+    val unitTests = ymlDocs.flatMap(_.arr("unit_tests")).collect {
+      case ut: Obj =>
+        val utName = ut.scalar("name").getOrElse(throw
+          new IllegalArgumentException("unit_tests entry without a name"))
+        val model = latestOf(ut.scalar("model").getOrElse(throw
+          new IllegalArgumentException(s"unit test '$utName': no model")))
+        val given = ut.arr("given").collect {
+          case g: Obj =>
+            val input = g.scalar("input").getOrElse(throw
+              new IllegalArgumentException(
+                s"unit test '$utName': given entry without input")).trim
+            val key = input match {
+              case refRe(m) => latestOf(m)
+              case srcRe(s, t) => s"source:$s.$t"
+              case other => throw new IllegalArgumentException(
+                s"unit test '$utName': input must be ref('x') or " +
+                  s"source('a','b'), got '$other'")
+            }
+            key -> rowMaps(g, "rows", s"unit test '$utName' given $input")
+        }.toMap
+        // `rows:` arrives nested under `expect:`
+        UnitTestDef(utName, model, given,
+          rowMaps(ut, "expect", s"unit test '$utName' expect"))
+    }
+
     // ------------------------------------------------------------ seeds
     val seedTree = py.obj("seeds").flatMap(_.obj(name))
     def seedTypes(seed: String): Map[String, String] =
@@ -667,7 +719,8 @@ object DbtProjectLoader {
         a.copy(rawSql = rewriteVersionedRefs(a.rawSql))),
       descriptions = resolvedDescriptions,
       modelPaths = modelPaths,
-      materializations = materializations),
+      materializations = materializations,
+      unitTests = unitTests),
       Map("name" -> name) ++ py.scalar("profile").map("profile" -> _))
   }
 }

@@ -108,6 +108,12 @@ final case class TestDef(name: String, modelName: String,
                          where: Option[String] = None,
                          limit: Option[Int] = None,
                          storeFailures: Boolean = false,
+                         // dbt 1.6 store_failures_as: 'table' stores the
+                         // failing ROWS (same as storeFailures=true),
+                         // 'view' a durable re-evaluating view of the
+                         // test SQL (SQL-defined tests only), 'ephemeral'
+                         // explicitly stores nothing
+                         storeFailuresAs: Option[String] = None,
                          // declarative thresholds on the failure count
                          // (reference `default__get_test_sql` @56739
                          // warn_if/error_if config, e.g. ">10"); None =
@@ -145,6 +151,23 @@ object TestDef {
     }
   }
 }
+
+/** A dbt 1.8 unit test (`unit_tests:` yml): run the model's SQL over
+  * LITERAL mocked inputs and compare against literal expected rows —
+  * logic verification with zero warehouse data. `given` maps each input
+  * (key `"x"` for `ref('x')`, `"source:a.b"` for `source('a','b')` —
+  * the Engine.runUnitTest convention) to mock rows; every direct
+  * dependency must be mocked (an unmocked ref fails loudly rather than
+  * silently reading production — dbt renders an unmocked input empty,
+  * which hides bugs; loud is safer). Row maps: missing keys are NULL;
+  * values type by literal shape (numbers/booleans bare, anything else
+  * string). `expect` rows compare as an unordered multiset over exactly
+  * the expected columns (extra result columns are ignored, dbt's
+  * contract: specify only what you care about).
+  */
+final case class UnitTestDef(name: String, model: String,
+                             given: Map[String, Seq[Map[String, String]]],
+                             expect: Seq[Map[String, String]])
 
 final case class Project(name: String,
                          sources: Seq[SourceDef] = Nil,
@@ -192,7 +215,12 @@ final case class Project(name: String,
                          // already resolved spark-over-default): a model
                          // whose `materialized:` names one dispatches to
                          // Engine.runCustomMaterialization
-                         materializations: Map[String, String] = Map.empty)
+                         materializations: Map[String, String] = Map.empty,
+                         // dbt 1.8 unit tests (`unit_tests:` yml): mocked
+                         // given-rows -> expect-rows per model, run BEFORE
+                         // the DAG builds — a failing unit test skips its
+                         // model's cone exactly like a failing source test
+                         unitTests: Seq[UnitTestDef] = Nil)
 
 /** Runtime target — the profiles.yml analogue (database/schema namespace,
   * thread width, env). Per-PR namespacing (reference profiles.yml:20
@@ -1025,7 +1053,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       case matTruncateRe(relText) =>
         warehouse.truncate(relOf(relText))
       case other =>
-        try { spark.sql(warehouse.resolveSql(other)).collect(); () }
+        // side-effect statements (commands run eagerly inside
+        // spark.sql); take(1), never collect — a SELECT-shaped
+        // statement's result is discarded, so materializing it fully
+        // on the driver would be pure waste
+        try { spark.sql(warehouse.resolveSql(other)).take(1); () }
         catch { case e: Exception => throw new IllegalArgumentException(
           s"materialization '$matName' statement('$stmtName') failed " +
             s"(model '$modelName'): ${e.getMessage}", e)
@@ -1075,8 +1107,31 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
                          applied: DataFrame): TestResult = {
     val failing = t.limit.fold(applied)(l => applied.limit(l))
     val n = failing.count()
-    if (t.storeFailures && n > 0) // reference should_store_failures @67089
-      warehouse.writeAtomic(failing, relationFor(s"${t.name}__failures"))
+    val failRel = relationFor(s"${t.name}__failures")
+    // store_failures_as (dbt 1.6) refines store_failures: 'table' is the
+    // classic rows snapshot; 'view' saves a durable RE-EVALUATING view
+    // of the test's compiled SQL (so the audit relation tracks the live
+    // data — only meaningful for SQL-defined tests: singular / generic
+    // {% test %} blocks); 'ephemeral' explicitly stores nothing even
+    // when store_failures is on
+    t.storeFailuresAs.getOrElse(
+        if (t.storeFailures) "table" else "") match {
+      case "" | "ephemeral" => ()
+      case "table" =>
+        if (n > 0) // reference should_store_failures @67089
+          warehouse.writeAtomic(failing, failRel)
+      case "view" =>
+        val q = t.sql.getOrElse(throw new IllegalArgumentException(
+          s"test '${t.name}': store_failures_as='view' needs a " +
+            "SQL-defined test (singular or generic {% test %} block) — " +
+            "builtin column tests have no SQL text; use 'table'"))
+        val body = compileInline(q)
+        warehouse.saveViewDef(failRel,
+          t.where.fold(body)(w => s"SELECT * FROM ($body) WHERE $w"))
+      case other => throw new IllegalArgumentException(
+        s"test '${t.name}': store_failures_as must be " +
+          s"table|view|ephemeral, got '$other'")
+    }
     val warnHit = TestDef.threshold(t.warnIf.getOrElse("!=0"))(n)
     val errorHit = TestDef.threshold(t.errorIf.getOrElse("!=0"))(n)
     val status =
@@ -1449,25 +1504,41 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       brokenSources.flatMap { case (sn, tn) =>
         selectNodes(s"source:$sn.$tn+")
       }.intersect(selected)
-    val runnable = nodes.filterNot(skippedBySource.contains)
+    // dbt 1.8 unit tests run BEFORE anything builds (they read only
+    // mocked inputs); a failing one skips its model's descendant cone —
+    // the same semantics as a failing source test, because a model whose
+    // LOGIC is proven wrong must not materialize, nor anything fed by it
+    val brokenUnits: Set[String] = project.unitTests
+      .filter(ut => selected.contains(ut.model))
+      .flatMap { ut =>
+        val r = runUnitTest(ut)
+        testResults.add(r)
+        if (r.status == "error") Some(ut.model) else None
+      }.toSet
+    val skippedByUnit: Set[String] =
+      brokenUnits.flatMap(mn => selectNodes(mn + "+")).intersect(selected)
+    val skipped = skippedBySource ++ skippedByUnit
+    val runnable = nodes.filterNot(skipped.contains)
     val nodeResults = Dag.run(runnable,
       parents.view.mapValues(_.filter(n =>
-        selected.contains(n) && !skippedBySource.contains(n))).toMap,
+        selected.contains(n) && !skipped.contains(n))).toMap,
       target.threads, failFast) { n =>
-      runNode(n, selected -- skippedBySource, deferRoot, fullRefresh)
+      runNode(n, selected -- skipped, deferRoot, fullRefresh)
       project.tests.filter(_.modelName == n).foreach { t =>
         val r = runTest(t)
         testResults.add(r)
         if (r.status == "error")
           throw new IllegalStateException(s"test ${t.name} failed: ${r.failures} rows")
       }
-    } ++ skippedBySource.toSeq.sorted.map(n =>
+    } ++ skipped.toSeq.sorted.map(n =>
       Dag.NodeResult(n, "skipped", 0L,
-        Some("upstream source failed its test")))
-    // tests attached to source-skipped nodes record as skipped — dbt's
+        Some(if (skippedBySource.contains(n))
+          "upstream source failed its test"
+        else "a unit test failed on this model or an upstream")))
+    // tests attached to skipped nodes record as skipped — dbt's
     // run_results semantics; a retry pass must see them as pending work,
     // not absent
-    skippedBySource.toSeq.sorted.foreach(n =>
+    skipped.toSeq.sorted.foreach(n =>
       project.tests.filter(_.modelName == n).foreach(t =>
         testResults.add(TestResult(t.name, n, 0L, "skipped"))))
     runProjectHooks(project.onRunEnd)
@@ -1531,7 +1602,24 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
                   expect: DataFrame): UnitTestResult = {
     val m = project.models.find(_.name == modelName).getOrElse(
       throw new IllegalArgumentException(s"unit test '$name': unknown model '$modelName'"))
-    val safe = s"${name}_$modelName".replaceAll("[^A-Za-z0-9_]", "_")
+    val out = runUnitTestFrame(name, m, given)
+    val cols = expect.columns.toIndexedSeq
+    def canon(df: DataFrame): Seq[String] =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("\u0001")).toSeq.sorted
+    val got = canon(out)
+    val want = canon(expect)
+    UnitTestResult(name, modelName, got == want,
+      missing = want.diff(got).take(5), unexpected = got.diff(want).take(5))
+  }
+
+  /** The shared unit-test compile+run: every ref/source resolves to its
+    * mock temp view (unmocked inputs fail loudly — real data never leaks
+    * into a unit test).
+    */
+  private def runUnitTestFrame(name: String, m: ModelDef,
+      given: Map[String, DataFrame]): DataFrame = {
+    val safe = s"${name}_${m.name}".replaceAll("[^A-Za-z0-9_]", "_")
     val views = given.zipWithIndex.map { case ((k, df), i) =>
       val vn = s"__graft_unit_${safe}_$i"
       df.createOrReplaceTempView(vn)
@@ -1545,15 +1633,55 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           s"unit test '$name': no mock for source('$sn', '$tn')")),
       thisTarget = "", env = target.env, isIncremental = false,
       vars = mergedVars)
-    val out = spark.sql(Compiler.compile(m.rawSql, ctx))
-    val cols = expect.columns.toIndexedSeq
-    def canon(df: DataFrame): Seq[String] =
-      df.select(cols.map(col): _*).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("\u0001")).toSeq.sorted
-    val got = canon(out)
-    val want = canon(expect)
-    UnitTestResult(name, modelName, got == want,
-      missing = want.diff(got).take(5), unexpected = got.diff(want).take(5))
+    spark.sql(Compiler.compile(m.rawSql, ctx))
+  }
+
+  /** Build an inline mock frame from literal row maps (the `unit_tests:`
+    * yml `rows:` shape). Columns = union of the rows' keys in first
+    * appearance order; a key a row omits is NULL; values type by literal
+    * shape (integers/decimals/booleans bare, everything else string).
+    */
+  private def mockFrame(what: String,
+      rows: Seq[Map[String, String]]): DataFrame = {
+    require(rows.nonEmpty,
+      s"$what: empty mock rows — zero-row inputs need at least the " +
+        "columns; give one row of NULLs and filter, or mock a real row")
+    val cols = rows.flatMap(_.keys).distinct
+    def lit(v: String): String =
+      if (v == null || v == "null" || v == "NULL") "NULL"
+      else if (v.matches("""-?\d+(\.\d+)?""") ||
+        v == "true" || v == "false") v
+      else "'" + v.replace("'", "''") + "'"
+    val selects = rows.map(r => cols.map(c =>
+      s"${lit(r.getOrElse(c, null))} AS `$c`").mkString("SELECT ", ", ", ""))
+    spark.sql(selects.mkString("\nUNION ALL\n"))
+  }
+
+  /** The yml-ingestion bridge: literal given/expect rows to the
+    * DataFrame runner, result folded into the TestResult shape so unit
+    * tests ride the same run-results/retry artifacts as schema tests.
+    */
+  def runUnitTest(ut: UnitTestDef): TestResult = {
+    val given = ut.given.map { case (k, rows) =>
+      k -> mockFrame(s"unit test '${ut.name}' given '$k'", rows)
+    }
+    // `expect: rows: []` — the model must return ZERO rows over the mocks
+    if (ut.expect.isEmpty) {
+      val m = project.models.find(_.name == ut.model).getOrElse(
+        throw new IllegalArgumentException(
+          s"unit test '${ut.name}': unknown model '${ut.model}'"))
+      val n = runUnitTestFrame(ut.name, m, given).count()
+      return TestResult(ut.name, ut.model, failures = n,
+        status = if (n == 0) "pass" else "error")
+    }
+    val r = runUnitTest(ut.name, ut.model, given,
+      mockFrame(s"unit test '${ut.name}' expect", ut.expect))
+    if (!r.passed)
+      System.err.println(s"[graft:unit] ${ut.name} FAILED — missing: " +
+        s"${r.missing.mkString("; ")} unexpected: ${r.unexpected.mkString("; ")}")
+    TestResult(ut.name, ut.model,
+      failures = (r.missing.size + r.unexpected.size).toLong,
+      status = if (r.passed) "pass" else "error")
   }
 
   /** `dbt run-operation <macro> --args {...}`: invoke a user macro

@@ -215,6 +215,8 @@ object ProjectLoader {
           where = kv.get("where").orElse(base.where),
           limit = kv.get("limit").map(_.toInt).orElse(base.limit),
           storeFailures = kv.get("store_failures").fold(base.storeFailures)(_ == "true"),
+          storeFailuresAs =
+            kv.get("store_failures_as").orElse(base.storeFailuresAs),
           warnIf = kv.get("warn_if").orElse(base.warnIf),
           errorIf = kv.get("error_if").orElse(base.errorIf))
     }
@@ -372,10 +374,22 @@ object ProjectLoader {
                 s"packages.yml: local package directory not found: $dir")
               val name = dir.getFileName.toString.replaceAll("\\W", "_")
               Some(name -> dir)
-            case entryRe(kind, what) => throw new IllegalArgumentException(
-              s"packages.yml: '$kind: $what' needs network access to " +
-                "fetch — vendor it into packages/ and declare it with " +
-                "'local:' (or packages.conf)")
+            case entryRe(kind, what0) =>
+              // remote entries (hub/git/tarball) resolve OFFLINE when a
+              // vendored mirror exists at packages/<basename> — the
+              // `dbt deps`-output convention, so a project checked in
+              // WITH its deps loads unchanged; otherwise refuse naming
+              // the exact directory that would fix it
+              val what = unquote(what0)
+              val base = what.split("/").last.stripSuffix(".git")
+                .replaceAll("\\W", "_")
+              val mirror = root.resolve("packages").resolve(base)
+              if (Files.isDirectory(mirror)) Some(base -> mirror)
+              else throw new IllegalArgumentException(
+                s"packages.yml: '$kind: $what' needs network access to " +
+                  s"fetch and no vendored mirror exists — either vendor " +
+                  s"the package at $mirror (the packages/ mirror " +
+                  "convention) or declare it with 'local:'/packages.conf")
             case _ => None // top-level `packages:` key, version/rev lines
           }
         }

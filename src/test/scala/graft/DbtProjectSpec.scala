@@ -248,6 +248,145 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(GraftCli.profilesConf("/tmp", None, Some("x")).isEmpty)
   }
 
+  test("profiles.yml with anchor merge keys: shared target defaults") {
+    import graft.tools.GraftCli
+    val dir = Files.createTempDirectory("graft_prof_anchor")
+    put(dir, "profiles.yml",
+      """defaults: &defaults
+        |  type: spark
+        |  threads: 4
+        |  schema: dbt_ci
+        |anchored:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      <<: *defaults
+        |      schema: dev_schema
+        |    prod:
+        |      <<: *defaults
+        |      threads: 16
+        |""".stripMargin)
+    val pc = GraftCli.profilesConf("/tmp", Some(dir.toString),
+      Some("anchored"))
+    assert(pc("target") == "dev")
+    assert(pc("target.dev.schema") == "dev_schema") // own key wins
+    assert(pc("target.dev.threads") == "4") // merged default
+    assert(pc("target.prod.schema") == "dbt_ci")
+    assert(pc("target.prod.threads") == "16")
+  }
+
+  test("dbt_project.yml with anchors + block-scalar hooks loads and builds") {
+    val proj = Files.createTempDirectory("graft_anchor_proj")
+    put(proj, "dbt_project.yml",
+      """name: anchor_demo
+        |shared_vars: &sv
+        |  cutoff: '10'
+        |models:
+        |  anchor_demo:
+        |    +materialized: table
+        |vars:
+        |  <<: *sv
+        |""".stripMargin)
+    put(proj, "models/small_nations.sql",
+      """SELECT n_nationkey, n_name FROM {{ source('tpch', 'nation') }}
+        |WHERE n_nationkey < {{ var('cutoff') }}""".stripMargin)
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |models:
+         |  - name: small_nations
+         |    description: |
+         |      Nations below the configured cutoff.
+         |      Spans two lines.
+         |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    assert(p.vars.get("cutoff").contains("10"))
+    // `|` clip mode keeps exactly one trailing newline (YAML spec)
+    assert(p.descriptions("small_nations")
+      == "Nations below the configured cutoff.\nSpans two lines.\n")
+    val e = new Engine(spark, p,
+      Target(Files.createTempDirectory("graft_anchor_wh").toString))
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.readModel("small_nations").count() == 10)
+  }
+
+  test("unit_tests yml: mocked given rows run the model SQL, failures skip the cone") {
+    val proj = Files.createTempDirectory("graft_unit_proj")
+    put(proj, "dbt_project.yml", "name: unit_demo\n")
+    put(proj, "models/staging.sql",
+      "SELECT n_nationkey AS id, n_name AS name " +
+        "FROM {{ source('tpch', 'nation') }}")
+    put(proj, "models/shouty.sql",
+      """SELECT id, upper(name) AS shout
+        |FROM {{ ref('staging') }} WHERE id < 100""".stripMargin)
+    put(proj, "models/downstream.sql",
+      "SELECT count(*) AS n FROM {{ ref('shouty') }}")
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |unit_tests:
+         |  - name: shouty_uppercases
+         |    model: shouty
+         |    given:
+         |      - input: ref('staging')
+         |        rows:
+         |          - {id: 1, name: algeria}
+         |          - {id: 200, name: filtered_out}
+         |    expect:
+         |      rows:
+         |        - {id: 1, shout: ALGERIA}
+         |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    assert(p.unitTests.size == 1)
+    assert(p.unitTests.head.given.keySet == Set("staging"))
+    val e = new Engine(spark, p,
+      Target(Files.createTempDirectory("graft_unit_wh").toString))
+    val (nodes, tests) = e.build()
+    assert(tests.exists(t => t.name == "shouty_uppercases" &&
+      t.status == "pass"), tests.toString)
+    assert(nodes.forall(_.status == "success"), nodes.toString)
+
+    // a FAILING unit test skips the model AND its descendants
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |unit_tests:
+         |  - name: shouty_uppercases
+         |    model: shouty
+         |    given:
+         |      - input: ref('staging')
+         |        rows:
+         |          - {id: 1, name: algeria}
+         |    expect:
+         |      rows:
+         |        - {id: 1, shout: lowercase_is_wrong}
+         |""".stripMargin)
+    val (p2, _) = ProjectLoader.load(proj.toString)
+    val e2 = new Engine(spark, p2,
+      Target(Files.createTempDirectory("graft_unit_wh2").toString))
+    val (nodes2, tests2) = e2.build()
+    assert(tests2.exists(t => t.name == "shouty_uppercases" &&
+      t.status == "error"), tests2.toString)
+    assert(nodes2.find(_.name == "shouty").exists(_.status == "skipped"))
+    assert(nodes2.find(_.name == "downstream").exists(_.status == "skipped"))
+    assert(nodes2.find(_.name == "staging").exists(_.status == "success"))
+  }
+
   test("generic {% test %} blocks bind at column AND model level with kwargs") {
     val proj = Files.createTempDirectory("graft_gentest_spec")
     put(proj, "dbt_project.yml", "name: gentest_demo\n")

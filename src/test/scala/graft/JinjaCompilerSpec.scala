@@ -627,6 +627,18 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(got.contains("elif"), got)
   }
 
+  test("case-distinct probe columns make row accessors ambiguous (loud)") {
+    val t = Compiler.QueryResult(Seq("st", "ST"), Seq(Seq("a", "b")))
+    val e = intercept[IllegalArgumentException](Compiler.expandControlFlow(
+      "{% for r in rs %}{{ r.st }}{% endfor %}", tables = Map("rs" -> t)))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // unambiguous case-insensitive lookup still resolves
+    val ok = Compiler.expandControlFlow(
+      "{% for r in rs2 %}{{ r.ST }}{% endfor %}",
+      tables = Map("rs2" -> Compiler.QueryResult(Seq("st"), Seq(Seq("x")))))
+    assert(ok == "x", ok)
+  }
+
   test("static ifs only use set bindings that precede the if at top level") {
     // a set AFTER the if has no value at the if (Jinja is sequential) —
     // undecidable, the block stays for the full control-flow pass

@@ -115,4 +115,102 @@ class MiniYamlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MiniYaml.parse("a:\n\tb: 1"))
     intercept[IllegalArgumentException](MiniYaml.parse("just a bare line"))
   }
+
+  test("anchors + merge keys: the profiles.yml shared-defaults idiom") {
+    val y = MiniYaml.parse(
+      """defaults: &defaults
+        |  type: spark
+        |  threads: 4
+        |  schema: main
+        |my_profile:
+        |  outputs:
+        |    dev:
+        |      <<: *defaults
+        |      schema: dev_schema
+        |    prod:
+        |      <<: *defaults
+        |      threads: 16
+        |""".stripMargin)
+    val dev = y.obj("my_profile").get.obj("outputs").get.obj("dev").get
+    assert(dev.scalar("type").contains("spark"))
+    assert(dev.scalar("threads").contains("4"))
+    assert(dev.scalar("schema").contains("dev_schema")) // own key wins
+    val prod = y.obj("my_profile").get.obj("outputs").get.obj("prod").get
+    assert(prod.scalar("threads").contains("16"))
+    assert(prod.scalar("schema").contains("main"))
+  }
+
+  test("scalar anchors, aliases in values and flow lists, merge lists") {
+    val y = MiniYaml.parse(
+      """base_schema: &sch analytics
+        |a: &one
+        |  x: 1
+        |b: &two
+        |  x: 2
+        |  y: 3
+        |merged:
+        |  <<: [*one, *two]
+        |copy: *sch
+        |lst: [*sch, other]
+        |""".stripMargin)
+    assert(y.scalar("copy").contains("analytics"))
+    assert(MiniYaml.scalars(y.get("lst").get) == Seq("analytics", "other"))
+    val m = y.obj("merged").get
+    assert(m.scalar("x").contains("1")) // earlier merge source wins
+    assert(m.scalar("y").contains("3"))
+    // an alias with no preceding anchor fails loudly, naming it
+    val e = intercept[IllegalArgumentException](
+      MiniYaml.parse("a: *ghost"))
+    assert(e.getMessage.contains("ghost"), e.getMessage)
+  }
+
+  test("anchored sequence items alias whole mappings") {
+    val y = MiniYaml.parse(
+      """shared:
+        |  - &col
+        |    name: id
+        |    tests: [unique]
+        |again: *col
+        |""".stripMargin)
+    assert(y.obj("again").get.scalar("name").contains("id"))
+  }
+
+  test("literal | block scalars keep newlines; > folds; - chomps") {
+    val y = MiniYaml.parse(
+      """description: |
+        |  line one
+        |  line two
+        |
+        |  after blank
+        |folded: >
+        |  word one
+        |  word two
+        |chomped: |-
+        |  no trailing
+        |tail: 1
+        |""".stripMargin)
+    assert(y.scalar("description")
+      .contains("line one\nline two\n\nafter blank\n"))
+    assert(y.scalar("folded").contains("word one word two\n"))
+    assert(y.scalar("chomped").contains("no trailing"))
+    assert(y.scalar("tail").contains("1"))
+    // a # inside a block scalar is CONTENT, not a comment
+    val c = MiniYaml.parse("q: |\n  select 1 -- x\n  # not a comment\n")
+    assert(c.scalar("q").contains("select 1 -- x\n# not a comment\n"))
+    // |+ keep mode is refused loudly
+    intercept[IllegalArgumentException](MiniYaml.parse("a: |+\n  x\n"))
+  }
+
+  test("block scalar on a sequence item's dash line") {
+    val y = MiniYaml.parse(
+      """models:
+        |  - description: |
+        |      first
+        |      second
+        |    name: m1
+        |""".stripMargin)
+    val Seq(m: Obj) = y.arr("models"): @unchecked
+    assert(m.scalar("description").contains("first\nsecond\n"))
+    assert(m.scalar("name").contains("m1"))
+  }
 }

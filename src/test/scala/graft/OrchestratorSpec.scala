@@ -903,6 +903,36 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(stored.count() == 2)
   }
 
+  test("store_failures_as: view re-evaluates, ephemeral stores nothing") {
+    val r = root()
+    // a singular (SQL-defined) test whose failures materialize as a
+    // durable VIEW: the audit relation tracks LIVE data, not a snapshot
+    val p = baseProject.copy(tests = Seq(
+      TestDef("fails_view", "nations", df => df, severity = "warn",
+        sql = Some("SELECT n_nationkey FROM {{ ref('nations') }} " +
+          "WHERE n_nationkey >= 23"),
+        storeFailuresAs = Some("view")),
+      TestDef("fails_nothing", "nations", df => df.limit(2),
+        severity = "warn", storeFailures = true,
+        storeFailuresAs = Some("ephemeral"))))
+    val e = new Engine(spark, p, Target(r))
+    e.build()
+    val viewRel = e.relationFor("fails_view__failures")
+    // listed as a VIEW (graft ls's view listing), not a table relation
+    assert(e.warehouse.listViews(viewRel.database, viewRel.schema)
+      .map(_.identifier).contains("fails_view__failures"))
+    assert(e.warehouse.readView(viewRel).get.count() == 2) // 23, 24
+    assert(!e.warehouse.exists(viewRel))
+    // ephemeral: explicitly no stored relation despite store_failures
+    assert(!e.warehouse.exists(e.relationFor("fails_nothing__failures")))
+    // view kind on a function-only builtin test is a loud error
+    val bad = baseProject.copy(tests = Seq(
+      TestDef("bad_kind", "nations", df => df.limit(1),
+        storeFailuresAs = Some("view"))))
+    val (nodes, _) = new Engine(spark, bad, Target(root())).build()
+    assert(nodes.exists(_.status != "success"))
+  }
+
   test("catalogInfo reports rows, bytes and partitions per relation") {
     val e = new Engine(spark, baseProject, Target(root()))
     assert(e.build()._1.forall(_.status == "success"))

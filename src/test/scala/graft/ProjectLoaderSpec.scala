@@ -313,6 +313,39 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
   }
 
+  test("packages.yml: hub/git entries load from a vendored packages/ mirror") {
+    val dir = Files.createTempDirectory("graft_pkgmirror")
+    def put(name: String, text: String): Unit = {
+      val p = dir.resolve(name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text); ()
+    }
+    put("project.conf", "name=pkgmirror")
+    put("models/m.sql", "SELECT {{ dbt_utils.greet() }} AS a")
+    // the `dbt deps`-output convention: the remote package is checked in
+    // under packages/<basename>, so the hub entry resolves OFFLINE
+    put("packages/dbt_utils/macros/g.sql",
+      "{% macro greet() %}'hello'{% endmacro %}")
+    put("packages.yml",
+      """packages:
+        |  - package: dbt-labs/dbt_utils
+        |    version: 1.1.1
+        |""".stripMargin)
+    val (project, _) = ProjectLoader.load(dir.toString)
+    assert(project.macros("dbt_utils.greet").body == "'hello'")
+    // the git spelling resolves through the same mirror (basename of the
+    // repo URL, .git stripped)
+    put("packages.yml",
+      "packages:\n  - git: https://example.com/dbt_utils.git\n")
+    assert(ProjectLoader.load(dir.toString)._1.macros
+      .contains("dbt_utils.greet"))
+    // no mirror -> the refusal names the exact directory that would fix it
+    put("packages.yml", "packages:\n  - package: other-org/other_pkg\n")
+    val err = intercept[IllegalArgumentException](
+      ProjectLoader.load(dir.toString))
+    assert(err.getMessage.contains("packages/other_pkg"), err.getMessage)
+  }
+
   test("docs blocks: {% docs %} markdown feeds doc() description sites") {
     val dir = Files.createTempDirectory("graft_docs")
     def put(name: String, text: String): Unit = {
