@@ -838,7 +838,9 @@ object Compiler {
       """string_literal|escape_single_quotes|replace|length|position|""" +
       """right|left|split_part|bool_or|any_value|cast_bool_to_text|""" +
       """date_trunc|current_timestamp|group_by|hash|safe_add|""" +
-      """safe_subtract|safe_divide)\(((?:(?!\}\}).)*?)\)\s*\}\}""").r
+      """safe_subtract|safe_divide|get_url_parameter|get_url_host|""" +
+      """get_url_path|width_bucket|generate_series)""" +
+      """\(((?:(?!\}\}).)*?)\)\s*\}\}""").r
 
   private def expandCrossDbMacros(sql0: String): String =
     crossDbRe.replaceAllIn(sql0, m => {
@@ -898,6 +900,32 @@ object Compiler {
           fields.map(f => s"coalesce($f, 0)").mkString(op)
         case "safe_divide" => nargs(2)
           s"(${a(0)}) / nullif(${a(1)}, 0)"
+        // dbt-utils web macros — pure string ops (no parse_url), so the
+        // DuckDB oracle reproduces them byte-identically
+        case "get_url_parameter" => nargs(2)
+          val p = a(1)
+          s"nullif(split_part(split_part(${a(0)}, '$p=', 2), '&', 1), '')"
+        case "get_url_host" => nargs(1)
+          val stripped = s"replace(replace(replace(${a(0)}, " +
+            "'android-app://', ''), 'https://', ''), 'http://', '')"
+          s"split_part(split_part($stripped, '?', 1), '/', 1)"
+        case "get_url_path" => nargs(1)
+          val noq = s"split_part(replace(replace(${a(0)}, " +
+            "'https://', ''), 'http://', ''), '?', 1)"
+          s"nullif(substr($noq, length(split_part($noq, '/', 1)) + 1), '')"
+        // dbt-utils default__width_bucket (the floor form, not a native
+        // function — identical arithmetic in both engines)
+        case "width_bucket" => nargs(4)
+          s"least(${a(3)}, floor((${a(0)} - ${a(1)}) / " +
+            s"((${a(2)} - ${a(1)}) / ${a(3)})) + 1)"
+        // dbt-utils generate_series: a derived table of
+        // generated_number 1..n — use as FROM ({{ generate_series(n) }})
+        case "generate_series" => nargs(1)
+          val n = a(0).toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"generate_series: needs an integer upper bound, got '${a(0)}'"))
+          require(n >= 1, s"generate_series($n): needs n >= 1")
+          s"SELECT explode(sequence(1, $n)) AS generated_number"
       })
     })
 
@@ -2915,7 +2943,28 @@ object Compiler {
       // macro bodies (the dbt norm: a public macro dispatching its impl)
       // resolve on the following round
       val dispatched = resolveDispatch(cur, macros)
-      val next = macroCallRe.replaceAllIn(dispatched, m =>
+      // `{% call my_macro(args) %}body{% endcall %}`: the macro expands
+      // with the BLOCK BODY bound at its `{{ caller() }}` sites — dbt's
+      // wrapper-macro protocol (logging/auditing wrappers, custom
+      // insert-by-period shells). `call statement(...)` is NOT a macro
+      // call — it belongs to the introspection machinery and passes
+      // through untouched. A macro without a caller() site discards the
+      // body, exactly as Jinja does.
+      val withBlocks =
+        if (!dispatched.contains("{% call") && !dispatched.contains("{%- call"))
+          dispatched
+        else macroCallBlockRe.replaceAllIn(dispatched, m => {
+          val name = m.group(1)
+          if (name == "statement") Regex.quoteReplacement(m.matched)
+          else Regex.quoteReplacement(macros.get(name) match {
+            case None => m.matched
+            case Some(mac) =>
+              callerSiteRe.replaceAllIn(
+                expandOne(mac, splitArgs(m.group(2))),
+                Regex.quoteReplacement(m.group(3)))
+          })
+        })
+      val next = macroCallRe.replaceAllIn(withBlocks, m =>
         Regex.quoteReplacement(macros.get(m.group(1)) match {
           case None => m.matched
           case Some(mac) => expandOne(mac, splitArgs(m.group(2)))
@@ -2926,6 +2975,14 @@ object Compiler {
     }
     failIfUnexpanded(cur)
   }
+
+  // `{% call name(args) %}…{% endcall %}` — non-greedy to the FIRST
+  // endcall (nested call blocks are out of scope; the inner open would
+  // survive as leftover jinja and fail loudly downstream)
+  private val macroCallBlockRe: Regex =
+    ("""(?s)\{%-?\s*call\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*""" +
+      """\((.*?)\)\s*-?%\}(.*?)\{%-?\s*endcall\s*-?%\}""").r
+  private val callerSiteRe: Regex = """\{\{\s*caller\(\s*\)\s*\}\}""".r
 
   private def expandOne(mac: MacroDef, args: Seq[String]): String = {
     val paramNames = mac.params.map(_._1).toSet

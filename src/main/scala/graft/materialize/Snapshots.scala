@@ -36,6 +36,10 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
   import Snapshotter.{BUCKET, CURRENT, SUB}
 
   private val META = Seq("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
+  /** dbt 1.9 `hard_deletes: new_record` tracking flag (string
+    * 'True'/'False', dbt's own spelling).
+    */
+  private val DEL = "dbt_is_deleted"
 
   /** B17: surrogate key — md5 over pipe-joined key columns + updated_at. */
   private def scdId(keys: Seq[String], updatedAt: Column): Column =
@@ -48,10 +52,20 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     * Month granularity bounds the rewrite amplification of a run (≤ the
     * closures of the touched months) while keeping the partition count
     * low (12/year — no small-file explosion over decades of history).
+    * With `dbt_valid_to_current` configured, the sentinel ALSO means
+    * open (rows written before the config landed keep their NULLs — dbt
+    * does not rewrite history on a config change, so both spellings of
+    * "open" must stay current forever).
     */
-  private def bucketOf(validTo: Column): Column =
-    when(validTo.isNull, lit(CURRENT))
+  private def bucketOf(validTo: Column,
+                       validToCurrent: Option[String]): Column =
+    when(isOpen(validTo, validToCurrent), lit(CURRENT))
       .otherwise(date_format(validTo.cast("date"), "yyyy-MM"))
+
+  private def isOpen(validTo: Column,
+                     validToCurrent: Option[String]): Column =
+    validToCurrent.fold(validTo.isNull)(v =>
+      validTo.isNull || validTo === lit(v).cast("timestamp"))
 
   /** Key-hash sub-bucket for a given epoch's bucket count. */
   private def subOf(scdIdCol: Column, n: Int): Column =
@@ -112,14 +126,63 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
 
   /** Validity/change columns for the `check` strategy need a transaction
     * time; the engine passes the wall clock, tests/oracles pin a literal.
+    *
+    * dbt 1.9 knobs:
+    *  - `hardDeletes`: `ignore` (default) leaves vanished keys current;
+    *    `invalidate` closes them (= the legacy invalidateHardDeletes);
+    *    `new_record` closes them AND inserts a tracking row carrying the
+    *    last-known data values with `dbt_is_deleted='True'` — the mode
+    *    where deletion is itself a versioned fact. A reappearing key
+    *    closes the deletion row and inserts a fresh 'False' one (the
+    *    check strategy treats the flag as a checked column so identical
+    *    data still registers the un-delete).
+    *  - `validToCurrent`: a sentinel timestamp (e.g. '9999-12-31')
+    *    written as `dbt_valid_to` of OPEN rows instead of NULL — the
+    *    dbt 1.9 `dbt_valid_to_current` config. Reads treat NULL and the
+    *    sentinel as open (pre-config history is never rewritten).
+    *  - `metaNames`: dbt 1.9 `snapshot_meta_column_names` — canonical →
+    *    custom renames of the five meta columns, applied at the storage
+    *    boundary (internals stay canonical; the stored relation and
+    *    [[read]] carry the custom names).
     */
   def snapshot(source: DataFrame, rel: Relation, keys: Seq[String],
                strategy: SnapshotStrategy, now: Column = current_timestamp(),
-               invalidateHardDeletes: Boolean = false): Unit =
+               invalidateHardDeletes: Boolean = false,
+               hardDeletes: Option[String] = None,
+               validToCurrent: Option[String] = None,
+               metaNames: Map[String, String] = Map.empty): Unit =
   // SCD-2 is read-modify-write (current rows decide closings/inserts):
   // hold the relation's writer lock across the whole cycle, like the
   // incremental merge family
   wh.withRelationLock(rel) {
+    val delMode = hardDeletes.getOrElse(
+      if (invalidateHardDeletes) "invalidate" else "ignore")
+    require(Set("ignore", "invalidate", "new_record").contains(delMode),
+      s"hard_deletes must be ignore|invalidate|new_record, got '$delMode'")
+    val newRecord = delMode == "new_record"
+    val knownMeta = (META :+ DEL).toSet
+    val badMeta = metaNames.keySet -- knownMeta
+    require(badMeta.isEmpty,
+      s"snapshot_meta_column_names: unknown meta column(s) " +
+        s"${badMeta.toSeq.sorted.mkString(", ")} (known: " +
+        s"${knownMeta.toSeq.sorted.mkString(", ")})")
+    // storage-boundary renames: canonical names inside this method, the
+    // custom spellings on disk
+    def toCanonical(df: DataFrame): DataFrame =
+      metaNames.foldLeft(df) { case (d, (canon, custom)) =>
+        if (custom != canon && d.columns.contains(custom))
+          d.withColumnRenamed(custom, canon)
+        else d
+      }
+    def toCustom(df: DataFrame): DataFrame =
+      metaNames.foldLeft(df) { case (d, (canon, custom)) =>
+        if (custom != canon && d.columns.contains(canon))
+          d.withColumnRenamed(canon, custom)
+        else d
+      }
+    val openMarker: Column =
+      validToCurrent.fold(lit(null).cast("timestamp"))(v =>
+        lit(v).cast("timestamp"))
     // Pin the transaction time to a literal: the run below executes more
     // than one Spark action (leaf discovery, then the write), and a raw
     // current_timestamp() would re-evaluate per action — closings and
@@ -138,18 +201,20 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
       // Sub-bucket count sized from the source (one count job, first run
       // only) so a bulk initial load is spread from day one.
       val n0 = subBuckets.getOrElse(adaptiveN(source.count()))
-      val first = source
+      val first0 = source
         .withColumn("dbt_updated_at", updatedAt)
         .withColumn("dbt_valid_from", updatedAt)
-        .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+        .withColumn("dbt_valid_to", openMarker)
         .withColumn("dbt_scd_id", scdId(keys, updatedAt))
         .withColumn(BUCKET, lit(CURRENT))
         .withColumn(SUB, subOf(col("dbt_scd_id"), n0))
+      val first = if (newRecord) first0.withColumn(DEL, lit("False"))
+                  else first0
       // every first-run row is CURRENT → the cheap layout path (bloom
       // sidecars only, no sort): the point-lookup layout is for CLOSED
       // history, applied once when rows close (see the layoutWhen write
       // below) — sorting the hot slice would be redone on every rewrite
-      wh.writeAtomic(first, rel, partitionCols = Seq(BUCKET, SUB),
+      wh.writeAtomic(toCustom(first), rel, partitionCols = Seq(BUCKET, SUB),
         bloomCols = keys)
       return
     }
@@ -159,7 +224,14 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     val curRows = wh.footerRows(rel, s"$BUCKET=$CURRENT")
     val n = subBuckets.getOrElse(adaptiveN(curRows))
 
-    val all = wh.read(rel)
+    val all = {
+      val a0 = toCanonical(wh.read(rel))
+      // hard_deletes toggled to new_record over an existing snapshot:
+      // pre-existing rows are implicitly not-deleted
+      if (newRecord && !a0.columns.contains(DEL))
+        a0.withColumn(DEL, lit("False"))
+      else a0
+    }
     // change detection reads ONLY the current partition (pruned scan) —
     // closed history never enters the join. SUB rides along: it is the
     // row's persisted leaf identity.
@@ -177,13 +249,19 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     val keyEq = keys.map(k => col(s"s.$k") === col(s"c.$k")).reduce(_ && _)
 
     // B14/B15 row_changed predicate
-    val rowChanged: Column = strategy match {
-      case SnapshotStrategy.Timestamp(c) =>
-        col(s"c.dbt_valid_from") < col(s"s.$c")
-      case SnapshotStrategy.Check(cols0) =>
-        val dataCols = source.columns.filterNot(keys.contains)
-        val checked = cols0.getOrElse(dataCols.toSeq)
-        checked.map(c => !(col(s"s.$c") <=> col(s"c.$c"))).reduce(_ || _)
+    val rowChanged: Column = {
+      val base = strategy match {
+        case SnapshotStrategy.Timestamp(c) =>
+          col(s"c.dbt_valid_from") < col(s"s.$c")
+        case SnapshotStrategy.Check(cols0) =>
+          val dataCols = source.columns.filterNot(keys.contains)
+          val checked = cols0.getOrElse(dataCols.toSeq)
+          checked.map(c => !(col(s"s.$c") <=> col(s"c.$c"))).reduce(_ || _)
+      }
+      // new_record: a key REAPPEARING after a deletion record must
+      // register as changed even when its data values are identical —
+      // dbt includes the deletion flag among the checked columns
+      if (newRecord) base || col(s"c.$DEL") === "True" else base
     }
 
     val joined = src.join(cur, keyEq, "full_outer")
@@ -206,15 +284,23 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     val isInsert = inSrc && (!inCur || rowChanged)
     val isClose = inSrc && inCur && rowChanged
     val isDelete =
-      if (invalidateHardDeletes) inCur && !inSrc else lit(false)
+      if (delMode != "ignore") inCur && !inSrc else lit(false)
     val persistStaging = curRows >= source.sparkSession.conf
       .getOption("graft.snapshot.stagingPersistMinRows")
       .map(_.toLong).getOrElse(8L << 20)
+    // new_record: a hard-deleted key's source columns are NULL on the s
+    // side — the deletion-tracking row carries the CURRENT row's
+    // last-known values instead
+    def dataCol(c: String): Column =
+      if (newRecord) when(isDelete, col(s"c.$c")).otherwise(col(s"s.$c"))
+      else col(s"s.$c")
     val staging0 = joined
       .filter(isInsert || isClose || isDelete)
-      .select(srcCols.map(c => col(s"s.$c").as(c)) ++ Seq(
+      .select(srcCols.map(c => dataCol(c).as(c)) ++ Seq(
         isInsert.as("__is_insert"), isClose.as("__is_close"),
         isDelete.as("__is_delete"),
+        (if (newRecord) col(s"c.$DEL") === "True"
+         else lit(false)).as("__cur_deleted"),
         col("c.dbt_scd_id").as("__cur_scd_id"),
         col(s"c.$SUB").as("__cur_sub")): _*)
     val staging =
@@ -223,21 +309,45 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
       else staging0
 
     // source columns are plain names now — updatedAt (strategy column /
-    // pinned now) applies directly
-    val insertions = staging.filter(col("__is_insert"))
+    // pinned now) applies directly. A key reappearing AFTER a deletion
+    // record re-versions at the transaction time (its source updated_at
+    // may predate the deletion — intervals must stay monotone).
+    val insertAt: Column =
+      if (newRecord) when(col("__cur_deleted"), nowLit).otherwise(updatedAt)
+      else updatedAt
+    val insertions0 = staging.filter(col("__is_insert"))
       .select(srcCols.map(col) ++ Seq(
-        updatedAt.as("dbt_updated_at"),
-        updatedAt.as("dbt_valid_from"),
-        lit(null).cast("timestamp").as("dbt_valid_to"),
-        scdId(keys, updatedAt).as("dbt_scd_id")): _*)
+        insertAt.as("dbt_updated_at"),
+        insertAt.as("dbt_valid_from"),
+        openMarker.as("dbt_valid_to"),
+        scdId(keys, insertAt).as("dbt_scd_id")): _*)
       .withColumn(SUB, subOf(col("dbt_scd_id"), n))
+    // new_record deletion-tracking rows: the last-known data values stay
+    // CURRENT under dbt_is_deleted='True', versioned at transaction time
+    val insertions = {
+      val ins = if (newRecord) insertions0.withColumn(DEL, lit("False"))
+                else insertions0
+      if (!newRecord) ins
+      else ins.unionByName(staging.filter(col("__is_delete"))
+        .select(srcCols.map(col) ++ Seq(
+          nowLit.as("dbt_updated_at"),
+          nowLit.as("dbt_valid_from"),
+          openMarker.as("dbt_valid_to"),
+          scdId(keys, nowLit).as("dbt_scd_id"),
+          lit("True").as(DEL)): _*)
+        .withColumn(SUB, subOf(col("dbt_scd_id"), n)))
+    }
 
     // closings carry the closed row's PERSISTED sub — its leaf identity;
-    // a changed row closes at the source's update time, a hard delete at
-    // the pinned transaction time
+    // a changed row closes at the source's update time (transaction time
+    // when the closed row is a deletion record — see insertAt), a hard
+    // delete at the pinned transaction time
+    val closeAt: Column =
+      when(col("__is_close") && !col("__cur_deleted"), updatedAt)
+        .otherwise(nowLit)
     val closing = staging.filter(col("__is_close") || col("__is_delete"))
       .select(col("__cur_scd_id").as("dbt_scd_id"),
-        when(col("__is_close"), updatedAt).otherwise(nowLit).as("new_valid_to"),
+        closeAt.as("new_valid_to"),
         col("__cur_sub").as("cur_sub"))
 
     try {
@@ -252,16 +362,22 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
       // subs are long.
       val closeLike = col("__is_close") || col("__is_delete")
       val discovery = staging.select(
-          when(closeLike, bucketOf(
-            when(col("__is_close"), updatedAt).otherwise(nowLit))).as("closed_b"),
+          when(closeLike, bucketOf(closeAt, validToCurrent)).as("closed_b"),
           when(closeLike, col("__cur_sub")).as("closed_sub"),
-          when(col("__is_insert"), subOf(scdId(keys, updatedAt), n)).as("ins_sub"))
+          when(col("__is_insert"), subOf(scdId(keys, insertAt), n))
+            .as("ins_sub"),
+          // new_record deletion rows land in their own computed sub
+          (if (newRecord)
+            when(col("__is_delete"), subOf(scdId(keys, nowLit), n))
+          else lit(null)).as("del_sub"))
         .distinct().collect()
       val closedLeaves = discovery.filter(!_.isNullAt(0))
         .map(r => (r.getString(0), r.get(1).asInstanceOf[Number].longValue))
         .distinct.toIndexedSeq
-      val insertSubs = discovery.filter(!_.isNullAt(2))
-        .map(_.get(2).asInstanceOf[Number].longValue).distinct
+      val insertSubs = (discovery.filter(!_.isNullAt(2))
+        .map(_.get(2).asInstanceOf[Number].longValue) ++
+        discovery.filter(!_.isNullAt(3))
+          .map(_.get(3).asInstanceOf[Number].longValue)).distinct
       val touchedSubs =
         (insertSubs ++ closedLeaves.map(_._2)).distinct.toIndexedSeq
 
@@ -278,12 +394,15 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
           col("t.dbt_scd_id") === col("u.dbt_scd_id"), "left")
         .select(touchedCurrent.columns.toIndexedSeq.map {
           case "dbt_valid_to" =>
-            // t.dbt_valid_to is NULL on every current row; a match closes it
-            col("u.new_valid_to").as("dbt_valid_to")
+            // open on every current row (NULL or the configured
+            // sentinel); a match closes it, an unmatched row keeps its
+            // stored open marker
+            coalesce(col("u.new_valid_to"), col("t.dbt_valid_to"))
+              .as("dbt_valid_to")
           case c => col(s"t.$c").as(c)
         }: _*)
         .unionByName(insertions.select(touchedCurrent.columns.toIndexedSeq.map(col): _*))
-        .withColumn(BUCKET, bucketOf(col("dbt_valid_to")))
+        .withColumn(BUCKET, bucketOf(col("dbt_valid_to"), validToCurrent))
 
       // a replaced closed leaf must carry its EXISTING rows too (the
       // swap replaces the whole leaf dir); untouched leaves never appear
@@ -301,14 +420,17 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
       // a touched current leaf whose every row closed (and gained no
       // inserts) is written by nobody — drop it explicitly
       val staleLeaves = touchedSubs.map(sb => s"$BUCKET=$CURRENT/$SUB=$sb")
-      val (cc, zc) = historyLayout(payload, keys)
+      val (cc0, zc0) = historyLayout(payload, keys)
+      // layout columns name the STORED spellings (meta renames applied)
+      val (cc, zc) = (cc0.map(c => metaNames.getOrElse(c, c)),
+        zc0.map(c => metaNames.getOrElse(c, c)))
       // layout ONLY the closed rows: a (month, sub) leaf is written once
       // when its rows close and never rewritten after (closures always
       // stamp the run's month), so the sort+z-order is paid once per row
       // lifetime; the hot CURRENT slice — rewritten on every run — takes
       // the cheap path (bloom sidecars only, which is what point probes
       // use to skip current files)
-      wh.replacePartitions(payload, rel, Seq(BUCKET, SUB),
+      wh.replacePartitions(toCustom(payload), rel, Seq(BUCKET, SUB),
         alsoDropPaths = staleLeaves, clusterCols = cc, zorderCols = zc,
         bloomCols = keys,
         layoutWhen = Some(col(BUCKET) =!= lit(CURRENT)))

@@ -237,6 +237,57 @@ object MatQueries {
       |  epoch_ms(TIMESTAMP '2024-02-01 00:00:00'), NULL
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
+  // ---------------------------------- dbt 1.9 snapshot lifecycle knobs
+  /** hard_deletes='new_record' + dbt_valid_to_current sentinel +
+    * snapshot_meta_column_names, one lifecycle: run 1 loads customers,
+    * run 2 hard-deletes keys %5==0 (closing their rows AND opening
+    * 'True' tracking rows), run 3 brings the keys back unchanged (the
+    * deletion row closes, a fresh 'False' version opens at transaction
+    * time — the check strategy treats the flag as a checked column).
+    * Open rows carry the 9999-12-31 sentinel, dbt_valid_from is stored
+    * under the custom name `start_ts`. Transaction times pinned, so the
+    * oracle reconstructs every interval exactly.
+    */
+  def bSnapshotNewRecord(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val snap = new Snapshotter(wh)
+    val r = rel("customer_nr_snap")
+    val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val t3 = lit("2024-03-01 00:00:00").cast("timestamp")
+    val sentinel = "9999-12-31 00:00:00"
+    val strat = SnapshotStrategy.Check(Some(Seq("c_acctbal")))
+    val names = Map("dbt_valid_from" -> "start_ts")
+    val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    def run(src: DataFrame, t: org.apache.spark.sql.Column): Unit =
+      snap.snapshot(src, r, Seq("c_custkey"), strat, now = t,
+        hardDeletes = Some("new_record"),
+        validToCurrent = Some(sentinel), metaNames = names)
+    run(c, t1)
+    run(c.filter(col("c_custkey") % 5 =!= 0), t2) // %5==0 hard-deleted
+    run(c, t3) // deleted keys reappear, data unchanged
+    wh.read(r).select(col("c_custkey"), col("dbt_is_deleted"),
+      unix_millis(col("start_ts")).as("valid_from_ms"),
+      unix_millis(col("dbt_valid_to")).as("valid_to_ms"))
+  }
+  val bSnapshotNewRecordSql: String =
+    """SELECT c_custkey, 'False' AS dbt_is_deleted,
+      |  epoch_ms(TIMESTAMP '2024-01-01 00:00:00') AS valid_from_ms,
+      |  CASE WHEN c_custkey % 5 = 0
+      |       THEN epoch_ms(TIMESTAMP '2024-02-01 00:00:00')
+      |       ELSE epoch_ms(TIMESTAMP '9999-12-31 00:00:00') END AS valid_to_ms
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'True',
+      |  epoch_ms(TIMESTAMP '2024-02-01 00:00:00'),
+      |  epoch_ms(TIMESTAMP '2024-03-01 00:00:00')
+      |FROM customer WHERE c_custkey % 5 = 0
+      |UNION ALL
+      |SELECT c_custkey, 'False',
+      |  epoch_ms(TIMESTAMP '2024-03-01 00:00:00'),
+      |  epoch_ms(TIMESTAMP '9999-12-31 00:00:00')
+      |FROM customer WHERE c_custkey % 5 = 0""".stripMargin
+
   // ----------------------------------------------------------- B18 seed
   /** B18: CSV seed with `column_types` overrides (id→bigint, score→double). */
   def b18Seed(s: SparkSession, d: String): DataFrame = {

@@ -1589,6 +1589,90 @@ object OrchestratorQueries {
       |  round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 4) AS avg_r
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** dbt-utils web + bucketing macros end-to-end: `get_url_host/path/
+    * parameter` (pure string ops — no parse_url, so the DuckDB oracle
+    * reproduces them byte-identically), `width_bucket` (the dbt-utils
+    * floor form), and `generate_series` as a derived table. The fixture
+    * has no URLs, so the model synthesizes them deterministically from
+    * nation columns (the corpus()-injection pattern); every 4th nation
+    * gets a host-only URL to pin the NULL path/parameter contract.
+    */
+  def urlMacros(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_url",
+      sources = Seq(SourceDef("tpch", "nation", s"$d/nation.parquet")),
+      models = Seq(ModelDef("url_report",
+        """SELECT n.n_nationkey,
+          |  {{ dbt_utils.get_url_host("u") }} AS host,
+          |  {{ dbt_utils.get_url_path("u") }} AS path,
+          |  {{ dbt_utils.get_url_parameter("u", 'utm_source') }} AS utm_src,
+          |  {{ dbt_utils.width_bucket("n.n_nationkey", 0, 25, 5) }} AS bucket,
+          |  s.n_series
+          |FROM (SELECT n_nationkey, n_regionkey,
+          |        CASE WHEN n_nationkey % 4 = 0
+          |          THEN concat('http://host', n_regionkey, '.example.com')
+          |          ELSE concat('https://shop', n_regionkey,
+          |            '.example.com/products/', n_nationkey,
+          |            '?utm_source=src', n_nationkey % 3, '&x=1') END AS u
+          |      FROM {{ source('tpch','nation') }}) n
+          |CROSS JOIN (SELECT count(*) AS n_series
+          |            FROM ({{ dbt_utils.generate_series(7) }})) s""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("url_report")
+  }
+
+  val urlMacrosSql: String =
+    """WITH n AS (SELECT n_nationkey, n_regionkey,
+      |    CASE WHEN n_nationkey % 4 = 0
+      |      THEN concat('http://host', n_regionkey, '.example.com')
+      |      ELSE concat('https://shop', n_regionkey,
+      |        '.example.com/products/', n_nationkey,
+      |        '?utm_source=src', n_nationkey % 3, '&x=1') END AS u
+      |  FROM nation),
+      |noq AS (SELECT *,
+      |    split_part(replace(replace(u, 'https://', ''),
+      |      'http://', ''), '?', 1) AS stripped
+      |  FROM n)
+      |SELECT n_nationkey,
+      |  split_part(stripped, '/', 1) AS host,
+      |  nullif(substr(stripped,
+      |    length(split_part(stripped, '/', 1)) + 1), '') AS path,
+      |  nullif(split_part(split_part(u, 'utm_source=', 2), '&', 1), '')
+      |    AS utm_src,
+      |  CAST(least(5, floor((n_nationkey - 0) / ((25 - 0) / 5)) + 1)
+      |    AS BIGINT) AS bucket,
+      |  (SELECT count(*) FROM generate_series(1, 7)) AS n_series
+      |FROM noq""".stripMargin
+
+  /** dbt 1.10 `--sample` end-to-end: the source declares
+    * `event_time: o_orderdate`, the target carries an absolute sample
+    * window — every source scan compiles wrapped in the CONSTANT window
+    * predicate (pushed to the parquet scan), while the event_time-less
+    * nation source passes through whole. The oracle recomputes the
+    * windowed join directly.
+    */
+  def sampleBuild(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_sample",
+      sources = Seq(
+        SourceDef("tpch", "orders", s"$d/orders.parquet",
+          eventTime = Some("o_orderdate")),
+        SourceDef("tpch", "customer", s"$d/customer.parquet")),
+      models = Seq(ModelDef("sampled_orders",
+        """SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, c.c_nationkey
+          |FROM {{ source('tpch','orders') }} o
+          |JOIN {{ source('tpch','customer') }} c ON o.o_custkey = c.c_custkey""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1,
+      sample = Some("1995-01-01..1996-01-01")))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("sampled_orders")
+  }
+
+  val sampleBuildSql: String =
+    """SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, c.c_nationkey
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin
+
   /** Custom `{% materialization %}` end-to-end (dbt's extension protocol;
     * the reference manifest carries 7 materialization macros as data,
     * e.g. `materialization_table_bigquery` @125935, and packages ship

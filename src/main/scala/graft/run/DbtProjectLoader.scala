@@ -177,6 +177,8 @@ object DbtProjectLoader {
           SourceDef(sName, tName, path,
             loadedAtField = objScalar(tbl, "loaded_at_field")
               .orElse(objScalar(src, "loaded_at_field")),
+            eventTime = objScalar(tbl, "event_time")
+              .orElse(tbl.obj("config").flatMap(_.scalar("event_time"))),
             warnAfterH = freshnessH(tbl, "warn_after")
               .orElse(freshnessH(src, "warn_after")),
             errorAfterH = freshnessH(tbl, "error_after")
@@ -539,29 +541,61 @@ object DbtProjectLoader {
       SeedDef(stem(p), p.toString, seedTypes(stem(p))))
 
     // ------------------------------------------------- snapshot blocks
+    def snapshotStrategy(snapName: String,
+        kv: Map[String, String]): SnapshotStrategy = kv.get("strategy") match {
+      case Some("check") => SnapshotStrategy.Check(
+        kv.get("check_cols").map(_.split("\\|").toSeq)
+          .filterNot(_ == Seq("all")))
+      case _ => SnapshotStrategy.Timestamp(kv.getOrElse("updated_at",
+        throw new IllegalArgumentException(
+          s"snapshot $snapName: updated_at required")))
+    }
+    def snapshotDef(snapName: String, body: String,
+        kv: Map[String, String],
+        metaNames: Map[String, String]): SnapshotDef =
+      SnapshotDef(snapName, rewriteVersionedRefs(body),
+        kv.get("unique_key").map(_.split("\\|").toSeq).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot $snapName: unique_key required")),
+        snapshotStrategy(snapName, kv),
+        invalidateHardDeletes =
+          kv.get("invalidate_hard_deletes").contains("true"),
+        hardDeletes = kv.get("hard_deletes"),
+        validToCurrent = kv.get("dbt_valid_to_current"),
+        metaColumnNames = metaNames)
     val snapshotBlockRe: Regex =
       """(?s)\{%-?\s*snapshot\s+([A-Za-z_]\w*)\s*-?%\}(.*?)\{%-?\s*endsnapshot\s*-?%\}""".r
-    val snapshots = snapDirs.flatMap(listRec(_, ".sql")).flatMap { p =>
+    val blockSnapshots = snapDirs.flatMap(listRec(_, ".sql")).flatMap { p =>
       snapshotBlockRe.findAllMatchIn(Files.readString(p)).map { m =>
         val (snapName, body) = (m.group(1), m.group(2))
-        val kv = Compiler.parseSnapshotConfig(body)
-        val strategy = kv.get("strategy") match {
-          case Some("check") => SnapshotStrategy.Check(
-            kv.get("check_cols").map(_.split("\\|").toSeq)
-              .filterNot(_ == Seq("all")))
-          case _ => SnapshotStrategy.Timestamp(kv.getOrElse("updated_at",
-            throw new IllegalArgumentException(
-              s"snapshot $snapName: updated_at required")))
-        }
-        SnapshotDef(snapName, rewriteVersionedRefs(body),
-          kv.get("unique_key").map(_.split("\\|").toSeq).getOrElse(
-            throw new IllegalArgumentException(
-              s"snapshot $snapName: unique_key required")),
-          strategy,
-          invalidateHardDeletes =
-            kv.get("invalidate_hard_deletes").contains("true"))
+        snapshotDef(snapName, body, Compiler.parseSnapshotConfig(body),
+          Map.empty)
       }
     }
+    // dbt 1.9 YAML-defined snapshots: `snapshots:` entries with a
+    // `relation:` (ref/source call text — becomes the snapshot's SELECT)
+    // and a `config:` mapping; snapshot_meta_column_names rides as a
+    // nested mapping (canonical -> custom)
+    val ymlSnapshots = ymlDocs.flatMap(_.arr("snapshots")).collect {
+      case sn: Obj if sn.scalar("relation").isDefined =>
+        val snapName = sn.scalar("name").getOrElse(throw
+          new IllegalArgumentException("snapshots entry without a name"))
+        val relCall = sn.scalar("relation").get.trim
+        require(relCall.startsWith("ref(") || relCall.startsWith("source("),
+          s"snapshot $snapName: relation must be ref('x') or " +
+            s"source('a','b'), got '$relCall'")
+        val cfg = sn.obj("config").getOrElse(Obj(Nil))
+        val kv = cfg.entries.collect {
+          case (k, Scalar(v)) => k -> v
+          case (k, Arr(xs)) => k -> xs.collect {
+            case Scalar(v) => v }.mkString("|")
+        }.toMap
+        val metaNames = cfg.obj("snapshot_meta_column_names")
+          .map(_.entries.collect { case (k, Scalar(v)) => k -> v }.toMap)
+          .getOrElse(Map.empty[String, String])
+        snapshotDef(snapName, s"SELECT * FROM {{ $relCall }}", kv, metaNames)
+    }
+    val snapshots = blockSnapshots ++ ymlSnapshots
 
     // ------------------------------------------------- singular tests
     val singular = testDirs.flatMap(listRec(_, ".sql")).map { p =>

@@ -30,7 +30,12 @@ final case class SourceDef(sourceName: String, tableName: String, path: String,
                            format: String = "parquet",
                            // reader options (csv header/delimiter, json
                            // multiLine, …)
-                           options: Map[String, String] = Map.empty)
+                           options: Map[String, String] = Map.empty,
+                           // dbt `event_time` config (the 1.9 key shared
+                           // by microbatch and --sample): the column that
+                           // places each row in time — sampling windows
+                           // filter on it
+                           eventTime: Option[String] = None)
 
 final case class ModelDef(name: String, rawSql: String,
                           config: ModelConfig = ModelConfig())
@@ -91,7 +96,15 @@ final case class MetricDef(name: String, model: String,
 
 final case class SnapshotDef(name: String, rawSql: String, keys: Seq[String],
                              strategy: SnapshotStrategy,
-                             invalidateHardDeletes: Boolean = false)
+                             invalidateHardDeletes: Boolean = false,
+                             // dbt 1.9 hard_deletes: ignore | invalidate
+                             // | new_record (None = legacy flag above)
+                             hardDeletes: Option[String] = None,
+                             // dbt 1.9 dbt_valid_to_current sentinel
+                             validToCurrent: Option[String] = None,
+                             // dbt 1.9 snapshot_meta_column_names
+                             // (canonical -> custom)
+                             metaColumnNames: Map[String, String] = Map.empty)
 
 /** `relationships` test target (reference schema.yml
   * `relationships: {to: ref('parent'), field: pk}` @199544): the parent is
@@ -245,6 +258,15 @@ final case class Target(warehouseRoot: String,
                         // (point it at a scratch schema; like dbt, the
                         // empty build REPLACES what it writes)
                         empty: Boolean = false,
+                        // dbt 1.10 `--sample`: every ref()/source() WITH a
+                        // declared event_time compiles wrapped in a time
+                        // window — the fast dev build over a data slice.
+                        // Spellings: 'YYYY-MM-DD..YYYY-MM-DD' (start
+                        // inclusive, end exclusive) or '<n> <unit>'
+                        // relative to the run start (unit: hour|day|
+                        // month|year). Relations without event_time pass
+                        // through whole, exactly as in dbt.
+                        sample: Option[String] = None,
                         commitMode: graft.core.CommitMode = graft.core.CommitMode.Auto) {
   def resolvedSchema: String = {
     // generate_schema_name_for_env equivalent: allow env-templated schemas.
@@ -477,6 +499,28 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     sb.toString
   }
 
+  /** The --sample window as a SQL predicate over `et` — absolute
+    * `start..end` (end-exclusive) or `<n> <unit>` back from the run
+    * start. A constant predicate by construction, so it reaches the
+    * parquet scan as a pushed filter.
+    */
+  private def samplePredicate(spec: String, et: String): String = {
+    val absRe = """(\d{4}-\d{2}-\d{2})\.\.(\d{4}-\d{2}-\d{2})""".r
+    val relRe = """(?i)(\d+)\s+(hour|day|month|year)s?""".r
+    spec.trim match {
+      case absRe(a, b) =>
+        s"`$et` >= TIMESTAMP '$a 00:00:00' AND `$et` < TIMESTAMP '$b 00:00:00'"
+      case relRe(n, u) =>
+        val end = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+          .format(runStartedAt)
+        s"`$et` >= TIMESTAMP '$end' - INTERVAL $n ${u.toUpperCase}"
+      case other => throw new IllegalArgumentException(
+        s"--sample: expected 'YYYY-MM-DD..YYYY-MM-DD' or '<n> <unit>', " +
+          s"got '$other'")
+    }
+  }
+
   /** Ephemeral AND view models are logical: their refs inline as CTEs of
     * the referencing model's compiled SQL. (Ephemeral: dbt semantics.
     * Views: our warehouse is path-addressed parquet with no metastore, so
@@ -527,11 +571,26 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     val emptyWrap: String => String =
       if (target.empty) rel => s"(SELECT * FROM $rel WHERE 1 = 0)"
       else identity
+    // --sample (dbt 1.10): wrap relations WITH a declared event_time in
+    // the window predicate — a CONSTANT range, so Catalyst pushes it to
+    // the scan and partition-prunes; event_time-less relations pass
+    // through whole (dbt's contract). --empty dominates when both set.
+    def sampleWrap(rel: String, eventTime: Option[String]): String =
+      (target.sample, eventTime.filter(_.nonEmpty)) match {
+        case (Some(spec), Some(et)) if !target.empty =>
+          s"(SELECT * FROM $rel WHERE ${samplePredicate(spec, et)})"
+        case _ => rel
+      }
+    def modelEventTime(r: String): Option[String] =
+      project.models.find(_.name == r)
+        .map(mm => effectiveConfig(mm).eventTime)
     val ctx = Compiler.ResolveCtx(
       refTarget = r =>
         if (isInlined(r)) s"__cte__$r"
-        else emptyWrap(refText(r, selected, deferRoot)),
-      sourceTarget = (s, t) => emptyWrap(sourceText(s, t)),
+        else sampleWrap(emptyWrap(refText(r, selected, deferRoot)),
+          modelEventTime(r)),
+      sourceTarget = (s, t) => sampleWrap(emptyWrap(sourceText(s, t)),
+        sourceDef(s, t).eventTime),
       crossRefTarget = (p, mm) => emptyWrap(crossRefText(p, mm)),
       thisTarget = Compiler.pathRelation(self.pathUnder(target.warehouseRoot)),
       thisVals = Map("database" -> self.database,
@@ -922,7 +981,10 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       val df = spark.sql(warehouse.resolveSql(compileSql(
         ModelDef(sn.name, sn.rawSql), selected, deferRoot, fullRefresh)))
       snap.snapshot(df, relationFor(sn.name), sn.keys, sn.strategy,
-        invalidateHardDeletes = sn.invalidateHardDeletes)
+        invalidateHardDeletes = sn.invalidateHardDeletes,
+        hardDeletes = sn.hardDeletes,
+        validToCurrent = sn.validToCurrent,
+        metaNames = sn.metaColumnNames)
     }
   }
 

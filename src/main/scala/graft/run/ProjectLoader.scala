@@ -128,7 +128,9 @@ object ProjectLoader {
         kv.get("unique_key").map(_.split("\\|").toSeq).getOrElse(
           throw new IllegalArgumentException(s"${stem(p)}: unique_key required")),
         strategy,
-        invalidateHardDeletes = kv.get("invalidate_hard_deletes").contains("true"))
+        invalidateHardDeletes = kv.get("invalidate_hard_deletes").contains("true"),
+        hardDeletes = kv.get("hard_deletes"),
+        validToCurrent = kv.get("dbt_valid_to_current"))
     }
 
     val tests = readLines(root.resolve("tests.conf")).zipWithIndex.map {

@@ -153,6 +153,7 @@ object GraftCli {
       env = env,
       vars = cliVars,
       empty = flags.contains("empty"),
+      sample = flags.get("sample").flatMap(_.headOption),
       // project.conf `commit_mode=manifest|rename` (materialized_view
       // models need manifest — their maintenance checkpoints ride
       // manifest metadata)

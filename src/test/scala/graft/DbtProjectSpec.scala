@@ -387,6 +387,49 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(nodes2.find(_.name == "staging").exists(_.status == "success"))
   }
 
+  test("dbt 1.9 YAML snapshots: relation + config incl. new_record and meta renames") {
+    val proj = Files.createTempDirectory("graft_ymlsnap")
+    put(proj, "dbt_project.yml", "name: ymlsnap\n")
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |snapshots:
+         |  - name: nation_snap
+         |    relation: source('tpch', 'nation')
+         |    config:
+         |      unique_key: n_nationkey
+         |      strategy: check
+         |      check_cols: [n_name, n_regionkey]
+         |      hard_deletes: new_record
+         |      snapshot_meta_column_names:
+         |        dbt_valid_from: start_ts
+         |        dbt_valid_to: end_ts
+         |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    assert(p.snapshots.size == 1)
+    val sn = p.snapshots.head
+    assert(sn.name == "nation_snap")
+    assert(sn.keys == Seq("n_nationkey"))
+    assert(sn.strategy == graft.core.SnapshotStrategy.Check(
+      Some(Seq("n_name", "n_regionkey"))))
+    assert(sn.hardDeletes.contains("new_record"))
+    assert(sn.metaColumnNames == Map(
+      "dbt_valid_from" -> "start_ts", "dbt_valid_to" -> "end_ts"))
+    val e = new Engine(spark, p,
+      Target(Files.createTempDirectory("graft_ymlsnap_wh").toString))
+    assert(e.build()._1.forall(_.status == "success"))
+    val out = e.warehouse.read(e.relationFor("nation_snap"))
+    assert(out.count() == 25)
+    assert(out.columns.contains("start_ts") && out.columns.contains("end_ts"))
+    assert(out.columns.contains("dbt_is_deleted"))
+    assert(!out.columns.contains("dbt_valid_from"))
+  }
+
   test("generic {% test %} blocks bind at column AND model level with kwargs") {
     val proj = Files.createTempDirectory("graft_gentest_spec")
     put(proj, "dbt_project.yml", "name: gentest_demo\n")

@@ -627,6 +627,27 @@ class JinjaCompilerSpec extends AnyFunSuite {
     assert(got.contains("elif"), got)
   }
 
+  test("{% call %} blocks bind the body at caller() sites (wrapper macros)") {
+    val macros = Compiler.parseMacros(
+      """{% macro wrap(alias) %}
+        |SELECT * FROM ({{ caller() }}) AS {{ alias }}
+        |{% endmacro %}""".stripMargin).map(m => m.name -> m).toMap
+    val got = Compiler.expandMacros(
+      "{% call wrap(w) %}SELECT 1 AS x{% endcall %}", macros)
+    assert(got.contains("FROM (SELECT 1 AS x) AS w"), got)
+    // call statement(...) is NOT a macro call — it survives expansion
+    // for the introspection machinery even when macros are loaded
+    val stmt = "{% call statement('probe') %}SELECT 2{% endcall %}"
+    assert(Compiler.expandMacros(stmt, macros) == stmt)
+    // a macro without caller() discards the body (Jinja semantics)
+    val macros2 = Compiler.parseMacros(
+      "{% macro fixed() %}SELECT 9 AS n{% endmacro %}")
+      .map(m => m.name -> m).toMap
+    val got2 = Compiler.expandMacros(
+      "{% call fixed() %}ignored{% endcall %}", macros2)
+    assert(got2.trim == "SELECT 9 AS n", got2)
+  }
+
   test("case-distinct probe columns make row accessors ambiguous (loud)") {
     val t = Compiler.QueryResult(Seq("st", "ST"), Seq(Seq("a", "b")))
     val e = intercept[IllegalArgumentException](Compiler.expandControlFlow(

@@ -933,6 +933,54 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(nodes.exists(_.status != "success"))
   }
 
+  test("--sample windows event_time relations and pushes the predicate") {
+    val p = Project(name = "psample",
+      sources = Seq(
+        SourceDef("tpch", "orders", s"$sf/orders.parquet",
+          eventTime = Some("o_orderdate")),
+        SourceDef("tpch", "nation", s"$sf/nation.parquet")),
+      models = Seq(
+        ModelDef("win_orders",
+          "SELECT o_orderkey, o_orderdate FROM {{ source('tpch','orders') }}",
+          graft.core.ModelConfig(eventTime = "o_orderdate")),
+        ModelDef("all_nations",
+          "SELECT n_nationkey FROM {{ source('tpch','nation') }}"),
+        ModelDef("downstream",
+          "SELECT count(*) AS n FROM {{ ref('win_orders') }}")))
+    val t = Target(root(), sample = Some("1995-01-01..1996-01-01"))
+    val e = new Engine(spark, p, t)
+    // the compiled source scan carries the CONSTANT window predicate
+    val compiled = e.compileSql(p.models.head, Set.empty, None,
+      fullRefresh = false)
+    assert(compiled.contains("o_orderdate` >= TIMESTAMP '1995-01-01"),
+      compiled)
+    // a ref() of an event_time model windows too (sampling composes
+    // through the DAG, dbt's contract)
+    val dsCompiled = e.compileSql(p.models(2), Set.empty, None,
+      fullRefresh = false)
+    assert(dsCompiled.contains("o_orderdate` >= TIMESTAMP"), dsCompiled)
+    assert(e.build()._1.forall(_.status == "success"))
+    val full = spark.read.parquet(s"$sf/orders.parquet")
+      .filter("o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'")
+      .count()
+    assert(e.readModel("win_orders").count() == full)
+    // the predicate reaches the parquet scan (PushedFilters)
+    val plan = spark.sql(e.warehouse.resolveSql(compiled))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(2000))
+    // event_time-less relations pass through whole
+    assert(e.readModel("all_nations").count() == 25)
+    // relative window spelling parses (filters everything out on 1990s
+    // data relative to today — that IS the expected semantics)
+    val e2 = new Engine(spark, p, Target(root(), sample = Some("3 days")))
+    assert(e2.build()._1.forall(_.status == "success"))
+    assert(e2.readModel("win_orders").count() == 0)
+    // malformed spec fails loudly
+    val e3 = new Engine(spark, p, Target(root(), sample = Some("whenever")))
+    assert(e3.build()._1.exists(_.status != "success"))
+  }
+
   test("catalogInfo reports rows, bytes and partitions per relation") {
     val e = new Engine(spark, baseProject, Target(root()))
     assert(e.build()._1.forall(_.status == "success"))

@@ -119,6 +119,90 @@ class SnapshotSpec extends AnyFunSuite {
     assertInvariants(wh, rOn)
   }
 
+  test("hard_deletes=new_record: deletion rows track, reappearing keys re-version") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val r = Relation("db", "s", "snap_newrec")
+    val s1 = src(Seq((1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00"))))
+    snap.snapshot(s1, r, Seq("id"), strat,
+      hardDeletes = Some("new_record"))
+    // every first-run row carries the flag, 'False'
+    assert(wh.read(r).filter(col("dbt_is_deleted") === "False").count() == 2)
+
+    // id=2 vanishes: its row closes AND a 'True' tracking row opens with
+    // the last-known payload, versioned at transaction time
+    val s2 = src(Seq((1L, "a", ts("2024-01-01 00:00:00"))))
+    snap.snapshot(s2, r, Seq("id"), strat,
+      now = lit("2024-03-01 00:00:00").cast("timestamp"),
+      hardDeletes = Some("new_record"))
+    val afterDel = wh.read(r).filter(col("id") === 2).collect()
+    assert(afterDel.length == 2, afterDel.mkString("; "))
+    val delRow = afterDel.find(_.getAs[Timestamp]("dbt_valid_to") == null).get
+    assert(delRow.getAs[String]("dbt_is_deleted") == "True")
+    assert(delRow.getAs[String]("payload") == "b") // last-known values
+    assert(delRow.getAs[Timestamp]("dbt_valid_from") == ts("2024-03-01 00:00:00"))
+
+    // id=2 REAPPEARS with identical data: the deletion row closes and a
+    // fresh 'False' version opens (monotone intervals, transaction time)
+    snap.snapshot(s1, r, Seq("id"), strat,
+      now = lit("2024-04-01 00:00:00").cast("timestamp"),
+      hardDeletes = Some("new_record"))
+    val afterBack = wh.read(r).filter(col("id") === 2)
+    assert(afterBack.count() == 3)
+    val cur = afterBack.filter(col("dbt_valid_to").isNull).collect()
+    assert(cur.length == 1 && cur.head.getAs[String]("dbt_is_deleted") == "False")
+    assert(cur.head.getAs[Timestamp]("dbt_valid_from") == ts("2024-04-01 00:00:00"))
+    assertInvariants(wh, r)
+  }
+
+  test("dbt_valid_to_current sentinel marks open rows; both spellings stay current") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val r = Relation("db", "s", "snap_sentinel")
+    val sentinel = "9999-12-31 00:00:00"
+    // run 1 WITHOUT the config (open rows get NULL), run 2 WITH it —
+    // dbt never rewrites history on a config change, so both spellings
+    // of "open" must keep working
+    snap.snapshot(src(Seq((1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00")))), r, Seq("id"), strat)
+    snap.snapshot(src(Seq((1L, "a2", ts("2024-02-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00")))), r, Seq("id"), strat,
+      validToCurrent = Some(sentinel))
+    val out = wh.read(r)
+    // the new current version carries the sentinel, not NULL
+    val curNew = out.filter(col("id") === 1 && col("payload") === "a2").collect()
+    assert(curNew.length == 1 &&
+      curNew.head.getAs[Timestamp]("dbt_valid_to") == ts(sentinel))
+    // the untouched pre-config current row keeps its NULL and stays open
+    val curOld = out.filter(col("id") === 2).collect()
+    assert(curOld.length == 1 &&
+      curOld.head.getAs[Timestamp]("dbt_valid_to") == null)
+    // a third run must still see BOTH as current (no duplicate versions)
+    snap.snapshot(src(Seq((1L, "a2", ts("2024-02-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00")))), r, Seq("id"), strat,
+      validToCurrent = Some(sentinel))
+    assert(wh.read(r).count() == 3) // idempotent: 2 current + 1 closed
+  }
+
+  test("snapshot_meta_column_names stores custom spellings end-to-end") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val r = Relation("db", "s", "snap_meta")
+    val names = Map("dbt_valid_from" -> "start_ts", "dbt_valid_to" -> "end_ts",
+      "dbt_scd_id" -> "row_key")
+    snap.snapshot(src(Seq((1L, "a", ts("2024-01-01 00:00:00")))),
+      r, Seq("id"), strat, metaNames = names)
+    snap.snapshot(src(Seq((1L, "a2", ts("2024-02-01 00:00:00")))),
+      r, Seq("id"), strat, metaNames = names)
+    val out = wh.read(r)
+    assert(Seq("start_ts", "end_ts", "row_key", "dbt_updated_at")
+      .forall(out.columns.contains), out.columns.mkString(", "))
+    assert(!out.columns.contains("dbt_valid_from"))
+    assert(out.filter(col("end_ts").isNull).count() == 1)
+    assert(out.count() == 2)
+  }
+
   test("closed history buckets are never rewritten by later runs") {
     import org.apache.hadoop.fs.Path
     val wh = freshWh(); val snap = new Snapshotter(wh)
