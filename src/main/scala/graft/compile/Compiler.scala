@@ -1331,19 +1331,24 @@ object Compiler {
       vars: Map[String, String] = Map.empty,
       env: Map[String, String] = Map.empty): String = {
     if (!sql0.contains("{%")) return sql0
-    def decide(cond0: String, ifStart: Int, doc: String): Option[Boolean] = {
-      var cond = cond0
-      if (cond.contains("var("))
-        cond = try substVarCallsInStmt(cond, vars, env)
-          catch { case _: IllegalArgumentException => return None }
-      // Jinja is sequential and branch-lazy: a binding participates in
-      // the decision only when its set statement (a) textually precedes
-      // the if and (b) sits at if-nesting depth 0 — a set inside an
-      // untaken branch would not exist at the if. A name bound more
-      // than once in the document is refused outright (which binding is
-      // live depends on control flow this static pass cannot see):
-      // leaving it unsubstituted makes evalCond return None, deferring
-      // the block to the full control-flow expansion.
+    // Jinja is sequential and branch-lazy: a binding participates in
+    // the decision only when its set statement (a) textually precedes
+    // the if and (b) sits at if-nesting depth 0 — a set inside an
+    // untaken branch would not exist at the if. A name bound more
+    // than once in the document is refused outright (which binding is
+    // live depends on control flow this static pass cannot see):
+    // leaving it unsubstituted makes evalCond return None, deferring
+    // the block to the full control-flow expansion.
+    //
+    // The document scans (set sites, if-tag depths) depend only on the
+    // document text, which is stable across ALL the decide() calls of
+    // one resolveGuardBlocksBy round — memoize by string identity, or a
+    // model with many if blocks pays O(blocks²) full-document rescans.
+    final case class DocScan(doc: String,
+        binds: Vector[(Int, Int, String, String, Int)]) // start,end,name,value,depth
+    var cached: DocScan = null
+    def scan(doc: String): DocScan = {
+      if (cached != null && (cached.doc eq doc)) return cached
       val setMs = setRe.findAllMatchIn(doc).toVector
       val dups = setMs.groupBy(_.group(1)).collect {
         case (n, ms) if ms.size > 1 => n }.toSet
@@ -1356,11 +1361,20 @@ object Compiler {
             case _ => d
           }
         }
-      setMs.filter(m => !dups(m.group(1)) && m.end <= ifStart &&
-          depthAt(m.start) == 0)
-        .foreach { m =>
-          cond = ("""\b""" + Regex.quote(m.group(1)) + """\b""").r
-            .replaceAllIn(cond, Regex.quoteReplacement(m.group(2)))
+      cached = DocScan(doc, setMs.filterNot(m => dups(m.group(1)))
+        .map(m => (m.start, m.end, m.group(1), m.group(2), depthAt(m.start))))
+      cached
+    }
+    def decide(cond0: String, ifStart: Int, doc: String): Option[Boolean] = {
+      var cond = cond0
+      if (cond.contains("var("))
+        cond = try substVarCallsInStmt(cond, vars, env)
+          catch { case _: IllegalArgumentException => return None }
+      scan(doc).binds
+        .filter { case (_, end, _, _, depth) => end <= ifStart && depth == 0 }
+        .foreach { case (_, _, name, value, _) =>
+          cond = ("""\b""" + Regex.quote(name) + """\b""").r
+            .replaceAllIn(cond, Regex.quoteReplacement(value))
         }
       evalCond(cond)
     }
@@ -2959,6 +2973,15 @@ object Compiler {
           else Regex.quoteReplacement(macros.get(name) match {
             case None => m.matched
             case Some(mac) =>
+              // the non-greedy body capture would split a NESTED call
+              // block at the inner endcall and splice corrupted text —
+              // refuse loudly instead (a statement block inside a
+              // wrapper body is the common victim)
+              require(!m.group(3).contains("{% call") &&
+                  !m.group(3).contains("{%- call"),
+                s"{% call $name(...) %}: nested {% call %} blocks are " +
+                  "unsupported — move the inner call out of the wrapper " +
+                  "body")
               callerSiteRe.replaceAllIn(
                 expandOne(mac, splitArgs(m.group(2))),
                 Regex.quoteReplacement(m.group(3)))

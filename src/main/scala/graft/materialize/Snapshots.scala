@@ -284,7 +284,12 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     val isInsert = inSrc && (!inCur || rowChanged)
     val isClose = inSrc && inCur && rowChanged
     val isDelete =
-      if (delMode != "ignore") inCur && !inSrc else lit(false)
+      if (delMode == "ignore") lit(false)
+      // new_record: a key whose current row is ALREADY the deletion
+      // record must not re-delete on every later run it stays absent —
+      // the tracking row is inserted once (dbt-adapters#317 semantics)
+      else if (newRecord) inCur && !inSrc && col(s"c.$DEL") =!= "True"
+      else inCur && !inSrc
     val persistStaging = curRows >= source.sparkSession.conf
       .getOption("graft.snapshot.stagingPersistMinRows")
       .map(_.toLong).getOrElse(8L << 20)

@@ -525,7 +525,14 @@ object DbtProjectLoader {
             }
             key -> rowMaps(g, "rows", s"unit test '$utName' given $input")
         }.toMap
-        // `rows:` arrives nested under `expect:`
+        // `rows:` arrives nested under `expect:` — the key itself is
+        // REQUIRED (dbt errors on a unit test without expect): an
+        // absent/typo'd key must not silently become the
+        // expect-zero-rows contract, which `rows: []` spells explicitly
+        require(ut.get("expect").isDefined,
+          s"unit test '$utName': no 'expect:' key — a unit test must " +
+            "state its expected rows (use 'expect: {rows: []}' to " +
+            "assert zero rows)")
         UnitTestDef(utName, model, given,
           rowMaps(ut, "expect", s"unit test '$utName' expect"))
     }
@@ -575,8 +582,15 @@ object DbtProjectLoader {
     // dbt 1.9 YAML-defined snapshots: `snapshots:` entries with a
     // `relation:` (ref/source call text — becomes the snapshot's SELECT)
     // and a `config:` mapping; snapshot_meta_column_names rides as a
-    // nested mapping (canonical -> custom)
-    val ymlSnapshots = ymlDocs.flatMap(_.arr("snapshots")).collect {
+    // nested mapping (canonical -> custom). dbt's documented home for
+    // these is snapshots/*.yml (snapshot-paths), which the model-dir
+    // ymlDocs walk does NOT cover — scan it too, or the canonical
+    // layout silently loads zero snapshots.
+    val snapYmlDocs: Seq[Obj] = snapDirs
+      .flatMap(d => listRec(d, ".yml") ++ listRec(d, ".yaml"))
+      .map(p => MiniYaml.parse(Files.readString(p)))
+    val ymlSnapshots = (ymlDocs ++ snapYmlDocs)
+      .flatMap(_.arr("snapshots")).collect {
       case sn: Obj if sn.scalar("relation").isDefined =>
         val snapName = sn.scalar("name").getOrElse(throw
           new IllegalArgumentException("snapshots entry without a name"))

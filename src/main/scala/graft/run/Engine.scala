@@ -971,8 +971,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         case other => throw new IllegalArgumentException(
           s"model '${m.name}': unknown materialization '$other' — " +
             "supported: table, view, incremental, materialized_view, " +
-            "ephemeral, or a {% materialization $other, default %} block " +
-            "in the project's macro dirs (none is defined)")
+            s"ephemeral, or a {% materialization $other, default %} " +
+            "block in the project's macro dirs (none is defined)")
       }
       }
       runHooks(cfg.postHooks, m.name)
@@ -1011,8 +1011,15 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       deferRoot: Option[String], fullRefresh: Boolean): Unit = {
     val body = project.materializations(matName)
     val kvs = Compiler.inlineConfigKvs(m.rawSql)
-    val prepped = Compiler.prepareMaterializationBody(
+    val prepped0 = Compiler.prepareMaterializationBody(
       body, compiledSelect, kvs, fullRefresh)
+    // {{ make_temp_relation(this) }} (reference @194314): the
+    // __dbt_tmp-suffixed sibling relation — the build-into-temp-then-
+    // rename idiom; resolves HERE because only the engine knows the path
+    val prepped = """\{\{\s*make_temp_relation\(\s*this\s*\)\s*\}\}""".r
+      .replaceAllIn(prepped0, scala.util.matching.Regex.quoteReplacement(
+        Compiler.pathRelation(relationFor(m.name).suffixed("__dbt_tmp")
+          .pathUnder(target.warehouseRoot))))
     val rendered = compileSql(ModelDef(m.name, prepped), selected,
       deferRoot, fullRefresh, deferFetchless = true)
     val (stmts, leftover) = Compiler.extractStatementBlocks(rendered)
@@ -1051,13 +1058,15 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     ("""(?is)^create\s+(or\s+replace\s+)?table\s+(if\s+not\s+exists\s+)?""" +
       """(parquet\.`[^`]+`)\s+as\s+(.*)$""").r
   private val matInsertRe =
-    """(?is)^insert\s+into\s+(?:table\s+)?(parquet\.`[^`]+`)\s+((?:select|with)\b.*)$""".r
+    """(?is)^insert\s+(into|overwrite)\s+(?:table\s+)?(parquet\.`[^`]+`)\s+((?:select|with)\b.*)$""".r
   private val matDeleteRe =
     """(?is)^delete\s+from\s+(parquet\.`[^`]+`)\s+where\s+(.*)$""".r
   private val matDropRe =
     """(?is)^drop\s+table\s+(if\s+exists\s+)?(parquet\.`[^`]+`)$""".r
   private val matTruncateRe =
     """(?is)^truncate\s+table\s+(parquet\.`[^`]+`)$""".r
+  private val matRenameRe =
+    """(?is)^alter\s+table\s+(parquet\.`[^`]+`)\s+rename\s+to\s+(parquet\.`[^`]+`)$""".r
 
   /** One materialization statement. DDL/DML shapes over warehouse
     * relations route through the Warehouse API — create-as-select is the
@@ -1094,8 +1103,12 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             partitionCols = cfg.partitionBy, clusterCols = cfg.clusterBy,
             zorderCols = cfg.zorderBy)
         }
-      case matInsertRe(relText, select) =>
-        warehouse.append(frame(select), relOf(relText),
+      case matInsertRe(mode, relText, select) =>
+        if (mode.equalsIgnoreCase("overwrite"))
+          warehouse.writeAtomic(frame(select), relOf(relText),
+            partitionCols = cfg.partitionBy, clusterCols = cfg.clusterBy,
+            zorderCols = cfg.zorderBy)
+        else warehouse.append(frame(select), relOf(relText),
           partitionCols = cfg.partitionBy)
       case matDeleteRe(relText, pred) =>
         val rel = relOf(relText)
@@ -1114,11 +1127,26 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         warehouse.drop(rel)
       case matTruncateRe(relText) =>
         warehouse.truncate(relOf(relText))
+      case matRenameRe(fromText, toText) =>
+        // the build-into-temp-then-rename idiom of real custom
+        // materializations — atomic through the warehouse
+        warehouse.rename(relOf(fromText), relOf(toText))
       case other =>
-        // side-effect statements (commands run eagerly inside
-        // spark.sql); take(1), never collect — a SELECT-shaped
-        // statement's result is discarded, so materializing it fully
-        // on the driver would be pure waste
+        // a WRITE shape the router did not recognize must never execute
+        // verbatim: Spark would write directly into the live relation
+        // directory, bypassing the warehouse's atomic machinery (and in
+        // manifest mode fail cryptically against a read-only view) —
+        // refuse loudly naming the supported shapes instead
+        require(!other.matches(
+          """(?is)^\s*(insert|update|delete|create|drop|truncate|alter|merge)\b.*"""),
+          s"materialization '$matName' statement('$stmtName') " +
+            s"(model '$modelName'): unsupported write statement shape — " +
+            "supported: CREATE [OR REPLACE] TABLE <rel> AS <select>, " +
+            "INSERT INTO|OVERWRITE <rel> <select>, DELETE FROM <rel> " +
+            "WHERE <pred>, DROP/TRUNCATE TABLE <rel>. Statement was: " +
+            other.linesIterator.take(2).mkString(" ").take(160))
+        // side-effect-free statements (SELECT probes etc.): take(1),
+        // never collect — the result is discarded
         try { spark.sql(warehouse.resolveSql(other)).take(1); () }
         catch { case e: Exception => throw new IllegalArgumentException(
           s"materialization '$matName' statement('$stmtName') failed " +
@@ -1573,7 +1601,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     val brokenUnits: Set[String] = project.unitTests
       .filter(ut => selected.contains(ut.model))
       .flatMap { ut =>
-        val r = runUnitTest(ut)
+        // a MALFORMED unit test (bad mock column -> AnalysisException,
+        // unknown model, empty given) is contained exactly like a
+        // failing one: record the error, skip only this model's cone —
+        // never abort the whole run (every other failure class is
+        // per-node)
+        val r = try runUnitTest(ut) catch {
+          case e: Exception =>
+            System.err.println(
+              s"[graft:unit] ${ut.name} ERRORED — ${e.getMessage}")
+            TestResult(ut.name, ut.model, 0L, "error")
+        }
         testResults.add(r)
         if (r.status == "error") Some(ut.model) else None
       }.toSet

@@ -202,6 +202,40 @@ class CustomMaterializationSpec extends AnyFunSuite {
     assert(e2.readModel("m").count() == 25) // delete+insert is idempotent
   }
 
+  test("build-into-temp-then-rename: make_temp_relation + ALTER TABLE RENAME") {
+    val p = project(
+      """{% materialization via_tmp, default %}
+        |  {% call statement('build_tmp') %}
+        |    create or replace table {{ make_temp_relation(this) }} as {{ sql }}
+        |  {% endcall %}
+        |  {% call statement('swap') %}
+        |    alter table {{ make_temp_relation(this) }} rename to {{ this }}
+        |  {% endcall %}
+        |{% endmaterialization %}""".stripMargin,
+      """{{ config(materialized='via_tmp') }}
+        |SELECT n_nationkey FROM {{ source('tpch','nation') }}""".stripMargin)
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.readModel("m").count() == 25)
+    // the temp relation does not survive the swap
+    assert(!e.warehouse.exists(e.relationFor("m__dbt_tmp")))
+  }
+
+  test("unrecognized write shapes in statements refuse loudly (atomicity guard)") {
+    val p = project(
+      """{% materialization sneaky, default %}
+        |  {% call statement('main') %}
+        |    create or replace table {{ this }} as {{ sql }}
+        |  {% endcall %}
+        |  {% call statement('bad') %}
+        |    update {{ this }} set x = 1
+        |  {% endcall %}
+        |{% endmaterialization %}""".stripMargin,
+      "{{ config(materialized='sneaky') }} SELECT 1 AS x")
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.exists(_.status != "success"))
+  }
+
   test("dbt-native project dir: materialization blocks load from macro dirs") {
     val dir = Files.createTempDirectory("graft_dbtmat")
     Files.writeString(dir.resolve("dbt_project.yml"),

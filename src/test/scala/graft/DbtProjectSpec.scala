@@ -410,9 +410,21 @@ class DbtProjectSpec extends AnyFunSuite {
          |        dbt_valid_from: start_ts
          |        dbt_valid_to: end_ts
          |""".stripMargin)
+    // dbt's documented home for YAML snapshots is snapshots/*.yml
+    // (snapshot-paths) — a second one there must load too
+    Files.createDirectories(proj.resolve("snapshots"))
+    put(proj, "snapshots/more.yml",
+      """snapshots:
+        |  - name: nation_snap2
+        |    relation: source('tpch', 'nation')
+        |    config:
+        |      unique_key: n_nationkey
+        |      strategy: check
+        |      check_cols: [n_name]
+        |""".stripMargin)
     val (p, _) = ProjectLoader.load(proj.toString)
-    assert(p.snapshots.size == 1)
-    val sn = p.snapshots.head
+    assert(p.snapshots.map(_.name).sorted == Seq("nation_snap", "nation_snap2"))
+    val sn = p.snapshots.find(_.name == "nation_snap").get
     assert(sn.name == "nation_snap")
     assert(sn.keys == Seq("n_nationkey"))
     assert(sn.strategy == graft.core.SnapshotStrategy.Check(

@@ -646,6 +646,12 @@ class JinjaCompilerSpec extends AnyFunSuite {
     val got2 = Compiler.expandMacros(
       "{% call fixed() %}ignored{% endcall %}", macros2)
     assert(got2.trim == "SELECT 9 AS n", got2)
+    // a NESTED call block would split at the inner endcall and splice
+    // corrupted text — refused loudly instead
+    val e = intercept[IllegalArgumentException](Compiler.expandMacros(
+      "{% call wrap(w) %}{% call statement('x') %}SELECT 2{% endcall %}" +
+        " tail{% endcall %}", macros))
+    assert(e.getMessage.contains("nested"), e.getMessage)
   }
 
   test("case-distinct probe columns make row accessors ambiguous (loud)") {

@@ -156,6 +156,31 @@ class SnapshotSpec extends AnyFunSuite {
     assertInvariants(wh, r)
   }
 
+  test("new_record: a key that STAYS deleted gains no phantom versions") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val r = Relation("db", "s", "snap_staydel")
+    val s1 = src(Seq((1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00"))))
+    val s2 = src(Seq((1L, "a", ts("2024-01-01 00:00:00"))))
+    snap.snapshot(s1, r, Seq("id"), strat, hardDeletes = Some("new_record"))
+    snap.snapshot(s2, r, Seq("id"), strat,
+      now = lit("2024-02-01 00:00:00").cast("timestamp"),
+      hardDeletes = Some("new_record"))
+    // two more runs with the key still absent: the open 'True' tracking
+    // row must NOT re-delete — exactly 2 versions of id=2, forever
+    snap.snapshot(s2, r, Seq("id"), strat,
+      now = lit("2024-03-01 00:00:00").cast("timestamp"),
+      hardDeletes = Some("new_record"))
+    snap.snapshot(s2, r, Seq("id"), strat,
+      now = lit("2024-04-01 00:00:00").cast("timestamp"),
+      hardDeletes = Some("new_record"))
+    val v2 = wh.read(r).filter(col("id") === 2).collect()
+    assert(v2.length == 2, v2.mkString("; "))
+    assert(v2.count(_.getAs[String]("dbt_is_deleted") == "True") == 1)
+    assertInvariants(wh, r)
+  }
+
   test("dbt_valid_to_current sentinel marks open rows; both spellings stay current") {
     val wh = freshWh(); val snap = new Snapshotter(wh)
     val strat = SnapshotStrategy.Timestamp("updated_at")
