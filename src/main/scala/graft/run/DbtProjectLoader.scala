@@ -485,23 +485,44 @@ object DbtProjectLoader {
     // Input spellings `ref('x')` / `source('a','b')` normalize to the
     // Engine.runUnitTest keys (`x` / `source:a.b`).
     def rowMaps(o: Obj, key: String, what: String): Seq[Map[String, String]] = {
-      def items(n: MiniYaml.Node): Seq[Map[String, String]] = n match {
-        case Arr(xs) => xs.map {
+      // `format: csv` fixtures ride a block scalar: header line + rows,
+      // empty cells -> absent (NULL) — dbt 1.8's inline-csv spelling
+      def csvRows(text: String): Seq[Map[String, String]] = {
+        val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        require(lines.nonEmpty, s"$what: empty csv fixture")
+        val header = lines.head.split(",", -1).map(_.trim)
+        lines.tail.map { l =>
+          val cells = l.split(",", -1).map(_.trim)
+          require(cells.length == header.length,
+            s"$what: csv row '$l' has ${cells.length} cells, header " +
+              s"has ${header.length}")
+          header.zip(cells).filter(_._2.nonEmpty).toMap
+        }
+      }
+      def items(fmt: String, n: MiniYaml.Node): Seq[Map[String, String]] = (fmt, n) match {
+        case ("dict", Arr(xs)) => xs.map {
           case r: Obj => r.entries.collect {
             case (k, Scalar(v)) => k -> v
           }.toMap
           case other => throw new IllegalArgumentException(
             s"$what: rows entries must be mappings, got $other")
         }
-        case Scalar("") => Nil
-        case other => throw new IllegalArgumentException(
+        case ("csv", Scalar(text)) if text.nonEmpty => csvRows(text)
+        case (_, Scalar("")) => Nil
+        case ("dict", other) => throw new IllegalArgumentException(
           s"$what: expected a rows list, got $other")
+        case (otherFmt, _) => throw new IllegalArgumentException(
+          s"$what: unsupported fixture format '$otherFmt' — " +
+            "supported: dict (row mappings), csv (block-scalar text)")
       }
       o.get(key) match {
-        // `expect:` nests its list under `rows:`; `given` entries carry
-        // `rows:` directly — accept both shapes
-        case Some(inner: Obj) => inner.get("rows").map(items).getOrElse(Nil)
-        case Some(node) => items(node)
+        // `expect:` nests its list under `rows:` (format: alongside it);
+        // `given` entries carry `rows:`/`format:` directly
+        case Some(inner: Obj) =>
+          inner.get("rows")
+            .map(items(inner.scalar("format").getOrElse("dict"), _))
+            .getOrElse(Nil)
+        case Some(node) => items(o.scalar("format").getOrElse("dict"), node)
         case None => Nil
       }
     }
@@ -533,8 +554,19 @@ object DbtProjectLoader {
           s"unit test '$utName': no 'expect:' key — a unit test must " +
             "state its expected rows (use 'expect: {rows: []}' to " +
             "assert zero rows)")
+        // overrides (dbt 1.8): vars/env_vars the model compiles with
+        // inside this test; macro overrides are out of scope — refuse
+        // loudly rather than silently compiling with the real macro
+        val ov = ut.obj("overrides")
+        require(ov.forall(_.obj("macros").isEmpty),
+          s"unit test '$utName': overrides.macros is unsupported — " +
+            "test the macro through a model that calls it")
+        def ovMap(k: String): Map[String, String] =
+          ov.flatMap(_.obj(k)).map(_.entries.collect {
+            case (n, Scalar(v)) => n -> v }.toMap).getOrElse(Map.empty)
         UnitTestDef(utName, model, given,
-          rowMaps(ut, "expect", s"unit test '$utName' expect"))
+          rowMaps(ut, "expect", s"unit test '$utName' expect"),
+          vars = ovMap("vars"), env = ovMap("env_vars"))
     }
 
     // ------------------------------------------------------------ seeds

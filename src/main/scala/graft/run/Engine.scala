@@ -180,7 +180,13 @@ object TestDef {
   */
 final case class UnitTestDef(name: String, model: String,
                              given: Map[String, Seq[Map[String, String]]],
-                             expect: Seq[Map[String, String]])
+                             expect: Seq[Map[String, String]],
+                             // dbt 1.8 `overrides:` — vars/env_vars the
+                             // model compiles with INSIDE this test only
+                             // (macro overrides are out of scope and the
+                             // loader refuses them loudly)
+                             vars: Map[String, String] = Map.empty,
+                             env: Map[String, String] = Map.empty)
 
 final case class Project(name: String,
                          sources: Seq[SourceDef] = Nil,
@@ -642,7 +648,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         rows.toIndexedSeq.map(r =>
           (0 until r.length).map(i => String.valueOf(r.get(i)))))
     }
-    def resolveIntrospection(sql0raw: String)
+    def resolveIntrospection(sql0raw: String,
+        configKvs: Map[String, String] = Compiler.inlineConfigKvs(m.rawSql))
         : (String, Map[String, Compiler.QueryResult]) = {
       // comments strip and raw bodies tokenize FIRST: a statement/
       // run_query inside a {# comment #} must never execute and a
@@ -652,7 +659,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       // to match); when it has none, the project-level expansion is
       // skipped and this is the only protection point. compile()'s
       // restoreRaw decodes the tokens at the end.
-      val sql0 = Compiler.protectRawAndStripComments(sql0raw)
+      // config.get/require read the model's OWN raw config kvs — dbt
+      // models occasionally read their config back (the materialization
+      // protocol shares the same resolver).
+      val sql0 = Compiler.resolveConfigCalls(
+        Compiler.protectRawAndStripComments(sql0raw), configKvs)
       // decide is_incremental() branches BEFORE probing: Jinja is lazy,
       // so a run_query inside a non-taken branch must never execute —
       // the canonical `max(ts) from {{ this }}` guard would otherwise
@@ -819,8 +830,9 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     if (ephemerals.isEmpty) body
     else {
       val ctes = ephemerals.map { e =>
-        val (eResolved, eTables) = resolveIntrospection(
-          project.models.find(_.name == e).get.rawSql)
+        val eDef = project.models.find(_.name == e).get
+        val (eResolved, eTables) = resolveIntrospection(eDef.rawSql,
+          Compiler.inlineConfigKvs(eDef.rawSql))
         val sql = Compiler.compile(eResolved, ctx.copy(queryResults = eTables))
         s"__cte__$e AS ($sql)"
       }.mkString(", ")
@@ -1699,10 +1711,12 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     */
   def runUnitTest(name: String, modelName: String,
                   given: Map[String, DataFrame],
-                  expect: DataFrame): UnitTestResult = {
+                  expect: DataFrame,
+                  vars: Map[String, String] = Map.empty,
+                  env: Map[String, String] = Map.empty): UnitTestResult = {
     val m = project.models.find(_.name == modelName).getOrElse(
       throw new IllegalArgumentException(s"unit test '$name': unknown model '$modelName'"))
-    val out = runUnitTestFrame(name, m, given)
+    val out = runUnitTestFrame(name, m, given, vars, env)
     val cols = expect.columns.toIndexedSeq
     def canon(df: DataFrame): Seq[String] =
       df.select(cols.map(col): _*).collect()
@@ -1718,7 +1732,9 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * into a unit test).
     */
   private def runUnitTestFrame(name: String, m: ModelDef,
-      given: Map[String, DataFrame]): DataFrame = {
+      given: Map[String, DataFrame],
+      extraVars: Map[String, String] = Map.empty,
+      extraEnv: Map[String, String] = Map.empty): DataFrame = {
     val safe = s"${name}_${m.name}".replaceAll("[^A-Za-z0-9_]", "_")
     val views = given.zipWithIndex.map { case ((k, df), i) =>
       val vn = s"__graft_unit_${safe}_$i"
@@ -1731,8 +1747,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       sourceTarget = (sn, tn) => views.getOrElse(s"source:$sn.$tn",
         throw new IllegalArgumentException(
           s"unit test '$name': no mock for source('$sn', '$tn')")),
-      thisTarget = "", env = target.env, isIncremental = false,
-      vars = mergedVars)
+      thisTarget = "", env = target.env ++ extraEnv, isIncremental = false,
+      vars = mergedVars ++ extraVars)
     spark.sql(Compiler.compile(m.rawSql, ctx))
   }
 
@@ -1770,12 +1786,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       val m = project.models.find(_.name == ut.model).getOrElse(
         throw new IllegalArgumentException(
           s"unit test '${ut.name}': unknown model '${ut.model}'"))
-      val n = runUnitTestFrame(ut.name, m, given).count()
+      val n = runUnitTestFrame(ut.name, m, given, ut.vars, ut.env).count()
       return TestResult(ut.name, ut.model, failures = n,
         status = if (n == 0) "pass" else "error")
     }
     val r = runUnitTest(ut.name, ut.model, given,
-      mockFrame(s"unit test '${ut.name}' expect", ut.expect))
+      mockFrame(s"unit test '${ut.name}' expect", ut.expect),
+      vars = ut.vars, env = ut.env)
     if (!r.passed)
       System.err.println(s"[graft:unit] ${ut.name} FAILED — missing: " +
         s"${r.missing.mkString("; ")} unexpected: ${r.unexpected.mkString("; ")}")

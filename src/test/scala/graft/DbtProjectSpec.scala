@@ -387,6 +387,81 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(nodes2.find(_.name == "staging").exists(_.status == "success"))
   }
 
+  test("unit_tests: csv fixtures and overrides (vars/env_vars)") {
+    val proj = Files.createTempDirectory("graft_unit_csv")
+    put(proj, "dbt_project.yml", "name: unitcsv\n")
+    put(proj, "models/staging.sql",
+      "SELECT n_nationkey AS id, n_name AS name " +
+        "FROM {{ source('tpch', 'nation') }}")
+    put(proj, "models/capped.sql",
+      """SELECT id, name FROM {{ ref('staging') }}
+        |WHERE id < {{ var('cap', '5') }}
+        |  AND name != '{{ env_var('SKIP_NAME', 'none') }}'""".stripMargin)
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |unit_tests:
+         |  - name: capped_respects_overrides
+         |    model: capped
+         |    overrides:
+         |      vars:
+         |        cap: '3'
+         |      env_vars:
+         |        SKIP_NAME: beta
+         |    given:
+         |      - input: ref('staging')
+         |        format: csv
+         |        rows: |
+         |          id,name
+         |          1,alpha
+         |          2,beta
+         |          7,gamma
+         |    expect:
+         |      format: csv
+         |      rows: |
+         |        id,name
+         |        1,alpha
+         |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    val ut = p.unitTests.head
+    assert(ut.vars == Map("cap" -> "3"))
+    assert(ut.env == Map("SKIP_NAME" -> "beta"))
+    assert(ut.given("staging").size == 3)
+    assert(ut.expect == Seq(Map("id" -> "1", "name" -> "alpha")))
+    val e = new Engine(spark, p,
+      Target(Files.createTempDirectory("graft_unitcsv_wh").toString))
+    val (_, tests) = e.build()
+    assert(tests.exists(t => t.name == "capped_respects_overrides" &&
+      t.status == "pass"), tests.toString)
+    // overrides.macros refuses loudly
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |unit_tests:
+         |  - name: bad
+         |    model: capped
+         |    overrides:
+         |      macros:
+         |        is_incremental: false
+         |    given: []
+         |    expect:
+         |      rows: []
+         |""".stripMargin)
+    val err = intercept[IllegalArgumentException](
+      ProjectLoader.load(proj.toString))
+    assert(err.getMessage.contains("overrides.macros"), err.getMessage)
+  }
+
   test("dbt 1.9 YAML snapshots: relation + config incl. new_record and meta renames") {
     val proj = Files.createTempDirectory("graft_ymlsnap")
     put(proj, "dbt_project.yml", "name: ymlsnap\n")

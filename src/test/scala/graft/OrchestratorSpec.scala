@@ -981,6 +981,20 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(e3.build()._1.exists(_.status != "success"))
   }
 
+  test("models read their own config back via config.get") {
+    val p = baseProject.copy(models = Seq(ModelDef("self_aware",
+      """{{ config(materialized='table', flavor='vanilla') }}
+        |SELECT '{{ config.get('flavor', 'plain') }}' AS flavor,
+        |       '{{ config.get('missing_key', 'dflt') }}' AS fallback,
+        |       n_nationkey
+        |FROM {{ source('tpch','nation') }} WHERE n_nationkey = 0""".stripMargin)))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    val row = e.readModel("self_aware").collect().head
+    assert(row.getString(0) == "vanilla")
+    assert(row.getString(1) == "dflt")
+  }
+
   test("catalogInfo reports rows, bytes and partitions per relation") {
     val e = new Engine(spark, baseProject, Target(root()))
     assert(e.build()._1.forall(_.status == "success"))
