@@ -2976,9 +2976,11 @@ object Compiler {
               // the non-greedy body capture would split a NESTED call
               // block at the inner endcall and splice corrupted text —
               // refuse loudly instead (a statement block inside a
-              // wrapper body is the common victim)
-              require(!m.group(3).contains("{% call") &&
-                  !m.group(3).contains("{%- call"),
+              // wrapper body is the common victim). Detect with the
+              // same spacing tolerance macroCallBlockRe accepts, not a
+              // literal substring.
+              require(
+                """\{%-?\s*call\b""".r.findFirstIn(m.group(3)).isEmpty,
                 s"{% call $name(...) %}: nested {% call %} blocks are " +
                   "unsupported — move the inner call out of the wrapper " +
                   "body")

@@ -486,17 +486,46 @@ object DbtProjectLoader {
     // Engine.runUnitTest keys (`x` / `source:a.b`).
     def rowMaps(o: Obj, key: String, what: String): Seq[Map[String, String]] = {
       // `format: csv` fixtures ride a block scalar: header line + rows,
-      // empty cells -> absent (NULL) — dbt 1.8's inline-csv spelling
+      // empty cells -> NULL — dbt 1.8's inline-csv spelling. Quote-aware
+      // split: a double-quoted cell may contain commas, `""` escapes a
+      // literal quote, and the wrapping quotes strip. The HEADER defines
+      // the column set — an all-empty column still exists (as NULLs) in
+      // the mock relation.
+      def splitCsvLine(l: String): Seq[String] = {
+        val out = Seq.newBuilder[String]
+        val sb = new StringBuilder
+        var inQ = false
+        var i = 0
+        while (i < l.length) {
+          val c = l.charAt(i)
+          if (inQ) {
+            if (c == '"') {
+              if (i + 1 < l.length && l.charAt(i + 1) == '"') {
+                sb.append('"'); i += 1
+              } else inQ = false
+            } else sb.append(c)
+          } else c match {
+            case '"' => inQ = true
+            case ',' => out += sb.result().trim; sb.clear()
+            case _ => sb.append(c)
+          }
+          i += 1
+        }
+        out += sb.result().trim
+        out.result()
+      }
       def csvRows(text: String): Seq[Map[String, String]] = {
         val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
         require(lines.nonEmpty, s"$what: empty csv fixture")
-        val header = lines.head.split(",", -1).map(_.trim)
+        val header = splitCsvLine(lines.head)
         lines.tail.map { l =>
-          val cells = l.split(",", -1).map(_.trim)
+          val cells = splitCsvLine(l)
           require(cells.length == header.length,
             s"$what: csv row '$l' has ${cells.length} cells, header " +
               s"has ${header.length}")
-          header.zip(cells).filter(_._2.nonEmpty).toMap
+          // keep EVERY header column; empty cell = NULL (mockFrame
+          // renders a null-valued key as a NULL literal)
+          header.zip(cells.map(c => if (c.isEmpty) null else c)).toMap
         }
       }
       def items(fmt: String, n: MiniYaml.Node): Seq[Map[String, String]] = (fmt, n) match {
@@ -517,11 +546,16 @@ object DbtProjectLoader {
       }
       o.get(key) match {
         // `expect:` nests its list under `rows:` (format: alongside it);
-        // `given` entries carry `rows:`/`format:` directly
+        // `given` entries carry `rows:`/`format:` directly. A mapping
+        // WITHOUT a rows key is a typo ('rowz:'), not the zero-rows
+        // contract — refuse, never silently assert emptiness.
         case Some(inner: Obj) =>
-          inner.get("rows")
-            .map(items(inner.scalar("format").getOrElse("dict"), _))
-            .getOrElse(Nil)
+          val rows = inner.get("rows").getOrElse(
+            throw new IllegalArgumentException(
+              s"$what: no 'rows:' key under '$key' (keys present: " +
+                s"${inner.entries.map(_._1).mkString(", ")}) — spell " +
+                "an empty expectation as 'rows: []'"))
+          items(inner.scalar("format").getOrElse("dict"), rows)
         case Some(node) => items(o.scalar("format").getOrElse("dict"), node)
         case None => Nil
       }

@@ -1025,12 +1025,16 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     val kvs = Compiler.inlineConfigKvs(m.rawSql)
     val prepped0 = Compiler.prepareMaterializationBody(
       body, compiledSelect, kvs, fullRefresh)
-    // {{ make_temp_relation(this) }} (reference @194314): the
-    // __dbt_tmp-suffixed sibling relation — the build-into-temp-then-
-    // rename idiom; resolves HERE because only the engine knows the path
+    // {{ make_temp_relation(this) }} (reference @194314): a
+    // __graft_tmp-suffixed sibling relation — the build-into-temp-then-
+    // rename idiom; resolves HERE because only the engine knows the
+    // path. The suffix is deliberately DISJOINT from writeAtomic's
+    // internal __dbt_tmp/__dbt_backup scratch names: a create-as-select
+    // whose SOURCE is the user temp must not have its input deleted by
+    // the writer's own scratch cleanup.
     val prepped = """\{\{\s*make_temp_relation\(\s*this\s*\)\s*\}\}""".r
       .replaceAllIn(prepped0, scala.util.matching.Regex.quoteReplacement(
-        Compiler.pathRelation(relationFor(m.name).suffixed("__dbt_tmp")
+        Compiler.pathRelation(relationFor(m.name).suffixed("__graft_tmp")
           .pathUnder(target.warehouseRoot))))
     val rendered = compileSql(ModelDef(m.name, prepped), selected,
       deferRoot, fullRefresh, deferFetchless = true)
@@ -1141,15 +1145,28 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         warehouse.truncate(relOf(relText))
       case matRenameRe(fromText, toText) =>
         // the build-into-temp-then-rename idiom of real custom
-        // materializations — atomic through the warehouse
-        warehouse.rename(relOf(fromText), relOf(toText))
+        // materializations. A rename ONTO an existing relation must
+        // replace it (fs.rename would instead move the source INSIDE
+        // the live directory and silently corrupt it) — do the same
+        // backup dance as the native table swap.
+        val (from, to) = (relOf(fromText), relOf(toText))
+        val backup = to.suffixed("__graft_mat_backup")
+        if (warehouse.exists(backup)) warehouse.drop(backup)
+        if (warehouse.exists(to)) warehouse.rename(to, backup)
+        warehouse.rename(from, to)
+        if (warehouse.exists(backup)) warehouse.drop(backup)
       case other =>
         // a WRITE shape the router did not recognize must never execute
         // verbatim: Spark would write directly into the live relation
         // directory, bypassing the warehouse's atomic machinery (and in
         // manifest mode fail cryptically against a read-only view) —
-        // refuse loudly naming the supported shapes instead
-        require(!other.matches(
+        // refuse loudly naming the supported shapes. Session-scoped
+        // metadata DDL writes NO storage and stays legal: temp views
+        // (the standard dbt-spark materialization idiom) and their drops.
+        val isSessionDdl = other.matches(
+          """(?is)^create\s+(or\s+replace\s+)?temp(orary)?\s+view\b.*""") ||
+          other.matches("""(?is)^drop\s+view\b.*""")
+        require(isSessionDdl || !other.matches(
           """(?is)^\s*(insert|update|delete|create|drop|truncate|alter|merge)\b.*"""),
           s"materialization '$matName' statement('$stmtName') " +
             s"(model '$modelName'): unsupported write statement shape — " +

@@ -218,7 +218,32 @@ class CustomMaterializationSpec extends AnyFunSuite {
     assert(e.build()._1.forall(_.status == "success"))
     assert(e.readModel("m").count() == 25)
     // the temp relation does not survive the swap
-    assert(!e.warehouse.exists(e.relationFor("m__dbt_tmp")))
+    assert(!e.warehouse.exists(e.relationFor("m__graft_tmp")))
+    // RERUN: the rename must REPLACE the existing live relation (a raw
+    // fs.rename would move the temp INSIDE it and corrupt the table)
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.readModel("m").count() == 25)
+  }
+
+  test("session-scoped temp-view DDL stays legal in statements") {
+    val p = project(
+      """{% materialization via_view, default %}
+        |  {% call statement('stage') %}
+        |    create or replace temporary view __graft_custmat_v as {{ sql }}
+        |  {% endcall %}
+        |  {% call statement('main') %}
+        |    create or replace table {{ this }} as
+        |    select * from __graft_custmat_v
+        |  {% endcall %}
+        |  {% call statement('cleanup') %}
+        |    drop view __graft_custmat_v
+        |  {% endcall %}
+        |{% endmaterialization %}""".stripMargin,
+      """{{ config(materialized='via_view') }}
+        |SELECT n_nationkey FROM {{ source('tpch','nation') }}""".stripMargin)
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    assert(e.readModel("m").count() == 25)
   }
 
   test("unrecognized write shapes in statements refuse loudly (atomicity guard)") {

@@ -438,6 +438,69 @@ class DbtProjectSpec extends AnyFunSuite {
     val (_, tests) = e.build()
     assert(tests.exists(t => t.name == "capped_respects_overrides" &&
       t.status == "pass"), tests.toString)
+    // csv edge cases: quoted cells with commas and escaped quotes parse;
+    // an all-empty column still exists (as NULLs) because the HEADER
+    // defines the column set; a typo'd rows key refuses loudly
+    put(proj, "models/passthru.sql",
+      "SELECT id, label, note FROM {{ ref('staging') }}")
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |unit_tests:
+         |  - name: csv_quotes
+         |    model: passthru
+         |    given:
+         |      - input: ref('staging')
+         |        format: csv
+         |        rows: |
+         |          id,label,note
+         |          1,"Smith, John",
+         |          2,"says ""hi"" there",
+         |    expect:
+         |      format: csv
+         |      rows: |
+         |        id,label,note
+         |        1,"Smith, John",
+         |        2,"says ""hi"" there",
+         |""".stripMargin)
+    val (p3, _) = ProjectLoader.load(proj.toString)
+    val utq = p3.unitTests.head
+    assert(utq.given("staging").head("label") == "Smith, John")
+    assert(utq.given("staging")(1)("label") == "says \"hi\" there")
+    assert(utq.given("staging").head.contains("note")) // all-empty col kept
+    assert(utq.given("staging").head("note") == null)
+    val e3 = new Engine(spark, p3,
+      Target(Files.createTempDirectory("graft_unitcsv_wh3").toString))
+    assert(e3.build()._2.exists(t => t.name == "csv_quotes" &&
+      t.status == "pass"), e3.build()._2.toString)
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |unit_tests:
+         |  - name: typo
+         |    model: passthru
+         |    given:
+         |      - input: ref('staging')
+         |        rows:
+         |          - {id: 1}
+         |    expect:
+         |      rowz:
+         |        - {id: 1}
+         |""".stripMargin)
+    val typoErr = intercept[IllegalArgumentException](
+      ProjectLoader.load(proj.toString))
+    assert(typoErr.getMessage.contains("rows"), typoErr.getMessage)
+
     // overrides.macros refuses loudly
     put(proj, "models/schema.yml",
       s"""version: 2
