@@ -1589,6 +1589,36 @@ object OrchestratorQueries {
       |  round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 4) AS avg_r
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** `{% call %}` wrapper blocks end-to-end: a user macro receives the
+    * block body at its `{{ caller() }}` site — the dbt wrapper-macro
+    * protocol (audit/logging shells). The wrapper here adds a
+    * row-count audit column around whatever query it wraps; the oracle
+    * recomputes the expanded SQL directly.
+    */
+  def callerBlock(s: SparkSession, d: String): DataFrame = {
+    val macros = graft.compile.Compiler.parseMacros(
+      """{% macro with_audit(tag) %}
+        |SELECT w.*, count(*) OVER () AS n_rows, {{ tag }} AS audit_tag
+        |FROM ({{ caller() }}) w
+        |{% endmacro %}""".stripMargin).map(m => m.name -> m).toMap
+    val project = Project(name = "demo_caller",
+      sources = Seq(SourceDef("tpch", "region", s"$d/region.parquet")),
+      models = Seq(ModelDef("audited_regions",
+        """{% call with_audit('r1') %}
+          |SELECT r_regionkey, r_name FROM {{ source('tpch','region') }}
+          |WHERE r_regionkey < 3
+          |{% endcall %}""".stripMargin)),
+      macros = macros)
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("audited_regions")
+  }
+
+  val callerBlockSql: String =
+    """SELECT w.*, count(*) OVER () AS n_rows, 'r1' AS audit_tag
+      |FROM (SELECT r_regionkey, r_name FROM region
+      |      WHERE r_regionkey < 3) w""".stripMargin
+
   /** dbt-utils web + bucketing macros end-to-end: `get_url_host/path/
     * parameter` (pure string ops — no parse_url, so the DuckDB oracle
     * reproduces them byte-identically), `width_bucket` (the dbt-utils
