@@ -1144,6 +1144,11 @@ object Compiler {
         }
         kvs.get("lookback").foreach(v => cfg = cfg.copy(lookback = v.toInt))
         kvs.get("begin").foreach(v => cfg = cfg.copy(begin = v))
+        // reference bigquery_options @15210
+        kvs.get("require_partition_filter").foreach(v =>
+          cfg = cfg.copy(requirePartitionFilter = v == "true" || v == "True"))
+        kvs.get("sql_header").foreach(v =>
+          cfg = cfg.copy(sqlHeader = Some(v).filter(_.trim.nonEmpty)))
         cfg
   }
 
@@ -2816,6 +2821,23 @@ object Compiler {
       ""
     })
     (stmts.result(), leftover)
+  }
+
+  // `{% call set_sql_header(config) %} … {% endcall %}` (reference macro
+  // `macro.dbt.set_sql_header`, manifest.json:1): the block's body is the
+  // model's SQL header, captured at compile time and executed by the
+  // engine as session-scoped statements BEFORE the model body
+  private val sqlHeaderRe =
+    """(?is)\{%-?\s*call\s+set_sql_header\(\s*config\s*\)\s*-?%\}(.*?)\{%-?\s*endcall\s*-?%\}""".r
+
+  /** Split a model's raw SQL into (sql_header, body-without-the-block).
+    * Multiple blocks concatenate in document order (dbt overwrites —
+    * concatenation is the stricter, lossless reading).
+    */
+  def extractSqlHeader(rawSql: String): (Option[String], String) = {
+    val headers = sqlHeaderRe.findAllMatchIn(rawSql).map(_.group(1).trim).toSeq
+    if (headers.isEmpty) (None, rawSql)
+    else (Some(headers.mkString("\n;\n")), sqlHeaderRe.replaceAllIn(rawSql, ""))
   }
 
   /** The raw key/value pairs of an inline `{{ config(...) }}` call —

@@ -110,6 +110,19 @@ final case class ModelConfig(
     // partition). Default false: the guard runs and a detected moved key
     // falls back to the full-table merge.
     partitionKeysStable: Boolean = false,
+    // `require_partition_filter` (reference bigquery_options @15210): a
+    // declared guard — queries reading this relation MUST carry a
+    // partition predicate, or the engine refuses loudly (naming the
+    // partition column) instead of running an accidental full scan. At
+    // 100 TB this is the difference between a pruned read and a
+    // cluster-wide table scan. Enforced plan-level after Catalyst
+    // pushdown (plans/PartitionFilterGuard); --full-refresh rebuilds are
+    // exempt (a deliberate, flagged full reprocess).
+    requirePartitionFilter: Boolean = false,
+    // dbt `sql_header` config (the config-kv spelling of
+    // `set_sql_header`; reference macro.dbt.set_sql_header): session
+    // DDL executed before the model body — see Engine.runSqlHeader
+    sqlHeader: Option[String] = None,
     // dbt `incremental_predicates`: SQL predicates over TARGET columns
     // (optionally `DBT_INTERNAL_DEST.`-prefixed, dbt's alias) ANDed into
     // the merge family's anti-join condition — target rows outside the

@@ -6,26 +6,72 @@ import org.apache.spark.sql.types.{StructField, StructType}
 import graft.core._
 
 /** Schema-evolution policies for incremental models (reference
-  * `check_for_schema_changes` @133295, `process_schema_changes` @137505,
-  * `sync_column_schemas` @135344, widening via
-  * `adapter.expand_target_column_types` @139412).
+  * `check_for_schema_changes` @133295 incl. `diff_column_data_types`
+  * @132239, `process_schema_changes` @137505, `sync_column_schemas`
+  * @135344, widening via `adapter.expand_target_column_types` @139412).
+  *
+  * Type reconciliation on common columns (the `new_target_types` side of
+  * the reference's schema-change check): when an increment's column type
+  * GROWS (int→bigint, a double where int was), the TARGET widens to the
+  * tightest common type before the upsert — under every policy except
+  * `fail`, which trips on type changes just like column changes. Without
+  * this, `conform` would cast the increment DOWN to the target's narrower
+  * type, and in non-ANSI Spark an overflowing long→int cast wraps/nulls
+  * silently — corrupted data under a green build. A narrower increment is
+  * the safe direction (cast up to the target type, lossless); two types
+  * with no common supertype (int vs string) fail loudly under every
+  * policy.
   */
 object SchemaEvolution {
+  import org.apache.spark.sql.types.DataType
+  import org.apache.spark.sql.catalyst.analysis.TypeCoercion
 
   final case class Diff(sourceNotInTarget: Seq[StructField],
                         targetNotInSource: Seq[StructField],
-                        common: Seq[String]) {
+                        common: Seq[String],
+                        typeChanged: Seq[(String, DataType, DataType)]) {
     def changed: Boolean = sourceNotInTarget.nonEmpty || targetNotInSource.nonEmpty
   }
 
   def diff(source: StructType, target: StructType): Diff = {
     val s = source.fields.map(f => f.name.toLowerCase -> f).toMap
     val t = target.fields.map(f => f.name.toLowerCase -> f).toMap
+    val common = target.fields.toSeq.map(_.name).filter(n => s.contains(n.toLowerCase))
     Diff(
       source.fields.toSeq.filterNot(f => t.contains(f.name.toLowerCase)),
       target.fields.toSeq.filterNot(f => s.contains(f.name.toLowerCase)),
-      target.fields.toSeq.map(_.name).filter(n => s.contains(n.toLowerCase)))
+      common,
+      // reference diff_column_data_types @132239: common columns whose
+      // source type differs from the target's → (name, srcType, tgtType)
+      common.collect { case n
+          if s(n.toLowerCase).dataType != t(n.toLowerCase).dataType =>
+        (n, s(n.toLowerCase).dataType, t(n.toLowerCase).dataType) })
   }
+
+  /** Per-common-column target widening (`expand_target_column_types`
+    * @139412): columns the target must grow to absorb the increment
+    * losslessly. A source type the target already covers (tightest common
+    * type IS the target type) needs nothing — `conform` casts the
+    * increment up. No common supertype → loud error (caller names the
+    * model).
+    */
+  private def widenedColumns(d: Diff): Seq[(String, DataType)] =
+    d.typeChanged.flatMap { case (name, srcT, tgtT) =>
+      TypeCoercion.findTightestCommonType(srcT, tgtT) match {
+        case Some(w) if w == tgtT => None // increment narrower: lossless cast up
+        case Some(w) => Some(name -> w)   // target widens (int→bigint, …)
+        case None => throw new IllegalStateException(
+          s"incremental schema change: column `$name` changed from " +
+            s"${tgtT.sql} to ${srcT.sql} with no common supertype; " +
+            "rerun with full_refresh to rebuild on the new type")
+      }
+    }
+
+  private def widen(schema: StructType, cols: Seq[(String, DataType)]): StructType =
+    StructType(schema.fields.map { f =>
+      cols.collectFirst { case (n, t) if n.equalsIgnoreCase(f.name) =>
+        f.copy(dataType = t) }.getOrElse(f)
+    })
 
   /** Align `incoming` and the existing `target` data to the post-policy
     * schema. Returns (alignedIncoming, alignedTarget, requiresTargetRewrite).
@@ -33,24 +79,46 @@ object SchemaEvolution {
   def apply(policy: OnSchemaChange, incoming: DataFrame, target: DataFrame)
       : (DataFrame, DataFrame, Boolean) = {
     val d = diff(incoming.schema, target.schema)
-    if (!d.changed) (conform(incoming, target.schema), target, false)
+    if (policy == OnSchemaChange.Fail && (d.changed || d.typeChanged.nonEmpty))
+      throw new IllegalStateException(
+        s"on_schema_change=fail: +${d.sourceNotInTarget.map(_.name).mkString(",")}" +
+          s" -${d.targetNotInSource.map(_.name).mkString(",")}" +
+          d.typeChanged.map { case (n, s, t) =>
+            s" ~$n(${t.sql}->${s.sql})" }.mkString)
+    val widened = widenedColumns(d)
+    // the target schema every policy starts from: existing columns, with
+    // type-grown ones widened to the tightest common type
+    val tgtSchema = widen(target.schema, widened)
+    if (!d.changed)
+      (conform(incoming, tgtSchema),
+        if (widened.isEmpty) target else conform(target, tgtSchema),
+        widened.nonEmpty)
     else policy match {
       case OnSchemaChange.Ignore =>
-        // keep the target's schema; new source columns are dropped, columns
-        // missing from the source are filled with NULL
-        (conform(incoming, target.schema), target, false)
+        // keep the target's column SET; new source columns are dropped,
+        // columns missing from the source are filled with NULL — but type
+        // widening still applies (expand_target_column_types runs before
+        // the policy check in the reference materialization)
+        (conform(incoming, tgtSchema),
+          if (widened.isEmpty) target else conform(target, tgtSchema),
+          widened.nonEmpty)
       case OnSchemaChange.Fail =>
-        throw new IllegalStateException(
-          s"on_schema_change=fail: +${d.sourceNotInTarget.map(_.name).mkString(",")}" +
-            s" -${d.targetNotInSource.map(_.name).mkString(",")}")
+        throw new IllegalStateException("unreachable: fail handled above")
       case OnSchemaChange.AppendNewColumns =>
         // target grows the new source columns (NULL for history); removed
         // columns are kept
-        val merged = StructType(target.schema.fields ++ d.sourceNotInTarget)
+        val merged = StructType(tgtSchema.fields ++ d.sourceNotInTarget)
         (conform(incoming, merged), conform(target, merged), true)
       case OnSchemaChange.SyncAllColumns =>
-        // target takes the source schema exactly: add new, drop removed
-        (incoming, conform(target, incoming.schema), true)
+        // target takes the source column set: add new, drop removed; common
+        // columns still take the WIDER of the two types (never narrow
+        // history silently)
+        val synced = widen(incoming.schema,
+          d.typeChanged.flatMap { case (n, srcT, tgtT) =>
+            TypeCoercion.findTightestCommonType(srcT, tgtT)
+              .collect { case w if w != srcT => n -> w }
+          })
+        (conform(incoming, synced), conform(target, synced), true)
     }
   }
 
@@ -150,7 +218,39 @@ final class Materializer(wh: Warehouse) {
         base.schema(schema).csv(csvPath)
       } else {
         val inferred = base.option("inferSchema", "true").csv(csvPath)
-        columnTypes.foldLeft(inferred) { case (df, (c, t)) =>
+        // agate-parity refinement (dbt's seed loader is agate): agate's
+        // Boolean accepts t/f/yes/no/y/n spellings that Spark's csv
+        // inference leaves as string, while ISO dates/timestamps already
+        // infer identically (DateType/TimestampType — probed on this
+        // Spark). One bounded pass collects each leftover string
+        // column's distinct lowercased values and upgrades all-boolean
+        // columns — seeds are small by dbt contract (agate loads them
+        // fully in memory), so the extra pass is control-plane-sized.
+        // columns with an explicit column_types override are read AS
+        // DECLARED (agate's text-override semantics): the upgrade must
+        // not run first — boolean-upgrading a 't' then casting to the
+        // declared string would store 'true', destroying the raw value
+        val strCols = inferred.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).filterNot(c => byLower.contains(c.toLowerCase))
+          .toIndexedSeq
+        val refined =
+          if (strCols.isEmpty) inferred
+          else {
+            val trueV = Set("true", "t", "yes", "y")
+            val falseV = Set("false", "f", "no", "n")
+            val distincts = inferred.select(strCols.map(c =>
+              collect_set(lower(trim(col(c)))).as(c)): _*).head()
+            val boolCols = strCols.filter { c =>
+              val vs = distincts.getAs[scala.collection.Seq[String]](c).toSet
+              vs.nonEmpty && vs.subsetOf(trueV ++ falseV)
+            }
+            boolCols.foldLeft(inferred) { (df, c) =>
+              df.withColumn(c, when(col(c).isNull, lit(null).cast("boolean"))
+                .otherwise(lower(trim(col(c))).isin(trueV.toSeq: _*)))
+            }
+          }
+        columnTypes.foldLeft(refined) { case (df, (c, t)) =>
           df.withColumn(c, col(c).cast(t))
         }
       }
@@ -255,8 +355,15 @@ final class Materializer(wh: Warehouse) {
           } else wh.overwritePartitions(inc, rel, Seq(pcol))
         }
       case Merge if cfg.uniqueKey.isEmpty =>
-        // append-only merge (`ON FALSE`, @89014)
-        wh.append(inc, rel, cfg.partitionBy)
+        // append-only merge (`ON FALSE`, @89014). When the schema evolved
+        // (new columns or a widened type) a plain append would land
+        // new-schema files next to old-schema ones — mixed parquet schemas
+        // a later read resolves arbitrarily — so the one evolving run pays
+        // a full atomic rewrite on the merged schema instead.
+        if (requiresTargetRewrite)
+          wh.writeAtomic(tgt.unionByName(inc), rel, cfg.partitionBy,
+            cfg.clusterBy)
+        else wh.append(inc, rel, cfg.partitionBy)
       case Merge if cfg.mergeUpdateColumns.nonEmpty =>
         mergeScope(inc, rel, cfg, requiresTargetRewrite) match {
           case Some((pcol, tgtScoped)) =>

@@ -330,7 +330,13 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     // new_record deletion-tracking rows: the last-known data values stay
     // CURRENT under dbt_is_deleted='True', versioned at transaction time
     val insertions = {
-      val ins = if (newRecord) insertions0.withColumn(DEL, lit("False"))
+      // hard_deletes toggled new_record → ignore/invalidate on an existing
+      // snapshot: the stored rows still carry the deletion-flag column, so
+      // new versions must too (as 'False') — otherwise the payload union's
+      // select(touchedCurrent.columns) throws an unresolved-column error
+      // with no hint at the config toggle that caused it
+      val ins = if (newRecord || all.columns.contains(DEL))
+                  insertions0.withColumn(DEL, lit("False"))
                 else insertions0
       if (!newRecord) ins
       else ins.unionByName(staging.filter(col("__is_delete"))

@@ -305,6 +305,37 @@ object MatQueries {
       |  (2::BIGINT, 'beta', 2.25::DOUBLE),
       |  (3::BIGINT, 'gamma', -3.75::DOUBLE)) t(id, name, score)""".stripMargin
 
+  /** B18 agate-parity: a seed with ISO date, ISO timestamp, and agate
+    * boolean spellings (t/f) types like dbt's loader — date/timestamp
+    * infer natively, the t/f column upgrades to BOOLEAN (Spark inference
+    * alone leaves it string), and explicit `column_types` still win.
+    */
+  def bSeedAgateTypes(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val csv = Files.createTempFile("graft_seed_agate", ".csv")
+    Files.writeString(csv,
+      "id,active,flag,joined,seen_at,label\n" +
+        "1,t,True,2024-01-02,2024-01-02 03:04:05,yes it is\n" +
+        "2,f,False,2024-02-03,2024-02-03 04:05:06,plain\n" +
+        "3,yes,True,2024-03-04,2024-03-04 05:06:07,\n")
+    val out = m.seed(s, csv.toString, rel("seed_agate"))
+    require(out.schema("active").dataType.typeName == "boolean",
+      s"t/f/yes column must type boolean, got ${out.schema("active").dataType}")
+    require(out.schema("joined").dataType.typeName == "date" &&
+      out.schema("seen_at").dataType.typeName == "timestamp",
+      "ISO date/timestamp columns must infer natively")
+    require(out.schema("label").dataType.typeName == "string",
+      "'yes it is' is text, not boolean — the all-values rule must hold")
+    out
+  }
+  val bSeedAgateTypesSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, true, true, DATE '2024-01-02', TIMESTAMP '2024-01-02 03:04:05', 'yes it is'),
+      |  (2, false, false, DATE '2024-02-03', TIMESTAMP '2024-02-03 04:05:06', 'plain'),
+      |  (3, true, true, DATE '2024-03-04', TIMESTAMP '2024-03-04 05:06:07', NULL)
+      |) t(id, active, flag, joined, seen_at, label)""".stripMargin
+
   // ----------------------------------------------------------- B20 copy
   /** B20: table copy materialization — union of input relations appended
     * into the destination (`materialization_copy_bigquery` @45600).
@@ -342,6 +373,35 @@ object MatQueries {
   val b48AppendNewColumnsSql: String =
     """SELECT r_regionkey, r_name,
       |  CASE WHEN r_regionkey >= 3 THEN 'c_' || r_name END AS r_comment
+      |FROM region""".stripMargin
+
+  /** B48/B33 type reconciliation: the target starts with an INT value
+    * column, the second increment carries it as BIGINT with values > 2³¹ —
+    * the engine must widen the target to long (expand_target_column_types
+    * @139412) rather than silently wrap/null the big values under a
+    * narrowing cast. History rows survive as longs, increment rows keep
+    * their full magnitude.
+    */
+  def b48TypeWiden(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWarehouse(s)
+    val m = new Materializer(wh)
+    val r = rel("region_widen")
+    val cfg = ModelConfig(materialized = "incremental",
+      uniqueKey = Seq("rk"),
+      incrementalStrategy = IncrementalStrategy.Merge)
+    val reg = region(s, d)
+    m.incremental(reg.select(col("r_regionkey").cast("int").as("rk"),
+      (col("r_regionkey") * 10).cast("int").as("val")), r, cfg)
+    val inc = reg.filter(col("r_regionkey") >= 3)
+      .select(col("r_regionkey").cast("int").as("rk"),
+        (col("r_regionkey") * 10 + 5000000000L).cast("bigint").as("val"))
+    m.incremental(inc, r, cfg)
+    wh.read(r)
+  }
+  val b48TypeWidenSql: String =
+    """SELECT CAST(r_regionkey AS INTEGER) AS rk,
+      |  CAST(CASE WHEN r_regionkey >= 3 THEN r_regionkey * 10 + 5000000000
+      |       ELSE r_regionkey * 10 END AS BIGINT) AS val
       |FROM region""".stripMargin
 
   // --------------------------------------------------------- zorder layout

@@ -1703,6 +1703,67 @@ object OrchestratorQueries {
       |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
       |  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin
 
+  /** `require_partition_filter` end-to-end (reference bigquery_options
+    * @15210): a guarded, partitioned model; the downstream's WHERE on the
+    * partition column pushes to the scan (accepted, partition-pruned);
+    * the same downstream WITHOUT a predicate is refused loudly — asserted
+    * here as an invariant before returning the pruned result the oracle
+    * recomputes.
+    */
+  def requirePartitionFilter(s: SparkSession, d: String): DataFrame = {
+    def proj(downstreamSql: String) = Project(name = "demo_guard",
+      sources = Seq(SourceDef("tpch", "orders", s"$d/orders.parquet")),
+      models = Seq(
+        ModelDef("orders_part",
+          """{{ config(materialized='table', partition_by='o_orderstatus',
+            |          require_partition_filter=true) }}
+            |SELECT o_orderkey, o_totalprice, o_orderstatus
+            |FROM {{ source('tpch','orders') }}""".stripMargin),
+        ModelDef("status_f", downstreamSql)))
+    val pruned =
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM {{ ref('orders_part') }} WHERE o_orderstatus = 'F'""".stripMargin
+    val engine = new Engine(s, proj(pruned), Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    // invariant: the unpredicated spelling is REFUSED (full scan blocked)
+    val bad = new Engine(s, proj(
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM {{ ref('orders_part') }}"),
+      Target(freshRoot(), threads = 1))
+    val badDown = bad.build()._1.find(_.name == "status_f").get
+    require(badDown.status != "success" &&
+      badDown.error.exists(_.contains("require_partition_filter")),
+      s"unpredicated read of a guarded relation must fail, got $badDown")
+    engine.readModel("status_f")
+  }
+
+  val requirePartitionFilterSql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  /** `set_sql_header` end-to-end (reference macro.dbt.set_sql_header):
+    * the header declares a session-scoped SQL temp function the model
+    * body calls; the engine executes the header before the build. The
+    * oracle recomputes the function inline.
+    */
+  def sqlHeader(s: SparkSession, d: String): DataFrame = {
+    val project = Project(name = "demo_hdr",
+      sources = Seq(SourceDef("tpch", "nation", s"$d/nation.parquet")),
+      models = Seq(ModelDef("tagged_nations",
+        """{% call set_sql_header(config) %}
+          |CREATE OR REPLACE TEMPORARY FUNCTION graft_tag(k INT)
+          |RETURNS STRING RETURN concat('R', k)
+          |{% endcall %}
+          |SELECT n_nationkey, n_name, graft_tag(n_regionkey) AS tag
+          |FROM {{ source('tpch','nation') }}""".stripMargin)))
+    val engine = new Engine(s, project, Target(freshRoot(), threads = 1))
+    require(engine.build()._1.forall(_.status == "success"))
+    engine.readModel("tagged_nations")
+  }
+
+  val sqlHeaderSql: String =
+    """SELECT n_nationkey, n_name, concat('R', n_regionkey) AS tag
+      |FROM nation""".stripMargin
+
   /** Custom `{% materialization %}` end-to-end (dbt's extension protocol;
     * the reference manifest carries 7 materialization macros as data,
     * e.g. `materialization_table_bigquery` @125935, and packages ship

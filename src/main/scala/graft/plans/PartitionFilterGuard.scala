@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** `require_partition_filter` (reference `bigquery_options`,
+  * manifest.json:1 @15210): a declared guard on a partitioned relation
+  * that REFUSES any query reading it without a partition predicate. At
+  * 100 TB this is the difference between a pruned scan and an accidental
+  * cluster-wide full-table read — the guard turns the latter into a loud
+  * plan-time error naming the partition column.
+  *
+  * Enforcement is PLAN-level, after Catalyst pushdown: the consumer's
+  * physical plan either carries partition filters on the guarded scan or
+  * it does not. That is stronger than BigQuery's textual WHERE check — a
+  * predicate on a non-partition column would not prune and is correctly
+  * rejected, while a predicate that pushes down through joins, CTEs, and
+  * projections onto the scan is correctly accepted. Checking costs
+  * planning only (no job runs): the pre-AQE `sparkPlan` is inspected,
+  * where FileSourceStrategy has already split pushed predicates into
+  * `partitionFilters` vs `dataFilters`.
+  */
+object PartitionFilterGuard {
+
+  /** One guarded relation: its on-disk path prefix + display name. */
+  final case class Guard(pathPrefix: String, name: String)
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Throw unless every scan of a guarded relation in `df`'s plan is
+    * partition-pruned. Scans are matched by root-path prefix (manifest
+    * layouts list version dirs UNDER the relation path).
+    */
+  def assertPruned(df: DataFrame, guards: Seq[Guard]): Unit = {
+    if (guards.isEmpty) return
+    val normed = guards.map(g => g.copy(pathPrefix = norm(g.pathPrefix)))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    scans.foreach { scan =>
+      val roots = scan.relation.location.rootPaths.map(p => norm(p.toString))
+      normed.find(g => roots.exists(r =>
+          r == g.pathPrefix || r.startsWith(g.pathPrefix + "/"))).foreach { g =>
+        val pcols = scan.relation.partitionSchema.fieldNames
+        if (pcols.isEmpty) throw new IllegalStateException(
+          s"${g.name} declares require_partition_filter but is not " +
+            "partitioned — add partition_by, or drop the guard")
+        if (scan.partitionFilters.isEmpty) throw new IllegalStateException(
+          s"${g.name} declares require_partition_filter: this query reads " +
+            s"it without a predicate on partition column(s) " +
+            s"[${pcols.mkString(", ")}] — an unpredicated read would scan " +
+            "every partition. Add a WHERE on the partition column (it may " +
+            "sit above joins/CTEs; only pushdown to the scan counts), or " +
+            "run with --full-refresh for a deliberate full rebuild.")
+      }
+    }
+  }
+}

@@ -484,7 +484,8 @@ object DbtProjectLoader {
     // `unit_tests:` yml: given mocked inputs -> expect rows per model.
     // Input spellings `ref('x')` / `source('a','b')` normalize to the
     // Engine.runUnitTest keys (`x` / `source:a.b`).
-    def rowMaps(o: Obj, key: String, what: String): Seq[Map[String, String]] = {
+    def rowMaps(o: Obj, key: String, what: String)
+        : Either[String, Seq[Map[String, String]]] = {
       // `format: csv` fixtures ride a block scalar: header line + rows,
       // empty cells -> NULL — dbt 1.8's inline-csv spelling. Quote-aware
       // split: a double-quoted cell may contain commas, `""` escapes a
@@ -528,21 +529,30 @@ object DbtProjectLoader {
           header.zip(cells.map(c => if (c.isEmpty) null else c)).toMap
         }
       }
-      def items(fmt: String, n: MiniYaml.Node): Seq[Map[String, String]] = (fmt, n) match {
-        case ("dict", Arr(xs)) => xs.map {
+      // Left(select) for `format: sql` fixtures (dbt 1.8: the rows value
+      // is an inline SELECT the engine runs as the mock/expected frame),
+      // Right(rows) for dict/csv literal fixtures.
+      def items(fmt: String, n: MiniYaml.Node)
+          : Either[String, Seq[Map[String, String]]] = (fmt, n) match {
+        case ("dict", Arr(xs)) => Right(xs.map {
           case r: Obj => r.entries.collect {
             case (k, Scalar(v)) => k -> v
           }.toMap
           case other => throw new IllegalArgumentException(
             s"$what: rows entries must be mappings, got $other")
-        }
-        case ("csv", Scalar(text)) if text.nonEmpty => csvRows(text)
-        case (_, Scalar("")) => Nil
+        })
+        case ("csv", Scalar(text)) if text.nonEmpty => Right(csvRows(text))
+        case ("sql", Scalar(text)) if text.trim.nonEmpty => Left(text.trim)
+        case ("sql", _) => throw new IllegalArgumentException(
+          s"$what: format sql needs the SELECT as the rows value " +
+            "(block scalar or string)")
+        case (_, Scalar("")) => Right(Nil)
         case ("dict", other) => throw new IllegalArgumentException(
           s"$what: expected a rows list, got $other")
         case (otherFmt, _) => throw new IllegalArgumentException(
           s"$what: unsupported fixture format '$otherFmt' — " +
-            "supported: dict (row mappings), csv (block-scalar text)")
+            "supported: dict (row mappings), csv (block-scalar text), " +
+            "sql (inline SELECT)")
       }
       o.get(key) match {
         // `expect:` nests its list under `rows:` (format: alongside it);
@@ -557,7 +567,7 @@ object DbtProjectLoader {
                 "an empty expectation as 'rows: []'"))
           items(inner.scalar("format").getOrElse("dict"), rows)
         case Some(node) => items(o.scalar("format").getOrElse("dict"), node)
-        case None => Nil
+        case None => Right(Nil)
       }
     }
     val unitTests = ymlDocs.flatMap(_.arr("unit_tests")).collect {
@@ -566,7 +576,7 @@ object DbtProjectLoader {
           new IllegalArgumentException("unit_tests entry without a name"))
         val model = latestOf(ut.scalar("model").getOrElse(throw
           new IllegalArgumentException(s"unit test '$utName': no model")))
-        val given = ut.arr("given").collect {
+        val givenPairs = ut.arr("given").collect {
           case g: Obj =>
             val input = g.scalar("input").getOrElse(throw
               new IllegalArgumentException(
@@ -579,7 +589,9 @@ object DbtProjectLoader {
                   s"source('a','b'), got '$other'")
             }
             key -> rowMaps(g, "rows", s"unit test '$utName' given $input")
-        }.toMap
+        }
+        val given = givenPairs.collect { case (k, Right(rows)) => k -> rows }.toMap
+        val givenSql = givenPairs.collect { case (k, Left(sql)) => k -> sql }.toMap
         // `rows:` arrives nested under `expect:` — the key itself is
         // REQUIRED (dbt errors on a unit test without expect): an
         // absent/typo'd key must not silently become the
@@ -598,9 +610,21 @@ object DbtProjectLoader {
         def ovMap(k: String): Map[String, String] =
           ov.flatMap(_.obj(k)).map(_.entries.collect {
             case (n, Scalar(v)) => n -> v }.toMap).getOrElse(Map.empty)
-        UnitTestDef(utName, model, given,
-          rowMaps(ut, "expect", s"unit test '$utName' expect"),
-          vars = ovMap("vars"), env = ovMap("env_vars"))
+        // unit-test severity (`config: severity: warn` or top-level
+        // `severity:`): a warn-level expect mismatch REPORTS but does not
+        // fail the build or skip the model's cone
+        val severity = ut.obj("config").flatMap(_.scalar("severity"))
+          .orElse(ut.scalar("severity")).getOrElse("error").toLowerCase
+        require(Set("warn", "error").contains(severity),
+          s"unit test '$utName': severity must be warn|error, got '$severity'")
+        val (expectRows, expectSql) =
+          rowMaps(ut, "expect", s"unit test '$utName' expect") match {
+            case Right(rows) => (rows, None)
+            case Left(sql) => (Nil, Some(sql))
+          }
+        UnitTestDef(utName, model, given, expectRows,
+          vars = ovMap("vars"), env = ovMap("env_vars"),
+          givenSql = givenSql, expectSql = expectSql, severity = severity)
     }
 
     // ------------------------------------------------------------ seeds

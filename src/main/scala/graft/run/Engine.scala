@@ -35,7 +35,12 @@ final case class SourceDef(sourceName: String, tableName: String, path: String,
                            // by microbatch and --sample): the column that
                            // places each row in time — sampling windows
                            // filter on it
-                           eventTime: Option[String] = None)
+                           eventTime: Option[String] = None,
+                           // `require_partition_filter` (reference
+                           // bigquery_options @15210): reads of this
+                           // source must carry a partition predicate —
+                           // see plans/PartitionFilterGuard
+                           requirePartitionFilter: Boolean = false)
 
 final case class ModelDef(name: String, rawSql: String,
                           config: ModelConfig = ModelConfig())
@@ -186,7 +191,17 @@ final case class UnitTestDef(name: String, model: String,
                              // (macro overrides are out of scope and the
                              // loader refuses them loudly)
                              vars: Map[String, String] = Map.empty,
-                             env: Map[String, String] = Map.empty)
+                             env: Map[String, String] = Map.empty,
+                             // `format: sql` fixtures (dbt 1.8): the
+                             // given/expect value is an inline SELECT the
+                             // engine runs as the mock/expected frame —
+                             // disjoint from the literal-rows maps above
+                             givenSql: Map[String, String] = Map.empty,
+                             expectSql: Option[String] = None,
+                             // severity: a warn-level expect mismatch is
+                             // reported (status 'warn'), never fatal and
+                             // never skips the model's descendant cone
+                             severity: String = "error")
 
 final case class Project(name: String,
                          sources: Seq[SourceDef] = Nil,
@@ -517,10 +532,19 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       case absRe(a, b) =>
         s"`$et` >= TIMESTAMP '$a 00:00:00' AND `$et` < TIMESTAMP '$b 00:00:00'"
       case relRe(n, u) =>
+        // dbt's relative window is [run_start - n, run_start): the upper
+        // bound matters — without it future-dated rows leak in. The anchor
+        // literal is formatted in the SESSION timezone (that's how Spark
+        // will interpret the TIMESTAMP literal); UTC-formatting it would
+        // shift the window by the session offset.
+        val zone = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone",
+            java.util.TimeZone.getDefault.getID))
         val end = java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+          .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(zone)
           .format(runStartedAt)
-        s"`$et` >= TIMESTAMP '$end' - INTERVAL $n ${u.toUpperCase}"
+        s"`$et` >= TIMESTAMP '$end' - INTERVAL $n ${u.toUpperCase} " +
+          s"AND `$et` < TIMESTAMP '$end'"
       case other => throw new IllegalArgumentException(
         s"--sample: expected 'YYYY-MM-DD..YYYY-MM-DD' or '<n> <unit>', " +
           s"got '$other'")
@@ -824,14 +848,18 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           else schemaOf(kind, a, b, "unpivot").fields
             .map(f => f.name -> f.dataType.sql).toIndexedSeq)), tables)
     }
-    val (resolved, tables) = resolveIntrospection(m.rawSql)
+    // a {% call set_sql_header(config) %} block is NOT model body — the
+    // engine executes it separately before the build (runSqlHeader)
+    val (resolved, tables) =
+      resolveIntrospection(Compiler.extractSqlHeader(m.rawSql)._2)
     val body = Compiler.compile(resolved, ctx.copy(queryResults = tables))
     val ephemerals = inlinedClosure(m.rawSql)
     if (ephemerals.isEmpty) body
     else {
       val ctes = ephemerals.map { e =>
         val eDef = project.models.find(_.name == e).get
-        val (eResolved, eTables) = resolveIntrospection(eDef.rawSql,
+        val (eResolved, eTables) = resolveIntrospection(
+          Compiler.extractSqlHeader(eDef.rawSql)._2,
           Compiler.inlineConfigKvs(eDef.rawSql))
         val sql = Compiler.compile(eResolved, ctx.copy(queryResults = eTables))
         s"__cte__$e AS ($sql)"
@@ -887,6 +915,57 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       ()
     }
 
+  /** dbt `set_sql_header` / `sql_header` config (reference
+    * `macro.dbt.set_sql_header`, manifest.json:1): per-model session DDL
+    * executed BEFORE the model body — BigQuery's temp-UDF hook. The Spark
+    * analogue is session-scoped statements only: `CREATE [OR REPLACE]
+    * TEMPORARY FUNCTION` (Spark 4 SQL UDFs), `CREATE [OR REPLACE]
+    * TEMPORARY VIEW`, and `SET`. Anything else is refused loudly — a
+    * header that created DURABLE state would leak outside the model's
+    * run, which dbt's contract (the header rides the model's own job)
+    * never allows. Statements split on `;`, same template resolution as
+    * hooks.
+    */
+  private def runSqlHeader(modelName: String, header: String): Unit = {
+    val compiled = Compiler.compile(
+      Compiler.expandMacros(header, project.macros), Compiler.ResolveCtx(
+        refTarget = r => Compiler.pathRelation(
+          relationFor(r).pathUnder(target.warehouseRoot)),
+        sourceTarget = (s, t) => sourceText(s, t),
+        thisTarget = Compiler.pathRelation(
+          relationFor(modelName).pathUnder(target.warehouseRoot)),
+        env = target.env, isIncremental = false, vars = mergedVars))
+    compiled.split(";").map(_.trim).filter(_.nonEmpty).foreach { st =>
+      val sessionScoped =
+        st.matches("(?is)^create\\s+(or\\s+replace\\s+)?temp(orary)?\\s+function\\b.*") ||
+        st.matches("(?is)^create\\s+(or\\s+replace\\s+)?temp(orary)?\\s+view\\b.*") ||
+        st.matches("(?is)^set\\s+.+")
+      require(sessionScoped,
+        s"model '$modelName': sql_header statements must be session-scoped " +
+          "(CREATE TEMPORARY FUNCTION/VIEW or SET) — durable DDL in a " +
+          s"header would outlive the model's run: ${st.take(120)}")
+      spark.sql(warehouse.resolveSql(st)); ()
+    }
+  }
+
+  /** Guarded relations for [[graft.plans.PartitionFilterGuard]]: every
+    * model/source declaring `require_partition_filter`, except the node
+    * being built itself (incremental/snapshot maintenance legitimately
+    * probes its own target — the _dbt_max_partition fetch, merge reads).
+    */
+  private def partitionGuards(excluding: String)
+      : Seq[graft.plans.PartitionFilterGuard.Guard] =
+    project.models.iterator
+      .filter(mm => mm.name != excluding &&
+        effectiveConfig(mm).requirePartitionFilter)
+      .map(mm => graft.plans.PartitionFilterGuard.Guard(
+        warehouse.path(relationFor(mm.name)), s"model '${mm.name}'"))
+      .toSeq ++
+    project.sources.iterator.filter(_.requirePartitionFilter)
+      .map(sd => graft.plans.PartitionFilterGuard.Guard(
+        sd.path, s"source '${sd.sourceName}.${sd.tableName}'"))
+      .toSeq
+
   private def runNode(name: String, selected: Set[String],
                       deferRoot: Option[String], fullRefresh: Boolean): Unit = {
     project.seeds.find(_.name == name).foreach { sd =>
@@ -895,6 +974,10 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     project.models.find(_.name == name).foreach { m =>
       val cfg = effectiveConfig(m)
       runHooks(cfg.preHooks, m.name)
+      // sql_header runs BEFORE compile: an introspection probe in the
+      // body (run_query) may already call a header-declared temp function
+      cfg.sqlHeader.orElse(Compiler.extractSqlHeader(m.rawSql)._1)
+        .foreach(h => runSqlHeader(m.name, h))
       val compiled = compileSql(m, selected, deferRoot, fullRefresh)
       if (compiled.contains("[DBT__PARTITION_DATE]")) {
         // B2 legacy per-date partition loop (reference
@@ -916,6 +999,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       val df = graft.materialize.Contracts.enforce(
         spark.sql(warehouse.resolveSql(compiled)),
         cfg.contract, cfg.notNull, m.name)
+      // require_partition_filter guards (plan-time, no job): reads of a
+      // guarded upstream must be partition-pruned. Self-reads exempt
+      // (incremental maintenance probes its own target by design);
+      // --full-refresh exempt (a deliberate, flagged full reprocess).
+      if (!fullRefresh)
+        graft.plans.PartitionFilterGuard.assertPruned(
+          df, partitionGuards(excluding = m.name))
       cfg.materialized match {
         case "view" =>
           mat.view(df, viewName(m.name))
@@ -992,6 +1082,9 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     project.snapshots.find(_.name == name).foreach { sn =>
       val df = spark.sql(warehouse.resolveSql(compileSql(
         ModelDef(sn.name, sn.rawSql), selected, deferRoot, fullRefresh)))
+      if (!fullRefresh)
+        graft.plans.PartitionFilterGuard.assertPruned(
+          df, partitionGuards(excluding = sn.name))
       snap.snapshot(df, relationFor(sn.name), sn.keys, sn.strategy,
         invalidateHardDeletes = sn.invalidateHardDeletes,
         hardDeletes = sn.hardDeletes,
@@ -1766,7 +1859,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           s"unit test '$name': no mock for source('$sn', '$tn')")),
       thisTarget = "", env = target.env ++ extraEnv, isIncremental = false,
       vars = mergedVars ++ extraVars)
-    spark.sql(Compiler.compile(m.rawSql, ctx))
+    spark.sql(Compiler.compile(Compiler.extractSqlHeader(m.rawSql)._2, ctx))
   }
 
   /** Build an inline mock frame from literal row maps (the `unit_tests:`
@@ -1795,27 +1888,38 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * tests ride the same run-results/retry artifacts as schema tests.
     */
   def runUnitTest(ut: UnitTestDef): TestResult = {
+    // a mismatch under severity=warn REPORTS but never fails the build
+    // (and build() only skips the model's cone on 'error')
+    val failStatus = if (ut.severity == "warn") "warn" else "error"
     val given = ut.given.map { case (k, rows) =>
       k -> mockFrame(s"unit test '${ut.name}' given '$k'", rows)
+    } ++ ut.givenSql.map { case (k, sql) =>
+      // `format: sql` mock: the fixture IS a SELECT (runs against
+      // nothing — literal rows via SELECT/UNION ALL/VALUES)
+      k -> spark.sql(sql)
     }
     // `expect: rows: []` — the model must return ZERO rows over the mocks
-    if (ut.expect.isEmpty) {
+    if (ut.expect.isEmpty && ut.expectSql.isEmpty) {
       val m = project.models.find(_.name == ut.model).getOrElse(
         throw new IllegalArgumentException(
           s"unit test '${ut.name}': unknown model '${ut.model}'"))
       val n = runUnitTestFrame(ut.name, m, given, ut.vars, ut.env).count()
       return TestResult(ut.name, ut.model, failures = n,
-        status = if (n == 0) "pass" else "error")
+        status = if (n == 0) "pass" else failStatus)
     }
-    val r = runUnitTest(ut.name, ut.model, given,
-      mockFrame(s"unit test '${ut.name}' expect", ut.expect),
+    val expectFrame = ut.expectSql match {
+      case Some(sql) => spark.sql(sql)
+      case None => mockFrame(s"unit test '${ut.name}' expect", ut.expect)
+    }
+    val r = runUnitTest(ut.name, ut.model, given, expectFrame,
       vars = ut.vars, env = ut.env)
     if (!r.passed)
-      System.err.println(s"[graft:unit] ${ut.name} FAILED — missing: " +
+      System.err.println(s"[graft:unit] ${ut.name} " +
+        s"${if (ut.severity == "warn") "WARNED" else "FAILED"} — missing: " +
         s"${r.missing.mkString("; ")} unexpected: ${r.unexpected.mkString("; ")}")
     TestResult(ut.name, ut.model,
       failures = (r.missing.size + r.unexpected.size).toLong,
-      status = if (r.passed) "pass" else "error")
+      status = if (r.passed) "pass" else failStatus)
   }
 
   /** `dbt run-operation <macro> --args {...}`: invoke a user macro
@@ -2040,6 +2144,235 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     Files.writeString(Paths.get(path),
       s"""{"project": ${q(project.name)}, "nodes": {${entries.mkString(", ")}}, """ +
         s""""exposures": {${exposures.mkString(", ")}}}""")
+    ()
+  }
+
+  // ------------------------------------------ dbt artifact-schema emitters
+  // The graft-internal manifest above is the slim-CI state format; these
+  // two emit dbt's PUBLISHED artifact shapes (field names from dbt's
+  // public schemas at schemas.getdbt.com — manifest v12, catalog v1) so
+  // external dbt tooling (docs UI, CI scripts keyed on unique_ids) can
+  // read `graft docs` output directly.
+
+  private object Js {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def obj(kvs: (String, String)*): String =
+      kvs.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+    def arr(xs: Seq[String]): String = xs.mkString("[", ", ", "]")
+  }
+
+  /** dbt unique_id for a project node (models/seeds/snapshots get their
+    * resource-type prefix; sources the 4-part source id).
+    */
+  private def uniqueIdOf(name: String): String =
+    if (project.seeds.exists(_.name == name)) s"seed.${project.name}.$name"
+    else if (project.snapshots.exists(_.name == name))
+      s"snapshot.${project.name}.$name"
+    else s"model.${project.name}.$name"
+
+  private def artifactMetadata(schemaUrl: String): String = {
+    import Js._
+    obj(
+      "dbt_schema_version" -> q(schemaUrl),
+      "dbt_version" -> q("1.10.0"),
+      "generated_at" -> q(java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(runStartedAt)),
+      "invocation_id" -> q(invocationId),
+      "env" -> "{}",
+      "project_name" -> q(project.name),
+      "adapter_type" -> q("spark"))
+  }
+
+  /** `manifest.json` in dbt's published v12 shape: `nodes` keyed by
+    * unique_id with resource_type/package_name/checksum/config/
+    * depends_on/raw_code, `sources`, `macros`, `exposures`, and the
+    * parent/child maps dbt tooling navigates by.
+    */
+  def writeDbtManifest(path: String): Unit = {
+    import Js._
+    def nodeEntry(name: String, resourceType: String, rawCode: String,
+                  materialized: String, checksum: String,
+                  tags: Set[String]): (String, String) = {
+      val uid = s"$resourceType.${project.name}.$name"
+      val rel = relationFor(name)
+      val (refDeps, srcDeps) = Compiler.dependencies(rawCode)
+      val depIds = refDeps.filter(r => project.models.exists(_.name == r) ||
+          project.seeds.exists(_.name == r) ||
+          project.snapshots.exists(_.name == r)).map(uniqueIdOf) ++
+        srcDeps.map { case (s, t) => s"source.${project.name}.$s.$t" }
+      uid -> obj(
+        "unique_id" -> q(uid),
+        "name" -> q(name),
+        "resource_type" -> q(resourceType),
+        "package_name" -> q(project.name),
+        "path" -> q(s"$name.sql"),
+        "original_file_path" -> q(s"models/$name.sql"),
+        "database" -> q(rel.database),
+        "schema" -> q(rel.schema),
+        "alias" -> q(rel.identifier),
+        "fqn" -> arr(Seq(q(project.name), q(name))),
+        "checksum" -> obj("name" -> q("sha256"), "checksum" -> q(checksum)),
+        "config" -> obj(
+          "enabled" -> "true",
+          "materialized" -> q(materialized),
+          "tags" -> arr(tags.toSeq.sorted.map(q))),
+        "tags" -> arr(tags.toSeq.sorted.map(q)),
+        "depends_on" -> obj(
+          "macros" -> "[]",
+          "nodes" -> arr(depIds.distinct.map(q))),
+        "raw_code" -> q(rawCode))
+    }
+    val nodes =
+      project.models.map(m => nodeEntry(m.name, "model", m.rawSql,
+        effectiveConfig(m).materialized,
+        Compiler.checksum(m.rawSql), effectiveConfig(m).tags)) ++
+      project.seeds.map(s => nodeEntry(s.name, "seed",
+        "", "seed", Compiler.checksum(Files.readString(Paths.get(s.csvPath))),
+        Set.empty)) ++
+      project.snapshots.map(s => nodeEntry(s.name, "snapshot", s.rawSql,
+        "snapshot", Compiler.checksum(s.rawSql), Set.empty))
+    val sources = project.sources.map { s =>
+      val uid = s"source.${project.name}.${s.sourceName}.${s.tableName}"
+      uid -> obj(
+        "unique_id" -> q(uid),
+        "name" -> q(s.tableName),
+        "source_name" -> q(s.sourceName),
+        "resource_type" -> q("source"),
+        "package_name" -> q(project.name),
+        "database" -> q(target.database),
+        "schema" -> q(target.resolvedSchema),
+        "identifier" -> q(s.tableName),
+        "loaded_at_field" -> s.loadedAtField.map(q).getOrElse("null"))
+    }
+    val macros = project.macros.toSeq.sortBy(_._1).map { case (n, md) =>
+      val uid = s"macro.${project.name}.$n"
+      uid -> obj(
+        "unique_id" -> q(uid),
+        "name" -> q(n),
+        "resource_type" -> q("macro"),
+        "package_name" -> q(project.name),
+        "macro_sql" -> q(md.body))
+    }
+    val exposures = project.exposures.map { e =>
+      val uid = s"exposure.${project.name}.${e.name}"
+      uid -> obj(
+        "unique_id" -> q(uid),
+        "name" -> q(e.name),
+        "resource_type" -> q("exposure"),
+        "package_name" -> q(project.name),
+        "owner" -> obj("name" -> q(e.owner), "email" -> "null"),
+        "url" -> q(e.url),
+        "depends_on" -> obj("macros" -> "[]",
+          "nodes" -> arr(e.dependsOn.map(d => q(uniqueIdOf(d))))))
+    }
+    // parent/child maps over node+source unique_ids (dbt tooling walks
+    // lineage through these, not depends_on)
+    val parents = parentsOf
+    val allNames = (project.models.map(_.name) ++ project.seeds.map(_.name)
+      ++ project.snapshots.map(_.name))
+    val parentMap = allNames.map { n =>
+      val m = project.models.find(_.name == n)
+      val srcIds = m.map(mm => Compiler.dependencies(mm.rawSql)._2.map {
+        case (s, t) => s"source.${project.name}.$s.$t" }).getOrElse(Nil)
+      q(uniqueIdOf(n)) ->
+        arr((parents.getOrElse(n, Nil).map(uniqueIdOf) ++ srcIds).distinct.map(q))
+    }
+    val childMap = allNames.map { n =>
+      q(uniqueIdOf(n)) -> arr(allNames.filter(c =>
+        parents.getOrElse(c, Nil).contains(n)).map(c => q(uniqueIdOf(c))))
+    }
+    def section(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) =>
+        s"${if (k.startsWith("\"")) k else q(k)}: $v" }.mkString("{", ", ", "}")
+    Files.writeString(Paths.get(path), obj(
+      "metadata" -> artifactMetadata(
+        "https://schemas.getdbt.com/dbt/manifest/v12.json"),
+      "nodes" -> section(nodes),
+      "sources" -> section(sources),
+      "macros" -> section(macros),
+      "exposures" -> section(exposures),
+      "parent_map" -> section(parentMap),
+      "child_map" -> section(childMap)))
+    ()
+  }
+
+  /** `catalog.json` in dbt's published v1 shape: `nodes` keyed by
+    * unique_id, each with `metadata` (type/schema/name/database/comment),
+    * positional `columns`, and dbt's `stats` entries (row_count/bytes
+    * from parquet footers — no scan).
+    */
+  def writeDbtCatalog(path: String): Unit = {
+    import Js._
+    def stat(id: String, label: String, value: String, include: Boolean) =
+      id -> obj("id" -> q(id), "label" -> q(label), "value" -> value,
+        "include" -> include.toString, "description" -> "null")
+    def comment(key: String): String =
+      project.descriptions.get(key).map(q).getOrElse("null")
+    val byIdentifier = project.models.map(m =>
+      relationFor(m.name).identifier -> m.name).toMap ++
+      project.seeds.map(s => relationFor(s.name).identifier -> s.name) ++
+      project.snapshots.map(s => relationFor(s.name).identifier -> s.name)
+    def entry(rel: Relation, kind: String, rows: Long, bytes: Long): Option[(String, String)] =
+      byIdentifier.get(rel.identifier).map { name =>
+        val uid = uniqueIdOf(name)
+        val cols = warehouse.schemaOf(rel).fields.zipWithIndex.map {
+          case (f, i) => q(f.name) -> obj(
+            "type" -> q(f.dataType.sql),
+            "index" -> (i + 1).toString,
+            "name" -> q(f.name),
+            "comment" -> comment(s"${rel.identifier}.${f.name}"))
+        }
+        uid -> obj(
+          "unique_id" -> q(uid),
+          "metadata" -> obj(
+            "type" -> q(kind),
+            "schema" -> q(rel.schema),
+            "name" -> q(rel.identifier),
+            "database" -> q(rel.database),
+            "comment" -> comment(rel.identifier),
+            "owner" -> "null"),
+          "columns" -> cols.map { case (k, v) => s"$k: $v" }
+            .mkString("{", ", ", "}"),
+          "stats" -> Seq(
+            stat("has_stats", "Has Stats?", "true", include = false),
+            stat("row_count", "Row Count", rows.toString, include = true),
+            stat("bytes", "Approximate Size", bytes.toString, include = true))
+            .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}"))
+      }
+    val tables = warehouse.catalogInfo(target.database, target.resolvedSchema)
+      .flatMap { case (rel, rows, bytes, _) => entry(rel, "table", rows, bytes) }
+    val views = warehouse.listViews(target.database, target.resolvedSchema)
+      .flatMap(rel => byIdentifier.get(rel.identifier).map { name =>
+        val uid = uniqueIdOf(name)
+        uid -> obj(
+          "unique_id" -> q(uid),
+          "metadata" -> obj(
+            "type" -> q("view"),
+            "schema" -> q(rel.schema),
+            "name" -> q(rel.identifier),
+            "database" -> q(rel.database),
+            "comment" -> comment(rel.identifier),
+            "owner" -> "null"),
+          "columns" -> "{}",
+          "stats" -> Seq(stat("has_stats", "Has Stats?", "false",
+            include = false))
+            .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}"))
+      })
+    Files.writeString(Paths.get(path), obj(
+      "metadata" -> artifactMetadata(
+        "https://schemas.getdbt.com/dbt/catalog/v1.json"),
+      "nodes" -> (tables ++ views).map { case (k, v) => s"${q(k)}: $v" }
+        .mkString("{", ", ", "}"),
+      "sources" -> "{}",
+      "errors" -> "null"))
     ()
   }
 }

@@ -222,12 +222,23 @@ object MiniYaml {
       taken.result().lastIndexWhere(_.nonEmpty) + 1)
     val text = style match {
       case "|" => body.mkString("\n")
-      case _ => // ">" folding: single newlines -> space, blanks -> newline
-        body.foldLeft(Seq.empty[String]) { (acc, l) =>
-          if (l.isEmpty) acc :+ ""
-          else if (acc.isEmpty || acc.last.isEmpty) acc :+ l
-          else acc.init :+ (acc.last + " " + l)
-        }.mkString("\n")
+      case _ =>
+        // ">" folding: a single newline between content lines -> space;
+        // a run of n blank lines -> exactly n newlines (the break ENDING
+        // the previous content line is consumed by the fold, so it is n,
+        // not n+1: 'a\nb\n\nc' folds to 'a b\nc')
+        val sb = new StringBuilder
+        var blanks = 0
+        var first = true
+        for (l <- body) {
+          if (l.isEmpty) blanks += 1
+          else {
+            if (blanks > 0) sb.append("\n" * blanks)
+            else if (!first) sb.append(' ')
+            sb.append(l); first = false; blanks = 0
+          }
+        }
+        sb.toString
     }
     (Scalar(if (chomp == "-") text else text + "\n"), lastContent)
   }
@@ -346,12 +357,22 @@ object MiniYaml {
         items += bind(parseValue(rest, l.lineNo, ctx))
         i += 1
       } else keyValue(rest, l.lineNo) match {
-        case Some((k, v)) =>
+        case Some((k, v0)) =>
           // mapping item: first field on the dash line, the rest under
           // it at the FIRST field's actual column (usually dash + 2,
           // but any number of spaces after the dash is valid yaml)
           val fieldIndent =
             indent + 1 + l.text.drop(1).takeWhile(_ == ' ').length
+          // `&anchor` on the head-field VALUE (`- name: &a foo`, a real
+          // schema.yml idiom) — same extraction parseMap does for its
+          // values; without it the `&a` would silently parse as part of
+          // the scalar text and the anchor never register
+          val (headAnchor, v) = v0 match {
+            case anchorRe(name, r) => (Some(name), Option(r).getOrElse(""))
+            case _ => (None, v0)
+          }
+          def bindHead(n: Node): Node =
+            { headAnchor.foreach(ctx.anchors(_) = n); n }
           val head: (String, Node) = v match {
             case blockScalarRe(style, chomp) =>
               // the block ends at the FIELD's column (the item's later
@@ -360,15 +381,15 @@ object MiniYaml {
                 Option(chomp).getOrElse(""), fieldIndent, l.lineNo, ctx)
               while (i + 1 < lines.length && lines(i + 1).lineNo <= lastRaw)
                 i += 1
-              k -> scalar
+              k -> bindHead(scalar)
             case _ =>
-            if (v.nonEmpty) k -> parseValue(v, l.lineNo, ctx)
+            if (v.nonEmpty) k -> bindHead(parseValue(v, l.lineNo, ctx))
             else if (i + 1 < lines.length &&
                 lines(i + 1).indent > fieldIndent) {
               val (child, next) =
                 parseBlock(lines, i + 1, lines(i + 1).indent, ctx)
               i = next - 1 // consumed; adjusted below
-              k -> child
+              k -> bindHead(child)
             } else if (i + 1 < lines.length &&
                 lines(i + 1).indent == fieldIndent &&
                 (lines(i + 1).text.startsWith("- ") ||
@@ -377,8 +398,8 @@ object MiniYaml {
               // valid yaml, same shape parseMap accepts at map level
               val (child, next) = parseSeq(lines, i + 1, fieldIndent, ctx)
               i = next - 1
-              k -> child
-            } else k -> Scalar("")
+              k -> bindHead(child)
+            } else k -> bindHead(Scalar(""))
           }
           var entries = Seq(head)
           i += 1

@@ -153,7 +153,10 @@ object GraftCli {
       env = env,
       vars = cliVars,
       empty = flags.contains("empty"),
-      sample = flags.get("sample").flatMap(_.headOption),
+      // join ALL collected tokens (like --select): `--sample 30 days`
+      // arrives as two values; headOption would silently keep '30' and
+      // surface as a confusing parse error downstream
+      sample = flags.get("sample").filter(_.nonEmpty).map(_.mkString(" ")),
       // project.conf `commit_mode=manifest|rename` (materialized_view
       // models need manifest — their maintenance checkpoints ride
       // manifest metadata)
@@ -362,6 +365,15 @@ object GraftCli {
           .getOrElse(s"$whRoot/catalog.json")
         engine.writeCatalog(out)
         println(s"catalog written: $out")
+        // dbt's PUBLISHED artifact shapes alongside (catalog v1 +
+        // manifest v12, schemas.getdbt.com) — readable by external dbt
+        // tooling; the graft-shaped artifacts above stay the slim-CI
+        // state format
+        val dbtDir = java.nio.file.Paths.get(out).toAbsolutePath.getParent
+        engine.writeDbtCatalog(s"$dbtDir/dbt_catalog.json")
+        engine.writeDbtManifest(s"$dbtDir/dbt_manifest.json")
+        println(s"dbt-schema artifacts written: $dbtDir/dbt_catalog.json, " +
+          s"$dbtDir/dbt_manifest.json")
       case "compile" =>
         val out = flags.get("manifest").flatMap(_.headOption)
           .getOrElse(s"$whRoot/manifest.json")
@@ -693,6 +705,16 @@ object GraftCli {
         flags("fail-fast") = Seq("true"); rest = tl
       case "--empty" :: tl =>
         flags("empty") = Seq("true"); rest = tl
+      case "--sample" :: v :: tl =>
+        // unquoted `--sample 30 days` arrives as two tokens; the unit must
+        // ride with the number or it falls through as a stray positional
+        // and the user gets a baffling "expected '<n> <unit>', got '30'"
+        val (value, after) = tl match {
+          case u :: tl2 if v.matches("\\d+") &&
+              u.matches("(?i)(hour|day|month|year)s?") => (s"$v $u", tl2)
+          case _ => (v, tl)
+        }
+        flags("sample") = flags("sample") :+ value; rest = after
       case f :: v :: tl if f.startsWith("--") =>
         val k = f.stripPrefix("--"); flags(k) = flags(k) :+ v; rest = tl
       case p :: tl => pos += p; rest = tl

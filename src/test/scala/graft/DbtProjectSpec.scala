@@ -525,6 +525,88 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(err.getMessage.contains("overrides.macros"), err.getMessage)
   }
 
+  test("unit_tests: format sql fixtures and severity warn") {
+    val proj = Files.createTempDirectory("graft_unit_sql")
+    put(proj, "dbt_project.yml", "name: unitsql\n")
+    put(proj, "models/staging.sql",
+      "SELECT n_nationkey AS id, n_name AS name " +
+        "FROM {{ source('tpch', 'nation') }}")
+    put(proj, "models/doubled.sql",
+      "SELECT id, id * 2 AS id2 FROM {{ ref('staging') }}")
+    put(proj, "models/downstream.sql",
+      "SELECT count(*) AS n FROM {{ ref('doubled') }}")
+    def schemaYml(utBlock: String): String =
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |unit_tests:
+         |$utBlock""".stripMargin
+    // format: sql on BOTH given and expect — the fixture is an inline
+    // SELECT the engine runs as the mock/expected frame
+    put(proj, "models/schema.yml", schemaYml(
+      """  - name: sql_fixtures
+        |    model: doubled
+        |    given:
+        |      - input: ref('staging')
+        |        format: sql
+        |        rows: |
+        |          SELECT 1 AS id, 'a' AS name
+        |          UNION ALL SELECT 4 AS id, 'b' AS name
+        |    expect:
+        |      format: sql
+        |      rows: |
+        |        SELECT 1 AS id, 2 AS id2 UNION ALL SELECT 4 AS id, 8 AS id2
+        |""".stripMargin))
+    val (p, _) = ProjectLoader.load(proj.toString)
+    val ut = p.unitTests.head
+    assert(ut.givenSql.contains("staging") && ut.expectSql.isDefined)
+    val e = new Engine(spark, p,
+      Target(Files.createTempDirectory("graft_unitsql_wh").toString))
+    val (_, tests) = e.build()
+    assert(tests.exists(t => t.name == "sql_fixtures" && t.status == "pass"),
+      tests.toString)
+    // severity: warn — a MISMATCH reports 'warn' and the model's cone
+    // still builds (an error-severity mismatch would skip it)
+    put(proj, "models/schema.yml", schemaYml(
+      """  - name: warn_mismatch
+        |    model: doubled
+        |    config:
+        |      severity: warn
+        |    given:
+        |      - input: ref('staging')
+        |        rows:
+        |          - {id: 1, name: a}
+        |    expect:
+        |      rows:
+        |        - {id: 1, id2: 99}
+        |""".stripMargin))
+    val (p2, _) = ProjectLoader.load(proj.toString)
+    assert(p2.unitTests.head.severity == "warn")
+    val e2 = new Engine(spark, p2,
+      Target(Files.createTempDirectory("graft_unitsql_wh2").toString))
+    val (nodes2, tests2) = e2.build()
+    assert(tests2.exists(t => t.name == "warn_mismatch" && t.status == "warn"),
+      tests2.toString)
+    assert(nodes2.filter(n => Set("doubled", "downstream").contains(n.name))
+      .forall(_.status == "success"), nodes2.toString)
+    // an invalid severity refuses loudly
+    put(proj, "models/schema.yml", schemaYml(
+      """  - name: bad_sev
+        |    model: doubled
+        |    severity: whatever
+        |    given: []
+        |    expect:
+        |      rows: []
+        |""".stripMargin))
+    val err = intercept[IllegalArgumentException](
+      ProjectLoader.load(proj.toString))
+    assert(err.getMessage.contains("severity"), err.getMessage)
+  }
+
   test("dbt 1.9 YAML snapshots: relation + config incl. new_record and meta renames") {
     val proj = Files.createTempDirectory("graft_ymlsnap")
     put(proj, "dbt_project.yml", "name: ymlsnap\n")

@@ -121,6 +121,109 @@ class MaterializeSpec extends AnyFunSuite {
     assert(byId(1L).isEmpty && byId(2L).contains(7))
   }
 
+  // -------- B33/B48 type-change reconciliation (expand_target_column_types
+  // @139412, diff_column_data_types @132239): a type-grown increment WIDENS
+  // the target instead of being narrowed into it.
+
+  def idv(rows: Seq[(Int, Int)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "v") // both int-typed
+  }
+  def idvLong(rows: Seq[(Int, Long)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "v") // v long-typed
+  }
+
+  test("type widen: long increment into int target widens target (ignore)") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("tw1")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+    m.incremental(idv(Seq((1, 10), (2, 20))), r, cfg)
+    assert(wh.read(r).schema("v").dataType.typeName == "integer")
+    val big = 5000000000L // > 2^31: would wrap/null under a narrowing cast
+    m.incremental(idvLong(Seq((2, big), (3, 30L))), r, cfg)
+    val out = wh.read(r)
+    assert(out.schema("v").dataType.typeName == "long")
+    val byId = out.collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(byId == Map(1 -> 10L, 2 -> big, 3 -> 30L))
+  }
+
+  test("type widen composes with append_new_columns") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("tw2")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      onSchemaChange = OnSchemaChange.AppendNewColumns)
+    m.incremental(idv(Seq((1, 10))), r, cfg)
+    val inc = idvLong(Seq((2, 5000000000L))).withColumn("extra", lit("x"))
+    m.incremental(inc, r, cfg)
+    val out = wh.read(r)
+    assert(out.schema("v").dataType.typeName == "long")
+    assert(out.columns.contains("extra"))
+    val byId = out.collect().map(x =>
+      x.getInt(0) -> (x.getLong(1), Option(x.getAs[String]("extra")))).toMap
+    assert(byId == Map(1 -> (10L, None), 2 -> (5000000000L, Some("x"))))
+  }
+
+  test("type widen under sync_all_columns never narrows a common column") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("tw3")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      onSchemaChange = OnSchemaChange.SyncAllColumns)
+    m.incremental(idvLong(Seq((1, 5000000000L))), r, cfg) // v long in history
+    // increment carries v as int (narrower) + a new column; sync must keep
+    // v LONG (history holds > 2^31) while adopting the new column set
+    m.incremental(idv(Seq((2, 20))).withColumn("extra", lit(1)), r, cfg)
+    val out = wh.read(r)
+    assert(out.schema("v").dataType.typeName == "long")
+    assert(out.collect().map(_.getAs[Long]("v")).toSet == Set(5000000000L, 20L))
+  }
+
+  test("on_schema_change=fail trips on a pure type change") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("tw4")
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      onSchemaChange = OnSchemaChange.Fail)
+    m.incremental(idv(Seq((1, 10))), r, cfg)
+    val e = intercept[IllegalStateException] {
+      m.incremental(idvLong(Seq((2, 20L))), r, cfg)
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.toLowerCase.contains("int"))
+  }
+
+  test("narrower increment casts up losslessly, no target rewrite") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("tw5")
+    for (policy <- Seq(OnSchemaChange.Ignore, OnSchemaChange.AppendNewColumns)) {
+      val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+        onSchemaChange = policy)
+      m.incremental(idvLong(Seq((1, 5000000000L))), r, cfg, fullRefresh = true)
+      m.incremental(idv(Seq((2, 20))), r, cfg) // int increment into long target
+      val out = wh.read(r)
+      assert(out.schema("v").dataType.typeName == "long")
+      assert(out.collect().map(_.getAs[Long]("v")).toSet ==
+        Set(5000000000L, 20L))
+    }
+  }
+
+  test("incompatible type change fails loudly under every policy") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("tw6")
+    val s = spark; import s.implicits._
+    val strInc = Seq((2, "oops")).toDF("id", "v")
+    for (policy <- Seq(OnSchemaChange.Ignore, OnSchemaChange.AppendNewColumns,
+        OnSchemaChange.SyncAllColumns, OnSchemaChange.Fail)) {
+      val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+        onSchemaChange = policy)
+      m.incremental(idv(Seq((1, 10))), r, cfg, fullRefresh = true)
+      val e = intercept[IllegalStateException] { m.incremental(strInc, r, cfg) }
+      assert(e.getMessage.contains("v"))
+    }
+  }
+
+  test("append-only merge with a widened type rewrites to one schema") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("tw7")
+    val cfg = ModelConfig(materialized = "incremental") // no unique key
+    m.incremental(idv(Seq((1, 10))), r, cfg)
+    m.incremental(idvLong(Seq((2, 5000000000L))), r, cfg)
+    val out = wh.read(r)
+    assert(out.schema("v").dataType.typeName == "long")
+    assert(out.collect().map(_.getAs[Long]("v")).toSet == Set(10L, 5000000000L))
+  }
+
   test("seed honors column_types overrides") {
     val wh = freshWh(); val m = new Materializer(wh)
     val csv = Files.createTempFile("seed", ".csv")
@@ -142,6 +245,24 @@ class MaterializeSpec extends AnyFunSuite {
     assert(out.schema("k").dataType.typeName == "string")
     assert(out.schema("v").dataType.typeName == "long")
     assert(out.collect().map(_.getString(0)).toSet == Set("007", "042"))
+  }
+
+  test("seed agate-parity: t/f booleans upgrade, overrides still win, text stays text") {
+    val wh = freshWh(); val m = new Materializer(wh)
+    val csv = Files.createTempFile("seed_agate", ".csv")
+    Files.writeString(csv,
+      "k,flag,day,memo\n1,t,2024-05-06,n\n2,f,2024-06-07,note\n")
+    val out = m.seed(spark, csv.toString, rel("seed_ag"))
+    assert(out.schema("flag").dataType.typeName == "boolean")
+    assert(out.schema("day").dataType.typeName == "date")
+    // memo holds 'n' AND 'note' — not all boolean spellings → string
+    assert(out.schema("memo").dataType.typeName == "string")
+    assert(out.filter(col("flag")).count() == 1)
+    // an explicit column_types override beats the agate upgrade
+    val out2 = m.seed(spark, csv.toString, rel("seed_ag2"),
+      Map("flag" -> "string"))
+    assert(out2.schema("flag").dataType.typeName == "string")
+    assert(out2.collect().map(_.getAs[String]("flag")).toSet == Set("t", "f"))
   }
 
   test("truncate keeps schema, drops rows; rename moves relation") {

@@ -175,6 +175,38 @@ class MiniYamlSpec extends AnyFunSuite {
     assert(y.obj("again").get.scalar("name").contains("id"))
   }
 
+  test("anchor on a dash-line head-field value registers and strips") {
+    // `- name: &a foo` — the schema.yml idiom; the anchor must bind the
+    // VALUE (not leak into the scalar text)
+    val y = MiniYaml.parse(
+      """cols:
+        |  - name: &keycol order_id
+        |    tests: [unique]
+        |  - name: other
+        |ref: *keycol
+        |""".stripMargin)
+    val first = y.arr("cols").head.asInstanceOf[MiniYaml.Obj]
+    assert(first.scalar("name").contains("order_id"))
+    assert(y.scalar("ref").contains("order_id"))
+  }
+
+  test("folded scalar: n blank lines fold to n newlines, not n+1") {
+    val y = MiniYaml.parse(
+      """one_blank: >
+        |  a
+        |  b
+        |
+        |  c
+        |two_blanks: >
+        |  a
+        |
+        |
+        |  c
+        |""".stripMargin)
+    assert(y.scalar("one_blank").contains("a b\nc\n"))
+    assert(y.scalar("two_blanks").contains("a\n\nc\n"))
+  }
+
   test("literal | block scalars keep newlines; > folds; - chomps") {
     val y = MiniYaml.parse(
       """description: |

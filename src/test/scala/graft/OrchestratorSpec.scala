@@ -976,9 +976,132 @@ class OrchestratorSpec extends AnyFunSuite {
     val e2 = new Engine(spark, p, Target(root(), sample = Some("3 days")))
     assert(e2.build()._1.forall(_.status == "success"))
     assert(e2.readModel("win_orders").count() == 0)
+    // the relative window is [run_start - n, run_start): BOTH bounds in
+    // the compiled predicate — without the upper bound, future-dated rows
+    // would leak into the sample
+    val relCompiled = e2.compileSql(p.models.head, Set.empty, None,
+      fullRefresh = false)
+    assert(relCompiled.contains("- INTERVAL 3 DAY"), relCompiled)
+    assert(relCompiled.contains("< TIMESTAMP '"), relCompiled)
     // malformed spec fails loudly
     val e3 = new Engine(spark, p, Target(root(), sample = Some("whenever")))
     assert(e3.build()._1.exists(_.status != "success"))
+  }
+
+  test("require_partition_filter: unpredicated read refused, pruned read passes") {
+    def proj(downstreamSql: String) = Project(name = "pguard",
+      sources = Seq(SourceDef("tpch", "orders", s"$sf/orders.parquet")),
+      models = Seq(
+        ModelDef("orders_p",
+          """{{ config(materialized='table', partition_by='o_orderstatus',
+            |          require_partition_filter=true) }}
+            |SELECT o_orderkey, o_totalprice, o_orderstatus
+            |FROM {{ source('tpch','orders') }}""".stripMargin),
+        ModelDef("downstream", downstreamSql)))
+    // a WHERE on the partition column pushes to the scan → accepted
+    val okSql =
+      """SELECT count(*) AS n FROM {{ ref('orders_p') }}
+        |WHERE o_orderstatus = 'F'""".stripMargin
+    val e1 = new Engine(spark, proj(okSql), Target(root()))
+    assert(e1.build()._1.forall(_.status == "success"))
+    // no predicate → the downstream model fails loudly, naming the column
+    val badSql = "SELECT count(*) AS n FROM {{ ref('orders_p') }}"
+    val e2 = new Engine(spark, proj(badSql), Target(root()))
+    val (nodes2, _) = e2.build()
+    val down = nodes2.find(_.name == "downstream").get
+    assert(down.status != "success", down)
+    assert(down.error.exists(m => m.contains("require_partition_filter") &&
+      m.contains("o_orderstatus")), down.error)
+    // a predicate on a NON-partition column does not prune → still refused
+    val nonP = "SELECT count(*) AS n FROM {{ ref('orders_p') }} WHERE o_totalprice > 0"
+    val e3 = new Engine(spark, proj(nonP), Target(root()))
+    assert(e3.build()._1.find(_.name == "downstream").get.status != "success")
+    // --full-refresh is a deliberate full reprocess → exempt
+    val (nodes4, _) = e2.build(fullRefresh = true)
+    assert(nodes4.forall(_.status == "success"), nodes4)
+  }
+
+  test("set_sql_header: temp-function header runs before the body; durable DDL refused") {
+    val p = baseProject.copy(models = Seq(ModelDef("hdr_model",
+      """{% call set_sql_header(config) %}
+        |CREATE OR REPLACE TEMPORARY FUNCTION region_tag(k INT)
+        |RETURNS STRING RETURN concat('R', k);
+        |SET spark.sql.legacy.timeParserPolicy=CORRECTED
+        |{% endcall %}
+        |SELECT n_nationkey, region_tag(n_regionkey) AS tag
+        |FROM {{ source('tpch','nation') }}""".stripMargin)))
+    val e = new Engine(spark, p, Target(root()))
+    val (nodes, _) = e.build()
+    assert(nodes.forall(_.status == "success"), nodes)
+    val out = e.readModel("hdr_model")
+    assert(out.count() == 25)
+    assert(out.filter(col("tag").startsWith("R")).count() == 25)
+    // durable DDL in a header is refused loudly
+    val bad = baseProject.copy(models = Seq(ModelDef("bad_hdr",
+      """{% call set_sql_header(config) %}
+        |CREATE TABLE oops AS SELECT 1
+        |{% endcall %}
+        |SELECT 1 AS x""".stripMargin)))
+    val (bn, _) = new Engine(spark, bad, Target(root())).build()
+    val n = bn.find(_.name == "bad_hdr").get
+    assert(n.status != "success")
+    assert(n.error.exists(_.contains("session-scoped")), n.error)
+    // config-kv spelling works too
+    val kv = baseProject.copy(models = Seq(ModelDef("kv_hdr",
+      """{{ config(sql_header='CREATE OR REPLACE TEMPORARY FUNCTION twice(x INT) RETURNS INT RETURN x * 2') }}
+        |SELECT twice(n_nationkey) AS k2 FROM {{ source('tpch','nation') }}""".stripMargin)))
+    val ekv = new Engine(spark, kv, Target(root()))
+    assert(ekv.build()._1.forall(_.status == "success"))
+    assert(ekv.readModel("kv_hdr").agg(max(col("k2"))).head().getInt(0) == 48)
+  }
+
+  test("dbt-schema artifacts: manifest v12 / catalog v1 shapes parse with required keys") {
+    val p = baseProject.copy(
+      macros = Compiler.parseMacros(
+        "{% macro half(x) %}({{ x }} / 2){% endmacro %}")
+        .map(m => m.name -> m).toMap,
+      exposures = Seq(ExposureDef("dash", Seq("by_region"), owner = "ops")))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    val dir = Files.createTempDirectory("graft_artifacts")
+    e.writeDbtManifest(s"$dir/manifest.json")
+    e.writeDbtCatalog(s"$dir/catalog.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val man = om.readTree(new java.io.File(s"$dir/manifest.json"))
+    assert(man.path("metadata").path("dbt_schema_version").asText
+      .contains("manifest/v12"))
+    assert(man.path("metadata").path("project_name").asText == "p")
+    val node = man.path("nodes").path("model.p.by_region")
+    assert(node.path("resource_type").asText == "model")
+    assert(node.path("checksum").path("name").asText == "sha256")
+    assert(node.path("config").path("materialized").asText == "table")
+    assert(node.path("depends_on").path("nodes").toString
+      .contains("model.p.nations"))
+    assert(node.path("raw_code").asText.contains("ref('nations')"))
+    val src = man.path("sources").path("source.p.tpch.nation")
+    assert(src.path("resource_type").asText == "source")
+    assert(src.path("source_name").asText == "tpch")
+    val mac = man.path("macros").path("macro.p.half")
+    assert(mac.path("resource_type").asText == "macro")
+    assert(mac.path("macro_sql").asText.contains("/ 2"))
+    assert(man.path("exposures").path("exposure.p.dash")
+      .path("depends_on").path("nodes").toString.contains("model.p.by_region"))
+    // lineage maps: nations -> by_region both directions, source in parents
+    assert(man.path("parent_map").path("model.p.by_region").toString
+      .contains("model.p.nations"))
+    assert(man.path("parent_map").path("model.p.nations").toString
+      .contains("source.p.tpch.nation"))
+    assert(man.path("child_map").path("model.p.nations").toString
+      .contains("model.p.by_region"))
+    val cat = om.readTree(new java.io.File(s"$dir/catalog.json"))
+    assert(cat.path("metadata").path("dbt_schema_version").asText
+      .contains("catalog/v1"))
+    val cnode = cat.path("nodes").path("model.p.by_region")
+    assert(cnode.path("metadata").path("type").asText == "table")
+    assert(cnode.path("metadata").path("schema").asText.nonEmpty)
+    assert(cnode.path("columns").path("r_name").path("index").asInt == 1)
+    assert(cnode.path("stats").path("row_count").path("value").asLong == 5L)
+    assert(cnode.path("stats").path("has_stats").path("include").asBoolean == false)
   }
 
   test("models read their own config back via config.get") {

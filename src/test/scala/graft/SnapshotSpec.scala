@@ -181,6 +181,26 @@ class SnapshotSpec extends AnyFunSuite {
     assertInvariants(wh, r)
   }
 
+  test("hard_deletes toggled new_record -> ignore keeps working (flag carried)") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val r = Relation("db", "s", "snap_toggleoff")
+    snap.snapshot(src(Seq((1L, "a", ts("2024-01-01 00:00:00")))), r,
+      Seq("id"), strat, hardDeletes = Some("new_record"))
+    assert(wh.read(r).columns.contains("dbt_is_deleted"))
+    // config toggled back to ignore; a CHANGED row must still insert —
+    // the stored relation carries dbt_is_deleted, new versions gain it
+    // as 'False' instead of throwing unresolved-column
+    snap.snapshot(src(Seq((1L, "a2", ts("2024-02-01 00:00:00")))), r,
+      Seq("id"), strat)
+    val v1 = wh.read(r).filter(col("id") === 1).collect()
+    assert(v1.length == 2, v1.mkString("; "))
+    val cur = v1.find(_.getAs[Timestamp]("dbt_valid_to") == null).get
+    assert(cur.getAs[String]("payload") == "a2")
+    assert(cur.getAs[String]("dbt_is_deleted") == "False")
+    assertInvariants(wh, r)
+  }
+
   test("dbt_valid_to_current sentinel marks open rows; both spellings stay current") {
     val wh = freshWh(); val snap = new Snapshotter(wh)
     val strat = SnapshotStrategy.Timestamp("updated_at")
