@@ -106,6 +106,35 @@ class ZOrderSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.zorder.partitions")
   }
 
+  test("z-order file-skip fraction holds at 10x the rows (SCALE.md datapoint)") {
+    val s = spark; import s.implicits._
+    // same box query, 1× and 10× row counts, same file count: the
+    // planned-file FRACTION must hold at both scales, so the pruned box
+    // read is ∝ selected region, not table size — the property that
+    // makes the sf0.1→sf1 bench pair (1.81 s → 8.39 s write-dominated,
+    // read leg constant-ish) extrapolate to 100 TB.
+    spark.conf.set("graft.zorder.partitions", "16")
+    val root = Files.createTempDirectory("graft_zorder10x").toString
+    val wh = new Warehouse(spark, root, CommitMode.Manifest)
+    try {
+      for ((side, tag) <- Seq((64, "x1"), (202, "x10"))) {
+        val grid = (for (x <- 0 until side; y <- 0 until side)
+          yield (x.toLong, y.toLong)).toDF("x", "y")
+          .repartition(8, expr("hash(x, y)"))
+        val r = Relation("db", "sch", s"t_z_$tag")
+        wh.writeAtomic(grid, r, zorderCols = Seq("x", "y"))
+        val q = side / 4 // box = 1/16 of the area at either scale
+        val planned = plannedFiles(
+          wh.read(r).filter($"x" < q.toLong && $"y" < q.toLong))
+        assert(planned <= 4L,
+          s"$tag: quarter-side box over 16 z-ordered files must plan <=4, " +
+            s"got $planned")
+        assert(wh.read(r).filter($"x" < q.toLong && $"y" < q.toLong)
+          .count() == q.toLong * q)
+      }
+    } finally spark.conf.unset("graft.zorder.partitions")
+  }
+
   test("compactTable --zorder: appends re-cluster into a skippable layout") {
     val s = spark; import s.implicits._
     val wh = new Warehouse(spark,
