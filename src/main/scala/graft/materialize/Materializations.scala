@@ -481,13 +481,30 @@ final class Materializer(wh: Warehouse) {
     // --full-refresh rebuilds every period on the new schema.
     if (!initial) {
       val incoming = df.schema.fieldNames.toSet
-      val existing = wh.read(rel).schema.fieldNames.toSet - "event_batch"
+      val existingSchema = wh.read(rel).schema
+      val existing = existingSchema.fieldNames.toSet - "event_batch"
       if (incoming != existing) throw new IllegalStateException(
         s"microbatch ${rel.fqName}: model schema drifted " +
           s"(added: ${(incoming -- existing).mkString(",")}; removed: " +
           s"${(existing -- incoming).mkString(",")}); a per-period " +
           "replacement would leave mixed schemas across partitions — " +
           "rerun with --full-refresh to rebuild every period")
+      // same guard for TYPE drift: a name-identical column whose type
+      // changed (int->long) would write new periods in the new type next
+      // to old-type periods — the identical mixed-parquet hazard, just
+      // invisible to the name check above
+      val existingTypes = existingSchema.fields
+        .map(f => f.name.toLowerCase -> f.dataType).toMap
+      val typeDrift = df.schema.fields.flatMap { f =>
+        existingTypes.get(f.name.toLowerCase)
+          .filter(_ != f.dataType)
+          .map(old => s"${f.name}(${old.sql}->${f.dataType.sql})")
+      }
+      if (typeDrift.nonEmpty) throw new IllegalStateException(
+        s"microbatch ${rel.fqName}: column type drifted " +
+          s"(${typeDrift.mkString(", ")}); a per-period replacement " +
+          "would leave mixed parquet types across partitions — rerun " +
+          "with --full-refresh to rebuild every period on the new type")
     }
 
     // dbt's --event-time-start/--event-time-end: an explicit backfill

@@ -184,7 +184,16 @@ object DbtProjectLoader {
             errorAfterH = freshnessH(tbl, "error_after")
               .orElse(freshnessH(src, "error_after")),
             filter = tbl.obj("freshness").flatMap(_.scalar("filter")),
-            format = fmt)
+            format = fmt,
+            // reference bigquery_options @15210: table- or source-level
+            // `require_partition_filter` (config: block or bare key)
+            requirePartitionFilter = Seq(
+              objScalar(tbl, "require_partition_filter"),
+              tbl.obj("config").flatMap(_.scalar("require_partition_filter")),
+              objScalar(src, "require_partition_filter"),
+              src.obj("config").flatMap(_.scalar("require_partition_filter")))
+              .flatten.headOption
+              .exists(v => v == "true" || v == "True"))
         }
     }.flatten
 

@@ -923,10 +923,19 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * TEMPORARY VIEW`, and `SET`. Anything else is refused loudly — a
     * header that created DURABLE state would leak outside the model's
     * run, which dbt's contract (the header rides the model's own job)
-    * never allows. Statements split on `;`, same template resolution as
-    * hooks.
+    * never allows.
+    *
+    * Scoping: the SparkSession is shared across the node pool, so header
+    * state is contained two ways — [[withSqlHeader]] SERIALIZES
+    * header-bearing model builds under one lock (dbt's own shape: one
+    * connection per model thread, and headers ride that connection), and
+    * every statement records its inverse (SET → restore/unset the prior
+    * value, temp function/view → drop) which runs after the model's
+    * materialization completes, so nothing a header sets survives the
+    * model's run.
     */
-  private def runSqlHeader(modelName: String, header: String): Unit = {
+  private val sqlHeaderLock = new Object
+  private def runSqlHeader(modelName: String, header: String): () => Unit = {
     val compiled = Compiler.compile(
       Compiler.expandMacros(header, project.macros), Compiler.ResolveCtx(
         refTarget = r => Compiler.pathRelation(
@@ -935,36 +944,119 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         thisTarget = Compiler.pathRelation(
           relationFor(modelName).pathUnder(target.warehouseRoot)),
         env = target.env, isIncremental = false, vars = mergedVars))
-    compiled.split(";").map(_.trim).filter(_.nonEmpty).foreach { st =>
-      val sessionScoped =
-        st.matches("(?is)^create\\s+(or\\s+replace\\s+)?temp(orary)?\\s+function\\b.*") ||
-        st.matches("(?is)^create\\s+(or\\s+replace\\s+)?temp(orary)?\\s+view\\b.*") ||
-        st.matches("(?is)^set\\s+.+")
-      require(sessionScoped,
+    val undo = Seq.newBuilder[() => Unit]
+    val funcRe =
+      """(?is)^create\s+(?:or\s+replace\s+)?temp(?:orary)?\s+function\s+(\w+)\b.*""".r
+    val viewRe =
+      """(?is)^create\s+(?:or\s+replace\s+)?temp(?:orary)?\s+view\s+(\w+)\b.*""".r
+    val setRe = """(?is)^set\s+([\w.]+)\s*=.*""".r
+    splitStatements(compiled).foreach { st =>
+      val inverse: Option[() => Unit] = st match {
+        case funcRe(name) =>
+          Some(() => { spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $name"); () })
+        case viewRe(name) =>
+          Some(() => { spark.sql(s"DROP VIEW IF EXISTS $name"); () })
+        case setRe(key) =>
+          val prior = spark.conf.getOption(key)
+          Some(() => prior match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => try spark.conf.unset(key) catch { case _: Exception => () }
+          })
+        case _ => None
+      }
+      require(inverse.isDefined,
         s"model '$modelName': sql_header statements must be session-scoped " +
           "(CREATE TEMPORARY FUNCTION/VIEW or SET) — durable DDL in a " +
           s"header would outlive the model's run: ${st.take(120)}")
-      spark.sql(warehouse.resolveSql(st)); ()
+      spark.sql(warehouse.resolveSql(st))
+      undo ++= inverse
+    }
+    val cleanup = undo.result()
+    () => cleanup.reverse.foreach(_.apply())
+  }
+
+  /** Quote-aware `;` split: a semicolon inside a '…' string literal
+    * ('' escapes a quote) is content, not a separator.
+    */
+  private def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            sb.append('\''); i += 1
+          } else inQ = false
+        }
+      } else if (c == '\'') { inQ = true; sb.append(c) }
+      else if (c == ';') { out += sb.result(); sb.clear() }
+      else sb.append(c)
+      i += 1
+    }
+    out += sb.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Run `body` with `header` active: header statements execute first,
+    * the whole unit serializes against other header-bearing work, and
+    * the header's session state is undone afterward whatever happens.
+    */
+  private def withSqlHeader[A](modelName: String, header: Option[String])
+      (body: => A): A = header match {
+    case None => body
+    case Some(h) => sqlHeaderLock.synchronized {
+      val cleanup = runSqlHeader(modelName, h)
+      try body finally cleanup()
     }
   }
 
-  /** Guarded relations for [[graft.plans.PartitionFilterGuard]]: every
-    * model/source declaring `require_partition_filter`, except the node
-    * being built itself (incremental/snapshot maintenance legitimately
-    * probes its own target — the _dbt_max_partition fetch, merge reads).
+  /** Guarded relations for [[graft.plans.PartitionFilterGuard]] — the
+    * guard set is build-constant, so it is computed ONCE (effectiveConfig
+    * re-parses inline config; per-node recomputation would be
+    * O(nodes × models) regex work under the executor). Guarded MODELS
+    * are validated here too: the guard only bites on partition-pruned
+    * scans, so a guarded model must be a partitioned table/incremental —
+    * a view inlines as a CTE (no scan of its own to guard) and an
+    * unpartitioned table can never satisfy the predicate requirement;
+    * both misconfigurations fail THIS model loudly instead of surfacing
+    * on whichever consumer first reads it.
+    */
+  private lazy val allPartitionGuards
+      : Seq[(String, graft.plans.PartitionFilterGuard.Guard)] =
+    project.models.iterator
+      .filter(mm => effectiveConfig(mm).requirePartitionFilter)
+      .map { mm =>
+        val c = effectiveConfig(mm)
+        val tableBacked = Set("table", "incremental").contains(c.materialized)
+        val partitioned = c.partitionBy.nonEmpty ||
+          c.incrementalStrategy == IncrementalStrategy.Microbatch
+        require(tableBacked && partitioned,
+          s"model '${mm.name}': require_partition_filter needs a " +
+            "partitioned table/incremental materialization (got " +
+            s"materialized='${c.materialized}', partition_by=" +
+            s"[${c.partitionBy.mkString(",")}]) — a view/ephemeral " +
+            "inlines with no scan of its own, and an unpartitioned table " +
+            "can never satisfy the guard")
+        mm.name -> graft.plans.PartitionFilterGuard.Guard(
+          warehouse.path(relationFor(mm.name)), s"model '${mm.name}'")
+      }.toSeq ++
+    project.sources.iterator.filter(_.requirePartitionFilter)
+      .map(sd => s"source:${sd.sourceName}.${sd.tableName}" ->
+        graft.plans.PartitionFilterGuard.Guard(
+          sd.path, s"source '${sd.sourceName}.${sd.tableName}'"))
+      .toSeq
+
+  /** The guard set minus the node being built itself (incremental/
+    * snapshot maintenance legitimately probes its own target — the
+    * _dbt_max_partition fetch, merge reads).
     */
   private def partitionGuards(excluding: String)
       : Seq[graft.plans.PartitionFilterGuard.Guard] =
-    project.models.iterator
-      .filter(mm => mm.name != excluding &&
-        effectiveConfig(mm).requirePartitionFilter)
-      .map(mm => graft.plans.PartitionFilterGuard.Guard(
-        warehouse.path(relationFor(mm.name)), s"model '${mm.name}'"))
-      .toSeq ++
-    project.sources.iterator.filter(_.requirePartitionFilter)
-      .map(sd => graft.plans.PartitionFilterGuard.Guard(
-        sd.path, s"source '${sd.sourceName}.${sd.tableName}'"))
-      .toSeq
+    allPartitionGuards.collect { case (owner, g) if owner != excluding => g }
 
   private def runNode(name: String, selected: Set[String],
                       deferRoot: Option[String], fullRefresh: Boolean): Unit = {
@@ -974,10 +1066,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     project.models.find(_.name == name).foreach { m =>
       val cfg = effectiveConfig(m)
       runHooks(cfg.preHooks, m.name)
-      // sql_header runs BEFORE compile: an introspection probe in the
-      // body (run_query) may already call a header-declared temp function
-      cfg.sqlHeader.orElse(Compiler.extractSqlHeader(m.rawSql)._1)
-        .foreach(h => runSqlHeader(m.name, h))
+      // sql_header wraps compile + materialization as ONE unit: an
+      // introspection probe in the body (run_query) may already call a
+      // header-declared temp function, and the header's session state is
+      // undone — and the unit serialized vs other header work — once the
+      // materialization lands (see runSqlHeader's scoping note)
+      withSqlHeader(m.name,
+          cfg.sqlHeader.orElse(Compiler.extractSqlHeader(m.rawSql)._1)) {
       val compiled = compileSql(m, selected, deferRoot, fullRefresh)
       if (compiled.contains("[DBT__PARTITION_DATE]")) {
         // B2 legacy per-date partition loop (reference
@@ -1077,6 +1172,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             "block in the project's macro dirs (none is defined)")
       }
       }
+      } // withSqlHeader
       runHooks(cfg.postHooks, m.name)
     }
     project.snapshots.find(_.name == name).foreach { sn =>
@@ -1859,7 +1955,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           s"unit test '$name': no mock for source('$sn', '$tn')")),
       thisTarget = "", env = target.env ++ extraEnv, isIncremental = false,
       vars = mergedVars ++ extraVars)
-    spark.sql(Compiler.compile(Compiler.extractSqlHeader(m.rawSql)._2, ctx))
+    // a header-declared temp function must exist while the body ANALYZES
+    // (spark.sql resolves functions eagerly; the analyzed plan then
+    // executes fine after the header's cleanup drops them)
+    val (header, bodySql) = Compiler.extractSqlHeader(m.rawSql)
+    withSqlHeader(m.name, effectiveConfig(m).sqlHeader.orElse(header)) {
+      spark.sql(Compiler.compile(bodySql, ctx))
+    }
   }
 
   /** Build an inline mock frame from literal row maps (the `unit_tests:`
@@ -2090,16 +2192,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     */
   def writeCatalog(path: String): Unit = {
     // full JSON escape incl. control chars — view DEFINITIONS are
-    // multi-line compiled SQL, which the simple quote-escape corrupts
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // multi-line compiled SQL, which a simple quote-escape corrupts
+    import Js.q
     def desc(key: String): String =
       project.descriptions.get(key)
         .map(d => s", ${q("description")}: ${q(d)}").getOrElse("")

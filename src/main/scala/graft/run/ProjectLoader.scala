@@ -49,14 +49,16 @@ object ProjectLoader {
         .map(_.stripPrefix("options=").split(",").iterator
           .map(_.split(":", 2)).collect { case Array(k, v) => k -> v }
           .toMap).getOrElse(Map.empty[String, String])
+      val rpf = raw.contains("require_partition_filter=true")
       val parts = raw.filterNot(t =>
-        t.startsWith("format=") || t.startsWith("options="))
+        t.startsWith("format=") || t.startsWith("options=") ||
+          t.startsWith("require_partition_filter="))
       SourceDef(parts(0), parts(1), parts(2),
         if (parts.length > 3) Some(parts(3)) else None,
         if (parts.length > 4) Some(parts(4).toInt) else None,
         if (parts.length > 5) Some(parts(5).toInt) else None,
         if (parts.length > 6) Some(unquote(parts(6))) else None,
-        format = fmt, options = opts)
+        format = fmt, options = opts, requirePartitionFilter = rpf)
     }
 
     val models = listFiles(root.resolve("models"), ".sql").map { p =>

@@ -607,6 +607,46 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(err.getMessage.contains("severity"), err.getMessage)
   }
 
+  test("source-level require_partition_filter loads and enforces") {
+    val proj = Files.createTempDirectory("graft_srcguard")
+    put(proj, "dbt_project.yml", "name: srcguard\n")
+    // a PARTITIONED parquet source dir (status=... layout)
+    val srcDir = Files.createTempDirectory("graft_guarded_src")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(srcDir.toString)
+    def write(modelSql: String): Unit = {
+      put(proj, "models/reader.sql", modelSql)
+      put(proj, "models/schema.yml",
+        s"""version: 2
+           |sources:
+           |  - name: tpch
+           |    tables:
+           |      - name: orders_part
+           |        config:
+           |          require_partition_filter: true
+           |        meta:
+           |          external_location: $srcDir
+           |""".stripMargin)
+    }
+    write("SELECT count(*) AS n FROM {{ source('tpch','orders_part') }} " +
+      "WHERE o_orderstatus = 'F'")
+    val (p, _) = ProjectLoader.load(proj.toString)
+    assert(p.sources.head.requirePartitionFilter)
+    val e = new Engine(spark, p,
+      Target(Files.createTempDirectory("graft_srcguard_wh").toString))
+    assert(e.build()._1.forall(_.status == "success"))
+    // unpredicated read of the guarded source refuses
+    write("SELECT count(*) AS n FROM {{ source('tpch','orders_part') }}")
+    val (p2, _) = ProjectLoader.load(proj.toString)
+    val e2 = new Engine(spark, p2,
+      Target(Files.createTempDirectory("graft_srcguard_wh2").toString))
+    val bad = e2.build()._1.find(_.name == "reader").get
+    assert(bad.status != "success" &&
+      bad.error.exists(_.contains("require_partition_filter")), bad)
+  }
+
   test("dbt 1.9 YAML snapshots: relation + config incl. new_record and meta renames") {
     val proj = Files.createTempDirectory("graft_ymlsnap")
     put(proj, "dbt_project.yml", "name: ymlsnap\n")

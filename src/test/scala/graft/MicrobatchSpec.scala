@@ -133,6 +133,16 @@ class MicrobatchSpec extends AnyFunSuite {
       // --full-refresh takes the new schema cleanly
       mat.incremental(widened, rel, cfg, fullRefresh = true)
       assert(wh.read(rel).columns.contains("extra"))
+      // TYPE drift (same names, int v instead of long) is the same
+      // mixed-parquet hazard and must refuse too, naming the column
+      val typeDrift = widened.withColumn("v", col("v").cast("int"))
+      val e2 = intercept[IllegalStateException] {
+        mat.incremental(typeDrift, rel, cfg)
+      }
+      assert(e2.getMessage.contains("type drifted") &&
+        e2.getMessage.contains("v("), e2.getMessage)
+      mat.incremental(typeDrift, rel, cfg, fullRefresh = true)
+      assert(wh.read(rel).schema("v").dataType.typeName == "integer")
     } finally spark.conf.unset("graft.microbatch.now")
   }
 

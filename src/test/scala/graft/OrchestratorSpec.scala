@@ -1055,6 +1055,58 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(ekv.readModel("kv_hdr").agg(max(col("k2"))).head().getInt(0) == 48)
   }
 
+  test("sql_header state is scoped to the model's run and restored after") {
+    // a SET the header flips must come back to its prior value, and the
+    // header-declared temp function must NOT survive the build — header
+    // state rides the model's own run, never the session (the shared-
+    // session leak would poison every later model in the pool)
+    val key = "spark.sql.legacy.timeParserPolicy"
+    val prior = spark.conf.get(key)
+    val p = baseProject.copy(models = Seq(ModelDef("scoped_hdr",
+      s"""{% call set_sql_header(config) %}
+         |CREATE OR REPLACE TEMPORARY FUNCTION hdr_fn(k INT)
+         |RETURNS STRING RETURN concat('v', k, '; ok');
+         |SET $key=LEGACY
+         |{% endcall %}
+         |SELECT n_nationkey, hdr_fn(n_regionkey) AS tag
+         |FROM {{ source('tpch','nation') }}""".stripMargin)))
+    val e = new Engine(spark, p, Target(root()))
+    assert(e.build()._1.forall(_.status == "success"))
+    // the ';' inside the function's string literal did not split the
+    // statement: the tag carries it through
+    assert(e.readModel("scoped_hdr")
+      .filter(col("tag").endsWith("; ok")).count() == 25)
+    assert(spark.conf.get(key) == prior, "SET must restore after the model")
+    intercept[Exception] { spark.sql("SELECT hdr_fn(1)").collect() }
+    // a unit test on the header-using model works: the header runs for
+    // the unit compile too (and is cleaned up after)
+    val ut = UnitTestDef("hdr_unit", "scoped_hdr",
+      given = Map("source:tpch.nation" -> Seq(
+        Map("n_nationkey" -> "1", "n_regionkey" -> "2"))),
+      expect = Seq(Map("n_nationkey" -> "1", "tag" -> "v2; ok")))
+    val r = new Engine(spark, p.copy(unitTests = Seq(ut)), Target(root()))
+      .runUnitTest(ut)
+    assert(r.status == "pass", r)
+  }
+
+  test("require_partition_filter on a view or unpartitioned model refuses loudly") {
+    // a guarded view inlines as a CTE (no scan of its own to guard) and
+    // an unpartitioned table can never satisfy the predicate — both
+    // misconfigurations must fail, not silently disable the guard
+    val badView = baseProject.copy(models = Seq(ModelDef("v_guard",
+      """{{ config(materialized='view', require_partition_filter=true) }}
+        |SELECT n_nationkey FROM {{ source('tpch','nation') }}""".stripMargin)))
+    val (nodes, _) = new Engine(spark, badView, Target(root())).build()
+    assert(nodes.exists(n => n.status != "success" &&
+      n.error.exists(_.contains("require_partition_filter"))), nodes)
+    val noPart = baseProject.copy(models = Seq(ModelDef("t_guard",
+      """{{ config(materialized='table', require_partition_filter=true) }}
+        |SELECT n_nationkey FROM {{ source('tpch','nation') }}""".stripMargin)))
+    val (nodes2, _) = new Engine(spark, noPart, Target(root())).build()
+    assert(nodes2.exists(n => n.status != "success" &&
+      n.error.exists(_.contains("partition_by"))), nodes2)
+  }
+
   test("dbt-schema artifacts: manifest v12 / catalog v1 shapes parse with required keys") {
     val p = baseProject.copy(
       macros = Compiler.parseMacros(
