@@ -236,6 +236,35 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
     // closed history never enters the join. SUB rides along: it is the
     // row's persisted leaf identity.
     val current = all.filter(col(BUCKET) === CURRENT).drop(BUCKET)
+
+    // Type-drift guard (same hazard class as the microbatch/incremental
+    // guards): a WIDER source column type would coerce the staging union
+    // to the new type and rewrite only the TOUCHED leaves — closed-
+    // history leaves keep the old parquet type, leaving mixed schemas
+    // across partition dirs that later reads resolve arbitrarily. A
+    // NARROWER source is safe (union coercion casts it up to the stored
+    // type, lossless). Refuse widening/incompatible loudly: snapshots
+    // have no full-refresh (dbt never rebuilds history), so a type
+    // migration must be a deliberate operation, not a silent side effect.
+    {
+      import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      val storedTypes = all.schema.fields
+        .map(f => f.name.toLowerCase -> f.dataType).toMap
+      val drifted = source.schema.fields.flatMap { f =>
+        storedTypes.get(f.name.toLowerCase).filter(_ != f.dataType).flatMap {
+          old => TypeCoercion.findTightestCommonType(f.dataType, old) match {
+            case Some(w) if w == old => None // narrower: casts up in the union
+            case _ => Some(s"${f.name}(${old.sql}->${f.dataType.sql})")
+          }
+        }
+      }
+      if (drifted.nonEmpty) throw new IllegalStateException(
+        s"snapshot ${rel.fqName}: source column type widened " +
+          s"(${drifted.mkString(", ")}); a leaf-scoped merge would leave " +
+          "mixed parquet types between current and closed-history " +
+          "partitions — migrate the stored history to the new type " +
+          "deliberately (rebuild the snapshot relation) before snapshotting")
+    }
     // presence markers, NOT key-nullability: with dbt's plain `=` key join
     // (snapshot_staging_table @102012 joins ON dbt_unique_key =, where a
     // NULL key matches NOTHING), a NULL-key source row must still be seen

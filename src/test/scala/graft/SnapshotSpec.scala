@@ -201,6 +201,37 @@ class SnapshotSpec extends AnyFunSuite {
     assertInvariants(wh, r)
   }
 
+  test("a widened source column type refuses; a narrower one casts up losslessly") {
+    val wh = freshWh(); val snap = new Snapshotter(wh)
+    val strat = SnapshotStrategy.Timestamp("updated_at")
+    val r = Relation("db", "s", "snap_typedrift")
+    val s = spark; import s.implicits._
+    def srcTyped(big: Boolean, v: Long, at: String) = {
+      val df = Seq((1L, v, ts(at))).toDF("id", "n", "updated_at")
+      if (big) df else df.withColumn("n", col("n").cast("int"))
+    }
+    snap.snapshot(srcTyped(big = false, 7L, "2024-01-01 00:00:00"), r,
+      Seq("id"), strat) // stored n: int
+    // int -> long widening must refuse loudly (closed leaves would keep
+    // the old parquet type while touched leaves take the new one)
+    val e = intercept[IllegalStateException] {
+      snap.snapshot(srcTyped(big = true, 5000000000L, "2024-02-01 00:00:00"),
+        r, Seq("id"), strat)
+    }
+    assert(e.getMessage.contains("n(") && e.getMessage.contains("widened"),
+      e.getMessage)
+    // the narrow direction is fine: rebuild stored-as-long, then an
+    // int-typed source run casts up and versions normally
+    val r2 = Relation("db", "s", "snap_typedrift2")
+    snap.snapshot(srcTyped(big = true, 5000000000L, "2024-01-01 00:00:00"),
+      r2, Seq("id"), strat)
+    snap.snapshot(srcTyped(big = false, 9L, "2024-02-01 00:00:00"),
+      r2, Seq("id"), strat)
+    val cur = wh.read(r2).filter(col("dbt_valid_to").isNull).collect()
+    assert(cur.length == 1 && cur.head.getAs[Long]("n") == 9L)
+    assertInvariants(wh, r2)
+  }
+
   test("dbt_valid_to_current sentinel marks open rows; both spellings stay current") {
     val wh = freshWh(); val snap = new Snapshotter(wh)
     val strat = SnapshotStrategy.Timestamp("updated_at")
