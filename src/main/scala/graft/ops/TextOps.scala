@@ -2156,6 +2156,78 @@ object TextOps {
        |FROM m JOIN j ON j.cluster_id = m.cluster_id AND j.qkey = m.qkey
        |GROUP BY m.cluster_id, m.n_members, m.qkey""".stripMargin
 
+  // ------------------------------------- cross-doc duplicate n-gram coverage
+  /** RefinedWeb/MassiveText "duplicate n-gram coverage": per document,
+    * the fraction (ppm, integer-exact) of its word 5-gram POSITIONS whose
+    * gram also appears in at least one other document — the cross-doc
+    * companion to x_gopher_rules' within-doc repetition, and the filter
+    * that catches boilerplate shared across hosts that exact/MinHash doc
+    * dedup misses. Relational end to end: explode 5-grams (codegen'd
+    * transform/slice, no UDF), one groupBy(gram) for document frequency
+    * (partial-agg'd map-side), one hash join back keyed on gram, one
+    * groupBy(doc). At 100 TB: join skew from mega-frequent grams is
+    * AQE-split; to bound state further, hash grams to 64-bit before the
+    * groupBy (same df-cap discipline as the fuzzy-dedup inverted index).
+    */
+  def dupNgramCoverage(s: SparkSession, d: String): DataFrame = {
+    val g = corpus(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))
+        .as("gram"))
+    val df = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+    g.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("dup * 1000000 div n_grams").as("dup_ppm"))
+  }
+
+  val dupNgramCoverageSql: String =
+    s"""WITH $corpusSql,
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+       |      FROM w, UNNEST(range(1, greatest(len(ws)-3, 1))) AS t(i)
+       |      WHERE len(ws) >= 5),
+       |df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |       CAST((sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) * 1000000)
+       |         // count(*) AS BIGINT) AS dup_ppm
+       |FROM g JOIN df USING (gram) GROUP BY g.doc_id""".stripMargin
+
+  // ------------------------------------------------- domain frequency cap
+  /** Domain/source frequency capping (the CommonCrawl-curation step that
+    * bounds single-host dominance): keep at most K documents per source,
+    * preferring the longest (then lowest doc_id — fully deterministic).
+    * One shuffle on source + a per-partition window sort; K is small so
+    * the window's retained state is K rows per key. For a pathological
+    * mega-domain the window partition still holds ALL its rows before
+    * ranking — the bounded-state alternative is the typed TopK
+    * `Aggregator` (functions/TopKAggregator.scala, x_knn_topk_agg), which
+    * carries <=K candidates through partial aggregation; kept the window
+    * form here because K·|domains| is the output contract either way and
+    * the window is whole-stage codegen'd.
+    */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 30
+    documents(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rn"))
+  }
+
+  val domainCapSql: String =
+    """SELECT doc_id, source, n_chars, rn FROM (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) WHERE rn <= 30""".stripMargin
+
   // ------------------------------------------------- quality gating
   /** Per-language quality gate: keep every document whose integer quality
     * key reaches the language's EXACT median — the "filter the bottom
