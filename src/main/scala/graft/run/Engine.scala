@@ -2398,6 +2398,51 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     ()
   }
 
+  /** `run_results.json` in dbt's published v6 shape: `results[]` keyed by
+    * unique_id with dbt's status vocabulary (node success/error/skipped;
+    * test pass/fail/warn/error), so CI tooling that parses dbt run
+    * results (retry filters, status dashboards) reads graft runs
+    * directly. The graft-shaped artifact ([[writeRunResults]]) remains
+    * the `graft retry` state format.
+    */
+  def writeDbtRunResults(path: String, nodes: Seq[Dag.NodeResult],
+                         tests: Seq[TestResult],
+                         elapsedS: Double = 0.0): Unit = {
+    import Js._
+    def result(uid: String, status: String, execS: Double,
+               failures: Option[Long], message: Option[String]): String =
+      obj(
+        "unique_id" -> q(uid),
+        "status" -> q(status),
+        "timing" -> "[]",
+        "thread_id" -> q("main"),
+        "execution_time" -> execS.toString,
+        "adapter_response" -> "{}",
+        "message" -> message.map(q).getOrElse("null"),
+        "failures" -> failures.map(_.toString).getOrElse("null"))
+    val nodeResults = nodes.map { n =>
+      result(uniqueIdOf(n.name), n.status, n.durationMs / 1000.0,
+        None, n.error)
+    }
+    val testResults = tests.map { t =>
+      // dbt test statuses: pass | fail | warn | error (error = the test
+      // QUERY broke; a clean run with failing rows is 'fail')
+      val status = t.status match {
+        case "error" => "fail"
+        case other => other
+      }
+      result(s"test.${project.name}.${t.name}", status, 0.0,
+        Some(t.failures), None)
+    }
+    Files.writeString(Paths.get(path), obj(
+      "metadata" -> artifactMetadata(
+        "https://schemas.getdbt.com/dbt/run-results/v6.json"),
+      "results" -> arr(nodeResults ++ testResults),
+      "elapsed_time" -> elapsedS.toString,
+      "args" -> "{}"))
+    ()
+  }
+
   /** `catalog.json` in dbt's published v1 shape: `nodes` keyed by
     * unique_id, each with `metadata` (type/schema/name/database/comment),
     * positional `columns`, and dbt's `stats` entries (row_count/bytes

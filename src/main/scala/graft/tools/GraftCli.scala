@@ -213,10 +213,14 @@ object GraftCli {
           n.error.map(e => s"  ($e)").getOrElse("")))
       tests.foreach(t => println(
         f"${t.status.toUpperCase}%-8s test:${t.name}%-27s ${t.failures} failures"))
-      // run_results.json analogue (feeds `retry`)
+      // run_results.json analogue (feeds `retry`), plus dbt's published
+      // run-results v6 shape alongside for external CI tooling
       flags.get("run-results").flatMap(_.headOption).foreach { p =>
         engine.writeRunResults(p, nodes, tests)
-        println(s"run results written: $p")
+        val dbtP = java.nio.file.Paths.get(p).toAbsolutePath.getParent
+          .resolve("dbt_run_results.json").toString
+        engine.writeDbtRunResults(dbtP, nodes, tests)
+        println(s"run results written: $p (+ $dbtP)")
       }
       if (nodes.exists(_.status == "error")) sys.exit(1)
     }

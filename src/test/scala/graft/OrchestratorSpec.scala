@@ -1145,6 +1145,19 @@ class OrchestratorSpec extends AnyFunSuite {
       .contains("source.p.tpch.nation"))
     assert(man.path("child_map").path("model.p.nations").toString
       .contains("model.p.by_region"))
+    // run-results v6: node + test statuses in dbt's vocabulary
+    val (nodes, tests) = e.build()
+    e.writeDbtRunResults(s"$dir/run_results.json", nodes, tests, 1.5)
+    val rr = om.readTree(new java.io.File(s"$dir/run_results.json"))
+    assert(rr.path("metadata").path("dbt_schema_version").asText
+      .contains("run-results/v6"))
+    val results = rr.path("results")
+    assert(results.isArray && results.size() == nodes.size + tests.size)
+    val first = results.get(0)
+    assert(first.path("unique_id").asText.startsWith("model.p.") ||
+      first.path("unique_id").asText.startsWith("seed.p."))
+    assert(first.path("status").asText == "success")
+    assert(first.has("execution_time") && first.has("failures"))
     val cat = om.readTree(new java.io.File(s"$dir/catalog.json"))
     assert(cat.path("metadata").path("dbt_schema_version").asText
       .contains("catalog/v1"))
