@@ -192,8 +192,13 @@ object DbtProjectLoader {
               tbl.obj("config").flatMap(_.scalar("require_partition_filter")),
               objScalar(src, "require_partition_filter"),
               src.obj("config").flatMap(_.scalar("require_partition_filter")))
-              .flatten.headOption
-              .exists(v => v == "true" || v == "True"))
+              .flatten.headOption.exists(_.toLowerCase match {
+                case "true" => true
+                case "false" => false
+                case other => throw new IllegalArgumentException(
+                  s"source '$sName.$tName': require_partition_filter " +
+                    s"expects true|false, got '$other'")
+              }))
         }
     }.flatten
 

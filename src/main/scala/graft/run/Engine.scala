@@ -944,13 +944,27 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         thisTarget = Compiler.pathRelation(
           relationFor(modelName).pathUnder(target.warehouseRoot)),
         env = target.env, isIncremental = false, vars = mergedVars))
-    val undo = Seq.newBuilder[() => Unit]
-    val funcRe =
-      """(?is)^create\s+(?:or\s+replace\s+)?temp(?:orary)?\s+function\s+(\w+)\b.*""".r
-    val viewRe =
-      """(?is)^create\s+(?:or\s+replace\s+)?temp(?:orary)?\s+view\s+(\w+)\b.*""".r
-    val setRe = """(?is)^set\s+([\w.]+)\s*=.*""".r
-    splitStatements(compiled).foreach { st =>
+    // object names: bare word, dotted, or backquoted (passed through
+    // verbatim to the DROP); IF NOT EXISTS forms supported
+    val nameP = """((?:`[^`]+`|[\w.]+))"""
+    val funcRe = ("""(?is)^create\s+(?:or\s+replace\s+)?temp(?:orary)?""" +
+      """\s+function\s+(?:if\s+not\s+exists\s+)?""" + nameP + """[\s(].*""").r
+    val viewRe = ("""(?is)^create\s+(?:or\s+replace\s+)?temp(?:orary)?""" +
+      """\s+view\s+(?:if\s+not\s+exists\s+)?""" + nameP + """[\s(].*""").r
+    // SET key=value (key = any non-space/'=' run: hyphenated hadoop keys
+    // etc.); a bare `SET key` only READS a conf — no state, no inverse
+    val setRe = """(?is)^set\s+([^=\s]+)\s*=.*""".r
+    val setReadRe = """(?is)^set\s+[^=\s]+$""".r
+    val undo = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    // an inverse that throws must neither mask the real failure nor
+    // abort the remaining undos — log and keep unwinding
+    def unwind(): Unit = undo.toList.reverse.foreach { f =>
+      try f() catch { case e: Exception =>
+        System.err.println(
+          s"[graft] sql_header cleanup for '$modelName' failed: ${e.getMessage}")
+      }
+    }
+    try splitStatements(compiled).foreach { st =>
       val inverse: Option[() => Unit] = st match {
         case funcRe(name) =>
           Some(() => { spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $name"); () })
@@ -962,39 +976,52 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             case Some(v) => spark.conf.set(key, v)
             case None => try spark.conf.unset(key) catch { case _: Exception => () }
           })
+        case _ if setReadRe.findFirstIn(st).isDefined => Some(() => ())
         case _ => None
       }
       require(inverse.isDefined,
         s"model '$modelName': sql_header statements must be session-scoped " +
           "(CREATE TEMPORARY FUNCTION/VIEW or SET) — durable DDL in a " +
           s"header would outlive the model's run: ${st.take(120)}")
+      // record the inverse BEFORE executing: if a LATER statement fails,
+      // everything already executed still unwinds (re-undoing a failed
+      // statement is harmless — DROP IF EXISTS / restore-the-same-value)
+      undo += inverse.get
       spark.sql(warehouse.resolveSql(st))
-      undo ++= inverse
-    }
-    val cleanup = undo.result()
-    () => cleanup.reverse.foreach(_.apply())
+      ()
+    } catch { case e: Throwable => unwind(); throw e }
+    () => unwind()
   }
 
-  /** Quote-aware `;` split: a semicolon inside a '…' string literal
-    * ('' escapes a quote) is content, not a separator.
+  /** Quote- and comment-aware `;` split: a semicolon inside a '…' or
+    * "…" string literal (doubled-quote escapes), a `…` backquoted
+    * identifier, or a `--` line comment is content, not a separator.
     */
   private def splitStatements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
-    var inQ = false
+    var quote: Char = 0 // 0 = outside; else the active quote char
+    var inComment = false
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inQ) {
+      if (inComment) {
         sb.append(c)
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-            sb.append('\''); i += 1
-          } else inQ = false
+        if (c == '\n') inComment = false
+      } else if (quote != 0) {
+        sb.append(c)
+        if (c == quote) {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == quote) {
+            sb.append(quote); i += 1 // '' / "" escape
+          } else quote = 0
         }
-      } else if (c == '\'') { inQ = true; sb.append(c) }
-      else if (c == ';') { out += sb.result(); sb.clear() }
-      else sb.append(c)
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; sb.append(c)
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          inComment = true; sb.append(c)
+        case ';' => out += sb.result(); sb.clear()
+        case _ => sb.append(c)
+      }
       i += 1
     }
     out += sb.result()
@@ -1017,38 +1044,44 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
   /** Guarded relations for [[graft.plans.PartitionFilterGuard]] — the
     * guard set is build-constant, so it is computed ONCE (effectiveConfig
     * re-parses inline config; per-node recomputation would be
-    * O(nodes × models) regex work under the executor). Guarded MODELS
-    * are validated here too: the guard only bites on partition-pruned
-    * scans, so a guarded model must be a partitioned table/incremental —
-    * a view inlines as a CTE (no scan of its own to guard) and an
-    * unpartitioned table can never satisfy the predicate requirement;
-    * both misconfigurations fail THIS model loudly instead of surfacing
-    * on whichever consumer first reads it.
+    * O(nodes × models) regex work under the executor). Pure collection:
+    * per-model config VALIDATION lives in [[validatePartitionGuard]] so
+    * a misconfiguration fails the guarded model's OWN node, not whichever
+    * node happens to touch the lazy val first.
     */
   private lazy val allPartitionGuards
       : Seq[(String, graft.plans.PartitionFilterGuard.Guard)] =
     project.models.iterator
       .filter(mm => effectiveConfig(mm).requirePartitionFilter)
-      .map { mm =>
-        val c = effectiveConfig(mm)
-        val tableBacked = Set("table", "incremental").contains(c.materialized)
-        val partitioned = c.partitionBy.nonEmpty ||
-          c.incrementalStrategy == IncrementalStrategy.Microbatch
-        require(tableBacked && partitioned,
-          s"model '${mm.name}': require_partition_filter needs a " +
-            "partitioned table/incremental materialization (got " +
-            s"materialized='${c.materialized}', partition_by=" +
-            s"[${c.partitionBy.mkString(",")}]) — a view/ephemeral " +
-            "inlines with no scan of its own, and an unpartitioned table " +
-            "can never satisfy the guard")
-        mm.name -> graft.plans.PartitionFilterGuard.Guard(
-          warehouse.path(relationFor(mm.name)), s"model '${mm.name}'")
-      }.toSeq ++
+      .map(mm => mm.name -> graft.plans.PartitionFilterGuard.Guard(
+        warehouse.path(relationFor(mm.name)), s"model '${mm.name}'"))
+      .toSeq ++
     project.sources.iterator.filter(_.requirePartitionFilter)
       .map(sd => s"source:${sd.sourceName}.${sd.tableName}" ->
         graft.plans.PartitionFilterGuard.Guard(
           sd.path, s"source '${sd.sourceName}.${sd.tableName}'"))
       .toSeq
+
+  /** A guarded model must be a partitioned table/incremental: a view or
+    * ephemeral inlines as a CTE (no scan of its own for the guard to
+    * match — the predicate requirement falls through to the underlying
+    * scans instead), and an unpartitioned table could never satisfy the
+    * predicate requirement. Checked while building the guarded model
+    * itself so the error lands on the RIGHT node.
+    */
+  private def validatePartitionGuard(name: String, c: ModelConfig): Unit =
+    if (c.requirePartitionFilter) {
+      val tableBacked = Set("table", "incremental").contains(c.materialized)
+      val partitioned = c.partitionBy.nonEmpty ||
+        c.incrementalStrategy == IncrementalStrategy.Microbatch
+      require(tableBacked && partitioned,
+        s"model '$name': require_partition_filter needs a partitioned " +
+          s"table/incremental materialization (got materialized=" +
+          s"'${c.materialized}', partition_by=" +
+          s"[${c.partitionBy.mkString(",")}]) — a view/ephemeral inlines " +
+          "with no scan of its own, and an unpartitioned table can never " +
+          "satisfy the guard")
+    }
 
   /** The guard set minus the node being built itself (incremental/
     * snapshot maintenance legitimately probes its own target — the
@@ -1065,6 +1098,7 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     }
     project.models.find(_.name == name).foreach { m =>
       val cfg = effectiveConfig(m)
+      validatePartitionGuard(m.name, cfg)
       runHooks(cfg.preHooks, m.name)
       // sql_header wraps compile + materialization as ONE unit: an
       // introspection probe in the body (run_query) may already call a
@@ -1955,12 +1989,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           s"unit test '$name': no mock for source('$sn', '$tn')")),
       thisTarget = "", env = target.env ++ extraEnv, isIncremental = false,
       vars = mergedVars ++ extraVars)
-    // a header-declared temp function must exist while the body ANALYZES
-    // (spark.sql resolves functions eagerly; the analyzed plan then
-    // executes fine after the header's cleanup drops them)
+    // the header must be active for the body's whole LIFETIME here, not
+    // just analysis: the caller collects/counts the returned frame after
+    // this scope, and a header SET (e.g. a parser policy) changes
+    // EXECUTION behavior — so with a header present the tiny mock frame
+    // materializes eagerly (localCheckpoint) before cleanup restores the
+    // session state
     val (header, bodySql) = Compiler.extractSqlHeader(m.rawSql)
-    withSqlHeader(m.name, effectiveConfig(m).sqlHeader.orElse(header)) {
-      spark.sql(Compiler.compile(bodySql, ctx))
+    val hdr = effectiveConfig(m).sqlHeader.orElse(header)
+    withSqlHeader(m.name, hdr) {
+      val df = spark.sql(Compiler.compile(bodySql, ctx))
+      if (hdr.isDefined) df.localCheckpoint(true) else df
     }
   }
 
@@ -2425,10 +2464,12 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         None, n.error)
     }
     val testResults = tests.map { t =>
-      // dbt test statuses: pass | fail | warn | error (error = the test
-      // QUERY broke; a clean run with failing rows is 'fail')
+      // dbt test statuses: pass | fail | warn | error. graft's TestResult
+      // uses 'error' for BOTH a clean run with failing rows (dbt 'fail')
+      // and a broken test query (dbt 'error'); the failure count
+      // discriminates — a broken query never counted any rows
       val status = t.status match {
-        case "error" => "fail"
+        case "error" if t.failures > 0 => "fail"
         case other => other
       }
       result(s"test.${project.name}.${t.name}", status, 0.0,

@@ -49,7 +49,16 @@ object ProjectLoader {
         .map(_.stripPrefix("options=").split(",").iterator
           .map(_.split(":", 2)).collect { case Array(k, v) => k -> v }
           .toMap).getOrElse(Map.empty[String, String])
-      val rpf = raw.contains("require_partition_filter=true")
+      // value parsed, not token-matched: '=True'/'=false' must resolve,
+      // and anything else fail loudly rather than silently dropping the
+      // guard the user asked for
+      val rpf = raw.find(_.startsWith("require_partition_filter="))
+        .map(_.stripPrefix("require_partition_filter=").toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => throw new IllegalArgumentException(
+            s"require_partition_filter expects true|false, got '$other'")
+        }).getOrElse(false)
       val parts = raw.filterNot(t =>
         t.startsWith("format=") || t.startsWith("options=") ||
           t.startsWith("require_partition_filter="))

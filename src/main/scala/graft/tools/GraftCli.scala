@@ -214,11 +214,15 @@ object GraftCli {
       tests.foreach(t => println(
         f"${t.status.toUpperCase}%-8s test:${t.name}%-27s ${t.failures} failures"))
       // run_results.json analogue (feeds `retry`), plus dbt's published
-      // run-results v6 shape alongside for external CI tooling
+      // run-results v6 shape alongside for external CI tooling. Never
+      // overwrite the retry artifact: if the user's own path already IS
+      // the sibling name, pick a distinct one
       flags.get("run-results").flatMap(_.headOption).foreach { p =>
         engine.writeRunResults(p, nodes, tests)
-        val dbtP = java.nio.file.Paths.get(p).toAbsolutePath.getParent
-          .resolve("dbt_run_results.json").toString
+        val abs = java.nio.file.Paths.get(p).toAbsolutePath
+        val sibling = abs.getParent.resolve("dbt_run_results.json")
+        val dbtP = (if (sibling == abs)
+          abs.getParent.resolve("dbt_run_results_v6.json") else sibling).toString
         engine.writeDbtRunResults(dbtP, nodes, tests)
         println(s"run results written: $p (+ $dbtP)")
       }

@@ -1087,6 +1087,18 @@ class OrchestratorSpec extends AnyFunSuite {
     val r = new Engine(spark, p.copy(unitTests = Seq(ut)), Target(root()))
       .runUnitTest(ut)
     assert(r.status == "pass", r)
+    // partial-failure unwind: a header whose SECOND statement is refused
+    // must still restore what the FIRST already set
+    val bad = baseProject.copy(models = Seq(ModelDef("half_hdr",
+      s"""{% call set_sql_header(config) %}
+         |SET $key=LEGACY;
+         |CREATE TABLE oops AS SELECT 1
+         |{% endcall %}
+         |SELECT 1 AS x""".stripMargin)))
+    val (bn, _) = new Engine(spark, bad, Target(root())).build()
+    assert(bn.find(_.name == "half_hdr").get.status != "success")
+    assert(spark.conf.get(key) == prior,
+      "a failed header must unwind the statements that DID run")
   }
 
   test("require_partition_filter on a view or unpartitioned model refuses loudly") {

@@ -225,6 +225,29 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ProjectLoader.load(dir.toString))
   }
 
+  test("CLI end-to-end: build writes both run-results shapes, docs writes dbt artifacts") {
+    val wh = Files.createTempDirectory("graft_cli_wh").toString
+    val rr = s"$wh/run_results.json"
+    graft.tools.GraftCli.main(Array("examples/demo_project", wh, "build",
+      "--run-results", rr))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(Files.exists(java.nio.file.Paths.get(rr)))
+    val dbtRr = om.readTree(new java.io.File(s"$wh/dbt_run_results.json"))
+    assert(dbtRr.path("metadata").path("dbt_schema_version").asText
+      .contains("run-results/v6"))
+    assert(dbtRr.path("results").isArray && dbtRr.path("results").size() > 0)
+    graft.tools.GraftCli.main(Array("examples/demo_project", wh, "docs",
+      "--out", s"$wh/catalog.json"))
+    assert(om.readTree(new java.io.File(s"$wh/catalog.json"))
+      .path("relations").isArray)
+    assert(om.readTree(new java.io.File(s"$wh/dbt_catalog.json"))
+      .path("metadata").path("dbt_schema_version").asText.contains("catalog/v1"))
+    val man = om.readTree(new java.io.File(s"$wh/dbt_manifest.json"))
+    assert(man.path("metadata").path("dbt_schema_version").asText
+      .contains("manifest/v12"))
+    assert(man.path("nodes").size() > 0 && man.path("macros").size() > 0)
+  }
+
   test("package imports: namespacing, bare aliases, shadowing, ambiguity") {
     val dir = Files.createTempDirectory("graft_pkgs")
     def put(name: String, text: String): Unit = {

@@ -71,6 +71,46 @@ class PropertySpec extends AnyFunSuite {
     assert(Warehouse.unescapePathName("%25%32%35") == "%25") // no double decode
   }
 
+  test("property: type widening never loses a value across arbitrary numeric ladders") {
+    // for ANY pair of numeric types on the int->long->double ladder, a
+    // merge of an increment typed differently from the target must (a)
+    // produce the WIDER of the two types and (b) preserve every value
+    // exactly — the silent-wrap/null failure mode structurally excluded
+    import org.apache.spark.sql.types._
+    val s = spark; import s.implicits._
+    val ladder: Seq[(DataType, Seq[Long])] = Seq(
+      (IntegerType, Seq(7L, -3L, Int.MaxValue.toLong)),
+      (LongType, Seq(7L, -3L, 5000000000L)),
+      (DoubleType, Seq(7L, -3L, 1L << 53)))
+    def rank(t: DataType) = ladder.indexWhere(_._1 == t)
+    val pairs = for {
+      (t1, _) <- ladder; (t2, vals) <- ladder
+    } yield (t1, t2, vals)
+    pairs.foreach { case (tgtT, incT, incVals) =>
+      val wh = freshWh(); val m = new Materializer(wh)
+      val r = Relation("db", "s", s"widen_${tgtT.typeName}_${incT.typeName}")
+      val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+      val base = Seq((0L, 1L)).toDF("id", "v")
+        .select(col("id"), col("v").cast(tgtT).as("v"))
+      m.incremental(base, r, cfg)
+      val inc = incVals.zipWithIndex.map { case (v, i) => (i + 1L, v) }
+        .toDF("id", "v")
+        .select(col("id"), col("v").cast(incT).as("v"))
+      m.incremental(inc, r, cfg)
+      val out = wh.read(r)
+      val wider = if (rank(incT) >= rank(tgtT)) incT else tgtT
+      assert(out.schema("v").dataType == wider,
+        s"$tgtT target + $incT increment must store ${wider.sql}")
+      val got = out.filter(col("id") >= 1)
+        .select(col("id"), col("v").cast("double"))
+        .as[(Long, Double)].collect().toMap
+      incVals.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i + 1L) == v.toDouble,
+          s"$tgtT<-$incT: value $v must survive exactly, got ${got(i + 1L)}")
+      }
+    }
+  }
+
   test("property: merge result = last-writer-wins union of key spaces") {
     val cases = samples(Gen.zip(rowsGen, rowsGen), 8, 1000L)
     assert(cases.nonEmpty)
