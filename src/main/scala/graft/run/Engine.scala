@@ -2437,6 +2437,53 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     ()
   }
 
+  /** `sources.json` in dbt's published v3 shape (the `dbt source
+    * freshness` artifact): per declared-freshness source, max_loaded_at /
+    * snapshotted_at / the age in seconds, dbt's status vocabulary
+    * (pass|warn|error — dbt spells pass and error as given and the rest
+    * of the tooling keys on `status`), and the declared criteria.
+    * Completes the artifact family (manifest v12, catalog v1,
+    * run_results v6). One footer-light aggregate per source, same plan
+    * as [[checkFreshness]].
+    */
+  def writeDbtSources(path: String): Unit = {
+    import Js._
+    val snapAt = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.now())
+    val results = project.sources.filter(_.loadedAtField.isDefined).map { s =>
+      val df = s.filter.foldLeft(readSource(s))(_ filter _)
+      val row = SchemaTests.freshness(df, s.loadedAtField.get,
+          current_timestamp(), s.warnAfterH.getOrElse(Int.MaxValue),
+          s.errorAfterH.getOrElse(Int.MaxValue))
+        .select(col("max_loaded_at_ms"), col("hours_late"), col("status"))
+        .head()
+      val maxLoadedIso = java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(java.time.Instant.ofEpochMilli(row.getLong(0)))
+      def crit(h: Option[Int]): String = h.map(v =>
+        obj("count" -> v.toString, "period" -> q("hour"))).getOrElse("null")
+      obj(
+        "unique_id" -> q(s"source.${project.name}.${s.sourceName}.${s.tableName}"),
+        "status" -> q(row.getString(2)),
+        "max_loaded_at" -> q(maxLoadedIso),
+        "snapshotted_at" -> q(snapAt),
+        "max_loaded_at_time_ago_in_s" -> (row.getLong(1) * 3600.0).toString,
+        "criteria" -> obj(
+          "warn_after" -> crit(s.warnAfterH),
+          "error_after" -> crit(s.errorAfterH),
+          "filter" -> s.filter.map(q).getOrElse("null")),
+        "adapter_response" -> "{}",
+        "timing" -> "[]",
+        "thread_id" -> q("main"),
+        "execution_time" -> "0.0")
+    }
+    Files.writeString(Paths.get(path), obj(
+      "metadata" -> artifactMetadata(
+        "https://schemas.getdbt.com/dbt/sources/v3.json"),
+      "results" -> arr(results),
+      "elapsed_time" -> "0.0"))
+    ()
+  }
+
   /** `run_results.json` in dbt's published v6 shape: `results[]` keyed by
     * unique_id with dbt's status vocabulary (node success/error/skipped;
     * test pass/fail/warn/error), so CI tooling that parses dbt run

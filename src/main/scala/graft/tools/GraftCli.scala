@@ -423,6 +423,11 @@ object GraftCli {
         engine.checkFreshness().foreach { case (src, st) =>
           println(f"${st.toUpperCase}%-8s $src")
         }
+        // dbt's sources.json v3 artifact (--out <path>, optional)
+        flags.get("out").flatMap(_.headOption).foreach { p =>
+          engine.writeDbtSources(p)
+          println(s"sources artifact written: $p")
+        }
       case "catalog" =>
         // footer/filesystem metadata only — no table scans
         val (db, sch) = (target.database, target.resolvedSchema)

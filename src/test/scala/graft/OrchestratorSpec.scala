@@ -1170,6 +1170,29 @@ class OrchestratorSpec extends AnyFunSuite {
       first.path("unique_id").asText.startsWith("seed.p."))
     assert(first.path("status").asText == "success")
     assert(first.has("execution_time") && first.has("failures"))
+    // sources v3: freshness artifact over a loaded_at-declared source
+    val pf = p.copy(sources = p.sources.map(s =>
+      if (s.tableName == "nation") s.copy(loadedAtField = Some("n_loaded_at"))
+      else s))
+    // nation has no timestamp column in the fixture — synthesize one
+    val srcDir = Files.createTempDirectory("graft_fresh_src")
+    spark.read.parquet(s"$sf/nation.parquet")
+      .withColumn("n_loaded_at",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val pf2 = pf.copy(sources = pf.sources.map(s =>
+      if (s.tableName == "nation") s.copy(path = srcDir.toString,
+        warnAfterH = Some(24), errorAfterH = Some(100000000)) else s))
+    new Engine(spark, pf2, Target(root()))
+      .writeDbtSources(s"$dir/sources.json")
+    val srcArt = om.readTree(new java.io.File(s"$dir/sources.json"))
+    assert(srcArt.path("metadata").path("dbt_schema_version").asText
+      .contains("sources/v3"))
+    val fr = srcArt.path("results").get(0)
+    assert(fr.path("unique_id").asText == "source.p.tpch.nation")
+    assert(fr.path("status").asText == "warn") // 2024 data, warn_after 24h
+    assert(fr.path("max_loaded_at").asText.startsWith("2024-01-01T00:00:00"))
+    assert(fr.path("criteria").path("warn_after").path("count").asInt == 24)
     val cat = om.readTree(new java.io.File(s"$dir/catalog.json"))
     assert(cat.path("metadata").path("dbt_schema_version").asText
       .contains("catalog/v1"))
