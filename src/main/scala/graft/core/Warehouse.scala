@@ -3,7 +3,7 @@ package graft.core
 import java.util.UUID
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.when
+import org.apache.spark.sql.functions.{concat, expr, lit, raise_error, when}
 import org.apache.spark.sql.types.StructType
 
 /** Path-addressed parquet warehouse with pluggable commit protocol.
@@ -173,6 +173,38 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def truncate(rel: Relation): Unit = {
     val df = read(rel)
     writeAtomic(df.limit(0), rel)
+  }
+
+  /** B33 `alter_column_type` (reference @178640: tmp column, copy, drop,
+    * rename — the SQL-warehouse dance): on parquet the same contract is
+    * one atomic full rewrite with the column cast. The deliberate
+    * type-migration operation the schema-drift guards (snapshots,
+    * microbatch) direct users to. ANSI-checked: a value the new type
+    * cannot hold fails the rewrite instead of silently wrapping/nulling —
+    * exactly the corruption the automatic paths refuse to risk. Preserves
+    * the existing partition layout.
+    */
+  def alterColumnType(rel: Relation, column: String, newType: String): Unit = {
+    val df = read(rel)
+    require(df.columns.exists(_.equalsIgnoreCase(column)),
+      s"alterColumnType: ${rel.fqName} has no column '$column' " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    val partCols = listPartitions(rel).map(_.takeWhile(_ != '=')).distinct
+    require(!partCols.exists(_.equalsIgnoreCase(column)),
+      s"alterColumnType: '$column' is a partition column of ${rel.fqName} — " +
+        "repartitioning is a layout migration, rebuild the relation instead")
+    org.apache.spark.sql.types.DataType.fromDDL(newType) // validates the DDL
+    // try_cast + raise-on-lost-value (the Contracts.enforce pattern):
+    // loud regardless of the session's ANSI mode, whole-stage codegen'd
+    val tryCast = expr(s"try_cast(`$column` AS $newType)")
+    val cast = df.withColumn(column,
+      when(df(column).isNotNull && tryCast.isNull,
+        raise_error(concat(
+          lit(s"alterColumnType ${rel.fqName}.$column: value "),
+          df(column).cast("string"),
+          lit(s" does not fit $newType"))))
+        .otherwise(tryCast))
+    writeAtomic(cast, rel, partitionCols = partCols)
   }
 
   // ===================================================== manifest protocol

@@ -262,8 +262,9 @@ final class Snapshotter(wh: Warehouse, subBuckets: Option[Int] = None) {
         s"snapshot ${rel.fqName}: source column type widened " +
           s"(${drifted.mkString(", ")}); a leaf-scoped merge would leave " +
           "mixed parquet types between current and closed-history " +
-          "partitions — migrate the stored history to the new type " +
-          "deliberately (rebuild the snapshot relation) before snapshotting")
+          "partitions — migrate the stored history first " +
+          "(Warehouse.alterColumnType / CLI alter-type rewrites every " +
+          "leaf atomically on the new type), then snapshot")
     }
     // presence markers, NOT key-nullability: with dbt's plain `=` key join
     // (snapshot_staging_table @102012 joins ON dbt_unique_key =, where a

@@ -298,7 +298,18 @@ object Similarity {
           zip_with(col("code"), col("tbl"),
             (c, t) => element_at(t, c.cast("int") + 1)),
           lit(0.0), (acc, z) => acc + z), 6).as("adc_score"))
-    val shortlist = topKAgg(s, adc, 20, "adc_score")
+    // The re-rank shortlist must TRACK the candidate count: a fixed
+    // top-20 over 10× the per-cell candidates silently decays recall
+    // (measured 0.69 at sf0.1 vs the 0.7 contract). With the coarse
+    // K=16 codebooks, shortlist ≈ a THIRD of the per-query candidate
+    // pool (≈ nprobe·N/√N — note the pool grows only ∝ √N, so this stays
+    // tiny) holds the floor; production-sized codebooks (K=256, m=16)
+    // make a CONSTANT shortlist sufficient — the fraction is the knob
+    // that trades re-rank cost for quantization coarseness.
+    val n = codes.count() // cached table — metadata-cheap, needed anyway
+    val perQueryCandidates = 2.0 * n / math.max(1.0, math.sqrt(n.toDouble))
+    val shortlistN = math.max(20, math.ceil(perQueryCandidates / 3).toInt)
+    val shortlist = topKAgg(s, adc, shortlistN, "adc_score")
       .select(col("q_id"), col("neighbor_id"))
     val qv = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -943,7 +954,16 @@ object Similarity {
           zip_with(col("code"), col("tbl"),
             (c, t) => element_at(t, c.cast("int") + 1)),
           lit(0.0), (acc, z) => acc + z), 6).as("adc_score"))
-    val shortlist = topKAgg(s, adc, 50, "adc_score")
+    // shortlist tracks the corpus (10% with the old floor): a fixed
+    // top-50 over a 10× corpus silently decays recall@5 (measured
+    // 0.525 at sf0.1 vs the 0.7 contract) — the flat-PQ scan is
+    // compressed BRUTE force, so its re-rank budget must scale the
+    // same way its candidate pool does. Production-sized codebooks
+    // (K=256, m=16) would hold the floor with a constant shortlist;
+    // with the deliberately tiny K=16 books the fraction is the knob.
+    val n = codes.count() // cached — cheap, and materializes the pin
+    val shortlist = topKAgg(s, adc,
+        math.max(50, math.ceil(n / 10.0).toInt), "adc_score")
       .select(col("q_id"), col("neighbor_id"))
     // exact re-rank of the shortlist only
     val qv = e.filter(col("vec_id") % 50 === 0)

@@ -1392,10 +1392,13 @@ object TextOps {
       .withColumn("n_words", size(col("w")))
       .withColumn("n_distinct", size(array_distinct(col("w"))))
       .withColumn("n_stop", expr(s"size(filter(w, x -> x IN ($stopList)))"))
+      // exact integer div (see qualityScore: the weighted formula lands
+      // ON 1e-4 boundaries for rational inputs, where cross-engine double
+      // op-order flips floor() by one ulp)
       .withColumn("quality", expr(
-        "floor((0.4 * (n_distinct / CAST(n_words AS DOUBLE)) " +
-          "+ 0.3 * (1.0 - n_stop / CAST(n_words AS DOUBLE)) " +
-          "+ 0.3 * least(n_words / 100.0, 1.0)) * 10000) / 10000"))
+        "((400000L * n_distinct + 300000L * (n_words - n_stop) " +
+          "+ 3000L * least(n_words, 100) * n_words) div (100L * n_words)) " +
+          "/ CAST(10000 AS DOUBLE)"))
       .filter(col("quality") >= 0.5)
     val deduped = scored
       .withColumn("keep", row_number().over(
@@ -1416,10 +1419,10 @@ object TextOps {
     s"""WITH scored AS (
        |  SELECT doc_id, lang, text,
        |    len(w) AS n_words,
-       |    floor((0.4 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
-       |      + 0.3 * (1.0 - len(list_filter(w, x -> x IN ($stopList)))
-       |                      / CAST(len(w) AS DOUBLE))
-       |      + 0.3 * least(len(w) / 100.0, 1.0)) * 10000) / 10000 AS quality
+       |    ((400000 * len(list_distinct(w)) + 300000 * (len(w) -
+       |        len(list_filter(w, x -> x IN ($stopList))))
+       |      + 3000 * least(len(w), 100) * len(w)) // (100 * len(w)))
+       |      / 10000.0 AS quality
        |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w
        |        FROM documents)),
        |gated AS (SELECT * FROM scored WHERE quality >= 0.5),
@@ -1551,26 +1554,31 @@ object TextOps {
         s"size(filter(w, x -> x IN ($stopList))) AS n_stop",
         "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x) AS total_len")
       .selectExpr(
-        // floor-scaling, not round(): the ratios hit exact .xxx5 decimal
-        // boundaries systematically (denominators like 80/200), where
-        // Spark's HALF_UP and DuckDB's binary rounding disagree — floor on
-        // bit-identical doubles is engine-independent
+        // INTEGER division, not floor-on-doubles: the weighted quality
+        // formula lands EXACTLY on 1e-4 boundaries for rational inputs
+        // (e.g. nd=14,ns=6,nw=19 → exactly 0.557), where the two engines'
+        // double op-order puts the product an ulp above or below the
+        // boundary and floor() diverges (caught by the sf0.1 sweep). All
+        // four ratios compute as exact integer div of the common-
+        // denominator form, THEN divide by 1e4 — bit-identical everywhere.
         "doc_id", "n_words",
-        "floor(n_distinct / CAST(n_words AS DOUBLE) * 10000) / 10000 AS ttr",
-        "floor(n_stop / CAST(n_words AS DOUBLE) * 10000) / 10000 AS stop_ratio",
-        "floor(total_len / CAST(n_words AS DOUBLE) * 10000) / 10000 AS avg_word_len",
-        "floor((0.4 * (n_distinct / CAST(n_words AS DOUBLE)) " +
-          "+ 0.3 * (1.0 - n_stop / CAST(n_words AS DOUBLE)) " +
-          "+ 0.3 * least(n_words / 100.0, 1.0)) * 10000) / 10000 AS quality")
+        "(10000L * n_distinct div n_words) / CAST(10000 AS DOUBLE) AS ttr",
+        "(10000L * n_stop div n_words) / CAST(10000 AS DOUBLE) AS stop_ratio",
+        "(10000L * total_len div n_words) / CAST(10000 AS DOUBLE) AS avg_word_len",
+        // q = 0.4·nd/nw + 0.3·(nw-ns)/nw + 0.3·min(nw,100)/100, scaled
+        // by 1e4 over the common denominator 100·nw
+        "((400000L * n_distinct + 300000L * (n_words - n_stop) " +
+          "+ 3000L * least(n_words, 100) * n_words) div (100L * n_words)) " +
+          "/ CAST(10000 AS DOUBLE) AS quality")
 
   val qualityScoreSql: String =
     s"""SELECT doc_id, n_words,
-       |  floor(n_distinct / CAST(n_words AS DOUBLE) * 10000) / 10000 AS ttr,
-       |  floor(n_stop / CAST(n_words AS DOUBLE) * 10000) / 10000 AS stop_ratio,
-       |  floor(total_len / CAST(n_words AS DOUBLE) * 10000) / 10000 AS avg_word_len,
-       |  floor((0.4 * (n_distinct / CAST(n_words AS DOUBLE))
-       |    + 0.3 * (1.0 - n_stop / CAST(n_words AS DOUBLE))
-       |    + 0.3 * least(n_words / 100.0, 1.0)) * 10000) / 10000 AS quality
+       |  (10000 * n_distinct // n_words) / 10000.0 AS ttr,
+       |  (10000 * n_stop // n_words) / 10000.0 AS stop_ratio,
+       |  (10000 * total_len // n_words) / 10000.0 AS avg_word_len,
+       |  ((400000 * n_distinct + 300000 * (n_words - n_stop)
+       |    + 3000 * least(n_words, 100) * n_words) // (100 * n_words))
+       |    / 10000.0 AS quality
        |FROM (
        |  SELECT doc_id,
        |    len(w) AS n_words,

@@ -91,6 +91,10 @@ object GraftCli {
       "usage: GraftCli <projectDir> <warehouseRoot> <command> [flags]")
     val Seq(projectDir, whRoot, command) = positional.take(3)
 
+    // getOrCreate may ADOPT a caller's live session (embedded use: specs,
+    // notebooks) — only a session this main itself created gets stopped
+    // on the way out, or the caller's later queries die mid-flight
+    val preExisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -553,10 +557,26 @@ object GraftCli {
         val n = engine.warehouse.deleteWhere(rel, cond, keyCols)
         println(s"DELETE   ${rel.identifier}: $n delete keys committed " +
           "(logical until compact + gc rewrite the data)")
+      case "alter-type" =>
+        // deliberate type migration (B33 alter_column_type): atomic full
+        // rewrite with the column cast, ANSI-loud on lost values — the
+        // operation the snapshot/microbatch type-drift guards point to
+        val a = flags.get("table").flatMap(_.headOption)
+          .zip(flags.get("column").flatMap(_.headOption))
+          .zip(flags.get("type").flatMap(_.headOption))
+        a match {
+          case Some(((t, c), ty)) =>
+            engine.warehouse.alterColumnType(engine.relationFor(t), c, ty)
+            println(s"ALTER    $t.$c -> $ty (full rewrite committed)")
+          case None =>
+            System.err.println(
+              "alter-type requires --table t --column c --type ddl")
+            sys.exit(2)
+        }
       case other =>
         System.err.println(s"unknown command: $other"); sys.exit(2)
     }
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 
   /** Drift-driven VectorIndex upkeep (the operational loop around

@@ -247,6 +247,39 @@ class MaterializeSpec extends AnyFunSuite {
     assert(out.collect().map(_.getString(0)).toSet == Set("007", "042"))
   }
 
+  test("alterColumnType: deliberate migration rewrites atomically, loud on lost values") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("alt1")
+    m.table(idv(Seq((1, 10), (2, 20))), r,
+      ModelConfig(partitionBy = Seq("id")))
+    wh.alterColumnType(r, "v", "bigint")
+    val out = wh.read(r)
+    assert(out.schema("v").dataType.typeName == "long")
+    assert(out.collect().map(_.getAs[Long]("v")).toSet == Set(10L, 20L))
+    // partition layout preserved
+    assert(wh.listPartitions(r).forall(_.startsWith("id=")))
+    // the widened relation now absorbs >2^31 increments natively
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"),
+      partitionBy = Seq("id"))
+    m.incremental(idvLong(Seq((3, 5000000000L))), r, cfg)
+    assert(wh.read(r).filter(col("id") === 3).head().getAs[Long]("v") ==
+      5000000000L)
+    // a narrowing migration that would lose a value fails LOUDLY and the
+    // relation is untouched
+    val r2 = rel("alt2")
+    m.table(idvLong(Seq((1, 5000000000L))), r2)
+    intercept[Exception] { wh.alterColumnType(r2, "v", "int") }
+    assert(wh.read(r2).head().getAs[Long]("v") == 5000000000L)
+    // partition columns refuse (layout migration, not a cast)
+    val e = intercept[IllegalArgumentException] {
+      wh.alterColumnType(r, "id", "bigint")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // unknown column names fail with the column list
+    assert(intercept[IllegalArgumentException] {
+      wh.alterColumnType(r, "nope", "int")
+    }.getMessage.contains("no column"))
+  }
+
   test("seed agate-parity: t/f booleans upgrade, overrides still win, text stays text") {
     val wh = freshWh(); val m = new Materializer(wh)
     val csv = Files.createTempFile("seed_agate", ".csv")
