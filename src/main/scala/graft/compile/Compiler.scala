@@ -1144,9 +1144,16 @@ object Compiler {
         }
         kvs.get("lookback").foreach(v => cfg = cfg.copy(lookback = v.toInt))
         kvs.get("begin").foreach(v => cfg = cfg.copy(begin = v))
-        // reference bigquery_options @15210
+        // reference bigquery_options @15210; strict true|false like the
+        // loader-side parsers — any other spelling must not silently
+        // drop a declared safety guard
         kvs.get("require_partition_filter").foreach(v =>
-          cfg = cfg.copy(requirePartitionFilter = v == "true" || v == "True"))
+          cfg = cfg.copy(requirePartitionFilter = v.toLowerCase match {
+            case "true" => true
+            case "false" => false
+            case other => throw new IllegalArgumentException(
+              s"require_partition_filter expects true|false, got '$other'")
+          }))
         kvs.get("sql_header").foreach(v =>
           cfg = cfg.copy(sqlHeader = Some(v).filter(_.trim.nonEmpty)))
         cfg

@@ -189,7 +189,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
     require(df.columns.exists(_.equalsIgnoreCase(column)),
       s"alterColumnType: ${rel.fqName} has no column '$column' " +
         s"(columns: ${df.columns.mkString(", ")})")
-    val partCols = listPartitions(rel).map(_.takeWhile(_ != '=')).distinct
+    // ALL partition keys, from full leaf paths — first-level dirs alone
+    // would silently drop the deeper keys of a multi-column layout from
+    // both the refusal check and the rewrite's partitioning
+    val partCols = partitionColumns(rel)
     require(!partCols.exists(_.equalsIgnoreCase(column)),
       s"alterColumnType: '$column' is a partition column of ${rel.fqName} — " +
         "repartitioning is a layout migration, rebuild the relation instead")
@@ -2174,6 +2177,37 @@ final class Warehouse(val spark: SparkSession, val root: String,
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.contains("="))
     }
+
+  /** All partition key columns of a relation in layout order, derived
+    * from FULL leaf paths — every `k=v` segment, not just the first
+    * directory level, so multi-column layouts (`dt=…/region=…`) report
+    * every key. Manifest layouts read the manifest's partition paths;
+    * rename layouts walk the `k=v` directory tree.
+    */
+  def partitionColumns(rel: Relation): Seq[String] = {
+    val leafPaths: Seq[String] =
+      if (usesManifest && latestManifest(rel).isDefined)
+        dataEntries(latestManifest(rel).get._2).map(_._2)
+          .filter(_.contains("="))
+      else {
+        def go(p: Path, prefix: String): Seq[String] = {
+          val kids =
+            if (!fs.exists(p)) Nil
+            else fs.listStatus(p).toSeq.filter(st =>
+              st.isDirectory && st.getPath.getName.contains("="))
+          if (kids.isEmpty) { if (prefix.isEmpty) Nil else Seq(prefix) }
+          else kids.flatMap { st =>
+            val next =
+              if (prefix.isEmpty) st.getPath.getName
+              else prefix + "/" + st.getPath.getName
+            go(st.getPath, next)
+          }
+        }
+        go(new Path(path(rel)), "")
+      }
+    leafPaths.flatMap(_.split("/").toSeq.filter(_.contains("="))
+      .map(_.takeWhile(_ != '='))).distinct
+  }
 
   /** Relative `k=v[/k2=v2…]` paths of the partition dirs exactly `depth`
     * levels below a relation root — the leaf dirs of a `depth`-column

@@ -48,23 +48,73 @@ object SchemaEvolution {
         (n, s(n.toLowerCase).dataType, t(n.toLowerCase).dataType) })
   }
 
+  /** Provably lossless conversions only: every value of `from` is exactly
+    * representable in `to`. Catalyst's `numericPrecedence` ranks FloatType
+    * ABOVE LongType, so the "tightest common type" of (bigint, float) is
+    * FLOAT — following it blindly would auto-rewrite stored long history
+    * to float (exact only up to 2^24), the precise silent corruption this
+    * feature exists to exclude. Automatic widening is therefore gated on
+    * this table; any other crossing fails loudly with the full_refresh
+    * hint, like the no-common-supertype case.
+    */
+  private[materialize] def lossless(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    // bytes of each integral type; None for non-integral
+    def intBytes(t: DataType): Option[Int] = t match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(4); case LongType => Some(8)
+      case _ => None
+    }
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (a, b) if intBytes(a).isDefined && intBytes(b).isDefined =>
+        intBytes(a).get <= intBytes(b).get
+      case (ByteType | ShortType, FloatType | DoubleType) => true
+      case (IntegerType, DoubleType) => true // 32-bit int < 53-bit mantissa
+      case (FloatType, DoubleType) => true
+      case (a, d: DecimalType) if intBytes(a).isDefined =>
+        // integer part must fit: max decimal digits of each integral type
+        val digits = Map(1 -> 3, 2 -> 5, 4 -> 10, 8 -> 19)(intBytes(a).get)
+        d.precision - d.scale >= digits
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+      case _ => false // incl. long→double/float, int→float: lossy above 2^53/2^24
+    }
+  }
+
+  /** The type a common column is STORED as after reconciliation, or a
+    * loud error when no lossless resolution exists. The target keeps its
+    * type when it already covers the increment (the increment casts up on
+    * conform); otherwise the target may only widen to a type that holds
+    * every existing value exactly.
+    */
+  private def commonStoredType(name: String, srcT: DataType, tgtT: DataType)
+      : DataType =
+    TypeCoercion.findTightestCommonType(srcT, tgtT) match {
+      case Some(w) if w == tgtT => tgtT // increment narrower: cast up on conform
+      case Some(w) if lossless(tgtT, w) => w // target widens (int→bigint, …)
+      case Some(w) => throw new IllegalStateException(
+        s"incremental schema change: column `$name` changed from " +
+          s"${tgtT.sql} to ${srcT.sql}; their common type ${w.sql} cannot " +
+          s"hold every existing ${tgtT.sql} value exactly (automatic " +
+          "widening covers only provably lossless promotions: integral→" +
+          "wider integral, byte/short/int→double, float→double, decimal " +
+          "growth); rerun with full_refresh to rebuild on the new type")
+      case None => throw new IllegalStateException(
+        s"incremental schema change: column `$name` changed from " +
+          s"${tgtT.sql} to ${srcT.sql} with no common supertype; " +
+          "rerun with full_refresh to rebuild on the new type")
+    }
+
   /** Per-common-column target widening (`expand_target_column_types`
     * @139412): columns the target must grow to absorb the increment
-    * losslessly. A source type the target already covers (tightest common
-    * type IS the target type) needs nothing — `conform` casts the
-    * increment up. No common supertype → loud error (caller names the
-    * model).
+    * losslessly. A source type the target already covers needs nothing —
+    * `conform` casts the increment up.
     */
   private def widenedColumns(d: Diff): Seq[(String, DataType)] =
     d.typeChanged.flatMap { case (name, srcT, tgtT) =>
-      TypeCoercion.findTightestCommonType(srcT, tgtT) match {
-        case Some(w) if w == tgtT => None // increment narrower: lossless cast up
-        case Some(w) => Some(name -> w)   // target widens (int→bigint, …)
-        case None => throw new IllegalStateException(
-          s"incremental schema change: column `$name` changed from " +
-            s"${tgtT.sql} to ${srcT.sql} with no common supertype; " +
-            "rerun with full_refresh to rebuild on the new type")
-      }
+      val w = commonStoredType(name, srcT, tgtT)
+      if (w == tgtT) None else Some(name -> w)
     }
 
   private def widen(schema: StructType, cols: Seq[(String, DataType)]): StructType =
@@ -111,12 +161,12 @@ object SchemaEvolution {
         (conform(incoming, merged), conform(target, merged), true)
       case OnSchemaChange.SyncAllColumns =>
         // target takes the source column set: add new, drop removed; common
-        // columns still take the WIDER of the two types (never narrow
-        // history silently)
+        // columns still resolve through commonStoredType (never narrow or
+        // lossily rewrite history silently — same gate as the other policies)
         val synced = widen(incoming.schema,
           d.typeChanged.flatMap { case (n, srcT, tgtT) =>
-            TypeCoercion.findTightestCommonType(srcT, tgtT)
-              .collect { case w if w != srcT => n -> w }
+            val w = commonStoredType(n, srcT, tgtT)
+            if (w == srcT) None else Some(n -> w)
           })
         (conform(incoming, synced), conform(target, synced), true)
     }

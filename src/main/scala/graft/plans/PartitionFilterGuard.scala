@@ -46,7 +46,18 @@ object PartitionFilterGuard {
         if (pcols.isEmpty) throw new IllegalStateException(
           s"${g.name} declares require_partition_filter but is not " +
             "partitioned — add partition_by, or drop the guard")
-        if (scan.partitionFilters.isEmpty) throw new IllegalStateException(
+        // a bare `isnotnull(partcol)` is NOT a selective predicate:
+        // Catalyst infers it into partitionFilters from any join on the
+        // partition column, and it admits every non-null partition — a
+        // query satisfying the guard with only it would still scan the
+        // world. Count only genuinely selective partition predicates
+        // (comparisons, IN-lists, dynamic pruning subqueries from DPP).
+        val selective = scan.partitionFilters.filterNot {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            _: org.apache.spark.sql.catalyst.expressions.Attribute) => true
+          case _ => false
+        }
+        if (selective.isEmpty) throw new IllegalStateException(
           s"${g.name} declares require_partition_filter: this query reads " +
             s"it without a predicate on partition column(s) " +
             s"[${pcols.mkString(", ")}] — an unpredicated read would scan " +

@@ -2457,16 +2457,23 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           s.errorAfterH.getOrElse(Int.MaxValue))
         .select(col("max_loaded_at_ms"), col("hours_late"), col("status"))
         .head()
-      val maxLoadedIso = java.time.format.DateTimeFormatter.ISO_INSTANT
-        .format(java.time.Instant.ofEpochMilli(row.getLong(0)))
+      // an empty (or fully filtered-out) source has no max(loaded_at):
+      // dbt's artifact records the failure as status "runtime error" with
+      // a null max_loaded_at — not an engine crash
+      val empty = row.isNullAt(0)
+      val maxLoadedIso =
+        if (empty) null
+        else java.time.format.DateTimeFormatter.ISO_INSTANT
+          .format(java.time.Instant.ofEpochMilli(row.getLong(0)))
       def crit(h: Option[Int]): String = h.map(v =>
         obj("count" -> v.toString, "period" -> q("hour"))).getOrElse("null")
       obj(
         "unique_id" -> q(s"source.${project.name}.${s.sourceName}.${s.tableName}"),
-        "status" -> q(row.getString(2)),
-        "max_loaded_at" -> q(maxLoadedIso),
+        "status" -> q(if (empty) "runtime error" else row.getString(2)),
+        "max_loaded_at" -> (if (empty) "null" else q(maxLoadedIso)),
         "snapshotted_at" -> q(snapAt),
-        "max_loaded_at_time_ago_in_s" -> (row.getLong(1) * 3600.0).toString,
+        "max_loaded_at_time_ago_in_s" ->
+          (if (empty) "null" else (row.getLong(1) * 3600.0).toString),
         "criteria" -> obj(
           "warn_after" -> crit(s.warnAfterH),
           "error_after" -> crit(s.errorAfterH),

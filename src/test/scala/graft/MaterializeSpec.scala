@@ -722,4 +722,80 @@ class MaterializeSpec extends AnyFunSuite {
     assert(graft.run.DateUtils.expandPartitionDates(cfg.partitions) ==
       Seq("20240101", "20240102", "20240103", "20240110"))
   }
+
+  test("inline require_partition_filter parses strictly: true|false only") {
+    def parse(v: String) = graft.compile.Compiler.parseInlineConfig(
+      s"{{ config(materialized='table', require_partition_filter=$v) }} SELECT 1",
+      ModelConfig())
+    assert(parse("true").requirePartitionFilter)
+    assert(parse("True").requirePartitionFilter) // python-bool spelling
+    assert(!parse("false").requirePartitionFilter)
+    assert(!parse("FALSE").requirePartitionFilter)
+    // any other spelling must FAIL, not silently drop the safety guard
+    val e = intercept[IllegalArgumentException] { parse("yes") }
+    assert(e.getMessage.contains("require_partition_filter"), e.getMessage)
+    intercept[IllegalArgumentException] { parse("1") }
+  }
+
+  test("auto-widening is restricted to provably lossless promotions") {
+    val wh = freshWh(); val m = new Materializer(wh)
+    val s = spark; import s.implicits._
+    val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+    // float increment into a LONG target: Catalyst's numericPrecedence
+    // ranks float ABOVE long, so the "tightest common type" is FLOAT —
+    // following it would rewrite stored longs to float (exact only to
+    // 2^24). Must fail loudly; history untouched.
+    val r = rel("tw8")
+    m.incremental(Seq((1, 16777217L)).toDF("id", "v"), r, cfg)
+    val e = intercept[IllegalStateException] {
+      m.incremental(Seq((2, 2.5f)).toDF("id", "v"), r, cfg)
+    }
+    assert(e.getMessage.contains("full_refresh"), e.getMessage)
+    assert(wh.read(r).schema("v").dataType.typeName == "long")
+    assert(wh.read(r).head().getAs[Long]("v") == 16777217L)
+    // long + double: the common type double is lossy above 2^53 — refused
+    val e2 = intercept[IllegalStateException] {
+      m.incremental(Seq((2, 2.5d)).toDF("id", "v"), r, cfg)
+    }
+    assert(e2.getMessage.contains("v"))
+    // int + double IS lossless (32-bit int < 53-bit mantissa): widens
+    val r2 = rel("tw9")
+    m.incremental(Seq((1, 10)).toDF("id", "v"), r2, cfg)
+    m.incremental(Seq((2, 2.5d)).toDF("id", "v"), r2, cfg)
+    assert(wh.read(r2).schema("v").dataType.typeName == "double")
+    assert(wh.read(r2).collect().map(_.getAs[Double]("v")).toSet ==
+      Set(10.0, 2.5))
+    // sync_all_columns passes through the same gate
+    val cfgSync = cfg.copy(onSchemaChange = OnSchemaChange.SyncAllColumns)
+    val r3 = rel("tw10")
+    m.incremental(Seq((1, 5000000000L)).toDF("id", "v"), r3, cfgSync)
+    intercept[IllegalStateException] {
+      m.incremental(Seq((2, 2.5f)).toDF("id", "v"), r3, cfgSync)
+    }
+    assert(wh.read(r3).schema("v").dataType.typeName == "long")
+  }
+
+  test("alterColumnType: multi-column partition layout fully preserved and guarded") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("alt3")
+    val s = spark; import s.implicits._
+    val d = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "grp", "v")
+    m.table(d, r, ModelConfig(partitionBy = Seq("id", "grp")))
+    assert(wh.partitionColumns(r) == Seq("id", "grp"))
+    wh.alterColumnType(r, "v", "bigint")
+    val out = wh.read(r)
+    assert(out.schema("v").dataType.typeName == "long")
+    // BOTH partition levels survive the rewrite — first-level dirs alone
+    // would silently flatten the layout to id-only
+    val leaves = wh.listPartitionPaths(r, 2)
+    assert(leaves.nonEmpty && leaves.forall(p =>
+      p.startsWith("id=") && p.contains("/grp=")), leaves.toString)
+    assert(out.collect().map(x => (x.getAs[Int]("id"),
+      x.getAs[String]("grp"), x.getAs[Long]("v"))).toSet ==
+      Set((1, "a", 10L), (2, "b", 20L)))
+    // the SECOND-level partition column is refused, not just the first
+    val e = intercept[IllegalArgumentException] {
+      wh.alterColumnType(r, "grp", "string")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
 }

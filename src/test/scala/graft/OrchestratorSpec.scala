@@ -1193,6 +1193,20 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(fr.path("status").asText == "warn") // 2024 data, warn_after 24h
     assert(fr.path("max_loaded_at").asText.startsWith("2024-01-01T00:00:00"))
     assert(fr.path("criteria").path("warn_after").path("count").asInt == 24)
+    // an empty source (freshness filter removes every row) has no
+    // max(loaded_at): the artifact records status "runtime error" with a
+    // null max_loaded_at, mirroring dbt — where plain source-freshness
+    // passes, --out must not crash on the null aggregate
+    val pf3 = pf2.copy(sources = pf2.sources.map(s =>
+      if (s.tableName == "nation") s.copy(filter = Some("n_nationkey < 0"))
+      else s))
+    new Engine(spark, pf3, Target(root()))
+      .writeDbtSources(s"$dir/sources_empty.json")
+    val er = om.readTree(new java.io.File(s"$dir/sources_empty.json"))
+      .path("results").get(0)
+    assert(er.path("status").asText == "runtime error", er.toString)
+    assert(er.path("max_loaded_at").isNull, er.toString)
+    assert(er.path("max_loaded_at_time_ago_in_s").isNull, er.toString)
     val cat = om.readTree(new java.io.File(s"$dir/catalog.json"))
     assert(cat.path("metadata").path("dbt_schema_version").asText
       .contains("catalog/v1"))

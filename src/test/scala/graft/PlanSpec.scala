@@ -250,4 +250,27 @@ class PlanSpec extends AnyFunSuite {
       s"query/table side must broadcast:\n$p")
     assert(!p.contains("Window"), s"top-k must be the bounded aggregator:\n$p")
   }
+
+  test("require_partition_filter guard: a join-inferred isnotnull is NOT pruning") {
+    import graft.plans.PartitionFilterGuard
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    Seq((1, "a"), (2, "b")).toDF("v", "pk")
+      .write.partitionBy("pk").mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val dim = Seq("a", "b").toDF("pk")
+    val g = Seq(PartitionFilterGuard.Guard(dir, "t"))
+    // an inner join on the partition column makes Catalyst infer
+    // isnotnull(pk) into the scan's partitionFilters — but every non-null
+    // partition still scans, so the guard must refuse
+    val e = intercept[IllegalStateException] {
+      PartitionFilterGuard.assertPruned(base.join(dim, "pk"), g)
+    }
+    assert(e.getMessage.contains("require_partition_filter"), e.getMessage)
+    // genuinely selective predicates are accepted — directly and pushed
+    // down through the same join
+    PartitionFilterGuard.assertPruned(base.filter($"pk" === "a"), g)
+    PartitionFilterGuard.assertPruned(
+      base.filter($"pk".isin("a")).join(dim, "pk"), g)
+  }
 }
