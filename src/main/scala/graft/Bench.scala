@@ -46,8 +46,9 @@ object Bench {
     // unaffected, it just sees however many samples fit the budget.
     val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
       .flatMap(_.toDoubleOption).getOrElse(480.0)
-    /** Run one pass over `order`; `mustComplete` ignores the budget (the
-      * warmup cap and pass-1 completeness); returns (samples, completed).
+    /** Run one pass over `order`; `mustComplete` ignores the budget
+      * (pass-1 completeness — every query needs a first sample); returns
+      * (samples, completed).
       */
     def runPass(order: Seq[String], timed: Boolean, mustComplete: Boolean,
                 capS: Double,
@@ -113,6 +114,20 @@ object Bench {
     // (median per-query max/min spread) ship alongside so a reader can
     // see exactly how noisy the run was; per-pass totals go to stderr to
     // make an episode visible after the fact.
+    //
+    // TWO-SAMPLE GUARANTEE (bench_schema 4): the r15 driver window
+    // completed only ONE timed pass inside the budget, so "min of passes"
+    // had a single contended sample per query and the tail printed 5-10x
+    // phantom regressions. min-of-one is not a minimum. The fix costs
+    // nothing: the old standalone warmup pass (a full untimed suite run,
+    // ~25% of the budget) is GONE — pass 1 is the warmup, its cold-start
+    // residue discarded by the min — and the time it used to burn now
+    // funds a second mustComplete-shaped pass. Pass 1 always completes;
+    // pass 2 always STARTS and runs under a hard 1.6x-budget ceiling
+    // (bounded worst case for the harness timeout) instead of the normal
+    // budget; passes 3+ are budget-gated as before. A calm host still
+    // fits 4-5 passes in the budget; a contended host now produces >=2
+    // samples per query unless the episode is r7-catastrophic.
     val passCount = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(5)
     // Scoreboard state shared with the shutdown hook: after every timed
     // SAMPLE (and, with final flags, after every completed pass) the
@@ -120,19 +135,21 @@ object Bench {
     // any point past the first timed query still emits the best available
     // scoreboard instead of discarding finished work (the r7 failure
     // mode: 2 complete passes discarded, parsed null).
-    @volatile var latestJson: Option[String] = None
+    @volatile var latestJson: Option[(String, String)] = None
     @volatile var printedNormally = false
-    def emit(json: String): Unit = {
-      println(json)
+    def emit(lines: (String, String)): Unit = {
+      val (big, compact) = lines
+      println(big)
+      println(compact) // last line a tail-bounded reader sees before sbt's
       // sbt prints "[success] Total time: …" after the forked JVM exits,
       // so a last-line parser can't rely on stdout alone; the file is the
-      // durable channel. Filtered dev runs must not overwrite the
-      // full-suite snapshot.
+      // durable channel (big line only — one parseable JSON document).
+      // Filtered dev runs must not overwrite the full-suite snapshot.
       if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
         try {
           java.nio.file.Files.write(
             java.nio.file.Paths.get("bench_last.json"),
-            (json + "\n").getBytes("UTF-8"))
+            (big + "\n").getBytes("UTF-8"))
         } catch { case e: Throwable =>
           // the metric line already went to stdout; losing the file copy
           // is survivable but must not be SILENT
@@ -168,7 +185,8 @@ object Bench {
       "x_winnow_fingerprint" -> 1.012613146)
     def scoreboard(passes: Seq[Map[String, Double]],
                    stagingPasses: Seq[Map[String, Double]],
-                   passesCompleted: Int, partialPass: Boolean): String = {
+                   passesCompleted: Int, partialPass: Boolean)
+        : (String, String) = {
       // A mid-pass-1 kill leaves some queries with zero samples; score the
       // benched prefix and report coverage, so the shutdown hook always
       // has SOMETHING parseable to emit (the r7 failure left nothing).
@@ -222,32 +240,57 @@ object Bench {
           "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
             .replaceAll("[\\x00-\\x1f]", " ") + "\""
         }.mkString(",\"errors\":{", ",", "}")
-      // bench_schema marks the scoring change from single-pass median
-      // (schema 1, rounds 1-6) to min-of-passes — snapshots with
-      // different schemas must not be compared metric-to-metric
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""bench_schema":3,"passes":$passCount,""" +
-      s""""staging":$stagingJson,"staging_total":$stagingTotal,""" +
-      s""""passes_completed":$passesCompleted,"partial_pass":$partialPass,""" +
-      s""""queries_benched":${benched.size},"queries_total":${names.size},""" +
-      s""""budget_s":$budgetS,""" +
-      s""""scoring":"per-query min of passes, net of shared staging",""" +
-      s""""host_factor":$hostFactor,"host_probe":$hostProbeJson,""" +
-      s""""host_anchor_ref":"bench_last.json@a57e890 (r10 calm window)",""" +
-      s""""total_median":$totalMedian,"queries_median":$qsMedian,""" +
-      s""""noise_spread_median":$noise,"sf":"$sfDir"$errJson}"""
+      // every query's sample count; the minimum is the honesty metric —
+      // min_samples_per_query >= 2 means no score is a min-of-one
+      val minSamples =
+        if (benched.isEmpty) 0
+        else benched.map(n => passes.count(_.contains(n))).min
+      // bench_schema marks scoring-comparability breaks: 1 = single-pass
+      // median (r1-6); 3 = min-of-passes net of staging with a separate
+      // warmup pass (r7-15); 4 = same scoring, warmup folded into pass 1
+      // and pass 2 guaranteed to start (two-sample guarantee). Min-based
+      // totals stay comparable 3<->4; medians include pass 1's cold
+      // samples from schema 4 on.
+      val big =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""bench_schema":4,"passes":$passCount,""" +
+        s""""staging":$stagingJson,"staging_total":$stagingTotal,""" +
+        s""""passes_completed":$passesCompleted,"partial_pass":$partialPass,""" +
+        s""""queries_benched":${benched.size},"queries_total":${names.size},""" +
+        s""""min_samples_per_query":$minSamples,""" +
+        s""""budget_s":$budgetS,""" +
+        s""""scoring":"per-query min of passes, net of shared staging",""" +
+        s""""host_factor":$hostFactor,"host_probe":$hostProbeJson,""" +
+        s""""host_anchor_ref":"bench_last.json@a57e890 (r10 calm window)",""" +
+        s""""total_median":$totalMedian,"queries_median":$qsMedian,""" +
+        s""""noise_spread_median":$noise,"sf":"$sfDir"$errJson}"""
+      // COMPACT summary, printed LAST: the full line above runs ~15 KB
+      // (189 queries x 2 objects) and every driver round so far captured
+      // only the final ~2000 chars of stdout — the headline total,
+      // passes_completed and host_factor all lived in the truncated-away
+      // head. This line is self-contained, under ~1.5 KB (top-12 slowest
+      // per-query mins only), and carries the same headline numbers; the
+      // full per-query detail stays in the big line and bench_last.json.
+      val top = perQuery.sortBy(-_._3).take(12)
+        .map { case (k, _, mn, _) => "\"" + k + "\":" + f"$mn%.3f" }
+        .mkString("{", ",", "}")
+      val compact =
+        s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""bench_schema":4,"summary_of":"full line above / bench_last.json",""" +
+        s""""passes_completed":$passesCompleted,"partial_pass":$partialPass,""" +
+        s""""queries_benched":${benched.size},"queries_total":${names.size},""" +
+        s""""min_samples_per_query":$minSamples,"errors":${errors.size},""" +
+        s""""host_factor":$hostFactor,"noise_spread_median":$noise,""" +
+        s""""staging_total":$stagingTotal,"total_median":$totalMedian,""" +
+        s""""queries":$top,"queries_truncated":true,"sf":"$sfDir"}"""
+      (big, compact)
     }
-    // Warmup pass: JVM/codegen/file-index costs land here, not in the
-    // timed loop (steady-state is what a long-running cluster job sees).
-    // Reversed family order, so the warmup ENDS in the family the timed
-    // pass begins with — the boundary cache state is steady-state warm
-    // rather than freshly released. The warmup is capped at a quarter of
-    // the budget: under a noise episode the remaining queries run cold
-    // into pass 1 and the min over later passes corrects their score —
-    // an unbounded warmup, by contrast, can eat the whole harness timeout
-    // before a single timed sample exists.
-    runPass(names.reverse, timed = false, mustComplete = false,
-      capS = budgetS * 0.25)
+    // No standalone warmup pass (schema 4): pass 1 IS the warmup.
+    // JVM/codegen/file-index cold costs land in pass-1 samples and the
+    // per-query min over the guaranteed second pass discards them —
+    // where the old untimed warmup spent ~25% of the budget producing
+    // zero samples, the same wall-clock now funds the second sample
+    // that makes min-of-passes an actual minimum.
     val passBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     val stagingBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     var passesCompleted = 0
@@ -258,13 +301,18 @@ object Bench {
       System.err.println(
         f"[bench] timed pass $i/$passCount (elapsed ${elapsedS}%.1f s / budget ${budgetS}%.0f s)")
       // pass 1 must complete: every query needs at least one timed sample.
-      // Every timed sample refreshes the staged scoreboard, so a harness
-      // kill at ANY point past the first timed query still emits a
-      // parseable (partial-coverage) line via the shutdown hook.
+      // pass 2 always STARTS (even past budget) and runs under a hard
+      // 1.6x ceiling — the two-sample guarantee that keeps a single
+      // contended pass from publishing min-of-one tails — while passes 3+
+      // obey the normal budget. Every timed sample refreshes the staged
+      // scoreboard, so a harness kill at ANY point past the first timed
+      // query still emits a parseable (partial-coverage) line via the
+      // shutdown hook.
       val stagingPass =
         scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val passCap = if (i == 2) budgetS * 1.6 else budgetS
       val (samples, completed) =
-        runPass(names, timed = true, mustComplete = i == 1, capS = budgetS,
+        runPass(names, timed = true, mustComplete = i == 1, capS = passCap,
           onSample = s => latestJson =
             Some(scoreboard(passBuf.toSeq :+ s.toMap,
               stagingBuf.toSeq :+ stagingPass.toMap, passesCompleted,
@@ -280,7 +328,7 @@ object Bench {
       if (completed) passesCompleted += 1 else { partialPass = true; stop = true }
       latestJson = Some(scoreboard(passBuf.toSeq, stagingBuf.toSeq,
         passesCompleted, partialPass))
-      if (elapsedS > budgetS) {
+      if (elapsedS > budgetS && i >= 2) {
         System.err.println(
           f"[bench] budget spent (${elapsedS}%.1f s) after pass $i — stopping")
         stop = true

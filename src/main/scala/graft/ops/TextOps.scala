@@ -2209,24 +2209,35 @@ object TextOps {
   /** Domain/source frequency capping (the CommonCrawl-curation step that
     * bounds single-host dominance): keep at most K documents per source,
     * preferring the longest (then lowest doc_id — fully deterministic).
-    * One shuffle on source + a per-partition window sort; K is small so
-    * the window's retained state is K rows per key. For a pathological
-    * mega-domain the window partition still holds ALL its rows before
-    * ranking — the bounded-state alternative is the typed TopK
-    * `Aggregator` (functions/TopKAggregator.scala, x_knn_topk_agg), which
-    * carries <=K candidates through partial aggregation; kept the window
-    * form here because K·|domains| is the output contract either way and
-    * the window is whole-stage codegen'd.
+    *
+    * Bounded-state shape: the typed TopK `Aggregator`
+    * (functions/TopKAggregator.scala, same engine as x_knn_topk_agg)
+    * carries at most K (n_chars, doc_id) entries per source through
+    * PARTIAL aggregation, so a pathological mega-domain — exactly what
+    * this operator exists to tame on a CommonCrawl-shaped corpus —
+    * collapses to K entries map-side before the shuffle. The
+    * `row_number().over(Window.partitionBy(source))` form is the named
+    * scale-killer here: it materializes and sorts the whole domain's rows
+    * in ONE task before rank<=K filters (PlanSpec pins the no-Window
+    * plan; ExtensionOpsSpec runs a mega-domain skew case).
     */
   def domainCap(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val k = 30
+    val agg = new graft.functions.TopKAggregator(k).toColumn
     documents(s, d)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("n_chars").desc, col("doc_id"))))
-      .filter(col("rn") <= k)
-      .select(col("doc_id"), col("source"), col("n_chars"), col("rn"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      // (id, score) = (doc_id, n_chars): the aggregator's (score desc,
+      // id asc) order IS (n_chars desc, doc_id asc)
+      .mapValues(r => (r._2, r._3.toDouble))
+      .agg(agg.name("topk"))
+      .toDF("source", "topk")
+      .select(col("source"), posexplode(col("topk")))
+      .select(col("col._2").as("doc_id"), col("source"),
+        col("col._1").cast("long").as("n_chars"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   val domainCapSql: String =

@@ -708,4 +708,39 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()
     assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-15)
   }
+
+  test("domain cap survives a mega-domain: bounded top-K, window-form parity") {
+    // a CommonCrawl-shaped skew case: ONE domain holds 50k rows (the
+    // window form would sort all of them in a single task), three small
+    // domains around it, planted ties on n_chars to exercise the
+    // doc_id tiebreak
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_domcap").toString
+    val mega = spark.range(0, 50000).selectExpr(
+      "id AS doc_id", "'x' AS text", "'en' AS lang",
+      "'megadomain.com' AS source",
+      "CAST(1000 + (id % 100) AS bigint) AS n_chars")
+    val small = spark.range(0, 40).selectExpr(
+      "id + 100000 AS doc_id", "'y' AS text", "'en' AS lang",
+      "concat('small', CAST(id % 3 AS string), '.org') AS source",
+      "CAST(10 + id AS bigint) AS n_chars")
+    mega.unionByName(small).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = TextOps.domainCap(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Int]("rn")))
+    // exactly K=30 from the mega-domain, everything from domains under K
+    val byDomain = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDomain("megadomain.com") == 30, byDomain.toString)
+    assert(byDomain.filter(_._1.startsWith("small")).values.forall(c => c == 13 || c == 14))
+    // parity with the window-form definition computed independently
+    import org.apache.spark.sql.expressions.Window
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") <= 30)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Int]("rn"))).toSet
+    assert(out.toSet == expected)
+  }
 }

@@ -251,6 +251,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"top-k must be the bounded aggregator:\n$p")
   }
 
+  test("domain cap: bounded partial topK agg — never a Window over the raw corpus") {
+    val p = plan(TextOps.domainCap(spark, sf))
+    assert(!p.contains("Window"),
+      s"a row_number window on the skew-prone source key sorts a whole " +
+        s"mega-domain in one task; must be the partial topK aggregator:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the typed aggregator's partial/final pair:\n$p")
+  }
+
   test("require_partition_filter guard: a join-inferred isnotnull is NOT pruning") {
     import graft.plans.PartitionFilterGuard
     val s = spark; import s.implicits._
