@@ -303,9 +303,11 @@ object Similarity {
     // (measured 0.69 at sf0.1 vs the 0.7 contract). With the coarse
     // K=16 codebooks, shortlist ≈ a THIRD of the per-query candidate
     // pool (≈ nprobe·N/√N — note the pool grows only ∝ √N, so this stays
-    // tiny) holds the floor; production-sized codebooks (K=256, m=16)
-    // make a CONSTANT shortlist sufficient — the fraction is the knob
-    // that trades re-rank cost for quantization coarseness.
+    // tiny) holds the floor; production-sized codebooks make a CONSTANT
+    // shortlist sufficient — SPEC-PINNED, not asserted: PqSpec
+    // "production codebooks" trains K=256/m=16 books at sf0.1 and holds
+    // recall@5 ≥ 0.8 with a fixed 64-entry shortlist. The fraction is
+    // the knob that trades re-rank cost for quantization coarseness.
     val n = codes.count() // cached table — metadata-cheap, needed anyway
     val perQueryCandidates = 2.0 * n / math.max(1.0, math.sqrt(n.toDouble))
     val shortlistN = math.max(20, math.ceil(perQueryCandidates / 3).toInt)
@@ -809,18 +811,20 @@ object Similarity {
     * enough and keeps the training cost O(1) in N. Vectors are unit-
     * normalized first so subspace L2 distance ranks like cosine.
     */
-  private[graft] def pqTrain(e: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+  private[graft] def pqTrain(e: DataFrame, nSub: Int = PqS,
+      subDim: Int = PqSub, k: Int = PqK)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
     val sample = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(1024).select(col("v")).collect()
+      .limit(math.max(1024, 4 * k)).select(col("v")).collect()
       .map { r =>
         val v = r.getSeq[Double](0).toIndexedSeq
         val n = math.sqrt(v.map(x => x * x).sum + 1e-300)
         v.map(_ / n)
       }.toIndexedSeq
     require(sample.nonEmpty, "pqTrain on an empty corpus")
-    (0 until PqS).map { s0 =>
-      lloydSmall(sample.map(_.slice(s0 * PqSub, (s0 + 1) * PqSub)), PqK, 8)
+    (0 until nSub).map { s0 =>
+      lloydSmall(sample.map(_.slice(s0 * subDim, (s0 + 1) * subDim)), k, 8)
     }
   }
 
@@ -870,19 +874,24 @@ object Similarity {
   private def pqCodeCol(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column = {
     val bb: Array[Array[Array[Double]]] =
       books.map(_.map(_.toArray).toArray).toArray
+    // geometry comes from the books, not the module constants, so
+    // production-sized codebooks (K=256, m=16 — PqSpec's constant-
+    // shortlist pin) encode through the same kernel
+    val nSub = bb.length
+    val subDim = bb(0)(0).length
     val enc = udf { (v: Seq[Double]) =>
       var nsq = 1e-300; var i = 0
       while (i < v.length) { nsq += v(i) * v(i); i += 1 }
       val inv = 1.0 / math.sqrt(nsq)
-      val out = new Array[Int](PqS)
+      val out = new Array[Int](nSub)
       var s0 = 0
-      while (s0 < PqS) {
+      while (s0 < nSub) {
         val cents = bb(s0)
         var best = 0; var bd = Double.MaxValue; var c = 0
         while (c < cents.length) {
           val cv = cents(c); var dist = 0.0; var j = 0
-          while (j < PqSub) {
-            val diff = v(s0 * PqSub + j) * inv - cv(j); dist += diff * diff
+          while (j < subDim) {
+            val diff = v(s0 * subDim + j) * inv - cv(j); dist += diff * diff
             j += 1
           }
           if (dist < bd) { bd = dist; best = c }
@@ -904,17 +913,19 @@ object Similarity {
     */
   private def pqAdcTableRows(qs: Array[(Long, IndexedSeq[Double])],
                              books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
-      : Seq[(Long, Seq[Seq[Double]])] =
+      : Seq[(Long, Seq[Seq[Double]])] = {
+    val subDim = books.head.head.length
     qs.toSeq.map { case (qid, qv) =>
-      (qid, (0 until PqS).map { s0 =>
-        val sub = qv.slice(s0 * PqSub, (s0 + 1) * PqSub)
+      (qid, books.indices.map { s0 =>
+        val sub = qv.slice(s0 * subDim, (s0 + 1) * subDim)
         books(s0).map { cv =>
           var dot = 0.0; var i = 0
-          while (i < PqSub) { dot += sub(i) * cv(i); i += 1 }
+          while (i < subDim) { dot += sub(i) * cv(i); i += 1 }
           dot
         }.toSeq
       })
     }
+  }
 
   /** PQ ANN with exact re-rank — the production memory-bound shape:
     *  1. encode the corpus to 8-nibble codes (one scan, codegen);
@@ -929,15 +940,36 @@ object Similarity {
     * [[knnBrute]] plus the determinism and code-size contracts.
     */
   def knnPq(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    // shortlist tracks the corpus (10% with the old floor): a fixed
+    // top-50 over a 10× corpus silently decays recall@5 (measured
+    // 0.525 at sf0.1 vs the 0.7 contract) — the flat-PQ scan is
+    // compressed BRUTE force, so its re-rank budget must scale the
+    // same way its candidate pool does. Production-sized codebooks
+    // (K=256, m=16) hold the floor with a CONSTANT shortlist — no
+    // longer a comment-only claim: PqSpec "production codebooks" pins
+    // recall@5 ≥ 0.8 at sf0.1 with a fixed 64-entry shortlist. With the
+    // deliberately tiny K=16 books the fraction is the knob trading
+    // re-rank cost for quantization coarseness.
+    knnPqWith(s, d, pqBooksFor(s, d, e), s"pqcodes:$d",
+      n => math.max(50, math.ceil(n / 10.0).toInt))
+  }
+
+  /** Flat-PQ core, parametric in codebooks and shortlist sizing so the
+    * production-geometry recall contract is testable (PqSpec) without
+    * forking the plan shape. `shortlistFor` receives the corpus size.
+    */
+  private[graft] def knnPqWith(s: SparkSession, d: String,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], cacheKey: String,
+      shortlistFor: Long => Int): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
-    val books = pqBooksFor(s, d, e)
     // the codes table is PERSISTED (like [[vecs]]): the encode expression
     // must evaluate once per corpus row — left lazy, CollapseProject
     // substitutes it into the post-join projection and re-encodes per
     // PAIR (measured 57× slower). Persisting the 9-byte-per-vector code
     // table is also the operational PQ story: codes live in memory.
-    val codes = SessionCache.getOrElseUpdate(s, s"pqcodes:$d") {
+    val codes = SessionCache.getOrElseUpdate(s, cacheKey) {
       e.select(col("vec_id"), pqCodeCol(books).as("code"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
     }
@@ -954,16 +986,8 @@ object Similarity {
           zip_with(col("code"), col("tbl"),
             (c, t) => element_at(t, c.cast("int") + 1)),
           lit(0.0), (acc, z) => acc + z), 6).as("adc_score"))
-    // shortlist tracks the corpus (10% with the old floor): a fixed
-    // top-50 over a 10× corpus silently decays recall@5 (measured
-    // 0.525 at sf0.1 vs the 0.7 contract) — the flat-PQ scan is
-    // compressed BRUTE force, so its re-rank budget must scale the
-    // same way its candidate pool does. Production-sized codebooks
-    // (K=256, m=16) would hold the floor with a constant shortlist;
-    // with the deliberately tiny K=16 books the fraction is the knob.
     val n = codes.count() // cached — cheap, and materializes the pin
-    val shortlist = topKAgg(s, adc,
-        math.max(50, math.ceil(n / 10.0).toInt), "adc_score")
+    val shortlist = topKAgg(s, adc, shortlistFor(n), "adc_score")
       .select(col("q_id"), col("neighbor_id"))
     // exact re-rank of the shortlist only
     val qv = e.filter(col("vec_id") % 50 === 0)

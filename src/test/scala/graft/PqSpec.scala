@@ -50,6 +50,29 @@ class PqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("production codebooks (K=256, m=16): a CONSTANT shortlist holds recall@5 at sf0.1") {
+    // the scale argument for flat-PQ's O(N)-tracking shortlist is that it
+    // compensates the deliberately coarse K=16 demo books; with
+    // production-sized codebooks the shortlist needed is CONSTANT in N.
+    // Pin it: train K=256/m=16 books on the 10x corpus and require the
+    // 0.8 floor with a FIXED 64-entry shortlist (vs the ~200 the
+    // N-tracking rule would use here).
+    import spark.implicits._
+    val d1 = "/root/testdata/sf0.1"
+    val e = Similarity.vecs(spark, d1)
+    val books = Similarity.pqTrain(e, nSub = 16, subDim = 4, k = 256)
+    assert(books.length == 16)
+    assert(books.forall(b => b.length > 64 && b.length <= 256))
+    assert(books.forall(_.forall(_.length == 4)))
+    val brute = Similarity.knnBrute(spark, d1)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.knnPqWith(spark, d1, books, s"pqcodes256:$d1",
+        _ => 64) // constant — must NOT track N
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"K=256/m=16 constant-shortlist recall@5 = $recall")
+  }
+
   test("codes are 8 nibbles: values in [0,16), 64x smaller than float32") {
     import spark.implicits._
     val e = Similarity.vecs(spark, d)
