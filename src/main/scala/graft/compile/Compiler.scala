@@ -1110,6 +1110,30 @@ object Compiler {
           v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq))
         kvs.get("persist_docs").foreach(v =>
           cfg = cfg.copy(persistDocs = v == "true"))
+        // BigQuery TTLs (reference bigquery_options @15210) — positive
+        // numbers only, loud on anything else (a silently-dropped TTL is
+        // unbounded storage growth)
+        def ttl(key: String, v: String): Double =
+          v.toDoubleOption.filter(_ > 0).getOrElse(
+            throw new IllegalArgumentException(
+              s"$key expects a positive number, got '$v'"))
+        kvs.get("hours_to_expiration").foreach(v =>
+          cfg = cfg.copy(hoursToExpiration = Some(ttl("hours_to_expiration", v))))
+        kvs.get("partition_expiration_days").foreach(v =>
+          cfg = cfg.copy(partitionExpirationDays =
+            Some(ttl("partition_expiration_days", v))))
+        // grants: 'privilege:grantee[,grantee…]' entries, `|`-separated
+        // like contract (a comma would split the kv scan)
+        kvs.get("grants").foreach(v => cfg = cfg.copy(grants =
+          v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).map { g =>
+            g.split(":", 2) match {
+              case Array(p, gs) if gs.trim.nonEmpty =>
+                p.trim.toLowerCase ->
+                  gs.split(",").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq
+              case _ => throw new IllegalArgumentException(
+                s"grants entry '$g' must be 'privilege:grantee[,grantee…]'")
+            }
+          }.toIndexedSeq))
         kvs.get("group").foreach(v => cfg = cfg.copy(group = v))
         kvs.get("access").foreach { v =>
           require(Set("private", "protected", "public").contains(v),

@@ -123,6 +123,24 @@ final case class ModelConfig(
     // `set_sql_header`; reference macro.dbt.set_sql_header): session
     // DDL executed before the model body — see Engine.runSqlHeader
     sqlHeader: Option[String] = None,
+    // BigQuery TTLs (reference bigquery_options @15210):
+    // `hours_to_expiration` — the whole table expires N hours after its
+    // last build; `partition_expiration_days` — partitions whose newest
+    // data version is older than N days age out. Enforced by
+    // `graft vacuum` (Engine.vacuum) against the warehouse's per-version
+    // timestamps; carried as properties in catalog.json and the external
+    // DDL export. Fractional values are allowed (tests pin windows
+    // without clock mocking); BigQuery itself takes integers.
+    hoursToExpiration: Option[Double] = None,
+    partitionExpirationDays: Option[Double] = None,
+    // dbt `grants` config: privilege -> grantees (config spelling
+    // `grants='select:a,b|insert:c'` — the dict form dbt uses in YAML is
+    // flattened to the same pipe form by the loaders). A path warehouse
+    // has no ACL store, so grants ride the external DDL export as
+    // emitted GRANT statements and the dbt manifest as config metadata
+    // (reference grant_access_to @11842 is the BQ authorized-view
+    // cousin; dbt's apply_grants runs post-materialization the same way).
+    grants: Seq[(String, Seq[String])] = Nil,
     // dbt `incremental_predicates`: SQL predicates over TARGET columns
     // (optionally `DBT_INTERNAL_DEST.`-prefixed, dbt's alias) ANDed into
     // the merge family's anti-join condition — target rows outside the

@@ -2178,6 +2178,79 @@ final class Warehouse(val spark: SparkSession, val root: String,
         .filter(_.contains("="))
     }
 
+  /** Epoch ms of the relation's newest committed state — the "last
+    * build" timestamp table TTLs (`hours_to_expiration`) measure from.
+    * Manifest mode reads the newest complete manifest file's mtime;
+    * rename mode falls back to the relation dir's mtime.
+    */
+  def lastCommitMs(rel: Relation): Option[Long] = {
+    if (usesManifest) {
+      val newest = manifestsDescending(rel)
+        .collectFirst { case (_, p) if parseManifest(p).isDefined => p }
+      newest.map(p => fs.getFileStatus(p).getModificationTime)
+        .orElse(Some(new Path(path(rel))).filter(fs.exists)
+          .map(p => fs.getFileStatus(p).getModificationTime))
+    } else Some(new Path(path(rel))).filter(fs.exists)
+      .map(p => fs.getFileStatus(p).getModificationTime)
+  }
+
+  /** Partition TTL sweep (`partition_expiration_days`, reference
+    * bigquery_options @15210): drop every partition whose NEWEST covering
+    * data version is older than `asOfMs - ttlMs`. A partition still
+    * receiving appends is never expired — its newest version is young.
+    *
+    * Manifest mode commits a manifest WITHOUT the expired partitions'
+    * data entries: carried-forward metadata means stream watermarks and
+    * checkpoints survive, [[normalizeEntries]] retires delete entries the
+    * drop leaves dead, and commit-time GC ages out the unreferenced
+    * version dirs. Rename mode deletes the leaf partition dirs by dir
+    * mtime. Returns the dropped partition paths.
+    */
+  def expirePartitions(rel: Relation, ttlMs: Long, asOfMs: Long): Seq[String] = {
+    val cutoff = asOfMs - ttlMs
+    if (usesManifest && latestManifest(rel).isDefined) {
+      val entries = latestManifest(rel).get._2
+      val newestMs: Map[String, Long] = dataEntries(entries)
+        .filter(_._2.contains("="))
+        .groupBy(_._2)
+        .map { case (part, es) =>
+          part -> es.map(e => fs.getFileStatus(entryPath(rel, e))
+            .getModificationTime).max
+        }
+      val expired = newestMs.filter(_._2 < cutoff).keySet
+      if (expired.nonEmpty) {
+        commitEntries(rel)(cur =>
+          cur.filterNot(e => !isDeleteEntry(e) && expired.contains(e._2)))
+        invalidateRead(rel)
+      }
+      expired.toSeq.sorted
+    } else {
+      // rename mode: walk the k=v tree to leaf dirs, drop by dir mtime
+      def leaves(p: Path, prefix: String): Seq[(String, Path)] = {
+        val kids =
+          if (!fs.exists(p)) Nil
+          else fs.listStatus(p).toSeq.filter(st =>
+            st.isDirectory && st.getPath.getName.contains("="))
+        if (kids.isEmpty) {
+          if (prefix.isEmpty) Nil else Seq(prefix -> p)
+        } else kids.flatMap { st =>
+          val next =
+            if (prefix.isEmpty) st.getPath.getName
+            else prefix + "/" + st.getPath.getName
+          leaves(st.getPath, next)
+        }
+      }
+      val expired = leaves(new Path(path(rel)), "").filter { case (_, p) =>
+        fs.getFileStatus(p).getModificationTime < cutoff
+      }
+      if (expired.nonEmpty) {
+        expired.foreach { case (_, p) => fs.delete(p, true) }
+        invalidateRead(rel)
+      }
+      expired.map(_._1).sorted
+    }
+  }
+
   /** All partition key columns of a relation in layout order, derived
     * from FULL leaf paths — every `k=v` segment, not just the first
     * directory level, so multi-column layouts (`dt=…/region=…`) report

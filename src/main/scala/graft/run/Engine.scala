@@ -2141,6 +2141,44 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * partials). This is an EXPORT, not a live pointer: re-run after
     * builds.
     */
+  /** `graft vacuum`: enforce the declared bigquery_options TTLs
+    * (reference @15210) against the warehouse's committed state.
+    * `hours_to_expiration` drops the WHOLE relation once its newest
+    * commit is older than the window (a rebuilt model resets the clock,
+    * like BigQuery's expiration_timestamp moving on CREATE OR REPLACE);
+    * `partition_expiration_days` retires partitions whose newest data
+    * version aged out ([[graft.core.Warehouse.expirePartitions]] —
+    * stream watermarks/checkpoint metadata survive the commit).
+    * `asOfMs` is a parameter so retention tests pin time instead of
+    * mocking the clock. Returns human-readable report lines.
+    */
+  def vacuum(asOfMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    project.models.foreach { m =>
+      val cfg = effectiveConfig(m)
+      val rel = relationFor(m.name)
+      if ((cfg.hoursToExpiration.isDefined ||
+          cfg.partitionExpirationDays.isDefined) && warehouse.exists(rel)) {
+        cfg.hoursToExpiration.foreach { h =>
+          warehouse.lastCommitMs(rel).foreach { t =>
+            if (asOfMs - t > (h * 3600000.0).toLong) {
+              warehouse.drop(rel)
+              out += s"DROPPED  ${m.name}: table expired " +
+                s"(hours_to_expiration=$h, last build ${asOfMs - t} ms ago)"
+            }
+          }
+        }
+        if (warehouse.exists(rel)) cfg.partitionExpirationDays.foreach { dd =>
+          val dropped = warehouse.expirePartitions(
+            rel, (dd * 86400000.0).toLong, asOfMs)
+          if (dropped.nonEmpty)
+            out += s"EXPIRED  ${m.name}: ${dropped.mkString(", ")}"
+        }
+      }
+    }
+    out.result()
+  }
+
   def catalogDdl(): (Seq[String], Seq[String]) = {
     val stmts = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]
@@ -2178,6 +2216,29 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       if (!persist.getOrElse(name, false)) ""
       else project.descriptions.get(name)
         .map(d => s" COMMENT '${d.replace("'", "''")}'").getOrElse("")
+    val cfgOf: Map[String, ModelConfig] =
+      project.models.map(m => m.name -> effectiveConfig(m)).toMap
+    // TTLs ride the export as TBLPROPERTIES so an external engine (and a
+    // reader of the DDL) sees the declared retention; vacuum enforces it
+    def fmtNum(d: Double): String =
+      if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    def propsClause(name: String): String = {
+      val c = cfgOf.get(name)
+      val kvs =
+        c.flatMap(_.hoursToExpiration)
+          .map(h => s"'hours_to_expiration'='${fmtNum(h)}'").toSeq ++
+        c.flatMap(_.partitionExpirationDays)
+          .map(dd => s"'partition_expiration_days'='${fmtNum(dd)}'").toSeq
+      if (kvs.isEmpty) "" else kvs.mkString(" TBLPROPERTIES (", ", ", ")")
+    }
+    // grants ledger: each declared privilege becomes an emitted GRANT the
+    // external engine can apply (a path warehouse has no ACL store)
+    def grantStmts(name: String): Seq[String] =
+      cfgOf.get(name).map(_.grants).getOrElse(Nil).flatMap { case (priv, gs) =>
+        gs.map(g =>
+          s"GRANT ${priv.toUpperCase} ON ${ident(name)} TO ${ident(g)}")
+      }
     // tables first: the view pass below rewrites path references to them
     val tableNames = Seq.newBuilder[(String, String)] // (table path, ident)
     val nodes =
@@ -2199,7 +2260,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           sliceSql(rel).foreach { body =>
             tableNames += ((warehouse.path(rel), ident(name)))
             stmts += s"CREATE OR REPLACE VIEW ${ident(name)}" +
-              s"${commentClause(name)} AS\n$body"
+              s"${commentClause(name)}${propsClause(name)} AS\n$body"
+            stmts ++= grantStmts(name)
           }
       }
     }
@@ -2214,7 +2276,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
               acc.replace(s"parquet.`$p`", id)
             }
             stmts += s"CREATE OR REPLACE VIEW ${ident(m.name)}" +
-              s"${commentClause(m.name)} AS\n$rewritten"
+              s"${commentClause(m.name)}${propsClause(m.name)} AS\n$rewritten"
+            stmts ++= grantStmts(m.name)
         }
       }
     }
@@ -2236,6 +2299,24 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     def desc(key: String): String =
       project.descriptions.get(key)
         .map(d => s", ${q("description")}: ${q(d)}").getOrElse("")
+    // declared retention/grants surface in the catalog artifact (vacuum
+    // enforces the TTLs; the DDL export emits the GRANTs)
+    val propsOf: Map[String, String] = project.models.flatMap { m =>
+      val c = effectiveConfig(m)
+      val kvs =
+        c.hoursToExpiration
+          .map(h => s"${q("hours_to_expiration")}: $h").toSeq ++
+        c.partitionExpirationDays
+          .map(dd => s"${q("partition_expiration_days")}: $dd").toSeq ++
+        (if (c.grants.isEmpty) Nil
+         else Seq(s"${q("grants")}: {" + c.grants.map { case (p, gs) =>
+           s"${q(p)}: [${gs.map(q).mkString(", ")}]" }.mkString(", ") + "}"))
+      if (kvs.isEmpty) None
+      else Some(relationFor(m.name).identifier -> kvs.mkString("{", ", ", "}"))
+    }.toMap
+    def props(rel: Relation): String =
+      propsOf.get(rel.identifier)
+        .map(p => s", ${q("properties")}: $p").getOrElse("")
     val tables = warehouse.catalogInfo(target.database, target.resolvedSchema)
       .map { case (rel, rows, bytes, parts) =>
         val cols = warehouse.schemaOf(rel).fields.map(f =>
@@ -2245,12 +2326,12 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           s"${q("rows")}: $rows, ${q("bytes")}: $bytes, " +
           s"${q("partitions")}: [${parts.map(q).mkString(", ")}], " +
           s"${q("columns")}: [${cols.mkString(", ")}]" +
-          s"${desc(rel.identifier)}}"
+          s"${props(rel)}${desc(rel.identifier)}}"
       }
     val views = warehouse.listViews(target.database, target.resolvedSchema)
       .flatMap(rel => warehouse.readViewDef(rel).map(defn =>
         s"{${q("name")}: ${q(rel.identifier)}, ${q("kind")}: ${q("view")}, " +
-          s"${q("definition")}: ${q(defn)}${desc(rel.identifier)}}"))
+          s"${q("definition")}: ${q(defn)}${props(rel)}${desc(rel.identifier)}}"))
     Files.writeString(Paths.get(path),
       s"""{"schema": ${q(target.resolvedSchema)}, "relations": [${(tables ++ views).mkString(", ")}]}""")
     ()
@@ -2333,7 +2414,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     import Js._
     def nodeEntry(name: String, resourceType: String, rawCode: String,
                   materialized: String, checksum: String,
-                  tags: Set[String]): (String, String) = {
+                  tags: Set[String],
+                  grants: Seq[(String, Seq[String])] = Nil): (String, String) = {
       val uid = s"$resourceType.${project.name}.$name"
       val rel = relationFor(name)
       val (refDeps, srcDeps) = Compiler.dependencies(rawCode)
@@ -2356,7 +2438,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         "config" -> obj(
           "enabled" -> "true",
           "materialized" -> q(materialized),
-          "tags" -> arr(tags.toSeq.sorted.map(q))),
+          "tags" -> arr(tags.toSeq.sorted.map(q)),
+          // dbt manifest v12 carries config.grants on every node; the
+          // ledger the DDL export's GRANT statements are derived from
+          "grants" -> ("{" + grants.map { case (p, gs) =>
+            s"${q(p)}: ${arr(gs.map(q))}" }.mkString(", ") + "}")),
         "tags" -> arr(tags.toSeq.sorted.map(q)),
         "depends_on" -> obj(
           "macros" -> "[]",
@@ -2366,7 +2452,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     val nodes =
       project.models.map(m => nodeEntry(m.name, "model", m.rawSql,
         effectiveConfig(m).materialized,
-        Compiler.checksum(m.rawSql), effectiveConfig(m).tags)) ++
+        Compiler.checksum(m.rawSql), effectiveConfig(m).tags,
+        effectiveConfig(m).grants)) ++
       project.seeds.map(s => nodeEntry(s.name, "seed",
         "", "seed", Compiler.checksum(Files.readString(Paths.get(s.csvPath))),
         Set.empty)) ++

@@ -43,6 +43,10 @@ import graft.run.{Engine, ProjectLoader, StateSelector, Target}
   *   expire-snapshots drop closed history months < --keep-from yyyy-MM
   *   gc               sweep crashed writers' orphaned uncommitted version
   *                    dirs (--older-than 7d / 12h / 90m; manifest mode)
+  *   vacuum           enforce declared bigquery_options TTLs: drop tables
+  *                    past hours_to_expiration (clock resets per rebuild)
+  *                    and partitions past partition_expiration_days
+  *                    (--as-of <epoch-ms|ISO instant> pins "now")
   *   maintain         vector-index upkeep: read each index's drift
   *                    ledger, refit past --drift-threshold (default 1.2),
   *                    reap retired generations (--grace <N>{d|h|m} delays
@@ -503,6 +507,15 @@ object GraftCli {
             println(s"GC       ${rel.identifier}: ${dropped.size} orphaned " +
               s"version dirs removed (${dropped.mkString(", ")})")
         }
+      case "vacuum" =>
+        // declared-TTL enforcement (bigquery_options @15210); --as-of
+        // pins the evaluation instant for deterministic retention runs
+        val asOf = flags.get("as-of").flatMap(_.headOption).map { v =>
+          v.toLongOption.getOrElse(java.time.Instant.parse(v).toEpochMilli)
+        }.getOrElse(System.currentTimeMillis())
+        val report = engine.vacuum(asOf)
+        if (report.isEmpty) println("vacuum: nothing expired")
+        else report.foreach(println)
       case "maintain" =>
         val threshold = flags.get("drift-threshold").flatMap(_.headOption)
           .flatMap(_.toDoubleOption).getOrElse(1.2)

@@ -775,6 +775,23 @@ class MaterializeSpec extends AnyFunSuite {
     assert(wh.read(r3).schema("v").dataType.typeName == "long")
   }
 
+  test("expirePartitions: rename mode drops stale leaf dirs by mtime") {
+    val wh = freshWh(); val m = new Materializer(wh); val r = rel("exp1")
+    val s = spark; import s.implicits._
+    m.table(Seq((1, "a"), (2, "b")).toDF("v", "pk"), r,
+      ModelConfig(partitionBy = Seq("pk")))
+    val now = System.currentTimeMillis()
+    // age one leaf artificially (local FS): pk=a "written" 8 days ago
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(wh.path(r), "pk=a"),
+      java.nio.file.attribute.FileTime.fromMillis(now - 8L * 86400000L))
+    val dropped = wh.expirePartitions(r, 7L * 86400000L, now)
+    assert(dropped == Seq("pk=a"), dropped.toString)
+    assert(wh.read(r).select("pk").distinct().collect()
+      .map(_.getString(0)).toSet == Set("b"))
+    assert(wh.expirePartitions(r, 7L * 86400000L, now).isEmpty)
+  }
+
   test("alterColumnType: multi-column partition layout fully preserved and guarded") {
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("alt3")
     val s = spark; import s.implicits._

@@ -1232,6 +1232,88 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(row.getString(1) == "dflt")
   }
 
+  test("vacuum enforces bigquery TTLs; metadata survives; properties exported") {
+    val dir = root()
+    val tgt = Target(dir, commitMode = CommitMode.Manifest)
+    val p = baseProject.copy(models = Seq(
+      ModelDef("nations_part",
+        """{{ config(materialized='table', partition_by='n_regionkey',
+          |          partition_expiration_days=7,
+          |          grants='select:analyst,ml_team|insert:loader') }}
+          |SELECT n_nationkey, n_name, n_regionkey
+          |FROM {{ source('tpch','nation') }}""".stripMargin),
+      ModelDef("short_lived",
+        """{{ config(materialized='table', hours_to_expiration=24) }}
+          |SELECT 1 AS one""".stripMargin)))
+    val e = new Engine(spark, p, tgt)
+    assert(e.build()._1.forall(_.status == "success"))
+    val rel = e.relationFor("nations_part")
+    assert(e.warehouse.listPartitions(rel).size == 5)
+
+    // declared properties surface in catalog.json…
+    e.writeCatalog(s"$dir/catalog.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cat = om.readTree(new java.io.File(s"$dir/catalog.json"))
+    val rels = cat.path("relations")
+    val np = (0 until rels.size).map(rels.get)
+      .find(_.path("name").asText == "nations_part").get
+    assert(np.path("properties").path("partition_expiration_days").asDouble == 7.0)
+    assert(np.path("properties").path("grants").path("select").toString
+      .contains("analyst"))
+    val sl = (0 until rels.size).map(rels.get)
+      .find(_.path("name").asText == "short_lived").get
+    assert(sl.path("properties").path("hours_to_expiration").asDouble == 24.0)
+    // …and in the external DDL export (TBLPROPERTIES + GRANT ledger)
+    val (stmts, _) = e.catalogDdl()
+    val npDdl = stmts.find(_.contains("CREATE OR REPLACE VIEW `nations_part`")).get
+    assert(npDdl.contains("TBLPROPERTIES ('partition_expiration_days'='7')"), npDdl)
+    assert(stmts.contains("GRANT SELECT ON `nations_part` TO `analyst`"))
+    assert(stmts.contains("GRANT SELECT ON `nations_part` TO `ml_team`"))
+    assert(stmts.contains("GRANT INSERT ON `nations_part` TO `loader`"))
+    assert(stmts.find(_.contains("VIEW `short_lived`")).get
+      .contains("'hours_to_expiration'='24'"))
+    // grants ride the dbt manifest as node config metadata
+    e.writeDbtManifest(s"$dir/manifest.json")
+    val man = om.readTree(new java.io.File(s"$dir/manifest.json"))
+    assert(man.path("nodes").path("model.p.nations_part")
+      .path("config").path("grants").path("select").toString.contains("ml_team"))
+
+    // freshen ONE partition after a real mtime gap: a later stream append
+    // to n_regionkey=0 (also plants the exactly-once watermark metadata
+    // that must survive the vacuum commit)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(1200)
+    val inc = spark.sql(
+      "SELECT CAST(990 AS INT) AS n_nationkey, 'ZUZU' AS n_name, " +
+        "CAST(0 AS INT) AS n_regionkey")
+      .selectExpr(e.warehouse.read(rel).columns.map(c => c): _*)
+    assert(e.warehouse.appendStreamBatch(inc, rel, "src_a", 7L,
+      Seq("n_regionkey")))
+    assert(e.warehouse.streamWatermark(rel, "src_a").contains(7L))
+
+    // nothing expires when evaluated now
+    assert(e.vacuum().isEmpty)
+    // evaluated 7 days after t0: every partition whose newest version
+    // predates t0 expires; n_regionkey=0 (fresh append) survives, and
+    // short_lived (built > 24h before) drops entirely
+    val asOf = t0 + 7L * 86400000L
+    val report = e.vacuum(asOf)
+    assert(report.exists(_.startsWith("DROPPED  short_lived")), report.toString)
+    assert(report.exists(_.startsWith("EXPIRED  nations_part")), report.toString)
+    assert(!e.warehouse.exists(e.relationFor("short_lived")))
+    // expired partitions invisible to reads; the fresh partition intact
+    val left = e.warehouse.read(rel)
+    assert(left.selectExpr("CAST(n_regionkey AS BIGINT)").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L))
+    assert(left.count() == e.warehouse.read(rel)
+      .filter(col("n_regionkey") === 0).count())
+    assert(left.filter(col("n_name") === "ZUZU").count() == 1)
+    // the watermark metadata rode through the expiration commit
+    assert(e.warehouse.streamWatermark(rel, "src_a").contains(7L))
+    // idempotent: a second vacuum at the same instant finds nothing new
+    assert(e.vacuum(asOf).isEmpty)
+  }
+
   test("catalogInfo reports rows, bytes and partitions per relation") {
     val e = new Engine(spark, baseProject, Target(root()))
     assert(e.build()._1.forall(_.status == "success"))
