@@ -773,10 +773,28 @@ object TextOps {
     * a weighted explode + map-side-combinable sum (vocab-sized shuffle),
     * the winning pair by a distributed take-ordered 1 (count DESC, then
     * lexicographic — deterministic tie-break, no RNG), then the merge
-    * applied to every word with a greedy left-to-right `aggregate` fold
-    * (non-overlapping, Column lambdas — no SQL-injection surface, fully
-    * codegen'd). `localCheckpoint` cuts the per-round lineage so round
-    * N's plan doesn't nest N folds.
+    * applied with a greedy left-to-right `aggregate` fold
+    * (non-overlapping, Column lambdas — no SQL-injection surface).
+    * `localCheckpoint` cuts the per-round lineage so round N's plan
+    * doesn't nest N folds.
+    *
+    * Two scale guards, both found by the sf1-shaped sweep (a 10× vocab
+    * turned the rounds serial-interpreted and minutes-long):
+    * (a) the vocabulary is explicitly repartitioned to
+    *     `defaultParallelism` before the loop — its shuffle output is
+    *     small in BYTES, so AQE's coalescing would otherwise collapse it
+    *     to ONE partition, and higher-order functions are
+    *     CodegenFallback (interpreted eval), making every round a
+    *     single-task serial pass; `localCheckpoint` then preserves the
+    *     explicit layout across rounds;
+    * (b) each round rewrites ONLY words that actually contain the
+    *     winning pair adjacently: a codegen-cheap substring probe on the
+    *     -joined symbol string guards the interpreted O(len²)
+    *     fold, so the common word (which doesn't contain this round's
+    *     pair) pays one string scan instead of a per-symbol
+    *     array-copy fold. The probe is exact: the fold can only merge
+    *     at original adjacencies (a just-merged tail is l+r ≠ l), and
+    *      cannot occur in [a-z0-9] symbols.
     *
     * Returns the ordered merge table (step, left, right, pair_count) —
     * the tokenizer artifact. Iterative argmax-per-round is not
@@ -784,6 +802,22 @@ object TextOps {
     * reference implementation (the FuzzyIndex/VectorIndex precedent),
     * with a rows-level queries entry.
     */
+  /** Separator for the adjacent-pair substring probe — cannot occur in
+    * the [a-z0-9] symbol alphabet, so `…l…r…` matches exactly
+    * the adjacencies the greedy fold can merge.
+    */
+  private val BpeSep = ""
+
+  /** Codegen-cheap exact probe: does `syms` contain the pair (l, r)
+    * adjacently? Guards the interpreted greedy fold in [[bpeTrain]] and
+    * [[bpeEncCols]] so non-matching words pay one string scan, not a
+    * per-symbol array-copy fold.
+    */
+  private def bpeHasPair(syms: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column =
+    concat(lit(BpeSep), concat_ws(BpeSep, syms), lit(BpeSep))
+      .contains(BpeSep + l + BpeSep + r + BpeSep)
+
   def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -794,6 +828,7 @@ object TextOps {
     var vocab = wordFreq.select(
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"), col("freq"))
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -822,7 +857,10 @@ object TextOps {
             size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
-        vocab = vocab.withColumn("syms", merged).localCheckpoint(true)
+        vocab = vocab.withColumn("syms",
+            when(bpeHasPair(col("syms"), l, r), merged)
+              .otherwise(col("syms")))
+          .localCheckpoint(true)
         step += 1
       }
     }
@@ -835,44 +873,64 @@ object TextOps {
 
   /** Apply a trained merge table to a corpus — the ENCODE half of the
     * tokenizer (train once, encode every shard forever). The merge list
-    * is a driver-side literal (tokenizer artifacts are KBs); each merge
-    * becomes one greedy fold in a chained per-word expression, so
-    * encoding is a single distributed scan with NO shuffle and no state
-    * — embarrassingly parallel at any corpus size, exactly how
-    * production tokenizers run. Returns per-doc BPE token counts
+    * is a driver-side literal (tokenizer artifacts are KBs).
+    *
+    * DICTIONARY shape (the sf1 sweep finding): the greedy merge folds
+    * are higher-order functions — CodegenFallback, interpreted eval —
+    * so paying them per word OCCURRENCE makes the encode minutes-slow
+    * at 10× corpus while the distinct vocabulary barely grows (natural
+    * language reuses words; Heaps' law keeps the vocabulary sublinear
+    * in corpus size). So the folds run once per DISTINCT word — the
+    * same word→tokens memo every production tokenizer keeps — and the
+    * corpus side is pure codegen'd relational work: explode words,
+    * hash-join the encoded dictionary back (AQE broadcasts it when
+    * small), partial-agg per doc. Returns per-doc BPE token counts
     * (`n_bpe_tokens`) alongside the pre-merge symbol count, the
     * compression diagnostic every tokenizer eval tracks.
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val (words, enc) = bpeEncCols(merges)
-    docs.select(col("doc_id"),
-      aggregate(transform(words, w => length(w)), lit(0L),
-        (a, x) => a + x.cast("long")).as("n_symbols"),
-      aggregate(transform(enc, syms => size(syms)), lit(0L),
-        (a, x) => a + x.cast("long")).as("n_bpe_tokens"))
+    val words = docs.select(col("doc_id"), explode(
+      filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)).as("w"))
+    val dict = words.select(col("w")).distinct()
+      .select(col("w"), length(col("w")).cast("long").as("w_syms"),
+        size(bpeEncWord(col("w"), merges)).cast("long").as("w_toks"))
+    val perDoc = words.join(dict, Seq("w"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("w_syms")).as("n_symbols"),
+        sum(col("w_toks")).as("n_bpe_tokens"))
+    // docs with zero words still get a row (the explode drops them)
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
-  /** Shared encode plumbing for [[bpeEncode]] and [[bpeEncodeGate]]:
-    * the word split plus one greedy non-overlapping left-to-right fold
-    * per merge, in training order — all expressions over `text`, so the
-    * encode stays a single shuffle-free codegen'd scan.
+  /** Encode ONE word as its BPE symbol array: per-char split, then one
+    * greedy non-overlapping left-to-right fold per merge in training
+    * order. Interpreted eval — which is why callers run it over the
+    * distinct vocabulary, never the raw corpus. NO [[bpeHasPair]] guard
+    * here: a `when(guard, fold).otherwise(syms)` wrapper references the
+    * chained column THREE times per merge level, so 30 merges build a
+    * 3^30-node expression tree (the Column tree is duplicated, not
+    * shared — this OOM'd the driver). The plain chain stays linear, and
+    * the dictionary shape already bounds fold cost to distinct words.
+    * [[bpeTrain]] keeps the guard safely because each round rebuilds
+    * from a checkpointed ATTRIBUTE, not a nested subtree.
     */
-  private def bpeEncCols(merges: Seq[(String, String)])
-      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val words = filter(split(lower(col("text")), "[^a-z0-9]+"),
-      t => length(t) > 0)
-    // per-word char split, then one greedy fold per merge, in order
-    var enc: org.apache.spark.sql.Column = transform(words, w =>
-      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+  private def bpeEncWord(w: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    var syms: org.apache.spark.sql.Column =
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
     merges.foreach { case (l, r) =>
-      enc = transform(enc, syms => aggregate(syms,
+      syms = aggregate(syms,
         array().cast("array<string>"),
         (acc, x) => when(
           size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x)))))
+          .otherwise(concat(acc, array(x))))
     }
-    (words, enc)
+    syms
   }
 
   /** Per-source corpus health report — the dataset-card numbers every
@@ -969,9 +1027,9 @@ object TextOps {
 
   /** Train-once-encode-forever wrapper: 30 merges trained on the corpus
     * (memoized — the artifact is reused across bench passes exactly as a
-    * shipped tokenizer would be), then the whole corpus encoded in one
-    * shuffle-free scan. BpeSpec gates the numbers against the reference
-    * implementation.
+    * shipped tokenizer would be), then the whole corpus encoded in
+    * [[bpeEncode]]'s dictionary shape. BpeSpec gates the numbers
+    * against the reference implementation.
     */
   def bpeEncodeCorpus(s: SparkSession, d: String): DataFrame =
     bpeEncode(documents(s, d),
@@ -988,17 +1046,31 @@ object TextOps {
     * merge-trace equivalence stays with BpeSpec's independent reference.
     */
   def bpeEncodeGate(s: SparkSession, d: String): DataFrame = {
-    val (words, enc) = bpeEncCols(trainedMergeRows(s, d).map(t => (t._2, t._3)))
-    val nSymbols = aggregate(transform(words, w => length(w)), lit(0L),
-      (a, x) => a + x.cast("long"))
-    val nTokens = aggregate(transform(enc, syms => size(syms)), lit(0L),
-      (a, x) => a + x.cast("long"))
-    documents(s, d).select(col("doc_id"),
-      nSymbols.as("n_symbols"),
-      size(words).cast("long").as("n_words"),
-      (forall(zip_with(words, enc, (w, e) => array_join(e, "") === w),
-          x => x) &&
-        nTokens.between(size(words).cast("long"), nSymbols)).as("ok"))
+    // same dictionary shape as [[bpeEncode]]: folds once per DISTINCT
+    // word, corpus side codegen'd (explode + join + partial agg). The
+    // per-word invariants are STRICTER than the old per-doc form: every
+    // word must round-trip and emit between 1 and len(w) tokens, so the
+    // doc-level bounds follow by summation.
+    val merges = trainedMergeRows(s, d).map(t => (t._2, t._3))
+    val docs = documents(s, d)
+    val words = docs.select(col("doc_id"), explode(
+      filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)).as("w"))
+    val dict = words.select(col("w")).distinct()
+      .withColumn("enc", bpeEncWord(col("w"), merges))
+      .select(col("w"), length(col("w")).cast("long").as("w_syms"),
+        (array_join(col("enc"), "") === col("w") &&
+          size(col("enc")).between(lit(1), length(col("w")))).as("w_ok"))
+    val perDoc = words.join(dict, Seq("w"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("w_syms")).as("n_symbols"),
+        count(lit(1)).as("n_words"),
+        min(col("w_ok")).as("ok"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("ok"), lit(true)).as("ok"))
   }
 
   val bpeEncodeGateSql: String =

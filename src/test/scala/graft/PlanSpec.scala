@@ -66,12 +66,17 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) <= 7, s"lmScore shuffle count grew:\n$p")
   }
 
-  test("bpe encode: one shuffle-free scan — the merge chain is pure per-row expressions") {
+  test("bpe encode: dictionary shape — interpreted folds only on the distinct vocab, corpus side keyed hash joins, never a nested loop") {
     val p = plan(graft.ops.TextOps.bpeEncode(
       graft.ops.TData.documents(spark, sf),
       Seq(("t", "h"), ("th", "e"), ("i", "n"))))
-    assert(shuffles(p) == 0, s"bpeEncode must not exchange:\n$p")
-    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // explode + vocab distinct + dict join + doc agg + zero-word left
+    // join: the shuffle count is bounded; a regression to per-occurrence
+    // folds (shuffle-free but interpreted over the corpus) or a
+    // cartesian would change this shape
+    assert(shuffles(p) <= 6, s"bpeEncode shuffle count grew:\n$p")
+    assert(!p.contains("Window") && !p.contains("NestedLoop") &&
+      !p.contains("Cartesian"), p)
   }
 
   test("gopher rules + rp sketch: pure per-row plans — no exchange") {
