@@ -15,8 +15,18 @@ import org.apache.spark.sql.expressions.Aggregator
 final class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
+  // buffer invariant: sorted by (score desc, id asc). The common case on
+  // a large candidate stream is REJECT — the full buffer's worst entry
+  // already beats the candidate — which must be O(1) with zero
+  // allocation: a sort-per-insert re-sorts the buffer once per input ROW
+  // (found by the sf1-shaped sweep: 8M candidate pairs wedged one task
+  // for >10 CPU-minutes in sortBy).
   private def insert(buf: Seq[(Double, Long)], score: Double, id: Long)
       : Seq[(Double, Long)] = {
+    if (buf.size >= k) {
+      val (ws, wi) = buf.last
+      if (score < ws || (score == ws && id >= wi)) return buf
+    }
     val merged = ((score, id) +: buf)
       .sortBy { case (s, i) => (-s, i) }
     if (merged.size > k) merged.take(k) else merged

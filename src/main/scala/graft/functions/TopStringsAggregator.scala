@@ -22,8 +22,16 @@ final class TopStringsAggregator(k: Int)
 
   override def zero: Seq[(Long, String)] = Seq.empty
 
-  override def reduce(buf: Seq[(Long, String)], in: (String, Long)): Seq[(Long, String)] =
+  // same O(1) full-buffer reject as TopKAggregator: the buffer is sorted
+  // by construction, so a candidate the worst entry beats must not pay a
+  // sort-per-insert (one re-sort per input row wedges large groups)
+  override def reduce(buf: Seq[(Long, String)], in: (String, Long)): Seq[(Long, String)] = {
+    if (buf.size >= k) {
+      val (ws, ww) = buf.last
+      if (in._2 < ws || (in._2 == ws && in._1 >= ww)) return buf
+    }
     trim((in._2, in._1) +: buf)
+  }
 
   override def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
     trim(a ++ b)

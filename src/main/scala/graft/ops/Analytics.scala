@@ -131,15 +131,26 @@ object Analytics {
     * last ulp and `round(..,2)` flips on `.xx5` ties. Fix: quantize each
     * summand to exact integer cents first — integer window sums are
     * order-independent and /100.0 of the same int64 is the same double.
+    *
+    * The sort key must also be a TOTAL order up to the summed VALUE:
+    * this synthetic lineitem does not enforce the TPC-H (orderkey,
+    * linenumber) PK (118k duplicate keys at sf0.1), and when tied rows
+    * carry different amounts the running-total MULTISET depends on
+    * engine tie order — green at sf0.1 by luck, 3.5k flipped rows at
+    * the sf1-shaped sweep. Adding the cents amount as the last key
+    * makes remaining ties equal-amount, whose prefix sums are
+    * order-invariant as a multiset.
     */
   def wRunningRevenue(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+      .cast("long")
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, cents.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d).select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
-        .cast("long")).over(w) / 100.0)
+      (sum(cents).over(w) / 100.0)
         .as("running_rev"))
   }
 
@@ -147,7 +158,8 @@ object Analytics {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+      |      CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_rev
       |FROM lineitem""".stripMargin
 

@@ -71,11 +71,14 @@ class PropertySpec extends AnyFunSuite {
     assert(Warehouse.unescapePathName("%25%32%35") == "%25") // no double decode
   }
 
-  test("property: type widening never loses a value across arbitrary numeric ladders") {
+  test("property: type widening is lossless or refuses loudly across arbitrary numeric ladders") {
     // for ANY pair of numeric types on the int->long->double ladder, a
-    // merge of an increment typed differently from the target must (a)
-    // produce the WIDER of the two types and (b) preserve every value
-    // exactly — the silent-wrap/null failure mode structurally excluded
+    // merge of an increment typed differently from the target must
+    // either (a) produce the WIDER of the two types AND preserve every
+    // value exactly, or (b) — when no provably lossless promotion exists
+    // (long<->double: doubles hold integers exactly only to 2^53) —
+    // refuse loudly with the full_refresh hint. Silent wrap/null/
+    // precision-loss is structurally excluded either way.
     import org.apache.spark.sql.types._
     val s = spark; import s.implicits._
     val ladder: Seq[(DataType, Seq[Long])] = Seq(
@@ -96,17 +99,30 @@ class PropertySpec extends AnyFunSuite {
       val inc = incVals.zipWithIndex.map { case (v, i) => (i + 1L, v) }
         .toDF("id", "v")
         .select(col("id"), col("v").cast(incT).as("v"))
-      m.incremental(inc, r, cfg)
-      val out = wh.read(r)
-      val wider = if (rank(incT) >= rank(tgtT)) incT else tgtT
-      assert(out.schema("v").dataType == wider,
-        s"$tgtT target + $incT increment must store ${wider.sql}")
-      val got = out.filter(col("id") >= 1)
-        .select(col("id"), col("v").cast("double"))
-        .as[(Long, Double)].collect().toMap
-      incVals.zipWithIndex.foreach { case (v, i) =>
-        assert(got(i + 1L) == v.toDouble,
-          s"$tgtT<-$incT: value $v must survive exactly, got ${got(i + 1L)}")
+      // only the direction that would REWRITE stored history refuses: a
+      // long target receiving a double increment has no lossless common
+      // type. The reverse (double target, long increment) keeps the
+      // author-declared double and casts the increment up on conform —
+      // dbt's incremental contract (and these test values are < 2^53,
+      // so the cast is exact here).
+      val lossyCrossing = tgtT == LongType && incT == DoubleType
+      if (lossyCrossing) {
+        val ex = intercept[IllegalStateException](m.incremental(inc, r, cfg))
+        assert(ex.getMessage.contains("full_refresh"),
+          s"$tgtT<-$incT must refuse with the full_refresh hint: ${ex.getMessage}")
+      } else {
+        m.incremental(inc, r, cfg)
+        val out = wh.read(r)
+        val wider = if (rank(incT) >= rank(tgtT)) incT else tgtT
+        assert(out.schema("v").dataType == wider,
+          s"$tgtT target + $incT increment must store ${wider.sql}")
+        val got = out.filter(col("id") >= 1)
+          .select(col("id"), col("v").cast("double"))
+          .as[(Long, Double)].collect().toMap
+        incVals.zipWithIndex.foreach { case (v, i) =>
+          assert(got(i + 1L) == v.toDouble,
+            s"$tgtT<-$incT: value $v must survive exactly, got ${got(i + 1L)}")
+        }
       }
     }
   }

@@ -30,12 +30,15 @@ def canon(rows, cols):
     out.sort()
     return out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:  # optional comma-separated name filter (dev iteration)
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = os.path.join(out_dir, name)
@@ -69,8 +72,12 @@ def main(sf_dir, out_dir):
             print(f"OK   {name}: {len(a)} rows"); n_ok += 1
         else:
             n_bad += 1
-            diff_a = [x for x in a if x not in set(b)][:3]
-            diff_b = [x for x in b if x not in set(a)][:3]
+            # hoist the sets: building set(b) inside the comprehension
+            # re-hashes the full result per ELEMENT (O(n^2) — wedged 40+
+            # CPU-minutes on a 6M-row mismatch at the sf1 sweep)
+            sb, sa = set(b), set(a)
+            diff_a = [x for x in a if x not in sb][:3]
+            diff_b = [x for x in b if x not in sa][:3]
             print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}")
             for d in diff_a: print(f"   spark-only: {d!r}")
             for d in diff_b: print(f"  oracle-only: {d!r}")
@@ -78,4 +85,5 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
