@@ -743,4 +743,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
         r.getAs[Long]("n_chars"), r.getAs[Int]("rn"))).toSet
     assert(out.toSet == expected)
   }
+
+  test("top-k aggregators reject a beaten candidate in O(1) — same buffer instance back, no re-sort") {
+    // the dominant case on a large candidate stream is a candidate the
+    // full buffer's worst entry already beats; a sort-per-insert there
+    // wedged one task for 10+ CPU-minutes on an 8M-pair stream at the
+    // sf1-shaped sweep. Pin the fast path by identity: reduce() must
+    // hand back the SAME Seq instance, proving no allocation happened.
+    val tk = new graft.functions.TopKAggregator(2)
+    val full = tk.reduce(tk.reduce(tk.zero, (1L, 0.9)), (2L, 0.8))
+    assert(tk.reduce(full, (3L, 0.5)) eq full)        // lower score
+    assert(tk.reduce(full, (9L, 0.8)) eq full)        // tie score, higher id
+    assert(tk.reduce(full, (0L, 0.95)) ne full)       // better: accepted
+    assert(tk.reduce(full, (1L, 0.8)).map(_._2).contains(1L)) // tie, lower id wins
+    val ts = new graft.functions.TopStringsAggregator(2)
+    val fs = ts.reduce(ts.reduce(ts.zero, ("aa", 9L)), ("bb", 8L))
+    assert(ts.reduce(fs, ("cc", 3L)) eq fs)           // lower score
+    assert(ts.reduce(fs, ("zz", 8L)) eq fs)           // tie score, later string
+    assert(ts.reduce(fs, ("ab", 9L)) ne fs)           // accepted
+  }
 }
