@@ -248,7 +248,8 @@ object Multimodal {
 
   val frameSampleSql: String =
     """SELECT doc_id, i AS frame_idx,
-      |  ord(substr(text, (i % strlen(text)) + 1, 1))::INT AS px_val
+      |  CASE WHEN strlen(text) = 0 THEN 0
+      |       ELSE ord(substr(text, (i % strlen(text)) + 1, 1)) END::INT AS px_val
       |FROM documents,
       |     UNNEST(generate_series(0, strlen(text) % 16, 2)) AS t(i)""".stripMargin
 }

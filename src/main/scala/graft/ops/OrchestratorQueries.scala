@@ -1216,8 +1216,14 @@ object OrchestratorQueries {
     * silently pinning a stale oracle.
     */
   def ddlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val sfName = new java.io.File(d).getName
-    val root = s"/tmp/graft_ddl_rt_wh_$sfName"
+    // FIXED root, deliberately not sf-suffixed: `oracleSql` is a static
+    // string, so the oracle must read one deterministic path whatever
+    // corpus dir a sweep passes. The entry wipes and rebuilds the root
+    // every run, and the project reads only `nation` — identical at
+    // every scale — so cross-corpus sweeps stay self-consistent (an
+    // sf-suffixed root made the skew sweep's oracle depend on a STALE
+    // sf0.01 directory from an earlier run, or fail when none existed).
+    val root = "/tmp/graft_ddl_rt_wh_sf0.01"
     // wipe: the oracle reads THESE files after the entry runs
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

@@ -2513,9 +2513,15 @@ object TextOps {
     * map.
     */
   def mixSources(s: SparkSession, d: String): DataFrame = {
+    // try_cast + default weight 1: a source name with NO digits (every
+    // real crawl has them — "mega-host.example") yields '' here, and an
+    // ANSI cast of '' throws; digit runs past int64 overflow to NULL the
+    // same way in both engines (skew-sweep finding)
     val weighted = documents(s, d).select(col("doc_id"), col("source"))
       .withColumn("w",
-        (regexp_replace(col("source"), "[^0-9]", "").cast("long") % 3) + 1)
+        (coalesce(expr(
+          "try_cast(regexp_replace(source, '[^0-9]', '') AS BIGINT)"),
+          lit(0L)) % 3) + 1)
     val counts = weighted.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("n"))
     // control-plane scalar: the limiting source's whole-doc multiple
@@ -2532,7 +2538,8 @@ object TextOps {
   val mixSourcesSql: String =
     """WITH weighted AS (
       |  SELECT doc_id, source,
-      |    (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 3) + 1 AS w
+      |    (COALESCE(TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT),
+      |              0) % 3) + 1 AS w
       |  FROM documents),
       |counts AS (SELECT source, w, count(*) AS n FROM weighted GROUP BY 1, 2),
       |kk AS (SELECT min(n // w)::BIGINT AS k FROM counts),

@@ -762,4 +762,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(ts.reduce(fs, ("zz", 8L)) eq fs)           // tie score, later string
     assert(ts.reduce(fs, ("ab", 9L)) ne fs)           // accepted
   }
+
+  test("source mixing survives digitless source names (skew-sweep pin)") {
+    // 'mega-host.example' has no digits: the weight derivation used to
+    // ANSI-cast '' to BIGINT and crash. Digitless sources take the
+    // default weight 1; digit-bearing names keep their derived weights.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    spark.range(0, 900).selectExpr(
+        "id AS doc_id", "'t' AS text", "'en' AS lang",
+        "CASE WHEN id % 3 = 0 THEN 'mega-host.example' " +
+          "WHEN id % 3 = 1 THEN 'src1' ELSE 'src22' END AS source",
+        "CAST(1 AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.mixSources(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("w")))
+    val wBySource = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(wBySource("mega-host.example") == Set(1L), wBySource.toString)
+    assert(wBySource("src1") == Set(2L))   // 1 % 3 + 1
+    assert(wBySource("src22") == Set(2L))  // 22 % 3 + 1 = 2
+    // every source is sampled, none oversampled past its own count
+    val kept = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(kept.keySet == Set("mega-host.example", "src1", "src22"))
+    assert(kept.values.forall(n => n > 0 && n <= 300), kept.toString)
+  }
 }

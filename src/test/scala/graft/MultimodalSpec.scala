@@ -65,4 +65,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(exchanges.isEmpty,
       s"media decode must not shuffle payload bytes, plan:\n$plan")
   }
+
+  test("zero-length media demuxes to one pixel-0 frame (skew-sweep pin)") {
+    // a real crawl always carries empty payloads; the container encodes
+    // them as one blank frame and the decode must report pixel 0, not
+    // crash or skip the document (the oracle mirrors this with an
+    // explicit strlen=0 CASE — its i % strlen(text) is NULL at 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm0").toString
+    spark.range(0, 2).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 0 THEN '' ELSE 'ab' END AS text",
+        "'en' AS lang", "'s' AS source",
+        "CASE WHEN id = 0 THEN CAST(0 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val frames = Multimodal.frameSample(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Int]("px_val")))
+    assert(frames.filter(_._1 == 0L).toSeq == Seq((0L, 0, 0)),
+      s"empty doc must yield exactly one pixel-0 frame: ${frames.toSeq}")
+    // the non-empty doc still decodes its text bytes
+    assert(frames.filter(_._1 == 1L).forall(f => f._3 == 'a'.toInt))
+  }
 }
