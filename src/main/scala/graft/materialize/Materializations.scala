@@ -89,8 +89,18 @@ object SchemaEvolution {
     * every existing value exactly.
     */
   private def commonStoredType(name: String, srcT: DataType, tgtT: DataType)
-      : DataType =
-    TypeCoercion.findTightestCommonType(srcT, tgtT) match {
+      : DataType = {
+    import org.apache.spark.sql.types.DecimalType
+    (srcT, tgtT) match {
+    // decimal↔decimal is not on Catalyst's numericPrecedence ladder, so
+    // findTightestCommonType returns None for it — resolve growth/cover
+    // directly through the lossless table (growth = scale keeps every
+    // fractional digit AND the integer part gains room). A crossing where
+    // NEITHER side covers the other (e.g. (10,2) vs (10,4): more scale,
+    // less integer headroom) falls through to the loud no-supertype path.
+    case (s: DecimalType, t: DecimalType) if lossless(t, s) => s // grows
+    case (s: DecimalType, t: DecimalType) if lossless(s, t) => t // covered
+    case _ => TypeCoercion.findTightestCommonType(srcT, tgtT) match {
       case Some(w) if w == tgtT => tgtT // increment narrower: cast up on conform
       case Some(w) if lossless(tgtT, w) => w // target widens (int→bigint, …)
       case Some(w) => throw new IllegalStateException(
@@ -105,6 +115,7 @@ object SchemaEvolution {
           s"${tgtT.sql} to ${srcT.sql} with no common supertype; " +
           "rerun with full_refresh to rebuild on the new type")
     }
+  }}
 
   /** Per-common-column target widening (`expand_target_column_types`
     * @139412): columns the target must grow to absorb the increment

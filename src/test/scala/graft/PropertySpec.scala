@@ -127,6 +127,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("float/decimal rungs: widening takes only provably lossless promotions") {
+    // the fractional half of the lattice, exercised through the same
+    // public incremental path: float→double and decimal GROWTH are the
+    // only automatic promotions; every integral↔fractional crossing that
+    // could drop bits (long/int target ← float/double inc, float target ←
+    // long inc, decimal shrink) refuses with the full_refresh hint.
+    import org.apache.spark.sql.types._
+    val s = spark; import s.implicits._
+    def run(tgtT: DataType, incT: DataType): Either[String, DataType] = {
+      val wh = freshWh(); val m = new Materializer(wh)
+      val r = Relation("db", "s",
+        s"fw_${tgtT.simpleString}_${incT.simpleString}"
+          .replaceAll("[^a-z0-9_]", "_"))
+      val cfg = ModelConfig(materialized = "incremental", uniqueKey = Seq("id"))
+      m.incremental(Seq((0L, 1L)).toDF("id", "v")
+        .select(col("id"), col("v").cast(tgtT).as("v")), r, cfg)
+      val inc = Seq((1L, 2L)).toDF("id", "v")
+        .select(col("id"), col("v").cast(incT).as("v"))
+      try { m.incremental(inc, r, cfg); Right(wh.read(r).schema("v").dataType) }
+      catch { case e: IllegalStateException => Left(e.getMessage) }
+    }
+    // automatic lossless promotions
+    assert(run(FloatType, DoubleType) == Right(DoubleType))
+    assert(run(DoubleType, FloatType) == Right(DoubleType)) // target covers
+    assert(run(IntegerType, DoubleType) == Right(DoubleType)) // 32-bit < 53-bit mantissa
+    assert(run(DecimalType(10, 2), DecimalType(12, 2)) == Right(DecimalType(12, 2))) // growth
+    // declared-type-wins: the increment is NARROWER, history never moves —
+    // conform casts incoming rows up to the stored type (standard insert
+    // semantics; the author declared the column float/decimal)
+    assert(run(FloatType, LongType) == Right(FloatType))
+    assert(run(DecimalType(12, 2), DecimalType(10, 2)) == Right(DecimalType(12, 2)))
+    // refusals: every bit-dropping HISTORY rewrite, with the hint
+    Seq((LongType: DataType, FloatType: DataType),
+        (LongType, DoubleType),
+        (IntegerType, FloatType), // float holds ints exactly only to 2^24
+        (DecimalType(10, 2), DecimalType(10, 4))) // more scale, less headroom
+      .foreach { case (t, i) =>
+        val got = run(t, i)
+        assert(got.isLeft && got.swap.exists(_.contains("full_refresh")),
+          s"$t<-$i must refuse with the full_refresh hint, got $got")
+      }
+  }
+
   test("property: merge result = last-writer-wins union of key spaces") {
     val cases = samples(Gen.zip(rowsGen, rowsGen), 8, 1000L)
     assert(cases.nonEmpty)
