@@ -272,7 +272,11 @@ object Bench {
       // per-query mins only), and carries the same headline numbers; the
       // full per-query detail stays in the big line and bench_last.json.
       val top = perQuery.sortBy(-_._3).take(12)
-        .map { case (k, _, mn, _) => "\"" + k + "\":" + f"$mn%.3f" }
+        // Locale.ROOT: the f-interpolator uses the JVM default locale, so
+        // a comma-decimal locale would render "q1":1,234 — invalid JSON
+        // in the one line a tail-bounded reader must parse
+        .map { case (k, _, mn, _) => "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(mn)) }
         .mkString("{", ",", "}")
       val compact =
         s"""{"metric":"total","value":$total,"unit":"sec",""" +

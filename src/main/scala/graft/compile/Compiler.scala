@@ -1124,16 +1124,29 @@ object Compiler {
             Some(ttl("partition_expiration_days", v))))
         // grants: 'privilege:grantee[,grantee…]' entries, `|`-separated
         // like contract (a comma would split the kv scan)
-        kvs.get("grants").foreach(v => cfg = cfg.copy(grants =
-          v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).map { g =>
-            g.split(":", 2) match {
-              case Array(p, gs) if gs.trim.nonEmpty =>
-                p.trim.toLowerCase ->
-                  gs.split(",").iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq
-              case _ => throw new IllegalArgumentException(
-                s"grants entry '$g' must be 'privilege:grantee[,grantee…]'")
-            }
-          }.toIndexedSeq))
+        kvs.get("grants").foreach { v =>
+          val parsed = v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty)
+            .map { g =>
+              g.split(":", 2) match {
+                case Array(p, gs) =>
+                  val grantees = gs.split(",").iterator.map(_.trim)
+                    .filter(_.nonEmpty).toIndexedSeq
+                  // a whitespace/comma-only grantee list must fail HERE,
+                  // not parse "loudly OK" and then emit zero GRANTs
+                  if (grantees.isEmpty) throw new IllegalArgumentException(
+                    s"grants entry '$g' must be 'privilege:grantee[,grantee…]'")
+                  p.trim.toLowerCase -> grantees
+                case _ => throw new IllegalArgumentException(
+                  s"grants entry '$g' must be 'privilege:grantee[,grantee…]'")
+              }
+            }.toIndexedSeq
+          // merge duplicate privilege keys ('select:a|select:b'): the dbt
+          // manifest renders grants as a JSON object, where duplicate keys
+          // silently lose all but the last entry's grantees
+          val merged = parsed.map(_._1).distinct.map(p =>
+            p -> parsed.filter(_._1 == p).flatMap(_._2).distinct)
+          cfg = cfg.copy(grants = merged)
+        }
         kvs.get("group").foreach(v => cfg = cfg.copy(group = v))
         kvs.get("access").foreach { v =>
           require(Set("private", "protected", "public").contains(v),

@@ -1261,7 +1261,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
       else leafDirs(vdir, partitionCols.length)
     val entries = (if (parts.isEmpty) Seq("") else parts)
       .map(p => (vdir.getName, p))
-    commitEntries(rel, metaF)(_ => entries)
+    // stamp the REBUILD instant: `hours_to_expiration` measures from the
+    // last full rebuild (BigQuery resets expiration_timestamp on CREATE
+    // OR REPLACE, and DML never extends it) — without the stamp, every
+    // later append/expiry commit would reset the clock via manifest
+    // mtime and a table with regular appends could never expire
+    commitEntries(rel, metaF.andThen(
+      _ + ("built_at_ms" -> System.currentTimeMillis().toString)))(_ => entries)
   }
 
   /** Partition-scoped replacement: only the partitions present in `df` are
@@ -2178,13 +2184,22 @@ final class Warehouse(val spark: SparkSession, val root: String,
         .filter(_.contains("="))
     }
 
-  /** Epoch ms of the relation's newest committed state — the "last
-    * build" timestamp table TTLs (`hours_to_expiration`) measure from.
-    * Manifest mode reads the newest complete manifest file's mtime;
-    * rename mode falls back to the relation dir's mtime.
+  /** Epoch ms of the relation's last REBUILD — the timestamp table TTLs
+    * (`hours_to_expiration`) measure from. Manifest mode prefers the
+    * `built_at_ms` metadata line stamped by every full overwrite and
+    * carried forward by appends/expiry/meta commits (BigQuery resets
+    * expiration_timestamp on CREATE OR REPLACE; DML never extends it —
+    * using the newest manifest's mtime here would let a daily vacuum or
+    * stream append keep an expired table alive forever). Pre-stamp
+    * manifests fall back to the newest manifest file's mtime; rename
+    * mode to the relation dir's mtime.
     */
   def lastCommitMs(rel: Relation): Option[Long] = {
-    if (usesManifest) {
+    val stamped =
+      if (usesManifest) latestMeta(rel).get("built_at_ms").flatMap(_.toLongOption)
+      else None
+    if (stamped.isDefined) stamped
+    else if (usesManifest) {
       val newest = manifestsDescending(rel)
         .collectFirst { case (_, p) if parseManifest(p).isDefined => p }
       newest.map(p => fs.getFileStatus(p).getModificationTime)

@@ -101,6 +101,14 @@ object SchemaEvolution {
     case (s: DecimalType, t: DecimalType) if lossless(t, s) => s // grows
     case (s: DecimalType, t: DecimalType) if lossless(s, t) => t // covered
     case _ => TypeCoercion.findTightestCommonType(srcT, tgtT) match {
+      // DELIBERATE asymmetry (PropertySpec "declared-type-wins"): when the
+      // common type IS the target, the stored history never moves and the
+      // INCREMENT casts up on conform — standard SQL insert semantics for
+      // the author-declared column type. For a float/double target that
+      // cast can drop low bits of a large integral increment (long→float
+      // above 2^24), exactly as INSERTing an INT64 into a FLOAT64 column
+      // does in BigQuery. The lossless gate protects HISTORY (a rewrite
+      // of already-stored values), not the declared insert coercion.
       case Some(w) if w == tgtT => tgtT // increment narrower: cast up on conform
       case Some(w) if lossless(tgtT, w) => w // target widens (int→bigint, …)
       case Some(w) => throw new IllegalStateException(

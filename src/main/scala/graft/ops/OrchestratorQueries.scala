@@ -1216,20 +1216,25 @@ object OrchestratorQueries {
     * silently pinning a stale oracle.
     */
   def ddlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    // FIXED root, deliberately not sf-suffixed: `oracleSql` is a static
-    // string, so the oracle must read one deterministic path whatever
-    // corpus dir a sweep passes. The entry wipes and rebuilds the root
-    // every run, and the project reads only `nation` — identical at
-    // every scale — so cross-corpus sweeps stay self-consistent (an
-    // sf-suffixed root made the skew sweep's oracle depend on a STALE
-    // sf0.01 directory from an earlier run, or fail when none existed).
+    // STABLE root path (a symlink), deliberately not sf-suffixed:
+    // `oracleSql` is a static string, so the oracle must read one
+    // deterministic path whatever corpus dir a sweep passes (an
+    // sf-suffixed root made cross-corpus sweeps depend on a STALE
+    // sf0.01 directory). The build itself goes to a PRIVATE per-run
+    // directory and the symlink is swapped atomically after the build
+    // completes, so two concurrent graft processes (a bench and a
+    // validate sweep on the same box) never wipe or half-read each
+    // other's warehouse — whichever swap lands last wins, and the
+    // content is identical either way because the project reads only
+    // `nation`, which is fixed at every scale.
     val root = "/tmp/graft_ddl_rt_wh_sf0.01"
-    // wipe: the oracle reads THESE files after the entry runs
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val target = s"$root.$runId"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(); ()
     }
-    rm(new java.io.File(root))
+    rm(new java.io.File(target))
     val project = Project(name = "ddl_rt",
       sources = Seq(SourceDef("tpch", "nation", s"$d/nation.parquet")),
       models = Seq(
@@ -1241,11 +1246,36 @@ object OrchestratorQueries {
             "SELECT n_regionkey, n_nations FROM {{ ref('nr_counts') }} " +
             "WHERE n_nations > 0")))
     val engine = new Engine(s, project,
-      Target(root, threads = 1, commitMode = graft.core.CommitMode.Rename))
+      Target(target, threads = 1, commitMode = graft.core.CommitMode.Rename))
     require(engine.build()._1.forall(_.status == "success"))
-    val (stmts, skipped) = engine.catalogDdl()
+    val (stmts0, skipped) = engine.catalogDdl()
     require(skipped.isEmpty, s"nothing may be skipped here: $skipped")
-    // (a) the Spark side consumes its own export verbatim
+    // the export references the PRIVATE build dir; publish it under the
+    // stable path by atomic symlink swap, then rewrite the statements to
+    // the stable path (what the pinned template and the oracle read)
+    val stmts = stmts0.map(_.replace(target, root))
+    locally {
+      import java.nio.file.{Files => F, Paths => P, LinkOption, StandardCopyOption}
+      val rootP = P.get(root)
+      // one-time migration: an old run may have left a REAL dir here
+      if (F.exists(rootP, LinkOption.NOFOLLOW_LINKS) &&
+          !F.isSymbolicLink(rootP)) rm(new java.io.File(root))
+      val tmpLink = P.get(s"$root.lnk.$runId")
+      F.deleteIfExists(tmpLink)
+      F.createSymbolicLink(tmpLink, P.get(target))
+      F.move(tmpLink, rootP, StandardCopyOption.ATOMIC_MOVE)
+      // age out build dirs from finished runs (tiny, but don't hoard);
+      // never the one the stable path currently resolves to
+      val current = F.readSymbolicLink(rootP).toString
+      val parent = rootP.getParent.toFile
+      Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith(rootP.getFileName.toString + ".") &&
+            !f.getName.contains(".lnk.") &&
+            f.getPath != current && f.getPath != target &&
+            f.lastModified < System.currentTimeMillis() - 3600L * 1000) rm(f)
+      }
+    }
+    // (a) the Spark side consumes its own export (via the stable path)
     stmts.foreach(s.sql(_))
     // (b) the DuckDB rewrite must match the pinned template exactly
     val duck = ddlExportToDuck(stmts)

@@ -35,6 +35,18 @@ object PartitionFilterGuard {
   def assertPruned(df: DataFrame, guards: Seq[Guard]): Unit = {
     if (guards.isEmpty) return
     val normed = guards.map(g => g.copy(pathPrefix = norm(g.pathPrefix)))
+    // column names the USER actually filtered on, read from the ANALYZED
+    // plan — the one plan that carries only author-written predicates
+    // (constraint inference, which plants `isnotnull(partcol)` under any
+    // join on the partition column, runs later, in the optimizer). An
+    // explicit `WHERE partcol IS NOT NULL` is how BigQuery's own
+    // require_partition_filter is deliberately satisfied for a read-all-
+    // materialized-partitions query, so it must pass here too — while a
+    // mere join must not.
+    val userFiltered: Set[String] = df.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name.toLowerCase).toSet
+    }.flatten.toSet
     val scans = df.queryExecution.sparkPlan.collect {
       case s: FileSourceScanExec => s
     }
@@ -46,15 +58,19 @@ object PartitionFilterGuard {
         if (pcols.isEmpty) throw new IllegalStateException(
           s"${g.name} declares require_partition_filter but is not " +
             "partitioned — add partition_by, or drop the guard")
-        // a bare `isnotnull(partcol)` is NOT a selective predicate:
-        // Catalyst infers it into partitionFilters from any join on the
-        // partition column, and it admits every non-null partition — a
-        // query satisfying the guard with only it would still scan the
-        // world. Count only genuinely selective partition predicates
-        // (comparisons, IN-lists, dynamic pruning subqueries from DPP).
+        // a JOIN-INFERRED bare `isnotnull(partcol)` is NOT a predicate:
+        // Catalyst's constraint inference plants it in partitionFilters
+        // from any join on the partition column, and it admits every
+        // non-null partition — a query satisfying the guard with only it
+        // would still scan the world. Count selective partition
+        // predicates (comparisons, IN-lists, DPP subqueries) always; a
+        // bare IsNotNull counts only when the USER wrote a filter
+        // touching that partition column (analyzed-plan check above) —
+        // BigQuery accepts an explicit `WHERE partcol IS NOT NULL`.
         val selective = scan.partitionFilters.filterNot {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            _: org.apache.spark.sql.catalyst.expressions.Attribute) => true
+            a: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+            !userFiltered.contains(a.name.toLowerCase)
           case _ => false
         }
         if (selective.isEmpty) throw new IllegalStateException(

@@ -92,6 +92,21 @@ object DbtProjectLoader {
       case None => Nil
     }
 
+    // dbt's NATIVE grants spelling is a YAML mapping of privilege →
+    // grantee list; flatten it to the pipe form applyConfigKv parses
+    // ('select:a,b|insert:c'). Silently dropping the mapping (the old
+    // behavior: the collects matched scalars only) is the exact
+    // silently-dropped-config failure the scalar parsers refuse loudly.
+    def flattenGrants(o: Obj): String = o.entries.map {
+      case (p, Arr(items)) =>
+        val gs = items.collect { case Scalar(v) if v.trim.nonEmpty => v.trim }
+        require(gs.nonEmpty, s"grants: privilege '$p' needs at least one grantee")
+        s"$p:${gs.mkString(",")}"
+      case (p, Scalar(v)) if v.trim.nonEmpty => s"$p:${v.trim}"
+      case (p, _) => throw new IllegalArgumentException(
+        s"grants: privilege '$p' expects a grantee or a list of grantees")
+    }.mkString("|")
+
     // ------------------------- models + the dbt_project.yml config tree
     def plusKv(o: Obj): Map[String, String] = o.entries.collect {
       case (k, Scalar(v)) if k.startsWith("+") => k.drop(1) -> v
@@ -102,8 +117,9 @@ object DbtProjectLoader {
           Compiler.hookKeys.contains(k.drop(1)) =>
         k.drop(1) -> items.collect { case Scalar(v) => v }
           .mkString(Compiler.HookSep)
-      // flow-mapping configs (e.g. +column_types: {id: bigint}) handled
-      // by the dedicated seeds walk; scalar configs only here
+      case ("+grants", g: Obj) => "grants" -> flattenGrants(g)
+      // other flow-mapping configs (e.g. +column_types: {id: bigint})
+      // handled by the dedicated seeds walk; scalar configs only here
     }.toMap
     def treeKv(tree: Option[Obj], steps: Seq[String]): Map[String, String] = {
       var acc = tree.map(plusKv).getOrElse(Map.empty)
@@ -390,6 +406,7 @@ object DbtProjectLoader {
                 case (k, Arr(items)) if Compiler.hookKeys.contains(k) =>
                   k -> items.collect { case Scalar(v) => v }
                     .mkString(Compiler.HookSep)
+                case ("grants", g: Obj) => "grants" -> flattenGrants(g)
               }.toMap)
             // model-LEVEL tests (no column binding — generic tests and
             // table-shaped builtins; column-shaped builtins refuse

@@ -962,4 +962,46 @@ class DbtProjectSpec extends AnyFunSuite {
       Files.createTempDirectory("graft_hooks_wh").toString))
     assert(e.build()._1.map(_.status).forall(_ == "success"))
   }
+
+  test("dbt-native grants mapping flattens through both yml loaders") {
+    // dbt's standard spelling is a YAML dict (privilege -> grantee list)
+    // in dbt_project.yml's config tree AND in schema.yml model config;
+    // both must flatten to the grants ledger, not silently drop
+    val proj = Files.createTempDirectory("graft_grants_proj")
+    put(proj, "dbt_project.yml",
+      """name: gr_demo
+        |models:
+        |  gr_demo:
+        |    +grants:
+        |      select: [analyst, ml_team]
+        |""".stripMargin)
+    put(proj, "models/base.sql",
+      "SELECT n_nationkey, n_name FROM {{ source('tpch', 'nation') }}")
+    put(proj, "models/wide.sql",
+      "SELECT n_nationkey FROM {{ ref('base') }}")
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |models:
+         |  - name: base
+         |    config:
+         |      grants:
+         |        insert: loader
+         |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    val e = new Engine(spark, p,
+      Target(Files.createTempDirectory("graft_grants_wh").toString))
+    assert(e.build()._1.forall(_.status == "success"))
+    val (stmts, _) = e.catalogDdl()
+    // tree-level dict applies to every model; schema.yml config overrides
+    // its model's grants key wholesale (standard config merge)
+    assert(stmts.contains("GRANT SELECT ON `wide` TO `analyst`"), stmts)
+    assert(stmts.contains("GRANT SELECT ON `wide` TO `ml_team`"))
+    assert(stmts.contains("GRANT INSERT ON `base` TO `loader`"))
+  }
 }

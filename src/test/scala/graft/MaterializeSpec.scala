@@ -737,6 +737,21 @@ class MaterializeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { parse("1") }
   }
 
+  test("inline grants: duplicate privileges merge; empty grantee lists refuse") {
+    def parse(v: String) = graft.compile.Compiler.parseInlineConfig(
+      s"{{ config(materialized='table', grants='$v') }} SELECT 1",
+      ModelConfig()).grants
+    // 'select:a|select:b' must merge, not emit duplicate JSON keys in the
+    // manifest (standard parsers keep only the last duplicate key)
+    assert(parse("select:a|select:b|insert:c") ==
+      Seq("select" -> Seq("a", "b"), "insert" -> Seq("c")))
+    assert(parse("select:a,b,a") == Seq("select" -> Seq("a", "b")))
+    // a whitespace/comma-only grantee list must fail loudly, not parse OK
+    // and then emit zero GRANT statements
+    intercept[IllegalArgumentException] { parse("select: ,") }
+    intercept[IllegalArgumentException] { parse("select:") }
+  }
+
   test("auto-widening is restricted to provably lossless promotions") {
     val wh = freshWh(); val m = new Materializer(wh)
     val s = spark; import s.implicits._

@@ -1312,6 +1312,22 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(e.warehouse.streamWatermark(rel, "src_a").contains(7L))
     // idempotent: a second vacuum at the same instant finds nothing new
     assert(e.vacuum(asOf).isEmpty)
+
+    // the hours_to_expiration clock measures from the last REBUILD, not
+    // from the newest manifest commit: a later append/expiry/meta commit
+    // (simulated by aging the newest manifest's mtime toward asOf) must
+    // NOT extend the table's life — BigQuery's expiration_timestamp is
+    // reset by CREATE OR REPLACE only, never by DML
+    val wm = e.warehouse
+    val builtAt = wm.lastCommitMs(rel).get
+    import scala.jdk.CollectionConverters._
+    val mfdir = java.nio.file.Paths.get(wm.path(rel), "_graft")
+    val newestMf = java.nio.file.Files.list(mfdir).iterator().asScala
+      .filter(_.toString.endsWith(".manifest")).toSeq.maxBy(_.getFileName.toString)
+    java.nio.file.Files.setLastModifiedTime(newestMf,
+      java.nio.file.attribute.FileTime.fromMillis(asOf - 3600L * 1000))
+    assert(wm.lastCommitMs(rel).contains(builtAt),
+      "a non-rebuild commit's mtime must not move the TTL clock")
   }
 
   test("catalogInfo reports rows, bytes and partitions per relation") {

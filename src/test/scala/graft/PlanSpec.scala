@@ -286,5 +286,15 @@ class PlanSpec extends AnyFunSuite {
     PartitionFilterGuard.assertPruned(base.filter($"pk" === "a"), g)
     PartitionFilterGuard.assertPruned(
       base.filter($"pk".isin("a")).join(dim, "pk"), g)
+    // an EXPLICIT user-written `pk IS NOT NULL` satisfies the guard
+    // (BigQuery's documented read-everything idiom) — the analyzed plan
+    // distinguishes it from the join-inferred constraint above
+    PartitionFilterGuard.assertPruned(base.filter($"pk".isNotNull), g)
+    // ...but a user filter on a NON-partition column plus the same join
+    // still refuses: only the inferred isnotnull reaches the scan
+    val e2 = intercept[IllegalStateException] {
+      PartitionFilterGuard.assertPruned(base.filter($"v" > 0).join(dim, "pk"), g)
+    }
+    assert(e2.getMessage.contains("require_partition_filter"), e2.getMessage)
   }
 }
