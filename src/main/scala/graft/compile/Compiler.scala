@@ -1122,6 +1122,27 @@ object Compiler {
         kvs.get("partition_expiration_days").foreach(v =>
           cfg = cfg.copy(partitionExpirationDays =
             Some(ttl("partition_expiration_days", v))))
+        // BigQuery labels (reference bigquery_options @15210):
+        // 'key:value' entries, `|`-separated like contract (a comma
+        // would split the kv scan). Inert metadata in a path warehouse,
+        // but carried — a malformed entry fails loudly, never drops
+        kvs.get("labels").foreach { v =>
+          val parsed = v.split("\\|").iterator.map(_.trim).filter(_.nonEmpty)
+            .map { l =>
+              l.split(":", 2) match {
+                case Array(k, lv) if k.trim.nonEmpty =>
+                  k.trim.toLowerCase -> lv.trim
+                case _ => throw new IllegalArgumentException(
+                  s"labels entry '$l' must be 'key:value'")
+              }
+            }.toIndexedSeq
+          // last wins on duplicate keys, matching BigQuery's map shape
+          cfg = cfg.copy(labels =
+            parsed.map(_._1).distinct.map(k => k -> parsed.filter(_._1 == k)
+              .last._2))
+        }
+        kvs.get("kms_key_name").foreach(v =>
+          cfg = cfg.copy(kmsKeyName = Some(v.trim).filter(_.nonEmpty)))
         // grants: 'privilege:grantee[,grantee…]' entries, `|`-separated
         // like contract (a comma would split the kv scan)
         kvs.get("grants").foreach { v =>

@@ -133,6 +133,18 @@ final case class ModelConfig(
     // without clock mocking); BigQuery itself takes integers.
     hoursToExpiration: Option[Double] = None,
     partitionExpirationDays: Option[Double] = None,
+    // BigQuery `labels` (reference bigquery_options @15210): key→value
+    // console/billing metadata. A parquet warehouse has no console, so
+    // labels are legitimately inert here — but a ported project carrying
+    // them must load WITHOUT silently dropping config: they ride
+    // catalog.json `properties` and the external DDL export as
+    // TBLPROPERTIES ('labels.<key>'='<value>'), exactly how the TTLs do.
+    labels: Seq[(String, String)] = Nil,
+    // BigQuery `kms_key_name`: customer-managed encryption key for the
+    // table. Encryption is the storage layer's job in a path warehouse
+    // (provider-managed), so the key is carried as a property — the
+    // declared key survives the port and the DDL export, never applied.
+    kmsKeyName: Option[String] = None,
     // dbt `grants` config: privilege -> grantees (config spelling
     // `grants='select:a,b|insert:c'` — the dict form dbt uses in YAML is
     // flattened to the same pipe form by the loaders). A path warehouse

@@ -1268,11 +1268,22 @@ object OrchestratorQueries {
       // never the one the stable path currently resolves to
       val current = F.readSymbolicLink(rootP).toString
       val parent = rootP.getParent.toFile
+      val horizon = System.currentTimeMillis() - 3600L * 1000
       Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith(rootP.getFileName.toString + ".") &&
-            !f.getName.contains(".lnk.") &&
-            f.getPath != current && f.getPath != target &&
-            f.lastModified < System.currentTimeMillis() - 3600L * 1000) rm(f)
+        if (f.getName.startsWith(rootP.getFileName.toString + ".")) {
+          if (f.getName.contains(".lnk.")) {
+            // a crash between createSymbolicLink and the atomic move
+            // leaks the temp symlink; age it out on the same horizon —
+            // delete the LINK itself (NOFOLLOW mtime, deleteIfExists on
+            // the path), never its target, which is a build dir the
+            // branch below owns
+            val linkMt = try F.getLastModifiedTime(f.toPath,
+              LinkOption.NOFOLLOW_LINKS).toMillis
+            catch { case _: java.io.IOException => 0L }
+            if (linkMt < horizon) F.deleteIfExists(f.toPath)
+          } else if (f.getPath != current && f.getPath != target &&
+            f.lastModified < horizon) rm(f)
+        }
       }
     }
     // (a) the Spark side consumes its own export (via the stable path)

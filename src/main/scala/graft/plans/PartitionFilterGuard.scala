@@ -35,18 +35,42 @@ object PartitionFilterGuard {
   def assertPruned(df: DataFrame, guards: Seq[Guard]): Unit = {
     if (guards.isEmpty) return
     val normed = guards.map(g => g.copy(pathPrefix = norm(g.pathPrefix)))
-    // column names the USER actually filtered on, read from the ANALYZED
+    // attributes the USER actually filtered on, read from the ANALYZED
     // plan — the one plan that carries only author-written predicates
     // (constraint inference, which plants `isnotnull(partcol)` under any
     // join on the partition column, runs later, in the optimizer). An
     // explicit `WHERE partcol IS NOT NULL` is how BigQuery's own
     // require_partition_filter is deliberately satisfied for a read-all-
     // materialized-partitions query, so it must pass here too — while a
-    // mere join must not.
-    val userFiltered: Set[String] = df.queryExecution.analyzed.collect {
+    // mere join must not. Matching is by exprId, not name: a filter on a
+    // SAME-NAMED column of a different joined relation must not satisfy
+    // THIS relation's guard (BigQuery requires the predicate on the
+    // partitioned table itself). Projection/CTE aliases of the partition
+    // column are chased back to their base attributes first, so
+    // `WITH c AS (SELECT pcol AS p FROM t) SELECT * FROM c WHERE p IS
+    // NOT NULL` still counts as a user filter on t.pcol.
+    val analyzed = df.queryExecution.analyzed
+    val aliasBase: Map[Long, Set[Long]] = analyzed.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+          a.exprId.id -> a.child.references.map(_.exprId.id).toSet
+      })
+    }.flatten.toMap
+    def toBase(ids: Set[Long]): Set[Long] = {
+      var cur = ids
+      var hops = 0
+      var done = false
+      while (!done && hops < 16) { // alias chains are shallow; cap is a
+        val next =                 // guard against any pathological cycle
+          cur.flatMap(id => aliasBase.getOrElse(id, Set.empty[Long]) + id)
+        if (next == cur) done = true else { cur = next; hops += 1 }
+      }
+      cur
+    }
+    val userFiltered: Set[Long] = toBase(analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.references.map(_.name.toLowerCase).toSet
-    }.flatten.toSet
+        f.condition.references.map(_.exprId.id).toSet
+    }.flatten.toSet)
     val scans = df.queryExecution.sparkPlan.collect {
       case s: FileSourceScanExec => s
     }
@@ -70,7 +94,7 @@ object PartitionFilterGuard {
         val selective = scan.partitionFilters.filterNot {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
             a: org.apache.spark.sql.catalyst.expressions.Attribute) =>
-            !userFiltered.contains(a.name.toLowerCase)
+            !userFiltered.contains(a.exprId.id)
           case _ => false
         }
         if (selective.isEmpty) throw new IllegalStateException(

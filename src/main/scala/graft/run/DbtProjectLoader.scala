@@ -99,12 +99,31 @@ object DbtProjectLoader {
     // silently-dropped-config failure the scalar parsers refuse loudly.
     def flattenGrants(o: Obj): String = o.entries.map {
       case (p, Arr(items)) =>
-        val gs = items.collect { case Scalar(v) if v.trim.nonEmpty => v.trim }
+        // every item must be a non-empty scalar grantee — a mixed list
+        // like [analyst, {a: b}] must fail loudly, not silently drop the
+        // non-scalar entry (the same partial-silent-drop the scalar
+        // parsers refuse)
+        val gs = items.map {
+          case Scalar(v) if v.trim.nonEmpty => v.trim
+          case bad => throw new IllegalArgumentException(
+            s"grants: privilege '$p' grantee list holds a non-scalar or " +
+              s"empty entry ($bad) — grantees must be plain names")
+        }
         require(gs.nonEmpty, s"grants: privilege '$p' needs at least one grantee")
         s"$p:${gs.mkString(",")}"
       case (p, Scalar(v)) if v.trim.nonEmpty => s"$p:${v.trim}"
       case (p, _) => throw new IllegalArgumentException(
         s"grants: privilege '$p' expects a grantee or a list of grantees")
+    }.mkString("|")
+
+    // BigQuery labels arrive as a YAML mapping key → value (reference
+    // bigquery_options @15210); flatten to the pipe form applyConfigKv
+    // parses ('team:core|env:prod'). Values must be scalars — anything
+    // else fails loudly, same policy as grants above.
+    def flattenLabels(o: Obj): String = o.entries.map {
+      case (k, Scalar(v)) => s"$k:${v.trim}"
+      case (k, _) => throw new IllegalArgumentException(
+        s"labels: '$k' expects a scalar value")
     }.mkString("|")
 
     // ------------------------- models + the dbt_project.yml config tree
@@ -118,6 +137,7 @@ object DbtProjectLoader {
         k.drop(1) -> items.collect { case Scalar(v) => v }
           .mkString(Compiler.HookSep)
       case ("+grants", g: Obj) => "grants" -> flattenGrants(g)
+      case ("+labels", l: Obj) => "labels" -> flattenLabels(l)
       // other flow-mapping configs (e.g. +column_types: {id: bigint})
       // handled by the dedicated seeds walk; scalar configs only here
     }.toMap
@@ -407,6 +427,7 @@ object DbtProjectLoader {
                   k -> items.collect { case Scalar(v) => v }
                     .mkString(Compiler.HookSep)
                 case ("grants", g: Obj) => "grants" -> flattenGrants(g)
+                case ("labels", l: Obj) => "labels" -> flattenLabels(l)
               }.toMap)
             // model-LEVEL tests (no column binding — generic tests and
             // table-shaped builtins; column-shaped builtins refuse

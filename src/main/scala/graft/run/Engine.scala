@@ -2225,11 +2225,19 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       else d.toString
     def propsClause(name: String): String = {
       val c = cfgOf.get(name)
+      def esc(s: String) = s.replace("'", "''")
       val kvs =
         c.flatMap(_.hoursToExpiration)
           .map(h => s"'hours_to_expiration'='${fmtNum(h)}'").toSeq ++
         c.flatMap(_.partitionExpirationDays)
-          .map(dd => s"'partition_expiration_days'='${fmtNum(dd)}'").toSeq
+          .map(dd => s"'partition_expiration_days'='${fmtNum(dd)}'").toSeq ++
+        // bigquery_options labels + kms_key_name (@15210): inert in a
+        // path warehouse, but the port must not lose them — ride the
+        // export as namespaced TBLPROPERTIES like the TTLs do
+        c.map(_.labels).getOrElse(Nil)
+          .map { case (k, v) => s"'labels.${esc(k)}'='${esc(v)}'" } ++
+        c.flatMap(_.kmsKeyName)
+          .map(k => s"'kms_key_name'='${esc(k)}'").toSeq
       if (kvs.isEmpty) "" else kvs.mkString(" TBLPROPERTIES (", ", ", ")")
     }
     // grants ledger: each declared privilege becomes an emitted GRANT the
@@ -2310,7 +2318,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           .map(dd => s"${q("partition_expiration_days")}: $dd").toSeq ++
         (if (c.grants.isEmpty) Nil
          else Seq(s"${q("grants")}: {" + c.grants.map { case (p, gs) =>
-           s"${q(p)}: [${gs.map(q).mkString(", ")}]" }.mkString(", ") + "}"))
+           s"${q(p)}: [${gs.map(q).mkString(", ")}]" }.mkString(", ") + "}")) ++
+        (if (c.labels.isEmpty) Nil
+         else Seq(s"${q("labels")}: {" + c.labels.map { case (k, v) =>
+           s"${q(k)}: ${q(v)}" }.mkString(", ") + "}")) ++
+        c.kmsKeyName.map(k => s"${q("kms_key_name")}: ${q(k)}").toSeq
       if (kvs.isEmpty) None
       else Some(relationFor(m.name).identifier -> kvs.mkString("{", ", ", "}"))
     }.toMap

@@ -197,7 +197,17 @@ object StreamingJobs {
   }
 
   /** Convenience: run a streaming DataFrame to completion against a finite
-    * source via the memory sink, return the materialized result table.
+    * source, return the materialized result.
+    *
+    * The sink is a temp PARQUET directory written through `foreachBatch`
+    * — each micro-batch's result is written by the EXECUTORS, never
+    * collected to the driver. (The memory sink this replaced ships every
+    * batch through a driver-side LocalTableScan: at a 6M-row corpus that
+    * is a 40–90 MB task payload per downstream read and a driver OOM at
+    * real scale; the parquet sink keeps the equivalence harness on the
+    * same distributed write path a production `foreachBatch` job uses.)
+    * Append/Update batches append; Complete batches overwrite, so the
+    * final state matches the memory sink's truncate-per-trigger contract.
     *
     * With `replayKey` set, the REPLAY MACHINERY cost — everything except
     * the data-carrying micro-batches' `addBatch` execution: query
@@ -211,8 +221,17 @@ object StreamingJobs {
                   mode: OutputMode, replayKey: Option[String] = None)
       : DataFrame = {
     val t0 = System.nanoTime()
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_sink_$name").toString
+    val schema = df.schema // empty-result reads need it declared
+    val writeMode =
+      if (mode == OutputMode.Complete()) "overwrite" else "append"
     val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(writeMode).parquet(outDir)
+        ()
+      }
+      .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     replayKey.foreach { k =>
       val wallS = (System.nanoTime() - t0) / 1e9
@@ -224,7 +243,12 @@ object StreamingJobs {
       graft.ops.SessionCache.recordStaging(spark, k,
         math.max(0.0, wallS - dataAddS))
     }
-    spark.table(name)
+    val result = spark.read.schema(schema).parquet(outDir)
+    // preserve the memory sink's table-name contract (spark.table(name))
+    // — but backed by the distributed parquet files, not a driver-side
+    // LocalRelation
+    result.createOrReplaceTempView(name)
+    result
   }
 
   /** Exactly-once warehouse sink for `writeStream.foreachBatch`: each

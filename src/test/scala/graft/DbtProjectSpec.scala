@@ -1004,4 +1004,89 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(stmts.contains("GRANT SELECT ON `wide` TO `ml_team`"))
     assert(stmts.contains("GRANT INSERT ON `base` TO `loader`"))
   }
+
+  test("grants mapping refuses a MIXED grantee list instead of dropping") {
+    // [analyst, {a: b}] must fail loudly — the old collect silently kept
+    // only the scalar and emitted a partial ledger
+    val proj = Files.createTempDirectory("graft_grants_mixed")
+    put(proj, "dbt_project.yml",
+      """name: gr_mixed
+        |models:
+        |  gr_mixed:
+        |    +grants:
+        |      select:
+        |        - analyst
+        |        - {a: b}
+        |""".stripMargin)
+    put(proj, "models/base.sql", "SELECT 1 AS one")
+    val e = intercept[IllegalArgumentException] {
+      ProjectLoader.load(proj.toString)
+    }
+    assert(e.getMessage.contains("grants"), e.getMessage)
+    assert(e.getMessage.contains("select"), e.getMessage)
+  }
+
+  test("bigquery_options labels + kms_key_name load, export, catalog") {
+    // reference bigquery_options (manifest.json:1 @15210): labels and
+    // kms_key_name are inert in a parquet warehouse but a ported project
+    // carrying them must NOT silently drop them — they ride catalog.json
+    // properties and the DDL export as TBLPROPERTIES, like the TTLs
+    val proj = Files.createTempDirectory("graft_labels_proj")
+    put(proj, "dbt_project.yml",
+      """name: lb_demo
+        |models:
+        |  lb_demo:
+        |    +labels:
+        |      team: core-data
+        |      env: prod
+        |""".stripMargin)
+    put(proj, "models/base.sql",
+      "SELECT n_nationkey, n_name FROM {{ source('tpch', 'nation') }}")
+    put(proj, "models/tagged.sql",
+      """{{ config(labels='cost_center:ml-421', kms_key_name='projects/p/locations/l/keyRings/r/cryptoKeys/k') }}
+        |SELECT n_nationkey FROM {{ ref('base') }}""".stripMargin)
+    put(proj, "models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: nation
+         |        meta:
+         |          external_location: $sf/nation.parquet
+         |models:
+         |  - name: base
+         |    config:
+         |      labels:
+         |        owner: data-eng
+         |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    val dir = Files.createTempDirectory("graft_labels_wh").toString
+    val e = new Engine(spark, p, Target(dir))
+    assert(e.build()._1.forall(_.status == "success"))
+    // schema.yml config overrides the tree's labels key wholesale
+    // (standard config merge); the in-model config() wins for tagged
+    val (stmts, _) = e.catalogDdl()
+    val baseDdl = stmts.find(_.contains("VIEW `base`")).get
+    assert(baseDdl.contains("'labels.owner'='data-eng'"), baseDdl)
+    val tagDdl = stmts.find(_.contains("VIEW `tagged`")).get
+    assert(tagDdl.contains("'labels.cost_center'='ml-421'"), tagDdl)
+    assert(tagDdl.contains(
+      "'kms_key_name'='projects/p/locations/l/keyRings/r/cryptoKeys/k'"),
+      tagDdl)
+    // tree-level labels reach models that declare none of their own
+    e.writeCatalog(s"$dir/catalog.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cat = om.readTree(new java.io.File(s"$dir/catalog.json"))
+    val rels = cat.path("relations")
+    val tg = (0 until rels.size).map(rels.get)
+      .find(_.path("name").asText == "tagged").get
+    assert(tg.path("properties").path("labels").path("cost_center")
+      .asText == "ml-421")
+    assert(tg.path("properties").path("kms_key_name").asText
+      .endsWith("cryptoKeys/k"))
+    val bs = (0 until rels.size).map(rels.get)
+      .find(_.path("name").asText == "base").get
+    assert(bs.path("properties").path("labels").path("owner")
+      .asText == "data-eng")
+  }
 }

@@ -296,5 +296,20 @@ class PlanSpec extends AnyFunSuite {
       PartitionFilterGuard.assertPruned(base.filter($"v" > 0).join(dim, "pk"), g)
     }
     assert(e2.getMessage.contains("require_partition_filter"), e2.getMessage)
+    // a user isNotNull on a SAME-NAMED column of the OTHER relation must
+    // not satisfy this relation's guard (matching is by exprId, not
+    // name): filtering dim.pk leaves base's scan with only the
+    // join-inferred constraint — BigQuery requires the predicate on the
+    // partitioned table itself
+    val e3 = intercept[IllegalStateException] {
+      PartitionFilterGuard.assertPruned(
+        base.join(dim.filter(dim("pk").isNotNull), base("pk") === dim("pk"))
+          .select(base("v"), base("pk")), g)
+    }
+    assert(e3.getMessage.contains("require_partition_filter"), e3.getMessage)
+    // a CTE/projection ALIAS of the partition column still counts: the
+    // guard chases alias chains back to base attributes before matching
+    PartitionFilterGuard.assertPruned(
+      base.select($"v", $"pk".as("p")).filter($"p".isNotNull), g)
   }
 }
