@@ -763,6 +763,68 @@ object TextOps {
        |  len(regexp_extract_all(text, '$BpePretokenRe', 0)) AS n_bpe_pieces
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------- chunking
+  /** Fixed-size token-window chunking with overlap — the standard
+    * retrieval/embedding/pretraining document splitter (fixed windows of
+    * `chunkTokens` whitespace tokens, consecutive windows sharing
+    * `overlap` tokens; the upstream step of context packing and of every
+    * RAG index build). Each chunk gets a STABLE address (doc_id,
+    * chunk_idx): reprocessing a document yields byte-identical chunks,
+    * which is what lets downstream embedding caches and chunk-level
+    * dedup survive pipeline re-runs.
+    *
+    * Window starts are `range(0, max(n − overlap, 1), step)` with
+    * `step = chunkTokens − overlap`: the final window is emitted only if
+    * it contributes at least one NEW token beyond the previous window's
+    * coverage (a tail window fully contained in its predecessor would be
+    * pure duplication), and an under-`chunkTokens` document still yields
+    * its single short chunk.
+    *
+    * Spark-first shape: split → sequence → explode → slice, all
+    * codegen'd per-row expressions with bounded fan-out (≤ n/step
+    * chunks per document) and NO shuffle anywhere — at 100 TB chunking
+    * stays an embarrassingly parallel map over document partitions
+    * feeding the writer, and the plan scales with input splits alone.
+    */
+  def chunkFixed(s: SparkSession, d: String, chunkTokens: Int = 32,
+                 overlap: Int = 8): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"chunk window must exceed its overlap, got $chunkTokens/$overlap")
+    val step = chunkTokens - overlap
+    documents(s, d)
+      .where("text IS NOT NULL")
+      .selectExpr("doc_id",
+        "filter(split(text, ' '), w -> w <> '') AS ts")
+      .selectExpr("doc_id", "ts",
+        s"explode(sequence(0, greatest(size(ts) - $overlap, 1) - 1, $step))" +
+          " AS st")
+      .selectExpr(
+        "doc_id",
+        s"CAST(st div $step AS BIGINT) AS chunk_idx",
+        s"slice(ts, st + 1, $chunkTokens) AS ck")
+      .selectExpr(
+        "doc_id", "chunk_idx",
+        "CAST(size(ck) AS BIGINT) AS n_tokens",
+        "array_join(ck, ' ') AS chunk_text")
+      .where("n_tokens > 0")
+  }
+
+  val chunkFixedSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM documents WHERE text IS NOT NULL),
+      |starts AS (
+      |  SELECT doc_id, ts,
+      |         unnest(range(0, greatest(len(ts) - 8, 1), 24)) AS st
+      |  FROM toks)
+      |SELECT doc_id,
+      |  (st // 24)::BIGINT AS chunk_idx,
+      |  len(ts[st + 1 : st + 32])::BIGINT AS n_tokens,
+      |  array_to_string(ts[st + 1 : st + 32], ' ') AS chunk_text
+      |FROM starts
+      |WHERE len(ts[st + 1 : st + 32]) > 0""".stripMargin
+
   // --------------------------------------------------------- BPE training
   /** Distributed BPE tokenizer training (Sennrich et al. 2016, the GPT-2
     * recipe shape): ONE corpus pass builds the word-frequency table, and

@@ -785,4 +785,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(kept.keySet == Set("mega-host.example", "src1", "src22"))
     assert(kept.values.forall(n => n > 0 && n <= 300), kept.toString)
   }
+
+  test("fixed chunking: overlap, stable ids, tail rule, degenerate docs, no shuffle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    def words(n: Int): String = (0 until n).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, words(60)),  // 3 windows: [0,32) [24,56) [48,60)
+      (2L, words(32)),  // exactly one window; the 24-start tail would add
+                        // nothing new and must NOT be emitted
+      (3L, words(33)),  // the 24-start tail adds one new token → emitted
+      (4L, ""),         // degenerate: zero chunks
+      (5L, "   ")       // whitespace-only: zero chunks
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.chunkFixed(spark, dir) // 32-token windows, overlap 8
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_tokens"),
+      r.getAs[String]("chunk_text"))).sortBy(t => (t._1, t._2))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      (1L, 0L, 32L), (1L, 1L, 32L), (1L, 2L, 12L),
+      (2L, 0L, 32L),
+      (3L, 0L, 32L), (3L, 1L, 9L)), rows.mkString("\n"))
+    // overlap: window i>0 begins with the previous window's last 8 tokens
+    val d1 = rows.filter(_._1 == 1L).map(_._4.split(" ").toSeq)
+    assert(d1(1).take(8) == d1(0).takeRight(8))
+    assert(d1(2).take(8) == d1(1).takeRight(8))
+    // coverage: window 0 plus each later window's NEW tokens rebuilds the doc
+    assert((d1(0) ++ d1(1).drop(8) ++ d1(2).drop(8)).mkString(" ") == words(60))
+    // stable ids: a recompute yields the identical chunk set
+    val again = TextOps.chunkFixed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(again == rows.map(t => (t._1, t._2, t._4)).toSet)
+    // embarrassingly parallel: the plan must carry NO exchange — chunking
+    // a 100 TB corpus is a pure map over input splits
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
