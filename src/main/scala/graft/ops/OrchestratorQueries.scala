@@ -1215,6 +1215,38 @@ object OrchestratorQueries {
     * drifted export fails the in-entry assert loudly instead of
     * silently pinning a stale oracle.
     */
+  /** Age out per-run build dirs and leaked temp symlinks next to the
+    * roundtrip's stable root. Build dirs (`root.<runId>`) from finished
+    * runs are removed once older than `horizonMs` — never the dir the
+    * stable symlink currently resolves to, never this run's target. A
+    * crash between `createSymbolicLink` and the atomic move leaks a
+    * `root.lnk.<runId>` temp symlink; those age out on the same horizon,
+    * deleting the LINK itself (NOFOLLOW mtime, deleteIfExists on the
+    * path), never its target — the target is a build dir the first
+    * branch owns. Horizon injectable for tests.
+    */
+  private[graft] def sweepBuildDirs(rootP: java.nio.file.Path, current: String,
+                                  target: String, horizonMs: Long): Unit = {
+    import java.nio.file.{Files => F, LinkOption}
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val parent = rootP.getParent.toFile
+    Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(rootP.getFileName.toString + ".")) {
+        if (f.getName.contains(".lnk.")) {
+          val linkMt = try F.getLastModifiedTime(f.toPath,
+            LinkOption.NOFOLLOW_LINKS).toMillis
+          catch { case _: java.io.IOException => 0L }
+          if (linkMt < horizonMs) F.deleteIfExists(f.toPath)
+        } else if (f.getPath != current && f.getPath != target &&
+          f.lastModified < horizonMs) rm(f)
+      }
+    }
+    ()
+  }
+
   def ddlRoundtrip(s: SparkSession, d: String): DataFrame = {
     // STABLE root path (a symlink), deliberately not sf-suffixed:
     // `oracleSql` is a static string, so the oracle must read one
@@ -1268,23 +1300,8 @@ object OrchestratorQueries {
       // never the one the stable path currently resolves to
       val current = F.readSymbolicLink(rootP).toString
       val parent = rootP.getParent.toFile
-      val horizon = System.currentTimeMillis() - 3600L * 1000
-      Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith(rootP.getFileName.toString + ".")) {
-          if (f.getName.contains(".lnk.")) {
-            // a crash between createSymbolicLink and the atomic move
-            // leaks the temp symlink; age it out on the same horizon —
-            // delete the LINK itself (NOFOLLOW mtime, deleteIfExists on
-            // the path), never its target, which is a build dir the
-            // branch below owns
-            val linkMt = try F.getLastModifiedTime(f.toPath,
-              LinkOption.NOFOLLOW_LINKS).toMillis
-            catch { case _: java.io.IOException => 0L }
-            if (linkMt < horizon) F.deleteIfExists(f.toPath)
-          } else if (f.getPath != current && f.getPath != target &&
-            f.lastModified < horizon) rm(f)
-        }
-      }
+      sweepBuildDirs(rootP, current, target,
+        System.currentTimeMillis() - 3600L * 1000)
     }
     // (a) the Spark side consumes its own export (via the stable path)
     stmts.foreach(s.sql(_))

@@ -1897,4 +1897,35 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(big.filter.contains("o_totalprice > 100000"))
     assert(big.calculation == "sum" && big.timeDim == "o_orderdate")
   }
+
+  test("roundtrip sweep ages out leaked temp symlinks, spares the live state") {
+    import java.nio.file.{Files => F, LinkOption}
+    import graft.ops.OrchestratorQueries
+    val dir = F.createTempDirectory("graft_sweep")
+    // live layout: the current build dir + the stable symlink to it
+    val cur = dir.resolve("wh.live1"); F.createDirectory(cur)
+    val root = dir.resolve("wh"); F.createSymbolicLink(root, cur)
+    // leftovers a crash can leave: an old finished build dir, a DANGLING
+    // leaked temp link, and a leaked temp link still pointing at the
+    // live build dir (crash after link-create, before the atomic move)
+    val oldBuild = dir.resolve("wh.dead1"); F.createDirectory(oldBuild)
+    val lnkDangling = dir.resolve("wh.lnk.aaaa")
+    F.createSymbolicLink(lnkDangling, dir.resolve("wh.gone"))
+    val lnkLive = dir.resolve("wh.lnk.bbbb")
+    F.createSymbolicLink(lnkLive, cur)
+    // horizon in the future = everything counts as old
+    OrchestratorQueries.sweepBuildDirs(root, cur.toString, cur.toString,
+      System.currentTimeMillis() + 60000)
+    assert(!F.exists(lnkDangling, LinkOption.NOFOLLOW_LINKS))
+    assert(!F.exists(lnkLive, LinkOption.NOFOLLOW_LINKS))
+    assert(F.isDirectory(cur), "the leaked link's TARGET must survive")
+    assert(!F.exists(oldBuild), "an aged-out finished build dir is swept")
+    assert(F.isSymbolicLink(root), "the stable link is never touched")
+    // a FRESH leak survives the real 1-hour horizon
+    val lnkFresh = dir.resolve("wh.lnk.cccc")
+    F.createSymbolicLink(lnkFresh, dir.resolve("wh.gone2"))
+    OrchestratorQueries.sweepBuildDirs(root, cur.toString, cur.toString,
+      System.currentTimeMillis() - 3600L * 1000)
+    assert(F.exists(lnkFresh, LinkOption.NOFOLLOW_LINKS))
+  }
 }
