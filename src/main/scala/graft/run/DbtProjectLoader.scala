@@ -58,7 +58,11 @@ object DbtProjectLoader {
       s"$rootDir/dbt_project.yml: 'name' is required"))
 
     def dirList(defaults: Seq[String], keys: String*): Seq[Path] = {
-      val declared = keys.flatMap(k => py.arr(k)).collect { case Scalar(v) => v }
+      val declared = keys.flatMap(k => py.arr(k).map {
+        case Scalar(v) => v
+        case bad => throw new IllegalArgumentException(
+          s"$k: path entries must be plain strings, got $bad")
+      })
       (if (declared.nonEmpty) declared else defaults)
         .map(root.resolve).filter(Files.isDirectory(_))
     }
@@ -86,9 +90,24 @@ object DbtProjectLoader {
     val vars: Map[String, String] = py.obj("vars")
       .map(_.entries.collect { case (k, Scalar(v)) => k -> v }.toMap)
       .getOrElse(Map.empty)
+    // dbt hooks come in two documented spellings: a bare SQL string and
+    // the dict form `{sql: "...", transaction: bool}` (transaction is a
+    // warehouse-transaction knob dbt-bigquery itself ignores — the SQL
+    // is what materializes). Anything else must fail loudly, not drop.
+    def hookSql(n: MiniYaml.Node, ctx: String): String = n match {
+      case Scalar(v) if v.trim.nonEmpty => v
+      case o: Obj => o.scalar("sql").filter(_.trim.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ctx: dict-form hook needs a non-empty 'sql' key"))
+      case other => throw new IllegalArgumentException(
+        s"$ctx: hook entries must be SQL strings or {sql: ...} maps, " +
+          s"got $other")
+    }
     def hookList(key: String): Seq[String] = py.get(key) match {
       case Some(Scalar(v)) if v.nonEmpty => Seq(v)
-      case Some(n) => MiniYaml.scalars(n)
+      case Some(Arr(items)) => items.map(hookSql(_, key))
+      case Some(o: Obj) => Seq(hookSql(o, key))
+      case Some(_) => Nil // empty scalar
       case None => Nil
     }
 
@@ -134,8 +153,11 @@ object DbtProjectLoader {
       // (`|`/`,` occur in real SQL,  cannot)
       case (k, Arr(items)) if k.startsWith("+") &&
           Compiler.hookKeys.contains(k.drop(1)) =>
-        k.drop(1) -> items.collect { case Scalar(v) => v }
-          .mkString(Compiler.HookSep)
+        k.drop(1) -> items.map(hookSql(_, k)).mkString(Compiler.HookSep)
+      // dict-form single hook (`+post-hook: {sql: ..., transaction: ...}`)
+      case (k, o: Obj) if k.startsWith("+") &&
+          Compiler.hookKeys.contains(k.drop(1)) =>
+        k.drop(1) -> hookSql(o, k)
       case ("+grants", g: Obj) => "grants" -> flattenGrants(g)
       case ("+labels", l: Obj) => "labels" -> flattenLabels(l)
       // other flow-mapping configs (e.g. +column_types: {id: bigint})
@@ -371,8 +393,15 @@ object DbtProjectLoader {
               case (k, Scalar(v))
                   if !testConfigKeys.contains(k) && k != "config" => k -> v
               case (k, Arr(vs)) if !testConfigKeys.contains(k) =>
-                k -> vs.collect { case Scalar(v) => ylit(v) }
-                  .mkString("[", ", ", "]")
+                // a silently-dropped list item would run the test against
+                // a SMALLER value set than the yml declares (e.g. an
+                // accepted_values list quietly losing an entry)
+                k -> vs.map {
+                  case Scalar(v) => ylit(v)
+                  case bad => throw new IllegalArgumentException(
+                    s"test kwarg '$k' on $owner.$col: list items must be " +
+                      s"scalars, got $bad")
+                }.mkString("[", ", ", "]")
             }.toMap
             genericTestDef(genericTests(other), owner, col, kwargs)
           case other => throw new IllegalArgumentException(
@@ -422,10 +451,12 @@ object DbtProjectLoader {
             m.obj("config").foreach(c =>
               ymlCfg += owner -> c.entries.collect {
                 case (k, Scalar(v)) => k -> v
-                // hook lists, HookSep-joined (see plusKv)
+                // hook lists / dict-form hooks, HookSep-joined (see plusKv)
                 case (k, Arr(items)) if Compiler.hookKeys.contains(k) =>
-                  k -> items.collect { case Scalar(v) => v }
+                  k -> items.map(hookSql(_, s"$mName.$k"))
                     .mkString(Compiler.HookSep)
+                case (k, o: Obj) if Compiler.hookKeys.contains(k) =>
+                  k -> hookSql(o, s"$mName.$k")
                 case ("grants", g: Obj) => "grants" -> flattenGrants(g)
                 case ("labels", l: Obj) => "labels" -> flattenLabels(l)
               }.toMap)
@@ -522,8 +553,13 @@ object DbtProjectLoader {
     // exposures: name, depends_on [ref('m')], owner {name,email}, url
     val exposures = ymlDocs.flatMap(_.arr("exposures")).collect {
       case e: Obj =>
-        val deps = e.arr("depends_on").collect { case Scalar(v) =>
-          v.trim match { case refRe(m) => m; case other => other }
+        val deps = e.arr("depends_on").map {
+          case Scalar(v) =>
+            v.trim match { case refRe(m) => m; case other => other }
+          // a dropped dep is a silently missing lineage edge
+          case bad => throw new IllegalArgumentException(
+            s"exposure depends_on entries must be ref('...') strings, " +
+              s"got $bad")
         }
         ExposureDef(e.scalar("name").getOrElse("exposure"),
           deps.map(latestOf),

@@ -1005,6 +1005,56 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(stmts.contains("GRANT INSERT ON `base` TO `loader`"))
   }
 
+  test("dict-form hooks ({sql: ...}) parse in all four spellings; garbage loud") {
+    // dbt's documented dict hook spelling — previously the collects
+    // matched scalars only and DROPPED dict hooks silently (the same
+    // partial-silent-drop class as mixed grants)
+    val proj = Files.createTempDirectory("graft_hooks_dict")
+    put(proj, "dbt_project.yml",
+      """name: hk_demo
+        |on-run-start: {sql: "SELECT 'start'"}
+        |models:
+        |  hk_demo:
+        |    +post-hook:
+        |      - SELECT 'a'
+        |      - {sql: "SELECT 'b'", transaction: false}
+        |    +pre-hook: {sql: "SELECT 'p'"}
+        |""".stripMargin)
+    put(proj, "models/base.sql", "SELECT 1 AS one")
+    put(proj, "models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: base
+        |    config:
+        |      pre-hook: {sql: "SELECT 'c'"}
+        |""".stripMargin)
+    val (p, _) = ProjectLoader.load(proj.toString)
+    assert(p.onRunStart == Seq("SELECT 'start'"))
+    val cfg = p.models.find(_.name == "base").get.config
+    assert(cfg.postHooks == Seq("SELECT 'a'", "SELECT 'b'"), cfg.postHooks)
+    // schema.yml config overrides the tree's pre-hook key wholesale
+    assert(cfg.preHooks == Seq("SELECT 'c'"), cfg.preHooks)
+    // and the project still BUILDS with the hooks firing
+    val e = new Engine(spark, p,
+      Target(Files.createTempDirectory("graft_hooks_dict_wh").toString))
+    assert(e.build()._1.forall(_.status == "success"))
+
+    // a dict hook without 'sql' must fail loudly, not drop
+    val bad = Files.createTempDirectory("graft_hooks_bad")
+    put(bad, "dbt_project.yml",
+      """name: hk_bad
+        |models:
+        |  hk_bad:
+        |    +post-hook:
+        |      - {grant: "SELECT"}
+        |""".stripMargin)
+    put(bad, "models/base.sql", "SELECT 1 AS one")
+    val ex = intercept[IllegalArgumentException] {
+      ProjectLoader.load(bad.toString)
+    }
+    assert(ex.getMessage.contains("sql"), ex.getMessage)
+  }
+
   test("grants mapping refuses a MIXED grantee list instead of dropping") {
     // [analyst, {a: b}] must fail loudly — the old collect silently kept
     // only the scalar and emitted a partial ledger
