@@ -1136,13 +1136,21 @@ object Compiler {
                   s"labels entry '$l' must be 'key:value'")
               }
             }.toIndexedSeq
+          // declared-but-empty is a drop, not an unset — same policy as
+          // kms_key_name below
+          require(parsed.nonEmpty, "labels expects at least one 'key:value'")
           // last wins on duplicate keys, matching BigQuery's map shape
           cfg = cfg.copy(labels =
             parsed.map(_._1).distinct.map(k => k -> parsed.filter(_._1 == k)
               .last._2))
         }
-        kvs.get("kms_key_name").foreach(v =>
-          cfg = cfg.copy(kmsKeyName = Some(v.trim).filter(_.nonEmpty)))
+        kvs.get("kms_key_name").foreach { v =>
+          // an empty key (e.g. an env_var expanding blank) is a DECLARED
+          // but broken encryption key — refuse, don't silently unset
+          require(v.trim.nonEmpty,
+            "kms_key_name expects a non-empty key resource name")
+          cfg = cfg.copy(kmsKeyName = Some(v.trim))
+        }
         // grants: 'privilege:grantee[,grantee…]' entries, `|`-separated
         // like contract (a comma would split the kv scan)
         kvs.get("grants").foreach { v =>

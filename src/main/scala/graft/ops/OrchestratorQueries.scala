@@ -1299,7 +1299,6 @@ object OrchestratorQueries {
       // age out build dirs from finished runs (tiny, but don't hoard);
       // never the one the stable path currently resolves to
       val current = F.readSymbolicLink(rootP).toString
-      val parent = rootP.getParent.toFile
       sweepBuildDirs(rootP, current, target,
         System.currentTimeMillis() - 3600L * 1000)
     }

@@ -71,6 +71,34 @@ object PartitionFilterGuard {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.references.map(_.exprId.id).toSet
     }.flatten.toSet)
+    // exprId matching alone would falsely refuse a predicate written once
+    // inside a CTE or temp view the query references TWICE: CTE inlining
+    // re-instances the second copy's attributes with fresh exprIds, so
+    // that copy's scan carries an IsNotNull no analyzed Filter's exprId
+    // can claim. Complement: per guarded path, the column NAMES filtered
+    // by Filters whose OWN subtree scans that path — name matching scoped
+    // to the relation keeps a same-named column of another joined table
+    // excluded (such a filter's subtree does not contain the guarded
+    // scan), which is the exprId rule's whole point.
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    def scanPathsUnder(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Seq[String] = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.toSeq.map(x => norm(x.toString))
+        case _ => Nil
+      }
+    }.flatten
+    val filterNamesByGuard: Map[String, Set[String]] = normed.map { g =>
+      g.pathPrefix -> analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if scanPathsUnder(f.child).exists(r =>
+              r == g.pathPrefix || r.startsWith(g.pathPrefix + "/")) =>
+          f.condition.references.map(_.name.toLowerCase).toSet
+      }.flatten.toSet
+    }.toMap
     val scans = df.queryExecution.sparkPlan.collect {
       case s: FileSourceScanExec => s
     }
@@ -91,10 +119,12 @@ object PartitionFilterGuard {
         // bare IsNotNull counts only when the USER wrote a filter
         // touching that partition column (analyzed-plan check above) —
         // BigQuery accepts an explicit `WHERE partcol IS NOT NULL`.
+        val gNames = filterNamesByGuard.getOrElse(g.pathPrefix, Set.empty)
         val selective = scan.partitionFilters.filterNot {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
             a: org.apache.spark.sql.catalyst.expressions.Attribute) =>
-            !userFiltered.contains(a.exprId.id)
+            !(userFiltered.contains(a.exprId.id) ||
+              gNames.contains(a.name.toLowerCase))
           case _ => false
         }
         if (selective.isEmpty) throw new IllegalStateException(

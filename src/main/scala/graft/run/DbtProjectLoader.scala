@@ -58,7 +58,16 @@ object DbtProjectLoader {
       s"$rootDir/dbt_project.yml: 'name' is required"))
 
     def dirList(defaults: Seq[String], keys: String*): Seq[Path] = {
-      val declared = keys.flatMap(k => py.arr(k).map {
+      // a bare scalar (`model-paths: my_models`) counts as a one-item
+      // list — Obj.arr returns Nil for it, which would silently fall
+      // back to the defaults (a full config drop)
+      val declared = keys.flatMap(k => (py.get(k) match {
+        case Some(Arr(items)) => items
+        case Some(s: Scalar) => Seq(s)
+        case Some(other) => throw new IllegalArgumentException(
+          s"$k: expected a path or list of paths, got $other")
+        case None => Nil
+      }).map {
         case Scalar(v) => v
         case bad => throw new IllegalArgumentException(
           s"$k: path entries must be plain strings, got $bad")
@@ -553,7 +562,13 @@ object DbtProjectLoader {
     // exposures: name, depends_on [ref('m')], owner {name,email}, url
     val exposures = ymlDocs.flatMap(_.arr("exposures")).collect {
       case e: Obj =>
-        val deps = e.arr("depends_on").map {
+        // a bare scalar dep counts as a one-item list (Obj.arr returns
+        // Nil for it — the exposure would silently lose its lineage edge)
+        val deps = (e.get("depends_on") match {
+          case Some(Arr(items)) => items
+          case Some(n) => Seq(n)
+          case None => Nil
+        }).map {
           case Scalar(v) =>
             v.trim match { case refRe(m) => m; case other => other }
           // a dropped dep is a silently missing lineage edge

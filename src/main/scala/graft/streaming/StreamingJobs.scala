@@ -217,12 +217,30 @@ object StreamingJobs {
     * (the equivalence gate itself is unchanged; at production scale the
     * harness cost amortizes to zero against a continuous stream).
     */
+  // One parent dir per JVM for the equivalence sinks, reaped by a
+  // shutdown hook — a bare per-call temp dir would outlive the process
+  // (the returned frames read their files lazily, so the data can only
+  // be reclaimed once the JVM is done with them), and repeated bench /
+  // validate sweeps would accumulate unbounded /tmp.
+  private lazy val sinkRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_sinks")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                   mode: OutputMode, replayKey: Option[String] = None)
       : DataFrame = {
     val t0 = System.nanoTime()
     val outDir = java.nio.file.Files
-      .createTempDirectory(s"graft_sink_$name").toString
+      .createTempDirectory(sinkRoot, s"sink_$name").toString
     val schema = df.schema // empty-result reads need it declared
     val writeMode =
       if (mode == OutputMode.Complete()) "overwrite" else "append"

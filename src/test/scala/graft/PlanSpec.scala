@@ -311,5 +311,13 @@ class PlanSpec extends AnyFunSuite {
     // guard chases alias chains back to base attributes before matching
     PartitionFilterGuard.assertPruned(
       base.select($"v", $"pk".as("p")).filter($"p".isNotNull), g)
+    // an explicit predicate written ONCE inside a CTE the query reads
+    // TWICE: CTE inlining re-instances the second copy's attributes with
+    // fresh exprIds, so exprId matching alone would falsely refuse it —
+    // the relation-scoped NAME complement must accept both scans
+    base.createOrReplaceTempView("guarded_t")
+    PartitionFilterGuard.assertPruned(spark.sql(
+      """WITH c AS (SELECT * FROM guarded_t WHERE pk IS NOT NULL)
+        |SELECT a.v FROM c a JOIN c b ON a.pk = b.pk""".stripMargin), g)
   }
 }
