@@ -57,7 +57,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
         .orElse(sys.env.get("GRAFT_COMMIT_MODE")) match {
         case Some("manifest") => true
         case Some("rename") => false
-        case _ =>
+        case Some(other) =>
+          // an explicit-but-invalid value must not silently fall through
+          // to scheme detection — the operator forced a mode for a reason
+          throw new IllegalArgumentException(
+            "graft.commit.mode / GRAFT_COMMIT_MODE must be 'manifest' or " +
+              s"'rename', got '$other'")
+        case None =>
           val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
           Warehouse.ObjectStoreSchemes.contains(scheme.toLowerCase)
       }
@@ -92,8 +98,15 @@ final class Warehouse(val spark: SparkSession, val root: String,
     new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]
 
   /** Cache identity of a committed manifest: seq + entry-list digest. */
-  private def manifestIdentity(seq: Long, entries: Seq[(String, String)]): String =
-    s"$seq#${entries.length}#${entries.hashCode}"
+  private def manifestIdentity(seq: Long, entries: Seq[(String, String)]): String = {
+    // a REAL digest, not Seq.hashCode: the identity guards the read cache
+    // against a cross-process drop-and-recreate where seqs restart — a
+    // 32-bit collision there would serve a cached frame over GC'd dirs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.foreach { case (d, p) =>
+      md.update(s"$d\u0000$p\u0001".getBytes("UTF-8")) } // NUL/SOH framing
+    s"$seq#${entries.length}#${md.digest().map("%02x".format(_)).mkString}"
+  }
 
   private[core] def invalidateRead(rel: Relation): Unit = {
     readCache.remove(path(rel)); ()
@@ -119,7 +132,18 @@ final class Warehouse(val spark: SparkSession, val root: String,
           .map(dataEntries)
           .find(_.nonEmpty)
           .map(e => readDataEntries(rel, e).limit(0))
-          .getOrElse(spark.read.parquet(path(rel)))
+          .getOrElse {
+            // no retained manifest carries a data entry: a legacy
+            // flat-file dir can still serve the schema, but an empty
+            // version-managed dir must refuse LOUDLY — the bare parquet
+            // read would throw Spark's opaque 'unable to infer schema'
+            if (rawHasFlatFiles(rel)) spark.read.parquet(path(rel))
+            else throw new IllegalStateException(
+              s"${rel.fqName}: every data entry was dropped/expired and " +
+                "no retained manifest still carries one — the schema is " +
+                "unrecoverable. Rebuild the relation (or read a version " +
+                "via readAt before the expiry commit aged out).")
+          }
       case None => spark.read.parquet(path(rel)) // legacy rename-layout dir
     }
     else spark.read.parquet(path(rel))
@@ -153,7 +177,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       }
     }
 
-  def drop(rel: Relation): Unit = {
+  def drop(rel: Relation): Unit = withRelationLock(rel) {
     invalidateRead(rel)
     val p = new Path(path(rel))
     if (fs.exists(p)) { fs.delete(p, true); () }
@@ -161,12 +185,20 @@ final class Warehouse(val spark: SparkSession, val root: String,
 
   /** Reference `rename_relation` @183544. Manifest entries are relative
     * to the relation dir, so a whole-dir rename moves versions intact.
+    * Both endpoints are locked (in path order, so two concurrent renames
+    * over the same pair cannot deadlock) — a rename racing a writer on
+    * either side would otherwise move a half-written table.
     */
   def rename(from: Relation, to: Relation): Unit = {
-    invalidateRead(from); invalidateRead(to)
-    fs.mkdirs(new Path(path(to)).getParent)
-    if (!fs.rename(new Path(path(from)), new Path(path(to))))
-      throw new IllegalStateException(s"rename ${from.fqName} -> ${to.fqName} failed")
+    val (first, second) =
+      if (path(from) <= path(to)) (from, to) else (to, from)
+    withRelationLock(first) { withRelationLock(second) {
+      invalidateRead(from); invalidateRead(to)
+      fs.mkdirs(new Path(path(to)).getParent)
+      if (!fs.rename(new Path(path(from)), new Path(path(to))))
+        throw new IllegalStateException(
+          s"rename ${from.fqName} -> ${to.fqName} failed")
+    } }
   }
 
   /** Reference `truncate_relation` @181945: keep schema, remove rows. */
@@ -603,6 +635,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
                            (f: Seq[(String, String)] => Seq[(String, String)]): Unit = {
     var attempts = 0
     while (attempts < 50) {
+      assertLockIntact(path(rel)) // zombie-writer fence (stale-broken lock)
       val maxSeen = manifestsDescending(rel).headOption.map(_._1).getOrElse(0L)
       val cur = latestManifest(rel).map(_._2).getOrElse(Nil)
       val next = maxSeen + 1
@@ -972,6 +1005,24 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private val lockHeartbeats =
     new java.util.concurrent.ConcurrentHashMap[String, Thread]
 
+  /** Lock paths whose heartbeat observed the lock stale-broken while this
+    * writer was still alive (clock skew beyond `graft.lock.stale.ms`, a
+    * long GC/VM pause, or heartbeat writes failing long enough for a
+    * waiter to break in). Best-effort FENCE: the commit paths consult
+    * this before publishing, so a zombie writer aborts loudly instead of
+    * racing the new holder's swap. */
+  private val lostLocks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Throw if this thread thinks it holds `key` but the heartbeat saw the
+    * lock broken — committing now would interleave with the new holder. */
+  private def assertLockIntact(key: String): Unit =
+    if (Warehouse.heldLocks.get().contains(key) && lostLocks.contains(key))
+      throw new IllegalStateException(
+        s"relation lock on $key was stale-broken while this writer was " +
+          "alive (clock skew or a long pause) — aborting the publish " +
+          "instead of racing the new lock holder")
+
   private def lockStaleMs: Long =
     sys.props.getOrElse("graft.lock.stale.ms", "1800000").toLong
 
@@ -1022,6 +1073,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
               System.err.println(
                 s"[graft] lock heartbeat on $key: lock no longer ours — " +
                   "stale-broken while alive? stopping refresh")
+              lostLocks.add(key) // fence: commit paths abort (assertLockIntact)
               live = false
           }
         }
@@ -1042,7 +1094,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
     while (true) {
       val claimed = createExclusive(p,
         s"$token ${System.currentTimeMillis}".getBytes("UTF-8"))
-      if (claimed) { startLockHeartbeat(key, token, staleMs); return token }
+      if (claimed) {
+        lostLocks.remove(key) // a fresh claim resets any prior fence
+        startLockHeartbeat(key, token, staleMs); return token
+      }
       // stale detection: a holder whose heartbeat stopped leaves an aging
       // timestamp behind
       val content = readLockContent(p)
@@ -1229,6 +1284,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                else writer
       w2.parquet(path(tmp))
+      assertLockIntact(path(rel)) // zombie-writer fence before the swap
       drop(backup)
       if (exists(rel)) rename(rel, backup)
       rename(tmp, rel)
@@ -1464,6 +1520,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
       // seq, so a concurrent src commit mid-run cannot tear the delta
       val srcSeq = latestManifest(src).map(_._1).getOrElse(0L)
       val from = consumerCheckpoint(dst, consumerId)
+      // a checkpoint AHEAD of the head means the source was dropped and
+      // recreated (seqs restarted) — "nothing new" forever would silently
+      // wedge the consumer on the rebuilt source's data
+      from.filter(_ > srcSeq).foreach(p => throw new IllegalStateException(
+        s"consumer '$consumerId' checkpoint $p is ahead of ${src.fqName}'s " +
+          s"head $srcSeq — the source was dropped and recreated; rebuild " +
+          "the consumer (or clear its checkpoint) before resuming"))
       if (srcSeq == 0L || from.exists(_ >= srcSeq)) None
       else {
         val delta = from match {
@@ -1524,6 +1587,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
       import org.apache.spark.sql.functions.{col => c, count, sum, min, max, lit}
       val srcSeq = latestManifest(src).map(_._1).getOrElse(0L)
       val from = consumerCheckpoint(dst, consumerId)
+      // a checkpoint AHEAD of the head means the source was dropped and
+      // recreated (seqs restarted) — "nothing new" forever would silently
+      // wedge the consumer on the rebuilt source's data
+      from.filter(_ > srcSeq).foreach(p => throw new IllegalStateException(
+        s"consumer '$consumerId' checkpoint $p is ahead of ${src.fqName}'s " +
+          s"head $srcSeq — the source was dropped and recreated; rebuild " +
+          "the consumer (or clear its checkpoint) before resuming"))
       if (srcSeq == 0L || from.exists(_ >= srcSeq)) None
       else {
         // Self-healing refresh: the incremental fold is only sound when
@@ -1695,7 +1765,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
     else fs.listStatus(p).toSeq.filter(_.isDirectory)
       .map(st => Relation(database, schema, st.getPath.getName))
       .filterNot(r => r.identifier.endsWith("__dbt_tmp") ||
-        r.identifier.endsWith("__dbt_backup"))
+        r.identifier.endsWith("__dbt_backup") ||
+        // partition-backup dirs exist during every rename-mode merge (and
+        // after a crash, until the restore preamble runs) — surfacing one
+        // as a relation would let a pattern-driven cleanup drop the only
+        // surviving copy of a crashed partition
+        r.identifier.endsWith("__dbt_pbackup"))
   }
 
   // ------------------------------------------------------------- views
@@ -1787,7 +1862,14 @@ final class Warehouse(val spark: SparkSession, val root: String,
           case Array(db, sch, id) =>
             val rel = Relation(db, sch, id)
             if (latestManifest(rel).isDefined) {
-              val vn = s"graft_mf_${db}_${sch}_$id".replaceAll("[^A-Za-z0-9_]", "_")
+              // digest suffix: the character squash alone can collide two
+              // DISTINCT relations ('my-model' vs 'my_model') onto one
+              // temp-view name, silently reading the wrong table
+              val digest = java.security.MessageDigest.getInstance("MD5")
+                .digest(relPath.getBytes("UTF-8")).take(4)
+                .map("%02x".format(_)).mkString
+              val vn = s"graft_mf_${db}_${sch}_$id"
+                .replaceAll("[^A-Za-z0-9_]", "_") + "_" + digest
               read(rel).createOrReplaceTempView(vn)
               "`" + vn + "`"
             } else m.matched
@@ -2119,7 +2201,12 @@ final class Warehouse(val spark: SparkSession, val root: String,
                 else org.apache.spark.sql.functions.lit(v))
           }
         }.reduce(_ unionByName _)
-      replacePartitions(payload, rel, pcols)
+      // alsoDropPaths: a rewritten leaf whose rows were ALL deleted gets
+      // no replacement write, so without the explicit drop its OLD entry
+      // would survive positioned before the delete entries and
+      // normalizeEntries could never retire them — the relation would be
+      // stuck on the delete-masked read path (and un-exportable) forever
+      replacePartitions(payload, rel, pcols, alsoDropPaths = toRewrite)
     }
     toRewrite
   }
@@ -2223,19 +2310,26 @@ final class Warehouse(val spark: SparkSession, val root: String,
     */
   def expirePartitions(rel: Relation, ttlMs: Long, asOfMs: Long): Seq[String] = {
     val cutoff = asOfMs - ttlMs
-    if (usesManifest && latestManifest(rel).isDefined) {
-      val entries = latestManifest(rel).get._2
-      val newestMs: Map[String, Long] = dataEntries(entries)
-        .filter(_._2.contains("="))
-        .groupBy(_._2)
-        .map { case (part, es) =>
-          part -> es.map(e => fs.getFileStatus(entryPath(rel, e))
-            .getModificationTime).max
-        }
-      val expired = newestMs.filter(_._2 < cutoff).keySet
+    if (usesManifest && latestManifest(rel).isDefined) withRelationLock(rel) {
+      // under the relation lock, AND recomputed inside the commit lambda:
+      // a precomputed expired set re-applied on a CAS retry would unlink
+      // a FRESH entry a racing writer just committed for the same
+      // partition label — silent data loss on exactly the partition the
+      // writer refreshed
+      def expiredOf(entries: Seq[(String, String)]): Set[String] =
+        dataEntries(entries)
+          .filter(_._2.contains("="))
+          .groupBy(_._2)
+          .map { case (part, es) =>
+            part -> es.map(e => fs.getFileStatus(entryPath(rel, e))
+              .getModificationTime).max
+          }.filter(_._2 < cutoff).keySet
+      var expired = expiredOf(latestManifest(rel).get._2)
       if (expired.nonEmpty) {
-        commitEntries(rel)(cur =>
-          cur.filterNot(e => !isDeleteEntry(e) && expired.contains(e._2)))
+        commitEntries(rel) { cur =>
+          expired = expiredOf(cur)
+          cur.filterNot(e => !isDeleteEntry(e) && expired.contains(e._2))
+        }
         invalidateRead(rel)
       }
       expired.toSeq.sorted

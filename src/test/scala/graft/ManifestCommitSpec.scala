@@ -588,4 +588,63 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(wh.read(r).count() == 1)
     assert(!Files.exists(lock))
   }
+
+  test("a consumer checkpoint AHEAD of the source head fails loudly") {
+    val wh = freshWh()
+    val src = rel("inc_src"); val dst = rel("inc_dst")
+    wh.writeAtomic(df(Seq((1L, "a", 1.0))), src)
+    wh.writeAtomic(df(Seq((2L, "b", 2.0))), src) // bump src past seq 1
+    wh.writeAtomic(df(Seq((3L, "c", 3.0))), src)
+    assert(wh.processIncrement(src, dst, "c1")(identity).isDefined)
+    // drop + recreate the source: manifest seqs RESTART below the stored
+    // checkpoint — 'nothing new' forever would silently wedge the consumer
+    wh.drop(src)
+    wh.writeAtomic(df(Seq((9L, "z", 9.0))), src)
+    val e = intercept[IllegalStateException] {
+      wh.processIncrement(src, dst, "c1")(identity)
+    }
+    assert(e.getMessage.contains("ahead"), e.getMessage)
+    assert(e.getMessage.contains("c1"), e.getMessage)
+  }
+
+  test("read() of an all-expired relation refuses loudly, not AnalysisException") {
+    val wh = freshWh(); val r = rel("t_all_gone")
+    val s = spark; import s.implicits._
+    wh.writeAtomic(Seq((1L, 10L)).toDF("id", "p"), r, partitionCols = Seq("p"))
+    wh.dropPartitions(r, "p", Seq("10"))
+    // three more metadata commits age the last data-bearing manifest out
+    // of the retention window — the schema becomes unrecoverable
+    (1 to 3).foreach(i => wh.commitMeta(r, Map(s"k$i" -> "v")))
+    val e = intercept[IllegalStateException] { wh.read(r).count() }
+    assert(e.getMessage.contains("unrecoverable"), e.getMessage)
+  }
+
+  test("explicit-but-invalid commit mode fails fast; pbackup never lists") {
+    val prev = sys.props.get("graft.commit.mode")
+    sys.props("graft.commit.mode") = "manifests" // typo
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new Warehouse(spark,
+          Files.createTempDirectory("graft_badmode").toString,
+          CommitMode.Auto).usesManifest
+      }
+      assert(e.getMessage.contains("manifests"), e.getMessage)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.commit.mode") = v
+        case None => sys.props.remove("graft.commit.mode")
+      }
+    }
+    // a crashed rename-mode merge leaves <model>__dbt_pbackup on disk: it
+    // must never surface as a relation (a pattern-driven cleanup would
+    // drop the only surviving copy of the crashed partition)
+    val wh = freshWh()
+    val r = rel("real_model")
+    wh.writeAtomic(df(Seq((1L, "a", 1.0))), r)
+    Files.createDirectories(
+      Paths.get(wh.path(rel("real_model__dbt_pbackup"))))
+    val names = wh.listRelations("db", "sch").map(_.identifier)
+    assert(names.contains("real_model"), names.toString)
+    assert(!names.exists(_.endsWith("__dbt_pbackup")), names.toString)
+  }
 }

@@ -186,6 +186,27 @@ class RowDeleteSpec extends AnyFunSuite {
     assert(wh.listPartitions(r).toSet == Set("p=10", "p=20"))
   }
 
+  test("compaction retires deletes even when a partition's rows ALL died") {
+    val s = spark; import s.implicits._
+    val wh = freshWh(); val r = rel("t_dead_part")
+    val base = Seq((1L, "x", 10L), (2L, "y", 10L), (3L, "z", 20L))
+      .toDF("id", "name", "p")
+    wh.writeAtomic(base, r, partitionCols = Seq("p"))
+    // every row of p=10 deleted: the compaction payload writes NOTHING
+    // there, so the old entry must be dropped explicitly or it would sit
+    // before the delete entries forever — un-retirable deletes, relation
+    // permanently un-exportable
+    wh.deleteKeys(r, Seq(1L, 2L).toDF("id"))
+    val rewritten = wh.compactPartitions(r, Seq("p"), maxFiles = 1000)
+    assert(rewritten.nonEmpty)
+    assert(wh.manifestEntries(r).get.forall(_._2 != "!del"),
+      s"deletes must retire: ${wh.manifestEntries(r).get}")
+    assert(ids(wh, r) == Set(3L))
+    assert(wh.listPartitions(r).toSet == Set("p=20"))
+    // and a SECOND compaction is a clean no-op (nothing pending)
+    assert(wh.compactPartitions(r, Seq("p"), maxFiles = 1000).isEmpty)
+  }
+
   test("merge after delete composes: rewritten partitions bake deletes in") {
     val s = spark; import s.implicits._
     val wh = freshWh(); val m = new Materializer(wh); val r = rel("t_merge")
