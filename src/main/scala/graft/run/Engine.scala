@@ -441,10 +441,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
   private val mvProjCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[String]]
   private def mvProjection(name: String): Option[String] =
-    mvProjCache.getOrElseUpdate(name,
+    mvProjCache.get(name).getOrElse {
       project.models.find(mm => mm.name == name &&
-          effectiveConfig(mm).materialized == "materialized_view")
-        .flatMap { mm =>
+          effectiveConfig(mm).materialized == "materialized_view") match {
+        case None => mvProjCache.put(name, None); None
+        case Some(mm) =>
           scala.util.Try {
             val df = spark.sql(warehouse.resolveSql(
               compileSql(mm, Set.empty, None, fullRefresh = false)))
@@ -452,8 +453,19 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
               .flatMap { case (_, _, outs) =>
                 graft.plans.AggViewRewrite.projectionSql(outs)
               }
-          }.toOption.flatten
-        })
+          } match {
+            case scala.util.Success(proj) =>
+              mvProjCache.put(name, proj); proj
+            case scala.util.Failure(_) =>
+              // analysis failed TRANSIENTLY (e.g. compile before the
+              // MV's source exists): answer None for now but do NOT
+              // memoize it — a later ref after the source builds must
+              // recompute the declared projection, or every consumer
+              // would silently read the stored decomposed partials
+              None
+          }
+      }
+    }
 
   private def viewName(model: String): String =
     s"${project.name}_${target.resolvedSchema}_$model"
@@ -719,7 +731,17 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             case "ref" =>
               val r = relationFor(a)
               if (warehouse.exists(r)) Some(Compiler.pathRelation(
-                r.pathUnder(target.warehouseRoot))) else None
+                r.pathUnder(target.warehouseRoot)))
+              else deferRoot match {
+                // --defer parity: the existence guard must agree with
+                // where ref() itself resolves, or the canonical
+                // `load_relation(ref(x)) is not none` guard takes the
+                // missing-branch while the ref would read prod data
+                case Some(prod) if !selected.contains(a) &&
+                    new java.io.File(r.pathUnder(prod)).exists() =>
+                  Some(Compiler.pathRelation(r.pathUnder(prod)))
+                case _ => None
+              }
             case "source" =>
               val sd = project.sources.find(x =>
                 x.sourceName == a && x.tableName == b.getOrElse(""))
@@ -896,7 +918,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
             "identifier" -> r.identifier)
         },
         env = target.env, isIncremental = false,
-        vars = mergedVars))))
+        vars = mergedVars,
+        // the same run context model SQL gets — the standard dbt
+        // audit-hook idiom logs {{ invocation_id }} / {{ target.schema }}
+        targetVals = Map("name" -> target.name,
+          "database" -> target.database, "schema" -> target.resolvedSchema),
+        invocationId = Some(invocationId),
+        runStartedAt = Some(runStartedAt)))))
       ()
     }
 
@@ -911,7 +939,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
           relationFor(r).pathUnder(target.warehouseRoot)),
         sourceTarget = (s, t) => sourceText(s, t),
         thisTarget = "", env = target.env, isIncremental = false,
-        vars = mergedVars))))
+        vars = mergedVars,
+        targetVals = Map("name" -> target.name,
+          "database" -> target.database, "schema" -> target.resolvedSchema),
+        invocationId = Some(invocationId),
+        runStartedAt = Some(runStartedAt)))))
       ()
     }
 
@@ -934,7 +966,8 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     * materialization completes, so nothing a header sets survives the
     * model's run.
     */
-  private val sqlHeaderLock = new Object
+  private val sqlHeaderRw =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
   private def runSqlHeader(modelName: String, header: String): () => Unit = {
     val compiled = Compiler.compile(
       Compiler.expandMacros(header, project.macros), Compiler.ResolveCtx(
@@ -943,7 +976,11 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         sourceTarget = (s, t) => sourceText(s, t),
         thisTarget = Compiler.pathRelation(
           relationFor(modelName).pathUnder(target.warehouseRoot)),
-        env = target.env, isIncremental = false, vars = mergedVars))
+        env = target.env, isIncremental = false, vars = mergedVars,
+        targetVals = Map("name" -> target.name,
+          "database" -> target.database, "schema" -> target.resolvedSchema),
+        invocationId = Some(invocationId),
+        runStartedAt = Some(runStartedAt)))
     // object names: bare word, dotted, or backquoted (passed through
     // verbatim to the DROP); IF NOT EXISTS forms supported
     val nameP = """((?:`[^`]+`|[\w.]+))"""
@@ -1034,11 +1071,21 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
     */
   private def withSqlHeader[A](modelName: String, header: Option[String])
       (body: => A): A = header match {
-    case None => body
-    case Some(h) => sqlHeaderLock.synchronized {
-      val cleanup = runSqlHeader(modelName, h)
-      try body finally cleanup()
-    }
+    case None =>
+      // session confs are GLOBAL to the shared SparkSession: a
+      // header-free model running concurrently with a header-bearing one
+      // would silently execute under the header's SET (timezone, ANSI,
+      // parser policy). Read-lock: header-free builds stay parallel with
+      // each other, but never overlap a header window. Zero contention
+      // for projects with no sql_header (the write lock is never taken).
+      sqlHeaderRw.readLock.lock()
+      try body finally sqlHeaderRw.readLock.unlock()
+    case Some(h) =>
+      sqlHeaderRw.writeLock.lock()
+      try {
+        val cleanup = runSqlHeader(modelName, h)
+        try body finally cleanup()
+      } finally sqlHeaderRw.writeLock.unlock()
   }
 
   /** Guarded relations for [[graft.plans.PartitionFilterGuard]] — the
@@ -1374,9 +1421,22 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         // backup dance as the native table swap.
         val (from, to) = (relOf(fromText), relOf(toText))
         val backup = to.suffixed("__graft_mat_backup")
+        // crash recovery FIRST: an attempt that died between the two
+        // renames left the ONLY copy parked at backup — restore it;
+        // blindly dropping backup here would destroy that sole copy
+        if (warehouse.exists(backup) && !warehouse.exists(to))
+          warehouse.rename(backup, to)
         if (warehouse.exists(backup)) warehouse.drop(backup)
         if (warehouse.exists(to)) warehouse.rename(to, backup)
-        warehouse.rename(from, to)
+        try warehouse.rename(from, to)
+        catch {
+          case e: Exception =>
+            // the live table is parked at backup — put it back before
+            // surfacing the failure, or the relation vanishes
+            if (!warehouse.exists(to) && warehouse.exists(backup))
+              warehouse.rename(backup, to)
+            throw e
+        }
         if (warehouse.exists(backup)) warehouse.drop(backup)
       case other =>
         // a WRITE shape the router did not recognize must never execute
@@ -1832,7 +1892,16 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       .filter(t => select.isEmpty ||
         selectNodes(t.modelName + "+").exists(selected.contains))
       .flatMap { t =>
-        val r = runTest(t)
+        // a THROWING source test (missing source file, bad where clause)
+        // is contained exactly like a failing one — the documented
+        // contract is that source failures skip their cone, never abort
+        // the run (on-run-end + run_results must still happen)
+        val r = try runTest(t) catch {
+          case e: Exception =>
+            System.err.println(
+              s"[graft:test] ${t.name} ERRORED — ${e.getMessage}")
+            TestResult(t.name, t.modelName, 0L, "error")
+        }
         testResults.add(r)
         if (r.status == "error") {
           val Array(sn, tn) = t.modelName.stripPrefix("source:").split("\\.", 2)
@@ -1925,10 +1994,14 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       // the declared filter scopes WHICH rows are judged (reference
       // @192559 `where {{ filter }}`) — e.g. only the live partition
       val df = s.filter.foldLeft(readSource(s))(_ filter _)
-      val status = SchemaTests.freshness(df, s.loadedAtField.get,
+      val row = SchemaTests.freshness(df, s.loadedAtField.get,
           current_timestamp(), s.warnAfterH.getOrElse(Int.MaxValue),
           s.errorAfterH.getOrElse(Int.MaxValue))
-        .select(col("status")).collect().head.getString(0)
+        .select(col("max_loaded_at_ms"), col("status")).collect().head
+      // an EMPTY source (or a filter matching nothing) has no loaded_at
+      // to judge — the stalest possible state must not read as 'pass'
+      // (writeDbtSources reports the same row as a runtime error)
+      val status = if (row.isNullAt(0)) "runtime error" else row.getString(1)
       (s"${s.sourceName}.${s.tableName}", status)
     }
 
@@ -1988,7 +2061,13 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
         throw new IllegalArgumentException(
           s"unit test '$name': no mock for source('$sn', '$tn')")),
       thisTarget = "", env = target.env ++ extraEnv, isIncremental = false,
-      vars = mergedVars ++ extraVars)
+      vars = mergedVars ++ extraVars,
+      // a model selecting '{{ invocation_id }}' or {{ target.name }} is
+      // still unit-testable — omitting these skipped its whole cone
+      targetVals = Map("name" -> target.name,
+          "database" -> target.database, "schema" -> target.resolvedSchema),
+        invocationId = Some(invocationId),
+        runStartedAt = Some(runStartedAt))
     // the header must be active for the body's whole LIFETIME here, not
     // just analysis: the caller collects/counts the returned frame after
     // this scope, and a header SET (e.g. a parser policy) changes
@@ -2080,7 +2159,14 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
       refTarget = r => Compiler.pathRelation(
         relationFor(r).pathUnder(target.warehouseRoot)),
       sourceTarget = (s, t) => sourceText(s, t),
-      thisTarget = "", env = target.env, isIncremental = false))))
+      thisTarget = "", env = target.env, isIncremental = false,
+      // '(resolves) like a hook' includes project vars and run context —
+      // a grant macro using var('admin_group') must work here too
+      vars = mergedVars,
+      targetVals = Map("name" -> target.name,
+          "database" -> target.database, "schema" -> target.resolvedSchema),
+        invocationId = Some(invocationId),
+        runStartedAt = Some(runStartedAt)))))
   }
 
   // --------------------------------------------------------- run artifacts
