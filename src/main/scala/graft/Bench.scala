@@ -3,6 +3,25 @@ import org.apache.spark.sql.SparkSession
 import graft.ops.SessionCache
 
 object Bench {
+  /** Truncation-robust pass order for passes >= 2: families (the shared-
+    * staging groups keyed by first letter — SessionCache pins live for
+    * exactly one contiguous family) sorted by DESCENDING pass-1 total,
+    * queries inside each family by descending pass-1 time. A
+    * budget-truncated pass then under-samples only the cheapest tail —
+    * with the alphabetical order, whichever family sorted last lost its
+    * second sample no matter how expensive it was, and min-of-one on a
+    * heavy entry is exactly how phantom tail regressions got printed.
+    * Families stay contiguous, so the per-family pin release boundary
+    * fires once per family, same as the alphabetical order.
+    */
+  def heavyFirstOrder(names: Seq[String],
+                      pass1: Map[String, Double]): Seq[String] =
+    names.groupBy(_.head).toSeq
+      .sortBy { case (fam, qs) =>
+        (-qs.map(q => pass1.getOrElse(q, 0.0)).sum, fam) }
+      .flatMap { case (_, qs) =>
+        qs.sortBy(q => (-pass1.getOrElse(q, 0.0), q)) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -315,8 +334,14 @@ object Bench {
       val stagingPass =
         scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val passCap = if (i == 2) budgetS * 1.6 else budgetS
+      // pass 1 runs alphabetical (no cost data yet); passes >= 2 run
+      // heaviest-first from pass-1 samples, so a truncated pass loses
+      // second samples only for the cheapest entries
+      val order =
+        if (i == 1 || passBuf.isEmpty) names
+        else heavyFirstOrder(names, passBuf.head)
       val (samples, completed) =
-        runPass(names, timed = true, mustComplete = i == 1, capS = passCap,
+        runPass(order, timed = true, mustComplete = i == 1, capS = passCap,
           onSample = s => latestJson =
             Some(scoreboard(passBuf.toSeq :+ s.toMap,
               stagingBuf.toSeq :+ stagingPass.toMap, passesCompleted,

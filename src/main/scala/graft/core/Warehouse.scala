@@ -180,7 +180,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def drop(rel: Relation): Unit = withRelationLock(rel) {
     invalidateRead(rel)
     val p = new Path(path(rel))
-    if (fs.exists(p)) { fs.delete(p, true); () }
+    if (fs.exists(p)) {
+      Warehouse.faultPoint("drop.delete")
+      fs.delete(p, true); ()
+    }
   }
 
   /** Reference `rename_relation` @183544. Manifest entries are relative
@@ -195,6 +198,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     withRelationLock(first) { withRelationLock(second) {
       invalidateRead(from); invalidateRead(to)
       fs.mkdirs(new Path(path(to)).getParent)
+      Warehouse.faultPoint("rename.rename")
       if (!fs.rename(new Path(path(from)), new Path(path(to))))
         throw new IllegalStateException(
           s"rename ${from.fqName} -> ${to.fqName} failed")
@@ -639,8 +643,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val maxSeen = manifestsDescending(rel).headOption.map(_._1).getOrElse(0L)
       val cur = latestManifest(rel).map(_._2).getOrElse(Nil)
       val next = maxSeen + 1
+      Warehouse.faultPoint("commit.claim")
       if (writeManifestIfAbsent(rel, next, normalizeEntries(f(cur)),
           metaF(latestMeta(rel)))) {
+        Warehouse.faultPoint("commit.committed")
         gcVersions(rel, next); return
       }
       attempts += 1
@@ -673,7 +679,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
   private def gcVersions(rel: Relation, latest: Long): Unit = {
     val cutoff = latest - (KeepManifests - 1)
     val (kept, expired) = manifestsDescending(rel).partition(_._1 >= cutoff)
-    expired.foreach { case (_, p) => fs.delete(p, false) }
+    expired.foreach { case (_, p) =>
+      Warehouse.faultPoint("gc.manifest-delete")
+      fs.delete(p, false)
+    }
     val referenced = kept.flatMap { case (_, p) =>
       parseManifest(p).getOrElse(Nil).map(_._1)
     }.toSet
@@ -682,6 +691,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       st.getPath.getName match {
         case VersionName(n) if st.isDirectory &&
           n.toLong < cutoff && !referenced.contains(st.getPath.getName) =>
+          Warehouse.faultPoint("gc.vdir-delete")
           fs.delete(st.getPath, true); ()
         case _ => ()
       }
@@ -1247,6 +1257,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
               throw new IllegalStateException(
                 s"partition restore $rsub -> ${rel.fqName} failed; " +
                   s"backup left at ${path(backup)}")
+            Warehouse.faultPoint("restore.leaf-restored")
           } else walk(rsub)
         }
       }
@@ -1284,10 +1295,16 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                else writer
       w2.parquet(path(tmp))
+      Warehouse.faultPoint("swap.tmp-written")
       assertLockIntact(path(rel)) // zombie-writer fence before the swap
       drop(backup)
-      if (exists(rel)) rename(rel, backup)
+      Warehouse.faultPoint("swap.backup-cleared")
+      if (exists(rel)) {
+        rename(rel, backup)
+        Warehouse.faultPoint("swap.live-backed-up")
+      }
       rename(tmp, rel)
+      Warehouse.faultPoint("swap.new-live")
       drop(backup)
     }
   }
@@ -1311,6 +1328,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
              else writer
     w2.parquet(vdir.toString)
+    Warehouse.faultPoint("mf.overwrite.data-written")
     writeStatsSidecar(vdir); writeBloomSidecar(vdir, bloomCols)
     val parts =
       if (partitionCols.isEmpty) Seq("")
@@ -1449,6 +1467,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
              else writer
     w2.parquet(vdir.toString)
+    Warehouse.faultPoint("mf.append.data-written")
     writeStatsSidecar(vdir); writeBloomSidecar(vdir, bloomCols)
     val parts =
       if (partitionCols.isEmpty) Seq("")
@@ -1682,6 +1701,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val vdir = newVersionDir(rel,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
     distinctKeys.write.mode("overwrite").parquet(vdir.toString)
+    Warehouse.faultPoint("mf.delete.keys-written")
     val n = footerRowsOf(filesUnder(vdir))
     if (n == 0L) { fs.delete(vdir, true); 0L }
     else {
@@ -1742,6 +1762,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
         // MATERIALIZES them — the sole entry below carries no deletes
         clusteredWriter(readEntries(rel, cur), Nil, Nil, zorderCols)
           .write.mode("overwrite").parquet(vdir.toString)
+        Warehouse.faultPoint("mf.compact.data-written")
         writeStatsSidecar(vdir); writeBloomSidecar(vdir)
         commitEntries(rel)(_ => Seq((vdir.getName, "")))
         true
@@ -2070,6 +2091,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       // swap at LEAF granularity: with a multi-column layout only the
       // deepest written dirs move, so sibling sub-partitions survive
       val written = listPartitionPaths(tmp, pcols.length)
+      Warehouse.faultPoint("pswap.tmp-written")
       written.foreach { dir =>
         val tgtDir = new Path(path(rel), dir)
         // the backup rename must be CHECKED: if it fails and tgtDir still
@@ -2077,13 +2099,17 @@ final class Warehouse(val spark: SparkSession, val root: String,
         // (POSIX-fs Hadoop rename moves INTO an existing directory)
         val bdir = new Path(path(backup), dir)
         fs.mkdirs(bdir.getParent)
-        if (fs.exists(tgtDir) && !fs.rename(tgtDir, bdir))
-          throw new IllegalStateException(
-            s"partition backup $dir of ${rel.fqName} failed")
+        if (fs.exists(tgtDir)) {
+          if (!fs.rename(tgtDir, bdir))
+            throw new IllegalStateException(
+              s"partition backup $dir of ${rel.fqName} failed")
+          Warehouse.faultPoint("pswap.leaf-backed-up")
+        }
         fs.mkdirs(tgtDir.getParent)
         if (!fs.rename(new Path(path(tmp), dir), tgtDir))
           throw new IllegalStateException(
             s"partition swap $dir -> ${rel.fqName} failed")
+        Warehouse.faultPoint("pswap.leaf-swapped")
       }
       // pinned partitions with NO replacement rows: deletion is the
       // SEMANTIC intent (the increment is already safe on disk above, so
@@ -2092,6 +2118,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       val writtenVals = written
         .map(d => Warehouse.unescapePathName(d.substring(d.indexOf('=') + 1)))
         .toSet
+      Warehouse.faultPoint("pswap.all-swapped")
       val toDrop = alsoDropValues.filterNot(writtenVals.contains)
       if (toDrop.nonEmpty) dropPartitions(rel, pcols.head, toDrop)
       // leaf dirs the caller KNOWS hold no surviving rows (e.g. a snapshot
@@ -2122,6 +2149,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
     clusteredWriter(df, pcols, clusterCols, zorderCols, layoutWhen)
       .write.mode("overwrite").partitionBy(pcols: _*).parquet(vdir.toString)
+    Warehouse.faultPoint("mf.replace.data-written")
     writeStatsSidecar(vdir); writeBloomSidecar(vdir, bloomCols)
     val written = leafDirs(vdir, pcols.length)
     val writtenSet = written.toSet
@@ -2326,6 +2354,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
           }.filter(_._2 < cutoff).keySet
       var expired = expiredOf(latestManifest(rel).get._2)
       if (expired.nonEmpty) {
+        Warehouse.faultPoint("ttl.pre-commit")
         commitEntries(rel) { cur =>
           expired = expiredOf(cur)
           cur.filterNot(e => !isDeleteEntry(e) && expired.contains(e._2))
@@ -2353,7 +2382,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
         fs.getFileStatus(p).getModificationTime < cutoff
       }
       if (expired.nonEmpty) {
-        expired.foreach { case (_, p) => fs.delete(p, true) }
+        expired.foreach { case (_, p) =>
+          Warehouse.faultPoint("ttl.leaf-delete")
+          fs.delete(p, true)
+        }
         invalidateRead(rel)
       }
       expired.map(_._1).sorted
@@ -2416,6 +2448,26 @@ final class Warehouse(val spark: SparkSession, val root: String,
 }
 
 object Warehouse {
+  /** Crash-consistency fault-injection seam. Every mutation path of the
+    * commit protocol announces a named point here at each externally
+    * visible filesystem transition (data written / backup cleared / live
+    * renamed away / manifest claimed / GC delete / …).
+    * FaultInjectionSpec installs a handler that throws at the N-th
+    * firing to simulate a process crash at exactly that point, then
+    * re-opens the warehouse cold and asserts no torn reads, retry
+    * convergence, and GC safety. The same seam doubles as a race
+    * injector: a handler that performs a concurrent commit (instead of
+    * throwing) forces the CAS-retry interleavings hand-review kept
+    * finding bugs in. Production cost: one volatile read + identity
+    * compare per point.
+    */
+  private[graft] val NoFault: String => Unit = _ => ()
+  @volatile private[graft] var faultHandler: String => Unit = NoFault
+  private[graft] def faultPoint(name: String): Unit = {
+    val h = faultHandler
+    if (h ne NoFault) h(name)
+  }
+
   /** Filesystem schemes with no atomic directory rename — [[CommitMode.Auto]]
     * selects the manifest protocol for these.
     */

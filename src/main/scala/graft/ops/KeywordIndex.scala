@@ -303,6 +303,64 @@ object KeywordQueries {
 
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[String, KeywordIndex]()
+  private val annIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.VectorIndex]()
+  // temp-dir warehouse roots pinned per (session, dir) key — released by
+  // [[releaseIndexes]]; without explicit release they'd live for the
+  // process (fine for bench, a leak in a long-lived service)
+  private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val listenerRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+
+  /** Drop every memoized index of `s` and delete its temp-dir
+    * warehouses. Wired to the session's application end via a
+    * SparkListener (registered at first index build), and callable
+    * directly by a service that closes sessions without ending the app.
+    */
+  def releaseIndexes(s: SparkSession): Unit = {
+    val prefix = s"${s.hashCode()}:"
+    def evict[V](m: java.util.concurrent.ConcurrentHashMap[String, V]): Unit = {
+      val it = m.keySet.iterator()
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    }
+    evict(indexes); evict(annIndexes)
+    val dit = indexDirs.entrySet().iterator()
+    while (dit.hasNext) {
+      val e = dit.next()
+      if (e.getKey.startsWith(prefix)) {
+        dit.remove()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(e.getValue.toFile)
+      }
+    }
+  }
+
+  /** Temp-dir warehouse roots currently pinned for `s` (test-visible). */
+  private[graft] def trackedDirs(s: SparkSession): Seq[java.nio.file.Path] = {
+    val prefix = s"${s.hashCode()}:"
+    import scala.jdk.CollectionConverters._
+    indexDirs.entrySet().asScala.toSeq
+      .filter(_.getKey.startsWith(prefix)).map(_.getValue)
+  }
+
+  private def trackDir(s: SparkSession, key: String,
+                       dir: java.nio.file.Path): Unit = {
+    indexDirs.put(key + "#" + dir.toString, dir)
+    if (listenerRegistered.add(s.hashCode())) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            releaseIndexes(s)
+        })
+    }
+  }
 
   /** Conjunctive search `dup AND vector AND window` over `documents`:
     * `dup` is the corpus's one selective term (~5% df), so the probe
@@ -310,17 +368,38 @@ object KeywordQueries {
     * docs) verifies on the candidates. The oracle re-derives the result
     * by tokenizing every document — the index must agree exactly.
     */
-  def xKeywordSearch(s: SparkSession, d: String): DataFrame = {
-    val idx = indexes.computeIfAbsent(s"${s.hashCode()}:$d", _ => {
-      val wh = new Warehouse(s,
-        java.nio.file.Files.createTempDirectory("graft_kw_idx").toString,
-        graft.core.CommitMode.Manifest)
+  private def builtIndex(s: SparkSession, d: String): KeywordIndex =
+    indexes.computeIfAbsent(s"${s.hashCode()}:$d", key => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_kw_idx")
+      trackDir(s, key, dir)
+      val wh = new Warehouse(s, dir.toString, graft.core.CommitMode.Manifest)
       val i = new KeywordIndex(wh, "docs")
       i.build(documents(s, d))
       i
     })
-    idx.search(documents(s, d), Seq("dup", "vector", "window"))
-  }
+
+  /** Persisted IVF index over the embeddings corpus — the hybrid
+    * search's scale-path dense leg ([[xHybridSearchAnn]]).
+    */
+  private def builtAnnIndex(s: SparkSession, d: String): Similarity.VectorIndex =
+    annIndexes.computeIfAbsent(s"${s.hashCode()}:$d", key => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx")
+      trackDir(s, key, dir)
+      val wh = new Warehouse(s, dir.toString, graft.core.CommitMode.Manifest)
+      // wider probe ring than the knn entries: the fused-top-10 recall
+      // gate (>= 0.9 vs the brute fusion) must hold even on weakly
+      // clustered corpora, and the dense leg's misses surface directly
+      // in the fusion. nprobe/k = 1/4 still prunes 3/4 of the cells —
+      // the partition-pruned scan is the scale story, the ring width is
+      // the recall knob (faiss' standard trade).
+      val i = new Similarity.VectorIndex(wh, "hyb", k = 16, nprobe = 4,
+        maxProbe = 8, probeMargin = 0.1)
+      i.build(Similarity.vecs(s, d))
+      i
+    })
+
+  def xKeywordSearch(s: SparkSession, d: String): DataFrame =
+    builtIndex(s, d).search(documents(s, d), Seq("dup", "vector", "window"))
 
   val xKeywordSearchSql: String =
     """WITH toks AS (
@@ -338,17 +417,9 @@ object KeywordQueries {
     * corpus stats by tokenizing every document and reproduces the
     * identical floor-scaled arithmetic.
     */
-  def xKeywordBm25(s: SparkSession, d: String): DataFrame = {
-    val idx = indexes.computeIfAbsent(s"${s.hashCode()}:$d", _ => {
-      val wh = new Warehouse(s,
-        java.nio.file.Files.createTempDirectory("graft_kw_idx").toString,
-        graft.core.CommitMode.Manifest)
-      val i = new KeywordIndex(wh, "docs")
-      i.build(documents(s, d))
-      i
-    })
-    idx.searchRanked(documents(s, d), Seq("dup", "vector", "window"))
-  }
+  def xKeywordBm25(s: SparkSession, d: String): DataFrame =
+    builtIndex(s, d)
+      .searchRanked(documents(s, d), Seq("dup", "vector", "window"))
 
   /** Hybrid retrieval — reciprocal-rank fusion of the two legs every RAG
     * stack runs side by side: the BM25 keyword ranking (this index) and
@@ -361,36 +432,70 @@ object KeywordQueries {
     * classic 1/(60+rank) floor-scaled to an integer (exact cross-engine,
     * order-free): rrf = Σ_legs 10^9 div (60 + rank).
     */
-  def xHybridSearch(s: SparkSession, d: String): DataFrame = {
-    val idx = indexes.computeIfAbsent(s"${s.hashCode()}:$d", _ => {
-      val wh = new Warehouse(s,
-        java.nio.file.Files.createTempDirectory("graft_kw_idx").toString,
-        graft.core.CommitMode.Manifest)
-      val i = new KeywordIndex(wh, "docs")
-      i.build(documents(s, d))
-      i
-    })
-    val kwTop: Seq[Long] = idx
+  private def kwLegTop20(s: SparkSession, d: String): Seq[Long] =
+    builtIndex(s, d)
       .searchRanked(documents(s, d), Seq("dup", "vector", "window"), k = 20)
       .collect().map(_.getAs[Long]("doc_id")).toSeq
+
+  private def bruteVecTop20(s: SparkSession, d: String): Seq[Long] = {
     val e = Similarity.vecs(s, d)
     val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    val vecTop: Seq[Long] = e.crossJoin(broadcast(qv))
+    e.crossJoin(broadcast(qv))
       .select(col("vec_id"),
         round(graft.functions.VectorFunctions.cosine_sim(col("qv"), col("v")), 6)
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
       .collect().map(_.getAs[Long]("vec_id")).toSeq
+  }
+
+  /** RRF over the two ranked legs, top-10: rrf = Σ 10^9 div (60+rank),
+    * ties by doc_id — integer-exact cross-engine.
+    */
+  private def rrfFuse(kw: Seq[Long], vec: Seq[Long]): Seq[(Long, Long)] = {
     def rrf(ranked: Seq[Long]): Map[Long, Long] =
       ranked.zipWithIndex.map { case (id, i) =>
         id -> 1000000000L / (60L + i + 1L) }.toMap
-    val fused = (rrf(kwTop).toSeq ++ rrf(vecTop).toSeq)
+    (rrf(kw).toSeq ++ rrf(vec).toSeq)
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
       .sortBy { case (id, sc) => (-sc, id) }.take(10)
-    import s.implicits._
-    fused.toDF("doc_id", "rrf")
   }
+
+  def xHybridSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    rrfFuse(kwLegTop20(s, d), bruteVecTop20(s, d)).toDF("doc_id", "rrf")
+  }
+
+  /** Hybrid retrieval with the dense leg served by the persisted IVF
+    * [[Similarity.VectorIndex]] instead of the brute broadcast scan —
+    * the 100 TB shape: the keyword leg probes posting-list partitions,
+    * the dense leg partition-prunes to its probed cells, and RRF fusion
+    * stays a driver-side merge of ≤40 control-plane rows. The IVF probe
+    * is approximate (recall < 1 by construction), so the ORACLE-STABLE
+    * output is the brute fusion (SQL twin recomputes it exactly) plus an
+    * `ann_recall_ok` gate: the ANN-leg fusion's top-10 must overlap the
+    * brute fusion's top-10 at >= 0.9 recall, pinned `true` by the oracle
+    * — the same exact-rows + pinned-recall pattern as
+    * [[Similarity.knnIvfPqGate]]. The dense leg includes the query
+    * vector itself at rank 1 (cos 1.0, the brute leg's invariant); the
+    * index excludes self-matches, so it is re-prepended.
+    */
+  def xHybridSearchAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kw = kwLegTop20(s, d)
+    val bruteFused = rrfFuse(kw, bruteVecTop20(s, d))
+    val e = Similarity.vecs(s, d)
+    val q = e.filter(col("vec_id") === 0)
+    val annNeighbors = builtAnnIndex(s, d).query(q, topK = 19)
+      .orderBy(col("knn_rank"))
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val annFused = rrfFuse(kw, 0L +: annNeighbors)
+    val recall = annFused.map(_._1).toSet
+      .intersect(bruteFused.map(_._1).toSet).size.toDouble / bruteFused.size
+    bruteFused.toDF("doc_id", "rrf")
+      .withColumn("ann_recall_ok", lit(recall >= 0.9))
+  }
+
 
   val xHybridSearchSql: String =
     """WITH toks AS (
@@ -446,6 +551,13 @@ object KeywordQueries {
       |       + coalesce(1000000000 // (60 + vec.r), 0) AS BIGINT) AS rrf
       |  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
       |SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Oracle twin of [[xHybridSearchAnn]]: the brute fusion recomputed
+    * exactly, recall gate pinned true.
+    */
+  lazy val xHybridSearchAnnSql: String =
+    s"""SELECT doc_id, rrf, true AS ann_recall_ok
+       |FROM ($xHybridSearchSql) h""".stripMargin
 
   val xKeywordBm25Sql: String =
     """WITH toks AS (

@@ -76,26 +76,39 @@ object PartitionFilterGuard {
     // re-instances the second copy's attributes with fresh exprIds, so
     // that copy's scan carries an IsNotNull no analyzed Filter's exprId
     // can claim. Complement: per guarded path, the column NAMES filtered
-    // by Filters whose OWN subtree scans that path — name matching scoped
-    // to the relation keeps a same-named column of another joined table
-    // excluded (such a filter's subtree does not contain the guarded
-    // scan), which is the exprId rule's whole point.
+    // by Filters whose OWN subtree scans that path AND ONLY that path —
+    // a filter sitting above a join contains the guarded scan too, so
+    // without the only-this-path restriction `join(dim).filter(
+    // dim("pcol").isNotNull)` would re-admit a same-named column of the
+    // OTHER table, exactly the false-accept the exprId rule closes. The
+    // CTE-re-instancing case this complement exists for is unaffected:
+    // the re-instanced Filter lives INSIDE the CTE body, below any join,
+    // so its subtree scans the guarded relation alone.
     import org.apache.spark.sql.execution.datasources.{
       HadoopFsRelation, LogicalRelation}
-    def scanPathsUnder(
-        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Seq[String] = p.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.toSeq.map(x => norm(x.toString))
-        case _ => Nil
+    // every LEAF under the filter must be a file scan of the guarded
+    // path — checking only the file scans would vacuously admit a
+    // post-join filter when the other join side is an in-memory or
+    // non-file relation (no path to fail the forall)
+    def leavesOnlyGuarded(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        prefix: String): Boolean = {
+      val leaves = p.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val roots = fs.location.rootPaths.toSeq.map(x => norm(x.toString))
+            roots.nonEmpty && roots.forall(r =>
+              r == prefix || r.startsWith(prefix + "/"))
+          case _ => false
+        }
+        case _ => false
       }
-    }.flatten
+    }
     val filterNamesByGuard: Map[String, Set[String]] = normed.map { g =>
       g.pathPrefix -> analyzed.collect {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-            if scanPathsUnder(f.child).exists(r =>
-              r == g.pathPrefix || r.startsWith(g.pathPrefix + "/")) =>
+            if leavesOnlyGuarded(f.child, g.pathPrefix) =>
           f.condition.references.map(_.name.toLowerCase).toSet
       }.flatten.toSet
     }.toMap

@@ -125,6 +125,26 @@ object DbtProjectLoader {
     // ('select:a,b|insert:c'). Silently dropping the mapping (the old
     // behavior: the collects matched scalars only) is the exact
     // silently-dropped-config failure the scalar parsers refuse loudly.
+    // the pipe form is re-split by applyConfigKv on '|' then ':' — a
+    // key or value carrying either delimiter (legal YAML) would be
+    // silently re-split into DIFFERENT entries downstream. Fail loudly
+    // instead (BigQuery's label charset forbids both anyway).
+    def noDelims(what: String, s: String): String = {
+      if (s.contains("|") || s.contains(":"))
+        throw new IllegalArgumentException(
+          s"$what '$s' may not contain ':' or '|' — these are the " +
+            "flattened-config delimiters and would silently re-split " +
+            "into different entries")
+      s
+    }
+    def noComma(what: String, s: String): String = {
+      if (s.contains(","))
+        throw new IllegalArgumentException(
+          s"$what '$s' may not contain ',' — it is the grantee-list " +
+            "delimiter and would silently re-split into different grantees")
+      s
+    }
+
     def flattenGrants(o: Obj): String = o.entries.map {
       case (p, Arr(items)) =>
         // every item must be a non-empty scalar grantee — a mixed list
@@ -132,14 +152,17 @@ object DbtProjectLoader {
         // non-scalar entry (the same partial-silent-drop the scalar
         // parsers refuse)
         val gs = items.map {
-          case Scalar(v) if v.trim.nonEmpty => v.trim
+          case Scalar(v) if v.trim.nonEmpty =>
+            noDelims("grants: grantee", noComma("grants: grantee", v.trim))
           case bad => throw new IllegalArgumentException(
             s"grants: privilege '$p' grantee list holds a non-scalar or " +
               s"empty entry ($bad) — grantees must be plain names")
         }
         require(gs.nonEmpty, s"grants: privilege '$p' needs at least one grantee")
-        s"$p:${gs.mkString(",")}"
-      case (p, Scalar(v)) if v.trim.nonEmpty => s"$p:${v.trim}"
+        s"${noDelims("grants: privilege", p)}:${gs.mkString(",")}"
+      case (p, Scalar(v)) if v.trim.nonEmpty =>
+        s"${noDelims("grants: privilege", p)}:${
+          noDelims("grants: grantee", noComma("grants: grantee", v.trim))}"
       case (p, _) => throw new IllegalArgumentException(
         s"grants: privilege '$p' expects a grantee or a list of grantees")
     }.mkString("|")
@@ -149,7 +172,8 @@ object DbtProjectLoader {
     // parses ('team:core|env:prod'). Values must be scalars — anything
     // else fails loudly, same policy as grants above.
     def flattenLabels(o: Obj): String = o.entries.map {
-      case (k, Scalar(v)) => s"$k:${v.trim}"
+      case (k, Scalar(v)) =>
+        s"${noDelims("labels: key", k)}:${noDelims("labels: value", v.trim)}"
       case (k, _) => throw new IllegalArgumentException(
         s"labels: '$k' expects a scalar value")
     }.mkString("|")

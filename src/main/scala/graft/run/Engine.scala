@@ -737,8 +737,16 @@ final class Engine(spark: SparkSession, project0: Project, target: Target) {
                 // where ref() itself resolves, or the canonical
                 // `load_relation(ref(x)) is not none` guard takes the
                 // missing-branch while the ref would read prod data
-                case Some(prod) if !selected.contains(a) &&
-                    new java.io.File(r.pathUnder(prod)).exists() =>
+                // existence probed through Hadoop FS, not java.io.File:
+                // the defer root may be an object store (s3/gs/abfs —
+                // schemes the Warehouse supports), where a local-File
+                // probe is always false and the guard would take the
+                // missing branch while ref() resolves to prod
+                case Some(prod) if !selected.contains(a) && {
+                  val p = new org.apache.hadoop.fs.Path(r.pathUnder(prod))
+                  p.getFileSystem(spark.sessionState.newHadoopConf())
+                    .exists(p)
+                } =>
                   Some(Compiler.pathRelation(r.pathUnder(prod)))
                 case _ => None
               }

@@ -244,9 +244,18 @@ object StreamingJobs {
     val schema = df.schema // empty-result reads need it declared
     val writeMode =
       if (mode == OutputMode.Complete()) "overwrite" else "append"
+    // foreachBatch is at-least-once: a recovered query re-delivers the
+    // last batch. The memory sink this replaced deduped replays by
+    // batchId; preserve that contract — skip any batchId already
+    // written (ids are monotone per query, and foreachBatch runs on
+    // the driver, so a plain volatile suffices).
+    @volatile var lastBatchId = -1L
     val q = df.writeStream.outputMode(mode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(writeMode).parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastBatchId) {
+          batch.write.mode(writeMode).parquet(outDir)
+          lastBatchId = batchId
+        }
         ()
       }
       .queryName(name).start()

@@ -1076,6 +1076,42 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("select"), e.getMessage)
   }
 
+  test("grants/labels refuse delimiter characters instead of re-splitting") {
+    // the flattened pipe form is re-split on '|' then ':' (and grantee
+    // lists on ','); a value carrying a delimiter — legal YAML — would
+    // be silently re-split into DIFFERENT entries downstream. Must fail
+    // loudly (fail-loudly-never-drop policy).
+    def projWith(yml: String): java.nio.file.Path = {
+      val p = Files.createTempDirectory("graft_delim")
+      put(p, "dbt_project.yml", yml)
+      put(p, "models/base.sql", "SELECT 1 AS one")
+      p
+    }
+    val labelBad = projWith(
+      """name: lb_bad
+        |models:
+        |  lb_bad:
+        |    +labels:
+        |      team: "a|team:x"
+        |""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      ProjectLoader.load(labelBad.toString)
+    }
+    assert(e1.getMessage.contains("labels"), e1.getMessage)
+    val grantBad = projWith(
+      """name: gr_bad
+        |models:
+        |  gr_bad:
+        |    +grants:
+        |      select:
+        |        - "role:analyst,auditor"
+        |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      ProjectLoader.load(grantBad.toString)
+    }
+    assert(e2.getMessage.contains("grantee"), e2.getMessage)
+  }
+
   test("bigquery_options labels + kms_key_name load, export, catalog") {
     // reference bigquery_options (manifest.json:1 @15210): labels and
     // kms_key_name are inert in a parquet warehouse but a ported project

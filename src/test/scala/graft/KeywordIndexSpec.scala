@@ -258,4 +258,36 @@ class KeywordIndexSpec extends AnyFunSuite {
     assert(!idx.appendStreamBatch(batch, "kw_ingest", 0L))
     assert(wh.read(postRel).count() == n1)
   }
+
+  test("hybrid ANN leg: fused top-10 recall >= 0.9 vs the brute fusion") {
+    val ann = graft.ops.KeywordQueries.xHybridSearchAnn(spark, sf)
+    val rows = ann.collect()
+    assert(rows.length == 10)
+    // the entry's own recall gate — false here means the IVF dense leg
+    // fused differently enough to break the >= 0.9 contract
+    assert(rows.forall(_.getAs[Boolean]("ann_recall_ok")),
+      "ANN-leg fusion recall below 0.9 vs brute fusion")
+    // and the exact rows match the brute fusion (oracle-stable output)
+    val brute = graft.ops.KeywordQueries.xHybridSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == brute)
+  }
+
+  test("releaseIndexes deletes the memoized temp-dir warehouses (session close)") {
+    // build both index families for this (session, dir) key
+    graft.ops.KeywordQueries.xKeywordSearch(spark, sf).collect()
+    graft.ops.KeywordQueries.xHybridSearchAnn(spark, sf).collect()
+    val dirs = graft.ops.KeywordQueries.trackedDirs(spark)
+    assert(dirs.nonEmpty, "no index temp dirs were tracked")
+    assert(dirs.forall(java.nio.file.Files.exists(_)))
+    // releaseIndexes is what the registered SparkListener invokes on
+    // application end; calling it directly asserts the same teardown
+    graft.ops.KeywordQueries.releaseIndexes(spark)
+    assert(dirs.forall(!java.nio.file.Files.exists(_)),
+      s"index temp dirs survived release: ${dirs.filter(java.nio.file.Files.exists(_))}")
+    assert(graft.ops.KeywordQueries.trackedDirs(spark).isEmpty)
+    // memoization rebuilt transparently on next use
+    assert(graft.ops.KeywordQueries.xKeywordSearch(spark, sf).collect()
+      .nonEmpty)
+  }
 }

@@ -319,5 +319,24 @@ class PlanSpec extends AnyFunSuite {
     PartitionFilterGuard.assertPruned(spark.sql(
       """WITH c AS (SELECT * FROM guarded_t WHERE pk IS NOT NULL)
         |SELECT a.v FROM c a JOIN c b ON a.pk = b.pk""".stripMargin), g)
+    // POST-JOIN filter on the OTHER table's same-named column: the
+    // filter sits above the join, so its subtree contains the guarded
+    // scan too — the name complement must NOT let it satisfy the guard
+    // (it is scoped to filters whose subtree scans ONLY the guarded
+    // path). This is the exprId false-accept re-opened in the post-join
+    // position.
+    val e4 = intercept[IllegalStateException] {
+      PartitionFilterGuard.assertPruned(
+        base.join(dim, base("pk") === dim("pk"))
+          .filter(dim("pk").isNotNull)
+          .select(base("v"), base("pk")), g)
+    }
+    assert(e4.getMessage.contains("require_partition_filter"), e4.getMessage)
+    // ...while a post-join filter on the GUARDED table's own column is
+    // still accepted via exprId matching (no regression from scoping)
+    PartitionFilterGuard.assertPruned(
+      base.join(dim, base("pk") === dim("pk"))
+        .filter(base("pk").isNotNull)
+        .select(base("v"), base("pk")), g)
   }
 }
