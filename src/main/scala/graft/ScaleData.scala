@@ -110,13 +110,29 @@ object ScaleData {
 
     val vecs = read("embeddings")
     val vSpan = keySpan(vecs, "vec_id")
+    // replica transform must stay orthogonal (pairwise cosines within a
+    // replica preserved) yet distinct per replica. Plain rotation by i
+    // breaks past the dimension (slice length goes negative — found by
+    // the 100-replica build): rotate by i mod dim and compose with a
+    // sign-flip of the first (i div dim) coordinates — a diagonal ±1
+    // matrix, also orthogonal — so every replica up to dim*(dim+1) gets
+    // a distinct transform. i < dim keeps the historic pure rotation
+    // (sf1/sf3 corpora reproduce bit-identically).
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
     writeOne(replicate(vecs) { (d, i) =>
-      val emb =
-        if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
-      d.withColumn("vec_id", col("vec_id") + lit(i * vSpan))
-        .withColumn("embedding", emb) }, "embeddings")
+      val r = i % dim
+      val s = i / dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))")
+      val base =
+        if (s == 0) d.withColumn("embedding", rotated)
+        else d.withColumn("__rot", rotated)
+          .withColumn("embedding",
+            expr(s"transform(__rot, (x, j) -> IF(j < $s, -x, x))"))
+          .drop("__rot")
+      base.withColumn("vec_id", col("vec_id") + lit(i * vSpan)) }, "embeddings")
 
     spark.stop()
   }

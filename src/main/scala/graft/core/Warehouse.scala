@@ -2265,6 +2265,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
             case VersionName(_) if st.isDirectory &&
                 !referenced.contains(st.getPath.getName) &&
                 st.getModificationTime < cutoff =>
+              Warehouse.faultPoint("orphan-gc.delete")
               fs.delete(st.getPath, true)
               Some(st.getPath.getName)
             case _ => None

@@ -390,6 +390,43 @@ class FaultInjectionSpec extends AnyFunSuite {
     assert(ids(wh3) == Seq(3L, 4L))
   }
 
+  test("manifest: orphan-vdir vacuum survives a crash at every point") {
+    // an orphan = a writer that crashed after its data write, before its
+    // manifest claim (exactly what crashing mf.overwrite.data-written
+    // leaves behind). The sweep: age the orphan, vacuum it, crash at
+    // every vacuum point, assert committed data untouched throughout and
+    // the retry completes the reclaim.
+    def setupWithOrphan(wh: Warehouse): Unit = {
+      wh.writeAtomic(df(1, 2), R)
+      crashAtPoint("mf.overwrite.data-written", "orphan-setup")(
+        wh.writeAtomic(df(9), R))
+      // age every unreferenced version dir past the sweep horizon
+      val mf = java.nio.file.Paths.get(wh.path(R), "_graft")
+      val referenced = wh.manifestEntries(R).getOrElse(Nil).map(_._1).toSet
+      val s = Files.list(mf)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isDirectory(p) &&
+              !referenced.contains(p.getFileName.toString))
+            Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(1000L))
+        }
+      } finally s.close()
+    }
+    sweep(Scenario("mf-orphan-gc", CommitMode.Manifest,
+      setup = setupWithOrphan,
+      op = wh => { wh.gcOrphanVersions(R, olderThanMs = 60000L); () },
+      before = Seq(1L, 2L), after = Seq(1L, 2L), strictReads = true))
+    // and the reclaim actually happened: no unreferenced vdirs remain
+    val root = Files.createTempDirectory("graft_fi_orphan_post").toString
+    val wh = mkWh(root, CommitMode.Manifest)
+    setupWithOrphan(wh)
+    val removed = wh.gcOrphanVersions(R, olderThanMs = 60000L)
+    assert(removed.nonEmpty, "vacuum reclaimed nothing — orphan not seen")
+  }
+
   // ============================================= race rows via the seam
 
   test("race: TTL expiry CAS-retry must not unlink a racing refresh (r17)") {
