@@ -387,13 +387,18 @@ object KeywordQueries {
       trackDir(s, key, dir)
       val wh = new Warehouse(s, dir.toString, graft.core.CommitMode.Manifest)
       // wider probe ring than the knn entries: the fused-top-10 recall
-      // gate (>= 0.9 vs the brute fusion) must hold even on weakly
-      // clustered corpora, and the dense leg's misses surface directly
-      // in the fusion. nprobe/k = 1/4 still prunes 3/4 of the cells —
-      // the partition-pruned scan is the scale story, the ring width is
-      // the recall knob (faiss' standard trade).
-      val i = new Similarity.VectorIndex(wh, "hyb", k = 16, nprobe = 4,
-        maxProbe = 8, probeMargin = 0.1)
+      // gate (>= 0.9 vs the brute fusion) must hold on the SYNTHETIC
+      // corpus, whose embeddings are near-random — measured leg recall
+      // tracks the probed fraction almost exactly (no cluster structure
+      // for the coarse quantizer to exploit; the 10x sweep caught
+      // nprobe=4 decaying below the gate). nprobe 6 of k=16 probes 3/8
+      // and clears the gate at 1x/10x/skew; real embedding corpora have
+      // the cluster structure that IVF's premise assumes, where the
+      // same recall comes at far smaller fractions — the ring width is
+      // the per-corpus recall knob (faiss' standard trade), the
+      // partition-pruned scan shape is the scale story.
+      val i = new Similarity.VectorIndex(wh, "hyb", k = 16, nprobe = 6,
+        maxProbe = 10, probeMargin = 0.1)
       i.build(Similarity.vecs(s, d))
       i
     })
