@@ -1196,6 +1196,36 @@ final class Warehouse(val spark: SparkSession, val root: String,
     if (partitionCols.isEmpty) df
     else df.repartition(partitionCols.map(df.col): _*)
 
+  /** Output-file sizing for UNPARTITIONED writes: a rebalance shuffle
+    * that AQE sizes to `advisoryPartitionSizeInBytes` — one file per
+    * advisory chunk instead of one per upstream task. Without it a write
+    * inherits the source parallelism: a control-plane frame (stats rows,
+    * codebooks, df tables) lands as `defaultParallelism` near-empty
+    * files, each paying task launch + footer + stats-sidecar + listing
+    * cost on every later read — and a big frame can just as easily land
+    * as too FEW giant files. The partitioned paths already shuffle via
+    * [[partitionAligned]] (an AQE-coalescible exchange), so this covers
+    * only the unpartitioned branch. A frame whose plan already ENDS in an
+    * explicit distribution (repartition / repartitionByRange / coalesce,
+    * optionally under a partition-local sort) is the caller declaring its
+    * own layout — re-shuffling it would silently undo that (e.g. a
+    * hand-range-distributed contrast table), so those pass through
+    * untouched. `graft.write.rebalance=false` opts out per session.
+    */
+  private def sizedForWrite(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def explicitlyDistributed(p: LogicalPlan): Boolean = p match {
+      case _: RepartitionOperation => true
+      case _: RebalancePartitions => true
+      case s: Sort if !s.global => explicitlyDistributed(s.child)
+      case pr: Project => explicitlyDistributed(pr.child)
+      case _ => false
+    }
+    if (spark.conf.getOption("graft.write.rebalance").contains("false") ||
+        explicitlyDistributed(df.queryExecution.logical)) df
+    else df.hint("rebalance")
+  }
+
   private def clusteredWriter(df: DataFrame, partitionCols: Seq[String],
                               clusterCols: Seq[String],
                               zorderCols: Seq[String] = Nil,
@@ -1208,12 +1238,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
       // partitioned: rows stay aligned to their dirs; z-sort within.
       if (partitionCols.isEmpty)
         ZOrder.layout(df, zorderCols,
-          intConf("graft.zorder.partitions",
-            spark.sessionState.conf.numShufflePartitions))
+          spark.conf.getOption("graft.zorder.partitions").map(_.toInt))
       else ZOrder.sortOnly(partitionAligned(df, partitionCols), zorderCols,
         layoutWhen)
     } else {
-      val aligned = partitionAligned(df, partitionCols)
+      val aligned =
+        if (partitionCols.isEmpty) sizedForWrite(df)
+        else partitionAligned(df, partitionCols)
       if (clusterCols.nonEmpty) {
         // scoped layout: rows outside `layoutWhen` take NULL sort keys —
         // they skip the comparison work and keep arrival order, while
@@ -1376,7 +1407,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
         bloomCols = bloomCols)
       else {
         restorePartitionBackup(rel)
-        val writer = partitionAligned(df, partitionCols).write.mode("append")
+        val sized =
+          if (partitionCols.isEmpty) sizedForWrite(df)
+          else partitionAligned(df, partitionCols)
+        val writer = sized.write.mode("append")
         val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
                  else writer
         w2.parquet(path(rel))
@@ -1463,7 +1497,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
                                bloomCols: Seq[String] = Nil): Unit = {
     val vdir = newVersionDir(rel,
       manifestsDescending(rel).headOption.map(_._1).getOrElse(0L) + 1)
-    val writer = partitionAligned(df, partitionCols).write.mode("overwrite")
+    val sized =
+      if (partitionCols.isEmpty) sizedForWrite(df)
+      else partitionAligned(df, partitionCols)
+    val writer = sized.write.mode("overwrite")
     val w2 = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
              else writer
     w2.parquet(vdir.toString)

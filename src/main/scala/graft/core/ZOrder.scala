@@ -90,15 +90,21 @@ object ZOrder {
   }
 
   /** Lay `df` out along the z-curve of `cols`: one bounds agg, then a
-    * range repartition into `numPartitions` write tasks and a partition-
-    * local sort on the z-value (dropped before return). Rows are
-    * untouched — only their file placement changes.
+    * range repartition and a partition-local sort on the z-value
+    * (dropped before return). Rows are untouched — only their file
+    * placement changes. With `numPartitions` unset the range exchange is
+    * left AQE-coalescible, so the write-task count adapts to the DATA
+    * SIZE (advisoryPartitionSizeInBytes) instead of a constant tuned for
+    * one scale — a fixed count under-splits a 100 TB layout and shreds a
+    * 10 MB one into empty files.
     */
-  def layout(df: DataFrame, cols: Seq[String], numPartitions: Int): DataFrame = {
+  def layout(df: DataFrame, cols: Seq[String],
+             numPartitions: Option[Int] = None): DataFrame = {
     val dims = dimsWithBounds(df, cols)
     val zc = "__graft_zvalue"
-    df.withColumn(zc, zvalue(dims, bitsFor(cols.size)))
-      .repartitionByRange(math.max(1, numPartitions), col(zc))
+    val zdf = df.withColumn(zc, zvalue(dims, bitsFor(cols.size)))
+    numPartitions.map(n => zdf.repartitionByRange(math.max(1, n), col(zc)))
+      .getOrElse(zdf.repartitionByRange(col(zc)))
       .sortWithinPartitions(zc)
       .drop(zc)
   }

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
 object Multimodal {
   import TData._
 
+  // javax.imageio defaults to DISK-backed stream caches: every
+  // ImageIO.write/read against an in-memory stream creates (and deletes)
+  // a temp file. These codecs run per document (and per FRAME in the
+  // demuxer), so the default turns a CPU-bound decode into tmp-dir file
+  // churn. Memory caching changes no bytes — encodes/decodes stay real.
+  ImageIO.setUseCache(false)
+
   /** The published fixture rule: image dims derived from text LENGTH
     * (small on purpose — the decode cost scales with rows, not with a
     * production frame size, and correctness is dimension-independent).
@@ -51,13 +58,12 @@ object Multimodal {
     val (w, h) = dims(text.length)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
-    var i = 0
+    // bulk row-major fill: TYPE_BYTE_GRAY is a single-band byte raster,
+    // so the pixel array IS the text bytes zero-padded to w*h
     val n = w * h
-    while (i < n) {
-      val v = if (i < text.length) text(i) & 0xff else 0
-      raster.setSample(i % w, i / w, 0, v)
-      i += 1
-    }
+    val px = new Array[Byte](n)
+    System.arraycopy(text, 0, px, 0, math.min(text.length, n))
+    raster.setDataElements(0, 0, w, h, px)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -84,13 +90,11 @@ object Multimodal {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       val raster = img.getRaster
       val w = img.getWidth; val h = img.getHeight
+      // one bulk getSamples instead of w*h virtual getSample calls
+      val px = raster.getSamples(0, 0, w, h, 0, null: Array[Int])
       var sum = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-        y += 1
-      }
+      var i = 0
+      while (i < px.length) { sum += px(i); i += 1 }
       MediaMeta(id, w, h, w.toLong * h, sum)
     }
 
@@ -139,12 +143,9 @@ object Multimodal {
       try g.drawImage(img, 0, 0, rw, rh, null) finally g.dispose()
       val raster = img.getRaster
       val hist = new Array[Long](8)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { hist(raster.getSample(x, y, 0) % 8) += 1; x += 1 }
-        y += 1
-      }
+      val px = raster.getSamples(0, 0, w, h, 0, null: Array[Int])
+      var i = 0
+      while (i < px.length) { hist(px(i) % 8) += 1; i += 1 }
       MediaFeatures(id, resized.getWidth, resized.getHeight,
         hist.mkString(","))
     }

@@ -1232,11 +1232,22 @@ object TextOps {
         slice(col("l"), lit(2), size(col("l")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // One rate table, one stream join: the two vocabulary aggregates fold
+    // into rates(w1, w2, ts) first (an aggregate-sized join), then the
+    // per-occurrence stream joins ONCE — the previous bg⋈bic⋈uni chain
+    // joined the stream twice. No join hints: size estimates scale with
+    // the input, so at corpus scale the planner lands on a shuffle join
+    // keyed co-partitioned with the bic aggregation (the tfidfTerms
+    // rationale). (A fully aggregate-first variant — group bg to
+    // (doc, w1, w2) counts before the rate join — was measured SLOWER at
+    // sf0.1: the extra exchange ships wide string pairs, while
+    // re-deriving bg is a scan-local codegen explode, the same trade the
+    // shingles pin documents.)
     val uni = toks.groupBy("term").agg(count(lit(1)).as("cu"))
     val bic = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    bg.join(bic, Seq("w1", "w2"))
-      .join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
-      .withColumn("ts", expr("(1000000 * cb) DIV cu"))
+    val rates = bic.join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
+      .select(col("w1"), col("w2"), expr("(1000000 * cb) DIV cu").as("ts"))
+    bg.join(rates, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(expr("sum(ts) DIV count(1)").as("lm_score"))
   }
@@ -1379,8 +1390,15 @@ object TextOps {
     */
   def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withLang = lmScore(s, d)
-      .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    // PERSISTED (narrow: doc_id, lang, lm_score): the scored frame feeds
+    // both the threshold derivation AND the final bucket projection —
+    // uncached, each branch re-ran the whole LM-scoring pipeline
+    // (tokenize + bigram joins) end to end, the same double-subtree the
+    // dsirfeats pin exists for
+    val withLang = SessionCache.getOrElseUpdate(s, s"ccnet_scores:$d")(
+      lmScore(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER))
     val counts = withLang.groupBy(col("lang"), col("lm_score"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("lang")).orderBy(col("lm_score"))
@@ -2058,19 +2076,29 @@ object TextOps {
     * is a broadcast rate join + per-row explode on the surviving slice.
     */
   def pretrainingPipeline(s: SparkSession, d: String): DataFrame = {
-    val clean = decontaminateSpans(s, d)
-      .filter(size(split(col("clean_text"), " ")) >= 30)
-    val kept = clean
-      .withColumn("m", md5(col("clean_text")))
-      .withColumn("src_id", col("doc_id") % 1000000L)
-    val firsts = kept.groupBy(col("m")).agg(min(col("doc_id")).as("keep_id"))
-    val deduped = kept.join(firsts, "m")
+    import org.apache.spark.sql.expressions.Window
+    // Single-subtree shape: the span-excision pipeline runs ONCE. The
+    // previous groupBy+self-join dedup re-derived the whole
+    // decontaminateSpans subtree for BOTH join sides, and epochFanOut's
+    // rate derivation re-derived it a third time — 76 parquet scans in
+    // the physical plan. The md5 keep-first is a window min over the
+    // NARROW (m, doc_id) projection (md5 groups are the 5%-dup fixture's
+    // tiny clusters — bounded partitions, not the domainCap skew shape),
+    // and the epoch rates come from the documents source column (a
+    // superset of deduped's sources; the inner rate join is unchanged).
+    val kept = decontaminateSpans(s, d)
+      .withColumn("n_words", size(split(col("clean_text"), " ")).cast("long"))
+      .filter(col("n_words") >= 30)
+      .select(col("doc_id"), md5(col("clean_text")).as("m"),
+        (col("doc_id") % 1000000L).as("src_id"), col("n_words"))
+    val deduped = kept
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("m")))
       .filter(col("doc_id") === col("keep_id"))
       .join(documents(s, d).select(col("doc_id").as("src_id"),
         col("source")), "src_id")
-      .select(col("doc_id"), col("source"),
-        size(split(col("clean_text"), " ")).cast("long").as("n_words"))
-    epochFanOut(deduped)
+      .select(col("doc_id"), col("source"), col("n_words"))
+    epochFanOut(deduped,
+      ratesFrom = Some(documents(s, d).select(col("source"))))
       .select(col("doc_id"), col("source"), col("n_words"), col("epoch"))
   }
 
@@ -2318,11 +2346,17 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))
         .as("gram"))
-    val df = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
-    g.join(df, "gram")
+    // aggregate FIRST: one (doc_id, gram) occurrence-count pass replaces
+    // the previous shape that exploded the gram stream twice (df branch +
+    // join branch) and ran countDistinct's two-level exchange over raw
+    // occurrences; nd = rows per gram of the distinct-pair frame, and the
+    // per-doc totals fold the occurrence counts back in
+    val g1 = g.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("k"))
+    val df = g1.groupBy("gram").agg(count(lit(1)).as("nd"))
+    g1.join(df, "gram")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup"))
+      .agg(sum(col("k")).as("n_grams"),
+        sum(when(col("nd") > 1, col("k")).otherwise(0L)).as("dup"))
       .select(col("doc_id"), col("n_grams"),
         expr("dup * 1000000 div n_grams").as("dup_ppm"))
   }
@@ -2796,12 +2830,17 @@ object TextOps {
     * rather than being empty, so zero-copy docs must never reach it.
     * BIGINT sequence so the ordinal types match generate_series.
     */
-  private def epochFanOut(df: DataFrame): DataFrame = {
+  private def epochFanOut(df: DataFrame,
+                          ratesFrom: Option[DataFrame] = None): DataFrame = {
     // a source name with no digits regex-replaces to '' — try_cast+coalesce
     // gives such sources the epoch-0 rate band instead of a NULL epoch_bp
     // (which would silently drop every doc of that source at n_copies > 0);
-    // the oracle twin below carries the identical coalesce
-    val rates = df.select(col("source")).distinct()
+    // the oracle twin below carries the identical coalesce.
+    // `ratesFrom`: derive the rate table from a CHEAP superset frame
+    // (rates are a pure function of the source name; extra sources never
+    // match the inner join) instead of re-deriving `df`'s whole subtree
+    // a second time just to list its distinct sources.
+    val rates = ratesFrom.getOrElse(df).select(col("source")).distinct()
       .withColumn("epoch_bp", expr(
         "(COALESCE(TRY_CAST(regexp_replace(source, '[^0-9]', '') AS BIGINT), 0)" +
           " % 5 + 1) * 6000"))

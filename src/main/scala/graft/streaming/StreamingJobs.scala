@@ -253,7 +253,14 @@ object StreamingJobs {
     val q = df.writeStream.outputMode(mode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastBatchId) {
-          batch.write.mode(writeMode).parquet(outDir)
+          // one file per micro-batch: the batch inherits the stateful
+          // plan's full shuffle parallelism, which writes dozens of
+          // near-empty files per trigger (AQE cannot coalesce inside a
+          // streaming plan). The equivalence harness runs a BOUNDED
+          // corpus, so a single sink file per batch is the right sizing;
+          // production-scale ingestion goes through the warehouse
+          // appender (appendStreamBatch), which sizes its own output.
+          batch.repartition(1).write.mode(writeMode).parquet(outDir)
           lastBatchId = batchId
         }
         ()

@@ -58,7 +58,7 @@ class ZOrderSpec extends AnyFunSuite {
       .as[Long].head()
     assert(zn >= 0L)
     intercept[IllegalArgumentException] {
-      ZOrder.layout(df, Seq("name"), 2)
+      ZOrder.layout(df, Seq("name"), Some(2))
     }
   }
 
@@ -174,7 +174,7 @@ class ZOrderSpec extends AnyFunSuite {
     val s = spark; import s.implicits._
     val df = (0 until 256).map(i => (i.toLong, (i * 37 % 256).toLong))
       .toDF("a", "b")
-    val laid = ZOrder.layout(df, Seq("a", "b"), 4)
+    val laid = ZOrder.layout(df, Seq("a", "b"), Some(4))
     val p = laid.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(p).size == 1, s"one exchange expected:\n$p")
     assert(p.contains("rangepartitioning"), s"range distribution expected:\n$p")
