@@ -36,16 +36,33 @@ private[graft] object SessionCache {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.ArrayBuffer[(String, Double)]]()
 
+  // Monotone per-session sum of every recorded staging second — never
+  // reset by drains. A pin whose build triggers ANOTHER pin (the
+  // dedup_clusters → ngram_pairs → capped_shingles chain) must report
+  // only its OWN marginal cost: recording the full elapsed time charged
+  // the nested builds two and three times over, inflating the bench's
+  // staging_total by the whole inner chain (~8.5 s at sf0.1).
+  private val stagedCumulative =
+    new java.util.WeakHashMap[SparkSession, java.lang.Double]()
+
+  private def cumulativeFor(s: SparkSession): Double =
+    stagingLog.synchronized {
+      Option(stagedCumulative.get(s)).map(_.doubleValue).getOrElse(0.0)
+    }
+
   def getOrElseUpdate(s: SparkSession, key: String)
                      (build: => DataFrame): DataFrame = {
     val m = mapFor(s)
     m.get(key) match {
       case Some(df) => df
       case None => m.getOrElseUpdate(key, {
+        val nestedBefore = cumulativeFor(s)
         val t0 = System.nanoTime()
         val df = build
         if (df.storageLevel != StorageLevel.NONE) df.count()
-        record(s, key, (System.nanoTime() - t0) / 1e9)
+        val nested = cumulativeFor(s) - nestedBefore
+        record(s, key,
+          math.max(0.0, (System.nanoTime() - t0) / 1e9 - nested))
         df
       })
     }
@@ -68,6 +85,8 @@ private[graft] object SessionCache {
         stagingLog.put(s, b)
       }
       b += ((key, sec))
+      stagedCumulative.put(s, java.lang.Double.valueOf(
+        Option(stagedCumulative.get(s)).map(_.doubleValue).getOrElse(0.0) + sec))
     }
 
   /** Return-and-clear the (pin key, build seconds) entries materialized
