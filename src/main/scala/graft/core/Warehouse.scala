@@ -1205,15 +1205,29 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * cost on every later read — and a big frame can just as easily land
     * as too FEW giant files. The partitioned paths already shuffle via
     * [[partitionAligned]] (an AQE-coalescible exchange), so this covers
-    * only the unpartitioned branch. A frame whose plan already ENDS in an
-    * explicit distribution (repartition / repartitionByRange / coalesce,
+    * only the unpartitioned branch.
+    *
+    * Scoped to frames that actually NEED it — an unconditional rebalance
+    * measured as a net LOSS (+0.15–0.25 s per write across the o_*
+    * engine-model writes, ~+6 s on the suite): most write inputs either
+    * already contain a shuffle (whose output AQE coalescing has already
+    * sized) or are a single-split scan, and re-exchanging those is pure
+    * overhead. So the rebalance applies only when the plan is
+    * SHUFFLE-FREE end to end (no aggregate/join/window/distinct/global
+    * sort/set-op — nothing for AQE to size), fans out over more than a
+    * handful of partitions, and the per-partition estimate is far below
+    * the advisory chunk (the shredded-output signature: parallelized
+    * local data, many-tiny-file scans). A frame already ENDING in an
+    * explicit distribution (repartition/repartitionByRange/coalesce,
     * optionally under a partition-local sort) is the caller declaring its
-    * own layout — re-shuffling it would silently undo that (e.g. a
-    * hand-range-distributed contrast table), so those pass through
-    * untouched. `graft.write.rebalance=false` opts out per session.
+    * own layout and is never touched. `graft.write.rebalance=false` opts
+    * out; `=always` restores the unconditional hint.
     */
   private def sizedForWrite(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    val mode = spark.conf.getOption("graft.write.rebalance").getOrElse("auto")
+    if (mode == "false") return df
+    val opt = df.queryExecution.optimizedPlan
     def explicitlyDistributed(p: LogicalPlan): Boolean = p match {
       case _: RepartitionOperation => true
       case _: RebalancePartitions => true
@@ -1221,9 +1235,24 @@ final class Warehouse(val spark: SparkSession, val root: String,
       case pr: Project => explicitlyDistributed(pr.child)
       case _ => false
     }
-    if (spark.conf.getOption("graft.write.rebalance").contains("false") ||
-        explicitlyDistributed(df.queryExecution.logical)) df
-    else df.hint("rebalance")
+    if (explicitlyDistributed(df.queryExecution.logical)) return df
+    if (mode == "always") return df.hint("rebalance")
+    val shuffles = opt.exists {
+      case _: Aggregate | _: Join | _: Window | _: Distinct => true
+      case s: Sort => s.global
+      case _: RepartitionOperation | _: RebalancePartitions => true
+      case _: Intersect | _: Except => true
+      case _ => false
+    }
+    if (shuffles) return df
+    val nParts = df.rdd.getNumPartitions // shuffle-free: planning only
+    val advisory = spark.sessionState.conf.getConfString(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    val advisoryBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(advisory)
+    val tiny = opt.stats.sizeInBytes / math.max(1, nParts) <
+      advisoryBytes / 8
+    if (nParts > 4 && tiny) df.hint("rebalance") else df
   }
 
   private def clusteredWriter(df: DataFrame, partitionCols: Seq[String],

@@ -151,6 +151,28 @@ object ProfileR18 {
             partitionCols = Seq("tb"))
         }
     }
+    if (on("rebal")) {
+      // A/B the write-sizing modes in ONE window: representative entries
+      // are an engine model write (o_star_select), a multi-append
+      // pipeline (x_dedup_incremental_fuzzy), an MV maintenance chain
+      // (x_agg_view) and b5's upsert rewrite.
+      for (mode <- Seq("auto", "always", "false"); pass <- 1 to 3) {
+        spark.conf.set("graft.write.rebalance", mode)
+        t(s"rebal=$mode p$pass o_star_select") {
+          graft.ops.OrchestratorQueries.starSelect(spark, d).count()
+        }
+        t(s"rebal=$mode p$pass b5_delete_insert") {
+          graft.ops.MatQueries.b5DeleteInsert(spark, d).count()
+        }
+        t(s"rebal=$mode p$pass x_agg_view") {
+          graft.ops.MatQueries.xAggView(spark, d).count()
+        }
+        t(s"rebal=$mode p$pass x_dedup_incremental_fuzzy") {
+          graft.ops.TextOps.dedupIncrementalFuzzy(spark, d).count()
+        }
+      }
+      spark.conf.unset("graft.write.rebalance")
+    }
     if (on("snap")) for (pass <- 1 to 3) {
       t(s"snap p$pass b11_snapshot_timestamp") {
         graft.ops.MatQueries.b11SnapshotTimestamp(spark, d).count()
