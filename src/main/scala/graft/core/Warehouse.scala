@@ -1245,6 +1245,24 @@ final class Warehouse(val spark: SparkSession, val root: String,
       case _ => false
     }
     if (shuffles) return df
+    // Never reorder a frame that carries FLOATING-POINT columns: a
+    // rebalance changes row order, and the only way row order can reach
+    // an observable result in this engine is through an order-sensitive
+    // float accumulation downstream (sum/avg of doubles — the 10× sweep
+    // caught round(sum(double),2) flipping a last-ulp rounding boundary
+    // when the staged table's rows were re-dealt). Integer, string,
+    // decimal and boolean frames are order-free by construction.
+    def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case DoubleType | FloatType => true
+        case ArrayType(e, _) => hasFloat(e)
+        case StructType(fs) => fs.exists(f => hasFloat(f.dataType))
+        case MapType(k, v, _) => hasFloat(k) || hasFloat(v)
+        case _ => false
+      }
+    }
+    if (df.schema.fields.exists(f => hasFloat(f.dataType))) return df
     val nParts = df.rdd.getNumPartitions // shuffle-free: planning only
     val advisory = spark.sessionState.conf.getConfString(
       "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
