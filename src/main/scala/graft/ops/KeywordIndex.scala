@@ -60,17 +60,34 @@ final class KeywordIndex(wh: Warehouse, name: String, buckets: Int = 16) {
   /** One-time corpus scan: bucket-partitioned postings + the df table
     * (tiny — one row per vocabulary term) + per-doc lengths and the
     * 1-row corpus stats that [[searchRanked]]'s BM25 normalization needs.
+    *
+    * The corpus is tokenized ONCE: the per-(doc, term) occurrence counts
+    * are the sufficient statistic for all four relations (postings =
+    * the distinct pairs themselves, df = rows per term, dl = Σ tf per
+    * doc, stats = Σ over dl), so the tf frame is pinned for the build
+    * and each relation derives from it — the naive four-writes version
+    * re-ran the tokenize+explode pass per write. The pin is a narrow
+    * (long, string, long) frame — one row per distinct (doc, term),
+    * never the raw text — so it caches well at any corpus size (and at
+    * 100 TB this build is one tokenize pass + one shuffle, the floor).
     */
   def build(docs: DataFrame): Unit = {
-    val p = postings(docs)
-    wh.writeAtomic(bucketed(p), postRel, partitionCols = Seq("tb"))
-    wh.writeAtomic(
-      p.groupBy(col("term")).agg(count(lit(1)).as("df")), dfRel)
-    val dl = docLengths(docs)
-    // doc_id blooms feed the append id-guard's O(batch) probe
-    wh.writeAtomic(dl, dlRel, bloomCols = Seq("doc_id"))
-    wh.writeAtomic(dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_len")), statsRel)
+    val tf = tokens(docs)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // (doc_id, term) of tf is distinct by construction = the postings
+      wh.writeAtomic(bucketed(tf.select(col("doc_id"), col("term"))),
+        postRel, partitionCols = Seq("tb"))
+      wh.writeAtomic(
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df")), dfRel)
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("dl"))
+      // doc_id blooms feed the append id-guard's O(batch) probe
+      wh.writeAtomic(dl, dlRel, bloomCols = Seq("doc_id"))
+      wh.writeAtomic(dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_len")), statsRel)
+    } finally { tf.unpersist(); () }
   }
 
   /** Admit a batch (append-only, O(batch) + O(vocabulary)): postings

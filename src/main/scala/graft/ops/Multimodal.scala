@@ -40,6 +40,12 @@ object Multimodal {
   // a temp file. These codecs run per document (and per FRAME in the
   // demuxer), so the default turns a CPU-bound decode into tmp-dir file
   // churn. Memory caching changes no bytes — encodes/decodes stay real.
+  // NOTE: this mutates PROCESS-GLOBAL javax.imageio state on driver and
+  // executors — any co-resident code reading very large images in the
+  // same JVM gets memory-backed stream caches too. Acceptable for this
+  // engine's small fixtures; a host embedding this library next to a
+  // large-image pipeline should scope the choice per call site with
+  // explicit MemoryCacheImageInput/OutputStream instead.
   ImageIO.setUseCache(false)
 
   /** The published fixture rule: image dims derived from text LENGTH

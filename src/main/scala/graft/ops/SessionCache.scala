@@ -36,19 +36,24 @@ private[graft] object SessionCache {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.ArrayBuffer[(String, Double)]]()
 
-  // Monotone per-session sum of every recorded staging second — never
-  // reset by drains. A pin whose build triggers ANOTHER pin (the
+  // Monotone per-(session, THREAD) sum of every recorded staging second —
+  // never reset by drains. A pin whose build triggers ANOTHER pin (the
   // dedup_clusters → ngram_pairs → capped_shingles chain) must report
   // only its OWN marginal cost: recording the full elapsed time charged
   // the nested builds two and three times over, inflating the bench's
-  // staging_total by the whole inner chain (~8.5 s at sf0.1).
+  // staging_total by the whole inner chain (~8.5 s at sf0.1). The
+  // baseline is THREAD-local because a nested build always runs on its
+  // parent build's thread — a session-global cumulative would subtract
+  // whatever an unrelated concurrent build (or a streaming replay's
+  // recordStaging) logged while this build was timing.
   private val stagedCumulative =
-    new java.util.WeakHashMap[SparkSession, java.lang.Double]()
+    new ThreadLocal[java.util.WeakHashMap[SparkSession, java.lang.Double]]() {
+      override def initialValue() =
+        new java.util.WeakHashMap[SparkSession, java.lang.Double]()
+    }
 
   private def cumulativeFor(s: SparkSession): Double =
-    stagingLog.synchronized {
-      Option(stagedCumulative.get(s)).map(_.doubleValue).getOrElse(0.0)
-    }
+    Option(stagedCumulative.get.get(s)).map(_.doubleValue).getOrElse(0.0)
 
   def getOrElseUpdate(s: SparkSession, key: String)
                      (build: => DataFrame): DataFrame = {
@@ -85,8 +90,9 @@ private[graft] object SessionCache {
         stagingLog.put(s, b)
       }
       b += ((key, sec))
-      stagedCumulative.put(s, java.lang.Double.valueOf(
-        Option(stagedCumulative.get(s)).map(_.doubleValue).getOrElse(0.0) + sec))
+      val tl = stagedCumulative.get
+      tl.put(s, java.lang.Double.valueOf(
+        Option(tl.get(s)).map(_.doubleValue).getOrElse(0.0) + sec))
     }
 
   /** Return-and-clear the (pin key, build seconds) entries materialized

@@ -1433,12 +1433,20 @@ object Similarity {
     * seeding runs over the sample with a fixed seed — at 100 TB this is
     * the one-round k-means‖ shape: sample once, seed driver-side,
     * instead of k sequential corpus scans. Lloyd rounds then iterate
-    * exactly like [[kmeansAssign]] — assign is a per-row codegen
-    * expression over centroid LITERALS (no join, no shuffle), update
-    * shuffles only k·d partial-agg rows — and stop as soon as the
-    * largest centroid movement (cosine distance old→new) drops under
-    * `tol`, or at `maxIters`. An empty cluster keeps its previous
-    * centroid instead of vanishing.
+    * over the SAME driver-resident sample (the standard sample-bounded
+    * fit — the PQ codebook in [[pqTrain]] already trains this way):
+    * assignment replicates [[kmNearest]]'s arithmetic exactly (6dp
+    * HALF_UP-rounded cosine, smallest-cid tie), means snap to the same
+    * 1e-6 grid, and the loop stops as soon as the largest centroid
+    * movement (cosine distance old→new) drops under `tol`, or at
+    * `maxIters`. An empty cluster keeps its previous centroid instead
+    * of vanishing. Only the final corpus-wide ASSIGNMENT touches the
+    * cluster — one scan with a per-row codegen expression over centroid
+    * literals — where a corpus-wide Lloyd paid one full
+    * scan+explode+shuffle job PER ROUND (up to 20 jobs whose per-job
+    * overhead, not arithmetic, dominated the one-time index build).
+    * When the corpus is no bigger than `sampleN` the sample IS the
+    * corpus, so the fit sees every vector exactly as before.
     *
     * Returns (assignments `(vec_id, cluster)`, centroids, rounds run).
     */
@@ -1486,21 +1494,48 @@ object Similarity {
         centers += sample(pick)
       }
     }
+    // assignment arithmetic mirrors [[kmNearest]]: 6dp HALF_UP-rounded
+    // cosine similarity, argmax with smallest-cid tiebreak — so the
+    // sample-Lloyd rounds agree with what a corpus-wide round would have
+    // computed wherever the sample covers the corpus
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cosSim(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
     var cents: Seq[(Int, Seq[Double])] =
       centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     var iters = 0
     var moved = Double.MaxValue
     while (iters < maxIters && moved > tol) {
-      val means = e.withColumn("cluster", kmNearest(cents))
-        .select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg((floor(avg(col("col")) * 1e6 + 0.5) / 1e6).as("m"))
-        .collect() // control-plane: ≤ k·d rows
-      val byCid = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      val cArr = cents.map(_._2.toIndexedSeq).toIndexedSeq
+      val sums = Array.fill(cArr.length, cArr.head.length)(0.0)
+      val counts = new Array[Long](cArr.length)
+      var si = 0
+      while (si < sample.length) {
+        val v = sample(si)
+        var best = 0; var bestSim = round6(cosSim(v, cArr(0)))
+        var ci = 1
+        while (ci < cArr.length) {
+          val s0 = round6(cosSim(v, cArr(ci)))
+          if (s0 > bestSim) { bestSim = s0; best = ci }
+          ci += 1
+        }
+        var di = 0
+        while (di < v.length) { sums(best)(di) += v(di); di += 1 }
+        counts(best) += 1
+        si += 1
       }
       val next = cents.map { case (cid, old) =>
-        (cid, byCid.getOrElse(cid, old)) // empty cluster keeps its centroid
+        if (counts(cid) == 0L) (cid, old) // empty cluster keeps its centroid
+        else (cid, sums(cid).toIndexedSeq
+          .map(s0 => math.floor(s0 / counts(cid) * 1e6 + 0.5) / 1e6))
       }
       moved = cents.zip(next).map { case ((_, a), (_, b)) =>
         cosDist(a.toIndexedSeq, b.toIndexedSeq)

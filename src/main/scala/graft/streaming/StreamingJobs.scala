@@ -236,7 +236,8 @@ object StreamingJobs {
   }
 
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-                  mode: OutputMode, replayKey: Option[String] = None)
+                  mode: OutputMode, replayKey: Option[String] = None,
+                  inputDir: Option[String] = None)
       : DataFrame = {
     val t0 = System.nanoTime()
     val outDir = java.nio.file.Files
@@ -244,29 +245,70 @@ object StreamingJobs {
     val schema = df.schema // empty-result reads need it declared
     val writeMode =
       if (mode == OutputMode.Complete()) "overwrite" else "append"
+    // STATE partitioning sized to the stream, not to the session's batch
+    // shuffle width. A stateful query pins its state-store count to
+    // spark.sql.shuffle.partitions at FIRST start, and every micro-batch
+    // then pays one store open+commit per partition per stateful
+    // operator per side — a stream-stream join over a kilobytes-scale
+    // bounded corpus on a 32-wide session was 32×4 commits/side/batch of
+    // near-empty stores, pure fixed cost. Size it like any other
+    // partitioning (guide: partitions should hold ~advisory-chunk bytes):
+    // one state partition per advisory chunk of staged input, capped at
+    // the session's configured width — so a production-scale corpus
+    // saturates the configured parallelism and only genuinely small
+    // streams shrink. `graft.stream.statePartitions` pins it explicitly.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val stateParts: Option[Int] = spark.conf
+      .getOption("graft.stream.statePartitions").map(_.toInt)
+      .orElse(inputDir.flatMap { dirS =>
+        try {
+          val dir = java.nio.file.Paths.get(dirS)
+          var bytes = 0L
+          val ls = java.nio.file.Files.list(dir)
+          try ls.forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p))
+              bytes += java.nio.file.Files.size(p)
+          } finally ls.close()
+          val chunk = org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(spark.sessionState.conf.getConfString(
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+          Some(math.max(1, math.min(prevParts.toInt,
+            math.ceil(bytes.toDouble / math.max(1L, chunk)).toInt)))
+        } catch { case _: Throwable => None }
+      })
+    stateParts.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     // foreachBatch is at-least-once: a recovered query re-delivers the
     // last batch. The memory sink this replaced deduped replays by
     // batchId; preserve that contract — skip any batchId already
     // written (ids are monotone per query, and foreachBatch runs on
     // the driver, so a plain volatile suffices).
     @volatile var lastBatchId = -1L
+    // sink files per micro-batch (default 1): the batch inherits the
+    // stateful plan's shuffle parallelism, which writes dozens of
+    // near-empty files per trigger (AQE cannot coalesce inside a
+    // streaming plan). The equivalence harness runs a BOUNDED corpus, so
+    // a single sink file per batch is the right sizing; production-scale
+    // ingestion goes through the warehouse appender (appendStreamBatch),
+    // which sizes its own output. `graft.stream.sinkPartitions` widens
+    // the sink for an sf1+ run so it isn't single-threaded per trigger.
+    val sinkParts = spark.conf.getOption("graft.stream.sinkPartitions")
+      .map(_.toInt).getOrElse(1)
     val q = df.writeStream.outputMode(mode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastBatchId) {
-          // one file per micro-batch: the batch inherits the stateful
-          // plan's full shuffle parallelism, which writes dozens of
-          // near-empty files per trigger (AQE cannot coalesce inside a
-          // streaming plan). The equivalence harness runs a BOUNDED
-          // corpus, so a single sink file per batch is the right sizing;
-          // production-scale ingestion goes through the warehouse
-          // appender (appendStreamBatch), which sizes its own output.
-          batch.repartition(1).write.mode(writeMode).parquet(outDir)
+          batch.repartition(sinkParts).write.mode(writeMode).parquet(outDir)
           lastBatchId = batchId
         }
         ()
       }
       .queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally {
+      try q.stop()
+      finally if (stateParts.isDefined)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     replayKey.foreach { k =>
       val wallS = (System.nanoTime() - t0) / 1e9
       val dataAddS = q.recentProgress.iterator
@@ -425,7 +467,7 @@ object StreamingJobs {
     val name = "st_attrib_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     runToMemory(spark, clickAttribution(src), name, OutputMode.Append(),
-      replayKey = Some("replay_stream_join"))
+      replayKey = Some("replay_stream_join"), inputDir = Some(dir.toString))
   }
 
   val streamJoinEquivSql: String =
@@ -453,7 +495,8 @@ object StreamingJobs {
     val name = "st_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val mem = runToMemory(spark, dedupedEvents(src),
-      name, OutputMode.Append(), replayKey = Some("replay_stream_dedup"))
+      name, OutputMode.Append(), replayKey = Some("replay_stream_dedup"),
+      inputDir = Some(dir.toString))
     mem.select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
       col("user_id"), col("event_type"), col("value"))
   }
@@ -486,7 +529,8 @@ object StreamingJobs {
     val name = "st_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val mem = runToMemory(spark, closedSessions(spark, src).toDF(),
-      name, OutputMode.Append(), replayKey = Some("replay_stream_sessionize"))
+      name, OutputMode.Append(), replayKey = Some("replay_stream_sessionize"),
+      inputDir = Some(dir.toString))
     mem.filter(col("user_id") =!= -1L) // the sentinel's own open session
       .select(col("user_id"), col("session_start_ms"), col("n_events"),
         (col("total_value") / 100.0).as("sum_value"))

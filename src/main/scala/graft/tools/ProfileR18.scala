@@ -110,14 +110,18 @@ object ProfileR18 {
       val wh = new Warehouse(spark, java.nio.file.Files
         .createTempDirectory("prof_builds").toString, CommitMode.Manifest)
       val docs = graft.ops.TData.documents(spark, d)
-      t("kw index build") {
-        new graft.ops.KeywordIndex(wh, "pdocs").build(docs)
-      }
+      // two builds each: #1 carries the JVM's cold codegen/committer
+      // cost, #2 is the warm build cost
+      for (i <- 1 to 2)
+        t(s"kw index build #$i") {
+          new graft.ops.KeywordIndex(wh, s"pdocs$i").build(docs)
+        }
       val vecs = graft.ops.Similarity.vecs(spark, d)
-      t("ann index build") {
-        new graft.ops.Similarity.VectorIndex(wh, "phyb", k = 16, nprobe = 6,
-          maxProbe = 10, probeMargin = 0.1).build(vecs)
-      }
+      for (i <- 1 to 2)
+        t(s"ann index build #$i") {
+          new graft.ops.Similarity.VectorIndex(wh, s"phyb$i", k = 16,
+            nprobe = 6, maxProbe = 10, probeMargin = 0.1).build(vecs)
+        }
       val tiny = spark.range(1000).toDF("id")
       for (i <- 1 to 5)
         t(s"writeAtomic tiny #$i") {
@@ -156,7 +160,7 @@ object ProfileR18 {
       // are an engine model write (o_star_select), a multi-append
       // pipeline (x_dedup_incremental_fuzzy), an MV maintenance chain
       // (x_agg_view) and b5's upsert rewrite.
-      for (mode <- Seq("auto", "always", "false"); pass <- 1 to 3) {
+      for (mode <- Seq("false", "auto", "always", "false", "auto"); pass <- 1 to 3) {
         spark.conf.set("graft.write.rebalance", mode)
         t(s"rebal=$mode p$pass o_star_select") {
           graft.ops.OrchestratorQueries.starSelect(spark, d).count()
@@ -172,6 +176,32 @@ object ProfileR18 {
         }
       }
       spark.conf.unset("graft.write.rebalance")
+    }
+    if (on("jobs")) {
+      // per-job trace of one warm o_insert_overwrite_pruned run: counts
+      // the control-plane jobs an engine double-build issues
+      graft.ops.OrchestratorQueries.insertOverwritePruned(spark, d).count()
+      val t0s = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      @volatile var trace = true
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            t0s.put(e.jobId, System.nanoTime())
+            if (trace) {
+              import scala.jdk.CollectionConverters._
+              val stages = e.stageInfos.map(_.name).mkString(" | ")
+              println(s"[jobstart] #${e.jobId} $stages")
+            }
+          }
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            if (trace) Option(t0s.get(e.jobId)).foreach { t0 =>
+              println(f"[jobend] #${e.jobId}%4d ${(System.nanoTime()-t0)/1e9}%6.3f s")
+            }
+        })
+      t("o_insert_overwrite_pruned traced") {
+        graft.ops.OrchestratorQueries.insertOverwritePruned(spark, d).count()
+      }
+      trace = false
     }
     if (on("snap")) for (pass <- 1 to 3) {
       t(s"snap p$pass b11_snapshot_timestamp") {

@@ -36,7 +36,7 @@ class SessionCacheSpec extends AnyFunSuite {
     SessionCache.drainStaging(s)
     val outer = pinned("spec_outer") {
       val in = pinned("spec_inner2") {
-        Thread.sleep(300)
+        Thread.sleep(1500)
         s.range(100).toDF("id")
       }
       in.select(org.apache.spark.sql.functions.col("id"))
@@ -44,9 +44,15 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(outer.count() == 100 && inner.count() == 100)
     val staged = SessionCache.drainStaging(s).toMap
     assert(staged.contains("spec_inner2") && staged.contains("spec_outer"))
-    assert(staged("spec_inner2") >= 0.3,
+    assert(staged("spec_inner2") >= 1.5,
       s"inner build must carry its own sleep: $staged")
-    assert(staged("spec_outer") < staged("spec_inner2"),
+    // assert against the known sleep, not the inner's wall-clock: the
+    // outer's own work is a persist+count of 100 rows — well under the
+    // 1.5 s nested sleep it must NOT re-count, with margin for a slow
+    // contended CI host (the old `outer < inner` form compared two
+    // wall-clocks and flaked whenever the outer's real work exceeded a
+    // 300 ms sleep)
+    assert(staged("spec_outer") < 1.5,
       s"outer build must not re-count the nested build: $staged")
     SessionCache.releaseAll(s)
   }
