@@ -1236,23 +1236,22 @@ final class Warehouse(val spark: SparkSession, val root: String,
       case _ => false
     }
     if (explicitlyDistributed(df.queryExecution.logical)) return df
-    // A frame carrying FLOATING-POINT columns must not be FREELY
-    // reordered: a bare rebalance re-deals rows in a
-    // scheduling-dependent order, and the only way row order can reach
-    // an observable result in this engine is through an order-sensitive
-    // float accumulation downstream (sum/avg of doubles — the 10× sweep
-    // caught round(sum(double),2) flipping a last-ulp rounding boundary
-    // when the staged table's rows were re-dealt). Integer, string,
-    // decimal and boolean frames are order-free by construction, so
-    // they take the plain rebalance; float frames instead get a
-    // DETERMINISTIC layout — hash-distribute on the row's orderable
-    // columns and sort within partitions — so row order becomes a pure
-    // function of the data (validated once per corpus by the hash gate,
-    // stable thereafter) instead of whichever order the exchange dealt.
-    // Frames with a non-orderable column (maps) stay unrebalanced. The
-    // float rule binds in EVERY mode: `always` widens the rebalance's
-    // scope (skips the shuffle-free/tiny heuristics), it is a perf knob
-    // and must never become a correctness trade.
+    // Never reorder a frame that carries FLOATING-POINT columns, in ANY
+    // mode (`always` widens the rebalance's SCOPE; it is a perf knob and
+    // must not become a correctness trade): a rebalance changes row
+    // order, and the only way row order can reach an observable result
+    // in this engine is through an order-sensitive float accumulation
+    // downstream — the r18 10× sweep caught round(sum(double),2)
+    // flipping a last-ulp rounding boundary when a staged table's rows
+    // were re-dealt. A DETERMINISTIC reorder does not fix this: round 19
+    // re-tried the float frames with a canonical layout (REBALANCE on
+    // all columns + sortWithinPartitions on all columns — row order a
+    // pure function of the data) and the 10× sweep reproduced the
+    // identical flip (o_dbt_native_project, …044.6 vs oracle …044.59):
+    // the hazard is not nondeterminism but ANY order other than the
+    // arrival order the oracle's sequential sum happens to agree with
+    // at 1e11 magnitudes. Integer, string, decimal and boolean frames
+    // are order-free by construction and stay eligible.
     def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
       import org.apache.spark.sql.types._
       dt match {
@@ -1263,30 +1262,8 @@ final class Warehouse(val spark: SparkSession, val root: String,
         case _ => false
       }
     }
-    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
-      import org.apache.spark.sql.types._
-      dt match {
-        case _: MapType => false
-        case ArrayType(e, _) => orderable(e)
-        case StructType(fs) => fs.forall(f => orderable(f.dataType))
-        case _ => true
-      }
-    }
-    val floaty = df.schema.fields.exists(f => hasFloat(f.dataType))
-    def sized(frame: DataFrame): DataFrame =
-      if (!floaty) frame.hint("rebalance")
-      else if (!df.schema.fields.forall(f => orderable(f.dataType))) frame
-      else {
-        // the hint's column parameters must be UNRESOLVED attributes
-        // (ResolveCoalesceHints rejects resolved exprs); quoted form so
-        // a dotted column name can't mis-parse as a nested path
-        val cols = df.schema.fieldNames.toIndexedSeq.map(n =>
-          org.apache.spark.sql.graftshim.ColumnShim.column(
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              .quoted(n)))
-        frame.hint("rebalance", cols: _*).sortWithinPartitions(cols: _*)
-      }
-    if (mode == "always") return sized(df)
+    if (df.schema.fields.exists(f => hasFloat(f.dataType))) return df
+    if (mode == "always") return df.hint("rebalance")
     val shuffles = opt.exists {
       case _: Aggregate | _: Join | _: Window | _: Distinct => true
       case s: Sort => s.global
@@ -1306,7 +1283,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       .byteStringAsBytes(advisory)
     val tiny = opt.stats.sizeInBytes / math.max(1, nParts) <
       advisoryBytes / 8
-    if (nParts > 4 && tiny) sized(df) else df
+    if (nParts > 4 && tiny) df.hint("rebalance") else df
   }
 
   private def clusteredWriter(df: DataFrame, partitionCols: Seq[String],
